@@ -1,0 +1,207 @@
+package graft.analytics
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.io.Tables
+
+/** Relational operator coverage (SURVEY.md §2.2-§2.8) as verifiable
+  * queries over the driver testdata. Each query exercises one operator
+  * family the reference engine shipped (as SQL text handed to Postgres
+  * — see SURVEY §2.3 note) re-expressed with the DataFrame API so
+  * Catalyst plans it.
+  *
+  * Determinism conventions (see [[QueryDef]]): exact decimal sums for
+  * double aggregates, explicit unique-key ordering, matched column
+  * names with the DuckDB oracle.
+  */
+object RelationalQueries {
+
+  /** Order-insensitive exact sum of a double column: cast to decimal
+    * before aggregating. IEEE double addition is order-sensitive and
+    * Spark's partial aggregation order is nondeterministic; decimal
+    * sums commute exactly, so Spark and DuckDB agree bit-for-bit after
+    * the final cast back to double.
+    */
+  private[analytics] def dsum(c: Column): Column =
+    sum(c.cast("decimal(20,4)")).cast("double")
+
+  /** SQL-side twin of [[dsum]]. */
+  private[analytics] def dsumSql(expr: String): String =
+    s"CAST(sum(CAST($expr AS DECIMAL(20,4))) AS DOUBLE)"
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.table(s, dir, name)
+
+  // ---------------------------------------------------------------- aggs
+
+  /** A13/A14-style grouped multi-aggregate — the flagship pricing
+    * summary (shape of reference `postgres_manager.py:1090-1131`
+    * grouped aggregation surface). Partial (map-side) aggregation +
+    * final merge happen automatically; at 100 TB the only shuffle is
+    * the 6-row group exchange.
+    */
+  val q1Agg: QueryDef = QueryDef.sql(
+    "q1_agg",
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(20,4))) AS DOUBLE) AS sum_qty,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(20,4))) AS DOUBLE) AS sum_base_price,
+      |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(20,4))) AS DOUBLE) AS sum_disc_price,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(20,4))) AS DOUBLE) / count(*) AS avg_qty,
+      |  count(*) AS count_order
+      |FROM lineitem
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    doc = "grouped multi-agg (SURVEY A13/A14)") { (s, dir) =>
+    t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_base_price"),
+        dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("sum_disc_price"),
+        (sum(col("l_quantity").cast("decimal(20,4)")).cast("double") / count(lit(1))).as("avg_qty"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
+  // --------------------------------------------------- scans / projections
+
+  /** S5+P3+P11: projection + pushed-down range predicate. At scale the
+    * parquet scan must show PushedFilters + a 4-column ReadSchema.
+    */
+  val qScanProject: QueryDef = QueryDef.sql(
+    "q_scan_project",
+    """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+      |FROM lineitem WHERE l_quantity >= 48.0
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    doc = "column-pruned scan with pushed filter (SURVEY S5/P3/P11)") { (s, dir) =>
+    t(s, dir, "lineitem")
+      .filter(col("l_quantity") >= 48.0)
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
+  /** P8: set-membership predicate (`= ANY(array)` at reference
+    * `data_loader.py:387`). Small literal set stays an In-filter pushed
+    * to the scan; unbounded sets become a broadcast semi-join instead.
+    */
+  val qFilterIn: QueryDef = QueryDef.sql(
+    "q_filter_in",
+    """SELECT o_orderkey, o_orderpriority, o_totalprice
+      |FROM orders
+      |WHERE o_orderpriority IN ('1-URGENT', '2-HIGH') AND o_totalprice > 400000.0
+      |ORDER BY o_orderkey""".stripMargin,
+    doc = "IN-list predicate (SURVEY P8)") { (s, dir) =>
+    t(s, dir, "orders")
+      .filter(col("o_orderpriority").isin("1-URGENT", "2-HIGH") &&
+        col("o_totalprice") > 400000.0)
+      .select("o_orderkey", "o_orderpriority", "o_totalprice")
+      .orderBy("o_orderkey")
+  }
+
+  // ------------------------------------------------------------- joins
+
+  /** J4: multi-way equi inner join + group. Catalyst broadcasts the
+    * 1500-row customer side under AQE at small SF; at 100 TB the
+    * orders⋈lineitem join shuffles on orderkey while customer stays
+    * broadcast (dimension-sized).
+    */
+  val qJoinInner: QueryDef = QueryDef.sql(
+    "q_join_inner",
+    """SELECT c_mktsegment, o_orderpriority,
+      |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(20,4))) AS DOUBLE) AS revenue,
+      |  count(*) AS n_lines
+      |FROM customer
+      |JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON o_orderkey = l_orderkey
+      |GROUP BY c_mktsegment, o_orderpriority
+      |ORDER BY c_mktsegment, o_orderpriority""".stripMargin,
+    doc = "multi-way equi join + agg (SURVEY J4)") { (s, dir) =>
+    val c = t(s, dir, "customer")
+    val o = t(s, dir, "orders")
+    val l = t(s, dir, "lineitem")
+    broadcast(c).join(o, c("c_custkey") === o("o_custkey"))
+      .join(l, o("o_orderkey") === l("l_orderkey"))
+      .groupBy(col("c_mktsegment"), col("o_orderpriority"))
+      .agg(
+        dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"),
+        count(lit(1)).as("n_lines"))
+      .orderBy(col("c_mktsegment"), col("o_orderpriority"))
+  }
+
+  /** J8: anti join (reference `NOT IN` schema diff,
+    * `postgres_manager.py:1066-1075`). left_anti avoids materializing
+    * the subquery; broadcast-able when the right side is bounded.
+    */
+  val qJoinAnti: QueryDef = QueryDef.sql(
+    "q_join_anti",
+    """SELECT c_custkey, c_name FROM customer
+      |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+      |ORDER BY c_custkey""".stripMargin,
+    doc = "anti join (SURVEY J8)") { (s, dir) =>
+    t(s, dir, "customer")
+      .join(t(s, dir, "orders").select(col("o_custkey").as("c_custkey")),
+        Seq("c_custkey"), "left_anti")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+  }
+
+  /** J1/J2: existence semi-join — the reference's overlap check shape
+    * (`data_loader.py:377-429`).
+    */
+  val qJoinSemi: QueryDef = QueryDef.sql(
+    "q_join_semi",
+    """SELECT o_orderkey, o_totalprice FROM orders
+      |WHERE EXISTS (SELECT 1 FROM lineitem
+      |              WHERE l_orderkey = o_orderkey AND l_quantity >= 49.0)
+      |ORDER BY o_orderkey""".stripMargin,
+    doc = "existence semi-join (SURVEY J1/J2)") { (s, dir) =>
+    val o = t(s, dir, "orders")
+    val l = t(s, dir, "lineitem").filter(col("l_quantity") >= 49.0)
+      .select(col("l_orderkey").as("o_orderkey"))
+    o.join(l, Seq("o_orderkey"), "left_semi")
+      .select("o_orderkey", "o_totalprice")
+      .orderBy("o_orderkey")
+  }
+
+  // -------------------------------------------------------- sorts / top-k
+
+  /** O1/O2/O3: global top-k. Spark plans TakeOrderedAndProject — no full
+    * sort, each partition keeps k rows; the driver merges k×partitions.
+    */
+  val qTopK: QueryDef = QueryDef.sql(
+    "q_topk",
+    """SELECT c_custkey, c_name, c_acctbal FROM customer
+      |ORDER BY c_acctbal DESC, c_custkey LIMIT 10""".stripMargin,
+    doc = "global top-k (SURVEY O1-O3)") { (s, dir) =>
+    t(s, dir, "customer")
+      .select("c_custkey", "c_name", "c_acctbal")
+      .orderBy(col("c_acctbal").desc, col("c_custkey"))
+      .limit(10)
+  }
+
+  /** W-new + O4: ranked window — top 3 orders per priority class.
+    * Window shuffles once on the partition key; no driver-side loop.
+    */
+  val qWindowRank: QueryDef = QueryDef.sql(
+    "q_window_rank",
+    """SELECT o_orderpriority, o_orderkey, o_totalprice, rn FROM (
+      |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+      |    row_number() OVER (PARTITION BY o_orderpriority
+      |                       ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      |  FROM orders) WHERE rn <= 3
+      |ORDER BY o_orderpriority, rn""".stripMargin,
+    doc = "ranked window top-n per group") { (s, dir) =>
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    t(s, dir, "orders")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select("o_orderpriority", "o_orderkey", "o_totalprice", "rn")
+      .orderBy("o_orderpriority", "rn")
+  }
+
+  val all: Seq[QueryDef] = Seq(
+    q1Agg, qScanProject, qFilterIn, qJoinInner, qJoinAnti, qJoinSemi,
+    qTopK, qWindowRank)
+}

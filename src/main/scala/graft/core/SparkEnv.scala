@@ -1,0 +1,43 @@
+package graft.core
+
+import org.apache.spark.sql.SparkSession
+
+/** SparkSession factory for the graft engine.
+  *
+  * Replaces the reference's connection/session management
+  * (`src/postgres_managing/postgres_manager.py:67-190` — singleton +
+  * psycopg2 pool + per-session `work_mem` tuning): in a Spark-native
+  * engine the session IS the engine, and the tuning knobs are shuffle
+  * partitioning + AQE rather than per-connection memory settings.
+  *
+  * Scale posture: AQE handles runtime partition coalescing and skew
+  * joins on a real cluster; `shufflePartitions` here is the local-mode
+  * default only (a cluster deployment sets it to ~2-3x total cores or
+  * relies on AQE coalescing from a higher initial value).
+  */
+object SparkEnv {
+
+  /** Sensible local default: match available cores, never Spark's 200. */
+  def defaultParallelism: Int =
+    sys.env.get("SPARK_GRAFT_CPUS").map(_.toInt)
+      .getOrElse(Runtime.getRuntime.availableProcessors())
+
+  def session(
+      appName: String = "graft",
+      cores: Int = defaultParallelism,
+      extraConf: Map[String, String] = Map.empty): SparkSession = {
+    val b = SparkSession.builder()
+      .master(s"local[$cores]")
+      .appName(appName)
+      .config("spark.sql.shuffle.partitions", cores.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.parquet.filterPushdown", "true")
+    extraConf.foreach { case (k, v) => b.config(k, v) }
+    val spark = b.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+}

@@ -1,0 +1,101 @@
+package graft.io
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/** Readers/writers + format dispatch for the graft engine.
+  *
+  * Re-expresses the reference's IO surface Spark-first:
+  *  - file-type dispatch by suffix (reference
+  *    `src/utils/file_utils.py:317-355`, `FileReader.get_file_type_and_reader`)
+  *  - chunked CSV scan (`src/data_transformation/data_transformer.py:121-123`)
+  *    — subsumed by Spark's partitioned scan, no chunk loop needed
+  *  - parquet/CSV sinks (`src/utils/file_utils.py:167-177`)
+  *  - directory scan by extension (`src/utils/file_utils.py:253-285`)
+  *  - parquet metadata probe (`src/data_transformation/data_transformer.py:86-119`)
+  *
+  * All readers return a lazy DataFrame; Catalyst pushes predicates and
+  * column pruning into the scan, which is the scale story: a 100 TB
+  * table is only ever read through its pruned columns + pushed filters.
+  */
+object Tables {
+
+  /** Test-corpus table names (driver-generated, see TESTDATA.md). */
+  val testTables: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** Read one named parquet table from a scale-factor directory. */
+  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** Format dispatch by file suffix — reference S8
+    * (`file_utils.py:317-355`). Unknown suffixes fail loudly, like the
+    * reference's ValueError.
+    */
+  def read(spark: SparkSession, path: String): DataFrame = {
+    val lower = path.toLowerCase
+    if (lower.endsWith(".parquet")) spark.read.parquet(path)
+    else if (lower.endsWith(".csv"))
+      spark.read.option("header", "true").option("inferSchema", "true").csv(path)
+    else if (lower.endsWith(".json")) spark.read.json(path)
+    else if (lower.endsWith(".txt"))
+      spark.read.option("header", "true").option("delimiter", "\t").csv(path)
+    else sys.error(s"Unsupported file type: $path")
+  }
+
+  /** Limited scan — reference S4 (`data_loader.py:174` nrows probe).
+    * Parquet/CSV readers stop early under limit; no full scan happens.
+    */
+  def readHead(spark: SparkSession, path: String, n: Int): DataFrame =
+    read(spark, path).limit(n)
+
+  /** Parquet sink — reference S10 (`file_utils.py:167-171`). */
+  def writeParquet(df: DataFrame, path: String,
+      mode: SaveMode = SaveMode.Overwrite,
+      compression: String = "snappy",
+      partitionBy: Seq[String] = Nil): Unit = {
+    val w = df.write.mode(mode).option("compression", compression)
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
+      .parquet(path)
+  }
+
+  /** CSV sink — reference S11/S12 (`data_transformer.py:23-84`,
+    * `file_utils.py:173-177`). The reference streams parquet→CSV in
+    * 100k-row chunks; Spark's distributed write replaces the chunk loop.
+    */
+  def writeCsv(df: DataFrame, path: String, header: Boolean = true,
+      mode: SaveMode = SaveMode.Overwrite): Unit =
+    df.write.mode(mode).option("header", header.toString).csv(path)
+
+  /** Directory scan by extension — reference S9
+    * (`file_utils.py:253-285`): walk tree, group files by parent folder.
+    */
+  def findFilesByExtension(root: String, ext: String): Map[String, Seq[String]] = {
+    import java.nio.file._
+    import scala.jdk.CollectionConverters._
+    val rootPath = Paths.get(root)
+    if (!Files.exists(rootPath)) Map.empty
+    else {
+      val suffix = if (ext.startsWith(".")) ext else "." + ext
+      Files.walk(rootPath).iterator().asScala
+        .filter(p => Files.isRegularFile(p) && p.toString.endsWith(suffix))
+        .toSeq
+        .groupBy(_.getParent.toString)
+        .map { case (k, v) => k -> v.map(_.toString).sorted }
+    }
+  }
+
+  /** Parquet metadata probe — reference S7 (`data_transformer.py:86-119`):
+    * row count, column count, schema. Row count comes from parquet
+    * footers (no data scan).
+    */
+  def describeParquet(spark: SparkSession, path: String): ParquetInfo = {
+    val df = spark.read.parquet(path)
+    ParquetInfo(path, df.count(), df.schema.fields.length,
+      df.schema.fields.map(f => f.name -> f.dataType.simpleString).toMap)
+  }
+
+  final case class ParquetInfo(
+      path: String, numRows: Long, numColumns: Int,
+      columns: Map[String, String])
+}

@@ -1,0 +1,89 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's DuckDB correctness gate.
+
+Usage: python3 tools/check.py <sfDir> <verifyOutDir>
+
+For each query result parquet in <verifyOutDir>/<name>/, runs the
+matching oracle SQL from oracle_sql.json in DuckDB over the sfDir
+parquet tables, sorts columns by name, and compares row-by-row hashes
+(mirroring the driver: columns sorted by name before hashing values).
+"""
+import sys, json, glob, os, math
+import duckdb
+import pyarrow.parquet as pq
+
+def norm(v):
+    if v is None:
+        return "NULL"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        # tolerate float noise: round to 6 significant-ish decimals
+        return f"{v:.6g}"
+    if isinstance(v, bytes):
+        return v.hex()
+    if isinstance(v, list):
+        return "[" + ",".join(norm(x) for x in v) + "]"
+    return str(v)
+
+def table_hash(rows, colnames):
+    order = sorted(range(len(colnames)), key=lambda i: colnames[i])
+    return [tuple(norm(r[i]) for i in order) for r in rows]
+
+def main():
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
+    con = duckdb.connect()
+    for t in ["region","nation","customer","supplier","part","orders",
+              "lineitem","events","documents","embeddings"]:
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    n_pass = n_fail = 0
+    for name in sorted(os.listdir(out_dir)):
+        d = os.path.join(out_dir, name)
+        if not os.path.isdir(d):
+            continue
+        files = glob.glob(os.path.join(d, "*.parquet"))
+        if not files:
+            print(f"MISSING  {name}: no parquet output")
+            n_fail += 1
+            continue
+        tbl = pq.read_table(files[0])
+        spark_cols = tbl.column_names
+        spark_rows = [tuple(r.values()) for r in tbl.to_pylist()]
+        if name not in oracle:
+            print(f"ROWSONLY {name}: {len(spark_rows)} rows (no oracle)")
+            continue
+        try:
+            res = con.execute(oracle[name])
+            duck_cols = [c[0] for c in res.description]
+            duck_rows = res.fetchall()
+        except Exception as e:
+            print(f"ORACLE-ERR {name}: {e}")
+            n_fail += 1
+            continue
+        if sorted(spark_cols) != sorted(duck_cols):
+            print(f"SCHEMA   {name}: spark={sorted(spark_cols)} duck={sorted(duck_cols)}")
+            n_fail += 1
+            continue
+        sh = table_hash(spark_rows, spark_cols)
+        dh = table_hash(duck_rows, duck_cols)
+        if len(sh) != len(dh):
+            print(f"ROWCOUNT {name}: spark={len(sh)} duck={len(dh)}")
+            n_fail += 1
+            continue
+        if sh != dh:
+            bad = next(i for i, (a, b) in enumerate(zip(sh, dh)) if a != b)
+            print(f"VALUES   {name}: first diff row {bad}:")
+            print(f"  spark: {sh[bad]}")
+            print(f"  duck : {dh[bad]}")
+            n_fail += 1
+            continue
+        print(f"PASS     {name}: {len(sh)} rows")
+        n_pass += 1
+    print(f"\n{n_pass} pass, {n_fail} fail")
+    sys.exit(1 if n_fail else 0)
+
+if __name__ == "__main__":
+    main()
