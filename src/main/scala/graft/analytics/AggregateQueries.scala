@@ -1,0 +1,167 @@
+package graft.analytics
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.io.Tables
+import RelationalQueries.{dsum, dsumSql}
+
+/** Aggregation coverage beyond the flagship grouped agg (SURVEY §2.4):
+  * profiling-style global aggregates, collect/string aggs, conditional
+  * ratios, CASE-gated math — the shapes the reference ran as SQL text
+  * (`postgres_manager.py` monitoring queries, `schema_analyzer.py`
+  * column stats) re-expressed for Catalyst.
+  */
+object AggregateQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.table(s, dir, name)
+
+  /** A3-A9: one-pass global profile of a table — count, distinct,
+    * null count, min/max, max string length. The reference needed one
+    * pandas pass per metric on a 10k sample (`schema_analyzer.py:77-88`);
+    * here it's a single partial-aggregated pass over ALL rows (no
+    * sampling needed at any scale — each metric is O(1) state).
+    */
+  val qProfileStats: QueryDef = QueryDef.sql(
+    "q_profile_stats",
+    """SELECT count(*) AS n_rows,
+      |  count(DISTINCT o_custkey) AS n_customers,
+      |  count(CASE WHEN o_orderstatus IS NULL THEN 1 END) AS n_null_status,
+      |  CAST(min(o_totalprice) AS DOUBLE) AS min_price,
+      |  CAST(max(o_totalprice) AS DOUBLE) AS max_price,
+      |  max(length(o_orderpriority)) AS max_prio_len,
+      |  strftime(min(o_orderdate), '%Y-%m-%d') AS min_date,
+      |  strftime(max(o_orderdate), '%Y-%m-%d') AS max_date
+      |FROM orders""".stripMargin,
+    doc = "single-pass column profile (SURVEY A3-A9)") { (s, dir) =>
+    t(s, dir, "orders").agg(
+      count(lit(1)).as("n_rows"),
+      countDistinct(col("o_custkey")).as("n_customers"),
+      count(when(col("o_orderstatus").isNull, 1)).as("n_null_status"),
+      min(col("o_totalprice")).cast("double").as("min_price"),
+      max(col("o_totalprice")).cast("double").as("max_price"),
+      max(length(col("o_orderpriority"))).as("max_prio_len"),
+      date_format(min(col("o_orderdate")), "yyyy-MM-dd").as("min_date"),
+      date_format(max(col("o_orderdate")), "yyyy-MM-dd").as("max_date"))
+  }
+
+  /** A11+A12: collect_set → sorted array and string_agg (reference
+    * `array_agg(DISTINCT …)` `data_loader.py:418`, `string_agg`
+    * `postgres_manager.py:1125`). sort_array makes the collected set
+    * deterministic; at scale collect stays safe because group
+    * cardinality (suppliers per nation) is bounded, not data-sized.
+    */
+  val qCollectAgg: QueryDef = QueryDef.sql(
+    "q_collect_agg",
+    """SELECT s_nationkey,
+      |  count(*) AS n_suppliers,
+      |  string_agg(s_name, ',' ORDER BY s_name) AS supplier_names
+      |FROM supplier GROUP BY s_nationkey
+      |ORDER BY s_nationkey""".stripMargin,
+    doc = "collect_set + string agg (SURVEY A11/A12)") { (s, dir) =>
+    t(s, dir, "supplier")
+      .groupBy(col("s_nationkey"))
+      .agg(
+        count(lit(1)).as("n_suppliers"),
+        concat_ws(",", sort_array(collect_list(col("s_name"))))
+          .as("supplier_names"))
+      .orderBy("s_nationkey")
+  }
+
+  /** A14: conditional-sum ratios (reference cache-hit ratios,
+    * `postgres_manager.py:896-920`): per event_type, the share of
+    * high-value events, NULLIF-guarded against empty denominators.
+    */
+  val qCondRatios: QueryDef = QueryDef.sql(
+    "q_cond_ratios",
+    s"""SELECT event_type,
+       |  ${dsumSql("CASE WHEN value > 50.0 THEN value ELSE 0 END")} AS high_sum,
+       |  ${dsumSql("value")} AS total_sum,
+       |  CAST(round(sum(CASE WHEN value > 50.0 THEN 1 ELSE 0 END)
+       |    / CAST(nullif(count(*), 0) AS DOUBLE), 6) AS DOUBLE) AS high_frac
+       |FROM events GROUP BY event_type
+       |ORDER BY event_type""".stripMargin,
+    doc = "conditional sum ratios with NULLIF guard (SURVEY A14)") { (s, dir) =>
+    t(s, dir, "events")
+      .groupBy(col("event_type"))
+      .agg(
+        dsum(when(col("value") > 50.0, col("value")).otherwise(lit(0)))
+          .as("high_sum"),
+        dsum(col("value")).as("total_sum"),
+        round(sum(when(col("value") > 50.0, 1).otherwise(0)) /
+          nullif(count(lit(1)), lit(0)).cast("double"), 6)
+          .cast("double").as("high_frac"))
+      .orderBy("event_type")
+  }
+
+  /** A15: CASE-gated aggregate arithmetic (reference bloat math,
+    * `postgres_manager.py:933-996`): per return flag, weighted
+    * discount math with guarded division + GREATEST/COALESCE.
+    */
+  val qCaseAgg: QueryDef = QueryDef.sql(
+    "q_case_agg",
+    s"""SELECT l_returnflag,
+       |  ${dsumSql("CASE WHEN l_discount > 0.05 THEN l_extendedprice * l_discount ELSE 0 END")} AS disc_value,
+       |  CAST(greatest(max(l_quantity), 50.0) AS DOUBLE) AS cap_qty,
+       |  CAST(round(coalesce(
+       |      sum(CASE WHEN l_discount > 0.05 THEN CAST(l_quantity AS DECIMAL(20,4)) END), 0)
+       |    / CAST(nullif(sum(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END), 0) AS DOUBLE),
+       |    6) AS DOUBLE) AS avg_disc_qty
+       |FROM lineitem GROUP BY l_returnflag
+       |ORDER BY l_returnflag""".stripMargin,
+    doc = "CASE-gated agg math (SURVEY A15)") { (s, dir) =>
+    t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        dsum(when(col("l_discount") > 0.05,
+          col("l_extendedprice") * col("l_discount")).otherwise(lit(0)))
+          .as("disc_value"),
+        greatest(max(col("l_quantity")), lit(50.0)).cast("double").as("cap_qty"),
+        round(coalesce(
+            sum(when(col("l_discount") > 0.05,
+              col("l_quantity").cast("decimal(20,4)"))), lit(0)) /
+          nullif(sum(when(col("l_discount") > 0.05, 1).otherwise(0)), lit(0))
+            .cast("double"), 6)
+          .cast("double").as("avg_disc_qty"))
+      .orderBy("l_returnflag")
+  }
+
+  /** A3: distinct pairs (reference `unique()` key-set extraction,
+    * `data_loader.py:351-356`). At scale this is the one shuffle the
+    * operator needs (hash on the pair).
+    */
+  val qDistinctPairs: QueryDef = QueryDef.sql(
+    "q_distinct_pairs",
+    """SELECT DISTINCT user_id, event_type FROM events
+      |WHERE event_type IN ('signup', 'purchase')
+      |ORDER BY user_id, event_type""".stripMargin,
+    doc = "distinct key pairs (SURVEY A3)") { (s, dir) =>
+    t(s, dir, "events")
+      .filter(col("event_type").isin("signup", "purchase"))
+      .select("user_id", "event_type")
+      .distinct()
+      .orderBy("user_id", "event_type")
+  }
+
+  /** O2: ORDER BY … NULLS LAST (reference `postgres_manager.py:994`)
+    * over a manufactured nullable column.
+    */
+  val qSortNullsLast: QueryDef = QueryDef.sql(
+    "q_sort_nulls_last",
+    """SELECT event_id,
+      |  CASE WHEN event_type = 'error' THEN NULL ELSE value END AS v
+      |FROM events WHERE event_id <= 200
+      |ORDER BY v DESC NULLS LAST, event_id""".stripMargin,
+    doc = "sort with NULLS LAST (SURVEY O2)") { (s, dir) =>
+    t(s, dir, "events")
+      .filter(col("event_id") <= 200)
+      .select(col("event_id"),
+        when(col("event_type") === "error", lit(null)).otherwise(col("value"))
+          .as("v"))
+      .orderBy(col("v").desc_nulls_last, col("event_id"))
+  }
+
+  val all: Seq[QueryDef] = Seq(
+    qProfileStats, qCollectAgg, qCondRatios, qCaseAgg, qDistinctPairs,
+    qSortNullsLast)
+}

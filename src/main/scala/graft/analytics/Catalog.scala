@@ -5,7 +5,7 @@ package graft.analytics
   */
 object Catalog {
   def all: Seq[QueryDef] =
-    RelationalQueries.all
+    RelationalQueries.all ++ AggregateQueries.all ++ EventQueries.all
 
   lazy val byName: Map[String, QueryDef] =
     all.map(q => q.name -> q).toMap

@@ -1,0 +1,197 @@
+package graft.analytics
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.io.Tables
+import RelationalQueries.{dsum, dsumSql}
+
+/** Time-series coverage over the `events` table — the domain the
+  * reference's data model serves (long-format timestamped readings,
+  * SURVEY §1.1) plus the windowing surface its empty analytics package
+  * implies (SURVEY §2.5, §2.10).
+  *
+  * Timestamp outputs are formatted to strings in both engines: Spark
+  * emits UTC-adjusted parquet timestamps while DuckDB emits naive
+  * ones, so raw timestamp columns would hash-differ spuriously.
+  */
+object EventQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.table(s, dir, name)
+
+  /** Tumbling event-time window via Spark's `window()` — the same
+    * operator Structured Streaming uses, so this plan is the batch
+    * twin of the streaming ingest path (SURVEY §2.10). Oracle uses
+    * date_trunc (aligned 1-hour tumble ≡ hour truncation).
+    */
+  val qTimeWindow: QueryDef = QueryDef.sql(
+    "q_time_window",
+    s"""SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
+       |  count(*) AS n_events,
+       |  ${dsumSql("value")} AS sum_value
+       |FROM events WHERE event_type = 'purchase'
+       |GROUP BY 1 ORDER BY 1""".stripMargin,
+    doc = "tumbling event-time window agg (SURVEY §2.10)") { (s, dir) =>
+    t(s, dir, "events")
+      .filter(col("event_type") === "purchase")
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("hour_start"),
+        col("n_events"), col("sum_value"))
+      .orderBy("hour_start")
+  }
+
+  /** W1-shape: ordered lag within a partition (reference monotonicity
+    * check, `schema_analyzer.py:88`) — per-user inter-event gaps in
+    * microseconds. Epoch-µs longs sum exactly, so avg = exact-long /
+    * count is the same double in both engines.
+    */
+  val qLagGaps: QueryDef = QueryDef.sql(
+    "q_lag_gaps",
+    """SELECT user_id, count(*) AS n_gaps,
+      |  CAST(sum(gap_us) AS DOUBLE) / count(*) AS avg_gap_us
+      |FROM (
+      |  SELECT user_id,
+      |    epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+      |  FROM events)
+      |WHERE gap_us IS NOT NULL
+      |GROUP BY user_id ORDER BY user_id""".stripMargin,
+    doc = "per-entity ordered lag gaps (SURVEY W1)") { (s, dir) =>
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    t(s, dir, "events")
+      .withColumn("gap_us",
+        unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(w))
+      .filter(col("gap_us").isNotNull)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_gaps"),
+        (sum(col("gap_us")).cast("double") / count(lit(1))).as("avg_gap_us"))
+      .orderBy("user_id")
+  }
+
+  /** J1: the reference's flagship overlap semi-join
+    * (`data_loader.py:377-429`): per-user purchase time-bounds widened
+    * ±1 hour, then EXISTS against the events table on user + range.
+    * Spark plans the equi key (user_id) as the hash join; the range is
+    * the post-join filter — same shape Postgres picked for the
+    * reference. Bounds side is aggregate-sized → broadcast.
+    */
+  val qOverlapSemi: QueryDef = QueryDef.sql(
+    "q_overlap_semi",
+    """SELECT e.event_id, e.user_id, e.event_type FROM events e
+      |WHERE EXISTS (
+      |  SELECT 1 FROM (
+      |    SELECT user_id, min(ts) AS lo, max(ts) AS hi FROM events
+      |    WHERE event_type = 'purchase' GROUP BY user_id) b
+      |  WHERE b.user_id = e.user_id
+      |    AND e.ts BETWEEN b.lo - INTERVAL 1 HOUR AND b.hi + INTERVAL 1 HOUR)
+      |  AND e.event_type = 'error'
+      |ORDER BY e.event_id""".stripMargin,
+    doc = "time-range + entity overlap semi-join (SURVEY J1)") { (s, dir) =>
+    val e = t(s, dir, "events")
+    val bounds = e.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id").as("b_user"))
+      .agg(min(col("ts")).as("lo"), max(col("ts")).as("hi"))
+    e.filter(col("event_type") === "error")
+      .join(broadcast(bounds),
+        col("user_id") === col("b_user") &&
+          col("ts") >= col("lo") - expr("INTERVAL 1 HOUR") &&
+          col("ts") <= col("hi") + expr("INTERVAL 1 HOUR"),
+        "left_semi")
+      .select("event_id", "user_id", "event_type")
+      .orderBy("event_id")
+  }
+
+  /** Scalar-function sweep (SURVEY §2.8): string, date, math,
+    * conditional, and JSON extraction in one projection. JSON comes
+    * out via get_json_object (Spark) / regexp (oracle) to keep the
+    * oracle extension-free; props shape is {"k": <int>}.
+    */
+  val qScalarFuncs: QueryDef = QueryDef.sql(
+    "q_scalar_funcs",
+    """SELECT event_id,
+      |  upper(event_type) AS type_upper,
+      |  length(event_type) AS type_len,
+      |  substr(event_type, 1, 3) AS type_pfx,
+      |  concat(event_type, '#', CAST(user_id AS VARCHAR)) AS type_user,
+      |  strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+      |  CAST(round(value * 1.1, 2) AS DOUBLE) AS value_up,
+      |  CAST(greatest(value, 50.0) AS DOUBLE) AS value_floor50,
+      |  CASE WHEN value > 50.0 THEN 'high' ELSE 'low' END AS band,
+      |  CAST(regexp_extract(props, '[0-9]+', 0) AS BIGINT) AS prop_k
+      |FROM events
+      |WHERE event_type LIKE 's%' AND event_id <= 500
+      |ORDER BY event_id""".stripMargin,
+    doc = "scalar function sweep: string/date/math/cond/json (SURVEY §2.8)") { (s, dir) =>
+    t(s, dir, "events")
+      .filter(col("event_type").like("s%") && col("event_id") <= 500)
+      .select(
+        col("event_id"),
+        upper(col("event_type")).as("type_upper"),
+        length(col("event_type")).as("type_len"),
+        substring(col("event_type"), 1, 3).as("type_pfx"),
+        concat(col("event_type"), lit("#"), col("user_id").cast("string"))
+          .as("type_user"),
+        date_format(date_trunc("day", col("ts")), "yyyy-MM-dd").as("day"),
+        round(col("value") * 1.1, 2).cast("double").as("value_up"),
+        greatest(col("value"), lit(50.0)).cast("double").as("value_floor50"),
+        when(col("value") > 50.0, "high").otherwise("low").as("band"),
+        get_json_object(col("props"), "$.k").cast("long").as("prop_k"))
+      .orderBy("event_id")
+  }
+
+  /** to_json(struct(...)) — reference `json_build_object(...)::text`
+    * (`data_loader.py:400-425`): pack per-type stats into a JSON
+    * payload string. Oracle builds the same string by hand (DuckDB's
+    * json extension may not be loadable offline; concat is exact).
+    */
+  val qJsonBuild: QueryDef = QueryDef.sql(
+    "q_json_build",
+    """SELECT event_type,
+      |  concat('{"event_type":"', event_type, '","n":', CAST(count(*) AS VARCHAR), '}') AS payload
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    doc = "JSON payload construction (SURVEY §2.8 json)") { (s, dir) =>
+    t(s, dir, "events")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("event_type"),
+        to_json(struct(col("event_type"), col("n"))).as("payload"))
+      .orderBy("event_type")
+  }
+
+  /** Sessionization via gap-based session ids (beyond-reference
+    * streaming-adjacent surface): a new session starts after a >30min
+    * gap; count sessions per user. One window shuffle on user_id.
+    */
+  val qSessionize: QueryDef = QueryDef.sql(
+    "q_sessionize",
+    """SELECT user_id, count(DISTINCT session_id) AS n_sessions
+      |FROM (
+      |  SELECT user_id,
+      |    sum(CASE WHEN prev_us IS NULL OR epoch_us(ts) - prev_us > 1800000000
+      |             THEN 1 ELSE 0 END)
+      |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      |  FROM (
+      |    SELECT user_id, ts, event_id,
+      |      lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+      |    FROM events))
+      |GROUP BY user_id ORDER BY user_id""".stripMargin,
+    doc = "gap-based sessionization (streaming-adjacent)") { (s, dir) =>
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    t(s, dir, "events")
+      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_us").isNull ||
+          unix_micros(col("ts")) - col("prev_us") > 1800000000L, 1).otherwise(0))
+      .withColumn("session_id",
+        sum(col("new_session")).over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"))
+      .agg(countDistinct(col("session_id")).as("n_sessions"))
+      .orderBy("user_id")
+  }
+
+  val all: Seq[QueryDef] = Seq(
+    qTimeWindow, qLagGaps, qOverlapSemi, qScalarFuncs, qJsonBuild, qSessionize)
+}

@@ -132,18 +132,189 @@ object RelationalQueries {
   /** J8: anti join (reference `NOT IN` schema diff,
     * `postgres_manager.py:1066-1075`). left_anti avoids materializing
     * the subquery; broadcast-able when the right side is bounded.
+    * NOT IN == left_anti here because o_custkey is non-null (the NULL
+    * divergence the reference's catalog queries also sidestep).
     */
   val qJoinAnti: QueryDef = QueryDef.sql(
     "q_join_anti",
     """SELECT c_custkey, c_name FROM customer
-      |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+      |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_totalprice > 450000.0)
       |ORDER BY c_custkey""".stripMargin,
     doc = "anti join (SURVEY J8)") { (s, dir) =>
     t(s, dir, "customer")
-      .join(t(s, dir, "orders").select(col("o_custkey").as("c_custkey")),
+      .join(t(s, dir, "orders").filter(col("o_totalprice") > 450000.0)
+          .select(col("o_custkey").as("c_custkey")),
         Seq("c_custkey"), "left_anti")
       .select("c_custkey", "c_name")
       .orderBy("c_custkey")
+  }
+
+  /** J6: LEFT OUTER join (reference `pg_stats LEFT OUTER JOIN`,
+    * `postgres_manager.py:949-968`). The filtered right side produces
+    * real null rows. Broadcast: the 25-row dim never shuffles.
+    */
+  val qJoinLeftOuter: QueryDef = QueryDef.sql(
+    "q_join_left_outer",
+    """SELECT n_nationkey, n_name, coalesce(cnt, 0) AS n_rich_suppliers
+      |FROM nation LEFT OUTER JOIN
+      |  (SELECT s_nationkey, count(*) AS cnt FROM supplier
+      |   WHERE s_acctbal > 5000.0 GROUP BY s_nationkey) s
+      |ON n_nationkey = s_nationkey
+      |ORDER BY n_nationkey""".stripMargin,
+    doc = "left outer join with null fill (SURVEY J6)") { (s, dir) =>
+    val n = t(s, dir, "nation")
+    val sup = t(s, dir, "supplier").filter(col("s_acctbal") > 5000.0)
+      .groupBy(col("s_nationkey")).agg(count(lit(1)).as("cnt"))
+    n.join(sup, n("n_nationkey") === sup("s_nationkey"), "left_outer")
+      .select(col("n_nationkey"), col("n_name"),
+        coalesce(col("cnt"), lit(0L)).as("n_rich_suppliers"))
+      .orderBy("n_nationkey")
+  }
+
+  /** J3: cross join with a broadcast 1-row bounds CTE (reference
+    * `FROM raw r, file_bounds fb`, `data_loader.py:378-390`). The
+    * scalar bounds stay a BroadcastNestedLoopJoin — zero shuffle of
+    * the big side at any scale.
+    */
+  val qJoinCrossBounds: QueryDef = QueryDef.sql(
+    "q_join_cross_bounds",
+    """SELECT o_orderkey,
+      |  CAST(round((o_totalprice - lo) / (hi - lo), 6) AS DOUBLE) AS price_pos
+      |FROM orders CROSS JOIN
+      |  (SELECT min(o_totalprice) AS lo, max(o_totalprice) AS hi FROM orders) b
+      |WHERE o_orderkey <= 200
+      |ORDER BY o_orderkey""".stripMargin,
+    doc = "cross join vs broadcast scalar bounds (SURVEY J3)") { (s, dir) =>
+    val o = t(s, dir, "orders")
+    val bounds = o.agg(min(col("o_totalprice")).as("lo"),
+      max(col("o_totalprice")).as("hi"))
+    o.filter(col("o_orderkey") <= 200)
+      .crossJoin(broadcast(bounds))
+      .select(col("o_orderkey"),
+        round((col("o_totalprice") - col("lo")) / (col("hi") - col("lo")), 6)
+          .cast("double").as("price_pos"))
+      .orderBy("o_orderkey")
+  }
+
+  /** J5: self theta-join (reference lock-graph self-join,
+    * `postgres_manager.py:849-876`): pairs of suppliers in the same
+    * nation, deduped by key inequality. Equi component (nationkey)
+    * keeps it a hash join; the inequality is a post-join filter.
+    */
+  val qJoinTheta: QueryDef = QueryDef.sql(
+    "q_join_theta",
+    """SELECT a.s_suppkey AS sk1, b.s_suppkey AS sk2, a.s_nationkey AS nk
+      |FROM supplier a JOIN supplier b
+      |  ON a.s_nationkey = b.s_nationkey AND a.s_suppkey < b.s_suppkey
+      |ORDER BY sk1, sk2""".stripMargin,
+    doc = "self theta join, equi + inequality (SURVEY J5)") { (s, dir) =>
+    val a = t(s, dir, "supplier").select(
+      col("s_suppkey").as("sk1"), col("s_nationkey").as("nk"))
+    val b = t(s, dir, "supplier").select(
+      col("s_suppkey").as("sk2"), col("s_nationkey").as("nk2"))
+    a.join(b, a("nk") === b("nk2") && a("sk1") < b("sk2"))
+      .select("sk1", "sk2", "nk")
+      .orderBy("sk1", "sk2")
+  }
+
+  /** J5/P10: null-safe equality join (`IS NOT DISTINCT FROM`,
+    * `postgres_manager.py:863-871`). nullif() manufactures NULL keys;
+    * `<=>` matches NULL=NULL where `=` would drop those rows.
+    */
+  val qJoinNullSafe: QueryDef = QueryDef.sql(
+    "q_join_null_safe",
+    """SELECT a.s_suppkey AS sk1, b.s_suppkey AS sk2
+      |FROM (SELECT s_suppkey, nullif(s_nationkey, 5) AS nk FROM supplier) a
+      |JOIN (SELECT s_suppkey, nullif(s_nationkey, 5) AS nk FROM supplier) b
+      |  ON a.nk IS NOT DISTINCT FROM b.nk AND a.s_suppkey < b.s_suppkey
+      |ORDER BY sk1, sk2""".stripMargin,
+    doc = "null-safe equality join (SURVEY J5/P10)") { (s, dir) =>
+    val a = t(s, dir, "supplier").select(col("s_suppkey").as("sk1"),
+      nullif(col("s_nationkey"), lit(5)).as("nk"))
+    val b = t(s, dir, "supplier").select(col("s_suppkey").as("sk2"),
+      nullif(col("s_nationkey"), lit(5)).as("nk2"))
+    a.join(b, a("nk") <=> b("nk2") && a("sk1") < b("sk2"))
+      .select("sk1", "sk2")
+      .orderBy("sk1", "sk2")
+  }
+
+  /** J7: JOIN USING (reference `postgres_manager.py:1083-1085`) —
+    * documents⋈embeddings on the shared id.
+    */
+  val qJoinUsing: QueryDef = QueryDef.sql(
+    "q_join_using",
+    """SELECT doc_id, lang, label FROM documents
+      |JOIN (SELECT vec_id AS doc_id, label FROM embeddings) e USING (doc_id)
+      |ORDER BY doc_id""".stripMargin,
+    doc = "join USING shared column (SURVEY J7)") { (s, dir) =>
+    t(s, dir, "documents")
+      .join(t(s, dir, "embeddings")
+        .select(col("vec_id").as("doc_id"), col("label")), Seq("doc_id"))
+      .select("doc_id", "lang", "label")
+      .orderBy("doc_id")
+  }
+
+  // ---------------------------------------------------------- set ops
+
+  /** U1: 3-branch UNION ALL (reference schema-diff,
+    * `postgres_manager.py:1059-1086`) — unionByName keeps columns
+    * aligned by name, not position.
+    */
+  val qUnionAll: QueryDef = QueryDef.sql(
+    "q_union_all",
+    """SELECT 'customer' AS src, count(*) AS n FROM customer
+      |UNION ALL SELECT 'supplier' AS src, count(*) AS n FROM supplier
+      |UNION ALL SELECT 'nation' AS src, count(*) AS n FROM nation
+      |ORDER BY src""".stripMargin,
+    doc = "3-branch UNION ALL (SURVEY U1)") { (s, dir) =>
+    val c = t(s, dir, "customer").agg(count(lit(1)).as("n"))
+      .select(lit("customer").as("src"), col("n"))
+    val sup = t(s, dir, "supplier").agg(count(lit(1)).as("n"))
+      .select(lit("supplier").as("src"), col("n"))
+    val n = t(s, dir, "nation").agg(count(lit(1)).as("n"))
+      .select(lit("nation").as("src"), col("n"))
+    c.unionByName(sup).unionByName(n).orderBy("src")
+  }
+
+  /** INTERSECT/EXCEPT (beyond-reference set-op surface; the reference
+    * only needed anti-join J8): user ids that clicked but never
+    * purchased.
+    */
+  val qExcept: QueryDef = QueryDef.sql(
+    "q_except",
+    """SELECT user_id FROM events WHERE event_type = 'click'
+      |EXCEPT SELECT user_id FROM events WHERE event_type = 'purchase'
+      |ORDER BY user_id""".stripMargin,
+    doc = "EXCEPT set op") { (s, dir) =>
+    val e = t(s, dir, "events")
+    e.filter(col("event_type") === "click").select("user_id")
+      .except(e.filter(col("event_type") === "purchase").select("user_id"))
+      .orderBy("user_id")
+  }
+
+  /** ROLLUP grouping sets (beyond-reference analytics surface):
+    * revenue by region with subtotals + grand total. Explicit NULLS
+    * FIRST keeps Spark/DuckDB sort semantics identical on the
+    * rollup's null group rows.
+    */
+  val qRollup: QueryDef = QueryDef.sql(
+    "q_rollup",
+    """SELECT r_name, n_name,
+      |  CAST(sum(CAST(s_acctbal AS DECIMAL(20,4))) AS DOUBLE) AS total_bal
+      |FROM region
+      |JOIN nation ON r_regionkey = n_regionkey
+      |JOIN supplier ON n_nationkey = s_nationkey
+      |GROUP BY ROLLUP (r_name, n_name)
+      |ORDER BY r_name NULLS FIRST, n_name NULLS FIRST""".stripMargin,
+    doc = "ROLLUP subtotals") { (s, dir) =>
+    val r = t(s, dir, "region")
+    val n = t(s, dir, "nation")
+    val sup = t(s, dir, "supplier")
+    r.join(n, r("r_regionkey") === n("n_regionkey"))
+      .join(sup, n("n_nationkey") === sup("s_nationkey"))
+      .rollup(col("r_name"), col("n_name"))
+      .agg(dsum(col("s_acctbal")).as("total_bal"))
+      .orderBy(col("r_name").asc_nulls_first, col("n_name").asc_nulls_first)
   }
 
   /** J1/J2: existence semi-join — the reference's overlap check shape
@@ -203,5 +374,6 @@ object RelationalQueries {
 
   val all: Seq[QueryDef] = Seq(
     q1Agg, qScanProject, qFilterIn, qJoinInner, qJoinAnti, qJoinSemi,
-    qTopK, qWindowRank)
+    qJoinLeftOuter, qJoinCrossBounds, qJoinTheta, qJoinNullSafe, qJoinUsing,
+    qUnionAll, qExcept, qRollup, qTopK, qWindowRank)
 }

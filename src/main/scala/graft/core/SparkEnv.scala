@@ -35,6 +35,9 @@ object SparkEnv {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.parquet.filterPushdown", "true")
+      // TIMESTAMP(NANOS) parquet columns surface as longs; Tables.readParquet
+      // rebuilds them as µs timestamps from footer metadata.
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     extraConf.foreach { case (k, v) => b.config(k, v) }
     val spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

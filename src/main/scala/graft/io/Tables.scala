@@ -26,7 +26,54 @@ object Tables {
 
   /** Read one named parquet table from a scale-factor directory. */
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    readParquet(spark, s"$dir/$name.parquet")
+
+  /** Parquet read that tolerates TIMESTAMP(NANOS) columns, which the
+    * vectorized reader rejects outright (SPARK-40819 made them readable
+    * only as raw longs via `spark.sql.legacy.parquet.nanosAsLong`).
+    * We read nanos as long, discover which columns were nano-stamped
+    * from the file footer, and rebuild them as µs timestamps. The
+    * ns→µs truncation matches what any µs-resolution consumer (DuckDB
+    * included) observes.
+    */
+  def readParquet(spark: SparkSession, path: String): DataFrame = {
+    val df = spark.read.parquet(path)
+    val nsCols = nanoTimestampColumns(spark, path)
+    nsCols.foldLeft(df) { (d, c) =>
+      d.withColumn(c, org.apache.spark.sql.functions.timestamp_micros(
+        (org.apache.spark.sql.functions.col(c) / 1000L).cast("long")))
+    }
+  }
+
+  /** Columns annotated TIMESTAMP(NANOS) in the parquet footer of the
+    * first file under `path`. Footer-only read — no data scan.
+    */
+  def nanoTimestampColumns(spark: SparkSession, path: String): Seq[String] = {
+    import org.apache.hadoop.fs.Path
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import org.apache.parquet.schema.LogicalTypeAnnotation
+    import org.apache.parquet.schema.LogicalTypeAnnotation.TimeUnit
+    import scala.jdk.CollectionConverters._
+    val conf = spark.sparkContext.hadoopConfiguration
+    val p = new Path(path)
+    val fs = p.getFileSystem(conf)
+    val firstFile =
+      if (fs.getFileStatus(p).isFile) p
+      else fs.listStatus(p).filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+        .sortBy(_.getPath.getName).headOption.map(_.getPath).getOrElse(return Nil)
+    val reader = ParquetFileReader.open(HadoopInputFile.fromPath(firstFile, conf))
+    try {
+      reader.getFooter.getFileMetaData.getSchema.getFields.asScala.collect {
+        case f if f.isPrimitive &&
+          (f.getLogicalTypeAnnotation match {
+            case ts: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+              ts.getUnit == TimeUnit.NANOS
+            case _ => false
+          }) => f.getName
+      }.toSeq
+    } finally reader.close()
+  }
 
   /** Format dispatch by file suffix — reference S8
     * (`file_utils.py:317-355`). Unknown suffixes fail loudly, like the
