@@ -5,7 +5,8 @@ package graft.analytics
   */
 object Catalog {
   def all: Seq[QueryDef] =
-    RelationalQueries.all ++ AggregateQueries.all ++ EventQueries.all
+    RelationalQueries.all ++ AggregateQueries.all ++ EventQueries.all ++
+      TransformQueries.all
 
   lazy val byName: Map[String, QueryDef] =
     all.map(q => q.name -> q).toMap

@@ -1,0 +1,114 @@
+package graft.analytics
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.io.Tables
+import graft.transform.Transforms
+import graft.profile.Sampling
+
+/** Oracle-verified queries driving the transform + sampling MODULES
+  * (not reimplementations) over the driver testdata, so the
+  * correctness gate covers module code paths end-to-end.
+  */
+object TransformQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.table(s, dir, name)
+
+  /** Melt (wide→long unpivot) — the reference's signature transform
+    * (`data_transformer.py:169-211`) applied to lineitem measures.
+    * UNPIVOT is a Generate: zero shuffle, local row expansion.
+    */
+  val qMelt: QueryDef = QueryDef.sql(
+    "q_melt",
+    """SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric, l_quantity AS val FROM lineitem WHERE l_orderkey <= 1000
+      |UNION ALL SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice FROM lineitem WHERE l_orderkey <= 1000
+      |UNION ALL SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem WHERE l_orderkey <= 1000
+      |ORDER BY l_orderkey, l_linenumber, metric""".stripMargin,
+    doc = "melt/unpivot wide->long (SURVEY §2.11 melt)") { (s, dir) =>
+    val li = t(s, dir, "lineitem").filter(col("l_orderkey") <= 1000)
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice",
+        "l_discount")
+    Transforms.melt(li, idCols = Seq("l_orderkey", "l_linenumber"),
+      variableName = "metric", valueName = "val")
+      .orderBy("l_orderkey", "l_linenumber", "metric")
+  }
+
+  /** Global min-max normalize (`data_transformer.py:139-167`, dataset-
+    * level semantics per SURVEY §7.4.2): scalar-agg bounds broadcast
+    * over the scan — the big side never shuffles.
+    */
+  val qNormalizeGlobal: QueryDef = QueryDef.sql(
+    "q_normalize_global",
+    """SELECT o_orderkey,
+      |  CAST(round((o_totalprice - lo) / (hi - lo), 6) AS DOUBLE) AS normalized
+      |FROM orders CROSS JOIN
+      |  (SELECT min(o_totalprice) AS lo, max(o_totalprice) AS hi FROM orders) b
+      |WHERE o_orderkey <= 500
+      |ORDER BY o_orderkey""".stripMargin,
+    doc = "global min-max normalize (SURVEY A2)") { (s, dir) =>
+    Transforms.normalizeGlobal(t(s, dir, "orders"), "o_totalprice")
+      .filter(col("o_orderkey") <= 500)
+      .select(col("o_orderkey"),
+        round(col("normalized"), 6).cast("double").as("normalized"))
+      .orderBy("o_orderkey")
+  }
+
+  /** Per-group min-max normalize — one window shuffle on the group
+    * key (SURVEY A2 per-group variant).
+    */
+  val qNormalizeGroup: QueryDef = QueryDef.sql(
+    "q_normalize_group",
+    """SELECT c_custkey,
+      |  CAST(round((c_acctbal - min(c_acctbal) OVER (PARTITION BY c_mktsegment))
+      |    / (max(c_acctbal) OVER (PARTITION BY c_mktsegment)
+      |       - min(c_acctbal) OVER (PARTITION BY c_mktsegment)), 6) AS DOUBLE) AS normalized
+      |FROM customer
+      |ORDER BY c_custkey""".stripMargin,
+    doc = "per-group min-max normalize (SURVEY A2)") { (s, dir) =>
+    Transforms.normalizePerGroup(t(s, dir, "customer"), "c_acctbal",
+        Seq("c_mktsegment"))
+      .select(col("c_custkey"),
+        round(col("normalized"), 6).cast("double").as("normalized"))
+      .orderBy("c_custkey")
+  }
+
+  /** Systematic sampling (SURVEY SA2): every ⌊total/size⌋-th row in
+    * key order. cappedSize(100, 15000) = 75 → stride 200.
+    */
+  val qSampleSystematic: QueryDef = QueryDef.sql(
+    "q_sample_systematic",
+    """SELECT o_orderkey FROM (
+      |  SELECT o_orderkey, row_number() OVER (ORDER BY o_orderkey) AS rn
+      |  FROM orders)
+      |WHERE (rn - 1) % 200 = 0
+      |ORDER BY o_orderkey""".stripMargin,
+    doc = "systematic sampling stride (SURVEY SA2)") { (s, dir) =>
+    new Sampling.SystematicStrategy("o_orderkey")
+      .sample(t(s, dir, "orders"), 100)
+      .select("o_orderkey")
+      .orderBy("o_orderkey")
+  }
+
+  /** Stratified fixed-n sampling (SURVEY SA3), deterministic variant:
+    * lowest-keyed n rows per stratum via one partitioned window.
+    */
+  val qSampleStratified: QueryDef = QueryDef.sql(
+    "q_sample_stratified",
+    """SELECT lang, doc_id FROM (
+      |  SELECT lang, doc_id,
+      |    row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+      |  FROM documents)
+      |WHERE rn <= 3
+      |ORDER BY lang, doc_id""".stripMargin,
+    doc = "stratified fixed-n sampling (SURVEY SA3)") { (s, dir) =>
+    new Sampling.StratifiedStrategy("lang", "doc_id")
+      .sample(t(s, dir, "documents"), 3)
+      .select("lang", "doc_id")
+      .orderBy("lang", "doc_id")
+  }
+
+  val all: Seq[QueryDef] = Seq(
+    qMelt, qNormalizeGlobal, qNormalizeGroup, qSampleSystematic,
+    qSampleStratified)
+}

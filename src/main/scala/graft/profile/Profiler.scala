@@ -1,0 +1,145 @@
+package graft.profile
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Per-column statistics record — the Spark shape of the reference's
+  * `BaseColumnInfo` stats (`base_scema_analyzer.py:7-16`,
+  * `schema_analyzer.py:74-90`).
+  */
+final case class ColumnProfile(
+    name: String,
+    sparkType: DataType,
+    count: Long,
+    nullCount: Long,
+    distinctCount: Long,
+    minNumeric: Option[Double],
+    maxNumeric: Option[Double],
+    allIntegral: Boolean,
+    maxDecimalPlaces: Int,
+    maxStrLen: Int,
+    sampleValues: Seq[String]) {
+  /** `schema_analyzer.py:80-81` unique ratio. */
+  def uniqueRatio: Double =
+    if (count == 0) 0.0 else distinctCount.toDouble / count
+}
+
+/** Single-pass column profiler.
+  *
+  * The reference computes each stat with a separate pandas call over a
+  * 10k sample (`schema_analyzer.py:74-90`, `type_inference_engine.py:
+  * 85-131`). Here every metric for every column is one composed
+  * aggregate expression, so the whole table profile is ONE distributed
+  * scan + ONE partial/final aggregation — no sampling needed at any
+  * scale (each metric carries O(1) state; countDistinct is the
+  * exception and can be switched to HLL via `exact = false` for
+  * 100 TB profiling runs).
+  */
+object Profiler {
+
+  /** Max observed decimal places of a numeric column's string form —
+    * the reference's `len(str(float(x)).split('.')[-1])` analysis
+    * (`type_inference_engine.py:103-107`). `.0` floats count as 0.
+    */
+  private def decimalPlacesExpr(c: Column): Column = {
+    val frac = regexp_extract(c.cast("string"), "\\.(\\d+)$", 1)
+    when(frac === "" || frac === "0", 0).otherwise(length(frac))
+  }
+
+  private def isNumeric(dt: DataType): Boolean = dt.isInstanceOf[NumericType]
+
+  def profile(df: DataFrame, exact: Boolean = true,
+      nSampleValues: Int = 5): Seq[ColumnProfile] = {
+    val fields = df.schema.fields.toSeq
+    val aggs: Seq[Column] = fields.flatMap { f =>
+      val c = col(f.name)
+      val distinctAgg =
+        if (exact) countDistinct(c)
+        else approx_count_distinct(c)
+      // `schema_analyzer.py:77`: count is len(data) — total rows, nulls included
+      val base = Seq(
+        count(lit(1)).as(s"${f.name}__cnt"),
+        count(when(c.isNull, 1)).as(s"${f.name}__nulls"),
+        distinctAgg.as(s"${f.name}__distinct"))
+      val numeric =
+        if (isNumeric(f.dataType)) Seq(
+          min(c.cast("double")).as(s"${f.name}__min"),
+          max(c.cast("double")).as(s"${f.name}__max"),
+          // bool_and over "is this value integral" — `:87-91`
+          coalesce(expr(s"bool_and(`${f.name}` = floor(`${f.name}`))"), lit(true))
+            .as(s"${f.name}__integral"),
+          max(decimalPlacesExpr(c)).as(s"${f.name}__decplaces"))
+        else Nil
+      val str =
+        if (!isNumeric(f.dataType)) Seq(
+          max(length(c.cast("string"))).as(s"${f.name}__maxlen"))
+        else Nil
+      base ++ numeric ++ str
+    }
+    val row: Row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+    def g[T](n: String): T = row.getAs[T](n)
+    def gOpt(n: String): Option[Double] =
+      if (row.isNullAt(row.fieldIndex(n))) None else Some(row.getAs[Double](n))
+
+    // top-N sample values per column (`schema_analyzer.py:47`):
+    // one extra limited job per column over the pruned scan.
+    fields.map { f =>
+      val numeric = isNumeric(f.dataType)
+      val samples = df.select(col(f.name).cast("string"))
+        .na.drop().distinct().limit(nSampleValues)
+        .collect().map(_.getString(0)).toSeq
+      ColumnProfile(
+        name = f.name,
+        sparkType = f.dataType,
+        count = g[Long](s"${f.name}__cnt"),
+        nullCount = g[Long](s"${f.name}__nulls"),
+        distinctCount = g[Long](s"${f.name}__distinct"),
+        minNumeric = if (numeric) gOpt(s"${f.name}__min") else None,
+        maxNumeric = if (numeric) gOpt(s"${f.name}__max") else None,
+        allIntegral = if (numeric) g[Boolean](s"${f.name}__integral") else false,
+        maxDecimalPlaces =
+          if (numeric) Option(row.getAs[Any](s"${f.name}__decplaces"))
+            .map(_.toString.toInt).getOrElse(0)
+          else 0,
+        maxStrLen =
+          if (!numeric) Option(row.getAs[Any](s"${f.name}__maxlen"))
+            .map(_.toString.toInt).getOrElse(0)
+          else 0,
+        sampleValues = samples)
+    }
+  }
+
+  /** Ordered-column monotonicity (`schema_analyzer.py:88`) — requires
+    * an explicit order column because Spark has no row order (SURVEY
+    * §7.4.3). One window pass; nondecreasing/nonincreasing like
+    * pandas `is_monotonic_increasing or is_monotonic_decreasing`.
+    */
+  def isMonotonic(df: DataFrame, valueCol: String, orderCol: String): Boolean = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy(col(orderCol))
+    val diffs = df
+      .select(col(valueCol).cast("double").as("v"), col(orderCol))
+      .withColumn("prev", lag(col("v"), 1).over(w))
+      .filter(col("prev").isNotNull)
+      .agg(
+        coalesce(expr("bool_and(v >= prev)"), lit(true)).as("nondec"),
+        coalesce(expr("bool_and(v <= prev)"), lit(true)).as("noninc"))
+      .collect()(0)
+    diffs.getAs[Boolean]("nondec") || diffs.getAs[Boolean]("noninc")
+  }
+
+  /** Profile → inferred SQL schema, the `analyze_schema` composition
+    * (`schema_analyzer.py:24-53`): profile each column, infer its SQL
+    * type, sanitize names, emit DDL columns.
+    */
+  def analyzeSchema(df: DataFrame, exact: Boolean = true)
+      : Seq[(ColumnProfile, graft.schema.DdlGenerator.ColumnDef)] = {
+    profile(df, exact).map { p =>
+      val sqlType = graft.schema.TypeInference.infer(p)
+      p -> graft.schema.DdlGenerator.ColumnDef(
+        graft.schema.Names.cleanColumnName(p.name), sqlType,
+        nullable = p.nullCount > 0)
+    }
+  }
+}

@@ -1,0 +1,59 @@
+package graft.store
+
+import graft.SparkSpec
+import org.apache.spark.sql.types._
+import java.nio.file.Files
+
+class WarehouseSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def fresh(): Warehouse =
+    new Warehouse(spark, Files.createTempDirectory("graft_wh").toString)
+
+  private val schema = StructType(Seq(
+    StructField("id", LongType), StructField("v", DoubleType)))
+
+  test("createTable if-exists modes: fail / skip / replace") {
+    val wh = fresh()
+    wh.createTable("t", schema)
+    assert(wh.tableExists("t"))
+    intercept[RuntimeException] { wh.createTable("t", schema) } // fail mode
+    wh.createTable("t", schema, ifExists = "skip")
+    wh.append("t", Seq((1L, 2.0)).toDF("id", "v"))
+    assert(wh.read("t").count() === 1)
+    wh.createTable("t", schema, ifExists = "replace")
+    assert(wh.read("t").count() === 0)
+    intercept[RuntimeException] { wh.createTable("t", schema, ifExists = "bogus") }
+  }
+
+  test("schema compare: only-in-a / only-in-b / retyped") {
+    val wh = fresh()
+    val a = StructType(Seq(
+      StructField("id", LongType), StructField("x", DoubleType),
+      StructField("shared", StringType)))
+    val b = StructType(Seq(
+      StructField("id", IntegerType), StructField("y", DoubleType),
+      StructField("shared", StringType)))
+    val (onlyA, onlyB, retyped) = wh.compareSchemas(a, b)
+    assert(onlyA === Seq("x") && onlyB === Seq("y"))
+    assert(retyped === Seq(("id", "bigint", "int")))
+  }
+
+  test("stats + compact reduce file count but preserve rows") {
+    val wh = fresh()
+    val df = (1 to 100).map(i => (i.toLong, i * 1.0)).toDF("id", "v")
+      .repartition(8)
+    wh.overwrite("t", df)
+    val before = wh.tableStats("t")
+    assert(before.numRows === 100 && before.numFiles === 8)
+    wh.compact("t", 1)
+    val after = wh.tableStats("t")
+    assert(after.numRows === 100 && after.numFiles === 1)
+  }
+
+  test("unique keys + partitioning persist in table meta") {
+    val wh = fresh()
+    wh.createTable("t", schema, partitionBy = Nil, uniqueKeys = Seq("id"))
+    assert(wh.readMeta("t").map(_.uniqueKeys) === Some(Seq("id")))
+  }
+}
