@@ -6,7 +6,8 @@ package graft.analytics
 object Catalog {
   def all: Seq[QueryDef] =
     RelationalQueries.all ++ AggregateQueries.all ++ EventQueries.all ++
-      TransformQueries.all
+      TransformQueries.all ++ TextQueries.all ++ DedupQueries.all ++
+      SimilarityQueries.all
 
   lazy val byName: Map[String, QueryDef] =
     all.map(q => q.name -> q).toMap

@@ -1,0 +1,123 @@
+package graft.analytics
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.io.Tables
+import graft.dedup.Dedup
+
+/** Deduplication operators over the documents/embeddings corpus.
+  * Exact + Jaccard + embedding paths have DuckDB oracles (list
+  * functions mirror the set math); MinHash/SimHash signatures hash
+  * with Spark's xxhash64, which has no DuckDB twin → rows-only checks
+  * with correctness asserted on planted near-dups in DedupSpec.
+  */
+object DedupQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.table(s, dir, name)
+
+  /** Exact dedup keep-first (hash-groupBy shape) on (lang, source):
+    * one representative doc per group.
+    */
+  val qDedupExact: QueryDef = QueryDef.sql(
+    "q_dedup_exact",
+    """SELECT doc_id, lang, source FROM (
+      |  SELECT doc_id, lang, source,
+      |    row_number() OVER (PARTITION BY lang, source ORDER BY doc_id) AS rn
+      |  FROM documents)
+      |WHERE rn = 1
+      |ORDER BY lang, source""".stripMargin,
+    doc = "exact dedup keep-first by key (dedup ops)") { (s, dir) =>
+    Dedup.exactDedup(t(s, dir, "documents"), Seq("lang", "source"), "doc_id")
+      .select("doc_id", "lang", "source")
+      .orderBy("lang", "source")
+  }
+
+  /** All-pairs word-bigram Jaccard within a bounded scope (docs 0-39)
+    * — the brute-force verifier of the near-dup pipeline, with the
+    * shingle construction mirrored via DuckDB list comprehensions.
+    * (Bigram shingles: the synthetic corpus shares vocabulary but not
+    * longer n-grams, so 5-gram overlap is degenerate-zero there; the
+    * 5-gram path is exercised on planted near-dups in DedupSpec.)
+    */
+  val qNgramJaccard: QueryDef = QueryDef.sql(
+    "q_ngram_jaccard",
+    """WITH sh AS (
+      |  SELECT doc_id,
+      |    list_distinct([array_to_string(tk[i:i+1], ' ')
+      |                   FOR i IN range(1, greatest(len(tk), 2))]) AS sh
+      |  FROM (SELECT doc_id,
+      |          string_split_regex(lower(trim(text)), '[\s[:punct:]]+') AS tk
+      |        FROM documents WHERE doc_id < 40))
+      |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |  CAST(round(len(list_intersect(a.sh, b.sh)) /
+      |    (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) AS DOUBLE)
+      |    AS jaccard
+      |FROM sh a CROSS JOIN sh b
+      |WHERE a.doc_id < b.doc_id
+      |  AND len(list_intersect(a.sh, b.sh)) /
+      |    (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.05
+      |ORDER BY id_a, id_b""".stripMargin,
+    doc = "n-gram Jaccard all-pairs within scope (dedup ops)") { (s, dir) =>
+    Dedup.ngramJaccardPairs(
+        t(s, dir, "documents").filter(col("doc_id") < 40),
+        "doc_id", "text", shingleSize = 2, minJaccard = 0.05)
+      .select(col("id_a"), col("id_b"),
+        round(col("jaccard"), 6).cast("double").as("jaccard"))
+      .orderBy("id_a", "id_b")
+  }
+
+  /** Embedding cosine near-dup pairs blocked by label (the IVF-cell
+    * shape): same-label pairs with cosine ≥ 0.95, oracle via DuckDB
+    * list_dot_product on double-cast vectors.
+    */
+  val qEmbedNearDup: QueryDef = QueryDef.sql(
+    "q_embed_neardup",
+    """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings)
+      |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+      |  CAST(round(list_dot_product(a.v, b.v) /
+      |    (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6)
+      |    AS DOUBLE) AS cosine
+      |FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+      |WHERE list_dot_product(a.v, b.v) /
+      |    (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.3
+      |ORDER BY id_a, id_b""".stripMargin,
+    doc = "embedding cosine near-dup pairs, label-blocked (dedup ops)") { (s, dir) =>
+    Dedup.embeddingNearDupPairs(t(s, dir, "embeddings"),
+        "vec_id", "embedding", threshold = 0.3, blockCol = Some("label"))
+      .select(col("id_a"), col("id_b"),
+        round(col("cosine"), 6).cast("double").as("cosine"))
+      .orderBy("id_a", "id_b")
+  }
+
+  /** MinHash+LSH near-dup pairs (rows-only: xxhash64 signatures have
+    * no DuckDB twin; banding recall + Jaccard verification asserted on
+    * planted dups in DedupSpec).
+    */
+  val qDedupMinhash: QueryDef = QueryDef.rowsOnly(
+    "q_dedup_minhash",
+    doc = "MinHash+LSH near-dup candidate pairs (dedup ops)") { (s, dir) =>
+    Dedup.minHashNearDupPairs(t(s, dir, "documents"), "doc_id", "text",
+        shingleSize = 2, k = 32, bands = 16, threshold = 0.05)
+      .select(col("id_a"), col("id_b"),
+        round(col("jaccard"), 6).as("jaccard"))
+      .orderBy("id_a", "id_b")
+  }
+
+  /** SimHash near-dup pairs (rows-only; see DedupSpec). Bounded scope
+    * — the shared-vocabulary synthetic corpus packs most pairs within
+    * small hamming distances, so an unbounded run is all-pairs-sized.
+    */
+  val qDedupSimhash: QueryDef = QueryDef.rowsOnly(
+    "q_dedup_simhash",
+    doc = "SimHash hamming near-dup pairs (dedup ops)") { (s, dir) =>
+    Dedup.simHashNearDupPairs(
+        t(s, dir, "documents").filter(col("doc_id") < 100),
+        "doc_id", "text", maxDistance = 12)
+      .select("id_a", "id_b", "distance")
+      .orderBy("id_a", "id_b")
+  }
+
+  val all: Seq[QueryDef] = Seq(
+    qDedupExact, qNgramJaccard, qEmbedNearDup, qDedupMinhash, qDedupSimhash)
+}

@@ -1,0 +1,66 @@
+package graft.analytics
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.io.Tables
+import graft.sim.Similarity
+
+/** Similarity search over the embeddings table. The exact brute-force
+  * path is oracle-verified (DuckDB list_dot_product on double-cast
+  * vectors reproduces the sequential double accumulation bit-for-bit
+  * before rounding); the LSH path is rows-only with recall asserted
+  * against brute force in SimilaritySpec.
+  */
+object SimilarityQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.table(s, dir, name)
+
+  /** Exact top-5 cosine neighbors for query vectors 0/1/2. */
+  val qSimTopK: QueryDef = QueryDef.sql(
+    "q_sim_topk",
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id IN (0, 1, 2)),
+      |s AS (
+      |  SELECT q.query_id, e.vec_id AS corpus_id,
+      |    CASE WHEN sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.qv, q.qv)) = 0
+      |      THEN 0.0
+      |      ELSE list_dot_product(e.v, q.qv) /
+      |        (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.qv, q.qv))) END
+      |      AS cosine
+      |  FROM e CROSS JOIN q WHERE e.vec_id != q.query_id)
+      |SELECT query_id, corpus_id, CAST(round(cosine, 6) AS DOUBLE) AS cosine, rank
+      |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+      |        ORDER BY cosine DESC, corpus_id) AS rank FROM s)
+      |WHERE rank <= 5
+      |ORDER BY query_id, rank""".stripMargin,
+    doc = "exact brute-force cosine top-k (similarity search baseline)") { (s, dir) =>
+    val emb = t(s, dir, "embeddings")
+    Similarity.bruteForceTopK(
+        corpus = emb,
+        queries = emb.filter(col("vec_id").isin(0, 1, 2)),
+        idCol = "vec_id", vecCol = "embedding", k = 5)
+      .select(col("query_id"), col("corpus_id"),
+        round(col("cosine"), 6).cast("double").as("cosine"), col("rank"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** Hyperplane-LSH ANN top-5 (rows-only: bucket signatures hash with
+    * xxhash64; recall vs brute force asserted in SimilaritySpec).
+    */
+  val qSimLsh: QueryDef = QueryDef.rowsOnly(
+    "q_sim_lsh",
+    doc = "LSH-bucketed approximate top-k (similarity search scale path)") { (s, dir) =>
+    val emb = t(s, dir, "embeddings")
+    Similarity.lshTopK(
+        corpus = emb,
+        queries = emb.filter(col("vec_id").isin(0, 1, 2)),
+        idCol = "vec_id", vecCol = "embedding", k = 5,
+        nPlanes = 4, nTables = 16)
+      .select(col("query_id"), col("corpus_id"),
+        round(col("cosine"), 6).as("cosine"), col("rank"))
+      .orderBy("query_id", "rank")
+  }
+
+  val all: Seq[QueryDef] = Seq(qSimTopK, qSimLsh)
+}

@@ -1,0 +1,109 @@
+package graft.analytics
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.io.Tables
+import graft.text.TextAnalysis
+
+/** Text-analysis operators over the documents corpus, oracle-verified
+  * where ANSI-SQL-expressible (token counts, ratios, quality formula
+  * — the DuckDB twin mirrors each expression exactly, with 'g' flags
+  * where DuckDB's regexp_replace is single-match by default).
+  */
+object TextQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.table(s, dir, name)
+
+  /** Token counting + length stats (whitespace tokenizer; the BPE-ish
+    * regex variant is Spark-only because RE2 lacks lookaround —
+    * covered by TextAnalysisSpec instead).
+    */
+  val qTextTokens: QueryDef = QueryDef.sql(
+    "q_text_tokens",
+    """SELECT doc_id,
+      |  len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+      |  length(text) AS n_chars,
+      |  CAST(round(length(regexp_replace(trim(text), '\s+', '', 'g'))
+      |    / CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE), 6) AS DOUBLE)
+      |    AS mean_token_len
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin,
+    doc = "token counting + mean token length (training-data text ops)") { (s, dir) =>
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+        length(col("text")).as("n_chars"),
+        round(TextAnalysis.meanTokenLength(col("text")), 6).cast("double")
+          .as("mean_token_len"))
+      .orderBy("doc_id")
+  }
+
+  /** Quality scoring: the full composite formula mirrored in SQL —
+    * length score, punctuation penalty, token-shape score, stopword
+    * score, equally weighted.
+    */
+  val qTextQuality: QueryDef = QueryDef.sql(
+    "q_text_quality",
+    """WITH feats AS (
+      |  SELECT doc_id,
+      |    least(length(text) / 500.0, 1.0) AS len_score,
+      |    CASE WHEN length(text) = 0 THEN 0.0
+      |      ELSE (length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')))
+      |           / CAST(length(text) AS DOUBLE) END AS punct_ratio,
+      |    length(regexp_replace(trim(text), '\s+', '', 'g'))
+      |      / CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE) AS mean_tok,
+      |    len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+      |        tk -> tk IN ('the','a','an','and','or','of','to','in','is','are',
+      |                    'was','it','that','this','for','on','with','as','at','by')))
+      |      / CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS DOUBLE)
+      |      AS stop_ratio
+      |  FROM documents)
+      |SELECT doc_id,
+      |  CAST(round(
+      |    least(len_score, 1.0) * 0.25 +
+      |    greatest(0.0, 1.0 - punct_ratio * 5.0) * 0.25 +
+      |    (CASE WHEN mean_tok BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END) * 0.25 +
+      |    least(stop_ratio * 4.0, 1.0) * 0.25, 6) AS DOUBLE) AS quality
+      |FROM feats ORDER BY doc_id""".stripMargin,
+    doc = "composite text quality score (training-data text ops)") { (s, dir) =>
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        TextAnalysis.qualityScore(col("text")).cast("double").as("quality"))
+      .orderBy("doc_id")
+  }
+
+  /** Language ID per document (rows-only: the n-gram heuristic has no
+    * ANSI twin; accuracy on real multilingual text is asserted in
+    * TextAnalysisSpec — this corpus's text is synthetic word salad,
+    * so the `lang` column is not recoverable from content).
+    */
+  val qTextLangId: QueryDef = QueryDef.rowsOnly(
+    "q_text_langid",
+    doc = "n-gram/stopword language ID (training-data text ops)") { (s, dir) =>
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        TextAnalysis.languageId(col("text")).as("lang_pred"))
+      .orderBy("doc_id")
+  }
+
+  /** Fingerprint distinctness: count of distinct 64-bit normalized-
+    * text fingerprints must equal count of distinct normalized texts
+    * (oracle computes the latter; equality fails on any hash
+    * collision or normalization mismatch).
+    */
+  val qTextFingerprint: QueryDef = QueryDef.sql(
+    "q_text_fingerprint",
+    """SELECT count(*) AS n_docs,
+      |  count(DISTINCT regexp_replace(regexp_replace(lower(text),
+      |    '[[:punct:]]', '', 'g'), '\s+', ' ', 'g')) AS n_unique
+      |FROM documents""".stripMargin,
+    doc = "rolling-hash document fingerprinting (training-data text ops)") { (s, dir) =>
+    t(s, dir, "documents")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(TextAnalysis.fingerprint(col("text"))).as("n_unique"))
+  }
+
+  val all: Seq[QueryDef] = Seq(
+    qTextTokens, qTextQuality, qTextLangId, qTextFingerprint)
+}

@@ -1,0 +1,182 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.text.TextAnalysis
+
+/** Deduplication operators for a training-data pipeline: exact,
+  * MinHash+LSH, SimHash, n-gram Jaccard, embedding cosine.
+  *
+  * Design for 100 TB: every signature is a per-row expression tree
+  * (whole-stage codegen, no UDFs, no shuffle); candidate generation is
+  * an equi-join on LSH bucket keys (shuffle on bucket hash — the only
+  * shuffle in the pipeline, and it's key-balanced by construction
+  * because bucket ids are hashes); verification runs only on candidate
+  * pairs, never all-pairs. Driver never sees row data.
+  */
+object Dedup {
+
+  // ------------------------------------------------------------ exact
+
+  /** Exact dedup, keep-first by `tiebreaker`: the distributed form of
+    * the reference's unique-key enforcement (`data_loader.py:681-728`)
+    * applied to content hashes. One shuffle on the hash.
+    */
+  def exactDedup(df: DataFrame, keyCols: Seq[String], tiebreaker: String): DataFrame = {
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col(tiebreaker))
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  /** Exact dedup on normalized-text fingerprint (hash-groupBy). */
+  def exactTextDedup(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    exactDedup(
+      df.withColumn("__fp", TextAnalysis.fingerprint(col(textCol))),
+      Seq("__fp"), idCol).drop("__fp")
+
+  // ---------------------------------------------------------- MinHash
+
+  /** K-permutation MinHash signature over word shingles.
+    * minhash_i = min over shingles of xxhash64(i, shingle) — the
+    * standard "K salted hashes" construction, deterministic, pure
+    * expression (nested transform stays in codegen).
+    */
+  def minHashSignature(text: Column, shingleSize: Int = 5, k: Int = 32): Column = {
+    val shingles = TextAnalysis.wordShingles(text, shingleSize)
+    transform(sequence(lit(0), lit(k - 1)),
+      i => array_min(transform(shingles, s => xxhash64(i, s))))
+  }
+
+  /** LSH band keys from a MinHash signature: `bands` hashes, each over
+    * `rows = k/bands` consecutive signature slots. Two docs sharing ANY
+    * band key are candidates (standard banding: P[candidate] =
+    * 1-(1-j^rows)^bands for Jaccard j).
+    */
+  def lshBandKeys(signature: Column, bands: Int, rows: Int): Column =
+    array((0 until bands).map(b =>
+      xxhash64(lit(b), slice(signature, b * rows + 1, rows))): _*)
+
+  /** Candidate near-dup pairs via MinHash LSH:
+    * sign → band → explode → self-equi-join on (band_idx, band_key) →
+    * distinct (idA < idB) pairs → verified Jaccard from shingle sets.
+    * Returns (idA, idB, jaccard) for pairs with jaccard ≥ threshold.
+    */
+  def minHashNearDupPairs(
+      df: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int = 5, k: Int = 32, bands: Int = 16,
+      threshold: Double = 0.6): DataFrame = {
+    // bands=16/rows=2 targets j ≈ (1/bands)^(1/rows) ≈ 0.25: recall at
+    // j=0.5 is 1-(1-0.25)^16 ≈ 0.99; rows=4 would coin-flip there.
+    val rows = k / bands
+    val banded = df.select(
+      col(idCol).as("id"),
+      TextAnalysis.wordShingles(col(textCol), shingleSize).as("shingles"))
+      .withColumn("sig", transform(sequence(lit(0), lit(k - 1)),
+        i => array_min(transform(col("shingles"), s => xxhash64(i, s)))))
+      .select(col("id"), col("shingles"),
+        posexplode(lshBandKeys(col("sig"), bands, rows)).as(Seq("band_idx", "band_key")))
+    val a = banded.select(col("band_idx"), col("band_key"),
+      col("id").as("id_a"), col("shingles").as("sh_a"))
+    val b = banded.select(col("band_idx"), col("band_key"),
+      col("id").as("id_b"), col("shingles").as("sh_b"))
+    a.join(b, Seq("band_idx", "band_key"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+      .distinct()
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** Set Jaccard over two string arrays (assumed distinct elements). */
+  def jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b)).cast("double")
+    val union = (size(a) + size(b)).cast("double") - inter
+    when(union === 0, lit(0.0)).otherwise(inter / union)
+  }
+
+  /** All-pairs n-gram Jaccard within a bounded scope (the brute-force
+    * verifier / small-corpus path; LSH above is the scale path).
+    */
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int, minJaccard: Double): DataFrame = {
+    val sh = df.select(col(idCol).as("id"),
+      TextAnalysis.wordShingles(col(textCol), shingleSize).as("sh"))
+    val a = sh.select(col("id").as("id_a"), col("sh").as("sh_a"))
+    val b = sh.select(col("id").as("id_b"), col("sh").as("sh_b"))
+    a.crossJoin(b).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+      .filter(col("jaccard") >= minJaccard)
+  }
+
+  // ---------------------------------------------------------- SimHash
+
+  /** 64-bit SimHash as BIGINT: bit i is set iff the sum over tokens of
+    * ±1 (by bit i of the token's hash) is positive. The 64 bit
+    * positions are unrolled at plan-build time (static Int shifts keep
+    * the tree codegen-eligible); the per-bit inner fold runs over the
+    * token-hash array.
+    */
+  def simHash(text: Column): Column = {
+    val toks = array_distinct(split(lower(trim(text)), "[\\s\\p{Punct}]+"))
+    val hashes = transform(toks, t => xxhash64(t))
+    (0 until 64).map { i =>
+      when(
+        aggregate(hashes, lit(0L),
+          (s, h) => s + when(shiftright(h, i).bitwiseAND(1) === 1, 1L).otherwise(-1L))
+          > 0,
+        lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+  }
+
+  /** Hamming distance between two 64-bit signatures. */
+  def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** SimHash near-dup pairs with hamming ≤ maxDistance, using the
+    * pigeonhole banding trick: split the 64-bit signature into
+    * (maxDistance+1) chunks — any pair within distance d must agree on
+    * at least one chunk, so candidates come from equi-joins on chunk
+    * values (shuffle on chunk key, never all-pairs).
+    */
+  def simHashNearDupPairs(df: DataFrame, idCol: String, textCol: String,
+      maxDistance: Int = 3): DataFrame = {
+    val chunks = maxDistance + 1
+    val bits = 64 / chunks
+    val sigs = df.select(col(idCol).as("id"), simHash(col(textCol)).as("sig"))
+    val chunkArr = array((0 until chunks).map(c =>
+      shiftright(col("sig"), c * bits).bitwiseAND(lit((1L << bits) - 1))): _*)
+    val banded = sigs.select(col("id"), col("sig"),
+      posexplode(chunkArr).as(Seq("chunk_idx", "chunk_val")))
+    val a = banded.select(col("chunk_idx"), col("chunk_val"),
+      col("id").as("id_a"), col("sig").as("sig_a"))
+    val b = banded.select(col("chunk_idx"), col("chunk_val"),
+      col("id").as("id_b"), col("sig").as("sig_b"))
+    a.join(b, Seq("chunk_idx", "chunk_val"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        hamming(col("sig_a"), col("sig_b")).as("distance"))
+      .distinct()
+      .filter(col("distance") <= maxDistance)
+  }
+
+  // ------------------------------------------- embedding cosine near-dup
+
+  /** Embedding near-dup pairs: cosine ≥ threshold. Brute-force within
+    * an optional blocking column (e.g. LSH bucket or label); for the
+    * unblocked scale path use [[graft.sim.Similarity.lshBucketPairs]].
+    */
+  def embeddingNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, blockCol: Option[String] = None): DataFrame = {
+    val base = df.select(col(idCol).as("id"), col(vecCol).as("v"),
+      blockCol.map(col).getOrElse(lit(0)).as("blk"))
+    val a = base.select(col("blk"), col("id").as("id_a"), col("v").as("v_a"))
+    val b = base.select(col("blk"), col("id").as("id_b"), col("v").as("v_b"))
+    a.join(b, Seq("blk"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        graft.sim.Similarity.cosine(col("v_a"), col("v_b")).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+}

@@ -1,0 +1,140 @@
+package graft.text
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a training-data pipeline: token
+  * counting, quality scoring, language ID, fingerprinting.
+  *
+  * Everything here is a composed Catalyst Column expression — no UDFs
+  * — so the operators stay inside whole-stage codegen and scale as
+  * embarrassingly-parallel per-row work (zero shuffles). This layer is
+  * beyond the reference's surface (its analytics package is empty,
+  * `src/analytics/__init__.py:1`) and is designed for the 100 TB
+  * document-corpus use case the engine targets.
+  */
+object TextAnalysis {
+
+  /** Whitespace token count. `split(trim(s), "\\s+")` — matches the
+    * conventional `len(text.split())`. Empty/blank text → 0.
+    */
+  def tokenCount(text: Column): Column =
+    when(length(trim(text)) === 0, 0)
+      .otherwise(size(split(trim(text), "\\s+")))
+
+  /** BPE-ish subword token estimate: words + punctuation runs counted
+    * separately (a cheap stand-in for a real tokenizer's fragment
+    * count — deterministic and vectorizable).
+    */
+  def regexTokenCount(text: Column): Column =
+    when(length(trim(text)) === 0, 0)
+      .otherwise(size(split(trim(text),
+        "\\s+|(?=[\\p{Punct}])|(?<=[\\p{Punct}])")))
+
+  /** Mean characters per token — quality signal (very long "words"
+    * indicate binary junk; very short indicate OCR noise). */
+  def meanTokenLength(text: Column): Column = {
+    val nTok = tokenCount(text)
+    when(nTok === 0, lit(0.0))
+      .otherwise(length(regexp_replace(trim(text), "\\s+", "")).cast("double")
+        / nTok.cast("double"))
+  }
+
+  /** Ratio of punctuation characters to all characters. */
+  def punctRatio(text: Column): Column =
+    when(length(text) === 0, lit(0.0))
+      .otherwise((length(text) -
+        length(regexp_replace(text, "[\\p{Punct}]", ""))).cast("double")
+        / length(text).cast("double"))
+
+  /** Ratio of uppercase letters to all letters. */
+  def upperRatio(text: Column): Column = {
+    val letters = length(regexp_replace(text, "[^A-Za-z]", ""))
+    when(letters === 0, lit(0.0))
+      .otherwise(length(regexp_replace(text, "[^A-Z]", "")).cast("double")
+        / letters.cast("double"))
+  }
+
+  /** English stopword hit ratio: fraction of tokens that are common
+    * function words — the classic "is this natural language" signal.
+    */
+  val EnglishStopwords: Seq[String] = Seq(
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "are", "was",
+    "it", "that", "this", "for", "on", "with", "as", "at", "by")
+
+  def stopwordRatio(text: Column, stopwords: Seq[String] = EnglishStopwords): Column = {
+    val toks = split(lower(trim(text)), "\\s+")
+    val hits = size(filter(toks,
+      t => stopwords.foldLeft(lit(false))((acc, w) => acc || t === w)))
+    when(size(toks) === 0, lit(0.0))
+      .otherwise(hits.cast("double") / size(toks).cast("double"))
+  }
+
+  /** Composite quality score in [0,1]: weighted blend of the signals,
+    * tuned to favor natural prose (stopword presence, moderate token
+    * length, low punctuation density).
+    */
+  def qualityScore(text: Column): Column = {
+    val lenScore = least(length(text).cast("double") / 500.0, lit(1.0))
+    val punctPenalty = greatest(lit(0.0), lit(1.0) - punctRatio(text) * 5.0)
+    val meanTok = meanTokenLength(text)
+    val tokScore = when(meanTok.between(3.0, 10.0), 1.0).otherwise(0.5)
+    val stopScore = least(stopwordRatio(text) * 4.0, lit(1.0))
+    round(lenScore * 0.25 + punctPenalty * 0.25 + tokScore * 0.25 +
+      stopScore * 0.25, 6)
+  }
+
+  // ------------------------------------------------------- language ID
+
+  /** Per-language marker profiles: distinctive high-frequency function
+    * words (n-gram heuristic). CJK is detected by codepoint class
+    * first — marker words don't apply.
+    */
+  val LanguageMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "is", "with", "that"),
+    "de" -> Seq("der", "die", "und", "das", "ist", "nicht", "ein", "mit"),
+    "es" -> Seq("el", "los", "las", "una", "que", "por", "para", "con"),
+    "fr" -> Seq("le", "les", "des", "une", "est", "dans", "pour", "sur"))
+
+  /** Language ID: CJK-char share → zh; otherwise argmax of marker-word
+    * hit counts (ties → earlier entry in [[LanguageMarkers]]); no hits
+    * → "und" (undetermined). Pure per-row expression tree.
+    */
+  def languageId(text: Column): Column = {
+    val cjk = length(regexp_replace(text, "[^\\u4e00-\\u9fff]", ""))
+    val toks = split(lower(trim(text)), "[\\s\\p{Punct}]+")
+    val scores = LanguageMarkers.map { case (lang, words) =>
+      lang -> size(filter(toks,
+        t => words.foldLeft(lit(false))((acc, w) => acc || t === w)))
+    }
+    val best = scores.foldLeft(lit(0)) { case (acc, (_, s)) => greatest(acc, s) }
+    val pick = scores.reverse.foldLeft(lit("und")) { case (acc, (lang, s)) =>
+      when(s === best && best > 0, lit(lang)).otherwise(acc)
+    }
+    when(cjk.cast("double") / greatest(length(text), lit(1)).cast("double") > 0.05,
+      lit("zh")).otherwise(pick)
+  }
+
+  // ----------------------------------------------------- fingerprinting
+
+  /** 64-bit document fingerprint: xxhash64 of the normalized text
+    * (lowercase, collapsed whitespace, stripped punctuation). Exact-
+    * duplicate detection key — normalization-insensitive.
+    */
+  def fingerprint(text: Column): Column =
+    xxhash64(regexp_replace(
+      regexp_replace(lower(text), "[\\p{Punct}]", ""), "\\s+", " "))
+
+  /** Word n-gram shingles (the unit of near-dup detection): sliding
+    * windows of `n` tokens joined by single spaces, deduplicated.
+    * transform(sequence(...)) keeps it inside codegen — no explode.
+    */
+  def wordShingles(text: Column, n: Int): Column = {
+    val toks = split(lower(trim(text)), "[\\s\\p{Punct}]+")
+    val count = size(toks)
+    when(count < n, array(concat_ws(" ", toks)))
+      .otherwise(array_distinct(transform(
+        sequence(lit(0), count - n),
+        i => concat_ws(" ", slice(toks, i + 1, lit(n))))))
+  }
+}

@@ -1,0 +1,81 @@
+package graft.dedup
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Planted-duplicate corpus: docs 1/2 are near-identical (one word
+  * changed), doc 3 is an exact rewording with shared 5-grams, docs
+  * 10+ are unrelated. Near-dup detectors must find (1,2) and must NOT
+  * pair unrelated docs at tight thresholds.
+  */
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val base = "the quick brown fox jumps over the lazy dog while the sun sets slowly behind the old wooden barn near the river"
+  private def corpus = Seq(
+    (1L, base),
+    (2L, base.replace("lazy", "sleepy")), // near-dup of 1
+    (3L, "completely different content about spark query engines and distributed columnar execution at massive scale"),
+    (4L, "yet another unrelated document discussing weather patterns rainfall statistics and seasonal temperature variation"),
+    (5L, base) // exact dup of 1
+  ).toDF("id", "text")
+
+  test("exactTextDedup collapses exact duplicates, keeps first id") {
+    val out = Dedup.exactTextDedup(corpus, "text", "id")
+    val ids = out.select("id").as[Long].collect().toSet
+    assert(ids === Set(1L, 2L, 3L, 4L)) // 5 collapsed into 1
+  }
+
+  test("ngramJaccardPairs finds planted near-dups and exact dups") {
+    val pairs = Dedup.ngramJaccardPairs(corpus, "id", "text", 5, 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(pairs.contains((1L, 5L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("minHashNearDupPairs recalls planted near-dups via LSH banding") {
+    val pairs = Dedup.minHashNearDupPairs(corpus, "id", "text",
+      shingleSize = 5, k = 32, bands = 16, threshold = 0.5)
+    val found = pairs.select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(found.contains((1L, 5L))) // identical sig, always banded together
+    assert(found.contains((1L, 2L))) // high-jaccard near-dup
+    assert(!found.exists(p => p._1 == 3L || p._2 == 3L))
+    // verified jaccard on the exact pair must be 1.0
+    val j15 = pairs.filter($"id_a" === 1 && $"id_b" === 5)
+      .select("jaccard").as[Double].head()
+    assert(j15 === 1.0)
+  }
+
+  test("simHash: identical text -> distance 0; near-dup -> small; unrelated -> large") {
+    val sigs = corpus.select($"id", Dedup.simHash($"text").as("sig"))
+      .as[(Long, Long)].collect().toMap
+    assert(sigs(1L) === sigs(5L))
+    val near = java.lang.Long.bitCount(sigs(1L) ^ sigs(2L))
+    val far = java.lang.Long.bitCount(sigs(1L) ^ sigs(3L))
+    assert(near < far, s"near=$near far=$far")
+    assert(near <= 12)
+  }
+
+  test("simHashNearDupPairs bands by pigeonhole and filters by distance") {
+    val pairs = Dedup.simHashNearDupPairs(corpus, "id", "text", maxDistance = 12)
+      .select("id_a", "id_b", "distance")
+      .as[(Long, Long, Int)].collect()
+    val pairSet = pairs.map(p => (p._1, p._2)).toSet
+    assert(pairSet.contains((1L, 5L)))
+    assert(pairs.find(p => p._1 == 1L && p._2 == 5L).get._3 === 0)
+    assert(pairSet.contains((1L, 2L)))
+  }
+
+  test("embeddingNearDupPairs finds cosine-close vectors") {
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f)),
+      (2L, Array(0.99f, 0.1f, 0.0f)), // close to 1
+      (3L, Array(0.0f, 1.0f, 0.0f)),  // orthogonal
+      (4L, Array(0.0f, 0.0f, 0.0f))   // zero vector guard
+    ).toDF("id", "vec")
+    val pairs = Dedup.embeddingNearDupPairs(vecs, "id", "vec", threshold = 0.9)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs === Set((1L, 2L)))
+  }
+}
