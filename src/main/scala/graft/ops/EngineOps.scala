@@ -1,0 +1,116 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.QueryExecution
+import org.apache.spark.sql.util.QueryExecutionListener
+import java.util.concurrent.ConcurrentLinkedDeque
+import scala.jdk.CollectionConverters._
+
+/** Engine-management surface (SURVEY §2.12) — the Spark-meaningful
+  * subset of the reference's `postgres_manager.py` admin layer.
+  * Postgres-server concerns with no embedded-engine analogue (locks,
+  * replication, bloat, indexes, SSL) are intentionally dropped, per
+  * the SURVEY §2.12 mapping table.
+  */
+object EngineOps {
+
+  final case class QueryRecord(
+      timestamp: Long,
+      description: String,
+      durationNs: Long,
+      succeeded: Boolean)
+
+  /** Query-history ring buffer (reference keeps the last 1000 queries
+    * with timings, `postgres_manager.py:99-100, 418-428`) fed by a
+    * QueryExecutionListener — every DataFrame action lands here.
+    */
+  final class QueryHistory(capacity: Int = 1000) extends QueryExecutionListener {
+    private val buf = new ConcurrentLinkedDeque[QueryRecord]()
+
+    private def push(r: QueryRecord): Unit = {
+      buf.addLast(r)
+      while (buf.size() > capacity) buf.pollFirst()
+    }
+
+    override def onSuccess(funcName: String, qe: QueryExecution,
+        durationNs: Long): Unit =
+      push(QueryRecord(System.currentTimeMillis(),
+        s"$funcName: ${qe.analyzed.simpleString(60)}", durationNs,
+        succeeded = true))
+
+    override def onFailure(funcName: String, qe: QueryExecution,
+        exception: Exception): Unit =
+      push(QueryRecord(System.currentTimeMillis(),
+        s"$funcName: ${exception.getMessage}", 0L, succeeded = false))
+
+    def history: Seq[QueryRecord] = buf.asScala.toSeq
+
+    /** Slow-query report (reference threshold 1s,
+      * `postgres_manager.py:542-559`). */
+    def slowQueries(thresholdMs: Long = 1000): Seq[QueryRecord] =
+      history.filter(r => r.succeeded && r.durationNs / 1e6 >= thresholdMs)
+  }
+
+  def installHistory(spark: SparkSession, capacity: Int = 1000): QueryHistory = {
+    val h = new QueryHistory(capacity)
+    spark.listenerManager.register(h)
+    h
+  }
+
+  /** Result caching (reference lru_cache of SELECT results,
+    * `postgres_manager.py:594-631`) → Spark's own cache manager, keyed
+    * by plan (so any equivalent DataFrame hits it).
+    */
+  def cache(df: DataFrame): DataFrame = { df.cache(); df }
+  def uncache(df: DataFrame): Unit = df.unpersist()
+  def clearAllCaches(spark: SparkSession): Unit =
+    spark.catalog.clearCache()
+
+  /** EXPLAIN surface (`postgres_manager.py:537-540, 1134-1151`):
+    * formatted/cost/codegen plan text.
+    */
+  def explain(df: DataFrame, mode: String = "formatted"): String =
+    df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString(mode))
+
+  /** Plan introspection helpers for scale review: does the physical
+    * plan show pushed filters / whole-stage codegen / broadcast?
+    */
+  def planSummary(df: DataFrame): PlanSummary = {
+    val plan = explain(df, "formatted")
+    PlanSummary(
+      hasPushedFilters =
+        raw"PushedFilters: \[[^\]]".r.findFirstIn(plan).isDefined,
+      // formatted mode marks codegen spans "(codegen id : N)";
+      // simple mode uses "*(N)" prefixes — accept either
+      wholeStageCodegen = plan.contains("codegen id") ||
+        explain(df, "simple").contains("*("),
+      hasBroadcastJoin = plan.contains("BroadcastHashJoin") ||
+        plan.contains("BroadcastNestedLoopJoin"),
+      exchangeCount = "Exchange".r.findAllIn(plan).size)
+  }
+
+  /** [[planSummary]] with AQE disabled during plan build: under AQE,
+    * codegen stages exist only after runtime materialization, so a
+    * pre-execution summary of an exchange-bearing plan under-reports.
+    * `build` is re-evaluated under the temporary conf (DataFrames are
+    * lazy — construction cost is planning only).
+    */
+  def planSummaryNoAqe(spark: SparkSession, build: => DataFrame): PlanSummary = {
+    val key = "spark.sql.adaptive.enabled"
+    val prev = spark.conf.get(key, "true")
+    spark.conf.set(key, "false")
+    try planSummary(build) finally spark.conf.set(key, prev)
+  }
+
+  /** Cancel a running job group — the reference's terminate-session
+    * (`postgres_manager.py:297-307`). */
+  def cancelJobGroup(spark: SparkSession, group: String): Unit =
+    spark.sparkContext.cancelJobGroup(group)
+
+  final case class PlanSummary(
+      hasPushedFilters: Boolean,
+      wholeStageCodegen: Boolean,
+      hasBroadcastJoin: Boolean,
+      exchangeCount: Int)
+}

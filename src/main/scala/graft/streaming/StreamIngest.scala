@@ -1,0 +1,104 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, Trigger}
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.Row
+
+/** Structured Streaming ingest — the reference's chunked-CSV loop
+  * (`data_transformer.py:267-290`) and idempotent re-ingest
+  * (`data_loader.py:173-177`) re-expressed as a streaming pipeline
+  * (SURVEY §2.10):
+  *
+  *  - chunk loop           → file-source `readStream` micro-batches
+  *  - one-shot batch mode  → `Trigger.AvailableNow` (process what's
+  *                           there, then stop — the reference's actual
+  *                           semantics)
+  *  - overlap-skip         → `dropDuplicatesWithinWatermark` on the
+  *                           natural key
+  *  - retry/backoff        → checkpointed exactly-once sink (no code)
+  *
+  * Watermarked windowed aggregation and gap sessionization are the new
+  * capability the time-series domain justifies (the reference's empty
+  * analytics package). At scale: state store per key-partition; the
+  * watermark bounds state size — without it, streaming dedup/windows
+  * grow unboundedly.
+  */
+object StreamIngest {
+
+  /** File-source stream over a directory of parquet/csv files. */
+  def readFileStream(spark: SparkSession, dir: String, schema: StructType,
+      format: String = "parquet", maxFilesPerTrigger: Int = 10): DataFrame = {
+    val r = spark.readStream.format(format).schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+    (if (format == "csv") r.option("header", "true") else r).load(dir)
+  }
+
+  /** Streaming key-dedup with bounded state: duplicates arriving
+    * within `watermarkDelay` of the event time are dropped; state
+    * older than the watermark is evicted. The streaming twin of
+    * [[graft.load.Loader.dedupAppend]].
+    */
+  def dedupStream(df: DataFrame, timeCol: String, keys: Seq[String],
+      watermarkDelay: String = "1 hour"): DataFrame =
+    df.withWatermark(timeCol, watermarkDelay)
+      .dropDuplicatesWithinWatermark(keys)
+
+  /** Watermarked tumbling-window aggregation: per (window, entity)
+    * count + sum. Late rows beyond the watermark are dropped; the
+    * window close emits exactly one final row in append mode.
+    */
+  def windowedAgg(df: DataFrame, timeCol: String, entityCol: String,
+      valueCol: String, windowLen: String = "1 hour",
+      watermarkDelay: String = "30 minutes"): DataFrame =
+    df.withWatermark(timeCol, watermarkDelay)
+      .groupBy(window(col(timeCol), windowLen), col(entityCol))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col(valueCol)).as("sum_value"))
+      .select(col("window.start").as("window_start"),
+        col(entityCol), col("n_events"), col("sum_value"))
+
+  /** Session windows by inactivity gap — `session_window` keeps state
+    * per active session only (watermark-evicted), the scalable form of
+    * the batch sessionization in EventQueries.
+    */
+  def sessionAgg(df: DataFrame, timeCol: String, entityCol: String,
+      gap: String = "30 minutes",
+      watermarkDelay: String = "30 minutes"): DataFrame =
+    df.withWatermark(timeCol, watermarkDelay)
+      .groupBy(session_window(col(timeCol), gap), col(entityCol))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col(entityCol), col("n_events"))
+
+  /** One-shot ingest into a parquet table: process all available
+    * input, checkpoint, stop — the reference's batch-load semantics
+    * with exactly-once file-sink guarantees.
+    */
+  def ingestAvailableNow(df: DataFrame, outPath: String,
+      checkpoint: String): Unit = {
+    val q = df.writeStream
+      .format("parquet")
+      .option("path", outPath)
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  /** Run a streaming transform one-shot into an in-memory table and
+    * return its rows — the harness used by specs and quick inspection
+    * (complete/append per `outputMode`).
+    */
+  def runToMemory(spark: SparkSession, df: DataFrame, name: String,
+      outputMode: String = "append"): Array[Row] = {
+    val q = df.writeStream.format("memory").queryName(name)
+      .outputMode(outputMode)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name).collect()
+  }
+}

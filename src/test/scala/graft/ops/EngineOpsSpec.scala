@@ -1,0 +1,55 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class EngineOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("query history records executed actions in a bounded buffer") {
+    val h = EngineOps.installHistory(spark, capacity = 5)
+    (1 to 8).foreach { i =>
+      Seq(i).toDF("x").filter($"x" > 0).count()
+    }
+    // listener delivery is async — poll until the bus drains
+    val deadline = System.currentTimeMillis() + 10000
+    while (h.history.isEmpty && System.currentTimeMillis() < deadline)
+      Thread.sleep(100)
+    val hist = h.history
+    assert(hist.nonEmpty && hist.size <= 5)
+    assert(hist.forall(_.succeeded))
+    spark.listenerManager.unregister(h)
+  }
+
+  test("planSummary detects pushed filters, codegen, broadcast") {
+    val dir = java.nio.file.Files.createTempDirectory("ops").toString
+    (1 to 100).map(i => (i.toLong, s"n$i")).toDF("id", "name")
+      .write.parquet(s"$dir/t")
+    val t = spark.read.parquet(s"$dir/t")
+    val filtered = t.filter($"id" > 50).select("id")
+    val sum1 = EngineOps.planSummary(filtered)
+    assert(sum1.hasPushedFilters, EngineOps.explain(filtered))
+    assert(sum1.wholeStageCodegen)
+
+    val joined = t.join(broadcast(t.limit(10)), Seq("id"))
+    assert(EngineOps.planSummary(joined).hasBroadcastJoin)
+  }
+
+  test("planSummaryNoAqe sees codegen in exchange-bearing plans") {
+    val dir = java.nio.file.Files.createTempDirectory("ops2").toString
+    (1 to 100).map(i => (i.toLong, i % 7)).toDF("id", "g")
+      .write.parquet(s"$dir/t")
+    def agg = spark.read.parquet(s"$dir/t").groupBy("g").count()
+    // under AQE the pre-execution plan shows no codegen stages...
+    assert(!EngineOps.planSummary(agg).wholeStageCodegen)
+    // ...the no-AQE introspection does
+    val s = EngineOps.planSummaryNoAqe(spark, agg)
+    assert(s.wholeStageCodegen && s.exchangeCount >= 1)
+    assert(spark.conf.get("spark.sql.adaptive.enabled") === "true") // restored
+  }
+
+  test("explain returns a formatted plan") {
+    val plan = EngineOps.explain(Seq(1).toDF("x").filter($"x" > 0))
+    assert(plan.contains("Physical Plan"))
+  }
+}

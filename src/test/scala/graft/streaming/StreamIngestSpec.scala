@@ -1,0 +1,85 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+import java.sql.Timestamp
+
+class StreamIngestSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private def writeBatch(dir: String, name: String,
+      rows: Seq[(Timestamp, String, Double)]): Unit =
+    rows.toDF("ts", "entity", "value").coalesce(1)
+      .write.mode("append").parquet(dir)
+
+  test("file-stream ingest with AvailableNow processes all pending files") {
+    val in = Files.createTempDirectory("stream_in").toString
+    val out = Files.createTempDirectory("stream_out").toString
+    val ckpt = Files.createTempDirectory("stream_ckpt").toString
+    writeBatch(in, "b1", Seq(
+      (ts("2024-01-01 00:00:00"), "a", 1.0),
+      (ts("2024-01-01 00:10:00"), "b", 2.0)))
+    val schema = spark.read.parquet(in).schema
+    val stream = StreamIngest.readFileStream(spark, in, schema)
+    StreamIngest.ingestAvailableNow(stream, out, ckpt)
+    assert(spark.read.parquet(out).count() === 2)
+
+    // second batch lands; re-run picks up ONLY the new file (checkpoint)
+    writeBatch(in, "b2", Seq((ts("2024-01-01 00:20:00"), "c", 3.0)))
+    val stream2 = StreamIngest.readFileStream(spark, in, schema)
+    StreamIngest.ingestAvailableNow(stream2, out, ckpt)
+    assert(spark.read.parquet(out).count() === 3)
+  }
+
+  test("dedupStream drops duplicate keys within the watermark") {
+    val in = Files.createTempDirectory("dedup_in").toString
+    writeBatch(in, "b", Seq(
+      (ts("2024-01-01 00:00:00"), "a", 1.0),
+      (ts("2024-01-01 00:00:00"), "a", 99.0), // dup key (ts, entity)
+      (ts("2024-01-01 00:05:00"), "a", 2.0)))
+    val schema = spark.read.parquet(in).schema
+    val stream = StreamIngest.readFileStream(spark, in, schema)
+    val deduped = StreamIngest.dedupStream(stream, "ts", Seq("ts", "entity"))
+    val rows = StreamIngest.runToMemory(spark, deduped, "dedup_t")
+    assert(rows.length === 2)
+  }
+
+  test("windowedAgg emits finalized tumbling windows") {
+    val in = Files.createTempDirectory("win_in").toString
+    writeBatch(in, "b", Seq(
+      (ts("2024-01-01 00:10:00"), "a", 1.0),
+      (ts("2024-01-01 00:20:00"), "a", 2.0),
+      (ts("2024-01-01 01:10:00"), "a", 4.0),
+      (ts("2024-01-01 05:00:00"), "a", 0.0))) // advances watermark
+    val schema = spark.read.parquet(in).schema
+    val stream = StreamIngest.readFileStream(spark, in, schema)
+    val agg = StreamIngest.windowedAgg(stream, "ts", "entity", "value",
+      "1 hour", "30 minutes")
+    val rows = StreamIngest.runToMemory(spark, agg, "win_t")
+      .map(r => (r.getAs[Timestamp]("window_start"), r.getAs[Long]("n_events"),
+        r.getAs[Double]("sum_value")))
+    val byWindow = rows.map(r => r._1.toString -> ((r._2, r._3))).toMap
+    assert(byWindow("2024-01-01 00:00:00.0") === ((2L, 3.0)))
+    assert(byWindow("2024-01-01 01:00:00.0") === ((1L, 4.0)))
+  }
+
+  test("sessionAgg groups by inactivity gap") {
+    val in = Files.createTempDirectory("sess_in").toString
+    writeBatch(in, "b", Seq(
+      (ts("2024-01-01 00:00:00"), "a", 1.0),
+      (ts("2024-01-01 00:10:00"), "a", 1.0),  // same session (10m gap)
+      (ts("2024-01-01 02:00:00"), "a", 1.0),  // new session (>30m gap)
+      (ts("2024-01-01 06:00:00"), "a", 0.0))) // watermark push
+    val schema = spark.read.parquet(in).schema
+    val stream = StreamIngest.readFileStream(spark, in, schema)
+    val sess = StreamIngest.sessionAgg(stream, "ts", "entity",
+      "30 minutes", "30 minutes")
+    val rows = StreamIngest.runToMemory(spark, sess, "sess_t")
+    // closed sessions: the 2-event session and the 1-event session
+    val closed = rows.map(r => r.getAs[Long]("n_events")).sorted
+    assert(closed.contains(2L))
+  }
+}
