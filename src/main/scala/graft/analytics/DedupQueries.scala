@@ -98,7 +98,7 @@ object DedupQueries {
     "q_dedup_minhash",
     doc = "MinHash+LSH near-dup candidate pairs (dedup ops)") { (s, dir) =>
     Dedup.minHashNearDupPairs(t(s, dir, "documents"), "doc_id", "text",
-        shingleSize = 2, k = 32, bands = 16, threshold = 0.05)
+        shingleSize = 3, k = 32, bands = 16, threshold = 0.1)
       .select(col("id_a"), col("id_b"),
         round(col("jaccard"), 6).as("jaccard"))
       .orderBy("id_a", "id_b")

@@ -38,6 +38,8 @@ object SparkEnv {
       // TIMESTAMP(NANOS) parquet columns surface as longs; Tables.readParquet
       // rebuilds them as µs timestamps from footer metadata.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // native engine expressions (minhash_slots, …)
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
     extraConf.foreach { case (k, v) => b.config(k, v) }
     val spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

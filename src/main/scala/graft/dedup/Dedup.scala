@@ -38,16 +38,52 @@ object Dedup {
 
   // ---------------------------------------------------------- MinHash
 
-  /** K-permutation MinHash signature over word shingles.
-    * minhash_i = min over shingles of xxhash64(i, shingle) — the
-    * standard "K salted hashes" construction, deterministic, pure
-    * expression (nested transform stays in codegen).
+  /** K-permutation MinHash signature from a precomputed per-shingle
+    * hash array: perm_i(s) = xxhash64(i, h(s)). The expensive STRING
+    * hashing happens once per shingle (higher-order-function lambdas
+    * run interpreted in Spark — hashing the strings k times was ~200×
+    * slower end-to-end); re-hashing the fixed-width longs k times is
+    * cheap and, unlike Kirsch-Mitzenmacher h1+i·h2, can't overflow
+    * under ANSI mode.
     */
-  def minHashSignature(text: Column, shingleSize: Int = 5, k: Int = 32): Column = {
-    val shingles = TextAnalysis.wordShingles(text, shingleSize)
-    transform(sequence(lit(0), lit(k - 1)),
-      i => array_min(transform(shingles, s => xxhash64(i, s))))
-  }
+  def minHashFromHashes(hashes: Column, k: Int): Column =
+    array((0 until k).map(i =>
+      array_min(transform(hashes, h => xxhash64(lit(i), h)))): _*)
+
+  /** MinHash signature from per-shingle hashes, preferring the native
+    * [[graft.plans.MinHashSlots]] expression (one fused codegen loop)
+    * when the session carries GraftExtensions; otherwise the composed-
+    * builtin fallback above (same semantics as minhash_slots is not
+    * guaranteed — both are valid MinHash families, but signatures from
+    * the two paths must not be mixed in one run).
+    */
+  def minHashColumn(spark: org.apache.spark.sql.SparkSession,
+      hashes: Column, k: Int): Column =
+    if (graft.plans.GraftExtensions.available(spark))
+      call_function("minhash_slots", hashes, lit(k))
+    else minHashFromHashes(hashes, k)
+
+  /** Distinct shingle-set as 64-bit hashes — the unit all near-dup
+    * math runs on. Native [[graft.plans.NgramHashes]] when available
+    * (tokens hashed once, windows mixed in a codegen loop — shingle
+    * strings never materialize); composed-builtin fallback otherwise.
+    * The two paths are different hash families: don't mix within a run.
+    */
+  def shingleHashes(spark: org.apache.spark.sql.SparkSession,
+      text: Column, n: Int): Column =
+    if (graft.plans.GraftExtensions.available(spark))
+      call_function("ngram_hashes",
+        split(lower(trim(text)), "[\\s\\p{Punct}]+"), lit(n))
+    else transform(TextAnalysis.wordShingles(text, n), s => xxhash64(s))
+
+  /** Column-form MinHash signature over word shingles (convenience;
+    * inside [[minHashNearDupPairs]] the hash array is materialized as
+    * a column so it evaluates once per row).
+    */
+  def minHashSignature(text: Column, shingleSize: Int = 5, k: Int = 32): Column =
+    minHashFromHashes(
+      transform(TextAnalysis.wordShingles(text, shingleSize),
+        s => xxhash64(s)), k)
 
   /** LSH band keys from a MinHash signature: `bands` hashes, each over
     * `rows = k/bands` consecutive signature slots. Two docs sharing ANY
@@ -66,26 +102,49 @@ object Dedup {
   def minHashNearDupPairs(
       df: DataFrame, idCol: String, textCol: String,
       shingleSize: Int = 5, k: Int = 32, bands: Int = 16,
-      threshold: Double = 0.6): DataFrame = {
+      threshold: Double = 0.6, maxBucketSize: Int = 100): DataFrame = {
     // bands=16/rows=2 targets j ≈ (1/bands)^(1/rows) ≈ 0.25: recall at
     // j=0.5 is 1-(1-0.25)^16 ≈ 0.99; rows=4 would coin-flip there.
+    // maxBucketSize drops degenerate "stop buckets": a band key shared
+    // by B docs yields B²/2 candidates, so one hot bucket (common
+    // boilerplate shingles) turns LSH quadratic. Oversized buckets
+    // carry no dedup signal — standard web-dedup practice is to skip
+    // them; pairs inside them are only lost if they share NO other
+    // non-hot band (probability (1-j²)^15 per remaining band).
     val rows = k / bands
-    val banded = df.select(
+    val spark = df.sparkSession
+    val shingled = df.select(
       col(idCol).as("id"),
-      TextAnalysis.wordShingles(col(textCol), shingleSize).as("shingles"))
-      .withColumn("sig", transform(sequence(lit(0), lit(k - 1)),
-        i => array_min(transform(col("shingles"), s => xxhash64(i, s)))))
-      .select(col("id"), col("shingles"),
+      shingleHashes(spark, col(textCol), shingleSize).as("shingles"))
+    // The band join carries ONLY (id, band) — shingle arrays never ride
+    // the candidate-generation shuffle — and candidate pairs are
+    // dedup'd BEFORE verification, so Jaccard runs once per pair
+    // instead of once per shared band. At corpus scale this is the
+    // difference between shuffling ids and shuffling the corpus.
+    val banded = shingled
+      .withColumn("sig", minHashColumn(spark, col("shingles"), k))
+      .select(col("id"),
         posexplode(lshBandKeys(col("sig"), bands, rows)).as(Seq("band_idx", "band_key")))
-    val a = banded.select(col("band_idx"), col("band_key"),
-      col("id").as("id_a"), col("shingles").as("sh_a"))
-    val b = banded.select(col("band_idx"), col("band_key"),
-      col("id").as("id_b"), col("shingles").as("sh_b"))
-    a.join(b, Seq("band_idx", "band_key"))
+    val capped = banded
+      .withColumn("__bucket_n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("band_idx"), col("band_key"))))
+      .filter(col("__bucket_n") <= maxBucketSize)
+      .drop("__bucket_n")
+    val candidates = capped.select(col("band_idx"), col("band_key"),
+        col("id").as("id_a"))
+      .join(capped.select(col("band_idx"), col("band_key"),
+        col("id").as("id_b")), Seq("band_idx", "band_key"))
       .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .distinct()
+    candidates
+      .join(shingled.select(col("id").as("id_a"), col("shingles").as("sh_a")),
+        Seq("id_a"))
+      .join(shingled.select(col("id").as("id_b"), col("shingles").as("sh_b")),
+        Seq("id_b"))
       .select(col("id_a"), col("id_b"),
         jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
-      .distinct()
       .filter(col("jaccard") >= threshold)
   }
 
@@ -102,7 +161,7 @@ object Dedup {
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       shingleSize: Int, minJaccard: Double): DataFrame = {
     val sh = df.select(col(idCol).as("id"),
-      TextAnalysis.wordShingles(col(textCol), shingleSize).as("sh"))
+      shingleHashes(df.sparkSession, col(textCol), shingleSize).as("sh"))
     val a = sh.select(col("id").as("id_a"), col("sh").as("sh_a"))
     val b = sh.select(col("id").as("id_b"), col("sh").as("sh_b"))
     a.crossJoin(b).filter(col("id_a") < col("id_b"))

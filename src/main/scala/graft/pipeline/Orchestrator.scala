@@ -1,0 +1,151 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.io.Tables
+import graft.load.{Loader, LoadStats, OverlapReport}
+import graft.profile.Profiler
+import graft.schema.{DdlGenerator, Names}
+import graft.store.Warehouse
+import graft.transform.Transforms
+
+/** Engine configuration — the typed form of the reference's YAML tree
+  * (`config/app_config.yaml`, loaded by `config_manager.py:11-43`).
+  * `uniqueColumns` mirrors `app_config.yaml:11-13` exactly.
+  */
+final case class EngineConfig(
+    warehouseDir: String,
+    uniqueColumns: Map[String, Seq[String]] = EngineConfig.DefaultUniqueColumns,
+    timeColumn: String = "timestamp",
+    entityColumn: String = "building_id")
+
+object EngineConfig {
+  /** `app_config.yaml:11-13`: metadata→building_id, weather→(timestamp,
+    * site_id), raw→(timestamp, building_id, meter). */
+  val DefaultUniqueColumns: Map[String, Seq[String]] = Map(
+    "metadata" -> Seq("building_id"),
+    "weather" -> Seq("timestamp", "site_id"),
+    "raw" -> Seq("timestamp", "building_id", "meter"))
+}
+
+/** The reference's `Orchestrator` (`orchestrator.py:17-161`) as a
+  * Spark pipeline — the three stages of SURVEY §3:
+  *
+  *  - transformData: per-folder CSV → melt-or-identity → parquet
+  *    (`§3.2`; the 50k-chunk loop and temp-file merge disappear into
+  *    one distributed job per file)
+  *  - loadData: per parquet file: profile → infer schema → create
+  *    table → overlap check → dedup-append (`§3.1`; staging tables,
+  *    COPY serialization and thread pools collapse into the Loader's
+  *    anti-join append)
+  *  - analytics over the loaded warehouse via plain spark.sql
+  *
+  * Scale: each per-file job is independent and internally distributed;
+  * nothing here iterates rows on the driver.
+  */
+final class Orchestrator(spark: SparkSession, config: EngineConfig) {
+
+  val warehouse = new Warehouse(spark, config.warehouseDir)
+  private val loader = new Loader(spark, warehouse)
+
+  /** §3.2 transform stage: walk `root` for CSV files, route each
+    * folder to melt or identity (`data_transformer.py:376-383`), write
+    * consolidated parquet per folder under `outDir`.
+    */
+  def transformData(root: String, outDir: String): Map[String, String] = {
+    val byFolder = Tables.findFilesByExtension(root, ".csv")
+    byFolder.map { case (folder, files) =>
+      val folderName = new java.io.File(folder).getName
+      val outPath = s"$outDir/${Names.deriveTableName(folderName)}"
+      val dfs = files.map { f =>
+        val stem = Names.deriveTableName(f)
+        val raw = spark.read.option("header", "true")
+          .option("inferSchema", "true").csv(f)
+        Transforms.transformForFolder(folderName, stem)(raw)
+      }
+      dfs.reduce(_ unionByName _).write.mode("overwrite").parquet(outPath)
+      folderName -> outPath
+    }
+  }
+
+  /** §3.1 load stage for one parquet file: profile + infer the SQL
+    * schema (reused unless replace — `schema_analysis_orchestrator.py:
+    * 73-83`), create the table, run the overlap pre-check, then
+    * dedup-append. Returns the reference's result shape: schema DDL,
+    * overlap report, load stats.
+    */
+  def loadFile(
+      path: String,
+      tableName: Option[String] = None,
+      ifExists: String = "skip",
+      skipOnOverlap: Boolean = false): LoadResult = {
+    val table = tableName.getOrElse(Names.deriveTableName(path))
+    val df = Tables.readParquet(spark, path)
+    val defs = Profiler.analyzeSchema(df)
+    val keys = config.uniqueColumns.getOrElse(table,
+      Seq(df.columns.head))
+    val ddl = DdlGenerator.createTable(table, defs.map(_._2), keys)
+    if (!warehouse.tableExists(table))
+      warehouse.createTable(table, df.schema, ifExists = ifExists,
+        uniqueKeys = keys)
+    val hasTime = df.columns.contains(config.timeColumn)
+    val entityCol = keys.find(_ != config.timeColumn)
+      .getOrElse(df.columns.head)
+    val (report, stats) =
+      if (hasTime)
+        loader.load(df, table, keys, config.timeColumn, entityCol,
+          skipOnOverlap)
+      else (OverlapReport(hasOverlap = false, 0, None, None, Nil),
+        Some(loader.dedupAppend(df, table, keys)))
+    LoadResult(table, ddl, report, stats)
+  }
+
+  /** Ad-hoc SQL over the warehouse (`orchestrator.py:60-88` →
+    * `spark.sql`): registers every warehouse table as a temp view
+    * first.
+    */
+  def sql(query: String): DataFrame = {
+    val dir = new java.io.File(config.warehouseDir)
+    if (dir.exists()) dir.listFiles().filter(_.isDirectory).foreach { t =>
+      warehouse.read(t.getName).createOrReplaceTempView(t.getName)
+    }
+    spark.sql(query)
+  }
+}
+
+final case class LoadResult(
+    table: String,
+    ddl: String,
+    overlap: OverlapReport,
+    stats: Option[LoadStats])
+
+/** Column-coercion helpers — reference P4/P5
+  * (`data_loader.py:551-604`).
+  */
+object Coercions {
+
+  /** P4: apply a column transform to each listed column that exists
+    * (`apply_to_columns`). */
+  def applyToColumns(df: DataFrame, cols: Seq[String],
+      f: org.apache.spark.sql.Column => org.apache.spark.sql.Column): DataFrame =
+    cols.filter(df.columns.contains).foldLeft(df)((d, c) =>
+      d.withColumn(c, f(col(c))))
+
+  /** P5: to-numeric(coerce) → round → nullable integer
+    * (`convert_to_numeric_int64`): try_cast gives pandas
+    * `errors='coerce'` semantics under ANSI mode (Spark 4 default) —
+    * malformed values become NULL instead of throwing.
+    */
+  def toNullableLong(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    round(c.try_cast("double")).try_cast("long")
+
+  /** The reference's special-cased BDG2 integer columns
+    * (`data_loader.py:622-626`). */
+  val Bdg2IntColumns: Seq[String] = Seq(
+    "site_id_kaggle", "building_id_kaggle", "sqft", "yearbuilt",
+    "numberoffloors", "occupants", "precipDepth1HR", "windDirection",
+    "cloudCoverage", "precipDepth6HR")
+
+  def coerceBdg2Integers(df: DataFrame): DataFrame =
+    applyToColumns(df, Bdg2IntColumns, toNullableLong)
+}
