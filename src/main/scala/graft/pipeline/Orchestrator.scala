@@ -120,9 +120,18 @@ final case class LoadResult(
     stats: Option[LoadStats])
 
 /** Column-coercion helpers — reference P4/P5
-  * (`data_loader.py:551-604`).
+  * (`data_loader.py:551-604`) — and the dynamic conjunctive filter P6
+  * (`postgres_manager.py:237-281`).
   */
 object Coercions {
+
+  /** P6: build `k1=v1 AND k2=v2 AND …` from a map — the reference's
+    * dynamically-assembled WHERE clause, as a fold of typed predicates
+    * (each one pushdown-eligible).
+    */
+  def conjunctiveFilter(df: DataFrame,
+      filters: Map[String, Any]): DataFrame =
+    filters.foldLeft(df) { case (d, (k, v)) => d.filter(col(k) === lit(v)) }
 
   /** P4: apply a column transform to each listed column that exists
     * (`apply_to_columns`). */

@@ -118,6 +118,33 @@ final class Warehouse(spark: SparkSession, location: String) {
     new java.io.File(tmp).renameTo(cur)
   }
 
+  /** Table definition — columns + declared keys + partitioning
+    * (`get_table_definition`, `postgres_manager.py:678-712`; unique
+    * keys live in engine metadata since Spark has no constraints).
+    */
+  def tableDefinition(table: String): TableDefinition = {
+    val schema = read(table).schema
+    val meta = readMeta(table)
+    TableDefinition(table,
+      schema.fields.map(f => (f.name, f.dataType.simpleString, f.nullable)).toSeq,
+      meta.map(_.uniqueKeys).getOrElse(Nil),
+      meta.map(_.partitionBy).getOrElse(Nil))
+  }
+
+  /** Backup analogue (`create_backup`, `postgres_manager.py:657-675`):
+    * export every table to parquet under `targetDir` (the embedded-
+    * engine replacement for pg_dump noted in SURVEY §2.1 S16).
+    */
+  def exportAll(targetDir: String): Seq[String] = {
+    val dir = new java.io.File(location)
+    if (!dir.exists()) Nil
+    else dir.listFiles().filter(_.isDirectory).map(_.getName).toSeq.sorted
+      .map { t =>
+        read(t).write.mode(SaveMode.Overwrite).parquet(s"$targetDir/$t")
+        t
+      }
+  }
+
   // --- tiny JSON-ish sidecar for table metadata (keys, partitioning) ---
 
   final case class TableMeta(partitionBy: Seq[String], uniqueKeys: Seq[String])
@@ -149,3 +176,9 @@ final class Warehouse(spark: SparkSession, location: String) {
 
 final case class TableStats(table: String, numRows: Long, sizeBytes: Long,
     numFiles: Int)
+
+final case class TableDefinition(
+    table: String,
+    columns: Seq[(String, String, Boolean)], // (name, type, nullable)
+    uniqueKeys: Seq[String],
+    partitionBy: Seq[String])
