@@ -190,6 +190,19 @@ object Dedup {
     }.reduce(_ + _)
   }
 
+  /** [[simHash]] preferring the native `simhash64` expression (one
+    * counter pass vs 64 interpreted aggregate passes) when the session
+    * carries GraftExtensions. Both paths compute the identical
+    * signature (same token hashes, same sign rule).
+    */
+  def simHashColumn(spark: org.apache.spark.sql.SparkSession,
+      text: Column): Column = {
+    if (graft.plans.GraftExtensions.available(spark)) {
+      val toks = array_distinct(split(lower(trim(text)), "[\\s\\p{Punct}]+"))
+      call_function("simhash64", transform(toks, t => xxhash64(t)))
+    } else simHash(text)
+  }
+
   /** Hamming distance between two 64-bit signatures. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
@@ -203,7 +216,8 @@ object Dedup {
       maxDistance: Int = 3): DataFrame = {
     val chunks = maxDistance + 1
     val bits = 64 / chunks
-    val sigs = df.select(col(idCol).as("id"), simHash(col(textCol)).as("sig"))
+    val sigs = df.select(col(idCol).as("id"),
+      simHashColumn(df.sparkSession, col(textCol)).as("sig"))
     val chunkArr = array((0 until chunks).map(c =>
       shiftright(col("sig"), c * bits).bitwiseAND(lit((1L << bits) - 1))): _*)
     val banded = sigs.select(col("id"), col("sig"),

@@ -35,7 +35,7 @@ case class MinHashSlots(child: Expression, k: Int)
         org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
       case other =>
         org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-          s"minhash_slots needs array<bigint>, got ${other.simpleString(40)}")
+          s"minhash_slots needs array<bigint>, got ${other.simpleString}")
     }
   }
 
@@ -108,6 +108,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case Seq(arr, Literal(nv: Int, IntegerType)) => NgramHashes(arr, nv)
         case _ => throw new IllegalArgumentException(
           "usage: ngram_hashes(array<string>, <int literal n>)")
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("simhash64"),
+      new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
+      (children: Seq[Expression]) => children match {
+        case Seq(arr) => SimHash64(arr)
+        case _ => throw new IllegalArgumentException(
+          "usage: simhash64(array<bigint>)")
       }))
   }
 }

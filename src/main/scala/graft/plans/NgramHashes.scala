@@ -34,7 +34,7 @@ case class NgramHashes(child: Expression, n: Int)
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
     case other => TypeCheckResult.TypeCheckFailure(
-      s"ngram_hashes needs array<string>, got ${other.simpleString(40)}")
+      s"ngram_hashes needs array<string>, got ${other.simpleString}")
   }
 
   override def nullSafeEval(input: Any): Any = {
