@@ -59,6 +59,14 @@ object PipelineDemo {
         |GROUP BY r.building_id, m.sqft
         |ORDER BY r.building_id""".stripMargin)
       .show(truncate = false)
+
+    println("== analytics layer: daily rollup + energy-use intensity ==")
+    val raw = orch.warehouse.read("raw")
+    val meta = orch.warehouse.read("metadata")
+    graft.analytics.EnergyAnalytics.consumptionRollup(raw, "1 day")
+      .orderBy("building_id", "bucket_start").show(truncate = false)
+    graft.analytics.EnergyAnalytics.energyUseIntensity(raw, meta)
+      .orderBy("building_id").show(truncate = false)
     spark.stop()
   }
 }
