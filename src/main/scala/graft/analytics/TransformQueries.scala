@@ -74,14 +74,22 @@ object TransformQueries {
   }
 
   /** Systematic sampling (SURVEY SA2): every ⌊total/size⌋-th row in
-    * key order. cappedSize(100, 15000) = 75 → stride 200.
+    * key order. The oracle recomputes the capped size and stride from
+    * the table's own count (min(requested, 100k, 0.5%·total), stride =
+    * total ÷ size) so the check holds at every scale factor — a
+    * hardcoded stride silently diverges the moment the row count
+    * changes.
     */
   val qSampleSystematic: QueryDef = QueryDef.sql(
     "q_sample_systematic",
-    """SELECT o_orderkey FROM (
-      |  SELECT o_orderkey, row_number() OVER (ORDER BY o_orderkey) AS rn
+    """WITH p AS (
+      |  SELECT greatest(count(*) // least(100,
+      |           greatest(CAST(count(*) * 0.005 AS BIGINT), 1)), 1) AS step
       |  FROM orders)
-      |WHERE (rn - 1) % 200 = 0
+      |SELECT o_orderkey FROM (
+      |  SELECT o_orderkey, row_number() OVER (ORDER BY o_orderkey) AS rn
+      |  FROM orders) CROSS JOIN p
+      |WHERE (rn - 1) % step = 0
       |ORDER BY o_orderkey""".stripMargin,
     doc = "systematic sampling stride (SURVEY SA2)") { (s, dir) =>
     new Sampling.SystematicStrategy("o_orderkey")

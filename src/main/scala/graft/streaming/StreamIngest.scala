@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{DataStreamWriter, Trigger}
 import org.apache.spark.sql.types.StructType
@@ -86,6 +86,47 @@ object StreamIngest {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+  }
+
+  /** Per-entity running state — cumulative sum + count + threshold
+    * crossings — via `flatMapGroupsWithState` (the custom-state
+    * escalation path when windows/dedup can't express the semantics).
+    * State is one small record per entity; emits a record per input
+    * batch per entity. NoTimeout keeps one-shot (AvailableNow) runs
+    * terminating — a ProcessingTimeTimeout holds the query open until
+    * the timeout batch fires; long-running deployments that need
+    * eviction should switch the timeout conf and run continuous
+    * triggers.
+    */
+  final case class EntityState(total: Double, n: Long, crossings: Long)
+  final case class EntityUpdate(entity: String, total: Double, n: Long,
+      crossings: Long)
+
+  def runningTotals(df: DataFrame, entityCol: String, valueCol: String,
+      threshold: Double)(
+      implicit spark: SparkSession): Dataset[EntityUpdate] = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    df.select(col(entityCol).cast("string").as("entity"),
+        col(valueCol).cast("double").as("value"))
+      .as[(String, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[EntityState, EntityUpdate](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (entity, rows, state: GroupState[EntityState]) =>
+          val prev = state.getOption.getOrElse(EntityState(0.0, 0L, 0L))
+          var total = prev.total
+          var n = prev.n
+          var crossings = prev.crossings
+          rows.foreach { case (_, v) =>
+            val before = total
+            total += v
+            n += 1
+            if (before <= threshold && total > threshold) crossings += 1
+          }
+          state.update(EntityState(total, n, crossings))
+          Iterator(EntityUpdate(entity, total, n, crossings))
+      }
   }
 
   /** Run a streaming transform one-shot into an in-memory table and

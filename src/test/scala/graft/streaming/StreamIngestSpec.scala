@@ -66,6 +66,44 @@ class StreamIngestSpec extends SparkSpec {
     assert(byWindow("2024-01-01 01:00:00.0") === ((1L, 4.0)))
   }
 
+  test("flatMapGroupsWithState running totals accumulate across batches") {
+    implicit val s = spark
+    val in = Files.createTempDirectory("st_in").toString
+    val ckpt = Files.createTempDirectory("st_ck").toString
+    writeBatch(in, "b1", Seq(
+      (ts("2024-01-01 00:00:00"), "a", 30.0),
+      (ts("2024-01-01 00:01:00"), "a", 30.0),
+      (ts("2024-01-01 00:02:00"), "b", 10.0)))
+    val out = Files.createTempDirectory("st_out").toString
+    val schema = spark.read.parquet(in).schema
+
+    // memory sink can't recover from a checkpoint — parquet sink keeps
+    // the cross-run state story honest
+    def runOnce(): Unit = {
+      val stream = StreamIngest.readFileStream(spark, in, schema)
+      val updates = StreamIngest.runningTotals(
+        stream.toDF(), "entity", "value", threshold = 50.0)
+      val q = updates.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    def updates() = spark.read.parquet(out).collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getLong(2), r.getLong(3)))
+      .toSet
+
+    runOnce()
+    assert(updates() === Set(("a", 60.0, 2L, 1L), ("b", 10.0, 1L, 0L)))
+
+    // second batch: state persists via the checkpoint; totals accumulate
+    writeBatch(in, "b2", Seq((ts("2024-01-01 00:03:00"), "b", 45.0)))
+    runOnce()
+    assert(updates().contains(("b", 55.0, 2L, 1L))) // crossed 50 now
+  }
+
   test("sessionAgg groups by inactivity gap") {
     val in = Files.createTempDirectory("sess_in").toString
     writeBatch(in, "b", Seq(
