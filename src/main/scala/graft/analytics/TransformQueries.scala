@@ -116,7 +116,22 @@ object TransformQueries {
       .orderBy("lang", "doc_id")
   }
 
+  /** Random sampling (SURVEY SA1): seeded Bernoulli draw with forced
+    * first/last-row inclusion. Rows-only — Spark's sample() draw is
+    * engine-specific (membership is seeded-deterministic within Spark
+    * but has no DuckDB twin); cap/inclusion laws are assert-checked in
+    * SamplingSpec.
+    */
+  val qSampleRandom: QueryDef = QueryDef.rowsOnly(
+    "q_sample_random",
+    doc = "seeded random sampling w/ first+last inclusion (SURVEY SA1)") { (s, dir) =>
+    new Sampling.RandomStrategy("o_orderkey")
+      .sample(t(s, dir, "orders"), 200)
+      .select("o_orderkey")
+      .orderBy("o_orderkey")
+  }
+
   val all: Seq[QueryDef] = Seq(
     qMelt, qNormalizeGlobal, qNormalizeGroup, qSampleSystematic,
-    qSampleStratified)
+    qSampleStratified, qSampleRandom)
 }

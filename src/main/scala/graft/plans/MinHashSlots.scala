@@ -117,6 +117,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case _ => throw new IllegalArgumentException(
           "usage: simhash64(array<bigint>)")
       }))
+    // opt-in via spark.graft.rewriteLargeIn=true
+    ext.injectOptimizerRule(spark => LargeInToSemiJoin(spark))
   }
 }
 
