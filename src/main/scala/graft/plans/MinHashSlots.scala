@@ -117,6 +117,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case _ => throw new IllegalArgumentException(
           "usage: simhash64(array<bigint>)")
       }))
+    ext.injectFunction((
+      new FunctionIdentifier("profile_col"),
+      new ExpressionInfo(classOf[ColumnProfileAgg].getName, "profile_col"),
+      (children: Seq[Expression]) => children match {
+        case Seq(c) => ColumnProfileAgg(c)
+        case _ => throw new IllegalArgumentException("usage: profile_col(col)")
+      }))
     // opt-in via spark.graft.rewriteLargeIn=true
     ext.injectOptimizerRule(spark => LargeInToSemiJoin(spark))
   }

@@ -110,6 +110,49 @@ object Profiler {
     }
   }
 
+  /** Single-buffer fast path: one `profile_col` TypedImperativeAggregate
+    * per column + HLL distinct — one scan, no Expand (the exact
+    * multi-column countDistinct in [[profile]] replicates input rows
+    * once per distinct aggregate). Requires a session with
+    * GraftExtensions; metric semantics match [[profile]] except
+    * distinctCount is approximate.
+    */
+  def profileFast(df: DataFrame): Seq[ColumnProfile] = {
+    require(graft.plans.GraftExtensions.available(df.sparkSession),
+      "profileFast needs GraftExtensions (spark.sql.extensions)")
+    val fields = df.schema.fields.toSeq
+    val aggs = fields.flatMap { f =>
+      // non-numeric columns profile through their SQL string form so
+      // maxStrLen matches the composed path (internal reps like
+      // timestamp micros would otherwise measure the wrong string)
+      val input =
+        if (isNumeric(f.dataType)) col(f.name) else col(f.name).cast("string")
+      Seq(call_function("profile_col", input).as(s"${f.name}__p"),
+        approx_count_distinct(col(f.name)).as(s"${f.name}__distinct"))
+    }
+    val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+    fields.map { f =>
+      val p = row.getStruct(row.fieldIndex(s"${f.name}__p"))
+      val numeric = isNumeric(f.dataType)
+      ColumnProfile(
+        name = f.name,
+        sparkType = f.dataType,
+        count = p.getAs[Long]("count"),
+        nullCount = p.getAs[Long]("nulls"),
+        distinctCount = row.getAs[Long](s"${f.name}__distinct"),
+        minNumeric =
+          if (numeric && !p.getAs[Double]("min_n").isNaN)
+            Some(p.getAs[Double]("min_n")) else None,
+        maxNumeric =
+          if (numeric && !p.getAs[Double]("max_n").isNaN)
+            Some(p.getAs[Double]("max_n")) else None,
+        allIntegral = numeric && p.getAs[Boolean]("all_integral"),
+        maxDecimalPlaces = if (numeric) p.getAs[Int]("max_dec") else 0,
+        maxStrLen = if (!numeric) p.getAs[Int]("max_len") else 0,
+        sampleValues = Nil)
+    }
+  }
+
   /** Ordered-column monotonicity (`schema_analyzer.py:88`) — requires
     * an explicit order column because Spark has no row order (SURVEY
     * §7.4.3). One window pass; nondecreasing/nonincreasing like
