@@ -78,13 +78,15 @@ object TransformQueries {
     * the table's own count (min(requested, 100k, 0.5%·total), stride =
     * total ÷ size) so the check holds at every scale factor — a
     * hardcoded stride silently diverges the moment the row count
-    * changes.
+    * changes. floor() is explicit because DuckDB's double->bigint cast
+    * ROUNDS while Scala's .toLong truncates (off-by-one at sf0.001
+    * where 0.5% of 1500 = 7.5).
     */
   val qSampleSystematic: QueryDef = QueryDef.sql(
     "q_sample_systematic",
     """WITH p AS (
       |  SELECT greatest(count(*) // least(100,
-      |           greatest(CAST(count(*) * 0.005 AS BIGINT), 1)), 1) AS step
+      |           greatest(CAST(floor(count(*) * 0.005) AS BIGINT), 1)), 1) AS step
       |  FROM orders)
       |SELECT o_orderkey FROM (
       |  SELECT o_orderkey, row_number() OVER (ORDER BY o_orderkey) AS rn
