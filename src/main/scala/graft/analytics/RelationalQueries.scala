@@ -372,8 +372,25 @@ object RelationalQueries {
       .orderBy("o_orderpriority", "rn")
   }
 
+  /** CUBE grouping sets (beyond-reference analytics surface, companion
+    * to [[qRollup]]): all subtotal combinations of two dimensions.
+    */
+  val qCube: QueryDef = QueryDef.sql(
+    "q_cube",
+    """SELECT o_orderstatus, o_orderpriority, count(*) AS n
+      |FROM orders
+      |GROUP BY CUBE (o_orderstatus, o_orderpriority)
+      |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+    doc = "CUBE grouping sets") { (s, dir) =>
+    t(s, dir, "orders")
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("o_orderstatus").asc_nulls_first,
+        col("o_orderpriority").asc_nulls_first)
+  }
+
   val all: Seq[QueryDef] = Seq(
     q1Agg, qScanProject, qFilterIn, qJoinInner, qJoinAnti, qJoinSemi,
     qJoinLeftOuter, qJoinCrossBounds, qJoinTheta, qJoinNullSafe, qJoinUsing,
-    qUnionAll, qExcept, qRollup, qTopK, qWindowRank)
+    qUnionAll, qExcept, qRollup, qCube, qTopK, qWindowRank)
 }
