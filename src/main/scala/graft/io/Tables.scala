@@ -40,8 +40,12 @@ object Tables {
     val df = spark.read.parquet(path)
     val nsCols = nanoTimestampColumns(spark, path)
     nsCols.foldLeft(df) { (d, c) =>
+      // `div` is integral long division. `/` on longs is double division,
+      // and at 2026-epoch ns magnitudes (~1.8e18, double ulp = 256 ns)
+      // ~12% of stamps would land 1 µs off vs exact truncation — enough
+      // to diverge µs-exact gap arithmetic from any exact-integer reader.
       d.withColumn(c, org.apache.spark.sql.functions.timestamp_micros(
-        (org.apache.spark.sql.functions.col(c) / 1000L).cast("long")))
+        org.apache.spark.sql.functions.expr(s"`$c` div 1000")))
     }
   }
 

@@ -18,8 +18,11 @@ def norm(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        # tolerate float noise: round to 6 significant-ish decimals
-        return f"{v:.6g}"
+        # Full round-trip precision: the driver hashes exact values, so a
+        # lenient local formatter (the old %.6g) can pass what the driver
+        # fails. Queries must produce bit-identical doubles in both
+        # engines (decimal-cast sums, exact integer arithmetic).
+        return repr(v)
     if isinstance(v, bytes):
         return v.hex()
     if isinstance(v, list):
