@@ -105,9 +105,8 @@ final class Orchestrator(spark: SparkSession, config: EngineConfig) {
     * first.
     */
   def sql(query: String): DataFrame = {
-    val dir = new java.io.File(config.warehouseDir)
-    if (dir.exists()) dir.listFiles().filter(_.isDirectory).foreach { t =>
-      warehouse.read(t.getName).createOrReplaceTempView(t.getName)
+    warehouse.listTables().foreach { t =>
+      warehouse.read(t).createOrReplaceTempView(t)
     }
     spark.sql(query)
   }

@@ -1,11 +1,18 @@
 package graft.store
 
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.types.StructType
 
 /** Warehouse layer — the engine-management surface of the reference's
   * `postgres_manager.py` table API (SURVEY §2.12), re-expressed over
   * the Spark catalog + Parquet storage.
+  *
+  * All filesystem access goes through the Hadoop [[FileSystem]] API so
+  * `location` may be any supported URI — `file:///`, `hdfs://`,
+  * `s3a://` — not just the local disk the tests use. That is the
+  * difference between a demo store and one a 1000-executor cluster can
+  * actually point at.
   *
   * Unique keys have no engine-enforced constraint (Spark has none);
   * they are recorded as table properties and enforced at merge time by
@@ -17,9 +24,12 @@ final class Warehouse(spark: SparkSession, location: String) {
 
   private def path(table: String) = s"$location/$table"
 
+  private def fs: FileSystem =
+    new Path(location).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
   /** `postgres_manager.py:431-441`. */
   def tableExists(table: String): Boolean =
-    new java.io.File(path(table)).exists()
+    fs.exists(new Path(path(table)))
 
   /** `create_table_from_schema` (`postgres_manager.py:443-490`) with
     * if-exists modes fail/replace/skip
@@ -44,14 +54,10 @@ final class Warehouse(spark: SparkSession, location: String) {
   }
 
   def dropTable(table: String): Unit = {
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) f.listFiles().foreach(rm)
-      f.delete()
-    }
-    val f = new java.io.File(path(table))
-    if (f.exists()) rm(f)
-    val m = new java.io.File(metaPath(table))
-    if (m.exists()) m.delete()
+    val p = new Path(path(table))
+    if (fs.exists(p)) fs.delete(p, true)
+    val m = new Path(metaPath(table))
+    if (fs.exists(m)) fs.delete(m, false)
   }
 
   def read(table: String): DataFrame = spark.read.parquet(path(table))
@@ -85,17 +91,33 @@ final class Warehouse(spark: SparkSession, location: String) {
     (onlyA, onlyB, retyped)
   }
 
-  /** Table stats — rows from parquet footers (no data scan), bytes
-    * from the filesystem (`postgres_manager.py:509-535` sizes,
-    * `:923-931` estimated counts).
+  /** Data files of a table, recursively (partitioned layouts nest). */
+  private def dataFiles(table: String): Seq[org.apache.hadoop.fs.LocatedFileStatus] = {
+    val it = fs.listFiles(new Path(path(table)), true)
+    val buf = Seq.newBuilder[org.apache.hadoop.fs.LocatedFileStatus]
+    while (it.hasNext) {
+      val s = it.next()
+      if (s.getPath.getName.endsWith(".parquet")) buf += s
+    }
+    buf.result()
+  }
+
+  /** Table stats — rows AND bytes from parquet footers / file listings
+    * only, no data scan (`postgres_manager.py:509-535` sizes,
+    * `:923-931` estimated counts — the reference also reads catalog
+    * stats rather than counting rows). Footer reads are metadata-sized;
+    * at cluster scale this is one small RPC per file, not a table scan.
     */
   def tableStats(table: String): TableStats = {
-    val dir = new java.io.File(path(table))
-    def walk(f: java.io.File): Seq[java.io.File] =
-      if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
-    val files = walk(dir).filter(_.getName.endsWith(".parquet"))
-    TableStats(table, read(table).count(), files.map(_.length()).sum,
-      files.size)
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    val conf = spark.sparkContext.hadoopConfiguration
+    val files = dataFiles(table)
+    val rows = files.map { s =>
+      val r = ParquetFileReader.open(HadoopInputFile.fromPath(s.getPath, conf))
+      try r.getRecordCount finally r.close()
+    }.sum
+    TableStats(table, rows, files.map(_.getLen).sum, files.size)
   }
 
   /** Compaction — the VACUUM/CLUSTER analogue (`postgres_manager.py:
@@ -105,17 +127,15 @@ final class Warehouse(spark: SparkSession, location: String) {
     */
   def compact(table: String, targetFiles: Int): Unit = {
     val parts = readMeta(table).map(_.partitionBy).getOrElse(Nil)
-    val tmp = path(table) + "__compact"
+    val tmp = new Path(path(table) + "__compact")
     val df = read(table).repartition(targetFiles)
     val w = df.write.mode(SaveMode.Overwrite)
-    (if (parts.nonEmpty) w.partitionBy(parts: _*) else w).parquet(tmp)
-    val cur = new java.io.File(path(table))
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) f.listFiles().foreach(rm)
-      f.delete()
-    }
-    rm(cur)
-    new java.io.File(tmp).renameTo(cur)
+    (if (parts.nonEmpty) w.partitionBy(parts: _*) else w)
+      .parquet(tmp.toString)
+    val cur = new Path(path(table))
+    fs.delete(cur, true)
+    if (!fs.rename(tmp, cur))
+      sys.error(s"compact: rename $tmp -> $cur failed")
   }
 
   /** Table definition — columns + declared keys + partitioning
@@ -131,21 +151,25 @@ final class Warehouse(spark: SparkSession, location: String) {
       meta.map(_.partitionBy).getOrElse(Nil))
   }
 
+  /** All table names in this warehouse (directories under location). */
+  def listTables(): Seq[String] = {
+    val root = new Path(location)
+    if (!fs.exists(root)) Nil
+    else fs.listStatus(root).filter(_.isDirectory).map(_.getPath.getName)
+      .toSeq.sorted
+  }
+
   /** Backup analogue (`create_backup`, `postgres_manager.py:657-675`):
     * export every table to parquet under `targetDir` (the embedded-
     * engine replacement for pg_dump noted in SURVEY §2.1 S16).
     */
-  def exportAll(targetDir: String): Seq[String] = {
-    val dir = new java.io.File(location)
-    if (!dir.exists()) Nil
-    else dir.listFiles().filter(_.isDirectory).map(_.getName).toSeq.sorted
-      .map { t =>
-        read(t).write.mode(SaveMode.Overwrite).parquet(s"$targetDir/$t")
-        t
-      }
-  }
+  def exportAll(targetDir: String): Seq[String] =
+    listTables().map { t =>
+      read(t).write.mode(SaveMode.Overwrite).parquet(s"$targetDir/$t")
+      t
+    }
 
-  // --- tiny JSON-ish sidecar for table metadata (keys, partitioning) ---
+  // --- tiny properties sidecar for table metadata (keys, partitioning) ---
 
   final case class TableMeta(partitionBy: Seq[String], uniqueKeys: Seq[String])
 
@@ -156,16 +180,16 @@ final class Warehouse(spark: SparkSession, location: String) {
     val props = new java.util.Properties()
     props.setProperty("partitionBy", partitionBy.mkString(","))
     props.setProperty("uniqueKeys", uniqueKeys.mkString(","))
-    val out = new java.io.FileOutputStream(metaPath(table))
+    val out = fs.create(new Path(metaPath(table)), true)
     try props.store(out, null) finally out.close()
   }
 
   def readMeta(table: String): Option[TableMeta] = {
-    val f = new java.io.File(metaPath(table))
-    if (!f.exists()) None
+    val p = new Path(metaPath(table))
+    if (!fs.exists(p)) None
     else {
       val props = new java.util.Properties()
-      val in = new java.io.FileInputStream(f)
+      val in = fs.open(p)
       try props.load(in) finally in.close()
       def split(k: String) = Option(props.getProperty(k)).map(_.trim)
         .filter(_.nonEmpty).map(_.split(",").toSeq).getOrElse(Nil)

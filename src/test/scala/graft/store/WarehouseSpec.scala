@@ -51,6 +51,21 @@ class WarehouseSpec extends SparkSpec {
     assert(after.numRows === 100 && after.numFiles === 1)
   }
 
+  test("full lifecycle against an explicit file:/// URI (Hadoop FS path, not java.io)") {
+    val wh = new Warehouse(spark,
+      Files.createTempDirectory("graft_wh_uri").toUri.toString.stripSuffix("/"))
+    wh.createTable("t", schema, uniqueKeys = Seq("id"))
+    assert(wh.tableExists("t"))
+    wh.append("t", Seq((1L, 2.0), (2L, 3.0)).toDF("id", "v"))
+    assert(wh.tableStats("t").numRows === 2)
+    assert(wh.listTables() === Seq("t"))
+    assert(wh.readMeta("t").map(_.uniqueKeys) === Some(Seq("id")))
+    wh.compact("t", 1)
+    assert(wh.read("t").count() === 2)
+    wh.dropTable("t")
+    assert(!wh.tableExists("t") && wh.readMeta("t").isEmpty)
+  }
+
   test("unique keys + partitioning persist in table meta") {
     val wh = fresh()
     wh.createTable("t", schema, partitionBy = Nil, uniqueKeys = Seq("id"))
