@@ -37,13 +37,55 @@ final case class LoadStats(
   *
   *   incoming.dropDuplicates(keys) ⟕anti target → append
   *
-  * Scale: the anti-join shuffles on the natural key — the same
-  * partitioning the warehouse table is bucketed by, so at 100 TB the
-  * existing side is read partition-pruned by the incoming batch's key
-  * range rather than full-scanned (time-partitioned tables prune on
-  * the widened [min,max] window before the join).
+  * Scale: when the natural key includes the time column and the table
+  * is date-partitioned ([[Warehouse.createTable]] `partitionSource`),
+  * the existing side is filtered to the incoming batch's exact
+  * `[min,max]` time bounds — lossless for key equality — AND to the
+  * matching `p_date` directories, so a re-ingest scans only the
+  * overlapping date partitions, never the full table. That is the
+  * reference's idempotent-re-ingest guarantee (`data_loader.py:
+  * 173-177`) kept cheap at 100 TB.
   */
 final class Loader(spark: SparkSession, warehouse: Warehouse) {
+
+  /** The existing side of a merge, pruned to `[lo-widen, hi+widen]` on
+    * `timeCol` — with the matching derived-date partition filter when
+    * the table is date-partitioned, so the time bound becomes directory
+    * pruning rather than a post-scan filter. Derived column is dropped
+    * after filtering.
+    */
+  private[graft] def timeFilteredExisting(
+      table: String,
+      timeCol: String,
+      lo: java.sql.Timestamp,
+      hi: java.sql.Timestamp,
+      widenHours: Int = 0): DataFrame = {
+    val widened = expr(s"INTERVAL $widenHours HOURS")
+    val raw = warehouse.readRaw(table)
+    val timeBound = col(timeCol) >= lit(lo) - widened &&
+      col(timeCol) <= lit(hi) + widened
+    val derived = warehouse.readMeta(table).flatMap(_.partitionSource)
+    val filtered =
+      if (derived.contains(timeCol) &&
+        raw.columns.contains(Warehouse.DerivedDateCol))
+        raw.filter(
+          col(Warehouse.DerivedDateCol) >= to_date(lit(lo) - widened) &&
+            col(Warehouse.DerivedDateCol) <= to_date(lit(hi) + widened) &&
+            timeBound)
+      else raw.filter(timeBound)
+    if (filtered.columns.contains(Warehouse.DerivedDateCol))
+      filtered.drop(Warehouse.DerivedDateCol)
+    else filtered
+  }
+
+  /** min/max of `timeCol` over a batch; None when all-null/empty. */
+  private def timeBounds(df: DataFrame, timeCol: String)
+      : Option[(java.sql.Timestamp, java.sql.Timestamp)] = {
+    val b = df.agg(min(col(timeCol)).as("lo"), max(col(timeCol)).as("hi"))
+      .collect()(0)
+    if (b.isNullAt(0)) None
+    else Some((b.getTimestamp(0), b.getTimestamp(1)))
+  }
 
   /** J1 overlap check (`data_loader.py:334-468`): does `incoming`
     * overlap existing rows on entity + widened time range?
@@ -59,22 +101,19 @@ final class Loader(spark: SparkSession, warehouse: Warehouse) {
       entityCol: String,
       widenHours: Int = 1): OverlapReport = {
     if (!warehouse.tableExists(table)) return OverlapReport(false, 0, None, None, Nil)
-    val existing = warehouse.read(table)
-    if (existing.isEmpty) return OverlapReport(false, 0, None, None, Nil)
+    if (warehouse.read(table).isEmpty) return OverlapReport(false, 0, None, None, Nil)
 
-    val b = incoming.agg(
-      min(col(timeCol)).as("lo"), max(col(timeCol)).as("hi")).collect()(0)
-    if (b.isNullAt(0)) return OverlapReport(false, 0, None, None, Nil)
-    val (lo, hi) = (b.getTimestamp(0), b.getTimestamp(1))
+    val (lo, hi) = timeBounds(incoming, timeCol) match {
+      case Some(b) => b
+      case None => return OverlapReport(false, 0, None, None, Nil)
+    }
     val entities = incoming.select(entityCol).distinct()
 
     // Entity set is a bounded key set (reference ships it as a SQL
     // array literal) → broadcast semi-join; the time filter prunes the
-    // warehouse scan BEFORE the join (partition pruning at scale).
-    val widened = expr(s"INTERVAL $widenHours HOURS")
-    val overlapping = existing
-      .filter(col(timeCol) >= lit(lo) - widened &&
-        col(timeCol) <= lit(hi) + widened)
+    // warehouse scan (directory-level on date-partitioned tables)
+    // BEFORE the join.
+    val overlapping = timeFilteredExisting(table, timeCol, lo, hi, widenHours)
       .join(broadcast(entities), Seq(entityCol), "left_semi")
 
     val stats = overlapping.agg(
@@ -107,19 +146,31 @@ final class Loader(spark: SparkSession, warehouse: Warehouse) {
   def dedupAppend(
       incoming: DataFrame,
       table: String,
-      keys: Seq[String]): LoadStats = {
+      keys: Seq[String],
+      timeCol: Option[String] = None): LoadStats = {
     val t0 = System.currentTimeMillis()
     val incomingCount = incoming.count()
     val deduped = incoming.dropDuplicates(keys)
     val fresh =
       if (warehouse.tableExists(table)) {
-        val existingKeys = warehouse.read(table).select(keys.map(col): _*)
-        deduped.join(existingKeys, keys, "left_anti")
+        // When the time column is part of the key, an existing row can
+        // only collide with the batch inside the batch's exact [min,max]
+        // time bounds — so the anti-join's existing side prunes to those
+        // bounds (directory-level on date-partitioned tables) instead of
+        // scanning every key ever loaded.
+        val prunable = timeCol.filter(keys.contains)
+          .flatMap(tc => timeBounds(incoming, tc).map((tc, _)))
+        val existing = prunable match {
+          case Some((tc, (lo, hi))) => timeFilteredExisting(table, tc, lo, hi)
+          case None => warehouse.read(table)
+        }
+        deduped.join(existing.select(keys.map(col): _*), keys, "left_anti")
       } else deduped
     val freshCount = fresh.count()
     if (!warehouse.tableExists(table))
       warehouse.createTable(table, incoming.schema, ifExists = "skip",
-        uniqueKeys = keys)
+        uniqueKeys = keys,
+        partitionSource = timeCol.filter(incoming.columns.contains))
     warehouse.append(table, fresh)
     val dedupedCount = deduped.count()
     LoadStats(
@@ -144,6 +195,6 @@ final class Loader(spark: SparkSession, warehouse: Warehouse) {
       skipOnOverlap: Boolean = false): (OverlapReport, Option[LoadStats]) = {
     val report = checkOverlap(incoming, table, timeCol, entityCol)
     if (report.hasOverlap && skipOnOverlap) (report, None)
-    else (report, Some(dedupAppend(incoming, table, keys)))
+    else (report, Some(dedupAppend(incoming, table, keys, Some(timeCol))))
   }
 }

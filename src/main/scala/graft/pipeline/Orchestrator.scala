@@ -85,10 +85,14 @@ final class Orchestrator(spark: SparkSession, config: EngineConfig) {
     val keys = config.uniqueColumns.getOrElse(table,
       Seq(df.columns.head))
     val ddl = DdlGenerator.createTable(table, defs.map(_._2), keys)
-    if (!warehouse.tableExists(table))
-      warehouse.createTable(table, df.schema, ifExists = ifExists,
-        uniqueKeys = keys)
     val hasTime = df.columns.contains(config.timeColumn)
+    // createTable's own fail/skip/replace dispatch handles an existing
+    // table — a replace request must actually replace, not degrade to
+    // append. Time-keyed tables are laid out by date so re-ingests and
+    // overlap checks prune to the batch's date range.
+    warehouse.createTable(table, df.schema, ifExists = ifExists,
+      uniqueKeys = keys,
+      partitionSource = if (hasTime) Some(config.timeColumn) else None)
     val entityCol = keys.find(_ != config.timeColumn)
       .getOrElse(df.columns.head)
     val (report, stats) =

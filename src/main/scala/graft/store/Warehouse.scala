@@ -34,37 +34,92 @@ final class Warehouse(spark: SparkSession, location: String) {
   /** `create_table_from_schema` (`postgres_manager.py:443-490`) with
     * if-exists modes fail/replace/skip
     * (`schema_analysis_orchestrator.py:73-83`).
+    *
+    * `partitionSource`: a timestamp column to layout the table by —
+    * the Spark analogue of the reference's Postgres RANGE partitions
+    * (`postgres_manager.py` partition DDL, SURVEY §2.12). Rows are
+    * written under `p_date=YYYY-MM-DD/` directories derived from the
+    * column; readers never see the derived column ([[read]] drops it),
+    * but any scan filtered on it prunes whole date directories — the
+    * property [[graft.load.Loader.dedupAppend]] relies on to avoid
+    * full-table key scans on re-ingest.
     */
   def createTable(table: String, schema: StructType,
       ifExists: String = "fail",
       partitionBy: Seq[String] = Nil,
-      uniqueKeys: Seq[String] = Nil): Unit = {
+      uniqueKeys: Seq[String] = Nil,
+      partitionSource: Option[String] = None): Unit = {
     if (tableExists(table)) ifExists match {
       case "fail" => sys.error(s"Table $table already exists")
       case "skip" => return
       case "replace" => dropTable(table)
       case other => sys.error(s"Invalid if_exists mode: $other")
     }
-    val empty = spark.createDataFrame(
-      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    val w = empty.write.mode(SaveMode.Overwrite)
-    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
-      .parquet(path(table))
-    writeMeta(table, partitionBy, uniqueKeys)
+    val parts =
+      if (partitionSource.isDefined) Seq(Warehouse.DerivedDateCol)
+      else partitionBy
+    if (parts.nonEmpty) {
+      // A zero-row partitioned write emits no data files at all, which
+      // would leave nothing to infer a schema from — the schema sidecar
+      // (written below) is the source of truth; just create the dir.
+      fs.mkdirs(new Path(path(table)))
+    } else {
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+        .write.mode(SaveMode.Overwrite).parquet(path(table))
+    }
+    writeSchema(table, schema)
+    writeMeta(table, parts, uniqueKeys, partitionSource)
   }
+
+  /** Add the derived date-partition column when the table declares one. */
+  private def withDerived(df: DataFrame, src: Option[String]): DataFrame =
+    src match {
+      case Some(c) if df.columns.contains(c) =>
+        df.withColumn(Warehouse.DerivedDateCol,
+          org.apache.spark.sql.functions.to_date(
+            org.apache.spark.sql.functions.col(c)))
+      case _ => df
+    }
 
   def dropTable(table: String): Unit = {
     val p = new Path(path(table))
     if (fs.exists(p)) fs.delete(p, true)
-    val m = new Path(metaPath(table))
-    if (fs.exists(m)) fs.delete(m, false)
+    Seq(new Path(metaPath(table)), new Path(schemaPath(table))).foreach { s =>
+      if (fs.exists(s)) fs.delete(s, false)
+    }
   }
 
-  def read(table: String): DataFrame = spark.read.parquet(path(table))
+  /** Logical read: the derived date-partition column (if any) is an
+    * internal layout detail and is dropped.
+    */
+  def read(table: String): DataFrame = {
+    val raw = readRaw(table)
+    if (readMeta(table).exists(_.partitionSource.isDefined) &&
+      raw.columns.contains(Warehouse.DerivedDateCol))
+      raw.drop(Warehouse.DerivedDateCol)
+    else raw
+  }
+
+  /** Physical read, derived partition column included — for callers
+    * that filter on it to prune date directories (Loader). A table with
+    * no data files yet (freshly created partitioned layout) reads as an
+    * empty frame with the persisted schema.
+    */
+  def readRaw(table: String): DataFrame =
+    if (dataFiles(table).isEmpty)
+      readSchema(table) match {
+        case Some(schema) => spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+        case None => spark.read.parquet(path(table))
+      }
+    else spark.read.parquet(path(table))
 
   def append(table: String, df: DataFrame): Unit = {
-    val parts = readMeta(table).map(_.partitionBy).getOrElse(Nil)
-    val w = df.write.mode(SaveMode.Append)
+    val meta = readMeta(table)
+    val parts = meta.map(_.partitionBy).getOrElse(Nil)
+    val out = withDerived(df, meta.flatMap(_.partitionSource))
+    val w = out.write.mode(SaveMode.Append)
     (if (parts.nonEmpty) w.partitionBy(parts: _*) else w).parquet(path(table))
   }
 
@@ -93,6 +148,7 @@ final class Warehouse(spark: SparkSession, location: String) {
 
   /** Data files of a table, recursively (partitioned layouts nest). */
   private def dataFiles(table: String): Seq[org.apache.hadoop.fs.LocatedFileStatus] = {
+    if (!fs.exists(new Path(path(table)))) return Nil
     val it = fs.listFiles(new Path(path(table)), true)
     val buf = Seq.newBuilder[org.apache.hadoop.fs.LocatedFileStatus]
     while (it.hasNext) {
@@ -126,9 +182,10 @@ final class Warehouse(spark: SparkSession, location: String) {
     * `maxPartitionBytes`, not a global repartition.
     */
   def compact(table: String, targetFiles: Int): Unit = {
+    if (dataFiles(table).isEmpty) return // nothing to rewrite
     val parts = readMeta(table).map(_.partitionBy).getOrElse(Nil)
     val tmp = new Path(path(table) + "__compact")
-    val df = read(table).repartition(targetFiles)
+    val df = readRaw(table).repartition(targetFiles)
     val w = df.write.mode(SaveMode.Overwrite)
     (if (parts.nonEmpty) w.partitionBy(parts: _*) else w)
       .parquet(tmp.toString)
@@ -169,17 +226,46 @@ final class Warehouse(spark: SparkSession, location: String) {
       t
     }
 
+  // --- schema sidecar: persisted logical schema, reused across loads ---
+  // (the reference writes `schemas/<table>_schema.sql` once and reuses
+  // it unless if_exists='replace' — schema_analysis_orchestrator.py:41-106)
+
+  private def schemaPath(table: String) = s"$location/_schema_$table.json"
+
+  def writeSchema(table: String, schema: StructType): Unit = {
+    val out = fs.create(new Path(schemaPath(table)), true)
+    try out.write(schema.json.getBytes("UTF-8")) finally out.close()
+  }
+
+  /** The persisted logical schema, if one was recorded at create time. */
+  def readSchema(table: String): Option[StructType] = {
+    val p = new Path(schemaPath(table))
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try {
+        val bytes = new Array[Byte](fs.getFileStatus(p).getLen.toInt)
+        in.readFully(bytes)
+        Some(org.apache.spark.sql.types.DataType.fromJson(
+          new String(bytes, "UTF-8")).asInstanceOf[StructType])
+      } finally in.close()
+    }
+  }
+
   // --- tiny properties sidecar for table metadata (keys, partitioning) ---
 
-  final case class TableMeta(partitionBy: Seq[String], uniqueKeys: Seq[String])
+  final case class TableMeta(partitionBy: Seq[String], uniqueKeys: Seq[String],
+      partitionSource: Option[String] = None)
 
   private def metaPath(table: String) = s"$location/_meta_$table.properties"
 
   def writeMeta(table: String, partitionBy: Seq[String],
-      uniqueKeys: Seq[String]): Unit = {
+      uniqueKeys: Seq[String],
+      partitionSource: Option[String] = None): Unit = {
     val props = new java.util.Properties()
     props.setProperty("partitionBy", partitionBy.mkString(","))
     props.setProperty("uniqueKeys", uniqueKeys.mkString(","))
+    partitionSource.foreach(props.setProperty("partitionSource", _))
     val out = fs.create(new Path(metaPath(table)), true)
     try props.store(out, null) finally out.close()
   }
@@ -193,9 +279,16 @@ final class Warehouse(spark: SparkSession, location: String) {
       try props.load(in) finally in.close()
       def split(k: String) = Option(props.getProperty(k)).map(_.trim)
         .filter(_.nonEmpty).map(_.split(",").toSeq).getOrElse(Nil)
-      Some(TableMeta(split("partitionBy"), split("uniqueKeys")))
+      Some(TableMeta(split("partitionBy"), split("uniqueKeys"),
+        Option(props.getProperty("partitionSource")).map(_.trim)
+          .filter(_.nonEmpty)))
     }
   }
+}
+
+object Warehouse {
+  /** Name of the derived date-partition column (see createTable). */
+  val DerivedDateCol = "p_date"
 }
 
 final case class TableStats(table: String, numRows: Long, sizeBytes: Long,

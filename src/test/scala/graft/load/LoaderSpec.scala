@@ -65,6 +65,44 @@ class LoaderSpec extends SparkSpec {
     assert(!loader.checkOverlap(other, "raw", "timestamp", "building_id").hasOverlap)
   }
 
+  test("re-ingest into a date-partitioned table scans only overlapping date partitions") {
+    import graft.store.Warehouse
+    val wh = freshWarehouse()
+    val loader = new Loader(spark, wh)
+    val keys = Seq("timestamp", "building_id")
+    loader.dedupAppend(batch(
+      ("2016-01-01 00:00:00", "b1", 1.0),
+      ("2016-01-02 00:00:00", "b1", 2.0),
+      ("2016-02-01 00:00:00", "b1", 3.0)), "raw", keys, Some("timestamp"))
+
+    // physical layout: date directories, hidden from logical reads
+    assert(wh.readRaw("raw").columns.contains(Warehouse.DerivedDateCol))
+    assert(!wh.read("raw").columns.contains(Warehouse.DerivedDateCol))
+    assert(wh.read("raw").count() === 3)
+
+    // idempotent second load of one day's batch
+    val feb = batch(("2016-02-01 00:00:00", "b1", 3.0))
+    val s2 = loader.dedupAppend(feb, "raw", keys, Some("timestamp"))
+    assert(s2.appendedRows === 0 && s2.skippedAsDuplicate === 1)
+
+    // the pruned existing side plans a partition filter on p_date and
+    // physically reads fewer files than the table holds
+    val pruned = loader.timeFilteredExisting("raw", "timestamp",
+      ts("2016-02-01 00:00:00"), ts("2016-02-01 00:00:00"))
+    val planStr = pruned.queryExecution.executedPlan.toString
+    assert(planStr.contains("PartitionFilters"), planStr)
+    assert(planStr.contains(Warehouse.DerivedDateCol), planStr)
+    pruned.collect()
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val scans = pruned.queryExecution.executedPlan.collect {
+      case f: FileSourceScanExec => f
+    }
+    val filesRead = scans.map(_.metrics("numFiles").value).sum
+    val totalFiles = wh.readRaw("raw").inputFiles.length
+    assert(filesRead > 0 && filesRead < totalFiles,
+      s"filesRead=$filesRead totalFiles=$totalFiles")
+  }
+
   test("load with skipOnOverlap=true mirrors reference early-exit") {
     val wh = freshWarehouse()
     val loader = new Loader(spark, wh)
