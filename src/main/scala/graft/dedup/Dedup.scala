@@ -213,15 +213,25 @@ object Dedup {
     * values (shuffle on chunk key, never all-pairs).
     */
   def simHashNearDupPairs(df: DataFrame, idCol: String, textCol: String,
-      maxDistance: Int = 3): DataFrame = {
+      maxDistance: Int = 3, maxBucketSize: Int = 1000): DataFrame = {
     val chunks = maxDistance + 1
     val bits = 64 / chunks
     val sigs = df.select(col(idCol).as("id"),
       simHashColumn(df.sparkSession, col(textCol)).as("sig"))
     val chunkArr = array((0 until chunks).map(c =>
       shiftright(col("sig"), c * bits).bitwiseAND(lit((1L << bits) - 1))): _*)
+    // Same hot-bucket guard as minHashNearDupPairs: a 16-bit chunk of
+    // short/boilerplate docs collides massively (all-zero chunks
+    // especially), and a chunk bucket of B docs emits B²/2 candidate
+    // pairs. The count-over-window shares its partition key with the
+    // self-join below, so the cap costs no extra exchange. Pairs in a
+    // dropped bucket survive iff they agree on another, colder chunk.
     val banded = sigs.select(col("id"), col("sig"),
-      posexplode(chunkArr).as(Seq("chunk_idx", "chunk_val")))
+        posexplode(chunkArr).as(Seq("chunk_idx", "chunk_val")))
+      .withColumn("__bucket_n", count(lit(1)).over(
+        Window.partitionBy(col("chunk_idx"), col("chunk_val"))))
+      .filter(col("__bucket_n") <= maxBucketSize)
+      .drop("__bucket_n")
     val a = banded.select(col("chunk_idx"), col("chunk_val"),
       col("id").as("id_a"), col("sig").as("sig_a"))
     val b = banded.select(col("chunk_idx"), col("chunk_val"),

@@ -67,6 +67,27 @@ class DedupSpec extends SparkSpec {
     assert(pairSet.contains((1L, 2L)))
   }
 
+  test("simHash hot-chunk cap keeps candidates sub-quadratic, preserves cold-bucket recall") {
+    // 100 near-identical short docs: every chunk bucket is hot (size
+    // ~100), so uncapped banding would emit ~100²/2 × 4 candidates.
+    val hot = (1L to 100L).map(i => (i, "spam spam spam lorem ipsum boilerplate footer"))
+    val planted = Seq(
+      (1001L, base),
+      (1002L, base.replace("lazy", "sleepy")))
+    val df = (hot ++ planted).toDF("id", "text")
+    val pairs = Dedup.simHashNearDupPairs(df, "id", "text",
+      maxDistance = 12, maxBucketSize = 50)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // the cold-bucket planted pair survives the cap
+    assert(pairs.contains((1001L, 1002L)))
+    // hot buckets are dropped, not exploded: nothing near quadratic
+    assert(pairs.size < 100, s"candidate pairs not capped: ${pairs.size}")
+    // planted recall unchanged with the cap at its default
+    val dflt = Dedup.simHashNearDupPairs(corpus, "id", "text", maxDistance = 12)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(dflt.contains((1L, 5L)) && dflt.contains((1L, 2L)))
+  }
+
   test("embeddingNearDupPairs finds cosine-close vectors") {
     val vecs = Seq(
       (1L, Array(1.0f, 0.0f, 0.0f)),
