@@ -38,6 +38,10 @@ final case class ColumnProfile(
   */
 object Profiler {
 
+  /** Rows in the sample-values probe — the reference's 10k sample size
+    * (`type_inference_engine.py` sampling). */
+  val SampleProbeRows = 10000
+
   /** Max observed decimal places of a numeric column's string form —
     * the reference's `len(str(float(x)).split('.')[-1])` analysis
     * (`type_inference_engine.py:103-107`). `.0` floats count as 0.
@@ -82,13 +86,20 @@ object Profiler {
     def gOpt(n: String): Option[Double] =
       if (row.isNullAt(row.fieldIndex(n))) None else Some(row.getAs[Double](n))
 
-    // top-N sample values per column (`schema_analyzer.py:47`):
-    // one extra limited job per column over the pruned scan.
-    fields.map { f =>
+    // Top-N sample values for ALL columns from ONE bounded probe job —
+    // the reference itself samples (10k rows, `schema_analyzer.py:47`).
+    // The old shape (distinct().limit(n) per column) launched one job
+    // per column: a 100-column table meant 100 scheduled scans.
+    val probe = df
+      .select(fields.map(f => col(f.name).cast("string").as(f.name)): _*)
+      .limit(SampleProbeRows).collect()
+    def samplesFor(i: Int): Seq[String] =
+      probe.iterator.map(_.getString(i)).filter(_ != null)
+        .distinct.take(nSampleValues).toSeq
+
+    fields.zipWithIndex.map { case (f, fi) =>
       val numeric = isNumeric(f.dataType)
-      val samples = df.select(col(f.name).cast("string"))
-        .na.drop().distinct().limit(nSampleValues)
-        .collect().map(_.getString(0)).toSeq
+      val samples = samplesFor(fi)
       ColumnProfile(
         name = f.name,
         sparkType = f.dataType,
@@ -155,21 +166,43 @@ object Profiler {
 
   /** Ordered-column monotonicity (`schema_analyzer.py:88`) — requires
     * an explicit order column because Spark has no row order (SURVEY
-    * §7.4.3). One window pass; nondecreasing/nonincreasing like
-    * pandas `is_monotonic_increasing or is_monotonic_decreasing`.
+    * §7.4.3). Nondecreasing/nonincreasing like pandas
+    * `is_monotonic_increasing or is_monotonic_decreasing`.
+    *
+    * No global window (that is a single-task total sort): range-
+    * partition by the order column so partition ids ascend with the
+    * range, check adjacency WITHIN each partition in parallel, and
+    * stitch the P partition boundaries on the driver from per-partition
+    * first/last values — one distributed pass plus a P-row merge.
     */
   def isMonotonic(df: DataFrame, valueCol: String, orderCol: String): Boolean = {
     import org.apache.spark.sql.expressions.Window
-    val w = Window.orderBy(col(orderCol))
-    val diffs = df
-      .select(col(valueCol).cast("double").as("v"), col(orderCol))
-      .withColumn("prev", lag(col("v"), 1).over(w))
-      .filter(col("prev").isNotNull)
+    val d = df.select(col(valueCol).cast("double").as("v"), col(orderCol).as("o"))
+      .repartitionByRange(col("o"))
+      .withColumn("__pid", spark_partition_id())
+    val pw = Window.partitionBy(col("__pid")).orderBy(col("o"))
+    val parts = d.withColumn("prev", lag(col("v"), 1).over(pw))
+      .groupBy(col("__pid"))
       .agg(
-        coalesce(expr("bool_and(v >= prev)"), lit(true)).as("nondec"),
-        coalesce(expr("bool_and(v <= prev)"), lit(true)).as("noninc"))
-      .collect()(0)
-    diffs.getAs[Boolean]("nondec") || diffs.getAs[Boolean]("noninc")
+        coalesce(expr("bool_and(CASE WHEN prev IS NULL THEN TRUE ELSE v >= prev END)"),
+          lit(true)).as("nondec"),
+        coalesce(expr("bool_and(CASE WHEN prev IS NULL THEN TRUE ELSE v <= prev END)"),
+          lit(true)).as("noninc"),
+        min_by(col("v"), col("o")).as("first_v"),
+        max_by(col("v"), col("o")).as("last_v"))
+      .collect()
+      .sortBy(_.getInt(0)) // range partition ids ascend with the range
+    def firstV(r: Row) = if (r.isNullAt(3)) None else Some(r.getDouble(3))
+    def lastV(r: Row) = if (r.isNullAt(4)) None else Some(r.getDouble(4))
+    val boundaries = parts.sliding(2).collect {
+      case Array(p, q) => (lastV(p), firstV(q))
+    }.toSeq
+    def ok(within: Int, cmp: (Double, Double) => Boolean): Boolean =
+      parts.forall(_.getBoolean(within)) && boundaries.forall {
+        case (Some(a), Some(b)) => cmp(a, b)
+        case _ => true // all-null partition edge: nothing to compare
+      }
+    ok(1, _ <= _) || ok(2, _ >= _)
   }
 
   /** Profile → inferred SQL schema, the `analyze_schema` composition

@@ -52,19 +52,35 @@ object Sampling {
   }
 
   /** Systematic sample: every ⌊total/size⌋-th row by `orderCol`
-    * (`sampling_strategies.py:156-210`). row_number is a single
-    * window pass; at scale prefer a precomputed dense id column so the
-    * global window doesn't single-task (documented in SURVEY O5).
+    * (`sampling_strategies.py:156-210`).
+    *
+    * Global row positions WITHOUT a global window (which would move the
+    * whole table into one task): range-partition by the order column,
+    * number rows within each partition in parallel, then add broadcast
+    * per-partition offsets — two fully distributed passes. Range
+    * boundaries are sampled deterministically, so the count pass and
+    * the numbering pass see the same partitioning.
     */
   final class SystematicStrategy(orderCol: String) extends SamplingStrategy {
     def sample(df: DataFrame, size: Int): DataFrame = {
+      val spark = df.sparkSession
+      import spark.implicits._
       val total = df.count()
       val n = cappedSize(size, total)
       val step = math.max(1L, total / math.max(n, 1))
-      val w = Window.orderBy(col(orderCol))
-      df.withColumn("__rn", row_number().over(w))
-        .filter((col("__rn") - 1) % step === 0)
-        .drop("__rn")
+      val ranged = df.repartitionByRange(col(orderCol))
+        .withColumn("__pid", spark_partition_id())
+      val counts = ranged.groupBy(col("__pid")).agg(count(lit(1)).as("__n"))
+        .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+      val offsets = counts.map(_._1)
+        .zip(counts.scanLeft(0L)(_ + _._2).dropRight(1)).toSeq
+      val offDf = offsets.toDF("__pid", "__off")
+      val w = Window.partitionBy(col("__pid")).orderBy(col(orderCol))
+      ranged
+        .withColumn("__rn", row_number().over(w))
+        .join(broadcast(offDf), Seq("__pid"))
+        .filter((col("__rn") - 1 + col("__off")) % step === 0)
+        .drop("__pid", "__rn", "__off")
     }
   }
 

@@ -120,13 +120,16 @@ object Similarity {
     * upstream clustering (e.g. sampled k-means); this operator is the
     * partition-pruned search side.
     */
-  def ivfAssign(df: DataFrame, vecCol: String,
+  def ivfAssign(df: DataFrame, idCol: String, vecCol: String,
       centroids: DataFrame, centIdCol: String, centVecCol: String): DataFrame = {
     val cents = centroids.select(col(centIdCol).as("__cid"),
       col(centVecCol).as("__cvec"))
     val joined = df.crossJoin(broadcast(cents))
       .withColumn("__sim", cosine(col(vecCol), col("__cvec")))
-    val w = Window.partitionBy(df.columns.map(col): _*)
+    // Per-row argmax keyed on the row id — a window keyed on every data
+    // column would hash whole vectors as the shuffle key. |centroids|
+    // rows per key: small, balanced partitions.
+    val w = Window.partitionBy(col(idCol))
       .orderBy(col("__sim").desc, col("__cid"))
     joined.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)

@@ -50,7 +50,7 @@ class SimilaritySpec extends SparkSpec {
     val centroids = Seq(
       (10L, Array(1.0f, 0.0f)), (20L, Array(0.0f, 1.0f)))
       .toDF("cid", "cvec")
-    val assigned = Similarity.ivfAssign(data, "embedding", centroids, "cid", "cvec")
+    val assigned = Similarity.ivfAssign(data, "vec_id", "embedding", centroids, "cid", "cvec")
       .select("vec_id", "centroid_id").as[(Long, Long)].collect().toMap
     assert(assigned === Map(1L -> 10L, 2L -> 10L, 3L -> 20L))
   }
