@@ -26,6 +26,32 @@ object EngineConfig {
     "metadata" -> Seq("building_id"),
     "weather" -> Seq("timestamp", "site_id"),
     "raw" -> Seq("timestamp", "building_id", "meter"))
+
+  /** Build from a loaded YAML tree (`config_manager.py` →
+    * `app_config.yaml`): `project_data.unique_columns` populates the
+    * per-table keys; engine-specific settings live under `engine.*`
+    * (warehouse_dir / time_column / entity_column) with the same
+    * defaults as the case class.
+    */
+  def fromConfig(cm: graft.config.ConfigManager,
+      defaultWarehouseDir: String = "./warehouse"): EngineConfig = {
+    val uc = cm.getMap("project_data.unique_columns") match {
+      case m if m.nonEmpty => m.map { case (t, cols) =>
+        t -> (cols match {
+          case s: Seq[_] => s.map(_.toString)
+          case other => Seq(String.valueOf(other))
+        })
+      }
+      case _ => DefaultUniqueColumns
+    }
+    EngineConfig(
+      warehouseDir =
+        cm.getOrElse("engine.warehouse_dir", defaultWarehouseDir).toString,
+      uniqueColumns = uc,
+      timeColumn = cm.getOrElse("engine.time_column", "timestamp").toString,
+      entityColumn =
+        cm.getOrElse("engine.entity_column", "building_id").toString)
+  }
 }
 
 /** The reference's `Orchestrator` (`orchestrator.py:17-161`) as a
