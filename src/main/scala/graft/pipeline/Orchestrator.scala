@@ -74,6 +74,50 @@ final class Orchestrator(spark: SparkSession, config: EngineConfig) {
   val warehouse = new Warehouse(spark, config.warehouseDir)
   private val loader = new Loader(spark, warehouse)
 
+  /** Retrieve stage (`orchestrator.py:120-123` → `data_extractor.py:
+    * 20-66`): Zenodo record download then folder-filtered unzip, both
+    * driven by the `project_data` config block (record_id, file_name,
+    * raw_data_file_path, zip_file_folders_to_extract). Returns the
+    * extracted file paths. `downloadFn` defaults to the real Zenodo
+    * client and is injectable so the chain runs offline in specs —
+    * matching the reference's error contract: a missing `project_data`
+    * block raises (`data_extractor.py:31-32` ValueError shape).
+    */
+  def retrieveData(
+      cm: graft.config.ConfigManager,
+      downloadFn: (String, String, String) => java.nio.file.Path =
+        graft.io.Ingest.downloadFromZenodo): Seq[java.nio.file.Path] = {
+    val pd = cm.getMap("project_data")
+    if (pd.isEmpty)
+      throw new IllegalArgumentException(
+        "No configuration found for data extraction")
+    val recordId = pd.getOrElse("record_id",
+      sys.error("project_data.record_id missing")).toString
+    val fileName = pd.getOrElse("file_name",
+      sys.error("project_data.file_name missing")).toString
+    val rawDir = pd.getOrElse("raw_data_file_path", "./raw_data").toString
+    val folders =
+      cm.getSeq("project_data.zip_file_folders_to_extract").map(_.toString)
+    val zip = downloadFn(recordId, fileName, rawDir)
+    graft.io.Ingest.unzipFolders(zip.toString, rawDir, folders)
+  }
+
+  /** The reference's download→unzip→transform composition
+    * (`orchestrator.py:120-126` back-to-back stages): retrieve into
+    * the configured raw dir, then transform every extracted CSV folder
+    * to consolidated parquet under `outDir`.
+    */
+  def retrieveAndTransform(
+      cm: graft.config.ConfigManager,
+      outDir: String,
+      downloadFn: (String, String, String) => java.nio.file.Path =
+        graft.io.Ingest.downloadFromZenodo): Map[String, String] = {
+    retrieveData(cm, downloadFn)
+    val rawDir = cm.getOrElse("project_data.raw_data_file_path", "./raw_data")
+      .toString
+    transformData(rawDir, outDir)
+  }
+
   /** §3.2 transform stage: walk `root` for CSV files, route each
     * folder to melt or identity (`data_transformer.py:376-383`), write
     * consolidated parquet per folder under `outDir`.
@@ -95,10 +139,17 @@ final class Orchestrator(spark: SparkSession, config: EngineConfig) {
   }
 
   /** §3.1 load stage for one parquet file: profile + infer the SQL
-    * schema (reused unless replace — `schema_analysis_orchestrator.py:
-    * 73-83`), create the table, run the overlap pre-check, then
+    * schema, create the table, run the overlap pre-check, then
     * dedup-append. Returns the reference's result shape: schema DDL,
     * overlap report, load stats.
+    *
+    * Schema reuse (`schema_analysis_orchestrator.py:73-83`): the DDL
+    * generated on first load persists next to the table
+    * ([[Warehouse.writeDdl]], the `schemas/<table>_schema.sql`
+    * analogue) and later loads of the same table read it back instead
+    * of re-profiling — `ifExists="replace"` forces a fresh profile.
+    * At 100 TB the profiling scan is the expensive half of a load;
+    * paying it once per table, not once per batch, is the point.
     */
   def loadFile(
       path: String,
@@ -107,10 +158,16 @@ final class Orchestrator(spark: SparkSession, config: EngineConfig) {
       skipOnOverlap: Boolean = false): LoadResult = {
     val table = tableName.getOrElse(Names.deriveTableName(path))
     val df = Tables.readParquet(spark, path)
-    val defs = Profiler.analyzeSchema(df)
     val keys = config.uniqueColumns.getOrElse(table,
       Seq(df.columns.head))
-    val ddl = DdlGenerator.createTable(table, defs.map(_._2), keys)
+    val reused =
+      if (ifExists != "replace" && warehouse.tableExists(table))
+        warehouse.readDdl(table)
+      else None
+    val ddl = reused.getOrElse {
+      val defs = Profiler.analyzeSchema(df)
+      DdlGenerator.createTable(table, defs.map(_._2), keys)
+    }
     val hasTime = df.columns.contains(config.timeColumn)
     // createTable's own fail/skip/replace dispatch handles an existing
     // table — a replace request must actually replace, not degrade to
@@ -119,6 +176,7 @@ final class Orchestrator(spark: SparkSession, config: EngineConfig) {
     warehouse.createTable(table, df.schema, ifExists = ifExists,
       uniqueKeys = keys,
       partitionSource = if (hasTime) Some(config.timeColumn) else None)
+    if (reused.isEmpty) warehouse.writeDdl(table, ddl)
     val entityCol = keys.find(_ != config.timeColumn)
       .getOrElse(df.columns.head)
     val (report, stats) =

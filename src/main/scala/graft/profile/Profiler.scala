@@ -42,6 +42,12 @@ object Profiler {
     * (`type_inference_engine.py` sampling). */
   val SampleProbeRows = 10000
 
+  /** Lifetime count of full profiling scans — an ops metric; schema
+    * reuse (`Orchestrator.loadFile`) is observable as this NOT
+    * advancing on a re-load.
+    */
+  val profileRuns = new java.util.concurrent.atomic.AtomicLong(0)
+
   /** Max observed decimal places of a numeric column's string form —
     * the reference's `len(str(float(x)).split('.')[-1])` analysis
     * (`type_inference_engine.py:103-107`). `.0` floats count as 0.
@@ -55,6 +61,7 @@ object Profiler {
 
   def profile(df: DataFrame, exact: Boolean = true,
       nSampleValues: Int = 5): Seq[ColumnProfile] = {
+    profileRuns.incrementAndGet()
     val fields = df.schema.fields.toSeq
     val aggs: Seq[Column] = fields.flatMap { f =>
       val c = col(f.name)

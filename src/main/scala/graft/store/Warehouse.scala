@@ -85,7 +85,8 @@ final class Warehouse(spark: SparkSession, location: String) {
   def dropTable(table: String): Unit = {
     val p = new Path(path(table))
     if (fs.exists(p)) fs.delete(p, true)
-    Seq(new Path(metaPath(table)), new Path(schemaPath(table))).foreach { s =>
+    Seq(new Path(metaPath(table)), new Path(schemaPath(table)),
+      new Path(ddlPath(table))).foreach { s =>
       if (fs.exists(s)) fs.delete(s, false)
     }
   }
@@ -248,6 +249,30 @@ final class Warehouse(spark: SparkSession, location: String) {
         in.readFully(bytes)
         Some(org.apache.spark.sql.types.DataType.fromJson(
           new String(bytes, "UTF-8")).asInstanceOf[StructType])
+      } finally in.close()
+    }
+  }
+
+  // --- DDL sidecar: the generated SQL schema file, written once and
+  //     reused — the reference's `schemas/<table>_schema.sql`
+  //     (`schema_analysis_orchestrator.py:41-106`) ---
+
+  private def ddlPath(table: String) = s"$location/_ddl_$table.sql"
+
+  def writeDdl(table: String, ddl: String): Unit = {
+    val out = fs.create(new Path(ddlPath(table)), true)
+    try out.write(ddl.getBytes("UTF-8")) finally out.close()
+  }
+
+  def readDdl(table: String): Option[String] = {
+    val p = new Path(ddlPath(table))
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try {
+        val bytes = new Array[Byte](fs.getFileStatus(p).getLen.toInt)
+        in.readFully(bytes)
+        Some(new String(bytes, "UTF-8"))
       } finally in.close()
     }
   }

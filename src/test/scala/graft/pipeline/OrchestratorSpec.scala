@@ -69,6 +69,84 @@ class OrchestratorSpec extends SparkSpec {
     assert(monthly.toSeq === Seq(("bldg_1", 2.5), ("bldg_2", 20.0)))
   }
 
+  test("schema persists on first load, is reused without re-profiling, replace re-profiles") {
+    val (in, staged, wh) = bdg2Fixture()
+    val orch = new Orchestrator(spark, EngineConfig(warehouseDir = wh))
+    val outputs = orch.transformData(in, staged)
+    val path = outputs("electricity_meters")
+
+    val runs0 = graft.profile.Profiler.profileRuns.get()
+    val r1 = orch.loadFile(path, Some("raw"))
+    assert(graft.profile.Profiler.profileRuns.get() > runs0,
+      "first load must profile")
+    assert(orch.warehouse.readDdl("raw") === Some(r1.ddl))
+
+    // second load: DDL read back, NO profiling scan
+    val runs1 = graft.profile.Profiler.profileRuns.get()
+    val r2 = orch.loadFile(path, Some("raw"))
+    assert(graft.profile.Profiler.profileRuns.get() === runs1,
+      "re-load must reuse the persisted schema, not re-profile")
+    assert(r2.ddl === r1.ddl)
+
+    // replace: table dropped and re-created, schema re-profiled
+    val runs2 = graft.profile.Profiler.profileRuns.get()
+    val r3 = orch.loadFile(path, Some("raw"), ifExists = "replace")
+    assert(graft.profile.Profiler.profileRuns.get() > runs2,
+      "replace must re-profile")
+    assert(r3.stats.get.appendedRows === 6) // fresh table got all rows
+    assert(orch.warehouse.read("raw").count() === 6)
+  }
+
+  test("retrieveData chains download -> folder-filtered unzip -> transform (offline fixture)") {
+    import java.nio.file.{Files => NF, Paths}
+    import java.util.zip.{ZipEntry, ZipOutputStream}
+    val root = NF.createTempDirectory("retr").toString
+    // fixture zip: one wanted folder, one filtered-out folder
+    val zipSrc = Paths.get(root, "fixture.zip")
+    val zos = new ZipOutputStream(NF.newOutputStream(zipSrc))
+    def put(name: String, body: String): Unit = {
+      zos.putNextEntry(new ZipEntry(name)); zos.write(body.getBytes("UTF-8"))
+      zos.closeEntry()
+    }
+    put("data/electricity_meters/electricity.csv",
+      "timestamp,bldg_1\n2016-01-01 00:00:00,1.5\n2016-01-01 01:00:00,2.5")
+    put("data/ignored_folder/junk.csv", "a,b\n1,2")
+    zos.close()
+
+    val rawDir = s"$root/raw"
+    val cfgDir = NF.createTempDirectory("retr_cfg")
+    NF.write(cfgDir.resolve("app.yaml"),
+      s"""project_data:
+         |  record_id: "3887306"
+         |  file_name: "fixture.zip"
+         |  raw_data_file_path: "$rawDir"
+         |  zip_file_folders_to_extract: ['electricity_meters']
+         |""".stripMargin.getBytes("UTF-8"))
+    val cm = new graft.config.ConfigManager(Seq("app.yaml"), cfgDir.toString)
+
+    val orch = new Orchestrator(spark, EngineConfig(warehouseDir = s"$root/wh"))
+    var requested: (String, String) = null
+    val fakeDownload = (recordId: String, fileName: String, dir: String) => {
+      requested = (recordId, fileName)
+      NF.createDirectories(Paths.get(dir))
+      val dst = Paths.get(dir, fileName)
+      NF.copy(zipSrc, dst)
+      dst
+    }
+    val outputs = orch.retrieveAndTransform(cm, s"$root/staged", fakeDownload)
+    assert(requested === ("3887306", "fixture.zip"))
+    // filtered folder never extracted
+    assert(!NF.exists(Paths.get(rawDir, "data/ignored_folder/junk.csv")))
+    assert(outputs.keySet === Set("electricity_meters"))
+    val melted = spark.read.parquet(outputs("electricity_meters"))
+    assert(melted.count() === 2)
+
+    // missing project_data block raises, like the reference's ValueError
+    NF.write(cfgDir.resolve("empty.yaml"), "other: 1\n".getBytes("UTF-8"))
+    val cmBad = new graft.config.ConfigManager(Seq("empty.yaml"), cfgDir.toString)
+    intercept[IllegalArgumentException] { orch.retrieveData(cmBad, fakeDownload) }
+  }
+
   test("coercions: bad values null out, floats round to long") {
     val df = Seq(("1000.6", "x"), ("nope", "2"), ("250", "3"))
       .toDF("sqft", "occupants")
