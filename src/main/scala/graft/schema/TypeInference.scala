@@ -77,7 +77,16 @@ object TypeInference {
       if (lo >= -32768 && hi <= 32767) "SMALLINT"
       else if (lo >= -2147483648.0 && hi <= 2147483647.0) "INTEGER"
       else "BIGINT"
-    } else if (p.maxDecimalPlaces == 0) "INTEGER"
+    } else if (p.maxDecimalPlaces == 0) {
+      // Not integral yet 0 observed decimal places = the string form
+      // went scientific (doubles ≥1e7 print as 1.23456785E7, whose
+      // fraction the decimal-places regex can't see). INTEGER would
+      // truncate real fractional data; DOUBLE PRECISION is lossless.
+      // (The reference's str(float) stays positional to ~1e16 and
+      // emits NUMERIC(12,6) here — which can't even hold an 8-digit
+      // value; diverging to DOUBLE is the safe reading.)
+      "DOUBLE PRECISION"
+    }
     else if (lower.contains("price") || lower.contains("amount")) "NUMERIC(15,2)"
     else if (p.maxDecimalPlaces <= 6) "NUMERIC(12,6)"
     else "DOUBLE PRECISION"

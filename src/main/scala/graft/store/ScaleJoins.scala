@@ -42,6 +42,16 @@ object ScaleJoins {
   def saltedJoin(big: DataFrame, small: DataFrame, keys: Seq[String],
       saltFactor: Int, joinType: String = "inner"): DataFrame = {
     require(saltFactor > 0)
+    // The small side is replicated saltFactor times, so any join type
+    // that emits UNMATCHED small-side rows (right/full outer) would
+    // duplicate them once per salt — silently wrong results. Left
+    // variants only ever emit small-side rows on a match.
+    val allowed = Set("inner", "cross", "left", "leftouter", "left_outer",
+      "leftsemi", "left_semi", "leftanti", "left_anti")
+    require(allowed.contains(joinType.toLowerCase.replace(" ", "")),
+      s"saltedJoin supports inner/left join types only, got '$joinType' " +
+        "(right/full outer would duplicate unmatched small-side rows " +
+        s"$saltFactor times)")
     val saltedBig = big.withColumn("__salt",
       (rand(42) * saltFactor).cast("int"))
     val saltedSmall = small.withColumn("__salt",

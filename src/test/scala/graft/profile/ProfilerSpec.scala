@@ -34,6 +34,15 @@ class ProfilerSpec extends SparkSpec {
     assert(types("v") === "NUMERIC(12,6)")
   }
 
+  test("large fractional doubles (scientific string form) never infer INTEGER") {
+    // 1.23456785e7 stringifies as '1.23456785E7': the decimal-places
+    // regex sees no fraction, but the value is NOT integral — the type
+    // must stay floating, not truncate to INTEGER.
+    val df = Seq(12345678.5, 98765432.25).toDF("big_frac")
+    val inferred = Profiler.analyzeSchema(df).head._2.sqlType
+    assert(inferred === "DOUBLE PRECISION", inferred)
+  }
+
   test("monotonicity detection over an explicit order column") {
     val inc = Seq((1, 10.0), (2, 20.0), (3, 30.0)).toDF("ord", "v")
     val dec = Seq((1, 30.0), (2, 20.0), (3, 10.0)).toDF("ord", "v")

@@ -44,8 +44,10 @@ class TypeInferenceSpec extends AnyFunSuite {
   test("fractional numerics: decimal places drive NUMERIC vs DOUBLE") {
     assert(TypeInference.infer(prof(decPlaces = 4)) === "NUMERIC(12,6)")
     assert(TypeInference.infer(prof(decPlaces = 9)) === "DOUBLE PRECISION")
-    // integral-valued floats with 0 decimal places → INTEGER (`:109-110`)
-    assert(TypeInference.infer(prof(decPlaces = 0)) === "INTEGER")
+    // NOT integral yet 0 observed decimals = the string form went
+    // scientific (≥1e7 doubles) and hid the fraction — INTEGER would
+    // truncate; must stay floating
+    assert(TypeInference.infer(prof(decPlaces = 0)) === "DOUBLE PRECISION")
     // price-named fractional stays NUMERIC(15,2) even with many places
     assert(TypeInference.infer(prof(name = "unit_cost", decPlaces = 9))
       === "NUMERIC(15,2)")

@@ -34,5 +34,21 @@ class ScaleJoinsSpec extends SparkSpec {
     val salted = ScaleJoins.saltedJoin(big, small, Seq("k"), saltFactor = 8)
     assert(salted.count() === plain)
     assert(salted.columns.toSet === Set("k", "payload", "dim"))
+    // left join keeps big-side rows with no dim match, still no dupes
+    val bigger = big.unionByName(Seq((999L, -1L)).toDF("k", "payload"))
+    val left = ScaleJoins.saltedJoin(bigger, small, Seq("k"), 8, "left")
+    assert(left.count() === plain + 1)
+  }
+
+  test("salted join rejects join types that would duplicate unmatched small-side rows") {
+    val big = Seq((1L, 1L)).toDF("k", "payload")
+    val small = Seq((1L, "d"), (2L, "unmatched")).toDF("k", "dim")
+    val err = intercept[IllegalArgumentException] {
+      ScaleJoins.saltedJoin(big, small, Seq("k"), 8, "right")
+    }
+    assert(err.getMessage.contains("saltedJoin"))
+    intercept[IllegalArgumentException] {
+      ScaleJoins.saltedJoin(big, small, Seq("k"), 8, "full_outer")
+    }
   }
 }
