@@ -104,6 +104,49 @@ object DedupQueries {
       .orderBy("id_a", "id_b")
   }
 
+  /** MinHash+LSH end-to-end, oracle-verified on planted near-dups: the
+    * corpus lacks natural high-Jaccard pairs (shared vocabulary, no
+    * shared longer n-grams), so near-dups are planted IN-PLAN — docs
+    * 0-9 duplicated with one appended token (bigram Jaccard ≈ 0.9) —
+    * and the LSH pipeline must recover exactly those ten pairs with
+    * their exact Jaccard. The oracle recomputes the same pair set and
+    * scores from the raw text by construction, so a banding bug,
+    * signature drift, or Jaccard error all hash-fail. At j≈0.9 the
+    * per-pair miss probability of 16 2-row bands is ~1e-16: the result
+    * set is deterministic, not probabilistic.
+    */
+  val qDedupMinhashPlanted: QueryDef = QueryDef.sql(
+    "q_dedup_minhash_planted",
+    """WITH pair AS (
+      |  SELECT doc_id AS id_a, doc_id + 10000 AS id_b,
+      |    string_split_regex(lower(trim(text)), '[\s[:punct:]]+') AS tk_a,
+      |    string_split_regex(lower(trim(text || ' xyzzy')), '[\s[:punct:]]+') AS tk_b
+      |  FROM documents WHERE doc_id < 10),
+      |sh AS (
+      |  SELECT id_a, id_b,
+      |    list_distinct([array_to_string(tk_a[i:i+1], ' ')
+      |                   FOR i IN range(1, greatest(len(tk_a), 2))]) AS sa,
+      |    list_distinct([array_to_string(tk_b[i:i+1], ' ')
+      |                   FOR i IN range(1, greatest(len(tk_b), 2))]) AS sb
+      |  FROM pair)
+      |SELECT id_a, id_b,
+      |  CAST(round(len(list_intersect(sa, sb)) /
+      |    (len(sa) + len(sb) - len(list_intersect(sa, sb))), 6) AS DOUBLE)
+      |    AS jaccard
+      |FROM sh ORDER BY id_a""".stripMargin,
+    doc = "MinHash+LSH verified on in-plan planted near-dups (dedup ops)") { (s, dir) =>
+    val base = t(s, dir, "documents").filter(col("doc_id") < 40)
+      .select(col("doc_id"), col("text"))
+    val planted = base.filter(col("doc_id") < 10)
+      .select((col("doc_id") + 10000).as("doc_id"),
+        concat(col("text"), lit(" xyzzy")).as("text"))
+    Dedup.minHashNearDupPairs(base.unionByName(planted), "doc_id", "text",
+        shingleSize = 2, k = 32, bands = 16, threshold = 0.5)
+      .select(col("id_a"), col("id_b"),
+        round(col("jaccard"), 6).cast("double").as("jaccard"))
+      .orderBy("id_a")
+  }
+
   /** SimHash near-dup pairs (rows-only; see DedupSpec). Bounded scope
     * — the shared-vocabulary synthetic corpus packs most pairs within
     * small hamming distances, so an unbounded run is all-pairs-sized.
@@ -119,5 +162,6 @@ object DedupQueries {
   }
 
   val all: Seq[QueryDef] = Seq(
-    qDedupExact, qNgramJaccard, qEmbedNearDup, qDedupMinhash, qDedupSimhash)
+    qDedupExact, qNgramJaccard, qEmbedNearDup, qDedupMinhash,
+    qDedupMinhashPlanted, qDedupSimhash)
 }

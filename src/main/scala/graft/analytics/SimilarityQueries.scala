@@ -45,21 +45,38 @@ object SimilarityQueries {
       .orderBy("query_id", "rank")
   }
 
-  /** Hyperplane-LSH ANN top-5 (rows-only: bucket signatures hash with
-    * xxhash64; recall vs brute force asserted in SimilaritySpec).
+  /** Hyperplane-LSH ANN top-5, self-verifying: the LSH result is
+    * compared in-plan against the brute-force truth and the per-query
+    * recall contract (≥ 3 of the exact top-5 recovered) is emitted as
+    * a hash-checked boolean — the oracle states the contract, the plan
+    * proves it. Signatures themselves hash with xxhash64 (no DuckDB
+    * twin), which is exactly why the check is recall-shaped.
     */
-  val qSimLsh: QueryDef = QueryDef.rowsOnly(
+  val qSimLsh: QueryDef = QueryDef.sql(
     "q_sim_lsh",
-    doc = "LSH-bucketed approximate top-k (similarity search scale path)") { (s, dir) =>
+    """SELECT vec_id AS query_id, 5 AS k, true AS recall_ok
+      |FROM embeddings WHERE vec_id IN (0, 1, 2)
+      |ORDER BY query_id""".stripMargin,
+    doc = "LSH-bucketed approximate top-k w/ in-plan recall check (similarity scale path)") { (s, dir) =>
     val emb = t(s, dir, "embeddings")
-    Similarity.lshTopK(
-        corpus = emb,
-        queries = emb.filter(col("vec_id").isin(0, 1, 2)),
-        idCol = "vec_id", vecCol = "embedding", k = 5,
-        nPlanes = 4, nTables = 16)
-      .select(col("query_id"), col("corpus_id"),
-        round(col("cosine"), 6).as("cosine"), col("rank"))
-      .orderBy("query_id", "rank")
+    val queries = emb.filter(col("vec_id").isin(0, 1, 2))
+    val lsh = Similarity.lshTopK(
+      corpus = emb, queries = queries,
+      idCol = "vec_id", vecCol = "embedding", k = 5,
+      nPlanes = 4, nTables = 16)
+    val exact = Similarity.bruteForceTopK(
+      corpus = emb, queries = queries,
+      idCol = "vec_id", vecCol = "embedding", k = 5)
+    val overlap = lsh.select(col("query_id"), col("corpus_id"))
+      .join(exact.select(col("query_id"), col("corpus_id")),
+        Seq("query_id", "corpus_id"))
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_hit"))
+    queries.select(col("vec_id").as("query_id"))
+      .join(overlap, Seq("query_id"), "left")
+      .select(col("query_id"), lit(5).as("k"),
+        (coalesce(col("n_hit"), lit(0L)) >= 3).as("recall_ok"))
+      .orderBy("query_id")
   }
 
   val all: Seq[QueryDef] = Seq(qSimTopK, qSimLsh)

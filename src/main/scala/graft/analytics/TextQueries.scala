@@ -73,13 +73,33 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
-  /** Language ID per document (rows-only: the n-gram heuristic has no
-    * ANSI twin; accuracy on real multilingual text is asserted in
-    * TextAnalysisSpec — this corpus's text is synthetic word salad,
-    * so the `lang` column is not recoverable from content).
+  /** Language ID per document. The marker-word heuristic is fully
+    * SQL-expressible, so the oracle mirrors it exactly: same
+    * tokenization, same per-language hit counts, same argmax with
+    * first-language tie-break. (The CJK codepoint branch never fires
+    * on this all-ASCII corpus, verified at both SFs; accuracy on real
+    * multilingual prose is asserted in TextAnalysisSpec.)
     */
-  val qTextLangId: QueryDef = QueryDef.rowsOnly(
+  val qTextLangId: QueryDef = QueryDef.sql(
     "q_text_langid",
+    """WITH toks AS (
+      |  SELECT doc_id,
+      |    string_split_regex(lower(trim(text)), '[\s[:punct:]]+') AS tk
+      |  FROM documents),
+      |scores AS (
+      |  SELECT doc_id,
+      |    len(list_filter(tk, t -> t IN ('the','and','of','to','is','with','that'))) AS s_en,
+      |    len(list_filter(tk, t -> t IN ('der','die','und','das','ist','nicht','ein','mit'))) AS s_de,
+      |    len(list_filter(tk, t -> t IN ('el','los','las','una','que','por','para','con'))) AS s_es,
+      |    len(list_filter(tk, t -> t IN ('le','les','des','une','est','dans','pour','sur'))) AS s_fr
+      |  FROM toks)
+      |SELECT doc_id,
+      |  CASE WHEN greatest(s_en, s_de, s_es, s_fr) = 0 THEN 'und'
+      |       WHEN s_en = greatest(s_en, s_de, s_es, s_fr) THEN 'en'
+      |       WHEN s_de = greatest(s_en, s_de, s_es, s_fr) THEN 'de'
+      |       WHEN s_es = greatest(s_en, s_de, s_es, s_fr) THEN 'es'
+      |       ELSE 'fr' END AS lang_pred
+      |FROM scores ORDER BY doc_id""".stripMargin,
     doc = "n-gram/stopword language ID (training-data text ops)") { (s, dir) =>
     t(s, dir, "documents")
       .select(col("doc_id"),

@@ -119,18 +119,42 @@ object TransformQueries {
   }
 
   /** Random sampling (SURVEY SA1): seeded Bernoulli draw with forced
-    * first/last-row inclusion. Rows-only — Spark's sample() draw is
-    * engine-specific (membership is seeded-deterministic within Spark
-    * but has no DuckDB twin); cap/inclusion laws are assert-checked in
-    * SamplingSpec.
+    * first/last-row inclusion. Spark's sample() draw has no DuckDB
+    * twin (membership is engine-specific), so the hash-checked output
+    * is the strategy's CONTRACT, proven in-plan over the real sample:
+    * first and last key present, no duplicate rows, every key drawn
+    * from the table's key range. The oracle recomputes the expected
+    * first/last keys from the table and states the invariants.
     */
-  val qSampleRandom: QueryDef = QueryDef.rowsOnly(
+  val qSampleRandom: QueryDef = QueryDef.sql(
     "q_sample_random",
+    """SELECT min(o_orderkey) AS first_key, max(o_orderkey) AS last_key,
+      |  true AS has_first, true AS has_last, true AS no_dupes, true AS in_range
+      |FROM orders""".stripMargin,
     doc = "seeded random sampling w/ first+last inclusion (SURVEY SA1)") { (s, dir) =>
-    new Sampling.RandomStrategy("o_orderkey")
-      .sample(t(s, dir, "orders"), 200)
-      .select("o_orderkey")
-      .orderBy("o_orderkey")
+    val orders = t(s, dir, "orders")
+    val sample = new Sampling.RandomStrategy("o_orderkey")
+      .sample(orders, 200).select("o_orderkey")
+    val bounds = orders.agg(
+      min(col("o_orderkey")).as("tbl_min"),
+      max(col("o_orderkey")).as("tbl_max"))
+    sample.crossJoin(broadcast(bounds))
+      .agg(
+        min(col("tbl_min")).as("first_key"),
+        max(col("tbl_max")).as("last_key"),
+        max(when(col("o_orderkey") === col("tbl_min"), 1).otherwise(0))
+          .as("hit_first"),
+        max(when(col("o_orderkey") === col("tbl_max"), 1).otherwise(0))
+          .as("hit_last"),
+        count(lit(1)).as("n"),
+        countDistinct(col("o_orderkey")).as("n_distinct"),
+        min(when(col("o_orderkey").between(col("tbl_min"), col("tbl_max")), 1)
+          .otherwise(0)).as("all_in_range"))
+      .select(col("first_key"), col("last_key"),
+        (col("hit_first") === 1).as("has_first"),
+        (col("hit_last") === 1).as("has_last"),
+        (col("n") === col("n_distinct")).as("no_dupes"),
+        (col("all_in_range") === 1).as("in_range"))
   }
 
   val all: Seq[QueryDef] = Seq(
