@@ -161,7 +161,37 @@ object DedupQueries {
       .orderBy("id_a", "id_b")
   }
 
+  /** SimHash end-to-end, oracle-verified on provable invariants over
+    * an in-plan corpus: an exact copy has distance 0, and — because the
+    * signature hashes the DISTINCT TOKEN SET — a word-permuted copy
+    * also has distance 0. Disjoint-vocabulary docs sit near the
+    * expected hamming distance of 32 for independent signatures, far
+    * above the cutoff (text literals are fixed, so those distances are
+    * constants, not draws). The expected pair set is therefore exact:
+    * the banding join, chunking arithmetic, and bit_count all
+    * hash-fail if wrong. Complements DedupSpec's corpus recall tests.
+    */
+  val qDedupSimhashPlanted: QueryDef = QueryDef.sql(
+    "q_dedup_simhash_planted",
+    """SELECT * FROM (VALUES
+      |  (1, 2, 0), (1, 3, 0), (2, 3, 0), (4, 5, 0))
+      |  AS t(id_a, id_b, distance)
+      |ORDER BY id_a, id_b""".stripMargin,
+    doc = "SimHash verified on in-plan copy/permutation invariants (dedup ops)") { (s, dir) =>
+    import s.implicits._
+    val docs = Seq(
+      (1, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2, "alpha beta gamma delta epsilon zeta eta theta"), // exact copy
+      (3, "theta eta zeta epsilon delta gamma beta alpha"), // permuted copy
+      (4, "quick brown foxes jump over seventeen lazy sleeping dogs"),
+      (5, "quick brown foxes jump over seventeen lazy sleeping dogs"),
+      (6, "solar panels convert sunlight into renewable electric power")
+    ).toDF("doc_id", "text")
+    Dedup.simHashNearDupPairs(docs, "doc_id", "text", maxDistance = 3)
+      .orderBy("id_a", "id_b")
+  }
+
   val all: Seq[QueryDef] = Seq(
     qDedupExact, qNgramJaccard, qEmbedNearDup, qDedupMinhash,
-    qDedupMinhashPlanted, qDedupSimhash)
+    qDedupMinhashPlanted, qDedupSimhash, qDedupSimhashPlanted)
 }
