@@ -79,5 +79,40 @@ object SimilarityQueries {
       .orderBy("query_id")
   }
 
-  val all: Seq[QueryDef] = Seq(qSimTopK, qSimLsh)
+  /** IVF ANN end-to-end (train → assign → probe-pruned search), self-
+    * verifying like [[qSimLsh]]: per-query recall vs the in-plan
+    * brute-force truth, emitted as a hash-checked contract boolean.
+    * Centroids are trained in-plan (distributed Lloyd's, deterministic
+    * lowest-id seeds) so the whole IVF lifecycle runs under the gate.
+    */
+  val qSimIvf: QueryDef = QueryDef.sql(
+    "q_sim_ivf",
+    """SELECT vec_id AS query_id, 5 AS k, true AS recall_ok
+      |FROM embeddings WHERE vec_id IN (0, 1, 2)
+      |ORDER BY query_id""".stripMargin,
+    doc = "IVF ANN train/assign/search w/ in-plan recall check (similarity scale path)") { (s, dir) =>
+    val emb = t(s, dir, "embeddings")
+    val queries = emb.filter(col("vec_id").isin(0, 1, 2))
+    val cents = Similarity.trainCentroids(emb, "vec_id", "embedding",
+      k = 8, iters = 3)
+    val assigned = Similarity.ivfAssign(emb, "vec_id", "embedding",
+      cents, "centroid_id", "centroid_vec")
+    val ivf = Similarity.ivfTopK(assigned, queries, "vec_id", "embedding",
+      cents, "centroid_id", "centroid_vec", k = 5, nProbe = 3)
+    val exact = Similarity.bruteForceTopK(
+      corpus = emb, queries = queries,
+      idCol = "vec_id", vecCol = "embedding", k = 5)
+    val overlap = ivf.select(col("query_id"), col("corpus_id"))
+      .join(exact.select(col("query_id"), col("corpus_id")),
+        Seq("query_id", "corpus_id"))
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_hit"))
+    queries.select(col("vec_id").as("query_id"))
+      .join(overlap, Seq("query_id"), "left")
+      .select(col("query_id"), lit(5).as("k"),
+        (coalesce(col("n_hit"), lit(0L)) >= 3).as("recall_ok"))
+      .orderBy("query_id")
+  }
+
+  val all: Seq[QueryDef] = Seq(qSimTopK, qSimLsh, qSimIvf)
 }

@@ -3,6 +3,7 @@ package graft.sim
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
+import scala.jdk.CollectionConverters._
 
 /** Similarity search over embedding columns (Array[Float]).
   *
@@ -136,5 +137,86 @@ object Similarity {
       .drop("__cvec", "__rn")
       .withColumnRenamed("__cid", "centroid_id")
       .withColumnRenamed("__sim", "centroid_sim")
+  }
+
+  /** Per-key element-wise mean of an array column: posexplode →
+    * (key, pos) partial avgs → re-assembled in position order. Both
+    * aggregations are map-side-combining shuffles on small keys; the
+    * vectors themselves never concentrate on one task.
+    */
+  def meanVectors(df: DataFrame, keyCol: String, vecCol: String): DataFrame =
+    df.select(col(keyCol), posexplode(col(vecCol)).as(Seq("__pos", "__x")))
+      .groupBy(col(keyCol), col("__pos"))
+      .agg(avg(col("__x").cast("double")).as("__mx"))
+      .groupBy(col(keyCol))
+      .agg(transform(
+        array_sort(collect_list(struct(col("__pos"), col("__mx")))),
+        e => e.getField("__mx")).as("centroid_vec"))
+
+  /** Distributed Lloyd's k-means for IVF coarse centroids: seed from
+    * the k lowest-id vectors (deterministic), then `iters` rounds of
+    * assign (broadcast centroids) + element-wise mean. Each round is
+    * two narrow shuffles; only the k centroid vectors ever reach the
+    * driver. Cosine geometry (matches the assign/search operators).
+    * A cell that loses all members drops out (k may shrink) — standard
+    * Lloyd's behavior; callers needing exactly k re-seed.
+    */
+  def trainCentroids(df: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int = 5): DataFrame = {
+    val spark = df.sparkSession
+    var cents = df.orderBy(col(idCol)).limit(k)
+      .select(col(idCol).cast("long").as("centroid_id"),
+        col(vecCol).as("centroid_vec"))
+    var i = 0
+    while (i < iters) {
+      val assigned = ivfAssign(df, idCol, vecCol,
+        cents, "centroid_id", "centroid_vec")
+      cents = meanVectors(assigned, "centroid_id", vecCol)
+        .withColumnRenamed("centroid_id", "__k")
+        .select(col("__k").cast("long").as("centroid_id"),
+          col("centroid_vec"))
+      // k rows: materialize per round so each iteration's lineage is a
+      // small local relation, not an ever-deepening recursive plan
+      cents = spark.createDataFrame(cents.collect().toList.asJava, cents.schema)
+      i += 1
+    }
+    cents
+  }
+
+  /** IVF ANN top-k: queries probe their `nProbe` nearest cells and are
+    * ranked against ONLY the corpus rows assigned to those cells — the
+    * classic inverted-file search. `assigned` is the corpus with a
+    * `centroid_id` column (from [[ivfAssign]], typically precomputed
+    * and stored partitioned BY centroid_id so each probe is a
+    * partition-pruned read). Shuffle: one equi-join on centroid_id
+    * with the bounded query-probe side broadcast, then the per-query
+    * ranking window.
+    */
+  def ivfTopK(
+      assigned: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String,
+      centroids: DataFrame, centIdCol: String, centVecCol: String,
+      k: Int, nProbe: Int = 2): DataFrame = {
+    val cents = centroids.select(col(centIdCol).as("__cid"),
+      col(centVecCol).as("__cvec"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
+    val probeW = Window.partitionBy(col("query_id"))
+      .orderBy(col("__psim").desc, col("__cid"))
+    val probes = q.crossJoin(broadcast(cents))
+      .withColumn("__psim", cosine(col("q_vec"), col("__cvec")))
+      .withColumn("__pr", row_number().over(probeW))
+      .filter(col("__pr") <= nProbe)
+      .select(col("query_id"), col("q_vec"), col("__cid").as("centroid_id"))
+    val c = assigned.select(col(idCol).as("corpus_id"),
+      col(vecCol).as("c_vec"), col("centroid_id"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("corpus_id"))
+    c.join(broadcast(probes), Seq("centroid_id"))
+      .filter(col("corpus_id") =!= col("query_id"))
+      .select(col("query_id"), col("corpus_id"),
+        cosine(col("c_vec"), col("q_vec")).as("cosine"))
+      .distinct()
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
   }
 }

@@ -54,4 +54,43 @@ class SimilaritySpec extends SparkSpec {
       .select("vec_id", "centroid_id").as[(Long, Long)].collect().toMap
     assert(assigned === Map(1L -> 10L, 2L -> 10L, 3L -> 20L))
   }
+
+  test("trainCentroids recovers an obvious cluster structure") {
+    // three tight direction-clusters in 3d; ids chosen so the k seeds
+    // (lowest ids) start one per cluster after iteration regardless
+    val mk = (base: Array[Float], eps: Float, n: Int, id0: Long) =>
+      (0 until n).map(i => (id0 + i,
+        base.zipWithIndex.map { case (x, j) =>
+          x + (if (j == i % 3) eps * (1 + i % 2) else 0f) }))
+    val data = (mk(Array(10f, 0f, 0f), 0.1f, 10, 0L) ++
+      mk(Array(0f, 10f, 0f), 0.1f, 10, 100L) ++
+      mk(Array(0f, 0f, 10f), 0.1f, 10, 200L)).toDF("vec_id", "embedding")
+    val cents = Similarity.trainCentroids(data, "vec_id", "embedding",
+      k = 3, iters = 4)
+    assert(cents.count() === 3)
+    // every point lands in a cell whose centroid points its way
+    val assigned = Similarity.ivfAssign(data, "vec_id", "embedding",
+      cents, "centroid_id", "centroid_vec")
+    val purity = assigned
+      .withColumn("cluster", (col("vec_id") / 100).cast("int"))
+      .groupBy("cluster").agg(countDistinct("centroid_id").as("n_cells"))
+      .select("n_cells").as[Long].collect()
+    assert(purity.forall(_ === 1L), purity.toSeq.toString)
+  }
+
+  test("ivfTopK recall vs brute force >= 60% on real embeddings; probes prune the corpus") {
+    val emb = Tables.table(spark, "/root/testdata/sf0.001", "embeddings")
+    val queries = emb.filter($"vec_id" < 5)
+    val cents = Similarity.trainCentroids(emb, "vec_id", "embedding",
+      k = 8, iters = 3)
+    val assigned = Similarity.ivfAssign(emb, "vec_id", "embedding",
+      cents, "centroid_id", "centroid_vec")
+    val exact = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 5)
+      .select("query_id", "corpus_id").as[(Long, Long)].collect().toSet
+    val approx = Similarity.ivfTopK(assigned, queries, "vec_id", "embedding",
+      cents, "centroid_id", "centroid_vec", k = 5, nProbe = 3)
+      .select("query_id", "corpus_id").as[(Long, Long)].collect().toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.6, s"recall=$recall")
+  }
 }
