@@ -129,6 +129,69 @@ object StreamIngest {
       }
   }
 
+  /** A finalized gap-session: emitted only once the event-time
+    * watermark proves no more events can join it.
+    */
+  final case class SessionState(startMs: Long, endMs: Long, n: Long)
+  final case class FinalSession(entity: String, session_start: Long,
+      session_end: Long, n_events: Long)
+
+  /** Event-time-timeout sessionization via `flatMapGroupsWithState`:
+    * unlike [[sessionAgg]] (whose session_window rows are emitted by
+    * the engine), this is the custom-state form — sessions close
+    * either when a same-entity event arrives past the gap, or when the
+    * WATERMARK passes session-end + gap (`EventTimeTimeout`), so a
+    * silent entity's last session still finalizes. State: one record
+    * per open session per entity, watermark-bounded. Works across
+    * checkpointed `AvailableNow` runs (the engine runs a no-data batch
+    * when the watermark advances, which is what fires timeouts).
+    */
+  def finalizedSessions(df: DataFrame, timeCol: String, entityCol: String,
+      gapMs: Long, watermarkDelay: String = "0 seconds")(
+      implicit spark: SparkSession): Dataset[FinalSession] = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    // the watermarked event-time column must survive up to the stateful
+    // operator — projecting it into a derived long would detach the
+    // watermark and fail the unsupported-operation check
+    df.withWatermark(timeCol, watermarkDelay)
+      .select(col(entityCol).cast("string").as("entity"),
+        col(timeCol).as("ts"))
+      .as[(String, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[SessionState, FinalSession](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (entity, rows, state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(FinalSession(entity, s.startMs, s.endMs, s.n))
+          } else {
+            val times = rows.map(_._2.getTime).toSeq.sorted
+            val out = Seq.newBuilder[FinalSession]
+            var st = state.getOption
+            times.foreach { t =>
+              st match {
+                case Some(s) if t - s.endMs <= gapMs =>
+                  st = Some(s.copy(endMs = t, n = s.n + 1))
+                case Some(s) =>
+                  out += FinalSession(entity, s.startMs, s.endMs, s.n)
+                  st = Some(SessionState(t, t, 1))
+                case None =>
+                  st = Some(SessionState(t, t, 1))
+              }
+            }
+            st.foreach { s =>
+              state.update(s)
+              // the timeout stamp must sit above the current watermark
+              state.setTimeoutTimestamp(
+                math.max(state.getCurrentWatermarkMs() + 1, s.endMs + gapMs))
+            }
+            out.result().iterator
+          }
+      }
+  }
+
   /** Run a streaming transform one-shot into an in-memory table and
     * return its rows — the harness used by specs and quick inspection
     * (complete/append per `outputMode`).

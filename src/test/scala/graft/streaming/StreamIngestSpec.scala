@@ -104,6 +104,58 @@ class StreamIngestSpec extends SparkSpec {
     assert(updates().contains(("b", 55.0, 2L, 1L))) // crossed 50 now
   }
 
+  test("finalizedSessions closes sessions via event-time timeout across checkpointed runs") {
+    implicit val s = spark
+    val in = Files.createTempDirectory("fs_in").toString
+    val ckpt = Files.createTempDirectory("fs_ck").toString
+    val out = Files.createTempDirectory("fs_out").toString
+    val gapMs = 30L * 60 * 1000
+
+    def runOnce(schema: org.apache.spark.sql.types.StructType): Unit = {
+      val stream = StreamIngest.readFileStream(spark, in, schema)
+      val sessions = StreamIngest.finalizedSessions(
+        stream.toDF(), "ts", "entity", gapMs)
+      val q = sessions.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    def finalized() = spark.read.parquet(out).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+
+    // run 1: one open session for `a` — nothing finalizes (watermark
+    // hasn't passed end+gap)
+    writeBatch(in, "b1", Seq(
+      (ts("2024-01-01 10:00:00"), "a", 1.0),
+      (ts("2024-01-01 10:05:00"), "a", 1.0)))
+    val schema = spark.read.parquet(in).schema
+    runOnce(schema)
+    assert(finalized().isEmpty, finalized().toString)
+
+    // run 2: a much later event for `b` pushes the watermark past
+    // a's session end + gap → a's session finalizes via timeout
+    writeBatch(in, "b2", Seq((ts("2024-01-01 12:00:00"), "b", 1.0)))
+    runOnce(schema)
+    val f = finalized()
+    assert(f.exists { case (e, start, end, n) =>
+      e == "a" && n == 2L &&
+        start == ts("2024-01-01 10:00:00").getTime &&
+        end == ts("2024-01-01 10:05:00").getTime
+    }, f.toString)
+    // b's session is still open
+    assert(!f.exists(_._1 == "b"))
+
+    // in-batch gap split also finalizes the earlier session directly
+    writeBatch(in, "b3", Seq(
+      (ts("2024-01-01 15:00:00"), "b", 1.0))) // >gap after 12:00 for b
+    runOnce(schema)
+    assert(finalized().exists { case (e, _, _, n) => e == "b" && n == 1L })
+  }
+
   test("sessionAgg groups by inactivity gap") {
     val in = Files.createTempDirectory("sess_in").toString
     writeBatch(in, "b", Seq(
