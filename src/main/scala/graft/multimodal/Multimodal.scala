@@ -7,18 +7,20 @@ import org.apache.spark.sql.functions._
   * opaque `binary` columns with typed metadata, processed by
   * partition-mapped batch functions.
   *
-  * The Spark-side plumbing — schema, partition sizing, batch-shaped
-  * processing, metadata propagation — is real and tested. The actual
-  * codec calls are STUBS (`decodeImageStub`): this container has no
-  * image/audio libraries, so decode produces a deterministic fake
-  * derived from the bytes. Swapping in a real codec changes only the
-  * body of the stub, not the pipeline.
+  * IMAGE decode is REAL: `javax.imageio` ships with the JDK (PNG/JPEG/
+  * GIF/BMP), so [[decodeImage]] needs no external libraries. Bytes that
+  * no installed reader accepts fall back to the deterministic stub with
+  * `decoded = false`, keeping the pipeline total (no dropped assets)
+  * while flagging fakes. AUDIO/VIDEO codecs have no JDK equivalent and
+  * remain stub-shaped plumbing (frame fan-out, batch iteration).
   *
   * Scale design: media rows are large (MBs) — `repartitionForMedia`
   * sizes partitions by BYTES not row count, so a 100 TB corpus of
   * mixed-size blobs doesn't produce straggler tasks. Feature extraction
   * is mapPartitions (one iterator pass, no per-row closure overhead) —
-  * the Scala analogue of `mapInPandas` batch UDFs.
+  * the Scala analogue of `mapInPandas` batch UDFs — and luma sampling
+  * is grid-bounded so a 100-megapixel scan costs the same as a
+  * thumbnail.
   */
 object Multimodal {
 
@@ -30,14 +32,15 @@ object Multimodal {
       content: Array[Byte],
       content_length: Long)
 
-  /** Decoded-image features (the stub's output schema — the real
-    * decoder contract). */
+  /** Decoded-image features; `decoded = false` marks the stub fallback
+    * for bytes no installed reader accepts. */
   final case class ImageFeatures(
       asset_id: Long,
       width: Int,
       height: Int,
       channels: Int,
-      mean_luma: Double)
+      mean_luma: Double,
+      decoded: Boolean)
 
   /** Wrap a DataFrame of (id, uri, bytes) into the canonical media
     * schema, deriving kind from the uri suffix and length from the
@@ -58,13 +61,47 @@ object Multimodal {
       .as[MediaAsset]
   }
 
-  /** STUB decoder: deterministic fake features from the byte content.
-    * A real implementation calls an image codec here (???-equivalent:
-    * the only line that changes). Everything around it — batch
-    * iteration, schema, partitioning — is production-shaped.
+  /** Real image decode via the JDK's ImageIO (PNG/JPEG/GIF/BMP — no
+    * external libraries). Mean luma (Rec. 601) is sampled on a bounded
+    * ≤32×32 grid: constant work per image regardless of resolution.
+    * None when no installed reader accepts the bytes.
+    */
+  def decodeImage(bytes: Array[Byte]): Option[(Int, Int, Int, Double)] =
+    try {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes))
+      if (img == null) None
+      else {
+        val w = img.getWidth
+        val h = img.getHeight
+        val channels = img.getRaster.getNumBands
+        val sx = math.max(1, w / 32)
+        val sy = math.max(1, h / 32)
+        var sum = 0.0
+        var n = 0
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            val r = (rgb >> 16) & 0xff
+            val g = (rgb >> 8) & 0xff
+            val b = rgb & 0xff
+            sum += (0.299 * r + 0.587 * g + 0.114 * b) / 255.0
+            n += 1
+            x += sx
+          }
+          y += sy
+        }
+        Some((w, h, channels, if (n == 0) 0.0 else sum / n))
+      }
+    } catch { case _: Exception => None }
+
+  /** STUB decoder: deterministic fake features from the byte content —
+    * the fallback for undecodable bytes and the stand-in shape for the
+    * audio/video codecs the JDK lacks.
     */
   def decodeImageStub(bytes: Array[Byte]): (Int, Int, Int, Double) = {
-    // ??? real codec goes here; fake derives stable pseudo-dimensions
     val h = java.util.Arrays.hashCode(bytes)
     val width = 64 + math.abs(h % 1024)
     val height = 64 + math.abs((h / 1024) % 1024)
@@ -77,7 +114,8 @@ object Multimodal {
 
   /** Batch feature extraction: one partition-level iterator pass (the
     * mapPartitions shape a vectorized decoder wants — amortized codec
-    * init per partition, not per row).
+    * init per partition, not per row). Real ImageIO decode; stub
+    * fallback flagged via `decoded = false`.
     */
   def extractImageFeatures(assets: Dataset[MediaAsset])(
       implicit spark: SparkSession): Dataset[ImageFeatures] = {
@@ -85,8 +123,13 @@ object Multimodal {
     assets.filter(col("kind") === "image").mapPartitions { it =>
       // per-partition decoder init would go here (amortized)
       it.map { a =>
-        val (w, h, c, luma) = decodeImageStub(a.content)
-        ImageFeatures(a.asset_id, w, h, c, luma)
+        decodeImage(a.content) match {
+          case Some((w, h, c, luma)) =>
+            ImageFeatures(a.asset_id, w, h, c, luma, decoded = true)
+          case None =>
+            val (w, h, c, luma) = decodeImageStub(a.content)
+            ImageFeatures(a.asset_id, w, h, c, luma, decoded = false)
+        }
       }
     }
   }

@@ -30,8 +30,38 @@ class MultimodalSpec extends SparkSpec {
     val again = Multimodal.extractImageFeatures(media).collect()
       .sortBy(_.asset_id)
     assert(feats.toSeq === again.toSeq) // stub is deterministic
-    assert(feats.forall(f => f.width >= 64 && f.height >= 64 &&
+    // fake bytes are undecodable -> flagged stub fallback
+    assert(feats.forall(f => !f.decoded && f.width >= 64 && f.height >= 64 &&
       f.channels >= 1 && f.mean_luma >= 0.0 && f.mean_luma <= 1.0))
+  }
+
+  private def pngBytes(w: Int, h: Int, rgb: Int, format: String = "png"): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, format, bos)
+    bos.toByteArray
+  }
+
+  test("real PNG/JPEG bytes decode via the JDK codec with exact dimensions and luma") {
+    val media = Multimodal.toMediaAssets(Seq(
+      (10L, "s3://b/white.png", pngBytes(3, 2, 0xFFFFFF)),
+      (11L, "s3://b/black.png", pngBytes(5, 4, 0x000000)),
+      (12L, "s3://b/grey.jpg", pngBytes(8, 8, 0x808080, "jpg")),
+      (13L, "s3://b/junk.png", Array[Byte](1, 2, 3))
+    ).toDF("id", "uri", "bytes"), "id", "uri", "bytes")
+    val f = Multimodal.extractImageFeatures(media).collect()
+      .map(x => x.asset_id -> x).toMap
+    assert(f(10L).decoded && f(10L).width === 3 && f(10L).height === 2 &&
+      f(10L).channels === 3 && math.abs(f(10L).mean_luma - 1.0) < 1e-9)
+    assert(f(11L).decoded && f(11L).width === 5 && f(11L).height === 4 &&
+      f(11L).mean_luma === 0.0)
+    // jpeg is lossy: grey comes back near 0x80
+    assert(f(12L).decoded && f(12L).width === 8 &&
+      math.abs(f(12L).mean_luma - 128.0 / 255.0) < 0.05)
+    // junk bytes: flagged fallback, not a crash or a dropped row
+    assert(!f(13L).decoded)
   }
 
   test("sampleFrameIndexes fans out stride-spaced frames per video") {
