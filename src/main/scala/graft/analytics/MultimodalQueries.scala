@@ -59,5 +59,54 @@ object MultimodalQueries {
       .orderBy("asset_id")
   }
 
-  val all: Seq[QueryDef] = Seq(qMultimodalDecode)
+  private def wav(rate: Float, nFrames: Int, amplitude: Short): Array[Byte] = {
+    import javax.sound.sampled._
+    val fmt = new AudioFormat(rate, 16, 1, true, false)
+    val pcm = new Array[Byte](nFrames * 2)
+    var i = 0
+    while (i < nFrames) {
+      val s: Short = if (i % 2 == 0) amplitude else (-amplitude).toShort
+      pcm(2 * i) = (s & 0xff).toByte
+      pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+      i += 1
+    }
+    val ais = new AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, nFrames)
+    val bos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** WAV decode: exact format constants + RMS of generated square
+    * waves (amplitude 16384/32768 → rms exactly 0.5; PCM is lossless).
+    */
+  val qMultimodalAudio: QueryDef = QueryDef.sql(
+    "q_multimodal_audio",
+    """SELECT * FROM (VALUES
+      |  (1, CAST(8000.0 AS DOUBLE), 1, 800, CAST(0.1 AS DOUBLE), CAST(0.5 AS DOUBLE), true),
+      |  (2, CAST(16000.0 AS DOUBLE), 1, 3200, CAST(0.2 AS DOUBLE), CAST(0.25 AS DOUBLE), true),
+      |  (3, NULL, NULL, NULL, NULL, NULL, false))
+      |  AS t(asset_id, sample_rate, channels, n_frames, duration_sec, rms, decoded)
+      |ORDER BY asset_id""".stripMargin,
+    doc = "JDK WAV/PCM decode of generated square waves (multimodal ops)") { (s, dir) =>
+    import s.implicits._
+    val assets = Seq(
+      (1L, "mem://half.wav", wav(8000f, 800, 16384)),
+      (2L, "mem://quarter.wav", wav(16000f, 3200, 8192)),
+      (3L, "mem://junk.wav", Array[Byte](7, 7))
+    ).toDF("id", "uri", "bytes")
+    val feats = Multimodal.extractAudioFeatures(
+      Multimodal.toMediaAssets(assets, "id", "uri", "bytes")(s))(s)
+    feats.select(col("asset_id"),
+        when(col("decoded"), col("sample_rate")).as("sample_rate"),
+        when(col("decoded"), col("channels")).as("channels"),
+        when(col("decoded"), col("n_frames").cast("int")).as("n_frames"),
+        when(col("decoded"), round(col("duration_sec"), 6).cast("double"))
+          .as("duration_sec"),
+        when(col("decoded"), round(col("rms"), 6).cast("double")).as("rms"),
+        col("decoded"))
+      .orderBy("asset_id")
+  }
+
+  val all: Seq[QueryDef] = Seq(qMultimodalDecode, qMultimodalAudio)
 }

@@ -7,12 +7,13 @@ import org.apache.spark.sql.functions._
   * opaque `binary` columns with typed metadata, processed by
   * partition-mapped batch functions.
   *
-  * IMAGE decode is REAL: `javax.imageio` ships with the JDK (PNG/JPEG/
-  * GIF/BMP), so [[decodeImage]] needs no external libraries. Bytes that
-  * no installed reader accepts fall back to the deterministic stub with
-  * `decoded = false`, keeping the pipeline total (no dropped assets)
-  * while flagging fakes. AUDIO/VIDEO codecs have no JDK equivalent and
-  * remain stub-shaped plumbing (frame fan-out, batch iteration).
+  * IMAGE and AUDIO decode are REAL: the JDK ships `javax.imageio`
+  * (PNG/JPEG/GIF/BMP → [[decodeImage]]) and `javax.sound.sampled`
+  * (WAV/PCM → [[decodeAudio]]), no external libraries needed. Bytes no
+  * installed reader accepts fall back to a flagged `decoded = false`
+  * record, keeping the pipeline total (no dropped assets). VIDEO has
+  * no JDK codec and remains stub-shaped plumbing (frame fan-out,
+  * batch iteration).
   *
   * Scale design: media rows are large (MBs) — `repartitionForMedia`
   * sizes partitions by BYTES not row count, so a 100 TB corpus of
@@ -129,6 +130,79 @@ object Multimodal {
           case None =>
             val (w, h, c, luma) = decodeImageStub(a.content)
             ImageFeatures(a.asset_id, w, h, c, luma, decoded = false)
+        }
+      }
+    }
+  }
+
+  /** Decoded-audio features; `decoded = false` marks the stub fallback. */
+  final case class AudioFeatures(
+      asset_id: Long,
+      sample_rate: Double,
+      channels: Int,
+      n_frames: Long,
+      duration_sec: Double,
+      rms: Double,
+      decoded: Boolean)
+
+  /** Real audio decode via the JDK's `javax.sound.sampled` (WAV/PCM —
+    * no external libraries): format header + RMS amplitude over a
+    * bounded number of frames (constant work per asset). None when the
+    * bytes aren't a supported audio stream or aren't 16-bit PCM.
+    */
+  def decodeAudio(bytes: Array[Byte],
+      maxFrames: Int = 1 << 20): Option[(Double, Int, Long, Double)] =
+    try {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val fmt = ais.getFormat
+        if (fmt.getSampleSizeInBits != 16) None
+        else {
+          val channels = fmt.getChannels
+          val frameBytes = fmt.getFrameSize
+          val totalFrames = ais.getFrameLength
+          val toRead = math.min(totalFrames, maxFrames.toLong).toInt
+          val buf = new Array[Byte](toRead * frameBytes)
+          var off = 0
+          var r = 0
+          while (off < buf.length && r >= 0) {
+            r = ais.read(buf, off, buf.length - off)
+            if (r > 0) off += r
+          }
+          val be = fmt.isBigEndian
+          var sumSq = 0.0
+          var i = 0
+          while (i + 1 < off) {
+            val s =
+              if (be) ((buf(i) << 8) | (buf(i + 1) & 0xff)).toShort
+              else ((buf(i + 1) << 8) | (buf(i) & 0xff)).toShort
+            val x = s / 32768.0
+            sumSq += x * x
+            i += 2
+          }
+          val nSamples = off / 2
+          val rms = if (nSamples == 0) 0.0 else math.sqrt(sumSq / nSamples)
+          Some((fmt.getSampleRate.toDouble, channels, totalFrames, rms))
+        }
+      } finally ais.close()
+    } catch { case _: Exception => None }
+
+  /** Batch audio feature extraction — same mapPartitions shape as the
+    * image path; undecodable bytes flag `decoded = false` with zeroed
+    * features rather than dropping the asset.
+    */
+  def extractAudioFeatures(assets: Dataset[MediaAsset])(
+      implicit spark: SparkSession): Dataset[AudioFeatures] = {
+    import spark.implicits._
+    assets.filter(col("kind") === "audio").mapPartitions { it =>
+      it.map { a =>
+        decodeAudio(a.content) match {
+          case Some((rate, ch, frames, rms)) =>
+            AudioFeatures(a.asset_id, rate, ch, frames,
+              if (rate == 0) 0.0 else frames / rate, rms, decoded = true)
+          case None =>
+            AudioFeatures(a.asset_id, 0.0, 0, 0L, 0.0, 0.0, decoded = false)
         }
       }
     }

@@ -64,6 +64,38 @@ class MultimodalSpec extends SparkSpec {
     assert(!f(13L).decoded)
   }
 
+  private def wavBytes(rate: Float, nFrames: Int, amplitude: Short): Array[Byte] = {
+    import javax.sound.sampled._
+    val fmt = new AudioFormat(rate, 16, 1, true, false) // 16-bit mono PCM LE
+    val pcm = new Array[Byte](nFrames * 2)
+    for (i <- 0 until nFrames) {
+      val s: Short = if (i % 2 == 0) amplitude else (-amplitude).toShort
+      pcm(2 * i) = (s & 0xff).toByte
+      pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+    }
+    val ais = new AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, nFrames)
+    val bos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  test("real WAV bytes decode via the JDK codec with exact format and RMS") {
+    val media = Multimodal.toMediaAssets(Seq(
+      (20L, "s3://b/square.wav", wavBytes(8000f, 800, 16384)),
+      (21L, "s3://b/junk.wav", Array[Byte](1, 2, 3, 4))
+    ).toDF("id", "uri", "bytes"), "id", "uri", "bytes")
+    val f = Multimodal.extractAudioFeatures(media).collect()
+      .map(x => x.asset_id -> x).toMap
+    val sq = f(20L)
+    assert(sq.decoded && sq.sample_rate === 8000.0 && sq.channels === 1 &&
+      sq.n_frames === 800L)
+    assert(math.abs(sq.duration_sec - 0.1) < 1e-9)
+    // square wave at 16384/32768 -> rms exactly 0.5
+    assert(math.abs(sq.rms - 0.5) < 1e-12, sq.rms.toString)
+    assert(!f(21L).decoded)
+  }
+
   test("sampleFrameIndexes fans out stride-spaced frames per video") {
     val media = Multimodal.toMediaAssets(assets, "id", "uri", "bytes")
     val frames = Multimodal.sampleFrameIndexes(media, stride = 10, maxFrames = 4)
