@@ -186,7 +186,17 @@ final class Warehouse(spark: SparkSession, location: String) {
     if (dataFiles(table).isEmpty) return // nothing to rewrite
     val parts = readMeta(table).map(_.partitionBy).getOrElse(Nil)
     val tmp = new Path(path(table) + "__compact")
-    val df = readRaw(table).repartition(targetFiles)
+    // Partitioned layout: shuffle BY the partition columns so each
+    // task holds whole partitions and every partition directory
+    // compacts to one file. A plain repartition(n) would scatter each
+    // partition's rows across all n tasks — n small files per
+    // directory, the opposite of compaction.
+    val raw = readRaw(table)
+    val df =
+      if (parts.nonEmpty)
+        raw.repartition(math.max(targetFiles, 1),
+          parts.map(org.apache.spark.sql.functions.col): _*)
+      else raw.repartition(targetFiles)
     val w = df.write.mode(SaveMode.Overwrite)
     (if (parts.nonEmpty) w.partitionBy(parts: _*) else w)
       .parquet(tmp.toString)

@@ -1,0 +1,42 @@
+package graft.io
+
+import graft.SparkSpec
+import graft.ops.EngineOps
+import org.apache.spark.sql.functions._
+
+/** Scan-shape guards for the parquet read path — the properties a
+  * 100 TB scan lives or dies by must hold through the ns→µs rebuild
+  * wrapper (a withColumn that accidentally blocked pushdown or pruning
+  * would silently 100× the IO).
+  */
+class TablesSpec extends SparkSpec {
+
+  test("events read keeps filter pushdown + column pruning through the ns rebuild") {
+    val df = Tables.table(spark, "/root/testdata/sf0.001", "events")
+      .filter(col("event_type") === "purchase")
+      .select("event_id", "event_type")
+    val plan = EngineOps.explain(df, "formatted")
+    assert(plan.contains("PushedFilters: [IsNotNull(event_type), EqualTo(event_type,purchase)]"),
+      plan)
+    // ReadSchema must not include untouched wide columns like props
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("props"), readSchema)
+  }
+
+  test("ns->us rebuild is exact integral division (truncation, never rounding)") {
+    // 2026-epoch ns where double division rounds up 1µs: n/1000.0
+    // rounds to a different long than n div 1000 for n ≡ 999 (mod 1000)
+    // at 1.7e18 magnitudes (double ulp = 256ns)
+    val dir = java.nio.file.Files.createTempDirectory("nsvals").toString
+    import spark.implicits._
+    val ns = Seq(1767225600123456999L, 1767225600123456001L, 1767225600123456500L)
+    // write via a nanos-annotated parquet: simplest is to verify the
+    // expression graft uses directly against exact integer truncation
+    val out = ns.toDF("n")
+      .select(expr("`n` div 1000").as("us"))
+      .as[Long].collect().toSeq
+    assert(out === ns.map(_ / 1000L))
+    assert(out.distinct.size === 1) // all truncate to the same µs
+    new java.io.File(dir).delete()
+  }
+}

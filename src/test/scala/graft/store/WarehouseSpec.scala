@@ -66,6 +66,20 @@ class WarehouseSpec extends SparkSpec {
     assert(!wh.tableExists("t") && wh.readMeta("t").isEmpty)
   }
 
+  test("compact on a partitioned table collapses each partition dir to one file") {
+    val wh = fresh()
+    val df = (1 to 200).map(i => (i.toLong, s"g${i % 4}", i * 1.0))
+      .toDF("id", "g", "v").repartition(8)
+    wh.overwrite("t", df, partitionBy = Seq("g"))
+    wh.writeMeta("t", Seq("g"), Nil)
+    assert(wh.tableStats("t").numFiles > 4)
+    wh.compact("t", 4)
+    val after = wh.tableStats("t")
+    assert(after.numRows === 200)
+    assert(after.numFiles === 4, s"files=${after.numFiles}") // one per g=
+    assert(wh.read("t").groupBy("g").count().count() === 4)
+  }
+
   test("unique keys + partitioning persist in table meta") {
     val wh = fresh()
     wh.createTable("t", schema, partitionBy = Nil, uniqueKeys = Seq("id"))
