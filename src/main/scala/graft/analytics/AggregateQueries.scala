@@ -161,7 +161,57 @@ object AggregateQueries {
       .orderBy(col("v").desc_nulls_last, col("event_id"))
   }
 
+  /** Ordered-set aggregates: exact interpolated percentiles per group
+    * (Spark `percentile` ≡ DuckDB `quantile_cont`, both linear
+    * interpolation on the sorted values). Rounded to 4 decimals — the
+    * two engines may order the interpolation arithmetic differently
+    * at the last ulp.
+    */
+  val qPercentiles: QueryDef = QueryDef.sql(
+    "q_percentiles",
+    """SELECT l_returnflag,
+      |  CAST(round(quantile_cont(l_extendedprice, 0.5), 4) AS DOUBLE) AS median_price,
+      |  CAST(round(quantile_cont(l_extendedprice, 0.95), 4) AS DOUBLE) AS p95_price,
+      |  CAST(round(quantile_cont(l_quantity, 0.25), 4) AS DOUBLE) AS q1_qty
+      |FROM lineitem GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin,
+    doc = "exact interpolated percentiles per group (ordered-set aggs)") { (s, dir) =>
+    t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(expr("percentile(l_extendedprice, 0.5)"), 4).cast("double")
+          .as("median_price"),
+        round(expr("percentile(l_extendedprice, 0.95)"), 4).cast("double")
+          .as("p95_price"),
+        round(expr("percentile(l_quantity, 0.25)"), 4).cast("double")
+          .as("q1_qty"))
+      .orderBy("l_returnflag")
+  }
+
+  /** Pivot: per-user event-type counts as columns — Spark's `pivot`
+    * with an explicit value list (at scale the list must be explicit:
+    * an inferred pivot runs a distinct scan first), oracled as the
+    * conditional-aggregation twin every engine can express.
+    */
+  val qPivot: QueryDef = QueryDef.sql(
+    "q_pivot",
+    """SELECT user_id,
+      |  count(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+      |  count(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+      |  count(CASE WHEN event_type = 'view' THEN 1 END) AS view
+      |FROM events WHERE user_id <= 20
+      |GROUP BY user_id ORDER BY user_id""".stripMargin,
+    doc = "pivot event counts into columns (SURVEY §2.4 pivot)") { (s, dir) =>
+    t(s, dir, "events")
+      .filter(col("user_id") <= 20)
+      .groupBy(col("user_id"))
+      .pivot("event_type", Seq("click", "purchase", "view"))
+      .count()
+      .na.fill(0L, Seq("click", "purchase", "view"))
+      .orderBy("user_id")
+  }
+
   val all: Seq[QueryDef] = Seq(
     qProfileStats, qCollectAgg, qCondRatios, qCaseAgg, qDistinctPairs,
-    qSortNullsLast)
+    qSortNullsLast, qPercentiles, qPivot)
 }
