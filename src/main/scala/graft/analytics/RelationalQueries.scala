@@ -389,8 +389,40 @@ object RelationalQueries {
         col("o_orderpriority").asc_nulls_first)
   }
 
+  /** Analytic-function sweep: lead, first_value, ntile and a running
+    * frame sum in ONE window spec — Catalyst evaluates all four over a
+    * single shuffle + sort on the partition key, which is the property
+    * to preserve at scale (four specs = four sorts).
+    */
+  val qWindowFuncs: QueryDef = QueryDef.sql(
+    "q_window_funcs",
+    """SELECT o_custkey, o_orderkey,
+      |  lead(o_orderkey) OVER w AS next_orderkey,
+      |  first_value(o_orderkey) OVER w AS first_orderkey,
+      |  ntile(4) OVER w AS quartile,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(20,4)))
+      |    OVER (PARTITION BY o_custkey ORDER BY o_orderkey
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+      |    AS running_spend
+      |FROM orders WHERE o_custkey <= 50
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey)
+      |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    doc = "lead/first_value/ntile/running-frame in one window spec") { (s, dir) =>
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderkey"))
+    t(s, dir, "orders")
+      .filter(col("o_custkey") <= 50)
+      .select(col("o_custkey"), col("o_orderkey"),
+        lead(col("o_orderkey"), 1).over(w).as("next_orderkey"),
+        first(col("o_orderkey")).over(w).as("first_orderkey"),
+        ntile(4).over(w).as("quartile"),
+        sum(col("o_totalprice").cast("decimal(20,4)"))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast("double").as("running_spend"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
   val all: Seq[QueryDef] = Seq(
     q1Agg, qScanProject, qFilterIn, qJoinInner, qJoinAnti, qJoinSemi,
     qJoinLeftOuter, qJoinCrossBounds, qJoinTheta, qJoinNullSafe, qJoinUsing,
-    qUnionAll, qExcept, qRollup, qCube, qTopK, qWindowRank)
+    qUnionAll, qExcept, qRollup, qCube, qTopK, qWindowRank, qWindowFuncs)
 }
