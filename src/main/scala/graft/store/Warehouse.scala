@@ -124,10 +124,23 @@ final class Warehouse(spark: SparkSession, location: String) {
     (if (parts.nonEmpty) w.partitionBy(parts: _*) else w).parquet(path(table))
   }
 
+  /** Overwrite keeps an existing table's recorded layout: a derived
+    * date partitioning (or recorded partition columns) is re-applied —
+    * otherwise one overwrite would silently flatten the layout while
+    * the meta still claims it, and the next append would interleave
+    * partitioned and unpartitioned files.
+    */
   def overwrite(table: String, df: DataFrame,
       partitionBy: Seq[String] = Nil): Unit = {
-    val w = df.write.mode(SaveMode.Overwrite)
-    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
+    val meta = readMeta(table)
+    val src = meta.flatMap(_.partitionSource)
+    val out = withDerived(df, src)
+    val parts =
+      if (src.isDefined) Seq(Warehouse.DerivedDateCol)
+      else if (partitionBy.nonEmpty) partitionBy
+      else meta.map(_.partitionBy).getOrElse(Nil)
+    val w = out.write.mode(SaveMode.Overwrite)
+    (if (parts.nonEmpty) w.partitionBy(parts: _*) else w)
       .parquet(path(table))
   }
 

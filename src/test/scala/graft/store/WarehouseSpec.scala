@@ -80,6 +80,28 @@ class WarehouseSpec extends SparkSpec {
     assert(wh.read("t").groupBy("g").count().count() === 4)
   }
 
+  test("overwrite preserves a derived date layout recorded in meta") {
+    import java.sql.Timestamp
+    val wh = fresh()
+    val tsSchema = StructType(Seq(
+      StructField("timestamp", TimestampType), StructField("v", DoubleType)))
+    wh.createTable("t", tsSchema, uniqueKeys = Seq("timestamp"),
+      partitionSource = Some("timestamp"))
+    wh.append("t", Seq((Timestamp.valueOf("2024-01-01 00:00:00"), 1.0))
+      .toDF("timestamp", "v"))
+    wh.overwrite("t", Seq(
+      (Timestamp.valueOf("2024-02-01 00:00:00"), 2.0),
+      (Timestamp.valueOf("2024-02-02 00:00:00"), 3.0))
+      .toDF("timestamp", "v"))
+    // layout survived the overwrite: p_date dirs exist, logical read clean
+    assert(wh.readRaw("t").columns.contains(Warehouse.DerivedDateCol))
+    assert(wh.read("t").count() === 2)
+    // and appends still interleave correctly
+    wh.append("t", Seq((Timestamp.valueOf("2024-03-01 00:00:00"), 4.0))
+      .toDF("timestamp", "v"))
+    assert(wh.read("t").count() === 3)
+  }
+
   test("unique keys + partitioning persist in table meta") {
     val wh = fresh()
     wh.createTable("t", schema, partitionBy = Nil, uniqueKeys = Seq("id"))
