@@ -124,6 +124,30 @@ object TextQueries {
         countDistinct(TextAnalysis.fingerprint(col("text"))).as("n_unique"))
   }
 
+  /** Explode / LATERAL coverage: corpus-wide token frequencies — the
+    * generate-operator shape (one explode, map-side pre-aggregation,
+    * one shuffle on the token) every text pipeline starts from.
+    * Top-20 with deterministic tie-break.
+    */
+  val qTokenFreq: QueryDef = QueryDef.sql(
+    "q_token_freq",
+    """SELECT token, count(*) AS n FROM (
+      |  SELECT unnest(string_split_regex(lower(trim(text)), '[\s[:punct:]]+')) AS token
+      |  FROM documents)
+      |WHERE token != ''
+      |GROUP BY token
+      |ORDER BY n DESC, token LIMIT 20""".stripMargin,
+    doc = "explode + token frequency top-k (LATERAL/generate shape)") { (s, dir) =>
+    t(s, dir, "documents")
+      .select(explode(split(lower(trim(col("text"))), "[\\s\\p{Punct}]+"))
+        .as("token"))
+      .filter(col("token") =!= "")
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token"))
+      .limit(20)
+  }
+
   val all: Seq[QueryDef] = Seq(
-    qTextTokens, qTextQuality, qTextLangId, qTextFingerprint)
+    qTextTokens, qTextQuality, qTextLangId, qTextFingerprint, qTokenFreq)
 }
