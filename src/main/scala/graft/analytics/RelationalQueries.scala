@@ -421,8 +421,32 @@ object RelationalQueries {
       .orderBy("o_custkey", "o_orderkey")
   }
 
+  /** J9 recursive CTE ≡ driver-loop fixpoint ([[Iterate]]): transitive
+    * closure over a deterministic functional graph derived from nation
+    * (i → 7i mod 25: orbits of order 4), oracled against DuckDB's
+    * actual `WITH RECURSIVE`. Each iteration is one distributed join;
+    * the oracle proves loop+join+anti-accumulator ≡ SQL recursion.
+    */
+  val qTransitiveClosure: QueryDef = QueryDef.sql(
+    "q_transitive_closure",
+    """WITH RECURSIVE edges AS (
+      |  SELECT n_nationkey AS src, (n_nationkey * 7) % 25 AS dst FROM nation),
+      |reach AS (
+      |  SELECT src, dst FROM edges
+      |  UNION
+      |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
+      |SELECT src, dst FROM reach ORDER BY src, dst""".stripMargin,
+    doc = "recursive-CTE transitive closure via driver fixpoint (SURVEY J9)") { (s, dir) =>
+    val edges = t(s, dir, "nation")
+      .select(col("n_nationkey").as("src"),
+        (col("n_nationkey") * 7 % 25).as("dst"))
+    Iterate.transitiveClosure(edges, "src", "dst")
+      .orderBy("src", "dst")
+  }
+
   val all: Seq[QueryDef] = Seq(
     q1Agg, qScanProject, qFilterIn, qJoinInner, qJoinAnti, qJoinSemi,
     qJoinLeftOuter, qJoinCrossBounds, qJoinTheta, qJoinNullSafe, qJoinUsing,
-    qUnionAll, qExcept, qRollup, qCube, qTopK, qWindowRank, qWindowFuncs)
+    qUnionAll, qExcept, qRollup, qCube, qTopK, qWindowRank, qWindowFuncs,
+    qTransitiveClosure)
 }
