@@ -89,6 +89,7 @@ object Tables {
     else if (lower.endsWith(".csv"))
       spark.read.option("header", "true").option("inferSchema", "true").csv(path)
     else if (lower.endsWith(".json")) spark.read.json(path)
+    else if (lower.endsWith(".orc")) spark.read.orc(path)
     else if (lower.endsWith(".txt"))
       spark.read.option("header", "true").option("delimiter", "\t").csv(path)
     else sys.error(s"Unsupported file type: $path")

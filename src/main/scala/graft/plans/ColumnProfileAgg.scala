@@ -57,13 +57,22 @@ case class ColumnProfileAgg(
     if (b.maxN.isNaN || d > b.maxN) b.maxN = d
     if (d != math.floor(d) || d.isInfinite) {
       b.allIntegral = false
-      // decimal places of the double's string form
-      // (`type_inference_engine.py:103-107` semantics)
+      // decimal places of the value's shortest decimal representation
+      // (`type_inference_engine.py:103-107` semantics). Doubles ≥1e7
+      // stringify scientific ("1.23456785E7") — expand those to the
+      // positional form first, or the fraction is invisible and a
+      // fractional column would profile as 0-decimal (→ INTEGER DDL).
       val s = d.toString
-      val dot = s.indexOf('.')
-      if (dot >= 0 && !s.endsWith(".0") && s.indexOf('E') < 0) {
-        val places = s.length - dot - 1
-        if (places > b.maxDec) b.maxDec = places
+      if (!d.isInfinite) {
+        val positional =
+          if (s.indexOf('E') >= 0)
+            new java.math.BigDecimal(s).stripTrailingZeros().toPlainString
+          else s
+        val dot = positional.indexOf('.')
+        if (dot >= 0 && !positional.endsWith(".0")) {
+          val places = positional.length - dot - 1
+          if (places > b.maxDec) b.maxDec = places
+        }
       }
     }
   }

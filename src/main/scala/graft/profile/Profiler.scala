@@ -51,6 +51,12 @@ object Profiler {
   /** Max observed decimal places of a numeric column's string form —
     * the reference's `len(str(float(x)).split('.')[-1])` analysis
     * (`type_inference_engine.py:103-107`). `.0` floats count as 0.
+    *
+    * Known limit: doubles ≥1e7 cast to scientific notation, whose
+    * fraction this regex can't see (→ 0). TypeInference guards the
+    * consequence (non-integral + 0 places never narrows to INTEGER),
+    * and the native `profile_col` path counts positionally and is
+    * exact.
     */
   private def decimalPlacesExpr(c: Column): Column = {
     val frac = regexp_extract(c.cast("string"), "\\.(\\d+)$", 1)

@@ -23,6 +23,15 @@ class TablesSpec extends SparkSpec {
     assert(!readSchema.contains("props"), readSchema)
   }
 
+  test("suffix dispatch reads ORC (built-in columnar alternative)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("orc").toString + "/t.orc"
+    Seq((1L, "a"), (2L, "b")).toDF("id", "s").write.orc(dir)
+    val back = Tables.read(spark, dir)
+    assert(back.count() === 2)
+    assert(back.schema.fieldNames.toSeq === Seq("id", "s"))
+  }
+
   test("ns->us rebuild is exact integral division (truncation, never rounding)") {
     // 2026-epoch ns where double division rounds up 1µs: n/1000.0
     // rounds to a different long than n div 1000 for n ≡ 999 (mod 1000)

@@ -26,6 +26,15 @@ class ProfileFastSpec extends SparkSpec {
     }
   }
 
+  test("profileFast counts decimals of scientific-notation doubles positionally") {
+    // 12345678.5 stringifies as '1.23456785E7'; the fraction must still
+    // count (1 decimal place), and tiny values expand too
+    val df = Seq(12345678.5, 0.0000001).toDF("big_frac")
+    val p = Profiler.profileFast(df).head
+    assert(!p.allIntegral)
+    assert(p.maxDecimalPlaces === 7, p.maxDecimalPlaces.toString) // 1e-7
+  }
+
   test("profileFast handles nulls and mixed types") {
     val df = Seq[(java.lang.Long, java.lang.Double, String)](
       (1L, 1.5, "aa"), (2L, null, "bbb"), (3L, 2.25, null)
