@@ -129,6 +129,24 @@ object StreamIngest {
       }
   }
 
+  /** Watermarked stream-stream interval join: rows pair when the key
+    * matches AND the right event falls within `[leftTime - lookback,
+    * leftTime]`. Both sides carry watermarks and the join condition
+    * bounds the time skew, so each side's join state is evicted as the
+    * watermark passes — the ONLY shape an unbounded stream-stream join
+    * can take at scale (an unbounded-state join grows forever).
+    * `keyExpr` references columns of both inputs (pre-rename clashes).
+    */
+  def streamIntervalJoin(left: DataFrame, right: DataFrame,
+      leftTime: String, rightTime: String, keyExpr: String,
+      lookback: String = "1 hour",
+      watermark: String = "30 minutes"): DataFrame =
+    left.withWatermark(leftTime, watermark)
+      .join(right.withWatermark(rightTime, watermark),
+        expr(s"$keyExpr AND $rightTime >= $leftTime - INTERVAL $lookback" +
+          s" AND $rightTime <= $leftTime"),
+        "inner")
+
   /** A finalized gap-session: emitted only once the event-time
     * watermark proves no more events can join it.
     */

@@ -156,6 +156,28 @@ class StreamIngestSpec extends SparkSpec {
     assert(finalized().exists { case (e, _, _, n) => e == "b" && n == 1L })
   }
 
+  test("streamIntervalJoin pairs events with recent same-entity signups only") {
+    val evDir = Files.createTempDirectory("ssj_ev").toString
+    val sgDir = Files.createTempDirectory("ssj_sg").toString
+    writeBatch(evDir, "b", Seq(
+      (ts("2024-01-01 10:30:00"), "a", 1.0),   // 30m after a's signup → match
+      (ts("2024-01-01 13:00:00"), "a", 2.0),   // 3h after → outside lookback
+      (ts("2024-01-01 10:30:00"), "b", 3.0)))  // no signup for b
+    Seq((ts("2024-01-01 10:00:00"), "a"))
+      .toDF("r_ts", "r_entity").coalesce(1).write.mode("append").parquet(sgDir)
+
+    val evSchema = spark.read.parquet(evDir).schema
+    val sgSchema = spark.read.parquet(sgDir).schema
+    val joined = StreamIngest.streamIntervalJoin(
+      StreamIngest.readFileStream(spark, evDir, evSchema),
+      StreamIngest.readFileStream(spark, sgDir, sgSchema),
+      leftTime = "ts", rightTime = "r_ts",
+      keyExpr = "entity = r_entity", lookback = "1 hour")
+    val rows = StreamIngest.runToMemory(spark, joined, "ssj_t")
+      .map(r => (r.getAs[String]("entity"), r.getAs[Double]("value")))
+    assert(rows.toSeq === Seq(("a", 1.0)))
+  }
+
   test("sessionAgg groups by inactivity gap") {
     val in = Files.createTempDirectory("sess_in").toString
     writeBatch(in, "b", Seq(
