@@ -211,7 +211,43 @@ object AggregateQueries {
       .orderBy("user_id")
   }
 
+  /** A10 monotonicity, oracled: run the distributed range-partitioned
+    * checker ([[graft.profile.Profiler.isMonotonic]]) over real
+    * columns and emit its verdicts; the oracle recomputes the same
+    * truths with SQL lag() over the full table. o_orderkey ordered by
+    * itself is trivially nondecreasing; o_totalprice by key order is
+    * not; o_orderdate by key order is data-dependent — all three must
+    * agree with SQL exactly.
+    */
+  val qMonotonic: QueryDef = QueryDef.sql(
+    "q_monotonic",
+    """SELECT
+      |  (bool_and(up_key) OR bool_and(down_key)) AS key_monotonic,
+      |  (bool_and(up_price) OR bool_and(down_price)) AS price_monotonic,
+      |  (bool_and(up_date) OR bool_and(down_date)) AS date_monotonic
+      |FROM (
+      |  SELECT
+      |    o_orderkey >= lag(o_orderkey) OVER w AS up_key,
+      |    o_orderkey <= lag(o_orderkey) OVER w AS down_key,
+      |    o_totalprice >= lag(o_totalprice) OVER w AS up_price,
+      |    o_totalprice <= lag(o_totalprice) OVER w AS down_price,
+      |    o_orderdate >= lag(o_orderdate) OVER w AS up_date,
+      |    o_orderdate <= lag(o_orderdate) OVER w AS down_date
+      |  FROM orders WINDOW w AS (ORDER BY o_orderkey))
+      |""".stripMargin,
+    doc = "distributed monotonicity check vs SQL lag truth (SURVEY A10)") { (s, dir) =>
+    import s.implicits._
+    val orders = t(s, dir, "orders")
+    Seq((
+      graft.profile.Profiler.isMonotonic(orders, "o_orderkey", "o_orderkey"),
+      graft.profile.Profiler.isMonotonic(orders, "o_totalprice", "o_orderkey"),
+      graft.profile.Profiler.isMonotonic(
+        orders.withColumn("d", col("o_orderdate").cast("timestamp").cast("long")),
+        "d", "o_orderkey")))
+      .toDF("key_monotonic", "price_monotonic", "date_monotonic")
+  }
+
   val all: Seq[QueryDef] = Seq(
     qProfileStats, qCollectAgg, qCondRatios, qCaseAgg, qDistinctPairs,
-    qSortNullsLast, qPercentiles, qPivot)
+    qSortNullsLast, qPercentiles, qPivot, qMonotonic)
 }
