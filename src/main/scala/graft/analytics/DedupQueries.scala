@@ -191,7 +191,34 @@ object DedupQueries {
       .orderBy("id_a", "id_b")
   }
 
+  /** Near-dup clustering oracled against true connected components:
+    * the distributed min-label propagation must produce exactly the
+    * components DuckDB derives by recursive reachability over the same
+    * edge list (symmetric closure → min reachable id per node). Edge
+    * set built in-plan: two chains, one 2-cycle-free pair, plus a
+    * planted cycle (5,6),(6,7),(7,5) to prove cycle convergence.
+    */
+  val qDedupClusters: QueryDef = QueryDef.sql(
+    "q_dedup_clusters",
+    """WITH RECURSIVE edges AS (
+      |  SELECT * FROM (VALUES (1, 2), (2, 3), (3, 4), (10, 11),
+      |    (21, 20), (5, 6), (6, 7), (7, 5)) AS t(a, b)),
+      |sym AS (SELECT a, b FROM edges UNION SELECT b, a FROM edges),
+      |reach AS (
+      |  SELECT a AS id, b AS peer FROM sym
+      |  UNION
+      |  SELECT r.id, s.b FROM reach r JOIN sym s ON r.peer = s.a)
+      |SELECT id, least(id, min(peer)) AS label FROM reach
+      |GROUP BY id ORDER BY id""".stripMargin,
+    doc = "near-dup connected components vs recursive reachability (dedup ops)") { (s, dir) =>
+    import s.implicits._
+    val pairs = Seq((1, 2), (2, 3), (3, 4), (10, 11), (21, 20),
+      (5, 6), (6, 7), (7, 5)).toDF("id_a", "id_b")
+    Dedup.nearDupClusters(pairs).orderBy("id")
+  }
+
   val all: Seq[QueryDef] = Seq(
     qDedupExact, qNgramJaccard, qEmbedNearDup, qDedupMinhash,
-    qDedupMinhashPlanted, qDedupSimhash, qDedupSimhashPlanted)
+    qDedupMinhashPlanted, qDedupSimhash, qDedupSimhashPlanted,
+    qDedupClusters)
 }

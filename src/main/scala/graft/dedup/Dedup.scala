@@ -244,6 +244,58 @@ object Dedup {
       .filter(col("distance") <= maxDistance)
   }
 
+  // ------------------------------------------------- cluster + canonical
+
+  /** Connected components over near-dup pairs via iterative min-label
+    * propagation — the step between candidate pairs and actual dedup:
+    * transitively-linked docs form one cluster keyed by its smallest
+    * id. Each round is one join + one shuffle on the node id; labels
+    * are localCheckpoint'ed so lineage stays flat (same pattern as
+    * [[graft.analytics.Iterate]]). Converges in O(component diameter)
+    * rounds — near-dup components are shallow in practice.
+    */
+  def nearDupClusters(pairs: DataFrame,
+      idA: String = "id_a", idB: String = "id_b",
+      maxIterations: Int = 20): DataFrame = {
+    val edges = pairs.select(col(idA).as("src"), col(idB).as("dst"))
+      .unionByName(pairs.select(col(idB).as("src"), col(idA).as("dst")))
+      .distinct().cache()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+    var iter = 0
+    var done = false
+    while (!done && iter < maxIterations) {
+      val neighborMin = edges
+        .join(labels.select(col("id").as("dst"), col("label")), Seq("dst"))
+        .groupBy(col("src").as("id"))
+        .agg(min(col("label")).as("nlabel"))
+      val updated = labels.join(neighborMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nlabel"), col("label")))
+            .as("label"))
+        .localCheckpoint(true)
+      val changes = updated.as("u")
+        .join(labels.as("l"), Seq("id"))
+        .filter(col("u.label") =!= col("l.label"))
+        .count()
+      labels = updated
+      done = changes == 0
+      iter += 1
+    }
+    labels // (id, label = min id of the component)
+  }
+
+  /** Keep one canonical doc per near-dup cluster (the smallest id) and
+    * every unclustered doc — the terminal dedup step. `clusters` is
+    * [[nearDupClusters]] output; docs absent from it pass through.
+    */
+  def keepCanonical(df: DataFrame, idCol: String,
+      clusters: DataFrame): DataFrame =
+    df.join(clusters.select(col("id").as("__cid"), col("label").as("__clabel")),
+        col(idCol) === col("__cid"), "left")
+      .filter(col("__clabel").isNull || col("__clabel") === col(idCol))
+      .drop("__cid", "__clabel")
+
   // ------------------------------------------- embedding cosine near-dup
 
   /** Embedding near-dup pairs: cosine ≥ threshold. Brute-force within

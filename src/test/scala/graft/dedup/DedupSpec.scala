@@ -88,6 +88,26 @@ class DedupSpec extends SparkSpec {
     assert(dflt.contains((1L, 5L)) && dflt.contains((1L, 2L)))
   }
 
+  test("nearDupClusters + keepCanonical collapse transitive pair chains") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (21L, 20L))
+      .toDF("id_a", "id_b")
+    val clusters = Dedup.nearDupClusters(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(clusters(1L) === 1L && clusters(2L) === 1L &&
+      clusters(3L) === 1L && clusters(4L) === 1L)
+    assert(clusters(10L) === 10L && clusters(11L) === 10L)
+    assert(clusters(20L) === 20L && clusters(21L) === 20L)
+
+    val docs = (1L to 25L).map(i => (i, s"doc$i")).toDF("doc_id", "text")
+    val kept = Dedup.keepCanonical(docs, "doc_id", Dedup.nearDupClusters(pairs))
+      .select("doc_id").as[Long].collect().toSet
+    // canonical 1/10/20 survive; 2,3,4,11,21 collapse; untouched docs pass
+    assert(!kept.contains(2L) && !kept.contains(3L) && !kept.contains(4L) &&
+      !kept.contains(11L) && !kept.contains(21L))
+    assert(kept.contains(1L) && kept.contains(10L) && kept.contains(20L))
+    assert(kept.contains(5L) && kept.size === 25 - 5)
+  }
+
   test("embeddingNearDupPairs finds cosine-close vectors") {
     val vecs = Seq(
       (1L, Array(1.0f, 0.0f, 0.0f)),
