@@ -217,8 +217,35 @@ object DedupQueries {
     Dedup.nearDupClusters(pairs).orderBy("id")
   }
 
+  /** The COMPLETE dedup pipeline as one plan — corpus + planted
+    * near-dups → MinHash+LSH candidate pairs → verified Jaccard →
+    * connected components → canonical keep — ending exactly where a
+    * training-data pipeline ends: the surviving doc ids. The planted
+    * copies (ids 10000+i, bigram Jaccard ≈ 0.9 against doc i) are the
+    * only pairs above threshold, so the canonical survivors are
+    * precisely the original corpus — which is what the oracle states
+    * from the raw table.
+    */
+  val qDedupPipeline: QueryDef = QueryDef.sql(
+    "q_dedup_pipeline",
+    """SELECT doc_id FROM documents WHERE doc_id < 40 ORDER BY doc_id""",
+    doc = "end-to-end dedup: LSH pairs -> clusters -> canonical keep (dedup ops)") { (s, dir) =>
+    val base = t(s, dir, "documents").filter(col("doc_id") < 40)
+      .select(col("doc_id"), col("text"))
+    val planted = base.filter(col("doc_id") < 10)
+      .select((col("doc_id") + 10000).as("doc_id"),
+        concat(col("text"), lit(" xyzzy")).as("text"))
+    val corpus = base.unionByName(planted)
+    val pairs = Dedup.minHashNearDupPairs(corpus, "doc_id", "text",
+      shingleSize = 2, k = 32, bands = 16, threshold = 0.5)
+    val clusters = Dedup.nearDupClusters(pairs)
+    Dedup.keepCanonical(corpus, "doc_id", clusters)
+      .select("doc_id")
+      .orderBy("doc_id")
+  }
+
   val all: Seq[QueryDef] = Seq(
     qDedupExact, qNgramJaccard, qEmbedNearDup, qDedupMinhash,
     qDedupMinhashPlanted, qDedupSimhash, qDedupSimhashPlanted,
-    qDedupClusters)
+    qDedupClusters, qDedupPipeline)
 }
