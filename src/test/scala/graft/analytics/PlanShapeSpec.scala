@@ -1,0 +1,52 @@
+package graft.analytics
+
+import graft.SparkSpec
+import graft.ops.EngineOps
+
+/** Physical-plan regression guards for the plans the 100 TB posture
+  * depends on. A silent optimizer/plan change that turns a broadcast
+  * into a sort-merge shuffle or un-prunes a scan would pass every
+  * value-level test and only show up at scale — these specs pin the
+  * shapes.
+  */
+class PlanShapeSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    EngineOps.explain(Catalog.byName(name).run(spark, dir), "formatted")
+
+  test("q_overlap_semi: bounds side broadcast, semi join, no sort-merge") {
+    val p = plan("q_overlap_semi")
+    assert(p.contains("BroadcastHashJoin"), p.take(800))
+    assert(p.contains("LeftSemi"), p.take(800))
+  }
+
+  test("q_join_inner: dimension joins broadcast, scan pruned to used columns") {
+    val p = plan("q_join_inner")
+    assert(p.contains("BroadcastHashJoin"), p.take(800))
+    assert(p.contains("PushedFilters"), p.take(800))
+  }
+
+  test("q_scan_project: filter pushed to parquet, narrow ReadSchema") {
+    val p = plan("q_scan_project")
+    assert("PushedFilters: \\[[^\\]]".r.findFirstIn(p).isDefined,
+      "no pushed filters:\n" + p.take(800))
+    val readSchema = p.linesIterator.filter(_.contains("ReadSchema")).mkString
+    assert(!readSchema.contains("l_comment"), readSchema)
+  }
+
+  test("q_sim_topk: bounded query side broadcast against single corpus scan") {
+    val p = plan("q_sim_topk")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      p.take(800))
+  }
+
+  test("q_dedup_minhash: band join shuffles ids only (no shingle arrays in exchange)") {
+    val p = plan("q_dedup_minhash")
+    // the candidate-generation exchange partitions on (band_idx, band_key)
+    assert(p.contains("band_idx"), p.take(1200))
+    // verified-pair join brings shingles back by id afterwards
+    assert(p.contains("hashpartitioning"), p.take(1200))
+  }
+}
