@@ -104,47 +104,50 @@ object DedupQueries {
       .orderBy("id_a", "id_b")
   }
 
-  /** MinHash+LSH end-to-end, oracle-verified on planted near-dups: the
-    * corpus lacks natural high-Jaccard pairs (shared vocabulary, no
-    * shared longer n-grams), so near-dups are planted IN-PLAN — docs
-    * 0-9 duplicated with one appended token (bigram Jaccard ≈ 0.9) —
-    * and the LSH pipeline must recover exactly those ten pairs with
-    * their exact Jaccard. The oracle recomputes the same pair set and
-    * scores from the raw text by construction, so a banding bug,
-    * signature drift, or Jaccard error all hash-fail. At j≈0.9 the
-    * per-pair miss probability of 16 2-row bands is ~1e-16: the result
-    * set is deterministic, not probabilistic.
+  /** MinHash+LSH end-to-end, oracle-verified against the FULL exact
+    * truth of a corpus with planted near-dups: docs 0-9 duplicated
+    * in-plan with one appended token (bigram Jaccard ≈ 0.95-0.99), and
+    * the oracle recomputes ALL pairs ≥ 0.9 from the raw text — planted
+    * AND any natural near-identicals the corpus happens to contain (at
+    * sf0.001 docs 8 and 12 are one). At j ≥ 0.9 the per-pair miss
+    * probability of 16 2-row bands is (1-0.81)^16 ≈ 2e-12, so LSH ≡
+    * exact is a certainty, not a hope — which is what makes the exact
+    * SQL truth a valid oracle at every scale factor.
     */
   val qDedupMinhashPlanted: QueryDef = QueryDef.sql(
     "q_dedup_minhash_planted",
-    """WITH pair AS (
-      |  SELECT doc_id AS id_a, doc_id + 10000 AS id_b,
-      |    string_split_regex(lower(trim(text)), '[\s[:punct:]]+') AS tk_a,
-      |    string_split_regex(lower(trim(text || ' xyzzy')), '[\s[:punct:]]+') AS tk_b
-      |  FROM documents WHERE doc_id < 10),
+    """WITH base AS (
+      |  SELECT doc_id, text FROM documents WHERE doc_id < 40),
+      |corpus AS (
+      |  SELECT doc_id, text FROM base
+      |  UNION ALL
+      |  SELECT doc_id + 10000, text || ' xyzzy' FROM base WHERE doc_id < 10),
       |sh AS (
-      |  SELECT id_a, id_b,
-      |    list_distinct([array_to_string(tk_a[i:i+1], ' ')
-      |                   FOR i IN range(1, greatest(len(tk_a), 2))]) AS sa,
-      |    list_distinct([array_to_string(tk_b[i:i+1], ' ')
-      |                   FOR i IN range(1, greatest(len(tk_b), 2))]) AS sb
-      |  FROM pair)
-      |SELECT id_a, id_b,
-      |  CAST(round(len(list_intersect(sa, sb)) /
-      |    (len(sa) + len(sb) - len(list_intersect(sa, sb))), 6) AS DOUBLE)
+      |  SELECT doc_id,
+      |    list_distinct([array_to_string(tk[i:i+1], ' ')
+      |                   FOR i IN range(1, greatest(len(tk), 2))]) AS s
+      |  FROM (SELECT doc_id,
+      |          string_split_regex(lower(trim(text)), '[\s[:punct:]]+') AS tk
+      |        FROM corpus))
+      |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |  CAST(round(len(list_intersect(a.s, b.s)) /
+      |    (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 6) AS DOUBLE)
       |    AS jaccard
-      |FROM sh ORDER BY id_a""".stripMargin,
-    doc = "MinHash+LSH verified on in-plan planted near-dups (dedup ops)") { (s, dir) =>
+      |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      |WHERE len(list_intersect(a.s, b.s)) /
+      |    (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.9
+      |ORDER BY id_a, id_b""".stripMargin,
+    doc = "MinHash+LSH vs full exact truth on planted near-dups (dedup ops)") { (s, dir) =>
     val base = t(s, dir, "documents").filter(col("doc_id") < 40)
       .select(col("doc_id"), col("text"))
     val planted = base.filter(col("doc_id") < 10)
       .select((col("doc_id") + 10000).as("doc_id"),
         concat(col("text"), lit(" xyzzy")).as("text"))
     Dedup.minHashNearDupPairs(base.unionByName(planted), "doc_id", "text",
-        shingleSize = 2, k = 32, bands = 16, threshold = 0.5)
+        shingleSize = 2, k = 32, bands = 16, threshold = 0.9)
       .select(col("id_a"), col("id_b"),
         round(col("jaccard"), 6).cast("double").as("jaccard"))
-      .orderBy("id_a")
+      .orderBy("id_a", "id_b")
   }
 
   /** SimHash near-dup pairs (rows-only; see DedupSpec). Bounded scope
@@ -218,18 +221,46 @@ object DedupQueries {
   }
 
   /** The COMPLETE dedup pipeline as one plan — corpus + planted
-    * near-dups → MinHash+LSH candidate pairs → verified Jaccard →
-    * connected components → canonical keep — ending exactly where a
-    * training-data pipeline ends: the surviving doc ids. The planted
-    * copies (ids 10000+i, bigram Jaccard ≈ 0.9 against doc i) are the
-    * only pairs above threshold, so the canonical survivors are
-    * precisely the original corpus — which is what the oracle states
-    * from the raw table.
+    * near-dups → MinHash+LSH candidate pairs (j ≥ 0.9, where LSH ≡
+    * exact with certainty) → verified Jaccard → connected components →
+    * canonical keep — ending exactly where a training-data pipeline
+    * ends: the surviving doc ids. The oracle runs the SAME pipeline in
+    * pure SQL from the raw text: exact all-pairs ≥ 0.9, recursive
+    * reachability for components, min-id canonical — so survivors
+    * match at every scale factor even when the corpus carries natural
+    * near-identical docs.
     */
   val qDedupPipeline: QueryDef = QueryDef.sql(
     "q_dedup_pipeline",
-    """SELECT doc_id FROM documents WHERE doc_id < 40 ORDER BY doc_id""",
-    doc = "end-to-end dedup: LSH pairs -> clusters -> canonical keep (dedup ops)") { (s, dir) =>
+    """WITH RECURSIVE base AS (
+      |  SELECT doc_id, text FROM documents WHERE doc_id < 40),
+      |corpus AS (
+      |  SELECT doc_id, text FROM base
+      |  UNION ALL
+      |  SELECT doc_id + 10000, text || ' xyzzy' FROM base WHERE doc_id < 10),
+      |sh AS (
+      |  SELECT doc_id,
+      |    list_distinct([array_to_string(tk[i:i+1], ' ')
+      |                   FOR i IN range(1, greatest(len(tk), 2))]) AS s
+      |  FROM (SELECT doc_id,
+      |          string_split_regex(lower(trim(text)), '[\s[:punct:]]+') AS tk
+      |        FROM corpus)),
+      |pairs AS (
+      |  SELECT a.doc_id AS a, b.doc_id AS b
+      |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      |  WHERE len(list_intersect(a.s, b.s)) /
+      |      (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.9),
+      |sym AS (SELECT a, b FROM pairs UNION SELECT b, a FROM pairs),
+      |reach AS (
+      |  SELECT a AS id, b AS peer FROM sym
+      |  UNION
+      |  SELECT r.id, s.b FROM reach r JOIN sym s ON r.peer = s.a),
+      |labels AS (
+      |  SELECT id, least(id, min(peer)) AS label FROM reach GROUP BY id)
+      |SELECT c.doc_id FROM corpus c LEFT JOIN labels l ON c.doc_id = l.id
+      |WHERE l.label IS NULL OR l.label = c.doc_id
+      |ORDER BY c.doc_id""".stripMargin,
+    doc = "end-to-end dedup: LSH pairs -> clusters -> canonical keep vs SQL truth (dedup ops)") { (s, dir) =>
     val base = t(s, dir, "documents").filter(col("doc_id") < 40)
       .select(col("doc_id"), col("text"))
     val planted = base.filter(col("doc_id") < 10)
@@ -237,7 +268,7 @@ object DedupQueries {
         concat(col("text"), lit(" xyzzy")).as("text"))
     val corpus = base.unionByName(planted)
     val pairs = Dedup.minHashNearDupPairs(corpus, "doc_id", "text",
-      shingleSize = 2, k = 32, bands = 16, threshold = 0.5)
+      shingleSize = 2, k = 32, bands = 16, threshold = 0.9)
     val clusters = Dedup.nearDupClusters(pairs)
     Dedup.keepCanonical(corpus, "doc_id", clusters)
       .select("doc_id")
