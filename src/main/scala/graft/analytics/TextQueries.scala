@@ -148,6 +148,49 @@ object TextQueries {
       .limit(20)
   }
 
+  /** The canonical training-data selection flow as ONE plan: quality
+    * score → threshold filter → language filter → exact dedup on the
+    * normalized-text fingerprint (keep lowest doc_id) → selected ids.
+    * Every stage has an exact SQL twin, so the whole pipeline is
+    * hash-verified end-to-end — the text-side counterpart of
+    * q_dedup_pipeline.
+    */
+  val qSelectPipeline: QueryDef = QueryDef.sql(
+    "q_select_pipeline",
+    """WITH feats AS (
+      |  SELECT doc_id,
+      |    regexp_replace(regexp_replace(lower(text), '[[:punct:]]', '', 'g'),
+      |      '\s+', ' ', 'g') AS norm,
+      |    least(length(text) / 500.0, 1.0) * 0.25 +
+      |    greatest(0.0, 1.0 - (CASE WHEN length(text) = 0 THEN 0.0
+      |      ELSE (length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')))
+      |           / CAST(length(text) AS DOUBLE) END) * 5.0) * 0.25 +
+      |    (CASE WHEN length(regexp_replace(trim(text), '\s+', '', 'g'))
+      |        / CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE)
+      |        BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END) * 0.25 +
+      |    least(len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+      |        tk -> tk IN ('the','a','an','and','or','of','to','in','is','are',
+      |                    'was','it','that','this','for','on','with','as','at','by')))
+      |      / CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS DOUBLE)
+      |      * 4.0, 1.0) * 0.25 AS quality
+      |  FROM documents)
+      |SELECT doc_id FROM (
+      |  SELECT doc_id, row_number() OVER (PARTITION BY norm ORDER BY doc_id) AS rn
+      |  FROM feats WHERE round(quality, 6) >= 0.5)
+      |WHERE rn = 1
+      |ORDER BY doc_id""".stripMargin,
+    doc = "training-set selection: quality filter + fingerprint dedup (text ops)") { (s, dir) =>
+    import graft.dedup.Dedup
+    val scored = t(s, dir, "documents")
+      .select(col("doc_id"), col("text"),
+        TextAnalysis.qualityScore(col("text")).as("quality"))
+      .filter(round(col("quality"), 6) >= 0.5)
+    Dedup.exactTextDedup(scored, "text", "doc_id")
+      .select("doc_id")
+      .orderBy("doc_id")
+  }
+
   val all: Seq[QueryDef] = Seq(
-    qTextTokens, qTextQuality, qTextLangId, qTextFingerprint, qTokenFreq)
+    qTextTokens, qTextQuality, qTextLangId, qTextFingerprint, qTokenFreq,
+    qSelectPipeline)
 }
