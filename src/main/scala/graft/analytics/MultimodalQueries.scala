@@ -108,5 +108,35 @@ object MultimodalQueries {
       .orderBy("asset_id")
   }
 
-  val all: Seq[QueryDef] = Seq(qMultimodalDecode, qMultimodalAudio)
+  /** Resize → re-decode round trip: solid-color PNGs resized to 4×4
+    * must decode back at the target shape with their exact luma
+    * (bilinear resampling of a constant field is the constant).
+    */
+  val qMultimodalResize: QueryDef = QueryDef.sql(
+    "q_multimodal_resize",
+    """SELECT * FROM (VALUES
+      |  (1, 4, 4, CAST(1.0 AS DOUBLE), true),
+      |  (2, 4, 4, CAST(0.0 AS DOUBLE), true))
+      |  AS t(asset_id, width, height, mean_luma, decoded)
+      |ORDER BY asset_id""".stripMargin,
+    doc = "JDK resize + re-decode round trip (multimodal ops)") { (s, dir) =>
+    import s.implicits._
+    val assets = Seq(
+      (1L, "mem://white.png", png(8, 6, 0xFFFFFF)),
+      (2L, "mem://black.png", png(10, 10, 0x000000))
+    ).toDF("id", "uri", "bytes")
+    val resized = Multimodal.resizeImages(
+      Multimodal.toMediaAssets(assets, "id", "uri", "bytes")(s), 4, 4)(s)
+    val reassets = resized.filter(col("decoded"))
+      .map(r => Multimodal.MediaAsset(r.asset_id, "image",
+        s"mem://resized-${r.asset_id}.png", r.content, r.content.length.toLong))
+    Multimodal.extractImageFeatures(reassets)(s)
+      .select(col("asset_id"), col("width"), col("height"),
+        round(col("mean_luma"), 6).cast("double").as("mean_luma"),
+        col("decoded"))
+      .orderBy("asset_id")
+  }
+
+  val all: Seq[QueryDef] = Seq(
+    qMultimodalDecode, qMultimodalAudio, qMultimodalResize)
 }

@@ -208,6 +208,52 @@ object Multimodal {
     }
   }
 
+  /** A resized image asset: re-encoded bytes + output dimensions. */
+  final case class ResizedImage(
+      asset_id: Long,
+      width: Int,
+      height: Int,
+      content: Array[Byte],
+      decoded: Boolean)
+
+  /** Real image resize via JDK Graphics2D (bilinear) + PNG re-encode —
+    * the standard thumbnail/normalize step before a vision encoder.
+    * Aspect ratio is NOT preserved (fixed target shape, the usual
+    * model-input contract). Undecodable bytes pass through unchanged
+    * with `decoded = false`. Same mapPartitions batch shape as the
+    * feature extractors.
+    */
+  def resizeImages(assets: Dataset[MediaAsset], targetW: Int, targetH: Int)(
+      implicit spark: SparkSession): Dataset[ResizedImage] = {
+    import spark.implicits._
+    assets.filter(col("kind") === "image").mapPartitions { it =>
+      it.map { a =>
+        val img = try {
+          Option(javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(a.content)))
+        } catch { case _: Exception => None }
+        img match {
+          case Some(src) =>
+            val dst = new java.awt.image.BufferedImage(
+              targetW, targetH, java.awt.image.BufferedImage.TYPE_INT_RGB)
+            val g = dst.createGraphics()
+            try {
+              g.setRenderingHint(
+                java.awt.RenderingHints.KEY_INTERPOLATION,
+                java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+              g.drawImage(src, 0, 0, targetW, targetH, null)
+            } finally g.dispose()
+            val bos = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(dst, "png", bos)
+            ResizedImage(a.asset_id, targetW, targetH, bos.toByteArray,
+              decoded = true)
+          case None =>
+            ResizedImage(a.asset_id, 0, 0, a.content, decoded = false)
+        }
+      }
+    }
+  }
+
   /** Frame sampling plumbing for video: emit every `stride`-th frame
     * index up to `maxFrames` as (asset_id, frame_idx) — the real
     * decoder fills frame bytes; the fan-out/explode shape is what

@@ -96,6 +96,23 @@ class MultimodalSpec extends SparkSpec {
     assert(!f(21L).decoded)
   }
 
+  test("resizeImages produces decodable images at the target shape; junk passes through") {
+    val media = Multimodal.toMediaAssets(Seq(
+      (30L, "s3://b/big.png", pngBytes(64, 48, 0x00FF00)),
+      (31L, "s3://b/junk.png", Array[Byte](5, 5))
+    ).toDF("id", "uri", "bytes"), "id", "uri", "bytes")
+    val out = Multimodal.resizeImages(media, 8, 8).collect()
+      .map(r => r.asset_id -> r).toMap
+    assert(out(30L).decoded && out(30L).width === 8 && out(30L).height === 8)
+    // the re-encoded bytes are a real 8x8 PNG; solid green survives resampling
+    val back = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(out(30L).content))
+    assert(back.getWidth === 8 && back.getHeight === 8)
+    assert((back.getRGB(4, 4) & 0xFFFFFF) === 0x00FF00)
+    // junk passes through unchanged, flagged
+    assert(!out(31L).decoded && out(31L).content.toSeq === Seq[Byte](5, 5))
+  }
+
   test("sampleFrameIndexes fans out stride-spaced frames per video") {
     val media = Multimodal.toMediaAssets(assets, "id", "uri", "bytes")
     val frames = Multimodal.sampleFrameIndexes(media, stride = 10, maxFrames = 4)
