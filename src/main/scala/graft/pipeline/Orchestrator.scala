@@ -138,6 +138,42 @@ final class Orchestrator(spark: SparkSession, config: EngineConfig) {
     }
   }
 
+  /** The reference's `load_data` loop (`orchestrator.py` walks every
+    * parquet under data_sources and loads each): load every staged
+    * table directory under `stagedDir` into the warehouse, in name
+    * order. Listing goes through the Hadoop FS so staged data may live
+    * on any filesystem.
+    */
+  def loadAll(stagedDir: String, ifExists: String = "skip",
+      skipOnOverlap: Boolean = false): Map[String, LoadResult] = {
+    import org.apache.hadoop.fs.Path
+    val p = new Path(stagedDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Map.empty
+    else fs.listStatus(p).filter(_.isDirectory).map(_.getPath)
+      .sortBy(_.getName)
+      .map { dir =>
+        val table = Names.deriveTableName(dir.getName)
+        table -> loadFile(dir.toString, Some(table), ifExists, skipOnOverlap)
+      }.toMap
+  }
+
+  /** The reference's whole main flow (`orchestrator.py`:
+    * retrieve_data → transform_data → load_data) as one call:
+    * download + unzip per config, transform every CSV folder to
+    * parquet under `stagedDir`, load every staged table. Idempotent
+    * end-to-end: re-running re-downloads nothing new, re-transforms,
+    * and dedup-appends zero rows.
+    */
+  def runPipeline(
+      cm: graft.config.ConfigManager,
+      stagedDir: String,
+      downloadFn: (String, String, String) => java.nio.file.Path =
+        graft.io.Ingest.downloadFromZenodo): Map[String, LoadResult] = {
+    retrieveAndTransform(cm, stagedDir, downloadFn)
+    loadAll(stagedDir)
+  }
+
   /** §3.1 load stage for one parquet file: profile + infer the SQL
     * schema, create the table, run the overlap pre-check, then
     * dedup-append. Returns the reference's result shape: schema DDL,

@@ -147,6 +147,45 @@ class OrchestratorSpec extends SparkSpec {
     intercept[IllegalArgumentException] { orch.retrieveData(cmBad, fakeDownload) }
   }
 
+  test("runPipeline: retrieve -> transform -> loadAll end-to-end, idempotent re-run") {
+    import java.nio.file.{Files => NF, Paths}
+    import java.util.zip.{ZipEntry, ZipOutputStream}
+    val root = NF.createTempDirectory("runp").toString
+    val zipSrc = Paths.get(root, "bundle.zip")
+    val zos = new ZipOutputStream(NF.newOutputStream(zipSrc))
+    zos.putNextEntry(new ZipEntry("data/raw/electricity.csv"))
+    zos.write(("timestamp,bldg_1,bldg_2\n" +
+      "2016-01-01 00:00:00,1.5,10.0\n" +
+      "2016-01-01 01:00:00,2.5,20.0").getBytes("UTF-8"))
+    zos.closeEntry(); zos.close()
+
+    val cfgDir = NF.createTempDirectory("runp_cfg")
+    NF.write(cfgDir.resolve("app.yaml"),
+      s"""project_data:
+         |  record_id: "r"
+         |  file_name: "bundle.zip"
+         |  raw_data_file_path: "$root/raw"
+         |  zip_file_folders_to_extract: ['raw']
+         |""".stripMargin.getBytes("UTF-8"))
+    val cm = new graft.config.ConfigManager(Seq("app.yaml"), cfgDir.toString)
+    val fakeDownload = (_: String, _: String, d: String) => {
+      NF.createDirectories(Paths.get(d))
+      NF.copy(zipSrc, Paths.get(d, "bundle.zip"),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+    val orch = new Orchestrator(spark, EngineConfig(warehouseDir = s"$root/wh"))
+
+    val r1 = orch.runPipeline(cm, s"$root/staged", fakeDownload)
+    assert(r1.keySet === Set("raw"))
+    assert(r1("raw").stats.get.appendedRows === 4) // 2 rows x 2 buildings
+    assert(orch.warehouse.read("raw").count() === 4)
+
+    // full re-run: overlap detected, zero rows appended, nothing breaks
+    val r2 = orch.runPipeline(cm, s"$root/staged", fakeDownload)
+    assert(r2("raw").stats.get.appendedRows === 0)
+    assert(orch.warehouse.read("raw").count() === 4)
+  }
+
   test("coercions: bad values null out, floats round to long") {
     val df = Seq(("1000.6", "x"), ("nope", "2"), ("250", "3"))
       .toDF("sqft", "occupants")
