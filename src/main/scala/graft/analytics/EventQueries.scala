@@ -192,6 +192,37 @@ object EventQueries {
       .orderBy("user_id")
   }
 
+  /** Map functions (§2.8, beyond the reference's data path): build a
+    * per-user event_type→count map (map_from_entries over the grouped
+    * counts), then element_at lookups and sorted map_keys. The oracle
+    * states the same values map-free (conditional aggs + sorted
+    * distinct list) — the map is the Spark-side operator under test,
+    * not the comparison medium.
+    */
+  val qMapFuncs: QueryDef = QueryDef.sql(
+    "q_map_funcs",
+    """SELECT user_id,
+      |  count(CASE WHEN event_type = 'purchase' THEN 1 END) AS n_purchase,
+      |  count(CASE WHEN event_type = 'click' THEN 1 END) AS n_click,
+      |  list_sort(list(DISTINCT event_type)) AS types
+      |FROM events WHERE user_id <= 10
+      |GROUP BY user_id ORDER BY user_id""".stripMargin,
+    doc = "map build/lookup/keys (SURVEY §2.8 map)") { (s, dir) =>
+    t(s, dir, "events")
+      .filter(col("user_id") <= 10)
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("user_id"))
+      .agg(map_from_entries(collect_list(struct(col("event_type"), col("n"))))
+        .as("m"))
+      .select(col("user_id"),
+        coalesce(element_at(col("m"), "purchase"), lit(0L)).as("n_purchase"),
+        coalesce(element_at(col("m"), "click"), lit(0L)).as("n_click"),
+        sort_array(map_keys(col("m"))).as("types"))
+      .orderBy("user_id")
+  }
+
   val all: Seq[QueryDef] = Seq(
-    qTimeWindow, qLagGaps, qOverlapSemi, qScalarFuncs, qJsonBuild, qSessionize)
+    qTimeWindow, qLagGaps, qOverlapSemi, qScalarFuncs, qJsonBuild, qSessionize,
+    qMapFuncs)
 }
