@@ -197,14 +197,16 @@ object EventQueries {
     * counts), then element_at lookups and sorted map_keys. The oracle
     * states the same values map-free (conditional aggs + sorted
     * distinct list) — the map is the Spark-side operator under test,
-    * not the comparison medium.
+    * not the comparison medium. Keys are emitted comma-joined as a
+    * string: the driver's pandas-based compare cannot sort/hash
+    * array-typed cells (r2 failure: "unhashable type: numpy.ndarray").
     */
   val qMapFuncs: QueryDef = QueryDef.sql(
     "q_map_funcs",
     """SELECT user_id,
       |  count(CASE WHEN event_type = 'purchase' THEN 1 END) AS n_purchase,
       |  count(CASE WHEN event_type = 'click' THEN 1 END) AS n_click,
-      |  list_sort(list(DISTINCT event_type)) AS types
+      |  array_to_string(list_sort(list(DISTINCT event_type)), ',') AS types
       |FROM events WHERE user_id <= 10
       |GROUP BY user_id ORDER BY user_id""".stripMargin,
     doc = "map build/lookup/keys (SURVEY §2.8 map)") { (s, dir) =>
@@ -218,7 +220,7 @@ object EventQueries {
       .select(col("user_id"),
         coalesce(element_at(col("m"), "purchase"), lit(0L)).as("n_purchase"),
         coalesce(element_at(col("m"), "click"), lit(0L)).as("n_click"),
-        sort_array(map_keys(col("m"))).as("types"))
+        array_join(sort_array(map_keys(col("m"))), ",").as("types"))
       .orderBy("user_id")
   }
 

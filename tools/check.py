@@ -55,6 +55,16 @@ def main():
         tbl = pq.read_table(files[0])
         spark_cols = tbl.column_names
         spark_rows = [tuple(r.values()) for r in tbl.to_pylist()]
+        # The driver sorts result rows with pandas before hashing; list/
+        # array-typed cells make that sort throw ("unhashable type:
+        # numpy.ndarray", r2 q_map_funcs). Reject them locally too.
+        arrcols = [c for c, f in zip(tbl.column_names, tbl.schema.types)
+                   if str(f).startswith(("list", "large_list", "map", "struct"))]
+        if arrcols and name in oracle:
+            print(f"ARRAYCOL {name}: driver-unsortable column(s) {arrcols}; "
+                  f"emit them joined as strings")
+            n_fail += 1
+            continue
         if name not in oracle:
             print(f"ROWSONLY {name}: {len(spark_rows)} rows (no oracle)")
             continue
