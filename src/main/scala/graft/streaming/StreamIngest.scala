@@ -191,7 +191,11 @@ object StreamIngest {
             times.foreach { t =>
               st match {
                 case Some(s) if t - s.endMs <= gapMs =>
-                  st = Some(s.copy(endMs = t, n = s.n + 1))
+                  // out-of-order events from a later batch (allowed while
+                  // watermarkDelay > 0) can carry t < s.endMs; merging must
+                  // never move the session's bounds backwards
+                  st = Some(SessionState(math.min(s.startMs, t),
+                    math.max(s.endMs, t), s.n + 1))
                 case Some(s) =>
                   out += FinalSession(entity, s.startMs, s.endMs, s.n)
                   st = Some(SessionState(t, t, 1))

@@ -156,6 +156,51 @@ class StreamIngestSpec extends SparkSpec {
     assert(finalized().exists { case (e, _, _, n) => e == "b" && n == 1L })
   }
 
+  test("finalizedSessions never regresses session bounds on out-of-order events") {
+    implicit val s = spark
+    val in = Files.createTempDirectory("fo_in").toString
+    val ckpt = Files.createTempDirectory("fo_ck").toString
+    val out = Files.createTempDirectory("fo_out").toString
+    val gapMs = 30L * 60 * 1000
+
+    def runOnce(schema: org.apache.spark.sql.types.StructType): Unit = {
+      val stream = StreamIngest.readFileStream(spark, in, schema)
+      // 2h watermark delay: later batches may legitimately deliver
+      // events older than the open session's current end
+      val sessions = StreamIngest.finalizedSessions(
+        stream.toDF(), "ts", "entity", gapMs, watermarkDelay = "2 hours")
+      val q = sessions.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+
+    writeBatch(in, "b1", Seq(
+      (ts("2024-01-01 10:00:00"), "a", 1.0),
+      (ts("2024-01-01 10:20:00"), "a", 1.0)))
+    val schema = spark.read.parquet(in).schema
+    runOnce(schema)
+    // run 2: out-of-order event INSIDE the open session (t < endMs,
+    // above watermark 08:20) — must merge without moving end backwards
+    writeBatch(in, "b2", Seq((ts("2024-01-01 10:10:00"), "a", 1.0)))
+    runOnce(schema)
+    // run 3: far-future event finalizes a's session via timeout
+    writeBatch(in, "b3", Seq((ts("2024-01-02 00:00:00"), "b", 1.0)))
+    runOnce(schema)
+
+    val f = spark.read.parquet(out).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(f.exists { case (e, start, end, n) =>
+      e == "a" && n == 3L &&
+        start == ts("2024-01-01 10:00:00").getTime &&
+        end == ts("2024-01-01 10:20:00").getTime
+    }, f.toString)
+  }
+
   test("streamIntervalJoin pairs events with recent same-entity signups only") {
     val evDir = Files.createTempDirectory("ssj_ev").toString
     val sgDir = Files.createTempDirectory("ssj_sg").toString
