@@ -278,11 +278,17 @@ object Dedup {
         .join(labels.as("l"), Seq("id"))
         .filter(col("u.label") =!= col("l.label"))
         .count()
+      // the superseded round's checkpoint storage is dead after the
+      // change-count above — free it, or per-batch dedup pipelines
+      // leak one checkpoint RDD per iteration per call
+      if (iter > 0) graft.core.Caching.freeLocalCheckpoint(labels)
       labels = updated
       done = changes == 0
       iter += 1
     }
-    labels // (id, label = min id of the component)
+    edges.unpersist(blocking = false)
+    labels // (id, label = min id of the component); caller-owned
+           // checkpoint — one round of storage, freed on GC
   }
 
   /** Keep one canonical doc per near-dup cluster (the smallest id) and

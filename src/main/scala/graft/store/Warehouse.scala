@@ -72,13 +72,24 @@ final class Warehouse(spark: SparkSession, location: String) {
     writeMeta(table, parts, uniqueKeys, partitionSource)
   }
 
-  /** Add the derived date-partition column when the table declares one. */
+  /** Add the derived date-partition column when the table declares one.
+    * A frame that already carries the derived column passes through
+    * (re-ingest of [[readRaw]] output); a frame with NEITHER the source
+    * column nor the derived one is an error — silently proceeding would
+    * either fail later in `partitionBy` (overwrite) or write
+    * unpartitioned files into the partitioned layout (append),
+    * corrupting partition discovery.
+    */
   private def withDerived(df: DataFrame, src: Option[String]): DataFrame =
     src match {
       case Some(c) if df.columns.contains(c) =>
         df.withColumn(Warehouse.DerivedDateCol,
           org.apache.spark.sql.functions.to_date(
             org.apache.spark.sql.functions.col(c)))
+      case Some(c) if !df.columns.contains(Warehouse.DerivedDateCol) =>
+        sys.error(s"table declares partitionSource '$c' but the frame " +
+          s"has neither '$c' nor '${Warehouse.DerivedDateCol}'; " +
+          "cannot derive the partition layout")
       case _ => df
     }
 
@@ -213,10 +224,22 @@ final class Warehouse(spark: SparkSession, location: String) {
     val w = df.write.mode(SaveMode.Overwrite)
     (if (parts.nonEmpty) w.partitionBy(parts: _*) else w)
       .parquet(tmp.toString)
+    // Crash-safe swap: never a moment where the live directory is gone
+    // without a replacement on hand. Old data is moved aside first, the
+    // compacted copy renamed into place, and only then is the old copy
+    // deleted — a crash at any step leaves either the original or the
+    // new table intact under the live name ([[listTables]] hides the
+    // transient `__compact`/`__old` names).
     val cur = new Path(path(table))
-    fs.delete(cur, true)
-    if (!fs.rename(tmp, cur))
+    val old = new Path(path(table) + "__old")
+    if (fs.exists(old)) fs.delete(old, true) // debris from a prior crash
+    if (!fs.rename(cur, old))
+      sys.error(s"compact: rename $cur -> $old failed")
+    if (!fs.rename(tmp, cur)) {
+      fs.rename(old, cur) // restore the original before failing
       sys.error(s"compact: rename $tmp -> $cur failed")
+    }
+    fs.delete(old, true)
   }
 
   /** Table definition — columns + declared keys + partitioning
@@ -232,11 +255,15 @@ final class Warehouse(spark: SparkSession, location: String) {
       meta.map(_.partitionBy).getOrElse(Nil))
   }
 
-  /** All table names in this warehouse (directories under location). */
+  /** All table names in this warehouse (directories under location).
+    * Transient `__compact`/`__old` directories a crashed [[compact]]
+    * may leave behind are working copies, not tables.
+    */
   def listTables(): Seq[String] = {
     val root = new Path(location)
     if (!fs.exists(root)) Nil
     else fs.listStatus(root).filter(_.isDirectory).map(_.getPath.getName)
+      .filterNot(n => n.endsWith("__compact") || n.endsWith("__old"))
       .toSeq.sorted
   }
 

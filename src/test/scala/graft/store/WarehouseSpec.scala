@@ -102,6 +102,45 @@ class WarehouseSpec extends SparkSpec {
     assert(wh.read("t").count() === 3)
   }
 
+  test("write to a partitionSource table without the time column fails clearly") {
+    import java.sql.Timestamp
+    val wh = fresh()
+    val tsSchema = StructType(Seq(
+      StructField("timestamp", TimestampType), StructField("v", DoubleType)))
+    wh.createTable("t", tsSchema, partitionSource = Some("timestamp"))
+    wh.append("t", Seq((Timestamp.valueOf("2024-01-01 00:00:00"), 1.0))
+      .toDF("timestamp", "v"))
+    // a frame missing the declared source column must be rejected up
+    // front — append would otherwise write unpartitioned files into the
+    // partitioned layout and corrupt partition discovery
+    val bad = Seq(1.0).toDF("v")
+    val eA = intercept[RuntimeException] { wh.append("t", bad) }
+    assert(eA.getMessage.contains("partitionSource"))
+    val eO = intercept[RuntimeException] { wh.overwrite("t", bad) }
+    assert(eO.getMessage.contains("partitionSource"))
+    // a frame already carrying the derived column passes through
+    // (re-ingest of readRaw output)
+    wh.append("t", wh.readRaw("t"))
+    assert(wh.read("t").count() === 2)
+  }
+
+  test("crashed compact leaves no phantom tables and next compact self-heals") {
+    val wh = fresh()
+    val dir = Files.createTempDirectory("graft_wh_crash").toString
+    val whc = new Warehouse(spark, dir)
+    val df = (1 to 50).map(i => (i.toLong, i * 1.0)).toDF("id", "v").repartition(4)
+    whc.overwrite("t", df)
+    // simulate a crash mid-compact: leftover working directories
+    new java.io.File(s"$dir/t__compact").mkdirs()
+    new java.io.File(s"$dir/t__old").mkdirs()
+    assert(whc.listTables() === Seq("t")) // working copies are not tables
+    whc.compact("t", 1) // debris must not break the swap
+    assert(whc.tableStats("t").numRows === 50)
+    assert(whc.tableStats("t").numFiles === 1)
+    assert(whc.listTables() === Seq("t"))
+    assert(!new java.io.File(s"$dir/t__old").exists())
+  }
+
   test("unique keys + partitioning persist in table meta") {
     val wh = fresh()
     wh.createTable("t", schema, partitionBy = Nil, uniqueKeys = Seq("id"))
