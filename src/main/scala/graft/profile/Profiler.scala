@@ -52,15 +52,21 @@ object Profiler {
     * the reference's `len(str(float(x)).split('.')[-1])` analysis
     * (`type_inference_engine.py:103-107`). `.0` floats count as 0.
     *
-    * Known limit: doubles ≥1e7 cast to scientific notation, whose
-    * fraction this regex can't see (→ 0). TypeInference guards the
-    * consequence (non-integral + 0 places never narrows to INTEGER),
-    * and the native `profile_col` path counts positionally and is
-    * exact.
+    * Doubles outside ~[1e-3, 1e7) cast to scientific notation
+    * ("1.23456789E7", "1.5E-8"), where the positional decimal count is
+    * len(fraction-sans-trailing-zeros) − exponent, floored at 0 —
+    * matching the native `profile_col` path's BigDecimal expansion
+    * exactly. Trailing-zero stripping is a no-op for plain doubles
+    * (shortest-repr stringification never emits them beyond ".0").
     */
   private def decimalPlacesExpr(c: Column): Column = {
-    val frac = regexp_extract(c.cast("string"), "\\.(\\d+)$", 1)
-    when(frac === "" || frac === "0", 0).otherwise(length(frac))
+    val s = c.cast("string")
+    val frac = regexp_replace(
+      regexp_extract(s, "\\.(\\d+)([Ee][+-]?\\d+)?$", 1), "0+$", "")
+    val expStr = regexp_extract(s, "[Ee]([+-]?\\d+)$", 1)
+    // ANSI mode: cast only inside the non-empty branch (CASE is lazy)
+    val exp = when(expStr === "", lit(0)).otherwise(expStr.cast("int"))
+    greatest(lit(0), length(frac) - exp)
   }
 
   private def isNumeric(dt: DataType): Boolean = dt.isInstanceOf[NumericType]

@@ -78,17 +78,21 @@ object TypeInference {
       else if (lo >= -2147483648.0 && hi <= 2147483647.0) "INTEGER"
       else "BIGINT"
     } else if (p.maxDecimalPlaces == 0) {
-      // Not integral yet 0 observed decimal places = the string form
-      // went scientific (doubles ≥1e7 print as 1.23456785E7, whose
-      // fraction the decimal-places regex can't see). INTEGER would
-      // truncate real fractional data; DOUBLE PRECISION is lossless.
-      // (The reference's str(float) stays positional to ~1e16 and
-      // emits NUMERIC(12,6) here — which can't even hold an 8-digit
-      // value; diverging to DOUBLE is the safe reading.)
+      // Not integral yet 0 observed decimal places: defensive guard
+      // (the profiler now expands scientific string forms positionally,
+      // so this should not occur — but if a profile source ever feeds
+      // an unexpanded count again, INTEGER would truncate real
+      // fractional data; DOUBLE PRECISION is lossless).
       "DOUBLE PRECISION"
     }
     else if (lower.contains("price") || lower.contains("amount")) "NUMERIC(15,2)"
-    else if (p.maxDecimalPlaces <= 6) "NUMERIC(12,6)"
+    // NUMERIC(12,6) holds 6 integer digits; a wider observed magnitude
+    // must stay floating or an 8-digit value overflows the DDL type.
+    // (The reference emits NUMERIC(12,6) on magnitude it can't hold —
+    // `type_inference_engine.py:108-118`; diverging is the safe reading.)
+    else if (p.maxDecimalPlaces <= 6 &&
+      p.minNumeric.getOrElse(0.0) > -1e6 &&
+      p.maxNumeric.getOrElse(0.0) < 1e6) "NUMERIC(12,6)"
     else "DOUBLE PRECISION"
   }
 

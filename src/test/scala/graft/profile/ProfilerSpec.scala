@@ -43,6 +43,29 @@ class ProfilerSpec extends SparkSpec {
     assert(inferred === "DOUBLE PRECISION", inferred)
   }
 
+  test("composed decimal counting matches the native path on scientific forms") {
+    // 12345678.5 casts to '1.23456785E7' (fraction 8 − exp 7 = 1 place);
+    // 1.5e-8 casts to '1.5E-8' (fraction 1 + 8 = 9 places); 0.1 is plain.
+    val cases = Seq(
+      (Seq(12345678.5), 1), (Seq(1.5e-8), 9), (Seq(0.1), 1),
+      (Seq(1234.5678), 4), (Seq(98765432.25), 2), (Seq(3.0), 0))
+    cases.foreach { case (vals, want) =>
+      val df = vals.toDF("v")
+      val composed = Profiler.profile(df).head.maxDecimalPlaces
+      val native = Profiler.profileFast(df).head.maxDecimalPlaces
+      assert(composed === want, s"composed($vals)")
+      assert(native === want, s"native($vals)")
+    }
+  }
+
+  test("wide fractional magnitudes stay floating even with visible decimals") {
+    // NUMERIC(12,6) holds only 6 integer digits — an 8-digit fractional
+    // value must infer DOUBLE PRECISION, not a DDL type it overflows.
+    val df = Seq(12345678.5, 98765432.25).toDF("big_frac")
+    val inferred = Profiler.analyzeSchema(df).head._2.sqlType
+    assert(inferred === "DOUBLE PRECISION", inferred)
+  }
+
   test("monotonicity detection over an explicit order column") {
     val inc = Seq((1, 10.0), (2, 20.0), (3, 30.0)).toDF("ord", "v")
     val dec = Seq((1, 30.0), (2, 20.0), (3, 10.0)).toDF("ord", "v")
