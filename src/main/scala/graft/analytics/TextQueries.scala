@@ -190,7 +190,35 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** Token-budget sequence packing (concat-and-chunk): per-language
+    * streams in doc_id order, 512-token bins, each doc assigned the
+    * bin its first token lands in plus its in-bin offset. Pure integer
+    * prefix-sum — the oracle mirrors the window exactly; `DIV`/`//`
+    * keep both engines in integer arithmetic at any magnitude.
+    */
+  val qPackSequences: QueryDef = QueryDef.sql(
+    "q_pack_sequences",
+    """SELECT doc_id, lang, n_tokens,
+      |  CAST(cum // 512 AS BIGINT) AS bin,
+      |  CAST(cum % 512 AS BIGINT) AS bin_offset
+      |FROM (
+      |  SELECT doc_id, lang,
+      |    len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+      |    coalesce(sum(len(string_split_regex(trim(text), '\s+')))
+      |      OVER (PARTITION BY lang ORDER BY doc_id
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+      |  FROM documents)
+      |ORDER BY doc_id""".stripMargin,
+    doc = "token-budget sequence packing (training-data batch layout)") { (s, dir) =>
+    import graft.text.SequencePacking
+    val toks = t(s, dir, "documents").select(col("doc_id"), col("lang"),
+      TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))
+    SequencePacking.packContiguous(toks, "doc_id", "n_tokens", "lang", 512L)
+      .select("doc_id", "lang", "n_tokens", "bin", "bin_offset")
+      .orderBy("doc_id")
+  }
+
   val all: Seq[QueryDef] = Seq(
     qTextTokens, qTextQuality, qTextLangId, qTextFingerprint, qTokenFreq,
-    qSelectPipeline)
+    qSelectPipeline, qPackSequences)
 }

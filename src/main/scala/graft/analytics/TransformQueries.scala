@@ -157,7 +157,34 @@ object TransformQueries {
         (col("all_in_range") === 1).as("in_range"))
   }
 
+  /** Mixture sampling (training-data curation): deterministic largest-
+    * remainder quotas from language weights, first-n per language by
+    * doc_id. Quotas are driver-computed from the weights alone, so the
+    * oracle can state them as literals; the data-side semantics (rank
+    * within group ≤ quota) mirror exactly.
+    */
+  private val MixtureWeights = Map(
+    "en" -> 0.5, "de" -> 0.2, "fr" -> 0.15, "es" -> 0.1, "zh" -> 0.05)
+  private val MixtureQuotas = Sampling.mixtureQuotas(MixtureWeights, 100)
+
+  val qMixtureSample: QueryDef = QueryDef.sql(
+    "q_mixture_sample",
+    s"""SELECT doc_id, lang FROM (
+       |  SELECT doc_id, lang,
+       |    row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+       |  FROM documents)
+       |WHERE ${MixtureQuotas.toSeq.sortBy(_._1)
+          .map { case (g, q) => s"(lang = '$g' AND rn <= $q)" }
+          .mkString("\n   OR ")}
+       |ORDER BY doc_id""".stripMargin,
+    doc = "weighted mixture sampling (training-data curation)") { (s, dir) =>
+    Sampling.mixtureSample(t(s, dir, "documents"), "lang", "doc_id",
+        MixtureWeights, 100)
+      .select("doc_id", "lang")
+      .orderBy("doc_id")
+  }
+
   val all: Seq[QueryDef] = Seq(
     qMelt, qNormalizeGlobal, qNormalizeGroup, qSampleSystematic,
-    qSampleStratified, qSampleRandom)
+    qSampleStratified, qSampleRandom, qMixtureSample)
 }

@@ -106,4 +106,43 @@ object Sampling {
   def sampleByFractions(df: DataFrame, strataCol: String,
       fractions: Map[Any, Double], seed: Long = Seed): DataFrame =
     df.stat.sampleBy(strataCol, fractions, seed)
+
+  /** Exact per-group quotas for a weighted mixture totaling `total`:
+    * floor(wᵢ·total) each, remainder seats by largest fractional part
+    * (ties by group name) — the largest-remainder method, fully
+    * deterministic on the driver from weights alone.
+    */
+  def mixtureQuotas(weights: Map[String, Double], total: Int): Map[String, Long] = {
+    require(weights.nonEmpty && weights.values.forall(_ >= 0))
+    val wsum = weights.values.sum
+    require(wsum > 0, "weights must not all be zero")
+    val raw = weights.view.mapValues(w => w / wsum * total).toMap
+    val base = raw.view.mapValues(r => math.floor(r).toLong).toMap
+    val remainder = (total - base.values.sum).toInt
+    val order = raw.toSeq
+      .sortBy { case (g, r) => (-(r - math.floor(r)), g) }
+      .map(_._1)
+    val bumped = order.take(remainder).toSet
+    base.map { case (g, q) => g -> (q + (if (bumped(g)) 1L else 0L)) }
+  }
+
+  /** Mixture sampling — curate a training set to target source/domain
+    * proportions (beyond the reference; the data-mixture step every
+    * large-corpus pipeline runs before training). Deterministic: the
+    * first quotaᵢ rows of group i by `orderCol`. One window shuffle on
+    * the group column; groups with fewer rows than their quota
+    * contribute what they have (the caller can reweigh and rerun).
+    */
+  def mixtureSample(df: DataFrame, groupCol: String, orderCol: String,
+      weights: Map[String, Double], total: Int): DataFrame = {
+    val quotas = mixtureQuotas(weights, total)
+    val quotaCol = quotas.foldLeft(lit(0L)) { case (acc, (g, q)) =>
+      when(col(groupCol) === g, lit(q)).otherwise(acc)
+    }
+    val w = Window.partitionBy(col(groupCol)).orderBy(col(orderCol))
+    df.filter(col(groupCol).isin(quotas.keys.toSeq: _*))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= quotaCol)
+      .drop("__rn")
+  }
 }

@@ -41,4 +41,34 @@ class SamplingSpec extends SparkSpec {
     val g1 = s.filter($"g" === "g1").select("id").as[Long].collect().sorted
     assert(g1 === Array(1L, 4L, 7L, 10L, 13L, 16L, 19L))
   }
+
+  test("mixtureQuotas: largest-remainder seats, deterministic ties") {
+    assert(Sampling.mixtureQuotas(
+      Map("en" -> 0.5, "de" -> 0.2, "fr" -> 0.15, "es" -> 0.1, "zh" -> 0.05),
+      100) === Map("en" -> 50L, "de" -> 20L, "fr" -> 15L, "es" -> 10L, "zh" -> 5L))
+    // 3 equal thirds of 100: floor 33 each, one remainder seat → first
+    // group by name tie-break gets 34; total always exact
+    val q = Sampling.mixtureQuotas(Map("a" -> 1.0, "b" -> 1.0, "c" -> 1.0), 100)
+    assert(q === Map("a" -> 34L, "b" -> 33L, "c" -> 33L))
+    assert(q.values.sum === 100L)
+    // weights need not sum to 1 (normalized internally)
+    assert(Sampling.mixtureQuotas(Map("x" -> 2.0, "y" -> 2.0), 10) ===
+      Map("x" -> 5L, "y" -> 5L))
+  }
+
+  test("mixtureSample takes first-quota rows per group; short groups give all") {
+    val df = ((1 to 50).map(i => (i.toLong, "big")) ++
+      Seq((100L, "tiny"))).toDF("id", "g")
+    val s = Sampling.mixtureSample(df, "g", "id",
+      Map("big" -> 0.8, "tiny" -> 0.2), 20)
+    val byG = s.groupBy("g").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byG === Map("big" -> 16L, "tiny" -> 1L)) // tiny has only 1 row
+    // deterministic membership: lowest ids
+    assert(s.filter($"g" === "big").select("id").as[Long].collect().sorted
+      .toSeq === (1L to 16L).toSeq)
+    // groups outside the weight map are excluded entirely
+    val s2 = Sampling.mixtureSample(df, "g", "id", Map("big" -> 1.0), 5)
+    assert(s2.select("g").distinct().as[String].collect().toSeq === Seq("big"))
+  }
 }
