@@ -118,5 +118,66 @@ object SimilarityQueries {
       .orderBy("query_id")
   }
 
-  val all: Seq[QueryDef] = Seq(qSimTopK, qSimLsh, qSimIvf)
+  /** Int8 quantization contract over the whole corpus: reconstruction
+    * error is provably ≤ scale/2 (round picks the nearest multiple) and
+    * payloads stay in [−127, 127] — mathematical invariants, so the
+    * oracle states them as constants; the plan proves them over every
+    * vector via the native quantizer.
+    */
+  val qQuantize: QueryDef = QueryDef.sql(
+    "q_quantize",
+    """SELECT count(*) AS n, true AS err_ok, true AS range_ok
+      |FROM embeddings""".stripMargin,
+    doc = "int8 quantization w/ in-plan error-bound proof (embedding storage scale path)") { (s, dir) =>
+    import graft.sim.Quantization
+    val e = t(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"),
+        Quantization.quantize(col("embedding")).as("z"))
+      .select(col("vec_id"), col("embedding"),
+        col("z.scale").as("scale"), col("z.q").as("q"))
+    e.select(
+        Quantization.reconstructionError(col("embedding"), col("q"),
+          col("scale")).as("err"),
+        col("scale"),
+        coalesce(array_max(transform(col("q"),
+          x => abs(x.cast("int")))), lit(0)).as("maxq"))
+      .agg(count(lit(1)).as("n"),
+        coalesce(expr("bool_and(err <= scale / 2 + 1e-12)"), lit(true))
+          .as("err_ok"),
+        coalesce(expr("bool_and(maxq <= 127)"), lit(true)).as("range_ok"))
+  }
+
+  /** Quantized ANN vs exact float truth, self-verifying like
+    * [[qSimLsh]]: int8 cosine top-5 recovers ≥ 3 of the exact top-5
+    * per query, emitted as the hash-checked contract.
+    */
+  val qSimQuantized: QueryDef = QueryDef.sql(
+    "q_sim_quantized",
+    """SELECT vec_id AS query_id, 5 AS k, true AS recall_ok
+      |FROM embeddings WHERE vec_id IN (0, 1, 2)
+      |ORDER BY query_id""".stripMargin,
+    doc = "int8-quantized cosine top-k w/ in-plan recall check (similarity storage scale path)") { (s, dir) =>
+    import graft.sim.Quantization
+    val emb = t(s, dir, "embeddings")
+    val queries = emb.filter(col("vec_id").isin(0, 1, 2))
+    val quant = Quantization.quantizedTopK(
+      corpus = emb, queries = queries,
+      idCol = "vec_id", vecCol = "embedding", k = 5)
+    val exact = Similarity.bruteForceTopK(
+      corpus = emb, queries = queries,
+      idCol = "vec_id", vecCol = "embedding", k = 5)
+    val overlap = quant.select(col("query_id"), col("corpus_id"))
+      .join(exact.select(col("query_id"), col("corpus_id")),
+        Seq("query_id", "corpus_id"))
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_hit"))
+    queries.select(col("vec_id").as("query_id"))
+      .join(overlap, Seq("query_id"), "left")
+      .select(col("query_id"), lit(5).as("k"),
+        (coalesce(col("n_hit"), lit(0L)) >= 3).as("recall_ok"))
+      .orderBy("query_id")
+  }
+
+  val all: Seq[QueryDef] = Seq(qSimTopK, qSimLsh, qSimIvf, qQuantize,
+    qSimQuantized)
 }

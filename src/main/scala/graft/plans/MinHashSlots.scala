@@ -118,6 +118,22 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           "usage: simhash64(array<bigint>)")
       }))
     ext.injectFunction((
+      new FunctionIdentifier("int8_quantize"),
+      new ExpressionInfo(classOf[Int8Quantize].getName, "int8_quantize"),
+      (children: Seq[Expression]) => children match {
+        case Seq(arr) => Int8Quantize(arr)
+        case _ => throw new IllegalArgumentException(
+          "usage: int8_quantize(array<float|double>)")
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("int8_cosine"),
+      new ExpressionInfo(classOf[Int8Cosine].getName, "int8_cosine"),
+      (children: Seq[Expression]) => children match {
+        case Seq(a, b) => Int8Cosine(a, b)
+        case _ => throw new IllegalArgumentException(
+          "usage: int8_cosine(array<tinyint>, array<tinyint>)")
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("profile_col"),
       new ExpressionInfo(classOf[ColumnProfileAgg].getName, "profile_col"),
       (children: Seq[Expression]) => children match {
