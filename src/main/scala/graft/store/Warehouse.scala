@@ -242,6 +242,56 @@ final class Warehouse(spark: SparkSession, location: String) {
     fs.delete(old, true)
   }
 
+  /** Selective compaction: rewrite ONLY the partition directories
+    * matching `predicate` (a filter on the partition column(s), e.g.
+    * `col("p_date") === "2024-01-01"`), leaving every other partition's
+    * files untouched. At 100 TB a full-table [[compact]] is a
+    * 100 TB rewrite; real maintenance compacts the handful of hot
+    * partitions the last ingest fragmented. The slice is read
+    * partition-pruned (the predicate reaches the scan as directory
+    * pruning), rewritten to a working dir, then swapped per partition
+    * with the same crash-safe rename dance as [[compact]].
+    */
+  def compactPartitions(table: String, predicate: org.apache.spark.sql.Column,
+      targetFilesPerPartition: Int = 1): Unit = {
+    val parts = readMeta(table).map(_.partitionBy).getOrElse(Nil)
+    require(parts.nonEmpty, s"compactPartitions: table $table is not partitioned")
+    val slice = readRaw(table).filter(predicate)
+    val tmp = new Path(path(table) + "__compact")
+    slice.repartition(math.max(targetFilesPerPartition, 1),
+        parts.map(org.apache.spark.sql.functions.col): _*)
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy(parts: _*).parquet(tmp.toString)
+    // partition dirs sit `parts.size` levels under the root
+    def partitionDirs(base: Path, depth: Int): Seq[Path] =
+      if (depth == 0) Seq(base)
+      else if (!fs.exists(base)) Nil
+      else fs.listStatus(base).filter(_.isDirectory).map(_.getPath).toSeq
+        .flatMap(p => partitionDirs(p, depth - 1))
+    // listStatus returns fully-qualified paths (scheme + authority);
+    // qualify the base the same way or the prefix never matches
+    val qtmp = fs.makeQualified(tmp).toString
+    partitionDirs(tmp, parts.size).foreach { tmpPart =>
+      val rel = fs.makeQualified(tmpPart).toString
+        .stripPrefix(qtmp).stripPrefix("/")
+      require(rel.nonEmpty && !rel.contains(":"),
+        s"compactPartitions: cannot relativize $tmpPart under $qtmp")
+      val live = new Path(s"${path(table)}/$rel")
+      val aside = new Path(live.toString + "__old")
+      fs.mkdirs(live.getParent)
+      if (fs.exists(aside)) fs.delete(aside, true)
+      val hadLive = fs.exists(live)
+      if (hadLive && !fs.rename(live, aside))
+        sys.error(s"compactPartitions: rename $live -> $aside failed")
+      if (!fs.rename(tmpPart, live)) {
+        if (hadLive) fs.rename(aside, live)
+        sys.error(s"compactPartitions: rename $tmpPart -> $live failed")
+      }
+      if (hadLive) fs.delete(aside, true)
+    }
+    fs.delete(tmp, true)
+  }
+
   /** Table definition — columns + declared keys + partitioning
     * (`get_table_definition`, `postgres_manager.py:678-712`; unique
     * keys live in engine metadata since Spark has no constraints).

@@ -45,6 +45,33 @@ object StreamIngest {
     df.withWatermark(timeCol, watermarkDelay)
       .dropDuplicatesWithinWatermark(keys)
 
+  /** Streaming upsert into a [[graft.store.Warehouse]] table — the
+    * closed loop from stream to queryable store: every micro-batch
+    * runs [[graft.load.Loader.dedupAppend]] (key-dedup + anti-join
+    * against the time-pruned existing slice + append). `foreachBatch`
+    * may REPLAY a batch after a failure; dedupAppend's row-level
+    * idempotency makes the replay a no-op, which is exactly the
+    * exactly-once-in-effect story a file sink alone can't give on a
+    * keyed table. One-shot by default (`AvailableNow`), matching the
+    * reference's chunk-loop-then-stop ingest.
+    */
+  def upsertStream(df: DataFrame, warehouse: graft.store.Warehouse,
+      table: String, keys: Seq[String], timeCol: Option[String],
+      checkpoint: String,
+      trigger: Trigger = Trigger.AvailableNow()): Unit = {
+    val q = df.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        new graft.load.Loader(batch.sparkSession, warehouse)
+          .dedupAppend(batch, table, keys, timeCol)
+        ()
+      }
+      .start()
+    q.awaitTermination()
+  }
+
   /** Watermarked tumbling-window aggregation: per (window, entity)
     * count + sum. Late rows beyond the watermark are dropped; the
     * window close emits exactly one final row in append mode.

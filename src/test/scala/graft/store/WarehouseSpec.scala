@@ -141,6 +141,30 @@ class WarehouseSpec extends SparkSpec {
     assert(!new java.io.File(s"$dir/t__old").exists())
   }
 
+  test("compactPartitions rewrites only the targeted partition") {
+    import org.apache.spark.sql.functions.col
+    val dir = Files.createTempDirectory("graft_wh_pc").toString
+    val wh = new Warehouse(spark, dir)
+    def filesIn(sub: String): Seq[String] = {
+      val d = new java.io.File(s"$dir/t/$sub")
+      Option(d.listFiles()).map(_.toSeq.map(_.getName)
+        .filter(_.endsWith(".parquet"))).getOrElse(Nil)
+    }
+    val df = (1 to 200).map(i => (i.toLong, s"g${i % 4}", i * 1.0))
+      .toDF("id", "g", "v").repartition(8)
+    wh.overwrite("t", df, partitionBy = Seq("g"))
+    wh.writeMeta("t", Seq("g"), Nil)
+    val g1Before = filesIn("g=g1")
+    val g2Before = filesIn("g=g2")
+    assert(g1Before.size > 1) // fragmented before compaction
+    wh.compactPartitions("t", col("g") === "g1")
+    assert(filesIn("g=g1").size === 1) // targeted partition collapsed
+    assert(filesIn("g=g2") === g2Before) // untouched partition: same files
+    assert(wh.tableStats("t").numRows === 200)
+    assert(wh.read("t").filter(col("g") === "g1").count() === 50)
+    assert(wh.listTables() === Seq("t")) // no working dirs leak
+  }
+
   test("unique keys + partitioning persist in table meta") {
     val wh = fresh()
     wh.createTable("t", schema, partitionBy = Nil, uniqueKeys = Seq("id"))

@@ -201,6 +201,37 @@ class StreamIngestSpec extends SparkSpec {
     }, f.toString)
   }
 
+  test("upsertStream lands stream batches in the warehouse idempotently") {
+    import graft.store.Warehouse
+    val in = Files.createTempDirectory("ups_in").toString
+    val ckpt = Files.createTempDirectory("ups_ck").toString
+    val wh = new Warehouse(spark,
+      Files.createTempDirectory("ups_wh").toString)
+
+    writeBatch(in, "b1", Seq(
+      (ts("2024-01-01 00:00:00"), "a", 1.0),
+      (ts("2024-01-01 00:10:00"), "b", 2.0)))
+    val schema = spark.read.parquet(in).schema
+    def runOnce(): Unit = StreamIngest.upsertStream(
+      StreamIngest.readFileStream(spark, in, schema),
+      wh, "events_t", keys = Seq("ts", "entity"), timeCol = Some("ts"),
+      checkpoint = ckpt)
+
+    runOnce()
+    assert(wh.read("events_t").count() === 2)
+    // second run with one overlapping key and one new: only the new
+    // row lands (row-level idempotency through Loader.dedupAppend)
+    writeBatch(in, "b2", Seq(
+      (ts("2024-01-01 00:10:00"), "b", 99.0), // dup key (ts, entity)
+      (ts("2024-01-01 00:20:00"), "c", 3.0)))
+    runOnce()
+    assert(wh.read("events_t").count() === 3)
+    // the upserted table is a real warehouse table: date-partitioned,
+    // keyed meta recorded
+    assert(wh.readMeta("events_t").exists(_.uniqueKeys === Seq("ts", "entity")))
+    assert(wh.readRaw("events_t").columns.contains(Warehouse.DerivedDateCol))
+  }
+
   test("streamIntervalJoin pairs events with recent same-entity signups only") {
     val evDir = Files.createTempDirectory("ssj_ev").toString
     val sgDir = Files.createTempDirectory("ssj_sg").toString
