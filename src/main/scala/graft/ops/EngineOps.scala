@@ -87,7 +87,10 @@ object EngineOps {
         explain(df, "simple").contains("*("),
       hasBroadcastJoin = plan.contains("BroadcastHashJoin") ||
         plan.contains("BroadcastNestedLoopJoin"),
-      exchangeCount = "Exchange".r.findAllIn(plan).size)
+      // formatted mode prints each node once in the tree and once as a
+      // "(N) Exchange" detail header — count headers for the true node
+      // count (a bare substring count reports 2x)
+      exchangeCount = raw"\(\d+\) Exchange".r.findAllIn(plan).size)
   }
 
   /** [[planSummary]] with AQE disabled during plan build: under AQE,

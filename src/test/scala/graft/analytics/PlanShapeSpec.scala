@@ -49,4 +49,22 @@ class PlanShapeSpec extends SparkSpec {
     // verified-pair join brings shingles back by id afterwards
     assert(p.contains("hashpartitioning"), p.take(1200))
   }
+
+  test("q_pack_sequences: exactly one shard-keyed exchange feeds the window") {
+    val df = Catalog.byName("q_pack_sequences").run(spark, dir)
+    val s = EngineOps.planSummaryNoAqe(spark, df)
+    // one hash exchange for the shard window + the final presentation
+    // sort's range exchange — anything more means the prefix-sum
+    // stopped being a single-pass plan
+    assert(s.exchangeCount <= 2,
+      EngineOps.explain(df, "formatted").take(1200))
+  }
+
+  test("q_sim_quantized: quantized corpus scanned once, queries broadcast") {
+    val p = plan("q_sim_quantized")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      p.take(1200))
+    // the int8 kernels are inside codegen, not interpreted projections
+    assert(p.contains("int8_cosine"), p.take(1200))
+  }
 }
