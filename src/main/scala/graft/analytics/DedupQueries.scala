@@ -275,8 +275,61 @@ object DedupQueries {
       .orderBy("doc_id")
   }
 
+  /** Incremental dedup against an existing corpus: a new batch (10
+    * planted near-dups of corpus docs + one intra-batch near-dup pair)
+    * checked against corpus docs 0-39 — never corpus×corpus. Same
+    * LSH-certain regime as [[qDedupMinhashPlanted]] (j ≥ 0.9, 16
+    * 2-row bands → miss probability ≈ 2e-12), so exact SQL truth over
+    * pairs touching the new side (new ids ≥ 10000) is a valid oracle.
+    */
+  val qDedupIncremental: QueryDef = QueryDef.sql(
+    "q_dedup_incremental",
+    """WITH base AS (
+      |  SELECT doc_id, text FROM documents WHERE doc_id < 40),
+      |newb AS (
+      |  SELECT doc_id + 10000 AS doc_id, text || ' xyzzy' AS text
+      |  FROM base WHERE doc_id < 10
+      |  UNION ALL
+      |  SELECT doc_id + 20000, text FROM documents WHERE doc_id = 40
+      |  UNION ALL
+      |  SELECT doc_id + 30000, text || ' xyzzy' FROM documents WHERE doc_id = 40),
+      |corpus AS (SELECT * FROM base UNION ALL SELECT * FROM newb),
+      |sh AS (
+      |  SELECT doc_id,
+      |    list_distinct([array_to_string(tk[i:i+1], ' ')
+      |                   FOR i IN range(1, greatest(len(tk), 2))]) AS s
+      |  FROM (SELECT doc_id,
+      |          string_split_regex(lower(trim(text)), '[\s[:punct:]]+') AS tk
+      |        FROM corpus))
+      |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |  CAST(round(len(list_intersect(a.s, b.s)) /
+      |    (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 6) AS DOUBLE)
+      |    AS jaccard
+      |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      |WHERE b.doc_id >= 10000
+      |  AND len(list_intersect(a.s, b.s)) /
+      |    (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.9
+      |ORDER BY id_a, id_b""".stripMargin,
+    doc = "incremental LSH dedup of a new batch vs existing corpus (dedup ops)") { (s, dir) =>
+    val base = t(s, dir, "documents").filter(col("doc_id") < 40)
+      .select(col("doc_id"), col("text"))
+    val doc40 = t(s, dir, "documents").filter(col("doc_id") === 40)
+    val newb = base.filter(col("doc_id") < 10)
+      .select((col("doc_id") + 10000).as("doc_id"),
+        concat(col("text"), lit(" xyzzy")).as("text"))
+      .unionByName(doc40.select((col("doc_id") + 20000).as("doc_id"),
+        col("text")))
+      .unionByName(doc40.select((col("doc_id") + 30000).as("doc_id"),
+        concat(col("text"), lit(" xyzzy")).as("text")))
+    Dedup.minHashNearDupPairsIncremental(newb, base, "doc_id", "text",
+        shingleSize = 2, k = 32, bands = 16, threshold = 0.9)
+      .select(col("id_a"), col("id_b"),
+        round(col("jaccard"), 6).cast("double").as("jaccard"))
+      .orderBy("id_a", "id_b")
+  }
+
   val all: Seq[QueryDef] = Seq(
     qDedupExact, qNgramJaccard, qEmbedNearDup, qDedupMinhash,
     qDedupMinhashPlanted, qDedupSimhash, qDedupSimhashPlanted,
-    qDedupClusters, qDedupPipeline)
+    qDedupClusters, qDedupPipeline, qDedupIncremental)
 }

@@ -148,6 +148,69 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Incremental near-dup pairs: a NEW batch against itself and an
+    * existing corpus, never corpus×corpus — the ingest-time shape of
+    * dedup at 100 TB (the full-corpus pairing ran once; every later
+    * batch must cost O(batch), the same idempotent-re-ingest economics
+    * as `data_loader.py:173-177` on the load path). Candidates come
+    * from the same capped LSH band buckets as [[minHashNearDupPairs]],
+    * but pairs are generated only where at least one side is new:
+    * new×new (ordered) plus new×corpus. The corpus contributes one
+    * (id, band) tuple stream — at production scale band tuples are
+    * computed once and persisted (they are 16 longs per doc; store
+    * them in a [[graft.store.Warehouse]] table keyed by band), so the
+    * per-batch cost is banding the batch plus one equi-join.
+    *
+    * Returns ascending-normalized (id_a, id_b, jaccard) with
+    * jaccard ≥ threshold, where at least one id is from `newDocs`.
+    * Ids are assumed disjoint across the two frames.
+    */
+  def minHashNearDupPairsIncremental(
+      newDocs: DataFrame, corpus: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int = 5, k: Int = 32, bands: Int = 16,
+      threshold: Double = 0.6, maxBucketSize: Int = 100): DataFrame = {
+    val rows = k / bands
+    val spark = newDocs.sparkSession
+    def prep(df: DataFrame, isNew: Boolean) =
+      df.select(col(idCol).as("id"),
+        shingleHashes(spark, col(textCol), shingleSize).as("shingles"),
+        lit(isNew).as("is_new"))
+    val shingled = prep(newDocs, isNew = true)
+      .unionByName(prep(corpus, isNew = false))
+    val banded = shingled
+      .withColumn("sig", minHashColumn(spark, col("shingles"), k))
+      .select(col("id"), col("is_new"),
+        posexplode(lshBandKeys(col("sig"), bands, rows))
+          .as(Seq("band_idx", "band_key")))
+    // hot buckets are a corpus-wide property: cap over BOTH sides, so a
+    // boilerplate band key doesn't go quadratic against the archive
+    val capped = banded
+      .withColumn("__bucket_n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("band_idx"), col("band_key"))))
+      .filter(col("__bucket_n") <= maxBucketSize)
+      .drop("__bucket_n")
+    val newSide = capped.filter(col("is_new"))
+      .select(col("band_idx"), col("band_key"), col("id").as("id_n"))
+    val anySide = capped.select(col("band_idx"), col("band_key"),
+      col("id").as("id_o"), col("is_new").as("o_new"))
+    val candidates = newSide.join(anySide, Seq("band_idx", "band_key"))
+      .filter(col("id_n") =!= col("id_o"))
+      // new×new pairs would otherwise appear from both endpoints
+      .filter(!col("o_new") || col("id_n") < col("id_o"))
+      .select(least(col("id_n"), col("id_o")).as("id_a"),
+        greatest(col("id_n"), col("id_o")).as("id_b"))
+      .distinct()
+    candidates
+      .join(shingled.select(col("id").as("id_a"), col("shingles").as("sh_a")),
+        Seq("id_a"))
+      .join(shingled.select(col("id").as("id_b"), col("shingles").as("sh_b")),
+        Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
   /** Set Jaccard over two string arrays (assumed distinct elements). */
   def jaccard(a: Column, b: Column): Column = {
     val inter = size(array_intersect(a, b)).cast("double")

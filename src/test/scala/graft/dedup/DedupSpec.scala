@@ -108,6 +108,29 @@ class DedupSpec extends SparkSpec {
     assert(kept.contains(5L) && kept.size === 25 - 5)
   }
 
+  test("incremental minhash pairs touch the new batch only, matching batch truth") {
+    import graft.io.Tables
+    val docs = Tables.table(spark, "/root/testdata/sf0.001", "documents")
+    val corpus = docs.filter($"doc_id" < 40).select($"doc_id", $"text")
+    val newb = corpus.filter($"doc_id" < 5)
+      .select(($"doc_id" + 10000).as("doc_id"),
+        concat($"text", lit(" xyzzy")).as("text"))
+    val inc = Dedup.minHashNearDupPairsIncremental(
+        newb, corpus, "doc_id", "text",
+        shingleSize = 2, threshold = 0.9)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // every pair touches the new batch — corpus×corpus never pairs
+    assert(inc.nonEmpty)
+    assert(inc.forall { case (a, b) => a >= 10000 || b >= 10000 }, inc.toString)
+    // parity: the full-batch operator on (corpus ∪ new), restricted to
+    // pairs touching new, finds exactly the same set
+    val full = Dedup.minHashNearDupPairs(corpus.unionByName(newb),
+        "doc_id", "text", shingleSize = 2, threshold = 0.9)
+      .select("id_a", "id_b").as[(Long, Long)].collect()
+      .filter(p => p._1 >= 10000 || p._2 >= 10000).toSet
+    assert(inc === full, s"inc=$inc full=$full")
+  }
+
   test("embeddingNearDupPairs finds cosine-close vectors") {
     val vecs = Seq(
       (1L, Array(1.0f, 0.0f, 0.0f)),
