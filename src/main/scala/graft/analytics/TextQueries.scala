@@ -218,7 +218,36 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** PII redaction over planted contact strings: the corpus text is
+    * salted in-plan with an email, a phone and an IP, then scrubbed;
+    * the oracle plants and scrubs identically (same RE2-safe patterns,
+    * 'g' flag where DuckDB is single-match by default). The redacted
+    * text itself is the compared value — the strongest possible check.
+    */
+  val qTextRedact: QueryDef = QueryDef.sql(
+    "q_text_redact",
+    """SELECT doc_id,
+      |  regexp_replace(
+      |    regexp_replace(
+      |      regexp_replace(
+      |        text || ' reach a@b.io or 555-123-4567 via 10.0.0.1',
+      |        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+      |      '\d{3}[-.]\d{3}[-.]\d{4}', '[PHONE]', 'g'),
+      |    '\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}', '[IP]', 'g') AS redacted
+      |FROM documents WHERE doc_id < 50
+      |ORDER BY doc_id""".stripMargin,
+    doc = "PII redaction: email/phone/IP scrubbing (training-data text ops)") { (s, dir) =>
+    t(s, dir, "documents")
+      .filter(col("doc_id") < 50)
+      .select(col("doc_id"),
+        TextAnalysis.redactPii(
+          concat(col("text"),
+            lit(" reach a@b.io or 555-123-4567 via 10.0.0.1")))
+          .as("redacted"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[QueryDef] = Seq(
     qTextTokens, qTextQuality, qTextLangId, qTextFingerprint, qTokenFreq,
-    qSelectPipeline, qPackSequences)
+    qSelectPipeline, qPackSequences, qTextRedact)
 }

@@ -115,6 +115,28 @@ object TextAnalysis {
       lit("zh")).otherwise(pick)
   }
 
+  // --------------------------------------------------------- redaction
+
+  /** PII redaction — the scrub step a training corpus runs before
+    * anything else ships: emails, dashed/dotted phone numbers, and
+    * IPv4 literals replaced by typed placeholder tags. Patterns are
+    * deliberately RE2-compatible (no lookaround, no backrefs) so the
+    * exact same regexes run in Spark (Java regex) and any RE2 engine
+    * (the DuckDB oracle) — and the expressions stay codegen'd.
+    * Order matters: emails first (their domains contain dot-runs the
+    * IP pattern could nibble), then phones, then bare IPs.
+    */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhonePattern = "\\d{3}[-.]\\d{3}[-.]\\d{4}"
+  val Ipv4Pattern = "\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}"
+
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailPattern, "[EMAIL]"),
+        PhonePattern, "[PHONE]"),
+      Ipv4Pattern, "[IP]")
+
   // ----------------------------------------------------- fingerprinting
 
   /** 64-bit document fingerprint: xxhash64 of the normalized text

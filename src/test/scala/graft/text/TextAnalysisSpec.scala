@@ -58,6 +58,22 @@ class TextAnalysisSpec extends SparkSpec {
     assert(short === Seq("a"))
   }
 
+  test("redactPii scrubs emails, phones and IPs; leaves clean text alone") {
+    val cases = Seq(
+      ("mail me at john.doe+x@sub.example.co.uk today",
+        "mail me at [EMAIL] today"),
+      ("call 555-123-4567 or 555.987.6543", "call [PHONE] or [PHONE]"),
+      ("server 192.168.1.255 down", "server [IP] down"),
+      // email domain dots must not be half-eaten by the IP pattern
+      ("a@b.io and 10.0.0.1", "[EMAIL] and [IP]"),
+      ("no pii here, just 3.14 and v1.2", "no pii here, just 3.14 and v1.2"))
+    val out = cases.map(_._1).toDF("t")
+      .select(TextAnalysis.redactPii($"t")).as[String].collect()
+    out.zip(cases.map(_._2)).foreach { case (got, want) =>
+      assert(got === want)
+    }
+  }
+
   test("qualityScore favors natural prose over junk") {
     val df = Seq(
       ("prose", "the cat sat on the mat and it was a warm day in the garden of the old house by the sea with many trees"),
