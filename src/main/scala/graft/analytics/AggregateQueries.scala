@@ -1,6 +1,6 @@
 package graft.analytics
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.io.Tables
 import RelationalQueries.{dsum, dsumSql}
@@ -247,7 +247,93 @@ object AggregateQueries {
       .toDF("key_monotonic", "price_monotonic", "date_monotonic")
   }
 
+  /** Key-skew diagnosis (ops surface): hot-key shares + table skew
+    * factor — what you check before keying a 100 TB shuffle on a
+    * column. Deterministic ties by key.
+    */
+  val qSkewReport: QueryDef = QueryDef.sql(
+    "q_skew_report",
+    """WITH c AS (SELECT l_suppkey AS key, count(*) AS n FROM lineitem GROUP BY 1),
+      |t AS (SELECT sum(n) AS total, count(*) AS nkeys, max(n) AS maxn FROM c)
+      |SELECT key, n,
+      |  CAST(round(n / CAST(total AS DOUBLE) * 100, 6) AS DOUBLE) AS pct_share,
+      |  CAST(round(maxn * nkeys / CAST(total AS DOUBLE), 6) AS DOUBLE) AS skew_factor
+      |FROM c CROSS JOIN t
+      |ORDER BY n DESC, key LIMIT 10""".stripMargin,
+    doc = "hot-key share + skew factor (pre-shuffle diagnosis, ops)") { (s, dir) =>
+    graft.ops.EngineOps.keySkewReport(
+      t(s, dir, "lineitem").select(col("l_suppkey")), "l_suppkey", topN = 10)
+  }
+
+  /** Equal-width histogram: IEEE-exact bin edges, clamped max bin. */
+  val qHistogram: QueryDef = QueryDef.sql(
+    "q_histogram",
+    """WITH b AS (
+      |  SELECT min(l_extendedprice) AS lo, max(l_extendedprice) AS hi
+      |  FROM lineitem)
+      |SELECT CAST(CASE WHEN hi = lo THEN 0
+      |  ELSE least(floor((l_extendedprice - lo) / ((hi - lo) / 10)), 9)
+      |  END AS BIGINT) AS bin, count(*) AS n
+      |FROM lineitem CROSS JOIN b
+      |WHERE l_extendedprice IS NOT NULL
+      |GROUP BY 1 ORDER BY 1""".stripMargin,
+    doc = "equal-width histogram over a numeric column (profiling)") { (s, dir) =>
+    graft.profile.Profiler.histogram(t(s, dir, "lineitem"),
+      "l_extendedprice", nBins = 10)
+  }
+
+  /** Approximate profiling with an in-plan accuracy contract: the
+    * sketches a 100 TB profile actually runs — HLL++ distinct
+    * (`approx_count_distinct`, no Expand, O(1) state) and quantile
+    * sketch (`approx_percentile`) — each computed alongside its exact
+    * twin in the same scan, emitted as bound-check booleans. The
+    * oracle recomputes the exact values and asserts the bounds hold,
+    * so the sketch accuracy itself is gate-checked (the contract-
+    * oracle pattern). At scale you drop the exact twins and keep the
+    * sketches; the gate proves they were within tolerance where exact
+    * is computable.
+    */
+  val qApproxProfile: QueryDef = QueryDef.sql(
+    "q_approx_profile",
+    """SELECT count(*) AS n_rows,
+      |  count(DISTINCT l_suppkey) AS exact_suppkeys,
+      |  count(DISTINCT l_partkey) AS exact_partkeys,
+      |  true AS hll_suppkeys_ok, true AS hll_partkeys_ok,
+      |  CAST(round(quantile_cont(l_extendedprice, 0.5), 6) AS DOUBLE) AS p50_price,
+      |  CAST(round(quantile_cont(l_extendedprice, 0.95), 6) AS DOUBLE) AS p95_price,
+      |  true AS approx_p50_ok, true AS approx_p95_ok
+      |FROM lineitem""".stripMargin,
+    doc = "HLL distinct + quantile sketch with gate-checked error bounds (approx profiling)") { (s, dir) =>
+    val li = t(s, dir, "lineitem")
+    def relOk(approx: Column, exact: Column, tol: Double): Column =
+      (abs(approx.cast("double") - exact.cast("double")) /
+        greatest(exact.cast("double"), lit(1.0))) <= tol
+    li.agg(
+        count(lit(1)).as("n_rows"),
+        countDistinct(col("l_suppkey")).as("exact_suppkeys"),
+        countDistinct(col("l_partkey")).as("exact_partkeys"),
+        approx_count_distinct(col("l_suppkey"), rsd = 0.02).as("hll_supp"),
+        approx_count_distinct(col("l_partkey"), rsd = 0.02).as("hll_part"),
+        percentile(col("l_extendedprice"), lit(0.5)).as("ex_p50"),
+        percentile(col("l_extendedprice"), lit(0.95)).as("ex_p95"),
+        percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000))
+          .as("ap_p50"),
+        percentile_approx(col("l_extendedprice"), lit(0.95), lit(10000))
+          .as("ap_p95"))
+      .select(
+        col("n_rows"), col("exact_suppkeys"), col("exact_partkeys"),
+        relOk(col("hll_supp"), col("exact_suppkeys"), 0.05)
+          .as("hll_suppkeys_ok"),
+        relOk(col("hll_part"), col("exact_partkeys"), 0.05)
+          .as("hll_partkeys_ok"),
+        round(col("ex_p50"), 6).cast("double").as("p50_price"),
+        round(col("ex_p95"), 6).cast("double").as("p95_price"),
+        relOk(col("ap_p50"), col("ex_p50"), 0.01).as("approx_p50_ok"),
+        relOk(col("ap_p95"), col("ex_p95"), 0.01).as("approx_p95_ok"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     qProfileStats, qCollectAgg, qCondRatios, qCaseAgg, qDistinctPairs,
-    qSortNullsLast, qPercentiles, qPivot, qMonotonic)
+    qSortNullsLast, qPercentiles, qPivot, qMonotonic, qSkewReport,
+    qHistogram, qApproxProfile)
 }

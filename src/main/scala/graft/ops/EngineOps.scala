@@ -106,6 +106,31 @@ object EngineOps {
     try planSummary(build) finally spark.conf.set(key, prev)
   }
 
+  /** Key-skew diagnosis — the pre-flight check before keying a 100 TB
+    * shuffle: per-key counts, each hot key's share, and the table-wide
+    * skew factor (max key count ÷ mean key count; 1.0 = uniform). The
+    * number that tells you whether a join needs
+    * [[graft.store.ScaleJoins.saltedJoin]] or AQE skew handling before
+    * the straggler appears. One aggregation shuffle on the key; the
+    * scalar totals ride a broadcast.
+    */
+  def keySkewReport(df: DataFrame, keyCol: String, topN: Int = 10): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val counts = df.groupBy(col(keyCol).as("key"))
+      .agg(count(lit(1)).as("n"))
+    val totals = counts.agg(
+      sum(col("n")).as("total"), count(lit(1)).as("nkeys"),
+      max(col("n")).as("maxn"))
+    counts.crossJoin(broadcast(totals))
+      .select(col("key"), col("n"),
+        round(col("n") / col("total").cast("double") * 100, 6)
+          .cast("double").as("pct_share"),
+        round(col("maxn") * col("nkeys") / col("total").cast("double"), 6)
+          .cast("double").as("skew_factor"))
+      .orderBy(col("n").desc, col("key"))
+      .limit(topN)
+  }
+
   /** Cancel a running job group — the reference's terminate-session
     * (`postgres_manager.py:297-307`). */
   def cancelJobGroup(spark: SparkSession, group: String): Unit =

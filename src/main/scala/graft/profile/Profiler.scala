@@ -224,6 +224,31 @@ object Profiler {
     ok(1, _ <= _) || ok(2, _ >= _)
   }
 
+  /** Equal-width histogram: bin = ⌊(x − min) / width⌋ clamped to the
+    * last bin (the max lands inside, not past, the range). Two passes:
+    * a scalar min/max aggregate broadcast into a per-row bin
+    * expression, then one aggregation shuffle on the bin id — the
+    * distributed shape of the reference's profiling statistics, and
+    * all-IEEE math so any engine reproduces the bin edges bit-exactly.
+    * Degenerate all-equal columns land in bin 0.
+    */
+  def histogram(df: DataFrame, valueCol: String, nBins: Int): DataFrame = {
+    require(nBins > 0, s"nBins must be positive, got $nBins")
+    val v = col(valueCol).cast("double")
+    val b = df.agg(min(v).as("lo"), max(v).as("hi"))
+    df.select(v.as("__v")).na.drop()
+      .crossJoin(broadcast(b))
+      .select(
+        when(col("hi") === col("lo"), lit(0L))
+          .otherwise(least(
+            floor((col("__v") - col("lo")) /
+              ((col("hi") - col("lo")) / nBins)).cast("long"),
+            lit(nBins - 1L))).as("bin"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("bin")
+  }
+
   /** Profile → inferred SQL schema, the `analyze_schema` composition
     * (`schema_analyzer.py:24-53`): profile each column, infer its SQL
     * type, sanitize names, emit DDL columns.

@@ -52,4 +52,20 @@ class EngineOpsSpec extends SparkSpec {
     val plan = EngineOps.explain(Seq(1).toDF("x").filter($"x" > 0))
     assert(plan.contains("Physical Plan"))
   }
+
+  test("keySkewReport surfaces hot keys and the table skew factor") {
+    // 90 rows of key 1, 10 spread over 2..11 → mean 100/11, max 90
+    val df = ((1 to 90).map(_ => 1L) ++ (2L to 11L)).toDF("k")
+    val rows = EngineOps.keySkewReport(df, "k", topN = 3).collect()
+    assert(rows.length === 3)
+    assert(rows.head.getAs[Long]("key") === 1L)
+    assert(rows.head.getAs[Long]("n") === 90L)
+    assert(rows.head.getAs[Double]("pct_share") === 90.0)
+    // skew = max/mean = 90 / (100/11) = 9.9
+    assert(math.abs(rows.head.getAs[Double]("skew_factor") - 9.9) < 1e-9)
+    // uniform table → skew factor 1.0
+    val uni = (1L to 100L).map(i => i % 10).toDF("k")
+    val u = EngineOps.keySkewReport(uni, "k", topN = 1).collect().head
+    assert(u.getAs[Double]("skew_factor") === 1.0)
+  }
 }

@@ -66,6 +66,18 @@ class ProfilerSpec extends SparkSpec {
     assert(inferred === "DOUBLE PRECISION", inferred)
   }
 
+  test("histogram bins equal-width with clamped max; degenerate column → bin 0") {
+    val df = Seq(0.0, 1.0, 2.5, 4.9, 5.0, 9.9, 10.0).toDF("v")
+    // lo=0, hi=10, width 2.5 over 4 bins; 2.5 sits ON the bin-1 edge
+    // (floor(2.5/2.5)=1) and 10.0 clamps into bin 3
+    val bins = Profiler.histogram(df, "v", 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(bins === Map(0L -> 2L, 1L -> 2L, 2L -> 1L, 3L -> 2L))
+    val flat = Seq(7.0, 7.0, 7.0).toDF("v")
+    assert(Profiler.histogram(flat, "v", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq === Seq((0L, 3L)))
+  }
+
   test("monotonicity detection over an explicit order column") {
     val inc = Seq((1, 10.0), (2, 20.0), (3, 30.0)).toDF("ord", "v")
     val dec = Seq((1, 30.0), (2, 20.0), (3, 10.0)).toDF("ord", "v")
