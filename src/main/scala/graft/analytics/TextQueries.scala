@@ -247,7 +247,130 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** The WHOLE curation flow as one verified plan — redact → quality
+    * filter → fingerprint dedup → weighted mixture → sequence packing:
+    * every stage is an operator already proven alone; this query pins
+    * their composition end-to-end (column flow, filter interactions,
+    * window-over-filtered-input semantics). The 100 TB shape: two
+    * window shuffles (norm-dedup, lang-rank) + one shard window —
+    * everything else is per-row expression work on the scan.
+    */
+  val qCuratePipeline: QueryDef = QueryDef.sql(
+    "q_curate_pipeline",
+    """WITH red AS (
+      |  SELECT doc_id, lang,
+      |    regexp_replace(
+      |      regexp_replace(
+      |        regexp_replace(text,
+      |          '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+      |        '\d{3}[-.]\d{3}[-.]\d{4}', '[PHONE]', 'g'),
+      |      '\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}', '[IP]', 'g') AS rtext
+      |  FROM documents),
+      |feats AS (
+      |  SELECT doc_id, lang, rtext,
+      |    regexp_replace(regexp_replace(lower(rtext), '[[:punct:]]', '', 'g'),
+      |      '\s+', ' ', 'g') AS norm,
+      |    least(length(rtext) / 500.0, 1.0) * 0.25 +
+      |    greatest(0.0, 1.0 - (CASE WHEN length(rtext) = 0 THEN 0.0
+      |      ELSE (length(rtext) - length(regexp_replace(rtext, '[[:punct:]]', '', 'g')))
+      |           / CAST(length(rtext) AS DOUBLE) END) * 5.0) * 0.25 +
+      |    (CASE WHEN length(regexp_replace(trim(rtext), '\s+', '', 'g'))
+      |        / CAST(len(string_split_regex(trim(rtext), '\s+')) AS DOUBLE)
+      |        BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END) * 0.25 +
+      |    least(len(list_filter(string_split_regex(lower(trim(rtext)), '\s+'),
+      |        tk -> tk IN ('the','a','an','and','or','of','to','in','is','are',
+      |                    'was','it','that','this','for','on','with','as','at','by')))
+      |      / CAST(len(string_split_regex(lower(trim(rtext)), '\s+')) AS DOUBLE)
+      |      * 4.0, 1.0) * 0.25 AS quality
+      |  FROM red),
+      |selected AS (
+      |  SELECT doc_id, lang, rtext FROM (
+      |    SELECT doc_id, lang, rtext,
+      |      row_number() OVER (PARTITION BY norm ORDER BY doc_id) AS rn
+      |    FROM feats WHERE round(quality, 6) >= 0.5)
+      |  WHERE rn = 1),
+      |mixed AS (
+      |  SELECT doc_id, lang, rtext FROM (
+      |    SELECT doc_id, lang, rtext,
+      |      row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+      |    FROM selected)
+      |  WHERE (lang = 'de' AND rn <= 12) OR (lang = 'en' AND rn <= 30)
+      |     OR (lang = 'es' AND rn <= 6) OR (lang = 'fr' AND rn <= 9)
+      |     OR (lang = 'zh' AND rn <= 3)),
+      |toks AS (
+      |  SELECT doc_id, lang,
+      |    len(string_split_regex(trim(rtext), '\s+')) AS n_tokens
+      |  FROM mixed)
+      |SELECT doc_id, lang, n_tokens,
+      |  CAST(cum // 256 AS BIGINT) AS bin,
+      |  CAST(cum % 256 AS BIGINT) AS bin_offset
+      |FROM (
+      |  SELECT doc_id, lang, n_tokens,
+      |    coalesce(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+      |  FROM toks)
+      |ORDER BY doc_id""".stripMargin,
+    doc = "full curation pipeline: redact+quality+dedup+mixture+pack (training-data ops)") { (s, dir) =>
+    import graft.dedup.Dedup
+    import graft.profile.Sampling
+    import graft.text.SequencePacking
+    val weights = Map("en" -> 0.5, "de" -> 0.2, "fr" -> 0.15,
+      "es" -> 0.1, "zh" -> 0.05)
+    val red = t(s, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        TextAnalysis.redactPii(col("text")).as("rtext"))
+    val scored = red
+      .withColumn("quality", TextAnalysis.qualityScore(col("rtext")))
+      .filter(round(col("quality"), 6) >= 0.5)
+      .drop("quality")
+    val deduped = Dedup.exactTextDedup(scored, "rtext", "doc_id")
+    val mixed = Sampling.mixtureSample(deduped, "lang", "doc_id", weights, 60)
+    val toks = mixed.select(col("doc_id"), col("lang"),
+      TextAnalysis.tokenCount(col("rtext")).cast("long").as("n_tokens"))
+    SequencePacking.packContiguous(toks, "doc_id", "n_tokens", "lang", 256L)
+      .select("doc_id", "lang", "n_tokens", "bin", "bin_offset")
+      .orderBy("doc_id")
+  }
+
+  /** Benchmark decontamination: every training doc's word-3-gram
+    * overlap with the eval slice (doc_id % 50 == 0 plays the held-out
+    * benchmark). n=3 because the synthetic corpus has a tiny
+    * vocabulary; real corpora use 8–13 — same plan either way:
+    * broadcast the eval gram set, scan the corpus once, one count
+    * shuffle on doc_id.
+    */
+  val qDecontaminate: QueryDef = QueryDef.sql(
+    "q_decontaminate",
+    """WITH g AS (
+      |  SELECT doc_id,
+      |    string_split_regex(lower(trim(text)), '[\s[:punct:]]+') AS toks
+      |  FROM documents),
+      |sh AS (
+      |  SELECT doc_id, unnest(CASE WHEN len(toks) < 3
+      |    THEN [array_to_string(toks, ' ')]
+      |    ELSE list_distinct(list_transform(range(1, len(toks) - 1),
+      |      i -> array_to_string(toks[i:i+2], ' '))) END) AS gram
+      |  FROM g),
+      |ev AS (SELECT DISTINCT gram FROM sh WHERE doc_id % 50 = 0),
+      |shared AS (
+      |  SELECT s.doc_id, count(*) AS n_shared FROM sh s JOIN ev USING (gram)
+      |  WHERE s.doc_id % 50 <> 0 GROUP BY 1)
+      |SELECT d.doc_id, coalesce(n_shared, 0) AS n_shared,
+      |  coalesce(n_shared, 0) > 0 AS contaminated
+      |FROM documents d LEFT JOIN shared USING (doc_id)
+      |WHERE d.doc_id % 50 <> 0 ORDER BY doc_id""".stripMargin,
+    doc = "eval-set decontamination: word n-gram overlap report (training-data ops)") { (s, dir) =>
+    import graft.text.Decontaminate
+    val docs = t(s, dir, "documents")
+    Decontaminate.contaminationReport(
+      docs.filter(col("doc_id") % 50 =!= 0),
+      docs.filter(col("doc_id") % 50 === 0),
+      "doc_id", "text", n = 3)
+      .orderBy("doc_id")
+  }
+
   val all: Seq[QueryDef] = Seq(
     qTextTokens, qTextQuality, qTextLangId, qTextFingerprint, qTokenFreq,
-    qSelectPipeline, qPackSequences, qTextRedact)
+    qSelectPipeline, qPackSequences, qTextRedact, qCuratePipeline,
+    qDecontaminate)
 }

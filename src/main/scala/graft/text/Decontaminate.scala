@@ -1,0 +1,67 @@
+package graft.text
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Benchmark decontamination — the training-data hygiene pass that
+  * removes eval-set leakage before a corpus ships: flag every training
+  * document that shares at least one word n-gram with a benchmark /
+  * eval corpus (the standard 8–13-gram overlap rule; `n` is a
+  * parameter because the right size depends on vocabulary entropy).
+  *
+  * 100 TB shape: the eval side is a *benchmark* — thousands of
+  * documents, not billions — so its distinct n-gram set is bounded and
+  * rides a broadcast. The training corpus is scanned once; shingling
+  * is per-row expression work ([[TextAnalysis.wordShingles]], codegen,
+  * no explode until the join input), and the only shuffle is the
+  * per-doc count aggregation, keyed by doc id. No all-pairs step
+  * anywhere. Beyond the reference's surface (its analytics package is
+  * empty, `src/analytics/__init__.py:1`); first-class for the LLM-
+  * pipeline layer this engine targets.
+  */
+object Decontaminate {
+
+  /** Per-training-doc contamination report: `(idCol, n_shared,
+    * contaminated)` — `n_shared` = how many of the doc's distinct
+    * n-grams appear anywhere in the eval corpus, `contaminated` =
+    * any overlap at all. Every training doc appears (zero-overlap docs
+    * report 0/false), so the report is a complete curation mask.
+    */
+  def contaminationReport(
+      train: DataFrame,
+      eval: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int): DataFrame = {
+    require(n > 0, s"n-gram size must be positive, got $n")
+    val evalGrams = eval
+      .select(explode(TextAnalysis.wordShingles(col(textCol), n)).as("gram"))
+      .distinct()
+    val trainGrams = train
+      .select(col(idCol), // wordShingles already dedups within doc
+        explode(TextAnalysis.wordShingles(col(textCol), n)).as("gram"))
+    val shared = trainGrams
+      .join(broadcast(evalGrams), "gram")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_shared"))
+    train.select(col(idCol))
+      .join(shared, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+        (coalesce(col("n_shared"), lit(0L)) > 0).as("contaminated"))
+  }
+
+  /** The curation action: training rows with zero eval overlap —
+    * `train` anti-joined against the contaminated id set. */
+  def removeContaminated(
+      train: DataFrame,
+      eval: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int): DataFrame = {
+    val dirty = contaminationReport(train, eval, idCol, textCol, n)
+      .filter(col("contaminated"))
+      .select(col(idCol))
+    train.join(dirty, Seq(idCol), "left_anti")
+  }
+}
