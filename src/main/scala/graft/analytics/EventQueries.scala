@@ -224,7 +224,78 @@ object EventQueries {
       .orderBy("user_id")
   }
 
+  /** Backward as-of join: every click matched to the user's most
+    * recent prior view ([[graft.transform.TemporalJoins]] union +
+    * single-window shape — one shuffle, no per-key explosion). The
+    * oracle states the SEMANTICS as the naive theta-join + rank-1 pick
+    * (fine at oracle scale, quadratic at ours) with the identical
+    * (vts DESC, view_id DESC) tiebreak; `age_us` is the matched
+    * timestamp expressed shift-invariantly (raw timestamps would
+    * hash-differ between engines, see object doc).
+    */
+  val qAsofJoin: QueryDef = QueryDef.sql(
+    "q_asof_join",
+    """WITH clicks AS (
+      |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+      |views AS (
+      |  SELECT event_id AS view_id, user_id, ts AS vts, value AS view_value
+      |  FROM events WHERE event_type = 'view'),
+      |j AS (
+      |  SELECT c.event_id, c.user_id, v.view_id, v.view_value,
+      |    epoch_us(c.ts) - epoch_us(v.vts) AS age_us,
+      |    row_number() OVER (PARTITION BY c.event_id
+      |      ORDER BY v.vts DESC, v.view_id DESC) AS rn
+      |  FROM clicks c LEFT JOIN views v
+      |    ON v.user_id = c.user_id AND v.vts <= c.ts)
+      |SELECT event_id, user_id, view_id, view_value, age_us
+      |FROM j WHERE rn = 1 ORDER BY event_id""".stripMargin,
+    doc = "backward as-of join clicks->latest prior view (temporal join)") { (s, dir) =>
+    import graft.transform.TemporalJoins
+    val ev = t(s, dir, "events")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("user_id"),
+        col("ts").as("vts"), col("value").as("view_value"))
+    TemporalJoins.asofJoinBackward(clicks, views, Seq("user_id"),
+        "ts", "vts", payload = Seq("view_id", "view_value"),
+        tiebreakCols = Seq("view_id"))
+      .select(col("event_id"), col("user_id"),
+        col("asof_view_id").as("view_id"), col("asof_view_value").as("view_value"),
+        (unix_micros(col("ts")) - unix_micros(col("asof_vts"))).as("age_us"))
+      .orderBy("event_id")
+  }
+
+  /** Point-in-interval range join: every event falling inside any of
+    * the in-plan 10-minute intervals (every 199th event opens one).
+    * [[graft.transform.TemporalJoins.rangeJoinBinned]] bin-granular
+    * equi-join — the oracle is the naive BETWEEN theta-join, which at
+    * 100 TB would be a cross product; binning makes it an equi-join
+    * with each pair produced exactly once.
+    */
+  val qRangeJoin: QueryDef = QueryDef.sql(
+    "q_range_join",
+    """WITH iv AS (
+      |  SELECT event_id AS iv_id, ts AS ivs, ts + INTERVAL 10 MINUTE AS ive
+      |  FROM events WHERE event_id % 199 = 0)
+      |SELECT iv_id, p.event_id,
+      |  epoch_us(p.ts) - epoch_us(ivs) AS offset_us
+      |FROM events p JOIN iv ON p.ts >= ivs AND p.ts <= ive
+      |ORDER BY iv_id, event_id""".stripMargin,
+    doc = "point-in-interval range join via bin-granular equi-join (temporal join)") { (s, dir) =>
+    import graft.transform.TemporalJoins
+    val ev = t(s, dir, "events")
+    val iv = ev.filter(col("event_id") % 199 === 0)
+      .select(col("event_id").as("iv_id"), col("ts").as("ivs"),
+        (col("ts") + expr("INTERVAL 10 MINUTES")).as("ive"))
+    TemporalJoins.rangeJoinBinned(ev.select(col("event_id"), col("ts")),
+        "ts", iv, "ivs", "ive", binMicros = 10L * 60L * 1000000L)
+      .select(col("iv_id"), col("event_id"),
+        (unix_micros(col("ts")) - unix_micros(col("ivs"))).as("offset_us"))
+      .orderBy("iv_id", "event_id")
+  }
+
   val all: Seq[QueryDef] = Seq(
     qTimeWindow, qLagGaps, qOverlapSemi, qScalarFuncs, qJsonBuild, qSessionize,
-    qMapFuncs)
+    qMapFuncs, qAsofJoin, qRangeJoin)
 }

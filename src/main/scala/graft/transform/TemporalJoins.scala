@@ -1,0 +1,133 @@
+package graft.transform
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Temporal join operators Spark's built-ins don't express directly:
+  * backward as-of join and point-in-interval range join.
+  *
+  * Both avoid the naive shapes that die at scale: the as-of join is
+  * NOT a theta-join + aggregation (which explodes to |L|·|R| per key
+  * before picking the max) but a single union + one window pass; the
+  * range join is NOT a cross join + filter but a bin-granular
+  * equi-join. One shuffle each, keyed, AQE-splittable.
+  */
+object TemporalJoins {
+
+  /** Backward as-of join: for every left row, the single most recent
+    * right row with `right.timeCol <= left.timeCol` in the same key
+    * group (pandas `merge_asof` / DuckDB `ASOF JOIN` semantics,
+    * left-outer: unmatched left rows keep nulls).
+    *
+    * Distributed shape: tag both sides, union, and run ONE window
+    * pass per key ordered by (time, tag, tiebreak) — right rows sort
+    * before left rows at equal timestamps (<= is inclusive), and
+    * `last(payload, ignoreNulls)` over the running frame carries the
+    * latest right payload forward into each left row. |L|+|R| rows
+    * shuffle exactly once on the key; no per-key explosion, no range
+    * self-join, skew handled by AQE like any window.
+    *
+    * `tiebreakCols` (right-side columns, compared ascending) make the
+    * winner among equal-timestamp right rows deterministic: the max
+    * tiebreak wins — mirror `ORDER BY time DESC, tiebreak DESC LIMIT
+    * 1` in a SQL oracle.
+    *
+    * `toleranceMicros`: optional max age; a carried match older than
+    * the tolerance is nulled out (merge_asof's `tolerance`).
+    */
+  def asofJoinBackward(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      leftTime: String,
+      rightTime: String,
+      payload: Seq[String],
+      tiebreakCols: Seq[String] = Nil,
+      prefix: String = "asof_",
+      toleranceMicros: Option[Long] = None): DataFrame = {
+    require(keys.nonEmpty, "as-of join needs at least one key column")
+    require(payload.nonEmpty, "payload columns to carry must be non-empty")
+
+    val leftCols = left.columns.toSeq
+    val lrowStruct = struct(leftCols.map(col): _*)
+    val rpayStruct = struct(
+      (col(rightTime).as("__rt") +: payload.map(c => col(c).as(c))): _*)
+    // right rows order among themselves by the tiebreak struct; left
+    // rows never compare against it (the __isLeft key separates them)
+    val tieStruct =
+      if (tiebreakCols.isEmpty) struct()
+      else struct(tiebreakCols.map(col): _*)
+    val lrowType = left.select(lrowStruct).schema.head.dataType
+    val rpayType = right.select(rpayStruct).schema.head.dataType
+    val tieType = right.select(tieStruct).schema.head.dataType
+
+    val lAligned = left.select(
+      keys.map(col) ++ Seq(
+        col(leftTime).as("__t"),
+        lit(1).as("__isLeft"),
+        lrowStruct.as("__lrow"),
+        lit(null).cast(rpayType).as("__rpay"),
+        lit(null).cast(tieType).as("__tie")): _*)
+    val rAligned = right.select(
+      keys.map(col) ++ Seq(
+        col(rightTime).as("__t"),
+        lit(0).as("__isLeft"),
+        lit(null).cast(lrowType).as("__lrow"),
+        rpayStruct.as("__rpay"),
+        tieStruct.as("__tie")): _*)
+
+    val unioned = lAligned.unionByName(rAligned)
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__t").asc, col("__isLeft").asc, col("__tie").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = unioned
+      .withColumn("__match", last(col("__rpay"), ignoreNulls = true).over(w))
+      .filter(col("__isLeft") === 1)
+
+    val withTol = toleranceMicros match {
+      case Some(tol) =>
+        carried.withColumn("__match",
+          when(col("__match").isNotNull &&
+            unix_micros(col("__t")) -
+              unix_micros(col("__match.__rt")) <= tol, col("__match")))
+      case None => carried
+    }
+    val out = leftCols.map(c => col(s"__lrow.$c").as(c)) ++
+      (col("__match.__rt").as(s"$prefix$rightTime") +:
+        payload.map(c => col(s"__match.$c").as(s"$prefix$c")))
+    withTol.select(out: _*)
+  }
+
+  /** Point-in-interval range join via bin-granular equi-join: every
+    * `points` row joins every `intervals` row whose `[startCol,
+    * endCol]` contains its `pointTime` (inclusive both ends), plus any
+    * `extraKeys` equality.
+    *
+    * Shape: each point maps to exactly ONE time bin of width
+    * `binMicros`; each interval explodes into the bins it spans. The
+    * join is then a plain equi-join on (extraKeys, bin) + a residual
+    * `BETWEEN` filter — no cross product, and each qualifying pair is
+    * produced exactly once (the point's single bin). Pick `binMicros`
+    * near the typical interval length: explosion factor =
+    * len/bin + 1, candidate waste ≈ bin/len.
+    */
+  def rangeJoinBinned(
+      points: DataFrame,
+      pointTime: String,
+      intervals: DataFrame,
+      startCol: String,
+      endCol: String,
+      binMicros: Long,
+      extraKeys: Seq[String] = Nil): DataFrame = {
+    require(binMicros > 0, s"binMicros must be positive, got $binMicros")
+    def bin(c: Column): Column = floor(unix_micros(c) / binMicros)
+    val p = points.withColumn("__bin", bin(col(pointTime)))
+    val iv = intervals.withColumn("__bin",
+      explode(sequence(bin(col(startCol)), bin(col(endCol)))))
+    p.join(iv, extraKeys :+ "__bin")
+      .filter(col(pointTime) >= col(startCol) &&
+        col(pointTime) <= col(endCol))
+      .drop("__bin")
+  }
+}
