@@ -184,7 +184,47 @@ object TransformQueries {
       .orderBy("doc_id")
   }
 
+  /** MERGE INTO semantics ([[graft.store.Warehouse.mergeFrames]]):
+    * updated rows win, unmatched existing rows survive, brand-new keys
+    * insert — the oracle states it as updates ∪ (existing ANTI JOIN
+    * updates). The warehouse-level merge (partition-selective rewrite)
+    * is exercised in WarehouseSpec; this pins the relational core.
+    */
+  val qMergeUpsert: QueryDef = QueryDef.sql(
+    "q_merge_upsert",
+    """WITH existing AS (
+      |  SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
+      |  FROM orders WHERE o_orderkey < 1000),
+      |updates AS (
+      |  SELECT o_orderkey, o_custkey, o_totalprice * 2 AS o_totalprice,
+      |    'U' AS o_orderstatus
+      |  FROM orders WHERE o_orderkey < 100
+      |  UNION ALL
+      |  SELECT o_orderkey + 1000000, o_custkey, o_totalprice, 'N'
+      |  FROM orders WHERE o_orderkey < 50)
+      |SELECT * FROM updates
+      |UNION ALL
+      |SELECT e.* FROM existing e ANTI JOIN updates u
+      |  ON e.o_orderkey = u.o_orderkey
+      |ORDER BY o_orderkey""".stripMargin,
+    doc = "MERGE INTO upsert: updates win, new keys insert (warehouse ops)") { (s, dir) =>
+    import graft.store.Warehouse
+    val o = t(s, dir, "orders")
+      .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
+    val existing = o.filter(col("o_orderkey") < 1000)
+    val updates = o.filter(col("o_orderkey") < 100)
+      .select(col("o_orderkey"), col("o_custkey"),
+        (col("o_totalprice") * 2).as("o_totalprice"),
+        lit("U").as("o_orderstatus"))
+      .unionByName(o.filter(col("o_orderkey") < 50)
+        .select((col("o_orderkey") + 1000000L).as("o_orderkey"),
+          col("o_custkey"), col("o_totalprice"),
+          lit("N").as("o_orderstatus")))
+    Warehouse.mergeFrames(existing, updates, Seq("o_orderkey"))
+      .orderBy("o_orderkey")
+  }
+
   val all: Seq[QueryDef] = Seq(
     qMelt, qNormalizeGlobal, qNormalizeGroup, qSampleSystematic,
-    qSampleStratified, qSampleRandom, qMixtureSample)
+    qSampleStratified, qSampleRandom, qMixtureSample, qMergeUpsert)
 }

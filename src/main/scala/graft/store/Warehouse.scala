@@ -262,34 +262,98 @@ final class Warehouse(spark: SparkSession, location: String) {
         parts.map(org.apache.spark.sql.functions.col): _*)
       .write.mode(SaveMode.Overwrite)
       .partitionBy(parts: _*).parquet(tmp.toString)
-    // partition dirs sit `parts.size` levels under the root
-    def partitionDirs(base: Path, depth: Int): Seq[Path] =
-      if (depth == 0) Seq(base)
+    swapPartitionDirs(table, tmp, parts.size)
+  }
+
+  /** Swap every partition directory found under `tmp` into the live
+    * table with the crash-safe rename dance (see [[compact]]), then
+    * remove `tmp`. `depth` = number of partition columns (partition
+    * dirs sit that many levels under the root).
+    */
+  private def swapPartitionDirs(table: String, tmp: Path, depth: Int): Unit = {
+    def partitionDirs(base: Path, d: Int): Seq[Path] =
+      if (d == 0) Seq(base)
       else if (!fs.exists(base)) Nil
       else fs.listStatus(base).filter(_.isDirectory).map(_.getPath).toSeq
-        .flatMap(p => partitionDirs(p, depth - 1))
+        .flatMap(p => partitionDirs(p, d - 1))
     // listStatus returns fully-qualified paths (scheme + authority);
     // qualify the base the same way or the prefix never matches
     val qtmp = fs.makeQualified(tmp).toString
-    partitionDirs(tmp, parts.size).foreach { tmpPart =>
+    partitionDirs(tmp, depth).foreach { tmpPart =>
       val rel = fs.makeQualified(tmpPart).toString
         .stripPrefix(qtmp).stripPrefix("/")
       require(rel.nonEmpty && !rel.contains(":"),
-        s"compactPartitions: cannot relativize $tmpPart under $qtmp")
+        s"swapPartitionDirs: cannot relativize $tmpPart under $qtmp")
       val live = new Path(s"${path(table)}/$rel")
       val aside = new Path(live.toString + "__old")
       fs.mkdirs(live.getParent)
       if (fs.exists(aside)) fs.delete(aside, true)
       val hadLive = fs.exists(live)
       if (hadLive && !fs.rename(live, aside))
-        sys.error(s"compactPartitions: rename $live -> $aside failed")
+        sys.error(s"swapPartitionDirs: rename $live -> $aside failed")
       if (!fs.rename(tmpPart, live)) {
         if (hadLive) fs.rename(aside, live)
-        sys.error(s"compactPartitions: rename $tmpPart -> $live failed")
+        sys.error(s"swapPartitionDirs: rename $tmpPart -> $live failed")
       }
       if (hadLive) fs.delete(aside, true)
     }
     fs.delete(tmp, true)
+  }
+
+  /** MERGE INTO (SCD1 upsert): rows of `updates` replace same-key rows
+    * in the table, new keys insert — the reference's staging-merge
+    * update path (`data_loader.py:681-728`) generalized from
+    * insert-if-absent to update-or-insert.
+    *
+    * Partitioned tables rewrite ONLY the partitions the updates touch:
+    * the affected partition values are collected from the updates
+    * frame (bounded by the number of touched partitions, not rows),
+    * the existing side is read partition-pruned, and the merged slice
+    * is swapped in per partition dir with the crash-safe rename dance
+    * — a 100 TB table with a one-day update rewrites one day.
+    * Contract for partitioned tables: an update row's derived
+    * partition value must equal the existing row's (true whenever the
+    * partition derives from an immutable event time); a row whose
+    * partition value changed would leave its old version in the old
+    * partition. Unpartitioned tables merge fully through a tmp + swap.
+    */
+  def merge(table: String, updates: DataFrame, keys: Seq[String]): Unit = {
+    require(keys.nonEmpty, "merge needs at least one key column")
+    val meta = readMeta(table)
+    val parts = meta.map(_.partitionBy).getOrElse(Nil)
+    val upd = withDerived(updates, meta.flatMap(_.partitionSource))
+    val tmp = new Path(path(table) + "__merge")
+    if (fs.exists(tmp)) fs.delete(tmp, true)
+    if (parts.isEmpty) {
+      Warehouse.mergeFrames(readRaw(table), upd, keys)
+        .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+      val cur = new Path(path(table))
+      val old = new Path(path(table) + "__old")
+      if (fs.exists(old)) fs.delete(old, true)
+      if (!fs.rename(cur, old)) sys.error(s"merge: rename $cur -> $old failed")
+      if (!fs.rename(tmp, cur)) {
+        fs.rename(old, cur)
+        sys.error(s"merge: rename $tmp -> $cur failed")
+      }
+      fs.delete(old, true)
+    } else {
+      import org.apache.spark.sql.functions.col
+      val partCols = parts.map(col)
+      // bounded collect: one row per TOUCHED PARTITION, not per update
+      val affected = upd.select(partCols: _*).distinct().collect()
+      if (affected.isEmpty) return
+      val pred = affected.map { row =>
+        parts.zipWithIndex
+          .map { case (p, i) => col(p) === row.get(i) }
+          .reduce(_ && _)
+      }.reduce(_ || _)
+      val slice = readRaw(table).filter(pred) // partition-pruned scan
+      Warehouse.mergeFrames(slice, upd, keys)
+        .repartition(partCols: _*)
+        .write.mode(SaveMode.Overwrite).partitionBy(parts: _*)
+        .parquet(tmp.toString)
+      swapPartitionDirs(table, tmp, parts.size)
+    }
   }
 
   /** Table definition — columns + declared keys + partitioning
@@ -414,6 +478,20 @@ final class Warehouse(spark: SparkSession, location: String) {
 object Warehouse {
   /** Name of the derived date-partition column (see createTable). */
   val DerivedDateCol = "p_date"
+
+  /** Frame-level SCD1 merge: `updates` rows win over `existing` rows
+    * with the same key; unmatched existing rows survive, unmatched
+    * update rows insert. One anti-join shuffle on the keys (updates
+    * side broadcasts when small) — the relational core of MERGE INTO
+    * WHEN MATCHED THEN UPDATE / WHEN NOT MATCHED THEN INSERT.
+    */
+  def mergeFrames(existing: DataFrame, updates: DataFrame,
+      keys: Seq[String]): DataFrame = {
+    require(keys.nonEmpty, "merge needs at least one key column")
+    existing.join(updates.select(keys.map(org.apache.spark.sql.functions.col): _*),
+        keys, "left_anti")
+      .unionByName(updates)
+  }
 }
 
 final case class TableStats(table: String, numRows: Long, sizeBytes: Long,

@@ -102,6 +102,55 @@ class WarehouseSpec extends SparkSpec {
     assert(wh.read("t").count() === 3)
   }
 
+  test("merge upserts an unpartitioned table: updates win, new keys insert") {
+    val wh = fresh()
+    wh.createTable("t", schema, uniqueKeys = Seq("id"))
+    wh.append("t", Seq((1L, 1.0), (2L, 2.0), (3L, 3.0)).toDF("id", "v"))
+    wh.merge("t", Seq((2L, 20.0), (4L, 40.0)).toDF("id", "v"), Seq("id"))
+    val got = wh.read("t").as[(Long, Double)].collect().sorted.toSeq
+    assert(got === Seq((1L, 1.0), (2L, 20.0), (3L, 3.0), (4L, 40.0)))
+    // idempotent: merging the same updates again changes nothing
+    wh.merge("t", Seq((2L, 20.0), (4L, 40.0)).toDF("id", "v"), Seq("id"))
+    assert(wh.read("t").as[(Long, Double)].collect().sorted.toSeq === got)
+  }
+
+  test("merge on a partitioned table rewrites only the touched partitions") {
+    import java.sql.Timestamp
+    val dir = Files.createTempDirectory("graft_wh").toString
+    val wh = new Warehouse(spark, dir)
+    def partFiles(date: String): Seq[String] = {
+      val d = new java.io.File(s"$dir/t/p_date=$date")
+      Option(d.listFiles()).map(_.map(_.getName).filter(_.endsWith(".parquet"))
+        .sorted.toSeq).getOrElse(Nil)
+    }
+    val tsSchema = StructType(Seq(
+      StructField("id", LongType), StructField("timestamp", TimestampType),
+      StructField("v", DoubleType)))
+    wh.createTable("t", tsSchema, uniqueKeys = Seq("id"),
+      partitionSource = Some("timestamp"))
+    wh.append("t", Seq(
+      (1L, Timestamp.valueOf("2024-01-01 10:00:00"), 1.0),
+      (2L, Timestamp.valueOf("2024-01-02 10:00:00"), 2.0),
+      (3L, Timestamp.valueOf("2024-01-03 10:00:00"), 3.0))
+      .toDF("id", "timestamp", "v"))
+    val untouched = partFiles("2024-01-03")
+    val touched = partFiles("2024-01-01")
+    assert(untouched.nonEmpty && touched.nonEmpty)
+    // update day 1's row, insert a new row on a brand-new day
+    wh.merge("t", Seq(
+      (1L, Timestamp.valueOf("2024-01-01 10:00:00"), 10.0),
+      (9L, Timestamp.valueOf("2024-01-09 10:00:00"), 9.0))
+      .toDF("id", "timestamp", "v"), Seq("id"))
+    val got = wh.read("t").select("id", "v").as[(Long, Double)]
+      .collect().sorted.toSeq
+    assert(got === Seq((1L, 10.0), (2L, 2.0), (3L, 3.0), (9L, 9.0)))
+    // untouched day: same physical files; touched day: rewritten;
+    // new day materialized
+    assert(partFiles("2024-01-03") === untouched)
+    assert(partFiles("2024-01-01") !== touched)
+    assert(partFiles("2024-01-09").nonEmpty)
+  }
+
   test("write to a partitionSource table without the time column fails clearly") {
     import java.sql.Timestamp
     val wh = fresh()
