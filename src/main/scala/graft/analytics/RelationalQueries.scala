@@ -421,6 +421,61 @@ object RelationalQueries {
       .orderBy("o_custkey", "o_orderkey")
   }
 
+  /** Value-RANGE window frames + rank distributions: `RANGE BETWEEN n
+    * PRECEDING AND n FOLLOWING` over a numeric ordering (peers by
+    * VALUE distance, not row position — a genuinely different frame
+    * mechanic from §2.5's ROWS frames) plus percent_rank/cume_dist.
+    */
+  val qWindowRange: QueryDef = QueryDef.sql(
+    "q_window_range",
+    """SELECT o_custkey, o_orderkey,
+      |  CAST(round(percent_rank() OVER w, 6) AS DOUBLE) AS pr,
+      |  CAST(round(cume_dist() OVER w, 6) AS DOUBLE) AS cd,
+      |  count(*) OVER (PARTITION BY o_custkey ORDER BY o_totalprice
+      |    RANGE BETWEEN 1000 PRECEDING AND 1000 FOLLOWING) AS n_price_peers
+      |FROM orders WHERE o_custkey <= 50
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey)
+      |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    doc = "RANGE value-frames + percent_rank/cume_dist (window mechanics)") { (s, dir) =>
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderkey"))
+    val wRange = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice")).rangeBetween(-1000L, 1000L)
+    t(s, dir, "orders")
+      .filter(col("o_custkey") <= 50)
+      .select(col("o_custkey"), col("o_orderkey"),
+        round(percent_rank().over(w), 6).cast("double").as("pr"),
+        round(cume_dist().over(w), 6).cast("double").as("cd"),
+        count(lit(1)).over(wRange).as("n_price_peers"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  /** Correlated subqueries through the SQL entry surface: EXISTS
+    * (decorrelated by Catalyst to a semi-join) and a scalar aggregate
+    * subquery (broadcast single-row) in one predicate — shapes the
+    * reference ran as raw SQL text against Postgres.
+    */
+  val qSubqueryExists: QueryDef = QueryDef.sql(
+    "q_subquery_exists",
+    """SELECT c_custkey, c_name
+      |FROM customer c
+      |WHERE EXISTS (SELECT 1 FROM orders o
+      |              WHERE o.o_custkey = c.c_custkey
+      |                AND o.o_totalprice > 200000)
+      |  AND c_acctbal > (SELECT avg(c_acctbal) FROM customer)
+      |ORDER BY c_custkey""".stripMargin,
+    doc = "correlated EXISTS + scalar subquery via SQL surface") { (s, dir) =>
+    t(s, dir, "customer").createOrReplaceTempView("customer")
+    t(s, dir, "orders").createOrReplaceTempView("orders")
+    s.sql(
+      """SELECT c_custkey, c_name
+        |FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |              WHERE o.o_custkey = c.c_custkey
+        |                AND o.o_totalprice > 200000)
+        |  AND c_acctbal > (SELECT avg(c_acctbal) FROM customer)
+        |ORDER BY c_custkey""".stripMargin)
+  }
+
   /** J9 recursive CTE ≡ driver-loop fixpoint ([[Iterate]]): transitive
     * closure over a deterministic functional graph derived from nation
     * (i → 7i mod 25: orbits of order 4), oracled against DuckDB's
@@ -448,5 +503,5 @@ object RelationalQueries {
     q1Agg, qScanProject, qFilterIn, qJoinInner, qJoinAnti, qJoinSemi,
     qJoinLeftOuter, qJoinCrossBounds, qJoinTheta, qJoinNullSafe, qJoinUsing,
     qUnionAll, qExcept, qRollup, qCube, qTopK, qWindowRank, qWindowFuncs,
-    qTransitiveClosure)
+    qWindowRange, qSubqueryExists, qTransitiveClosure)
 }
