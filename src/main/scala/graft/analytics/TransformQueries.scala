@@ -224,7 +224,36 @@ object TransformQueries {
       .orderBy("o_orderkey")
   }
 
+  /** Morton z-value computation ([[graft.store.ZOrder.zValue]]) —
+    * the data-skipping sort key, bit-exact against the oracle's
+    * shift/mask arithmetic (both sides generated from the same bit
+    * layout: bit j of col c → position j*k + (k-1-c)). The layout
+    * write + footer-pruning payoff is proven in ZOrderSpec; this pins
+    * the curve itself.
+    */
+  val qZorderValue: QueryDef = {
+    val zexprSql = (0 until 8).flatMap(j => Seq(
+      s"((((l_orderkey % 256) >> $j) & 1) << ${2 * j + 1})",
+      s"((((l_suppkey % 256) >> $j) & 1) << ${2 * j})")).mkString(" | ")
+    QueryDef.sql(
+      "q_zorder_value",
+      s"""SELECT l_orderkey, l_linenumber,
+         |  $zexprSql AS zv
+         |FROM lineitem WHERE l_orderkey < 2000
+         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+      doc = "Morton z-value bit interleave, bit-exact vs SQL shifts (layout ops)") { (s, dir) =>
+      import graft.store.ZOrder
+      t(s, dir, "lineitem")
+        .filter(col("l_orderkey") < 2000)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          ZOrder.zValue(
+            Seq(col("l_orderkey") % 256, col("l_suppkey") % 256), 8).as("zv"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }
+  }
+
   val all: Seq[QueryDef] = Seq(
     qMelt, qNormalizeGlobal, qNormalizeGroup, qSampleSystematic,
-    qSampleStratified, qSampleRandom, qMixtureSample, qMergeUpsert)
+    qSampleStratified, qSampleRandom, qMixtureSample, qMergeUpsert,
+    qZorderValue)
 }
