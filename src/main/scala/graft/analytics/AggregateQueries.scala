@@ -332,8 +332,33 @@ object AggregateQueries {
         relOk(col("ap_p95"), col("ex_p95"), 0.01).as("approx_p95_ok"))
   }
 
+  /** Bivariate profiling: Pearson correlation, sample covariance and
+    * stddev between measure columns — single-pass co-moment aggregates
+    * (one scan, O(1) state per pair). Rounded to absorb the ~1e-12
+    * relative drift of distributed vs sequential co-moment merging.
+    */
+  val qCorrelations: QueryDef = QueryDef.sql(
+    "q_correlations",
+    """SELECT
+      |  CAST(round(corr(l_quantity, l_extendedprice), 4) AS DOUBLE) AS corr_qty_price,
+      |  CAST(round(corr(l_discount, l_extendedprice), 4) AS DOUBLE) AS corr_disc_price,
+      |  CAST(round(covar_samp(l_quantity, l_extendedprice), 2) AS DOUBLE) AS cov_qty_price,
+      |  CAST(round(stddev_samp(l_extendedprice), 2) AS DOUBLE) AS sd_price
+      |FROM lineitem""".stripMargin,
+    doc = "correlation / covariance / stddev profiling pass (bivariate stats)") { (s, dir) =>
+    t(s, dir, "lineitem").agg(
+      round(corr(col("l_quantity"), col("l_extendedprice")), 4)
+        .cast("double").as("corr_qty_price"),
+      round(corr(col("l_discount"), col("l_extendedprice")), 4)
+        .cast("double").as("corr_disc_price"),
+      round(covar_samp(col("l_quantity"), col("l_extendedprice")), 2)
+        .cast("double").as("cov_qty_price"),
+      round(stddev_samp(col("l_extendedprice")), 2)
+        .cast("double").as("sd_price"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     qProfileStats, qCollectAgg, qCondRatios, qCaseAgg, qDistinctPairs,
     qSortNullsLast, qPercentiles, qPivot, qMonotonic, qSkewReport,
-    qHistogram, qApproxProfile)
+    qHistogram, qApproxProfile, qCorrelations)
 }

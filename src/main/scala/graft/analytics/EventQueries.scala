@@ -295,7 +295,80 @@ object EventQueries {
       .orderBy("iv_id", "event_id")
   }
 
+  /** Ordered funnel: view → first later click → first later purchase
+    * per user, reported as per-stage user counts. Three keyed
+    * aggregations + two broadcast-size joins (one row per user after
+    * stage 1) — no window over the raw stream, so the 100 TB shape is
+    * three shuffles on user_id and nothing quadratic.
+    */
+  val qFunnel: QueryDef = QueryDef.sql(
+    "q_funnel",
+    """WITH v AS (
+      |  SELECT user_id, min(ts) AS t1 FROM events
+      |  WHERE event_type = 'view' GROUP BY 1),
+      |c AS (
+      |  SELECT e.user_id, min(e.ts) AS t2
+      |  FROM events e JOIN v ON e.user_id = v.user_id AND e.ts > v.t1
+      |  WHERE e.event_type = 'click' GROUP BY 1),
+      |p AS (
+      |  SELECT e.user_id, min(e.ts) AS t3
+      |  FROM events e JOIN c ON e.user_id = c.user_id AND e.ts > c.t2
+      |  WHERE e.event_type = 'purchase' GROUP BY 1)
+      |SELECT (SELECT count(*) FROM v) AS n_view,
+      |       (SELECT count(*) FROM c) AS n_view_click,
+      |       (SELECT count(*) FROM p) AS n_view_click_purchase""".stripMargin,
+    doc = "ordered 3-stage funnel with strictly-later stage times (event analytics)") { (s, dir) =>
+    val ev = t(s, dir, "events")
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min(col("ts")).as("t1"))
+    val c = ev.filter(col("event_type") === "click").as("e")
+      .join(v.as("v"), col("e.user_id") === col("v.user_id") &&
+        col("e.ts") > col("v.t1"))
+      .groupBy(col("e.user_id")).agg(min(col("e.ts")).as("t2"))
+    val p = ev.filter(col("event_type") === "purchase").as("e")
+      .join(c.as("c"), col("e.user_id") === col("c.user_id") &&
+        col("e.ts") > col("c.t2"))
+      .groupBy(col("e.user_id")).agg(min(col("e.ts")).as("t3"))
+    v.agg(count(lit(1)).as("n_view"))
+      .crossJoin(c.agg(count(lit(1)).as("n_view_click")))
+      .crossJoin(p.agg(count(lit(1)).as("n_view_click_purchase")))
+  }
+
+  /** Cohort retention: users grouped by first-seen day, distinct
+    * active users per (cohort, day-offset) for the first week. Two
+    * shuffles (first-seen agg on user, distinct+count on cohort/offset)
+    * with the cohort map joined back user-keyed.
+    */
+  val qRetention: QueryDef = QueryDef.sql(
+    "q_retention",
+    """WITH f AS (
+      |  SELECT user_id, min(CAST(ts AS DATE)) AS cohort
+      |  FROM events GROUP BY 1),
+      |a AS (
+      |  SELECT DISTINCT e.user_id, f.cohort,
+      |    datediff('day', f.cohort, CAST(e.ts AS DATE)) AS day_offset
+      |  FROM events e JOIN f ON e.user_id = f.user_id)
+      |SELECT strftime(cohort, '%Y-%m-%d') AS cohort_day, day_offset,
+      |  count(*) AS n_users
+      |FROM a WHERE day_offset BETWEEN 0 AND 7
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    doc = "cohort retention triangle over first-seen day (event analytics)") { (s, dir) =>
+    val ev = t(s, dir, "events")
+    val f = ev.groupBy("user_id")
+      .agg(min(col("ts").cast("date")).as("cohort"))
+    ev.join(f, "user_id")
+      .select(col("user_id"), col("cohort"),
+        datediff(col("ts").cast("date"), col("cohort")).cast("long")
+          .as("day_offset"))
+      .distinct()
+      .filter(col("day_offset").between(0, 7))
+      .groupBy(date_format(col("cohort"), "yyyy-MM-dd").as("cohort_day"),
+        col("day_offset"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy("cohort_day", "day_offset")
+  }
+
   val all: Seq[QueryDef] = Seq(
     qTimeWindow, qLagGaps, qOverlapSemi, qScalarFuncs, qJsonBuild, qSessionize,
-    qMapFuncs, qAsofJoin, qRangeJoin)
+    qMapFuncs, qAsofJoin, qRangeJoin, qFunnel, qRetention)
 }

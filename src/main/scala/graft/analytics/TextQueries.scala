@@ -369,8 +369,54 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** TF-IDF top terms per document — the classic salience scorer a
+    * text pipeline runs for keyword extraction: token explode → tf per
+    * (doc, token) → df per token → join + one window rank per doc.
+    * Shuffles on (doc,token), token, and doc — all keyed, nothing
+    * quadratic; the doc-count scalar rides a broadcast.
+    */
+  val qTfidf: QueryDef = QueryDef.sql(
+    "q_tfidf",
+    """WITH d AS (
+      |  SELECT doc_id,
+      |    string_split_regex(lower(trim(text)), '[\s[:punct:]]+') AS tk
+      |  FROM documents WHERE doc_id < 100),
+      |tok AS (SELECT doc_id, unnest(tk) AS token FROM d),
+      |tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2),
+      |df AS (SELECT token, count(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
+      |n AS (SELECT count(*) AS n FROM d)
+      |SELECT doc_id, token, tf,
+      |  CAST(round(tf * ln(n / CAST(df AS DOUBLE)), 6) AS DOUBLE) AS tfidf
+      |FROM (
+      |  SELECT t.doc_id, t.token, t.tf, f.df, n.n,
+      |    row_number() OVER (PARTITION BY t.doc_id
+      |      ORDER BY t.tf * ln(n.n / CAST(f.df AS DOUBLE)) DESC, t.token) AS rn
+      |  FROM tf t JOIN df f USING (token) CROSS JOIN n)
+      |WHERE rn <= 5 AND doc_id < 20
+      |ORDER BY doc_id, tfidf DESC, token""".stripMargin,
+    doc = "TF-IDF top-5 salient terms per doc (text analytics)") { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val d = t(s, dir, "documents").filter(col("doc_id") < 100)
+      .select(col("doc_id"),
+        split(lower(trim(col("text"))), "[\\s\\p{Punct}]+").as("tk"))
+    val tok = d.select(col("doc_id"), explode(col("tk")).as("token"))
+    val tf = tok.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val dfreq = tok.groupBy("token").agg(countDistinct("doc_id").as("df"))
+    val n = d.agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("tfidf_raw").desc, col("token"))
+    tf.join(dfreq, "token").crossJoin(broadcast(n))
+      .withColumn("tfidf_raw",
+        col("tf") * log(col("n") / col("df").cast("double")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5 && col("doc_id") < 20)
+      .select(col("doc_id"), col("token"), col("tf"),
+        round(col("tfidf_raw"), 6).cast("double").as("tfidf"))
+      .orderBy(col("doc_id"), col("tfidf").desc, col("token"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     qTextTokens, qTextQuality, qTextLangId, qTextFingerprint, qTokenFreq,
     qSelectPipeline, qPackSequences, qTextRedact, qCuratePipeline,
-    qDecontaminate)
+    qDecontaminate, qTfidf)
 }
