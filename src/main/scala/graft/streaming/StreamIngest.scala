@@ -72,6 +72,47 @@ object StreamIngest {
     q.awaitTermination()
   }
 
+  /** Streaming CDC merge into a [[graft.store.Warehouse]] table:
+    * every micro-batch is collapsed to its latest row per key (by
+    * `timeCol`, so an intra-batch update sequence applies once) and
+    * MERGEd — update-or-insert, where [[upsertStream]] is
+    * insert-if-absent. Partitioned tables rewrite only the touched
+    * partitions per batch ([[graft.store.Warehouse.merge]]). A
+    * replayed batch re-merges the same latest-per-key rows — same
+    * final state, so failure recovery is idempotent as long as batches
+    * carry monotone versions per key (the usual CDC contract).
+    */
+  def mergeStream(df: DataFrame, warehouse: graft.store.Warehouse,
+      table: String, keys: Seq[String], timeCol: Option[String],
+      checkpoint: String,
+      trigger: Trigger = Trigger.AvailableNow()): Unit = {
+    val q = df.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val latest = timeCol match {
+          case Some(tc) =>
+            val w = org.apache.spark.sql.expressions.Window
+              .partitionBy(keys.map(col): _*).orderBy(col(tc).desc)
+            batch.withColumn("__rn", row_number().over(w))
+              .filter(col("__rn") === 1).drop("__rn")
+          case None => batch.dropDuplicates(keys)
+        }
+        // date-partition only when the time column is part of the key:
+        // then an update can never move a row across partitions (the
+        // merge contract). An entity-keyed CDC table whose rows'
+        // timestamps advance stays unpartitioned.
+        if (!warehouse.tableExists(table))
+          warehouse.createTable(table, latest.schema, uniqueKeys = keys,
+            partitionSource = timeCol.filter(keys.contains))
+        warehouse.merge(table, latest, keys)
+        ()
+      }
+      .start()
+    q.awaitTermination()
+  }
+
   /** Watermarked tumbling-window aggregation: per (window, entity)
     * count + sum. Late rows beyond the watermark are dropped; the
     * window close emits exactly one final row in append mode.

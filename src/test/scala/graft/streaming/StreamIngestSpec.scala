@@ -232,6 +232,44 @@ class StreamIngestSpec extends SparkSpec {
     assert(wh.readRaw("events_t").columns.contains(Warehouse.DerivedDateCol))
   }
 
+  test("mergeStream applies CDC update-or-insert with latest-per-key wins") {
+    import graft.store.Warehouse
+    val in = Files.createTempDirectory("mrg_in").toString
+    val ckpt = Files.createTempDirectory("mrg_ck").toString
+    val wh = new Warehouse(spark,
+      Files.createTempDirectory("mrg_wh").toString)
+
+    // batch 1 carries an intra-batch update sequence for 'a': the
+    // later value must win within the same micro-batch
+    writeBatch(in, "b1", Seq(
+      (ts("2024-01-01 00:00:00"), "a", 1.0),
+      (ts("2024-01-01 00:05:00"), "a", 5.0),
+      (ts("2024-01-01 00:10:00"), "b", 2.0)))
+    val schema = spark.read.parquet(in).schema
+    def runOnce(): Unit = StreamIngest.mergeStream(
+      StreamIngest.readFileStream(spark, in, schema),
+      wh, "state_t", keys = Seq("entity"), timeCol = Some("ts"),
+      checkpoint = ckpt)
+
+    runOnce()
+    val after1 = wh.read("state_t").select("entity", "value")
+      .as[(String, Double)].collect().sorted.toSeq
+    assert(after1 === Seq(("a", 5.0), ("b", 2.0)))
+
+    // batch 2 updates 'b' and inserts 'c' — update-or-insert, not
+    // insert-if-absent
+    writeBatch(in, "b2", Seq(
+      (ts("2024-01-02 00:00:00"), "b", 99.0),
+      (ts("2024-01-02 00:00:00"), "c", 3.0)))
+    runOnce()
+    val after2 = wh.read("state_t").select("entity", "value")
+      .as[(String, Double)].collect().sorted.toSeq
+    assert(after2 === Seq(("a", 5.0), ("b", 99.0), ("c", 3.0)))
+    // entity-keyed CDC with advancing timestamps → unpartitioned table
+    assert(wh.readMeta("state_t").exists(m =>
+      m.partitionBy.isEmpty && m.uniqueKeys === Seq("entity")))
+  }
+
   test("streamIntervalJoin pairs events with recent same-entity signups only") {
     val evDir = Files.createTempDirectory("ssj_ev").toString
     val sgDir = Files.createTempDirectory("ssj_sg").toString
