@@ -131,6 +131,23 @@ object EngineOps {
       .limit(topN)
   }
 
+  /** Shuffle-partition sizing from the optimizer's own size estimate:
+    * ceil(estimated bytes / target bytes-per-partition). The knob the
+    * 100 TB brief says to size so partitions fit executor memory —
+    * computed instead of guessed. Catalyst's `sizeInBytes` comes from
+    * file footers for scans and selectivity estimates above them, so
+    * it's cheap (no job) and right-order-of-magnitude, which is all
+    * partition sizing needs. Clamped to ≥ 1; callers typically round
+    * up to a multiple of executor cores.
+    */
+  def recommendShufflePartitions(df: DataFrame,
+      targetPartitionBytes: Long = 128L << 20): Int = {
+    require(targetPartitionBytes > 0)
+    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val n = (bytes + targetPartitionBytes - 1) / targetPartitionBytes
+    n.min(BigInt(Int.MaxValue)).max(1).toInt
+  }
+
   /** Cancel a running job group — the reference's terminate-session
     * (`postgres_manager.py:297-307`). */
   def cancelJobGroup(spark: SparkSession, group: String): Unit =

@@ -377,8 +377,39 @@ final class Warehouse(spark: SparkSession, location: String) {
     val root = new Path(location)
     if (!fs.exists(root)) Nil
     else fs.listStatus(root).filter(_.isDirectory).map(_.getPath.getName)
-      .filterNot(n => n.endsWith("__compact") || n.endsWith("__old"))
+      .filterNot(n => Warehouse.TransientSuffixes.exists(n.endsWith))
       .toSeq.sorted
+  }
+
+  /** Remove crash debris: transient `__compact`/`__old`/`__merge`
+    * working dirs at the warehouse root and `__old` partition dirs
+    * left inside tables by an interrupted per-partition swap. The
+    * swap dances never leave the LIVE name incomplete, so everything
+    * matching a transient suffix is safe to delete. Returns the
+    * removed paths.
+    */
+  def vacuum(): Seq[String] = {
+    val root = new Path(location)
+    if (!fs.exists(root)) return Nil
+    val rootDebris = fs.listStatus(root).filter(_.isDirectory)
+      .map(_.getPath)
+      .filter(p => Warehouse.TransientSuffixes.exists(p.getName.endsWith))
+      .toSeq
+    val partDebris = listTables().flatMap { t =>
+      val it = fs.listFiles(new Path(path(t)), true)
+      val found = scala.collection.mutable.Set[org.apache.hadoop.fs.Path]()
+      while (it.hasNext) {
+        var d = it.next().getPath.getParent
+        while (d != null && d.getName.nonEmpty) {
+          if (d.getName.endsWith("__old")) found += d
+          d = d.getParent
+        }
+      }
+      found.toSeq
+    }
+    val all = (rootDebris ++ partDebris).distinct
+    all.foreach(p => fs.delete(p, true))
+    all.map(_.toString)
   }
 
   /** Backup analogue (`create_backup`, `postgres_manager.py:657-675`):
@@ -478,6 +509,10 @@ final class Warehouse(spark: SparkSession, location: String) {
 object Warehouse {
   /** Name of the derived date-partition column (see createTable). */
   val DerivedDateCol = "p_date"
+
+  /** Working-dir suffixes of the crash-safe swap dances — hidden from
+    * [[Warehouse.listTables]], removed by [[Warehouse.vacuum]]. */
+  val TransientSuffixes: Seq[String] = Seq("__compact", "__old", "__merge")
 
   /** Frame-level SCD1 merge: `updates` rows win over `existing` rows
     * with the same key; unmatched existing rows survive, unmatched

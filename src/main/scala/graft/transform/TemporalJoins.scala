@@ -45,7 +45,40 @@ object TemporalJoins {
       payload: Seq[String],
       tiebreakCols: Seq[String] = Nil,
       prefix: String = "asof_",
-      toleranceMicros: Option[Long] = None): DataFrame = {
+      toleranceMicros: Option[Long] = None): DataFrame =
+    asofJoin(left, right, keys, leftTime, rightTime, payload,
+      tiebreakCols, prefix, toleranceMicros, forward = false)
+
+  /** Forward as-of join: the single EARLIEST right row with
+    * `right.timeCol >= left.timeCol` (merge_asof `direction=
+    * 'forward'`). Same single-window shape scanning time descending;
+    * the min tiebreak wins among equal-timestamp right rows (mirror
+    * `ORDER BY time ASC, tiebreak ASC LIMIT 1`).
+    */
+  def asofJoinForward(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      leftTime: String,
+      rightTime: String,
+      payload: Seq[String],
+      tiebreakCols: Seq[String] = Nil,
+      prefix: String = "asof_",
+      toleranceMicros: Option[Long] = None): DataFrame =
+    asofJoin(left, right, keys, leftTime, rightTime, payload,
+      tiebreakCols, prefix, toleranceMicros, forward = true)
+
+  private def asofJoin(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      leftTime: String,
+      rightTime: String,
+      payload: Seq[String],
+      tiebreakCols: Seq[String],
+      prefix: String,
+      toleranceMicros: Option[Long],
+      forward: Boolean): DataFrame = {
     require(keys.nonEmpty, "as-of join needs at least one key column")
     require(payload.nonEmpty, "payload columns to carry must be non-empty")
 
@@ -78,8 +111,16 @@ object TemporalJoins {
         tieStruct.as("__tie")): _*)
 
     val unioned = lAligned.unionByName(rAligned)
+    // backward scans time ascending: the carried last-right is the
+    // LATEST rt <= lt, max tiebreak among equals. forward scans
+    // descending: the carried last-right is the EARLIEST rt >= lt
+    // (scanned closest-last), min tiebreak among equals. Right rows
+    // sort before left at equal __t either way — <=/>= inclusive.
+    val (tOrd, tieOrd) =
+      if (forward) (col("__t").desc, col("__tie").desc)
+      else (col("__t").asc, col("__tie").asc)
     val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col("__t").asc, col("__isLeft").asc, col("__tie").asc)
+      .orderBy(tOrd, col("__isLeft").asc, tieOrd)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val carried = unioned
       .withColumn("__match", last(col("__rpay"), ignoreNulls = true).over(w))
@@ -87,10 +128,11 @@ object TemporalJoins {
 
     val withTol = toleranceMicros match {
       case Some(tol) =>
+        val age =
+          if (forward) unix_micros(col("__match.__rt")) - unix_micros(col("__t"))
+          else unix_micros(col("__t")) - unix_micros(col("__match.__rt"))
         carried.withColumn("__match",
-          when(col("__match").isNotNull &&
-            unix_micros(col("__t")) -
-              unix_micros(col("__match.__rt")) <= tol, col("__match")))
+          when(col("__match").isNotNull && age <= tol, col("__match")))
       case None => carried
     }
     val out = leftCols.map(c => col(s"__lrow.$c").as(c)) ++

@@ -53,6 +53,17 @@ class EngineOpsSpec extends SparkSpec {
     assert(plan.contains("Physical Plan"))
   }
 
+  test("recommendShufflePartitions scales with estimated size, floors at 1") {
+    val df = (1 to 10000).map(i => (i.toLong, s"payload_$i")).toDF("id", "s")
+    val generous = EngineOps.recommendShufflePartitions(df, 1L << 30)
+    val tight = EngineOps.recommendShufflePartitions(df, 1024L)
+    assert(generous === 1)
+    assert(tight > generous)
+    intercept[IllegalArgumentException] {
+      EngineOps.recommendShufflePartitions(df, 0L)
+    }
+  }
+
   test("keySkewReport surfaces hot keys and the table skew factor") {
     // 90 rows of key 1, 10 spread over 2..11 → mean 100/11, max 90
     val df = ((1 to 90).map(_ => 1L) ++ (2L to 11L)).toDF("k")

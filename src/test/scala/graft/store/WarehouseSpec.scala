@@ -151,6 +151,26 @@ class WarehouseSpec extends SparkSpec {
     assert(partFiles("2024-01-09").nonEmpty)
   }
 
+  test("vacuum removes swap debris, keeps live tables, hides transients from listTables") {
+    val dir = Files.createTempDirectory("graft_wh").toString
+    val wh = new Warehouse(spark, dir)
+    wh.createTable("t", schema)
+    wh.append("t", Seq((1L, 1.0)).toDF("id", "v"))
+    // simulate crash debris from compact/merge dances
+    new java.io.File(s"$dir/t__merge").mkdirs()
+    new java.io.File(s"$dir/t__compact").mkdirs()
+    new java.io.File(s"$dir/zombie__old").mkdirs()
+    new java.io.File(s"$dir/t/p_date=2024-01-01__old").mkdirs()
+    new java.io.File(s"$dir/t/p_date=2024-01-01__old/x.parquet").createNewFile()
+    assert(wh.listTables() === Seq("t")) // transients never listed
+    val removed = wh.vacuum()
+    assert(removed.size === 4, removed)
+    assert(!new java.io.File(s"$dir/t__merge").exists())
+    assert(!new java.io.File(s"$dir/t/p_date=2024-01-01__old").exists())
+    assert(wh.read("t").count() === 1) // live data untouched
+    assert(wh.vacuum() === Nil) // idempotent
+  }
+
   test("write to a partitionSource table without the time column fails clearly") {
     import java.sql.Timestamp
     val wh = fresh()

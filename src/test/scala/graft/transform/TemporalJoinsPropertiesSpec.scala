@@ -41,6 +41,27 @@ class TemporalJoinsPropertiesSpec extends SparkSpec {
     assert(got === expected)
   }
 
+  test("property: forward as-of join ≡ brute-force earliest-later pick under ties") {
+    val left = (1 to 120).map(i => (randKey(), randTs(), i.toLong))
+      .toDF("k", "lt", "lid")
+    val right = (1 to 120).map(i => (randKey(), randTs(), 1000L + i))
+      .toDF("k", "rt", "rid")
+
+    val got = TemporalJoins.asofJoinForward(left, right, Seq("k"),
+        "lt", "rt", payload = Seq("rid"), tiebreakCols = Seq("rid"))
+      .select($"lid", $"asof_rid")
+      .as[(Long, Option[Long])].collect().toMap
+
+    val rRows = right.as[(Long, Timestamp, Long)].collect()
+    val expected = left.as[(Long, Timestamp, Long)].collect().map {
+      case (k, lt, lid) =>
+        val cands = rRows.filter(r => r._1 == k && !r._2.before(lt))
+        lid -> (if (cands.isEmpty) None
+                else Some(cands.minBy(r => (r._2.getTime, r._3))._3))
+    }.toMap
+    assert(got === expected)
+  }
+
   test("property: binned range join ≡ filtered cross join for random bin widths") {
     val points = (1 to 80).map(i => (i.toLong, randTs())).toDF("pid", "pt")
     val ivRaw = (1 to 25).map { i =>

@@ -57,6 +57,21 @@ class TemporalJoinsSpec extends SparkSpec {
       (2000L, None), (3000L, None)))
   }
 
+  test("forward as-of join picks earliest later right row, inclusive, min tiebreak") {
+    val out = TemporalJoins.asofJoinForward(
+        trades, quotes, Seq("uid"), "tts", "qts",
+        payload = Seq("qid"), tiebreakCols = Seq("qid"))
+      .select($"tid", $"asof_qid")
+      .orderBy("tid")
+      .as[(Long, Option[Long])].collect().toSeq
+    assert(out === Seq(
+      (1000L, Some(12L)), // next quote at 10:05, MIN qid wins the tie
+      (1001L, Some(12L)), // inclusive >=
+      (1002L, None),      // nothing after 12:00
+      (2000L, Some(21L)), // 09:00 quote is later than 08:59
+      (3000L, None)))
+  }
+
   test("as-of join shuffles exactly once (union + single keyed window)") {
     val s = EngineOps.planSummaryNoAqe(spark,
       TemporalJoins.asofJoinBackward(trades, quotes, Seq("uid"), "tts", "qts",
