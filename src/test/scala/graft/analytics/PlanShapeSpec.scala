@@ -67,4 +67,29 @@ class PlanShapeSpec extends SparkSpec {
     // the int8 kernels are inside codegen, not interpreted projections
     assert(p.contains("int8_cosine"), p.take(1200))
   }
+
+  test("top-k-per-group rank filters get WindowGroupLimit (partial top-k, no full per-group sort)") {
+    // Spark rewrites rank()<=k / row_number()<=k into a group-limit
+    // that keeps only k rows per key BEFORE the window sort — the
+    // difference between sorting k rows and sorting the whole
+    // partition at 100 TB. Pin it on the catalog queries built from
+    // that shape.
+    for (q <- Seq("q_window_rank", "q_tfidf")) {
+      val p = plan(q)
+      assert(p.contains("WindowGroupLimit"), s"$q lost WindowGroupLimit:\n" +
+        p.take(1200))
+    }
+  }
+
+  test("q_asof_join: one exchange total — the union shuffles once on the key") {
+    val s = EngineOps.planSummaryNoAqe(spark,
+      Catalog.byName("q_asof_join").run(spark, dir))
+    // 1 window exchange + 1 final orderBy range exchange
+    assert(s.exchangeCount <= 2, s)
+  }
+
+  test("q_decontaminate: eval gram set broadcast, corpus never shuffled for the probe") {
+    val p = plan("q_decontaminate")
+    assert(p.contains("BroadcastHashJoin"), p.take(1200))
+  }
 }
