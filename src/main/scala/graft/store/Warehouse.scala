@@ -117,6 +117,14 @@ final class Warehouse(spark: SparkSession, location: String) {
     * that filter on it to prune date directories (Loader). A table with
     * no data files yet (freshly created partitioned layout) reads as an
     * empty frame with the persisted schema.
+    *
+    * When a schema sidecar exists it is applied to the scan: files
+    * written before a schema evolution ([[appendEvolved]]) lack the
+    * newer columns, and an explicit read schema surfaces those as
+    * nulls — where bare inference would pick one footer and silently
+    * drop or fail on the others. The derived date column is appended
+    * to the read schema for partitioned layouts (it lives in directory
+    * names, not the logical schema).
     */
   def readRaw(table: String): DataFrame =
     if (dataFiles(table).isEmpty)
@@ -125,7 +133,41 @@ final class Warehouse(spark: SparkSession, location: String) {
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
         case None => spark.read.parquet(path(table))
       }
-    else spark.read.parquet(path(table))
+    else readSchema(table) match {
+      case Some(schema) =>
+        val parts = readMeta(table).map(_.partitionBy).getOrElse(Nil)
+        val full = parts.foldLeft(schema) { (sc, p) =>
+          if (sc.fieldNames.contains(p)) sc
+          else sc.add(org.apache.spark.sql.types.StructField(p,
+            if (p == Warehouse.DerivedDateCol)
+              org.apache.spark.sql.types.DateType
+            else org.apache.spark.sql.types.StringType))
+        }
+        spark.read.schema(full).parquet(path(table))
+      case None => spark.read.parquet(path(table))
+    }
+
+  /** Append with ADDITIVE schema evolution: new columns widen the
+    * table (schema sidecar updated; older files surface them as nulls
+    * through [[readRaw]]'s explicit-schema scan), columns missing from
+    * the batch fill with typed nulls, and a column whose TYPE changed
+    * is an error — silent retyping is how a table corrupts. No data
+    * rewrite: evolution costs one sidecar write, which is the whole
+    * point at 100 TB.
+    */
+  def appendEvolved(table: String, df: DataFrame): Unit = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val current = readSchema(table).getOrElse(read(table).schema)
+    val (onlyOld, onlyNew, retyped) = compareSchemas(current, df.schema)
+    require(retyped.isEmpty,
+      s"appendEvolved: retyped columns not allowed: $retyped")
+    val filled = onlyOld.foldLeft(df)((d, c) =>
+      d.withColumn(c, lit(null).cast(current(c).dataType)))
+    val evolved = org.apache.spark.sql.types.StructType(
+      current.fields ++ df.schema.fields.filter(f => onlyNew.contains(f.name)))
+    writeSchema(table, evolved)
+    append(table, filled.select(evolved.fieldNames.map(col).toSeq: _*))
+  }
 
   def append(table: String, df: DataFrame): Unit = {
     val meta = readMeta(table)

@@ -151,6 +151,29 @@ class WarehouseSpec extends SparkSpec {
     assert(partFiles("2024-01-09").nonEmpty)
   }
 
+  test("appendEvolved widens schema additively; old files surface new columns as nulls") {
+    val wh = fresh()
+    wh.createTable("t", schema)
+    wh.append("t", Seq((1L, 1.0)).toDF("id", "v"))
+    // batch with a brand-new column
+    wh.appendEvolved("t", Seq((2L, 2.0, "hello")).toDF("id", "v", "note"))
+    val rows = wh.read("t").select("id", "v", "note")
+      .as[(Long, Double, Option[String])].collect().sortBy(_._1).toSeq
+    assert(rows === Seq((1L, 1.0, None), (2L, 2.0, Some("hello"))))
+    // batch MISSING an original column: fills with typed nulls
+    wh.appendEvolved("t", Seq((3L, "bye")).toDF("id", "note"))
+    val r3 = wh.read("t").filter($"id" === 3L)
+      .select("v", "note").as[(Option[Double], Option[String])].head()
+    assert(r3 === ((None, Some("bye"))))
+    // retyping is refused
+    val e = intercept[IllegalArgumentException] {
+      wh.appendEvolved("t", Seq((4L, "oops")).toDF("id", "v"))
+    }
+    assert(e.getMessage.contains("retyped"))
+    // persisted schema evolved once, in order
+    assert(wh.readSchema("t").get.fieldNames.toSeq === Seq("id", "v", "note"))
+  }
+
   test("vacuum removes swap debris, keeps live tables, hides transients from listTables") {
     val dir = Files.createTempDirectory("graft_wh").toString
     val wh = new Warehouse(spark, dir)
