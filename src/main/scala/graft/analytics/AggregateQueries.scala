@@ -357,8 +357,39 @@ object AggregateQueries {
         .cast("double").as("sd_price"))
   }
 
+  /** Heavy hitters via the native Space-Saving aggregate
+    * (`plans.SpaceSavingTopK`, O(k) state — no billion-key groupBy
+    * shuffle): a 50%-hot key against a long cold tail forces real
+    * counter eviction, and the contract oracle checks the sketch's
+    * guarantees against the exact in-plan count — hot key retained,
+    * upper bound ≥ truth ≥ upper − error, summary exactly k wide.
+    */
+  val qHeavyHitters: QueryDef = QueryDef.sql(
+    "q_heavy_hitters",
+    """SELECT
+      |  (SELECT count(*) FROM lineitem WHERE l_orderkey % 2 = 0) AS exact_hot,
+      |  true AS in_summary, true AS upper_ok, true AS lower_ok,
+      |  16 AS n_counters""".stripMargin,
+    doc = "space-saving heavy-hitter sketch vs exact truth (contract oracle)") { (s, dir) =>
+    val keyed = t(s, dir, "lineitem").select(
+      when(col("l_orderkey") % 2 === 0, lit("hot"))
+        .otherwise(concat(lit("cold_"), col("l_orderkey"))).as("key"))
+    val summary = keyed.agg(
+      call_function("space_saving_topk", col("key"), lit(16)).as("s"))
+    val exact = keyed.filter(col("key") === "hot")
+      .agg(count(lit(1)).as("exact_hot"))
+    val hotEntry = element_at(
+      filter(col("s"), e => e("key") === "hot"), 1)
+    summary.crossJoin(exact).select(
+      col("exact_hot"),
+      exists(col("s"), e => e("key") === "hot").as("in_summary"),
+      (hotEntry("est") >= col("exact_hot")).as("upper_ok"),
+      (hotEntry("est") - hotEntry("err") <= col("exact_hot")).as("lower_ok"),
+      size(col("s")).as("n_counters"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     qProfileStats, qCollectAgg, qCondRatios, qCaseAgg, qDistinctPairs,
     qSortNullsLast, qPercentiles, qPivot, qMonotonic, qSkewReport,
-    qHistogram, qApproxProfile, qCorrelations)
+    qHistogram, qApproxProfile, qCorrelations, qHeavyHitters)
 }

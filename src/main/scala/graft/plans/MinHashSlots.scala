@@ -134,6 +134,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           "usage: int8_cosine(array<tinyint>, array<tinyint>)")
       }))
     ext.injectFunction((
+      new FunctionIdentifier("space_saving_topk"),
+      new ExpressionInfo(classOf[SpaceSavingTopK].getName, "space_saving_topk"),
+      (children: Seq[Expression]) => children match {
+        case Seq(c, Literal(kv: Int, IntegerType)) => SpaceSavingTopK(c, kv)
+        case _ => throw new IllegalArgumentException(
+          "usage: space_saving_topk(col, <int literal k>)")
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("profile_col"),
       new ExpressionInfo(classOf[ColumnProfileAgg].getName, "profile_col"),
       (children: Seq[Expression]) => children match {
