@@ -1,0 +1,116 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.dedup.Dedup
+import graft.profile.Sampling
+import graft.store.Warehouse
+import graft.text.{Decontaminate, SequencePacking, TextAnalysis}
+
+/** The corpus-curation flow as ONE user-facing entry point — what a
+  * training-data team actually runs: redact PII → quality filter →
+  * exact-dedup → eval-set decontamination → language mixture →
+  * sequence packing, every stage an operator already verified alone
+  * (q_text_redact, q_text_quality, q_dedup_exact, q_decontaminate,
+  * q_mixture_sample, q_pack_sequences; their composition is pinned by
+  * q_curate_pipeline).
+  *
+  * All stages are per-row expression work or keyed shuffles — the
+  * whole flow is one scan plus a handful of key-partitioned
+  * exchanges; nothing quadratic, nothing driver-side.
+  */
+object Curation {
+
+  /** Tunables for [[curate]]. `mixtureWeights` empty → skip the
+    * mixture stage; `evalSet` empty → skip decontamination.
+    */
+  final case class CurationConfig(
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      langCol: String = "lang",
+      redact: Boolean = true,
+      minQuality: Double = 0.5,
+      dedupe: Boolean = true,
+      evalSet: Option[DataFrame] = None,
+      decontaminateN: Int = 8,
+      mixtureWeights: Map[String, Double] = Map.empty,
+      mixtureTotal: Int = 0,
+      packBinTokens: Long = 2048L)
+
+  /** Run the flow; returns the packed curated corpus:
+    * `(idCol, langCol, n_tokens, bin, bin_offset)`.
+    */
+  def curate(docs: DataFrame, cfg: CurationConfig): DataFrame = {
+    val redacted =
+      if (cfg.redact)
+        docs.withColumn(cfg.textCol, TextAnalysis.redactPii(col(cfg.textCol)))
+      else docs
+    val scored = redacted
+      .filter(round(TextAnalysis.qualityScore(col(cfg.textCol)), 6)
+        >= cfg.minQuality)
+    val deduped =
+      if (cfg.dedupe) Dedup.exactTextDedup(scored, cfg.textCol, cfg.idCol)
+      else scored
+    val clean = cfg.evalSet match {
+      case Some(ev) => Decontaminate.removeContaminated(
+        deduped, ev, cfg.idCol, cfg.textCol, cfg.decontaminateN)
+      case None => deduped
+    }
+    val mixed =
+      if (cfg.mixtureWeights.nonEmpty)
+        Sampling.mixtureSample(clean, cfg.langCol, cfg.idCol,
+          cfg.mixtureWeights, cfg.mixtureTotal)
+      else clean
+    val toks = mixed.select(col(cfg.idCol), col(cfg.langCol),
+      TextAnalysis.tokenCount(col(cfg.textCol)).cast("long").as("n_tokens"))
+    SequencePacking.packContiguous(toks, cfg.idCol, "n_tokens",
+        cfg.langCol, cfg.packBinTokens)
+      .select(cfg.idCol, cfg.langCol, "n_tokens", "bin", "bin_offset")
+  }
+
+  /** [[curate]] + land the result as a warehouse table (replace
+    * semantics — re-curation is a rebuild, not an append).
+    */
+  def curateToWarehouse(docs: DataFrame, cfg: CurationConfig,
+      warehouse: Warehouse, table: String): Long = {
+    val out = curate(docs, cfg)
+    warehouse.createTable(table, out.schema, ifExists = "replace",
+      uniqueKeys = Seq(cfg.idCol))
+    warehouse.append(table, out)
+    warehouse.read(table).count()
+  }
+
+  /** Per-stage survivor counts — the curation funnel a data team
+    * reports. One count job per stage over the same lazily-shared
+    * lineage (Spark reuses shuffle outputs across the jobs).
+    */
+  def curationReport(docs: DataFrame, cfg: CurationConfig): Seq[(String, Long)] = {
+    val redacted =
+      if (cfg.redact)
+        docs.withColumn(cfg.textCol, TextAnalysis.redactPii(col(cfg.textCol)))
+      else docs
+    val scored = redacted
+      .filter(round(TextAnalysis.qualityScore(col(cfg.textCol)), 6)
+        >= cfg.minQuality)
+    val deduped =
+      if (cfg.dedupe) Dedup.exactTextDedup(scored, cfg.textCol, cfg.idCol)
+      else scored
+    val clean = cfg.evalSet match {
+      case Some(ev) => Decontaminate.removeContaminated(
+        deduped, ev, cfg.idCol, cfg.textCol, cfg.decontaminateN)
+      case None => deduped
+    }
+    val mixed =
+      if (cfg.mixtureWeights.nonEmpty)
+        Sampling.mixtureSample(clean, cfg.langCol, cfg.idCol,
+          cfg.mixtureWeights, cfg.mixtureTotal)
+      else clean
+    Seq(
+      "input" -> docs.count(),
+      "quality" -> scored.count(),
+      "dedup" -> deduped.count(),
+      "decontaminate" -> clean.count(),
+      "mixture" -> mixed.count())
+  }
+}
