@@ -266,6 +266,48 @@ object EventQueries {
       .orderBy("event_id")
   }
 
+  /** Nearest as-of join: every click matched to the user's CLOSEST
+    * view in either time direction
+    * ([[graft.transform.TemporalJoins.asofJoinNearest]] — same single
+    * union shuffle as backward, two sorts). Tie contract stated
+    * explicitly in the oracle's ORDER BY: absolute distance, then
+    * backward-before-forward, then max view_id backward / min view_id
+    * forward. `age_us` is signed (positive = matched a prior view).
+    */
+  val qAsofNearest: QueryDef = QueryDef.sql(
+    "q_asof_nearest",
+    """WITH clicks AS (
+      |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+      |views AS (
+      |  SELECT event_id AS view_id, user_id, ts AS vts, value AS view_value
+      |  FROM events WHERE event_type = 'view'),
+      |j AS (
+      |  SELECT c.event_id, c.user_id, v.view_id, v.view_value,
+      |    epoch_us(c.ts) - epoch_us(v.vts) AS age_us,
+      |    row_number() OVER (PARTITION BY c.event_id
+      |      ORDER BY abs(epoch_us(c.ts) - epoch_us(v.vts)) ASC,
+      |        CASE WHEN v.vts <= c.ts THEN 0 ELSE 1 END ASC,
+      |        CASE WHEN v.vts <= c.ts THEN -v.view_id ELSE v.view_id END ASC) AS rn
+      |  FROM clicks c LEFT JOIN views v ON v.user_id = c.user_id)
+      |SELECT event_id, user_id, view_id, view_value, age_us
+      |FROM j WHERE rn = 1 ORDER BY event_id""".stripMargin,
+    doc = "nearest as-of join clicks->closest view either direction (temporal join)") { (s, dir) =>
+    import graft.transform.TemporalJoins
+    val ev = t(s, dir, "events")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("user_id"),
+        col("ts").as("vts"), col("value").as("view_value"))
+    TemporalJoins.asofJoinNearest(clicks, views, Seq("user_id"),
+        "ts", "vts", payload = Seq("view_id", "view_value"),
+        tiebreakCols = Seq("view_id"))
+      .select(col("event_id"), col("user_id"),
+        col("asof_view_id").as("view_id"), col("asof_view_value").as("view_value"),
+        (unix_micros(col("ts")) - unix_micros(col("asof_vts"))).as("age_us"))
+      .orderBy("event_id")
+  }
+
   /** Point-in-interval range join: every event falling inside any of
     * the in-plan 10-minute intervals (every 199th event opens one).
     * [[graft.transform.TemporalJoins.rangeJoinBinned]] bin-granular
@@ -370,5 +412,5 @@ object EventQueries {
 
   val all: Seq[QueryDef] = Seq(
     qTimeWindow, qLagGaps, qOverlapSemi, qScalarFuncs, qJsonBuild, qSessionize,
-    qMapFuncs, qAsofJoin, qRangeJoin, qFunnel, qRetention)
+    qMapFuncs, qAsofJoin, qAsofNearest, qRangeJoin, qFunnel, qRetention)
 }

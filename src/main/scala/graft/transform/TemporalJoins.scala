@@ -68,17 +68,19 @@ object TemporalJoins {
     asofJoin(left, right, keys, leftTime, rightTime, payload,
       tiebreakCols, prefix, toleranceMicros, forward = true)
 
-  private def asofJoin(
+  /** Both sides aligned to the union schema `(keys…, __t, __isLeft,
+    * __lrow, __rpay, __tie)` — the shared front half of every as-of
+    * variant. Left rows carry the full original row as a struct; right
+    * rows carry `(rt, payload…)` plus the tiebreak struct.
+    */
+  private def alignSides(
       left: DataFrame,
       right: DataFrame,
       keys: Seq[String],
       leftTime: String,
       rightTime: String,
       payload: Seq[String],
-      tiebreakCols: Seq[String],
-      prefix: String,
-      toleranceMicros: Option[Long],
-      forward: Boolean): DataFrame = {
+      tiebreakCols: Seq[String]): (DataFrame, Seq[String]) = {
     require(keys.nonEmpty, "as-of join needs at least one key column")
     require(payload.nonEmpty, "payload columns to carry must be non-empty")
 
@@ -109,8 +111,33 @@ object TemporalJoins {
         lit(null).cast(lrowType).as("__lrow"),
         rpayStruct.as("__rpay"),
         tieStruct.as("__tie")): _*)
+    (lAligned.unionByName(rAligned), leftCols)
+  }
 
-    val unioned = lAligned.unionByName(rAligned)
+  /** The common output projection: original left columns back out of
+    * `__lrow`, matched right time + payload out of `__match`.
+    */
+  private def projectOut(withMatch: DataFrame, leftCols: Seq[String],
+      rightTime: String, payload: Seq[String], prefix: String): DataFrame = {
+    val out = leftCols.map(c => col(s"__lrow.$c").as(c)) ++
+      (col("__match.__rt").as(s"$prefix$rightTime") +:
+        payload.map(c => col(s"__match.$c").as(s"$prefix$c")))
+    withMatch.select(out: _*)
+  }
+
+  private def asofJoin(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      leftTime: String,
+      rightTime: String,
+      payload: Seq[String],
+      tiebreakCols: Seq[String],
+      prefix: String,
+      toleranceMicros: Option[Long],
+      forward: Boolean): DataFrame = {
+    val (unioned, leftCols) = alignSides(
+      left, right, keys, leftTime, rightTime, payload, tiebreakCols)
     // backward scans time ascending: the carried last-right is the
     // LATEST rt <= lt, max tiebreak among equals. forward scans
     // descending: the carried last-right is the EARLIEST rt >= lt
@@ -135,10 +162,57 @@ object TemporalJoins {
           when(col("__match").isNotNull && age <= tol, col("__match")))
       case None => carried
     }
-    val out = leftCols.map(c => col(s"__lrow.$c").as(c)) ++
-      (col("__match.__rt").as(s"$prefix$rightTime") +:
-        payload.map(c => col(s"__match.$c").as(s"$prefix$c")))
-    withTol.select(out: _*)
+    projectOut(withTol, leftCols, rightTime, payload, prefix)
+  }
+
+  /** Nearest as-of join: the right row closest in ABSOLUTE time
+    * distance, either direction (merge_asof `direction='nearest'`).
+    * Contract on ties: equal backward/forward distance → the backward
+    * match wins; among equal-timestamp right rows the per-direction
+    * rule applies (backward: max tiebreak, forward: min tiebreak).
+    * Mirror in SQL as `ORDER BY abs(lt - rt), (rt > lt), CASE WHEN
+    * rt <= lt THEN -tie ELSE tie END LIMIT 1`.
+    *
+    * Shape: the SAME single union as backward/forward, with TWO window
+    * passes over the SAME key partitioning (ascending and descending
+    * time) — Catalyst plans one exchange and two sorts, so the cost is
+    * one shuffle + one extra local sort, never a second shuffle. Time
+    * columns must be timestamps (distances compare in epoch-µs).
+    */
+  def asofJoinNearest(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      leftTime: String,
+      rightTime: String,
+      payload: Seq[String],
+      tiebreakCols: Seq[String] = Nil,
+      prefix: String = "asof_",
+      toleranceMicros: Option[Long] = None): DataFrame = {
+    val (unioned, leftCols) = alignSides(
+      left, right, keys, leftTime, rightTime, payload, tiebreakCols)
+    val wB = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__t").asc, col("__isLeft").asc, col("__tie").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wF = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__t").desc, col("__isLeft").asc, col("__tie").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = unioned
+      .withColumn("__bm", last(col("__rpay"), ignoreNulls = true).over(wB))
+      .withColumn("__fm", last(col("__rpay"), ignoreNulls = true).over(wF))
+      .filter(col("__isLeft") === 1)
+    val bAge = unix_micros(col("__t")) - unix_micros(col("__bm.__rt"))
+    val fAge = unix_micros(col("__fm.__rt")) - unix_micros(col("__t"))
+    def valid(m: Column, age: Column): Column = toleranceMicros match {
+      case Some(tol) => m.isNotNull && age <= tol
+      case None => m.isNotNull
+    }
+    val bOk = valid(col("__bm"), bAge)
+    val fOk = valid(col("__fm"), fAge)
+    val withMatch = carried.withColumn("__match",
+      when(bOk && (!fOk || bAge <= fAge), col("__bm"))
+        .when(fOk, col("__fm")))
+    projectOut(withMatch, leftCols, rightTime, payload, prefix)
   }
 
   /** Point-in-interval range join via bin-granular equi-join: every

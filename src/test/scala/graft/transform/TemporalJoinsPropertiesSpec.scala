@@ -62,6 +62,34 @@ class TemporalJoinsPropertiesSpec extends SparkSpec {
     assert(got === expected)
   }
 
+  test("property: nearest as-of join ≡ brute-force min-|distance| pick under ties") {
+    val left = (1 to 120).map(i => (randKey(), randTs(), i.toLong))
+      .toDF("k", "lt", "lid")
+    val right = (1 to 120).map(i => (randKey(), randTs(), 1000L + i))
+      .toDF("k", "rt", "rid")
+
+    val got = TemporalJoins.asofJoinNearest(left, right, Seq("k"),
+        "lt", "rt", payload = Seq("rid"), tiebreakCols = Seq("rid"))
+      .select($"lid", $"asof_rid")
+      .as[(Long, Option[Long])].collect().toMap
+
+    // brute force: min |distance|; backward beats forward at equal
+    // distance; backward equals → max rid, forward equals → min rid
+    val rRows = right.as[(Long, Timestamp, Long)].collect()
+    val expected = left.as[(Long, Timestamp, Long)].collect().map {
+      case (k, lt, lid) =>
+        val cands = rRows.filter(_._1 == k)
+        lid -> (if (cands.isEmpty) None
+                else Some(cands.minBy { r =>
+                  val isFwd = r._2.after(lt)
+                  (math.abs(r._2.getTime - lt.getTime),
+                    if (isFwd) 1 else 0,
+                    if (isFwd) r._3 else -r._3)
+                }._3))
+    }.toMap
+    assert(got === expected)
+  }
+
   test("property: binned range join ≡ filtered cross join for random bin widths") {
     val points = (1 to 80).map(i => (i.toLong, randTs())).toDF("pid", "pt")
     val ivRaw = (1 to 25).map { i =>

@@ -72,6 +72,41 @@ class TemporalJoinsSpec extends SparkSpec {
       (3000L, None)))
   }
 
+  test("nearest as-of join picks min |distance|, backward wins ties") {
+    val out = TemporalJoins.asofJoinNearest(
+        trades, quotes, Seq("uid"), "tts", "qts",
+        payload = Seq("qid"), tiebreakCols = Seq("qid"))
+      .select($"tid", $"asof_qid")
+      .orderBy("tid")
+      .as[(Long, Option[Long])].collect().toSeq
+    assert(out === Seq(
+      (1000L, Some(12L)), // 10:04:59 → 10:05 fwd (1s) beats 10:00 bwd (4:59); min qid among fwd ties
+      (1001L, Some(13L)), // exact hit: backward direction wins, max qid among bwd equals
+      (1002L, Some(14L)), // only backward exists
+      (2000L, Some(21L)), // only forward exists (09:00, 1 min away)
+      (3000L, None)))     // no quotes at all
+  }
+
+  test("nearest as-of tolerance applies to both directions") {
+    val out = TemporalJoins.asofJoinNearest(
+        trades, quotes, Seq("uid"), "tts", "qts",
+        payload = Seq("qid"), tiebreakCols = Seq("qid"),
+        toleranceMicros = Some(30L * 1000000)) // 30 seconds
+      .select($"tid", $"asof_qid")
+      .orderBy("tid")
+      .as[(Long, Option[Long])].collect().toSeq
+    // 1000's fwd match is 1s away → kept; 2000's fwd match is 60s → dropped
+    assert(out === Seq((1000L, Some(12L)), (1001L, Some(13L)),
+      (1002L, None), (2000L, None), (3000L, None)))
+  }
+
+  test("nearest as-of join still shuffles exactly once (two sorts, one exchange)") {
+    val s = EngineOps.planSummaryNoAqe(spark,
+      TemporalJoins.asofJoinNearest(trades, quotes, Seq("uid"), "tts", "qts",
+        payload = Seq("price")))
+    assert(s.exchangeCount === 1, s)
+  }
+
   test("as-of join shuffles exactly once (union + single keyed window)") {
     val s = EngineOps.planSummaryNoAqe(spark,
       TemporalJoins.asofJoinBackward(trades, quotes, Seq("uid"), "tts", "qts",
