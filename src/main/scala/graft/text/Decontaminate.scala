@@ -1,6 +1,6 @@
 package graft.text
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Benchmark decontamination — the training-data hygiene pass that
@@ -63,5 +63,31 @@ object Decontaminate {
       .filter(col("contaminated"))
       .select(col(idCol))
     train.join(dirty, Seq(idCol), "left_anti")
+  }
+
+  /** Per-row contamination predicate — the STREAMING-safe form of the
+    * overlap rule. [[contaminationReport]]'s explode→join→groupBy
+    * can't run over an unbounded stream (a stream can't anti-join a
+    * derivative of itself), so here the eval corpus's distinct n-gram
+    * set — bounded, it's a benchmark — is collected once and broadcast
+    * as a driver-built set; each row then answers "any shingle in the
+    * set?" locally, no shuffle, no state. Exact same verdict as the
+    * batch report (`contaminated` ⇔ predicate true), proven in
+    * StreamCurationSpec. A deliberate UDF: the probe set lives in a
+    * broadcast variable, which no codegen expression can reach; the
+    * per-row work is |shingles| hash lookups.
+    */
+  def contaminationPredicate(eval: DataFrame, textCol: String, n: Int): Column = {
+    require(n > 0, s"n-gram size must be positive, got $n")
+    val spark = eval.sparkSession
+    import spark.implicits._
+    val grams = eval
+      .select(explode(TextAnalysis.wordShingles(col(textCol), n)).as("gram"))
+      .distinct().as[String].collect().toSet
+    val bc = spark.sparkContext.broadcast(grams)
+    val hit = udf { shingles: Seq[String] =>
+      shingles != null && shingles.exists(bc.value.contains)
+    }
+    hit(TextAnalysis.wordShingles(col(textCol), n))
   }
 }
