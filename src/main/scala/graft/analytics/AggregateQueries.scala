@@ -388,8 +388,36 @@ object AggregateQueries {
       size(col("s")).as("n_counters"))
   }
 
+  /** Per-key frequencies from a Count-Min sketch — Spark's built-in
+    * mergeable `count_min_sketch` aggregate (O(depth·width) partial
+    * state, no per-key shuffle) probed in-plan by the native
+    * `cms_query` expression ([[graft.plans.CmsQuery]] — the probe half
+    * Spark doesn't ship). Contract oracle: CMS estimates are one-sided
+    * (`est ≥ true` unconditionally) and `est ≤ true + eps·N` at
+    * confidence 0.99 — both checked per key against the exact in-plan
+    * groupBy truth, which DuckDB recomputes.
+    */
+  val qCmsCounts: QueryDef = QueryDef.sql(
+    "q_cms_counts",
+    """SELECT event_type, count(*) AS exact_n,
+      |  true AS lower_ok, true AS upper_ok
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    doc = "count-min sketch point estimates vs exact truth (contract oracle)") { (s, dir) =>
+    val ev = t(s, dir, "events").select(col("event_type"))
+    val sk = ev.agg(
+      graft.plans.Cms.sketch(col("event_type"), 0.001, 0.99, 42).as("cms"),
+      count(lit(1)).as("n"))
+    val truths = ev.groupBy("event_type").agg(count(lit(1)).as("exact_n"))
+    val est = graft.plans.Cms.query(col("cms"), col("event_type"))
+    truths.crossJoin(broadcast(sk)).select(
+      col("event_type"), col("exact_n"),
+      (est >= col("exact_n")).as("lower_ok"),
+      (est <= col("exact_n") + ceil(lit(0.001) * col("n"))).as("upper_ok"))
+      .orderBy("event_type")
+  }
+
   val all: Seq[QueryDef] = Seq(
     qProfileStats, qCollectAgg, qCondRatios, qCaseAgg, qDistinctPairs,
     qSortNullsLast, qPercentiles, qPivot, qMonotonic, qSkewReport,
-    qHistogram, qApproxProfile, qCorrelations, qHeavyHitters)
+    qHistogram, qApproxProfile, qCorrelations, qHeavyHitters, qCmsCounts)
 }

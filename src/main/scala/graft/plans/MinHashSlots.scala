@@ -142,6 +142,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           "usage: space_saving_topk(col, <int literal k>)")
       }))
     ext.injectFunction((
+      new FunctionIdentifier("cms_query"),
+      new ExpressionInfo(classOf[CmsQuery].getName, "cms_query"),
+      (children: Seq[Expression]) => children match {
+        case Seq(sketch, key) => CmsQuery(sketch, key)
+        case _ => throw new IllegalArgumentException(
+          "usage: cms_query(sketch_binary, key)")
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("profile_col"),
       new ExpressionInfo(classOf[ColumnProfileAgg].getName, "profile_col"),
       (children: Seq[Expression]) => children match {
