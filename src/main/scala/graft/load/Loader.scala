@@ -160,11 +160,18 @@ final class Loader(spark: SparkSession, warehouse: Warehouse) {
         // scanning every key ever loaded.
         val prunable = timeCol.filter(keys.contains)
           .flatMap(tc => timeBounds(incoming, tc).map((tc, _)))
-        val existing = prunable match {
-          case Some((tc, (lo, hi))) => timeFilteredExisting(table, tc, lo, hi)
-          case None => warehouse.read(table)
+        prunable match {
+          case Some((tc, (lo, hi))) =>
+            val existing = timeFilteredExisting(table, tc, lo, hi)
+            deduped.join(existing.select(keys.map(col): _*), keys, "left_anti")
+          case None =>
+            // no time bound to prune by → bloom-prune the warehouse scan
+            // with the batch's own keys instead: only existing rows whose
+            // key might be in the batch enter the anti-join shuffle
+            graft.store.ScaleJoins.bloomPrunedAntiJoin(
+              deduped, warehouse.read(table), keys,
+              expectedItems = incomingCount)
         }
-        deduped.join(existing.select(keys.map(col): _*), keys, "left_anti")
       } else deduped
     val freshCount = fresh.count()
     if (!warehouse.tableExists(table))

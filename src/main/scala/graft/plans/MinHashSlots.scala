@@ -150,6 +150,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           "usage: cms_query(sketch_binary, key)")
       }))
     ext.injectFunction((
+      new FunctionIdentifier("bloom_might_contain"),
+      new ExpressionInfo(classOf[BloomMightContain].getName, "bloom_might_contain"),
+      (children: Seq[Expression]) => children match {
+        case Seq(bf, key) => BloomMightContain(bf, key)
+        case _ => throw new IllegalArgumentException(
+          "usage: bloom_might_contain(filter_binary, key)")
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("profile_col"),
       new ExpressionInfo(classOf[ColumnProfileAgg].getName, "profile_col"),
       (children: Seq[Expression]) => children match {

@@ -32,6 +32,64 @@ object ScaleJoins {
       joinType: String = "inner"): DataFrame =
     spark.table(leftTable).join(spark.table(rightTable), keys, joinType)
 
+  /** Prune `big` to rows whose join key MIGHT appear in `small`,
+    * using a bloom filter built over `small`'s keys — the explicit
+    * form of Catalyst's runtime join filter, for when library code
+    * knows the asymmetry up front (e.g. an ingest batch anti-joined
+    * against the whole warehouse, [[graft.load.Loader.dedupAppend]]).
+    *
+    * Lossless for any equi-join on `keys`: blooms have no false
+    * negatives, so every `big` row that can match a `small` key
+    * survives; false positives (rate `fpp`) only pass extra rows to
+    * the join. At 100 TB the win is shuffle volume — the filter is
+    * evaluated inside `big`'s scan stage, so non-matching rows never
+    * enter the exchange; with a 1% fpp, anti-joining a batch against
+    * a warehouse shuffles ~|batch| + fpp·|warehouse| rows instead of
+    * the whole table.
+    *
+    * Composite keys probe as one `xxhash64(keys…)` long on both sides
+    * (a hash collision is just one more false positive). Probing uses
+    * the native `bloom_might_contain` (GraftExtensions); a session
+    * without it degrades to no pruning. `expectedItems` sizes the
+    * filter — pass the small side's (approximate) distinct key count.
+    */
+  def bloomPruned(small: DataFrame, big: DataFrame, keys: Seq[String],
+      expectedItems: Long, fpp: Double = 0.01): DataFrame = {
+    require(keys.nonEmpty, "bloomPruned needs at least one key column")
+    // pruning is an optimization — a session without GraftExtensions
+    // (no bloom_might_contain) just skips it
+    if (!big.sparkSession.catalog.functionExists("bloom_might_contain"))
+      return big
+    // single string/integral keys probe directly; anything else
+    // (composite, timestamp, decimal…) folds to one xxhash64 long
+    val direct = keys.size == 1 &&
+      (small.schema(keys.head).dataType match {
+        case org.apache.spark.sql.types.StringType |
+             org.apache.spark.sql.types.LongType |
+             org.apache.spark.sql.types.IntegerType => true
+        case _ => false
+      })
+    def probe(df: DataFrame) =
+      if (direct) col(keys.head) else xxhash64(keys.map(col): _*)
+    val keyed = small.select(probe(small).as("__bk"))
+    val bf = keyed.stat.bloomFilter("__bk", math.max(expectedItems, 1L), fpp)
+    val bos = new java.io.ByteArrayOutputStream()
+    bf.writeTo(bos)
+    big.filter(call_function("bloom_might_contain",
+      lit(bos.toByteArray), probe(big)))
+  }
+
+  /** `small LEFT ANTI big` with the existing side bloom-pruned first:
+    * identical result to the plain anti-join (no false negatives),
+    * shuffle bounded by the batch size + the false-positive trickle.
+    */
+  def bloomPrunedAntiJoin(small: DataFrame, big: DataFrame,
+      keys: Seq[String], expectedItems: Long, fpp: Double = 0.01): DataFrame =
+    small.join(
+      bloomPruned(small, big, keys, expectedItems, fpp)
+        .select(keys.map(col): _*),
+      keys, "left_anti")
+
   /** Salted equi-join for skewed keys: the big (skewed) side gets a
     * random salt in [0, saltFactor); the small side is exploded across
     * every salt value. The hot key's rows spread over `saltFactor`
