@@ -321,14 +321,20 @@ final class Warehouse(spark: SparkSession, location: String) {
     // listStatus returns fully-qualified paths (scheme + authority);
     // qualify the base the same way or the prefix never matches
     val qtmp = fs.makeQualified(tmp).toString
+    // aside copies go OUTSIDE the table directory (under the root-level
+    // `<table>__old` transient): an in-table `p_date=…__old` dir would
+    // make partition discovery choke on the unparseable partition value,
+    // leaving the whole table unreadable after a crash mid-swap
+    val asideRoot = new Path(path(table) + "__old")
     partitionDirs(tmp, depth).foreach { tmpPart =>
       val rel = fs.makeQualified(tmpPart).toString
         .stripPrefix(qtmp).stripPrefix("/")
       require(rel.nonEmpty && !rel.contains(":"),
         s"swapPartitionDirs: cannot relativize $tmpPart under $qtmp")
       val live = new Path(s"${path(table)}/$rel")
-      val aside = new Path(live.toString + "__old")
+      val aside = new Path(s"$asideRoot/$rel")
       fs.mkdirs(live.getParent)
+      fs.mkdirs(aside.getParent)
       if (fs.exists(aside)) fs.delete(aside, true)
       val hadLive = fs.exists(live)
       if (hadLive && !fs.rename(live, aside))
@@ -337,8 +343,8 @@ final class Warehouse(spark: SparkSession, location: String) {
         if (hadLive) fs.rename(aside, live)
         sys.error(s"swapPartitionDirs: rename $tmpPart -> $live failed")
       }
-      if (hadLive) fs.delete(aside, true)
     }
+    fs.delete(asideRoot, true)
     fs.delete(tmp, true)
   }
 

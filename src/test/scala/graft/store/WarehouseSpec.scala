@@ -233,6 +233,67 @@ class WarehouseSpec extends SparkSpec {
     assert(!new java.io.File(s"$dir/t__old").exists())
   }
 
+  test("crashed merge self-heals: stale __merge/__old debris can't corrupt the next merge") {
+    val dir = Files.createTempDirectory("graft_wh_mcrash").toString
+    val wh = new Warehouse(spark, dir)
+    wh.createTable("t", schema, uniqueKeys = Seq("id"))
+    wh.append("t", Seq((1L, 1.0), (2L, 2.0)).toDF("id", "v"))
+    // crash mid-merge: a half-written tmp and a leftover aside copy
+    new java.io.File(s"$dir/t__merge").mkdirs()
+    new java.io.File(s"$dir/t__merge/partial.parquet").createNewFile()
+    new java.io.File(s"$dir/t__old").mkdirs()
+    assert(wh.listTables() === Seq("t")) // debris never lists as a table
+    assert(wh.read("t").count() === 2) // live table intact after the crash
+    wh.merge("t", Seq((2L, 20.0), (3L, 30.0)).toDF("id", "v"), Seq("id"))
+    val got = wh.read("t").as[(Long, Double)].collect().sorted.toSeq
+    assert(got === Seq((1L, 1.0), (2L, 20.0), (3L, 30.0)))
+    // the completed merge consumed/removed its own working dirs
+    assert(!new java.io.File(s"$dir/t__merge").exists())
+    assert(!new java.io.File(s"$dir/t__old").exists())
+    assert(wh.vacuum() === Nil)
+  }
+
+  test("crashed partitioned merge: untouched-partition __old debris survives until vacuum") {
+    import java.sql.Timestamp
+    val dir = Files.createTempDirectory("graft_wh_mpcrash").toString
+    val wh = new Warehouse(spark, dir)
+    val tsSchema = StructType(Seq(
+      StructField("id", LongType), StructField("timestamp", TimestampType),
+      StructField("v", DoubleType)))
+    wh.createTable("t", tsSchema, uniqueKeys = Seq("id"),
+      partitionSource = Some("timestamp"))
+    wh.append("t", Seq(
+      (1L, Timestamp.valueOf("2024-01-01 10:00:00"), 1.0),
+      (2L, Timestamp.valueOf("2024-01-02 10:00:00"), 2.0))
+      .toDF("id", "timestamp", "v"))
+    // crash debris: stale merge tmp + an aside copy from an earlier
+    // interrupted swap. Asides live OUTSIDE the table dir (t__old/…) —
+    // an in-table `p_date=…__old` dir would break partition discovery
+    // (unparseable DATE) and take the whole table down with it.
+    new java.io.File(s"$dir/t__merge/p_date=2024-01-05").mkdirs()
+    new java.io.File(s"$dir/t__old/p_date=2024-01-02").mkdirs()
+    new java.io.File(s"$dir/t__old/p_date=2024-01-02/x.parquet").createNewFile()
+    // the table stays fully readable with the debris present
+    assert(wh.read("t").count() === 2)
+    wh.merge("t", Seq((1L, Timestamp.valueOf("2024-01-01 10:00:00"), 10.0))
+      .toDF("id", "timestamp", "v"), Seq("id"))
+    // data correct: day-1 updated, day-2 untouched, and the stale tmp's
+    // phantom day-5 partition did NOT leak into the table
+    val got = wh.read("t").select("id", "v").as[(Long, Double)]
+      .collect().sorted.toSeq
+    assert(got === Seq((1L, 10.0), (2L, 2.0)))
+    assert(!new java.io.File(s"$dir/t/p_date=2024-01-05").exists())
+    // the completed merge consumed every transient, old debris included
+    assert(!new java.io.File(s"$dir/t__merge").exists())
+    assert(!new java.io.File(s"$dir/t__old").exists())
+    assert(wh.vacuum() === Nil)
+    // a replayed merge (same updates) converges to the same state
+    wh.merge("t", Seq((1L, Timestamp.valueOf("2024-01-01 10:00:00"), 10.0))
+      .toDF("id", "timestamp", "v"), Seq("id"))
+    assert(wh.read("t").select("id", "v").as[(Long, Double)]
+      .collect().sorted.toSeq === got)
+  }
+
   test("compactPartitions rewrites only the targeted partition") {
     import org.apache.spark.sql.functions.col
     val dir = Files.createTempDirectory("graft_wh_pc").toString
