@@ -416,8 +416,34 @@ object AggregateQueries {
       .orderBy("event_type")
   }
 
+  /** Distinct-count estimation via the Datasketches HLL pair Spark 4
+    * ships (`hll_sketch_agg` → mergeable sketch, `hll_sketch_estimate`
+    * → number): the sketch form of `count(DISTINCT …)` — O(2^lgK)
+    * partial state per partition, no distinct-key shuffle, and unlike
+    * `approx_count_distinct` the intermediate SKETCH is a value that
+    * can be stored and unioned across days ([`hll_union`]). Contract
+    * oracle: estimate within ±5% of the exact count (lgK=12 → ~1.6%
+    * standard error; 3σ ≈ 4.9%).
+    */
+  val qHllDistinct: QueryDef = QueryDef.sql(
+    "q_hll_distinct",
+    """SELECT count(DISTINCT o_custkey) AS exact_distinct,
+      |  true AS est_ok
+      |FROM orders""".stripMargin,
+    doc = "HLL sketch distinct estimate vs exact truth (contract oracle)") { (s, dir) =>
+    t(s, dir, "orders").agg(
+      countDistinct(col("o_custkey")).as("exact_distinct"),
+      call_function("hll_sketch_estimate",
+        call_function("hll_sketch_agg", col("o_custkey"), lit(12)))
+        .as("hll_est"))
+      .select(col("exact_distinct"),
+        (abs(col("hll_est") - col("exact_distinct")).cast("double")
+          <= lit(0.05) * col("exact_distinct")).as("est_ok"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     qProfileStats, qCollectAgg, qCondRatios, qCaseAgg, qDistinctPairs,
     qSortNullsLast, qPercentiles, qPivot, qMonotonic, qSkewReport,
-    qHistogram, qApproxProfile, qCorrelations, qHeavyHitters, qCmsCounts)
+    qHistogram, qApproxProfile, qCorrelations, qHeavyHitters, qCmsCounts,
+    qHllDistinct)
 }

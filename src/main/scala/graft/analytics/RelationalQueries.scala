@@ -499,9 +499,39 @@ object RelationalQueries {
       .orderBy("src", "dst")
   }
 
+  /** Bloom-pruned scan ([[graft.store.ScaleJoins.bloomPruned]]): a
+    * bloom filter over the click event-ids prunes the full events scan
+    * to candidate matches before any join. Contract oracle for the
+    * bloom guarantees: NO false negatives (every true match survives
+    * the prune — losslessness of the pruned anti/semi-join), and the
+    * false-positive trickle stays under 5× the configured 1% fpp.
+    */
+  val qBloomPrune: QueryDef = QueryDef.sql(
+    "q_bloom_prune",
+    """SELECT count(CASE WHEN event_type = 'click' THEN 1 END) AS n_matches,
+      |  true AS no_false_negatives, true AS fp_ok
+      |FROM events""".stripMargin,
+    doc = "bloom-filter scan pruning vs exact membership (contract oracle)") { (s, dir) =>
+    val ev = t(s, dir, "events")
+    val small = ev.filter(col("event_type") === "click").select(col("event_id"))
+    val kept = graft.store.ScaleJoins.bloomPruned(
+      small, ev, Seq("event_id"), expectedItems = small.count())
+    val keptAgg = kept.agg(
+      count(when(col("event_type") === "click", 1)).as("survived_matches"),
+      count(lit(1)).as("kept_total"))
+    val totals = ev.agg(
+      count(when(col("event_type") === "click", 1)).as("n_matches"),
+      count(lit(1)).as("total"))
+    keptAgg.crossJoin(totals).select(
+      col("n_matches"),
+      (col("survived_matches") === col("n_matches")).as("no_false_negatives"),
+      ((col("kept_total") - col("n_matches")).cast("double")
+        <= lit(0.05) * (col("total") - col("n_matches"))).as("fp_ok"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q1Agg, qScanProject, qFilterIn, qJoinInner, qJoinAnti, qJoinSemi,
     qJoinLeftOuter, qJoinCrossBounds, qJoinTheta, qJoinNullSafe, qJoinUsing,
     qUnionAll, qExcept, qRollup, qCube, qTopK, qWindowRank, qWindowFuncs,
-    qWindowRange, qSubqueryExists, qTransitiveClosure)
+    qWindowRange, qSubqueryExists, qTransitiveClosure, qBloomPrune)
 }
