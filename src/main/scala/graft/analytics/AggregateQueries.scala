@@ -441,9 +441,45 @@ object AggregateQueries {
           <= lit(0.05) * col("exact_distinct")).as("est_ok"))
   }
 
+  /** The pre-aggregated sketch pattern ([[graft.profile.SketchRollup]])
+    * proven in-plan: per-day HLL sketches `hll_union_agg`'d back
+    * together estimate within the lgK=12 error bound of the exact
+    * distinct count, and within that same bound of the one-shot global
+    * sketch. (Not estimate EQUALITY: below the sparse threshold a
+    * direct sketch stays in exact coupon mode while a union result is
+    * promoted to HLL registers — the estimates legitimately differ by
+    * up to the register-mode error, observed at sf0.1's 1500 users.)
+    * This is the identity that lets a 100 TB deployment answer
+    * any-date-range distinct queries from KB-sized day summaries
+    * instead of rescanning history.
+    */
+  val qSketchRollup: QueryDef = QueryDef.sql(
+    "q_sketch_rollup",
+    """SELECT count(DISTINCT user_id) AS exact_users,
+      |  true AS merge_ok, true AS est_ok
+      |FROM events""".stripMargin,
+    doc = "per-day HLL sketches union vs global sketch + bounded estimate (contract oracle)") { (s, dir) =>
+    val ev = t(s, dir, "events")
+    val daily = ev.groupBy(to_date(col("ts")).as("day"))
+      .agg(call_function("hll_sketch_agg", col("user_id"), lit(12)).as("sk"))
+    val unionEst = daily.agg(call_function("hll_sketch_estimate",
+      call_function("hll_union_agg", col("sk"))).as("est_union"))
+    val globals = ev.agg(
+      countDistinct(col("user_id")).as("exact_users"),
+      call_function("hll_sketch_estimate",
+        call_function("hll_sketch_agg", col("user_id"), lit(12)))
+        .as("est_global"))
+    unionEst.crossJoin(globals).select(
+      col("exact_users"),
+      (abs(col("est_union") - col("est_global")).cast("double")
+        <= lit(0.05) * col("exact_users")).as("merge_ok"),
+      (abs(col("est_union") - col("exact_users")).cast("double")
+        <= lit(0.05) * col("exact_users")).as("est_ok"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     qProfileStats, qCollectAgg, qCondRatios, qCaseAgg, qDistinctPairs,
     qSortNullsLast, qPercentiles, qPivot, qMonotonic, qSkewReport,
     qHistogram, qApproxProfile, qCorrelations, qHeavyHitters, qCmsCounts,
-    qHllDistinct)
+    qHllDistinct, qSketchRollup)
 }
