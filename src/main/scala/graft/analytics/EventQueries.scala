@@ -410,7 +410,38 @@ object EventQueries {
       .orderBy("cohort_day", "day_offset")
   }
 
+  /** Forward-fill (LOCF) gap repair + nth_value: click rows' values
+    * are masked to NULL in-plan, then each row carries the user's last
+    * non-null observation forward (`last_value IGNORE NULLS` over a
+    * running frame) — the canonical sensor-gap-fill operator. One
+    * window shuffle on user_id serves both functions; the mask makes
+    * real NULL runs for the fill to bridge regardless of corpus.
+    */
+  val qGapFill: QueryDef = QueryDef.sql(
+    "q_gap_fill",
+    """SELECT event_id, user_id,
+      |  last_value(CASE WHEN event_type = 'click' THEN NULL ELSE value END
+      |    IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled,
+      |  nth_value(event_id, 2) OVER (PARTITION BY user_id
+      |    ORDER BY ts, event_id) AS second_event
+      |FROM events WHERE user_id <= 20
+      |ORDER BY user_id, event_id""".stripMargin,
+    doc = "LOCF forward fill (IGNORE NULLS) + nth_value navigation") { (s, dir) =>
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    t(s, dir, "events")
+      .filter(col("user_id") <= 20)
+      .select(col("event_id"), col("user_id"),
+        last(when(col("event_type") === "click", lit(null))
+          .otherwise(col("value")), ignoreNulls = true)
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .as("filled"),
+        nth_value(col("event_id"), 2).over(w).as("second_event"))
+      .orderBy("user_id", "event_id")
+  }
+
   val all: Seq[QueryDef] = Seq(
     qTimeWindow, qLagGaps, qOverlapSemi, qScalarFuncs, qJsonBuild, qSessionize,
-    qMapFuncs, qAsofJoin, qAsofNearest, qRangeJoin, qFunnel, qRetention)
+    qMapFuncs, qAsofJoin, qAsofNearest, qRangeJoin, qFunnel, qRetention,
+    qGapFill)
 }

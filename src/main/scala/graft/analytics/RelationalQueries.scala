@@ -529,9 +529,62 @@ object RelationalQueries {
         <= lit(0.05) * (col("total") - col("n_matches"))).as("fp_ok"))
   }
 
+  /** Explicit GROUPING SETS — the general form ROLLUP/CUBE specialize:
+    * two independent one-dimension aggregates plus the grand total in
+    * one pass (NOT expressible as either rollup or cube), with
+    * `grouping()` flags disambiguating "null key" from "aggregated-out
+    * key". Spark expands the sets into a single Expand + one
+    * aggregation — one shuffle regardless of how many sets.
+    */
+  val qGroupingSets: QueryDef = QueryDef.sql(
+    "q_grouping_sets",
+    """SELECT o_orderstatus, o_orderpriority,
+      |  CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+      |  CAST(GROUPING(o_orderpriority) AS INT) AS g_prio,
+      |  count(*) AS n,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(20,4))) AS DOUBLE) AS total
+      |FROM orders
+      |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+      |ORDER BY g_status, g_prio,
+      |  o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+    doc = "explicit GROUPING SETS + grouping() flags (beyond rollup/cube)") { (s, dir) =>
+    t(s, dir, "orders")
+      .groupingSets(
+        Seq(Seq(col("o_orderstatus")), Seq(col("o_orderpriority")), Seq.empty),
+        col("o_orderstatus"), col("o_orderpriority"))
+      .agg(grouping(col("o_orderstatus")).cast("int").as("g_status"),
+        grouping(col("o_orderpriority")).cast("int").as("g_prio"),
+        count(lit(1)).as("n"),
+        dsum(col("o_totalprice")).as("total"))
+      .select(col("o_orderstatus"), col("o_orderpriority"),
+        col("g_status"), col("g_prio"), col("n"), col("total"))
+      .orderBy(col("g_status"), col("g_prio"),
+        col("o_orderstatus").asc_nulls_first,
+        col("o_orderpriority").asc_nulls_first)
+  }
+
+  /** INTERSECT ALL — multiset intersection (each user_id kept
+    * min(click-count, purchase-count) times), the bag-semantics
+    * counterpart of [[qExcept]]'s distinct set op. Spark plans a
+    * single count-compare aggregate, not a join explosion.
+    */
+  val qIntersectAll: QueryDef = QueryDef.sql(
+    "q_intersect_all",
+    """SELECT user_id FROM events WHERE event_type = 'click'
+      |INTERSECT ALL
+      |SELECT user_id FROM events WHERE event_type = 'purchase'
+      |ORDER BY user_id""".stripMargin,
+    doc = "INTERSECT ALL multiset set op") { (s, dir) =>
+    val e = t(s, dir, "events")
+    e.filter(col("event_type") === "click").select("user_id")
+      .intersectAll(e.filter(col("event_type") === "purchase").select("user_id"))
+      .orderBy("user_id")
+  }
+
   val all: Seq[QueryDef] = Seq(
     q1Agg, qScanProject, qFilterIn, qJoinInner, qJoinAnti, qJoinSemi,
     qJoinLeftOuter, qJoinCrossBounds, qJoinTheta, qJoinNullSafe, qJoinUsing,
     qUnionAll, qExcept, qRollup, qCube, qTopK, qWindowRank, qWindowFuncs,
-    qWindowRange, qSubqueryExists, qTransitiveClosure, qBloomPrune)
+    qWindowRange, qSubqueryExists, qTransitiveClosure, qBloomPrune,
+    qGroupingSets, qIntersectAll)
 }

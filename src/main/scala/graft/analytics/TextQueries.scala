@@ -415,8 +415,101 @@ object TextQueries {
       .orderBy(col("doc_id"), col("tfidf").desc, col("token"))
   }
 
+  /** C4/Gopher-style quality rules ([[graft.text.QualityRules]]): word
+    * shape, symbol density, bullet/ellipsis structure, duplicate-line
+    * and top-bigram repetition, and the composite keep gate — every
+    * feature re-stated verbatim in the oracle, thresholds applied to
+    * the RAW values on both sides (each feature is one exact integer
+    * sum and one IEEE division, so raw doubles are bit-identical).
+    * Only the top-bigram stat shuffles (keyed (doc, bigram) count with
+    * map-side combine); everything else rides the scan.
+    */
+  val qQualityRules: QueryDef = QueryDef.sql(
+    "q_quality_rules",
+    """WITH base AS (
+      |  SELECT doc_id, text,
+      |    CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+      |         ELSE string_split_regex(trim(text), '\s+') END AS ws,
+      |    list_filter(list_transform(string_split(text, chr(10)), l -> trim(l)),
+      |                l -> l <> '') AS ls
+      |  FROM documents),
+      |feat AS (
+      |  SELECT doc_id,
+      |    CAST(len(ws) AS BIGINT) AS n_words,
+      |    CASE WHEN len(ws) = 0 THEN 0.0
+      |      ELSE list_aggregate(list_transform(ws, w -> length(w)), 'sum')
+      |           / CAST(len(ws) AS DOUBLE) END AS mean_word_len,
+      |    ((length(text) - length(replace(text, '#', '')))
+      |      + (length(text) - length(replace(text, '...', ''))) / 3.0
+      |      + (length(text) - length(replace(text, '…', ''))))
+      |      / CAST(greatest(len(ws), 1) AS DOUBLE) AS symbol_ratio,
+      |    CASE WHEN len(ws) = 0 THEN 0.0
+      |      ELSE len(list_filter(ws, w -> regexp_matches(w, '[A-Za-z]')))
+      |           / CAST(len(ws) AS DOUBLE) END AS alpha_word_frac,
+      |    CASE WHEN len(ls) = 0 THEN 0.0
+      |      ELSE len(list_filter(ls, l -> left(l, 1) IN ('-', '*', '•')))
+      |           / CAST(len(ls) AS DOUBLE) END AS bullet_line_frac,
+      |    CASE WHEN len(ls) = 0 THEN 0.0
+      |      ELSE len(list_filter(ls, l -> ends_with(l, '...') OR ends_with(l, '…')))
+      |           / CAST(len(ls) AS DOUBLE) END AS ellipsis_line_frac,
+      |    CASE WHEN len(ls) = 0 THEN 0.0
+      |      ELSE (len(ls) - len(list_distinct(ls))) / CAST(len(ls) AS DOUBLE)
+      |      END AS dup_line_frac,
+      |    CASE WHEN coalesce(list_aggregate(list_transform(ls, l -> length(l)), 'sum'), 0) = 0
+      |      THEN 0.0
+      |      ELSE (list_aggregate(list_transform(ls, l -> length(l)), 'sum')
+      |            - list_aggregate(list_transform(list_distinct(ls), l -> length(l)), 'sum'))
+      |           / CAST(list_aggregate(list_transform(ls, l -> length(l)), 'sum') AS DOUBLE)
+      |      END AS dup_line_char_frac,
+      |    CASE WHEN len(ws) = 0 THEN 0
+      |      ELSE list_aggregate(list_transform(ws, w -> length(w)), 'sum')
+      |      END AS wchars
+      |  FROM base),
+      |bg AS (
+      |  SELECT doc_id, unnest(list_transform(range(1, len(ws)),
+      |    i -> ws[i] || ' ' || ws[i+1])) AS g
+      |  FROM base WHERE len(ws) >= 2),
+      |bc AS (SELECT doc_id, g, count(*) AS c FROM bg GROUP BY 1, 2),
+      |topb AS (SELECT doc_id, max(c * length(g)) AS top_chars FROM bc GROUP BY 1),
+      |raw AS (
+      |  SELECT f.*,
+      |    coalesce(CAST(top_chars AS DOUBLE) / CAST(wchars AS DOUBLE), 0.0)
+      |      AS top_bigram_char_frac
+      |  FROM feat f LEFT JOIN topb USING (doc_id))
+      |SELECT doc_id, n_words,
+      |  CAST(round(mean_word_len, 6) AS DOUBLE) AS mean_word_len,
+      |  CAST(round(symbol_ratio, 6) AS DOUBLE) AS symbol_ratio,
+      |  CAST(round(alpha_word_frac, 6) AS DOUBLE) AS alpha_word_frac,
+      |  CAST(round(bullet_line_frac, 6) AS DOUBLE) AS bullet_line_frac,
+      |  CAST(round(ellipsis_line_frac, 6) AS DOUBLE) AS ellipsis_line_frac,
+      |  CAST(round(dup_line_frac, 6) AS DOUBLE) AS dup_line_frac,
+      |  CAST(round(dup_line_char_frac, 6) AS DOUBLE) AS dup_line_char_frac,
+      |  CAST(round(top_bigram_char_frac, 6) AS DOUBLE) AS top_bigram_char_frac,
+      |  (n_words BETWEEN 50 AND 100000
+      |   AND mean_word_len BETWEEN 3.0 AND 10.0
+      |   AND symbol_ratio < 0.1 AND alpha_word_frac > 0.8
+      |   AND bullet_line_frac < 0.9 AND ellipsis_line_frac < 0.3
+      |   AND dup_line_frac < 0.3 AND dup_line_char_frac < 0.3
+      |   AND top_bigram_char_frac < 0.2) AS keep
+      |FROM raw ORDER BY doc_id""".stripMargin,
+    doc = "C4/Gopher-style quality rules + keep gate (training-data text ops)") { (s, dir) =>
+    import graft.text.QualityRules
+    QualityRules.qualityStats(t(s, dir, "documents"), "doc_id", "text")
+      .select(col("doc_id"), col("n_words"),
+        round(col("mean_word_len"), 6).cast("double").as("mean_word_len"),
+        round(col("symbol_ratio"), 6).cast("double").as("symbol_ratio"),
+        round(col("alpha_word_frac"), 6).cast("double").as("alpha_word_frac"),
+        round(col("bullet_line_frac"), 6).cast("double").as("bullet_line_frac"),
+        round(col("ellipsis_line_frac"), 6).cast("double").as("ellipsis_line_frac"),
+        round(col("dup_line_frac"), 6).cast("double").as("dup_line_frac"),
+        round(col("dup_line_char_frac"), 6).cast("double").as("dup_line_char_frac"),
+        round(col("top_bigram_char_frac"), 6).cast("double").as("top_bigram_char_frac"),
+        col("keep"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[QueryDef] = Seq(
     qTextTokens, qTextQuality, qTextLangId, qTextFingerprint, qTokenFreq,
     qSelectPipeline, qPackSequences, qTextRedact, qCuratePipeline,
-    qDecontaminate, qTfidf)
+    qDecontaminate, qTfidf, qQualityRules)
 }
