@@ -477,9 +477,41 @@ object AggregateQueries {
         <= lit(0.05) * col("exact_users")).as("est_ok"))
   }
 
+  /** The ADDITIVE pre-aggregation pattern
+    * ([[graft.profile.MetricsRollup]]) proven in-plan with a true
+    * value-equality oracle: per-(day, event_type) count/decimal-sum/
+    * min/max rows re-aggregated over a 15-day subrange must EQUAL the
+    * direct aggregate of the raw rows — exactly, not within a bound,
+    * because counts add, decimal sums add, and min/max compose. The
+    * identity that lets a 100 TB deployment answer any-date-range
+    * dashboard aggregates from day-summary rows instead of rescanning
+    * history ([[qSketchRollup]] is the approximate-family sibling).
+    */
+  val qMetricsRollup: QueryDef = QueryDef.sql(
+    "q_metrics_rollup",
+    """SELECT event_type, count(*) AS n,
+      |  CAST(sum(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS total,
+      |  min(value) AS vmin, max(value) AS vmax,
+      |  CAST(round(CAST(sum(CAST(value AS DECIMAL(30,6))) AS DOUBLE)
+      |    / count(*), 6) AS DOUBLE) AS vavg
+      |FROM events
+      |WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-08' AND DATE '2024-01-22'
+      |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    doc = "additive day-rollup range read == direct aggregate (exact-equality oracle)") { (s, dir) =>
+    import graft.profile.MetricsRollup
+    val rollup = MetricsRollup.dailyMetrics(
+      t(s, dir, "events"), "ts", Seq("event_type"), "value")
+    MetricsRollup.metricsRange(rollup, "2024-01-08", "2024-01-22",
+      Seq("event_type"))
+      .select(col("event_type"), col("n"), col("total"),
+        col("vmin"), col("vmax"),
+        round(col("vavg"), 6).cast("double").as("vavg"))
+      .orderBy("event_type")
+  }
+
   val all: Seq[QueryDef] = Seq(
     qProfileStats, qCollectAgg, qCondRatios, qCaseAgg, qDistinctPairs,
     qSortNullsLast, qPercentiles, qPivot, qMonotonic, qSkewReport,
     qHistogram, qApproxProfile, qCorrelations, qHeavyHitters, qCmsCounts,
-    qHllDistinct, qSketchRollup)
+    qHllDistinct, qSketchRollup, qMetricsRollup)
 }
