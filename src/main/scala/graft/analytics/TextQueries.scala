@@ -508,8 +508,78 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** URL canonicalization + dedup ([[graft.text.UrlNormalize]]): five
+    * planted variants of each page URL — verbatim, SHOUTED host, an
+    * explicit `:443` + trailing slash, `utm_*` tracking params, and
+    * unordered real params + fragment — are canonicalized in-plan; the
+    * first four collapse to one canonical form (dedup keeps the lowest
+    * doc_id), the fifth keeps its sorted real query and stays distinct.
+    * The canonical STRING is the compared value; the oracle restates
+    * every regex/array step verbatim.
+    */
+  val qUrlDedup: QueryDef = QueryDef.sql(
+    "q_url_dedup",
+    """WITH u AS (
+      |  SELECT doc_id,
+      |    CASE CAST(doc_id % 5 AS INT)
+      |      WHEN 0 THEN 'https://example.com/page/' || CAST(doc_id % 50 AS VARCHAR)
+      |      WHEN 1 THEN 'HTTPS://EXAMPLE.COM/page/' || CAST(doc_id % 50 AS VARCHAR)
+      |      WHEN 2 THEN 'https://example.com:443/page/' || CAST(doc_id % 50 AS VARCHAR) || '/'
+      |      WHEN 3 THEN 'https://example.com/page/' || CAST(doc_id % 50 AS VARCHAR)
+      |                  || '?utm_source=feed&utm_campaign=x'
+      |      ELSE 'https://example.com/page/' || CAST(doc_id % 50 AS VARCHAR)
+      |           || '?b=2&a=1#top'
+      |    END AS url
+      |  FROM documents WHERE doc_id < 200),
+      |parts AS (
+      |  SELECT doc_id,
+      |    lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS sch,
+      |    lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) AS hp,
+      |    regexp_replace(regexp_extract(url,
+      |      '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1), '/+$', '') AS pth,
+      |    regexp_extract(url, '\?([^#]*)', 1) AS q
+      |  FROM u),
+      |c AS (
+      |  SELECT doc_id,
+      |    sch || '://' ||
+      |    CASE WHEN sch = 'https' THEN regexp_replace(hp, ':443$', '')
+      |         WHEN sch = 'http' THEN regexp_replace(hp, ':80$', '')
+      |         ELSE hp END || pth ||
+      |    CASE WHEN len(list_filter(string_split(q, '&'),
+      |           p -> p <> '' AND NOT starts_with(p, 'utm_'))) = 0 THEN ''
+      |         ELSE '?' || array_to_string(list_sort(list_filter(
+      |           string_split(q, '&'),
+      |           p -> p <> '' AND NOT starts_with(p, 'utm_'))), '&') END AS canon
+      |  FROM parts)
+      |SELECT doc_id, canon,
+      |  row_number() OVER (PARTITION BY canon ORDER BY doc_id) = 1 AS keep
+      |FROM c ORDER BY doc_id""".stripMargin,
+    doc = "URL canonicalization + dedup over planted variants (web-corpus ops)") { (s, dir) =>
+    import graft.text.UrlNormalize
+    import org.apache.spark.sql.expressions.Window
+    val page = (col("doc_id") % 50).cast("string")
+    val url = when(col("doc_id") % 5 === 0,
+      concat(lit("https://example.com/page/"), page))
+      .when(col("doc_id") % 5 === 1,
+        concat(lit("HTTPS://EXAMPLE.COM/page/"), page))
+      .when(col("doc_id") % 5 === 2,
+        concat(lit("https://example.com:443/page/"), page, lit("/")))
+      .when(col("doc_id") % 5 === 3,
+        concat(lit("https://example.com/page/"), page,
+          lit("?utm_source=feed&utm_campaign=x")))
+      .otherwise(concat(lit("https://example.com/page/"), page,
+        lit("?b=2&a=1#top")))
+    t(s, dir, "documents")
+      .filter(col("doc_id") < 200)
+      .select(col("doc_id"), UrlNormalize.canonicalize(url).as("canon"))
+      .withColumn("keep",
+        row_number().over(
+          Window.partitionBy(col("canon")).orderBy(col("doc_id"))) === 1)
+      .orderBy("doc_id")
+  }
+
   val all: Seq[QueryDef] = Seq(
     qTextTokens, qTextQuality, qTextLangId, qTextFingerprint, qTokenFreq,
     qSelectPipeline, qPackSequences, qTextRedact, qCuratePipeline,
-    qDecontaminate, qTfidf, qQualityRules)
+    qDecontaminate, qTfidf, qQualityRules, qUrlDedup)
 }

@@ -282,6 +282,39 @@ object StreamIngest {
       }
   }
 
+  /** Stream-static enrichment: join each micro-batch against a
+    * dimension table with an explicit broadcast hint — the standard
+    * "decorate events with account/catalog attributes" shape. The
+    * static side is planned ONCE and shipped to executors; no shuffle
+    * touches the stream, so the enriched stream keeps its source
+    * partitioning and watermark. For dimensions that change while the
+    * query runs, re-read them per batch in `foreachBatch` instead — a
+    * static DataFrame is bound at plan time.
+    */
+  def enrichStream(stream: DataFrame, dim: DataFrame, keys: Seq[String],
+      joinType: String = "inner"): DataFrame =
+    stream.join(broadcast(dim), keys, joinType)
+
+  /** Streaming heavy hitters per tumbling window: the mergeable
+    * Space-Saving sketch ([[graft.plans.SpaceSavingTopK]]) as the
+    * aggregation state — O(k) per window in the state store instead of
+    * one state row per distinct key, which is the difference between
+    * bounded and unbounded state when the key is high-cardinality
+    * (URLs, user ids) at 100 TB/day. Emits on window close (append
+    * mode): one row per surviving counter with the `est − err ≤ true ≤
+    * est` guarantee; exact while distinct keys in the window ≤ k.
+    */
+  def windowedTopK(df: DataFrame, timeCol: String, keyCol: String, k: Int,
+      windowLen: String = "1 hour",
+      watermarkDelay: String = "30 minutes"): DataFrame =
+    df.withWatermark(timeCol, watermarkDelay)
+      .groupBy(window(col(timeCol), windowLen))
+      .agg(call_function("space_saving_topk", col(keyCol), lit(k)).as("tops"))
+      .select(col("window.start").as("window_start"),
+        explode(col("tops")).as("e"))
+      .select(col("window_start"), col("e.key").as("key"),
+        col("e.est").as("est"), col("e.err").as("err"))
+
   /** Run a streaming transform one-shot into an in-memory table and
     * return its rows — the harness used by specs and quick inspection
     * (complete/append per `outputMode`).
