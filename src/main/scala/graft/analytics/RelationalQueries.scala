@@ -581,10 +581,94 @@ object RelationalQueries {
       .orderBy("user_id")
   }
 
+  /** TPC-H Q3 shape (shipping priority): the selective-filters-first
+    * 3-way join + grouped revenue + top-10. The plan property that
+    * matters at 100 TB: BOTH date filters and the segment filter reach
+    * their parquet scans (literal comparisons on raw columns, never
+    * casts of the column), so the join inputs are pre-shrunk; the
+    * top-10 runs as TakeOrderedAndProject (per-partition k, no global
+    * sort). Neither customer nor lineitem is broadcast — both scale
+    * with SF; AQE picks the build side locally.
+    */
+  val qTpchQ3: QueryDef = QueryDef.sql(
+    "q_tpch_q3",
+    s"""SELECT l_orderkey,
+      |  ${dsumSql("l_extendedprice * (1 - l_discount)")} AS revenue,
+      |  o_orderdate, o_orderpriority
+      |FROM customer
+      |JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON l_orderkey = o_orderkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |  AND o_orderdate < TIMESTAMP '1998-06-01'
+      |  AND l_shipdate > TIMESTAMP '1998-06-01'
+      |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+      |ORDER BY revenue DESC, o_orderdate, l_orderkey LIMIT 10""".stripMargin,
+    doc = "TPC-H Q3 shape: selective 3-way join + grouped top-10") { (s, dir) =>
+    val cust = t(s, dir, "customer")
+      .filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+    val ord = t(s, dir, "orders")
+      .filter(col("o_orderdate") < lit("1998-06-01").cast("timestamp"))
+      .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    val li = t(s, dir, "lineitem")
+      .filter(col("l_shipdate") > lit("1998-06-01").cast("timestamp"))
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+    cust.join(ord, cust("c_custkey") === ord("o_custkey"))
+      .join(li, col("o_orderkey") === li("l_orderkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .as("revenue"))
+      .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+      .orderBy(col("revenue").desc, col("o_orderdate"), col("l_orderkey"))
+      .limit(10)
+  }
+
+  /** TPC-H Q5 shape (local supplier volume): the 6-way join with the
+    * customer-nation = supplier-nation locality predicate. nation and
+    * region are FIXED-cardinality dimensions (25/5 rows at any SF) —
+    * explicitly broadcast; every other join shuffles on its key.
+    */
+  val qTpchQ5: QueryDef = QueryDef.sql(
+    "q_tpch_q5",
+    s"""SELECT n_name,
+      |  ${dsumSql("l_extendedprice * (1 - l_discount)")} AS revenue
+      |FROM customer
+      |JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON l_orderkey = o_orderkey
+      |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |WHERE r_name = 'ASIA'
+      |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+      |  AND o_orderdate < TIMESTAMP '1997-01-01'
+      |GROUP BY n_name
+      |ORDER BY revenue DESC, n_name""".stripMargin,
+    doc = "TPC-H Q5 shape: 6-way join with locality predicate + broadcast dims") { (s, dir) =>
+    val cust = t(s, dir, "customer").select("c_custkey", "c_nationkey")
+    val ord = t(s, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+      .select("o_orderkey", "o_custkey")
+    val li = t(s, dir, "lineitem")
+      .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+    val sup = t(s, dir, "supplier").select("s_suppkey", "s_nationkey")
+    val nat = t(s, dir, "nation")
+    val reg = t(s, dir, "region").filter(col("r_name") === "ASIA")
+    cust.join(ord, cust("c_custkey") === ord("o_custkey"))
+      .join(li, col("o_orderkey") === li("l_orderkey"))
+      .join(sup, li("l_suppkey") === sup("s_suppkey") &&
+        cust("c_nationkey") === sup("s_nationkey"))
+      .join(broadcast(nat), sup("s_nationkey") === nat("n_nationkey"))
+      .join(broadcast(reg), nat("n_regionkey") === reg("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q1Agg, qScanProject, qFilterIn, qJoinInner, qJoinAnti, qJoinSemi,
     qJoinLeftOuter, qJoinCrossBounds, qJoinTheta, qJoinNullSafe, qJoinUsing,
     qUnionAll, qExcept, qRollup, qCube, qTopK, qWindowRank, qWindowFuncs,
     qWindowRange, qSubqueryExists, qTransitiveClosure, qBloomPrune,
-    qGroupingSets, qIntersectAll)
+    qGroupingSets, qIntersectAll, qTpchQ3, qTpchQ5)
 }

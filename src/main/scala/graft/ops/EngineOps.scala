@@ -57,6 +57,33 @@ object EngineOps {
     h
   }
 
+  /** In-flight data-quality metrics via `Dataset.observe`: named
+    * aggregates computed DURING the action that already runs — zero
+    * extra jobs, zero extra scans — and collected from the listener
+    * after it completes. The 100 TB form of "count the nulls while you
+    * load" (a separate validation pass over the corpus is a second
+    * full read). Returns the observed DataFrame plus a fetcher that
+    * yields the metrics row once an action has executed.
+    */
+  final class ObservedMetrics(name: String) extends QueryExecutionListener {
+    @volatile private var last: Option[org.apache.spark.sql.Row] = None
+    override def onSuccess(funcName: String, qe: QueryExecution,
+        durationNs: Long): Unit =
+      qe.observedMetrics.get(name).foreach(r => last = Some(r))
+    override def onFailure(funcName: String, qe: QueryExecution,
+        exception: Exception): Unit = ()
+    def metrics: Option[org.apache.spark.sql.Row] = last
+  }
+
+  def observed(df: DataFrame, name: String,
+      metrics: Map[String, org.apache.spark.sql.Column]): (DataFrame, ObservedMetrics) = {
+    require(metrics.nonEmpty, "observe needs at least one metric")
+    val listener = new ObservedMetrics(name)
+    df.sparkSession.listenerManager.register(listener)
+    val cols = metrics.map { case (n, c) => c.as(n) }.toSeq
+    (df.observe(name, cols.head, cols.tail: _*), listener)
+  }
+
   /** Result caching (reference lru_cache of SELECT results,
     * `postgres_manager.py:594-631`) → Spark's own cache manager, keyed
     * by plan (so any equivalent DataFrame hits it).

@@ -79,4 +79,24 @@ class EngineOpsSpec extends SparkSpec {
     val u = EngineOps.keySkewReport(uni, "k", topN = 1).collect().head
     assert(u.getAs[Double]("skew_factor") === 1.0)
   }
+
+  test("observed metrics ride the action: null counts with no extra job") {
+    val df = Seq(("a", Some(1.0)), ("b", None), ("c", Some(3.0)),
+      ("d", None)).toDF("k", "v")
+    val (obs, listener) = EngineOps.observed(df, "load_quality", Map(
+      "n_rows" -> count(lit(1)),
+      "n_null_v" -> count(when($"v".isNull, 1)),
+      "v_min" -> min($"v")))
+    try {
+      // ONE action; the metrics are computed inside it
+      assert(obs.count() === 4)
+      val deadline = System.currentTimeMillis() + 10000
+      while (listener.metrics.isEmpty && System.currentTimeMillis() < deadline)
+        Thread.sleep(100)
+      val m = listener.metrics.get
+      assert(m.getAs[Long]("n_rows") === 4L)
+      assert(m.getAs[Long]("n_null_v") === 2L)
+      assert(m.getAs[Double]("v_min") === 1.0)
+    } finally spark.listenerManager.unregister(listener)
+  }
 }
