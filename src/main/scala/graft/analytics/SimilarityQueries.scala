@@ -178,6 +178,33 @@ object SimilarityQueries {
       .orderBy("query_id")
   }
 
+  /** Group centroids ([[graft.sim.Similarity.meanVectorComponents]]):
+    * per-label element-wise mean embedding — the class-prototype /
+    * k-means-M-step primitive, decimal-exact so it hash-verifies.
+    * 10 labels × 64 dims at every SF; the oracle zips `unnest` with
+    * `generate_subscripts` (DuckDB's positional explode) and states
+    * the identical decimal-sum mean.
+    */
+  val qEmbedCentroid: QueryDef = QueryDef.sql(
+    "q_embed_centroid",
+    """SELECT label, CAST(pos AS INT) AS pos, n,
+      |  CAST(round(CAST(s AS DOUBLE) / n, 6) AS DOUBLE) AS mean
+      |FROM (
+      |  SELECT label, pos, count(*) AS n,
+      |    sum(CAST(CAST(v AS DOUBLE) AS DECIMAL(27,10))) AS s
+      |  FROM (SELECT label, unnest(embedding) AS v,
+      |          generate_subscripts(embedding, 1) - 1 AS pos
+      |        FROM embeddings)
+      |  GROUP BY 1, 2)
+      |ORDER BY label, pos""".stripMargin,
+    doc = "per-label embedding centroids, decimal-exact (class prototypes)") { (s, dir) =>
+    graft.sim.Similarity.meanVectorComponents(
+        t(s, dir, "embeddings"), "label", "embedding")
+      .select(col("label"), col("pos"), col("n"),
+        round(col("mean"), 6).cast("double").as("mean"))
+      .orderBy("label", "pos")
+  }
+
   val all: Seq[QueryDef] = Seq(qSimTopK, qSimLsh, qSimIvf, qQuantize,
-    qSimQuantized)
+    qSimQuantized, qEmbedCentroid)
 }

@@ -578,8 +578,51 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** Duplicate word-3-gram character fraction
+    * ([[graft.text.QualityRules.dupNgramCharFraction]]) — the
+    * Gopher-family repetition measure that catches phrase-level
+    * looping the bigram max misses. n=3 because the synthetic corpus
+    * has a tiny vocabulary (real corpora use 5–10; identical plan).
+    * Docs with fewer than 3 words surface as 0.0 via the left join.
+    */
+  val qQualityRepetition: QueryDef = QueryDef.sql(
+    "q_quality_repetition",
+    """WITH w AS (
+      |  SELECT doc_id,
+      |    CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+      |         ELSE string_split_regex(trim(text), '\s+') END AS ws
+      |  FROM documents),
+      |g AS (
+      |  SELECT doc_id, unnest(list_transform(range(1, len(ws) - 1),
+      |    i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS g
+      |  FROM w WHERE len(ws) >= 3),
+      |c AS (SELECT doc_id, g, count(*) AS c FROM g GROUP BY 1, 2),
+      |f AS (
+      |  SELECT doc_id,
+      |    sum((c - 1) * length(g)) / CAST(sum(c * length(g)) AS DOUBLE)
+      |      AS frac
+      |  FROM c GROUP BY 1)
+      |SELECT d.doc_id,
+      |  CAST(round(coalesce(frac, 0.0), 6) AS DOUBLE) AS dup_ngram_char_frac,
+      |  coalesce(frac, 0.0) > 0.3 AS repetitive
+      |FROM documents d LEFT JOIN f USING (doc_id)
+      |ORDER BY doc_id""".stripMargin,
+    doc = "duplicate word-3-gram char fraction (Gopher-family repetition)") { (s, dir) =>
+    import graft.text.QualityRules
+    val docs = t(s, dir, "documents")
+    val dup = QualityRules.dupNgramCharFraction(docs, "doc_id", "text", n = 3)
+    docs.select(col("doc_id"))
+      .join(dup, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        round(coalesce(col("dup_ngram_char_frac"), lit(0.0)), 6)
+          .cast("double").as("dup_ngram_char_frac"),
+        (coalesce(col("dup_ngram_char_frac"), lit(0.0)) > 0.3)
+          .as("repetitive"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[QueryDef] = Seq(
     qTextTokens, qTextQuality, qTextLangId, qTextFingerprint, qTokenFreq,
     qSelectPipeline, qPackSequences, qTextRedact, qCuratePipeline,
-    qDecontaminate, qTfidf, qQualityRules, qUrlDedup)
+    qDecontaminate, qTfidf, qQualityRules, qUrlDedup, qQualityRepetition)
 }

@@ -84,6 +84,40 @@ object EngineOps {
     (df.observe(name, cols.head, cols.tail: _*), listener)
   }
 
+  /** Pre-flight join-size estimate from HLL sketches — run BEFORE
+    * keying a 100 TB shuffle, like [[keySkewReport]]. Each side is one
+    * sketch-aggregating scan (no shuffle, KB of state); the key
+    * overlap comes from inclusion–exclusion over the unioned sketches
+    * (|A∩B| ≈ dL + dR − dU, clamped at 0), and the output-row estimate
+    * multiplies the overlap by each side's mean rows-per-key — exact
+    * for uniform multiplicity, an explicit assumption surfaced in the
+    * column name. Columns: rows_l/r, distinct_l/r, est_overlap_keys,
+    * est_join_rows_uniform.
+    */
+  def estimateJoinCardinality(lhs: DataFrame, rhs: DataFrame,
+      leftKey: String, rightKey: String, lgK: Int = 12): DataFrame = {
+    import org.apache.spark.sql.functions._
+    def side(df: DataFrame, key: String, tag: String) =
+      df.agg(count(lit(1)).as(s"rows_$tag"),
+        call_function("hll_sketch_agg", col(key), lit(lgK)).as(s"__sk_$tag"))
+    side(lhs, leftKey, "l").crossJoin(side(rhs, rightKey, "r"))
+      .select(col("rows_l"), col("rows_r"),
+        call_function("hll_sketch_estimate", col("__sk_l")).as("distinct_l"),
+        call_function("hll_sketch_estimate", col("__sk_r")).as("distinct_r"),
+        call_function("hll_sketch_estimate",
+          call_function("hll_union", col("__sk_l"), col("__sk_r")))
+          .as("__distinct_u"))
+      .select(col("rows_l"), col("rows_r"), col("distinct_l"),
+        col("distinct_r"),
+        greatest(col("distinct_l") + col("distinct_r") - col("__distinct_u"),
+          lit(0L)).as("est_overlap_keys"),
+        round(greatest(col("distinct_l") + col("distinct_r")
+            - col("__distinct_u"), lit(0L)).cast("double")
+          * (col("rows_l") / greatest(col("distinct_l"), lit(1L)))
+          * (col("rows_r") / greatest(col("distinct_r"), lit(1L))))
+          .cast("long").as("est_join_rows_uniform"))
+  }
+
   /** Result caching (reference lru_cache of SELECT results,
     * `postgres_manager.py:594-631`) → Spark's own cache manager, keyed
     * by plan (so any equivalent DataFrame hits it).

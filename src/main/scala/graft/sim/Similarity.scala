@@ -139,19 +139,33 @@ object Similarity {
       .withColumnRenamed("__sim", "centroid_sim")
   }
 
+  /** Flat per-(key, position) mean components of an array column —
+    * the group-centroid / class-prototype / k-means-M-step primitive.
+    * Sums go through DECIMAL so the mean is independent of partial-
+    * aggregation order (an IEEE double sum is not), which is what
+    * makes the result hash-verifiable and run-to-run stable. One
+    * map-side-combining shuffle on (key, pos); vectors never
+    * concentrate on one task. Output: (key, pos, n, mean).
+    */
+  def meanVectorComponents(df: DataFrame, keyCol: String,
+      vecCol: String): DataFrame =
+    df.select(col(keyCol), posexplode(col(vecCol)).as(Seq("pos", "__x")))
+      .groupBy(col(keyCol), col("pos"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("__x").cast("double").cast("decimal(27,10)")).as("__s"))
+      .select(col(keyCol), col("pos"), col("n"),
+        (col("__s").cast("double") / col("n").cast("double")).as("mean"))
+
   /** Per-key element-wise mean of an array column: posexplode →
-    * (key, pos) partial avgs → re-assembled in position order. Both
-    * aggregations are map-side-combining shuffles on small keys; the
-    * vectors themselves never concentrate on one task.
+    * (key, pos) decimal-exact partial means ([[meanVectorComponents]])
+    * → re-assembled in position order.
     */
   def meanVectors(df: DataFrame, keyCol: String, vecCol: String): DataFrame =
-    df.select(col(keyCol), posexplode(col(vecCol)).as(Seq("__pos", "__x")))
-      .groupBy(col(keyCol), col("__pos"))
-      .agg(avg(col("__x").cast("double")).as("__mx"))
+    meanVectorComponents(df, keyCol, vecCol)
       .groupBy(col(keyCol))
       .agg(transform(
-        array_sort(collect_list(struct(col("__pos"), col("__mx")))),
-        e => e.getField("__mx")).as("centroid_vec"))
+        array_sort(collect_list(struct(col("pos"), col("mean")))),
+        e => e.getField("mean")).as("centroid_vec"))
 
   /** Distributed Lloyd's k-means for IVF coarse centroids: seed from
     * the k lowest-id vectors (deterministic), then `iters` rounds of

@@ -138,6 +138,33 @@ object QualityRules {
           .as("top_bigram_char_frac"))
   }
 
+  /** Per-document duplicate word-n-gram character fraction (the
+    * Gopher-family "fraction of characters in duplicate n-grams"):
+    * chars in n-gram occurrences beyond each gram's first, over total
+    * n-gram chars. Same explode → map-side-combined (doc, gram) count
+    * shuffle as [[topBigramCharFraction]]; same arrays-would-be-O(n²)
+    * reasoning. Output: (idCol, dup_ngram_char_frac), one row per doc
+    * with ≥ n words — join back and coalesce(0.0).
+    */
+  def dupNgramCharFraction(df: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame = {
+    require(n >= 2, "dupNgramCharFraction needs n >= 2")
+    val ws = words(col(textCol))
+    df.select(col(idCol), ws.as("__ws"))
+      .filter(size(col("__ws")) >= n)
+      .select(col(idCol),
+        explode(transform(sequence(lit(0), size(col("__ws")) - n),
+          i => concat_ws(" ", slice(col("__ws"), i + 1, lit(n))))).as("__g"))
+      .groupBy(col(idCol), col("__g"))
+      .agg(count(lit(1)).as("__c"))
+      .groupBy(col(idCol))
+      .agg(sum((col("__c") - 1) * length(col("__g"))).as("__dup_chars"),
+        sum(col("__c") * length(col("__g"))).as("__all_chars"))
+      .select(col(idCol),
+        (col("__dup_chars").cast("double") / col("__all_chars").cast("double"))
+          .as("dup_ngram_char_frac"))
+  }
+
   /** All quality features for each document, plus the composite `keep`
     * gate evaluated on the RAW (unrounded) feature values — the
     * C4/Gopher-style accept decision. Thresholds are the published

@@ -80,6 +80,23 @@ class EngineOpsSpec extends SparkSpec {
     assert(u.getAs[Double]("skew_factor") === 1.0)
   }
 
+  test("join cardinality estimate tracks the true join size on planted overlap") {
+    // left keys 0..9999 ×2 rows each; right keys 5000..14999 ×3 rows each
+    // overlap 5000 keys -> true join rows = 5000 × 2 × 3 = 30000
+    val left = spark.range(0, 20000).select(($"id" % 10000).as("lk"))
+    val right = spark.range(0, 30000).select((($"id" % 10000) + 5000).as("rk"))
+    val est = EngineOps.estimateJoinCardinality(left, right, "lk", "rk")
+      .collect().head
+    assert(est.getAs[Long]("rows_l") === 20000L)
+    val overlap = est.getAs[Long]("est_overlap_keys")
+    assert(math.abs(overlap - 5000L) <= 500, s"overlap est $overlap")
+    val joinEst = est.getAs[Long]("est_join_rows_uniform")
+    val trueRows = left.join(right, $"lk" === $"rk").count()
+    assert(trueRows === 30000L)
+    assert(math.abs(joinEst - trueRows) <= 0.15 * trueRows,
+      s"join size est $joinEst vs true $trueRows")
+  }
+
   test("observed metrics ride the action: null counts with no extra job") {
     val df = Seq(("a", Some(1.0)), ("b", None), ("c", Some(3.0)),
       ("d", None)).toDF("k", "v")

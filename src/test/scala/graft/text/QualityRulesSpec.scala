@@ -80,6 +80,19 @@ class QualityRulesSpec extends SparkSpec {
     assert(loose.getAs[Boolean]("keep"))
   }
 
+  test("dup n-gram char fraction: looped phrase detected, clean prose near zero") {
+    val loop = Seq.fill(20)("we offer the best deal in town").mkString(" ")
+    val df = Seq((1L, loop), (2L, prose), (3L, "one two")).toDF("id", "text")
+    val m = QualityRules.dupNgramCharFraction(df, "id", "text", n = 3)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(m(1L) > 0.9)            // every 3-gram repeats ~20x
+    assert(m(2L) > 0.7)            // prose fixture is itself a 5x loop
+    assert(!m.contains(3L))        // < 3 words -> no row (caller coalesces)
+    val one = Seq((9L, "alpha beta gamma delta")).toDF("id", "text")
+    assert(QualityRules.dupNgramCharFraction(one, "id", "text", 3)
+      .collect().head.getDouble(1) === 0.0) // all grams unique
+  }
+
   test("repetition stats stay expression-only; bigram stat is the one shuffle") {
     val df = Seq((1L, prose)).toDF("id", "text")
     val plan = QualityRules.qualityStats(df, "id", "text")
