@@ -460,6 +460,48 @@ final class Warehouse(spark: SparkSession, location: String) {
     all.map(_.toString)
   }
 
+  /** Write-audit-publish: land `df` in a staging directory, evaluate
+    * boolean AGGREGATE checks over the staged files (one job — e.g.
+    * `count(lit(1)) > 1000`, `count(when(col("v").isNull, 1)) === 0`),
+    * and only on all-green atomically swap the stage into the live
+    * name (same rename dance as [[compact]] — the table is never
+    * missing and never half-written). On any red check the stage is
+    * discarded and the LIVE TABLE IS UNTOUCHED — the property that
+    * matters when a bad upstream batch would otherwise corrupt a
+    * 100 TB table consumers are reading. Returns the failed check
+    * names (empty = published).
+    */
+  def writeAudited(table: String, df: DataFrame,
+      checks: Map[String, org.apache.spark.sql.Column]): Seq[String] = {
+    require(checks.nonEmpty, "writeAudited needs at least one check")
+    val stage = new Path(path(table) + "__stage")
+    if (fs.exists(stage)) fs.delete(stage, true) // prior crash debris
+    df.write.mode(SaveMode.Overwrite).parquet(stage.toString)
+    // audit the files that would go live, not the input plan — this
+    // also catches write-path corruption, not just bad data
+    val staged = spark.read.parquet(stage.toString)
+    val named = checks.toSeq
+    val row = staged.agg(named.head._2.as(named.head._1),
+      named.tail.map { case (n, c) => c.as(n) }: _*).collect().head
+    val failed = named.map(_._1).filterNot(row.getAs[Boolean])
+    if (failed.nonEmpty) {
+      fs.delete(stage, true)
+      return failed
+    }
+    val cur = new Path(path(table))
+    val old = new Path(path(table) + "__old")
+    if (fs.exists(old)) fs.delete(old, true)
+    if (fs.exists(cur) && !fs.rename(cur, old))
+      sys.error(s"writeAudited: rename $cur -> $old failed")
+    if (!fs.rename(stage, cur)) {
+      if (fs.exists(old)) fs.rename(old, cur)
+      sys.error(s"writeAudited: rename $stage -> $cur failed")
+    }
+    fs.delete(old, true)
+    writeSchema(table, df.schema)
+    Nil
+  }
+
   /** Backup analogue (`create_backup`, `postgres_manager.py:657-675`):
     * export every table to parquet under `targetDir` (the embedded-
     * engine replacement for pg_dump noted in SURVEY §2.1 S16).
@@ -560,7 +602,8 @@ object Warehouse {
 
   /** Working-dir suffixes of the crash-safe swap dances — hidden from
     * [[Warehouse.listTables]], removed by [[Warehouse.vacuum]]. */
-  val TransientSuffixes: Seq[String] = Seq("__compact", "__old", "__merge")
+  val TransientSuffixes: Seq[String] =
+    Seq("__compact", "__old", "__merge", "__stage")
 
   /** Frame-level SCD1 merge: `updates` rows win over `existing` rows
     * with the same key; unmatched existing rows survive, unmatched
