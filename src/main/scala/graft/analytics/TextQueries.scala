@@ -621,8 +621,71 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** Token-window chunking ([[graft.text.Chunker]]): 64-token chunks
+    * with 16-token overlap (stride 48) — the splitter feeding context
+    * windows / passage retrieval. Map-only (explode is the sole row
+    * multiplier, no shuffle). The chunk TEXT is the compared value;
+    * the oracle mirrors the start sequence and inclusive list slices.
+    */
+  val qChunkTokens: QueryDef = QueryDef.sql(
+    "q_chunk_tokens",
+    """WITH w AS (
+      |  SELECT doc_id,
+      |    CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+      |         ELSE string_split_regex(trim(text), '\s+') END AS ws
+      |  FROM documents WHERE doc_id < 100),
+      |n AS (
+      |  SELECT doc_id, ws, len(ws) AS n,
+      |    CASE WHEN len(ws) <= 64 THEN 1
+      |         ELSE 1 + CAST(ceil((len(ws) - 64) / CAST(48 AS DOUBLE)) AS INT)
+      |    END AS nc
+      |  FROM w),
+      |c AS (SELECT doc_id, unnest(range(0, nc)) AS ci, ws, n FROM n)
+      |SELECT doc_id, CAST(ci AS INT) AS chunk_idx,
+      |  array_to_string(ws[ci*48 + 1 : ci*48 + 64], ' ') AS chunk_text,
+      |  CAST(greatest(least(64, n - ci*48), 0) AS INT) AS n_tokens
+      |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
+    doc = "token-window chunking with overlap (context/passage splitter)") { (s, dir) =>
+    graft.text.Chunker.chunkByTokens(
+        t(s, dir, "documents").filter(col("doc_id") < 100),
+        "doc_id", "text", maxTokens = 64, overlap = 16)
+      .orderBy("doc_id", "chunk_idx")
+  }
+
+  /** Reproducible train/val/test split
+    * ([[graft.profile.Sampling.deterministicSplit]]): Knuth
+    * multiplicative hash bucket in 16-bit limbs — every intermediate
+    * fits signed 64-bit, so the DuckDB oracle computes the IDENTICAL
+    * bucket with plain BIGINT arithmetic (full value equality, not a
+    * proportions contract). Stable across runs/engines/partitionings;
+    * re-running on a grown corpus never moves an existing id.
+    */
+  val qSplitHash: QueryDef = QueryDef.sql(
+    "q_split_hash",
+    """SELECT doc_id, bucket,
+      |  CASE WHEN bucket < 80 THEN 'train'
+      |       WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split
+      |FROM (
+      |  SELECT doc_id,
+      |    ((((x // 65536) * 2654435761) % 4294967296) * 65536
+      |      + (x % 65536) * 2654435761) % 4294967296 % 100 AS bucket
+      |  FROM (SELECT doc_id,
+      |          ((doc_id % 4294967296) + 4294967296) % 4294967296 AS x
+      |        FROM documents))
+      |ORDER BY doc_id""".stripMargin,
+    doc = "deterministic hash split train/val/test (reproducible splits)") { (s, dir) =>
+    import graft.profile.Sampling
+    Sampling.deterministicSplit(
+        t(s, dir, "documents").select(col("doc_id")),
+        "doc_id", Seq("train" -> 80, "val" -> 10, "test" -> 10))
+      .select(col("doc_id"),
+        Sampling.hashBucket(col("doc_id")).as("bucket"), col("split"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[QueryDef] = Seq(
     qTextTokens, qTextQuality, qTextLangId, qTextFingerprint, qTokenFreq,
     qSelectPipeline, qPackSequences, qTextRedact, qCuratePipeline,
-    qDecontaminate, qTfidf, qQualityRules, qUrlDedup, qQualityRepetition)
+    qDecontaminate, qTfidf, qQualityRules, qUrlDedup, qQualityRepetition,
+    qChunkTokens, qSplitHash)
 }

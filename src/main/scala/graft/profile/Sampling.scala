@@ -1,6 +1,6 @@
 package graft.profile
 
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -144,5 +144,44 @@ object Sampling {
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") <= quotaCol)
       .drop("__rn")
+  }
+
+  /** Multiplicative hash bucket in [0, 100) for a 64-bit id — the
+    * basis of reproducible train/val/test splits: stable across runs,
+    * engines and partitionings (unlike `rand()`), uncorrelated with id
+    * ordering (unlike `id % 100`, which stripes any id-correlated
+    * structure straight into the splits). Knuth's 2654435761
+    * multiplier mod 2^32, computed in 16-bit limbs so every
+    * intermediate fits a signed 64-bit int — ANSI mode (overflow
+    * throws) and any engine with plain BIGINT arithmetic, e.g. the
+    * DuckDB oracle, evaluate it bit-identically.
+    */
+  def hashBucket(id: Column): Column = {
+    val m = 4294967296L // 2^32
+    val c = 2654435761L
+    val x = ((id % m) + m) % m // low 32 bits, non-negative
+    val a = (x / 65536).cast("long") // high 16
+    val b = x % 65536 // low 16
+    ((((a * c) % m) * 65536 + b * c) % m) % 100
+  }
+
+  /** Deterministic percentage split: `splits` are (name, percent)
+    * pairs summing to 100; a row lands in the split whose cumulative
+    * range contains its [[hashBucket]]. Pure per-row arithmetic — no
+    * shuffle, no state, and re-running on a grown corpus never moves
+    * an existing id between splits.
+    */
+  def deterministicSplit(df: DataFrame, idCol: String,
+      splits: Seq[(String, Int)]): DataFrame = {
+    require(splits.nonEmpty && splits.forall(_._2 > 0) &&
+      splits.map(_._2).sum == 100,
+      s"split percents must be positive and sum to 100: $splits")
+    val bucket = hashBucket(col(idCol))
+    val cuts = splits.scanLeft(0) { case (acc, (_, p)) => acc + p }.tail
+    val assigned = splits.zip(cuts).reverse.foldLeft(lit(splits.last._1)) {
+      case (acc, ((name, _), cut)) =>
+        when(bucket < cut, lit(name)).otherwise(acc)
+    }
+    df.withColumn("split", assigned)
   }
 }
