@@ -156,10 +156,11 @@ object Dedup {
     * from the same capped LSH band buckets as [[minHashNearDupPairs]],
     * but pairs are generated only where at least one side is new:
     * new×new (ordered) plus new×corpus. The corpus contributes one
-    * (id, band) tuple stream — at production scale band tuples are
-    * computed once and persisted (they are 16 longs per doc; store
-    * them in a [[graft.store.Warehouse]] table keyed by band), so the
-    * per-batch cost is banding the batch plus one equi-join.
+    * (id, band) tuple stream; [[DedupIndex]] is the persisted form —
+    * band tuples and shingle sets stored in warehouse tables, scans
+    * bloom-pruned by the batch — so the per-batch cost is banding the
+    * batch plus two pruned joins (DedupIndexSpec proves pair-for-pair
+    * equality with this method).
     *
     * Returns ascending-normalized (id_a, id_b, jaccard) with
     * jaccard ≥ threshold, where at least one id is from `newDocs`.
