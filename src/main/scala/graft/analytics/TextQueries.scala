@@ -683,9 +683,51 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** One-pass corpus report ([[graft.text.CorpusReport]]): volume,
+    * token mass, language spread, exact-dup rate and quality pass rate
+    * as ONE aggregation over ONE scan — the curator's before/after
+    * dashboard row. Every metric reuses a formula already mirrored and
+    * hash-verified by its own query above; this pins their composition
+    * into a single plan.
+    */
+  val qCorpusReport: QueryDef = QueryDef.sql(
+    "q_corpus_report",
+    """WITH f AS (
+      |  SELECT lang,
+      |    len(string_split_regex(trim(text), '\s+')) AS toks,
+      |    length(regexp_replace(trim(text), '\s+', '', 'g')) AS chars,
+      |    regexp_replace(regexp_replace(lower(text), '[[:punct:]]', '', 'g'),
+      |      '\s+', ' ', 'g') AS norm,
+      |    least(length(text) / 500.0, 1.0) * 0.25 +
+      |    greatest(0.0, 1.0 - (CASE WHEN length(text) = 0 THEN 0.0
+      |      ELSE (length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')))
+      |           / CAST(length(text) AS DOUBLE) END) * 5.0) * 0.25 +
+      |    (CASE WHEN length(regexp_replace(trim(text), '\s+', '', 'g'))
+      |        / CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE)
+      |        BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END) * 0.25 +
+      |    least(len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+      |        tk -> tk IN ('the','a','an','and','or','of','to','in','is','are',
+      |                    'was','it','that','this','for','on','with','as','at','by')))
+      |      / CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS DOUBLE)
+      |      * 4.0, 1.0) * 0.25 AS quality
+      |  FROM documents)
+      |SELECT count(*) AS n_docs,
+      |  sum(toks) AS total_tokens,
+      |  CAST(round(sum(chars) / CAST(sum(toks) AS DOUBLE), 6) AS DOUBLE)
+      |    AS mean_token_len,
+      |  count(DISTINCT lang) AS n_langs,
+      |  CAST(round(1.0 - count(DISTINCT norm) / CAST(count(*) AS DOUBLE), 6)
+      |    AS DOUBLE) AS dup_rate,
+      |  CAST(round(count(CASE WHEN round(quality, 6) >= 0.5 THEN 1 END)
+      |    / CAST(count(*) AS DOUBLE), 6) AS DOUBLE) AS quality_pass_rate
+      |FROM f""".stripMargin,
+    doc = "one-pass corpus statistics report (curation dashboard row)") { (s, dir) =>
+    graft.text.CorpusReport.summary(t(s, dir, "documents"), "text", "lang")
+  }
+
   val all: Seq[QueryDef] = Seq(
     qTextTokens, qTextQuality, qTextLangId, qTextFingerprint, qTokenFreq,
     qSelectPipeline, qPackSequences, qTextRedact, qCuratePipeline,
     qDecontaminate, qTfidf, qQualityRules, qUrlDedup, qQualityRepetition,
-    qChunkTokens, qSplitHash)
+    qChunkTokens, qSplitHash, qCorpusReport)
 }
