@@ -694,7 +694,8 @@ object TextQueries {
     "q_corpus_report",
     """WITH f AS (
       |  SELECT lang,
-      |    len(string_split_regex(trim(text), '\s+')) AS toks,
+      |    CASE WHEN trim(text) = '' THEN 0
+      |         ELSE len(string_split_regex(trim(text), '\s+')) END AS toks,
       |    length(regexp_replace(trim(text), '\s+', '', 'g')) AS chars,
       |    regexp_replace(regexp_replace(lower(text), '[[:punct:]]', '', 'g'),
       |      '\s+', ' ', 'g') AS norm,

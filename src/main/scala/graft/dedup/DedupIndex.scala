@@ -82,12 +82,40 @@ object DedupIndex {
     * ascending (id_a, id_b, jaccard ≥ threshold) pairs where at least
     * one side is new, then appends the batch's bands and shingles.
     * Ids must be globally unique across all updates.
+    *
+    * Crash/replay safety: already-indexed ids are dropped from the
+    * batch up front (bloom-pruned anti-join on the shingles table), so
+    * replaying a failed batch is idempotent — it neither double-inserts
+    * nor re-pairs what landed. The two index appends run shingles
+    * FIRST: a crash between them leaves ids with shingles but no
+    * bands, which generate no candidates and are repaired by the
+    * replay's anti-join semantics (their bands append on the rerun).
     */
   def update(wh: Warehouse, name: String, newDocs: DataFrame, idCol: String,
       textCol: String, threshold: Double = 0.6): DataFrame = {
     val p = readParams(wh, name)
-    val (newBands, newShingles) = signAndBand(newDocs, idCol, textCol, p)
-    val nNew = newDocs.count()
+    val spark = newDocs.sparkSession
+    val fresh = ScaleJoins.bloomPrunedAntiJoin(
+      newDocs.select(col(idCol)), wh.read(shinglesTable(name))
+        .select(col("id").as(idCol)),
+      Seq(idCol), expectedItems = 1000000L)
+      .join(newDocs, Seq(idCol))
+    // materialize shingles ONCE, then signatures ONCE on top of them:
+    // everything below (bloom build, candidate join, verify lookups,
+    // both appends) reuses the checkpointed results — without this the
+    // batch would be re-shingled+re-signed ~4 times
+    val newShingles = fresh.select(col(idCol).as("id"),
+      Dedup.shingleHashes(spark, col(textCol), p.shingleSize)
+        .as("shingles"))
+      .localCheckpoint()
+    val newBands = newShingles
+      .withColumn("sig", Dedup.minHashColumn(spark, col("shingles"), p.k))
+      .select(col("id"),
+        posexplode(Dedup.lshBandKeys(col("sig"), p.bands, p.k / p.bands))
+          .as(Seq("band_idx", "band_key")))
+      .select(col("id"), col("band_idx"), col("band_key"))
+      .localCheckpoint()
+    val nNew = newShingles.count()
 
     // archive bands, scan-pruned to the batch's band keys
     val oldBands = ScaleJoins.bloomPruned(
@@ -132,8 +160,11 @@ object DedupIndex {
       // not re-plan over tables this update is about to append to
       .localCheckpoint()
 
-    wh.append(bandsTable(name), newBands)
+    // shingles first: see crash/replay note in the method doc
     wh.append(shinglesTable(name), newShingles)
+    wh.append(bandsTable(name), newBands)
+    newShingles.unpersist()
+    newBands.unpersist()
     pairs
   }
 }

@@ -65,7 +65,8 @@ object EngineOps {
     * full read). Returns the observed DataFrame plus a fetcher that
     * yields the metrics row once an action has executed.
     */
-  final class ObservedMetrics(name: String) extends QueryExecutionListener {
+  final class ObservedMetrics(spark: SparkSession, name: String)
+      extends QueryExecutionListener with AutoCloseable {
     @volatile private var last: Option[org.apache.spark.sql.Row] = None
     override def onSuccess(funcName: String, qe: QueryExecution,
         durationNs: Long): Unit =
@@ -73,12 +74,32 @@ object EngineOps {
     override def onFailure(funcName: String, qe: QueryExecution,
         exception: Exception): Unit = ()
     def metrics: Option[org.apache.spark.sql.Row] = last
+
+    /** Listener delivery is ASYNC — the row is not guaranteed present
+      * when the action returns. Polls up to `timeoutMs`, then
+      * unregisters this listener (each `observed` call registers one;
+      * a long-lived session must not accumulate them).
+      */
+    def awaitMetrics(timeoutMs: Long = 10000): Option[org.apache.spark.sql.Row] = {
+      val deadline = System.currentTimeMillis() + timeoutMs
+      while (last.isEmpty && System.currentTimeMillis() < deadline)
+        Thread.sleep(50)
+      close()
+      last
+    }
+
+    override def close(): Unit = spark.listenerManager.unregister(this)
   }
 
+  /** Use a unique `name` per concurrent observation — listener capture
+    * matches by name, so two in-flight loads sharing one name would
+    * cross-talk. Call `awaitMetrics()` (which also unregisters) after
+    * the action, or `close()` to abandon.
+    */
   def observed(df: DataFrame, name: String,
       metrics: Map[String, org.apache.spark.sql.Column]): (DataFrame, ObservedMetrics) = {
     require(metrics.nonEmpty, "observe needs at least one metric")
-    val listener = new ObservedMetrics(name)
+    val listener = new ObservedMetrics(df.sparkSession, name)
     df.sparkSession.listenerManager.register(listener)
     val cols = metrics.map { case (n, c) => c.as(n) }.toSeq
     (df.observe(name, cols.head, cols.tail: _*), listener)
@@ -97,8 +118,10 @@ object EngineOps {
   def estimateJoinCardinality(lhs: DataFrame, rhs: DataFrame,
       leftKey: String, rightKey: String, lgK: Int = 12): DataFrame = {
     import org.apache.spark.sql.functions._
+    // count(key): NULL-key rows never equi-match and the HLL ignores
+    // them, so counting them would inflate the rows-per-key means
     def side(df: DataFrame, key: String, tag: String) =
-      df.agg(count(lit(1)).as(s"rows_$tag"),
+      df.agg(count(col(key)).as(s"rows_$tag"),
         call_function("hll_sketch_agg", col(key), lit(lgK)).as(s"__sk_$tag"))
     side(lhs, leftKey, "l").crossJoin(side(rhs, rightKey, "r"))
       .select(col("rows_l"), col("rows_r"),

@@ -67,17 +67,25 @@ object MetricsRollup {
     val fresh = dailyMetrics(batch, timeCol, dims, valCol)
     val keys = "day" +: dims
     if (!warehouse.tableExists(table)) {
-      warehouse.createTable(table, fresh.schema, uniqueKeys = keys)
+      // partition by day: a late batch then rewrites ONLY its days'
+      // directories (Warehouse.merge partitioned branch), not the
+      // whole rollup history
+      warehouse.createTable(table, fresh.schema, uniqueKeys = keys,
+        partitionBy = Seq("day"))
       warehouse.append(table, fresh)
     } else {
       val existing = warehouse.read(table).select(
         (keys.map(col) :+ col("m_count").as("__c") :+ col("m_sum").as("__s")
           :+ col("m_min").as("__mn") :+ col("m_max").as("__mx")): _*)
+      // m_sum must combine like SQL sum: NULL+x would null out a stored
+      // sum when a late group's values are all NULL — take the non-null
+      // side instead, NULL only when both sides are (least/greatest
+      // already skip NULLs; count is never NULL)
       val combined = fresh.join(existing, keys, "left")
         .select((keys.map(col) ++ Seq(
           (col("m_count") + coalesce(col("__c"), lit(0L))).as("m_count"),
-          (col("m_sum") + coalesce(col("__s"), lit(0).cast(SumType)))
-            .cast(SumType).as("m_sum"),
+          coalesce((col("m_sum") + col("__s")).cast(SumType),
+            col("m_sum").cast(SumType), col("__s").cast(SumType)).as("m_sum"),
           least(col("m_min"), coalesce(col("__mn"), col("m_min"))).as("m_min"),
           greatest(col("m_max"), coalesce(col("__mx"), col("m_max"))).as("m_max"))): _*)
       warehouse.merge(table, combined, keys)

@@ -72,6 +72,9 @@ object ScaleJoins {
     def probe(df: DataFrame) =
       if (direct) col(keys.head) else xxhash64(keys.map(col): _*)
     val keyed = small.select(probe(small).as("__bk"))
+    // an empty key side admits nothing (stat.bloomFilter also NPEs on
+    // zero rows); lossless because no big row can equi-match no keys
+    if (keyed.isEmpty) return big.filter(lit(false))
     val bf = keyed.stat.bloomFilter("__bk", math.max(expectedItems, 1L), fpp)
     val bos = new java.io.ByteArrayOutputStream()
     bf.writeTo(bos)

@@ -474,6 +474,15 @@ final class Warehouse(spark: SparkSession, location: String) {
   def writeAudited(table: String, df: DataFrame,
       checks: Map[String, org.apache.spark.sql.Column]): Seq[String] = {
     require(checks.nonEmpty, "writeAudited needs at least one check")
+    // the stage writes a FLAT layout: publishing over a table whose
+    // meta declares partitioning would leave partition-branch readers
+    // (merge/compactPartitions) pointed at files with no partition
+    // dirs — refuse rather than corrupt
+    readMeta(table).foreach { m =>
+      require(m.partitionBy.isEmpty && m.partitionSource.isEmpty,
+        s"writeAudited: $table is partitioned (${m.partitionBy}); " +
+          "stage-and-swap of a flat layout would corrupt it")
+    }
     val stage = new Path(path(table) + "__stage")
     if (fs.exists(stage)) fs.delete(stage, true) // prior crash debris
     df.write.mode(SaveMode.Overwrite).parquet(stage.toString)

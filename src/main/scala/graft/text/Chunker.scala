@@ -23,9 +23,7 @@ object Chunker {
     require(maxTokens > 0 && overlap >= 0 && overlap < maxTokens,
       s"need 0 <= overlap < maxTokens, got overlap=$overlap max=$maxTokens")
     val stride = maxTokens - overlap
-    val toks: Column = when(length(trim(col(textCol))) === 0,
-      array().cast("array<string>"))
-      .otherwise(split(trim(col(textCol)), "\\s+"))
+    val toks: Column = TextAnalysis.words(col(textCol))
     val n = size(toks)
     // number of chunks: 1 for n <= maxTokens, else 1 + ceil((n - maxTokens)/stride)
     val nChunks = when(n <= maxTokens, lit(1))

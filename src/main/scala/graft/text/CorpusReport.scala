@@ -21,8 +21,7 @@ object CorpusReport {
   def summary(docs: DataFrame, textCol: String, langCol: String,
       qualityFloor: Double = 0.5): DataFrame = {
     val text = col(textCol)
-    val norm = regexp_replace(
-      regexp_replace(lower(text), "[\\p{Punct}]", ""), "\\s+", " ")
+    val norm = TextAnalysis.normalized(text) // the fingerprint/dedup key
     val toks = TextAnalysis.tokenCount(text).cast("long")
     val chars = length(regexp_replace(trim(text), "\\s+", "")).cast("long")
     docs.agg(

@@ -26,12 +26,9 @@ import org.apache.spark.sql.functions._
   */
 object QualityRules {
 
-  /** Whitespace-run tokens of the trimmed text; blank text → empty
-    * array (NOT the [""] that raw split produces).
-    */
-  def words(text: Column): Column =
-    when(length(trim(text)) === 0, array().cast("array<string>"))
-      .otherwise(split(trim(text), "\\s+"))
+  /** The shared tokenizer ([[TextAnalysis.words]]) — one definition
+    * for every word-level operator and its oracle mirror. */
+  def words(text: Column): Column = TextAnalysis.words(text)
 
   /** Non-blank trimmed lines (newline-delimited). */
   def lines(text: Column): Column =

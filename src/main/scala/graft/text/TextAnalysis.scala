@@ -15,6 +15,15 @@ import org.apache.spark.sql.functions._
   */
 object TextAnalysis {
 
+  /** Whitespace-run tokens of the trimmed text; blank text → empty
+    * array (NOT the [""] raw split produces). THE tokenizer every
+    * word-level operator shares (QualityRules, Chunker, token counts)
+    * — oracle SQL mirrors depend on there being exactly one definition.
+    */
+  def words(text: Column): Column =
+    when(length(trim(text)) === 0, array().cast("array<string>"))
+      .otherwise(split(trim(text), "\\s+"))
+
   /** Whitespace token count. `split(trim(s), "\\s+")` — matches the
     * conventional `len(text.split())`. Empty/blank text → 0.
     */
@@ -139,13 +148,20 @@ object TextAnalysis {
 
   // ----------------------------------------------------- fingerprinting
 
+  /** Canonical text normalization (lowercase, punctuation stripped,
+    * whitespace collapsed) — the ONE definition [[fingerprint]],
+    * exact-dedup and [[CorpusReport]]'s dup rate all key on; they must
+    * agree or "duplicate" means different things in different ops.
+    */
+  def normalized(text: Column): Column =
+    regexp_replace(
+      regexp_replace(lower(text), "[\\p{Punct}]", ""), "\\s+", " ")
+
   /** 64-bit document fingerprint: xxhash64 of the normalized text
     * (lowercase, collapsed whitespace, stripped punctuation). Exact-
     * duplicate detection key — normalization-insensitive.
     */
-  def fingerprint(text: Column): Column =
-    xxhash64(regexp_replace(
-      regexp_replace(lower(text), "[\\p{Punct}]", ""), "\\s+", " "))
+  def fingerprint(text: Column): Column = xxhash64(normalized(text))
 
   /** Word n-gram shingles (the unit of near-dup detection): sliding
     * windows of `n` tokens joined by single spaces, deduplicated.

@@ -48,6 +48,27 @@ class DedupIndexSpec extends SparkSpec {
     assert(pairs3.contains((10L, 20L)), s"batch-2 doc not indexed: $pairs3")
   }
 
+  test("replaying a batch is idempotent: nothing re-inserted, nothing re-paired") {
+    val wh = new Warehouse(spark, Files.createTempDirectory("graft_dix3").toString)
+    val batch1 = Seq(doc(1, base), doc(2, base + " extra tail words here"))
+      .toDF("doc_id", "text")
+    DedupIndex.build(wh, "dix", batch1, "doc_id", "text", threshold = 0.5)
+    val bandRows = wh.read("dix__bands").count()
+    val shingleRows = wh.read("dix__shingles").count()
+    // replay the same batch (the natural crash recovery)
+    val replay = DedupIndex.update(wh, "dix", batch1, "doc_id", "text",
+      threshold = 0.5)
+    assert(replay.count() === 0, "replay must not re-pair indexed docs")
+    assert(wh.read("dix__bands").count() === bandRows)
+    assert(wh.read("dix__shingles").count() === shingleRows)
+    // a genuinely new doc in a mixed replay batch still pairs
+    val mixed = batch1.union(Seq(doc(3, base + " another small tail"))
+      .toDF("doc_id", "text"))
+    val pairs = DedupIndex.update(wh, "dix", mixed, "doc_id", "text",
+      threshold = 0.5).select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.nonEmpty && pairs.forall { case (a, b) => a == 3L || b == 3L })
+  }
+
   test("incremental pairs match the one-shot incremental API on the same corpus") {
     val wh = new Warehouse(spark, Files.createTempDirectory("graft_dix2").toString)
     val corpus = (0L until 30L).map(i => doc(i,

@@ -104,16 +104,11 @@ class EngineOpsSpec extends SparkSpec {
       "n_rows" -> count(lit(1)),
       "n_null_v" -> count(when($"v".isNull, 1)),
       "v_min" -> min($"v")))
-    try {
-      // ONE action; the metrics are computed inside it
-      assert(obs.count() === 4)
-      val deadline = System.currentTimeMillis() + 10000
-      while (listener.metrics.isEmpty && System.currentTimeMillis() < deadline)
-        Thread.sleep(100)
-      val m = listener.metrics.get
-      assert(m.getAs[Long]("n_rows") === 4L)
-      assert(m.getAs[Long]("n_null_v") === 2L)
-      assert(m.getAs[Double]("v_min") === 1.0)
-    } finally spark.listenerManager.unregister(listener)
+    // ONE action; the metrics are computed inside it
+    assert(obs.count() === 4)
+    val m = listener.awaitMetrics().get // polls async delivery + unregisters
+    assert(m.getAs[Long]("n_rows") === 4L)
+    assert(m.getAs[Long]("n_null_v") === 2L)
+    assert(m.getAs[Double]("v_min") === 1.0)
   }
 }

@@ -55,19 +55,46 @@ class MetricsRollupSpec extends SparkSpec {
     assert(wh.read("m").count() === 18)
   }
 
-  test("rollup update aggregates only the batch, not history") {
-    val wh = new Warehouse(spark, Files.createTempDirectory("graft_mr2").toString)
+  test("rollup update rewrites only the touched day partitions") {
+    val dir = Files.createTempDirectory("graft_mr2").toString
+    val wh = new Warehouse(spark, dir)
+    def partFiles(date: String): Seq[String] = {
+      val d = new java.io.File(s"$dir/m/day=$date")
+      Option(d.listFiles()).map(_.map(_.getName)
+        .filter(_.endsWith(".parquet")).sorted.toSeq).getOrElse(Nil)
+    }
     MetricsRollup.updateDaily(wh, "m",
       rows(0 until 3, 1).toDF("ts", "k", "v"), "ts", Seq("k"), "v")
-    // a one-day batch must rewrite exactly the rows it touches: the
-    // merged table keeps 3 days × 3 keys + 1 new day × 3 keys
+    val untouched = partFiles("2024-03-01")
+    assert(untouched.nonEmpty)
+    // a one-day batch rewrites exactly the day it touches: the merged
+    // table keeps 3 days × 3 keys + 1 new day × 3 keys, and day-1's
+    // physical files are byte-for-byte the ones written before
     MetricsRollup.updateDaily(wh, "m",
       rows(3 until 4, 1).toDF("ts", "k", "v"), "ts", Seq("k"), "v")
     val m = wh.read("m")
     assert(m.count() === 12)
+    assert(partFiles("2024-03-01") === untouched)
+    assert(partFiles("2024-03-04").nonEmpty)
     // untouched day rows carry their original sums (no double counting)
     val day1 = m.filter($"day" === lit("2024-03-01").cast("date") && $"k" === "a")
       .select($"m_count").as[Long].head()
     assert(day1 === 20L)
+  }
+
+  test("late batch with all-NULL values never nulls out a stored sum") {
+    val wh = new Warehouse(spark, Files.createTempDirectory("graft_mr3").toString)
+    MetricsRollup.updateDaily(wh, "m",
+      Seq((Timestamp.valueOf("2024-03-01 10:00:00"), "a", Some(5.0)),
+        (Timestamp.valueOf("2024-03-01 11:00:00"), "a", Some(7.0)))
+        .toDF("ts", "k", "v"), "ts", Seq("k"), "v")
+    // late same-day rows whose value column is entirely NULL
+    MetricsRollup.updateDaily(wh, "m",
+      Seq((Timestamp.valueOf("2024-03-01 12:00:00"), "a",
+        Option.empty[Double])).toDF("ts", "k", "v"), "ts", Seq("k"), "v")
+    val r = wh.read("m").filter($"k" === "a").collect().head
+    assert(r.getAs[Long]("m_count") === 3L)
+    assert(r.getAs[java.math.BigDecimal]("m_sum").doubleValue() === 12.0)
+    assert(r.getAs[Double]("m_min") === 5.0 && r.getAs[Double]("m_max") === 7.0)
   }
 }
