@@ -440,8 +440,76 @@ object EventQueries {
       .orderBy("user_id", "event_id")
   }
 
+  /** Linear gap interpolation ([[graft.transform.Transforms
+    * .interpolateLinear]]): click rows' values masked to NULL in-plan,
+    * then repaired on the time-weighted line between each user's
+    * bracketing readings (leading gaps backfill, trailing carry
+    * forward). The oracle states the identical four-navigation window
+    * algebra with the same operand order, so the IEEE multiply-add
+    * reproduces bit-for-bit.
+    */
+  val qInterpolate: QueryDef = QueryDef.sql(
+    "q_interpolate",
+    """WITH m AS (
+      |  SELECT event_id, user_id, epoch_us(ts) AS tu,
+      |    CASE WHEN event_type = 'click' THEN NULL ELSE value END AS v
+      |  FROM events WHERE user_id <= 10),
+      |nav AS (
+      |  SELECT event_id, user_id, tu, v,
+      |    last_value(v IGNORE NULLS) OVER wp AS pv,
+      |    last_value(CASE WHEN v IS NOT NULL THEN tu END IGNORE NULLS)
+      |      OVER wp AS pt,
+      |    first_value(v IGNORE NULLS) OVER wn AS nv,
+      |    first_value(CASE WHEN v IS NOT NULL THEN tu END IGNORE NULLS)
+      |      OVER wn AS nt
+      |  FROM m
+      |  WINDOW wp AS (PARTITION BY user_id ORDER BY tu, event_id
+      |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+      |         wn AS (PARTITION BY user_id ORDER BY tu, event_id
+      |                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+      |SELECT event_id, user_id,
+      |  CAST(round(CASE WHEN v IS NOT NULL THEN v
+      |    WHEN pv IS NULL THEN nv
+      |    WHEN nv IS NULL THEN pv
+      |    ELSE pv + (nv - pv) * (CAST(tu - pt AS DOUBLE)
+      |      / CAST(nt - pt AS DOUBLE)) END, 6) AS DOUBLE) AS v_interp
+      |FROM nav ORDER BY user_id, event_id""".stripMargin,
+    doc = "linear interpolation of masked gaps (sensor repair beyond LOCF)") { (s, dir) =>
+    import graft.transform.Transforms
+    val masked = t(s, dir, "events")
+      .filter(col("user_id") <= 10)
+      .select(col("event_id"), col("user_id"), col("ts"),
+        when(col("event_type") === "click", lit(null))
+          .otherwise(col("value")).as("v"))
+    Transforms.interpolateLinear(masked, "user_id", "ts", "v",
+        tieBreak = Seq("event_id"))
+      .select(col("event_id"), col("user_id"),
+        round(col("v_interp"), 6).cast("double").as("v_interp"))
+      .orderBy("user_id", "event_id")
+  }
+
+  /** Hour-of-day load profile — the energy-domain daily-shape query
+    * (reference domain: building meters): per event type, activity and
+    * volume by hour. One shuffle on a 24×|types| key space.
+    */
+  val qLoadProfile: QueryDef = QueryDef.sql(
+    "q_load_profile",
+    s"""SELECT event_type, CAST(extract(hour FROM ts) AS INT) AS hour,
+      |  count(*) AS n,
+      |  ${RelationalQueries.dsumSql("value")} AS total
+      |FROM events
+      |GROUP BY event_type, hour
+      |ORDER BY event_type, hour""".stripMargin,
+    doc = "hour-of-day load profile per type (energy daily shape)") { (s, dir) =>
+    t(s, dir, "events")
+      .groupBy(col("event_type"), hour(col("ts")).cast("int").as("hour"))
+      .agg(count(lit(1)).as("n"),
+        RelationalQueries.dsum(col("value")).as("total"))
+      .orderBy("event_type", "hour")
+  }
+
   val all: Seq[QueryDef] = Seq(
     qTimeWindow, qLagGaps, qOverlapSemi, qScalarFuncs, qJsonBuild, qSessionize,
     qMapFuncs, qAsofJoin, qAsofNearest, qRangeJoin, qFunnel, qRetention,
-    qGapFill)
+    qGapFill, qInterpolate, qLoadProfile)
 }

@@ -105,6 +105,44 @@ object EngineOps {
     (df.observe(name, cols.head, cols.tail: _*), listener)
   }
 
+  /** Streaming progress history — the run-rate dashboard for
+    * long-lived queries: one record per micro-batch (rows in,
+    * rows/sec, batch duration, watermark) in a bounded ring buffer,
+    * fed by a StreamingQueryListener. The streaming twin of
+    * [[QueryHistory]].
+    */
+  final case class BatchProgress(queryName: String, batchId: Long,
+      numInputRows: Long, processedRowsPerSecond: Double,
+      durationMs: Long, watermark: String)
+
+  final class StreamingHistory(capacity: Int = 1000)
+      extends org.apache.spark.sql.streaming.StreamingQueryListener {
+    import org.apache.spark.sql.streaming.StreamingQueryListener._
+    private val buf = new ConcurrentLinkedDeque[BatchProgress]()
+    override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+    override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
+    override def onQueryProgress(e: QueryProgressEvent): Unit = {
+      val p = e.progress
+      buf.addLast(BatchProgress(
+        Option(p.name).getOrElse(p.id.toString), p.batchId,
+        p.numInputRows, p.processedRowsPerSecond,
+        Option(p.durationMs.get("triggerExecution"))
+          .map(_.longValue).getOrElse(0L),
+        Option(p.eventTime.get("watermark")).getOrElse("")))
+      while (buf.size() > capacity) buf.pollFirst()
+    }
+    def history: Seq[BatchProgress] = buf.asScala.toSeq
+    def slowBatches(thresholdMs: Long): Seq[BatchProgress] =
+      history.filter(_.durationMs >= thresholdMs)
+  }
+
+  def installStreamingHistory(spark: SparkSession,
+      capacity: Int = 1000): StreamingHistory = {
+    val h = new StreamingHistory(capacity)
+    spark.streams.addListener(h)
+    h
+  }
+
   /** Pre-flight join-size estimate from HLL sketches — run BEFORE
     * keying a 100 TB shuffle, like [[keySkewReport]]. Each side is one
     * sketch-aggregating scan (no shuffle, KB of state); the key

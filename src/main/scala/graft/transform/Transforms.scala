@@ -110,4 +110,40 @@ object Transforms {
     df.groupBy(col(idCol))
       .pivot(variableCol)
       .agg(first(col(valueCol)))
+
+  /** Linear interpolation of NULL readings between each entity's
+    * nearest non-null neighbors — the sensor-gap repair one step past
+    * LOCF (which EventQueries' gap fill covers): interior gaps take
+    * the time-weighted line between the bracketing readings, leading
+    * gaps backfill, trailing gaps carry forward, and an all-null
+    * series stays null. One window shuffle on the entity key serves
+    * all four navigation functions (two running frames over one sort).
+    * Arithmetic is exact-integer µs deltas into one IEEE multiply-add,
+    * so results are engine-reproducible (the q_interpolate oracle).
+    */
+  def interpolateLinear(df: DataFrame, entityCol: String, tsCol: String,
+      valueCol: String, tieBreak: Seq[String] = Nil): DataFrame = {
+    // tieBreak: ROWS frames over duplicate timestamps are order-
+    // sensitive — pass a unique suffix (e.g. the event id) whenever
+    // (entity, ts) is not already unique
+    val order = col(tsCol) +: tieBreak.map(col)
+    val wPrev = Window.partitionBy(col(entityCol))
+      .orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wNext = Window.partitionBy(col(entityCol))
+      .orderBy(order: _*)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val v = col(valueCol)
+    val tUs = unix_micros(col(tsCol))
+    val prevV = last(v, ignoreNulls = true).over(wPrev)
+    val prevT = last(when(v.isNotNull, tUs), ignoreNulls = true).over(wPrev)
+    val nextV = first(v, ignoreNulls = true).over(wNext)
+    val nextT = first(when(v.isNotNull, tUs), ignoreNulls = true).over(wNext)
+    val interp = when(v.isNotNull, v)
+      .when(prevV.isNull, nextV) // leading gap: backfill
+      .when(nextV.isNull, prevV) // trailing gap: carry forward
+      .otherwise(prevV + (nextV - prevV)
+        * ((tUs - prevT).cast("double") / (nextT - prevT).cast("double")))
+    df.withColumn(s"${valueCol}_interp", interp)
+  }
 }
