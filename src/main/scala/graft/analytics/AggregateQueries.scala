@@ -509,9 +509,73 @@ object AggregateQueries {
       .orderBy("event_type")
   }
 
+  /** N-sigma anomaly detection per group with ENGINE-EXACT moments:
+    * built-in stddev is an order-sensitive double fold, so mean and
+    * variance derive from decimal sums instead (sum v, sum v² with the
+    * square taken in IEEE then summed exactly) — the same rational
+    * numbers in both engines, hence identical outlier sets. The shape
+    * every monitoring pipeline runs: one aggregate pass + one
+    * broadcast-back filter pass.
+    */
+  val qAnomalies: QueryDef = QueryDef.sql(
+    "q_anomalies",
+    """WITH s AS (
+      |  SELECT event_type,
+      |    count(value) AS n,
+      |    CAST(sum(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS sv,
+      |    CAST(sum(CAST(value * value AS DECIMAL(30,6))) AS DOUBLE) AS svv
+      |  FROM events GROUP BY event_type)
+      |SELECT e.event_id, e.event_type, e.value
+      |FROM events e JOIN s ON e.event_type = s.event_type
+      |WHERE abs(e.value - sv / n) >
+      |  3.0 * sqrt((svv - sv * sv / n) / (n - 1))
+      |ORDER BY e.event_id""".stripMargin,
+    doc = "n-sigma outliers per group, decimal-exact moments (monitoring)") { (s, dir) =>
+    val ev = t(s, dir, "events")
+    val stats = ev.groupBy(col("event_type")).agg(
+      count(col("value")).as("n"),
+      sum(col("value").cast("decimal(30,6)")).cast("double").as("sv"),
+      sum((col("value") * col("value")).cast("decimal(30,6)"))
+        .cast("double").as("svv"))
+    ev.join(broadcast(stats), "event_type")
+      .filter(abs(col("value") - col("sv") / col("n")) >
+        lit(3.0) * sqrt((col("svv") - col("sv") * col("sv") / col("n"))
+          / (col("n") - 1)))
+      .select(col("event_id"), col("event_type"), col("value"))
+      .orderBy("event_id")
+  }
+
+  /** Referential-integrity audit: orphan counts across the star
+    * schema's FK edges as two anti-join aggregates — the cheap
+    * pre-flight a warehouse runs before trusting a join's
+    * completeness. Anti-joins shuffle on their keys; nothing
+    * quadratic.
+    */
+  val qFkOrphans: QueryDef = QueryDef.sql(
+    "q_fk_orphans",
+    """SELECT
+      |  (SELECT count(*) FROM lineitem l LEFT JOIN orders o
+      |     ON l.l_orderkey = o.o_orderkey
+      |   WHERE o.o_orderkey IS NULL) AS orphan_lineitems,
+      |  (SELECT count(*) FROM orders o LEFT JOIN customer c
+      |     ON o.o_custkey = c.c_custkey
+      |   WHERE c.c_custkey IS NULL) AS orphan_orders""".stripMargin,
+    doc = "FK orphan audit across star-schema edges (data quality)") { (s, dir) =>
+    val li = t(s, dir, "lineitem").select(col("l_orderkey"))
+    val ord = t(s, dir, "orders")
+    val cust = t(s, dir, "customer").select(col("c_custkey"))
+    val a = li.join(ord.select(col("o_orderkey").as("l_orderkey")),
+        Seq("l_orderkey"), "left_anti")
+      .agg(count(lit(1)).as("orphan_lineitems"))
+    val b = ord.select(col("o_custkey").as("c_custkey"))
+      .join(cust, Seq("c_custkey"), "left_anti")
+      .agg(count(lit(1)).as("orphan_orders"))
+    a.crossJoin(b)
+  }
+
   val all: Seq[QueryDef] = Seq(
     qProfileStats, qCollectAgg, qCondRatios, qCaseAgg, qDistinctPairs,
     qSortNullsLast, qPercentiles, qPivot, qMonotonic, qSkewReport,
     qHistogram, qApproxProfile, qCorrelations, qHeavyHitters, qCmsCounts,
-    qHllDistinct, qSketchRollup, qMetricsRollup)
+    qHllDistinct, qSketchRollup, qMetricsRollup, qAnomalies, qFkOrphans)
 }

@@ -665,10 +665,45 @@ object RelationalQueries {
       .orderBy(col("revenue").desc, col("n_name"))
   }
 
+  /** SCD type-2 versioned merge ([[graft.store.Warehouse.mergeScd2]]):
+    * every tenth customer gets a new balance effective mid-year — the
+    * old version closes at the effective instant, the new version
+    * opens, everyone else stays current. The oracle states the
+    * expected HISTORY directly (semantics, not implementation), so the
+    * whole versioning contract is hash-verified.
+    */
+  val qMergeScd2: QueryDef = QueryDef.sql(
+    "q_merge_scd2",
+    """WITH upd AS (
+      |  SELECT c_custkey, c_acctbal + 100.0 AS c_acctbal
+      |  FROM customer WHERE c_custkey % 10 = 0)
+      |SELECT c_custkey, c_acctbal, TIMESTAMP '2024-01-01' AS valid_from,
+      |  CASE WHEN c_custkey % 10 = 0 THEN TIMESTAMP '2024-06-01' END AS valid_to
+      |FROM customer
+      |UNION ALL
+      |SELECT c_custkey, c_acctbal, TIMESTAMP '2024-06-01',
+      |  CAST(NULL AS TIMESTAMP)
+      |FROM upd
+      |ORDER BY c_custkey, valid_from""".stripMargin,
+    doc = "SCD2 versioned dimension merge (history-preserving upsert)") { (s, dir) =>
+    import graft.store.Warehouse
+    val cust = t(s, dir, "customer")
+    val existing = cust.select(col("c_custkey"), col("c_acctbal"),
+      lit("2024-01-01").cast("timestamp").as("valid_from"),
+      lit(null).cast("timestamp").as("valid_to"))
+    val updates = cust.filter(col("c_custkey") % 10 === 0)
+      .select(col("c_custkey"),
+        (col("c_acctbal") + 100.0).as("c_acctbal"),
+        lit("2024-06-01").cast("timestamp").as("eff"))
+    Warehouse.mergeScd2(existing, updates, Seq("c_custkey"), "eff")
+      .select("c_custkey", "c_acctbal", "valid_from", "valid_to")
+      .orderBy("c_custkey", "valid_from")
+  }
+
   val all: Seq[QueryDef] = Seq(
     q1Agg, qScanProject, qFilterIn, qJoinInner, qJoinAnti, qJoinSemi,
     qJoinLeftOuter, qJoinCrossBounds, qJoinTheta, qJoinNullSafe, qJoinUsing,
     qUnionAll, qExcept, qRollup, qCube, qTopK, qWindowRank, qWindowFuncs,
     qWindowRange, qSubqueryExists, qTransitiveClosure, qBloomPrune,
-    qGroupingSets, qIntersectAll, qTpchQ3, qTpchQ5)
+    qGroupingSets, qIntersectAll, qTpchQ3, qTpchQ5, qMergeScd2)
 }

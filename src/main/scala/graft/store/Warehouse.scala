@@ -627,6 +627,40 @@ object Warehouse {
         keys, "left_anti")
       .unionByName(updates)
   }
+
+  /** SCD type-2 versioned merge (frame level; [[mergeFrames]] is the
+    * SCD1 twin): `existing` carries `valid_from`/`valid_to` columns
+    * (`valid_to` NULL = current version); `updates` carries the key +
+    * attribute columns plus `effectiveCol`, one row per key. Closed
+    * history passes through untouched; a current row whose key is
+    * updated closes at the update's effective time; the update becomes
+    * the new open version; unmatched keys insert as brand-new current
+    * rows. Shape: one keyed join against ONLY the open slice + a
+    * union — history never shuffles.
+    */
+  def mergeScd2(existing: DataFrame, updates: DataFrame, keys: Seq[String],
+      effectiveCol: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    require(keys.nonEmpty, "mergeScd2 needs at least one key column")
+    val attrs = existing.columns.filterNot(c =>
+      keys.contains(c) || c == "valid_from" || c == "valid_to").toSeq
+    val upd = updates.select(
+      (keys.map(col) ++ attrs.map(col) :+
+        col(effectiveCol).as("__eff")): _*)
+    val closed = existing.filter(col("valid_to").isNotNull)
+    val open = existing.filter(col("valid_to").isNull)
+    // open rows: close the updated ones at the new effective time
+    val openMerged = open.join(
+        upd.select((keys.map(col) :+ col("__eff")): _*), keys, "left")
+      .select((keys.map(col) ++ attrs.map(col) :+ col("valid_from") :+
+        coalesce(col("__eff"), col("valid_to")).as("valid_to")): _*)
+    // updates: new open versions (valid_from = effective, valid_to null)
+    val fresh = upd.select(
+      (keys.map(col) ++ attrs.map(col) :+ col("__eff").as("valid_from") :+
+        lit(null).cast(open.schema("valid_to").dataType).as("valid_to")): _*)
+    closed.select(openMerged.columns.map(col): _*)
+      .unionByName(openMerged).unionByName(fresh)
+  }
 }
 
 final case class TableStats(table: String, numRows: Long, sizeBytes: Long,
