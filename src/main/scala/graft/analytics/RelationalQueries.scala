@@ -700,10 +700,37 @@ object RelationalQueries {
       .orderBy("c_custkey", "valid_from")
   }
 
+  /** Edit-distance fuzzy match: planted one-character typos rejoin
+    * their source names under `levenshtein ≤ 1`. Deliberately a
+    * bounded-scope theta-join (both sides are fixed-cardinality
+    * dimensions); at corpus scale fuzzy matching blocks first (length
+    * / prefix / q-gram buckets) exactly like the LSH dedup path — this
+    * query pins the distance semantics both engines must agree on.
+    */
+  val qFuzzyMatch: QueryDef = QueryDef.sql(
+    "q_fuzzy_match",
+    """WITH typo AS (
+      |  SELECT n_nationkey AS typo_key, n_name || 'X' AS tname
+      |  FROM nation WHERE n_nationkey % 5 = 0)
+      |SELECT typo_key, n_name,
+      |  CAST(levenshtein(tname, n_name) AS INT) AS dist
+      |FROM typo JOIN nation ON levenshtein(tname, n_name) <= 1
+      |ORDER BY typo_key, n_name""".stripMargin,
+    doc = "levenshtein fuzzy join over planted typos (entity matching)") { (s, dir) =>
+    val nation = t(s, dir, "nation")
+    val typo = nation.filter(col("n_nationkey") % 5 === 0)
+      .select(col("n_nationkey").as("typo_key"),
+        concat(col("n_name"), lit("X")).as("tname"))
+    typo.join(nation, levenshtein(col("tname"), col("n_name")) <= 1)
+      .select(col("typo_key"), col("n_name"),
+        levenshtein(col("tname"), col("n_name")).cast("int").as("dist"))
+      .orderBy("typo_key", "n_name")
+  }
+
   val all: Seq[QueryDef] = Seq(
     q1Agg, qScanProject, qFilterIn, qJoinInner, qJoinAnti, qJoinSemi,
     qJoinLeftOuter, qJoinCrossBounds, qJoinTheta, qJoinNullSafe, qJoinUsing,
     qUnionAll, qExcept, qRollup, qCube, qTopK, qWindowRank, qWindowFuncs,
     qWindowRange, qSubqueryExists, qTransitiveClosure, qBloomPrune,
-    qGroupingSets, qIntersectAll, qTpchQ3, qTpchQ5, qMergeScd2)
+    qGroupingSets, qIntersectAll, qTpchQ3, qTpchQ5, qMergeScd2, qFuzzyMatch)
 }

@@ -105,6 +105,28 @@ object EngineOps {
     (df.observe(name, cols.head, cols.tail: _*), listener)
   }
 
+  /** Small-file maintenance advisor: tables whose file count exceeds
+    * what their data volume justifies (the accumulation pattern of
+    * streaming/micro-batch appends — the read-amplification killer at
+    * scale). Reads only parquet FOOTER stats via tableStats (no data
+    * scan). Returns one row per table needing work with the
+    * recommended compact target.
+    */
+  final case class CompactionAdvice(table: String, numFiles: Int,
+      sizeBytes: Long, recommendedFiles: Int)
+
+  def compactionAdvice(warehouse: graft.store.Warehouse,
+      targetFileBytes: Long = 128L * 1024 * 1024,
+      slackFiles: Int = 4): Seq[CompactionAdvice] =
+    warehouse.listTables().flatMap { t =>
+      val st = warehouse.tableStats(t)
+      val ideal = math.max(1, math.ceil(
+        st.sizeBytes.toDouble / targetFileBytes).toInt)
+      if (st.numFiles > ideal + slackFiles)
+        Some(CompactionAdvice(t, st.numFiles, st.sizeBytes, ideal))
+      else None
+    }
+
   /** Streaming progress history — the run-rate dashboard for
     * long-lived queries: one record per micro-batch (rows in,
     * rows/sec, batch duration, watermark) in a bounded ring buffer,

@@ -90,4 +90,32 @@ object Decontaminate {
     }
     hit(TextAnalysis.wordShingles(col(textCol), n))
   }
+
+  /** Bloom form of [[contaminationPredicate]] — the scale path when
+    * the eval-gram set outgrows an exact broadcast set (multi-
+    * benchmark suites at large n): grams fold to a bloom filter (a
+    * few MB at any gram count), the predicate becomes "any shingle
+    * MIGHT be in the filter". One-sided by construction: never misses
+    * a true contamination (no false negatives — safe direction for
+    * hygiene: you only ever over-remove), false positives bounded by
+    * `fpp`. Pure expressions via the native `bloom_might_contain` —
+    * no UDF, no broadcast-variable plumbing.
+    */
+  def contaminationPredicateBloom(eval: DataFrame, textCol: String,
+      n: Int, expectedGrams: Long = 10000000L,
+      fpp: Double = 0.001): Column = {
+    require(n > 0, s"n-gram size must be positive, got $n")
+    val spark = eval.sparkSession
+    require(spark.catalog.functionExists("bloom_might_contain"),
+      "contaminationPredicateBloom needs GraftExtensions (bloom_might_contain)")
+    val bf = eval
+      .select(explode(TextAnalysis.wordShingles(col(textCol), n)).as("__s"))
+      .select(xxhash64(col("__s")).as("__g"))
+      .stat.bloomFilter("__g", math.max(expectedGrams, 1L), fpp)
+    val bos = new java.io.ByteArrayOutputStream()
+    bf.writeTo(bos)
+    val bytes = bos.toByteArray
+    exists(TextAnalysis.wordShingles(col(textCol), n),
+      g => call_function("bloom_might_contain", lit(bytes), xxhash64(g)))
+  }
 }

@@ -97,6 +97,21 @@ class EngineOpsSpec extends SparkSpec {
       s"join size est $joinEst vs true $trueRows")
   }
 
+  test("compaction advisor flags fragmented tables; compact clears the advice") {
+    import graft.store.Warehouse
+    val wh = new Warehouse(spark,
+      java.nio.file.Files.createTempDirectory("graft_ca").toString)
+    wh.createTable("frag", Seq((1L, "x")).toDF("id", "v").schema)
+    // 12 tiny appends -> 12+ files for a few KB of data
+    (1 to 12).foreach(i => wh.append("frag", Seq((i.toLong, s"v$i")).toDF("id", "v")))
+    val advice = EngineOps.compactionAdvice(wh, slackFiles = 4)
+    assert(advice.map(_.table) === Seq("frag"))
+    assert(advice.head.recommendedFiles === 1)
+    wh.compact("frag", targetFiles = 1)
+    assert(EngineOps.compactionAdvice(wh, slackFiles = 4).isEmpty)
+    assert(wh.read("frag").count() === 12)
+  }
+
   test("observed metrics ride the action: null counts with no extra job") {
     val df = Seq(("a", Some(1.0)), ("b", None), ("c", Some(3.0)),
       ("d", None)).toDF("k", "v")
