@@ -348,6 +348,74 @@ final class Warehouse(spark: SparkSession, location: String) {
     fs.delete(tmp, true)
   }
 
+  /** DELETE WHERE — the erasure op (GDPR/right-to-be-forgotten, bad-
+    * batch rollback) the warehouse otherwise lacks: rows matching
+    * `predicate` are removed; on a partitioned table ONLY the
+    * partitions that actually contain matching rows rewrite (affected
+    * partition tuples are a bounded collect; the surviving slice is
+    * read partition-pruned and swapped per directory, crash-safe). A
+    * partition whose every row matches is deleted outright — the
+    * survivors write produces no dir for it, so it is removed rather
+    * than left stale. Returns the number of rows deleted.
+    */
+  def deleteWhere(table: String, predicate: org.apache.spark.sql.Column): Long = {
+    import org.apache.spark.sql.functions.col
+    val parts = readMeta(table).map(_.partitionBy).getOrElse(Nil)
+    val raw = readRaw(table)
+    if (parts.isEmpty) {
+      val survivors = raw.filter(!predicate)
+      val removed = raw.count() - survivors.count()
+      if (removed == 0L) return 0L
+      val tmp = new Path(path(table) + "__delete")
+      if (fs.exists(tmp)) fs.delete(tmp, true)
+      survivors.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+      val cur = new Path(path(table))
+      val old = new Path(path(table) + "__old")
+      if (fs.exists(old)) fs.delete(old, true)
+      if (!fs.rename(cur, old)) sys.error(s"deleteWhere: rename $cur failed")
+      if (!fs.rename(tmp, cur)) {
+        fs.rename(old, cur)
+        sys.error(s"deleteWhere: rename $tmp -> $cur failed")
+      }
+      fs.delete(old, true)
+      removed
+    } else {
+      val matching = raw.filter(predicate)
+      // bounded: one row per partition containing matches
+      val affected = matching.select(parts.map(col): _*).distinct().collect()
+      if (affected.isEmpty) return 0L
+      val pred = affected.map { row =>
+        parts.zipWithIndex.map { case (p, i) => col(p) === row.get(i) }
+          .reduce(_ && _)
+      }.reduce(_ || _)
+      val slice = raw.filter(pred) // partition-pruned
+      val removed = slice.filter(predicate).count()
+      val survivors = slice.filter(!predicate)
+      val tmp = new Path(path(table) + "__delete")
+      if (fs.exists(tmp)) fs.delete(tmp, true)
+      survivors.repartition(parts.map(col): _*)
+        .write.mode(SaveMode.Overwrite).partitionBy(parts: _*)
+        .parquet(tmp.toString)
+      // a partition whose every row matched wrote NO survivor dir —
+      // the swap below would leave its old files live, so find them
+      // BEFORE the swap (which consumes tmp) and drop them after.
+      // Partition dir names use Spark's value rendering; exotic values
+      // needing escaping should go through merge()-style rewrites.
+      val fullyGone = affected.filter { row =>
+        val rel = parts.zipWithIndex
+          .map { case (p, i) => s"$p=${row.get(i)}" }.mkString("/")
+        !fs.exists(new Path(s"$tmp/$rel"))
+      }
+      swapPartitionDirs(table, tmp, parts.size)
+      fullyGone.foreach { row =>
+        val rel = parts.zipWithIndex
+          .map { case (p, i) => s"$p=${row.get(i)}" }.mkString("/")
+        fs.delete(new Path(s"${path(table)}/$rel"), true)
+      }
+      removed
+    }
+  }
+
   /** MERGE INTO (SCD1 upsert): rows of `updates` replace same-key rows
     * in the table, new keys insert — the reference's staging-merge
     * update path (`data_loader.py:681-728`) generalized from
@@ -612,7 +680,7 @@ object Warehouse {
   /** Working-dir suffixes of the crash-safe swap dances — hidden from
     * [[Warehouse.listTables]], removed by [[Warehouse.vacuum]]. */
   val TransientSuffixes: Seq[String] =
-    Seq("__compact", "__old", "__merge", "__stage")
+    Seq("__compact", "__old", "__merge", "__stage", "__delete")
 
   /** Frame-level SCD1 merge: `updates` rows win over `existing` rows
     * with the same key; unmatched existing rows survive, unmatched

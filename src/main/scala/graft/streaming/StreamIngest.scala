@@ -215,6 +215,24 @@ object StreamIngest {
           s" AND $rightTime <= $leftTime"),
         "inner")
 
+  /** LEFT OUTER twin of [[streamIntervalJoin]]: matched pairs emit as
+    * they join; an UNMATCHED left row emits with null right columns
+    * once the watermark proves no qualifying right row can still
+    * arrive — which is why the outer variant REQUIRES the watermark +
+    * time-bound condition (state must be provably complete before a
+    * null can be final). The enrich-with-maybe-missing-context shape:
+    * "every event, decorated with its signup if one preceded it".
+    */
+  def streamIntervalJoinLeftOuter(left: DataFrame, right: DataFrame,
+      leftTime: String, rightTime: String, keyExpr: String,
+      lookback: String = "1 hour",
+      watermark: String = "30 minutes"): DataFrame =
+    left.withWatermark(leftTime, watermark)
+      .join(right.withWatermark(rightTime, watermark),
+        expr(s"$keyExpr AND $rightTime >= $leftTime - INTERVAL $lookback" +
+          s" AND $rightTime <= $leftTime"),
+        "leftOuter")
+
   /** A finalized gap-session: emitted only once the event-time
     * watermark proves no more events can join it.
     */

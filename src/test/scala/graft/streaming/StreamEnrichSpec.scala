@@ -39,6 +39,37 @@ class StreamEnrichSpec extends SparkSpec {
       .contains("BroadcastHashJoin"))
   }
 
+  test("left-outer interval join emits unmatched lefts once the watermark finalizes them") {
+    val evDir = Files.createTempDirectory("ssjo_ev").toString
+    val sgDir = Files.createTempDirectory("ssjo_sg").toString
+    // batch 1 file: one matched event (a), one unmatched (b)
+    writeBatch(evDir, Seq(
+      (ts("2024-01-01 10:30:00"), "a", 1.0),
+      (ts("2024-01-01 10:30:00"), "b", 3.0)))
+    // batch 2 file: far-future sentinel pushes the watermark past b's slot
+    writeBatch(evDir, Seq((ts("2024-01-02 00:00:00"), "zz", 0.0)))
+    Seq((ts("2024-01-01 10:00:00"), "a"),
+      (ts("2024-01-02 00:00:00"), "zz"))
+      .toDF("r_ts", "r_entity").coalesce(1).write.mode("append").parquet(sgDir)
+    val evSchema = spark.read.parquet(evDir).schema
+    val sgSchema = spark.read.parquet(sgDir).schema
+    // one file per trigger so the sentinel advances the watermark in a
+    // LATER micro-batch (outer results only finalize between batches)
+    val joined = StreamIngest.streamIntervalJoinLeftOuter(
+      StreamIngest.readFileStream(spark, evDir, evSchema,
+        maxFilesPerTrigger = 1),
+      StreamIngest.readFileStream(spark, sgDir, sgSchema,
+        maxFilesPerTrigger = 1),
+      leftTime = "ts", rightTime = "r_ts",
+      keyExpr = "entity = r_entity", lookback = "1 hour",
+      watermark = "10 minutes")
+    val rows = StreamIngest.runToMemory(spark, joined, "ssjo_t")
+      .map(r => (r.getAs[String]("entity"),
+        Option(r.getAs[String]("r_entity")))).toSet
+    assert(rows.contains(("a", Some("a"))), s"matched pair missing: $rows")
+    assert(rows.contains(("b", None)), s"unmatched left not emitted: $rows")
+  }
+
   test("windowedTopK: Space-Saving state per window, exact when keys fit") {
     val in = Files.createTempDirectory("topk_in").toString
     // window 1: a×3, b×2, c×1 ; window 2: b×2, c×1 ; late row advances watermark
