@@ -508,8 +508,36 @@ object EventQueries {
       .orderBy("event_type", "hour")
   }
 
+  /** SLIDING windows in batch (2h length, 1h slide): each event lands
+    * in exactly len/slide windows — Spark's `window()` generates the
+    * assignments; the oracle states the same expansion explicitly
+    * (truncate to the slide grid, fan out k∈[0, len/slide)). Completes
+    * the window-mechanics family: tumbling (q_time_window), session
+    * (q_sessionize), ROWS/RANGE frames (q_window_funcs/q_window_range)
+    * and now overlapping assignment.
+    */
+  val qSlidingWindow: QueryDef = QueryDef.sql(
+    "q_sliding_window",
+    s"""SELECT ws, event_type, count(*) AS n,
+      |  ${RelationalQueries.dsumSql("value")} AS total
+      |FROM (
+      |  SELECT date_trunc('hour', ts) - k * INTERVAL 1 HOUR AS ws,
+      |    event_type, value
+      |  FROM events, unnest([0, 1]) AS u(k))
+      |GROUP BY ws, event_type
+      |ORDER BY ws, event_type""".stripMargin,
+    doc = "overlapping sliding-window aggregation in batch (window mechanics)") { (s, dir) =>
+    t(s, dir, "events")
+      .groupBy(window(col("ts"), "2 hours", "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        RelationalQueries.dsum(col("value")).as("total"))
+      .select(col("window.start").as("ws"), col("event_type"),
+        col("n"), col("total"))
+      .orderBy("ws", "event_type")
+  }
+
   val all: Seq[QueryDef] = Seq(
     qTimeWindow, qLagGaps, qOverlapSemi, qScalarFuncs, qJsonBuild, qSessionize,
     qMapFuncs, qAsofJoin, qAsofNearest, qRangeJoin, qFunnel, qRetention,
-    qGapFill, qInterpolate, qLoadProfile)
+    qGapFill, qInterpolate, qLoadProfile, qSlidingWindow)
 }
