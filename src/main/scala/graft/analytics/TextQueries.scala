@@ -726,9 +726,124 @@ object TextQueries {
     graft.text.CorpusReport.summary(t(s, dir, "documents"), "text", "lang")
   }
 
+  /** Curation v2 — this session's operators composed as ONE verified
+    * plan: C4/Gopher keep gate → normalized-fingerprint dedup →
+    * 64/16 token-window chunking → deterministic hash split. The
+    * oracle restates all four stages (the quality CTEs verbatim from
+    * q_quality_rules, dedup as the rn=1 window, chunking as the
+    * slide-grid fan-out, the split as the limb-hash arithmetic) — so
+    * the stage COMPOSITION is hash-verified end-to-end, the way
+    * q_curate_pipeline pins the v1 flow.
+    */
+  val qCurateV2: QueryDef = QueryDef.sql(
+    "q_curate_v2",
+    """WITH base AS (
+      |  SELECT doc_id, text,
+      |    CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+      |         ELSE string_split_regex(trim(text), '\s+') END AS ws,
+      |    list_filter(list_transform(string_split(text, chr(10)), l -> trim(l)),
+      |                l -> l <> '') AS ls
+      |  FROM documents),
+      |feat AS (
+      |  SELECT doc_id,
+      |    CAST(len(ws) AS BIGINT) AS n_words,
+      |    CASE WHEN len(ws) = 0 THEN 0.0
+      |      ELSE list_aggregate(list_transform(ws, w -> length(w)), 'sum')
+      |           / CAST(len(ws) AS DOUBLE) END AS mean_word_len,
+      |    ((length(text) - length(replace(text, '#', '')))
+      |      + (length(text) - length(replace(text, '...', ''))) / 3.0
+      |      + (length(text) - length(replace(text, '…', ''))))
+      |      / CAST(greatest(len(ws), 1) AS DOUBLE) AS symbol_ratio,
+      |    CASE WHEN len(ws) = 0 THEN 0.0
+      |      ELSE len(list_filter(ws, w -> regexp_matches(w, '[A-Za-z]')))
+      |           / CAST(len(ws) AS DOUBLE) END AS alpha_word_frac,
+      |    CASE WHEN len(ls) = 0 THEN 0.0
+      |      ELSE len(list_filter(ls, l -> left(l, 1) IN ('-', '*', '•')))
+      |           / CAST(len(ls) AS DOUBLE) END AS bullet_line_frac,
+      |    CASE WHEN len(ls) = 0 THEN 0.0
+      |      ELSE len(list_filter(ls, l -> ends_with(l, '...') OR ends_with(l, '…')))
+      |           / CAST(len(ls) AS DOUBLE) END AS ellipsis_line_frac,
+      |    CASE WHEN len(ls) = 0 THEN 0.0
+      |      ELSE (len(ls) - len(list_distinct(ls))) / CAST(len(ls) AS DOUBLE)
+      |      END AS dup_line_frac,
+      |    CASE WHEN coalesce(list_aggregate(list_transform(ls, l -> length(l)), 'sum'), 0) = 0
+      |      THEN 0.0
+      |      ELSE (list_aggregate(list_transform(ls, l -> length(l)), 'sum')
+      |            - list_aggregate(list_transform(list_distinct(ls), l -> length(l)), 'sum'))
+      |           / CAST(list_aggregate(list_transform(ls, l -> length(l)), 'sum') AS DOUBLE)
+      |      END AS dup_line_char_frac,
+      |    CASE WHEN len(ws) = 0 THEN 0
+      |      ELSE list_aggregate(list_transform(ws, w -> length(w)), 'sum')
+      |      END AS wchars
+      |  FROM base),
+      |bg AS (
+      |  SELECT doc_id, unnest(list_transform(range(1, len(ws)),
+      |    i -> ws[i] || ' ' || ws[i+1])) AS g
+      |  FROM base WHERE len(ws) >= 2),
+      |bc AS (SELECT doc_id, g, count(*) AS c FROM bg GROUP BY 1, 2),
+      |topb AS (SELECT doc_id, max(c * length(g)) AS top_chars FROM bc GROUP BY 1),
+      |kept AS (
+      |  SELECT f.doc_id FROM feat f LEFT JOIN topb USING (doc_id)
+      |  WHERE n_words BETWEEN 50 AND 100000
+      |    AND mean_word_len BETWEEN 3.0 AND 10.0
+      |    AND symbol_ratio < 0.1 AND alpha_word_frac > 0.8
+      |    AND bullet_line_frac < 0.9 AND ellipsis_line_frac < 0.3
+      |    AND dup_line_frac < 0.3 AND dup_line_char_frac < 0.3
+      |    AND coalesce(CAST(top_chars AS DOUBLE) / CAST(wchars AS DOUBLE), 0.0) < 0.2),
+      |sel AS (
+      |  SELECT doc_id, text FROM (
+      |    SELECT d.doc_id, d.text,
+      |      row_number() OVER (
+      |        PARTITION BY regexp_replace(regexp_replace(lower(d.text),
+      |          '[[:punct:]]', '', 'g'), '\s+', ' ', 'g')
+      |        ORDER BY d.doc_id) AS rn
+      |    FROM documents d JOIN kept USING (doc_id))
+      |  WHERE rn = 1),
+      |w AS (
+      |  SELECT doc_id,
+      |    CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+      |         ELSE string_split_regex(trim(text), '\s+') END AS ws
+      |  FROM sel),
+      |n AS (
+      |  SELECT doc_id, ws, len(ws) AS n,
+      |    CASE WHEN len(ws) <= 64 THEN 1
+      |         ELSE 1 + CAST(ceil((len(ws) - 64) / CAST(48 AS DOUBLE)) AS INT)
+      |    END AS nc
+      |  FROM w),
+      |c AS (SELECT doc_id, unnest(range(0, nc)) AS ci, n FROM n),
+      |sp AS (
+      |  SELECT doc_id,
+      |    ((((x // 65536) * 2654435761) % 4294967296) * 65536
+      |      + (x % 65536) * 2654435761) % 4294967296 % 100 AS bucket
+      |  FROM (SELECT doc_id,
+      |          ((doc_id % 4294967296) + 4294967296) % 4294967296 AS x
+      |        FROM sel))
+      |SELECT c.doc_id, CAST(ci AS INT) AS chunk_idx,
+      |  CAST(greatest(least(64, n - ci*48), 0) AS INT) AS n_tokens,
+      |  CASE WHEN bucket < 80 THEN 'train'
+      |       WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split
+      |FROM c JOIN sp ON c.doc_id = sp.doc_id
+      |ORDER BY c.doc_id, chunk_idx""".stripMargin,
+    doc = "curation v2: quality rules + dedup + chunking + hash split as one plan") { (s, dir) =>
+    import graft.dedup.Dedup
+    import graft.profile.Sampling
+    import graft.text.{Chunker, QualityRules}
+    val docs = t(s, dir, "documents")
+    val kept = QualityRules.qualityStats(docs, "doc_id", "text")
+      .filter(col("keep")).select("doc_id")
+    val sel = Dedup.exactTextDedup(docs.join(kept, "doc_id")
+      .select("doc_id", "text"), "text", "doc_id")
+    val chunks = Chunker.chunkByTokens(sel, "doc_id", "text",
+      maxTokens = 64, overlap = 16)
+    Sampling.deterministicSplit(chunks, "doc_id",
+        Seq("train" -> 80, "val" -> 10, "test" -> 10))
+      .select(col("doc_id"), col("chunk_idx"), col("n_tokens"), col("split"))
+      .orderBy("doc_id", "chunk_idx")
+  }
+
   val all: Seq[QueryDef] = Seq(
     qTextTokens, qTextQuality, qTextLangId, qTextFingerprint, qTokenFreq,
     qSelectPipeline, qPackSequences, qTextRedact, qCuratePipeline,
     qDecontaminate, qTfidf, qQualityRules, qUrlDedup, qQualityRepetition,
-    qChunkTokens, qSplitHash, qCorpusReport)
+    qChunkTokens, qSplitHash, qCorpusReport, qCurateV2)
 }
