@@ -48,4 +48,45 @@ object Iterate {
     }
     closure
   }
+
+  /** PageRank over a FUNCTIONAL graph (every node exactly one
+    * out-edge, e.g. the nation-derived i → 7i mod 25 used by
+    * [[RelationalQueries.qTransitiveClosure]]): out-degree 1 means a
+    * node's whole rank flows along its edge, so every iteration is
+    * EXACT decimal arithmetic — no rank/degree division — making the
+    * result value-oracle-able against a SQL engine's recursive CTE.
+    * Per iteration: rank' = teleport + damping·(sum of in-ranks),
+    * explicitly `round(·, 12)` (HALF_UP on both engines; a bare
+    * decimal CAST tie-rounds half-even in DuckDB and would diverge).
+    * Caller supplies `teleport` = (1−damping)/n already at scale ≤ 12
+    * (exact for the graphs this targets). Each iteration is one keyed
+    * join + aggregation of an n-row frame; ranks re-materialize per
+    * round so lineage stays flat (the k-means pattern).
+    */
+  def pageRankFunctional(edges: DataFrame, srcCol: String, dstCol: String,
+      iters: Int, damping: BigDecimal, teleport: BigDecimal): DataFrame = {
+    val spark = edges.sparkSession
+    import scala.jdk.CollectionConverters._
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst")).cache()
+    val n = e.count()
+    require(e.select("src").distinct().count() == n,
+      "pageRankFunctional: graph must be functional (one out-edge per node)")
+    val init = (BigDecimal(1) / n).setScale(12, BigDecimal.RoundingMode.HALF_UP)
+    var ranks = e.select(col("src").as("node"),
+      lit(init).cast("decimal(20,12)").as("rank"))
+    (1 to iters).foreach { _ =>
+      val ins = e.join(ranks, col("src") === col("node"))
+        .groupBy(col("dst")).agg(sum(col("rank")).as("insum"))
+      val next = e.select(col("src").as("node"))
+        .join(ins, col("node") === col("dst"), "left")
+        .select(col("node"),
+          round(lit(teleport) + lit(damping) *
+            coalesce(col("insum"), lit(0).cast("decimal(20,12)")), 12)
+            .cast("decimal(20,12)").as("rank"))
+      // n rows: re-materialize so each round's plan is a local relation
+      ranks = spark.createDataFrame(next.collect().toList.asJava, next.schema)
+    }
+    e.unpersist()
+    ranks
+  }
 }

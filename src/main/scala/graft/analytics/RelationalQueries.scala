@@ -727,10 +727,50 @@ object RelationalQueries {
       .orderBy("typo_key", "n_name")
   }
 
+  /** PageRank via driver-loop fixpoint
+    * ([[Iterate.pageRankFunctional]]), oracled against DuckDB's actual
+    * `WITH RECURSIVE` running the SAME exact-decimal iteration over
+    * the same functional graph as [[qTransitiveClosure]] (i → 7i mod
+    * 25). Out-degree 1 ⇒ no rank/degree division ⇒ every iteration is
+    * exact decimal + one HALF_UP round, so eight iterations of two
+    * engines agree to the last digit — the graph-analytics family
+    * (closure, components, ranking) all driver-loop + oracle.
+    */
+  val qPageRank: QueryDef = QueryDef.sql(
+    "q_pagerank",
+    """WITH RECURSIVE pr AS (
+      |  SELECT n_nationkey AS node, CAST(0.04 AS DECIMAL(20,12)) AS rank,
+      |    0 AS iter
+      |  FROM nation
+      |  UNION ALL
+      |  SELECT nn.n_nationkey AS node,
+      |    CAST(round(0.006 + 0.85 * coalesce(s.insum, 0), 12)
+      |      AS DECIMAL(20,12)) AS rank,
+      |    it.iter + 1 AS iter
+      |  FROM (SELECT DISTINCT iter FROM pr WHERE iter < 8) it
+      |  CROSS JOIN nation nn
+      |  LEFT JOIN (
+      |    SELECT (p.node * 7) % 25 AS dst, sum(p.rank) AS insum,
+      |      p.iter AS piter
+      |    FROM pr p GROUP BY 1, 3) s
+      |  ON s.dst = nn.n_nationkey AND s.piter = it.iter)
+      |SELECT node, CAST(rank AS DOUBLE) AS rank
+      |FROM pr WHERE iter = 8 ORDER BY node""".stripMargin,
+    doc = "PageRank fixpoint vs recursive-CTE oracle (graph analytics)") { (s, dir) =>
+    val edges = t(s, dir, "nation")
+      .select(col("n_nationkey").as("src"),
+        (col("n_nationkey") * 7 % 25).as("dst"))
+    Iterate.pageRankFunctional(edges, "src", "dst", iters = 8,
+        damping = BigDecimal("0.85"), teleport = BigDecimal("0.006"))
+      .select(col("node"), col("rank").cast("double").as("rank"))
+      .orderBy("node")
+  }
+
   val all: Seq[QueryDef] = Seq(
     q1Agg, qScanProject, qFilterIn, qJoinInner, qJoinAnti, qJoinSemi,
     qJoinLeftOuter, qJoinCrossBounds, qJoinTheta, qJoinNullSafe, qJoinUsing,
     qUnionAll, qExcept, qRollup, qCube, qTopK, qWindowRank, qWindowFuncs,
     qWindowRange, qSubqueryExists, qTransitiveClosure, qBloomPrune,
-    qGroupingSets, qIntersectAll, qTpchQ3, qTpchQ5, qMergeScd2, qFuzzyMatch)
+    qGroupingSets, qIntersectAll, qTpchQ3, qTpchQ5, qMergeScd2, qFuzzyMatch,
+    qPageRank)
 }
