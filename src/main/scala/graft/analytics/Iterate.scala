@@ -69,7 +69,10 @@ object Iterate {
     import scala.jdk.CollectionConverters._
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst")).cache()
     val n = e.count()
-    require(e.select("src").distinct().count() == n,
+    val functional = n > 0 && e.select("src").distinct().count() == n
+    if (!functional) e.unpersist() // don't leak cache on the failure path
+    require(n > 0, "pageRankFunctional: empty edge set")
+    require(functional,
       "pageRankFunctional: graph must be functional (one out-edge per node)")
     val init = (BigDecimal(1) / n).setScale(12, BigDecimal.RoundingMode.HALF_UP)
     var ranks = e.select(col("src").as("node"),

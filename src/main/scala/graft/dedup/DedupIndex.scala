@@ -83,21 +83,23 @@ object DedupIndex {
     * one side is new, then appends the batch's bands and shingles.
     * Ids must be globally unique across all updates.
     *
-    * Crash/replay safety: already-indexed ids are dropped from the
-    * batch up front (bloom-pruned anti-join on the shingles table), so
-    * replaying a failed batch is idempotent — it neither double-inserts
-    * nor re-pairs what landed. The two index appends run shingles
-    * FIRST: a crash between them leaves ids with shingles but no
-    * bands, which generate no candidates and are repaired by the
-    * replay's anti-join semantics (their bands append on the rerun).
+    * Crash/replay safety: membership is judged against the BANDS
+    * table — the one appended LAST — so replaying a failed batch is
+    * idempotent (fully-landed ids drop out) AND repairing: ids a crash
+    * left with shingles but no bands still count as unprocessed, rerun
+    * end-to-end, and complete their band rows. Their shingles append
+    * is separately deduped against the shingles table so the repair
+    * never double-inserts there either.
     */
   def update(wh: Warehouse, name: String, newDocs: DataFrame, idCol: String,
       textCol: String, threshold: Double = 0.6): DataFrame = {
     val p = readParams(wh, name)
     val spark = newDocs.sparkSession
+    // membership = presence in BANDS (the table appended last): ids a
+    // crash left shingles-only rerun here and get repaired
     val fresh = ScaleJoins.bloomPrunedAntiJoin(
-      newDocs.select(col(idCol)), wh.read(shinglesTable(name))
-        .select(col("id").as(idCol)),
+      newDocs.select(col(idCol)),
+      wh.read(bandsTable(name)).select(col("id").as(idCol)).distinct(),
       Seq(idCol), expectedItems = 1000000L)
       .join(newDocs, Seq(idCol))
     // materialize shingles ONCE, then signatures ONCE on top of them:
@@ -160,8 +162,15 @@ object DedupIndex {
       // not re-plan over tables this update is about to append to
       .localCheckpoint()
 
-    // shingles first: see crash/replay note in the method doc
-    wh.append(shinglesTable(name), newShingles)
+    // shingles first, bands last (bands are the membership marker —
+    // see crash/replay note). A crash-repair rerun re-derives shingles
+    // for ids that already landed them, so dedupe this append.
+    val shinglesToAppend = ScaleJoins.bloomPrunedAntiJoin(
+      newShingles.select(col("id")),
+      wh.read(shinglesTable(name)).select(col("id")),
+      Seq("id"), expectedItems = 1000000L)
+      .join(newShingles, Seq("id"))
+    wh.append(shinglesTable(name), shinglesToAppend)
     wh.append(bandsTable(name), newBands)
     newShingles.unpersist()
     newBands.unpersist()

@@ -78,14 +78,19 @@ object MetricsRollup {
         (keys.map(col) :+ col("m_count").as("__c") :+ col("m_sum").as("__s")
           :+ col("m_min").as("__mn") :+ col("m_max").as("__mx")): _*)
       // m_sum must combine like SQL sum: NULL+x would null out a stored
-      // sum when a late group's values are all NULL — take the non-null
-      // side instead, NULL only when both sides are (least/greatest
-      // already skip NULLs; count is never NULL)
+      // sum when a late group's values are all NULL. Coalesce the
+      // OPERANDS (not the result of the add): coalescing the sum would
+      // also swallow a non-ANSI overflow NULL into a silently-wrong
+      // batch-only total. NULL only when both sides are (least/greatest
+      // already skip NULLs; count is never NULL).
+      val bothNull = col("m_sum").isNull && col("__s").isNull
       val combined = fresh.join(existing, keys, "left")
         .select((keys.map(col) ++ Seq(
           (col("m_count") + coalesce(col("__c"), lit(0L))).as("m_count"),
-          coalesce((col("m_sum") + col("__s")).cast(SumType),
-            col("m_sum").cast(SumType), col("__s").cast(SumType)).as("m_sum"),
+          when(bothNull, lit(null).cast(SumType))
+            .otherwise((coalesce(col("m_sum"), lit(0).cast(SumType))
+              + coalesce(col("__s"), lit(0).cast(SumType))).cast(SumType))
+            .as("m_sum"),
           least(col("m_min"), coalesce(col("__mn"), col("m_min"))).as("m_min"),
           greatest(col("m_max"), coalesce(col("__mx"), col("m_max"))).as("m_max"))): _*)
       warehouse.merge(table, combined, keys)

@@ -266,22 +266,9 @@ final class Warehouse(spark: SparkSession, location: String) {
     val w = df.write.mode(SaveMode.Overwrite)
     (if (parts.nonEmpty) w.partitionBy(parts: _*) else w)
       .parquet(tmp.toString)
-    // Crash-safe swap: never a moment where the live directory is gone
-    // without a replacement on hand. Old data is moved aside first, the
-    // compacted copy renamed into place, and only then is the old copy
-    // deleted — a crash at any step leaves either the original or the
-    // new table intact under the live name ([[listTables]] hides the
-    // transient `__compact`/`__old` names).
-    val cur = new Path(path(table))
-    val old = new Path(path(table) + "__old")
-    if (fs.exists(old)) fs.delete(old, true) // debris from a prior crash
-    if (!fs.rename(cur, old))
-      sys.error(s"compact: rename $cur -> $old failed")
-    if (!fs.rename(tmp, cur)) {
-      fs.rename(old, cur) // restore the original before failing
-      sys.error(s"compact: rename $tmp -> $cur failed")
-    }
-    fs.delete(old, true)
+    // crash-safe: [[swapTableDir]] — listTables hides the transient
+    // `__compact`/`__old` names at every instant of the dance
+    swapTableDir(table, tmp, "compact")
   }
 
   /** Selective compaction: rewrite ONLY the partition directories
@@ -359,38 +346,36 @@ final class Warehouse(spark: SparkSession, location: String) {
     * than left stale. Returns the number of rows deleted.
     */
   def deleteWhere(table: String, predicate: org.apache.spark.sql.Column): Long = {
-    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.functions.{coalesce, col, lit}
     val parts = readMeta(table).map(_.partitionBy).getOrElse(Nil)
     val raw = readRaw(table)
+    // SQL DELETE semantics: a NULL predicate does NOT delete — rows
+    // where the predicate is unknown must survive (a targeted erase
+    // must never take unrelated NULL-keyed rows with it)
+    val hit = coalesce(predicate, lit(false))
     if (parts.isEmpty) {
-      val survivors = raw.filter(!predicate)
+      val survivors = raw.filter(!hit)
       val removed = raw.count() - survivors.count()
       if (removed == 0L) return 0L
       val tmp = new Path(path(table) + "__delete")
       if (fs.exists(tmp)) fs.delete(tmp, true)
       survivors.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
-      val cur = new Path(path(table))
-      val old = new Path(path(table) + "__old")
-      if (fs.exists(old)) fs.delete(old, true)
-      if (!fs.rename(cur, old)) sys.error(s"deleteWhere: rename $cur failed")
-      if (!fs.rename(tmp, cur)) {
-        fs.rename(old, cur)
-        sys.error(s"deleteWhere: rename $tmp -> $cur failed")
-      }
-      fs.delete(old, true)
+      swapTableDir(table, tmp, "deleteWhere")
       removed
     } else {
-      val matching = raw.filter(predicate)
+      val matching = raw.filter(hit)
       // bounded: one row per partition containing matches
       val affected = matching.select(parts.map(col): _*).distinct().collect()
       if (affected.isEmpty) return 0L
+      // <=> not ===: a NULL partition value (rows whose partition
+      // source was null) must still match its own collected tuple
       val pred = affected.map { row =>
-        parts.zipWithIndex.map { case (p, i) => col(p) === row.get(i) }
+        parts.zipWithIndex.map { case (p, i) => col(p) <=> lit(row.get(i)) }
           .reduce(_ && _)
       }.reduce(_ || _)
       val slice = raw.filter(pred) // partition-pruned
-      val removed = slice.filter(predicate).count()
-      val survivors = slice.filter(!predicate)
+      val removed = slice.filter(hit).count()
+      val survivors = slice.filter(!hit)
       val tmp = new Path(path(table) + "__delete")
       if (fs.exists(tmp)) fs.delete(tmp, true)
       survivors.repartition(parts.map(col): _*)
@@ -399,21 +384,44 @@ final class Warehouse(spark: SparkSession, location: String) {
       // a partition whose every row matched wrote NO survivor dir —
       // the swap below would leave its old files live, so find them
       // BEFORE the swap (which consumes tmp) and drop them after.
-      // Partition dir names use Spark's value rendering; exotic values
-      // needing escaping should go through merge()-style rewrites.
-      val fullyGone = affected.filter { row =>
-        val rel = parts.zipWithIndex
-          .map { case (p, i) => s"$p=${row.get(i)}" }.mkString("/")
-        !fs.exists(new Path(s"$tmp/$rel"))
-      }
+      // Partition dir names use Spark's value rendering (NULL values
+      // land in __HIVE_DEFAULT_PARTITION__); exotic values needing
+      // escaping should go through merge()-style rewrites.
+      def relOf(row: org.apache.spark.sql.Row): String =
+        parts.zipWithIndex.map { case (p, i) =>
+          val v = Option(row.get(i)).map(_.toString)
+            .getOrElse("__HIVE_DEFAULT_PARTITION__")
+          s"$p=$v"
+        }.mkString("/")
+      val fullyGone = affected
+        .filter(row => !fs.exists(new Path(s"$tmp/${relOf(row)}")))
       swapPartitionDirs(table, tmp, parts.size)
       fullyGone.foreach { row =>
-        val rel = parts.zipWithIndex
-          .map { case (p, i) => s"$p=${row.get(i)}" }.mkString("/")
-        fs.delete(new Path(s"${path(table)}/$rel"), true)
+        fs.delete(new Path(s"${path(table)}/${relOf(row)}"), true)
       }
       removed
     }
+  }
+
+  /** Crash-safe whole-directory swap shared by [[compact]],
+    * [[writeAudited]], [[deleteWhere]] and the unpartitioned
+    * [[merge]]: old data moves aside first, the staged copy renames
+    * into the live name, only then is the old copy deleted — a crash
+    * at any step leaves either the original or the replacement intact
+    * under the live name.
+    */
+  private def swapTableDir(table: String, tmp: Path, op: String): Unit = {
+    val cur = new Path(path(table))
+    val old = new Path(path(table) + "__old")
+    if (fs.exists(old)) fs.delete(old, true)
+    val hadLive = fs.exists(cur)
+    if (hadLive && !fs.rename(cur, old))
+      sys.error(s"$op: rename $cur -> $old failed")
+    if (!fs.rename(tmp, cur)) {
+      if (hadLive) fs.rename(old, cur)
+      sys.error(s"$op: rename $tmp -> $cur failed")
+    }
+    fs.delete(old, true)
   }
 
   /** MERGE INTO (SCD1 upsert): rows of `updates` replace same-key rows
@@ -443,15 +451,7 @@ final class Warehouse(spark: SparkSession, location: String) {
     if (parts.isEmpty) {
       Warehouse.mergeFrames(readRaw(table), upd, keys)
         .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
-      val cur = new Path(path(table))
-      val old = new Path(path(table) + "__old")
-      if (fs.exists(old)) fs.delete(old, true)
-      if (!fs.rename(cur, old)) sys.error(s"merge: rename $cur -> $old failed")
-      if (!fs.rename(tmp, cur)) {
-        fs.rename(old, cur)
-        sys.error(s"merge: rename $tmp -> $cur failed")
-      }
-      fs.delete(old, true)
+      swapTableDir(table, tmp, "merge")
     } else {
       import org.apache.spark.sql.functions.col
       val partCols = parts.map(col)
@@ -565,16 +565,7 @@ final class Warehouse(spark: SparkSession, location: String) {
       fs.delete(stage, true)
       return failed
     }
-    val cur = new Path(path(table))
-    val old = new Path(path(table) + "__old")
-    if (fs.exists(old)) fs.delete(old, true)
-    if (fs.exists(cur) && !fs.rename(cur, old))
-      sys.error(s"writeAudited: rename $cur -> $old failed")
-    if (!fs.rename(stage, cur)) {
-      if (fs.exists(old)) fs.rename(old, cur)
-      sys.error(s"writeAudited: rename $stage -> $cur failed")
-    }
-    fs.delete(old, true)
+    swapTableDir(table, stage, "writeAudited")
     writeSchema(table, df.schema)
     Nil
   }

@@ -108,10 +108,13 @@ object Decontaminate {
     val spark = eval.sparkSession
     require(spark.catalog.functionExists("bloom_might_contain"),
       "contaminationPredicateBloom needs GraftExtensions (bloom_might_contain)")
-    val bf = eval
+    val grams = eval
       .select(explode(TextAnalysis.wordShingles(col(textCol), n)).as("__s"))
       .select(xxhash64(col("__s")).as("__g"))
-      .stat.bloomFilter("__g", math.max(expectedGrams, 1L), fpp)
+    // empty gram set: nothing can contaminate (stat.bloomFilter also
+    // NPEs on zero rows — same guard as ScaleJoins.bloomPruned)
+    if (grams.isEmpty) return lit(false)
+    val bf = grams.stat.bloomFilter("__g", math.max(expectedGrams, 1L), fpp)
     val bos = new java.io.ByteArrayOutputStream()
     bf.writeTo(bos)
     val bytes = bos.toByteArray

@@ -2,6 +2,7 @@ package graft.dedup
 
 import graft.SparkSpec
 import graft.store.Warehouse
+import org.apache.spark.sql.functions._
 import java.nio.file.Files
 
 class DedupIndexSpec extends SparkSpec {
@@ -67,6 +68,25 @@ class DedupIndexSpec extends SparkSpec {
     val pairs = DedupIndex.update(wh, "dix", mixed, "doc_id", "text",
       threshold = 0.5).select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(pairs.nonEmpty && pairs.forall { case (a, b) => a == 3L || b == 3L })
+  }
+
+  test("crash repair: ids left shingles-only rerun fully, no duplicate shingles") {
+    val wh = new Warehouse(spark, Files.createTempDirectory("graft_dix4").toString)
+    DedupIndex.build(wh, "dix", Seq(doc(1, base)).toDF("doc_id", "text"),
+      "doc_id", "text", threshold = 0.5)
+    // simulate a crash between the two appends: doc 2's SHINGLES landed
+    // but its BANDS did not
+    val batch2 = Seq(doc(2, base + " with one extra tail")).toDF("doc_id", "text")
+    import graft.text.TextAnalysis
+    wh.append("dix__shingles", batch2.select(col("doc_id").as("id"),
+      Dedup.shingleHashes(spark, col("text"), 5).as("shingles")))
+    assert(wh.read("dix__bands").filter(col("id") === 2L).count() === 0)
+    // replaying the batch repairs it: bands land, shingles NOT duplicated
+    val pairs = DedupIndex.update(wh, "dix", batch2, "doc_id", "text",
+      threshold = 0.5).select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs === Set((1L, 2L)))
+    assert(wh.read("dix__bands").filter(col("id") === 2L).count() > 0)
+    assert(wh.read("dix__shingles").filter(col("id") === 2L).count() === 1)
   }
 
   test("incremental pairs match the one-shot incremental API on the same corpus") {

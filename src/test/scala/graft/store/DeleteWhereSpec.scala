@@ -20,6 +20,18 @@ class DeleteWhereSpec extends SparkSpec {
     assert(wh.read("t").count() === 5)
   }
 
+  test("NULL predicate rows survive: a targeted erase never takes unknown rows") {
+    val wh = new Warehouse(spark, Files.createTempDirectory("graft_dw3").toString)
+    wh.createTable("t",
+      Seq((1L, Option(1.0))).toDF("id", "v").schema)
+    wh.append("t", Seq((1L, Some(2.0)), (2L, None), (3L, Some(2.0)),
+      (4L, None)).toDF("id", "v"))
+    // v === 2.0 is NULL for rows 2 and 4 — SQL DELETE keeps them
+    assert(wh.deleteWhere("t", col("v") === 2.0) === 2L)
+    assert(wh.read("t").select("id").as[Long].collect().sorted
+      === Array(2L, 4L))
+  }
+
   test("partitioned delete rewrites only affected days; fully-deleted day vanishes") {
     val dir = Files.createTempDirectory("graft_dw2").toString
     val wh = new Warehouse(spark, dir)
