@@ -841,9 +841,45 @@ object TextQueries {
       .orderBy("doc_id", "chunk_idx")
   }
 
+  /** Vocabulary encoding ([[graft.text.Vocab]]): top-200 corpus vocab
+    * by (freq desc, token), then each doc's first tokens become the
+    * id sequence (OOV → 0) — order preserved through the positional
+    * explode/reassembly. The id STRING is compared, so both the
+    * ranking and the per-position lookups are hash-verified.
+    */
+  val qVocabEncode: QueryDef = QueryDef.sql(
+    "q_vocab_encode",
+    """WITH tok AS (
+      |  SELECT doc_id, t.token, t.pos FROM documents,
+      |    LATERAL (SELECT unnest(string_split_regex(lower(trim(text)),
+      |        '[\s[:punct:]]+')) AS token,
+      |      generate_subscripts(string_split_regex(lower(trim(text)),
+      |        '[\s[:punct:]]+'), 1) AS pos) t
+      |  WHERE t.token <> ''),
+      |vocab AS (
+      |  SELECT token, row_number() OVER (ORDER BY n DESC, token) AS id
+      |  FROM (SELECT token, count(*) AS n FROM tok GROUP BY token
+      |        ORDER BY n DESC, token LIMIT 200)),
+      |enc AS (
+      |  SELECT tok.doc_id, tok.pos, coalesce(v.id, 0) AS tid
+      |  FROM tok LEFT JOIN vocab v USING (token))
+      |SELECT doc_id,
+      |  array_to_string(list_transform(
+      |    list_sort(list({'pos': pos, 'tid': tid})), r -> r.tid), ',') AS ids
+      |FROM enc WHERE doc_id < 50
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    doc = "fixed-vocab token-id encoding, order-preserving (training-data ops)") { (s, dir) =>
+    import graft.text.Vocab
+    val docs = t(s, dir, "documents")
+    val vocab = Vocab.build(docs, "text", size = 200)
+    Vocab.encode(docs.filter(col("doc_id") < 50), vocab, "doc_id", "text")
+      .select(col("doc_id"), array_join(col("ids"), ",").as("ids"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[QueryDef] = Seq(
     qTextTokens, qTextQuality, qTextLangId, qTextFingerprint, qTokenFreq,
     qSelectPipeline, qPackSequences, qTextRedact, qCuratePipeline,
     qDecontaminate, qTfidf, qQualityRules, qUrlDedup, qQualityRepetition,
-    qChunkTokens, qSplitHash, qCorpusReport, qCurateV2)
+    qChunkTokens, qSplitHash, qCorpusReport, qCurateV2, qVocabEncode)
 }
