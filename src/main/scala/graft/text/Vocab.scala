@@ -43,11 +43,14 @@ object Vocab {
       posexplode(split(lower(trim(col(textCol))), "[\\s\\p{Punct}]+"))
         .as(Seq("pos", "token")))
       .filter(col("token") =!= "")
-    toks.join(broadcast(vocab), Seq("token"), "left")
+    // rename the vocab's id internally: a caller whose idCol is also
+    // named "id" must not collide with it
+    val v = vocab.select(col("token"), col("id").as("__vid"))
+    toks.join(broadcast(v), Seq("token"), "left")
       .groupBy(col(idCol))
       .agg(transform(
         array_sort(collect_list(struct(col("pos"),
-          coalesce(col("id"), lit(0L)).as("tid")))),
+          coalesce(col("__vid"), lit(0L)).as("tid")))),
         e => e.getField("tid")).as("ids"))
   }
 }
