@@ -713,8 +713,9 @@ object TextQueries {
       |      * 4.0, 1.0) * 0.25 AS quality
       |  FROM documents)
       |SELECT count(*) AS n_docs,
-      |  sum(toks) AS total_tokens,
-      |  CAST(round(sum(chars) / CAST(sum(toks) AS DOUBLE), 6) AS DOUBLE)
+      |  CAST(sum(toks) AS BIGINT) AS total_tokens,
+      |  CAST(CASE WHEN sum(toks) = 0 THEN 0.0
+      |    ELSE round(sum(chars) / CAST(sum(toks) AS DOUBLE), 6) END AS DOUBLE)
       |    AS mean_token_len,
       |  count(DISTINCT lang) AS n_langs,
       |  CAST(round(1.0 - count(DISTINCT norm) / CAST(count(*) AS DOUBLE), 6)

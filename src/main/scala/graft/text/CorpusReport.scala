@@ -27,7 +27,8 @@ object CorpusReport {
     docs.agg(
       count(lit(1)).as("n_docs"),
       sum(toks).as("total_tokens"),
-      round(sum(chars).cast("double") / sum(toks).cast("double"), 6)
+      when(sum(toks) === 0, lit(0.0)) // all-blank corpus: define 0, not 0/0
+        .otherwise(round(sum(chars).cast("double") / sum(toks).cast("double"), 6))
         .cast("double").as("mean_token_len"),
       countDistinct(col(langCol)).as("n_langs"),
       round(lit(1.0) - countDistinct(norm).cast("double")

@@ -72,12 +72,29 @@ def main():
             res = con.execute(oracle[name])
             duck_cols = [c[0] for c in res.description]
             duck_rows = res.fetchall()
+            # Driver parity: the driver compares via pandas, where DuckDB
+            # HUGEINT / DECIMAL sums silently coerce to float64 while the
+            # Spark parquet stays int64 — values then hash as "27165.0"
+            # vs "27165" (r3 q_corpus_report). fetchall() yields Python
+            # ints and hides that. Re-fetch both sides as pandas and
+            # require matching dtype kinds per column.
+            duck_pd = con.execute(oracle[name]).df()
         except Exception as e:
             print(f"ORACLE-ERR {name}: {e}")
             n_fail += 1
             continue
         if sorted(spark_cols) != sorted(duck_cols):
             print(f"SCHEMA   {name}: spark={sorted(spark_cols)} duck={sorted(duck_cols)}")
+            n_fail += 1
+            continue
+        spark_pd = tbl.to_pandas(date_as_object=False)
+        kind = lambda df, c: df.dtypes[c].kind
+        dtbad = [(c, kind(spark_pd, c), kind(duck_pd, c))
+                 for c in sorted(spark_cols)
+                 if kind(spark_pd, c) != kind(duck_pd, c)]
+        if dtbad:
+            print(f"DTYPE    {name}: pandas dtype kinds diverge (spark vs duck): "
+                  f"{dtbad} — cast the oracle column (e.g. CAST(... AS BIGINT))")
             n_fail += 1
             continue
         sh = table_hash(spark_rows, spark_cols)
