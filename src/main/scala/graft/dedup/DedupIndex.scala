@@ -149,7 +149,11 @@ object DedupIndex {
     val oldShingles = ScaleJoins.bloomPruned(candIds,
       wh.read(shinglesTable(name)), Seq("id"),
       expectedItems = math.max(nNew * 4, 1L))
-    val lookup = newShingles.unionByName(oldShingles)
+    // crash repair: an id the crash left shingles-only is in BOTH
+    // newShingles (rerun) and the stored table — keep one row per id
+    // (the fresh signing) or every pair touching it would emit twice
+    val lookup = newShingles.unionByName(
+      oldShingles.join(newShingles.select("id"), Seq("id"), "left_anti"))
     val pairs = candidates
       .join(lookup.select(col("id").as("id_a"), col("shingles").as("sh_a")),
         Seq("id_a"))

@@ -384,17 +384,30 @@ final class Warehouse(spark: SparkSession, location: String) {
       // a partition whose every row matched wrote NO survivor dir —
       // the swap below would leave its old files live, so find them
       // BEFORE the swap (which consumes tmp) and drop them after.
-      // Partition dir names use Spark's value rendering (NULL values
-      // land in __HIVE_DEFAULT_PARTITION__); exotic values needing
-      // escaping should go through merge()-style rewrites.
+      // Dir names must use Spark's OWN rendering — escapePathName for
+      // special chars (space, '=', '%', …), __HIVE_DEFAULT_PARTITION__
+      // for NULL — or a fully-deleted partition with such a value
+      // would silently keep its old files live under a name this code
+      // never computes.
       def relOf(row: org.apache.spark.sql.Row): String =
         parts.zipWithIndex.map { case (p, i) =>
-          val v = Option(row.get(i)).map(_.toString)
-            .getOrElse("__HIVE_DEFAULT_PARTITION__")
-          s"$p=$v"
+          org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+            .getPartitionPathString(p,
+              Option(row.get(i)).map(_.toString).orNull)
         }.mkString("/")
       val fullyGone = affected
         .filter(row => !fs.exists(new Path(s"$tmp/${relOf(row)}")))
+      // every fully-deleted partition must resolve to a live dir BEFORE
+      // the swap: if the rendering ever disagrees with what the writer
+      // produced, fail loudly instead of deleting a nonexistent path
+      // and reporting the rows erased (the GDPR-erase contract)
+      fullyGone.foreach { row =>
+        val live = new Path(s"${path(table)}/${relOf(row)}")
+        if (!fs.exists(live)) sys.error(
+          s"deleteWhere: partition dir for tuple ${relOf(row)} found " +
+            s"neither under the staged write nor the live table — " +
+            s"refusing to report rows deleted that would stay readable")
+      }
       swapPartitionDirs(table, tmp, parts.size)
       fullyGone.foreach { row =>
         fs.delete(new Path(s"${path(table)}/${relOf(row)}"), true)

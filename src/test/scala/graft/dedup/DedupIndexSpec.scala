@@ -82,8 +82,13 @@ class DedupIndexSpec extends SparkSpec {
       Dedup.shingleHashes(spark, col("text"), 5).as("shingles")))
     assert(wh.read("dix__bands").filter(col("id") === 2L).count() === 0)
     // replaying the batch repairs it: bands land, shingles NOT duplicated
-    val pairs = DedupIndex.update(wh, "dix", batch2, "doc_id", "text",
-      threshold = 0.5).select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val pairsDf = DedupIndex.update(wh, "dix", batch2, "doc_id", "text",
+      threshold = 0.5)
+    // the repaired id is in both the rerun batch and the stored shingles
+    // table; the verify lookup must still hold ONE row for it, or this
+    // pair would emit twice (count, not set — a set hides duplicates)
+    assert(pairsDf.count() === 1)
+    val pairs = pairsDf.select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(pairs === Set((1L, 2L)))
     assert(wh.read("dix__bands").filter(col("id") === 2L).count() > 0)
     assert(wh.read("dix__shingles").filter(col("id") === 2L).count() === 1)

@@ -32,6 +32,24 @@ class DeleteWhereSpec extends SparkSpec {
       === Array(2L, 4L))
   }
 
+  test("fully-deleted partition with special-char value is physically removed") {
+    val dir = Files.createTempDirectory("graft_dw4").toString
+    val wh = new Warehouse(spark, dir)
+    wh.createTable("t", Seq((1L, "a")).toDF("id", "cat").schema,
+      partitionBy = Seq("cat"))
+    // values Spark escapes in partition dir names: space, '=', '%', ':'
+    wh.append("t", Seq((1L, "a b=c%2"), (2L, "a b=c%2"), (3L, "plain"))
+      .toDF("id", "cat"))
+    assert(wh.deleteWhere("t", col("cat") === "a b=c%2") === 2L)
+    assert(wh.read("t").select("id").as[Long].collect() === Array(3L))
+    // the escaped dir itself must be gone — not just unreadable
+    val dirs = Option(new java.io.File(s"$dir/t").listFiles())
+      .map(_.filter(_.isDirectory).map(_.getName).toSeq).getOrElse(Nil)
+    assert(dirs.forall(!_.contains("a%20b")) || dirs.isEmpty,
+      s"stale escaped partition dir survived the erase: $dirs")
+    assert(dirs.count(_.startsWith("cat=")) === 1)
+  }
+
   test("partitioned delete rewrites only affected days; fully-deleted day vanishes") {
     val dir = Files.createTempDirectory("graft_dw2").toString
     val wh = new Warehouse(spark, dir)
