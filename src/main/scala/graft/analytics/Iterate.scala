@@ -65,8 +65,6 @@ object Iterate {
     */
   def pageRankFunctional(edges: DataFrame, srcCol: String, dstCol: String,
       iters: Int, damping: BigDecimal, teleport: BigDecimal): DataFrame = {
-    val spark = edges.sparkSession
-    import scala.jdk.CollectionConverters._
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst")).cache()
     val n = e.count()
     val functional = n > 0 && e.select("src").distinct().count() == n
@@ -77,6 +75,7 @@ object Iterate {
     val init = (BigDecimal(1) / n).setScale(12, BigDecimal.RoundingMode.HALF_UP)
     var ranks = e.select(col("src").as("node"),
       lit(init).cast("decimal(20,12)").as("rank"))
+      .localCheckpoint(eager = true)
     (1 to iters).foreach { _ =>
       val ins = e.join(ranks, col("src") === col("node"))
         .groupBy(col("dst")).agg(sum(col("rank")).as("insum"))
@@ -86,10 +85,59 @@ object Iterate {
           round(lit(teleport) + lit(damping) *
             coalesce(col("insum"), lit(0).cast("decimal(20,12)")), 12)
             .cast("decimal(20,12)").as("rank"))
-      // n rows: re-materialize so each round's plan is a local relation
-      ranks = spark.createDataFrame(next.collect().toList.asJava, next.schema)
+      // re-materialize the n-row rank frame as a distributed RDD each
+      // round (never through the driver): lineage stays flat, and the
+      // frame scales past driver memory — the transitiveClosure pattern
+      ranks = next.localCheckpoint(eager = true)
     }
     e.unpersist()
+    ranks
+  }
+
+  /** General PageRank — any directed graph, out-degree normalized,
+    * dangling mass redistributed uniformly. IEEE-double arithmetic
+    * (the exact-decimal [[pageRankFunctional]] stays only as the
+    * recursive-CTE-oracle harness for functional graphs).
+    *
+    * Scale shape: per iteration one keyed join of the edge set against
+    * the rank frame plus one aggregation shuffle on the destination
+    * key; the only driver value is the dangling-mass SCALAR (one
+    * double). Rank frames re-materialize via localCheckpoint so the
+    * plan never grows with the iteration count — no driver
+    * materialization at any node count.
+    */
+  def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
+      iters: Int, damping: Double = 0.85): DataFrame = {
+    val e = edges.select(col(srcCol).cast("long").as("src"),
+      col(dstCol).cast("long").as("dst")).cache()
+    val nodes = e.select(col("src").as("node"))
+      .unionByName(e.select(col("dst").as("node")))
+      .distinct().cache()
+    val n = nodes.count()
+    require(n > 0, "pageRank: empty edge set")
+    // out-degree per source; nodes absent here are dangling
+    val outDeg = e.groupBy("src").agg(count(lit(1)).as("deg")).cache()
+    val teleport = (1.0 - damping) / n
+    var ranks = nodes.select(col("node"), lit(1.0 / n).as("rank"))
+      .localCheckpoint(eager = true)
+    (1 to iters).foreach { _ =>
+      // dangling mass: ranks of nodes with no out-edge — a scalar
+      val dangling = ranks
+        .join(outDeg, ranks("node") === outDeg("src"), "left_anti")
+        .agg(coalesce(sum(col("rank")), lit(0.0))).head().getDouble(0)
+      val contribs = e
+        .join(ranks.withColumnRenamed("node", "src"), Seq("src"))
+        .join(outDeg, Seq("src"))
+        .select(col("dst").as("node"), (col("rank") / col("deg")).as("c"))
+        .groupBy(col("node")).agg(sum(col("c")).as("insum"))
+      val next = nodes.join(contribs, Seq("node"), "left")
+        .select(col("node"),
+          (lit(teleport) + lit(damping) *
+            (coalesce(col("insum"), lit(0.0)) + lit(dangling / n)))
+            .as("rank"))
+      ranks = next.localCheckpoint(eager = true)
+    }
+    e.unpersist(); nodes.unpersist(); outDeg.unpersist()
     ranks
   }
 }

@@ -766,11 +766,64 @@ object RelationalQueries {
       .orderBy("node")
   }
 
+  /** General PageRank ([[Iterate.pageRank]]): out-degree normalized,
+    * dangling mass redistributed — the distributed double-arithmetic
+    * path (the exact-decimal functional variant above is the oracle
+    * harness; THIS is the one that runs at graph scale). Oracle: the
+    * same normalized iteration as a DuckDB recursive CTE over a fixed
+    * in-plan graph with branching nodes and a dangling sink, rounded
+    * to 9 decimals (both engines iterate IEEE doubles; residual
+    * cross-engine sum-order noise is ~1e-15, six orders below the
+    * rounding grid).
+    */
+  val qPageRankGeneral: QueryDef = QueryDef.sql(
+    "q_pagerank_general",
+    """WITH RECURSIVE edges AS (
+      |  SELECT * FROM (VALUES (1, 2), (2, 1), (2, 3), (3, 4), (4, 1),
+      |    (4, 6), (5, 1), (5, 2)) AS t(src, dst)),
+      |nodes AS (
+      |  SELECT DISTINCT node FROM (
+      |    SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges)),
+      |deg AS (
+      |  SELECT src, CAST(count(*) AS DOUBLE) AS deg
+      |  FROM edges GROUP BY src),
+      |pr AS (
+      |  SELECT node, CAST(1.0 AS DOUBLE)/6 AS rank, 0 AS iter FROM nodes
+      |  UNION ALL
+      |  SELECT nn.node,
+      |    (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE))/6 +
+      |      CAST(0.85 AS DOUBLE) *
+      |        (sum(CASE WHEN c.dst = nn.node THEN c.share ELSE 0 END) +
+      |         sum(CASE WHEN c.dst IS NULL THEN c.share ELSE 0 END)/6)
+      |      AS rank,
+      |    min(c.iter) + 1 AS iter
+      |  FROM nodes nn CROSS JOIN (
+      |    SELECT e.dst AS dst,
+      |      CASE WHEN e.dst IS NULL THEN p.rank
+      |           ELSE p.rank/d.deg END AS share,
+      |      p.iter AS iter
+      |    FROM pr p
+      |      LEFT JOIN deg d ON d.src = p.node
+      |      LEFT JOIN edges e ON e.src = p.node
+      |    WHERE p.iter < 8) c
+      |  GROUP BY nn.node)
+      |SELECT node, round(rank, 9) AS rank
+      |FROM pr WHERE iter = 8 ORDER BY node""".stripMargin,
+    doc = "general PageRank (normalized, dangling-safe) vs recursive-CTE oracle (graph analytics)") { (s, dir) =>
+    import s.implicits._
+    val edges = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 4L), (4L, 1L),
+      (4L, 6L), (5L, 1L), (5L, 2L)).toDF("src", "dst")
+    Iterate.pageRank(edges, "src", "dst", iters = 8)
+      .select(col("node").cast("int").as("node"),
+        round(col("rank"), 9).as("rank"))
+      .orderBy("node")
+  }
+
   val all: Seq[QueryDef] = Seq(
     q1Agg, qScanProject, qFilterIn, qJoinInner, qJoinAnti, qJoinSemi,
     qJoinLeftOuter, qJoinCrossBounds, qJoinTheta, qJoinNullSafe, qJoinUsing,
     qUnionAll, qExcept, qRollup, qCube, qTopK, qWindowRank, qWindowFuncs,
     qWindowRange, qSubqueryExists, qTransitiveClosure, qBloomPrune,
     qGroupingSets, qIntersectAll, qTpchQ3, qTpchQ5, qMergeScd2, qFuzzyMatch,
-    qPageRank)
+    qPageRank, qPageRankGeneral)
 }

@@ -324,7 +324,10 @@ object StreamIngest {
     */
   def windowedTopK(df: DataFrame, timeCol: String, keyCol: String, k: Int,
       windowLen: String = "1 hour",
-      watermarkDelay: String = "30 minutes"): DataFrame =
+      watermarkDelay: String = "30 minutes"): DataFrame = {
+    require(df.sparkSession.catalog.functionExists("space_saving_topk"),
+      "windowedTopK needs GraftExtensions (space_saving_topk); build the " +
+        "session with spark.sql.extensions=graft.plans.GraftExtensions")
     df.withWatermark(timeCol, watermarkDelay)
       .groupBy(window(col(timeCol), windowLen))
       .agg(call_function("space_saving_topk", col(keyCol), lit(k)).as("tops"))
@@ -332,6 +335,7 @@ object StreamIngest {
         explode(col("tops")).as("e"))
       .select(col("window_start"), col("e.key").as("key"),
         col("e.est").as("est"), col("e.err").as("err"))
+  }
 
   /** Run a streaming transform one-shot into an in-memory table and
     * return its rows — the harness used by specs and quick inspection

@@ -36,7 +36,11 @@ object Vocab {
   }
 
   /** Encode each document as its token-id sequence (OOV → 0),
-    * preserving token order. Output: (idCol, ids array<long>). */
+    * preserving token order. Output: (idCol, ids array<long>) — one
+    * row per INPUT row: a document that tokenizes to nothing (empty
+    * or punctuation-only text) encodes as the empty array rather than
+    * vanishing, so downstream pipelines composing encode after
+    * chunking keep their row counts. */
   def encode(docs: DataFrame, vocab: DataFrame, idCol: String,
       textCol: String): DataFrame = {
     val toks = docs.select(col(idCol),
@@ -46,11 +50,17 @@ object Vocab {
     // rename the vocab's id internally: a caller whose idCol is also
     // named "id" must not collide with it
     val v = vocab.select(col("token"), col("id").as("__vid"))
-    toks.join(broadcast(v), Seq("token"), "left")
+    val encoded = toks.join(broadcast(v), Seq("token"), "left")
       .groupBy(col(idCol))
       .agg(transform(
         array_sort(collect_list(struct(col("pos"),
           coalesce(col("__vid"), lit(0L)).as("tid")))),
         e => e.getField("tid")).as("ids"))
+    // restore rows the empty-token filter removed entirely: keyed left
+    // join against the input id set, missing → empty array<long>
+    docs.select(col(idCol))
+      .join(encoded, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("ids"), array().cast("array<long>")).as("ids"))
   }
 }

@@ -95,4 +95,20 @@ class StreamEnrichSpec extends SparkSpec {
     assert(w2 === Map("b" -> 2L, "c" -> 1L))
     assert(rows.forall(_.getAs[Long]("err") === 0L))
   }
+
+  test("windowedTopK fails fast with a clear message without GraftExtensions") {
+    import org.apache.spark.sql.catalyst.FunctionIdentifier
+    // a sibling session whose registry lacks the native function —
+    // the shape of a session built without GraftExtensions
+    val bare = spark.newSession()
+    bare.sessionState.functionRegistry
+      .dropFunction(FunctionIdentifier("space_saving_topk"))
+    val df = bare.range(1).selectExpr(
+      "timestamp'2024-01-01 00:00:00' AS ts", "'k' AS entity")
+    val err = intercept[IllegalArgumentException] {
+      StreamIngest.windowedTopK(df, "ts", "entity", k = 4)
+    }
+    assert(err.getMessage.contains("GraftExtensions"),
+      s"unhelpful error: ${err.getMessage}")
+  }
 }
