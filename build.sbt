@@ -28,3 +28,31 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+
+// `sbt gate`: the round's correctness gate in one command — dump every
+// catalog query at sf0.01 and oracle-compare via DuckDB (tools/check.py),
+// first at the default core count, then again at 7 cores (odd
+// parallelism changes partition boundaries and partial-aggregation
+// order, shaking out any order-sensitive aggregate before the driver
+// gate would).
+lazy val gateDir = settingKey[File]("output root for gate dumps")
+gateDir := target.value / "gate"
+def gateCheck(outSub: String, label: String) = Def.task {
+  import scala.sys.process._
+  val out = (gateDir.value / outSub).getPath
+  val code = Process(Seq("python3", "tools/check.py",
+    "/root/testdata/sf0.01", out)).!
+  require(code == 0, s"gate FAILED at $label parallelism (see above)")
+}
+def gateRun(outSub: String, cpus: Int) = Def.taskDyn {
+  val out = (gateDir.value / outSub).getPath
+  (Compile / runMain).toTask(s" graft.Verify /root/testdata/sf0.01 $out $cpus")
+}
+lazy val gate = taskKey[Unit](
+  "correctness gate: oracle compare at default + 7-core parallelism")
+gate := Def.sequential(
+  gateRun("default", 4),
+  gateCheck("default", "default (4-core)"),
+  gateRun("odd7", 7),
+  gateCheck("odd7", "odd (7-core)")
+).value

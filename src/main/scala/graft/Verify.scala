@@ -5,8 +5,13 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // optional 3rd arg overrides the core count (the `sbt gate` task
+    // runs the suite at default AND odd parallelism in one command)
+    val (sfDir, outDir, cpus) = args match {
+      case Array(s, o)    => (s, o, sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
+      case Array(s, o, c) => (s, o, c)
+      case _ => sys.error("usage: Verify <sfDir> <outDir> [cpus]")
+    }
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)

@@ -90,17 +90,52 @@ object DedupQueries {
       .orderBy("id_a", "id_b")
   }
 
-  /** MinHash+LSH near-dup pairs (rows-only: xxhash64 signatures have
-    * no DuckDB twin; banding recall + Jaccard verification asserted on
-    * planted dups in DedupSpec).
+  /** MinHash+LSH near-dup pairs over the FULL corpus (no doc bound)
+    * plus planted near-dups, run in the LSH ≡ exact certainty regime:
+    * at j ≥ 0.9 the per-pair miss probability of 16 2-row bands is
+    * (1-0.81)^16 ≈ 3e-12, so the emitted pair set equals the exact SQL
+    * truth DuckDB recomputes from raw text — a full contract oracle
+    * (pair identities AND per-pair Jaccard), replacing the former
+    * rows-only xxhash64 dump. The banding/bucket-cap/verification
+    * machinery exercised is identical to a low-threshold run — the
+    * threshold only gates the final verified-Jaccard filter. TRIGRAM
+    * shingles (mirroring NgramHashes: len−2 windows, short docs
+    * collapse to one whole-doc shingle): the shared-vocabulary
+    * synthetic corpus overlaps heavily at bigram level, which turns
+    * LSH buckets hot and candidate verification quadratic-ish —
+    * trigrams keep the candidate set proportional to true near-dups.
     */
-  val qDedupMinhash: QueryDef = QueryDef.rowsOnly(
+  val qDedupMinhash: QueryDef = QueryDef.sql(
     "q_dedup_minhash",
-    doc = "MinHash+LSH near-dup candidate pairs (dedup ops)") { (s, dir) =>
-    Dedup.minHashNearDupPairs(t(s, dir, "documents"), "doc_id", "text",
-        shingleSize = 3, k = 32, bands = 16, threshold = 0.1)
+    """WITH corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000, text || ' xyzzy' FROM documents
+      |  WHERE doc_id < 20),
+      |sh AS (
+      |  SELECT doc_id,
+      |    list_distinct([array_to_string(tk[i:i+2], ' ')
+      |                   FOR i IN range(1, greatest(len(tk) - 1, 2))]) AS s
+      |  FROM (SELECT doc_id,
+      |          string_split_regex(lower(trim(text)), '[\s[:punct:]]+') AS tk
+      |        FROM corpus))
+      |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |  CAST(round(len(list_intersect(a.s, b.s)) /
+      |    (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 6) AS DOUBLE)
+      |    AS jaccard
+      |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      |WHERE len(list_intersect(a.s, b.s)) /
+      |    (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.9
+      |ORDER BY id_a, id_b""".stripMargin,
+    doc = "MinHash+LSH full-corpus near-dup pairs vs exact SQL truth (dedup ops)") { (s, dir) =>
+    val base = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val planted = base.filter(col("doc_id") < 20)
+      .select((col("doc_id") + 1000000).as("doc_id"),
+        concat(col("text"), lit(" xyzzy")).as("text"))
+    Dedup.minHashNearDupPairs(base.unionByName(planted), "doc_id", "text",
+        shingleSize = 3, k = 32, bands = 16, threshold = 0.9)
       .select(col("id_a"), col("id_b"),
-        round(col("jaccard"), 6).as("jaccard"))
+        round(col("jaccard"), 6).cast("double").as("jaccard"))
       .orderBy("id_a", "id_b")
   }
 
@@ -150,17 +185,51 @@ object DedupQueries {
       .orderBy("id_a", "id_b")
   }
 
-  /** SimHash near-dup pairs (rows-only; see DedupSpec). Bounded scope
-    * — the shared-vocabulary synthetic corpus packs most pairs within
-    * small hamming distances, so an unbounded run is all-pairs-sized.
+  /** SimHash over the FULL corpus plus planted doubled-text twins
+    * (text||' '||text: a different string with the identical distinct
+    * token SET, so the signature — which hashes the token set — must
+    * match exactly). The distance-≤12 pigeonhole banding runs
+    * unbounded; the emitted rows are the distance-0 pairs verified by
+    * exact token-set equality, which DuckDB derives independently from
+    * raw text (equal sorted distinct-token lists ⟺ identical
+    * signatures): recall is certain (equal signatures share every
+    * chunk), precision is the token-set verification — a contract
+    * oracle replacing the former rows-only dump. Distances 1-12 stay
+    * covered by [[qDedupSimhashPlanted]] and DedupSpec recall tests.
     */
-  val qDedupSimhash: QueryDef = QueryDef.rowsOnly(
+  val qDedupSimhash: QueryDef = QueryDef.sql(
     "q_dedup_simhash",
-    doc = "SimHash hamming near-dup pairs (dedup ops)") { (s, dir) =>
-    Dedup.simHashNearDupPairs(
-        t(s, dir, "documents").filter(col("doc_id") < 100),
-        "doc_id", "text", maxDistance = 12)
-      .select("id_a", "id_b", "distance")
+    """WITH corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000, text || ' ' || text FROM documents
+      |  WHERE doc_id < 20),
+      |tk AS (
+      |  SELECT doc_id,
+      |    array_to_string(list_sort(list_distinct(
+      |      string_split_regex(lower(trim(text)), '[\s[:punct:]]+'))),
+      |      chr(31)) AS key
+      |  FROM corpus)
+      |SELECT a.doc_id AS id_a, b.doc_id AS id_b, 0 AS distance
+      |FROM tk a JOIN tk b ON a.key = b.key AND a.doc_id < b.doc_id
+      |ORDER BY id_a, id_b""".stripMargin,
+    doc = "SimHash distance-0 pairs vs token-set-equality SQL truth (dedup ops)") { (s, dir) =>
+    val base = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val planted = base.filter(col("doc_id") < 20)
+      .select((col("doc_id") + 1000000).as("doc_id"),
+        concat(col("text"), lit(" "), col("text")).as("text"))
+    val corpus = base.unionByName(planted)
+    val tokenKey = array_join(sort_array(array_distinct(
+      split(lower(trim(col("text"))), "[\\s\\p{Punct}]+"))), "\u001f")
+    val keys = corpus.select(col("doc_id"), tokenKey.as("key"))
+    Dedup.simHashNearDupPairs(corpus, "doc_id", "text", maxDistance = 12)
+      .filter(col("distance") === 0)
+      .join(keys.select(col("doc_id").as("id_a"), col("key").as("key_a")),
+        Seq("id_a"))
+      .join(keys.select(col("doc_id").as("id_b"), col("key").as("key_b")),
+        Seq("id_b"))
+      .filter(col("key_a") === col("key_b"))
+      .select(col("id_a"), col("id_b"), col("distance").cast("int").as("distance"))
       .orderBy("id_a", "id_b")
   }
 

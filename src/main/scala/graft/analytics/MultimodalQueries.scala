@@ -137,6 +137,46 @@ object MultimodalQueries {
       .orderBy("asset_id")
   }
 
+  /** Video frame sampling: a generated MJPEG-in-AVI clip of solid-gray
+    * frames (gray levels 51/204/128 → luma 0.2/0.8/0.5 — JPEG DC
+    * roundtrip error on a solid frame is ≤ ~0.004, two orders inside
+    * the round-1 bins) sampled at stride 2; junk bytes flag the
+    * single `decoded = false` fallback row. Exact frame indexes,
+    * dimensions and per-frame luma — a codec, chunk-walk, or sampling
+    * regression hash-fails.
+    */
+  val qMultimodalVideo: QueryDef = QueryDef.sql(
+    "q_multimodal_video",
+    """SELECT * FROM (VALUES
+      |  (1, 0, 16, 12, CAST(0.2 AS DOUBLE), true),
+      |  (1, 2, 16, 12, CAST(0.8 AS DOUBLE), true),
+      |  (1, 4, 16, 12, CAST(0.5 AS DOUBLE), true),
+      |  (2, -1, NULL, NULL, NULL, false))
+      |  AS t(asset_id, frame_idx, width, height, mean_luma, decoded)
+      |ORDER BY asset_id, frame_idx""".stripMargin,
+    doc = "MJPEG-AVI frame sampling with selective decode (multimodal ops)") { (s, dir) =>
+    import s.implicits._
+    import graft.multimodal.AviMjpeg
+    def gray(g: Int) = AviMjpeg.solidFrame(16, 12, (g << 16) | (g << 8) | g)
+    // frames 0..4: sampled indexes 0,2,4 → grays 51,204,128
+    val clip = AviMjpeg.encode(
+      Seq(gray(51), gray(99), gray(204), gray(99), gray(128)), fps = 10)
+    val assets = Seq(
+      (1L, "mem://clip.avi", clip),
+      (2L, "mem://junk.avi", Array[Byte](1, 2, 3))
+    ).toDF("id", "uri", "bytes")
+    Multimodal.sampleVideoFrames(
+        Multimodal.toMediaAssets(assets, "id", "uri", "bytes")(s),
+        stride = 2, maxFrames = 3)(s)
+      .select(col("asset_id"), col("frame_idx"),
+        when(col("decoded"), col("width")).as("width"),
+        when(col("decoded"), col("height")).as("height"),
+        when(col("decoded"), round(col("mean_luma"), 1).cast("double"))
+          .as("mean_luma"),
+        col("decoded"))
+      .orderBy("asset_id", "frame_idx")
+  }
+
   val all: Seq[QueryDef] = Seq(
-    qMultimodalDecode, qMultimodalAudio, qMultimodalResize)
+    qMultimodalDecode, qMultimodalAudio, qMultimodalResize, qMultimodalVideo)
 }

@@ -120,12 +120,22 @@ object RelationalQueries {
     val c = t(s, dir, "customer")
     val o = t(s, dir, "orders")
     val l = t(s, dir, "lineitem")
+    // pre-aggregate lineitem by its join key BEFORE the fact-fact join:
+    // the revenue sum is decomposable, so collapsing ~4 lines/order to
+    // one row cuts the orderkey shuffle ~4× — at 100 TB the
+    // orders⋈lineitem exchange is the whole query. Decimal partial
+    // sums keep the result exact; the outer sum re-aggregates them.
+    val lAgg = l.groupBy(col("l_orderkey"))
+      .agg(
+        sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast("decimal(20,4)")).as("__rev"),
+        count(lit(1)).as("__n"))
     broadcast(c).join(o, c("c_custkey") === o("o_custkey"))
-      .join(l, o("o_orderkey") === l("l_orderkey"))
+      .join(lAgg, o("o_orderkey") === lAgg("l_orderkey"))
       .groupBy(col("c_mktsegment"), col("o_orderpriority"))
       .agg(
-        dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"),
-        count(lit(1)).as("n_lines"))
+        sum(col("__rev")).cast("double").as("revenue"),
+        sum(col("__n")).as("n_lines"))
       .orderBy(col("c_mktsegment"), col("o_orderpriority"))
   }
 

@@ -7,13 +7,15 @@ import org.apache.spark.sql.functions._
   * opaque `binary` columns with typed metadata, processed by
   * partition-mapped batch functions.
   *
-  * IMAGE and AUDIO decode are REAL: the JDK ships `javax.imageio`
-  * (PNG/JPEG/GIF/BMP → [[decodeImage]]) and `javax.sound.sampled`
-  * (WAV/PCM → [[decodeAudio]]), no external libraries needed. Bytes no
-  * installed reader accepts fall back to a flagged `decoded = false`
-  * record, keeping the pipeline total (no dropped assets). VIDEO has
-  * no JDK codec and remains stub-shaped plumbing (frame fan-out,
-  * batch iteration).
+  * IMAGE, AUDIO and VIDEO decode are REAL: the JDK ships
+  * `javax.imageio` (PNG/JPEG/GIF/BMP → [[decodeImage]]) and
+  * `javax.sound.sampled` (WAV/PCM → [[decodeAudio]]), and MJPEG-in-AVI
+  * video decodes through the RIFF walk + per-frame JPEG path in
+  * [[AviMjpeg]] ([[sampleVideoFrames]]) — no external libraries
+  * needed. Bytes no installed reader accepts fall back to a flagged
+  * `decoded = false` record, keeping the pipeline total (no dropped
+  * assets); other video codecs (H.264 etc. — no JDK decoder exists)
+  * take that flagged fallback.
   *
   * Scale design: media rows are large (MBs) — `repartitionForMedia`
   * sizes partitions by BYTES not row count, so a 100 TB corpus of
@@ -72,31 +74,36 @@ object Multimodal {
       val img = javax.imageio.ImageIO.read(
         new java.io.ByteArrayInputStream(bytes))
       if (img == null) None
-      else {
-        val w = img.getWidth
-        val h = img.getHeight
-        val channels = img.getRaster.getNumBands
-        val sx = math.max(1, w / 32)
-        val sy = math.max(1, h / 32)
-        var sum = 0.0
-        var n = 0
-        var y = 0
-        while (y < h) {
-          var x = 0
-          while (x < w) {
-            val rgb = img.getRGB(x, y)
-            val r = (rgb >> 16) & 0xff
-            val g = (rgb >> 8) & 0xff
-            val b = rgb & 0xff
-            sum += (0.299 * r + 0.587 * g + 0.114 * b) / 255.0
-            n += 1
-            x += sx
-          }
-          y += sy
-        }
-        Some((w, h, channels, if (n == 0) 0.0 else sum / n))
-      }
+      else Some((img.getWidth, img.getHeight, img.getRaster.getNumBands,
+        gridMeanLuma(img)))
     } catch { case _: Exception => None }
+
+  /** Rec. 601 mean luma sampled on a bounded ≤32×32 grid — constant
+    * work per image regardless of resolution. Shared by the image and
+    * video decode paths. */
+  def gridMeanLuma(img: java.awt.image.BufferedImage): Double = {
+    val w = img.getWidth
+    val h = img.getHeight
+    val sx = math.max(1, w / 32)
+    val sy = math.max(1, h / 32)
+    var sum = 0.0
+    var n = 0
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        val r = (rgb >> 16) & 0xff
+        val g = (rgb >> 8) & 0xff
+        val b = rgb & 0xff
+        sum += (0.299 * r + 0.587 * g + 0.114 * b) / 255.0
+        n += 1
+        x += sx
+      }
+      y += sy
+    }
+    if (n == 0) 0.0 else sum / n
+  }
 
   /** STUB decoder: deterministic fake features from the byte content —
     * the fallback for undecodable bytes and the stand-in shape for the
@@ -255,9 +262,9 @@ object Multimodal {
   }
 
   /** Frame sampling plumbing for video: emit every `stride`-th frame
-    * index up to `maxFrames` as (asset_id, frame_idx) — the real
-    * decoder fills frame bytes; the fan-out/explode shape is what
-    * matters for the pipeline.
+    * index up to `maxFrames` as (asset_id, frame_idx) — the pure
+    * fan-out/explode shape (index planning without touching bytes);
+    * [[sampleVideoFrames]] is the decoding twin.
     */
   def sampleFrameIndexes(assets: Dataset[MediaAsset], stride: Int,
       maxFrames: Int): DataFrame =
@@ -265,6 +272,51 @@ object Multimodal {
       .select(col("asset_id"),
         explode(sequence(lit(0), lit((maxFrames - 1) * stride), lit(stride)))
           .as("frame_idx"))
+
+  /** A decoded sampled video frame; `decoded = false` flags either an
+    * unparseable container (one row, frame_idx −1) or a frame chunk no
+    * reader accepts. */
+  final case class VideoFrame(
+      asset_id: Long,
+      frame_idx: Int,
+      width: Int,
+      height: Int,
+      mean_luma: Double,
+      decoded: Boolean)
+
+  /** REAL video frame sampling for MJPEG-in-AVI ([[AviMjpeg]]): index
+    * the container's frame chunks in one linear header walk, then
+    * decode ONLY every `stride`-th frame up to `maxFrames` — the
+    * skip-what-you-drop access pattern that matters when a corpus row
+    * is a long clip. Containers the parser rejects (other codecs —
+    * this is the one video format decodable with a bare JDK) emit a
+    * single flagged `decoded = false` row, keeping the pipeline total.
+    * Same mapPartitions batch shape as the image/audio extractors.
+    */
+  def sampleVideoFrames(assets: Dataset[MediaAsset], stride: Int,
+      maxFrames: Int)(implicit spark: SparkSession): Dataset[VideoFrame] = {
+    import spark.implicits._
+    require(stride > 0 && maxFrames > 0, "stride and maxFrames must be positive")
+    assets.filter(col("kind") === "video").mapPartitions { it =>
+      it.flatMap { a =>
+        AviMjpeg.frameChunks(a.content) match {
+          case Some(chunks) =>
+            (0 until chunks.size by stride).take(maxFrames).iterator.map { i =>
+              AviMjpeg.decodeFrame(a.content, chunks(i)) match {
+                case Some(img) =>
+                  VideoFrame(a.asset_id, i, img.getWidth, img.getHeight,
+                    gridMeanLuma(img), decoded = true)
+                case None =>
+                  VideoFrame(a.asset_id, i, 0, 0, 0.0, decoded = false)
+              }
+            }
+          case None =>
+            Iterator.single(VideoFrame(a.asset_id, -1, 0, 0, 0.0,
+              decoded = false))
+        }
+      }
+    }
+  }
 
   /** Byte-size-aware repartition: target ~`targetBytesPerPartition`
     * per task using the total binary volume — avoids straggler tasks

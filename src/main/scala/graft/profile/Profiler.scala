@@ -190,9 +190,11 @@ object Profiler {
     *
     * No global window (that is a single-task total sort): range-
     * partition by the order column so partition ids ascend with the
-    * range, check adjacency WITHIN each partition in parallel, and
-    * stitch the P partition boundaries on the driver from per-partition
-    * first/last values — one distributed pass plus a P-row merge.
+    * range, check adjacency WITHIN each partition in parallel, then
+    * stitch the P partition boundaries IN-PLAN with a `lead` window
+    * over the P-row per-partition frame — the whole check is one
+    * distributed pass plus a P-row window + scalar aggregate; the only
+    * value reaching the driver is the final (nondec, noninc) pair.
     */
   def isMonotonic(df: DataFrame, valueCol: String, orderCol: String): Boolean = {
     import org.apache.spark.sql.expressions.Window
@@ -209,19 +211,20 @@ object Profiler {
           lit(true)).as("noninc"),
         min_by(col("v"), col("o")).as("first_v"),
         max_by(col("v"), col("o")).as("last_v"))
-      .collect()
-      .sortBy(_.getInt(0)) // range partition ids ascend with the range
-    def firstV(r: Row) = if (r.isNullAt(3)) None else Some(r.getDouble(3))
-    def lastV(r: Row) = if (r.isNullAt(4)) None else Some(r.getDouble(4))
-    val boundaries = parts.sliding(2).collect {
-      case Array(p, q) => (lastV(p), firstV(q))
-    }.toSeq
-    def ok(within: Int, cmp: (Double, Double) => Boolean): Boolean =
-      parts.forall(_.getBoolean(within)) && boundaries.forall {
-        case (Some(a), Some(b)) => cmp(a, b)
-        case _ => true // all-null partition edge: nothing to compare
-      }
-    ok(1, _ <= _) || ok(2, _ >= _)
+    // single-partition window is fine: the frame has one row per range
+    // partition (P rows), and range partition ids ascend with the range
+    val bw = Window.orderBy(col("__pid"))
+    val r = parts
+      .withColumn("next_first", lead(col("first_v"), 1).over(bw))
+      // a NULL edge value (all-null partition, or no next partition)
+      // has nothing to compare — the within-partition flags carry it
+      .agg(
+        coalesce(expr("bool_and(nondec AND (last_v IS NULL OR " +
+          "next_first IS NULL OR next_first >= last_v))"), lit(true)).as("nd"),
+        coalesce(expr("bool_and(noninc AND (last_v IS NULL OR " +
+          "next_first IS NULL OR next_first <= last_v))"), lit(true)).as("ni"))
+      .head()
+    r.getBoolean(0) || r.getBoolean(1)
   }
 
   /** Equal-width histogram: bin = ⌊(x − min) / width⌋ clamped to the

@@ -388,12 +388,23 @@ final class Warehouse(spark: SparkSession, location: String) {
       // special chars (space, '=', '%', …), __HIVE_DEFAULT_PARTITION__
       // for NULL — or a fully-deleted partition with such a value
       // would silently keep its old files live under a name this code
-      // never computes.
+      // never computes. Values render through Catalyst's Cast-to-string
+      // with the session timezone, exactly as the partition writer
+      // does: external toString diverges for some types (e.g.
+      // java.sql.Timestamp appends '.0') and would misclassify every
+      // partition of such a column as fully gone.
+      val partTypes = parts.map(p => raw.schema(p).dataType)
       def relOf(row: org.apache.spark.sql.Row): String =
         parts.zipWithIndex.map { case (p, i) =>
+          import org.apache.spark.sql.catalyst.expressions.{Cast, Literal}
+          val rendered = Option(row.get(i)).map { v =>
+            Cast(Literal.create(v, partTypes(i)),
+              org.apache.spark.sql.types.StringType,
+              Option(spark.sessionState.conf.sessionLocalTimeZone))
+              .eval(null).toString
+          }.orNull
           org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
-            .getPartitionPathString(p,
-              Option(row.get(i)).map(_.toString).orNull)
+            .getPartitionPathString(p, rendered)
         }.mkString("/")
       val fullyGone = affected
         .filter(row => !fs.exists(new Path(s"$tmp/${relOf(row)}")))

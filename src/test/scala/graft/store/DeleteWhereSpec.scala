@@ -42,12 +42,36 @@ class DeleteWhereSpec extends SparkSpec {
       .toDF("id", "cat"))
     assert(wh.deleteWhere("t", col("cat") === "a b=c%2") === 2L)
     assert(wh.read("t").select("id").as[Long].collect() === Array(3L))
-    // the escaped dir itself must be gone — not just unreadable
+    // the escaped dir itself must be gone — not just unreadable —
+    // and exactly the untouched partition survives
     val dirs = Option(new java.io.File(s"$dir/t").listFiles())
       .map(_.filter(_.isDirectory).map(_.getName).toSeq).getOrElse(Nil)
-    assert(dirs.forall(!_.contains("a%20b")) || dirs.isEmpty,
-      s"stale escaped partition dir survived the erase: $dirs")
-    assert(dirs.count(_.startsWith("cat=")) === 1)
+    assert(dirs === Seq("cat=plain"),
+      s"expected only the untouched partition dir, got: $dirs")
+  }
+
+  test("timestamp partition column: full-partition erase renders the dir Spark-style") {
+    // java.sql.Timestamp.toString appends '.0' ('2024-01-01 10:00:00.0')
+    // while the writer renders via Cast ('2024-01-01 10:00:00') — the
+    // erase path must use the writer's rendering or it either fails
+    // loudly (post-guard) or leaves the dir live (pre-guard)
+    val dir = Files.createTempDirectory("graft_dw5").toString
+    val wh = new Warehouse(spark, dir)
+    wh.createTable("t",
+      Seq((1L, Timestamp.valueOf("2024-01-01 10:00:00"))).toDF("id", "ts")
+        .schema,
+      partitionBy = Seq("ts"))
+    wh.append("t", Seq(
+      (1L, Timestamp.valueOf("2024-01-01 10:00:00")),
+      (2L, Timestamp.valueOf("2024-01-01 10:00:00")),
+      (3L, Timestamp.valueOf("2024-01-02 12:30:00"))).toDF("id", "ts"))
+    assert(wh.deleteWhere("t",
+      col("ts") === Timestamp.valueOf("2024-01-01 10:00:00")) === 2L)
+    assert(wh.read("t").select("id").as[Long].collect() === Array(3L))
+    val dirs = Option(new java.io.File(s"$dir/t").listFiles())
+      .map(_.filter(_.isDirectory).map(_.getName).toSeq).getOrElse(Nil)
+    assert(dirs.size === 1 && !dirs.head.contains("10%3A00"),
+      s"fully-deleted timestamp partition dir survived: $dirs")
   }
 
   test("partitioned delete rewrites only affected days; fully-deleted day vanishes") {

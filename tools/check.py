@@ -69,16 +69,21 @@ def main():
             print(f"ROWSONLY {name}: {len(spark_rows)} rows (no oracle)")
             continue
         try:
-            res = con.execute(oracle[name])
-            duck_cols = [c[0] for c in res.description]
-            duck_rows = res.fetchall()
-            # Driver parity: the driver compares via pandas, where DuckDB
-            # HUGEINT / DECIMAL sums silently coerce to float64 while the
-            # Spark parquet stays int64 — values then hash as "27165.0"
-            # vs "27165" (r3 q_corpus_report). fetchall() yields Python
-            # ints and hides that. Re-fetch both sides as pandas and
-            # require matching dtype kinds per column.
-            duck_pd = con.execute(oracle[name]).df()
+            # Single execution: fetch as Arrow and derive BOTH the row
+            # tuples (to_pylist: plain Python scalars, same as the Spark
+            # side) and the pandas dtype kinds from that one result —
+            # running the SQL twice wasted work and quietly assumed the
+            # query was deterministic.
+            # Dtype parity rationale (r3 q_corpus_report): DuckDB
+            # HUGEINT / DECIMAL sums coerce to float64 in pandas while
+            # the Spark parquet stays int64 — values then hash as
+            # "27165.0" vs "27165"; requiring matching dtype kinds
+            # catches that class. date_as_object=False mirrors the
+            # Spark-side to_pandas call so date columns compare 'M'/'M'.
+            duck_tbl = con.execute(oracle[name]).arrow()
+            duck_cols = duck_tbl.column_names
+            duck_rows = [tuple(r.values()) for r in duck_tbl.to_pylist()]
+            duck_pd = duck_tbl.to_pandas(date_as_object=False)
         except Exception as e:
             print(f"ORACLE-ERR {name}: {e}")
             n_fail += 1
