@@ -188,14 +188,18 @@ object DedupQueries {
   /** SimHash over the FULL corpus plus planted doubled-text twins
     * (text||' '||text: a different string with the identical distinct
     * token SET, so the signature — which hashes the token set — must
-    * match exactly). The distance-≤12 pigeonhole banding runs
-    * unbounded; the emitted rows are the distance-0 pairs verified by
+    * match exactly). maxDistance = 0: candidate generation degenerates
+    * to the exact-signature equi-join — ONE keyed shuffle, no bucket
+    * cap in play, the correct 100 TB plan for identical-signature
+    * dedup (a chunked run at this corpus's vocabulary overlap would
+    * shed hot buckets and with them real pairs — measured at sf0.1:
+    * 4730 of 35678). Emitted rows are the distance-0 pairs verified by
     * exact token-set equality, which DuckDB derives independently from
     * raw text (equal sorted distinct-token lists ⟺ identical
-    * signatures): recall is certain (equal signatures share every
-    * chunk), precision is the token-set verification — a contract
-    * oracle replacing the former rows-only dump. Distances 1-12 stay
-    * covered by [[qDedupSimhashPlanted]] and DedupSpec recall tests.
+    * signatures): recall is certain, precision is the token-set
+    * verification — a contract oracle replacing the former rows-only
+    * dump. Distances 1-12 stay covered by [[qDedupSimhashPlanted]] and
+    * DedupSpec recall tests.
     */
   val qDedupSimhash: QueryDef = QueryDef.sql(
     "q_dedup_simhash",
@@ -222,8 +226,7 @@ object DedupQueries {
     val tokenKey = array_join(sort_array(array_distinct(
       split(lower(trim(col("text"))), "[\\s\\p{Punct}]+"))), "\u001f")
     val keys = corpus.select(col("doc_id"), tokenKey.as("key"))
-    Dedup.simHashNearDupPairs(corpus, "doc_id", "text", maxDistance = 12)
-      .filter(col("distance") === 0)
+    Dedup.simHashNearDupPairs(corpus, "doc_id", "text", maxDistance = 0)
       .join(keys.select(col("doc_id").as("id_a"), col("key").as("key_a")),
         Seq("id_a"))
       .join(keys.select(col("doc_id").as("id_b"), col("key").as("key_b")),

@@ -63,10 +63,14 @@ object Dedup {
       call_function("minhash_slots", hashes, lit(k))
     else minHashFromHashes(hashes, k)
 
-  /** Distinct shingle-set as 64-bit hashes — the unit all near-dup
-    * math runs on. Native [[graft.plans.NgramHashes]] when available
-    * (tokens hashed once, windows mixed in a codegen loop — shingle
-    * strings never materialize); composed-builtin fallback otherwise.
+  /** Distinct shingle-set as 64-bit hashes, SORTED ascending — the
+    * unit all near-dup math runs on. Native [[graft.plans.NgramHashes]]
+    * when available (tokens hashed once, windows mixed in a codegen
+    * loop — shingle strings never materialize); composed-builtin
+    * fallback otherwise. Sorted because verification Jaccard merge-
+    * walks pairs ([[jaccardColumn]]) — sorting costs O(len log len)
+    * once per DOC; hashing-based intersection costs an allocation per
+    * candidate PAIR, and pairs outnumber docs on any dup-heavy corpus.
     * The two paths are different hash families: don't mix within a run.
     */
   def shingleHashes(spark: org.apache.spark.sql.SparkSession,
@@ -74,7 +78,8 @@ object Dedup {
     if (graft.plans.GraftExtensions.available(spark))
       call_function("ngram_hashes",
         split(lower(trim(text)), "[\\s\\p{Punct}]+"), lit(n))
-    else transform(TextAnalysis.wordShingles(text, n), s => xxhash64(s))
+    else sort_array(
+      transform(TextAnalysis.wordShingles(text, n), s => xxhash64(s)))
 
   /** Column-form MinHash signature over word shingles (convenience;
     * inside [[minHashNearDupPairs]] the hash array is materialized as
@@ -144,7 +149,7 @@ object Dedup {
       .join(shingled.select(col("id").as("id_b"), col("shingles").as("sh_b")),
         Seq("id_b"))
       .select(col("id_a"), col("id_b"),
-        jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+        jaccardColumn(spark, col("sh_a"), col("sh_b")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 
@@ -208,16 +213,28 @@ object Dedup {
       .join(shingled.select(col("id").as("id_b"), col("shingles").as("sh_b")),
         Seq("id_b"))
       .select(col("id_a"), col("id_b"),
-        jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+        jaccardColumn(spark, col("sh_a"), col("sh_b")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 
-  /** Set Jaccard over two string arrays (assumed distinct elements). */
+  /** Set Jaccard over two arrays (assumed distinct elements). */
   def jaccard(a: Column, b: Column): Column = {
     val inter = size(array_intersect(a, b)).cast("double")
     val union = (size(a) + size(b)).cast("double") - inter
     when(union === 0, lit(0.0)).otherwise(inter / union)
   }
+
+  /** Verification Jaccard over SORTED-distinct hash arrays (what
+    * [[shingleHashes]] produces): the native merge-walk kernel
+    * ([[graft.plans.JaccardSorted]]) when the session carries
+    * GraftExtensions, else the composed set form — identical results
+    * (small integer counts divided in double precision).
+    */
+  def jaccardColumn(spark: org.apache.spark.sql.SparkSession,
+      a: Column, b: Column): Column =
+    if (graft.plans.GraftExtensions.available(spark))
+      call_function("jaccard_sorted", a, b)
+    else jaccard(a, b)
 
   /** All-pairs n-gram Jaccard within a bounded scope (the brute-force
     * verifier / small-corpus path; LSH above is the scale path).
@@ -230,7 +247,7 @@ object Dedup {
     val b = sh.select(col("id").as("id_b"), col("sh").as("sh_b"))
     a.crossJoin(b).filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
-        jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+        jaccardColumn(df.sparkSession, col("sh_a"), col("sh_b")).as("jaccard"))
       .filter(col("jaccard") >= minJaccard)
   }
 
@@ -280,10 +297,15 @@ object Dedup {
       maxDistance: Int = 3, maxBucketSize: Int = 1000): DataFrame = {
     val chunks = maxDistance + 1
     val bits = 64 / chunks
+    // bits == 64 (maxDistance 0: candidates = exact-signature equi-join,
+    // the scale path for identical-signature dedup): (1L << 64) wraps
+    // to 1 under JVM shift-mod-64, which would zero the mask and fold
+    // the whole corpus into one bucket
+    val mask = if (bits >= 64) lit(-1L) else lit((1L << bits) - 1)
     val sigs = df.select(col(idCol).as("id"),
       simHashColumn(df.sparkSession, col(textCol)).as("sig"))
     val chunkArr = array((0 until chunks).map(c =>
-      shiftright(col("sig"), c * bits).bitwiseAND(lit((1L << bits) - 1))): _*)
+      shiftright(col("sig"), c * bits).bitwiseAND(mask)): _*)
     // Same hot-bucket guard as minHashNearDupPairs: a 16-bit chunk of
     // short/boilerplate docs collides massively (all-zero chunks
     // especially), and a chunk bucket of B docs emits B²/2 candidate

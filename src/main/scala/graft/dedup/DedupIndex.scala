@@ -160,6 +160,9 @@ object DedupIndex {
       .join(lookup.select(col("id").as("id_b"), col("shingles").as("sh_b")),
         Seq("id_b"))
       .select(col("id_a"), col("id_b"),
+        // composed (sort-insensitive) form on purpose: these arrays
+        // come from the PERSISTED shingles table, which an index built
+        // before sorted-shingle output would have stored unsorted
         Dedup.jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
       // materialize BEFORE the index grows: the returned frame must

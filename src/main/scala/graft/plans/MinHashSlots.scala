@@ -134,6 +134,22 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           "usage: int8_cosine(array<tinyint>, array<tinyint>)")
       }))
     ext.injectFunction((
+      new FunctionIdentifier("vec_cosine"),
+      new ExpressionInfo(classOf[VecCosine].getName, "vec_cosine"),
+      (children: Seq[Expression]) => children match {
+        case Seq(a, b) => VecCosine(a, b)
+        case _ => throw new IllegalArgumentException(
+          "usage: vec_cosine(array<float|double>, array<float|double>)")
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("jaccard_sorted"),
+      new ExpressionInfo(classOf[JaccardSorted].getName, "jaccard_sorted"),
+      (children: Seq[Expression]) => children match {
+        case Seq(a, b) => JaccardSorted(a, b)
+        case _ => throw new IllegalArgumentException(
+          "usage: jaccard_sorted(array<bigint>, array<bigint>)")
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("space_saving_topk"),
       new ExpressionInfo(classOf[SpaceSavingTopK].getName, "space_saving_topk"),
       (children: Seq[Expression]) => children match {

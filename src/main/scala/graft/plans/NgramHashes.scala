@@ -11,6 +11,8 @@ import org.apache.spark.unsafe.types.UTF8String
 /** Custom Catalyst expression: distinct 64-bit hashes of every
   * `n`-consecutive-token window of an `array<string>` — the shingle
   * set of near-dup detection, WITHOUT materializing shingle strings.
+  * Output is SORTED ascending (a set, so order is free to choose):
+  * pairwise verification then merge-walks instead of hashing.
   *
   * The composed-builtin form (`transform(sequence(…), i ⇒ concat_ws(
   * " ", slice(toks,…)))` + per-shingle xxhash64) allocates a string
@@ -67,7 +69,12 @@ case class NgramHashes(child: Expression, n: Int)
       if (seen.add(c)) { out(m) = c; m += 1 }
       i += 1
     }
-    new GenericArrayData(java.util.Arrays.copyOf(out, m))
+    // sorted-ascending output: downstream pairwise verification
+    // ([[JaccardSorted]]) runs an allocation-free merge walk instead
+    // of building a hash set per candidate pair
+    val trimmed = java.util.Arrays.copyOf(out, m)
+    java.util.Arrays.sort(trimmed)
+    new GenericArrayData(trimmed)
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -101,8 +108,9 @@ case class NgramHashes(child: Expression, n: Int)
          |  }
          |  if ($seen.add(c)) { $out[$m] = c; $m++; }
          |}
-         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
-         |  java.util.Arrays.copyOf($out, $m));
+         |long[] ${out}T = java.util.Arrays.copyOf($out, $m);
+         |java.util.Arrays.sort(${out}T);
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(${out}T);
        """.stripMargin
     })
 

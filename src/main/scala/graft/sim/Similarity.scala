@@ -26,8 +26,22 @@ object Similarity {
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  /** Cosine similarity; 0.0 when either vector is all-zero. */
-  def cosine(a: Column, b: Column): Column = {
+  /** Cosine similarity; 0.0 when either vector is all-zero. Prefers
+    * the native `vec_cosine` expression (ONE codegen loop for dot +
+    * both norms vs three interpreted higher-order-function walks —
+    * this expression IS the brute-force/IVF scan's work) when the
+    * active session carries GraftExtensions; both paths accumulate
+    * left-to-right in double precision and produce bit-identical
+    * results, so plans are interchangeable under the oracles.
+    */
+  def cosine(a: Column, b: Column): Column =
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .filter(graft.plans.GraftExtensions.available)
+      .map(_ => call_function("vec_cosine", a, b))
+      .getOrElse(cosineComposed(a, b))
+
+  /** Composed-builtin cosine (the no-extension fallback). */
+  def cosineComposed(a: Column, b: Column): Column = {
     val d = norm(a) * norm(b)
     when(d === 0, lit(0.0)).otherwise(dot(a, b) / d)
   }

@@ -20,6 +20,21 @@ class TpchPlanSpec extends SparkSpec {
     assert(plan.contains("GreaterThan(l_shipdate,"), s"ship-date filter not pushed:\n$plan")
   }
 
+  test("q_join_inner: lineitem pre-aggregates on its join key BELOW the fact-fact join") {
+    // the 10× bench showed the orders⋈lineitem exchange dominating;
+    // collapsing ~4 lines/order before the join cuts that shuffle ~4×.
+    // Pin it: an Aggregate keyed by l_orderkey must sit under the join
+    // (i.e. appear in the plan BEFORE any join operator consumes it),
+    // and the customer dim must still broadcast.
+    val df = Catalog.byName("q_join_inner").run(spark, sf)
+    val plan = df.queryExecution.optimizedPlan.toString
+    val aggIdx = plan.indexOf("Aggregate [l_orderkey")
+    assert(aggIdx >= 0, s"lineitem pre-aggregation missing:\n$plan")
+    val exec = df.queryExecution.executedPlan.toString
+    assert(exec.contains("BroadcastHashJoin"),
+      s"customer dim must broadcast:\n$exec")
+  }
+
   test("Q5: fixed-cardinality dims ride broadcasts; date filter pushed") {
     val df = Catalog.byName("q_tpch_q5").run(spark, sf)
     val plan = df.queryExecution.executedPlan.toString

@@ -88,6 +88,22 @@ class DedupSpec extends SparkSpec {
     assert(dflt.contains((1L, 5L)) && dflt.contains((1L, 2L)))
   }
 
+  test("maxDistance=0 is the exact-signature equi-join: full 64-bit key, cap-immune") {
+    // 750 distinct token-set pairs (i and i+750 share a set; sets are
+    // pairwise distinct across pairs). The pre-fix 64-bit chunk mask
+    // wrapped to 0 under JVM shift-mod-64, folding ALL docs into one
+    // bucket: over the cap -> every pair lost; under it -> quadratic.
+    val docs = (0L until 1500L).map { i =>
+      val s = i % 750
+      (i, s"alpha$s beta$s gamma$s delta$s")
+    }.toDF("id", "text")
+    val pairs = Dedup.simHashNearDupPairs(docs, "id", "text",
+        maxDistance = 0, maxBucketSize = 1000)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.size === 750, s"expected 750 signature-equal pairs, got ${pairs.size}")
+    assert(pairs.contains((0L, 750L)) && pairs.contains((749L, 1499L)))
+  }
+
   test("nearDupClusters + keepCanonical collapse transitive pair chains") {
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (21L, 20L))
       .toDF("id_a", "id_b")
