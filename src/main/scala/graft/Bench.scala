@@ -24,6 +24,13 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // local profiling aid: time an arbitrary query subset ("all" = the
+    // whole catalog). Unset → the standard headline set (driver path).
+    val names = sys.env.get("SPARK_GRAFT_BENCH_QUERIES") match {
+      case Some("all") => graft.analytics.Catalog.all.map(_.name)
+      case Some(csv)   => csv.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+      case None        => headline
+    }
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -35,7 +42,7 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    val queries = headline.flatMap(n => SparkEntry.queries.get(n).map(n -> _))
+    val queries = names.flatMap(n => SparkEntry.queries.get(n).map(n -> _))
     // warm: JIT, codegen cache, parquet footers, broadcast paths
     queries.foreach { case (_, fn) =>
       try fn(spark, sfDir).count() catch { case _: Throwable => () }

@@ -39,6 +39,13 @@ object ScaleUp {
     def in(t: String) = graft.io.Tables.readParquet(spark, s"$inDir/$t.parquet")
     def out(df: DataFrame, t: String): Unit =
       df.write.mode("overwrite").parquet(s"$outDir/$t.parquet")
+    // facts fan out over enough files that scans parallelize: a single
+    // small-compressed parquet file is ONE input partition no matter
+    // how many cores the session has (maxPartitionBytes splits by
+    // size, not rows), which would serialize per-row-heavy scans and
+    // fake super-linear scaling in the bench
+    def outFact(df: DataFrame, t: String): Unit =
+      out(df.repartition(16), t)
 
     // replicate with a copy index 0..n-1; `shift` rebases each copy's
     // keys into a disjoint range
@@ -58,22 +65,22 @@ object ScaleUp {
       .foreach(t => out(in(t), t))
 
     // facts: disjoint key ranges per copy (join keys shift together)
-    out(replicate(in("orders"), Map("o_orderkey" -> shiftKey())), "orders")
-    out(replicate(in("lineitem"), Map("l_orderkey" -> shiftKey())), "lineitem")
+    outFact(replicate(in("orders"), Map("o_orderkey" -> shiftKey())), "orders")
+    outFact(replicate(in("lineitem"), Map("l_orderkey" -> shiftKey())), "lineitem")
     // events: new user population per copy — sessionize/window loads
     // scale by entity count, not by stacking duplicate timestamps
-    out(replicate(in("events"),
+    outFact(replicate(in("events"),
       Map("event_id" -> shiftKey(), "user_id" -> shiftKey())), "events")
     // documents: shifted ids; a per-copy salt token keeps copies from
     // being byte-identical (they stay near-dups — a dup-heavy corpus is
     // the realistic hard case for the LSH path)
-    out(replicate(in("documents"), Map("doc_id" -> shiftKey()))
+    outFact(replicate(in("documents"), Map("doc_id" -> shiftKey()))
       .withColumn("text",
         when(col("doc_id") >= KeyOffset,
           concat(col("text"), lit(" c"),
             (col("doc_id") / KeyOffset).cast("long")))
           .otherwise(col("text"))), "documents")
-    out(replicate(in("embeddings"), Map("vec_id" -> shiftKey())), "embeddings")
+    outFact(replicate(in("embeddings"), Map("vec_id" -> shiftKey())), "embeddings")
 
     println(s"scaled $inDir x$n -> $outDir")
     spark.stop()
