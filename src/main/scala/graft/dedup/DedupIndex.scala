@@ -90,9 +90,18 @@ object DedupIndex {
     * end-to-end, and complete their band rows. Their shingles append
     * is separately deduped against the shingles table so the repair
     * never double-inserts there either.
+    *
+    * `onPairs` (optional) persists the verified pairs BEFORE the
+    * index appends — for sinks that must survive the same crash
+    * window as the index itself (the streaming twin,
+    * [[graft.streaming.StreamDedup]]). Ordering contract: pairs sink
+    * → shingles → bands. A crash anywhere leaves the batch's ids out
+    * of bands, so the replay recomputes the same deterministic pairs
+    * — the sink must therefore be idempotent per (id_a, id_b) key.
     */
   def update(wh: Warehouse, name: String, newDocs: DataFrame, idCol: String,
-      textCol: String, threshold: Double = 0.6): DataFrame = {
+      textCol: String, threshold: Double = 0.6,
+      onPairs: DataFrame => Unit = _ => ()): DataFrame = {
     val p = readParams(wh, name)
     val spark = newDocs.sparkSession
     // membership = presence in BANDS (the table appended last): ids a
@@ -168,6 +177,9 @@ object DedupIndex {
       // materialize BEFORE the index grows: the returned frame must
       // not re-plan over tables this update is about to append to
       .localCheckpoint()
+
+    // pairs sink before any index append (see ordering contract above)
+    onPairs(pairs)
 
     // shingles first, bands last (bands are the membership marker —
     // see crash/replay note). A crash-repair rerun re-derives shingles
