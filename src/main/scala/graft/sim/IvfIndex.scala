@@ -3,7 +3,7 @@ package graft.sim
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-import graft.store.Warehouse
+import graft.store.{ScaleJoins, Warehouse}
 
 /** Persistent IVF index lifecycle — train once, search many: the
   * missing piece between [[Similarity.trainCentroids]]/[[Similarity.ivfTopK]]
@@ -36,6 +36,42 @@ object IvfIndex {
       ifExists = "replace", partitionBy = Seq("centroid_id"))
     warehouse.append(cellsTable(name), assigned)
     warehouse.read(centroidsTable(name)).count()
+  }
+
+  /** Fold new vectors into the index incrementally: assign each to
+    * its nearest EXISTING centroid and append to the cells table —
+    * the archive is never re-read or re-assigned, so an update costs
+    * O(batch × k) assignment plus one partitioned append (the same
+    * incremental contract as [[graft.dedup.DedupIndex.update]]).
+    *
+    * Idempotent per id: vectors whose ids already sit in a cell are
+    * dropped (bloom-pruned anti-join — the probe is batch-sized no
+    * matter how large the index), so crash-replay inserts nothing
+    * twice. Ids must be globally unique across updates.
+    *
+    * Centroids are NOT retrained: appended vectors are exact members
+    * of their nearest current cell, but as the ingested distribution
+    * drifts from the build-time corpus, recall degrades the standard
+    * IVF way — the remedy is a periodic [[build]] retrain, not
+    * per-batch centroid movement (which would silently invalidate
+    * every already-assigned cell). Returns the number of rows
+    * actually appended.
+    */
+  def append(warehouse: Warehouse, name: String, newVecs: DataFrame,
+      idCol: String, vecCol: String): Long = {
+    val cents = warehouse.read(centroidsTable(name))
+    val fresh = ScaleJoins.bloomPrunedAntiJoin(
+      newVecs.select(col(idCol)),
+      warehouse.read(cellsTable(name)).select(col(idCol)),
+      Seq(idCol), expectedItems = 1000000L)
+      .join(newVecs, Seq(idCol))
+    val assigned = Similarity.ivfAssign(fresh, idCol, vecCol,
+      cents, "centroid_id", "centroid_vec")
+      // one computation feeds both the count and the append
+      .localCheckpoint()
+    val n = assigned.count()
+    if (n > 0L) warehouse.append(cellsTable(name), assigned)
+    n
   }
 
   /** Probe-pruned search against the persisted index. The union of

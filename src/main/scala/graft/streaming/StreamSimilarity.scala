@@ -1,0 +1,70 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.sim.IvfIndex
+import graft.store.Warehouse
+
+/** Streaming faces of the persistent IVF similarity index: continuous
+  * vector ingest and continuous ANN query serving, both micro-batch
+  * loops over [[graft.sim.IvfIndex]] so batch and stream share one
+  * index (and one recall contract).
+  *
+  * Scale posture: ingest costs O(batch × k) centroid assignment plus
+  * one partitioned append per micro-batch — the archive cells are
+  * never re-read. Search is the probe-pruned path: per batch it reads
+  * only the probed `centroid_id=` directories. Neither holds
+  * streaming-state-store state; everything durable lives in the
+  * warehouse, shared with the batch path.
+  */
+object StreamSimilarity {
+
+  /** Continuously fold a stream of vectors into the index.
+    * Exactly-once per id end to end: [[IvfIndex.append]] drops ids
+    * already assigned to a cell, so a replayed micro-batch is a
+    * no-op.
+    */
+  def ivfIngestStream(wh: Warehouse, indexName: String, vecs: DataFrame,
+      idCol: String, vecCol: String, checkpoint: String,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    vecs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        IvfIndex.append(wh, indexName, batch, idCol, vecCol)
+        ()
+      }
+      .start()
+
+  /** Continuously serve ANN queries: each micro-batch of query
+    * vectors probes the index and its top-k results land in
+    * `sinkTable`, partitioned by `batch_id`. Replay is exactly-once
+    * per BATCH, not per key: the batch first deletes its own
+    * partition (a directory-pruned no-op on the normal path), then
+    * appends — so a crash mid-write never leaves a query's results
+    * mixed across two index states; the replayed batch's results
+    * reflect the index as of the replay, atomically per batch.
+    */
+  def ivfSearchStream(wh: Warehouse, indexName: String, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int, nProbe: Int,
+      sinkTable: String, checkpoint: String,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    queries.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val res = IvfIndex.search(wh, indexName, batch, idCol, vecCol,
+          k, nProbe).withColumn("batch_id", lit(batchId))
+        if (!wh.tableExists(sinkTable))
+          wh.createTable(sinkTable, res.schema, ifExists = "skip",
+            partitionBy = Seq("batch_id"))
+        wh.deleteWhere(sinkTable, col("batch_id") === batchId)
+        wh.append(sinkTable, res)
+        ()
+      }
+      .start()
+}
