@@ -105,6 +105,56 @@ object QualityRules {
         / total.cast("double"))
   }
 
+  // Array-input twins of the per-row features, for plans that have
+  // already materialized the split ([[qualityStats]]): the regex
+  // word/line splits are the dominant per-row cost, and the
+  // text-input forms above recompute them once PER FEATURE —
+  // CollapseProject keeps a projection boundary when an expensive
+  // producer is referenced more than once, so splitting once into
+  // `__ws`/`__ls` and deriving every feature from the array columns
+  // runs each split exactly once per row. Definitions are verbatim
+  // the same expressions, so oracle parity is untouched.
+  private def meanWordLenOf(ws: Column): Column =
+    when(size(ws) === 0, lit(0.0))
+      .otherwise(sumLen(ws).cast("double") / size(ws).cast("double"))
+
+  private def symbolRatioOf(text: Column, ws: Column): Column = {
+    val hash = length(text) - length(regexp_replace(text, "#", ""))
+    val dots3 = (length(text) -
+      length(regexp_replace(text, "\\.\\.\\.", ""))).cast("double") / 3.0
+    val hellip = length(text) - length(regexp_replace(text, "…", ""))
+    (hash + dots3 + hellip) / greatest(size(ws), lit(1)).cast("double")
+  }
+
+  private def alphaWordFracOf(ws: Column): Column =
+    when(size(ws) === 0, lit(0.0))
+      .otherwise(size(filter(ws, w => w.rlike("[A-Za-z]"))).cast("double")
+        / size(ws).cast("double"))
+
+  private def bulletLineFracOf(ls: Column): Column =
+    when(size(ls) === 0, lit(0.0))
+      .otherwise(size(filter(ls,
+        l => substring(l, 1, 1).isin("-", "*", "•"))).cast("double")
+        / size(ls).cast("double"))
+
+  private def ellipsisLineFracOf(ls: Column): Column =
+    when(size(ls) === 0, lit(0.0))
+      .otherwise(size(filter(ls,
+        l => l.endsWith("...") || l.endsWith("…"))).cast("double")
+        / size(ls).cast("double"))
+
+  private def dupLineFracOf(ls: Column): Column =
+    when(size(ls) === 0, lit(0.0))
+      .otherwise((size(ls) - size(array_distinct(ls))).cast("double")
+        / size(ls).cast("double"))
+
+  private def dupLineCharFracOf(ls: Column): Column = {
+    val total = sumLen(ls)
+    when(total === 0, lit(0.0))
+      .otherwise((total - sumLen(array_distinct(ls))).cast("double")
+        / total.cast("double"))
+  }
+
   /** Per-document repetition via the most-repeated word bigram:
     * max over bigrams of count·length(bigram) / total word chars.
     * Maximizing the fraction itself (not "the top bigram's" fraction)
@@ -116,8 +166,17 @@ object QualityRules {
   def topBigramCharFraction(df: DataFrame, idCol: String,
       textCol: String): DataFrame = {
     val ws = words(col(textCol))
-    val bigrams = df
-      .select(col(idCol), ws.as("__ws"), sumLen(ws).as("__wchars"))
+    topBigramFromWords(
+      df.select(col(idCol), ws.as("__ws")), idCol)
+  }
+
+  /** [[topBigramCharFraction]] over a frame that already carries the
+    * split words as `__ws` — lets [[qualityStats]] run the word split
+    * once for both the per-row features and this aggregate branch.
+    */
+  private def topBigramFromWords(pre: DataFrame, idCol: String): DataFrame = {
+    val bigrams = pre
+      .select(col(idCol), col("__ws"), sumLen(col("__ws")).as("__wchars"))
       .filter(size(col("__ws")) >= 2)
       .select(col(idCol), col("__wchars"),
         explode(transform(sequence(lit(0), size(col("__ws")) - 2),
@@ -170,17 +229,23 @@ object QualityRules {
   def qualityStats(df: DataFrame, idCol: String, textCol: String,
       minWords: Int = 50, maxWords: Int = 100000): DataFrame = {
     val text = col(textCol)
-    val perRow = df.select(
+    // split once; every feature derives from the array columns (see
+    // the array-twin note above — this is the dominant-cost saver)
+    val base = df.select(col(idCol), text.as("__text"),
+      words(text).as("__ws"), lines(text).as("__ls"))
+    val ws = col("__ws")
+    val ls = col("__ls")
+    val perRow = base.select(
       col(idCol),
-      size(words(text)).cast("long").as("n_words"),
-      meanWordLength(text).as("mean_word_len"),
-      symbolWordRatio(text).as("symbol_ratio"),
-      alphaWordFraction(text).as("alpha_word_frac"),
-      bulletLineFraction(text).as("bullet_line_frac"),
-      ellipsisLineFraction(text).as("ellipsis_line_frac"),
-      dupLineFraction(text).as("dup_line_frac"),
-      dupLineCharFraction(text).as("dup_line_char_frac"))
-    val top = topBigramCharFraction(df, idCol, textCol)
+      size(ws).cast("long").as("n_words"),
+      meanWordLenOf(ws).as("mean_word_len"),
+      symbolRatioOf(col("__text"), ws).as("symbol_ratio"),
+      alphaWordFracOf(ws).as("alpha_word_frac"),
+      bulletLineFracOf(ls).as("bullet_line_frac"),
+      ellipsisLineFracOf(ls).as("ellipsis_line_frac"),
+      dupLineFracOf(ls).as("dup_line_frac"),
+      dupLineCharFracOf(ls).as("dup_line_char_frac"))
+    val top = topBigramFromWords(base, idCol)
     perRow.join(top, Seq(idCol), "left")
       .withColumn("top_bigram_char_frac",
         coalesce(col("top_bigram_char_frac"), lit(0.0)))
