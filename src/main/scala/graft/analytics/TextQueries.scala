@@ -878,9 +878,141 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** Unigram-LM mean NLL ([[graft.text.UnigramLm]]): each doc scored
+    * against the corpus's own token distribution — the cheap stand-in
+    * for CCNet-style LM quality filtering. The oracle rebuilds the
+    * model and the per-doc mean from raw text; per-token −ln p is
+    * decimal-cast before summing on BOTH sides so the sums are
+    * order-independent and engine-identical, and blank docs come back
+    * (0, null) through the same keyed left join the Spark side uses
+    * (the row-preservation contract).
+    */
+  val qTextUnigramNll: QueryDef = QueryDef.sql(
+    "q_text_unigram_nll",
+    """WITH tk AS (
+      |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS token
+      |  FROM documents WHERE trim(text) <> ''),
+      |model AS (SELECT token, count(*) AS cnt FROM tk GROUP BY token),
+      |tot AS (SELECT count(*) AS total FROM tk),
+      |nll AS (
+      |  SELECT t.doc_id, count(*) AS n_tokens,
+      |    sum(CAST(-ln(m.cnt / CAST(tot.total AS DOUBLE))
+      |        AS DECIMAL(20,10))) AS s
+      |  FROM tk t JOIN model m USING (token) CROSS JOIN tot
+      |  GROUP BY t.doc_id)
+      |SELECT d.doc_id,
+      |  coalesce(n.n_tokens, 0) AS n_tokens,
+      |  CAST(round(CAST(n.s AS DOUBLE) / n.n_tokens, 6) AS DOUBLE)
+      |    AS mean_nll
+      |FROM documents d LEFT JOIN nll n ON d.doc_id = n.doc_id
+      |ORDER BY d.doc_id""".stripMargin,
+    doc = "unigram-LM mean NLL per doc (CCNet-style quality proxy)") { (s, dir) =>
+    graft.text.UnigramLm.meanNll(t(s, dir, "documents"), "doc_id", "text")
+      .orderBy("doc_id")
+  }
+
+  /** BM25 retrieval ([[graft.text.Bm25]]): top-10 docs for a fixed
+    * 3-term topic probe. The oracle restates the exact scoring
+    * arithmetic — same operation order, same double literals folded
+    * the same IEEE way, per-term contribution decimal-cast before the
+    * per-doc sum — and selects the top 10 by the RAW double score
+    * (doc_id tie-break) before rounding, exactly as the Spark side
+    * does. Final output re-sorted by doc_id on both sides.
+    */
+  val qTextBm25: QueryDef = QueryDef.sql(
+    "q_text_bm25",
+    """WITH d AS (SELECT doc_id, trim(text) AS t FROM documents),
+      |stats AS (
+      |  SELECT count(*) AS n,
+      |    CAST(sum(CASE WHEN t = '' THEN 0
+      |      ELSE len(string_split_regex(t, '\s+')) END) AS DOUBLE)
+      |      / CAST(count(*) AS DOUBLE) AS avgdl
+      |  FROM d),
+      |tk AS (
+      |  SELECT doc_id, len(string_split_regex(t, '\s+')) AS dl,
+      |    unnest(string_split_regex(t, '\s+')) AS token
+      |  FROM d WHERE t <> ''),
+      |q AS (SELECT * FROM tk WHERE token IN ('vector', 'stream', 'merge')),
+      |tf AS (SELECT doc_id, dl, token, count(*) AS tf FROM q GROUP BY 1, 2, 3),
+      |df AS (SELECT token, count(DISTINCT doc_id) AS df FROM q GROUP BY 1),
+      |scored AS (
+      |  SELECT t.doc_id, count(*) AS matched_terms,
+      |    sum(CAST(
+      |      ln(1.0 + (CAST(s.n AS DOUBLE) - f.df + 0.5)
+      |          / (CAST(f.df AS DOUBLE) + 0.5))
+      |        * (CAST(t.tf AS DOUBLE) * (1.2 + 1.0))
+      |        / (CAST(t.tf AS DOUBLE) + 1.2 *
+      |           ((1.0 - 0.75) + 0.75 * CAST(t.dl AS DOUBLE) / s.avgdl))
+      |      AS DECIMAL(20,10))) AS s
+      |  FROM tf t JOIN df f USING (token) CROSS JOIN stats s
+      |  GROUP BY t.doc_id),
+      |top AS (
+      |  SELECT doc_id, matched_terms, CAST(s AS DOUBLE) AS raw
+      |  FROM scored ORDER BY raw DESC, doc_id LIMIT 10)
+      |SELECT doc_id, matched_terms,
+      |  CAST(round(raw, 6) AS DOUBLE) AS bm25
+      |FROM top ORDER BY doc_id""".stripMargin,
+    doc = "BM25 top-10 retrieval for a fixed topic probe") { (s, dir) =>
+    graft.text.Bm25.topDocs(t(s, dir, "documents"), "doc_id", "text",
+        Seq("vector", "stream", "merge"))
+      .orderBy("doc_id")
+  }
+
+  /** DSIR importance weights ([[graft.text.Dsir]]): every doc scored
+    * for target-likeness against the `doc_id % 10 = 0` slice as the
+    * target corpus. The oracle rebuilds both Laplace-smoothed gram
+    * models (unigrams + bigrams, exact string features) and every
+    * weight from raw text; per-gram contributions are decimal-cast
+    * before the per-doc sum on BOTH sides; blank docs come back
+    * (0, 0.0) through the same keyed left join (row preservation).
+    */
+  val qDsirWeights: QueryDef = QueryDef.sql(
+    "q_dsir_weights",
+    """WITH d AS (SELECT doc_id, trim(text) AS t FROM documents),
+      |raw_g AS (
+      |  SELECT doc_id, unnest(list_concat(tk,
+      |    list_transform(range(len(tk) - 1),
+      |      i -> tk[i + 1] || ' ' || tk[i + 2]))) AS g
+      |  FROM (SELECT doc_id, string_split_regex(t, '\s+') AS tk
+      |        FROM d WHERE t <> '')),
+      |tgt_g AS (SELECT g FROM raw_g WHERE doc_id % 10 = 0),
+      |rc AS (SELECT g, count(*) AS rc FROM raw_g GROUP BY 1),
+      |tc AS (SELECT g, count(*) AS tc FROM tgt_g GROUP BY 1),
+      |m AS (
+      |  SELECT coalesce(r.g, t.g) AS g,
+      |    coalesce(r.rc, 0) AS rc, coalesce(t.tc, 0) AS tc
+      |  FROM rc r FULL OUTER JOIN tc t ON r.g = t.g),
+      |tot AS (SELECT CAST(sum(rc) AS BIGINT) AS rtot,
+      |  CAST(sum(tc) AS BIGINT) AS ttot, count(*) AS v FROM m),
+      |lam AS (
+      |  SELECT g,
+      |    ln((CAST(tc AS DOUBLE) + 1.0)
+      |        / (CAST(ttot AS DOUBLE) + 1.0 * CAST(v AS DOUBLE)))
+      |    - ln((CAST(rc AS DOUBLE) + 1.0)
+      |        / (CAST(rtot AS DOUBLE) + 1.0 * CAST(v AS DOUBLE))) AS lambda
+      |  FROM m CROSS JOIN tot),
+      |pd AS (SELECT doc_id, g, count(*) AS c FROM raw_g GROUP BY 1, 2),
+      |w AS (
+      |  SELECT p.doc_id, CAST(sum(p.c) AS BIGINT) AS n_grams,
+      |    sum(CAST(CAST(p.c AS DOUBLE) * l.lambda AS DECIMAL(20,10))) AS s
+      |  FROM pd p JOIN lam l USING (g) GROUP BY 1)
+      |SELECT d0.doc_id,
+      |  coalesce(w.n_grams, 0) AS n_grams,
+      |  coalesce(CAST(round(CAST(w.s AS DOUBLE), 6) AS DOUBLE), 0.0)
+      |    AS dsir_weight
+      |FROM documents d0 LEFT JOIN w USING (doc_id)
+      |ORDER BY doc_id""".stripMargin,
+    doc = "DSIR importance weights vs a target slice (data selection)") { (s, dir) =>
+    val docs = t(s, dir, "documents")
+    graft.text.Dsir.importanceWeights(
+        docs, docs.filter(col("doc_id") % 10 === 0), "doc_id", "text")
+      .orderBy("doc_id")
+  }
+
   val all: Seq[QueryDef] = Seq(
     qTextTokens, qTextQuality, qTextLangId, qTextFingerprint, qTokenFreq,
     qSelectPipeline, qPackSequences, qTextRedact, qCuratePipeline,
     qDecontaminate, qTfidf, qQualityRules, qUrlDedup, qQualityRepetition,
-    qChunkTokens, qSplitHash, qCorpusReport, qCurateV2, qVocabEncode)
+    qChunkTokens, qSplitHash, qCorpusReport, qCurateV2, qVocabEncode,
+    qTextUnigramNll, qTextBm25, qDsirWeights)
 }

@@ -92,4 +92,17 @@ class PlanShapeSpec extends SparkSpec {
     val p = plan("q_decontaminate")
     assert(p.contains("BroadcastHashJoin"), p.take(1200))
   }
+
+  test("q_text_bm25: df and corpus stats broadcast; only query-term tokens shuffle") {
+    val p = plan("q_text_bm25")
+    // df (≤|Q| rows) joins broadcast; the 1-row (n, avgdl) stats ride
+    // a broadcast nested-loop cross join — no sort-merge anywhere
+    assert(p.contains("BroadcastHashJoin"), p.take(1200))
+    assert(p.contains("BroadcastNestedLoopJoin"), p.take(1200))
+    assert(!p.contains("SortMergeJoin"), p.take(1200))
+    // the term filter sits under the tf aggregation's exchange: the
+    // shuffle moves O(matching tokens), not O(corpus tokens)
+    assert(p.contains("vector"), p.take(1200))
+    assert(p.contains("hashpartitioning"), p.take(1200))
+  }
 }
