@@ -400,8 +400,46 @@ object DedupQueries {
       .orderBy("id_a", "id_b")
   }
 
+  /** SemDeDup over the embeddings table: assign to the 8 deterministic
+    * centroids (vec_id < 8), drop any vector with a smaller-id
+    * cell-mate at cosine ≥ 0.3. The oracle independently re-derives
+    * the argmax cell assignment (row_number over cosine desc, cid
+    * tie-break — both engines accumulate the same doubles
+    * left-to-right, the q_sim_topk/q_embed_neardup parity) and the
+    * EXISTS-a-smaller-near-dup drop rule.
+    */
+  val qSemanticDedup: QueryDef = QueryDef.sql(
+    "q_semantic_dedup",
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+      |asg AS (
+      |  SELECT vec_id, v, cell FROM (
+      |    SELECT e.vec_id, e.v, c.cid AS cell,
+      |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+      |        list_dot_product(e.v, c.cv) /
+      |          (sqrt(list_dot_product(e.v, e.v)) *
+      |           sqrt(list_dot_product(c.cv, c.cv))) DESC,
+      |        c.cid) AS rn
+      |    FROM e CROSS JOIN c) WHERE rn = 1),
+      |dropped AS (
+      |  SELECT DISTINCT b.vec_id FROM asg a JOIN asg b
+      |    ON a.cell = b.cell AND a.vec_id < b.vec_id
+      |  WHERE list_dot_product(a.v, b.v) /
+      |    (sqrt(list_dot_product(a.v, a.v)) *
+      |     sqrt(list_dot_product(b.v, b.v))) >= 0.3)
+      |SELECT a.vec_id, a.cell, (d.vec_id IS NULL) AS keep
+      |FROM asg a LEFT JOIN dropped d ON a.vec_id = d.vec_id
+      |ORDER BY a.vec_id""".stripMargin,
+    doc = "SemDeDup semantic dedup verdicts: centroid cells + within-cell cosine (dedup ops)") { (s, dir) =>
+    val emb = t(s, dir, "embeddings")
+    graft.sim.SemanticDedup.verdicts(emb, "vec_id", "embedding",
+        emb.filter(col("vec_id") < 8), "vec_id", "embedding",
+        threshold = 0.3)
+      .orderBy("vec_id")
+  }
+
   val all: Seq[QueryDef] = Seq(
     qDedupExact, qNgramJaccard, qEmbedNearDup, qDedupMinhash,
     qDedupMinhashPlanted, qDedupSimhash, qDedupSimhashPlanted,
-    qDedupClusters, qDedupPipeline, qDedupIncremental)
+    qDedupClusters, qDedupPipeline, qDedupIncremental, qSemanticDedup)
 }

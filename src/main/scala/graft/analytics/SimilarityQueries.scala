@@ -205,6 +205,71 @@ object SimilarityQueries {
       .orderBy("label", "pos")
   }
 
+  /** RRF hybrid retrieval ([[graft.text.HybridRetrieval]]): BM25 over
+    * documents (the q_text_bm25 topic probe, depth 20) fused with
+    * dense cosine top-20 around embedding 0 by reciprocal-rank
+    * fusion, doc_id ≡ vec_id. The oracle restates BOTH arms (each
+    * already oracle-proven alone) and the fixed two-term fusion
+    * arithmetic; ranks are integers so fusion parity reduces to the
+    * per-arm score parity.
+    */
+  val qHybridRrf: QueryDef = QueryDef.sql(
+    "q_hybrid_rrf",
+    """WITH d AS (SELECT doc_id, trim(text) AS t FROM documents),
+      |stats AS (
+      |  SELECT count(*) AS n,
+      |    CAST(sum(CASE WHEN t = '' THEN 0
+      |      ELSE len(string_split_regex(t, '\s+')) END) AS DOUBLE)
+      |      / CAST(count(*) AS DOUBLE) AS avgdl
+      |  FROM d),
+      |tk AS (
+      |  SELECT doc_id, len(string_split_regex(t, '\s+')) AS dl,
+      |    unnest(string_split_regex(t, '\s+')) AS token
+      |  FROM d WHERE t <> ''),
+      |q AS (SELECT * FROM tk WHERE token IN ('vector', 'stream', 'merge')),
+      |tf AS (SELECT doc_id, dl, token, count(*) AS tf FROM q GROUP BY 1, 2, 3),
+      |dfq AS (SELECT token, count(DISTINCT doc_id) AS df FROM q GROUP BY 1),
+      |scored AS (
+      |  SELECT t.doc_id,
+      |    sum(CAST(
+      |      ln(1.0 + (CAST(s.n AS DOUBLE) - f.df + 0.5)
+      |          / (CAST(f.df AS DOUBLE) + 0.5))
+      |        * (CAST(t.tf AS DOUBLE) * (1.2 + 1.0))
+      |        / (CAST(t.tf AS DOUBLE) + 1.2 *
+      |           ((1.0 - 0.75) + 0.75 * CAST(t.dl AS DOUBLE) / s.avgdl))
+      |      AS DECIMAL(20,10))) AS s
+      |  FROM tf t JOIN dfq f USING (token) CROSS JOIN stats s
+      |  GROUP BY t.doc_id),
+      |sparse AS (
+      |  SELECT doc_id AS id,
+      |    row_number() OVER (ORDER BY raw DESC, doc_id) AS sparse_rank
+      |  FROM (SELECT doc_id, CAST(s AS DOUBLE) AS raw FROM scored
+      |        ORDER BY raw DESC, doc_id LIMIT 20)),
+      |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |qv AS (SELECT v AS w FROM e WHERE vec_id = 0),
+      |dense AS (
+      |  SELECT vec_id AS id,
+      |    row_number() OVER (ORDER BY cosine DESC, vec_id) AS dense_rank
+      |  FROM (SELECT e.vec_id,
+      |          list_dot_product(e.v, qv.w) /
+      |            (sqrt(list_dot_product(e.v, e.v)) *
+      |             sqrt(list_dot_product(qv.w, qv.w))) AS cosine
+      |        FROM e CROSS JOIN qv WHERE e.vec_id != 0
+      |        ORDER BY cosine DESC, e.vec_id LIMIT 20))
+      |SELECT coalesce(s.id, de.id) AS doc_id, s.sparse_rank, de.dense_rank,
+      |  CAST(round(coalesce(1.0 / (60 + s.sparse_rank), 0.0) +
+      |             coalesce(1.0 / (60 + de.dense_rank), 0.0), 6) AS DOUBLE)
+      |    AS rrf
+      |FROM sparse s FULL OUTER JOIN dense de ON s.id = de.id
+      |ORDER BY doc_id""".stripMargin,
+    doc = "reciprocal-rank fusion of BM25 + dense cosine retrieval (RAG hybrid)") { (s, dir) =>
+    graft.text.HybridRetrieval.rrfFuse(
+        t(s, dir, "documents"), "doc_id", "text",
+        Seq("vector", "stream", "merge"),
+        t(s, dir, "embeddings"), "vec_id", "embedding",
+        queryId = 0L, depth = 20, k = 60)
+  }
+
   val all: Seq[QueryDef] = Seq(qSimTopK, qSimLsh, qSimIvf, qQuantize,
-    qSimQuantized, qEmbedCentroid)
+    qSimQuantized, qEmbedCentroid, qHybridRrf)
 }

@@ -1009,10 +1009,43 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** Cross-document duplicated-span report ([[graft.text.SpanDedup]]):
+    * per doc, the fraction of its distinct word 5-grams that occur in
+    * ≥ 2 documents. The oracle re-derives the gram sets (truncating
+    * list slices mirror Spark's `slice`; docs shorter than 5 tokens
+    * collapse to one whole-doc gram on both engines), the gram
+    * doc-frequencies, and the per-doc ratio; blank docs come back
+    * (0, 0, null) through the same keyed left join.
+    */
+  val qSpanDupReport: QueryDef = QueryDef.sql(
+    "q_span_dup_report",
+    """WITH d AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk
+      |           FROM documents WHERE trim(text) <> ''),
+      |dg AS (SELECT DISTINCT doc_id, g FROM (
+      |  SELECT doc_id, unnest([array_to_string(tk[i:i+4], ' ')
+      |    FOR i IN range(1, greatest(len(tk) - 4, 1) + 1)]) AS g FROM d)),
+      |dfr AS (SELECT g, count(*) AS df FROM dg GROUP BY g),
+      |per AS (SELECT doc_id, count(*) AS n_grams,
+      |          count(*) FILTER (df > 1) AS n_dup_grams
+      |        FROM dg JOIN dfr USING (g) GROUP BY doc_id)
+      |SELECT d0.doc_id,
+      |  coalesce(p.n_grams, 0) AS n_grams,
+      |  coalesce(p.n_dup_grams, 0) AS n_dup_grams,
+      |  CASE WHEN p.n_grams > 0 THEN CAST(round(
+      |    CAST(p.n_dup_grams AS DOUBLE) / CAST(p.n_grams AS DOUBLE), 6)
+      |    AS DOUBLE) END AS dup_frac
+      |FROM documents d0 LEFT JOIN per p USING (doc_id)
+      |ORDER BY d0.doc_id""".stripMargin,
+    doc = "cross-doc duplicated 5-gram span fractions (Lee et al. dedup signal)") { (s, dir) =>
+    graft.text.SpanDedup.dupSpanReport(t(s, dir, "documents"),
+        "doc_id", "text", n = 5)
+      .orderBy("doc_id")
+  }
+
   val all: Seq[QueryDef] = Seq(
     qTextTokens, qTextQuality, qTextLangId, qTextFingerprint, qTokenFreq,
     qSelectPipeline, qPackSequences, qTextRedact, qCuratePipeline,
     qDecontaminate, qTfidf, qQualityRules, qUrlDedup, qQualityRepetition,
     qChunkTokens, qSplitHash, qCorpusReport, qCurateV2, qVocabEncode,
-    qTextUnigramNll, qTextBm25, qDsirWeights)
+    qTextUnigramNll, qTextBm25, qDsirWeights, qSpanDupReport)
 }

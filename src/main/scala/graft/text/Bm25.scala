@@ -25,15 +25,15 @@ import org.apache.spark.sql.functions._
   */
 object Bm25 {
 
-  /** Per-document BM25 score against `queryTerms`, top `limit` docs
-    * by score (ties broken by id). Output: (idCol, matched_terms,
-    * bm25). Docs sharing no term with the query are not retrieved —
-    * retrieval semantics, unlike the row-preserving scorers
-    * ([[UnigramLm.meanNll]]).
+  /** Raw per-document BM25 scores against `queryTerms` — every doc
+    * sharing ≥ 1 term, unranked and unrounded. Output: (idCol,
+    * matched_terms, __raw double). The building block [[topDocs]] and
+    * [[HybridRetrieval]] rank from; raw doubles stay internal so
+    * rounding can't perturb downstream rank order.
     */
-  def topDocs(docs: DataFrame, idCol: String, textCol: String,
-      queryTerms: Seq[String], k1: Double = 1.2, b: Double = 0.75,
-      limit: Int = 10): DataFrame = {
+  def scores(docs: DataFrame, idCol: String, textCol: String,
+      queryTerms: Seq[String], k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
     val terms = queryTerms.distinct
     require(terms.nonEmpty, "BM25 needs at least one query term")
     // corpus stats over ALL docs (blank docs count toward N and pull
@@ -67,10 +67,22 @@ object Bm25 {
           .cast("decimal(20,10)"))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("matched_terms"), sum(col("__contrib")).as("__s"))
-      .withColumn("__raw", col("__s").cast("double"))
+      .select(col(idCol), col("matched_terms"),
+        col("__s").cast("double").as("__raw"))
+  }
+
+  /** Per-document BM25 score against `queryTerms`, top `limit` docs
+    * by score (ties broken by id). Output: (idCol, matched_terms,
+    * bm25). Docs sharing no term with the query are not retrieved —
+    * retrieval semantics, unlike the row-preserving scorers
+    * ([[UnigramLm.meanNll]]).
+    */
+  def topDocs(docs: DataFrame, idCol: String, textCol: String,
+      queryTerms: Seq[String], k1: Double = 1.2, b: Double = 0.75,
+      limit: Int = 10): DataFrame =
+    scores(docs, idCol, textCol, queryTerms, k1, b)
       .orderBy(col("__raw").desc, col(idCol))
       .limit(limit)
       .select(col(idCol), col("matched_terms"),
         round(col("__raw"), 6).cast("double").as("bm25"))
-  }
 }
