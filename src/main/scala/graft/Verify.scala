@@ -18,17 +18,32 @@ object Verify {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // A crashed query must fail LOUD: a _FAILED marker file (picked up by
+    // tools/check.py as a red row) instead of a silently-absent dump that
+    // shrinks the gate (round-5 postmortem: 6 crashed queries read as a
+    // clean 114/114 sheet because nothing recorded them).
+    var failed = List.empty[String]
     SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+      try {
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        Files.deleteIfExists(Paths.get(s"$outDir/$name._FAILED")) // stale marker
+      } catch { case e: Throwable =>
+        failed ::= name
+        System.err.println(s"[verify] $name FAILED: ${e.getMessage}")
+        Files.writeString(Paths.get(s"$outDir/$name._FAILED"),
+          s"${e.getClass.getName}: ${e.getMessage}\n")
       }
     }
+    if (failed.nonEmpty)
+      System.err.println(
+        s"[verify] ${failed.size}/${SparkEntry.queries.size} queries FAILED: " +
+          failed.sorted.mkString(", "))
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

@@ -438,8 +438,66 @@ object DedupQueries {
       .orderBy("vec_id")
   }
 
+  /** The ScaleProbe terminal path as a CORRECTNESS-gated contract at
+    * 10× replication: every doc 0-49 appears 10 times (exact copies —
+    * Jaccard 1.0, so LSH candidate generation is CERTAIN: identical
+    * texts yield identical signatures, hence identical band keys), the
+    * full pairs → components → canonical-keep pipeline runs over the
+    * 500-doc corpus, and the contract is the SURVIVOR COUNT — O(1)
+    * output no matter how dup-heavy the input, which is exactly the
+    * property that makes this the production shape at 100 TB (the pair
+    * dump the bench runs is quadratic per cluster by construction).
+    * Natural cross-doc near-dups (j ≥ 0.9) ride the same LSH-certain
+    * regime as [[qDedupPipeline]]; the oracle recomputes exact truth.
+    */
+  val qDedupScale10x: QueryDef = QueryDef.sql(
+    "q_dedup_scale10x",
+    """WITH RECURSIVE base AS (
+      |  SELECT doc_id, text FROM documents WHERE doc_id < 50),
+      |corpus AS (
+      |  SELECT doc_id + r * 100000 AS doc_id, text
+      |  FROM base CROSS JOIN range(10) AS t(r)),
+      |sh AS (
+      |  SELECT doc_id,
+      |    list_distinct([array_to_string(tk[i:i+1], ' ')
+      |                   FOR i IN range(1, greatest(len(tk), 2))]) AS s
+      |  FROM (SELECT doc_id,
+      |          string_split_regex(lower(trim(text)), '[\s[:punct:]]+') AS tk
+      |        FROM corpus)),
+      |pairs AS (
+      |  SELECT a.doc_id AS a, b.doc_id AS b
+      |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      |  WHERE len(list_intersect(a.s, b.s)) /
+      |      (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.9),
+      |sym AS (SELECT a, b FROM pairs UNION SELECT b, a FROM pairs),
+      |reach AS (
+      |  SELECT a AS id, b AS peer FROM sym
+      |  UNION
+      |  SELECT r.id, s.b FROM reach r JOIN sym s ON r.peer = s.a),
+      |labels AS (
+      |  SELECT id, least(id, min(peer)) AS label FROM reach GROUP BY id)
+      |SELECT (SELECT count(*) FROM corpus) AS n_docs,
+      |  count(*) AS n_survivors
+      |FROM corpus c LEFT JOIN labels l ON c.doc_id = l.id
+      |WHERE l.label IS NULL OR l.label = c.doc_id""".stripMargin,
+    doc = "ScaleProbe terminal dedup path survivor-count contract at 10x replication (dedup ops)") { (s, dir) =>
+    val base = t(s, dir, "documents").filter(col("doc_id") < 50)
+      .select(col("doc_id"), col("text"))
+    val corpus = base
+      .withColumn("__r", explode(sequence(lit(0), lit(9))))
+      .select((col("doc_id") + col("__r") * 100000L).as("doc_id"), col("text"))
+    val pairs = Dedup.minHashNearDupPairs(corpus, "doc_id", "text",
+      shingleSize = 2, k = 32, bands = 16, threshold = 0.9)
+    val clusters = Dedup.nearDupClusters(pairs)
+    Dedup.keepCanonical(corpus, "doc_id", clusters)
+      .agg(count(lit(1)).as("n_survivors"))
+      .crossJoin(corpus.agg(count(lit(1)).as("n_docs")))
+      .select("n_docs", "n_survivors")
+  }
+
   val all: Seq[QueryDef] = Seq(
     qDedupExact, qNgramJaccard, qEmbedNearDup, qDedupMinhash,
     qDedupMinhashPlanted, qDedupSimhash, qDedupSimhashPlanted,
-    qDedupClusters, qDedupPipeline, qDedupIncremental, qSemanticDedup)
+    qDedupClusters, qDedupPipeline, qDedupIncremental, qSemanticDedup,
+    qDedupScale10x)
 }

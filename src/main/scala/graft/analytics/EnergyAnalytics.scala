@@ -3,6 +3,7 @@ package graft.analytics
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
+import graft.core.TimeCols.epochUs
 
 /** Domain analytics over the engine's canonical tables (SURVEY §1.4:
   * `raw(timestamp, building_id, meter, meter_reading)`,
@@ -99,7 +100,7 @@ object EnergyAnalytics {
         min(col("timestamp")).as("t_min"),
         max(col("timestamp")).as("t_max"))
       .withColumn("n_expected",
-        ((unix_micros(col("t_max")) - unix_micros(col("t_min")))
+        ((epochUs(col("t_max")) - epochUs(col("t_min")))
           / (intervalMinutes * 60000000L) + 1).cast("long"))
       .withColumn("completeness",
         round(col("n_observed").cast("double") / col("n_expected"), 4))

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.io.Tables
+import graft.core.TimeCols.epochUs
 import RelationalQueries.{dsum, dsumSql}
 
 /** Time-series coverage over the `events` table — the domain the
@@ -62,7 +63,7 @@ object EventQueries {
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
     t(s, dir, "events")
       .withColumn("gap_us",
-        unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(w))
+        epochUs(col("ts")) - lag(epochUs(col("ts")), 1).over(w))
       .filter(col("gap_us").isNotNull)
       .groupBy(col("user_id"))
       .agg(count(lit(1)).as("n_gaps"),
@@ -181,10 +182,10 @@ object EventQueries {
     doc = "gap-based sessionization (streaming-adjacent)") { (s, dir) =>
     val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
     t(s, dir, "events")
-      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(byUser))
+      .withColumn("prev_us", lag(epochUs(col("ts")), 1).over(byUser))
       .withColumn("new_session",
         when(col("prev_us").isNull ||
-          unix_micros(col("ts")) - col("prev_us") > 1800000000L, 1).otherwise(0))
+          epochUs(col("ts")) - col("prev_us") > 1800000000L, 1).otherwise(0))
       .withColumn("session_id",
         sum(col("new_session")).over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .groupBy(col("user_id"))
@@ -262,7 +263,7 @@ object EventQueries {
         tiebreakCols = Seq("view_id"))
       .select(col("event_id"), col("user_id"),
         col("asof_view_id").as("view_id"), col("asof_view_value").as("view_value"),
-        (unix_micros(col("ts")) - unix_micros(col("asof_vts"))).as("age_us"))
+        (epochUs(col("ts")) - epochUs(col("asof_vts"))).as("age_us"))
       .orderBy("event_id")
   }
 
@@ -304,7 +305,7 @@ object EventQueries {
         tiebreakCols = Seq("view_id"))
       .select(col("event_id"), col("user_id"),
         col("asof_view_id").as("view_id"), col("asof_view_value").as("view_value"),
-        (unix_micros(col("ts")) - unix_micros(col("asof_vts"))).as("age_us"))
+        (epochUs(col("ts")) - epochUs(col("asof_vts"))).as("age_us"))
       .orderBy("event_id")
   }
 
@@ -333,7 +334,7 @@ object EventQueries {
     TemporalJoins.rangeJoinBinned(ev.select(col("event_id"), col("ts")),
         "ts", iv, "ivs", "ive", binMicros = 10L * 60L * 1000000L)
       .select(col("iv_id"), col("event_id"),
-        (unix_micros(col("ts")) - unix_micros(col("ivs"))).as("offset_us"))
+        (epochUs(col("ts")) - epochUs(col("ivs"))).as("offset_us"))
       .orderBy("iv_id", "event_id")
   }
 
@@ -536,8 +537,80 @@ object EventQueries {
       .orderBy("ws", "event_type")
   }
 
+  /** The skewed-interval twin of [[qRangeJoin]]: interval lengths
+    * split 30 s / 1 day (2,880× apart), the regime where any single
+    * bin width loses — the multi-scale join assigns each interval to
+    * its own level (≤ 2 bins each) and points probe one bin per level
+    * present. Oracle is the same naive BETWEEN theta-join.
+    */
+  val qRangeJoinSkew: QueryDef = QueryDef.sql(
+    "q_range_join_skew",
+    """WITH iv AS (
+      |  SELECT event_id AS iv_id, ts AS ivs,
+      |    CASE WHEN event_id % 398 = 0 THEN ts + INTERVAL 30 SECOND
+      |         ELSE ts + INTERVAL 1 DAY END AS ive
+      |  FROM events WHERE event_id % 199 = 0)
+      |SELECT iv_id, p.event_id,
+      |  epoch_us(p.ts) - epoch_us(ivs) AS offset_us
+      |FROM events p JOIN iv ON p.ts >= ivs AND p.ts <= ive
+      |ORDER BY iv_id, event_id""".stripMargin,
+    doc = "multi-scale range join under 2880x interval-length skew (temporal join)") { (s, dir) =>
+    import graft.transform.TemporalJoins
+    val ev = t(s, dir, "events")
+    val iv = ev.filter(col("event_id") % 199 === 0)
+      .select(col("event_id").as("iv_id"), col("ts").as("ivs"),
+        when(col("event_id") % 398 === 0,
+          col("ts") + expr("INTERVAL 30 SECONDS"))
+          .otherwise(col("ts") + expr("INTERVAL 1 DAY")).as("ive"))
+    TemporalJoins.rangeJoinMultiScale(ev.select(col("event_id"), col("ts")),
+        "ts", iv, "ivs", "ive", baseBinMicros = 30L * 1000000L)
+      .select(col("iv_id"), col("event_id"),
+        (epochUs(col("ts")) - epochUs(col("ivs"))).as("offset_us"))
+      .orderBy("iv_id", "event_id")
+  }
+
+  /** Interval×interval overlap join via start-point decomposition —
+    * two multi-scale range joins whose disjuncts partition the
+    * qualifying pairs (no distinct needed), with mixed 60 s / 12 h
+    * lengths on one side to exercise the skew path. Reports overlap
+    * duration; oracle is the naive pairwise-intersection theta-join.
+    */
+  val qIntervalOverlap: QueryDef = QueryDef.sql(
+    "q_interval_overlap",
+    """WITH a AS (
+      |  SELECT event_id AS a_id, ts AS a_s, ts + INTERVAL 1 HOUR AS a_e
+      |  FROM events WHERE event_id % 211 = 0),
+      |b AS (
+      |  SELECT event_id AS b_id, ts AS b_s,
+      |    CASE WHEN event_id % 614 = 0 THEN ts + INTERVAL 60 SECOND
+      |         ELSE ts + INTERVAL 12 HOUR END AS b_e
+      |  FROM events WHERE event_id % 307 = 0)
+      |SELECT a_id, b_id,
+      |  epoch_us(least(a_e, b_e)) - epoch_us(greatest(a_s, b_s)) AS overlap_us
+      |FROM a JOIN b ON a_s <= b_e AND b_s <= a_e
+      |ORDER BY a_id, b_id""".stripMargin,
+    doc = "interval overlap join via start-point decomposition over multi-scale bins (temporal join)") { (s, dir) =>
+    import graft.transform.TemporalJoins
+    val ev = t(s, dir, "events")
+    val a = ev.filter(col("event_id") % 211 === 0)
+      .select(col("event_id").as("a_id"), col("ts").as("a_s"),
+        (col("ts") + expr("INTERVAL 1 HOUR")).as("a_e"))
+    val b = ev.filter(col("event_id") % 307 === 0)
+      .select(col("event_id").as("b_id"), col("ts").as("b_s"),
+        when(col("event_id") % 614 === 0,
+          col("ts") + expr("INTERVAL 60 SECONDS"))
+          .otherwise(col("ts") + expr("INTERVAL 12 HOURS")).as("b_e"))
+    TemporalJoins.intervalOverlapJoin(a, "a_s", "a_e", b, "b_s", "b_e",
+        baseBinMicros = 60L * 1000000L)
+      .select(col("a_id"), col("b_id"),
+        (epochUs(least(col("a_e"), col("b_e"))) -
+          epochUs(greatest(col("a_s"), col("b_s")))).as("overlap_us"))
+      .orderBy("a_id", "b_id")
+  }
+
   val all: Seq[QueryDef] = Seq(
     qTimeWindow, qLagGaps, qOverlapSemi, qScalarFuncs, qJsonBuild, qSessionize,
-    qMapFuncs, qAsofJoin, qAsofNearest, qRangeJoin, qFunnel, qRetention,
+    qMapFuncs, qAsofJoin, qAsofNearest, qRangeJoin, qRangeJoinSkew,
+    qIntervalOverlap, qFunnel, qRetention,
     qGapFill, qInterpolate, qLoadProfile, qSlidingWindow)
 }

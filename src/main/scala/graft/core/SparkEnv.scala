@@ -38,6 +38,10 @@ object SparkEnv {
       // TIMESTAMP(NANOS) parquet columns surface as longs; Tables.readParquet
       // rebuilds them as µs timestamps from footer metadata.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // Naive-µs parquet stamps (isAdjustedToUTC=false) must read as
+      // TimestampType, not TIMESTAMP_NTZ — session TZ is UTC so the two
+      // are value-identical, and NTZ breaks unix_micros at analysis time.
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       // native engine expressions (minhash_slots, …)
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
     extraConf.foreach { case (k, v) => b.config(k, v) }

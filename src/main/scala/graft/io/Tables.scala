@@ -39,7 +39,7 @@ object Tables {
   def readParquet(spark: SparkSession, path: String): DataFrame = {
     val df = spark.read.parquet(path)
     val nsCols = nanoTimestampColumns(spark, path)
-    nsCols.foldLeft(df) { (d, c) =>
+    val rebuilt = nsCols.foldLeft(df) { (d, c) =>
       // `div` is integral long division. `/` on longs is double division,
       // and at 2026-epoch ns magnitudes (~1.8e18, double ulp = 256 ns)
       // ~12% of stamps would land 1 µs off vs exact truncation — enough
@@ -47,6 +47,17 @@ object Tables {
       d.withColumn(c, org.apache.spark.sql.functions.timestamp_micros(
         org.apache.spark.sql.functions.expr(s"`$c` div 1000")))
     }
+    // Naive-µs annotations (isAdjustedToUTC=false — the pandas/pyarrow
+    // default) surface as TIMESTAMP_NTZ under Spark 4's inferTimestampNTZ.
+    // The session is pinned UTC, so the cast is lossless and matches how
+    // DuckDB reads the same naive stamps. SparkEnv also disables
+    // inferTimestampNTZ; this keeps the read correct under ANY session.
+    import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
+    rebuilt.schema.fields
+      .collect { case f if f.dataType == TimestampNTZType => f.name }
+      .foldLeft(rebuilt) { (d, c) =>
+        d.withColumn(c, org.apache.spark.sql.functions.col(c).cast(TimestampType))
+      }
   }
 
   /** Columns annotated TIMESTAMP(NANOS) in the parquet footer of the

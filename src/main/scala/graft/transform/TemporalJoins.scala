@@ -3,6 +3,7 @@ package graft.transform
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.core.TimeCols.epochUs
 
 /** Temporal join operators Spark's built-ins don't express directly:
   * backward as-of join and point-in-interval range join.
@@ -156,8 +157,8 @@ object TemporalJoins {
     val withTol = toleranceMicros match {
       case Some(tol) =>
         val age =
-          if (forward) unix_micros(col("__match.__rt")) - unix_micros(col("__t"))
-          else unix_micros(col("__t")) - unix_micros(col("__match.__rt"))
+          if (forward) epochUs(col("__match.__rt")) - epochUs(col("__t"))
+          else epochUs(col("__t")) - epochUs(col("__match.__rt"))
         carried.withColumn("__match",
           when(col("__match").isNotNull && age <= tol, col("__match")))
       case None => carried
@@ -201,8 +202,8 @@ object TemporalJoins {
       .withColumn("__bm", last(col("__rpay"), ignoreNulls = true).over(wB))
       .withColumn("__fm", last(col("__rpay"), ignoreNulls = true).over(wF))
       .filter(col("__isLeft") === 1)
-    val bAge = unix_micros(col("__t")) - unix_micros(col("__bm.__rt"))
-    val fAge = unix_micros(col("__fm.__rt")) - unix_micros(col("__t"))
+    val bAge = epochUs(col("__t")) - epochUs(col("__bm.__rt"))
+    val fAge = epochUs(col("__fm.__rt")) - epochUs(col("__t"))
     def valid(m: Column, age: Column): Column = toleranceMicros match {
       case Some(tol) => m.isNotNull && age <= tol
       case None => m.isNotNull
@@ -237,7 +238,7 @@ object TemporalJoins {
       binMicros: Long,
       extraKeys: Seq[String] = Nil): DataFrame = {
     require(binMicros > 0, s"binMicros must be positive, got $binMicros")
-    def bin(c: Column): Column = floor(unix_micros(c) / binMicros)
+    def bin(c: Column): Column = floor(epochUs(c) / binMicros)
     val p = points.withColumn("__bin", bin(col(pointTime)))
     val iv = intervals.withColumn("__bin",
       explode(sequence(bin(col(startCol)), bin(col(endCol)))))
@@ -245,5 +246,104 @@ object TemporalJoins {
       .filter(col(pointTime) >= col(startCol) &&
         col(pointTime) <= col(endCol))
       .drop("__bin")
+  }
+
+  /** Multi-scale point-in-interval range join: the skew-proof
+    * generalization of [[rangeJoinBinned]] for corpora whose interval
+    * lengths span orders of magnitude (mixed 1-second and 1-day
+    * intervals force any SINGLE bin width to either explode the long
+    * intervals into ~86,400 bins or flood every short interval's bin
+    * with irrelevant candidates).
+    *
+    * Each interval is assigned to the LEVEL whose bin width
+    * `baseBinMicros * 2^level` first covers its own length — so every
+    * interval explodes into AT MOST 2 bins regardless of length. Each
+    * point probes once per level PRESENT IN THE DATA (the distinct
+    * level set is an aggregate, broadcast — never collected), i.e. at
+    * most log2(maxLen/baseLen) + 1 rows. The join is an equi-join on
+    * (extraKeys, level, bin) + residual BETWEEN; a qualifying pair
+    * meets exactly once (the interval lives at one level, the point
+    * has one bin there). Total explode factor is O(2·|intervals| +
+    * levels·|points|) — bounded, data-independent per row, vs the
+    * unbounded `len/bin` of the single-width form.
+    */
+  def rangeJoinMultiScale(
+      points: DataFrame,
+      pointTime: String,
+      intervals: DataFrame,
+      startCol: String,
+      endCol: String,
+      baseBinMicros: Long,
+      extraKeys: Seq[String] = Nil): DataFrame = {
+    require(baseBinMicros > 0, s"baseBinMicros must be positive, got $baseBinMicros")
+    val iv = intervalLevelBins(intervals, startCol, endCol, baseBinMicros)
+    val levels = iv.select(col("__lvl")).distinct()
+    val p = points
+      .join(broadcast(levels)) // one probe row per level present
+      .withColumn("__bin",
+        floor(epochUs(col(pointTime)) / levelWidth(baseBinMicros, col("__lvl"))))
+    p.join(iv, extraKeys ++ Seq("__lvl", "__bin"))
+      .filter(col(pointTime) >= col(startCol) &&
+        col(pointTime) <= col(endCol))
+      .drop("__lvl", "__bin")
+  }
+
+  /** Bin width at a level: `baseBinMicros * 2^level`. `pow` is exact
+    * for 2^lvl up to 2^52 and the result is cast back to long before
+    * the multiply, so bin boundaries are exact integers on both the
+    * point and interval sides (levels are clamped to 40 at assignment).
+    */
+  private def levelWidth(baseBinMicros: Long, lvl: Column): Column =
+    lit(baseBinMicros) * pow(2.0, lvl.cast("double")).cast("long")
+
+  /** Intervals exploded into their level-local bins — at most 2 rows
+    * per interval by construction (level width ≥ interval length).
+    * Package-visible so specs can assert the explode bound directly.
+    */
+  private[transform] def intervalLevelBins(
+      intervals: DataFrame, startCol: String, endCol: String,
+      baseBinMicros: Long): DataFrame = {
+    val len = epochUs(col(endCol)) - epochUs(col(startCol))
+    // smallest L with base·2^L ≥ len; clamped to [0, 40] (2^40 · base
+    // covers any realistic span and keeps the shift exact)
+    val lvl = least(lit(40), greatest(lit(0),
+      ceil(log(2.0, len.cast("double") / baseBinMicros)).cast("int")))
+    val w = levelWidth(baseBinMicros, lvl)
+    intervals
+      .filter(col(startCol) <= col(endCol))
+      .withColumn("__lvl", lvl)
+      .withColumn("__bin", explode(sequence(
+        floor(epochUs(col(startCol)) / w), floor(epochUs(col(endCol)) / w))))
+  }
+
+  /** Interval×interval OVERLAP join: every left/right pair whose
+    * closed intervals intersect (`lStart ≤ rEnd ∧ rStart ≤ lEnd`),
+    * plus any `extraKeys` equality — the operator behind temporal
+    * "which sessions overlap which incidents" queries, which Spark
+    * would otherwise plan as a cross product + filter.
+    *
+    * Shape: the classic start-point decomposition. Two intervals
+    * overlap iff the right's start lies inside the left
+    * (`rStart ∈ [lStart, lEnd]`) OR the left's start lies STRICTLY
+    * inside the right (`lStart ∈ (rStart, rEnd]`) — exactly one
+    * disjunct holds per qualifying pair (the strict bound kills the
+    * `lStart = rStart` double count), so the union needs no distinct.
+    * Each disjunct is a [[rangeJoinMultiScale]] with one side's starts
+    * as the points — both sides get the skew-proof ≤2-bins-per-interval
+    * guarantee regardless of how wildly either side's lengths vary.
+    * Column names must be disjoint across the two frames (beyond
+    * `extraKeys`).
+    */
+  def intervalOverlapJoin(
+      left: DataFrame, lStart: String, lEnd: String,
+      right: DataFrame, rStart: String, rEnd: String,
+      baseBinMicros: Long,
+      extraKeys: Seq[String] = Nil): DataFrame = {
+    val p1 = rangeJoinMultiScale(right, rStart, left, lStart, lEnd,
+      baseBinMicros, extraKeys)
+    val p2 = rangeJoinMultiScale(left, lStart, right, rStart, rEnd,
+      baseBinMicros, extraKeys)
+      .filter(col(lStart) > col(rStart))
+    p1.unionByName(p2)
   }
 }

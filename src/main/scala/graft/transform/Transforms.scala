@@ -3,6 +3,7 @@ package graft.transform
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
+import graft.core.TimeCols.epochUs
 
 /** The reference's transform stage re-expressed as declarative Spark
   * plans (SURVEY §3.2).
@@ -134,7 +135,7 @@ object Transforms {
       .orderBy(order: _*)
       .rowsBetween(Window.currentRow, Window.unboundedFollowing)
     val v = col(valueCol)
-    val tUs = unix_micros(col(tsCol))
+    val tUs = epochUs(col(tsCol))
     val prevV = last(v, ignoreNulls = true).over(wPrev)
     val prevT = last(when(v.isNotNull, tUs), ignoreNulls = true).over(wPrev)
     val nextV = first(v, ignoreNulls = true).over(wNext)

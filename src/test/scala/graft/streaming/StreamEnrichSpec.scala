@@ -1,114 +1,119 @@
 package graft.streaming
 
 import graft.SparkSpec
+import graft.store.Warehouse
+import graft.transform.TemporalJoins
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import java.nio.file.Files
 import java.sql.Timestamp
 
-/** Stream-static enrichment and streaming heavy hitters. */
+/** Stream ≡ batch parity for the as-of enrichment stream: the same
+  * events fed through micro-batches against a static versioned
+  * dimension must produce exactly the rows the batch as-of join
+  * produces over the full event set — plus replay stability.
+  */
 class StreamEnrichSpec extends SparkSpec {
   import spark.implicits._
 
-  private def ts(s: String) = Timestamp.valueOf(s)
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
 
-  private def writeBatch(dir: String,
-      rows: Seq[(Timestamp, String, Double)]): Unit =
-    rows.toDF("ts", "entity", "value").coalesce(1)
-      .write.mode("append").parquet(dir)
+  private lazy val dim = Seq(
+    // user 1: three versions; user 2: one; user 3: none (null enrich)
+    (1L, ts("2024-01-01 00:00:00"), "bronze"),
+    (1L, ts("2024-01-10 00:00:00"), "silver"),
+    (1L, ts("2024-01-20 00:00:00"), "gold"),
+    (2L, ts("2024-01-05 00:00:00"), "bronze")
+  ).toDF("user_id", "vts", "tier")
 
-  test("enrichStream decorates micro-batches from a broadcast dimension") {
-    val in = Files.createTempDirectory("enrich_in").toString
-    writeBatch(in, Seq(
-      (ts("2024-01-01 00:00:00"), "a", 1.0),
-      (ts("2024-01-01 00:10:00"), "b", 2.0),
-      (ts("2024-01-01 00:20:00"), "zz", 3.0))) // no dim row
-    val dim = Seq(("a", "alpha"), ("b", "beta"), ("c", "gamma"))
-      .toDF("entity", "label")
-    val schema = spark.read.parquet(in).schema
-    val stream = StreamIngest.readFileStream(spark, in, schema)
-    val rows = StreamIngest.runToMemory(spark,
-      StreamIngest.enrichStream(stream, dim, Seq("entity")), "enrich_t")
-    // inner join semantics, batch parity
-    assert(rows.map(r => (r.getAs[String]("entity"), r.getAs[String]("label")))
-      .toSet === Set("a" -> "alpha", "b" -> "beta"))
-    // the static side must ride a broadcast, not force a stream shuffle
-    // (assert on the batch twin of the same plan shape)
-    val joined = StreamIngest.enrichStream(
-      spark.read.parquet(in), dim, Seq("entity"))
-    assert(joined.queryExecution.executedPlan.toString
-      .contains("BroadcastHashJoin"))
-  }
+  private val batch1 = Seq(
+    (100L, 1L, "2024-01-03 12:00:00", 10.0), // → bronze
+    (101L, 1L, "2024-01-10 00:00:00", 11.0), // boundary: inclusive → silver
+    (102L, 2L, "2024-01-02 00:00:00", 12.0)) // before any version → null
+  private val batch2 = Seq(
+    (200L, 1L, "2024-01-25 00:00:00", 20.0), // → gold
+    (201L, 2L, "2024-02-01 00:00:00", 21.0), // → bronze
+    (202L, 3L, "2024-01-15 00:00:00", 22.0)) // keyless user → null
 
-  test("left-outer interval join emits unmatched lefts once the watermark finalizes them") {
-    val evDir = Files.createTempDirectory("ssjo_ev").toString
-    val sgDir = Files.createTempDirectory("ssjo_sg").toString
-    // batch 1 file: one matched event (a), one unmatched (b)
-    writeBatch(evDir, Seq(
-      (ts("2024-01-01 10:30:00"), "a", 1.0),
-      (ts("2024-01-01 10:30:00"), "b", 3.0)))
-    // batch 2 file: far-future sentinel pushes the watermark past b's slot
-    writeBatch(evDir, Seq((ts("2024-01-02 00:00:00"), "zz", 0.0)))
-    Seq((ts("2024-01-01 10:00:00"), "a"),
-      (ts("2024-01-02 00:00:00"), "zz"))
-      .toDF("r_ts", "r_entity").coalesce(1).write.mode("append").parquet(sgDir)
-    val evSchema = spark.read.parquet(evDir).schema
-    val sgSchema = spark.read.parquet(sgDir).schema
-    // one file per trigger so the sentinel advances the watermark in a
-    // LATER micro-batch (outer results only finalize between batches)
-    val joined = StreamIngest.streamIntervalJoinLeftOuter(
-      StreamIngest.readFileStream(spark, evDir, evSchema,
-        maxFilesPerTrigger = 1),
-      StreamIngest.readFileStream(spark, sgDir, sgSchema,
-        maxFilesPerTrigger = 1),
-      leftTime = "ts", rightTime = "r_ts",
-      keyExpr = "entity = r_entity", lookback = "1 hour",
-      watermark = "10 minutes")
-    val rows = StreamIngest.runToMemory(spark, joined, "ssjo_t")
-      .map(r => (r.getAs[String]("entity"),
-        Option(r.getAs[String]("r_entity")))).toSet
-    assert(rows.contains(("a", Some("a"))), s"matched pair missing: $rows")
-    assert(rows.contains(("b", None)), s"unmatched left not emitted: $rows")
-  }
+  private def toEvents(rows: Seq[(Long, Long, String, Double)]): DataFrame =
+    rows.toDF("event_id", "user_id", "ts_s", "value")
+      .select(col("event_id"), col("user_id"),
+        to_timestamp(col("ts_s")).as("ts"), col("value"))
 
-  test("windowedTopK: Space-Saving state per window, exact when keys fit") {
-    val in = Files.createTempDirectory("topk_in").toString
-    // window 1: a×3, b×2, c×1 ; window 2: b×2, c×1 ; late row advances watermark
-    writeBatch(in, Seq(
-      (ts("2024-01-01 00:01:00"), "a", 0), (ts("2024-01-01 00:02:00"), "a", 0),
-      (ts("2024-01-01 00:03:00"), "a", 0), (ts("2024-01-01 00:04:00"), "b", 0),
-      (ts("2024-01-01 00:05:00"), "b", 0), (ts("2024-01-01 00:06:00"), "c", 0),
-      (ts("2024-01-01 01:01:00"), "b", 0), (ts("2024-01-01 01:02:00"), "b", 0),
-      (ts("2024-01-01 01:03:00"), "c", 0),
-      (ts("2024-01-01 09:00:00"), "x", 0)).map { case (t, e, v) => (t, e, v.toDouble) })
-    val schema = spark.read.parquet(in).schema
-    val stream = StreamIngest.readFileStream(spark, in, schema)
-    val rows = StreamIngest.runToMemory(spark,
-      StreamIngest.windowedTopK(stream, "ts", "entity", k = 8,
-        windowLen = "1 hour", watermarkDelay = "10 minutes"), "topk_t")
-    val byWindow = rows.groupBy(_.getAs[Timestamp]("window_start"))
-    val w1 = byWindow(ts("2024-01-01 00:00:00"))
-      .map(r => r.getAs[String]("key") -> r.getAs[Long]("est")).toMap
-    val w2 = byWindow(ts("2024-01-01 01:00:00"))
-      .map(r => r.getAs[String]("key") -> r.getAs[Long]("est")).toMap
-    // k=8 > 3 distinct keys -> no eviction -> estimates are exact counts
-    assert(w1 === Map("a" -> 3L, "b" -> 2L, "c" -> 1L))
-    assert(w2 === Map("b" -> 2L, "c" -> 1L))
-    assert(rows.forall(_.getAs[Long]("err") === 0L))
-  }
+  private def collectSink(wh: Warehouse): Set[(Long, Long, Option[String])] =
+    wh.read("enriched")
+      .select(col("event_id"), col("user_id"), col("asof_tier"))
+      .as[(Long, Long, Option[String])].collect().toSet
 
-  test("windowedTopK fails fast with a clear message without GraftExtensions") {
-    import org.apache.spark.sql.catalyst.FunctionIdentifier
-    // a sibling session whose registry lacks the native function —
-    // the shape of a session built without GraftExtensions
-    val bare = spark.newSession()
-    bare.sessionState.functionRegistry
-      .dropFunction(FunctionIdentifier("space_saving_topk"))
-    val df = bare.range(1).selectExpr(
-      "timestamp'2024-01-01 00:00:00' AS ts", "'k' AS entity")
-    val err = intercept[IllegalArgumentException] {
-      StreamIngest.windowedTopK(df, "ts", "entity", k = 4)
+  test("streamed micro-batches ≡ batch asofJoinBackward over all events") {
+    val wh = new Warehouse(spark, Files.createTempDirectory("se_wh").toString)
+    val in = Files.createTempDirectory("se_in").toString
+    val ckpt = Files.createTempDirectory("se_ckpt").toString
+
+    def drain(): Unit = {
+      val schema = spark.read.parquet(in).schema
+      StreamEnrich.asofStream(wh, "enriched",
+        StreamIngest.readFileStream(spark, in, schema), dim,
+        keys = Seq("user_id"), idCol = "event_id",
+        leftTime = "ts", rightTime = "vts", payload = Seq("tier"),
+        checkpoint = ckpt).awaitTermination()
     }
-    assert(err.getMessage.contains("GraftExtensions"),
-      s"unhelpful error: ${err.getMessage}")
+
+    toEvents(batch1).coalesce(1).write.mode("append").parquet(in)
+    drain()
+    assert(collectSink(wh) === Set(
+      (100L, 1L, Some("bronze")), (101L, 1L, Some("silver")),
+      (102L, 2L, None)))
+
+    toEvents(batch2).coalesce(1).write.mode("append").parquet(in)
+    drain()
+    val streamed = collectSink(wh)
+
+    val batch = TemporalJoins.asofJoinBackward(
+      toEvents(batch1 ++ batch2), dim, Seq("user_id"), "ts", "vts",
+      Seq("tier"), tiebreakCols = Seq("vts"))
+      .select(col("event_id"), col("user_id"), col("asof_tier"))
+      .as[(Long, Long, Option[String])].collect().toSet
+    assert(streamed === batch, s"stream $streamed != batch $batch")
+
+    // full output schema carries the original row + prefixed payload
+    assert(wh.read("enriched").columns.sorted ===
+      Array("asof_tier", "asof_vts", "event_id", "ts", "user_id", "value"))
+  }
+
+  test("replay with same checkpoint and no new files adds nothing") {
+    val wh = new Warehouse(spark, Files.createTempDirectory("se_wh2").toString)
+    val in = Files.createTempDirectory("se_in2").toString
+    val ckpt = Files.createTempDirectory("se_ckpt2").toString
+    toEvents(batch1).coalesce(1).write.mode("append").parquet(in)
+    val schema = spark.read.parquet(in).schema
+    def drain(): Unit =
+      StreamEnrich.asofStream(wh, "enriched",
+        StreamIngest.readFileStream(spark, in, schema), dim,
+        keys = Seq("user_id"), idCol = "event_id",
+        leftTime = "ts", rightTime = "vts", payload = Seq("tier"),
+        checkpoint = ckpt).awaitTermination()
+    drain()
+    val first = collectSink(wh)
+    drain() // no new files
+    assert(collectSink(wh) === first)
+    assert(wh.read("enriched").count() === 3L)
+  }
+
+  test("re-delivered batch after checkpoint loss inserts no duplicate rows") {
+    val wh = new Warehouse(spark, Files.createTempDirectory("se_wh3").toString)
+    val in = Files.createTempDirectory("se_in3").toString
+    toEvents(batch1).coalesce(1).write.mode("append").parquet(in)
+    val schema = spark.read.parquet(in).schema
+    // two runs with FRESH checkpoints: the second re-delivers batch1
+    // whole; the keyed-idempotent append must drop every row
+    for (_ <- 1 to 2)
+      StreamEnrich.asofStream(wh, "enriched",
+        StreamIngest.readFileStream(spark, in, schema), dim,
+        keys = Seq("user_id"), idCol = "event_id",
+        leftTime = "ts", rightTime = "vts", payload = Seq("tier"),
+        checkpoint = Files.createTempDirectory("se_ckpt3").toString)
+        .awaitTermination()
+    assert(wh.read("enriched").count() === 3L)
   }
 }

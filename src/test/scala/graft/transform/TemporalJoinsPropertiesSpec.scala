@@ -113,4 +113,79 @@ class TemporalJoinsPropertiesSpec extends SparkSpec {
       assert(got === expected, s"binSec=$binSec")
     }
   }
+
+  test("property: multi-scale range join ≡ filtered cross join on mixed 1s/1d interval lengths") {
+    // the skew case the single-width form can't bin well: interval
+    // lengths spanning ~5 orders of magnitude (0-3s vs ~1 day), with
+    // extra key collisions and boundary-exact points
+    val points = (1 to 120).map(i =>
+      (i.toLong, randKey(), new Timestamp(t0 + rnd.nextInt(200000) * 1000L)))
+      .toDF("pid", "k", "pt")
+    val ivRaw = (1 to 40).map { i =>
+      val s = new Timestamp(t0 + rnd.nextInt(150000) * 1000L)
+      val lenMs =
+        if (i % 2 == 0) rnd.nextInt(4) * 1000L          // 0-3 s
+        else 86400000L + rnd.nextInt(10000) * 1000L     // ~1 day
+      (100L + i, randKey(), s, new Timestamp(s.getTime + lenMs))
+    }
+    val iv = ivRaw.toDF("iid", "k", "s", "e")
+
+    val expected = {
+      val ps = points.as[(Long, Long, Timestamp)].collect()
+      (for {
+        (iid, ik, s, e) <- ivRaw
+        (pid, pk, pt) <- ps
+        if pk == ik && !pt.before(s) && !pt.after(e)
+      } yield (iid, pid)).sorted
+    }
+    for (baseSec <- Seq(1L, 60L)) {
+      val got = TemporalJoins.rangeJoinMultiScale(points, "pt", iv, "s", "e",
+          baseBinMicros = baseSec * 1000000L, extraKeys = Seq("k"))
+        .select("iid", "pid").as[(Long, Long)].collect().sorted.toSeq
+      assert(got === expected, s"baseSec=$baseSec")
+
+      // the at-scale contract: every interval occupies ≤ 2 bins at its
+      // own level no matter its length (vs len/bin+1 for single-width)
+      val bins = TemporalJoins.intervalLevelBins(iv, "s", "e",
+        baseSec * 1000000L)
+      val maxBinsPerInterval = bins.groupBy("iid")
+        .agg(count(lit(1)).as("n")).agg(max("n")).as[Long].head()
+      assert(maxBinsPerInterval <= 2L,
+        s"explode factor $maxBinsPerInterval > 2 at baseSec=$baseSec")
+      // and points probe once per level present — bounded by the
+      // distinct level count, not by interval length skew
+      val nLevels = bins.select("__lvl").distinct().count()
+      assert(nLevels <= 20L, s"level count $nLevels unbounded")
+    }
+  }
+
+  test("property: interval overlap join ≡ filtered cross join, each pair exactly once") {
+    // coarse grid → plenty of equal-start collisions, the case the
+    // strict second disjunct must not double-count
+    val aRaw = (1 to 30).map { i =>
+      val s = randTs()
+      (i.toLong, randKey(), s,
+        new Timestamp(s.getTime + rnd.nextInt(30) * 1000L))
+    }
+    val bRaw = (1 to 30).map { i =>
+      val s = randTs()
+      val lenMs = if (i % 2 == 0) rnd.nextInt(5) * 1000L
+                  else 40000L + rnd.nextInt(30) * 1000L
+      (100L + i, randKey(), s, new Timestamp(s.getTime + lenMs))
+    }
+    val a = aRaw.toDF("a_id", "k", "a_s", "a_e")
+    val b = bRaw.toDF("b_id", "k", "b_s", "b_e")
+
+    val expected = (for {
+      (aid, ak, as_, ae) <- aRaw
+      (bid, bk, bs, be) <- bRaw
+      if ak == bk && !as_.after(be) && !bs.after(ae)
+    } yield (aid, bid)).sorted
+
+    val got = TemporalJoins.intervalOverlapJoin(a, "a_s", "a_e",
+        b, "b_s", "b_e", baseBinMicros = 1000000L, extraKeys = Seq("k"))
+      .select("a_id", "b_id").as[(Long, Long)].collect().sorted.toSeq
+    // sorted-seq equality catches BOTH misses and double counts
+    assert(got === expected)
+  }
 }

@@ -43,6 +43,20 @@ def main():
         if os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     n_pass = n_fail = 0
+    # Crashed queries leave a <name>._FAILED marker (graft.Verify): count
+    # each as a red row so a crash can never shrink the gate silently.
+    for marker in sorted(glob.glob(os.path.join(out_dir, "*._FAILED"))):
+        name = os.path.basename(marker)[: -len("._FAILED")]
+        msg = open(marker).read().strip().splitlines()
+        print(f"CRASHED  {name}: {msg[0] if msg else '(no message)'}")
+        n_fail += 1
+    # An oracle entry with neither a dump dir nor a marker means Verify
+    # itself died mid-run — also loud.
+    for name in sorted(oracle):
+        if not os.path.isdir(os.path.join(out_dir, name)) and \
+                not os.path.exists(os.path.join(out_dir, f"{name}._FAILED")):
+            print(f"NODUMP   {name}: oracle entry but no output at all")
+            n_fail += 1
     for name in sorted(os.listdir(out_dir)):
         d = os.path.join(out_dir, name)
         if not os.path.isdir(d):
