@@ -1042,10 +1042,51 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** Fuzzy (containment-scored) decontamination: the fraction of each
+    * training doc's distinct 3-grams that appear in the eval slice,
+    * thresholded at 0.5 — the score fuzzy decontamination acts on
+    * where the binary any-overlap rule over-flags. Same broadcast +
+    * single-scan + one-keyed-agg plan as [[qDecontaminate]].
+    */
+  val qDecontaminateFuzzy: QueryDef = QueryDef.sql(
+    "q_decontaminate_fuzzy",
+    """WITH g AS (
+      |  SELECT doc_id,
+      |    string_split_regex(lower(trim(text)), '[\s[:punct:]]+') AS toks
+      |  FROM documents),
+      |sh AS (
+      |  SELECT doc_id, unnest(CASE WHEN len(toks) < 3
+      |    THEN [array_to_string(toks, ' ')]
+      |    ELSE list_distinct(list_transform(range(1, len(toks) - 1),
+      |      i -> array_to_string(toks[i:i+2], ' '))) END) AS gram
+      |  FROM g),
+      |ev AS (SELECT DISTINCT gram FROM sh WHERE doc_id % 50 = 0),
+      |tr AS (
+      |  SELECT s.doc_id, count(*) AS n_grams, count(ev.gram) AS n_shared
+      |  FROM sh s LEFT JOIN ev ON s.gram = ev.gram
+      |  WHERE s.doc_id % 50 <> 0 GROUP BY 1)
+      |SELECT d.doc_id, coalesce(n_grams, 0) AS n_grams,
+      |  coalesce(n_shared, 0) AS n_shared,
+      |  CAST(round(coalesce(n_shared, 0) / greatest(coalesce(n_grams, 0), 1), 6)
+      |    AS DOUBLE) AS containment,
+      |  coalesce(n_shared, 0) / greatest(coalesce(n_grams, 0), 1) >= 0.5
+      |    AS contaminated
+      |FROM documents d LEFT JOIN tr ON d.doc_id = tr.doc_id
+      |WHERE d.doc_id % 50 <> 0 ORDER BY d.doc_id""".stripMargin,
+    doc = "containment-scored fuzzy decontamination vs eval slice (training-data ops)") { (s, dir) =>
+    import graft.text.Decontaminate
+    val docs = t(s, dir, "documents")
+    Decontaminate.containmentReport(
+      docs.filter(col("doc_id") % 50 =!= 0),
+      docs.filter(col("doc_id") % 50 === 0),
+      "doc_id", "text", n = 3, threshold = 0.5)
+      .orderBy("doc_id")
+  }
+
   val all: Seq[QueryDef] = Seq(
     qTextTokens, qTextQuality, qTextLangId, qTextFingerprint, qTokenFreq,
     qSelectPipeline, qPackSequences, qTextRedact, qCuratePipeline,
-    qDecontaminate, qTfidf, qQualityRules, qUrlDedup, qQualityRepetition,
-    qChunkTokens, qSplitHash, qCorpusReport, qCurateV2, qVocabEncode,
-    qTextUnigramNll, qTextBm25, qDsirWeights, qSpanDupReport)
+    qDecontaminate, qDecontaminateFuzzy, qTfidf, qQualityRules, qUrlDedup,
+    qQualityRepetition, qChunkTokens, qSplitHash, qCorpusReport, qCurateV2,
+    qVocabEncode, qTextUnigramNll, qTextBm25, qDsirWeights, qSpanDupReport)
 }

@@ -51,6 +51,51 @@ object Decontaminate {
         (coalesce(col("n_shared"), lit(0L)) > 0).as("contaminated"))
   }
 
+  /** Containment-scored (fuzzy) contamination report: per training
+    * doc, `containment` = |doc grams ∩ eval grams| / |doc grams| — the
+    * fraction of the document's own distinct n-grams that appear
+    * anywhere in the eval corpus. The any-overlap rule above is binary
+    * and brittle for small n (one boilerplate trigram flags the doc);
+    * the containment score is what fuzzy decontamination thresholds on
+    * ("remove if ≥ 80% of the doc's grams are eval grams" — the
+    * asymmetric cousin of Jaccard, right when the doc is much smaller
+    * than the benchmark suite). Same 100 TB shape as
+    * [[contaminationReport]]: eval grams broadcast, corpus scanned
+    * once, one keyed aggregation.
+    */
+  def containmentReport(
+      train: DataFrame,
+      eval: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int,
+      threshold: Double): DataFrame = {
+    require(n > 0, s"n-gram size must be positive, got $n")
+    val evalGrams = eval
+      .select(explode(TextAnalysis.wordShingles(col(textCol), n)).as("gram"))
+      .distinct()
+      .withColumn("__hit", lit(1L))
+    val trainGrams = train
+      .select(col(idCol),
+        explode(TextAnalysis.wordShingles(col(textCol), n)).as("gram"))
+    val scored = trainGrams
+      .join(broadcast(evalGrams), Seq("gram"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_grams"),
+        count(col("__hit")).as("n_shared"))
+    train.select(col(idCol))
+      .join(scored, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+        when(coalesce(col("n_grams"), lit(0L)) === 0, lit(0.0))
+          .otherwise(round(col("n_shared").cast("double") / col("n_grams"), 6))
+          .as("containment"),
+        (coalesce(col("n_grams"), lit(0L)) > 0 &&
+          col("n_shared").cast("double") / col("n_grams") >= threshold)
+          .as("contaminated"))
+  }
+
   /** The curation action: training rows with zero eval overlap —
     * `train` anti-joined against the contaminated id set. */
   def removeContaminated(

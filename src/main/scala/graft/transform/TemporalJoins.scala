@@ -298,9 +298,10 @@ object TemporalJoins {
 
   /** Intervals exploded into their level-local bins — at most 2 rows
     * per interval by construction (level width ≥ interval length).
-    * Package-visible so specs can assert the explode bound directly.
+    * Engine-visible so specs and probes can measure the explode bound
+    * directly.
     */
-  private[transform] def intervalLevelBins(
+  private[graft] def intervalLevelBins(
       intervals: DataFrame, startCol: String, endCol: String,
       baseBinMicros: Long): DataFrame = {
     val len = epochUs(col(endCol)) - epochUs(col(startCol))

@@ -88,6 +88,26 @@ class PlanShapeSpec extends SparkSpec {
     assert(s.exchangeCount <= 2, s)
   }
 
+  test("q_range_join_skew: equi-join on (level, bin), no cartesian against the data") {
+    val p = plan("q_range_join_skew")
+    // the only nested-loop allowed is the broadcast of the tiny
+    // distinct-level set onto the points — the join proper must be a
+    // hash/sort equi-join keyed by (__lvl, __bin)
+    assert(p.contains("__bin"), p.take(1200))
+    assert(!p.contains("CartesianProduct"), p.take(1200))
+    // formatted explain names each operator twice (tree + details), so
+    // one physical join = two string hits
+    val nlj = "BroadcastNestedLoopJoin".r.findAllIn(p).size
+    assert(nlj <= 2, s"${nlj / 2} nested-loop joins (expected only the level broadcast):\n${p.take(1200)}")
+  }
+
+  test("q_interval_overlap: both disjuncts plan as bin equi-joins, no cartesian") {
+    val p = plan("q_interval_overlap")
+    assert(!p.contains("CartesianProduct"), p.take(1200))
+    val nlj = "BroadcastNestedLoopJoin".r.findAllIn(p).size
+    assert(nlj <= 4, s"${nlj / 2} nested-loop joins (expected the two level broadcasts):\n${p.take(1200)}")
+  }
+
   test("q_decontaminate: eval gram set broadcast, corpus never shuffled for the probe") {
     val p = plan("q_decontaminate")
     assert(p.contains("BroadcastHashJoin"), p.take(1200))
