@@ -267,6 +267,86 @@ object EventQueries {
       .orderBy("event_id")
   }
 
+  /** Backward as-of join WITH tolerance: same latest-prior-view match,
+    * but a match older than 1 h nulls out (merge_asof `tolerance`
+    * semantics). Oracle note: filtering the join to within-tolerance
+    * rows IS the tolerance rule for backward as-of — the latest prior
+    * row has the smallest age, so "latest prior, nulled if too old"
+    * and "latest among the within-tolerance priors" pick identically.
+    */
+  val qAsofTolerance: QueryDef = QueryDef.sql(
+    "q_asof_tolerance",
+    """WITH clicks AS (
+      |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+      |views AS (
+      |  SELECT event_id AS view_id, user_id, ts AS vts, value AS view_value
+      |  FROM events WHERE event_type = 'view'),
+      |j AS (
+      |  SELECT c.event_id, c.user_id, v.view_id, v.view_value,
+      |    epoch_us(c.ts) - epoch_us(v.vts) AS age_us,
+      |    row_number() OVER (PARTITION BY c.event_id
+      |      ORDER BY v.vts DESC, v.view_id DESC) AS rn
+      |  FROM clicks c LEFT JOIN views v
+      |    ON v.user_id = c.user_id AND v.vts <= c.ts
+      |      AND epoch_us(c.ts) - epoch_us(v.vts) <= 3600000000)
+      |SELECT event_id, user_id, view_id, view_value, age_us
+      |FROM j WHERE rn = 1 ORDER BY event_id""".stripMargin,
+    doc = "backward as-of join with 1h tolerance (temporal join)") { (s, dir) =>
+    import graft.transform.TemporalJoins
+    val ev = t(s, dir, "events")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("user_id"),
+        col("ts").as("vts"), col("value").as("view_value"))
+    TemporalJoins.asofJoinBackward(clicks, views, Seq("user_id"),
+        "ts", "vts", payload = Seq("view_id", "view_value"),
+        tiebreakCols = Seq("view_id"),
+        toleranceMicros = Some(3600000000L))
+      .select(col("event_id"), col("user_id"),
+        col("asof_view_id").as("view_id"), col("asof_view_value").as("view_value"),
+        (epochUs(col("ts")) - epochUs(col("asof_vts"))).as("age_us"))
+      .orderBy("event_id")
+  }
+
+  /** Forward as-of join: every click matched to the user's EARLIEST
+    * LATER view (merge_asof `direction='forward'`) — the remaining
+    * direction after [[qAsofJoin]] (backward) and [[qAsofNearest]].
+    * Min view_id wins among equal-timestamp candidates.
+    */
+  val qAsofForward: QueryDef = QueryDef.sql(
+    "q_asof_forward",
+    """WITH clicks AS (
+      |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+      |views AS (
+      |  SELECT event_id AS view_id, user_id, ts AS vts, value AS view_value
+      |  FROM events WHERE event_type = 'view'),
+      |j AS (
+      |  SELECT c.event_id, c.user_id, v.view_id, v.view_value,
+      |    epoch_us(v.vts) - epoch_us(c.ts) AS age_us,
+      |    row_number() OVER (PARTITION BY c.event_id
+      |      ORDER BY v.vts ASC, v.view_id ASC) AS rn
+      |  FROM clicks c LEFT JOIN views v
+      |    ON v.user_id = c.user_id AND v.vts >= c.ts)
+      |SELECT event_id, user_id, view_id, view_value, age_us
+      |FROM j WHERE rn = 1 ORDER BY event_id""".stripMargin,
+    doc = "forward as-of join clicks->earliest later view (temporal join)") { (s, dir) =>
+    import graft.transform.TemporalJoins
+    val ev = t(s, dir, "events")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("user_id"),
+        col("ts").as("vts"), col("value").as("view_value"))
+    TemporalJoins.asofJoinForward(clicks, views, Seq("user_id"),
+        "ts", "vts", payload = Seq("view_id", "view_value"),
+        tiebreakCols = Seq("view_id"))
+      .select(col("event_id"), col("user_id"),
+        col("asof_view_id").as("view_id"), col("asof_view_value").as("view_value"),
+        (epochUs(col("asof_vts")) - epochUs(col("ts"))).as("age_us"))
+      .orderBy("event_id")
+  }
+
   /** Nearest as-of join: every click matched to the user's CLOSEST
     * view in either time direction
     * ([[graft.transform.TemporalJoins.asofJoinNearest]] — same single
@@ -610,7 +690,7 @@ object EventQueries {
 
   val all: Seq[QueryDef] = Seq(
     qTimeWindow, qLagGaps, qOverlapSemi, qScalarFuncs, qJsonBuild, qSessionize,
-    qMapFuncs, qAsofJoin, qAsofNearest, qRangeJoin, qRangeJoinSkew,
-    qIntervalOverlap, qFunnel, qRetention,
+    qMapFuncs, qAsofJoin, qAsofTolerance, qAsofForward, qAsofNearest,
+    qRangeJoin, qRangeJoinSkew, qIntervalOverlap, qFunnel, qRetention,
     qGapFill, qInterpolate, qLoadProfile, qSlidingWindow)
 }

@@ -1083,10 +1083,56 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** Keep-first exact-substring removal (Lee et al. ExactSubstr): all
+    * non-canonical occurrences of corpus-duplicated 5-grams excised
+    * token-by-token, text reassembled. Oracle recomputes the identical
+    * edit in SQL — packed `doc·10⁶+pos` keys make the canonical pick a
+    * plain min in both engines, so even the rebuilt STRINGS must hash
+    * equal.
+    */
+  val qSpanRemove: QueryDef = QueryDef.sql(
+    "q_span_remove",
+    """WITH d AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk
+      |  FROM documents WHERE trim(text) <> ''),
+      |pos AS (
+      |  SELECT doc_id, tk, len(tk) AS ntk,
+      |    unnest(range(1, greatest(len(tk) - 4, 1) + 1)) AS pos
+      |  FROM d),
+      |occ AS (
+      |  SELECT doc_id, ntk, pos, array_to_string(tk[pos:pos+4], ' ') AS g,
+      |    doc_id * 1000000 + pos AS key
+      |  FROM pos),
+      |gs AS (SELECT g, count(*) AS nocc, min(key) AS canon FROM occ GROUP BY 1),
+      |rem AS (SELECT o.* FROM occ o JOIN gs USING (g)
+      |        WHERE nocc > 1 AND key <> canon),
+      |cov0 AS (SELECT doc_id, ntk, pos, unnest(range(0, 5)) AS k FROM rem),
+      |cov AS (SELECT DISTINCT doc_id, pos + k AS ti FROM cov0
+      |        WHERE pos + k <= ntk),
+      |tok0 AS (SELECT doc_id, tk, unnest(range(1, len(tk) + 1)) AS ti FROM d),
+      |tok AS (SELECT doc_id, ti, tk[ti] AS tokv FROM tok0),
+      |kept AS (SELECT t.* FROM tok t LEFT JOIN cov c
+      |         ON t.doc_id = c.doc_id AND t.ti = c.ti WHERE c.ti IS NULL),
+      |reb AS (SELECT doc_id, count(*) AS n_tokens_kept,
+      |        string_agg(tokv, ' ' ORDER BY ti) AS new_text
+      |        FROM kept GROUP BY 1)
+      |SELECT d0.doc_id, coalesce(n_tokens_kept, 0) AS n_tokens_kept,
+      |  coalesce(new_text, '') AS new_text
+      |FROM documents d0 LEFT JOIN reb ON d0.doc_id = reb.doc_id
+      |ORDER BY d0.doc_id""".stripMargin,
+    doc = "keep-first exact-substring span removal, rebuilt text oracle-matched (training-data ops)") { (s, dir) =>
+    import graft.text.SpanDedup
+    SpanDedup.removeDuplicateSpans(t(s, dir, "documents"), "doc_id", "text",
+        n = 5)
+      .orderBy("doc_id")
+  }
+
   val all: Seq[QueryDef] = Seq(
     qTextTokens, qTextQuality, qTextLangId, qTextFingerprint, qTokenFreq,
     qSelectPipeline, qPackSequences, qTextRedact, qCuratePipeline,
     qDecontaminate, qDecontaminateFuzzy, qTfidf, qQualityRules, qUrlDedup,
     qQualityRepetition, qChunkTokens, qSplitHash, qCorpusReport, qCurateV2,
-    qVocabEncode, qTextUnigramNll, qTextBm25, qDsirWeights, qSpanDupReport)
+    qVocabEncode, qTextUnigramNll, qTextBm25, qDsirWeights, qSpanDupReport,
+    qSpanRemove)
+
 }

@@ -28,12 +28,17 @@ object SpanDedup {
     * convention, and DuckDB's truncating list-slice semantics, so the
     * SQL oracle derives the identical set).
     */
-  def wordGrams(textCol: Column, n: Int): Column = {
-    val tk = split(trim(textCol), "\\s+")
+  def wordGrams(textCol: Column, n: Int): Column =
+    wordGramsFromTokens(split(trim(textCol), "\\s+"), n)
+
+  /** [[wordGrams]] over an already-split token array (so callers that
+    * need BOTH tokens and grams split once). Gram at array position i
+    * (1-based) covers tokens [i, i+n-1], truncated at the doc end.
+    */
+  def wordGramsFromTokens(tk: Column, n: Int): Column =
     transform(
       sequence(lit(1), greatest(size(tk) - lit(n - 1), lit(1))),
       i => concat_ws(" ", slice(tk, i, lit(n))))
-  }
 
   /** Per-document report: (idCol, n_grams, n_dup_grams, dup_frac).
     * `n_grams` counts DISTINCT grams in the doc; a gram is duplicated
@@ -63,10 +68,74 @@ object SpanDedup {
             col("n_grams").cast("double"), 6)).as("dup_frac"))
   }
 
+  /** Keep-first exact-substring removal — the span-level surgery of
+    * Lee et al. 2022 (arXiv:2107.06499 §3, ExactSubstr): every
+    * occurrence of a corpus-duplicated word n-gram EXCEPT the
+    * canonical first one (smallest (doc, position)) is removed, token
+    * by token, and each document's text is reassembled from its
+    * surviving tokens. Unlike [[dropDuplicated]] this edits documents
+    * instead of dropping them — the form that preserves the unique
+    * tail of a mostly-boilerplate page.
+    *
+    * Returns (idCol, n_tokens_kept, new_text) for EVERY input doc
+    * (blank docs → (0, "")). `idCol` must be integral with values
+    * < ~9e12 and docs shorter than 1M tokens (occurrences pack into
+    * one long key, `id·10⁶ + pos`, so the canonical pick is a plain
+    * `min` — no struct-ordering dependency between engines).
+    *
+    * Scale posture: occurrences explode O(tokens); gram-keyed agg
+    * (map-side combined) picks (count, canonical); removed occurrences
+    * explode ≤ n covered indices each; reassembly is ONE doc-keyed
+    * aggregation (sort the (pos, token) structs inside the row —
+    * array_sort is per-row, not a shuffle). Nothing pairwise: the
+    * gram key stands in for "which docs share this span", exactly as
+    * in [[dupSpanReport]].
+    */
+  def removeDuplicateSpans(docs: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame = {
+    require(n > 0, s"n-gram size must be positive, got $n")
+    val base = docs
+      .filter(trim(col(textCol)) =!= "")
+      .select(col(idCol).as("__id"),
+        split(trim(col(textCol)), "\\s+").as("__tk"))
+      .withColumn("__ntk", size(col("__tk")))
+    val occ = base
+      .select(col("__id"), col("__ntk"),
+        posexplode(wordGramsFromTokens(col("__tk"), n)).as(Seq("__p0", "__g")))
+      .withColumn("__pos", col("__p0") + 1)
+      .withColumn("__key", col("__id") * lit(1000000L) + col("__pos"))
+    val gstats = occ.groupBy(col("__g"))
+      .agg(count(lit(1)).as("__nocc"), min(col("__key")).as("__canon"))
+    val removed = occ.join(gstats, Seq("__g"))
+      .filter(col("__nocc") > 1 && col("__key") =!= col("__canon"))
+    val covered = removed
+      .select(col("__id"), explode(sequence(col("__pos"),
+        least(col("__pos") + lit(n - 1), col("__ntk")))).as("__ti"))
+      .distinct()
+    val tokens = base
+      .select(col("__id"), posexplode(col("__tk")).as(Seq("__t0", "__tok")))
+      .withColumn("__ti", col("__t0") + 1)
+    val rebuilt = tokens
+      .join(covered, Seq("__id", "__ti"), "left_anti")
+      .groupBy(col("__id"))
+      .agg(count(lit(1)).as("n_tokens_kept"),
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col("__ti"), col("__tok")))),
+            s => s.getField("__tok")),
+          " ").as("new_text"))
+    docs.select(col(idCol))
+      .join(rebuilt.withColumnRenamed("__id", idCol), Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_tokens_kept"), lit(0L)).as("n_tokens_kept"),
+        coalesce(col("new_text"), lit("")).as("new_text"))
+  }
+
   /** Drop documents whose duplicated-span fraction exceeds
     * `maxDupFrac` — the document-level filter built on the report
     * (span-level surgery is a tokenizer-coupled editorial decision;
-    * the filter form is what curation pipelines compose). Blank docs
+    * the filter form is what curation pipelines compose, and
+    * [[removeDuplicateSpans]] is the surgical alternative). Blank docs
     * survive (nothing duplicated).
     */
   def dropDuplicated(docs: DataFrame, idCol: String, textCol: String,

@@ -42,6 +42,36 @@ class SpanDedupSpec extends SparkSpec {
     assert(g === Seq("a b c", "b c d"))
   }
 
+  test("removeDuplicateSpans keeps the canonical occurrence, excises the rest") {
+    val r = SpanDedup.removeDuplicateSpans(docs, "doc_id", "text", n = 5)
+      .orderBy("doc_id")
+      .as[(Long, Long, String)].collect()
+    val byId = r.map(x => x._1 -> x).toMap
+    // doc 1 is the canonical holder of the shared 5-gram → untouched
+    assert(byId(1L)._3 === "alpha beta gamma delta epsilon zeta")
+    // doc 2's copy of "alpha beta gamma delta epsilon" is excised; its
+    // second gram ("beta...eta") is unique but tokens 1-5 are covered
+    // by the removed occurrence, leaving only the final token
+    assert(byId(2L)._3 === "eta" && byId(2L)._2 === 1L)
+    // unique doc untouched
+    assert(byId(3L)._3 === "one two three four five six seven")
+    // whole-doc gram: doc 4 canonical, doc 5's only occurrence removed
+    assert(byId(4L)._3 === "tiny doc")
+    assert(byId(5L)._2 === 0L && byId(5L)._3 === "")
+    // blank in → (0, "") out, row preserved
+    assert(byId(6L)._2 === 0L && byId(6L)._3 === "")
+    assert(r.length === 6)
+  }
+
+  test("removeDuplicateSpans excises within-doc repeats too, keep-first") {
+    val d = Seq((1L, "x y z x y z tail")).toDF("doc_id", "text")
+    val r = SpanDedup.removeDuplicateSpans(d, "doc_id", "text", n = 3)
+      .as[(Long, Long, String)].head()
+    // occurrences of "x y z" at pos 1 (canonical) and pos 4; pos-4
+    // occurrence covers tokens 4-6 → they go; "tail" survives
+    assert(r._3 === "x y z tail" && r._2 === 4L)
+  }
+
   test("dropDuplicated removes above-threshold docs, keeps blanks") {
     val kept = SpanDedup.dropDuplicated(docs, "doc_id", "text",
       n = 5, maxDupFrac = 0.6)
