@@ -177,6 +177,63 @@ object MultimodalQueries {
       .orderBy("asset_id", "frame_idx")
   }
 
+  /** PNG with per-pixel control for perceptual-hash contracts. */
+  private def pngPattern(w: Int, h: Int)(f: (Int, Int) => Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { img.setRGB(x, y, f(x, y)); x += 1 }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Perceptual image near-dup: aHash fingerprints (8×8 luma grid →
+    * 64-bit) banded into Hamming pairs via the shared
+    * [[graft.dedup.Dedup.signatureNearDupPairs]] engine. Planted
+    * contract: a 16×16 checkerboard vs the same board with ONE 2×2
+    * block flipped differs in exactly that one grid cell (distance 1);
+    * the inverse board flips all 64 bits and a horizontal gradient
+    * lands ~half the board away — neither can pair at distance ≤ 3.
+    */
+  val qMultimodalPhash: QueryDef = QueryDef.sql(
+    "q_multimodal_phash",
+    """SELECT * FROM (VALUES (1, 2, 1)) AS t(id_a, id_b, distance)
+      |ORDER BY id_a, id_b""".stripMargin,
+    doc = "perceptual-hash image near-dup pairs, banded Hamming join (multimodal ops)") { (s, dir) =>
+    import s.implicits._
+    def checker(flip: Boolean): Array[Byte] = pngPattern(16, 16) { (x, y) =>
+      val cellWhite = ((x / 2) + (y / 2)) % 2 == 0
+      val white = if (flip && x < 2 && y < 2) !cellWhite else cellWhite
+      if (white) 0xFFFFFF else 0x000000
+    }
+    val inverse = pngPattern(16, 16) { (x, y) =>
+      if (((x / 2) + (y / 2)) % 2 == 0) 0x000000 else 0xFFFFFF
+    }
+    val gradient = pngPattern(16, 16)((x, _) => {
+      val v = x * 255 / 15; (v << 16) | (v << 8) | v
+    })
+    val assets = Seq(
+      (1L, "mem://checker.png", checker(flip = false)),
+      (2L, "mem://checker_flip.png", checker(flip = true)),
+      (3L, "mem://inverse.png", inverse),
+      (4L, "mem://gradient.png", gradient)
+    ).toDF("id", "uri", "bytes")
+    val hashes = graft.multimodal.Multimodal.extractImageHashes(
+      graft.multimodal.Multimodal.toMediaAssets(assets, "id", "uri", "bytes")(s))(s)
+    graft.dedup.Dedup.signatureNearDupPairs(hashes.toDF(), "asset_id", "phash",
+        maxDistance = 3)
+      .select(col("id_a").cast("int").as("id_a"),
+        col("id_b").cast("int").as("id_b"),
+        col("distance").cast("int").as("distance"))
+      .orderBy("id_a", "id_b")
+  }
+
   val all: Seq[QueryDef] = Seq(
-    qMultimodalDecode, qMultimodalAudio, qMultimodalResize, qMultimodalVideo)
+    qMultimodalDecode, qMultimodalAudio, qMultimodalResize, qMultimodalVideo,
+    qMultimodalPhash)
 }

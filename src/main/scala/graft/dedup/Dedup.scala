@@ -294,6 +294,20 @@ object Dedup {
     * values (shuffle on chunk key, never all-pairs).
     */
   def simHashNearDupPairs(df: DataFrame, idCol: String, textCol: String,
+      maxDistance: Int = 3, maxBucketSize: Int = 1000): DataFrame =
+    signatureNearDupPairs(
+      df.select(col(idCol).as("id"),
+        simHashColumn(df.sparkSession, col(textCol)).as("sig")),
+      "id", "sig", maxDistance, maxBucketSize)
+
+  /** Hamming near-dup pairs over PRECOMPUTED 64-bit signatures — the
+    * banding engine behind [[simHashNearDupPairs]], reusable for any
+    * 64-bit fingerprint family (SimHash over text, perceptual image
+    * hashes, …). Pigeonhole chunking: a pair within distance d agrees
+    * on at least one of d+1 chunks, so candidates come from chunk-value
+    * equi-joins — shuffle on chunk key, never all-pairs.
+    */
+  def signatureNearDupPairs(df: DataFrame, idCol: String, sigCol: String,
       maxDistance: Int = 3, maxBucketSize: Int = 1000): DataFrame = {
     val chunks = maxDistance + 1
     val bits = 64 / chunks
@@ -302,8 +316,7 @@ object Dedup {
     // to 1 under JVM shift-mod-64, which would zero the mask and fold
     // the whole corpus into one bucket
     val mask = if (bits >= 64) lit(-1L) else lit((1L << bits) - 1)
-    val sigs = df.select(col(idCol).as("id"),
-      simHashColumn(df.sparkSession, col(textCol)).as("sig"))
+    val sigs = df.select(col(idCol).as("id"), col(sigCol).as("sig"))
     val chunkArr = array((0 until chunks).map(c =>
       shiftright(col("sig"), c * bits).bitwiseAND(mask)): _*)
     // Same hot-bucket guard as minHashNearDupPairs: a 16-bit chunk of

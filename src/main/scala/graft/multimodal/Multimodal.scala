@@ -142,6 +142,75 @@ object Multimodal {
     }
   }
 
+  /** Average-hash (aHash) perceptual fingerprint: the image is reduced
+    * to an 8×8 grid of mean Rec. 601 lumas (every pixel contributes to
+    * exactly one cell — deterministic, resolution-independent), and
+    * bit i of the 64-bit hash is set iff cell i's luma exceeds the
+    * grid mean. Visually-near-identical images land within a few bits
+    * of Hamming distance; the standard cheap screen for near-duplicate
+    * images before any learned embedding.
+    */
+  def imageAHash64(img: java.awt.image.BufferedImage): Long = {
+    val w = img.getWidth
+    val h = img.getHeight
+    val sums = new Array[Double](64)
+    val counts = new Array[Int](64)
+    var y = 0
+    while (y < h) {
+      val cy = math.min(7, y * 8 / math.max(h, 1))
+      var x = 0
+      while (x < w) {
+        val cx = math.min(7, x * 8 / math.max(w, 1))
+        val rgb = img.getRGB(x, y)
+        val r = (rgb >> 16) & 0xff
+        val g = (rgb >> 8) & 0xff
+        val b = rgb & 0xff
+        val i = cy * 8 + cx
+        sums(i) += (0.299 * r + 0.587 * g + 0.114 * b) / 255.0
+        counts(i) += 1
+        x += 1
+      }
+      y += 1
+    }
+    val cells = Array.tabulate(64)(i =>
+      if (counts(i) == 0) 0.0 else sums(i) / counts(i))
+    val mean = cells.sum / 64.0
+    var hash = 0L
+    var i = 0
+    while (i < 64) {
+      if (cells(i) > mean) hash |= (1L << i)
+      i += 1
+    }
+    hash
+  }
+
+  /** An image's perceptual hash; `decoded = false` marks undecodable
+    * bytes (stub hash from the byte content, deterministic). */
+  final case class ImageHash(asset_id: Long, phash: Long, decoded: Boolean)
+
+  /** Batch perceptual hashing — same mapPartitions shape as
+    * [[extractImageFeatures]]. Feed the result to
+    * [[graft.dedup.Dedup.signatureNearDupPairs]] for banded
+    * near-duplicate-image pairs (shuffle on chunk keys, never
+    * all-pairs — the 100 TB image-dedup screen).
+    */
+  def extractImageHashes(assets: Dataset[MediaAsset])(
+      implicit spark: SparkSession): Dataset[ImageHash] = {
+    import spark.implicits._
+    assets.filter(col("kind") === "image").mapPartitions { it =>
+      it.map { a =>
+        (try Option(javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(a.content)))
+         catch { case _: Exception => None }) match {
+          case Some(img) => ImageHash(a.asset_id, imageAHash64(img), decoded = true)
+          case None =>
+            ImageHash(a.asset_id,
+              java.util.Arrays.hashCode(a.content).toLong, decoded = false)
+        }
+      }
+    }
+  }
+
   /** Decoded-audio features; `decoded = false` marks the stub fallback. */
   final case class AudioFeatures(
       asset_id: Long,

@@ -127,4 +127,38 @@ class MultimodalSpec extends SparkSpec {
     assert(repart.rdd.getNumPartitions === 2) // 10 bytes / 4 per part
     assert(repart.count() === 5)
   }
+
+  private def patternImage(w: Int, h: Int)(
+      f: (Int, Int) => Int): java.awt.image.BufferedImage = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, f(x, y))
+    img
+  }
+
+  test("imageAHash64 is resolution-independent and order-of-magnitude separated") {
+    // same checkerboard rendered at 16x16 and 64x64: every pixel of a
+    // grid cell carries the same color, so the 8x8 cell means — and
+    // the hash — must be bit-identical across resolutions
+    def checker(px: Int): java.awt.image.BufferedImage =
+      patternImage(px, px) { (x, y) =>
+        val c = px / 8
+        if (((x / c) + (y / c)) % 2 == 0) 0xFFFFFF else 0x000000
+      }
+    val h16 = Multimodal.imageAHash64(checker(16))
+    val h64 = Multimodal.imageAHash64(checker(64))
+    assert(h16 === h64)
+    // the inverse board must flip every bit
+    val inv = patternImage(16, 16) { (x, y) =>
+      if (((x / 2) + (y / 2)) % 2 == 0) 0x000000 else 0xFFFFFF
+    }
+    assert(java.lang.Long.bitCount(h16 ^ Multimodal.imageAHash64(inv)) === 64)
+    // one flipped 2x2 block = exactly one bit of distance
+    val oneOff = patternImage(16, 16) { (x, y) =>
+      val base = ((x / 2) + (y / 2)) % 2 == 0
+      val white = if (x < 2 && y < 2) !base else base
+      if (white) 0xFFFFFF else 0x000000
+    }
+    assert(java.lang.Long.bitCount(h16 ^ Multimodal.imageAHash64(oneOff)) === 1)
+  }
 }
