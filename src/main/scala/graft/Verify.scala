@@ -28,7 +28,14 @@ object Verify {
     // shrinks the gate (round-5 postmortem: 6 crashed queries read as a
     // clean 114/114 sheet because nothing recorded them).
     var failed = List.empty[String]
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // SPARK_GRAFT_ONLY=q_a,q_b reruns a subset during local iteration;
+    // unset (the driver path) dumps the whole catalog.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    val selected = SparkEntry.queries.filter {
+      case (name, _) => only.forall(_.contains(name))
+    }
+    selected.foreach { case (name, fn) =>
       try {
         fn(spark, sfDir).coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")
@@ -42,7 +49,7 @@ object Verify {
     }
     if (failed.nonEmpty)
       System.err.println(
-        s"[verify] ${failed.size}/${SparkEntry.queries.size} queries FAILED: " +
+        s"[verify] ${failed.size}/${selected.size} queries FAILED: " +
           failed.sorted.mkString(", "))
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

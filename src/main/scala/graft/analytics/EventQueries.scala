@@ -688,9 +688,116 @@ object EventQueries {
       .orderBy("a_id", "b_id")
   }
 
+  /** Seasonal-naive forecasting — the energy-domain baseline model
+    * (predict each hour from the same hour's historical mean) with a
+    * proper temporal holdout: the first 80% of the time range trains a
+    * per-(type, hour-of-day) mean model, the last 20% is scored
+    * against it (MAE + signed bias per type). The model is a 24×|types|
+    * aggregate joined broadcast onto the test scan — at 100 TB the
+    * whole query is two scans, one tiny-dimension broadcast join and
+    * one partial-aggregated reduce; nothing driver-side. Double
+    * aggregates go through the decimal-sum convention so Spark and
+    * DuckDB agree bit-for-bit.
+    */
+  val qForecastBaseline: QueryDef = QueryDef.sql(
+    "q_forecast_baseline",
+    s"""WITH b AS (
+      |  SELECT min(epoch_us(ts)) AS t0, max(epoch_us(ts)) AS t1 FROM events),
+      |c AS (SELECT t0 + CAST(floor((t1 - t0) * 4 / 5) AS BIGINT) AS cut FROM b),
+      |model AS (
+      |  SELECT event_type, CAST(extract(hour FROM ts) AS INT) AS hour,
+      |    ${dsumSql("value")} / count(*) AS pred
+      |  FROM events, c WHERE epoch_us(ts) < cut
+      |  GROUP BY event_type, hour)
+      |SELECT t.event_type, count(*) AS n_test,
+      |  round(${dsumSql("abs(t.value - m.pred)")} / count(*), 6) AS mae,
+      |  round(${dsumSql("t.value - m.pred")} / count(*), 6) AS bias
+      |FROM (SELECT e.* FROM events e, c WHERE epoch_us(e.ts) >= cut) t
+      |JOIN model m ON t.event_type = m.event_type
+      |  AND CAST(extract(hour FROM t.ts) AS INT) = m.hour
+      |GROUP BY t.event_type
+      |ORDER BY t.event_type""".stripMargin,
+    doc = "seasonal-naive hourly forecast with temporal holdout, MAE/bias per type (energy analytics)") { (s, dir) =>
+    val ev = t(s, dir, "events")
+    val cut = broadcast(
+      ev.agg(min(epochUs(col("ts"))).as("t0"), max(epochUs(col("ts"))).as("t1"))
+        .select((col("t0") +
+          floor((col("t1") - col("t0")) * 4 / 5).cast("long")).as("cut")))
+    val withCut = ev.crossJoin(cut)
+    val model = withCut.filter(epochUs(col("ts")) < col("cut"))
+      .groupBy(col("event_type"), hour(col("ts")).cast("int").as("hour"))
+      .agg((dsum(col("value")) / count(lit(1))).as("pred"))
+    withCut.filter(epochUs(col("ts")) >= col("cut"))
+      .select(col("event_type"), hour(col("ts")).cast("int").as("hour"),
+        col("value"))
+      .join(broadcast(model), Seq("event_type", "hour"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_test"),
+        round(dsum(abs(col("value") - col("pred"))) / count(lit(1)), 6)
+          .as("mae"),
+        round(dsum(col("value") - col("pred")) / count(lit(1)), 6).as("bias"))
+      .orderBy("event_type")
+  }
+
+  /** Closed-form distributed OLS — per-type linear trend of value over
+    * time via sufficient statistics (n, Σx, Σy, Σxx, Σxy): one
+    * partial-aggregated pass, O(|types|) output, no iteration and no
+    * driver math — the shape gradient-free regression takes at 100 TB.
+    * x is whole seconds from the global time origin (keeps Σxx inside
+    * exact decimal range); the slope/intercept division happens in
+    * double on exact decimal sums, so both engines compute identical
+    * IEEE results.
+    */
+  val qTrendOls: QueryDef = QueryDef.sql(
+    "q_trend_ols",
+    """WITH b AS (SELECT min(epoch_us(ts)) AS t0 FROM events),
+      |sx AS (
+      |  SELECT event_type,
+      |    CAST(floor((epoch_us(ts) - t0) / 1000000.0) AS BIGINT) AS x,
+      |    value AS y
+      |  FROM events, b),
+      |stats AS (
+      |  SELECT event_type, count(*) AS n,
+      |    CAST(sum(CAST(x AS DECIMAL(38,0))) AS DOUBLE) AS sx,
+      |    CAST(sum(CAST(y AS DECIMAL(20,4))) AS DOUBLE) AS sy,
+      |    CAST(sum(CAST(x * x AS DECIMAL(38,0))) AS DOUBLE) AS sxx,
+      |    CAST(sum(CAST(x * y AS DECIMAL(30,4))) AS DOUBLE) AS sxy
+      |  FROM sx GROUP BY event_type)
+      |SELECT event_type, n,
+      |  round((n * sxy - sx * sy) / (n * sxx - sx * sx) * 86400, 6)
+      |    AS slope_per_day,
+      |  round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 6)
+      |    AS intercept
+      |FROM stats
+      |ORDER BY event_type""".stripMargin,
+    doc = "per-type OLS trend via sufficient statistics, one distributed pass (energy analytics)") { (s, dir) =>
+    val ev = t(s, dir, "events")
+    val t0 = broadcast(ev.agg(min(epochUs(col("ts"))).as("t0")))
+    val xy = ev.crossJoin(t0)
+      .select(col("event_type"),
+        floor((epochUs(col("ts")) - col("t0")) / 1000000.0).cast("long")
+          .as("x"),
+        col("value").as("y"))
+    val stats = xy.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x").cast("decimal(38,0)")).cast("double").as("sx"),
+        sum(col("y").cast("decimal(20,4)")).cast("double").as("sy"),
+        sum((col("x") * col("x")).cast("decimal(38,0)")).cast("double")
+          .as("sxx"),
+        sum((col("x") * col("y")).cast("decimal(30,4)")).cast("double")
+          .as("sxy"))
+    val slope = (col("n") * col("sxy") - col("sx") * col("sy")) /
+      (col("n") * col("sxx") - col("sx") * col("sx"))
+    stats.select(col("event_type"), col("n"),
+        round(slope * 86400, 6).as("slope_per_day"),
+        round((col("sy") - slope * col("sx")) / col("n"), 6).as("intercept"))
+      .orderBy("event_type")
+  }
+
   val all: Seq[QueryDef] = Seq(
     qTimeWindow, qLagGaps, qOverlapSemi, qScalarFuncs, qJsonBuild, qSessionize,
     qMapFuncs, qAsofJoin, qAsofTolerance, qAsofForward, qAsofNearest,
     qRangeJoin, qRangeJoinSkew, qIntervalOverlap, qFunnel, qRetention,
-    qGapFill, qInterpolate, qLoadProfile, qSlidingWindow)
+    qGapFill, qInterpolate, qLoadProfile, qSlidingWindow, qForecastBaseline,
+    qTrendOls)
 }

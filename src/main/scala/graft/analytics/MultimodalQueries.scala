@@ -233,7 +233,129 @@ object MultimodalQueries {
       .orderBy("id_a", "id_b")
   }
 
+  /** WAV whose per-segment loudness follows `loud` (64 entries, 100
+    * samples each): loud segments are a full-scale-half square wave
+    * (RMS exactly amp/32768), quiet segments are silence (RMS 0) —
+    * so the energy-envelope hash bits are known by construction. */
+  private def wavEnvelope(loud: Int => Boolean, amp: Short): Array[Byte] = {
+    import javax.sound.sampled._
+    val nFrames = 64 * 100
+    val fmt = new AudioFormat(8000f, 16, 1, true, false)
+    val pcm = new Array[Byte](nFrames * 2)
+    var i = 0
+    while (i < nFrames) {
+      val s: Short =
+        if (!loud(i / 100)) 0
+        else if (i % 2 == 0) amp else (-amp).toShort
+      pcm(2 * i) = (s & 0xff).toByte
+      pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+      i += 1
+    }
+    val ais = new AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, nFrames)
+    val bos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** Audio energy-envelope near-dup: 64-segment RMS hashes banded into
+    * Hamming pairs via the same shared
+    * [[graft.dedup.Dedup.signatureNearDupPairs]] engine as text
+    * SimHash and image aHash. Planted contract: an alternating
+    * loud/quiet envelope vs the same envelope with ONE segment muted
+    * differs in exactly that segment's bit (distance 1 — muting one of
+    * 32 loud segments keeps the mean strictly between silence and the
+    * loud RMS); the inverted envelope flips all 64 bits and an
+    * always-loud clip hashes to 0 (no segment exceeds the mean) —
+    * neither can pair at distance ≤ 3.
+    */
+  val qMultimodalAudioNeardup: QueryDef = QueryDef.sql(
+    "q_multimodal_audio_neardup",
+    """SELECT * FROM (VALUES (1, 2, 1)) AS t(id_a, id_b, distance)
+      |ORDER BY id_a, id_b""".stripMargin,
+    doc = "audio energy-envelope near-dup pairs, banded Hamming join (multimodal ops)") { (s, dir) =>
+    import s.implicits._
+    val assets = Seq(
+      (1L, "mem://alt.wav", wavEnvelope(seg => seg % 2 == 0, 16384)),
+      (2L, "mem://alt_mute1.wav",
+        wavEnvelope(seg => seg % 2 == 0 && seg != 0, 16384)),
+      (3L, "mem://inverse.wav", wavEnvelope(seg => seg % 2 == 1, 16384)),
+      (4L, "mem://flat.wav", wavEnvelope(_ => true, 16384))
+    ).toDF("id", "uri", "bytes")
+    val hashes = Multimodal.extractAudioHashes(
+      Multimodal.toMediaAssets(assets, "id", "uri", "bytes")(s))(s)
+    graft.dedup.Dedup.signatureNearDupPairs(
+        hashes.filter(col("decoded")).toDF(), "asset_id", "ahash",
+        maxDistance = 3)
+      .select(col("id_a").cast("int").as("id_a"),
+        col("id_b").cast("int").as("id_b"),
+        col("distance").cast("int").as("distance"))
+      .orderBy("id_a", "id_b")
+  }
+
+  /** Video near-dup: majority-bit clip signatures over sampled frame
+    * aHashes, banded by the same shared Hamming engine. The frames are
+    * half-black/half-white (low-frequency — MJPEG-roundtrip-safe: cell
+    * lumas sit ~0.5 from the grid mean, two orders above JPEG error on
+    * a step edge). Planted contract: inverting ONE grid cell in 3 of a
+    * clip's 5 frames flips exactly that bit of the majority signature
+    * (distance 1); inverting it in only 2 frames loses the majority
+    * vote (distance 0 — the outlier-frame robustness the clip-level
+    * hash exists for); the fully-inverted clip flips all 64 bits and
+    * cannot pair at distance ≤ 3.
+    */
+  val qMultimodalVideoNeardup: QueryDef = QueryDef.sql(
+    "q_multimodal_video_neardup",
+    """SELECT * FROM (VALUES (1, 2, 0), (1, 3, 1), (2, 3, 1))
+      |  AS t(id_a, id_b, distance)
+      |ORDER BY id_a, id_b""".stripMargin,
+    doc = "video clip near-dup pairs via frame-majority signatures (multimodal ops)") { (s, dir) =>
+    import s.implicits._
+    import graft.multimodal.AviMjpeg
+    def frame(invertCell: Boolean, invertAll: Boolean): java.awt.image.BufferedImage = {
+      val img = new java.awt.image.BufferedImage(
+        16, 16, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < 16) {
+        var x = 0
+        while (x < 16) {
+          val baseWhite = x >= 8
+          val cellFlip = invertCell && x >= 14 && y < 2 // grid cell (7,0)
+          val white = (baseWhite != cellFlip) != invertAll
+          img.setRGB(x, y, if (white) 0xFFFFFF else 0x000000)
+          x += 1
+        }
+        y += 1
+      }
+      img
+    }
+    val base = frame(invertCell = false, invertAll = false)
+    val edit = frame(invertCell = true, invertAll = false)
+    val inv = frame(invertCell = false, invertAll = true)
+    val assets = Seq(
+      (1L, "mem://base.avi",
+        AviMjpeg.encode(Seq(base, base, base, base, base), fps = 10)),
+      (2L, "mem://minority_edit.avi",
+        AviMjpeg.encode(Seq(edit, base, edit, base, base), fps = 10)),
+      (3L, "mem://majority_edit.avi",
+        AviMjpeg.encode(Seq(edit, edit, base, edit, base), fps = 10)),
+      (4L, "mem://inverse.avi",
+        AviMjpeg.encode(Seq(inv, inv, inv, inv, inv), fps = 10)),
+      (5L, "mem://junk.avi", Array[Byte](3, 1, 4))
+    ).toDF("id", "uri", "bytes")
+    val hashes = Multimodal.extractVideoHashes(
+      Multimodal.toMediaAssets(assets, "id", "uri", "bytes")(s),
+      stride = 1, maxFrames = 5)(s)
+    graft.dedup.Dedup.signatureNearDupPairs(
+        hashes.filter(col("decoded")).toDF(), "asset_id", "vhash",
+        maxDistance = 3)
+      .select(col("id_a").cast("int").as("id_a"),
+        col("id_b").cast("int").as("id_b"),
+        col("distance").cast("int").as("distance"))
+      .orderBy("id_a", "id_b")
+  }
+
   val all: Seq[QueryDef] = Seq(
     qMultimodalDecode, qMultimodalAudio, qMultimodalResize, qMultimodalVideo,
-    qMultimodalPhash)
+    qMultimodalPhash, qMultimodalAudioNeardup, qMultimodalVideoNeardup)
 }

@@ -837,11 +837,50 @@ object RelationalQueries {
       .orderBy("node")
   }
 
+  /** Triangle enumeration over a co-occurrence graph (users sharing an
+    * (event-type, minute) activity bucket) via
+    * [[Iterate.triangles]]'s degree orientation — out-degrees bounded
+    * O(√m) under ANY skew, so a hub node cannot explode the wedge
+    * join the way the naive u<v ordering's deg² does. The oracle runs
+    * the naive 3-way self-join (same triangle set, the orientation is
+    * count-preserving); both engines list the triangles themselves,
+    * id-sorted, so a wedge or closure bug hash-fails, not just
+    * miscounts.
+    */
+  val qTriangles: QueryDef = QueryDef.sql(
+    "q_triangles",
+    """WITH buckets AS (
+      |  SELECT DISTINCT user_id, event_type, date_trunc('minute', ts) AS h
+      |  FROM events),
+      |edges AS (
+      |  SELECT DISTINCT x.user_id AS u, y.user_id AS v
+      |  FROM buckets x JOIN buckets y
+      |    ON x.event_type = y.event_type AND x.h = y.h
+      |    AND x.user_id < y.user_id)
+      |SELECT e1.u AS a, e1.v AS b, e2.v AS c
+      |FROM edges e1
+      |JOIN edges e2 ON e2.u = e1.v
+      |JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v
+      |ORDER BY a, b, c""".stripMargin,
+    doc = "triangle enumeration, degree-oriented wedge join (graph analytics)") { (s, dir) =>
+    val buckets = t(s, dir, "events")
+      .select(col("user_id"), col("event_type"),
+        date_trunc("minute", col("ts")).as("h"))
+      .distinct()
+    val edges = buckets.as("x").join(buckets.as("y"),
+        col("x.event_type") === col("y.event_type") &&
+          col("x.h") === col("y.h") &&
+          col("x.user_id") < col("y.user_id"))
+      .select(col("x.user_id").as("u"), col("y.user_id").as("v"))
+      .distinct()
+    Iterate.triangles(edges, "u", "v").orderBy("a", "b", "c")
+  }
+
   val all: Seq[QueryDef] = Seq(
     q1Agg, qScanProject, qFilterIn, qJoinInner, qJoinAnti, qJoinSemi,
     qJoinLeftOuter, qJoinCrossBounds, qJoinTheta, qJoinNullSafe, qJoinUsing,
     qUnionAll, qExcept, qRollup, qCube, qTopK, qWindowRank, qWindowFuncs,
     qWindowRange, qSubqueryExists, qTransitiveClosure, qBloomPrune,
     qGroupingSets, qIntersectAll, qTpchQ3, qTpchQ5, qMergeScd2, qFuzzyMatch,
-    qPageRank, qPageRankGeneral)
+    qPageRank, qPageRankGeneral, qTriangles)
 }

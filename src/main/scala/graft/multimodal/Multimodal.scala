@@ -284,6 +284,93 @@ object Multimodal {
     }
   }
 
+  /** 64-segment temporal-energy average hash of a PCM audio stream —
+    * the audio twin of [[imageAHash64]]: the decoded waveform is split
+    * into 64 equal-duration segments (every sample contributes to
+    * exactly one — duration-independent, like aHash's pixel grid),
+    * per-segment RMS is computed, and bit i is set iff segment i's RMS
+    * exceeds the mean segment RMS. Near-identical audio (re-encodes,
+    * small edits) lands within a few bits of Hamming distance; pitch
+    * is ignored, which is exactly right for a cheap energy-envelope
+    * near-dup screen. None for non-PCM-16 bytes or clips shorter than
+    * 64 samples.
+    */
+  def audioAHash64(bytes: Array[Byte], maxFrames: Int = 1 << 20): Option[Long] =
+    try {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val fmt = ais.getFormat
+        if (fmt.getSampleSizeInBits != 16) None
+        else {
+          val frameBytes = fmt.getFrameSize
+          val totalFrames = ais.getFrameLength
+          val toRead = math.min(totalFrames, maxFrames.toLong).toInt
+          val buf = new Array[Byte](toRead * frameBytes)
+          var off = 0
+          var r = 0
+          while (off < buf.length && r >= 0) {
+            r = ais.read(buf, off, buf.length - off)
+            if (r > 0) off += r
+          }
+          val be = fmt.isBigEndian
+          val nSamples = off / 2
+          if (nSamples < 64) None
+          else {
+            val segSq = new Array[Double](64)
+            val segN = new Array[Int](64)
+            var i = 0
+            var s = 0
+            while (i + 1 < off) {
+              val v = (if (be) ((buf(i) << 8) | (buf(i + 1) & 0xff)).toShort
+                       else ((buf(i + 1) << 8) | (buf(i) & 0xff)).toShort) / 32768.0
+              val seg = math.min(63, (s.toLong * 64 / nSamples).toInt)
+              segSq(seg) += v * v
+              segN(seg) += 1
+              i += 2
+              s += 1
+            }
+            val rms = Array.tabulate(64)(k =>
+              if (segN(k) == 0) 0.0 else math.sqrt(segSq(k) / segN(k)))
+            val mean = rms.sum / 64.0
+            var hash = 0L
+            var k = 0
+            while (k < 64) {
+              if (rms(k) > mean) hash |= (1L << k)
+              k += 1
+            }
+            Some(hash)
+          }
+        }
+      } finally ais.close()
+    } catch { case _: Exception => None }
+
+  /** An audio clip's energy-envelope hash; `decoded = false` marks
+    * undecodable bytes (deterministic stub hash from the content). */
+  final case class AudioHash(asset_id: Long, ahash: Long, decoded: Boolean)
+
+  /** Batch audio fingerprinting — same mapPartitions shape as
+    * [[extractAudioFeatures]]. Feed the result to
+    * [[graft.dedup.Dedup.signatureNearDupPairs]] for banded
+    * near-duplicate-audio pairs (shuffle on chunk keys, never
+    * all-pairs — the 100 TB audio-dedup screen, sharing one Hamming
+    * band engine with text SimHash and image aHash).
+    */
+  def extractAudioHashes(assets: Dataset[MediaAsset])(
+      implicit spark: SparkSession): Dataset[AudioHash] = {
+    import spark.implicits._
+    assets.filter(col("kind") === "audio").mapPartitions { it =>
+      it.map { a =>
+        audioAHash64(a.content) match {
+          case Some(h) => AudioHash(a.asset_id, h, decoded = true)
+          case None =>
+            AudioHash(a.asset_id,
+              java.util.Arrays.hashCode(a.content).toLong, decoded = false)
+        }
+      }
+    }
+  }
+
   /** A resized image asset: re-encoded bytes + output dimensions. */
   final case class ResizedImage(
       asset_id: Long,
@@ -382,6 +469,58 @@ object Multimodal {
           case None =>
             Iterator.single(VideoFrame(a.asset_id, -1, 0, 0, 0.0,
               decoded = false))
+        }
+      }
+    }
+  }
+
+  /** A video clip's majority-bit perceptual signature over sampled
+    * frame aHashes; `decoded = false` marks clips whose container was
+    * rejected or produced no decodable sampled frame. */
+  final case class VideoHash(
+      asset_id: Long,
+      vhash: Long,
+      n_frames_hashed: Int,
+      decoded: Boolean)
+
+  /** Clip-level perceptual fingerprint: aHash each `stride`-th sampled
+    * frame ([[imageAHash64]]) and take the per-bit MAJORITY across
+    * frames — stable under a minority of edited/outlier frames, which
+    * is exactly the near-dup-video contract (re-encodes, inserted
+    * title cards). Completes the 64-bit fingerprint family — text
+    * SimHash, image aHash, audio energy envelope, video frame-majority
+    * — all served by the one
+    * [[graft.dedup.Dedup.signatureNearDupPairs]] Hamming band engine.
+    * Undecodable containers fall back to a deterministic stub hash,
+    * flagged.
+    */
+  def extractVideoHashes(assets: Dataset[MediaAsset], stride: Int = 2,
+      maxFrames: Int = 16)(implicit spark: SparkSession): Dataset[VideoHash] = {
+    import spark.implicits._
+    require(stride > 0 && maxFrames > 0, "stride and maxFrames must be positive")
+    assets.filter(col("kind") === "video").mapPartitions { it =>
+      it.map { a =>
+        val frameHashes: Seq[Long] = AviMjpeg.frameChunks(a.content) match {
+          case Some(chunks) =>
+            (0 until chunks.size by stride).take(maxFrames)
+              .flatMap(i => AviMjpeg.decodeFrame(a.content, chunks(i))
+                .map(imageAHash64))
+          case None => Seq.empty
+        }
+        if (frameHashes.isEmpty)
+          VideoHash(a.asset_id,
+            java.util.Arrays.hashCode(a.content).toLong, 0, decoded = false)
+        else {
+          val n = frameHashes.size
+          var vhash = 0L
+          var k = 0
+          while (k < 64) {
+            var cnt = 0
+            frameHashes.foreach(h => if (((h >> k) & 1L) == 1L) cnt += 1)
+            if (2 * cnt > n) vhash |= (1L << k)
+            k += 1
+          }
+          VideoHash(a.asset_id, vhash, n, decoded = true)
         }
       }
     }

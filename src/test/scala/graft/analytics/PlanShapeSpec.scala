@@ -125,4 +125,19 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("vector"), p.take(1200))
     assert(p.contains("hashpartitioning"), p.take(1200))
   }
+
+  test("q_forecast_baseline: cut scalar and hour-of-day model both broadcast, test scan never sorted") {
+    val p = plan("q_forecast_baseline")
+    // the 24×|types| model must ride a broadcast hash join onto the
+    // test scan; the 1-row cut rides broadcast nested-loop cross joins
+    assert(p.contains("BroadcastHashJoin"), p.take(1200))
+    assert(!p.contains("SortMergeJoin"), p.take(1200))
+    assert(!p.contains("CartesianProduct"), p.take(1200))
+  }
+
+  test("q_triangles: every join is an equi hash join on node keys — no cartesian, no nested loop") {
+    val p = plan("q_triangles")
+    assert(!p.contains("CartesianProduct"), p.take(1200))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(1200))
+  }
 }

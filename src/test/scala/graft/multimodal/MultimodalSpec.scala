@@ -161,4 +161,71 @@ class MultimodalSpec extends SparkSpec {
     }
     assert(java.lang.Long.bitCount(h16 ^ Multimodal.imageAHash64(oneOff)) === 1)
   }
+
+  private def wavEnv(loud: Int => Boolean, samplesPerSeg: Int,
+      amp: Short = 16384): Array[Byte] = {
+    import javax.sound.sampled._
+    val nFrames = 64 * samplesPerSeg
+    val fmt = new AudioFormat(8000f, 16, 1, true, false)
+    val pcm = new Array[Byte](nFrames * 2)
+    var i = 0
+    while (i < nFrames) {
+      val s: Short =
+        if (!loud(i / samplesPerSeg)) 0
+        else if (i % 2 == 0) amp else (-amp).toShort
+      pcm(2 * i) = (s & 0xff).toByte
+      pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+      i += 1
+    }
+    val ais = new AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, nFrames)
+    val bos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  test("audioAHash64 is duration-independent and separates envelopes") {
+    // same alternating envelope at 100 and 400 samples/segment: every
+    // sample of a segment carries the same RMS, so the 64-segment
+    // envelope — and the hash — must be bit-identical across durations
+    val alt = (seg: Int) => seg % 2 == 0
+    val h100 = Multimodal.audioAHash64(wavEnv(alt, 100)).get
+    val h400 = Multimodal.audioAHash64(wavEnv(alt, 400)).get
+    assert(h100 === h400)
+    // muting one loud segment = exactly one bit of distance
+    val mute1 = Multimodal.audioAHash64(
+      wavEnv(seg => seg % 2 == 0 && seg != 4, 100)).get
+    assert(java.lang.Long.bitCount(h100 ^ mute1) === 1)
+    // the inverted envelope flips every bit
+    val inv = Multimodal.audioAHash64(wavEnv(seg => seg % 2 == 1, 100)).get
+    assert(java.lang.Long.bitCount(h100 ^ inv) === 64)
+    // constant loudness has no above-mean segment: hash 0
+    assert(Multimodal.audioAHash64(wavEnv(_ => true, 100)).get === 0L)
+    // junk bytes and sub-64-sample clips refuse, not garbage
+    assert(Multimodal.audioAHash64(Array[Byte](1, 2, 3)).isEmpty)
+  }
+
+  test("extractVideoHashes takes the per-bit majority across sampled frames") {
+    import graft.multimodal.AviMjpeg
+    // half-black/half-white frames: JPEG-exact (the step edge rides the
+    // 8-pixel block boundary), aHash = the right-half cell mask
+    val base = patternImage(16, 16)((x, _) =>
+      if (x >= 8) 0xFFFFFF else 0x000000)
+    val inv = patternImage(16, 16)((x, _) =>
+      if (x >= 8) 0x000000 else 0xFFFFFF)
+    val media = Multimodal.toMediaAssets(Seq(
+      (1L, "mem://steady.avi", AviMjpeg.encode(Seq(base, base, base), fps = 5)),
+      (2L, "mem://outlier.avi", AviMjpeg.encode(Seq(base, inv, base), fps = 5)),
+      (3L, "mem://flipped.avi", AviMjpeg.encode(Seq(inv, inv, base), fps = 5)),
+      (4L, "mem://junk.avi", Array[Byte](9, 9, 9))
+    ).toDF("id", "uri", "bytes"), "id", "uri", "bytes")
+    val got = Multimodal.extractVideoHashes(media, stride = 1, maxFrames = 3)
+      .collect().map(v => v.asset_id -> v).toMap
+    assert(got(1).decoded && got(1).n_frames_hashed === 3)
+    // one outlier frame of three loses every majority vote
+    assert(got(2).vhash === got(1).vhash)
+    // two of three flipped frames carry the vote: all 64 bits invert
+    assert(java.lang.Long.bitCount(got(1).vhash ^ got(3).vhash) === 64)
+    assert(!got(4).decoded && got(4).n_frames_hashed === 0)
+  }
 }
