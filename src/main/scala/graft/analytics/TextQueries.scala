@@ -1127,12 +1127,39 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** BPE merge-candidate scoring ([[graft.text.Vocab.bpePairCounts]]):
+    * the top adjacent character pairs by corpus-weighted within-word
+    * frequency — iteration 1 of Sennrich-style BPE tokenizer training
+    * (the argmax of this table IS the first merge rule). The pair
+    * explosion runs over the distinct-word table with its frequencies,
+    * not the corpus scan, so at 100 TB the exploded row count is
+    * |distinct words|·avg_len, orders below corpus tokens. Ordered by
+    * (n desc, pair) — the exact merge-priority order.
+    */
+  val qBpePairs: QueryDef = QueryDef.sql(
+    "q_bpe_pairs",
+    """WITH words AS (
+      |  SELECT unnest(string_split_regex(lower(trim(text)),
+      |    '[\s[:punct:]]+')) AS w
+      |  FROM documents),
+      |wf AS (
+      |  SELECT w, count(*) AS f FROM words WHERE length(w) >= 2 GROUP BY w),
+      |pr AS (
+      |  SELECT substr(w, CAST(t.i AS INT), 2) AS pair, f
+      |  FROM wf, LATERAL (SELECT unnest(range(1, length(w))) AS i) t)
+      |SELECT pair, CAST(sum(f) AS BIGINT) AS n FROM pr GROUP BY pair
+      |ORDER BY n DESC, pair LIMIT 20""".stripMargin,
+    doc = "BPE merge-candidate pair scoring, distinct-word weighted (tokenizer training)") { (s, dir) =>
+    graft.text.Vocab.bpePairCounts(t(s, dir, "documents"), "text")
+      .orderBy(col("n").desc, col("pair")).limit(20)
+  }
+
   val all: Seq[QueryDef] = Seq(
     qTextTokens, qTextQuality, qTextLangId, qTextFingerprint, qTokenFreq,
     qSelectPipeline, qPackSequences, qTextRedact, qCuratePipeline,
     qDecontaminate, qDecontaminateFuzzy, qTfidf, qQualityRules, qUrlDedup,
     qQualityRepetition, qChunkTokens, qSplitHash, qCorpusReport, qCurateV2,
     qVocabEncode, qTextUnigramNll, qTextBm25, qDsirWeights, qSpanDupReport,
-    qSpanRemove)
+    qSpanRemove, qBpePairs)
 
 }

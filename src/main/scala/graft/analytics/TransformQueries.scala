@@ -252,8 +252,37 @@ object TransformQueries {
     }
   }
 
+  /** Weighted sampling without replacement
+    * ([[Sampling.weightedSample]], Efraimidis-Spirakis A-ES): the
+    * reproducible uniform comes from the same 16-bit-limb hash32 as
+    * the split bucketing, so the DuckDB oracle replays the identical
+    * draw arithmetic BIGINT-for-BIGINT and the selected id set matches
+    * exactly — a fully oracle-checked weighted draw, not just an
+    * invariant contract. Weight = document length (the
+    * importance-weighted curation shape; pairs with DSIR scores at
+    * scale); plan is one distributed top-k, no global sort.
+    */
+  val qSampleWeighted: QueryDef = QueryDef.sql(
+    "q_sample_weighted",
+    """SELECT doc_id, n_chars FROM (
+      |  SELECT doc_id, n_chars,
+      |    ln((((((((doc_id % 4294967296) + 4294967296) % 4294967296)
+      |            // 65536) * 2654435761) % 4294967296 * 65536
+      |         + (((doc_id % 4294967296) + 4294967296) % 4294967296)
+      |            % 65536 * 2654435761) % 4294967296 + 0.5)
+      |       / 4294967296.0) / n_chars AS wkey
+      |  FROM documents WHERE n_chars > 0
+      |  ORDER BY wkey DESC LIMIT 60)
+      |ORDER BY doc_id""".stripMargin,
+    doc = "A-ES weighted sample w/o replacement, hash-reproducible draw (SURVEY SA extension)") { (s, dir) =>
+    Sampling.weightedSample(
+        t(s, dir, "documents").select(col("doc_id"), col("n_chars")),
+        "doc_id", "n_chars", k = 60)
+      .orderBy("doc_id")
+  }
+
   val all: Seq[QueryDef] = Seq(
     qMelt, qNormalizeGlobal, qNormalizeGroup, qSampleSystematic,
     qSampleStratified, qSampleRandom, qMixtureSample, qMergeUpsert,
-    qZorderValue)
+    qZorderValue, qSampleWeighted)
 }

@@ -156,13 +156,39 @@ object Sampling {
     * throws) and any engine with plain BIGINT arithmetic, e.g. the
     * DuckDB oracle, evaluate it bit-identically.
     */
-  def hashBucket(id: Column): Column = {
+  def hashBucket(id: Column): Column = hash32(id) % 100
+
+  /** The full-resolution 32-bit multiplicative hash behind
+    * [[hashBucket]] — value in [0, 2^32), same 16-bit-limb arithmetic,
+    * same bit-identical-in-any-BIGINT-engine contract. */
+  def hash32(id: Column): Column = {
     val m = 4294967296L // 2^32
     val c = 2654435761L
     val x = ((id % m) + m) % m // low 32 bits, non-negative
     val a = (x / 65536).cast("long") // high 16
     val b = x % 65536 // low 16
-    ((((a * c) % m) * 65536 + b * c) % m) % 100
+    (((a * c) % m) * 65536 + b * c) % m
+  }
+
+  /** Deterministic weighted sample without replacement (Efraimidis-
+    * Spirakis A-ES): each row draws the reproducible uniform
+    * u = (hash32(id)+0.5)/2^32 and the k rows with the largest
+    * ln(u)/weight survive — inclusion probability proportional to
+    * weight, no replacement, and the whole thing is one distributed
+    * top-k (TakeOrderedAndProject: per-partition heaps, k rows to the
+    * driver — no global sort, no rand(), repartition-stable). The
+    * importance-weighted subsampling step that pairs with DSIR
+    * weights at corpus scale. Non-positive weights are excluded.
+    */
+  def weightedSample(df: DataFrame, idCol: String, weightCol: String,
+      k: Int): DataFrame = {
+    require(k > 0, "sample size must be positive")
+    val u = (hash32(col(idCol)) + lit(0.5)) / lit(4294967296.0)
+    df.filter(col(weightCol) > 0)
+      .withColumn("__wkey", log(u) / col(weightCol))
+      .orderBy(col("__wkey").desc)
+      .limit(k)
+      .drop("__wkey")
   }
 
   /** Deterministic percentage split: `splits` are (name, percent)

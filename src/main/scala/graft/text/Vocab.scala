@@ -1,6 +1,6 @@
 package graft.text
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -62,5 +62,107 @@ object Vocab {
       .join(encoded, Seq(idCol), "left")
       .select(col(idCol),
         coalesce(col("ids"), array().cast("array<long>")).as("ids"))
+  }
+
+  /** One BPE training iteration's candidate scoring: corpus-weighted
+    * counts of ADJACENT character pairs within words — the statistic
+    * the merge rule argmaxes over (Sennrich et al.'s algorithm; each
+    * subsequent iteration re-runs this over the merged symbol
+    * sequences). Scale shape: pair explosion runs over the DISTINCT
+    * word table weighted by its frequencies, not over the corpus —
+    * |distinct words| ≪ corpus tokens, and the pair aggregation is
+    * map-side combined. Output: (pair, n), every within-word adjacent
+    * 2-gram with its corpus frequency.
+    */
+  def bpePairCounts(docs: DataFrame, textCol: String): DataFrame = {
+    val wf = docs
+      .select(explode(split(lower(trim(col(textCol))),
+        "[\\s\\p{Punct}]+")).as("w"))
+      .filter(length(col("w")) >= 2)
+      .groupBy("w").agg(count(lit(1)).as("f"))
+    wf.select(col("w"), col("f"),
+        explode(sequence(lit(1), length(col("w")) - 1)).as("i"))
+      .select(expr("substring(w, i, 2)").as("pair"), col("f"))
+      .groupBy("pair").agg(sum(col("f")).as("n"))
+  }
+
+  /** One greedy left-to-right merge pass: every non-overlapping
+    * adjacent (l, r) symbol pair in the array becomes the fused
+    * symbol — the BPE apply step as a pure column fold (no UDF).
+    * `try_element_at` keeps the empty-accumulator probe null-safe
+    * under ANSI mode.
+    */
+  private def mergeOnce(syms: Column, l: String, r: String): Column =
+    aggregate(syms, array().cast("array<string>"),
+      (acc, x) =>
+        when(try_element_at(acc, lit(-1)) === lit(l) && x === lit(r),
+          concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))
+        .otherwise(concat(acc, array(x))))
+
+  /** Iterative BPE training (Sennrich et al.): `nMerges` rounds of
+    * score-pairs → take the (count desc, pair asc) argmax → fuse it
+    * everywhere. The loop state is the DISTINCT-word symbol table
+    * (localCheckpoint per round — same lineage discipline as the
+    * PageRank fixpoint); each round's argmax is a bounded one-row
+    * collect, the only thing that ever reaches the driver. Returns
+    * the merge rules in priority order — (rank, left, right) — which
+    * IS the trained tokenizer.
+    */
+  def bpeTrain(docs: DataFrame, textCol: String,
+      nMerges: Int): Seq[(Int, String, String)] = {
+    require(nMerges > 0)
+    val charSplit = (w: Column) =>
+      filter(split(w, ""), x => x =!= lit(""))
+    var words = docs
+      .select(explode(split(lower(trim(col(textCol))),
+        "[\\s\\p{Punct}]+")).as("w"))
+      .filter(length(col("w")) >= 2)
+      .groupBy("w").agg(count(lit(1)).as("f"))
+      .select(charSplit(col("w")).as("syms"), col("f"))
+      .localCheckpoint(eager = true)
+    val rules = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String)]
+    var rank = 1
+    var exhausted = false
+    while (rank <= nMerges && !exhausted) {
+      val top = words
+        .select(col("f"), explode(expr(
+          "transform(sequence(1, size(syms) - 1), " +
+            "i -> struct(syms[i - 1] AS l, syms[i] AS r))")).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("f")).as("n"))
+        .orderBy(col("n").desc, col("l"), col("r"))
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (l, r) = (top(0).getString(0), top(0).getString(1))
+        rules += ((rank, l, r))
+        words = words
+          .select(mergeOnce(col("syms"), l, r).as("syms"), col("f"))
+          .localCheckpoint(eager = true)
+        rank += 1
+      }
+    }
+    rules.toSeq
+  }
+
+  /** Segment documents with trained BPE rules: (idCol, tokens
+    * array<string>) — each word char-split then run through every
+    * merge in priority order, words flattened back in document order.
+    * The whole tokenizer is ONE composed column expression (merges
+    * fold into nested array-aggregates), so encoding is a plain
+    * projection: no UDF, no join, no shuffle.
+    */
+  def bpeApply(docs: DataFrame, idCol: String, textCol: String,
+      merges: Seq[(Int, String, String)]): DataFrame = {
+    val ordered = merges.sortBy(_._1)
+    val segmentWord = (w: Column) =>
+      ordered.foldLeft(filter(split(w, ""), x => x =!= lit(""))) {
+        case (acc, (_, l, r)) => mergeOnce(acc, l, r)
+      }
+    docs.select(col(idCol),
+      flatten(transform(
+        filter(split(lower(trim(col(textCol))), "[\\s\\p{Punct}]+"),
+          w => w =!= lit("")),
+        segmentWord)).as("tokens"))
   }
 }

@@ -71,4 +71,38 @@ class SamplingSpec extends SparkSpec {
     val s2 = Sampling.mixtureSample(df, "g", "id", Map("big" -> 1.0), 5)
     assert(s2.select("g").distinct().as[String].collect().toSeq === Seq("big"))
   }
+
+  test("weightedSample matches the A-ES draw computed by hand and is repartition-stable") {
+    def hash32(id: Long): Long = {
+      val m = 4294967296L; val c = 2654435761L
+      val x = ((id % m) + m) % m
+      (((x / 65536 * c) % m) * 65536 + x % 65536 * c) % m
+    }
+    val rows = (1L to 200L).map(i => (i, (i % 7 + 1).toDouble))
+    val expected = rows
+      .map { case (id, w) =>
+        (id, math.log((hash32(id) + 0.5) / 4294967296.0) / w) }
+      .sortBy(-_._2).take(25).map(_._1).toSet
+    val df = rows.toDF("id", "w")
+    val got = Sampling.weightedSample(df, "id", "w", 25)
+      .select("id").as[Long].collect().toSet
+    assert(got === expected)
+    // same draw regardless of physical layout
+    val got2 = Sampling.weightedSample(df.repartition(13), "id", "w", 25)
+      .select("id").as[Long].collect().toSet
+    assert(got2 === expected)
+    // zero/negative weights can never be drawn
+    val withBad = (rows ++ Seq((900L, 0.0), (901L, -5.0))).toDF("id", "w")
+    val got3 = Sampling.weightedSample(withBad, "id", "w", 25)
+      .select("id").as[Long].collect().toSet
+    assert(got3 === expected)
+  }
+
+  test("weightedSample favors heavy weights: a dominant weight is always drawn") {
+    val df = ((1L to 99L).map(i => (i, 1.0)) :+ (500L, 1e9))
+      .toDF("id", "w")
+    val got = Sampling.weightedSample(df, "id", "w", 10)
+      .select("id").as[Long].collect().toSet
+    assert(got.contains(500L)) // key ~ ln(u)/1e9 ≈ 0⁻ beats any w=1 key
+  }
 }

@@ -40,4 +40,33 @@ class VocabSpec extends SparkSpec {
       .collect().toMap
     assert(v === Map("x" -> 1L, "y" -> 2L)) // tie x/y broken by token; z cut
   }
+
+  test("bpePairCounts weights distinct-word pairs by corpus frequency") {
+    // "low low low" + "lower": pairs lo,ow from both words; we,er from
+    // one occurrence of "lower"; 1-char words contribute nothing
+    val docs = Seq((1L, "low low, LOW a"), (2L, "lower a b")).toDF("id", "text")
+    val got = Vocab.bpePairCounts(docs, "text")
+      .as[(String, Long)].collect().toMap
+    assert(got === Map("lo" -> 4L, "ow" -> 4L, "we" -> 1L, "er" -> 1L))
+  }
+
+  test("bpeTrain reproduces the textbook merge sequence; bpeApply segments unseen words") {
+    // Sennrich et al.'s canonical corpus shape: low×5 lower×2
+    // newest×6 widest×3. Hand-derived merge order:
+    //   1. (e,s) 9   (ties (s,t) 9 — (e,s) wins the pair ordering)
+    //   2. (es,t) 9
+    //   3. (l,o) 7   (ties (o,w) 7 — (l,o) wins)
+    //   4. (lo,w) 7
+    val corpus = (Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest")).mkString(" ")
+    val docs = Seq((1L, corpus)).toDF("id", "text")
+    val rules = Vocab.bpeTrain(docs, "text", nMerges = 4)
+    assert(rules === Seq((1, "e", "s"), (2, "es", "t"), (3, "l", "o"),
+      (4, "lo", "w")))
+    // the trained rules segment an UNSEEN word the textbook way
+    val seg = Vocab.bpeApply(Seq((1L, "lowest low")).toDF("id", "text"),
+        "id", "text", rules)
+      .as[(Long, Seq[String])].collect().head._2
+    assert(seg === Seq("low", "est", "low"))
+  }
 }
