@@ -86,12 +86,20 @@ case class NgramHashes(child: Expression, n: Int)
       val m = ctx.freshName("m")
       val windows = ctx.freshName("windows")
       val t = ctx.freshName("t")
+      // loop/temp locals also need freshName: bare `i`/`j`/`c`... would
+      // shadow same-named enclosing generated locals, which janino
+      // rejects — silently degrading the stage to interpreted
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val c = ctx.freshName("c")
+      val end = ctx.freshName("end")
+      val w = ctx.freshName("w")
       s"""
          |int $numToks = $arr.numElements();
          |long[] $tokHash = new long[$numToks];
-         |for (int j = 0; j < $numToks; j++) {
-         |  org.apache.spark.unsafe.types.UTF8String $t = $arr.getUTF8String(j);
-         |  $tokHash[j] = ($t == null) ? 0L :
+         |for (int $j = 0; $j < $numToks; $j++) {
+         |  org.apache.spark.unsafe.types.UTF8String $t = $arr.getUTF8String($j);
+         |  $tokHash[$j] = ($t == null) ? 0L :
          |    org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
          |      $t.getBaseObject(), $t.getBaseOffset(), $t.numBytes(), 42L);
          |}
@@ -99,14 +107,14 @@ case class NgramHashes(child: Expression, n: Int)
          |java.util.HashSet<Long> $seen = new java.util.HashSet<Long>($windows * 2);
          |long[] $out = new long[$windows];
          |int $m = 0;
-         |for (int i = 0; i < $windows; i++) {
-         |  long c = -7046029254386353131L;
-         |  int end = java.lang.Math.min(i + $n, $numToks);
-         |  for (int w = i; w < end; w++) {
-         |    c = (c ^ $tokHash[w]) * -4417276706812531889L;
-         |    c ^= (c >>> 29);
+         |for (int $i = 0; $i < $windows; $i++) {
+         |  long $c = -7046029254386353131L;
+         |  int $end = java.lang.Math.min($i + $n, $numToks);
+         |  for (int $w = $i; $w < $end; $w++) {
+         |    $c = ($c ^ $tokHash[$w]) * -4417276706812531889L;
+         |    $c ^= ($c >>> 29);
          |  }
-         |  if ($seen.add(c)) { $out[$m] = c; $m++; }
+         |  if ($seen.add($c)) { $out[$m] = $c; $m++; }
          |}
          |long[] ${out}T = java.util.Arrays.copyOf($out, $m);
          |java.util.Arrays.sort(${out}T);

@@ -54,18 +54,26 @@ case class SimHash64(child: Expression) extends UnaryExpression {
       val n = ctx.freshName("n")
       val h = ctx.freshName("h")
       val sig = ctx.freshName("sig")
+      // loop variables also need freshName: bare `i`/`j` shadow any
+      // enclosing generated local of the same name (e.g. a
+      // higher-order-function index var) and janino rejects local
+      // shadowing — the silent cost is an interpreted fallback of the
+      // whole stage, the exact path this expression exists to codegen
+      val i = ctx.freshName("i")
+      val i2 = ctx.freshName("i")
+      val j = ctx.freshName("j")
       s"""
          |int[] $counts = new int[64];
          |int $n = $arr.numElements();
-         |for (int j = 0; j < $n; j++) {
-         |  long $h = $arr.getLong(j);
-         |  for (int i = 0; i < 64; i++) {
-         |    if ((($h >>> i) & 1L) == 1L) $counts[i]++; else $counts[i]--;
+         |for (int $j = 0; $j < $n; $j++) {
+         |  long $h = $arr.getLong($j);
+         |  for (int $i = 0; $i < 64; $i++) {
+         |    if ((($h >>> $i) & 1L) == 1L) $counts[$i]++; else $counts[$i]--;
          |  }
          |}
          |long $sig = 0L;
-         |for (int i = 0; i < 64; i++) {
-         |  if ($counts[i] > 0) $sig |= (1L << i);
+         |for (int $i2 = 0; $i2 < 64; $i2++) {
+         |  if ($counts[$i2] > 0) $sig |= (1L << $i2);
          |}
          |${ev.value} = $sig;
        """.stripMargin

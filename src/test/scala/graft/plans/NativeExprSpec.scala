@@ -57,4 +57,27 @@ class NativeExprSpec extends SparkSpec {
     val plan = graft.ops.EngineOps.explain(df, "codegen")
     assert(plan.contains("Found 1 WholeStageCodegen subtree"), plan.take(400))
   }
+
+  test("generated code COMPILES — no silent interpreted fallback (fallback disabled)") {
+    // A subtree existing is not enough: janino can reject the
+    // generated source at runtime (e.g. a bare loop variable shadowing
+    // an enclosing generated local — the pre-round-6 simhash64 bug)
+    // and Spark silently degrades the stage to interpreted. With
+    // fallback off, that degradation becomes a hard failure here.
+    val dir = java.nio.file.Files.createTempDirectory("ne2").toString
+    texts.toDF("t").write.parquet(s"$dir/t")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val df = spark.read.parquet(s"$dir/t")
+        .select(Dedup.simHashColumn(spark, $"t").as("sig"),
+          Dedup.shingleHashes(spark, $"t", 3).as("grams"))
+      assert(df.collect().length === texts.length)
+      // the full banding composition q_dedup_simhash runs
+      val pairs = Dedup.simHashNearDupPairs(
+        (texts ++ texts).zipWithIndex
+          .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text"),
+        "doc_id", "text", maxDistance = 3)
+      assert(pairs.count() >= texts.length) // each duplicated text pairs
+    } finally spark.conf.unset("spark.sql.codegen.fallback")
+  }
 }
