@@ -876,11 +876,77 @@ object RelationalQueries {
     Iterate.triangles(edges, "u", "v").orderBy("a", "b", "c")
   }
 
+  /** Per-node local clustering coefficient — the BOUNDED-output graph
+    * face (O(nodes) rows however dense the graph gets; the
+    * enumeration twin q_triangles dumps the full triangle set, which
+    * densifies quadratically under replication): triangle counts per
+    * node from [[Iterate.triangles]], degrees from the edge list,
+    * coeff = 2T/(d(d−1)). Same co-occurrence graph and naive-join
+    * oracle as q_triangles.
+    */
+  val qClusteringCoeff: QueryDef = QueryDef.sql(
+    "q_clustering_coeff",
+    """WITH buckets AS (
+      |  SELECT DISTINCT user_id, event_type, date_trunc('minute', ts) AS h
+      |  FROM events),
+      |edges AS (
+      |  SELECT DISTINCT x.user_id AS u, y.user_id AS v
+      |  FROM buckets x JOIN buckets y
+      |    ON x.event_type = y.event_type AND x.h = y.h
+      |    AND x.user_id < y.user_id),
+      |tri AS (
+      |  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+      |  FROM edges e1
+      |  JOIN edges e2 ON e2.u = e1.v
+      |  JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v),
+      |tcnt AS (
+      |  SELECT n, count(*) AS t FROM (
+      |    SELECT a AS n FROM tri UNION ALL
+      |    SELECT b AS n FROM tri UNION ALL
+      |    SELECT c AS n FROM tri) GROUP BY n),
+      |deg AS (
+      |  SELECT n, count(*) AS d FROM (
+      |    SELECT u AS n FROM edges UNION ALL
+      |    SELECT v AS n FROM edges) GROUP BY n)
+      |SELECT deg.n AS user_id, deg.d AS degree,
+      |  coalesce(tcnt.t, 0) AS triangles,
+      |  round(CASE WHEN deg.d >= 2
+      |    THEN 2.0 * coalesce(tcnt.t, 0) / (deg.d * (deg.d - 1))
+      |    ELSE 0 END, 6) AS coeff
+      |FROM deg LEFT JOIN tcnt ON tcnt.n = deg.n
+      |ORDER BY user_id""".stripMargin,
+    doc = "local clustering coefficient per node, bounded output (graph analytics)") { (s, dir) =>
+    val buckets = t(s, dir, "events")
+      .select(col("user_id"), col("event_type"),
+        date_trunc("minute", col("ts")).as("h"))
+      .distinct()
+    val edges = buckets.as("x").join(buckets.as("y"),
+        col("x.event_type") === col("y.event_type") &&
+          col("x.h") === col("y.h") &&
+          col("x.user_id") < col("y.user_id"))
+      .select(col("x.user_id").as("u"), col("y.user_id").as("v"))
+      .distinct()
+    val tri = Iterate.triangles(edges, "u", "v")
+    val tcnt = tri.select(explode(array(col("a"), col("b"), col("c")))
+        .as("n"))
+      .groupBy(col("n")).agg(count(lit(1)).as("t"))
+    val deg = edges.select(explode(array(col("u"), col("v"))).as("n"))
+      .groupBy(col("n")).agg(count(lit(1)).as("d"))
+    deg.join(tcnt, Seq("n"), "left")
+      .select(col("n").as("user_id"), col("d").as("degree"),
+        coalesce(col("t"), lit(0L)).as("triangles"),
+        round(when(col("d") >= 2,
+            lit(2.0) * coalesce(col("t"), lit(0L)) /
+              (col("d") * (col("d") - 1)))
+          .otherwise(lit(0.0)), 6).as("coeff"))
+      .orderBy("user_id")
+  }
+
   val all: Seq[QueryDef] = Seq(
     q1Agg, qScanProject, qFilterIn, qJoinInner, qJoinAnti, qJoinSemi,
     qJoinLeftOuter, qJoinCrossBounds, qJoinTheta, qJoinNullSafe, qJoinUsing,
     qUnionAll, qExcept, qRollup, qCube, qTopK, qWindowRank, qWindowFuncs,
     qWindowRange, qSubqueryExists, qTransitiveClosure, qBloomPrune,
     qGroupingSets, qIntersectAll, qTpchQ3, qTpchQ5, qMergeScd2, qFuzzyMatch,
-    qPageRank, qPageRankGeneral, qTriangles)
+    qPageRank, qPageRankGeneral, qTriangles, qClusteringCoeff)
 }

@@ -1,0 +1,82 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.store.Warehouse
+
+/** Incremental model fitting over a stream: per-group OLS trend via
+  * ADDITIVE sufficient statistics — the streaming twin of
+  * `q_trend_ols`. Each micro-batch contributes one partial-statistics
+  * row per group (n, Σx, Σy, Σxx, Σxy as exact decimals), partitioned
+  * by batch_id; the current model is one aggregate over the partials.
+  *
+  * Exactness: decimal sums commute and associate, so ANY batching of
+  * the input yields bit-identical statistics to the one-shot batch
+  * computation; the final slope/intercept division happens in double
+  * on those exact sums, so stream ≡ batch parity is exact.
+  *
+  * Replay safety is per batch under a surviving checkpoint, the
+  * [[StreamSimilarity]] sink idiom: a re-delivered batch first
+  * deletes its own batch_id partition (directory-pruned no-op on the
+  * normal path) then appends, so a crash between delete and append —
+  * or a retried foreachBatch — never double-counts partials. (Unlike
+  * the top-k candidates sink, additive state cannot survive
+  * checkpoint LOSS: a re-batched replay would land old data under new
+  * batch ids. That asymmetry is inherent to additive folds; the
+  * checkpoint is the source of batch identity.) State is O(groups)
+  * rows per batch in the warehouse — no streaming state store.
+  */
+object StreamStats {
+
+  /** Sink table holding per-(group, batch) partial statistics. */
+  def statsTable(name: String): String = s"${name}__ols_partials"
+
+  /** Fold a stream of (group, x, y) rows into the partials table. */
+  def olsStream(wh: Warehouse, name: String, rows: DataFrame,
+      groupCol: String, xCol: String, yCol: String, checkpoint: String,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    val sink = statsTable(name)
+    rows.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val part = batch
+          .select(col(groupCol).as("g"),
+            col(xCol).cast("long").as("x"), col(yCol).as("y"))
+          .groupBy(col("g"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("x").cast("decimal(38,0)")).as("sx"),
+            sum(col("y").cast("decimal(20,4)")).as("sy"),
+            sum((col("x") * col("x")).cast("decimal(38,0)")).as("sxx"),
+            sum((col("x") * col("y")).cast("decimal(30,4)")).as("sxy"))
+          .withColumn("batch_id", lit(batchId))
+        if (!wh.tableExists(sink))
+          wh.createTable(sink, part.schema, ifExists = "skip",
+            partitionBy = Seq("batch_id"))
+        wh.deleteWhere(sink, col("batch_id") === batchId)
+        wh.append(sink, part)
+        ()
+      }
+      .start()
+  }
+
+  /** The current fitted model: merge all partials (exact decimal
+    * sums), then the same closed-form slope/intercept as the batch
+    * query. Output: (g, n, slope, intercept). */
+  def currentModel(wh: Warehouse, name: String): DataFrame = {
+    val merged = wh.read(statsTable(name))
+      .groupBy(col("g"))
+      .agg(sum(col("n")).as("n"),
+        sum(col("sx")).cast("double").as("sx"),
+        sum(col("sy")).cast("double").as("sy"),
+        sum(col("sxx")).cast("double").as("sxx"),
+        sum(col("sxy")).cast("double").as("sxy"))
+    val slope = (col("n") * col("sxy") - col("sx") * col("sy")) /
+      (col("n") * col("sxx") - col("sx") * col("sx"))
+    merged.select(col("g"), col("n"), slope.as("slope"),
+      ((col("sy") - slope * col("sx")) / col("n")).as("intercept"))
+  }
+}

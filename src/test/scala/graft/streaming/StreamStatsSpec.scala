@@ -1,0 +1,64 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.store.Warehouse
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+class StreamStatsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // two groups with known exact trends: g=a is y = 2x + 1, g=b is
+  // y = -0.5x + 10; OLS must recover them exactly (zero residual)
+  private val rows: Seq[(String, Long, Double)] =
+    (0L until 50L).flatMap(x =>
+      Seq(("a", x, 2.0 * x + 1.0), ("b", x, -0.5 * x + 10.0)))
+
+  private def batchModel(data: Seq[(String, Long, Double)]) = {
+    val df = data.toDF("g", "x", "y")
+      .groupBy($"g")
+      .agg(count(lit(1)).as("n"),
+        sum($"x".cast("decimal(38,0)")).cast("double").as("sx"),
+        sum($"y".cast("decimal(20,4)")).cast("double").as("sy"),
+        sum(($"x" * $"x").cast("decimal(38,0)")).cast("double").as("sxx"),
+        sum(($"x" * $"y").cast("decimal(30,4)")).cast("double").as("sxy"))
+    val slope = ($"n" * $"sxy" - $"sx" * $"sy") /
+      ($"n" * $"sxx" - $"sx" * $"sx")
+    df.select($"g", $"n", slope.as("slope"),
+        (($"sy" - slope * $"sx") / $"n").as("intercept"))
+      .as[(String, Long, Double, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+  }
+
+  test("streamed partials across waves ≡ one-shot batch OLS, bit for bit") {
+    val wh = new Warehouse(spark, Files.createTempDirectory("so_wh").toString)
+    val in = Files.createTempDirectory("so_in").toString
+    val ckpt = Files.createTempDirectory("so_ckpt").toString
+
+    def drain(): Unit = {
+      val schema = spark.read.parquet(in).schema
+      val stream = StreamIngest.readFileStream(spark, in, schema)
+      StreamStats.olsStream(wh, "trend", stream, "g", "x", "y",
+        checkpoint = ckpt).awaitTermination()
+    }
+
+    val (w1, w2) = rows.partition(_._2 < 20)
+    w1.toDF("g", "x", "y").coalesce(1).write.mode("append").parquet(in)
+    drain()
+    w2.toDF("g", "x", "y").coalesce(1).write.mode("append").parquet(in)
+    drain()
+
+    val got = StreamStats.currentModel(wh, "trend")
+      .as[(String, Long, Double, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got === batchModel(rows)) // exact double equality, not approx
+    assert(got("a")._2 === 2.0 && got("a")._3 === 1.0)
+    assert(got("b")._2 === -0.5 && got("b")._3 === 10.0)
+    // one partials row per (group, batch)
+    assert(wh.read(StreamStats.statsTable("trend")).count() === 4)
+
+    // re-drain with nothing new: a no-op, partials unchanged
+    drain()
+    assert(wh.read(StreamStats.statsTable("trend")).count() === 4)
+  }
+}
