@@ -1154,12 +1154,46 @@ object TextQueries {
       .orderBy(col("n").desc, col("pair")).limit(20)
   }
 
+  /** Weight-balanced sharding ([[graft.text.SequencePacking
+    * .balancedShards]]): the corpus cut into 8 contiguous spans of
+    * near-equal total chars — equal-WEIGHT dataloader shards where
+    * q_split_hash gives equal COUNTS. The engine computes the
+    * exclusive prefix sum distributed (range partition → local window
+    * → P-row broadcast offsets; no corpus-wide single-partition
+    * window); the oracle states the same integral shard arithmetic
+    * over a plain window cumsum. Per-shard manifest output makes any
+    * boundary drift hash-fail.
+    */
+  val qShardBalanced: QueryDef = QueryDef.sql(
+    "q_shard_balanced",
+    """WITH w AS (
+      |  SELECT doc_id, n_chars,
+      |    sum(n_chars) OVER (ORDER BY doc_id) AS cum
+      |  FROM documents),
+      |t AS (SELECT sum(n_chars) AS total FROM documents)
+      |SELECT CAST(LEAST(((cum - n_chars) * 8) // total, 7) AS BIGINT)
+      |    AS shard,
+      |  count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS chars
+      |FROM w, t
+      |GROUP BY shard
+      |ORDER BY shard""".stripMargin,
+    doc = "weight-balanced contiguous sharding via distributed prefix sum (training-data ops)") { (s, dir) =>
+    import graft.text.SequencePacking
+    SequencePacking.balancedShards(
+        t(s, dir, "documents").select(col("doc_id"), col("n_chars")),
+        "doc_id", "n_chars", nShards = 8)
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).cast("long").as("chars"))
+      .orderBy("shard")
+  }
+
   val all: Seq[QueryDef] = Seq(
     qTextTokens, qTextQuality, qTextLangId, qTextFingerprint, qTokenFreq,
     qSelectPipeline, qPackSequences, qTextRedact, qCuratePipeline,
     qDecontaminate, qDecontaminateFuzzy, qTfidf, qQualityRules, qUrlDedup,
     qQualityRepetition, qChunkTokens, qSplitHash, qCorpusReport, qCurateV2,
     qVocabEncode, qTextUnigramNll, qTextBm25, qDsirWeights, qSpanDupReport,
-    qSpanRemove, qBpePairs)
+    qSpanRemove, qBpePairs, qShardBalanced)
 
 }

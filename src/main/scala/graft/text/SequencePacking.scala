@@ -57,4 +57,50 @@ object SequencePacking {
     packed.groupBy(col(shardCol), col("bin"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col(tokenCol).cast("long")).as("tokens_started"))
+
+  /** Weight-balanced shard assignment — cut the `idCol`-ordered corpus
+    * into `nShards` contiguous spans of near-equal total weight (each
+    * shard's weight within one max-row-weight of total/n): the
+    * dataloader-sharding step, where hash splits give equal COUNTS but
+    * weight (tokens, bytes) is what bounds a training step.
+    *
+    * The exclusive prefix sum is computed DISTRIBUTED: range-partition
+    * by id (range buckets are ordered by partition id), one
+    * partition-local window, then per-partition totals — a P-row
+    * table — roll into broadcast offsets. No global single-partition
+    * window anywhere, so the shape holds at 100 TB. All arithmetic is
+    * integral (`DIV`), exact at any corpus size.
+    *
+    * Output: input columns + `shard` in [0, nShards).
+    */
+  def balancedShards(df: DataFrame, idCol: String, weightCol: String,
+      nShards: Int, numPartitions: Int = 0): DataFrame = {
+    require(nShards > 0, s"nShards must be positive, got $nShards")
+    val spark = df.sparkSession
+    val p =
+      if (numPartitions > 0) numPartitions
+      else spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val ranged = df
+      .repartitionByRange(p, col(idCol))
+      .withColumn("__pid", spark_partition_id())
+    val local = Window.partitionBy(col("__pid")).orderBy(col(idCol))
+    val withCum = ranged.withColumn("__cum",
+      sum(col(weightCol).cast("long")).over(local))
+    // P rows: partition totals → exclusive offsets (the only
+    // single-partition window runs over P rows, not the corpus)
+    val offW = Window.orderBy(col("__pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = withCum.groupBy(col("__pid"))
+      .agg(max(col("__cum")).as("__psum"))
+      .withColumn("__off", coalesce(sum(col("__psum")).over(offW), lit(0L)))
+      .select(col("__pid"), col("__off"))
+    val total = df.agg(
+      sum(col(weightCol).cast("long")).as("__total"))
+    withCum.join(broadcast(offsets), Seq("__pid"))
+      .crossJoin(broadcast(total))
+      .withColumn("shard",
+        least(expr(s"((__off + __cum - $weightCol) * $nShards) DIV __total"),
+          lit(nShards - 1L)).cast("long"))
+      .drop("__pid", "__cum", "__off", "__total")
+  }
 }

@@ -140,4 +140,14 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p.take(1200))
     assert(!p.contains("BroadcastNestedLoopJoin"), p.take(1200))
   }
+
+  test("q_shard_balanced: prefix sum is range-partitioned; corpus never funnels into one partition") {
+    val p = plan("q_shard_balanced")
+    // the corpus window runs per range bucket...
+    assert(p.contains("rangepartitioning"), p.take(1500))
+    // ...and the only SinglePartition funnels are the P-row offsets
+    // window and the ordered 8-row output (each names one Exchange)
+    val sp = "Exchange SinglePartition".r.findAllIn(p).size
+    assert(sp <= 2, s"$sp single-partition exchanges:\n${p.take(1500)}")
+  }
 }

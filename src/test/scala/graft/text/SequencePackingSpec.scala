@@ -41,4 +41,34 @@ class SequencePackingSpec extends SparkSpec {
     val again = df.select("s").as[Long].collect()
     assert(shards.toSeq === again.toSeq)
   }
+
+  test("balancedShards: contiguous id spans, weight balance, layout independence") {
+    // skewed weights: ids 1..200, weight = 1 + (id % 13) * 7
+    val rows = (1L to 200L).map(i => (i, 1L + (i % 13) * 7))
+    val df = rows.toDF("id", "w")
+    val n = 5
+    val got = SequencePacking.balancedShards(df, "id", "w", n)
+      .select("id", "w", "shard").as[(Long, Long, Long)].collect()
+      .sortBy(_._1)
+    // shards are monotone in id order (contiguous spans) and in range
+    assert(got.map(_._3).forall(s => s >= 0 && s < n))
+    got.sliding(2).foreach { case Array(a, b) => assert(a._3 <= b._3) }
+    // every shard's weight within one max row weight of the ideal cut
+    val total = rows.map(_._2).sum
+    val maxW = rows.map(_._2).max
+    val byShard = got.groupBy(_._3).view.mapValues(_.map(_._2).sum)
+    byShard.foreach { case (_, w) =>
+      assert(math.abs(w - total.toDouble / n) <= maxW + total.toDouble / n / 10,
+        s"shard weight $w far from ideal ${total / n}")
+    }
+    // the assignment is a pure function of the data, not its layout
+    val repart = SequencePacking.balancedShards(df.repartition(7), "id", "w", n)
+      .select("id", "shard").as[(Long, Long)].collect().sortBy(_._1)
+    assert(repart.map(_._2).toSeq === got.map(_._3).toSeq)
+    // zero-weight tail can't fall off the end of the shard range
+    val withZero = (rows :+ (999L, 0L)).toDF("id", "w")
+    val last = SequencePacking.balancedShards(withZero, "id", "w", n)
+      .filter($"id" === 999L).select("shard").as[Long].head()
+    assert(last === n - 1)
+  }
 }
