@@ -79,4 +79,49 @@ object StreamStats {
     merged.select(col("g"), col("n"), slope.as("slope"),
       ((col("sy") - slope * col("sx")) / col("n")).as("intercept"))
   }
+
+  /** Sink table for per-(group, batch) mean partials. */
+  def meansTable(name: String): String = s"${name}__mean_partials"
+
+  /** The seasonal-model streaming twin (q_forecast_baseline's trainer
+    * kept continuously fresh): per-group (n, Σy) partials folded per
+    * micro-batch under the same batch_id-partition replay idiom —
+    * group on (event_type, hour-of-day) and [[currentMeans]] IS the
+    * hourly-profile forecast model, updated as data arrives. Same
+    * exactness argument as OLS: decimal additivity ⇒ any batching
+    * yields the batch model bit-for-bit.
+    */
+  def meanStream(wh: Warehouse, name: String, rows: DataFrame,
+      groupCols: Seq[String], yCol: String, checkpoint: String,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    val sink = meansTable(name)
+    rows.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val part = batch
+          .groupBy(groupCols.map(col): _*)
+          .agg(count(lit(1)).as("n"),
+            sum(col(yCol).cast("decimal(20,4)")).as("sy"))
+          .withColumn("batch_id", lit(batchId))
+        if (!wh.tableExists(sink))
+          wh.createTable(sink, part.schema, ifExists = "skip",
+            partitionBy = Seq("batch_id"))
+        wh.deleteWhere(sink, col("batch_id") === batchId)
+        wh.append(sink, part)
+        ()
+      }
+      .start()
+  }
+
+  /** The current per-group means: (groupCols..., n, mean) — exactly
+    * the batch model over everything streamed so far. */
+  def currentMeans(wh: Warehouse, name: String,
+      groupCols: Seq[String]): DataFrame =
+    wh.read(meansTable(name))
+      .groupBy(groupCols.map(col): _*)
+      .agg(sum(col("n")).as("n"), sum(col("sy")).as("sy"))
+      .select(groupCols.map(col) ++ Seq(col("n"),
+        (col("sy").cast("double") / col("n")).as("mean")): _*)
 }

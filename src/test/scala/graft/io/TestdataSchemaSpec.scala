@@ -20,6 +20,11 @@ import org.apache.spark.sql.types._
 class TestdataSchemaSpec extends SparkSpec {
 
   private val sfDir = "/root/testdata/sf0.01"
+  // the other scale factors the driver exercises (smoke at sf0.001,
+  // bench at sf0.1) must read with the same contract — a regen that
+  // drifts only one SF should fail here too, naming the directory
+  private val allSfDirs =
+    Seq("/root/testdata/sf0.001", sfDir, "/root/testdata/sf0.1")
 
   private val expected: Map[String, Map[String, DataType]] = Map(
     "region" -> Map("r_regionkey" -> IntegerType, "r_name" -> StringType),
@@ -73,14 +78,25 @@ class TestdataSchemaSpec extends SparkSpec {
         s"contract):\n  ${drifts.mkString("\n  ")}")
   }
 
-  test("no timestamp column ever surfaces as NTZ or raw long") {
+  test("no timestamp column ever surfaces as NTZ or raw long — at any scale factor") {
     val bad = for {
+      dir <- allSfDirs
       name <- Tables.testTables
-      f <- Tables.table(spark, sfDir, name).schema.fields
+      f <- Tables.table(spark, dir, name).schema.fields
       if f.dataType == TimestampNTZType ||
         (f.name.matches("ts|o_orderdate|l_shipdate") && f.dataType != TimestampType)
-    } yield s"$name.${f.name}: ${f.dataType.simpleString}"
+    } yield s"$dir/$name.${f.name}: ${f.dataType.simpleString}"
     assert(bad.isEmpty, s"un-normalized time columns: ${bad.mkString(", ")}")
+  }
+
+  test("sf0.001 and sf0.1 carry the same contracted schemas as sf0.01") {
+    val drifts = for {
+      dir <- allSfDirs if dir != sfDir
+      name <- Tables.testTables
+      f <- Tables.table(spark, dir, name).schema.fields
+      if expected(name).get(f.name).exists(t => !sameType(t, f.dataType))
+    } yield s"$dir/$name.${f.name}: engine sees ${f.dataType.simpleString}"
+    assert(drifts.isEmpty, drifts.mkString("\n"))
   }
 
   // containsNull/nullable metadata is reader-version noise; compare shape

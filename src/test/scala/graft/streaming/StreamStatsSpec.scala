@@ -61,4 +61,37 @@ class StreamStatsSpec extends SparkSpec {
     drain()
     assert(wh.read(StreamStats.statsTable("trend")).count() === 4)
   }
+
+  test("streamed seasonal means ≡ batch per-group means, updated across waves") {
+    val wh = new Warehouse(spark, Files.createTempDirectory("sm_wh").toString)
+    val in = Files.createTempDirectory("sm_in").toString
+    val ckpt = Files.createTempDirectory("sm_ckpt").toString
+    // (type, hour) grid with exact decimal-friendly values
+    val data = for {
+      t <- Seq("click", "view"); h <- 0 until 4; i <- 1 to 5
+    } yield (t, h, (h * 10 + i).toDouble)
+
+    def drain(): Unit = {
+      val schema = spark.read.parquet(in).schema
+      val stream = StreamIngest.readFileStream(spark, in, schema)
+      StreamStats.meanStream(wh, "profile", stream, Seq("event_type", "hour"),
+        "value", checkpoint = ckpt).awaitTermination()
+    }
+
+    val (w1, w2) = data.splitAt(25)
+    w1.toDF("event_type", "hour", "value")
+      .coalesce(1).write.mode("append").parquet(in)
+    drain()
+    w2.toDF("event_type", "hour", "value")
+      .coalesce(1).write.mode("append").parquet(in)
+    drain()
+
+    val got = StreamStats.currentMeans(wh, "profile", Seq("event_type", "hour"))
+      .as[(String, Int, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    val exp = data.groupBy(d => (d._1, d._2)).map { case (k, vs) =>
+      k -> ((vs.size.toLong, vs.map(_._3).sum / vs.size))
+    }
+    assert(got === exp) // n=5 per cell; means exact
+  }
 }
