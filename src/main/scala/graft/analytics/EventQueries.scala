@@ -794,10 +794,65 @@ object EventQueries {
       .orderBy("event_type")
   }
 
+  /** Seasonally-adjusted anomaly detection — q_anomalies' blind spot
+    * is daily shape: a normal midnight reading can sit 3σ from the
+    * all-hours mean, and a broken noon meter can hide inside it. Here
+    * the per-(type, hour-of-day) mean is subtracted first and the
+    * n-sigma rule runs on RESIDUALS per type — the energy-domain
+    * anomaly screen (deviation from the daily profile, not from the
+    * global mean). Model and residual moments are both broadcast-size
+    * aggregates; decimal-exact sums throughout.
+    */
+  val qAnomaliesSeasonal: QueryDef = QueryDef.sql(
+    "q_anomalies_seasonal",
+    """WITH m AS (
+      |  SELECT event_type, CAST(extract(hour FROM ts) AS INT) AS hour,
+      |    count(value) AS mn,
+      |    CAST(sum(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS msv
+      |  FROM events GROUP BY event_type, hour),
+      |r AS (
+      |  SELECT e.event_id, e.event_type, e.value - m.msv / m.mn AS resid
+      |  FROM events e JOIN m ON e.event_type = m.event_type
+      |    AND CAST(extract(hour FROM e.ts) AS INT) = m.hour),
+      |s AS (
+      |  SELECT event_type, count(*) AS n,
+      |    CAST(sum(CAST(resid AS DECIMAL(30,6))) AS DOUBLE) AS sv,
+      |    CAST(sum(CAST(resid * resid AS DECIMAL(30,6))) AS DOUBLE) AS svv
+      |  FROM r GROUP BY event_type)
+      |SELECT r.event_id, r.event_type,
+      |  CAST(round(r.resid, 6) AS DOUBLE) AS resid
+      |FROM r JOIN s ON r.event_type = s.event_type
+      |WHERE abs(r.resid - sv / n) > 3.0 * sqrt((svv - sv * sv / n) / (n - 1))
+      |ORDER BY r.event_id""".stripMargin,
+    doc = "n-sigma outliers on hour-of-day residuals (seasonal anomaly screen)") { (s, dir) =>
+    val ev = t(s, dir, "events")
+    val model = ev.groupBy(col("event_type"),
+        hour(col("ts")).cast("int").as("hour"))
+      .agg(count(col("value")).as("mn"),
+        sum(col("value").cast("decimal(30,6)")).cast("double").as("msv"))
+    val resid = ev.select(col("event_id"), col("event_type"),
+        hour(col("ts")).cast("int").as("hour"), col("value"))
+      .join(broadcast(model), Seq("event_type", "hour"))
+      .select(col("event_id"), col("event_type"),
+        (col("value") - col("msv") / col("mn")).as("resid"))
+    val stats = resid.groupBy(col("event_type")).agg(
+      count(lit(1)).as("n"),
+      sum(col("resid").cast("decimal(30,6)")).cast("double").as("sv"),
+      sum((col("resid") * col("resid")).cast("decimal(30,6)"))
+        .cast("double").as("svv"))
+    resid.join(broadcast(stats), "event_type")
+      .filter(abs(col("resid") - col("sv") / col("n")) >
+        lit(3.0) * sqrt((col("svv") - col("sv") * col("sv") / col("n"))
+          / (col("n") - 1)))
+      .select(col("event_id"), col("event_type"),
+        round(col("resid"), 6).cast("double").as("resid"))
+      .orderBy("event_id")
+  }
+
   val all: Seq[QueryDef] = Seq(
     qTimeWindow, qLagGaps, qOverlapSemi, qScalarFuncs, qJsonBuild, qSessionize,
     qMapFuncs, qAsofJoin, qAsofTolerance, qAsofForward, qAsofNearest,
     qRangeJoin, qRangeJoinSkew, qIntervalOverlap, qFunnel, qRetention,
     qGapFill, qInterpolate, qLoadProfile, qSlidingWindow, qForecastBaseline,
-    qTrendOls)
+    qTrendOls, qAnomaliesSeasonal)
 }

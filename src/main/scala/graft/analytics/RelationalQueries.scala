@@ -942,11 +942,55 @@ object RelationalQueries {
       .orderBy("user_id")
   }
 
+  /** Connected components as a first-class graph face: min-label
+    * propagation ([[graft.dedup.Dedup.nearDupClusters]] — the same
+    * engine the dedup terminal path runs) over the co-occurrence
+    * graph; component = smallest member id. The oracle computes the
+    * identical labeling declaratively: component(n) = min over the
+    * recursive reachability closure — tractable at oracle scale,
+    * while the engine's iterative form converges in O(diameter)
+    * joins at any scale.
+    */
+  val qConnectedComponents: QueryDef = QueryDef.sql(
+    "q_connected_components",
+    """WITH RECURSIVE buckets AS (
+      |  SELECT DISTINCT user_id, event_type, date_trunc('minute', ts) AS h
+      |  FROM events),
+      |edges AS (
+      |  SELECT DISTINCT x.user_id AS u, y.user_id AS v
+      |  FROM buckets x JOIN buckets y
+      |    ON x.event_type = y.event_type AND x.h = y.h
+      |    AND x.user_id < y.user_id),
+      |sym AS (SELECT u, v FROM edges UNION SELECT v AS u, u AS v FROM edges),
+      |reach(a, b) AS (
+      |  SELECT u AS a, v AS b FROM sym
+      |  UNION
+      |  SELECT r.a, s.v AS b FROM reach r JOIN sym s ON s.u = r.b)
+      |SELECT a AS user_id, least(a, min(b)) AS component
+      |FROM reach GROUP BY a
+      |ORDER BY user_id""".stripMargin,
+    doc = "connected components via min-label propagation vs reachability-closure oracle (graph analytics)") { (s, dir) =>
+    val buckets = t(s, dir, "events")
+      .select(col("user_id"), col("event_type"),
+        date_trunc("minute", col("ts")).as("h"))
+      .distinct()
+    val edges = buckets.as("x").join(buckets.as("y"),
+        col("x.event_type") === col("y.event_type") &&
+          col("x.h") === col("y.h") &&
+          col("x.user_id") < col("y.user_id"))
+      .select(col("x.user_id").as("u"), col("y.user_id").as("v"))
+      .distinct()
+    graft.dedup.Dedup.nearDupClusters(edges, "u", "v")
+      .select(col("id").as("user_id"), col("label").as("component"))
+      .orderBy("user_id")
+  }
+
   val all: Seq[QueryDef] = Seq(
     q1Agg, qScanProject, qFilterIn, qJoinInner, qJoinAnti, qJoinSemi,
     qJoinLeftOuter, qJoinCrossBounds, qJoinTheta, qJoinNullSafe, qJoinUsing,
     qUnionAll, qExcept, qRollup, qCube, qTopK, qWindowRank, qWindowFuncs,
     qWindowRange, qSubqueryExists, qTransitiveClosure, qBloomPrune,
     qGroupingSets, qIntersectAll, qTpchQ3, qTpchQ5, qMergeScd2, qFuzzyMatch,
-    qPageRank, qPageRankGeneral, qTriangles, qClusteringCoeff)
+    qPageRank, qPageRankGeneral, qTriangles, qClusteringCoeff,
+    qConnectedComponents)
 }

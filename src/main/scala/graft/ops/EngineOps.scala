@@ -27,7 +27,11 @@ object EngineOps {
   final class QueryHistory(capacity: Int = 1000) extends QueryExecutionListener {
     private val buf = new ConcurrentLinkedDeque[QueryRecord]()
 
-    private def push(r: QueryRecord): Unit = {
+    // synchronized: the listener bus delivers concurrently, and
+    // addLast-then-trim is not atomic — two in-flight pushes can both
+    // append before either trims, letting a reader observe size >
+    // capacity. Per-action cost, nowhere near a hot path.
+    private def push(r: QueryRecord): Unit = buf.synchronized {
       buf.addLast(r)
       while (buf.size() > capacity) buf.pollFirst()
     }
@@ -43,7 +47,7 @@ object EngineOps {
       push(QueryRecord(System.currentTimeMillis(),
         s"$funcName: ${exception.getMessage}", 0L, succeeded = false))
 
-    def history: Seq[QueryRecord] = buf.asScala.toSeq
+    def history: Seq[QueryRecord] = buf.synchronized(buf.asScala.toSeq)
 
     /** Slow-query report (reference threshold 1s,
       * `postgres_manager.py:542-559`). */
