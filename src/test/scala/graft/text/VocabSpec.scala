@@ -69,4 +69,38 @@ class VocabSpec extends SparkSpec {
       .as[(Long, Seq[String])].collect().head._2
     assert(seg === Seq("low", "est", "low"))
   }
+
+  test("property: bpeApply's column fold ≡ reference greedy merge on adversarial repeats") {
+    // reference greedy left-to-right non-overlapping merge
+    def refMerge(syms: List[String], l: String, r: String): List[String] = {
+      val out = scala.collection.mutable.ListBuffer.empty[String]
+      var rest = syms
+      while (rest.nonEmpty) rest match {
+        case a :: b :: tail if a == l && b == r => out += (l + r); rest = tail
+        case a :: tail => out += a; rest = tail
+        case Nil => ()
+      }
+      out.toList
+    }
+    val rnd = new scala.util.Random(20260814L)
+    val alphabet = Seq("a", "b")
+    // binary alphabet maximizes overlapping-pair traps (aaa, abab...)
+    val words = (1 to 40).map(_ =>
+      (1 to (2 + rnd.nextInt(8))).map(_ => alphabet(rnd.nextInt(2))).mkString)
+    val ruleSets = Seq(
+      Seq((1, "a", "a")),                         // self-overlap
+      Seq((1, "a", "b"), (2, "ab", "ab")),        // merged-token pairs
+      Seq((1, "b", "a"), (2, "a", "ba"), (3, "aba", "b")))
+    for (rules <- ruleSets) {
+      val expected = words.map(w =>
+        rules.sortBy(_._1).foldLeft(w.map(_.toString).toList) {
+          case (acc, (_, l, r)) => refMerge(acc, l, r)
+        })
+      val got = Vocab.bpeApply(
+          words.zipWithIndex.map { case (w, i) => (i.toLong, w) }
+            .toDF("id", "text"), "id", "text", rules)
+        .orderBy("id").as[(Long, Seq[String])].collect().map(_._2.toList)
+      assert(got.toSeq === expected, s"rules $rules")
+    }
+  }
 }
