@@ -92,14 +92,21 @@ object Tables {
 
   /** Format dispatch by file suffix — reference S8
     * (`file_utils.py:317-355`). Unknown suffixes fail loudly, like the
-    * reference's ValueError.
+    * reference's ValueError. Hadoop-codec compression extensions
+    * (.gz/.bz2/.deflate — transparently decompressed by the text
+    * readers) are stripped before dispatch, and `.jsonl` is accepted
+    * as JSON: compressed JSON-lines (`docs.jsonl.gz`) is the lingua
+    * franca of LLM corpus interchange and must not fall through to
+    * the unknown-suffix error.
     */
   def read(spark: SparkSession, path: String): DataFrame = {
     val lower = path.toLowerCase
+      .stripSuffix(".gz").stripSuffix(".bz2").stripSuffix(".deflate")
     if (lower.endsWith(".parquet")) spark.read.parquet(path)
     else if (lower.endsWith(".csv"))
       spark.read.option("header", "true").option("inferSchema", "true").csv(path)
-    else if (lower.endsWith(".json")) spark.read.json(path)
+    else if (lower.endsWith(".json") || lower.endsWith(".jsonl"))
+      spark.read.json(path)
     else if (lower.endsWith(".orc")) spark.read.orc(path)
     else if (lower.endsWith(".txt"))
       spark.read.option("header", "true").option("delimiter", "\t").csv(path)

@@ -48,4 +48,27 @@ class TablesSpec extends SparkSpec {
     assert(out.distinct.size === 1) // all truncate to the same µs
     new java.io.File(dir).delete()
   }
+
+  test("suffix dispatch reads compressed JSON-lines (.jsonl.gz — corpus interchange)") {
+    val dir = java.nio.file.Files.createTempDirectory("jl").toString
+    val f = new java.io.File(dir, "docs.jsonl.gz")
+    val out = new java.util.zip.GZIPOutputStream(
+      new java.io.FileOutputStream(f))
+    out.write(
+      """{"doc_id": 1, "text": "hello world"}
+        |{"doc_id": 2, "text": "second line"}
+        |""".stripMargin.getBytes("UTF-8"))
+    out.close()
+    val df = Tables.read(spark, f.getAbsolutePath)
+    assert(df.count() === 2)
+    assert(df.columns.toSet === Set("doc_id", "text"))
+    // uncompressed .jsonl dispatches identically
+    val f2 = new java.io.File(dir, "docs.jsonl")
+    java.nio.file.Files.writeString(f2.toPath, """{"doc_id": 3}""" + "\n")
+    assert(Tables.read(spark, f2.getAbsolutePath).count() === 1)
+    // unknown suffixes still fail loudly
+    intercept[RuntimeException] {
+      Tables.read(spark, s"$dir/docs.xyz")
+    }
+  }
 }
