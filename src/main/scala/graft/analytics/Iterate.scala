@@ -190,4 +190,63 @@ object Iterate {
       .select(col("ta").as("a"),
         (col("sum3") - col("ta") - col("tc")).as("b"), col("tc").as("c"))
   }
+
+  /** Single-source shortest paths over a weighted directed graph —
+    * frontier Bellman-Ford, the Pregel shape: each round relaxes only
+    * the edges leaving nodes whose distance improved LAST round (the
+    * delta frontier), so total work is proportional to improvements,
+    * not rounds × |E|. Per round: one equi-join of the frontier against
+    * the (cached) edge set shuffled on `src`, one min-aggregation on
+    * the destination key, one anti-join merge into the distance frame —
+    * all distributed, nothing driver-side beyond the empty-frontier
+    * test. Distance frames re-materialize via localCheckpoint so the
+    * plan stays flat across rounds (the [[pageRank]] lineage
+    * discipline). Weights are integral longs, so every distance is
+    * exact and the result oracle-able digit-for-digit against a
+    * bounded-walk recursive CTE.
+    *
+    * Parallel edges collapse to their min weight up front. Negative
+    * weights are rejected (Bellman-Ford tolerates them on DAGs but a
+    * bounded-walk oracle does not; the engine contract is
+    * non-negative).
+    *
+    * Output: (node, dist) for every node reachable from `source`.
+    */
+  def shortestPaths(edges: DataFrame, srcCol: String, dstCol: String,
+      weightCol: String, source: Long,
+      maxIterations: Int = 50): DataFrame = {
+    val e = edges.select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"),
+        col(weightCol).cast("long").as("w"))
+      .groupBy("src", "dst").agg(min(col("w")).as("w"))
+      .filter(col("w") >= 0)
+      .cache()
+    var dist = e.sparkSession.range(1)
+      .select(lit(source).as("node"), lit(0L).as("dist"))
+      .localCheckpoint(eager = true)
+    var frontier = dist
+    var iter = 0
+    var done = false
+    while (!done && iter < maxIterations) {
+      val relaxed = frontier
+        .join(e, frontier("node") === e("src"))
+        .select(col("dst").as("node"), (col("dist") + col("w")).as("cand"))
+        .groupBy("node").agg(min(col("cand")).as("cand"))
+      val fresh = relaxed
+        .join(dist.withColumnRenamed("dist", "od"), Seq("node"), "left")
+        .filter(col("od").isNull || col("cand") < col("od"))
+        .select(col("node"), col("cand").as("dist"))
+        .localCheckpoint(eager = true)
+      if (fresh.isEmpty) done = true
+      else {
+        dist = dist.join(fresh, Seq("node"), "left_anti")
+          .unionByName(fresh)
+          .localCheckpoint(eager = true)
+        frontier = fresh
+      }
+      iter += 1
+    }
+    e.unpersist()
+    dist
+  }
 }

@@ -985,6 +985,44 @@ object RelationalQueries {
       .orderBy("user_id")
   }
 
+  /** Weighted single-source shortest paths ([[Iterate.shortestPaths]]):
+    * frontier Bellman-Ford over a deterministic 25-node / out-degree-2
+    * weighted graph derived from nation (i → 7i mod 25 at weight
+    * i mod 5 + 1, i → 3i+1 mod 25 at weight i mod 7 + 1), source 0.
+    * Weights are integral, so distances are exact and the oracle is a
+    * digit-for-digit DuckDB bounded-walk recursive CTE (every walk of
+    * total weight < 200 — an upper bound on any 25-node shortest path
+    * at max edge weight 7 — then min per node). Proves the frontier
+    * delta loop ≡ SQL recursion, the same contract q_transitive_closure
+    * pins for the unweighted closure.
+    */
+  val qSssp: QueryDef = QueryDef.sql(
+    "q_sssp",
+    """WITH RECURSIVE edges AS (
+      |  SELECT n_nationkey AS src, (n_nationkey * 7) % 25 AS dst,
+      |         n_nationkey % 5 + 1 AS w FROM nation
+      |  UNION ALL
+      |  SELECT n_nationkey, (n_nationkey * 3 + 1) % 25,
+      |         n_nationkey % 7 + 1 FROM nation),
+      |walk AS (
+      |  SELECT 0 AS node, 0 AS d
+      |  UNION
+      |  SELECT e.dst, wk.d + e.w FROM walk wk JOIN edges e ON e.src = wk.node
+      |  WHERE wk.d + e.w < 200)
+      |SELECT node, min(d) AS dist FROM walk GROUP BY node
+      |ORDER BY node""".stripMargin,
+    doc = "weighted SSSP via frontier Bellman-Ford vs bounded-walk recursive CTE (graph analytics)") { (s, dir) =>
+    val n = t(s, dir, "nation")
+    val edges = n.select(col("n_nationkey").as("src"),
+        (col("n_nationkey") * 7 % 25).as("dst"),
+        (col("n_nationkey") % 5 + 1).as("w"))
+      .unionByName(n.select(col("n_nationkey").as("src"),
+        (col("n_nationkey") * 3 + 1) % 25 as "dst",
+        (col("n_nationkey") % 7 + 1).as("w")))
+    Iterate.shortestPaths(edges, "src", "dst", "w", source = 0L)
+      .orderBy("node")
+  }
+
   val all: Seq[QueryDef] = Seq(
     q1Agg, qScanProject, qFilterIn, qJoinInner, qJoinAnti, qJoinSemi,
     qJoinLeftOuter, qJoinCrossBounds, qJoinTheta, qJoinNullSafe, qJoinUsing,
@@ -992,5 +1030,5 @@ object RelationalQueries {
     qWindowRange, qSubqueryExists, qTransitiveClosure, qBloomPrune,
     qGroupingSets, qIntersectAll, qTpchQ3, qTpchQ5, qMergeScd2, qFuzzyMatch,
     qPageRank, qPageRankGeneral, qTriangles, qClusteringCoeff,
-    qConnectedComponents)
+    qConnectedComponents, qSssp)
 }
