@@ -849,10 +849,71 @@ object EventQueries {
       .orderBy("event_id")
   }
 
+  /** Exponentially-weighted moving average over each type's reading
+    * sequence — the classic meter-smoothing primitive, in its
+    * K-truncated *adjusted* form (pandas `ewm(adjust=True)` cut at 8
+    * lags): y_i = Σ_{k<8} β^k·x_{i−k} / Σ_{k<8} β^k with β = 0.75,
+    * summed only over lags that exist. Truncation is what makes the
+    * recursion distributable: 8 bounded window lags instead of an
+    * unbounded sequential scan, so at scale the per-type partition can
+    * be split into time chunks with a K-row overlap and every chunk
+    * computed independently (the recursive form can't). β^k weights
+    * are EXACT decimal literals and x is decimal-cast, so numerator
+    * and denominator are order-independent exact decimals in both
+    * engines; only the final division runs in IEEE double on
+    * bit-identical inputs.
+    */
+  val qEwma: QueryDef = {
+    val beta = BigDecimal("0.75")
+    val kMax = 8
+    val weights = (0 until kMax).map(beta.pow)
+    val wLits = weights.map(w => s"CAST($w AS DECIMAL(16,14))")
+    val lagSql = (k: Int) =>
+      if (k == 0) "x" else s"lag(x, $k) OVER w"
+    val numSql = (0 until kMax)
+      .map(k => s"coalesce(${lagSql(k)} * ${wLits(k)}, 0)").mkString(" + ")
+    val denSql = (0 until kMax)
+      .map(k => s"CASE WHEN ${lagSql(k)} IS NOT NULL THEN ${wLits(k)} ELSE 0 END")
+      .mkString(" + ")
+    QueryDef.sql(
+      "q_ewma",
+      s"""SELECT event_id, event_type,
+        |  CAST(round(CAST(num AS DOUBLE) / CAST(den AS DOUBLE), 6) AS DOUBLE) AS ewma
+        |FROM (
+        |  SELECT event_id, event_type,
+        |    $numSql AS num,
+        |    $denSql AS den
+        |  FROM (SELECT event_id, event_type, ts,
+        |          CAST(value AS DECIMAL(18,6)) AS x FROM events)
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id))
+        |ORDER BY event_type, event_id""".stripMargin,
+      doc = "K-truncated adjusted EWMA smoothing, exact-decimal weights (time series)") { (s, dir) =>
+      val w = Window.partitionBy("event_type")
+        .orderBy(col("ts"), col("event_id"))
+      val base = t(s, dir, "events").select(col("event_id"),
+        col("event_type"), col("ts"), col("value").cast("decimal(18,6)").as("x"))
+      val lagK = (k: Int) => if (k == 0) col("x") else lag(col("x"), k).over(w)
+      val zero = lit(BigDecimal(0)).cast("decimal(16,14)")
+      val num = (0 until kMax).map { k =>
+        coalesce(lagK(k) * lit(weights(k)).cast("decimal(16,14)"), lit(0))
+      }.reduce(_ + _)
+      val den = (0 until kMax).map { k =>
+        when(lagK(k).isNotNull, lit(weights(k)).cast("decimal(16,14)"))
+          .otherwise(zero)
+      }.reduce(_ + _)
+      base.select(col("event_id"), col("event_type"),
+          num.as("num"), den.as("den"))
+        .select(col("event_id"), col("event_type"),
+          round(col("num").cast("double") / col("den").cast("double"), 6)
+            .cast("double").as("ewma"))
+        .orderBy("event_type", "event_id")
+    }
+  }
+
   val all: Seq[QueryDef] = Seq(
     qTimeWindow, qLagGaps, qOverlapSemi, qScalarFuncs, qJsonBuild, qSessionize,
     qMapFuncs, qAsofJoin, qAsofTolerance, qAsofForward, qAsofNearest,
     qRangeJoin, qRangeJoinSkew, qIntervalOverlap, qFunnel, qRetention,
     qGapFill, qInterpolate, qLoadProfile, qSlidingWindow, qForecastBaseline,
-    qTrendOls, qAnomaliesSeasonal)
+    qTrendOls, qAnomaliesSeasonal, qEwma)
 }

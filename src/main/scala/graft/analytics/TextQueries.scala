@@ -1188,12 +1188,68 @@ object TextQueries {
       .orderBy("shard")
   }
 
+  /** Class-based TF-IDF (BERTopic's c-TF-IDF): treat each `source`
+    * as one pseudo-document, score term t in class c as
+    * tf_{t,c} · ln(1 + A / f_t) with A = average tokens per class and
+    * f_t the corpus-wide term frequency — the cluster-labeling step of
+    * topic modeling over a clustered corpus (what [[qTfidf]] is to
+    * documents, this is to classes). Top-5 salient terms per class.
+    *
+    * Scale shape: the token explosion happens once; class-term counts
+    * map-side combine on (source, token); corpus frequencies and the
+    * scalar A are one more aggregate each, broadcast back — output is
+    * O(classes · 5). The per-class window ranks |vocab| rows per
+    * class, shuffled on the class key.
+    */
+  val qCtfidf: QueryDef = QueryDef.sql(
+    "q_ctfidf",
+    """WITH tok AS (
+      |  SELECT source, unnest(string_split_regex(lower(trim(text)),
+      |    '[\s[:punct:]]+')) AS token
+      |  FROM documents),
+      |tokf AS (SELECT source, token FROM tok WHERE token <> ''),
+      |ctf AS (SELECT source, token, count(*) AS tf FROM tokf GROUP BY 1, 2),
+      |ft AS (SELECT token, count(*) AS ft FROM tokf GROUP BY 1),
+      |a AS (SELECT count(*) / CAST((SELECT count(DISTINCT source) FROM tokf)
+      |               AS DOUBLE) AS a FROM tokf)
+      |SELECT source, token, tf,
+      |  CAST(round(score_raw, 6) AS DOUBLE) AS score
+      |FROM (
+      |  SELECT c.source, c.token, c.tf,
+      |    c.tf * ln(1 + a.a / f.ft) AS score_raw,
+      |    row_number() OVER (PARTITION BY c.source
+      |      ORDER BY c.tf * ln(1 + a.a / f.ft) DESC, c.token) AS rn
+      |  FROM ctf c JOIN ft f USING (token) CROSS JOIN a)
+      |WHERE rn <= 5
+      |ORDER BY source, score DESC, token""".stripMargin,
+    doc = "c-TF-IDF top-5 salient terms per class/cluster (topic labeling)") { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val tok = t(s, dir, "documents")
+      .select(col("source"),
+        explode(split(lower(trim(col("text"))), "[\\s\\p{Punct}]+")).as("token"))
+      .filter(col("token") =!= "")
+    val ctf = tok.groupBy("source", "token").agg(count(lit(1)).as("tf"))
+    val ft = tok.groupBy("token").agg(count(lit(1)).as("ft"))
+    val a = tok.agg((count(lit(1)) /
+      countDistinct("source").cast("double")).as("a"))
+    val w = Window.partitionBy("source")
+      .orderBy(col("score_raw").desc, col("token"))
+    ctf.join(ft, "token").crossJoin(broadcast(a))
+      .withColumn("score_raw",
+        col("tf") * log(lit(1) + col("a") / col("ft")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+      .select(col("source"), col("token"), col("tf"),
+        round(col("score_raw"), 6).cast("double").as("score"))
+      .orderBy(col("source"), col("score").desc, col("token"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     qTextTokens, qTextQuality, qTextLangId, qTextFingerprint, qTokenFreq,
     qSelectPipeline, qPackSequences, qTextRedact, qCuratePipeline,
     qDecontaminate, qDecontaminateFuzzy, qTfidf, qQualityRules, qUrlDedup,
     qQualityRepetition, qChunkTokens, qSplitHash, qCorpusReport, qCurateV2,
     qVocabEncode, qTextUnigramNll, qTextBm25, qDsirWeights, qSpanDupReport,
-    qSpanRemove, qBpePairs, qShardBalanced)
+    qSpanRemove, qBpePairs, qShardBalanced, qCtfidf)
 
 }
