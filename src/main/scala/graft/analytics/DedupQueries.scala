@@ -495,9 +495,44 @@ object DedupQueries {
       .select("n_docs", "n_survivors")
   }
 
+  /** Prefix-filtered EXACT set-similarity join
+    * ([[Dedup.setSimJoinPrefix]]): the deterministic-recall scale
+    * path for Jaccard-threshold pairs — inverted-index join on
+    * rare-first prefixes + size filter + merge-walk verification —
+    * run over the WHOLE corpus (no doc_id scope: the algorithm's
+    * point is that it doesn't need one). Oracle is the naive
+    * all-pairs cross join; identical output proves the prefix filter
+    * loses nothing.
+    */
+  val qSetsimPrefix: QueryDef = QueryDef.sql(
+    "q_setsim_prefix",
+    """WITH sh AS (
+      |  SELECT doc_id,
+      |    list_distinct([array_to_string(tk[i:i+1], ' ')
+      |                   FOR i IN range(1, greatest(len(tk), 2))]) AS sh
+      |  FROM (SELECT doc_id,
+      |          string_split_regex(lower(trim(text)), '[\s[:punct:]]+') AS tk
+      |        FROM documents))
+      |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |  CAST(round(len(list_intersect(a.sh, b.sh)) /
+      |    (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) AS DOUBLE)
+      |    AS jaccard
+      |FROM sh a CROSS JOIN sh b
+      |WHERE a.doc_id < b.doc_id
+      |  AND len(list_intersect(a.sh, b.sh)) /
+      |    (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.3
+      |ORDER BY id_a, id_b""".stripMargin,
+    doc = "exact Jaccard join via prefix filtering, whole corpus (dedup ops)") { (s, dir) =>
+    Dedup.setSimJoinPrefix(t(s, dir, "documents"),
+        "doc_id", "text", shingleSize = 2, minJaccard = 0.3)
+      .select(col("id_a"), col("id_b"),
+        round(col("jaccard"), 6).cast("double").as("jaccard"))
+      .orderBy("id_a", "id_b")
+  }
+
   val all: Seq[QueryDef] = Seq(
     qDedupExact, qNgramJaccard, qEmbedNearDup, qDedupMinhash,
     qDedupMinhashPlanted, qDedupSimhash, qDedupSimhashPlanted,
     qDedupClusters, qDedupPipeline, qDedupIncremental, qSemanticDedup,
-    qDedupScale10x)
+    qDedupScale10x, qSetsimPrefix)
 }

@@ -251,6 +251,59 @@ object Dedup {
       .filter(col("jaccard") >= minJaccard)
   }
 
+  /** EXACT all-pairs Jaccard-threshold join via prefix filtering — the
+    * AllPairs/PPJoin shape (Bayardo et al., WWW'07; Chaudhuri et al.,
+    * ICDE'06): deterministic-recall scale path where MinHash-LSH is the
+    * probabilistic one.
+    *
+    * Shingle-hash sets are ordered RARE-FIRST by global document
+    * frequency; a pair with J ≥ τ must share a token within each set's
+    * first |x| − ⌈τ·|x|⌉ + 1 tokens of that order (prefix-filter
+    * lemma: J ≥ τ forces overlap ≥ ⌈τ·|x|⌉, and two sets overlapping
+    * that much cannot avoid each other's prefixes). So candidate
+    * generation is an inverted-index equi-join on PREFIX tokens only —
+    * the frequent tokens that explode a naive token join are exactly
+    * the ones the rare-first prefix excludes — plus the size filter
+    * |B| ≥ ⌈τ·|A|⌉ (J ≥ τ bounds size ratio by τ). Survivors verify
+    * with one exact merge-walk Jaccard per candidate pair.
+    *
+    * Scale: shuffles on shingle-hash (prefix join) and pair keys
+    * (verify); per-doc work is one partitioned window; no cross join
+    * at any size. Same output contract as [[ngramJaccardPairs]] —
+    * spec-proven identical.
+    */
+  def setSimJoinPrefix(df: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int, minJaccard: Double): DataFrame = {
+    require(minJaccard > 0 && minJaccard <= 1,
+      s"minJaccard must be in (0,1], got $minJaccard")
+    val spark = df.sparkSession
+    val sh = df.select(col(idCol).as("id"),
+        shingleHashes(spark, col(textCol), shingleSize).as("sh"))
+      .withColumn("len", size(col("sh")))
+      .filter(col("len") > 0)
+      .cache()
+    val tok = sh.select(col("id"), col("len"), explode(col("sh")).as("tk"))
+    val dfreq = tok.groupBy("tk").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy("id").orderBy(col("df"), col("tk"))
+    val prefix = tok.join(dfreq, "tk")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <=
+        col("len") - ceil(lit(minJaccard) * col("len")) + 1)
+      .select(col("id"), col("len"), col("tk"))
+    val cand = prefix.as("a").join(prefix.as("b"),
+        col("a.tk") === col("b.tk") && col("a.id") < col("b.id") &&
+          col("b.len") >= ceil(lit(minJaccard) * col("a.len")) &&
+          col("a.len") >= ceil(lit(minJaccard) * col("b.len")))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    cand
+      .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        jaccardColumn(spark, col("sh_a"), col("sh_b")).as("jaccard"))
+      .filter(col("jaccard") >= minJaccard)
+  }
+
   // ---------------------------------------------------------- SimHash
 
   /** 64-bit SimHash as BIGINT: bit i is set iff the sum over tokens of

@@ -1,0 +1,66 @@
+package graft.dedup
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** [[Dedup.setSimJoinPrefix]] — exactness contract: the prefix-filtered
+  * join must produce the IDENTICAL pair set (and Jaccard values) as the
+  * brute-force all-pairs join, at every threshold, on planted dups,
+  * real smoke docs, and a skew-stressed corpus where one token appears
+  * in every document.
+  */
+class PrefixJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def pairs(df: org.apache.spark.sql.DataFrame,
+      n: Int, tau: Double, prefix: Boolean) = {
+    val run = if (prefix) Dedup.setSimJoinPrefix(df, "id", "text", n, tau)
+      else Dedup.ngramJaccardPairs(df, "id", "text", n, tau)
+    run.select($"id_a", $"id_b", round($"jaccard", 9).as("j"))
+      .as[(Long, Long, Double)].collect().toSet
+  }
+
+  private def parity(docs: Seq[(Long, String)], n: Int, tau: Double): Unit = {
+    val df = docs.toDF("id", "text")
+    val got = pairs(df, n, tau, prefix = true)
+    val want = pairs(df, n, tau, prefix = false)
+    assert(got === want, s"divergence at n=$n tau=$tau")
+  }
+
+  test("planted near-dups: prefix join ≡ brute force across thresholds") {
+    val docs = Seq(
+      1L -> "the quick brown fox jumps over the lazy dog",
+      2L -> "the quick brown fox jumps over the lazy cat",
+      3L -> "the quick brown fox leaps over the lazy dog",
+      4L -> "an entirely different sentence about spark engines",
+      5L -> "an entirely different sentence about spark clusters",
+      6L -> "the quick brown fox jumps over the lazy dog") // exact dup of 1
+    Seq(0.2, 0.5, 0.8, 1.0).foreach(tau => parity(docs, 2, tau))
+  }
+
+  test("skew stress: a token present in EVERY doc cannot explode candidates") {
+    // every doc shares 'common'; rare-first prefixes must exclude it
+    val docs = (0L until 40L).map(i =>
+      i -> s"common w${i % 7} x${i % 11} y${i % 13} z$i tail${i % 3}")
+    Seq(0.3, 0.6).foreach(tau => parity(docs, 1, tau))
+  }
+
+  test("real smoke docs at unigram and bigram shingles") {
+    val df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"doc_id".as("id"), $"text")
+    Seq((2, 0.3), (1, 0.7)).foreach { case (n, tau) =>
+      val got = pairs(df, n, tau, prefix = true)
+      val want = pairs(df, n, tau, prefix = false)
+      assert(got === want, s"divergence at n=$n tau=$tau")
+      if (n == 2) assert(got.nonEmpty, "expected planted near-dups")
+    }
+  }
+
+  test("tau = 1.0 keeps only identical shingle sets") {
+    val docs = Seq(
+      1L -> "alpha beta gamma", 2L -> "alpha beta gamma",
+      3L -> "alpha beta delta")
+    val got = pairs(docs.toDF("id", "text"), 1, 1.0, prefix = true)
+    assert(got === Set((1L, 2L, 1.0)))
+  }
+}
