@@ -124,4 +124,56 @@ object StreamStats {
       .agg(sum(col("n")).as("n"), sum(col("sy")).as("sy"))
       .select(groupCols.map(col) ++ Seq(col("n"),
         (col("sy").cast("double") / col("n")).as("mean")): _*)
+
+  /** Sink table for per-(group, batch) HLL sketch partials. */
+  def hllTable(name: String): String = s"${name}__hll_partials"
+
+  /** Streaming distinct-count via MERGEABLE HLL sketches — the stream
+    * face of `q_hll_distinct`/`q_sketch_rollup`: each micro-batch
+    * contributes one Datasketches-HLL binary per group (KB-sized
+    * however many rows the batch held), under the same
+    * batch_id-partition replay idiom as the OLS partials. The union of
+    * sketch partials is associative and commutative, so ANY batching
+    * of the input yields the same merged registers as the per-batch
+    * union computed one-shot in batch — stream ≡ batch parity at the
+    * SKETCH level (estimates agree exactly with the identically
+    * partitioned batch union; vs a single one-shot sketch they agree
+    * within the lgK error bound, the q_sketch_rollup coupon-promotion
+    * caveat). State is O(groups · batches) KB-rows; readers never
+    * rescan history — this is the day-summary pattern run
+    * continuously.
+    */
+  def hllStream(wh: Warehouse, name: String, rows: DataFrame,
+      groupCols: Seq[String], keyCol: String, checkpoint: String,
+      lgK: Int = 12,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    val sink = hllTable(name)
+    rows.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val part = batch
+          .groupBy(groupCols.map(col): _*)
+          .agg(call_function("hll_sketch_agg", col(keyCol), lit(lgK))
+            .as("sk"))
+          .withColumn("batch_id", lit(batchId))
+        if (!wh.tableExists(sink))
+          wh.createTable(sink, part.schema, ifExists = "skip",
+            partitionBy = Seq("batch_id"))
+        wh.deleteWhere(sink, col("batch_id") === batchId)
+        wh.append(sink, part)
+        ()
+      }
+      .start()
+  }
+
+  /** Current distinct estimate per group: union all sketch partials,
+    * estimate once. Output: (groupCols..., est). */
+  def currentDistinct(wh: Warehouse, name: String,
+      groupCols: Seq[String]): DataFrame =
+    wh.read(hllTable(name))
+      .groupBy(groupCols.map(col): _*)
+      .agg(call_function("hll_sketch_estimate",
+        call_function("hll_union_agg", col("sk"))).as("est"))
 }

@@ -94,4 +94,51 @@ class StreamStatsSpec extends SparkSpec {
     }
     assert(got === exp) // n=5 per cell; means exact
   }
+
+  test("streamed HLL partials union ≡ identically-batched union; estimate in bound") {
+    val wh = new Warehouse(spark, Files.createTempDirectory("sh_wh").toString)
+    val in = Files.createTempDirectory("sh_in").toString
+    val ckpt = Files.createTempDirectory("sh_ckpt").toString
+    // two groups; overlapping keys across waves so union ≠ sum
+    val w1 = (0 until 400).map(i => ("a", i.toLong)) ++
+      (0 until 150).map(i => ("b", i.toLong))
+    val w2 = (200 until 600).map(i => ("a", i.toLong)) ++
+      (100 until 300).map(i => ("b", i.toLong))
+
+    def drain(): Unit = {
+      val schema = spark.read.parquet(in).schema
+      val stream = StreamIngest.readFileStream(spark, in, schema)
+      StreamStats.hllStream(wh, "card", stream, Seq("g"), "k",
+        checkpoint = ckpt).awaitTermination()
+    }
+    w1.toDF("g", "k").coalesce(1).write.mode("append").parquet(in)
+    drain()
+    w2.toDF("g", "k").coalesce(1).write.mode("append").parquet(in)
+    drain()
+
+    val got = StreamStats.currentDistinct(wh, "card", Seq("g"))
+      .as[(String, Long)].collect().toMap
+
+    // batch twin with the SAME wave partition: per-wave sketches unioned
+    val batchTwin = Seq(w1, w2).zipWithIndex
+      .map { case (w, i) => w.toDF("g", "k").withColumn("b", lit(i)) }
+      .reduce(_ unionByName _)
+      .groupBy($"g", $"b")
+      .agg(call_function("hll_sketch_agg", $"k", lit(12)).as("sk"))
+      .groupBy($"g")
+      .agg(call_function("hll_sketch_estimate",
+        call_function("hll_union_agg", $"sk")).as("est"))
+      .as[(String, Long)].collect().toMap
+    assert(got === batchTwin) // sketch-level parity, exact
+
+    val exact = (w1 ++ w2).groupBy(_._1).view
+      .mapValues(_.map(_._2).distinct.size.toLong).toMap
+    got.foreach { case (g, est) =>
+      assert(math.abs(est - exact(g)).toDouble <= 0.05 * exact(g),
+        s"group $g: est $est vs exact ${exact(g)}")
+    }
+
+    drain() // nothing new: partials unchanged
+    assert(wh.read(StreamStats.hllTable("card")).count() === 4)
+  }
 }
