@@ -573,9 +573,50 @@ object AggregateQueries {
     a.crossJoin(b)
   }
 
+  /** Robust anomaly detection via the modified z-score (Iglewicz &
+    * Hoaglin): 0.6745·|v − median| / MAD > 3.5 per group — the
+    * median/MAD twin of [[qAnomalies]]'s mean/σ rule, immune to the
+    * outliers it hunts (one broken meter inflates σ and hides itself;
+    * it cannot move the median). Exactness rides on the interpolated-
+    * percentile parity [[qPercentiles]] pins: both medians are the
+    * same rational interpolation in both engines, deviations are
+    * identical doubles, so the flagged set matches row for row.
+    * Shape: two aggregate passes + one broadcast-back filter — group
+    * medians are O(groups) and broadcast, never a global sort.
+    */
+  val qAnomaliesMad: QueryDef = QueryDef.sql(
+    "q_anomalies_mad",
+    """WITH m AS (
+      |  SELECT event_type, quantile_cont(value, 0.5) AS med
+      |  FROM events GROUP BY 1),
+      |d AS (
+      |  SELECT e.event_type, min(m.med) AS med,
+      |    quantile_cont(abs(e.value - m.med), 0.5) AS mad
+      |  FROM events e JOIN m USING (event_type)
+      |  GROUP BY e.event_type)
+      |SELECT e.event_id, e.event_type, e.value
+      |FROM events e JOIN d USING (event_type)
+      |WHERE 0.6745 * abs(e.value - d.med) / d.mad > 3.5
+      |ORDER BY e.event_id""".stripMargin,
+    doc = "robust outliers via median/MAD modified z-score (monitoring)") { (s, dir) =>
+    val ev = t(s, dir, "events")
+    val med = ev.groupBy(col("event_type"))
+      .agg(expr("percentile(value, 0.5)").as("med"))
+    val mad = ev.join(broadcast(med), "event_type")
+      .groupBy(col("event_type"))
+      .agg(min(col("med")).as("med"),
+        expr("percentile(abs(value - med), 0.5)").as("mad"))
+    ev.join(broadcast(mad), "event_type")
+      .filter(lit(0.6745) * abs(col("value") - col("med")) / col("mad")
+        > 3.5)
+      .select(col("event_id"), col("event_type"), col("value"))
+      .orderBy("event_id")
+  }
+
   val all: Seq[QueryDef] = Seq(
     qProfileStats, qCollectAgg, qCondRatios, qCaseAgg, qDistinctPairs,
     qSortNullsLast, qPercentiles, qPivot, qMonotonic, qSkewReport,
     qHistogram, qApproxProfile, qCorrelations, qHeavyHitters, qCmsCounts,
-    qHllDistinct, qSketchRollup, qMetricsRollup, qAnomalies, qFkOrphans)
+    qHllDistinct, qSketchRollup, qMetricsRollup, qAnomalies, qFkOrphans,
+    qAnomaliesMad)
 }

@@ -270,6 +270,95 @@ object SimilarityQueries {
         queryId = 0L, depth = 20, k = 60)
   }
 
+  /** Retrieval evaluation — MRR, recall@10, nDCG@10 per query, the
+    * metric layer every retrieval stack (BM25 / ANN / hybrid RRF)
+    * needs to be tuned against. Queries are every 50th vector;
+    * relevance is label equality (the corpus's ground-truth
+    * clustering); ranking is the exact cosine ordering with id
+    * tiebreak. Discount terms 1/log2(rank+1) — only 10 distinct
+    * values — are decimal-cast BEFORE summing so DCG/IDCG are
+    * order-independent exact sums; the final divisions run in double
+    * on identical inputs.
+    *
+    * Scale shape: queries broadcast against one corpus scan (the
+    * bruteForceTopK pattern); metrics are one aggregation per query
+    * over its ranked list; the IDCG helper joins a 10-row broadcast
+    * range — output O(|queries|).
+    */
+  val qRetrievalEval: QueryDef = QueryDef.sql(
+    "q_retrieval_eval",
+    """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+      |q AS (SELECT vec_id AS query_id, label AS qlabel, v AS qv
+      |      FROM e WHERE vec_id % 50 = 0),
+      |s AS (
+      |  SELECT q.query_id, q.qlabel, e.vec_id AS corpus_id,
+      |    CASE WHEN e.label = q.qlabel THEN 1 ELSE 0 END AS rel,
+      |    CASE WHEN sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.qv, q.qv)) = 0
+      |      THEN 0.0
+      |      ELSE list_dot_product(e.v, q.qv) /
+      |        (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.qv, q.qv))) END
+      |      AS cosine
+      |  FROM e CROSS JOIN q WHERE e.vec_id != q.query_id),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+      |        ORDER BY cosine DESC, corpus_id) AS rnk FROM s),
+      |m AS (SELECT query_id, qlabel,
+      |        min(CASE WHEN rel = 1 THEN rnk END) AS first_rel,
+      |        sum(CASE WHEN rel = 1 AND rnk <= 10 THEN 1 ELSE 0 END) AS rel10,
+      |        sum(rel) AS r_total,
+      |        sum(CASE WHEN rel = 1 AND rnk <= 10
+      |              THEN CAST(1.0 / log2(rnk + 1) AS DECIMAL(18,12))
+      |              ELSE CAST(0 AS DECIMAL(18,12)) END) AS dcg
+      |      FROM r GROUP BY 1, 2),
+      |i AS (SELECT query_id,
+      |        sum(CAST(1.0 / log2(k + 1) AS DECIMAL(18,12))) AS idcg
+      |      FROM m CROSS JOIN range(1, 11) t(k)
+      |      WHERE k <= least(r_total, 10) GROUP BY 1)
+      |SELECT m.query_id, m.qlabel AS label,
+      |  CAST(round(1.0 / first_rel, 6) AS DOUBLE) AS rr,
+      |  CAST(round(rel10 / CAST(r_total AS DOUBLE), 6) AS DOUBLE) AS recall10,
+      |  CAST(round(CAST(dcg AS DOUBLE) / CAST(idcg AS DOUBLE), 6) AS DOUBLE) AS ndcg10
+      |FROM m JOIN i USING (query_id)
+      |ORDER BY query_id""".stripMargin,
+    doc = "retrieval metrics: MRR, recall@10, nDCG@10 vs label ground truth (similarity eval)") { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val emb = t(s, dir, "embeddings")
+    val q = emb.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("query_id"), col("label").as("qlabel"),
+        col("embedding").as("qv"))
+    val scored = emb.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("qlabel"),
+        when(col("label") === col("qlabel"), 1).otherwise(0).as("rel"),
+        Similarity.cosine(col("embedding"), col("qv")).as("cosine"),
+        col("vec_id").as("corpus_id"))
+    val r = scored.withColumn("rnk",
+      row_number().over(Window.partitionBy("query_id")
+        .orderBy(col("cosine").desc, col("corpus_id"))))
+    val zeroDec = lit(BigDecimal(0)).cast("decimal(18,12)")
+    val m = r.groupBy("query_id", "qlabel").agg(
+      min(when(col("rel") === 1, col("rnk"))).as("first_rel"),
+      sum(when(col("rel") === 1 && col("rnk") <= 10, 1).otherwise(0)).as("rel10"),
+      sum(col("rel")).as("r_total"),
+      sum(when(col("rel") === 1 && col("rnk") <= 10,
+        (lit(1.0) / log2(col("rnk") + 1)).cast("decimal(18,12)"))
+        .otherwise(zeroDec)).as("dcg"))
+    val ks = s.range(1, 11).select(col("id").as("k"))
+    val idcg = m.select(col("query_id"), col("r_total"))
+      .crossJoin(broadcast(ks))
+      .filter(col("k") <= least(col("r_total"), lit(10)))
+      .groupBy("query_id")
+      .agg(sum((lit(1.0) / log2(col("k") + 1)).cast("decimal(18,12)"))
+        .as("idcg"))
+    m.join(idcg, "query_id")
+      .select(col("query_id"), col("qlabel").as("label"),
+        round(lit(1.0) / col("first_rel"), 6).cast("double").as("rr"),
+        round(col("rel10") / col("r_total").cast("double"), 6)
+          .cast("double").as("recall10"),
+        round(col("dcg").cast("double") / col("idcg").cast("double"), 6)
+          .cast("double").as("ndcg10"))
+      .orderBy("query_id")
+  }
+
   val all: Seq[QueryDef] = Seq(qSimTopK, qSimLsh, qSimIvf, qQuantize,
-    qSimQuantized, qEmbedCentroid, qHybridRrf)
+    qSimQuantized, qEmbedCentroid, qHybridRrf, qRetrievalEval)
 }
