@@ -910,10 +910,41 @@ object EventQueries {
     }
   }
 
+  /** Behavioral path mining: the top-10 most frequent 3-step
+    * event-type sequences across user journeys — consecutive trigrams
+    * via two window leads per user ordered by (ts, id), then one
+    * count aggregate. The classic product-analytics "common paths"
+    * query; output is O(|type|³) bounded regardless of corpus size,
+    * and the only shuffles are the per-user window and the count.
+    */
+  val qEventPaths: QueryDef = QueryDef.sql(
+    "q_event_paths",
+    """WITH s AS (
+      |  SELECT event_type AS e1,
+      |    lead(event_type, 1) OVER w AS e2,
+      |    lead(event_type, 2) OVER w AS e3
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+      |SELECT e1 || '>' || e2 || '>' || e3 AS path, count(*) AS n
+      |FROM s WHERE e3 IS NOT NULL
+      |GROUP BY 1 ORDER BY n DESC, path LIMIT 10""".stripMargin,
+    doc = "top-10 3-step user event paths via window leads (behavioral analytics)") { (s, dir) =>
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    t(s, dir, "events")
+      .select(col("event_type").as("e1"),
+        lead(col("event_type"), 1).over(w).as("e2"),
+        lead(col("event_type"), 2).over(w).as("e3"))
+      .filter(col("e3").isNotNull)
+      .select(concat_ws(">", col("e1"), col("e2"), col("e3")).as("path"))
+      .groupBy("path").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("path"))
+      .limit(10)
+  }
+
   val all: Seq[QueryDef] = Seq(
     qTimeWindow, qLagGaps, qOverlapSemi, qScalarFuncs, qJsonBuild, qSessionize,
     qMapFuncs, qAsofJoin, qAsofTolerance, qAsofForward, qAsofNearest,
     qRangeJoin, qRangeJoinSkew, qIntervalOverlap, qFunnel, qRetention,
     qGapFill, qInterpolate, qLoadProfile, qSlidingWindow, qForecastBaseline,
-    qTrendOls, qAnomaliesSeasonal, qEwma)
+    qTrendOls, qAnomaliesSeasonal, qEwma, qEventPaths)
 }

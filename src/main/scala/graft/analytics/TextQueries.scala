@@ -1244,12 +1244,63 @@ object TextQueries {
       .orderBy(col("source"), col("score").desc, col("token"))
   }
 
+  /** Data-mixing diagnostics: per-source KL divergence of the token
+    * distribution from the whole-corpus distribution —
+    * KL(P_src ‖ P_corpus) = Σ_t p·ln(p/q). The quantitative "how
+    * different is this slice" a mixture designer reads next to DSIR
+    * weights. Every source token is by construction in the corpus, so
+    * q > 0 and the sum is finite. Each double term is decimal-cast
+    * BEFORE summing (identical doubles in both engines → identical
+    * decimals → order-independent exact sum); counts themselves are
+    * exact. Shape: one token explosion, two count aggregates, one
+    * broadcast-back join — output O(sources).
+    */
+  val qCorpusDivergence: QueryDef = QueryDef.sql(
+    "q_corpus_divergence",
+    """WITH tok AS (
+      |  SELECT source, unnest(string_split_regex(lower(trim(text)),
+      |    '[\s[:punct:]]+')) AS token
+      |  FROM documents),
+      |tokf AS (SELECT source, token FROM tok WHERE token <> ''),
+      |st AS (SELECT source, token, count(*) AS c FROM tokf GROUP BY 1, 2),
+      |stot AS (SELECT source, count(*) AS n FROM tokf GROUP BY 1),
+      |ct AS (SELECT token, count(*) AS cc FROM tokf GROUP BY 1),
+      |ctot AS (SELECT count(*) AS cn FROM tokf)
+      |SELECT st.source, min(stot.n) AS n_tokens,
+      |  CAST(round(CAST(sum(CAST(
+      |    (st.c / CAST(stot.n AS DOUBLE)) *
+      |    ln((st.c / CAST(stot.n AS DOUBLE)) /
+      |       (ct.cc / CAST(ctot.cn AS DOUBLE)))
+      |    AS DECIMAL(20,12))) AS DOUBLE), 6) AS DOUBLE) AS kl
+      |FROM st JOIN stot USING (source) JOIN ct USING (token) CROSS JOIN ctot
+      |GROUP BY st.source
+      |ORDER BY source""".stripMargin,
+    doc = "per-source KL divergence from corpus token distribution (mixture diagnostics)") { (s, dir) =>
+    val tok = t(s, dir, "documents")
+      .select(col("source"),
+        explode(split(lower(trim(col("text"))), "[\\s\\p{Punct}]+")).as("token"))
+      .filter(col("token") =!= "")
+    val st = tok.groupBy("source", "token").agg(count(lit(1)).as("c"))
+    val stot = tok.groupBy("source").agg(count(lit(1)).as("n"))
+    val ct = tok.groupBy("token").agg(count(lit(1)).as("cc"))
+    val ctot = tok.agg(count(lit(1)).as("cn"))
+    val p = col("c") / col("n").cast("double")
+    val q = col("cc") / col("cn").cast("double")
+    st.join(broadcast(stot), "source").join(ct, "token")
+      .crossJoin(broadcast(ctot))
+      .groupBy(col("source"))
+      .agg(min(col("n")).as("n_tokens"),
+        round(sum((p * log(p / q)).cast("decimal(20,12)")).cast("double"), 6)
+          .cast("double").as("kl"))
+      .orderBy("source")
+  }
+
   val all: Seq[QueryDef] = Seq(
     qTextTokens, qTextQuality, qTextLangId, qTextFingerprint, qTokenFreq,
     qSelectPipeline, qPackSequences, qTextRedact, qCuratePipeline,
     qDecontaminate, qDecontaminateFuzzy, qTfidf, qQualityRules, qUrlDedup,
     qQualityRepetition, qChunkTokens, qSplitHash, qCorpusReport, qCurateV2,
     qVocabEncode, qTextUnigramNll, qTextBm25, qDsirWeights, qSpanDupReport,
-    qSpanRemove, qBpePairs, qShardBalanced, qCtfidf)
+    qSpanRemove, qBpePairs, qShardBalanced, qCtfidf, qCorpusDivergence)
 
 }
