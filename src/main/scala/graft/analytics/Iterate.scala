@@ -214,7 +214,7 @@ object Iterate {
     */
   def shortestPaths(edges: DataFrame, srcCol: String, dstCol: String,
       weightCol: String, source: Long,
-      maxIterations: Int = 50): DataFrame = {
+      maxIterations: Int = 50, checkpointEvery: Int = 3): DataFrame = {
     val e = edges.select(col(srcCol).cast("long").as("src"),
         col(dstCol).cast("long").as("dst"),
         col(weightCol).cast("long").as("w"))
@@ -232,6 +232,9 @@ object Iterate {
         .join(e, frontier("node") === e("src"))
         .select(col("dst").as("node"), (col("dist") + col("w")).as("cand"))
         .groupBy("node").agg(min(col("cand")).as("cand"))
+      // the frontier must materialize each round (it gates the loop),
+      // but the accumulated distance frame only re-checkpoints every
+      // few rounds — the transitiveClosure lineage cadence
       val fresh = relaxed
         .join(dist.withColumnRenamed("dist", "od"), Seq("node"), "left")
         .filter(col("od").isNull || col("cand") < col("od"))
@@ -241,7 +244,8 @@ object Iterate {
       else {
         dist = dist.join(fresh, Seq("node"), "left_anti")
           .unionByName(fresh)
-          .localCheckpoint(eager = true)
+        if ((iter + 1) % checkpointEvery == 0)
+          dist = dist.localCheckpoint(eager = true)
         frontier = fresh
       }
       iter += 1

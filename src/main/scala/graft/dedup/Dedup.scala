@@ -277,6 +277,12 @@ object Dedup {
     require(minJaccard > 0 && minJaccard <= 1,
       s"minJaccard must be in (0,1], got $minJaccard")
     val spark = df.sparkSession
+    // All threshold filters run in EXACT long arithmetic against the
+    // rational p/q ≤ τ (q = 1e6): conservative by at most the
+    // rationalization, so no float-boundary ceil can ever drop a true
+    // pair — only the final verification compares against τ itself.
+    val q = 1000000L
+    val p = math.floor(minJaccard * q).toLong
     val sh = df.select(col(idCol).as("id"),
         shingleHashes(spark, col(textCol), shingleSize).as("sh"))
       .withColumn("len", size(col("sh")))
@@ -285,15 +291,24 @@ object Dedup {
     val tok = sh.select(col("id"), col("len"), explode(col("sh")).as("tk"))
     val dfreq = tok.groupBy("tk").agg(count(lit(1)).as("df"))
     val w = Window.partitionBy("id").orderBy(col("df"), col("tk"))
+    // prefix length |x| − ⌈τ|x|⌉ + 1, with ⌈p·len/q⌉ ≤ ⌈τ·len⌉
+    // (longer-or-equal prefix: safe)
     val prefix = tok.join(dfreq, "tk")
       .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <=
-        col("len") - ceil(lit(minJaccard) * col("len")) + 1)
-      .select(col("id"), col("len"), col("tk"))
+      .filter(col("rn") <= col("len") -
+        floor((lit(p) * col("len") + lit(q - 1)) / lit(q)).cast("long") + 1)
+      .select(col("id"), col("len"), col("tk"), col("rn"))
+    // candidates: shared prefix token + size filter |B|·q ≥ p·|A| +
+    // PPJoin positional filter — a match at full-order positions
+    // (i, j) caps the overlap at min(la−i, lb−j)+1, which must reach
+    // the equivalent-overlap threshold τ/(1+τ)·(la+lb); in rationals:
+    // (bound)·(p+q) ≥ p·(la+lb)
     val cand = prefix.as("a").join(prefix.as("b"),
         col("a.tk") === col("b.tk") && col("a.id") < col("b.id") &&
-          col("b.len") >= ceil(lit(minJaccard) * col("a.len")) &&
-          col("a.len") >= ceil(lit(minJaccard) * col("b.len")))
+          col("b.len") * q >= col("a.len") * p &&
+          col("a.len") * q >= col("b.len") * p &&
+          (least(col("a.len") - col("a.rn"), col("b.len") - col("b.rn")) + 1)
+            * (p + q) >= (col("a.len") + col("b.len")) * p)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
     cand
