@@ -530,9 +530,47 @@ object DedupQueries {
       .orderBy("id_a", "id_b")
   }
 
+  /** Sorted-neighborhood dedup over the whole corpus — the third
+    * blocking family (SNM: Hernández & Stolfo, SIGMOD'95) next to
+    * MinHash-LSH and prefix filtering. Window w = 4 over the normalized
+    * key order ⇒ exactly 3N candidate pairs whatever the data looks
+    * like; distinct-word Jaccard ≥ 0.5 verifies. The oracle replays the
+    * identical key, rank, window and Jaccard declaratively; the engine
+    * side computes the global rank DISTRIBUTED (range partition +
+    * partition-local row_number + P-row offsets — never a corpus-wide
+    * single-partition window).
+    */
+  val qDedupSortedNbhd: QueryDef = QueryDef.sql(
+    "q_dedup_sorted_nbhd",
+    """WITH tkt AS (
+      |  SELECT doc_id,
+      |    list_distinct(string_split_regex(lower(trim(text)), '[\s[:punct:]]+')) AS tk,
+      |    substr(regexp_replace(lower(trim(text)), '[^a-z0-9]', '', 'g'), 1, 24) AS key
+      |  FROM documents),
+      |r AS (
+      |  SELECT doc_id, tk, row_number() OVER (ORDER BY key, doc_id) AS rn
+      |  FROM tkt)
+      |SELECT least(a.doc_id, b.doc_id) AS id_a,
+      |  greatest(a.doc_id, b.doc_id) AS id_b,
+      |  CAST(b.rn - a.rn AS INT) AS rank_dist,
+      |  CAST(round(len(list_intersect(a.tk, b.tk)) /
+      |    (len(a.tk) + len(b.tk) - len(list_intersect(a.tk, b.tk))), 6)
+      |    AS DOUBLE) AS jaccard
+      |FROM r a JOIN r b ON b.rn > a.rn AND b.rn <= a.rn + 3
+      |WHERE len(list_intersect(a.tk, b.tk)) /
+      |  (len(a.tk) + len(b.tk) - len(list_intersect(a.tk, b.tk))) >= 0.5
+      |ORDER BY id_a, id_b""".stripMargin,
+    doc = "sorted-neighborhood near-dup pairs, w=4, word Jaccard >= 0.5 (dedup ops)") { (s, dir) =>
+    Dedup.sortedNeighborhoodPairs(t(s, dir, "documents"), "doc_id", "text",
+        windowSize = 4, minJaccard = 0.5)
+      .select(col("id_a"), col("id_b"), col("rank_dist"),
+        round(col("jaccard"), 6).cast("double").as("jaccard"))
+      .orderBy("id_a", "id_b")
+  }
+
   val all: Seq[QueryDef] = Seq(
     qDedupExact, qNgramJaccard, qEmbedNearDup, qDedupMinhash,
     qDedupMinhashPlanted, qDedupSimhash, qDedupSimhashPlanted,
     qDedupClusters, qDedupPipeline, qDedupIncremental, qSemanticDedup,
-    qDedupScale10x, qSetsimPrefix)
+    qDedupScale10x, qSetsimPrefix, qDedupSortedNbhd)
 }

@@ -941,10 +941,140 @@ object EventQueries {
       .limit(10)
   }
 
+  /** Autocorrelation function per event type: r_k = Σ(x_i−x̄)(x_{i−k}−x̄)
+    * / Σ(x_i−x̄)² for k = 1..6 over the (ts, id)-ordered value sequence —
+    * the lag-structure screen that picks seasonality periods
+    * (q_forecast_baseline's hour-of-day model assumes a lag-24h peak;
+    * this measures it). One per-type window with six lags, one aggregate:
+    * the sequential-looking statistic in its one-pass distributed form.
+    * x̄ comes from exact decimal sums; each lag product is a
+    * deterministic IEEE double on identical inputs, decimal-rounded
+    * before summing so partial-aggregation order can't skew the result.
+    */
+  val qAcf: QueryDef = {
+    val kMax = 6
+    val lagCols = (1 to kMax).map(k => s"lag(xc, $k) OVER w AS xl$k")
+      .mkString(",\n      |    ")
+    val aggCols = (1 to kMax).map(k =>
+      s"count(xc * xl$k) AS n$k,\n      |    " +
+        s"CAST(sum(CAST(xc * xl$k AS DECIMAL(30,10))) AS DOUBLE) AS s$k")
+      .mkString(",\n      |    ")
+    val branches = (1 to kMax).map(k =>
+      s"SELECT event_type, $k AS lag_k, n$k AS n_pairs, " +
+        s"CAST(round(s$k / nullif(den, 0), 6) AS DOUBLE) AS acf FROM a")
+      .mkString("\n      |UNION ALL ")
+    QueryDef.sql(
+      "q_acf",
+      s"""WITH m AS (
+        |  SELECT event_type, count(*) AS n,
+        |    CAST(sum(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS sv
+        |  FROM events GROUP BY event_type),
+        |x AS (
+        |  SELECT e.event_type, e.ts, e.event_id, e.value - m.sv / m.n AS xc
+        |  FROM events e JOIN m ON e.event_type = m.event_type),
+        |l AS (
+        |  SELECT event_type, xc,
+        |    $lagCols
+        |  FROM x WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)),
+        |a AS (
+        |  SELECT event_type,
+        |    CAST(sum(CAST(xc * xc AS DECIMAL(30,10))) AS DOUBLE) AS den,
+        |    $aggCols
+        |  FROM l GROUP BY event_type)
+        |$branches
+        |ORDER BY event_type, lag_k""".stripMargin,
+      doc = "autocorrelation r_1..r_6 per type, one window + one aggregate (time series)") { (s, dir) =>
+      val ev = t(s, dir, "events")
+      val m = broadcast(ev.groupBy("event_type").agg(
+        count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(30,6)")).cast("double").as("sv")))
+      val w = Window.partitionBy("event_type").orderBy(col("ts"), col("event_id"))
+      val x = ev.join(m, "event_type")
+        .select(col("event_type"), col("ts"), col("event_id"),
+          (col("value") - col("sv") / col("n")).as("xc"))
+      val withLags = x.select(
+        col("event_type") +: col("xc") +:
+          (1 to kMax).map(k => lag(col("xc"), k).over(w).as(s"xl$k")): _*)
+      val agg = withLags.groupBy("event_type").agg(
+        sum((col("xc") * col("xc")).cast("decimal(30,10)")).cast("double")
+          .as("den"),
+        (1 to kMax).flatMap(k => Seq(
+          count(col("xc") * col(s"xl$k")).as(s"n$k"),
+          sum((col("xc") * col(s"xl$k")).cast("decimal(30,10)"))
+            .cast("double").as(s"s$k"))): _*)
+      agg.select(col("event_type"), col("den"),
+          explode(array((1 to kMax).map(k => struct(
+            lit(k).as("lag_k"), col(s"n$k").as("n_pairs"),
+            col(s"s$k").as("s"))): _*)).as("e"))
+        .select(col("event_type"), col("e.lag_k").as("lag_k"),
+          col("e.n_pairs").as("n_pairs"),
+          round(col("e.s") / nullif(col("den"), lit(0d)), 6).cast("double")
+            .as("acf"))
+        .orderBy("event_type", "lag_k")
+    }
+  }
+
+  /** CUSUM change-point detection per event type: the cumulative sum of
+    * mean deviations S_i = Σ_{j≤i}(x_j − x̄) peaks (in |S|) exactly where
+    * the series' level shifts — the classic drift detector for meter
+    * recalibration / sensor step changes. Deviations are decimal-rounded
+    * once, so the running sum is an EXACT decimal in any association
+    * order (a double cumsum would diverge between Spark's running
+    * accumulation and DuckDB's segment-tree frames); the argmax row is
+    * picked by exact decimal comparison with a (ts, id) tie-break. At
+    * scale the per-type cumsum splits into time chunks joined by a
+    * P-row offset table — the balancedShards prefix-sum idiom.
+    */
+  val qCusum: QueryDef = QueryDef.sql(
+    "q_cusum",
+    """WITH m AS (
+      |  SELECT event_type, count(*) AS n,
+      |    CAST(sum(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS sv
+      |  FROM events GROUP BY event_type),
+      |d AS (
+      |  SELECT e.event_id, e.event_type, e.ts, m.n,
+      |    CAST(e.value - m.sv / m.n AS DECIMAL(24,10)) AS dev
+      |  FROM events e JOIN m ON e.event_type = m.event_type),
+      |c AS (
+      |  SELECT event_id, event_type, ts, n,
+      |    sum(dev) OVER (PARTITION BY event_type ORDER BY ts, event_id
+      |                   ROWS UNBOUNDED PRECEDING) AS s
+      |  FROM d),
+      |r AS (
+      |  SELECT event_type, n, ts, s,
+      |    row_number() OVER (PARTITION BY event_type
+      |                       ORDER BY abs(s) DESC, ts, event_id) AS rn
+      |  FROM c)
+      |SELECT event_type, n AS n_points,
+      |  strftime(ts, '%Y-%m-%d %H:%M:%S') AS cp_ts,
+      |  CAST(round(CAST(abs(s) AS DOUBLE), 6) AS DOUBLE) AS max_drift
+      |FROM r WHERE rn = 1 ORDER BY event_type""".stripMargin,
+    doc = "CUSUM mean-shift change point per type, exact decimal cumsum (time series)") { (s, dir) =>
+    val ev = t(s, dir, "events")
+    val m = broadcast(ev.groupBy("event_type").agg(
+      count(lit(1)).as("n"),
+      sum(col("value").cast("decimal(30,6)")).cast("double").as("sv")))
+    val d = ev.join(m, "event_type")
+      .select(col("event_id"), col("event_type"), col("ts"), col("n"),
+        (col("value") - col("sv") / col("n")).cast("decimal(24,10)").as("dev"))
+    val cumW = Window.partitionBy("event_type").orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val c = d.select(col("event_id"), col("event_type"), col("ts"), col("n"),
+      sum(col("dev")).over(cumW).as("s"))
+    val rankW = Window.partitionBy("event_type")
+      .orderBy(abs(col("s")).desc, col("ts"), col("event_id"))
+    c.withColumn("rn", row_number().over(rankW))
+      .filter(col("rn") === 1)
+      .select(col("event_type"), col("n").as("n_points"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("cp_ts"),
+        round(abs(col("s")).cast("double"), 6).cast("double").as("max_drift"))
+      .orderBy("event_type")
+  }
+
   val all: Seq[QueryDef] = Seq(
     qTimeWindow, qLagGaps, qOverlapSemi, qScalarFuncs, qJsonBuild, qSessionize,
     qMapFuncs, qAsofJoin, qAsofTolerance, qAsofForward, qAsofNearest,
     qRangeJoin, qRangeJoinSkew, qIntervalOverlap, qFunnel, qRetention,
     qGapFill, qInterpolate, qLoadProfile, qSlidingWindow, qForecastBaseline,
-    qTrendOls, qAnomaliesSeasonal, qEwma, qEventPaths)
+    qTrendOls, qAnomaliesSeasonal, qEwma, qEventPaths, qAcf, qCusum)
 }

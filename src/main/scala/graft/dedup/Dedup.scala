@@ -487,4 +487,64 @@ object Dedup {
         graft.sim.Similarity.cosine(col("v_a"), col("v_b")).as("cosine"))
       .filter(col("cosine") >= threshold)
   }
+
+  // ------------------------------------------- sorted-neighborhood dedup
+
+  /** Sorted-neighborhood near-dup candidate pairs (Hernández & Stolfo,
+    * SIGMOD'95): sort the corpus by a normalized blocking key, compare
+    * each record only to its `windowSize − 1` successors in that order,
+    * verify with exact distinct-word Jaccard. The third dedup blocking
+    * family next to MinHash-LSH (probabilistic) and prefix filtering
+    * (similarity-bounded): SNM's candidate count is EXACTLY
+    * (w−1)·N regardless of data distribution — the only scheme with a
+    * hard a-priori bound, at the price of key-locality recall.
+    *
+    * Scale: the global sort rank is fully distributed — range partition
+    * by (key, id), partition-local row_number, P-row broadcast offset
+    * table (the balancedShards prefix-sum idiom; the only
+    * single-partition window runs over P rows). Neighbor pairing is an
+    * equi-join on rank, shuffled on rank — never a cross join, never a
+    * corpus-wide window partition.
+    */
+  def sortedNeighborhoodPairs(df: DataFrame, idCol: String, textCol: String,
+      windowSize: Int = 4, minJaccard: Double = 0.5,
+      keyLen: Int = 24): DataFrame = {
+    require(windowSize >= 2, s"windowSize must be ≥ 2, got $windowSize")
+    val spark = df.sparkSession
+    val p = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val toks = df.select(col(idCol).as("id"),
+      array_distinct(split(lower(trim(col(textCol))), "[\\s\\p{Punct}]+"))
+        .as("tk"),
+      substring(regexp_replace(lower(trim(col(textCol))), "[^a-z0-9]", ""),
+        1, keyLen).as("key"))
+    // distributed global rank over (key, id)
+    val ranged = toks.repartitionByRange(p, col("key"), col("id"))
+      .withColumn("__pid", spark_partition_id())
+    val local = Window.partitionBy(col("__pid")).orderBy(col("key"), col("id"))
+    val withRn = ranged.withColumn("__lrn", row_number().over(local))
+    val offW = Window.orderBy(col("__pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = withRn.groupBy(col("__pid"))
+      .agg(max(col("__lrn")).as("__cnt"))
+      .withColumn("__off",
+        coalesce(sum(col("__cnt")).over(offW), lit(0L)))
+      .select(col("__pid"), col("__off"))
+    val ranked = withRn.join(broadcast(offsets), Seq("__pid"))
+      .select(col("id"), col("tk"),
+        (col("__off") + col("__lrn")).cast("long").as("rn"))
+    val leftSide = ranked.select(col("id").as("id_l"), col("tk").as("tk_l"),
+        col("rn"),
+        explode(array((1 until windowSize).map(d => lit(d)): _*)).as("rank_dist"))
+      .withColumn("rn2", col("rn") + col("rank_dist"))
+    val rightSide = ranked.select(col("id").as("id_r"), col("tk").as("tk_r"),
+      col("rn").as("rn2"))
+    val inter = size(array_intersect(col("tk_l"), col("tk_r")))
+    val j = inter.cast("double") /
+      (size(col("tk_l")) + size(col("tk_r")) - inter).cast("double")
+    leftSide.join(rightSide, Seq("rn2"))
+      .select(least(col("id_l"), col("id_r")).as("id_a"),
+        greatest(col("id_l"), col("id_r")).as("id_b"),
+        col("rank_dist"), j.as("jaccard"))
+      .filter(col("jaccard") >= minJaccard)
+  }
 }
