@@ -911,6 +911,51 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** Bigram-LM mean NLL with add-k smoothing
+    * ([[graft.text.UnigramLm.bigramMeanNll]]) — the sequence-aware
+    * twin of q_text_unigram_nll: P(v|u) = (c(u,v)+k)/(c(u·)+k·V) with
+    * prefix counts in the denominator (conditionals normalize) and
+    * corpus vocab size V. The oracle rebuilds bigrams with the proven
+    * list-comprehension shingle idiom, recomputes the identical counts
+    * and the identical double arithmetic, decimal-casts each −ln p
+    * before the per-doc sum, and preserves short docs as (0, null)
+    * through the same keyed left join.
+    */
+  val qTextBigramNll: QueryDef = QueryDef.sql(
+    "q_text_bigram_nll",
+    """WITH tk AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+      |  FROM documents WHERE trim(text) <> ''),
+      |pr AS (
+      |  SELECT doc_id,
+      |    unnest([array_to_string(w[i:i+1], ' ')
+      |            FOR i IN range(1, greatest(len(w), 2))]) AS bg
+      |  FROM tk WHERE len(w) >= 2),
+      |pru AS (SELECT doc_id, bg, split_part(bg, ' ', 1) AS u FROM pr),
+      |c2 AS (SELECT bg, count(*) AS c2 FROM pru GROUP BY bg),
+      |c1 AS (SELECT u, count(*) AS c1 FROM pru GROUP BY u),
+      |vv AS (
+      |  SELECT count(DISTINCT token) AS v FROM (
+      |    SELECT unnest(w) AS token FROM tk)),
+      |nll AS (
+      |  SELECT p.doc_id, count(*) AS n_bigrams,
+      |    sum(CAST(-ln((CAST(c2.c2 AS DOUBLE) + 0.5) /
+      |      (CAST(c1.c1 AS DOUBLE) + 0.5 * CAST(vv.v AS DOUBLE)))
+      |      AS DECIMAL(20,10))) AS s
+      |  FROM pru p JOIN c2 USING (bg) JOIN c1 USING (u) CROSS JOIN vv
+      |  GROUP BY p.doc_id)
+      |SELECT d.doc_id,
+      |  coalesce(n.n_bigrams, 0) AS n_bigrams,
+      |  CAST(round(CAST(n.s AS DOUBLE) / n.n_bigrams, 6) AS DOUBLE)
+      |    AS mean_nll
+      |FROM documents d LEFT JOIN nll n ON d.doc_id = n.doc_id
+      |ORDER BY d.doc_id""".stripMargin,
+    doc = "add-k bigram-LM mean NLL per doc (sequence-aware quality proxy)") { (s, dir) =>
+    graft.text.UnigramLm.bigramMeanNll(t(s, dir, "documents"),
+        "doc_id", "text", k = 0.5)
+      .orderBy("doc_id")
+  }
+
   /** BM25 retrieval ([[graft.text.Bm25]]): top-10 docs for a fixed
     * 3-term topic probe. The oracle restates the exact scoring
     * arithmetic — same operation order, same double literals folded
@@ -1300,7 +1345,8 @@ object TextQueries {
     qSelectPipeline, qPackSequences, qTextRedact, qCuratePipeline,
     qDecontaminate, qDecontaminateFuzzy, qTfidf, qQualityRules, qUrlDedup,
     qQualityRepetition, qChunkTokens, qSplitHash, qCorpusReport, qCurateV2,
-    qVocabEncode, qTextUnigramNll, qTextBm25, qDsirWeights, qSpanDupReport,
+    qVocabEncode, qTextUnigramNll, qTextBigramNll, qTextBm25, qDsirWeights,
+    qSpanDupReport,
     qSpanRemove, qBpePairs, qShardBalanced, qCtfidf, qCorpusDivergence)
 
 }

@@ -69,4 +69,62 @@ object UnigramLm {
     * model. */
   def meanNll(df: DataFrame, idCol: String, textCol: String): DataFrame =
     meanNll(df, idCol, textCol, model(df, textCol))
+
+  // ----------------------------------------------------- bigram LM
+
+  /** Per-row bigram strings "u v" from the shared whitespace tokenizer
+    * — zip of the word array with its own tail (no shuffle, no window:
+    * the pair construction is embarrassingly parallel per row; a
+    * per-doc window lead would shuffle the corpus on doc id for
+    * nothing). Docs with < 2 tokens → empty array.
+    */
+  def bigrams(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val w = TextAnalysis.words(text)
+    when(size(w) < 2, array().cast("array<string>"))
+      .otherwise(zip_with(
+        slice(w, lit(1), size(w) - 1), slice(w, lit(2), size(w) - 1),
+        (a, b) => concat(a, lit(" "), b)))
+  }
+
+  /** Per-document mean NLL under an add-k-smoothed corpus BIGRAM model
+    * (Jurafsky & Martin ch. 3): P(v|u) = (c(u,v) + k) / (c(u·) + k·V)
+    * with c(u·) the prefix count (Σ_v c(u,v), so probabilities
+    * normalize) and V the corpus vocabulary size. The sequence-aware
+    * upgrade of [[meanNll]]: scrambled-word junk that the unigram
+    * model scores as bland lights up here (every bigram unseen →
+    * each transition costs ≈ −ln(k / (c(u·)+kV))).
+    *
+    * Plan: one bigram-keyed count shuffle (map-side combined), one
+    * prefix-keyed count, scoring joins on those keys, one doc-keyed
+    * agg; V rides a 1-row broadcast. Zipf skew sits on the probe side
+    * of unique-key build joins. Determinism: per-bigram −ln p decimal-
+    * cast before the per-doc sum; row preservation: docs with < 2
+    * tokens come back (0, null) via the keyed left join.
+    */
+  def bigramMeanNll(df: DataFrame, idCol: String, textCol: String,
+      k: Double = 0.5): DataFrame = {
+    val pairs = df.select(col(idCol),
+        explode(bigrams(col(textCol))).as("bg"))
+      .withColumn("u", substring_index(col("bg"), " ", 1))
+    val c2 = pairs.groupBy("bg").agg(count(lit(1)).as("c2"))
+    val c1 = pairs.groupBy("u").agg(count(lit(1)).as("c1"))
+    val vocab = df.select(
+        explode(TextAnalysis.words(col(textCol))).as("token"))
+      .agg(countDistinct(col("token")).as("__v"))
+    val p = (col("c2").cast("double") + lit(k)) /
+      (col("c1").cast("double") + lit(k) * col("__v").cast("double"))
+    val scored = pairs
+      .join(c2, Seq("bg")).join(c1, Seq("u"))
+      .crossJoin(broadcast(vocab))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum((-log(p)).cast("decimal(20,10)")).as("__s"))
+      .select(col(idCol), col("n_bigrams"),
+        round(col("__s").cast("double") / col("n_bigrams").cast("double"), 6)
+          .cast("double").as("mean_nll"))
+    df.select(col(idCol)).join(scored, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        col("mean_nll"))
+  }
 }

@@ -54,4 +54,40 @@ class UnigramLmSpec extends SparkSpec {
     // OOV tokens drop from the join: n_tokens counts SCORED tokens
     assert(got(2) === ((12L, 1L, r6(-math.log(0.9)))))
   }
+
+  test("bigram NLL: hand-checked add-k estimate, short docs preserved") {
+    // corpus bigrams: "a b" ×2, "b a" ×1  (docs: "a b a b", "b")
+    // prefix counts: a· = 2, b· = 1; V = 2; k = 0.5
+    val docs = Seq(
+      (1L, "a b a b"),
+      (2L, "b"),        // 1 token → 0 bigrams, preserved as (0, null)
+      (3L, "  "))       // blank → 0 bigrams
+      .toDF("doc_id", "text")
+    val got = UnigramLm.bigramMeanNll(docs, "doc_id", "text", k = 0.5)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        Option(r.get(2)).map(_.asInstanceOf[Double])))
+    val pAB = (2.0 + 0.5) / (2.0 + 0.5 * 2)   // P(b|a) = 2.5/3
+    val pBA = (1.0 + 0.5) / (1.0 + 0.5 * 2)   // P(a|b) = 1.5/2
+    def d10(x: Double) = BigDecimal(x)
+      .setScale(10, BigDecimal.RoundingMode.HALF_UP)
+    val expect = ((d10(-math.log(pAB)) * 2 + d10(-math.log(pBA))) / 3)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got === Seq((1L, 3L, Some(expect)), (2L, 0L, None), (3L, 0L, None)))
+  }
+
+  test("bigram NLL flags scrambled word order that unigram NLL cannot see") {
+    val natural = "the quick brown fox jumps over the lazy dog again and again"
+    val scrambled = "again the over dog quick and lazy the jumps fox brown again"
+    val base = (1 to 20).map(i => (i.toLong, natural))
+    val docs = (base :+ (100L, scrambled)).toDF("doc_id", "text")
+    val uni = UnigramLm.meanNll(docs, "doc_id", "text")
+      .select("doc_id", "mean_nll").as[(Long, Double)].collect().toMap
+    val bi = UnigramLm.bigramMeanNll(docs, "doc_id", "text")
+      .select("doc_id", "mean_nll").as[(Long, Double)].collect().toMap
+    // identical token multiset → identical unigram score
+    assert(uni(100L) == uni(1L))
+    // broken transitions → strictly higher bigram NLL
+    assert(bi(100L) > bi(1L) + 0.5)
+  }
 }
