@@ -1023,6 +1023,61 @@ object RelationalQueries {
       .orderBy("node")
   }
 
+  /** Link prediction over the co-occurrence graph
+    * ([[Iterate.linkPrediction]]): top-20 non-adjacent user pairs by
+    * common-neighbor count (neighborhood Jaccard as tie-quality) —
+    * the recommendation face of the graph family. Same graph
+    * construction and declarative-oracle discipline as q_triangles;
+    * ordered by (common DESC, u, v), a total order, before the LIMIT,
+    * so both engines cut the identical prefix.
+    */
+  val qLinkPrediction: QueryDef = QueryDef.sql(
+    "q_link_prediction",
+    """WITH buckets AS (
+      |  SELECT DISTINCT user_id, event_type, date_trunc('minute', ts) AS h
+      |  FROM events),
+      |edges AS (
+      |  SELECT DISTINCT x.user_id AS u, y.user_id AS v
+      |  FROM buckets x JOIN buckets y
+      |    ON x.event_type = y.event_type AND x.h = y.h
+      |    AND x.user_id < y.user_id),
+      |adj AS (
+      |  SELECT u AS n, v AS nbr FROM edges
+      |  UNION ALL SELECT v AS n, u AS nbr FROM edges),
+      |deg AS (SELECT n, count(*) AS d FROM adj GROUP BY n),
+      |cand AS (
+      |  SELECT x.n AS u, y.n AS v, count(*) AS common
+      |  FROM adj x JOIN adj y ON x.nbr = y.nbr AND x.n < y.n
+      |  GROUP BY x.n, y.n),
+      |nonadj AS (
+      |  SELECT c.u, c.v, c.common FROM cand c
+      |  LEFT JOIN edges e ON c.u = e.u AND c.v = e.v
+      |  WHERE e.u IS NULL)
+      |SELECT n.u, n.v, n.common,
+      |  CAST(round(CAST(n.common AS DOUBLE) / (du.d + dv.d - n.common), 6)
+      |    AS DOUBLE) AS jaccard
+      |FROM nonadj n
+      |JOIN deg du ON du.n = n.u
+      |JOIN deg dv ON dv.n = n.v
+      |ORDER BY n.common DESC, n.u, n.v LIMIT 20""".stripMargin,
+    doc = "common-neighbor link prediction, top-20 non-adjacent pairs (graph analytics)") { (s, dir) =>
+    val buckets = t(s, dir, "events")
+      .select(col("user_id"), col("event_type"),
+        date_trunc("minute", col("ts")).as("h"))
+      .distinct()
+    val edges = buckets.as("x").join(buckets.as("y"),
+        col("x.event_type") === col("y.event_type") &&
+          col("x.h") === col("y.h") &&
+          col("x.user_id") < col("y.user_id"))
+      .select(col("x.user_id").as("u"), col("y.user_id").as("v"))
+      .distinct()
+    Iterate.linkPrediction(edges, "u", "v")
+      .select(col("u"), col("v"), col("common"),
+        round(col("jaccard"), 6).cast("double").as("jaccard"))
+      .orderBy(col("common").desc, col("u"), col("v"))
+      .limit(20)
+  }
+
   val all: Seq[QueryDef] = Seq(
     q1Agg, qScanProject, qFilterIn, qJoinInner, qJoinAnti, qJoinSemi,
     qJoinLeftOuter, qJoinCrossBounds, qJoinTheta, qJoinNullSafe, qJoinUsing,
@@ -1030,5 +1085,5 @@ object RelationalQueries {
     qWindowRange, qSubqueryExists, qTransitiveClosure, qBloomPrune,
     qGroupingSets, qIntersectAll, qTpchQ3, qTpchQ5, qMergeScd2, qFuzzyMatch,
     qPageRank, qPageRankGeneral, qTriangles, qClusteringCoeff,
-    qConnectedComponents, qSssp)
+    qConnectedComponents, qSssp, qLinkPrediction)
 }

@@ -53,4 +53,60 @@ class IterateSpec extends SparkSpec {
       .as[(Long, Long, Long)].collect().toSet
     assert(got === expected)
   }
+
+  test("linkPrediction: planted path, square, and adjacency exclusion") {
+    // path 1-2-3: (1,3) share {2} → common 1, union {2} → jaccard 1.0
+    // square 10-11-12-13-10: diagonals (10,12),(11,13) common 2, jacc 1.0
+    val edges = Seq((1L, 2L), (2L, 3L),
+      (10L, 11L), (11L, 12L), (12L, 13L), (13L, 10L)).toDF("a", "b")
+    val got = Iterate.linkPrediction(edges, "a", "b")
+      .select("u", "v", "common", "jaccard")
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    assert(got((1L, 3L)) == ((1L, 1.0)))
+    assert(got((10L, 12L)) == ((2L, 1.0)))
+    assert(got((11L, 13L)) == ((2L, 1.0)))
+    // adjacent pairs never predicted; no other pair shares a neighbor
+    assert(got.size == 3)
+  }
+
+  test("linkPrediction: dirty input and brute-force parity on a random graph") {
+    val pairs = for {
+      i <- 0 until 25; j <- 0 until 25
+      if i != j && ((i * 31 + j * 17 + i * j) % 7 == 0)
+    } yield (i.toLong, j.toLong)
+    // duplicates + both orientations tolerated
+    val df = (pairs ++ pairs.map(p => (p._2, p._1))).toDF("a", "b")
+    val adjSet = pairs.flatMap(p => Seq(p, p.swap)).toSet
+    val nbrs = (0L until 25L).map(n =>
+      n -> adjSet.filter(_._1 == n).map(_._2).toSet).toMap
+    val expected = (for {
+      u <- 0L until 25L; v <- (u + 1) until 25L
+      if !adjSet((u, v))
+      common = (nbrs(u) intersect nbrs(v)).size
+      if common > 0
+    } yield (u, v, common.toLong,
+      common.toDouble / (nbrs(u) union nbrs(v)).size)).toSet
+    val got = Iterate.linkPrediction(df, "a", "b")
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(expected.nonEmpty && got === expected)
+  }
+
+  test("linkPrediction: hub cap drops only wedges centered on the hub") {
+    // star: hub 0 connected to 1..6; plus edge 1-2.
+    val star = (1L to 6L).map(i => (0L, i))
+    val edges = (star :+ (1L, 2L)).toDF("a", "b")
+    val exact = Iterate.linkPrediction(edges, "a", "b")
+      .as[(Long, Long, Long, Double)].collect().toSet
+    // exact: all fan pairs (i,j) i,j in 1..6 non-adjacent share hub 0;
+    // (3..6 pairs) common=1; (1,2) adjacent → excluded; pairs (1,j)/(2,j)
+    // common=1 via hub. Plus (0,?) none (0 adjacent to all).
+    assert(exact.forall(_._3 >= 1))
+    val capped = Iterate.linkPrediction(edges, "a", "b", maxHubDegree = 5)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    // hub (deg 6) removed as center: only wedges centered at 1 or 2
+    // survive → prediction (0, anything)? 0-1-2 and 0-2-1 wedges are
+    // adjacent pairs; no non-adjacent pair shares a low-degree center.
+    assert(capped.isEmpty)
+  }
 }
