@@ -359,6 +359,43 @@ object SimilarityQueries {
       .orderBy("query_id")
   }
 
+  /** Embedding covariance matrix ([[Similarity.covarianceMatrix]]) —
+    * PCA precursor and the distribution-drift monitor for embedding
+    * pipelines: all d(d+1)/2 upper-triangle entries of cov(X) over the
+    * corpus, O(d²) output however many vectors. The oracle recomputes
+    * E[x_i x_j] − E[x_i]E[x_j] with the identical decimal-cast sums
+    * (generate_subscripts ≡ posexplode+1 for the 1-based dim index).
+    */
+  val qEmbedCovariance: QueryDef = QueryDef.sql(
+    "q_embed_covariance",
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |x AS (
+      |  SELECT vec_id, generate_subscripts(v, 1) AS i, unnest(v) AS x
+      |  FROM e),
+      |nn AS (SELECT count(*) AS n FROM e),
+      |m AS (
+      |  SELECT i, CAST(sum(CAST(x AS DECIMAL(25,10))) AS DOUBLE) AS sx
+      |  FROM x GROUP BY i),
+      |p AS (
+      |  SELECT a.i AS i, b.i AS j,
+      |    CAST(sum(CAST(a.x * b.x AS DECIMAL(30,12))) AS DOUBLE) AS sxy
+      |  FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.i <= b.i
+      |  GROUP BY a.i, b.i)
+      |SELECT p.i, p.j,
+      |  CAST(round(p.sxy / nn.n - (ma.sx / nn.n) * (mb.sx / nn.n), 8)
+      |    AS DOUBLE) AS cov
+      |FROM p CROSS JOIN nn
+      |JOIN m ma ON ma.i = p.i
+      |JOIN m mb ON mb.i = p.j
+      |ORDER BY p.i, p.j""".stripMargin,
+    doc = "embedding covariance matrix, exact decimal sums (embedding analytics)") { (s, dir) =>
+    Similarity.covarianceMatrix(t(s, dir, "embeddings"), "vec_id", "embedding")
+      .select(col("i"), col("j"),
+        round(col("cov"), 8).cast("double").as("cov"))
+      .orderBy("i", "j")
+  }
+
   val all: Seq[QueryDef] = Seq(qSimTopK, qSimLsh, qSimIvf, qQuantize,
-    qSimQuantized, qEmbedCentroid, qHybridRrf, qRetrievalEval)
+    qSimQuantized, qEmbedCentroid, qHybridRrf, qRetrievalEval,
+    qEmbedCovariance)
 }

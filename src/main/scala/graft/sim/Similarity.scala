@@ -247,4 +247,43 @@ object Similarity {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
   }
+
+  /** Embedding covariance matrix — the PCA / whitening precursor and
+    * the embedding-drift monitor (compare a batch's covariance against
+    * the reference corpus's): upper-triangle entries
+    * cov(i,j) = E[x_i·x_j] − E[x_i]E[x_j] over all vectors, O(d²)
+    * output however large the corpus.
+    *
+    * Plan: one posexplode to (vec, dim, x) rows, dimension-wise sums
+    * for the means, and a vec-keyed self-equi-join (each group is one
+    * vector's d components — co-partitioned, never a cross join) for
+    * the d(d+1)/2 product sums. Products are deterministic doubles on
+    * float inputs, decimal-cast before summing so partial-aggregation
+    * order can't skew them; the final E[xy] − E[x]E[y] runs in double
+    * on exact sums. 1-based dimension indices (matches SQL
+    * generate_subscripts).
+    */
+  def covarianceMatrix(df: DataFrame, idCol: String,
+      vecCol: String): DataFrame = {
+    val x = df.select(col(idCol).as("__vid"),
+        posexplode(col(vecCol)).as(Seq("__p", "__xf")))
+      .select(col("__vid"), (col("__p") + 1).as("i"),
+        col("__xf").cast("double").as("x"))
+    val n = broadcast(df.agg(count(lit(1)).as("__n")))
+    val m = x.groupBy(col("i"))
+      .agg(sum(col("x").cast("decimal(25,10)")).cast("double").as("sx"))
+    val a = x.select(col("__vid"), col("i"), col("x"))
+    val b = x.select(col("__vid"), col("i").as("j"), col("x").as("y"))
+    val p = a.join(b, Seq("__vid")).filter(col("i") <= col("j"))
+      .groupBy(col("i"), col("j"))
+      .agg(sum((col("x") * col("y")).cast("decimal(30,12)")).cast("double")
+        .as("sxy"))
+    p.join(broadcast(m.select(col("i"), col("sx").as("sxi"))), Seq("i"))
+      .join(broadcast(m.select(col("i").as("j"), col("sx").as("sxj"))),
+        Seq("j"))
+      .crossJoin(n)
+      .select(col("i"), col("j"),
+        (col("sxy") / col("__n") -
+          (col("sxi") / col("__n")) * (col("sxj") / col("__n"))).as("cov"))
+  }
 }

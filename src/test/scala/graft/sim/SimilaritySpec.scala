@@ -93,4 +93,26 @@ class SimilaritySpec extends SparkSpec {
     val recall = (exact & approx).size.toDouble / exact.size
     assert(recall >= 0.6, s"recall=$recall")
   }
+
+  test("covarianceMatrix: hand-checked entries, layout-independent") {
+    import spark.implicits._
+    // x1 = (1,2,4), x2 = (2,4,8): cov(1,1)=var(x1), cov(1,2)=2*var(x1)
+    // means: m1=7/3, m2=14/3; E[x1²]=7, var1=7-49/9=14/9
+    val vecs = Seq(
+      (1L, Array(1.0f, 2.0f)),
+      (2L, Array(2.0f, 4.0f)),
+      (3L, Array(4.0f, 8.0f))).toDF("vec_id", "embedding")
+    def entries(df: org.apache.spark.sql.DataFrame) =
+      Similarity.covarianceMatrix(df, "vec_id", "embedding")
+        .as[(Int, Int, Double)].collect()
+        .map(r => (r._1, r._2) -> r._3).toMap
+    val got = entries(vecs)
+    assert(got.size == 3)
+    assert(math.abs(got((1, 1)) - 14.0 / 9) < 1e-6)
+    assert(math.abs(got((1, 2)) - 28.0 / 9) < 1e-6)
+    assert(math.abs(got((2, 2)) - 56.0 / 9) < 1e-6)
+    // exact decimal sums → bit-identical under any partitioning
+    val reparted = entries(vecs.repartition(5))
+    assert(got.forall { case (k, v) => reparted(k) == v })
+  }
 }
