@@ -911,6 +911,74 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** Trained logistic-regression quality classifier
+    * ([[graft.text.QualityClassifier]]): 3 full-batch GD iterations
+    * from w = 0 on (stopword ratio, punct ratio, log length) with weak
+    * label lang = 'en', then every doc scored under the LEARNED model.
+    * The oracle replays training as a CTE chain — per iteration one
+    * aggregate with decimal-cast gradient sums, identical double
+    * update arithmetic — so the weights, not just the scores, must
+    * agree bit-for-bit across engines. The fastText-style learned
+    * quality filter as a verifiable distributed query.
+    */
+  val qQualityClassifier: QueryDef = {
+    val iters = 3
+    val x1 = """len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+      |      tk -> tk IN ('the','a','an','and','or','of','to','in','is','are',
+      |                  'was','it','that','this','for','on','with','as','at','by')))
+      |      / CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS DOUBLE)""".stripMargin
+    val x2 = """CASE WHEN length(text) = 0 THEN 0.0
+      |      ELSE (length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')))
+      |           / CAST(length(text) AS DOUBLE) END""".stripMargin
+    val x3 = "ln(1.0 + CAST(length(text) AS DOUBLE))"
+    def zSql(w: String, f: String) =
+      s"$w.b + $w.w1*$f.x1 + $w.w2*$f.x2 + $w.w3*$f.x3"
+    def gradSql(i: Int): String = {
+      val sig = s"1.0/(1.0+exp(-(${zSql("w", "feat")})))"
+      val terms = Seq("sb" -> s"($sig - y)", "s1" -> s"($sig - y) * feat.x1",
+        "s2" -> s"($sig - y) * feat.x2", "s3" -> s"($sig - y) * feat.x3")
+        .map { case (n, e) =>
+          s"CAST(sum(CAST($e AS DECIMAL(28,12))) AS DOUBLE) AS $n" }
+        .mkString(",\n      |    ")
+      s"""g$i AS (
+        |  SELECT
+        |    $terms
+        |  FROM feat CROSS JOIN w${i - 1} w)""".stripMargin
+    }
+    def stepSql(i: Int): String =
+      s"""w$i AS (
+        |  SELECT w.b - 1.0 * (g.sb / nn.n) AS b,
+        |    w.w1 - 1.0 * (g.s1 / nn.n) AS w1,
+        |    w.w2 - 1.0 * (g.s2 / nn.n) AS w2,
+        |    w.w3 - 1.0 * (g.s3 / nn.n) AS w3
+        |  FROM w${i - 1} w CROSS JOIN g$i g CROSS JOIN nn)""".stripMargin
+    val iterSql = (1 to iters).map(i => gradSql(i) + ",\n" + stepSql(i))
+      .mkString(",\n")
+    QueryDef.sql(
+      "q_quality_classifier",
+      s"""WITH feat AS (
+        |  SELECT doc_id,
+        |    CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y,
+        |    $x1 AS x1,
+        |    $x2 AS x2,
+        |    $x3 AS x3
+        |  FROM documents),
+        |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM feat),
+        |w0 AS (SELECT 0.0 AS b, 0.0 AS w1, 0.0 AS w2, 0.0 AS w3),
+        |$iterSql
+        |SELECT f.doc_id, CAST(f.y AS INT) AS label,
+        |  CAST(round(1.0/(1.0+exp(-(${zSql("w", "f")}))), 6) AS DOUBLE)
+        |    AS score
+        |FROM feat f CROSS JOIN w$iters w
+        |ORDER BY f.doc_id""".stripMargin,
+      doc = "logistic-regression quality classifier, 3 GD iterations replayed by the oracle (learned curation)") { (s, dir) =>
+      graft.text.QualityClassifier.trainAndScore(
+          t(s, dir, "documents"), "doc_id", "text",
+          col("lang") === "en", iters = iters, lr = 1.0)
+        .orderBy("doc_id")
+    }
+  }
+
   /** Bigram-LM mean NLL with add-k smoothing
     * ([[graft.text.UnigramLm.bigramMeanNll]]) — the sequence-aware
     * twin of q_text_unigram_nll: P(v|u) = (c(u,v)+k)/(c(u·)+k·V) with
@@ -1346,7 +1414,7 @@ object TextQueries {
     qDecontaminate, qDecontaminateFuzzy, qTfidf, qQualityRules, qUrlDedup,
     qQualityRepetition, qChunkTokens, qSplitHash, qCorpusReport, qCurateV2,
     qVocabEncode, qTextUnigramNll, qTextBigramNll, qTextBm25, qDsirWeights,
-    qSpanDupReport,
+    qQualityClassifier, qSpanDupReport,
     qSpanRemove, qBpePairs, qShardBalanced, qCtfidf, qCorpusDivergence)
 
 }
