@@ -1,0 +1,141 @@
+package graft.sim
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Product quantization for ANN (Jégou et al., TPAMI'11) — the
+  * memory-scale path past int8: each unit-normalized vector is split
+  * into `m` subvectors, each subvector encoded as the id of its
+  * nearest per-subspace centroid (k-means, `ksub` codes), so a d-dim
+  * float32 vector compresses to m small ints (64× at d=64, m=4 vs
+  * float32). Search is ADC (asymmetric distance computation): the
+  * query stays exact, each corpus vector is scored as
+  * Σ_s ⟨q_s, c_{s,code_s}⟩ — a per-query lookup table of m·ksub dot
+  * products joined against the code table.
+  *
+  * Everything runs in COMPONENT form (id, sub, q, x) — plain codegen
+  * arithmetic + groupBy, no higher-order array functions on the hot
+  * path: assignment distance is one (sub,q)-keyed join and a
+  * sum-aggregate; centroid update is one group-by mean with
+  * decimal-exact sums (repartition-stable codebooks); the ADC scan
+  * shuffles the code table once on (sub, cid) against a broadcast
+  * lookup table. Only the m·ksub·dsub centroid components are ever
+  * broadcast; nothing corpus-sized reaches the driver.
+  */
+object ProductQuantization {
+
+  /** Unit-normalized component rows (id, sub, q, x): dimension p of
+    * the vector maps to subspace sub = p·m/d, in-subspace offset
+    * q = p − sub·(d/m). d must be divisible by m.
+    */
+  def components(df: DataFrame, idCol: String, vecCol: String,
+      m: Int): DataFrame = {
+    val nrm = Similarity.norm(col(vecCol))
+    df.select(col(idCol).as("id"), col(vecCol).as("__v"),
+        when(nrm === 0, lit(1.0)).otherwise(nrm).as("__n"))
+      .select(col("id"), col("__n"), size(col("__v")).as("__d"),
+        posexplode(col("__v")).as(Seq("p", "__xf")))
+      .select(col("id"),
+        ((col("p") * m) / col("__d")).cast("int").as("sub"),
+        (col("p") - ((col("p") * m) / col("__d")).cast("int") *
+          (col("__d") / m).cast("int")).as("q"),
+        (col("__xf").cast("double") / col("__n")).as("x"))
+  }
+
+  /** Per-subspace k-means codebook: component rows (sub, cid, q, c).
+    * Seeds: the subvectors of the `ksub` lowest ids (deterministic);
+    * then `iters` rounds of assign (argmin L2², cid tie-break) +
+    * decimal-exact mean update. A code that loses all members drops
+    * out (standard Lloyd's; [[Similarity.trainCentroids]] precedent).
+    */
+  def train(comp: DataFrame, ksub: Int, iters: Int): DataFrame = {
+    // lowest-ksub ids, then a ksub-row ranking window (never corpus-wide)
+    val seeds = comp.select(col("id")).distinct()
+      .orderBy(col("id")).limit(ksub)
+      .withColumn("cid", row_number().over(Window.orderBy(col("id"))) - 1)
+    var cents = comp.join(broadcast(seeds), Seq("id"))
+      .select(col("sub"), col("cid"), col("q"), col("x").as("c"))
+      .localCheckpoint()
+    (0 until iters).foreach { _ =>
+      val assign = assignCodes(comp, cents)
+      cents = comp.join(assign, Seq("id", "sub"))
+        .groupBy(col("sub"), col("cid"), col("q"))
+        .agg((sum(col("x").cast("decimal(27,10)")).cast("double") /
+          count(lit(1)).cast("double")).as("c"))
+        .localCheckpoint()
+    }
+    cents
+  }
+
+  /** Nearest-codebook assignment: (id, sub, cid) — the PQ CODES. */
+  def assignCodes(comp: DataFrame, cents: DataFrame): DataFrame = {
+    val d2 = comp.join(broadcast(cents), Seq("sub", "q"))
+      .select(col("id"), col("sub"), col("cid"),
+        ((col("x") - col("c")) * (col("x") - col("c"))).as("__sq"))
+      .groupBy(col("id"), col("sub"), col("cid"))
+      .agg(sum(col("__sq").cast("decimal(27,12)")).as("__d2"))
+    val w = Window.partitionBy(col("id"), col("sub"))
+      .orderBy(col("__d2"), col("cid"))
+    d2.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col("id"), col("sub"), col("cid"))
+  }
+
+  /** ADC top-k: per query one m·ksub dot-product lookup table
+    * (broadcast), one (sub, cid)-keyed join against the code table,
+    * one (query, corpus) sum — approx cosine since inputs are
+    * unit-normalized. Ties break by corpus id.
+    */
+  def adcTopK(codes: DataFrame, cents: DataFrame, queryComp: DataFrame,
+      k: Int): DataFrame = {
+    val dt = queryComp.select(col("id").as("query_id"), col("sub"),
+        col("q"), col("x"))
+      .join(cents, Seq("sub", "q"))
+      .select(col("query_id"), col("sub"), col("cid"),
+        (col("x") * col("c")).as("__p"))
+      .groupBy(col("query_id"), col("sub"), col("cid"))
+      .agg(sum(col("__p").cast("decimal(27,12)")).as("__dot"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("corpus_id"))
+    codes.join(broadcast(dt), Seq("sub", "cid"))
+      .groupBy(col("query_id"), col("id"))
+      .agg(sum(col("__dot")).cast("double").as("score"))
+      .select(col("query_id"), col("id").as("corpus_id"), col("score"))
+      .filter(col("corpus_id") =!= col("query_id"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /** Full PQ lifecycle: train codebooks on the corpus, encode it,
+    * ADC-shortlist `rerank` candidates per query, then EXACT-cosine
+    * re-rank the shortlist — the production PQ serving shape (ADC is
+    * the cheap scan; the shortlist is bounded, so the exact pass
+    * touches `rerank` full vectors per query, not the corpus).
+    * `queries` is bounded (user-ask-sized).
+    */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, m: Int = 4, ksub: Int = 16,
+      iters: Int = 3, rerank: Int = 50): DataFrame = {
+    val comp = components(corpus, idCol, vecCol, m).cache()
+    try {
+      val cents = train(comp, ksub, iters)
+      val codes = assignCodes(comp, cents)
+      val shortlist = adcTopK(codes, cents,
+        components(queries, idCol, vecCol, m), math.max(k, rerank))
+      val q = queries.select(col(idCol).as("query_id"),
+        col(vecCol).as("__qv"))
+      val c = corpus.select(col(idCol).as("corpus_id"),
+        col(vecCol).as("__cv"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("cosine").desc, col("corpus_id"))
+      shortlist.select(col("query_id"), col("corpus_id"))
+        .join(c, Seq("corpus_id"))
+        .join(broadcast(q), Seq("query_id"))
+        .select(col("query_id"), col("corpus_id"),
+          Similarity.cosine(col("__cv"), col("__qv")).as("cosine"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= k)
+    } finally comp.unpersist()
+  }
+}
