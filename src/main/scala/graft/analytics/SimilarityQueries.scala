@@ -3,7 +3,7 @@ package graft.analytics
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.io.Tables
-import graft.sim.{ProductQuantization, Similarity}
+import graft.sim.{Pca, ProductQuantization, Similarity}
 
 /** Similarity search over the embeddings table. The exact brute-force
   * path is oracle-verified (DuckDB list_dot_product on double-cast
@@ -430,7 +430,74 @@ object SimilarityQueries {
       .orderBy("i", "j")
   }
 
+  /** Dominant principal component of the embedding corpus by power
+    * iteration ([[graft.sim.Pca.powerIteration]]) over the in-plan
+    * covariance matrix: 8 matvec steps, each one d²-row join + d-row
+    * aggregate, the corpus touched exactly once (for the covariance).
+    * The oracle replays the covariance AND all 8 iterations as a CTE
+    * chain with the identical decimal-cast sums — distributed linear
+    * algebra under a bit-exact gate.
+    */
+  val qPcaPower: QueryDef = {
+    val iters = 8
+    // MATERIALIZED: y_i is referenced twice (norm + update) and sym 8
+    // times — inlined CTEs would re-expand the chain exponentially
+    val step = (i: Int) => {
+      val prev = s"v${i - 1}"
+      s"""y$i AS MATERIALIZED (
+        |  SELECT s.i, CAST(sum(CAST(s.cov * $prev.v AS DECIMAL(28,14)))
+        |    AS DOUBLE) AS y
+        |  FROM sym s JOIN $prev ON $prev.j = s.j GROUP BY s.i),
+        |n$i AS MATERIALIZED (
+        |  SELECT sqrt(CAST(sum(CAST(y * y AS DECIMAL(30,14))) AS DOUBLE))
+        |    AS nrm FROM y$i),
+        |v$i AS MATERIALIZED (
+        |  SELECT i AS j, y / nrm AS v FROM y$i CROSS JOIN n$i)"""
+        .stripMargin
+    }
+    QueryDef.sql(
+      "q_pca_power",
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |x AS (
+        |  SELECT vec_id, generate_subscripts(v, 1) AS i, unnest(v) AS x
+        |  FROM e),
+        |nn AS (SELECT count(*) AS n FROM e),
+        |m AS (
+        |  SELECT i, CAST(sum(CAST(x AS DECIMAL(25,10))) AS DOUBLE) AS sx
+        |  FROM x GROUP BY i),
+        |p AS (
+        |  SELECT a.i AS i, b.i AS j,
+        |    CAST(sum(CAST(a.x * b.x AS DECIMAL(30,12))) AS DOUBLE) AS sxy
+        |  FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.i <= b.i
+        |  GROUP BY a.i, b.i),
+        |cm AS (
+        |  SELECT p.i, p.j,
+        |    p.sxy / nn.n - (ma.sx / nn.n) * (mb.sx / nn.n) AS cov
+        |  FROM p CROSS JOIN nn
+        |  JOIN m ma ON ma.i = p.i
+        |  JOIN m mb ON mb.i = p.j),
+        |sym AS MATERIALIZED (
+        |  SELECT i, j, cov FROM cm
+        |  UNION ALL SELECT j AS i, i AS j, cov FROM cm WHERE i <> j),
+        |v0 AS MATERIALIZED (SELECT DISTINCT j, 1.0 AS v FROM sym),
+        |${(1 to iters).map(step).mkString(",\n")}
+        |SELECT v$iters.j AS i,
+        |  CAST(round(v$iters.v, 6) AS DOUBLE) AS loading,
+        |  CAST(round(n$iters.nrm, 6) AS DOUBLE) AS eigenvalue
+        |FROM v$iters CROSS JOIN n$iters
+        |ORDER BY i""".stripMargin,
+      doc = "dominant PCA component via power iteration, oracle-replayed (embedding analytics)") { (s, dir) =>
+      val cov = Similarity.covarianceMatrix(
+        t(s, dir, "embeddings"), "vec_id", "embedding")
+      Pca.powerIteration(cov, iters = iters)
+        .select(col("i"),
+          round(col("loading"), 6).cast("double").as("loading"),
+          round(col("eigenvalue"), 6).cast("double").as("eigenvalue"))
+        .orderBy("i")
+    }
+  }
+
   val all: Seq[QueryDef] = Seq(qSimTopK, qSimLsh, qSimIvf, qQuantize,
     qSimQuantized, qEmbedCentroid, qHybridRrf, qRetrievalEval,
-    qEmbedCovariance, qSimPq)
+    qEmbedCovariance, qSimPq, qPcaPower)
 }
