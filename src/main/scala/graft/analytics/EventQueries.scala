@@ -1071,10 +1071,77 @@ object EventQueries {
       .orderBy("event_type")
   }
 
+  /** Cross-correlation function between two event types' hourly mean
+    * series at lags 0..6 h — "do purchases follow clicks, and with what
+    * delay" (the lead-lag screen; [[qAcf]]'s two-series sibling).
+    * The series are aggregates (bounded by the time range, not the
+    * corpus), so the lag join runs on tiny inputs whatever the scale;
+    * Pearson per lag comes from one pass of decimal-cast raw sums with
+    * the final formula in double on exact inputs.
+    */
+  val qCcf: QueryDef = QueryDef.sql(
+    "q_ccf",
+    """WITH s AS (
+      |  SELECT event_type,
+      |    CAST(floor(epoch_us(ts) / 3600000000.0) AS BIGINT) AS h,
+      |    count(*) AS n,
+      |    CAST(sum(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS sv
+      |  FROM events WHERE event_type IN ('click', 'purchase')
+      |  GROUP BY 1, 2),
+      |x AS (SELECT h, sv / n AS x FROM s WHERE event_type = 'click'),
+      |y AS (SELECT h, sv / n AS y FROM s WHERE event_type = 'purchase'),
+      |l AS (SELECT unnest(range(0, 7)) AS lag_h),
+      |j AS (
+      |  SELECT l.lag_h, x.x, y.y
+      |  FROM l CROSS JOIN x JOIN y ON y.h = x.h + l.lag_h),
+      |a AS (
+      |  SELECT lag_h, count(*) AS n,
+      |    CAST(sum(CAST(x AS DECIMAL(30,10))) AS DOUBLE) AS sx,
+      |    CAST(sum(CAST(y AS DECIMAL(30,10))) AS DOUBLE) AS sy,
+      |    CAST(sum(CAST(x * x AS DECIMAL(30,10))) AS DOUBLE) AS sxx,
+      |    CAST(sum(CAST(y * y AS DECIMAL(30,10))) AS DOUBLE) AS syy,
+      |    CAST(sum(CAST(x * y AS DECIMAL(30,10))) AS DOUBLE) AS sxy
+      |  FROM j GROUP BY lag_h)
+      |SELECT lag_h, n AS n_pairs,
+      |  CAST(round((n * sxy - sx * sy) /
+      |    nullif(sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 0), 6)
+      |    AS DOUBLE) AS ccf
+      |FROM a ORDER BY lag_h""".stripMargin,
+    doc = "hourly click→purchase cross-correlation at lags 0..6h (time series)") { (s, dir) =>
+    val ser = t(s, dir, "events")
+      .filter(col("event_type").isin("click", "purchase"))
+      .groupBy(col("event_type"),
+        floor(epochUs(col("ts")) / 3600000000.0).cast("long").as("h"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(30,6)")).cast("double").as("sv"))
+      .select(col("event_type"), col("h"), (col("sv") / col("n")).as("v"))
+    val x = ser.filter(col("event_type") === "click")
+      .select(col("h"), col("v").as("x"))
+    val y = ser.filter(col("event_type") === "purchase")
+      .select(col("h"), col("v").as("y"))
+    val lags = s.range(0, 7).select(col("id").as("lag_h"))
+    val j = x.crossJoin(broadcast(lags))
+      .join(y.withColumnRenamed("h", "hy"),
+        col("hy") === col("h") + col("lag_h"))
+    val a = j.groupBy(col("lag_h")).agg(
+      count(lit(1)).as("n"),
+      sum(col("x").cast("decimal(30,10)")).cast("double").as("sx"),
+      sum(col("y").cast("decimal(30,10)")).cast("double").as("sy"),
+      sum((col("x") * col("x")).cast("decimal(30,10)")).cast("double").as("sxx"),
+      sum((col("y") * col("y")).cast("decimal(30,10)")).cast("double").as("syy"),
+      sum((col("x") * col("y")).cast("decimal(30,10)")).cast("double").as("sxy"))
+    a.select(col("lag_h"), col("n").as("n_pairs"),
+        round((col("n") * col("sxy") - col("sx") * col("sy")) /
+          nullif(sqrt((col("n") * col("sxx") - col("sx") * col("sx")) *
+            (col("n") * col("syy") - col("sy") * col("sy"))), lit(0d)), 6)
+          .cast("double").as("ccf"))
+      .orderBy("lag_h")
+  }
+
   val all: Seq[QueryDef] = Seq(
     qTimeWindow, qLagGaps, qOverlapSemi, qScalarFuncs, qJsonBuild, qSessionize,
     qMapFuncs, qAsofJoin, qAsofTolerance, qAsofForward, qAsofNearest,
     qRangeJoin, qRangeJoinSkew, qIntervalOverlap, qFunnel, qRetention,
     qGapFill, qInterpolate, qLoadProfile, qSlidingWindow, qForecastBaseline,
-    qTrendOls, qAnomaliesSeasonal, qEwma, qEventPaths, qAcf, qCusum)
+    qTrendOls, qAnomaliesSeasonal, qEwma, qEventPaths, qAcf, qCusum, qCcf)
 }
