@@ -1138,10 +1138,57 @@ object EventQueries {
       .orderBy("lag_h")
   }
 
+  /** Time-weighted average per type — THE correct mean for an
+    * irregularly-sampled series (the arithmetic mean over-weights
+    * burst periods; the energy-domain standard is the trapezoidal
+    * integral ∫v dt / (t_n − t_0)): one per-type window lag for
+    * (prev value, prev ts), each trapezoid (v_i + v_{i−1})/2 · Δt_µs
+    * decimal-cast before the exact sum, one division at the end.
+    * Same chunkable-window scale shape as [[qEwma]].
+    */
+  val qTwa: QueryDef = QueryDef.sql(
+    "q_twa",
+    """WITH l AS (
+      |  SELECT event_type, value, epoch_us(ts) AS t,
+      |    lag(value) OVER w AS pv,
+      |    lag(epoch_us(ts)) OVER w AS pt
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)),
+      |a AS (
+      |  SELECT event_type,
+      |    CAST(sum(CAST((value + pv) / 2 * (t - pt) AS DECIMAL(38,6)))
+      |      AS DOUBLE) AS area,
+      |    max(t) - min(t) AS span_us,
+      |    count(pv) AS n_segments
+      |  FROM l GROUP BY event_type)
+      |SELECT event_type, n_segments,
+      |  CAST(round(area / span_us, 6) AS DOUBLE) AS twa
+      |FROM a WHERE span_us > 0 ORDER BY event_type""".stripMargin,
+    doc = "trapezoidal time-weighted average per type (irregular-series mean)") { (s, dir) =>
+    // epoch-µs order ≡ ts order, so the window can sort on the
+    // projected long (one fewer carried column)
+    val w = Window.partitionBy("event_type").orderBy(col("t"), col("event_id"))
+    val l = t(s, dir, "events").select(col("event_type"), col("event_id"),
+        col("value"), epochUs(col("ts")).as("t"))
+      .withColumn("pv", lag(col("value"), 1).over(w))
+      .withColumn("pt", lag(col("t"), 1).over(w))
+    l.groupBy("event_type")
+      .agg(
+        sum(((col("value") + col("pv")) / 2 * (col("t") - col("pt")))
+          .cast("decimal(38,6)")).cast("double").as("area"),
+        (max(col("t")) - min(col("t"))).as("span_us"),
+        count(col("pv")).as("n_segments"))
+      .filter(col("span_us") > 0)
+      .select(col("event_type"), col("n_segments"),
+        round(col("area") / col("span_us"), 6).cast("double").as("twa"))
+      .orderBy("event_type")
+  }
+
   val all: Seq[QueryDef] = Seq(
     qTimeWindow, qLagGaps, qOverlapSemi, qScalarFuncs, qJsonBuild, qSessionize,
     qMapFuncs, qAsofJoin, qAsofTolerance, qAsofForward, qAsofNearest,
     qRangeJoin, qRangeJoinSkew, qIntervalOverlap, qFunnel, qRetention,
     qGapFill, qInterpolate, qLoadProfile, qSlidingWindow, qForecastBaseline,
-    qTrendOls, qAnomaliesSeasonal, qEwma, qEventPaths, qAcf, qCusum, qCcf)
+    qTrendOls, qAnomaliesSeasonal, qEwma, qEventPaths, qAcf, qCusum, qCcf,
+    qTwa)
 }

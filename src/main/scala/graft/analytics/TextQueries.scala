@@ -1024,6 +1024,47 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** Shannon entropy of each source's token distribution — the corpus
+    * diversity screen (low entropy = templated/boilerplate source,
+    * high = diverse natural text; the [[qCorpusDivergence]] sibling
+    * that needs no reference corpus). One token count shuffle, one
+    * per-source reduce, O(sources) output; each −p·ln p term is
+    * decimal-cast before the sum.
+    */
+  val qSourceEntropy: QueryDef = QueryDef.sql(
+    "q_source_entropy",
+    """WITH tk AS (
+      |  SELECT source, unnest(string_split_regex(trim(text), '\s+')) AS token
+      |  FROM documents WHERE trim(text) <> ''),
+      |c AS (SELECT source, token, count(*) AS cnt FROM tk GROUP BY 1, 2),
+      |tot AS (
+      |  SELECT source, CAST(sum(cnt) AS BIGINT) AS n FROM c GROUP BY source)
+      |SELECT t.source, t.n AS n_tokens, count(*) AS vocab,
+      |  CAST(round(CAST(sum(CAST(
+      |    -(c.cnt / CAST(t.n AS DOUBLE)) * ln(c.cnt / CAST(t.n AS DOUBLE))
+      |    AS DECIMAL(20,12))) AS DOUBLE), 6) AS DOUBLE) AS entropy
+      |FROM c JOIN tot t USING (source)
+      |GROUP BY t.source, t.n
+      |ORDER BY t.source""".stripMargin,
+    doc = "per-source token Shannon entropy (corpus diversity profiling)") { (s, dir) =>
+    val tk = t(s, dir, "documents")
+      .filter(length(trim(col("text"))) > 0)
+      .select(col("source"),
+        explode(graft.text.TextAnalysis.words(col("text"))).as("token"))
+    val c = tk.groupBy(col("source"), col("token"))
+      .agg(count(lit(1)).as("cnt"))
+    val tot = c.groupBy(col("source")).agg(sum(col("cnt")).as("n"))
+    val p = col("cnt") / col("n").cast("double")
+    c.join(tot, Seq("source"))
+      .groupBy(col("source"), col("n"))
+      .agg(count(lit(1)).as("vocab"),
+        round(sum((-p * log(p)).cast("decimal(20,12)")).cast("double"), 6)
+          .cast("double").as("entropy"))
+      .select(col("source"), col("n").as("n_tokens"), col("vocab"),
+        col("entropy"))
+      .orderBy("source")
+  }
+
   /** BM25 retrieval ([[graft.text.Bm25]]): top-10 docs for a fixed
     * 3-term topic probe. The oracle restates the exact scoring
     * arithmetic — same operation order, same double literals folded
@@ -1414,7 +1455,7 @@ object TextQueries {
     qDecontaminate, qDecontaminateFuzzy, qTfidf, qQualityRules, qUrlDedup,
     qQualityRepetition, qChunkTokens, qSplitHash, qCorpusReport, qCurateV2,
     qVocabEncode, qTextUnigramNll, qTextBigramNll, qTextBm25, qDsirWeights,
-    qQualityClassifier, qSpanDupReport,
+    qQualityClassifier, qSourceEntropy, qSpanDupReport,
     qSpanRemove, qBpePairs, qShardBalanced, qCtfidf, qCorpusDivergence)
 
 }

@@ -61,6 +61,19 @@ class TimeSeriesStatsSpec extends SparkSpec {
     assert(out.length == 6)
   }
 
+  test("q_twa matches the hand-computed trapezoidal integral") {
+    // values 0, 10, 10 at t = 0h, 1h, 3h: area = 5·1h + 10·2h = 25h·v
+    // over span 3h → twa = 25/3
+    val rows = Seq(
+      (0L, ts(0), 1L, "m", 0.0, "{}"),
+      (1L, ts(1), 1L, "m", 10.0, "{}"),
+      (2L, ts(3), 1L, "m", 10.0, "{}"))
+    val dir = writeEvents(rows)
+    val r = Catalog.byName("q_twa").run(spark, dir).collect().head
+    assert(r.getAs[Long]("n_segments") == 2)
+    assert(math.abs(r.getAs[Double]("twa") - 25.0 / 3) < 1e-6)
+  }
+
   test("q_cusum drift is layout-independent (exact decimal cumsum)") {
     val rows = (0 until 101).map { i =>
       (i.toLong, ts(i), 1L, "x", math.sin(i * 0.37) * 13.7, "{}")
