@@ -479,6 +479,82 @@ object AggregateQueries {
           <= lit(0.10) * col("exact_overlap")).as("est_ok"))
   }
 
+  /** Benford first-digit screen over l_extendedprice — the classic
+    * fabricated-data detector for multiplicative quantities: observed
+    * first-significant-digit counts vs N·log₁₀(1+1/d), plus the χ²
+    * statistic. Digit extraction goes through a DECIMAL(18,2) cast and
+    * its positional string form in BOTH engines (float→string
+    * shortest-repr and log10-edge floor are both engine-dependent —
+    * the decimal detour is the deterministic path). χ² terms are
+    * decimal-cast before summing.
+    */
+  val qBenford: QueryDef = QueryDef.sql(
+    "q_benford",
+    """WITH d AS (
+      |  SELECT CAST(substr(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+      |    AS VARCHAR), 1, 1) AS INT) AS digit
+      |  FROM lineitem WHERE l_extendedprice > 0),
+      |o AS (SELECT digit, count(*) AS n_obs FROM d GROUP BY digit),
+      |t AS (SELECT CAST(sum(n_obs) AS BIGINT) AS n FROM o),
+      |e AS (
+      |  SELECT o.digit, o.n_obs, t.n * log10(1 + 1.0 / o.digit) AS exp_n
+      |  FROM o CROSS JOIN t),
+      |x AS (
+      |  SELECT CAST(sum(CAST((n_obs - exp_n) * (n_obs - exp_n) / exp_n
+      |    AS DECIMAL(28,10))) AS DOUBLE) AS chi2 FROM e)
+      |SELECT e.digit, e.n_obs,
+      |  CAST(round(e.exp_n, 4) AS DOUBLE) AS exp_n,
+      |  CAST(round(x.chi2, 4) AS DOUBLE) AS chi2
+      |FROM e CROSS JOIN x ORDER BY e.digit""".stripMargin,
+    doc = "Benford first-digit distribution + chi-square over prices (data-quality screen)") { (s, dir) =>
+    val d = t(s, dir, "lineitem")
+      .filter(col("l_extendedprice") > 0)
+      .select(substring(col("l_extendedprice").cast("decimal(18,2)")
+        .cast("string"), 1, 1).cast("int").as("digit"))
+    val o = d.groupBy("digit").agg(count(lit(1)).as("n_obs"))
+    val tot = o.agg(sum(col("n_obs")).as("n"))
+    val e = o.crossJoin(broadcast(tot))
+      .select(col("digit"), col("n_obs"),
+        (col("n") * log10(lit(1) + lit(1.0) / col("digit"))).as("exp_n"))
+    val x = e.agg(
+      sum(((col("n_obs") - col("exp_n")) * (col("n_obs") - col("exp_n"))
+        / col("exp_n")).cast("decimal(28,10)")).cast("double").as("chi2"))
+    e.crossJoin(broadcast(x))
+      .select(col("digit"), col("n_obs"),
+        round(col("exp_n"), 4).cast("double").as("exp_n"),
+        round(col("chi2"), 4).cast("double").as("chi2"))
+      .orderBy("digit")
+  }
+
+  /** Functional-dependency violation report: does source determine
+    * lang? For every source carrying more than one language, the doc
+    * count outside its majority language — the profiling primitive
+    * behind "is this column a key / is this mapping clean" checks
+    * (reference's schema_analyzer intent, scaled: one count shuffle,
+    * O(|source|) output).
+    */
+  val qFdViolations: QueryDef = QueryDef.sql(
+    "q_fd_violations",
+    """WITH c AS (
+      |  SELECT source, lang, count(*) AS cnt FROM documents GROUP BY 1, 2),
+      |a AS (
+      |  SELECT source, count(*) AS n_langs,
+      |    CAST(sum(cnt) AS BIGINT) AS n_docs, max(cnt) AS maj
+      |  FROM c GROUP BY source)
+      |SELECT source, n_langs, n_docs, n_docs - maj AS n_violations
+      |FROM a WHERE n_langs > 1 ORDER BY source""".stripMargin,
+    doc = "functional-dependency (source->lang) violation report (data profiling)") { (s, dir) =>
+    val c = t(s, dir, "documents")
+      .groupBy(col("source"), col("lang")).agg(count(lit(1)).as("cnt"))
+    c.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_langs"), sum(col("cnt")).as("n_docs"),
+        max(col("cnt")).as("maj"))
+      .filter(col("n_langs") > 1)
+      .select(col("source"), col("n_langs"), col("n_docs"),
+        (col("n_docs") - col("maj")).as("n_violations"))
+      .orderBy("source")
+  }
+
   /** The pre-aggregated sketch pattern ([[graft.profile.SketchRollup]])
     * proven in-plan: per-day HLL sketches `hll_union_agg`'d back
     * together estimate within the lgK=12 error bound of the exact
@@ -656,5 +732,5 @@ object AggregateQueries {
     qSortNullsLast, qPercentiles, qPivot, qMonotonic, qSkewReport,
     qHistogram, qApproxProfile, qCorrelations, qHeavyHitters, qCmsCounts,
     qHllDistinct, qSketchRollup, qMetricsRollup, qAnomalies, qFkOrphans,
-    qAnomaliesMad, qHllOverlap)
+    qAnomaliesMad, qHllOverlap, qBenford, qFdViolations)
 }
