@@ -7,7 +7,7 @@ object Catalog {
   def all: Seq[QueryDef] =
     RelationalQueries.all ++ AggregateQueries.all ++ EventQueries.all ++
       TransformQueries.all ++ TextQueries.all ++ DedupQueries.all ++
-      SimilarityQueries.all ++ MultimodalQueries.all
+      SimilarityQueries.all ++ MultimodalQueries.all ++ StatsQueries.all
 
   lazy val byName: Map[String, QueryDef] =
     all.map(q => q.name -> q).toMap

@@ -1,0 +1,399 @@
+package graft.analytics
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.io.Tables
+
+/** Statistical-testing and robust-estimation coverage: the hypothesis
+  * tests and order-statistic estimators an analytics engine runs over
+  * metric streams (A/B cohort comparison, independence screens, robust
+  * trend/median under outliers). The reference's analytics package is
+  * empty (`/root/reference/src/analytics/__init__.py:1`); this extends
+  * the engine's profiling family (q_benford, q_anomalies_*) with the
+  * inferential layer on top of the same sufficient-statistics idiom:
+  * every test is one or two distributed aggregations of exact decimal
+  * sums, with the final statistic computed in identical IEEE double
+  * expression trees in both engines.
+  *
+  * Scale posture shared by all entries: no global single-partition
+  * window ever touches raw rows. Where a global order is semantically
+  * required (Mann-Whitney ranks), the cumulative count runs as a
+  * range-partitioned local window plus a P-row broadcast offset roll —
+  * the same distributed-prefix-sum shape as
+  * [[graft.text.SequencePacking.balancedShards]].
+  */
+object StatsQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.table(s, dir, name)
+
+  /** Chi-squared test of independence between event_type and day-part
+    * (AM/PM): the two-variable generalization of q_benford's
+    * goodness-of-fit screen — "does the type mix drift by time of
+    * day?". Observed counts are one grouped aggregation; row/column
+    * margins are two more tiny aggregations broadcast back; expected
+    * counts and per-cell terms are computed in double on exact integer
+    * inputs, and the chi2 total goes through a DECIMAL(28,10) cast per
+    * cell so partial-aggregation order can't perturb the sum. Output
+    * is the full contingency diagnostic (cell, observed, expected)
+    * plus the statistic and degrees of freedom on every row.
+    */
+  val qChi2Independence: QueryDef = QueryDef.sql(
+    "q_chi2_independence",
+    """WITH o AS (
+      |  SELECT event_type,
+      |    CASE WHEN extract(hour FROM ts) < 12 THEN 'am' ELSE 'pm' END
+      |      AS daypart,
+      |    count(*) AS n_obs
+      |  FROM events GROUP BY 1, 2),
+      |rt AS (SELECT event_type, sum(n_obs) AS row_n FROM o GROUP BY 1),
+      |ct AS (SELECT daypart, sum(n_obs) AS col_n FROM o GROUP BY 1),
+      |tot AS (SELECT CAST(sum(n_obs) AS BIGINT) AS n FROM o),
+      |e AS (
+      |  SELECT o.event_type, o.daypart, o.n_obs,
+      |    CAST(rt.row_n * ct.col_n AS DOUBLE) / tot.n AS exp_n
+      |  FROM o
+      |  JOIN rt ON o.event_type = rt.event_type
+      |  JOIN ct ON o.daypart = ct.daypart
+      |  CROSS JOIN tot),
+      |x AS (
+      |  SELECT CAST(sum(CAST((n_obs - exp_n) * (n_obs - exp_n) / exp_n
+      |      AS DECIMAL(28,10))) AS DOUBLE) AS chi2,
+      |    (count(DISTINCT event_type) - 1) * (count(DISTINCT daypart) - 1)
+      |      AS dof
+      |  FROM e)
+      |SELECT e.event_type, e.daypart, e.n_obs,
+      |  CAST(round(e.exp_n, 4) AS DOUBLE) AS exp_n,
+      |  CAST(round(x.chi2, 4) AS DOUBLE) AS chi2, x.dof
+      |FROM e CROSS JOIN x
+      |ORDER BY e.event_type, e.daypart""".stripMargin,
+    doc = "chi-squared independence test: event_type x day-part contingency") { (s, dir) =>
+    val o = t(s, dir, "events")
+      .select(col("event_type"),
+        when(hour(col("ts")) < 12, "am").otherwise("pm").as("daypart"))
+      .groupBy("event_type", "daypart").agg(count(lit(1)).as("n_obs"))
+    val rt = o.groupBy("event_type").agg(sum("n_obs").as("row_n"))
+    val ct = o.groupBy("daypart").agg(sum("n_obs").as("col_n"))
+    val tot = o.agg(sum("n_obs").cast("long").as("n"))
+    val e = o.join(broadcast(rt), "event_type")
+      .join(broadcast(ct), "daypart")
+      .crossJoin(broadcast(tot))
+      .select(col("event_type"), col("daypart"), col("n_obs"),
+        ((col("row_n") * col("col_n")).cast("double") / col("n"))
+          .as("exp_n"))
+    val x = e.agg(
+      sum(((col("n_obs") - col("exp_n")) * (col("n_obs") - col("exp_n"))
+        / col("exp_n")).cast("decimal(28,10)")).cast("double").as("chi2"),
+      ((countDistinct(col("event_type")) - 1) *
+        (countDistinct(col("daypart")) - 1)).as("dof"))
+    e.crossJoin(broadcast(x))
+      .select(col("event_type"), col("daypart"), col("n_obs"),
+        round(col("exp_n"), 4).cast("double").as("exp_n"),
+        round(col("chi2"), 4).cast("double").as("chi2"), col("dof"))
+      .orderBy("event_type", "daypart")
+  }
+
+  /** Welch's unequal-variance t-test per event_type: weekend vs
+    * weekday values — the A/B-comparison primitive. One grouped pass
+    * collects (n, Σy, Σy²) per (type, cohort) with decimal-exact sums
+    * (y quantized at 4 decimals, y² at 8 — both inputs carry ≤ 2
+    * fractional digits so the casts are lossless); mean, variance, the
+    * t statistic, and the Welch–Satterthwaite df are then identical
+    * double expression trees in both engines. At scale this is a
+    * single map-side-combined aggregation however many rows stream
+    * through — the textbook sufficient-statistics shape.
+    */
+  val qTtestWelch: QueryDef = QueryDef.sql(
+    "q_ttest_welch",
+    """WITH c AS (
+      |  SELECT event_type,
+      |    CASE WHEN extract(dow FROM ts) IN (0, 6) THEN 1 ELSE 0 END
+      |      AS we,
+      |    value AS y
+      |  FROM events),
+      |s AS (
+      |  SELECT event_type, we, count(*) AS n,
+      |    CAST(sum(CAST(y AS DECIMAL(20,4))) AS DOUBLE) AS sy,
+      |    CAST(sum(CAST(y * y AS DECIMAL(30,8))) AS DOUBLE) AS syy
+      |  FROM c GROUP BY 1, 2),
+      |w AS (
+      |  SELECT a.event_type,
+      |    a.n AS n_we, b.n AS n_wd,
+      |    a.sy / a.n AS m_we, b.sy / b.n AS m_wd,
+      |    (a.syy - a.sy * a.sy / a.n) / (a.n - 1) / a.n AS v_we,
+      |    (b.syy - b.sy * b.sy / b.n) / (b.n - 1) / b.n AS v_wd
+      |  FROM s a JOIN s b ON a.event_type = b.event_type
+      |  WHERE a.we = 1 AND b.we = 0)
+      |SELECT event_type, n_we, n_wd,
+      |  round(m_we - m_wd, 6) AS mean_diff,
+      |  round((m_we - m_wd) / sqrt(v_we + v_wd), 6) AS t_stat,
+      |  round((v_we + v_wd) * (v_we + v_wd) /
+      |    (v_we * v_we / (n_we - 1) + v_wd * v_wd / (n_wd - 1)), 4)
+      |    AS df
+      |FROM w ORDER BY event_type""".stripMargin,
+    doc = "Welch t-test weekend vs weekday per event_type (sufficient statistics)") { (s, dir) =>
+    val c = t(s, dir, "events")
+      .select(col("event_type"),
+        when(dayofweek(col("ts")).isin(1, 7), 1).otherwise(0).as("we"),
+        col("value").as("y"))
+    val st = c.groupBy("event_type", "we").agg(
+      count(lit(1)).as("n"),
+      sum(col("y").cast("decimal(20,4)")).cast("double").as("sy"),
+      sum((col("y") * col("y")).cast("decimal(30,8)")).cast("double")
+        .as("syy"))
+    val a = st.filter(col("we") === 1)
+      .select(col("event_type"), col("n").as("n_we"), col("sy").as("sy_a"),
+        col("syy").as("syy_a"))
+    val b = st.filter(col("we") === 0)
+      .select(col("event_type"), col("n").as("n_wd"), col("sy").as("sy_b"),
+        col("syy").as("syy_b"))
+    val w = a.join(b, "event_type")
+      .select(col("event_type"), col("n_we"), col("n_wd"),
+        (col("sy_a") / col("n_we")).as("m_we"),
+        (col("sy_b") / col("n_wd")).as("m_wd"),
+        ((col("syy_a") - col("sy_a") * col("sy_a") / col("n_we"))
+          / (col("n_we") - 1) / col("n_we")).as("v_we"),
+        ((col("syy_b") - col("sy_b") * col("sy_b") / col("n_wd"))
+          / (col("n_wd") - 1) / col("n_wd")).as("v_wd"))
+    w.select(col("event_type"), col("n_we"), col("n_wd"),
+        round(col("m_we") - col("m_wd"), 6).as("mean_diff"),
+        round((col("m_we") - col("m_wd"))
+          / sqrt(col("v_we") + col("v_wd")), 6).as("t_stat"),
+        round((col("v_we") + col("v_wd")) * (col("v_we") + col("v_wd"))
+          / (col("v_we") * col("v_we") / (col("n_we") - 1)
+            + col("v_wd") * col("v_wd") / (col("n_wd") - 1)), 4).as("df"))
+      .orderBy("event_type")
+  }
+
+  /** Weighted median: per return-flag, the smallest extended price at
+    * which cumulative quantity reaches half the total — the
+    * inventory-weighted "typical price". Entirely integral/decimal
+    * arithmetic (no doubles anywhere), and the window is PARTITIONED
+    * by the group key: one keyed exchange, each group sorted locally,
+    * which scales with group count rather than collapsing to a single
+    * partition. Tie-safe: if the threshold lands inside an equal-price
+    * run, every qualifying row shares that price, so min() is
+    * order-independent.
+    */
+  val qWeightedMedian: QueryDef = QueryDef.sql(
+    "q_weighted_median",
+    """WITH w AS (
+      |  SELECT l_returnflag AS flag,
+      |    CAST(l_extendedprice AS DECIMAL(18,2)) AS price,
+      |    CAST(l_quantity AS DECIMAL(18,2)) AS qty,
+      |    sum(CAST(l_quantity AS DECIMAL(18,2)))
+      |      OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice,
+      |            l_orderkey, l_linenumber) AS cum,
+      |    sum(CAST(l_quantity AS DECIMAL(18,2)))
+      |      OVER (PARTITION BY l_returnflag) AS total
+      |  FROM lineitem)
+      |SELECT flag,
+      |  CAST(min(price) AS DOUBLE) AS wmedian_price,
+      |  CAST(max(total) AS DOUBLE) AS total_qty
+      |FROM w WHERE cum * 2 >= total
+      |GROUP BY flag ORDER BY flag""".stripMargin,
+    doc = "quantity-weighted median price per return flag (partitioned window, exact)") { (s, dir) =>
+    val li = t(s, dir, "lineitem")
+      .select(col("l_returnflag").as("flag"),
+        col("l_extendedprice").cast("decimal(18,2)").as("price"),
+        col("l_quantity").cast("decimal(18,2)").as("qty"),
+        col("l_extendedprice").as("ord_p"), col("l_orderkey"),
+        col("l_linenumber"))
+    val byFlag = Window.partitionBy(col("flag"))
+    val cumW = byFlag.orderBy(col("ord_p"), col("l_orderkey"),
+      col("l_linenumber"))
+    li.withColumn("cum", sum(col("qty")).over(cumW))
+      .withColumn("total", sum(col("qty")).over(byFlag))
+      .filter(col("cum") * 2 >= col("total"))
+      .groupBy("flag")
+      .agg(min(col("price")).cast("double").as("wmedian_price"),
+        max(col("total")).cast("double").as("total_qty"))
+      .orderBy("flag")
+  }
+
+  /** Theil-Sen robust trend per event_type: median of pairwise slopes
+    * over HOURLY MEANS — the estimator q_trend_ols's least squares
+    * can't give you when a meter glitches (one wild hour drags OLS,
+    * the pairwise median shrugs). The pair explosion is bounded by
+    * TIME RESOLUTION, not data volume: however many raw rows arrive,
+    * each type contributes ≤ hours² pairs (720 hours → ~259k pairs per
+    * type at any SF), so the self-join input is a pre-aggregated table
+    * orders of magnitude smaller than the fact table. Hourly means are
+    * exact-decimal-sum / count doubles; the slope median rides the
+    * interpolated-percentile parity q_percentiles pins.
+    */
+  val qTheilSen: QueryDef = QueryDef.sql(
+    "q_theilsen",
+    """WITH h AS (
+      |  SELECT event_type,
+      |    CAST(date_diff('hour', TIMESTAMP '2024-01-01',
+      |      date_trunc('hour', ts)) AS BIGINT) AS x,
+      |    CAST(sum(CAST(value AS DECIMAL(20,4))) AS DOUBLE) / count(*)
+      |      AS y
+      |  FROM events GROUP BY 1, 2),
+      |p AS (
+      |  SELECT a.event_type, (b.y - a.y) / (b.x - a.x) AS slope
+      |  FROM h a JOIN h b
+      |    ON a.event_type = b.event_type AND a.x < b.x)
+      |SELECT event_type, count(*) AS n_pairs,
+      |  round(quantile_cont(slope, 0.5), 6) AS ts_slope_per_hour
+      |FROM p GROUP BY event_type ORDER BY event_type""".stripMargin,
+    doc = "Theil-Sen robust slope on hourly means (bounded pair explosion)") { (s, dir) =>
+    val h = t(s, dir, "events")
+      .groupBy(col("event_type"),
+        ((unix_timestamp(date_trunc("hour", col("ts")))
+          - unix_timestamp(lit("2024-01-01").cast("timestamp"))) / 3600L)
+          .cast("long").as("x"))
+      .agg((sum(col("value").cast("decimal(20,4)")).cast("double")
+        / count(lit(1))).as("y"))
+    val a = h.select(col("event_type"), col("x").as("xa"), col("y").as("ya"))
+    val b = h.select(col("event_type"), col("x").as("xb"), col("y").as("yb"))
+    a.join(b, Seq("event_type")).filter(col("xa") < col("xb"))
+      .select(col("event_type"),
+        ((col("yb") - col("ya")) / (col("xb") - col("xa"))).as("slope"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_pairs"),
+        round(expr("percentile(slope, 0.5)"), 6).as("ts_slope_per_hour"))
+      .orderBy("event_type")
+  }
+
+  /** Winsorized mean per event_type: clip at the exact interpolated
+    * p05/p95, then average the clipped values — the robust location
+    * estimate feeding quality dashboards (q_anomalies_mad's location
+    * twin). Two aggregate passes: percentile bounds per group (tiny,
+    * broadcast back), then one clipped-sum pass with the clipped
+    * values quantized to DECIMAL(18,4) before summing so both engines
+    * add identical exact numbers in any order.
+    */
+  val qWinsorize: QueryDef = QueryDef.sql(
+    "q_winsorize",
+    """WITH b AS (
+      |  SELECT event_type,
+      |    quantile_cont(value, 0.05) AS lo,
+      |    quantile_cont(value, 0.95) AS hi
+      |  FROM events GROUP BY 1),
+      |c AS (
+      |  SELECT e.event_type,
+      |    CAST(round(CASE WHEN e.value < b.lo THEN b.lo
+      |                    WHEN e.value > b.hi THEN b.hi
+      |                    ELSE e.value END, 4) AS DECIMAL(18,4)) AS cv,
+      |    CAST(round(b.lo, 4) AS DOUBLE) AS lo,
+      |    CAST(round(b.hi, 4) AS DOUBLE) AS hi
+      |  FROM events e JOIN b ON e.event_type = b.event_type)
+      |SELECT event_type, count(*) AS n, min(lo) AS p05, max(hi) AS p95,
+      |  round(CAST(sum(cv) AS DOUBLE) / count(*), 6) AS winsorized_mean
+      |FROM c GROUP BY event_type ORDER BY event_type""".stripMargin,
+    doc = "winsorized mean per event_type (p05/p95 clip, decimal-exact sum)") { (s, dir) =>
+    val ev = t(s, dir, "events")
+    val b = ev.groupBy("event_type").agg(
+      expr("percentile(value, 0.05)").as("lo"),
+      expr("percentile(value, 0.95)").as("hi"))
+    val c = ev.join(broadcast(b), "event_type")
+      .select(col("event_type"),
+        round(when(col("value") < col("lo"), col("lo"))
+          .when(col("value") > col("hi"), col("hi"))
+          .otherwise(col("value")), 4).cast("decimal(18,4)").as("cv"),
+        round(col("lo"), 4).cast("double").as("lo"),
+        round(col("hi"), 4).cast("double").as("hi"))
+    c.groupBy("event_type")
+      .agg(count(lit(1)).as("n"), min(col("lo")).as("p05"),
+        max(col("hi")).as("p95"),
+        round(sum(col("cv")).cast("double") / count(lit(1)), 6)
+          .as("winsorized_mean"))
+      .orderBy("event_type")
+  }
+
+  /** Mann-Whitney U (rank-sum) test: click vs purchase values — the
+    * nonparametric cohort comparison that needs a GLOBAL rank, which
+    * is exactly the operation that can't be a naive window at scale.
+    * The engine never ranks raw rows: it groups to distinct values
+    * (with per-cohort counts), buckets them by a deterministic
+    * value-derived key, computes the cumulative purchase-count with a
+    * bucket-keyed window, and rolls bucket totals into broadcast
+    * offsets — the distributed-prefix-sum shape of balancedShards with
+    * a value-functional bucket key (physical partition ids are not
+    * stable across plan branches; floor(v) is).
+    * U = Σ_v n_click(v)·(purchases below v + half the
+    * ties at v), kept in exact DECIMAL throughout; only the normal
+    * z-approximation (with exact tie correction) runs in double.
+    */
+  val qMannWhitney: QueryDef = QueryDef.sql(
+    "q_mannwhitney",
+    """WITH g AS (
+      |  SELECT value AS v,
+      |    count(CASE WHEN event_type = 'click' THEN 1 END) AS na,
+      |    count(CASE WHEN event_type = 'purchase' THEN 1 END) AS nb
+      |  FROM events WHERE event_type IN ('click', 'purchase')
+      |  GROUP BY value),
+      |c AS (
+      |  SELECT v, na, nb,
+      |    coalesce(sum(nb) OVER (ORDER BY v
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |      AS cum_b
+      |  FROM g),
+      |u AS (
+      |  SELECT
+      |    CAST(sum(na) AS BIGINT) AS n1, CAST(sum(nb) AS BIGINT) AS n2,
+      |    CAST(sum(CAST(na AS DECIMAL(38,0)) * (2 * cum_b + nb))
+      |      AS DECIMAL(38,0)) AS u2x,
+      |    CAST(sum(CAST((na + nb) AS DECIMAL(38,0))
+      |        * (na + nb) * (na + nb) - (na + nb)) AS DECIMAL(38,0))
+      |      AS tie3
+      |  FROM c)
+      |SELECT n1, n2, CAST(u2x AS DOUBLE) / 2 AS u_stat,
+      |  round((CAST(u2x AS DOUBLE) / 2 - CAST(n1 AS DOUBLE) * n2 / 2) /
+      |    sqrt(CAST(n1 AS DOUBLE) * n2 / 12 *
+      |      ((n1 + n2 + 1) - CAST(tie3 AS DOUBLE) /
+      |        ((n1 + n2) * CAST(n1 + n2 - 1 AS DOUBLE)))), 6) AS z
+      |FROM u""".stripMargin,
+    doc = "Mann-Whitney U click vs purchase (distributed rank via prefix sum)") { (s, dir) =>
+    val g = t(s, dir, "events")
+      .filter(col("event_type").isin("click", "purchase"))
+      .groupBy(col("value").as("v"))
+      .agg(count(when(col("event_type") === "click", 1)).as("na"),
+        count(when(col("event_type") === "purchase", 1)).as("nb"))
+    // Distributed prefix sum of nb over value order, bucketed by a
+    // DETERMINISTIC value-derived key (floor(v)) — not by physical
+    // partition id: spark_partition_id after repartitionByRange is
+    // evaluation-order-dependent (range boundaries are sampled with a
+    // per-RDD seed, so two branches of the same plan can disagree).
+    // The in-bucket cumsum is a keyed window (scales with buckets);
+    // the only unpartitioned window rolls bucket totals — a table
+    // bounded by the metric's value range, not by data volume.
+    val bucketed = g.withColumn("__b", floor(col("v")).cast("long"))
+    val localW = Window.partitionBy(col("__b")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val withLocal = bucketed.withColumn("__lcum",
+      coalesce(sum(col("nb")).over(localW), lit(0L)))
+    val offW = Window.orderBy(col("__b"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ptot = bucketed.groupBy(col("__b")).agg(sum(col("nb")).as("__psum"))
+      .withColumn("__off", coalesce(sum(col("__psum")).over(offW), lit(0L)))
+      .select(col("__b"), col("__off"))
+    val c = withLocal.join(broadcast(ptot), Seq("__b"))
+      .select(col("v"), col("na"), col("nb"),
+        (col("__lcum") + col("__off")).as("cum_b"))
+    val u = c.agg(
+      sum(col("na")).cast("long").as("n1"),
+      sum(col("nb")).cast("long").as("n2"),
+      sum(col("na").cast("decimal(38,0)")
+        * (lit(2) * col("cum_b") + col("nb")))
+        .cast("decimal(38,0)").as("u2x"),
+      sum((col("na") + col("nb")).cast("decimal(38,0)")
+        * (col("na") + col("nb")) * (col("na") + col("nb"))
+        - (col("na") + col("nb"))).cast("decimal(38,0)").as("tie3"))
+    u.select(col("n1"), col("n2"),
+      (col("u2x").cast("double") / 2).as("u_stat"),
+      round((col("u2x").cast("double") / 2
+          - col("n1").cast("double") * col("n2") / 2) /
+        sqrt(col("n1").cast("double") * col("n2") / 12 *
+          ((col("n1") + col("n2") + 1) - col("tie3").cast("double") /
+            ((col("n1") + col("n2"))
+              * (col("n1") + col("n2") - 1).cast("double")))), 6).as("z"))
+  }
+
+  val all: Seq[QueryDef] = Seq(
+    qChi2Independence, qTtestWelch, qWeightedMedian, qTheilSen,
+    qWinsorize, qMannWhitney)
+}

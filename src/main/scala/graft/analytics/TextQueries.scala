@@ -1449,6 +1449,78 @@ object TextQueries {
       .orderBy("source")
   }
 
+  /** Exact edit-distance similarity join over the corpus vocabulary
+    * ([[graft.text.EditDistJoin]]): every word pair within Levenshtein
+    * distance 2 — the spelling-variant/OCR-noise detector behind vocab
+    * normalization. The engine's q-gram inverted index + length/count
+    * filters + codegen levenshtein verify must reproduce the naive
+    * quadratic oracle EXACTLY — a recall proof for the pruning rules,
+    * the same contract idiom as q_setsim_prefix.
+    */
+  val qEditdistJoin: QueryDef = QueryDef.sql(
+    "q_editdist_join",
+    """WITH w AS (
+      |  SELECT DISTINCT unnest(string_split_regex(lower(trim(text)),
+      |    '[\s[:punct:]]+')) AS w
+      |  FROM documents),
+      |ww AS (SELECT w FROM w WHERE w != '')
+      |SELECT a.w AS wa, b.w AS wb,
+      |  levenshtein(a.w, b.w) AS dist
+      |FROM ww a JOIN ww b ON a.w < b.w
+      |WHERE levenshtein(a.w, b.w) <= 2
+      |ORDER BY wa, wb""".stripMargin,
+    doc = "Ed-Join: q-gram-filtered exact edit-distance pairs over the vocabulary") { (s, dir) =>
+    val words = t(s, dir, "documents")
+      .select(explode(split(lower(trim(col("text"))), "[\\s\\p{Punct}]+"))
+        .as("w"))
+      .filter(col("w") =!= "")
+    graft.text.EditDistJoin.join(words, "w", d = 2, q = 2)
+      .orderBy("wa", "wb")
+  }
+
+  /** Lexical-diversity profile per source: token mass, vocabulary
+    * size, type-token ratio, hapax-legomenon share, and
+    * frequency-weighted mean word length — the corpus-health metrics
+    * that flag template spam (low TTR) and OCR noise (high hapax
+    * share). One token explosion, map-side-combined (source, token)
+    * counts, then an O(vocabulary) rollup; all ratios are integer
+    * divisions evaluated in identical double trees.
+    */
+  val qLexicalDiversity: QueryDef = QueryDef.sql(
+    "q_lexical_diversity",
+    """WITH tok AS (
+      |  SELECT source, unnest(string_split_regex(lower(trim(text)),
+      |    '[\s[:punct:]]+')) AS w
+      |  FROM documents),
+      |tc AS (
+      |  SELECT source, w, count(*) AS c FROM tok WHERE w != ''
+      |  GROUP BY source, w)
+      |SELECT source,
+      |  CAST(sum(c) AS BIGINT) AS n_tokens,
+      |  count(*) AS n_types,
+      |  round(CAST(count(*) AS DOUBLE) / sum(c), 6) AS ttr,
+      |  round(CAST(count(CASE WHEN c = 1 THEN 1 END) AS DOUBLE)
+      |    / count(*), 6) AS hapax_ratio,
+      |  round(CAST(sum(length(w) * c) AS DOUBLE) / sum(c), 6)
+      |    AS mean_word_len
+      |FROM tc GROUP BY source ORDER BY source""".stripMargin,
+    doc = "type-token ratio, hapax share, mean word length per source") { (s, dir) =>
+    val tc = t(s, dir, "documents")
+      .select(col("source"),
+        explode(split(lower(trim(col("text"))), "[\\s\\p{Punct}]+")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy("source", "w").agg(count(lit(1)).as("c"))
+    tc.groupBy("source").agg(
+        sum(col("c")).cast("long").as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        round(count(lit(1)).cast("double") / sum(col("c")), 6).as("ttr"),
+        round(count(when(col("c") === 1, 1)).cast("double")
+          / count(lit(1)), 6).as("hapax_ratio"),
+        round(sum(length(col("w")) * col("c")).cast("double")
+          / sum(col("c")), 6).as("mean_word_len"))
+      .orderBy("source")
+  }
+
   val all: Seq[QueryDef] = Seq(
     qTextTokens, qTextQuality, qTextLangId, qTextFingerprint, qTokenFreq,
     qSelectPipeline, qPackSequences, qTextRedact, qCuratePipeline,
@@ -1456,6 +1528,7 @@ object TextQueries {
     qQualityRepetition, qChunkTokens, qSplitHash, qCorpusReport, qCurateV2,
     qVocabEncode, qTextUnigramNll, qTextBigramNll, qTextBm25, qDsirWeights,
     qQualityClassifier, qSourceEntropy, qSpanDupReport,
-    qSpanRemove, qBpePairs, qShardBalanced, qCtfidf, qCorpusDivergence)
+    qSpanRemove, qBpePairs, qShardBalanced, qCtfidf, qCorpusDivergence,
+    qEditdistJoin, qLexicalDiversity)
 
 }
