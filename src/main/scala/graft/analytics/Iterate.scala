@@ -141,6 +141,60 @@ object Iterate {
     ranks
   }
 
+  /** Personalized PageRank: random walk with restart into a SEED SET
+    * rather than the uniform vector — the "related to these nodes"
+    * ranking behind recommendation and local-community queries. Same
+    * loop shape as [[pageRank]] (one keyed join + one aggregation
+    * shuffle per iteration, dangling mass a scalar, localCheckpoint
+    * keeps lineage flat); the only change is the restart vector:
+    * teleport and dangling mass land ONLY on seeds (1/|S| each), so
+    * non-seed nodes unreachable from the seed set converge to rank 0.
+    *
+    * `seeds` is a 1-column frame of node ids; it participates as a
+    * broadcast joined flag, never a driver-side collection, so a
+    * million-node seed set works the same as a single node.
+    */
+  def personalizedPageRank(edges: DataFrame, srcCol: String, dstCol: String,
+      seeds: DataFrame, iters: Int, damping: Double = 0.85): DataFrame = {
+    val e = edges.select(col(srcCol).cast("long").as("src"),
+      col(dstCol).cast("long").as("dst")).cache()
+    val nodes = e.select(col("src").as("node"))
+      .unionByName(e.select(col("dst").as("node")))
+      .distinct().cache()
+    val seedSet = seeds.toDF("node").select(col("node").cast("long").as("node"))
+      .distinct().cache()
+    val nSeeds = seedSet.count()
+    require(nSeeds > 0, "personalizedPageRank: empty seed set")
+    val outDeg = e.groupBy("src").agg(count(lit(1)).as("deg")).cache()
+    // restart vector s(v): 1/|S| on seeds, 0 elsewhere — joined, not
+    // collected
+    val restart = nodes
+      .join(seedSet.withColumn("__s", lit(1.0 / nSeeds)), Seq("node"), "left")
+      .select(col("node"), coalesce(col("__s"), lit(0.0)).as("sv"))
+      .cache()
+    var ranks = restart.select(col("node"), col("sv").as("rank"))
+      .localCheckpoint(eager = true)
+    (1 to iters).foreach { _ =>
+      val dangling = ranks
+        .join(outDeg, ranks("node") === outDeg("src"), "left_anti")
+        .agg(coalesce(sum(col("rank")), lit(0.0))).head().getDouble(0)
+      val contribs = e
+        .join(ranks.withColumnRenamed("node", "src"), Seq("src"))
+        .join(outDeg, Seq("src"))
+        .select(col("dst").as("node"), (col("rank") / col("deg")).as("c"))
+        .groupBy(col("node")).agg(sum(col("c")).as("insum"))
+      val next = restart.join(contribs, Seq("node"), "left")
+        .select(col("node"),
+          (lit(1.0 - damping) * col("sv") + lit(damping) *
+            (coalesce(col("insum"), lit(0.0)) + lit(dangling) * col("sv")))
+            .as("rank"))
+      ranks = next.localCheckpoint(eager = true)
+    }
+    e.unpersist(); nodes.unpersist(); outDeg.unpersist()
+    seedSet.unpersist(); restart.unpersist()
+    ranks
+  }
+
   /** Triangle enumeration via degree orientation — the scalable shape:
     * each undirected edge is directed from its lower-(degree, id)
     * endpoint to the higher, making the graph a DAG in which every

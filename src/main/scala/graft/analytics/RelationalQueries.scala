@@ -1078,6 +1078,90 @@ object RelationalQueries {
       .limit(20)
   }
 
+  /** Personalized PageRank ([[Iterate.personalizedPageRank]]): random
+    * walk with restart into seed set {1, 5} over the same fixed graph
+    * as q_pagerank_general — teleport and dangling mass land only on
+    * seeds, so rank concentrates in the seeds' neighborhood and node 6
+    * (reachable but sink) keeps only flow-through mass. Oracle: the
+    * identical iteration as a DuckDB recursive CTE, rounded to 9
+    * decimals (IEEE noise is ~1e-15, six orders below the grid).
+    */
+  val qPpr: QueryDef = QueryDef.sql(
+    "q_ppr",
+    """WITH RECURSIVE edges AS (
+      |  SELECT * FROM (VALUES (1, 2), (2, 1), (2, 3), (3, 4), (4, 1),
+      |    (4, 6), (5, 1), (5, 2)) AS t(src, dst)),
+      |nodes AS (
+      |  SELECT DISTINCT node FROM (
+      |    SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges)),
+      |sv AS (
+      |  SELECT node,
+      |    CASE WHEN node IN (1, 5) THEN CAST(0.5 AS DOUBLE)
+      |         ELSE CAST(0 AS DOUBLE) END AS sv
+      |  FROM nodes),
+      |deg AS (
+      |  SELECT src, CAST(count(*) AS DOUBLE) AS deg
+      |  FROM edges GROUP BY src),
+      |pr AS (
+      |  SELECT node, sv AS rank, 0 AS iter FROM sv
+      |  UNION ALL
+      |  SELECT nn.node,
+      |    (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) * nn.sv +
+      |      CAST(0.85 AS DOUBLE) *
+      |        (sum(CASE WHEN c.dst = nn.node THEN c.share ELSE 0 END) +
+      |         sum(CASE WHEN c.dst IS NULL THEN c.share ELSE 0 END) * nn.sv)
+      |      AS rank,
+      |    min(c.iter) + 1 AS iter
+      |  FROM sv nn CROSS JOIN (
+      |    SELECT e.dst AS dst,
+      |      CASE WHEN e.dst IS NULL THEN p.rank
+      |           ELSE p.rank/d.deg END AS share,
+      |      p.iter AS iter
+      |    FROM pr p
+      |      LEFT JOIN deg d ON d.src = p.node
+      |      LEFT JOIN edges e ON e.src = p.node
+      |    WHERE p.iter < 8) c
+      |  GROUP BY nn.node, nn.sv)
+      |SELECT node, round(rank, 9) AS rank
+      |FROM pr WHERE iter = 8 ORDER BY node""".stripMargin,
+    doc = "personalized PageRank with seed-restart vs recursive-CTE oracle (graph analytics)") { (s, dir) =>
+    import s.implicits._
+    val edges = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 4L), (4L, 1L),
+      (4L, 6L), (5L, 1L), (5L, 2L)).toDF("src", "dst")
+    val seeds = Seq(1L, 5L).toDF("node")
+    Iterate.personalizedPageRank(edges, "src", "dst", seeds, iters = 8)
+      .select(col("node").cast("int").as("node"),
+        round(col("rank"), 9).as("rank"))
+      .orderBy("node")
+  }
+
+  /** Pareto skyline over parts ([[graft.transform.Skyline]]): the
+    * price/size frontier — no other part is both cheaper and larger.
+    * The engine's grid-pruned two-phase plan (bucket-max prune in one
+    * scan, exact dominance anti-join on the pruned remnant) must equal
+    * the oracle's quadratic NOT EXISTS — a recall proof that the grid
+    * prune only ever drops dominated points.
+    */
+  val qSkyline: QueryDef = QueryDef.sql(
+    "q_skyline",
+    """WITH p AS (
+      |  SELECT DISTINCT CAST(p_retailprice AS DOUBLE) AS price,
+      |    CAST(p_size AS DOUBLE) AS size
+      |  FROM part)
+      |SELECT price, size FROM p a
+      |WHERE NOT EXISTS (
+      |  SELECT 1 FROM p b
+      |  WHERE (b.price < a.price AND b.size >= a.size)
+      |     OR (b.price <= a.price AND b.size > a.size))
+      |ORDER BY price, size""".stripMargin,
+    doc = "Pareto skyline (min price, max size) via grid-pruned dominance join") { (s, dir) =>
+    graft.transform.Skyline.skyline2d(
+        t(s, dir, "part").select(col("p_retailprice").as("price"),
+          col("p_size").as("size")),
+        "price", "size")
+      .orderBy("price", "size")
+  }
+
   val all: Seq[QueryDef] = Seq(
     q1Agg, qScanProject, qFilterIn, qJoinInner, qJoinAnti, qJoinSemi,
     qJoinLeftOuter, qJoinCrossBounds, qJoinTheta, qJoinNullSafe, qJoinUsing,
@@ -1085,5 +1169,5 @@ object RelationalQueries {
     qWindowRange, qSubqueryExists, qTransitiveClosure, qBloomPrune,
     qGroupingSets, qIntersectAll, qTpchQ3, qTpchQ5, qMergeScd2, qFuzzyMatch,
     qPageRank, qPageRankGeneral, qTriangles, qClusteringCoeff,
-    qConnectedComponents, qSssp, qLinkPrediction)
+    qConnectedComponents, qSssp, qLinkPrediction, qPpr, qSkyline)
 }
