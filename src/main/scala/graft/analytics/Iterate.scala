@@ -195,6 +195,43 @@ object Iterate {
     ranks
   }
 
+  /** K-core peel: repeatedly drop nodes of degree < k until only the
+    * mutually-dense core remains — the graph-cleaning primitive behind
+    * spam-cluster extraction and community seeding. Each round is two
+    * distributed steps: one degree aggregation (explode + groupBy) and
+    * one double semi-join keeping edges whose BOTH endpoints survive;
+    * localCheckpoint flattens lineage so the plan stays constant-size
+    * however many rounds run. Runs a FIXED round count (the
+    * oracle-parity contract — both engines execute identical peels);
+    * when `rounds` reaches the fixpoint the remaining rounds are
+    * no-ops, so any rounds ≥ the peel depth yields the true k-core.
+    *
+    * Output: surviving nodes with their degree INSIDE the surviving
+    * subgraph after the final round.
+    */
+  def kCorePeel(edges: DataFrame, aCol: String, bCol: String,
+      k: Int, rounds: Int): DataFrame = {
+    require(k >= 1 && rounds >= 1, s"need k >= 1, rounds >= 1; got $k, $rounds")
+    def degrees(e: DataFrame): DataFrame = e
+      .select(explode(array(col("u"), col("v"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("degree"))
+    var e = edges
+      .select(col(aCol).cast("long").as("x"), col(bCol).cast("long").as("y"))
+      .filter(col("x") =!= col("y"))
+      .select(least(col("x"), col("y")).as("u"),
+        greatest(col("x"), col("y")).as("v"))
+      .distinct()
+      .localCheckpoint(eager = true)
+    (1 to rounds).foreach { _ =>
+      val keep = degrees(e).filter(col("degree") >= k).select(col("node"))
+      e = e
+        .join(keep.withColumnRenamed("node", "u"), Seq("u"), "left_semi")
+        .join(keep.withColumnRenamed("node", "v"), Seq("v"), "left_semi")
+        .localCheckpoint(eager = true)
+    }
+    degrees(e)
+  }
+
   /** Triangle enumeration via degree orientation — the scalable shape:
     * each undirected edge is directed from its lower-(degree, id)
     * endpoint to the higher, making the graph a DAG in which every

@@ -1162,6 +1162,53 @@ object RelationalQueries {
       .orderBy("price", "size")
   }
 
+  /** K-core decomposition ([[Iterate.kCorePeel]]) of the part
+    * co-order graph (parts appearing on the same order): peel nodes of
+    * degree < 80 for a fixed 8 rounds — at this density the peel
+    * reaches its fixpoint in 6, so the output IS the 80-core. The
+    * oracle unrolls the identical peel as 8 chained CTE stages
+    * (generated, not hand-copied), so engine and oracle execute the
+    * same rounds and must agree even off-fixpoint. All arithmetic
+    * integral; output nodes carry their degree inside the surviving
+    * subgraph.
+    */
+  val qKcore: QueryDef = {
+    val rounds = 8
+    val k = 80
+    val peel = (1 to rounds).map { i =>
+      s"""d$i AS MATERIALIZED (
+         |  SELECT node, count(*) AS degree FROM (
+         |    SELECT u AS node FROM e${i - 1}
+         |    UNION ALL SELECT v FROM e${i - 1})
+         |  GROUP BY node),
+         |n$i AS MATERIALIZED (SELECT node FROM d$i WHERE degree >= $k),
+         |e$i AS MATERIALIZED (
+         |  SELECT u, v FROM e${i - 1}
+         |  WHERE u IN (SELECT node FROM n$i)
+         |    AND v IN (SELECT node FROM n$i))""".stripMargin
+    }.mkString(",\n")
+    QueryDef.sql(
+      "q_kcore",
+      s"""WITH e0 AS MATERIALIZED (
+         |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+         |  FROM lineitem a JOIN lineitem b
+         |    ON a.l_orderkey = b.l_orderkey
+         |    AND a.l_partkey < b.l_partkey),
+         |$peel
+         |SELECT node, count(*) AS degree FROM (
+         |  SELECT u AS node FROM e$rounds UNION ALL SELECT v FROM e$rounds)
+         |GROUP BY node ORDER BY node""".stripMargin,
+      doc = "80-core of the part co-order graph via fixed-round distributed peel") { (s, dir) =>
+      val li = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey"))
+      val e = li.as("a").join(li.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey") &&
+            col("a.l_partkey") < col("b.l_partkey"))
+        .select(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
+        .distinct()
+      Iterate.kCorePeel(e, "u", "v", k = k, rounds = rounds).orderBy("node")
+    }
+  }
+
   val all: Seq[QueryDef] = Seq(
     q1Agg, qScanProject, qFilterIn, qJoinInner, qJoinAnti, qJoinSemi,
     qJoinLeftOuter, qJoinCrossBounds, qJoinTheta, qJoinNullSafe, qJoinUsing,
@@ -1169,5 +1216,5 @@ object RelationalQueries {
     qWindowRange, qSubqueryExists, qTransitiveClosure, qBloomPrune,
     qGroupingSets, qIntersectAll, qTpchQ3, qTpchQ5, qMergeScd2, qFuzzyMatch,
     qPageRank, qPageRankGeneral, qTriangles, qClusteringCoeff,
-    qConnectedComponents, qSssp, qLinkPrediction, qPpr, qSkyline)
+    qConnectedComponents, qSssp, qLinkPrediction, qPpr, qSkyline, qKcore)
 }
