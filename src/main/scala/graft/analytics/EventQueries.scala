@@ -1184,11 +1184,46 @@ object EventQueries {
       .orderBy("event_type")
   }
 
+  /** First/last-touch attribution per user as ONE partial-aggregable
+    * pass: min_by/max_by over a composite event-time key replace the
+    * usual window-rank-then-filter anti-pattern — no per-user sort, no
+    * window exchange, just map-side-combined argmin/argmax state (the
+    * at-scale difference: a sort-based rank shuffles every event row;
+    * this shuffles one candidate per user per partition). The ordering
+    * key is zero-padded epoch-µs + event-id text, totally ordered and
+    * duplicate-free in both engines, so ties cannot exist and the
+    * picked rows are deterministic.
+    */
+  val qAttribution: QueryDef = QueryDef.sql(
+    "q_attribution",
+    """WITH k AS (
+      |  SELECT user_id, event_type,
+      |    lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0') || '-' ||
+      |      lpad(CAST(event_id AS VARCHAR), 12, '0') AS ord
+      |  FROM events WHERE user_id <= 40)
+      |SELECT user_id,
+      |  min_by(event_type, ord) AS first_touch,
+      |  max_by(event_type, ord) AS last_touch,
+      |  count(*) AS n_events
+      |FROM k GROUP BY user_id ORDER BY user_id""".stripMargin,
+    doc = "first/last-touch attribution via single-pass argmin/argmax (no window sort)") { (s, dir) =>
+    t(s, dir, "events")
+      .filter(col("user_id") <= 40)
+      .select(col("user_id"), col("event_type"),
+        concat(lpad(epochUs(col("ts")).cast("string"), 20, "0"), lit("-"),
+          lpad(col("event_id").cast("string"), 12, "0")).as("ord"))
+      .groupBy("user_id")
+      .agg(min_by(col("event_type"), col("ord")).as("first_touch"),
+        max_by(col("event_type"), col("ord")).as("last_touch"),
+        count(lit(1)).as("n_events"))
+      .orderBy("user_id")
+  }
+
   val all: Seq[QueryDef] = Seq(
     qTimeWindow, qLagGaps, qOverlapSemi, qScalarFuncs, qJsonBuild, qSessionize,
     qMapFuncs, qAsofJoin, qAsofTolerance, qAsofForward, qAsofNearest,
     qRangeJoin, qRangeJoinSkew, qIntervalOverlap, qFunnel, qRetention,
     qGapFill, qInterpolate, qLoadProfile, qSlidingWindow, qForecastBaseline,
     qTrendOls, qAnomaliesSeasonal, qEwma, qEventPaths, qAcf, qCusum, qCcf,
-    qTwa)
+    qTwa, qAttribution)
 }

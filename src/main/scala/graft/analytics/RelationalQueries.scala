@@ -1209,6 +1209,42 @@ object RelationalQueries {
     }
   }
 
+  /** TPC-H Q17 shape (small-quantity-order revenue): the CORRELATED
+    * scalar subquery — "lineitems under 20% of their part's average
+    * quantity" — stated correlated in the oracle and hand-decorrelated
+    * in the engine: one per-part average pre-aggregation joined back
+    * on the part key, so the "subquery" costs one map-side-combined
+    * pass instead of a per-row probe. The per-part average is the
+    * identical decimal-sum/count double in both engines, so the
+    * threshold comparison can't flip on boundary rows.
+    */
+  val qTpchQ17: QueryDef = QueryDef.sql(
+    "q_tpch_q17",
+    s"""SELECT CAST(round(
+      |    ${dsumSql("l.l_extendedprice")} / 7.0, 4) AS DOUBLE)
+      |  AS avg_yearly
+      |FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      |WHERE p.p_brand = 'Brand#4'
+      |  AND l.l_quantity < (
+      |    SELECT 0.2 * (CAST(sum(CAST(l2.l_quantity AS DECIMAL(20,4)))
+      |      AS DOUBLE) / count(*))
+      |    FROM lineitem l2 WHERE l2.l_partkey = p.p_partkey)""".stripMargin,
+    doc = "TPC-H Q17 shape: correlated scalar subquery decorrelated to pre-agg join") { (s, dir) =>
+    val li = t(s, dir, "lineitem")
+      .select("l_partkey", "l_quantity", "l_extendedprice")
+    val partAvg = li.groupBy("l_partkey")
+      .agg((sum(col("l_quantity").cast("decimal(20,4)")).cast("double")
+        / count(lit(1))).as("avg_qty"))
+    val brand = t(s, dir, "part")
+      .filter(col("p_brand") === "Brand#4").select("p_partkey")
+    li.join(brand, li("l_partkey") === brand("p_partkey"))
+      .join(partAvg.withColumnRenamed("l_partkey", "pa_key"),
+        col("l_partkey") === col("pa_key"))
+      .filter(col("l_quantity") < lit(0.2) * col("avg_qty"))
+      .agg(round(dsum(col("l_extendedprice")) / 7.0, 4)
+        .cast("double").as("avg_yearly"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q1Agg, qScanProject, qFilterIn, qJoinInner, qJoinAnti, qJoinSemi,
     qJoinLeftOuter, qJoinCrossBounds, qJoinTheta, qJoinNullSafe, qJoinUsing,
@@ -1216,5 +1252,6 @@ object RelationalQueries {
     qWindowRange, qSubqueryExists, qTransitiveClosure, qBloomPrune,
     qGroupingSets, qIntersectAll, qTpchQ3, qTpchQ5, qMergeScd2, qFuzzyMatch,
     qPageRank, qPageRankGeneral, qTriangles, qClusteringCoeff,
-    qConnectedComponents, qSssp, qLinkPrediction, qPpr, qSkyline, qKcore)
+    qConnectedComponents, qSssp, qLinkPrediction, qPpr, qSkyline, qKcore,
+    qTpchQ17)
 }
