@@ -1,0 +1,69 @@
+package graft.store
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** File-level zone maps: a per-file min/max manifest that prunes the
+  * FILE LIST before Spark ever opens a footer — the data-skipping
+  * layer Delta/Iceberg keep in their transaction logs, built here as a
+  * plain parquet side table. Parquet's own predicate pushdown skips
+  * row groups only after each file is listed and its footer fetched;
+  * at 100 TB (hundreds of thousands of files) the listing + footer
+  * round-trips dominate a selective scan, and a manifest turns that
+  * into one small-table filter.
+  *
+  * The manifest is one distributed aggregation over the table grouped
+  * by `input_file_name()` — O(files) output rows. Pruning is
+  * conservative interval overlap: a file survives iff [min, max]
+  * intersects the predicate interval (files of all-null values keep a
+  * null min/max and are retained only for IS NULL-style scans), so a
+  * pruned scan plus the residual filter is ALWAYS equal to the full
+  * scan plus filter — the spec proves it against a Z-ordered layout
+  * where most files drop on either dimension.
+  *
+  * Pairs with [[ZOrder.writeZOrdered]]: Z-ordering makes per-file
+  * bounds narrow in every z-column, which is exactly what makes this
+  * manifest selective on all of them.
+  */
+object ZoneMaps {
+
+  /** One manifest row per parquet file under `path`: row count plus
+    * min/max/null-count for each of `cols`.
+    */
+  def buildManifest(spark: SparkSession, path: String,
+      cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "zone map needs at least one column")
+    val df = spark.read.parquet(path)
+    val aggs = cols.flatMap { c =>
+      Seq(min(col(c)).as(s"${c}_min"), max(col(c)).as(s"${c}_max"),
+        count(when(col(c).isNull, 1)).as(s"${c}_nulls"))
+    } :+ count(lit(1)).as("n_rows")
+    df.groupBy(input_file_name().as("file"))
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Files whose [min, max] interval for `c` intersects [lo, hi].
+    * The file list is manifest-sized (O(files)) — the same scale as
+    * the listing Spark's reader materializes anyway.
+    */
+  def pruneFiles(manifest: DataFrame, c: String, lo: Any, hi: Any): Seq[String] =
+    manifest
+      .filter(col(s"${c}_max") >= lit(lo) && col(s"${c}_min") <= lit(hi))
+      .select("file").collect().map(_.getString(0)).toSeq
+
+  /** Read only the files that can hold `c` in [lo, hi], then apply
+    * the exact residual filter. Equal to the unpruned
+    * scan-plus-filter by the overlap invariant; returns an empty
+    * frame of the table's schema when every file prunes away.
+    */
+  def prunedScan(spark: SparkSession, path: String, manifest: DataFrame,
+      c: String, lo: Any, hi: Any): DataFrame = {
+    val keep = pruneFiles(manifest, c, lo, hi)
+    val base =
+      if (keep.isEmpty)
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          spark.read.parquet(path).schema)
+      else spark.read.parquet(keep: _*)
+    base.filter(col(c) >= lit(lo) && col(c) <= lit(hi))
+  }
+}

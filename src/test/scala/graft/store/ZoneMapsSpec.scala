@@ -1,0 +1,73 @@
+package graft.store
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** Zone-map pruning over a Z-ordered layout: the pruned scan must
+  * equal the full scan-plus-filter exactly, while reading only a
+  * fraction of the files — on EITHER z-dimension, which is the whole
+  * point of pairing the manifest with the Morton layout.
+  */
+class ZoneMapsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val (path, manifest) = {
+    val dir = Files.createTempDirectory("zm").toString + "/t"
+    val df = (0 until 20000)
+      .map(i => (i.toLong, (i * 37 % 1000).toLong, (i * 91 % 500).toLong))
+      .toDF("id", "a", "b")
+    ZOrder.writeZOrdered(df, dir, Seq("a", "b"), nFiles = 16)
+    val m = ZoneMaps.buildManifest(spark, dir, Seq("a", "b"))
+      .localCheckpoint(eager = true)
+    (dir, m)
+  }
+
+  test("manifest covers every file and row") {
+    val nFiles = manifest.count()
+    assert(nFiles === 16)
+    assert(manifest.agg(sum("n_rows")).head.getLong(0) === 20000L)
+  }
+
+  test("pruned scan ≡ full filter on the first z-column, fewer files") {
+    val full = spark.read.parquet(path)
+      .filter(col("a") >= 100 && col("a") <= 120)
+      .select("id").as[Long].collect().toSet
+    val kept = ZoneMaps.pruneFiles(manifest, "a", 100L, 120L)
+    assert(kept.size < 16, s"no pruning: ${kept.size} files")
+    val pruned = ZoneMaps.prunedScan(spark, path, manifest, "a", 100L, 120L)
+      .select("id").as[Long].collect().toSet
+    assert(pruned === full)
+  }
+
+  test("pruned scan ≡ full filter on the second z-column too") {
+    val full = spark.read.parquet(path)
+      .filter(col("b") >= 470 && col("b") <= 480)
+      .select("id").as[Long].collect().toSet
+    val kept = ZoneMaps.pruneFiles(manifest, "b", 470L, 480L)
+    assert(kept.size < 16, s"no pruning on b: ${kept.size} files")
+    val pruned = ZoneMaps.prunedScan(spark, path, manifest, "b", 470L, 480L)
+      .select("id").as[Long].collect().toSet
+    assert(pruned === full)
+  }
+
+  test("empty interval prunes every file and returns an empty typed frame") {
+    val out = ZoneMaps.prunedScan(spark, path, manifest, "a", 5000L, 6000L)
+    assert(out.count() === 0)
+    assert(out.columns.toSet === Set("id", "a", "b"))
+  }
+
+  test("boundary values on file edges are never lost") {
+    // every distinct value of a, queried as a point interval, matches
+    // the full filter — overlap pruning must be conservative at edges
+    val rnd = new scala.util.Random(3)
+    val samples = Seq.fill(10)(rnd.nextInt(1000).toLong)
+    samples.foreach { v =>
+      val full = spark.read.parquet(path).filter(col("a") === v)
+        .select("id").as[Long].collect().toSet
+      val pruned = ZoneMaps.prunedScan(spark, path, manifest, "a", v, v)
+        .select("id").as[Long].collect().toSet
+      assert(pruned === full, s"value $v")
+    }
+  }
+}
