@@ -727,10 +727,50 @@ object AggregateQueries {
       .orderBy("event_id")
   }
 
+  /** Exact order statistics WITHOUT a global sort
+    * ([[graft.profile.Selection.kthSmallest]]): the k-th smallest
+    * price at the lower-median and p95 ranks via iterative histogram
+    * refinement — ~3 aggregation passes of 256 map-side-combined
+    * counters each, versus `percentile`'s per-group value buffer or a
+    * full range-exchange sort. The oracle states the same rank as a
+    * row_number selection; both engines must produce the identical
+    * dataset element (a real double from the column, not an
+    * interpolation), so a single off-by-one in the refinement
+    * bookkeeping hash-fails.
+    */
+  val qKthSmallest: QueryDef = QueryDef.sql(
+    "q_kth_smallest",
+    """WITH s AS (
+      |  SELECT l_extendedprice AS v,
+      |    row_number() OVER (ORDER BY l_extendedprice) AS rn,
+      |    count(*) OVER () AS n
+      |  FROM lineitem)
+      |SELECT q, CAST(n AS BIGINT) AS n, CAST(k AS BIGINT) AS k, value
+      |FROM (
+      |  SELECT 'p50' AS q, max(n) AS n, (max(n) + 1) // 2 AS k,
+      |    min(v) AS value
+      |  FROM s WHERE rn >= (n + 1) // 2
+      |  UNION ALL
+      |  SELECT 'p95' AS q, max(n) AS n,
+      |    CAST(ceil(max(n) * 0.95) AS BIGINT) AS k, min(v) AS value
+      |  FROM s WHERE rn >= CAST(ceil(n * 0.95) AS BIGINT))
+      |ORDER BY q""".stripMargin,
+    doc = "exact k-th smallest via histogram refinement (no global sort, no value buffer)") { (s, dir) =>
+    import s.implicits._
+    val li = t(s, dir, "lineitem")
+    val n = li.count()
+    val k50 = (n + 1) / 2
+    val k95 = math.ceil(n * 0.95).toLong
+    val v50 = graft.profile.Selection.kthSmallest(li, "l_extendedprice", k50)
+    val v95 = graft.profile.Selection.kthSmallest(li, "l_extendedprice", k95)
+    Seq(("p50", n, k50, v50), ("p95", n, k95, v95))
+      .toDF("q", "n", "k", "value").orderBy("q")
+  }
+
   val all: Seq[QueryDef] = Seq(
     qProfileStats, qCollectAgg, qCondRatios, qCaseAgg, qDistinctPairs,
     qSortNullsLast, qPercentiles, qPivot, qMonotonic, qSkewReport,
     qHistogram, qApproxProfile, qCorrelations, qHeavyHitters, qCmsCounts,
     qHllDistinct, qSketchRollup, qMetricsRollup, qAnomalies, qFkOrphans,
-    qAnomaliesMad, qHllOverlap, qBenford, qFdViolations)
+    qAnomaliesMad, qHllOverlap, qBenford, qFdViolations, qKthSmallest)
 }
