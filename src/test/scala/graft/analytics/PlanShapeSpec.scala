@@ -150,4 +150,37 @@ class PlanShapeSpec extends SparkSpec {
     val sp = "Exchange SinglePartition".r.findAllIn(p).size
     assert(sp <= 2, s"$sp single-partition exchanges:\n${p.take(1500)}")
   }
+
+  test("q_tpch_q17: correlated subquery decorrelated — no window, brand filter pushed") {
+    val p = plan("q_tpch_q17")
+    assert(!p.contains("Window"), p.take(1200))
+    assert(p.contains("PushedFilters: [IsNotNull(p_brand), EqualTo(p_brand,Brand#4)]") ||
+      raw"PushedFilters: \[[^\]]*p_brand".r.findFirstIn(p).isDefined,
+      p.take(1500))
+  }
+
+  test("q_attribution: argmin/argmax is one aggregation — no window, no per-user sort") {
+    val p = plan("q_attribution")
+    assert(!p.contains("Window"), p.take(1200))
+    val df = Catalog.byName("q_attribution").run(spark, dir)
+    val s = EngineOps.planSummaryNoAqe(spark, df)
+    // one hash exchange for the user grouping + the presentation sort
+    assert(s.exchangeCount <= 2,
+      EngineOps.explain(df, "formatted").take(1200))
+  }
+
+  test("q_skyline: dominance resolves on the pruned remnant via broadcast — never a cartesian") {
+    val p = plan("q_skyline")
+    assert(!p.contains("CartesianProduct"), p.take(1200))
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"), p.take(1200))
+  }
+
+  test("q_editdist_join: candidates come from the gram equi-join, not a cartesian") {
+    val p = plan("q_editdist_join")
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+    // the inverted-index join is a hash join on the gram key
+    assert(p.contains("hashpartitioning") || p.contains("BroadcastHashJoin"),
+      p.take(1500))
+  }
 }
