@@ -1521,6 +1521,43 @@ object TextQueries {
       .orderBy("source")
   }
 
+  /** Jaro-Winkler fuzzy matching over the vocabulary via the NATIVE
+    * [[graft.plans.JaroWinklerSim]] codegen expression — Spark ships
+    * only levenshtein; this adds the name-matching scalar entity
+    * resolution actually uses, oracle-checked against DuckDB's own
+    * jaro_winkler_similarity to 6 decimals (both sides filter on the
+    * ROUNDED score so boundary pairs cannot flip). The vocabulary
+    * cross pair-grid here is broadcast-bounded; at corpus scale the
+    * pair GENERATION belongs to the q-gram/prefix pruners
+    * (q_editdist_join, q_setsim_prefix) and this function is the
+    * in-scan verifier.
+    */
+  val qJaroWinkler: QueryDef = QueryDef.sql(
+    "q_jaro_winkler",
+    """WITH w AS (
+      |  SELECT DISTINCT unnest(string_split_regex(lower(trim(text)),
+      |    '[\s[:punct:]]+')) AS w
+      |  FROM documents),
+      |ww AS (SELECT w FROM w WHERE w != '')
+      |SELECT a.w AS wa, b.w AS wb,
+      |  round(jaro_winkler_similarity(a.w, b.w), 6) AS jw
+      |FROM ww a JOIN ww b ON a.w < b.w
+      |WHERE round(jaro_winkler_similarity(a.w, b.w), 6) >= 0.72
+      |ORDER BY wa, wb""".stripMargin,
+    doc = "native Jaro-Winkler scorer vs DuckDB's builtin (entity resolution verifier)") { (s, dir) =>
+    val words = t(s, dir, "documents")
+      .select(explode(split(lower(trim(col("text"))), "[\\s\\p{Punct}]+"))
+        .as("w"))
+      .filter(col("w") =!= "").distinct()
+    val a = words.select(col("w").as("wa"))
+    val b = words.select(col("w").as("wb"))
+    a.join(broadcast(b), col("wa") < col("wb"))
+      .withColumn("jw",
+        round(call_function("jaro_winkler", col("wa"), col("wb")), 6))
+      .filter(col("jw") >= 0.72)
+      .orderBy("wa", "wb")
+  }
+
   val all: Seq[QueryDef] = Seq(
     qTextTokens, qTextQuality, qTextLangId, qTextFingerprint, qTokenFreq,
     qSelectPipeline, qPackSequences, qTextRedact, qCuratePipeline,
@@ -1529,6 +1566,6 @@ object TextQueries {
     qVocabEncode, qTextUnigramNll, qTextBigramNll, qTextBm25, qDsirWeights,
     qQualityClassifier, qSourceEntropy, qSpanDupReport,
     qSpanRemove, qBpePairs, qShardBalanced, qCtfidf, qCorpusDivergence,
-    qEditdistJoin, qLexicalDiversity)
+    qEditdistJoin, qLexicalDiversity, qJaroWinkler)
 
 }

@@ -166,6 +166,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           "usage: cms_query(sketch_binary, key)")
       }))
     ext.injectFunction((
+      new FunctionIdentifier("jaro_winkler"),
+      new ExpressionInfo(classOf[JaroWinklerSim].getName, "jaro_winkler"),
+      (children: Seq[Expression]) => children match {
+        case Seq(a, b) => JaroWinklerSim(a, b)
+        case _ => throw new IllegalArgumentException(
+          "usage: jaro_winkler(string, string)")
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("bloom_might_contain"),
       new ExpressionInfo(classOf[BloomMightContain].getName, "bloom_might_contain"),
       (children: Seq[Expression]) => children match {
