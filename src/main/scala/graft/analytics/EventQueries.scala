@@ -1219,11 +1219,40 @@ object EventQueries {
       .orderBy("user_id")
   }
 
+  /** Distribution window functions — ntile/percent_rank/cume_dist per
+    * type over the (value, event_id) total order: the ranking surface
+    * q_window_rank/q_window_funcs don't cover. All three are
+    * rank-derived (integer arithmetic over n and rank), so the doubles
+    * are identical in both engines with no decimal scaffolding; the
+    * window is PARTITIONED by type — one keyed exchange, local sorts,
+    * nothing global.
+    */
+  val qWindowDist: QueryDef = QueryDef.sql(
+    "q_window_dist",
+    """SELECT event_id, event_type,
+      |  ntile(4) OVER w AS quartile,
+      |  round(percent_rank() OVER w, 6) AS pct_rank,
+      |  round(cume_dist() OVER w, 6) AS cdist
+      |FROM events WHERE user_id <= 25
+      |WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)
+      |ORDER BY event_id""".stripMargin,
+    doc = "ntile/percent_rank/cume_dist per type (distribution windows, keyed exchange)") { (s, dir) =>
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("value"), col("event_id"))
+    t(s, dir, "events")
+      .filter(col("user_id") <= 25)
+      .select(col("event_id"), col("event_type"),
+        ntile(4).over(w).as("quartile"),
+        round(percent_rank().over(w), 6).as("pct_rank"),
+        round(cume_dist().over(w), 6).as("cdist"))
+      .orderBy("event_id")
+  }
+
   val all: Seq[QueryDef] = Seq(
     qTimeWindow, qLagGaps, qOverlapSemi, qScalarFuncs, qJsonBuild, qSessionize,
     qMapFuncs, qAsofJoin, qAsofTolerance, qAsofForward, qAsofNearest,
     qRangeJoin, qRangeJoinSkew, qIntervalOverlap, qFunnel, qRetention,
     qGapFill, qInterpolate, qLoadProfile, qSlidingWindow, qForecastBaseline,
     qTrendOls, qAnomaliesSeasonal, qEwma, qEventPaths, qAcf, qCusum, qCcf,
-    qTwa, qAttribution)
+    qTwa, qAttribution, qWindowDist)
 }
