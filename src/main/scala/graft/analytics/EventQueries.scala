@@ -1248,11 +1248,50 @@ object EventQueries {
       .orderBy("event_id")
   }
 
+  /** First-order Markov transition matrix over per-user event
+    * sequences: P(next type | type) from consecutive pairs — the
+    * behavioral model behind next-action prediction and anomaly
+    * scoring on event streams. One keyed window (per user, ordered by
+    * time then id) produces the pairs; counts and row totals are two
+    * aggregations; probabilities are integer-ratio doubles, identical
+    * in both engines. Output is the dense |types|² matrix — bounded
+    * however many events stream through.
+    */
+  val qMarkovTransitions: QueryDef = QueryDef.sql(
+    "q_markov_transitions",
+    """WITH seq AS (
+      |  SELECT event_type AS src,
+      |    lead(event_type) OVER (PARTITION BY user_id
+      |      ORDER BY ts, event_id) AS dst
+      |  FROM events),
+      |c AS (
+      |  SELECT src, dst, count(*) AS n FROM seq
+      |  WHERE dst IS NOT NULL GROUP BY src, dst),
+      |r AS (SELECT src, sum(n) AS row_n FROM c GROUP BY src)
+      |SELECT c.src, c.dst, c.n,
+      |  round(CAST(c.n AS DOUBLE) / r.row_n, 6) AS p
+      |FROM c JOIN r ON c.src = r.src
+      |ORDER BY c.src, c.dst""".stripMargin,
+    doc = "per-user Markov transition matrix P(next | current) (behavior modeling)") { (s, dir) =>
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val seq = t(s, dir, "events")
+      .select(col("event_type").as("src"),
+        lead(col("event_type"), 1).over(w).as("dst"))
+      .filter(col("dst").isNotNull)
+    val c = seq.groupBy("src", "dst").agg(count(lit(1)).as("n"))
+    val r = c.groupBy("src").agg(sum(col("n")).as("row_n"))
+    c.join(broadcast(r), "src")
+      .select(col("src"), col("dst"), col("n"),
+        round(col("n").cast("double") / col("row_n"), 6).as("p"))
+      .orderBy("src", "dst")
+  }
+
   val all: Seq[QueryDef] = Seq(
     qTimeWindow, qLagGaps, qOverlapSemi, qScalarFuncs, qJsonBuild, qSessionize,
     qMapFuncs, qAsofJoin, qAsofTolerance, qAsofForward, qAsofNearest,
     qRangeJoin, qRangeJoinSkew, qIntervalOverlap, qFunnel, qRetention,
     qGapFill, qInterpolate, qLoadProfile, qSlidingWindow, qForecastBaseline,
     qTrendOls, qAnomaliesSeasonal, qEwma, qEventPaths, qAcf, qCusum, qCcf,
-    qTwa, qAttribution, qWindowDist)
+    qTwa, qAttribution, qWindowDist, qMarkovTransitions)
 }

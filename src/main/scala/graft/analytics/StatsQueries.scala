@@ -393,7 +393,83 @@ object StatsQueries {
               * (col("n1") + col("n2") - 1).cast("double")))), 6).as("z"))
   }
 
+  /** Kaplan-Meier survival curve: time from each user's first event to
+    * first purchase, censoring never-purchasers at the observation
+    * end — the time-to-event family (churn/conversion curves) none of
+    * the moment-based queries cover. Durations are quantized to whole
+    * hours, so the risk table is bounded by the CALENDAR (≤ hours in
+    * the window) however many users stream through; per-user reduction
+    * is one grouped aggregation. S(t) = Π(1 − d/n) runs as
+    * exp(cumsum(ln(1 − d/n))) with the ln terms cast to
+    * DECIMAL(28,12) before the cumulative sum — exact partial-order-
+    * proof summation, one exp at the end (identical inputs ⇒ identical
+    * IEEE results, same precedent as the NLL queries). Terminal
+    * all-events rows (d = n, S → 0) are excluded to keep ln finite —
+    * the curve is reported up to the last partial-risk event time.
+    */
+  val qKaplanMeier: QueryDef = QueryDef.sql(
+    "q_kaplan_meier",
+    """WITH u AS (
+      |  SELECT user_id, min(ts) AS start_ts,
+      |    min(CASE WHEN event_type = 'purchase' THEN ts END) AS ev_ts
+      |  FROM events GROUP BY user_id),
+      |mx AS (SELECT max(ts) AS end_ts FROM events),
+      |d AS (
+      |  SELECT CASE WHEN ev_ts IS NOT NULL THEN 1 ELSE 0 END AS ev,
+      |    CAST(floor((epoch_us(coalesce(ev_ts, end_ts))
+      |      - epoch_us(start_ts)) / 3600000000.0) AS BIGINT) AS t
+      |  FROM u, mx),
+      |tot AS (SELECT count(*) AS n_users FROM d),
+      |g AS (SELECT t, count(*) AS at_t, sum(ev) AS d_t FROM d GROUP BY t),
+      |c AS (
+      |  SELECT t, d_t, tot.n_users -
+      |    coalesce(sum(at_t) OVER (ORDER BY t
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_t
+      |  FROM g, tot),
+      |s AS (
+      |  SELECT t, d_t, n_t,
+      |    CAST(sum(CAST(ln(1.0 - CAST(d_t AS DOUBLE) / n_t)
+      |      AS DECIMAL(28,12))) OVER (ORDER BY t) AS DOUBLE) AS logs
+      |  FROM c WHERE d_t > 0 AND d_t < n_t)
+      |SELECT t, CAST(d_t AS BIGINT) AS d_t, CAST(n_t AS BIGINT) AS n_t,
+      |  round(exp(logs), 6) AS survival
+      |FROM s ORDER BY t""".stripMargin,
+    doc = "Kaplan-Meier time-to-purchase with censoring (survival analysis)") { (s, dir) =>
+    import graft.core.TimeCols.epochUs
+    val ev = t(s, dir, "events")
+    val u = ev.groupBy("user_id").agg(
+      min(col("ts")).as("start_ts"),
+      min(when(col("event_type") === "purchase", col("ts"))).as("ev_ts"))
+    val mx = ev.agg(max(col("ts")).as("end_ts"))
+    val d = u.crossJoin(broadcast(mx))
+      .select(
+        when(col("ev_ts").isNotNull, 1).otherwise(0).as("ev"),
+        floor((epochUs(coalesce(col("ev_ts"), col("end_ts")))
+          - epochUs(col("start_ts"))) / 3600000000.0).cast("long").as("t"))
+    val tot = d.agg(count(lit(1)).as("n_users"))
+    val g = d.groupBy("t").agg(count(lit(1)).as("at_t"),
+      sum(col("ev")).as("d_t"))
+    // risk-table windows run over the hour grid — bounded by calendar,
+    // not by user count
+    val cumW = Window.orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val c = g.crossJoin(broadcast(tot))
+      .select(col("t"), col("d_t"),
+        (col("n_users") -
+          coalesce(sum(col("at_t")).over(cumW), lit(0L))).as("n_t"))
+    val sW = Window.orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    c.filter(col("d_t") > 0 && col("d_t") < col("n_t"))
+      .withColumn("logs",
+        sum(log(lit(1.0) - col("d_t").cast("double") / col("n_t"))
+          .cast("decimal(28,12)")).over(sW).cast("double"))
+      .select(col("t"), col("d_t").cast("long").as("d_t"),
+        col("n_t").cast("long").as("n_t"),
+        round(exp(col("logs")), 6).as("survival"))
+      .orderBy("t")
+  }
+
   val all: Seq[QueryDef] = Seq(
     qChi2Independence, qTtestWelch, qWeightedMedian, qTheilSen,
-    qWinsorize, qMannWhitney)
+    qWinsorize, qMannWhitney, qKaplanMeier)
 }

@@ -125,6 +125,19 @@ class StatsQueriesSpec extends SparkSpec {
     }
   }
 
+  test("q_kaplan_meier: survival is monotone decreasing in (0, 1); risk set shrinks") {
+    val rows = StatsQueries.qKaplanMeier.run(spark, sf).collect()
+    assert(rows.nonEmpty)
+    var prevS = 1.0
+    var prevN = Long.MaxValue
+    rows.foreach { r =>
+      val (n, s) = (r.getLong(2), r.getDouble(3))
+      assert(s > 0.0 && s < 1.0 && s <= prevS + 1e-12, s"t=${r.getLong(0)}")
+      assert(n <= prevN)
+      prevS = s; prevN = n
+    }
+  }
+
   test("q_winsorize means sit between clipped bounds and raw mean shifts") {
     val rows = StatsQueries.qWinsorize.run(spark, sf).collect()
     rows.foreach { r =>
