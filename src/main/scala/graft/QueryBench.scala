@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Ad-hoc per-query steady-state timer: run any catalog subset against
+  * any data directory (typically a ScaleUp replica) and print one JSON
+  * line of per-query seconds — the evidence harness behind the
+  * BASELINE.md scale tables.
+  *
+  * Usage: `runMain graft.QueryBench <sfDir> <q1,q2,...>`; each query
+  * gets one warm pass (JIT/codegen/IO cache) and one timed pass, same
+  * protocol as the steady-state rows in BASELINE.md.
+  */
+object QueryBench {
+  def main(args: Array[String]): Unit = {
+    val Array(sfDir, names) = args
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val results = names.split(",").map(_.trim).filter(_.nonEmpty).map { q =>
+      val run = analytics.Catalog.byName(q).run(spark, sfDir)
+      run.write.format("noop").mode("overwrite").save() // warm
+      val t0 = System.nanoTime()
+      analytics.Catalog.byName(q).run(spark, sfDir)
+        .write.format("noop").mode("overwrite").save()
+      val sec = (System.nanoTime() - t0) / 1e9
+      q -> sec
+    }
+    val json = results
+      .map { case (q, s) => s""""$q":${math.rint(s * 1000) / 1000}""" }
+      .mkString("{\"sf\":\"" + sfDir + "\",\"queries\":{", ",", "}}")
+    println(json)
+    spark.stop()
+  }
+}

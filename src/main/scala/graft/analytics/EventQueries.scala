@@ -1,6 +1,6 @@
 package graft.analytics
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.io.Tables
@@ -1287,11 +1287,141 @@ object EventQueries {
       .orderBy("src", "dst")
   }
 
+  /** Association-rule metrics over consecutive event pairs: support,
+    * confidence, and lift for every src → dst transition — the
+    * market-basket scoring layer on top of the q_markov_transitions
+    * counts (lift > 1 flags transitions that co-occur beyond what the
+    * destination's base rate predicts). Marginals and the pair total
+    * are tiny aggregations broadcast back; every metric is an
+    * integer-ratio double, identical in both engines.
+    */
+  val qAssocRules: QueryDef = QueryDef.sql(
+    "q_assoc_rules",
+    """WITH seq AS (
+      |  SELECT event_type AS src,
+      |    lead(event_type) OVER (PARTITION BY user_id
+      |      ORDER BY ts, event_id) AS dst
+      |  FROM events),
+      |c AS (
+      |  SELECT src, dst, count(*) AS n FROM seq
+      |  WHERE dst IS NOT NULL GROUP BY src, dst),
+      |srcm AS (SELECT src, sum(n) AS n_src FROM c GROUP BY src),
+      |dstm AS (SELECT dst, sum(n) AS n_dst FROM c GROUP BY dst),
+      |tot AS (SELECT sum(n) AS total FROM c)
+      |SELECT c.src, c.dst, c.n,
+      |  round(CAST(c.n AS DOUBLE) / tot.total, 6) AS support,
+      |  round(CAST(c.n AS DOUBLE) / srcm.n_src, 6) AS confidence,
+      |  round((CAST(c.n AS DOUBLE) / srcm.n_src) /
+      |    (CAST(dstm.n_dst AS DOUBLE) / tot.total), 6) AS lift
+      |FROM c
+      |JOIN srcm ON c.src = srcm.src
+      |JOIN dstm ON c.dst = dstm.dst
+      |CROSS JOIN tot
+      |ORDER BY c.src, c.dst""".stripMargin,
+    doc = "support/confidence/lift per event transition (association rules)") { (s, dir) =>
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val seq = t(s, dir, "events")
+      .select(col("event_type").as("src"),
+        lead(col("event_type"), 1).over(w).as("dst"))
+      .filter(col("dst").isNotNull)
+    val c = seq.groupBy("src", "dst").agg(count(lit(1)).as("n"))
+    val srcm = c.groupBy("src").agg(sum(col("n")).as("n_src"))
+    val dstm = c.groupBy("dst").agg(sum(col("n")).as("n_dst"))
+    val tot = c.agg(sum(col("n")).as("total"))
+    c.join(broadcast(srcm), "src")
+      .join(broadcast(dstm), "dst")
+      .crossJoin(broadcast(tot))
+      .select(col("src"), col("dst"), col("n"),
+        round(col("n").cast("double") / col("total"), 6).as("support"),
+        round(col("n").cast("double") / col("n_src"), 6).as("confidence"),
+        round((col("n").cast("double") / col("n_src")) /
+          (col("n_dst").cast("double") / col("total")), 6).as("lift"))
+      .orderBy("src", "dst")
+  }
+
+  /** RFM (recency / frequency / monetary) segmentation per user —
+    * scored against PERCENTILE THRESHOLDS rather than ntile: a global
+    * ntile window funnels every user through one partition, while the
+    * four quintile cuts are one tiny aggregate broadcast back, so the
+    * scoring pass stays embarrassingly parallel at any user count
+    * (threshold quintiles differ from ntile only in how boundary ties
+    * split — documented semantics, identical in both engines). Sums
+    * are decimal-exact; scores are pure comparison counts.
+    */
+  val qRfm: QueryDef = QueryDef.sql(
+    "q_rfm",
+    """WITH mx AS (SELECT max(ts) AS now_ts FROM events),
+      |u AS (
+      |  SELECT user_id,
+      |    CAST(floor((epoch_us(mx.now_ts) - epoch_us(max(ts)))
+      |      / 86400000000.0) AS BIGINT) AS recency_d,
+      |    count(*) AS frequency,
+      |    CAST(sum(CAST(value AS DECIMAL(20,4))) AS DOUBLE) AS monetary
+      |  FROM events, mx GROUP BY user_id, mx.now_ts),
+      |q AS (
+      |  SELECT
+      |    quantile_cont(recency_d, 0.2) AS r20, quantile_cont(recency_d, 0.4) AS r40,
+      |    quantile_cont(recency_d, 0.6) AS r60, quantile_cont(recency_d, 0.8) AS r80,
+      |    quantile_cont(frequency, 0.2) AS f20, quantile_cont(frequency, 0.4) AS f40,
+      |    quantile_cont(frequency, 0.6) AS f60, quantile_cont(frequency, 0.8) AS f80,
+      |    quantile_cont(monetary, 0.2) AS m20, quantile_cont(monetary, 0.4) AS m40,
+      |    quantile_cont(monetary, 0.6) AS m60, quantile_cont(monetary, 0.8) AS m80
+      |  FROM u)
+      |SELECT user_id, recency_d, frequency,
+      |  CAST(round(monetary, 4) AS DOUBLE) AS monetary,
+      |  5 - ((recency_d > r20)::INT + (recency_d > r40)::INT
+      |     + (recency_d > r60)::INT + (recency_d > r80)::INT) AS r_score,
+      |  1 + (frequency > f20)::INT + (frequency > f40)::INT
+      |    + (frequency > f60)::INT + (frequency > f80)::INT AS f_score,
+      |  1 + (monetary > m20)::INT + (monetary > m40)::INT
+      |    + (monetary > m60)::INT + (monetary > m80)::INT AS m_score
+      |FROM u CROSS JOIN q
+      |ORDER BY user_id""".stripMargin,
+    doc = "RFM segmentation via broadcast percentile thresholds (no global ntile funnel)") { (s, dir) =>
+    import graft.core.TimeCols.epochUs
+    val ev = t(s, dir, "events")
+    val mx = ev.agg(max(col("ts")).as("now_ts"))
+    val u = ev.crossJoin(broadcast(mx))
+      .groupBy(col("user_id"), col("now_ts"))
+      .agg(
+        floor((epochUs(col("now_ts")) - epochUs(max(col("ts"))))
+          / 86400000000.0).cast("long").as("recency_d"),
+        count(lit(1)).as("frequency"),
+        sum(col("value").cast("decimal(20,4)")).cast("double").as("monetary"))
+      .drop("now_ts")
+    val q = u.agg(
+      expr("percentile(recency_d, 0.2)").as("r20"),
+      expr("percentile(recency_d, 0.4)").as("r40"),
+      expr("percentile(recency_d, 0.6)").as("r60"),
+      expr("percentile(recency_d, 0.8)").as("r80"),
+      expr("percentile(frequency, 0.2)").as("f20"),
+      expr("percentile(frequency, 0.4)").as("f40"),
+      expr("percentile(frequency, 0.6)").as("f60"),
+      expr("percentile(frequency, 0.8)").as("f80"),
+      expr("percentile(monetary, 0.2)").as("m20"),
+      expr("percentile(monetary, 0.4)").as("m40"),
+      expr("percentile(monetary, 0.6)").as("m60"),
+      expr("percentile(monetary, 0.8)").as("m80"))
+    def score1(m: Column, cuts: Seq[String]): Column =
+      cuts.map(cn => when(m > col(cn), 1).otherwise(0)).reduce(_ + _)
+    u.crossJoin(broadcast(q))
+      .select(col("user_id"), col("recency_d"), col("frequency"),
+        round(col("monetary"), 4).cast("double").as("monetary"),
+        (lit(5) - score1(col("recency_d"), Seq("r20", "r40", "r60", "r80")))
+          .as("r_score"),
+        (lit(1) + score1(col("frequency"), Seq("f20", "f40", "f60", "f80")))
+          .as("f_score"),
+        (lit(1) + score1(col("monetary"), Seq("m20", "m40", "m60", "m80")))
+          .as("m_score"))
+      .orderBy("user_id")
+  }
+
   val all: Seq[QueryDef] = Seq(
     qTimeWindow, qLagGaps, qOverlapSemi, qScalarFuncs, qJsonBuild, qSessionize,
     qMapFuncs, qAsofJoin, qAsofTolerance, qAsofForward, qAsofNearest,
     qRangeJoin, qRangeJoinSkew, qIntervalOverlap, qFunnel, qRetention,
     qGapFill, qInterpolate, qLoadProfile, qSlidingWindow, qForecastBaseline,
     qTrendOls, qAnomaliesSeasonal, qEwma, qEventPaths, qAcf, qCusum, qCcf,
-    qTwa, qAttribution, qWindowDist, qMarkovTransitions)
+    qTwa, qAttribution, qWindowDist, qMarkovTransitions, qAssocRules, qRfm)
 }

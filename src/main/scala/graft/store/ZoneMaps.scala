@@ -66,4 +66,33 @@ object ZoneMaps {
       else spark.read.parquet(keep: _*)
     base.filter(col(c) >= lit(lo) && col(c) <= lit(hi))
   }
+
+  /** Incremental refresh for append-only layouts: stat ONLY the files
+    * not yet in `existing` and union them in — an append of N files
+    * costs one scan of those N files, never a re-stat of the archive
+    * (the property that keeps the manifest maintainable at a million
+    * files). Files present in the manifest but gone from disk (compact
+    * or delete rewrote the layout) are dropped from the result, so the
+    * refreshed manifest never directs a scan at a dead path.
+    */
+  def refreshManifest(spark: SparkSession, path: String,
+      existing: DataFrame, cols: Seq[String]): DataFrame = {
+    import spark.implicits._
+    val onDisk = spark.read.parquet(path).select(input_file_name().as("file"))
+      .distinct().as[String].collect().toSet
+    val known = existing.select("file").as[String].collect().toSet
+    val fresh = (onDisk -- known).toSeq
+    val kept = existing.filter(col("file").isin(onDisk.toSeq: _*))
+    if (fresh.isEmpty) kept
+    else {
+      val aggs = cols.flatMap { c =>
+        Seq(min(col(c)).as(s"${c}_min"), max(col(c)).as(s"${c}_max"),
+          count(when(col(c).isNull, 1)).as(s"${c}_nulls"))
+      } :+ count(lit(1)).as("n_rows")
+      val added = spark.read.parquet(fresh: _*)
+        .groupBy(input_file_name().as("file"))
+        .agg(aggs.head, aggs.tail: _*)
+      kept.unionByName(added.select(kept.columns.map(col): _*))
+    }
+  }
 }

@@ -57,6 +57,36 @@ class ZoneMapsSpec extends SparkSpec {
     assert(out.columns.toSet === Set("id", "a", "b"))
   }
 
+  test("incremental refresh stats only new files; dead paths drop") {
+    val dir = Files.createTempDirectory("zmr").toString + "/t"
+    (0 until 1000).map(i => (i.toLong, i.toLong % 100))
+      .toDF("id", "a").repartition(4).write.parquet(dir)
+    val m1 = ZoneMaps.buildManifest(spark, dir, Seq("a"))
+      .localCheckpoint(eager = true)
+    assert(m1.count() === 4)
+    // append a wave of new files
+    (1000 until 1500).map(i => (i.toLong, 200L + i % 50))
+      .toDF("id", "a").repartition(2).write.mode("append").parquet(dir)
+    val m2 = ZoneMaps.refreshManifest(spark, dir, m1, Seq("a"))
+      .localCheckpoint(eager = true)
+    assert(m2.count() === 6)
+    assert(m2.agg(sum("n_rows")).head.getLong(0) === 1500L)
+    // the refreshed manifest equals a from-scratch build
+    val scratch = ZoneMaps.buildManifest(spark, dir, Seq("a"))
+    val asSet = (df: org.apache.spark.sql.DataFrame) =>
+      df.collect().map(_.toSeq).toSet
+    assert(asSet(m2.select("file", "a_min", "a_max", "n_rows")) ===
+      asSet(scratch.select("file", "a_min", "a_max", "n_rows")))
+    // pruned read over the refreshed manifest stays exact on new range
+    val full = spark.read.parquet(dir)
+      .filter(col("a") >= 200 && col("a") <= 210)
+      .select("id").as[Long].collect().toSet
+    val pruned = ZoneMaps.prunedScan(spark, dir, m2, "a", 200L, 210L)
+      .select("id").as[Long].collect().toSet
+    assert(pruned === full)
+    assert(ZoneMaps.pruneFiles(m2, "a", 200L, 210L).size <= 2)
+  }
+
   test("boundary values on file edges are never lost") {
     // every distinct value of a, queried as a point interval, matches
     // the full filter — overlap pruning must be conservative at edges
