@@ -469,7 +469,101 @@ object StatsQueries {
       .orderBy("t")
   }
 
+  /** Huber robust regression per event_type via IRLS (iteratively
+    * reweighted least squares): ordinary OLS start, then three
+    * reweighting rounds with the Huber ψ (weight 1 inside c, c/|r|
+    * outside) — the between-world of q_trend_ols (efficient, outlier-
+    * fragile) and q_theilsen (robust, pairwise-quadratic). Each round
+    * is ONE broadcast join of the 5-row coefficient table onto the
+    * fact scan plus ONE aggregation of decimal-cast weighted sums —
+    * per-iteration cost is a constant number of scans at any data
+    * size, no pair explosion. The oracle UNROLLS the identical three
+    * rounds as generated CTE stages (same technique as q_kcore), so
+    * both engines execute the same arithmetic step for step; weights
+    * are doubles derived from identical inputs, every sum is
+    * decimal-exact.
+    */
+  val qHuberTrend: QueryDef = {
+    val iters = 3
+    val c = 50.0 // Huber scale in value units (residual spread ~100)
+    def sSql(i: Int, src: String, w: String): String =
+      s"""s$i AS (
+         |  SELECT event_type, count(*) AS n,
+         |    CAST(sum(CAST($w AS DECIMAL(28,10))) AS DOUBLE) AS sw,
+         |    CAST(sum(CAST($w * x AS DECIMAL(28,10))) AS DOUBLE) AS swx,
+         |    CAST(sum(CAST($w * y AS DECIMAL(28,10))) AS DOUBLE) AS swy,
+         |    CAST(sum(CAST($w * x * x AS DECIMAL(30,10))) AS DOUBLE) AS swxx,
+         |    CAST(sum(CAST($w * x * y AS DECIMAL(30,10))) AS DOUBLE) AS swxy
+         |  FROM $src GROUP BY event_type)""".stripMargin
+    def fSql(i: Int): String =
+      s"""f$i AS (
+         |  SELECT event_type, n,
+         |    (sw * swxy - swx * swy) / (sw * swxx - swx * swx) AS b,
+         |    (swy - (sw * swxy - swx * swy) / (sw * swxx - swx * swx)
+         |      * swx) / sw AS a
+         |  FROM s$i)""".stripMargin
+    val rounds = (1 to iters).map { i =>
+      s"""h$i AS (
+         |  SELECT h.event_type, h.x, h.y,
+         |    CASE WHEN abs(h.y - (f.a + f.b * h.x)) <= $c THEN 1.0
+         |         ELSE $c / abs(h.y - (f.a + f.b * h.x)) END AS w
+         |  FROM h JOIN f${i - 1} f USING (event_type)),
+         |${sSql(i, s"h$i", "w")},
+         |${fSql(i)}""".stripMargin
+    }.mkString(",\n")
+    QueryDef.sql(
+      "q_huber_trend",
+      s"""WITH b0 AS (SELECT min(epoch_us(ts)) AS t0 FROM events),
+         |h AS (
+         |  SELECT event_type,
+         |    (epoch_us(ts) - t0) / 3600000000.0 AS x, value AS y
+         |  FROM events, b0),
+         |${sSql(0, "h", "1.0")},
+         |${fSql(0)},
+         |$rounds
+         |SELECT event_type, n, round(a, 6) AS intercept,
+         |  round(b * 24, 6) AS slope_per_day
+         |FROM f$iters ORDER BY event_type""".stripMargin,
+      doc = "Huber IRLS robust trend (3 reweighted rounds, generated unrolled oracle)") { (s, dir) =>
+      import graft.core.TimeCols.epochUs
+      val ev = t(s, dir, "events")
+      val t0 = broadcast(ev.agg(min(epochUs(col("ts"))).as("t0")))
+      val h = ev.crossJoin(t0)
+        .select(col("event_type"),
+          ((epochUs(col("ts")) - col("t0")) / 3600000000.0).as("x"),
+          col("value").as("y"))
+      def stats(src: DataFrame, w: Column): DataFrame =
+        src.groupBy("event_type").agg(
+          count(lit(1)).as("n"),
+          sum(w.cast("decimal(28,10)")).cast("double").as("sw"),
+          sum((w * col("x")).cast("decimal(28,10)")).cast("double").as("swx"),
+          sum((w * col("y")).cast("decimal(28,10)")).cast("double").as("swy"),
+          sum((w * col("x") * col("x")).cast("decimal(30,10)"))
+            .cast("double").as("swxx"),
+          sum((w * col("x") * col("y")).cast("decimal(30,10)"))
+            .cast("double").as("swxy"))
+      def fit(st: DataFrame): DataFrame = {
+        val b = (col("sw") * col("swxy") - col("swx") * col("swy")) /
+          (col("sw") * col("swxx") - col("swx") * col("swx"))
+        st.select(col("event_type"), col("n"), b.as("b"),
+          ((col("swy") - b * col("swx")) / col("sw")).as("a"))
+      }
+      var f = fit(stats(h, lit(1.0)))
+      (1 to iters).foreach { _ =>
+        val joined = h.join(broadcast(f.select("event_type", "a", "b")),
+          Seq("event_type"))
+        val resid = abs(col("y") - (col("a") + col("b") * col("x")))
+        val w = when(resid <= c, 1.0).otherwise(lit(c) / resid)
+        f = fit(stats(joined.select(col("event_type"), col("x"), col("y"),
+          w.as("w")), col("w")))
+      }
+      f.select(col("event_type"), col("n"), round(col("a"), 6).as("intercept"),
+          round(col("b") * 24, 6).as("slope_per_day"))
+        .orderBy("event_type")
+    }
+  }
+
   val all: Seq[QueryDef] = Seq(
     qChi2Independence, qTtestWelch, qWeightedMedian, qTheilSen,
-    qWinsorize, qMannWhitney, qKaplanMeier)
+    qWinsorize, qMannWhitney, qKaplanMeier, qHuberTrend)
 }

@@ -138,6 +138,35 @@ class StatsQueriesSpec extends SparkSpec {
     }
   }
 
+  test("q_huber_trend shrugs off a planted outlier that drags OLS") {
+    // clean slope 1.0/hour with one wild spike: OLS tilts, Huber holds
+    val dir = java.nio.file.Files.createTempDirectory("huber").toString
+    import spark.implicits._
+    val t0 = java.time.Instant.parse("2024-01-01T00:00:00Z")
+    val rows = (0 until 200).map { i =>
+      // spike at the END: max leverage on the slope
+      val v = if (i == 199) 5000.0 else 10.0 + i * 1.0
+      (i.toLong, java.sql.Timestamp.from(t0.plusSeconds(i * 3600L)),
+        1L, "click", v, "{}")
+    }
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val huber = StatsQueries.qHuberTrend.run(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getDouble(3)).toMap
+    val gotPerHour = huber("click") / 24.0 // slope_per_day → per hour
+    assert(math.abs(gotPerHour - 1.0) < 0.05,
+      s"huber slope/hour $gotPerHour should be ~1.0")
+    // the naive OLS on the same data is visibly dragged by the spike
+    val xs = rows.map(r => (r._1.toDouble, r._5))
+    val n = xs.size.toDouble
+    val sx = xs.map(_._1).sum; val sy = xs.map(_._2).sum
+    val sxx = xs.map(p => p._1 * p._1).sum
+    val sxy = xs.map(p => p._1 * p._2).sum
+    val olsSlope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    assert(math.abs(olsSlope - 1.0) > 0.15,
+      s"test premise: OLS should be dragged, got $olsSlope")
+  }
+
   test("q_winsorize means sit between clipped bounds and raw mean shifts") {
     val rows = StatsQueries.qWinsorize.run(spark, sf).collect()
     rows.foreach { r =>
