@@ -193,19 +193,43 @@ object StatsQueries {
       |  CAST(max(total) AS DOUBLE) AS total_qty
       |FROM w WHERE cum * 2 >= total
       |GROUP BY flag ORDER BY flag""".stripMargin,
-    doc = "quantity-weighted median price per return flag (partitioned window, exact)") { (s, dir) =>
+    doc = "quantity-weighted median price per return flag (bucket prefix sum, exact)") { (s, dir) =>
+    // The naive per-group cumulative window funnels every row of a
+    // group through ONE sort partition — with 3 return flags that is 3
+    // threads however big lineitem gets (measured 7.4x wall at 10x).
+    // Instead: price-bucket prefix sums locate the threshold bucket
+    // (grid bounded by the price range), and only THAT bucket's
+    // distinct prices see a window — the same deterministic
+    // bucket-decomposition as q_mannwhitney's rank prefix sum.
     val li = t(s, dir, "lineitem")
       .select(col("l_returnflag").as("flag"),
         col("l_extendedprice").cast("decimal(18,2)").as("price"),
-        col("l_quantity").cast("decimal(18,2)").as("qty"),
-        col("l_extendedprice").as("ord_p"), col("l_orderkey"),
-        col("l_linenumber"))
-    val byFlag = Window.partitionBy(col("flag"))
-    val cumW = byFlag.orderBy(col("ord_p"), col("l_orderkey"),
-      col("l_linenumber"))
-    li.withColumn("cum", sum(col("qty")).over(cumW))
-      .withColumn("total", sum(col("qty")).over(byFlag))
-      .filter(col("cum") * 2 >= col("total"))
+        col("l_quantity").cast("decimal(18,2)").as("qty"))
+      .withColumn("b", floor(col("price") / 64).cast("long"))
+    val bsum = li.groupBy("flag", "b").agg(sum(col("qty")).as("bqty"))
+    val wB = Window.partitionBy(col("flag")).orderBy(col("b"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val bcum = bsum.withColumn("bcum", sum(col("bqty")).over(wB))
+    val tot = bsum.groupBy("flag").agg(sum(col("bqty")).as("total"))
+    // threshold bucket: first whose inclusive cum crosses half —
+    // its exclusive prefix rides along for the in-bucket resolve
+    val thr = bcum.join(broadcast(tot), "flag")
+      .filter(col("bcum") * 2 >= col("total"))
+      .groupBy("flag").agg(min_by(
+        struct(col("b"), (col("bcum") - col("bqty")).as("prefix"),
+          col("total")), col("b")).as("t"))
+      .select(col("flag").as("tflag"), col("t.b").as("tb"),
+        col("t.prefix").as("prefix"), col("t.total").as("total"))
+    val inb = li.join(broadcast(thr),
+        col("flag") === col("tflag") && col("b") === col("tb"))
+      .select(col("flag"), col("price"), col("qty"), col("prefix"),
+        col("total"))
+      .groupBy("flag", "price", "prefix", "total")
+      .agg(sum(col("qty")).as("pq"))
+    val wP = Window.partitionBy(col("flag")).orderBy(col("price"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    inb.withColumn("pcum", sum(col("pq")).over(wP))
+      .filter((col("prefix") + col("pcum")) * 2 >= col("total"))
       .groupBy("flag")
       .agg(min(col("price")).cast("double").as("wmedian_price"),
         max(col("total")).cast("double").as("total_qty"))
