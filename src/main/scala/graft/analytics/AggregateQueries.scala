@@ -2,6 +2,7 @@ package graft.analytics
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import graft.io.Tables
 import RelationalQueries.{dsum, dsumSql}
 
@@ -767,10 +768,78 @@ object AggregateQueries {
       .toDF("q", "n", "k", "value").orderBy("q")
   }
 
+  /** Revenue concentration: Gini coefficient and Herfindahl index over
+    * per-customer revenue. Gini needs every customer's GLOBAL revenue
+    * rank — computed without a global sort: customers bucket by a
+    * range-derived revenue grid (monotone, so equal revenues share a
+    * bucket), rank = in-bucket row_number (window keyed by bucket) +
+    * broadcast lower-bucket count offsets — the q_mannwhitney prefix
+    * shape again, here feeding Σ rank·x. The rank-weighted sum and the
+    * squared-share sum are decimal-exact; the oracle states ranks as a
+    * plain row_number and must agree to the last hash.
+    */
+  val qGini: QueryDef = QueryDef.sql(
+    "q_gini",
+    """WITH r AS (
+      |  SELECT o_custkey,
+      |    sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+      |  FROM orders GROUP BY 1),
+      |w AS (
+      |  SELECT rev, row_number() OVER (ORDER BY rev, o_custkey) AS rk
+      |  FROM r),
+      |a AS (
+      |  SELECT count(*) AS n, CAST(sum(rev) AS DOUBLE) AS t,
+      |    CAST(sum(CAST(rk AS DECIMAL(38,2)) * rev) AS DECIMAL(38,2))
+      |      AS s,
+      |    CAST(sum(CAST(rev AS DECIMAL(38,4)) * rev) AS DECIMAL(38,4))
+      |      AS sxx
+      |  FROM w)
+      |SELECT n, round(t, 2) AS total,
+      |  round(2 * CAST(s AS DOUBLE) / (n * t) - (n + 1.0) / n, 6)
+      |    AS gini,
+      |  round(CAST(sxx AS DOUBLE) / (t * t), 8) AS hhi
+      |FROM a""".stripMargin,
+    doc = "Gini + Herfindahl revenue concentration (distributed ranks, no global sort)") { (s, dir) =>
+    val r = t(s, dir, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("rev"))
+    val bounds = r.agg(min(col("rev").cast("double")).as("lo"),
+      max(col("rev").cast("double")).as("hi"))
+    val bucketed = r.crossJoin(broadcast(bounds))
+      .withColumn("__b",
+        when(col("hi") === col("lo"), lit(0L))
+          .otherwise(least(floor((col("rev").cast("double") - col("lo"))
+            / (col("hi") - col("lo")) * 256).cast("long"), lit(255L))))
+      .drop("lo", "hi")
+    val inW = Window.partitionBy(col("__b"))
+      .orderBy(col("rev"), col("o_custkey"))
+    val offW = Window.orderBy(col("__b"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = bucketed.groupBy(col("__b"))
+      .agg(count(lit(1)).as("__cnt"))
+      .withColumn("__off", coalesce(sum(col("__cnt")).over(offW), lit(0L)))
+      .select(col("__b"), col("__off"))
+    val ranked = bucketed.join(broadcast(offsets), Seq("__b"))
+      .withColumn("rk", row_number().over(inW) + col("__off"))
+    val a = ranked.agg(
+      count(lit(1)).as("n"),
+      sum(col("rev")).cast("double").as("t"),
+      sum(col("rk").cast("decimal(38,2)") * col("rev"))
+        .cast("decimal(38,2)").as("s"),
+      sum(col("rev").cast("decimal(38,4)") * col("rev"))
+        .cast("decimal(38,4)").as("sxx"))
+    a.select(col("n"), round(col("t"), 2).as("total"),
+      round(lit(2) * col("s").cast("double") / (col("n") * col("t"))
+        - (col("n") + 1.0) / col("n"), 6).as("gini"),
+      round(col("sxx").cast("double") / (col("t") * col("t")), 8)
+        .as("hhi"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     qProfileStats, qCollectAgg, qCondRatios, qCaseAgg, qDistinctPairs,
     qSortNullsLast, qPercentiles, qPivot, qMonotonic, qSkewReport,
     qHistogram, qApproxProfile, qCorrelations, qHeavyHitters, qCmsCounts,
     qHllDistinct, qSketchRollup, qMetricsRollup, qAnomalies, qFkOrphans,
-    qAnomaliesMad, qHllOverlap, qBenford, qFdViolations, qKthSmallest)
+    qAnomaliesMad, qHllOverlap, qBenford, qFdViolations, qKthSmallest,
+    qGini)
 }

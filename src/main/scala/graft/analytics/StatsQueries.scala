@@ -587,7 +587,73 @@ object StatsQueries {
     }
   }
 
+  /** Mutual information between event_type and day-part, with the
+    * marginal entropies — the information-theoretic twin of
+    * q_chi2_independence (chi2 asks "is there dependence", MI asks
+    * "how many nats does knowing one buy about the other").
+    * Contingency and marginals are the same tiny aggregations; every
+    * log term is a double from identical integer inputs, cast to
+    * DECIMAL(28,12) before the cell sum so aggregation order cannot
+    * perturb it (the ln precedent of the NLL queries).
+    */
+  val qMutualInfo: QueryDef = QueryDef.sql(
+    "q_mutual_info",
+    """WITH o AS (
+      |  SELECT event_type,
+      |    CASE WHEN extract(hour FROM ts) < 12 THEN 'am' ELSE 'pm' END
+      |      AS daypart,
+      |    count(*) AS n
+      |  FROM events GROUP BY 1, 2),
+      |tot AS (SELECT CAST(sum(n) AS DOUBLE) AS nn FROM o),
+      |rm AS (SELECT event_type, CAST(sum(n) AS DOUBLE) AS rn
+      |       FROM o GROUP BY 1),
+      |cm AS (SELECT daypart, CAST(sum(n) AS DOUBLE) AS cn
+      |       FROM o GROUP BY 1),
+      |mi AS (
+      |  SELECT CAST(sum(CAST((o.n / tot.nn) *
+      |      ln(o.n * tot.nn / (rm.rn * cm.cn)) AS DECIMAL(28,12)))
+      |    AS DOUBLE) AS mi_nats
+      |  FROM o JOIN rm ON o.event_type = rm.event_type
+      |         JOIN cm ON o.daypart = cm.daypart
+      |         CROSS JOIN tot),
+      |ht AS (
+      |  SELECT CAST(sum(CAST(-(rn / tot.nn) * ln(rn / tot.nn)
+      |      AS DECIMAL(28,12))) AS DOUBLE) AS h_type
+      |  FROM rm CROSS JOIN tot),
+      |hd AS (
+      |  SELECT CAST(sum(CAST(-(cn / tot.nn) * ln(cn / tot.nn)
+      |      AS DECIMAL(28,12))) AS DOUBLE) AS h_daypart
+      |  FROM cm CROSS JOIN tot)
+      |SELECT round(mi.mi_nats, 6) AS mi_nats,
+      |  round(ht.h_type, 6) AS h_type,
+      |  round(hd.h_daypart, 6) AS h_daypart
+      |FROM mi CROSS JOIN ht CROSS JOIN hd""".stripMargin,
+    doc = "mutual information + marginal entropies, type x day-part (information theory)") { (s, dir) =>
+    val o = t(s, dir, "events")
+      .select(col("event_type"),
+        when(hour(col("ts")) < 12, "am").otherwise("pm").as("daypart"))
+      .groupBy("event_type", "daypart").agg(count(lit(1)).as("n"))
+    val tot = o.agg(sum("n").cast("double").as("nn"))
+    val rm = o.groupBy("event_type").agg(sum("n").cast("double").as("rn"))
+    val cm = o.groupBy("daypart").agg(sum("n").cast("double").as("cn"))
+    val mi = o.join(broadcast(rm), "event_type")
+      .join(broadcast(cm), "daypart").crossJoin(broadcast(tot))
+      .agg(sum(((col("n") / col("nn")) *
+        log(col("n") * col("nn") / (col("rn") * col("cn"))))
+        .cast("decimal(28,12)")).cast("double").as("mi_nats"))
+    val ht = rm.crossJoin(broadcast(tot))
+      .agg(sum((-(col("rn") / col("nn")) * log(col("rn") / col("nn")))
+        .cast("decimal(28,12)")).cast("double").as("h_type"))
+    val hd = cm.crossJoin(broadcast(tot))
+      .agg(sum((-(col("cn") / col("nn")) * log(col("cn") / col("nn")))
+        .cast("decimal(28,12)")).cast("double").as("h_daypart"))
+    mi.crossJoin(broadcast(ht)).crossJoin(broadcast(hd))
+      .select(round(col("mi_nats"), 6).as("mi_nats"),
+        round(col("h_type"), 6).as("h_type"),
+        round(col("h_daypart"), 6).as("h_daypart"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     qChi2Independence, qTtestWelch, qWeightedMedian, qTheilSen,
-    qWinsorize, qMannWhitney, qKaplanMeier, qHuberTrend)
+    qWinsorize, qMannWhitney, qKaplanMeier, qHuberTrend, qMutualInfo)
 }
