@@ -1245,6 +1245,60 @@ object RelationalQueries {
         .cast("double").as("avg_yearly"))
   }
 
+  /** Item-item collaborative filtering: top-5 most-similar parts by
+    * co-order cosine (cooc(i,j) / √(n_i·n_j)) — the classic
+    * "customers who bought X" recommender primitive. Co-occurrence
+    * counts are one self-join aggregation on the order key (group
+    * sizes bounded by order width, not catalog size); item
+    * frequencies broadcast back; the top-5 cut is a window KEYED by
+    * item (scales with catalog) which Spark executes as
+    * WindowGroupLimit — per-partition top-k, no full sort of the
+    * similarity table. Cosines are √-of-integer doubles, identical in
+    * both engines; ranking ties break on the partner key.
+    */
+  val qItemSimilarity: QueryDef = QueryDef.sql(
+    "q_item_similarity",
+    """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      |cooc AS (
+      |  SELECT a.l_partkey AS i, b.l_partkey AS j, count(*) AS c
+      |  FROM li a JOIN li b
+      |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+      |  GROUP BY 1, 2),
+      |freq AS (SELECT l_partkey AS k, count(*) AS n FROM li GROUP BY 1),
+      |sim AS (
+      |  SELECT cooc.i, cooc.j,
+      |    round(cooc.c / sqrt(CAST(fi.n AS DOUBLE) * fj.n), 6) AS cos,
+      |    row_number() OVER (PARTITION BY cooc.i
+      |      ORDER BY cooc.c / sqrt(CAST(fi.n AS DOUBLE) * fj.n) DESC,
+      |        cooc.j) AS rk
+      |  FROM cooc JOIN freq fi ON cooc.i = fi.k
+      |            JOIN freq fj ON cooc.j = fj.k)
+      |SELECT i, rk, j, cos FROM sim
+      |WHERE rk <= 5 AND i <= 60
+      |ORDER BY i, rk""".stripMargin,
+    doc = "item-item co-order cosine top-5 (recommendation, WindowGroupLimit cut)") { (s, dir) =>
+    val li = t(s, dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    val a = li.select(col("l_orderkey"), col("l_partkey").as("i"))
+    val b = li.select(col("l_orderkey"), col("l_partkey").as("j"))
+    val cooc = a.join(b, Seq("l_orderkey"))
+      .filter(col("i") =!= col("j"))
+      .groupBy("i", "j").agg(count(lit(1)).as("c"))
+    val freq = li.groupBy(col("l_partkey").as("k"))
+      .agg(count(lit(1)).as("n"))
+    val sim = cooc
+      .join(broadcast(freq.select(col("k").as("i"), col("n").as("ni"))), Seq("i"))
+      .join(broadcast(freq.select(col("k").as("j"), col("n").as("nj"))), Seq("j"))
+      .withColumn("cosRaw",
+        col("c") / sqrt(col("ni").cast("double") * col("nj")))
+    val w = Window.partitionBy(col("i"))
+      .orderBy(col("cosRaw").desc, col("j"))
+    sim.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 5 && col("i") <= 60)
+      .select(col("i"), col("rk"), col("j"),
+        round(col("cosRaw"), 6).as("cos"))
+      .orderBy("i", "rk")
+  }
+
   val all: Seq[QueryDef] = Seq(
     q1Agg, qScanProject, qFilterIn, qJoinInner, qJoinAnti, qJoinSemi,
     qJoinLeftOuter, qJoinCrossBounds, qJoinTheta, qJoinNullSafe, qJoinUsing,
@@ -1253,5 +1307,5 @@ object RelationalQueries {
     qGroupingSets, qIntersectAll, qTpchQ3, qTpchQ5, qMergeScd2, qFuzzyMatch,
     qPageRank, qPageRankGeneral, qTriangles, qClusteringCoeff,
     qConnectedComponents, qSssp, qLinkPrediction, qPpr, qSkyline, qKcore,
-    qTpchQ17)
+    qTpchQ17, qItemSimilarity)
 }

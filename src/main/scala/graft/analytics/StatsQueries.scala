@@ -653,7 +653,63 @@ object StatsQueries {
         round(col("h_daypart"), 6).as("h_daypart"))
   }
 
+  /** One-way ANOVA per event_type: does hour-of-day explain the
+    * values? Two-level sufficient statistics — (type, hour) cells
+    * carry decimal-exact (n, Σy, Σy²); the 24-cell rollup casts each
+    * double term (Σy²ₕ/nₕ) back to decimal before summing so the
+    * between/within split is aggregation-order-proof; F and η² are
+    * then identical double trees. The generalization of q_ttest_welch
+    * from 2 cohorts to g groups, and the variance-decomposition view
+    * of what q_anomalies_seasonal models.
+    */
+  val qAnova: QueryDef = QueryDef.sql(
+    "q_anova",
+    """WITH cell AS (
+      |  SELECT event_type, extract(hour FROM ts) AS h, count(*) AS n,
+      |    CAST(sum(CAST(value AS DECIMAL(20,4))) AS DOUBLE) AS sy,
+      |    CAST(sum(CAST(value * value AS DECIMAL(30,8))) AS DOUBLE)
+      |      AS syy
+      |  FROM events GROUP BY 1, 2),
+      |g AS (
+      |  SELECT event_type, count(*) AS ng,
+      |    CAST(sum(n) AS BIGINT) AS n,
+      |    CAST(sum(CAST(sy AS DECIMAL(28,8))) AS DOUBLE) AS sy,
+      |    CAST(sum(CAST(syy AS DECIMAL(28,8))) AS DOUBLE) AS syy,
+      |    CAST(sum(CAST(sy * sy / n AS DECIMAL(28,8))) AS DOUBLE)
+      |      AS sgm
+      |  FROM cell GROUP BY event_type)
+      |SELECT event_type, n, ng,
+      |  round((sgm - sy * sy / n) / (ng - 1) /
+      |    ((syy - sgm) / (n - ng)), 6) AS f_stat,
+      |  round((sgm - sy * sy / n) / (syy - sy * sy / n), 6) AS eta_sq
+      |FROM g ORDER BY event_type""".stripMargin,
+    doc = "one-way ANOVA: hour-of-day effect on value per type (F statistic, eta-squared)") { (s, dir) =>
+    val cell = t(s, dir, "events")
+      .groupBy(col("event_type"), hour(col("ts")).as("h"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(20,4)")).cast("double").as("sy"),
+        sum((col("value") * col("value")).cast("decimal(30,8)"))
+          .cast("double").as("syy"))
+    val g = cell.groupBy("event_type").agg(
+      count(lit(1)).as("ng"),
+      sum(col("n")).cast("long").as("n"),
+      sum(col("sy").cast("decimal(28,8)")).cast("double").as("sy"),
+      sum(col("syy").cast("decimal(28,8)")).cast("double").as("syy"),
+      sum((col("sy") * col("sy") / col("n")).cast("decimal(28,8)"))
+        .cast("double").as("sgm"))
+    g.select(col("event_type"), col("n"), col("ng"),
+        round((col("sgm") - col("sy") * col("sy") / col("n"))
+          / (col("ng") - 1)
+          / ((col("syy") - col("sgm")) / (col("n") - col("ng"))), 6)
+          .as("f_stat"),
+        round((col("sgm") - col("sy") * col("sy") / col("n"))
+          / (col("syy") - col("sy") * col("sy") / col("n")), 6)
+          .as("eta_sq"))
+      .orderBy("event_type")
+  }
+
   val all: Seq[QueryDef] = Seq(
     qChi2Independence, qTtestWelch, qWeightedMedian, qTheilSen,
-    qWinsorize, qMannWhitney, qKaplanMeier, qHuberTrend, qMutualInfo)
+    qWinsorize, qMannWhitney, qKaplanMeier, qHuberTrend, qMutualInfo,
+    qAnova)
 }
