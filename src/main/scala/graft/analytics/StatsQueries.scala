@@ -708,8 +708,138 @@ object StatsQueries {
       .orderBy("event_type")
   }
 
+  /** Exact two-sample Kolmogorov-Smirnov: D = max |F_click − F_purchase|
+    * over the pooled distinct values — the distribution-level
+    * comparison Mann-Whitney's rank sum blurs. Reuses the
+    * deterministic bucket prefix-sum (floor(v) buckets, in-bucket
+    * keyed windows, broadcast offsets) to build BOTH empirical CDFs
+    * without a global window; D and its argmax location are
+    * integer-ratio doubles, tie-broken on the smallest attaining
+    * value.
+    */
+  val qKsTest: QueryDef = QueryDef.sql(
+    "q_ks_test",
+    """WITH g AS (
+      |  SELECT value AS v,
+      |    count(CASE WHEN event_type = 'click' THEN 1 END) AS na,
+      |    count(CASE WHEN event_type = 'purchase' THEN 1 END) AS nb
+      |  FROM events WHERE event_type IN ('click', 'purchase')
+      |  GROUP BY value),
+      |c AS (
+      |  SELECT v, sum(na) OVER (ORDER BY v) AS ca,
+      |    sum(nb) OVER (ORDER BY v) AS cb
+      |  FROM g),
+      |tot AS (
+      |  SELECT CAST(sum(na) AS DOUBLE) AS n1, CAST(sum(nb) AS DOUBLE)
+      |    AS n2 FROM g),
+      |d AS (
+      |  SELECT v, abs(ca / n1 - cb / n2) AS dv FROM c CROSS JOIN tot),
+      |mx AS (SELECT max(dv) AS dmax FROM d)
+      |SELECT round(mx.dmax, 6) AS ks_d,
+      |  CAST(min(d.v) AS DOUBLE) AS at_value,
+      |  CAST(tot.n1 AS BIGINT) AS n1, CAST(tot.n2 AS BIGINT) AS n2
+      |FROM d CROSS JOIN mx CROSS JOIN tot
+      |WHERE d.dv = mx.dmax
+      |GROUP BY mx.dmax, tot.n1, tot.n2""".stripMargin,
+    doc = "exact two-sample KS statistic via distributed CDFs (distribution drift)") { (s, dir) =>
+    val g = t(s, dir, "events")
+      .filter(col("event_type").isin("click", "purchase"))
+      .groupBy(col("value").as("v"))
+      .agg(count(when(col("event_type") === "click", 1)).as("na"),
+        count(when(col("event_type") === "purchase", 1)).as("nb"))
+    val bucketed = g.withColumn("__b", floor(col("v")).cast("long"))
+    val localW = Window.partitionBy(col("__b")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val withLocal = bucketed
+      .withColumn("__la", sum(col("na")).over(localW))
+      .withColumn("__lb", sum(col("nb")).over(localW))
+    val offW = Window.orderBy(col("__b"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ptot = bucketed.groupBy(col("__b"))
+      .agg(sum(col("na")).as("__pa"), sum(col("nb")).as("__pb"))
+      .withColumn("__oa", coalesce(sum(col("__pa")).over(offW), lit(0L)))
+      .withColumn("__ob", coalesce(sum(col("__pb")).over(offW), lit(0L)))
+      .select(col("__b"), col("__oa"), col("__ob"))
+    val tot = g.agg(sum(col("na")).cast("double").as("n1"),
+      sum(col("nb")).cast("double").as("n2"))
+    val d = withLocal.join(broadcast(ptot), Seq("__b"))
+      .crossJoin(broadcast(tot))
+      .select(col("v"), col("n1"), col("n2"),
+        abs((col("__la") + col("__oa")) / col("n1")
+          - (col("__lb") + col("__ob")) / col("n2")).as("dv"))
+    val mx = d.agg(max(col("dv")).as("dmax"))
+    d.crossJoin(broadcast(mx))
+      .filter(col("dv") === col("dmax"))
+      .groupBy(col("dmax"), col("n1"), col("n2"))
+      .agg(min(col("v")).cast("double").as("at_value"))
+      .select(round(col("dmax"), 6).as("ks_d"), col("at_value"),
+        col("n1").cast("long").as("n1"), col("n2").cast("long").as("n2"))
+  }
+
+  /** Population Stability Index between weekday and weekend values:
+    * the drift score model monitors report. Bins are the pooled
+    * deciles (9 interpolated cut points, one tiny aggregate broadcast
+    * back — the same threshold-quintile shape as q_rfm); cohort
+    * masses are Laplace-smoothed ((c + 0.5)/(n + 5)) so an empty bin
+    * cannot blow up the log, and each bin's (p−q)·ln(p/q) term is
+    * decimal-cast before the sum.
+    */
+  val qPsi: QueryDef = QueryDef.sql(
+    "q_psi",
+    """WITH cut AS (
+      |  SELECT quantile_cont(value, 0.1) AS t1, quantile_cont(value, 0.2) AS t2,
+      |    quantile_cont(value, 0.3) AS t3, quantile_cont(value, 0.4) AS t4,
+      |    quantile_cont(value, 0.5) AS t5, quantile_cont(value, 0.6) AS t6,
+      |    quantile_cont(value, 0.7) AS t7, quantile_cont(value, 0.8) AS t8,
+      |    quantile_cont(value, 0.9) AS t9
+      |  FROM events),
+      |b AS (
+      |  SELECT (value > t1)::INT + (value > t2)::INT + (value > t3)::INT
+      |    + (value > t4)::INT + (value > t5)::INT + (value > t6)::INT
+      |    + (value > t7)::INT + (value > t8)::INT + (value > t9)::INT
+      |      AS bin,
+      |    CASE WHEN extract(dow FROM ts) IN (0, 6) THEN 1 ELSE 0 END
+      |      AS we
+      |  FROM events, cut),
+      |c AS (
+      |  SELECT bin, count(CASE WHEN we = 1 THEN 1 END) AS cwe,
+      |    count(CASE WHEN we = 0 THEN 1 END) AS cwd
+      |  FROM b GROUP BY bin),
+      |tot AS (
+      |  SELECT CAST(sum(cwe) AS DOUBLE) AS nwe,
+      |    CAST(sum(cwd) AS DOUBLE) AS nwd FROM c),
+      |terms AS (
+      |  SELECT ((cwe + 0.5) / (nwe + 5) - (cwd + 0.5) / (nwd + 5)) *
+      |    ln(((cwe + 0.5) / (nwe + 5)) / ((cwd + 0.5) / (nwd + 5)))
+      |      AS term
+      |  FROM c CROSS JOIN tot)
+      |SELECT round(CAST(sum(CAST(term AS DECIMAL(28,12))) AS DOUBLE), 6)
+      |  AS psi, count(*) AS n_bins
+      |FROM terms""".stripMargin,
+    doc = "Population Stability Index weekday vs weekend (drift monitoring)") { (s, dir) =>
+    val ev = t(s, dir, "events")
+    val cuts = (1 to 9).map(i => expr(s"percentile(value, 0.$i)").as(s"t$i"))
+    val cut = ev.agg(cuts.head, cuts.tail: _*)
+    val binCol = (1 to 9).map(i =>
+      when(col("value") > col(s"t$i"), 1).otherwise(0)).reduce(_ + _)
+    val b = ev.crossJoin(broadcast(cut))
+      .select(binCol.as("bin"),
+        when(dayofweek(col("ts")).isin(1, 7), 1).otherwise(0).as("we"))
+    val c = b.groupBy("bin").agg(
+      count(when(col("we") === 1, 1)).as("cwe"),
+      count(when(col("we") === 0, 1)).as("cwd"))
+    val tot = c.agg(sum(col("cwe")).cast("double").as("nwe"),
+      sum(col("cwd")).cast("double").as("nwd"))
+    val p = (col("cwe") + 0.5) / (col("nwe") + 5)
+    val q = (col("cwd") + 0.5) / (col("nwd") + 5)
+    c.crossJoin(broadcast(tot))
+      .select(((p - q) * log(p / q)).as("term"))
+      .agg(round(sum(col("term").cast("decimal(28,12)")).cast("double"), 6)
+        .as("psi"), count(lit(1)).as("n_bins"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     qChi2Independence, qTtestWelch, qWeightedMedian, qTheilSen,
     qWinsorize, qMannWhitney, qKaplanMeier, qHuberTrend, qMutualInfo,
-    qAnova)
+    qAnova, qKsTest, qPsi)
 }
