@@ -166,6 +166,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           "usage: cms_query(sketch_binary, key)")
       }))
     ext.injectFunction((
+      new FunctionIdentifier("bloom_agg"),
+      new ExpressionInfo(classOf[BloomAggregate].getName, "bloom_agg"),
+      (children: Seq[Expression]) => children match {
+        case Seq(c, Literal(n: Long, LongType)) => BloomAggregate(c, n)
+        case Seq(c, Literal(n: Int, IntegerType)) => BloomAggregate(c, n.toLong)
+        case _ => throw new IllegalArgumentException(
+          "usage: bloom_agg(col, <integer literal expectedItems>)")
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("jaro_winkler"),
       new ExpressionInfo(classOf[JaroWinklerSim].getName, "jaro_winkler"),
       (children: Seq[Expression]) => children match {

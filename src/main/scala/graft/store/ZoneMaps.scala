@@ -67,6 +67,50 @@ object ZoneMaps {
     base.filter(col(c) >= lit(lo) && col(c) <= lit(hi))
   }
 
+  /** Per-file BLOOM manifest for equality skipping on high-cardinality
+    * columns — min/max intervals are useless when every file spans the
+    * whole key domain (uuid-ish ids, user keys); a per-file Bloom
+    * filter answers "could this file contain key k" with exact NOs.
+    * Built with the grouped [[graft.plans.BloomAggregate]] (needs a
+    * GraftExtensions session); one aggregation pass, O(files ·
+    * filterBytes) manifest.
+    */
+  def buildBloomManifest(spark: SparkSession, path: String, c: String,
+      expectedPerFile: Long, extraCols: Seq[String] = Nil): DataFrame = {
+    val df = spark.read.parquet(path)
+    df.groupBy(input_file_name().as("file"))
+      .agg(call_function("bloom_agg", col(c), lit(expectedPerFile))
+        .as(s"${c}_bloom"), count(lit(1)).as("n_rows"))
+  }
+
+  /** Files whose Bloom filter might contain `value` (string key).
+    * Probing runs driver-side over the manifest — O(files), the same
+    * scale as the listing itself. No false negatives by construction.
+    */
+  def pruneFilesMightContain(manifest: DataFrame, c: String,
+      value: String): Seq[String] = {
+    import org.apache.spark.util.sketch.BloomFilter
+    manifest.select("file", s"${c}_bloom").collect().filter { r =>
+      BloomFilter.readFrom(
+        new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](1)))
+        .mightContainString(value)
+    }.map(_.getString(0)).toSeq
+  }
+
+  /** Equality scan through the Bloom manifest + exact residual filter
+    * — always equal to the full scan-plus-filter (NOs are exact).
+    */
+  def prunedScanEq(spark: SparkSession, path: String, manifest: DataFrame,
+      c: String, value: String): DataFrame = {
+    val keep = pruneFilesMightContain(manifest, c, value)
+    val base =
+      if (keep.isEmpty)
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          spark.read.parquet(path).schema)
+      else spark.read.parquet(keep: _*)
+    base.filter(col(c) === lit(value))
+  }
+
   /** Incremental refresh for append-only layouts: stat ONLY the files
     * not yet in `existing` and union them in — an append of N files
     * costs one scan of those N files, never a re-stat of the archive

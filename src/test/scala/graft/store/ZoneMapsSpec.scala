@@ -87,6 +87,33 @@ class ZoneMapsSpec extends SparkSpec {
     assert(ZoneMaps.pruneFiles(m2, "a", 200L, 210L).size <= 2)
   }
 
+  test("bloom manifest: equality pruning on a high-cardinality key, no false negatives") {
+    val dir = Files.createTempDirectory("zmb").toString + "/t"
+    // keys clustered per file: file f holds keys k-f-0..k-f-999
+    val rows = for (f <- 0 until 8; i <- 0 until 1000)
+      yield (s"k-$f-$i", f.toLong * 1000 + i)
+    rows.toDF("key", "v").repartitionByRange(8, col("v"))
+      .write.parquet(dir)
+    val m = ZoneMaps.buildBloomManifest(spark, dir, "key", 2000L)
+      .localCheckpoint(eager = true)
+    assert(m.count() === 8)
+    // every present key scans exactly and prunes most files
+    Seq("k-0-5", "k-3-999", "k-7-0").foreach { k =>
+      val full = spark.read.parquet(dir).filter(col("key") === k)
+        .select("v").as[Long].collect().toSet
+      assert(full.size === 1, s"premise: $k present once")
+      val kept = ZoneMaps.pruneFilesMightContain(m, "key", k)
+      assert(kept.nonEmpty && kept.size <= 3,
+        s"$k kept ${kept.size} of 8 files")
+      val pruned = ZoneMaps.prunedScanEq(spark, dir, m, "key", k)
+        .select("v").as[Long].collect().toSet
+      assert(pruned === full, s"key $k")
+    }
+    // an absent key usually prunes everything; result stays empty either way
+    val none = ZoneMaps.prunedScanEq(spark, dir, m, "key", "absent-key")
+    assert(none.count() === 0)
+  }
+
   test("boundary values on file edges are never lost") {
     // every distinct value of a, queried as a point interval, matches
     // the full filter — overlap pruning must be conservative at edges
