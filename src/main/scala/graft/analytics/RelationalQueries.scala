@@ -1299,6 +1299,54 @@ object RelationalQueries {
       .orderBy("i", "rk")
   }
 
+  /** TPC-H Q18 shape (large-volume customers): the IN-subquery over a
+    * HAVING aggregate, executed as a pre-aggregation LEFT SEMI join —
+    * the qualifying-orders set is itself an aggregation output, never
+    * a materialized list, so the filter costs one map-side-combined
+    * pass and one keyed semi join at any scale. The top-10 rides
+    * TakeOrderedAndProject; quantity sums are decimal-exact.
+    */
+  val qTpchQ18: QueryDef = QueryDef.sql(
+    "q_tpch_q18",
+    """WITH big AS (
+      |  SELECT l_orderkey FROM lineitem
+      |  GROUP BY l_orderkey
+      |  HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 300),
+      |agg AS (
+      |  SELECT c.c_custkey, o.o_orderkey, o.o_totalprice,
+      |    CAST(sum(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+      |      AS total_qty
+      |  FROM customer c
+      |  JOIN orders o ON c.c_custkey = o.o_custkey
+      |  JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+      |  WHERE o.o_orderkey IN (SELECT l_orderkey FROM big)
+      |  GROUP BY c.c_custkey, o.o_orderkey, o.o_totalprice)
+      |SELECT c_custkey, o_orderkey,
+      |  CAST(o_totalprice AS DOUBLE) AS o_totalprice, total_qty
+      |FROM agg
+      |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
+    doc = "TPC-H Q18 shape: HAVING-aggregate IN-subquery as pre-agg semi join") { (s, dir) =>
+    val li = t(s, dir, "lineitem").select("l_orderkey", "l_quantity")
+    val big = li.groupBy("l_orderkey")
+      .agg(sum(col("l_quantity").cast("decimal(18,2)")).as("oq"))
+      .filter(col("oq") > 300).select("l_orderkey")
+    val ord = t(s, dir, "orders")
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+      .join(big.withColumnRenamed("l_orderkey", "o_orderkey"),
+        Seq("o_orderkey"), "left_semi")
+    val cust = t(s, dir, "customer").select("c_custkey")
+    cust.join(ord, cust("c_custkey") === ord("o_custkey"))
+      .join(li, ord("o_orderkey") === li("l_orderkey"))
+      .groupBy(col("c_custkey"), col("o_orderkey"), col("o_totalprice"))
+      .agg(sum(col("l_quantity").cast("decimal(18,2)")).cast("double")
+        .as("total_qty"))
+      .select(col("c_custkey"), col("o_orderkey"),
+        col("o_totalprice").cast("double").as("o_totalprice"),
+        col("total_qty"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(10)
+  }
+
   val all: Seq[QueryDef] = Seq(
     q1Agg, qScanProject, qFilterIn, qJoinInner, qJoinAnti, qJoinSemi,
     qJoinLeftOuter, qJoinCrossBounds, qJoinTheta, qJoinNullSafe, qJoinUsing,
@@ -1307,5 +1355,5 @@ object RelationalQueries {
     qGroupingSets, qIntersectAll, qTpchQ3, qTpchQ5, qMergeScd2, qFuzzyMatch,
     qPageRank, qPageRankGeneral, qTriangles, qClusteringCoeff,
     qConnectedComponents, qSssp, qLinkPrediction, qPpr, qSkyline, qKcore,
-    qTpchQ17, qItemSimilarity)
+    qTpchQ17, qItemSimilarity, qTpchQ18)
 }
