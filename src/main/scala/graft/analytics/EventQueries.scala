@@ -1417,11 +1417,107 @@ object EventQueries {
       .orderBy("user_id")
   }
 
+  /** Burstiness profile per event_type over per-minute counts: Fano
+    * factor (variance/mean — 1 for a Poisson stream, above it for
+    * bursty arrival), coefficient of variation, and peak-to-mean —
+    * the stream-shape diagnostics capacity planning reads. Counts
+    * come from one grouped aggregation (bounded by type × minutes);
+    * moments are decimal-exact integer sums; population variance is
+    * stated with the same computational formula in both engines.
+    */
+  val qBurstiness: QueryDef = QueryDef.sql(
+    "q_burstiness",
+    """WITH m AS (
+      |  SELECT event_type, date_trunc('minute', ts) AS minute,
+      |    count(*) AS c
+      |  FROM events GROUP BY 1, 2),
+      |s AS (
+      |  SELECT event_type, count(*) AS n_minutes,
+      |    CAST(sum(c) AS DOUBLE) AS sc,
+      |    CAST(sum(CAST(c AS DECIMAL(38,0)) * c) AS DOUBLE) AS scc,
+      |    CAST(max(c) AS DOUBLE) AS peak
+      |  FROM m GROUP BY event_type)
+      |SELECT event_type, n_minutes,
+      |  round(sc / n_minutes, 6) AS mean_per_min,
+      |  round((scc / n_minutes - (sc / n_minutes) * (sc / n_minutes))
+      |    / (sc / n_minutes), 6) AS fano,
+      |  round(sqrt(scc / n_minutes - (sc / n_minutes) * (sc / n_minutes))
+      |    / (sc / n_minutes), 6) AS cv,
+      |  round(peak / (sc / n_minutes), 6) AS peak_to_mean
+      |FROM s ORDER BY event_type""".stripMargin,
+    doc = "Fano factor / CV / peak-to-mean of per-minute arrivals (burstiness)") { (s, dir) =>
+    val m = t(s, dir, "events")
+      .groupBy(col("event_type"), date_trunc("minute", col("ts")).as("minute"))
+      .agg(count(lit(1)).as("c"))
+    val st = m.groupBy("event_type").agg(
+      count(lit(1)).as("n_minutes"),
+      sum(col("c")).cast("double").as("sc"),
+      sum(col("c").cast("decimal(38,0)") * col("c")).cast("double").as("scc"),
+      max(col("c")).cast("double").as("peak"))
+    val mean = col("sc") / col("n_minutes")
+    val varP = col("scc") / col("n_minutes") - mean * mean
+    st.select(col("event_type"), col("n_minutes"),
+        round(mean, 6).as("mean_per_min"),
+        round(varP / mean, 6).as("fano"),
+        round(sqrt(varP) / mean, 6).as("cv"),
+        round(col("peak") / mean, 6).as("peak_to_mean"))
+      .orderBy("event_type")
+  }
+
+  /** DAU/MAU stickiness and new-vs-returning split per day — the
+    * product-health pair every analytics stack computes. Daily
+    * distinct users are one exact grouped distinct; "new" means the
+    * user's global first day (a per-user min joined back, never a
+    * window over history); MAU here is the whole-window distinct,
+    * broadcast as one scalar.
+    */
+  val qDauMau: QueryDef = QueryDef.sql(
+    "q_dau_mau",
+    """WITH f AS (
+      |  SELECT user_id, min(CAST(ts AS DATE)) AS first_day
+      |  FROM events GROUP BY user_id),
+      |d AS (
+      |  SELECT CAST(e.ts AS DATE) AS day, e.user_id,
+      |    min(CASE WHEN CAST(e.ts AS DATE) = f.first_day
+      |        THEN 1 ELSE 0 END) AS is_new
+      |  FROM events e JOIN f ON e.user_id = f.user_id
+      |  GROUP BY 1, 2),
+      |mau AS (SELECT CAST(count(DISTINCT user_id) AS DOUBLE) AS mau
+      |        FROM events)
+      |SELECT strftime(day, '%Y-%m-%d') AS day,
+      |  count(*) AS dau,
+      |  CAST(sum(is_new) AS BIGINT) AS new_users,
+      |  CAST(count(*) - sum(is_new) AS BIGINT) AS returning_users,
+      |  round(count(*) / mau.mau, 6) AS stickiness
+      |FROM d CROSS JOIN mau
+      |GROUP BY day, mau.mau ORDER BY day""".stripMargin,
+    doc = "DAU/MAU stickiness + new-vs-returning per day (product metrics)") { (s, dir) =>
+    val ev = t(s, dir, "events")
+    val f = ev.groupBy("user_id")
+      .agg(min(col("ts").cast("date")).as("first_day"))
+    val d = ev.join(broadcast(f), "user_id")
+      .groupBy(col("ts").cast("date").as("day"), col("user_id"))
+      .agg(min(when(col("ts").cast("date") === col("first_day"), 1)
+        .otherwise(0)).as("is_new"))
+    val mau = ev.agg(countDistinct(col("user_id")).cast("double").as("mau"))
+    d.crossJoin(broadcast(mau))
+      .groupBy(col("day"), col("mau"))
+      .agg(count(lit(1)).as("dau"),
+        sum(col("is_new")).cast("long").as("new_users"),
+        (count(lit(1)) - sum(col("is_new"))).cast("long")
+          .as("returning_users"))
+      .select(date_format(col("day"), "yyyy-MM-dd").as("day"), col("dau"),
+        col("new_users"), col("returning_users"),
+        round(col("dau") / col("mau"), 6).as("stickiness"))
+      .orderBy("day")
+  }
+
   val all: Seq[QueryDef] = Seq(
     qTimeWindow, qLagGaps, qOverlapSemi, qScalarFuncs, qJsonBuild, qSessionize,
     qMapFuncs, qAsofJoin, qAsofTolerance, qAsofForward, qAsofNearest,
     qRangeJoin, qRangeJoinSkew, qIntervalOverlap, qFunnel, qRetention,
     qGapFill, qInterpolate, qLoadProfile, qSlidingWindow, qForecastBaseline,
     qTrendOls, qAnomaliesSeasonal, qEwma, qEventPaths, qAcf, qCusum, qCcf,
-    qTwa, qAttribution, qWindowDist, qMarkovTransitions, qAssocRules, qRfm)
+    qTwa, qAttribution, qWindowDist, qMarkovTransitions, qAssocRules, qRfm,
+    qBurstiness, qDauMau)
 }

@@ -1347,6 +1347,59 @@ object RelationalQueries {
       .limit(10)
   }
 
+  /** Degree distribution + Hill power-law exponent of the user
+    * co-occurrence graph: the graph-shape profile (how heavy is the
+    * hub tail?) that decides whether joins on node keys need skew
+    * defenses. Degrees are one aggregation; the Hill MLE
+    * α = 1 + n·(Σ ln(dᵢ/(dmin−½)))⁻¹ over the tail d ≥ dmin uses the
+    * decimal-cast ln-sum idiom, so the estimate is identical in both
+    * engines.
+    */
+  val qDegreePowerlaw: QueryDef = QueryDef.sql(
+    "q_degree_powerlaw",
+    """WITH buckets AS (
+      |  SELECT DISTINCT user_id, event_type, date_trunc('hour', ts) AS h
+      |  FROM events),
+      |edges AS (
+      |  SELECT DISTINCT x.user_id AS u, y.user_id AS v
+      |  FROM buckets x JOIN buckets y
+      |    ON x.event_type = y.event_type AND x.h = y.h
+      |    AND x.user_id < y.user_id),
+      |deg AS (
+      |  SELECT node, count(*) AS d FROM (
+      |    SELECT u AS node FROM edges UNION ALL SELECT v FROM edges)
+      |  GROUP BY node),
+      |tail AS (SELECT d FROM deg WHERE d >= 5)
+      |SELECT
+      |  (SELECT count(*) FROM deg) AS n_nodes,
+      |  count(*) AS n_tail,
+      |  CAST(min(5) AS BIGINT) AS d_min,
+      |  round(1 + count(*) / CAST(sum(CAST(ln(d / 4.5)
+      |    AS DECIMAL(28,12))) AS DOUBLE), 6) AS alpha
+      |FROM tail""".stripMargin,
+    doc = "degree distribution Hill power-law exponent (graph shape profile)") { (s, dir) =>
+    val buckets = t(s, dir, "events")
+      .select(col("user_id"), col("event_type"),
+        date_trunc("hour", col("ts")).as("h"))
+      .distinct()
+    val edges = buckets.as("x").join(buckets.as("y"),
+        col("x.event_type") === col("y.event_type") &&
+          col("x.h") === col("y.h") &&
+          col("x.user_id") < col("y.user_id"))
+      .select(col("x.user_id").as("u"), col("y.user_id").as("v"))
+      .distinct()
+    val deg = edges.select(explode(array(col("u"), col("v"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("d"))
+    val nNodes = deg.agg(count(lit(1)).as("n_nodes"))
+    deg.filter(col("d") >= 5)
+      .agg(count(lit(1)).as("n_tail"),
+        sum(log(col("d") / 4.5).cast("decimal(28,12)")).cast("double")
+          .as("slog"))
+      .crossJoin(broadcast(nNodes))
+      .select(col("n_nodes"), col("n_tail"), lit(5L).as("d_min"),
+        round(lit(1) + col("n_tail") / col("slog"), 6).as("alpha"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q1Agg, qScanProject, qFilterIn, qJoinInner, qJoinAnti, qJoinSemi,
     qJoinLeftOuter, qJoinCrossBounds, qJoinTheta, qJoinNullSafe, qJoinUsing,
@@ -1355,5 +1408,5 @@ object RelationalQueries {
     qGroupingSets, qIntersectAll, qTpchQ3, qTpchQ5, qMergeScd2, qFuzzyMatch,
     qPageRank, qPageRankGeneral, qTriangles, qClusteringCoeff,
     qConnectedComponents, qSssp, qLinkPrediction, qPpr, qSkyline, qKcore,
-    qTpchQ17, qItemSimilarity, qTpchQ18)
+    qTpchQ17, qItemSimilarity, qTpchQ18, qDegreePowerlaw)
 }
