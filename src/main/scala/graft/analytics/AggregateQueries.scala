@@ -835,11 +835,50 @@ object AggregateQueries {
         .as("hhi"))
   }
 
+  /** K-anonymity audit over quasi-identifiers (nation × market
+    * segment): every equivalence class smaller than k = 10 is a
+    * re-identification risk — the privacy-governance check a release
+    * pipeline runs before publishing "anonymized" data. One grouped
+    * count plus a broadcast total; the report lists violating classes
+    * and the overall at-risk row share (integer-ratio double).
+    */
+  val qKAnonymity: QueryDef = QueryDef.sql(
+    "q_k_anonymity",
+    """WITH g AS (
+      |  SELECT c_nationkey, c_mktsegment, count(*) AS class_size
+      |  FROM customer GROUP BY 1, 2),
+      |tot AS (
+      |  SELECT CAST(sum(class_size) AS DOUBLE) AS n,
+      |    CAST(sum(CASE WHEN class_size < 10 THEN class_size ELSE 0 END)
+      |      AS BIGINT) AS at_risk
+      |  FROM g)
+      |SELECT g.c_nationkey, g.c_mktsegment, g.class_size,
+      |  tot.at_risk AS total_at_risk,
+      |  round(tot.at_risk / tot.n, 6) AS at_risk_share
+      |FROM g CROSS JOIN tot
+      |WHERE g.class_size < 10
+      |ORDER BY g.c_nationkey, g.c_mktsegment""".stripMargin,
+    doc = "k-anonymity violations over quasi-identifier classes (privacy audit)") { (s, dir) =>
+    val g = t(s, dir, "customer")
+      .groupBy("c_nationkey", "c_mktsegment")
+      .agg(count(lit(1)).as("class_size"))
+    val tot = g.agg(
+      sum(col("class_size")).cast("double").as("n"),
+      sum(when(col("class_size") < 10, col("class_size")).otherwise(0L))
+        .cast("long").as("at_risk"))
+    g.crossJoin(broadcast(tot))
+      .filter(col("class_size") < 10)
+      .select(col("c_nationkey"), col("c_mktsegment"), col("class_size"),
+        col("at_risk").as("total_at_risk"),
+        round(col("at_risk") / col("n"), 6).as("at_risk_share"))
+      .orderBy("c_nationkey", "c_mktsegment")
+  }
+
   val all: Seq[QueryDef] = Seq(
     qProfileStats, qCollectAgg, qCondRatios, qCaseAgg, qDistinctPairs,
     qSortNullsLast, qPercentiles, qPivot, qMonotonic, qSkewReport,
     qHistogram, qApproxProfile, qCorrelations, qHeavyHitters, qCmsCounts,
     qHllDistinct, qSketchRollup, qMetricsRollup, qAnomalies, qFkOrphans,
     qAnomaliesMad, qHllOverlap, qBenford, qFdViolations, qKthSmallest,
-    qGini)
+    qGini, qKAnonymity)
 }
