@@ -1495,7 +1495,8 @@ object EventQueries {
     val ev = t(s, dir, "events")
     val f = ev.groupBy("user_id")
       .agg(min(col("ts").cast("date")).as("first_day"))
-    val d = ev.join(broadcast(f), "user_id")
+    // f scales with users — keyed shuffle join, AQE picks the build side
+    val d = ev.join(f, "user_id")
       .groupBy(col("ts").cast("date").as("day"), col("user_id"))
       .agg(min(when(col("ts").cast("date") === col("first_day"), 1)
         .otherwise(0)).as("is_new"))

@@ -1285,9 +1285,10 @@ object RelationalQueries {
       .groupBy("i", "j").agg(count(lit(1)).as("c"))
     val freq = li.groupBy(col("l_partkey").as("k"))
       .agg(count(lit(1)).as("n"))
+    // freq scales with the catalog — keyed joins, no forced broadcast
     val sim = cooc
-      .join(broadcast(freq.select(col("k").as("i"), col("n").as("ni"))), Seq("i"))
-      .join(broadcast(freq.select(col("k").as("j"), col("n").as("nj"))), Seq("j"))
+      .join(freq.select(col("k").as("i"), col("n").as("ni")), Seq("i"))
+      .join(freq.select(col("k").as("j"), col("n").as("nj")), Seq("j"))
       .withColumn("cosRaw",
         col("c") / sqrt(col("ni").cast("double") * col("nj")))
     val w = Window.partitionBy(col("i"))
