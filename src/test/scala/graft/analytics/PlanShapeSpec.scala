@@ -183,4 +183,33 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("hashpartitioning") || p.contains("BroadcastHashJoin"),
       p.take(1500))
   }
+
+  test("q_tpch_q18: HAVING subquery runs as a semi join, top-10 as ordered take") {
+    val p = plan("q_tpch_q18")
+    assert(p.contains("LeftSemi"), p.take(1500))
+    assert(p.contains("TakeOrderedAndProject"), p.take(1500))
+  }
+
+  test("q_item_similarity: per-item top-5 cut runs as a group limit, not a full sort") {
+    val p = plan("q_item_similarity")
+    assert(p.contains("WindowGroupLimit"), p.take(1500))
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+  }
+
+  test("q_gini: rank windows run on the bucket grid — bounded single-partition funnels") {
+    val p = plan("q_gini")
+    // the offsets roll (≤256 rows) and the in-bucket rank window; the
+    // raw fact rows never sort in one partition
+    val sp = "Exchange SinglePartition".r.findAllIn(p).size
+    assert(sp <= 2, s"$sp single-partition exchanges:\n${p.take(1500)}")
+    assert(p.contains("hashpartitioning"), p.take(1500))
+  }
+
+  test("q_ks_test: CDFs build on bucket-keyed windows, never one global window over values") {
+    val p = plan("q_ks_test")
+    // the only single-partition funnels are the bucket-offsets roll
+    // and (possibly) the final 1-row assembly
+    val sp = "Exchange SinglePartition".r.findAllIn(p).size
+    assert(sp <= 2, s"$sp single-partition exchanges:\n${p.take(1500)}")
+  }
 }
