@@ -14,16 +14,12 @@ import org.apache.spark.sql.SparkSession
 object QueryBench {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, names) = args
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
-      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
-      .getOrCreate()
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    // one config source: the engine's own session factory — a timed
+    // plan must run under the same planner settings (AQE, extensions,
+    // timestamp handling) as the engine it measures
+    val spark = graft.core.SparkEnv.session(appName = "graft-qbench",
+      cores = cpus)
     spark.sparkContext.setLogLevel("WARN")
     val results = names.split(",").map(_.trim).filter(_.nonEmpty).map { q =>
       val run = analytics.Catalog.byName(q).run(spark, sfDir)

@@ -351,11 +351,14 @@ object Iterate {
   def shortestPaths(edges: DataFrame, srcCol: String, dstCol: String,
       weightCol: String, source: Long,
       maxIterations: Int = 50, checkpointEvery: Int = 3): DataFrame = {
+    // drop negative-weight edges BEFORE collapsing parallels: filtering
+    // after min() would also discard a pair's legitimate non-negative
+    // duplicate whenever any parallel edge is negative
     val e = edges.select(col(srcCol).cast("long").as("src"),
         col(dstCol).cast("long").as("dst"),
         col(weightCol).cast("long").as("w"))
-      .groupBy("src", "dst").agg(min(col("w")).as("w"))
       .filter(col("w") >= 0)
+      .groupBy("src", "dst").agg(min(col("w")).as("w"))
       .cache()
     var dist = e.sparkSession.range(1)
       .select(lit(source).as("node"), lit(0L).as("dist"))

@@ -311,12 +311,18 @@ object Dedup {
             * (p + q) >= (col("a.len") + col("b.len")) * p)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
-    cand
+    val out = cand
       .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
       .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
         jaccardColumn(spark, col("sh_a"), col("sh_b")).as("jaccard"))
       .filter(col("jaccard") >= minJaccard)
+      // materialize the (bounded) verified pairs so the corpus-sized
+      // shingle cache can be released before returning — a long
+      // session would otherwise pin one shingle copy per call
+      .localCheckpoint(eager = true)
+    sh.unpersist()
+    out
   }
 
   // ---------------------------------------------------------- SimHash
@@ -517,9 +523,15 @@ object Dedup {
         .as("tk"),
       substring(regexp_replace(lower(trim(col(textCol))), "[^a-z0-9]", ""),
         1, keyLen).as("key"))
-    // distributed global rank over (key, id)
+    // distributed global rank over (key, id). The range exchange is
+    // MATERIALIZED once (localCheckpoint): spark_partition_id is only
+    // meaningful relative to one concrete partitioning, and the
+    // offsets branch below must observe the same boundaries as the
+    // rank branch — two independent evaluations of repartitionByRange
+    // can sample different ranges (per-RDD seed) and corrupt ranks.
     val ranged = toks.repartitionByRange(p, col("key"), col("id"))
       .withColumn("__pid", spark_partition_id())
+      .localCheckpoint(eager = true)
     val local = Window.partitionBy(col("__pid")).orderBy(col("key"), col("id"))
     val withRn = ranged.withColumn("__lrn", row_number().over(local))
     val offW = Window.orderBy(col("__pid"))

@@ -76,7 +76,7 @@ object ZoneMaps {
     * filterBytes) manifest.
     */
   def buildBloomManifest(spark: SparkSession, path: String, c: String,
-      expectedPerFile: Long, extraCols: Seq[String] = Nil): DataFrame = {
+      expectedPerFile: Long): DataFrame = {
     val df = spark.read.parquet(path)
     df.groupBy(input_file_name().as("file"))
       .agg(call_function("bloom_agg", col(c), lit(expectedPerFile))
@@ -122,11 +122,30 @@ object ZoneMaps {
   def refreshManifest(spark: SparkSession, path: String,
       existing: DataFrame, cols: Seq[String]): DataFrame = {
     import spark.implicits._
-    val onDisk = spark.read.parquet(path).select(input_file_name().as("file"))
-      .distinct().as[String].collect().toSet
-    val known = existing.select("file").as[String].collect().toSet
-    val fresh = (onDisk -- known).toSeq
-    val kept = existing.filter(col("file").isin(onDisk.toSeq: _*))
+    // the on-disk file list comes from a FILESYSTEM listing — one
+    // metadata round per directory, no parquet open, no data scan
+    // (reading the table to learn its file names would re-stat the
+    // whole archive, exactly what incremental refresh must avoid)
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val it = fs.listFiles(hPath, true)
+    val onDisk = scala.collection.mutable.Set.empty[String]
+    while (it.hasNext) {
+      val f = it.next()
+      if (f.isFile && f.getPath.getName.endsWith(".parquet"))
+        onDisk += f.getPath.toUri.toString
+    }
+    // input_file_name() URIs may differ in scheme prefix from the
+    // listing; compare on the scheme-stripped form
+    def strip(u: String): String = u.stripPrefix("file:")
+    val knownStripped = existing.select("file").as[String].collect()
+      .map(strip).toSet
+    val fresh = onDisk.toSeq.filterNot(f => knownStripped(strip(f)))
+    // dead manifest entries drop via a distributed semi-join — never a
+    // million-term IN literal
+    val onDiskDf = onDisk.toSeq.map(strip).toDF("__f")
+    val kept = existing.join(onDiskDf,
+      regexp_replace(col("file"), "^file:", "") === col("__f"), "left_semi")
     if (fresh.isEmpty) kept
     else {
       val aggs = cols.flatMap { c =>

@@ -50,9 +50,13 @@ object StreamEnrich {
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val slice = dim.join(
           batch.select(keys.map(col): _*).distinct(), keys, "left_semi")
+        // tiebreak must extend BEYOND rightTime: two dimension versions
+        // sharing (key, rightTime) would otherwise be picked
+        // nondeterministically, breaking the replay-idempotence
+        // contract — ordering by the payload makes the pick total
         val enriched = TemporalJoins.asofJoinBackward(
           batch, slice, keys, leftTime, rightTime, payload,
-          tiebreakCols = Seq(rightTime), prefix = prefix,
+          tiebreakCols = Seq(rightTime) ++ payload, prefix = prefix,
           toleranceMicros = toleranceMicros)
         appendIdempotent(wh, sinkTable, enriched, idCol)
         ()

@@ -134,9 +134,17 @@ object StreamTopK {
     */
   def currentTopK(wh: Warehouse, name: String, k: Int): DataFrame = {
     val snap = wh.read(summaryTable(name))
-    val latest = snap.agg(max(col("batch_id"))).head().getLong(0)
-    snap.filter(col("batch_id") === latest)
-      .select(col("key"), col("est"), col("theta"))
-      .orderBy(col("est").desc, col("key")).limit(k)
+    // an existing-but-empty summary (first batch crashed between
+    // createTable and append, then replay pruned) has a NULL max —
+    // answer "no heavy hitters yet" instead of NPEing on getLong
+    val head = snap.agg(max(col("batch_id"))).head()
+    if (head.isNullAt(0)) {
+      snap.filter(lit(false))
+        .select(col("key"), col("est"), col("theta"))
+    } else {
+      snap.filter(col("batch_id") === head.getLong(0))
+        .select(col("key"), col("est"), col("theta"))
+        .orderBy(col("est").desc, col("key")).limit(k)
+    }
   }
 }

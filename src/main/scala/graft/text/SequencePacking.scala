@@ -80,9 +80,15 @@ object SequencePacking {
     val p =
       if (numPartitions > 0) numPartitions
       else spark.conf.get("spark.sql.shuffle.partitions").toInt
+    // materialize the range exchange ONCE: the offsets branch and the
+    // cumsum branch must observe identical partition boundaries, and
+    // two independent evaluations of repartitionByRange can sample
+    // different ranges (per-RDD seed) — spark_partition_id is only
+    // meaningful relative to one concrete partitioning
     val ranged = df
       .repartitionByRange(p, col(idCol))
       .withColumn("__pid", spark_partition_id())
+      .localCheckpoint(eager = true)
     val local = Window.partitionBy(col("__pid")).orderBy(col(idCol))
     val withCum = ranged.withColumn("__cum",
       sum(col(weightCol).cast("long")).over(local))
