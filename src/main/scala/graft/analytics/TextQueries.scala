@@ -2,6 +2,7 @@ package graft.analytics
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import graft.io.Tables
 import graft.text.TextAnalysis
 
@@ -1558,6 +1559,108 @@ object TextQueries {
       .orderBy("wa", "wb")
   }
 
+  /** Vocabulary coverage (top-p mass) per source: the smallest
+    * frequency-ranked vocabulary prefix covering 90% of the source's
+    * token mass, plus the coverage the top-10 types alone give — the
+    * tokenizer-sizing metric (how much vocab does this source actually
+    * need?). Per-source rank/cumsum windows are keyed by source over
+    * the type table (bounded by vocabulary, not corpus); ties rank
+    * deterministically by token.
+    */
+  val qVocabCoverage: QueryDef = QueryDef.sql(
+    "q_vocab_coverage",
+    """WITH tc AS (
+      |  SELECT source, w, count(*) AS c FROM (
+      |    SELECT source, unnest(string_split_regex(lower(trim(text)),
+      |      '[\s[:punct:]]+')) AS w
+      |    FROM documents)
+      |  WHERE w != '' GROUP BY source, w),
+      |r AS (
+      |  SELECT source, w, c,
+      |    sum(c) OVER (PARTITION BY source ORDER BY c DESC, w) AS cum,
+      |    sum(c) OVER (PARTITION BY source) AS total,
+      |    row_number() OVER (PARTITION BY source ORDER BY c DESC, w)
+      |      AS rk
+      |  FROM tc)
+      |SELECT source,
+      |  CAST(max(total) AS BIGINT) AS n_tokens,
+      |  count(*) AS n_types,
+      |  CAST(min(CASE WHEN cum * 10 >= total * 9 THEN rk END) AS BIGINT)
+      |    AS types_for_p90,
+      |  round(CAST(max(CASE WHEN rk <= 10 THEN cum END) AS DOUBLE)
+      |    / max(total), 6) AS top10_coverage
+      |FROM r GROUP BY source ORDER BY source""".stripMargin,
+    doc = "smallest vocab prefix covering 90% token mass per source (tokenizer sizing)") { (s, dir) =>
+    val tc = t(s, dir, "documents")
+      .select(col("source"),
+        explode(split(lower(trim(col("text"))), "[\\s\\p{Punct}]+")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy("source", "w").agg(count(lit(1)).as("c"))
+    val rankW = Window.partitionBy(col("source"))
+      .orderBy(col("c").desc, col("w"))
+    val cumW = rankW.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val totW = Window.partitionBy(col("source"))
+    val r = tc
+      .withColumn("cum", sum(col("c")).over(cumW))
+      .withColumn("total", sum(col("c")).over(totW))
+      .withColumn("rk", row_number().over(rankW))
+    r.groupBy("source").agg(
+        max(col("total")).cast("long").as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        min(when(col("cum") * 10 >= col("total") * 9, col("rk")))
+          .cast("long").as("types_for_p90"),
+        round(max(when(col("rk") <= 10, col("cum"))).cast("double")
+          / max(col("total")), 6).as("top10_coverage"))
+      .orderBy("source")
+  }
+
+  /** Out-of-vocabulary rate per source against the global top-20
+    * vocabulary — the tokenizer-fit check before training on a new
+    * source mix (a source whose tokens keep missing the shared vocab
+    * will fragment into long byte sequences). The vocab is one
+    * bounded aggregation broadcast back; the OOV pass is a left
+    * anti-ish membership flag, integer-ratio doubles.
+    */
+  val qOovRate: QueryDef = QueryDef.sql(
+    "q_oov_rate",
+    """WITH tok AS (
+      |  SELECT source, w FROM (
+      |    SELECT source, unnest(string_split_regex(lower(trim(text)),
+      |      '[\s[:punct:]]+')) AS w
+      |    FROM documents)
+      |  WHERE w != ''),
+      |vocab AS (
+      |  SELECT w FROM (
+      |    SELECT w, count(*) AS c,
+      |      row_number() OVER (ORDER BY count(*) DESC, w) AS rk
+      |    FROM tok GROUP BY w)
+      |  WHERE rk <= 20)
+      |SELECT source, count(*) AS n_tokens,
+      |  CAST(count(CASE WHEN v.w IS NULL THEN 1 END) AS BIGINT)
+      |    AS n_oov,
+      |  round(CAST(count(CASE WHEN v.w IS NULL THEN 1 END) AS DOUBLE)
+      |    / count(*), 6) AS oov_rate
+      |FROM tok t LEFT JOIN vocab v ON t.w = v.w
+      |GROUP BY source ORDER BY source""".stripMargin,
+    doc = "OOV rate per source vs the global top-20 vocab (tokenizer fit)") { (s, dir) =>
+    val tok = t(s, dir, "documents")
+      .select(col("source"),
+        explode(split(lower(trim(col("text"))), "[\\s\\p{Punct}]+")).as("w"))
+      .filter(col("w") =!= "")
+    val rkW = Window.orderBy(col("c").desc, col("w"))
+    val vocab = tok.groupBy("w").agg(count(lit(1)).as("c"))
+      .withColumn("rk", row_number().over(rkW))
+      .filter(col("rk") <= 20)
+      .select(col("w").as("vw"))
+    tok.join(broadcast(vocab), col("w") === col("vw"), "left")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_tokens"),
+        count(when(col("vw").isNull, 1)).cast("long").as("n_oov"),
+        round(count(when(col("vw").isNull, 1)).cast("double")
+          / count(lit(1)), 6).as("oov_rate"))
+      .orderBy("source")
+  }
+
   val all: Seq[QueryDef] = Seq(
     qTextTokens, qTextQuality, qTextLangId, qTextFingerprint, qTokenFreq,
     qSelectPipeline, qPackSequences, qTextRedact, qCuratePipeline,
@@ -1566,6 +1669,7 @@ object TextQueries {
     qVocabEncode, qTextUnigramNll, qTextBigramNll, qTextBm25, qDsirWeights,
     qQualityClassifier, qSourceEntropy, qSpanDupReport,
     qSpanRemove, qBpePairs, qShardBalanced, qCtfidf, qCorpusDivergence,
-    qEditdistJoin, qLexicalDiversity, qJaroWinkler)
+    qEditdistJoin, qLexicalDiversity, qJaroWinkler, qVocabCoverage,
+    qOovRate)
 
 }
