@@ -874,11 +874,79 @@ object AggregateQueries {
       .orderBy("c_nationkey", "c_mktsegment")
   }
 
+  /** ABC (Pareto) classification of parts by revenue: class A carries
+    * the first 80% of cumulative revenue, B to 95%, C the tail — the
+    * inventory-prioritization rollup. The global revenue-descending
+    * cumulative sum reuses the deterministic bucket decomposition
+    * (monotone grid on revenue, in-bucket keyed windows, broadcast
+    * bucket offsets — q_gini's rank machinery carrying SUMS instead of
+    * counts); class boundaries test the EXCLUSIVE prefix so the
+    * crossing part stays in the class it starts in. All decimal-exact
+    * until the final share division.
+    */
+  val qAbcClasses: QueryDef = QueryDef.sql(
+    "q_abc_classes",
+    """WITH r AS (
+      |  SELECT l_partkey,
+      |    sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS rev
+      |  FROM lineitem GROUP BY 1),
+      |w AS (
+      |  SELECT rev,
+      |    sum(rev) OVER (ORDER BY rev DESC, l_partkey) AS cum
+      |  FROM r),
+      |tot AS (SELECT sum(rev) AS total FROM r),
+      |c AS (
+      |  SELECT CASE WHEN (cum - rev) * 100 < total * 80 THEN 'A'
+      |              WHEN (cum - rev) * 100 < total * 95 THEN 'B'
+      |              ELSE 'C' END AS abc, rev
+      |  FROM w CROSS JOIN tot)
+      |SELECT abc, count(*) AS n_parts,
+      |  round(CAST(sum(rev) AS DOUBLE) /
+      |    (SELECT CAST(total AS DOUBLE) FROM tot), 6) AS rev_share
+      |FROM c GROUP BY abc ORDER BY abc""".stripMargin,
+    doc = "ABC/Pareto revenue classes via bucket-decomposed cumulative sums") { (s, dir) =>
+    val r = t(s, dir, "lineitem")
+      .groupBy(col("l_partkey"))
+      .agg(sum(col("l_extendedprice").cast("decimal(18,2)")).as("rev"))
+    val bounds = r.agg(min(col("rev").cast("double")).as("lo"),
+      max(col("rev").cast("double")).as("hi"))
+    // bucket on DESCENDING revenue: lower bucket = larger revenue
+    val bucketed = r.crossJoin(broadcast(bounds))
+      .withColumn("__b",
+        when(col("hi") === col("lo"), lit(0L))
+          .otherwise(least(floor((col("hi") - col("rev").cast("double"))
+            / (col("hi") - col("lo")) * 256).cast("long"), lit(255L))))
+      .drop("lo", "hi")
+    val inW = Window.partitionBy(col("__b"))
+      .orderBy(col("rev").desc, col("l_partkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val offW = Window.orderBy(col("__b"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = bucketed.groupBy(col("__b"))
+      .agg(sum(col("rev")).as("__bsum"))
+      .withColumn("__off", coalesce(sum(col("__bsum")).over(offW),
+        lit(BigDecimal(0))))
+      .select(col("__b"), col("__off"))
+    val tot = r.agg(sum(col("rev")).as("total"))
+    val c = bucketed.join(broadcast(offsets), Seq("__b"))
+      .withColumn("cum", sum(col("rev")).over(inW) + col("__off"))
+      .crossJoin(broadcast(tot))
+      .select(col("rev"),
+        when((col("cum") - col("rev")) * 100 < col("total") * 80, "A")
+          .when((col("cum") - col("rev")) * 100 < col("total") * 95, "B")
+          .otherwise("C").as("abc"), col("total"))
+    c.groupBy("abc")
+      .agg(count(lit(1)).as("n_parts"),
+        round(sum(col("rev")).cast("double")
+          / max(col("total")).cast("double"), 6).as("rev_share"))
+      .orderBy("abc")
+  }
+
   val all: Seq[QueryDef] = Seq(
     qProfileStats, qCollectAgg, qCondRatios, qCaseAgg, qDistinctPairs,
     qSortNullsLast, qPercentiles, qPivot, qMonotonic, qSkewReport,
     qHistogram, qApproxProfile, qCorrelations, qHeavyHitters, qCmsCounts,
     qHllDistinct, qSketchRollup, qMetricsRollup, qAnomalies, qFkOrphans,
     qAnomaliesMad, qHllOverlap, qBenford, qFdViolations, qKthSmallest,
-    qGini, qKAnonymity)
+    qGini, qKAnonymity, qAbcClasses)
 }

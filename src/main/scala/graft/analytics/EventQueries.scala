@@ -1513,6 +1513,37 @@ object EventQueries {
       .orderBy("day")
   }
 
+  /** Week-over-week growth per event_type: weekly decimal-exact value
+    * sums, then a type-keyed lag window over the (bounded) week grid
+    * — growth rates are exact-sum ratios, NULL on the first week of
+    * each type rather than a fake zero.
+    */
+  val qWowGrowth: QueryDef = QueryDef.sql(
+    "q_wow_growth",
+    """WITH w AS (
+      |  SELECT event_type,
+      |    strftime(date_trunc('week', ts), '%Y-%m-%d') AS week,
+      |    CAST(sum(CAST(value AS DECIMAL(20,4))) AS DOUBLE) AS rev
+      |  FROM events GROUP BY 1, 2),
+      |g AS (
+      |  SELECT event_type, week, rev,
+      |    lag(rev) OVER (PARTITION BY event_type ORDER BY week) AS prev
+      |  FROM w)
+      |SELECT event_type, week, round(rev, 4) AS rev,
+      |  round((rev - prev) / prev, 6) AS wow_growth
+      |FROM g ORDER BY event_type, week""".stripMargin,
+    doc = "week-over-week growth per type (keyed lag over the week grid)") { (s, dir) =>
+    val w = t(s, dir, "events")
+      .groupBy(col("event_type"),
+        date_format(date_trunc("week", col("ts")), "yyyy-MM-dd").as("week"))
+      .agg(sum(col("value").cast("decimal(20,4)")).cast("double").as("rev"))
+    val lagW = Window.partitionBy(col("event_type")).orderBy(col("week"))
+    w.withColumn("prev", lag(col("rev"), 1).over(lagW))
+      .select(col("event_type"), col("week"), round(col("rev"), 4).as("rev"),
+        round((col("rev") - col("prev")) / col("prev"), 6).as("wow_growth"))
+      .orderBy("event_type", "week")
+  }
+
   val all: Seq[QueryDef] = Seq(
     qTimeWindow, qLagGaps, qOverlapSemi, qScalarFuncs, qJsonBuild, qSessionize,
     qMapFuncs, qAsofJoin, qAsofTolerance, qAsofForward, qAsofNearest,
@@ -1520,5 +1551,5 @@ object EventQueries {
     qGapFill, qInterpolate, qLoadProfile, qSlidingWindow, qForecastBaseline,
     qTrendOls, qAnomaliesSeasonal, qEwma, qEventPaths, qAcf, qCusum, qCcf,
     qTwa, qAttribution, qWindowDist, qMarkovTransitions, qAssocRules, qRfm,
-    qBurstiness, qDauMau)
+    qBurstiness, qDauMau, qWowGrowth)
 }
