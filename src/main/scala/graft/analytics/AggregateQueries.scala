@@ -942,11 +942,54 @@ object AggregateQueries {
       .orderBy("abc")
   }
 
+  /** Discount-band effect: quantity and price means per discount
+    * quartile — the banded-group comparison behind "does discounting
+    * move volume". Quartile cuts are broadcast percentile thresholds
+    * (the q_rfm shape — no global ntile funnel); band means are
+    * decimal-sum/count doubles.
+    */
+  val qDiscountEffect: QueryDef = QueryDef.sql(
+    "q_discount_effect",
+    """WITH cut AS (
+      |  SELECT quantile_cont(l_discount, 0.25) AS c1,
+      |    quantile_cont(l_discount, 0.5) AS c2,
+      |    quantile_cont(l_discount, 0.75) AS c3
+      |  FROM lineitem),
+      |b AS (
+      |  SELECT 1 + (l_discount > c1)::INT + (l_discount > c2)::INT
+      |    + (l_discount > c3)::INT AS band,
+      |    l_quantity, l_extendedprice
+      |  FROM lineitem, cut)
+      |SELECT band, count(*) AS n,
+      |  round(CAST(sum(CAST(l_quantity AS DECIMAL(20,4))) AS DOUBLE)
+      |    / count(*), 6) AS mean_qty,
+      |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(20,4))) AS DOUBLE)
+      |    / count(*), 6) AS mean_price
+      |FROM b GROUP BY band ORDER BY band""".stripMargin,
+    doc = "quantity/price means per discount quartile (banded comparison)") { (s, dir) =>
+    val li = t(s, dir, "lineitem")
+    val cut = li.agg(expr("percentile(l_discount, 0.25)").as("c1"),
+      expr("percentile(l_discount, 0.5)").as("c2"),
+      expr("percentile(l_discount, 0.75)").as("c3"))
+    val band = lit(1) +
+      Seq("c1", "c2", "c3").map(c =>
+        when(col("l_discount") > col(c), 1).otherwise(0)).reduce(_ + _)
+    li.crossJoin(broadcast(cut))
+      .select(band.as("band"), col("l_quantity"), col("l_extendedprice"))
+      .groupBy("band")
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("l_quantity").cast("decimal(20,4)")).cast("double")
+          / count(lit(1)), 6).as("mean_qty"),
+        round(sum(col("l_extendedprice").cast("decimal(20,4)"))
+          .cast("double") / count(lit(1)), 6).as("mean_price"))
+      .orderBy("band")
+  }
+
   val all: Seq[QueryDef] = Seq(
     qProfileStats, qCollectAgg, qCondRatios, qCaseAgg, qDistinctPairs,
     qSortNullsLast, qPercentiles, qPivot, qMonotonic, qSkewReport,
     qHistogram, qApproxProfile, qCorrelations, qHeavyHitters, qCmsCounts,
     qHllDistinct, qSketchRollup, qMetricsRollup, qAnomalies, qFkOrphans,
     qAnomaliesMad, qHllOverlap, qBenford, qFdViolations, qKthSmallest,
-    qGini, qKAnonymity, qAbcClasses)
+    qGini, qKAnonymity, qAbcClasses, qDiscountEffect)
 }

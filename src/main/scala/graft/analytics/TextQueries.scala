@@ -1661,6 +1661,58 @@ object TextQueries {
       .orderBy("source")
   }
 
+  /** Zipf slope of the corpus token distribution: OLS of ln(freq) on
+    * ln(rank) over the frequency-ranked vocabulary (natural text sits
+    * near −1; template spam flattens it, noise steepens it). The rank
+    * window runs over the bounded type table; the regression is the
+    * decimal-cast sufficient-statistics shape of q_trend_ols on
+    * (ln rank, ln freq) pairs.
+    */
+  val qZipf: QueryDef = QueryDef.sql(
+    "q_zipf",
+    """WITH tc AS (
+      |  SELECT w, count(*) AS c FROM (
+      |    SELECT unnest(string_split_regex(lower(trim(text)),
+      |      '[\s[:punct:]]+')) AS w
+      |    FROM documents)
+      |  WHERE w != '' GROUP BY w),
+      |r AS (
+      |  SELECT ln(CAST(row_number() OVER (ORDER BY c DESC, w) AS DOUBLE))
+      |    AS x, ln(CAST(c AS DOUBLE)) AS y
+      |  FROM tc),
+      |s AS (
+      |  SELECT count(*) AS n,
+      |    CAST(sum(CAST(x AS DECIMAL(28,12))) AS DOUBLE) AS sx,
+      |    CAST(sum(CAST(y AS DECIMAL(28,12))) AS DOUBLE) AS sy,
+      |    CAST(sum(CAST(x * x AS DECIMAL(28,12))) AS DOUBLE) AS sxx,
+      |    CAST(sum(CAST(x * y AS DECIMAL(28,12))) AS DOUBLE) AS sxy
+      |  FROM r)
+      |SELECT n,
+      |  round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6)
+      |    AS zipf_slope
+      |FROM s""".stripMargin,
+    doc = "Zipf slope: ln-freq vs ln-rank OLS over the vocabulary (corpus health)") { (s, dir) =>
+    val tc = t(s, dir, "documents")
+      .select(explode(split(lower(trim(col("text"))), "[\\s\\p{Punct}]+"))
+        .as("w"))
+      .filter(col("w") =!= "")
+      .groupBy("w").agg(count(lit(1)).as("c"))
+    val rkW = Window.orderBy(col("c").desc, col("w"))
+    val r = tc.withColumn("x", log(row_number().over(rkW).cast("double")))
+      .withColumn("y", log(col("c").cast("double")))
+    val st = r.agg(count(lit(1)).as("n"),
+      sum(col("x").cast("decimal(28,12)")).cast("double").as("sx"),
+      sum(col("y").cast("decimal(28,12)")).cast("double").as("sy"),
+      sum((col("x") * col("x")).cast("decimal(28,12)")).cast("double")
+        .as("sxx"),
+      sum((col("x") * col("y")).cast("decimal(28,12)")).cast("double")
+        .as("sxy"))
+    st.select(col("n"),
+      round((col("n") * col("sxy") - col("sx") * col("sy"))
+        / (col("n") * col("sxx") - col("sx") * col("sx")), 6)
+        .as("zipf_slope"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     qTextTokens, qTextQuality, qTextLangId, qTextFingerprint, qTokenFreq,
     qSelectPipeline, qPackSequences, qTextRedact, qCuratePipeline,
@@ -1670,6 +1722,6 @@ object TextQueries {
     qQualityClassifier, qSourceEntropy, qSpanDupReport,
     qSpanRemove, qBpePairs, qShardBalanced, qCtfidf, qCorpusDivergence,
     qEditdistJoin, qLexicalDiversity, qJaroWinkler, qVocabCoverage,
-    qOovRate)
+    qOovRate, qZipf)
 
 }
