@@ -167,6 +167,36 @@ class StatsQueriesSpec extends SparkSpec {
       s"test premise: OLS should be dragged, got $olsSlope")
   }
 
+  test("q_ks_test equals the brute-force two-sample D over pooled values") {
+    val a = events.filter(_._1 == "click").map(_._3).sorted
+    val b = events.filter(_._1 == "purchase").map(_._3).sorted
+    val pooled = (a ++ b).distinct.sorted
+    def cdf(xs: Seq[Double], v: Double): Double =
+      xs.count(_ <= v).toDouble / xs.size
+    val d = pooled.map(v => math.abs(cdf(a, v) - cdf(b, v))).max
+    val row = StatsQueries.qKsTest.run(spark, sf).collect().head
+    assert(math.abs(row.getDouble(0) - d) < 1e-6)
+    assert(row.getLong(2) === a.size.toLong)
+    assert(row.getLong(3) === b.size.toLong)
+  }
+
+  test("q_gini matches the driver-side rank-weighted formula") {
+    val revs = graft.io.Tables.table(spark, sf, "orders")
+      .select(col("o_custkey"), col("o_totalprice"))
+      .collect().map(r => (r.getLong(0), BigDecimal(r.getDouble(1))
+        .setScale(2, BigDecimal.RoundingMode.HALF_UP)))
+      .groupBy(_._1).map { case (k, vs) => (k, vs.map(_._2).sum) }.toSeq
+    val sorted = revs.sortBy { case (k, v) => (v, k) }
+    val n = sorted.size
+    val t = sorted.map(_._2).sum.toDouble
+    val s = sorted.zipWithIndex
+      .map { case ((_, v), i) => (i + 1) * v.toDouble }.sum
+    val gini = 2 * s / (n * t) - (n + 1.0) / n
+    val got = AggregateQueries.qGini.run(spark, sf).collect().head
+    assert(got.getLong(0) === n.toLong)
+    assert(math.abs(got.getDouble(2) - gini) < 1e-6)
+  }
+
   test("q_winsorize means sit between clipped bounds and raw mean shifts") {
     val rows = StatsQueries.qWinsorize.run(spark, sf).collect()
     rows.foreach { r =>
