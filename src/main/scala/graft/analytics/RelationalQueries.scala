@@ -1401,6 +1401,108 @@ object RelationalQueries {
         round(lit(1) + col("n_tail") / col("slog"), 6).as("alpha"))
   }
 
+  /** TPC-H Q21 shape (suppliers who kept orders waiting): the classic
+    * DOUBLE correlated subquery — EXISTS (another supplier in the same
+    * order) AND NOT EXISTS (another LATE supplier in the same order) —
+    * stated literally in the oracle and decorrelated in the engine to
+    * ONE per-order aggregation: per (order, supplier) late-flags roll
+    * up to per-order (#distinct suppliers, #late suppliers), and a row
+    * qualifies iff it is late, the order is multi-supplier, and its
+    * supplier is the ONLY late one. Two self-joins become two
+    * aggregations over the same l_orderkey exchange; the supplier
+    * dimension broadcasts. "Late" is adapted to the testdata's columns
+    * (shipdate > orderdate + 75 days — no receipt/commit dates here);
+    * shape of TPC-H Q21 (`specification`, public).
+    */
+  val qTpchQ21: QueryDef = QueryDef.sql(
+    "q_tpch_q21",
+    """WITH lo AS (
+      |  SELECT l.l_orderkey, l.l_suppkey,
+      |    CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 75 DAY
+      |      THEN 1 ELSE 0 END AS late
+      |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |  WHERE o.o_orderstatus = 'F')
+      |SELECT s.s_name, count(*) AS numwait
+      |FROM lo l1
+      |JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+      |WHERE l1.late = 1
+      |  AND EXISTS (SELECT 1 FROM lo l2
+      |    WHERE l2.l_orderkey = l1.l_orderkey
+      |      AND l2.l_suppkey <> l1.l_suppkey)
+      |  AND NOT EXISTS (SELECT 1 FROM lo l3
+      |    WHERE l3.l_orderkey = l1.l_orderkey
+      |      AND l3.l_suppkey <> l1.l_suppkey AND l3.late = 1)
+      |GROUP BY s.s_name
+      |ORDER BY numwait DESC, s.s_name LIMIT 20""".stripMargin,
+    doc = "TPC-H Q21 shape: exists/not-exists pair decorrelated to one per-order aggregation") { (s, dir) =>
+    val lo = t(s, dir, "lineitem")
+      .select("l_orderkey", "l_suppkey", "l_shipdate")
+      .join(t(s, dir, "orders")
+          .filter(col("o_orderstatus") === "F")
+          .select("o_orderkey", "o_orderdate"),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_orderkey"), col("l_suppkey"),
+        (col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 75 DAYS"))
+          .cast("int").as("late"))
+    // Decorrelation: both EXISTS collapse into one per-order profile.
+    val perSupp = lo.groupBy("l_orderkey", "l_suppkey")
+      .agg(max(col("late")).as("slate"))
+    val perOrd = perSupp.groupBy("l_orderkey")
+      .agg(count(lit(1)).as("nsupp"), sum(col("slate")).as("nlate"))
+    lo.filter(col("late") === 1)
+      .join(perOrd, Seq("l_orderkey"))
+      .filter(col("nsupp") > 1 && col("nlate") === 1)
+      .join(broadcast(t(s, dir, "supplier").select("s_suppkey", "s_name")),
+        col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("s_name"))
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy(col("numwait").desc, col("s_name"))
+      .limit(20)
+  }
+
+  /** TPC-H Q22 shape (global sales opportunity): a SCALAR aggregate
+    * subquery (average positive balance over the candidate nations)
+    * used as a filter threshold, plus a NOT EXISTS anti join against
+    * the activity table. The scalar is a one-row broadcast — never a
+    * per-row re-evaluation — and the anti probe is a distinct-key
+    * left_anti join. Adapted to the testdata's columns: nation-key set
+    * instead of phone prefixes, "no URGENT order" instead of "no
+    * order" (every sf customer has orders). Shape of TPC-H Q22
+    * (`specification`, public).
+    */
+  val qTpchQ22: QueryDef = QueryDef.sql(
+    "q_tpch_q22",
+    """WITH pool AS (SELECT * FROM customer
+      |  WHERE c_nationkey IN (1,3,5,7,9,11,13)),
+      |ab AS (SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(20,4)))
+      |    AS DOUBLE) / count(*) AS a
+      |  FROM pool WHERE c_acctbal > 0)
+      |SELECT c_nationkey AS cntrycode, count(*) AS numcust,
+      |  CAST(sum(CAST(c_acctbal AS DECIMAL(20,4))) AS DOUBLE)
+      |    AS totacctbal
+      |FROM pool, ab
+      |WHERE c_acctbal > ab.a
+      |  AND NOT EXISTS (SELECT 1 FROM orders o
+      |    WHERE o.o_custkey = pool.c_custkey
+      |      AND o.o_orderpriority = '1-URGENT')
+      |GROUP BY 1 ORDER BY 1""".stripMargin,
+    doc = "TPC-H Q22 shape: scalar-subquery threshold broadcast + anti join") { (s, dir) =>
+    val pool = t(s, dir, "customer")
+      .filter(col("c_nationkey").isin(1, 3, 5, 7, 9, 11, 13))
+      .select("c_custkey", "c_nationkey", "c_acctbal")
+    val avgBal = pool.filter(col("c_acctbal") > 0)
+      .agg((dsum(col("c_acctbal")) / count(lit(1))).as("a"))
+    val urgent = t(s, dir, "orders")
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select("o_custkey").distinct()
+    pool.crossJoin(broadcast(avgBal))
+      .filter(col("c_acctbal") > col("a"))
+      .join(urgent, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_nationkey").as("cntrycode"))
+      .agg(count(lit(1)).as("numcust"), dsum(col("c_acctbal")).as("totacctbal"))
+      .orderBy("cntrycode")
+  }
+
   val all: Seq[QueryDef] = Seq(
     q1Agg, qScanProject, qFilterIn, qJoinInner, qJoinAnti, qJoinSemi,
     qJoinLeftOuter, qJoinCrossBounds, qJoinTheta, qJoinNullSafe, qJoinUsing,
@@ -1409,5 +1511,6 @@ object RelationalQueries {
     qGroupingSets, qIntersectAll, qTpchQ3, qTpchQ5, qMergeScd2, qFuzzyMatch,
     qPageRank, qPageRankGeneral, qTriangles, qClusteringCoeff,
     qConnectedComponents, qSssp, qLinkPrediction, qPpr, qSkyline, qKcore,
-    qTpchQ17, qItemSimilarity, qTpchQ18, qDegreePowerlaw)
+    qTpchQ17, qItemSimilarity, qTpchQ18, qDegreePowerlaw, qTpchQ21,
+    qTpchQ22)
 }
