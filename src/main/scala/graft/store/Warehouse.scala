@@ -434,6 +434,44 @@ final class Warehouse(spark: SparkSession, location: String) {
     * at any step leaves either the original or the replacement intact
     * under the live name.
     */
+  /** Atomically replace a table's contents with `df`: write to a
+    * working dir first, then the crash-safe rename dance. Because the
+    * working-dir write materializes `df` BEFORE the live dir moves,
+    * read-modify-replace pipelines whose `df` derives from the table
+    * itself (e.g. [[MatView.refresh]] merging new partials into the
+    * old state) never read a directory they are overwriting — the
+    * self-overwrite trap of a naive `SaveMode.Overwrite` on the
+    * input path.
+    */
+  def replaceTable(table: String, df: DataFrame,
+      extraFiles: Map[String, String] = Map.empty): Unit = {
+    val tmp = new Path(path(table) + "__replace")
+    df.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    // Underscore-named sidecars ride the same atomic rename as the
+    // data (parquet readers skip `_`/`.` files) — a marker written
+    // this way can never disagree with the contents it stamps.
+    extraFiles.foreach { case (name, content) =>
+      require(name.startsWith("_"), s"sidecar must be _-prefixed: $name")
+      val out = fs.create(new Path(tmp, name), true)
+      try out.write(content.getBytes("UTF-8")) finally out.close()
+    }
+    swapTableDir(table, tmp, "replace")
+  }
+
+  /** Read a `_`-prefixed sidecar file previously stamped into the
+    * table dir by [[replaceTable]].
+    */
+  def readTableFile(table: String, name: String): Option[String] = {
+    val p = new Path(path(table), name)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try Some(new String(
+        org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8"))
+      finally in.close()
+    }
+  }
+
   private def swapTableDir(table: String, tmp: Path, op: String): Unit = {
     val cur = new Path(path(table))
     val old = new Path(path(table) + "__old")
