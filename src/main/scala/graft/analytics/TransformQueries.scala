@@ -281,8 +281,99 @@ object TransformQueries {
       .orderBy("doc_id")
   }
 
+  /** Incremental materialized-view maintenance
+    * ([[graft.store.MatView]]): the fact table arrives as three
+    * deterministic delta batches (`l_orderkey % 3`), each folded into
+    * the keyed partial state (exact decimal sums, counts, extrema) by
+    * the associative merge, and the finalized view must equal the
+    * oracle's ONE-SHOT aggregation over the full table — the
+    * refresh-schedule-independence contract that lets a 100 TB rollup
+    * refresh at O(delta + state) cost. The disk-backed refresh loop
+    * (crash-safe state replace, HLL register merge) is proven in
+    * MatViewSpec; this pins the algebra end-to-end against DuckDB.
+    */
+  val qMatviewRollup: QueryDef = QueryDef.sql(
+    "q_matview_rollup",
+    """SELECT l_returnflag, l_linestatus, count(*) AS cnt,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE)
+      |    AS sum_l_quantity,
+      |  min(l_shipdate) AS min_l_shipdate,
+      |  max(l_extendedprice) AS max_l_extendedprice,
+      |  CAST(sum(CAST(l_discount AS DECIMAL(38,6))) AS DOUBLE)
+      |    / count(l_discount) AS avg_l_discount
+      |FROM lineitem
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    doc = "incremental materialized view: 3-batch partial-state fold == one-shot aggregate") { (s, dir) =>
+    import graft.store.{MatView, MatViewDef, MvMeasure}
+    val mv = MatViewDef("rollup", Seq("l_returnflag", "l_linestatus"), Seq(
+      MvMeasure("count"), MvMeasure("sum", "l_quantity"),
+      MvMeasure("min", "l_shipdate"), MvMeasure("max", "l_extendedprice"),
+      MvMeasure("avg", "l_discount")))
+    val li = t(s, dir, "lineitem")
+    val batches = (0 to 2).map(i =>
+      MatView.partial(li.filter(pmod(col("l_orderkey"), lit(3)) === i), mv))
+    val state = batches.reduce(MatView.mergeStates(_, _, mv))
+    MatView.finalizeView(state, mv)
+      .withColumn("sum_l_quantity", col("sum_l_quantity").cast("double"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  /** Snapshot CDC ([[graft.store.SnapshotDiff]]): a mutation batch
+    * (keyed deletes, value updates, inserts) applied to orders, then
+    * the diff of the two snapshots must recover exactly the applied
+    * changes — the oracle restates the classification as a literal
+    * FULL OUTER JOIN with IS NOT DISTINCT FROM column compares. One
+    * keyed co-partitioned join at any scale; the fingerprint variant
+    * for wide tables is pinned equivalent in SnapshotDiffSpec.
+    */
+  val qSnapshotDiff: QueryDef = QueryDef.sql(
+    "q_snapshot_diff",
+    """WITH b AS (
+      |  SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
+      |  FROM orders),
+      |a AS (
+      |  SELECT o_orderkey, o_custkey,
+      |    CASE WHEN o_orderkey % 13 = 0 THEN o_totalprice + 1
+      |         ELSE o_totalprice END AS o_totalprice,
+      |    o_orderstatus
+      |  FROM orders WHERE o_orderkey % 97 <> 0
+      |  UNION ALL
+      |  SELECT o_orderkey + 1000000, o_custkey, o_totalprice, 'N'
+      |  FROM orders WHERE o_orderkey < 50)
+      |SELECT coalesce(b.o_orderkey, a.o_orderkey) AS o_orderkey,
+      |  CASE WHEN b.o_orderkey IS NULL THEN 'insert'
+      |       WHEN a.o_orderkey IS NULL THEN 'delete'
+      |       WHEN NOT (b.o_custkey IS NOT DISTINCT FROM a.o_custkey
+      |             AND b.o_totalprice IS NOT DISTINCT FROM a.o_totalprice
+      |             AND b.o_orderstatus IS NOT DISTINCT FROM a.o_orderstatus)
+      |       THEN 'update' END AS change
+      |FROM b FULL OUTER JOIN a ON b.o_orderkey = a.o_orderkey
+      |WHERE CASE WHEN b.o_orderkey IS NULL THEN 'insert'
+      |       WHEN a.o_orderkey IS NULL THEN 'delete'
+      |       WHEN NOT (b.o_custkey IS NOT DISTINCT FROM a.o_custkey
+      |             AND b.o_totalprice IS NOT DISTINCT FROM a.o_totalprice
+      |             AND b.o_orderstatus IS NOT DISTINCT FROM a.o_orderstatus)
+      |       THEN 'update' END IS NOT NULL
+      |ORDER BY o_orderkey""".stripMargin,
+    doc = "snapshot CDC: keyed full-outer diff recovers the applied mutation batch") { (s, dir) =>
+    import graft.store.SnapshotDiff
+    val before = t(s, dir, "orders")
+      .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
+    val after = before.filter(col("o_orderkey") % 97 =!= 0)
+      .withColumn("o_totalprice",
+        when(col("o_orderkey") % 13 === 0, col("o_totalprice") + 1)
+          .otherwise(col("o_totalprice")))
+      .unionByName(before.filter(col("o_orderkey") < 50)
+        .select((col("o_orderkey") + 1000000L).as("o_orderkey"),
+          col("o_custkey"), col("o_totalprice"),
+          lit("N").as("o_orderstatus")))
+    SnapshotDiff.diff(before, after, Seq("o_orderkey"))
+      .orderBy("o_orderkey")
+  }
+
   val all: Seq[QueryDef] = Seq(
     qMelt, qNormalizeGlobal, qNormalizeGroup, qSampleSystematic,
     qSampleStratified, qSampleRandom, qMixtureSample, qMergeUpsert,
-    qZorderValue, qSampleWeighted)
+    qZorderValue, qSampleWeighted, qMatviewRollup, qSnapshotDiff)
 }

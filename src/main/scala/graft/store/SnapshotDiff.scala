@@ -1,0 +1,76 @@
+package graft.store
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Change-data capture between two table snapshots: classify every key
+  * as insert / delete / update by ONE keyed full-outer join — the
+  * "what changed since yesterday" primitive (Delta's CDF / Iceberg's
+  * changelog analogue) for plain parquet layouts.
+  *
+  * Scale shape: the join is a co-partitioned merge on the key columns
+  * — one exchange per side, zero when both snapshots are bucketed on
+  * the key. Value comparison is null-safe per column inside the join
+  * projection (whole-stage codegen, no UDFs); [[diffHashed]] narrows
+  * the compare to one xxhash64 fingerprint per side so wide tables
+  * ship two longs through the join instead of every value column —
+  * same verdicts ([[SnapshotDiffSpec]] pins the equivalence).
+  */
+object SnapshotDiff {
+
+  /** Rows that changed between `before` and `after`, keyed by `keys`:
+    * output is the key columns plus a `change` tag in
+    * {insert, delete, update}; unchanged keys are not emitted.
+    * Key columns must be non-null (they identify rows).
+    */
+  def diff(before: DataFrame, after: DataFrame,
+      keys: Seq[String]): DataFrame = {
+    require(keys.nonEmpty, "diff needs key columns")
+    val vals = before.columns.filterNot(keys.contains)
+    require(after.columns.filterNot(keys.contains).sorted.sameElements(
+      vals.sorted), "snapshots must share the same value columns")
+    val b = prefixed(before, "b_", keys)
+    val a = prefixed(after, "a_", keys)
+    val joined = b.join(a, keys.map(k =>
+      b(s"b_$k") <=> a(s"a_$k")).reduce(_ && _), "full_outer")
+    val bKey = col(s"b_${keys.head}")
+    val aKey = col(s"a_${keys.head}")
+    val changed = vals.map(v => !(col(s"b_$v") <=> col(s"a_$v")))
+      .reduceOption(_ || _).getOrElse(lit(false))
+    classify(joined, keys, bKey, aKey, changed)
+  }
+
+  /** [[diff]] with the value compare collapsed to one fingerprint per
+    * side: `xxhash64` over the value columns travels through the join
+    * instead of the columns themselves — the wide-table form. A hash
+    * collision (~2⁻⁶⁴ per key) would misreport an update as unchanged;
+    * use [[diff]] when that cannot be tolerated.
+    */
+  def diffHashed(before: DataFrame, after: DataFrame,
+      keys: Seq[String]): DataFrame = {
+    require(keys.nonEmpty, "diff needs key columns")
+    val vals = before.columns.filterNot(keys.contains).sorted
+    def slim(df: DataFrame, p: String) = prefixed(
+      df.select(keys.map(col) ++
+        Seq(xxhash64(vals.map(col): _*).as("__fp")): _*), p, keys)
+    val b = slim(before, "b_")
+    val a = slim(after, "a_")
+    val joined = b.join(a, keys.map(k =>
+      b(s"b_$k") <=> a(s"a_$k")).reduce(_ && _), "full_outer")
+    classify(joined, keys, col(s"b_${keys.head}"), col(s"a_${keys.head}"),
+      col("b___fp") =!= col("a___fp"))
+  }
+
+  private def prefixed(df: DataFrame, p: String,
+      keys: Seq[String]): DataFrame =
+    df.select(df.columns.map(c => col(c).as(s"$p$c")).toSeq: _*)
+
+  private def classify(joined: DataFrame, keys: Seq[String],
+      bKey: Column, aKey: Column, changed: Column): DataFrame =
+    joined.select(
+      keys.map(k => coalesce(col(s"b_$k"), col(s"a_$k")).as(k)) :+
+        when(bKey.isNull, lit("insert"))
+          .when(aKey.isNull, lit("delete"))
+          .when(changed, lit("update")).as("change"): _*)
+      .filter(col("change").isNotNull)
+}
