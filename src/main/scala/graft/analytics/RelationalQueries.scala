@@ -1444,6 +1444,14 @@ object RelationalQueries {
       .select(col("l_orderkey"), col("l_suppkey"),
         (col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 75 DAYS"))
           .cast("int").as("late"))
+      // One explicit fact exchange on the order key. hash(l_orderkey)
+      // satisfies every downstream requirement — the (orderkey,
+      // suppkey) aggregation (subset clustering), the per-order
+      // rollup, and the join back — and the two consumers of `lo`
+      // share the identical subtree, so ReuseExchange ships the fact
+      // ONCE instead of the 3-exchange / 2-scan plan the planner
+      // picks bottom-up (pinned in TpchPlanSpec).
+      .repartition(col("l_orderkey"))
     // Decorrelation: both EXISTS collapse into one per-order profile.
     val perSupp = lo.groupBy("l_orderkey", "l_suppkey")
       .agg(max(col("late")).as("slate"))

@@ -35,6 +35,36 @@ class TpchPlanSpec extends SparkSpec {
       s"customer dim must broadcast:\n$exec")
   }
 
+  test("Q21: two-level decorrelation reuses ONE order-key exchange; top-20 is TakeOrdered") {
+    val df = Catalog.byName("q_tpch_q21").run(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    // the (orderkey, suppkey) -> orderkey agg pair must NOT re-exchange
+    // on the compound key: hash(l_orderkey) satisfies both levels
+    assert(!plan.contains("Exchange hashpartitioning(l_orderkey#") ||
+      !"""hashpartitioning\(l_orderkey#\d+L, l_suppkey""".r
+        .findFirstIn(plan).isDefined,
+      s"compound-key exchange crept back under the agg pair:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-20 must not be a global sort:\n$plan")
+    assert(plan.contains("BroadcastHashJoin [l_suppkey"),
+      s"supplier dim must broadcast:\n$plan")
+    // status filter reaches the orders scan
+    assert(plan.contains("EqualTo(o_orderstatus,F)"),
+      s"status filter not pushed:\n$plan")
+  }
+
+  test("Q22: scalar threshold broadcasts one row; NOT EXISTS is a hash anti join") {
+    val df = Catalog.byName("q_tpch_q22").run(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin") &&
+      plan.contains("Cross"),
+      s"scalar avg must ride a 1-row broadcast, not a per-row re-eval:\n$plan")
+    assert(plan.contains("LeftAnti"),
+      s"NOT EXISTS must plan as an anti join:\n$plan")
+    assert(plan.contains("EqualTo(o_orderpriority,1-URGENT)"),
+      s"priority filter not pushed:\n$plan")
+  }
+
   test("Q5: fixed-cardinality dims ride broadcasts; date filter pushed") {
     val df = Catalog.byName("q_tpch_q5").run(spark, sf)
     val plan = df.queryExecution.executedPlan.toString
