@@ -389,6 +389,58 @@ object AggregateQueries {
       size(col("s")).as("n_counters"))
   }
 
+  /** Mergeable quantile sample via the native bottom-k aggregate
+    * ([[graft.plans.BottomKSample]]): the k rows with the smallest
+    * fixed-permutation priority are a uniform sample whose selection
+    * is a pure min-k SET operation — associative, commutative,
+    * deterministic under ANY partitioning/merge order, which is what
+    * KLL/t-digest compaction cannot offer and what makes an EXACT
+    * oracle possible: DuckDB re-derives the identical sample with a
+    * window rank over the same Knuth-multiplicative priority, then
+    * reads the same order statistics. O(k) state per group per
+    * partition; the exchange ships k pairs per group, not the rows.
+    */
+  val qQuantileSample: QueryDef = QueryDef.sql(
+    "q_quantile_sample",
+    """WITH pri AS (
+      |  SELECT l_returnflag,
+      |    ((l_orderkey*8 + l_linenumber) * 2654435761) % 4294967296 AS p,
+      |    l_extendedprice AS v
+      |  FROM lineitem),
+      |keep AS (
+      |  SELECT l_returnflag, v,
+      |    row_number() OVER (PARTITION BY l_returnflag ORDER BY p, v) AS rn
+      |  FROM pri),
+      |ranked AS (
+      |  SELECT l_returnflag, v,
+      |    row_number() OVER (PARTITION BY l_returnflag ORDER BY v) AS rv
+      |  FROM keep WHERE rn <= 64)
+      |SELECT l_returnflag,
+      |  max(CASE WHEN rv = 16 THEN v END) AS p25,
+      |  max(CASE WHEN rv = 32 THEN v END) AS p50,
+      |  max(CASE WHEN rv = 48 THEN v END) AS p75,
+      |  CAST(count(*) AS INTEGER) AS k
+      |FROM ranked GROUP BY 1 ORDER BY 1""".stripMargin,
+    doc = "bottom-k (KMV) mergeable quantile sample, exact-oracled order statistics") { (s, dir) =>
+    val rowid = col("l_orderkey") * 8 + col("l_linenumber")
+    val sampled = t(s, dir, "lineitem")
+      .select(col("l_returnflag"),
+        ((rowid * 2654435761L) % 4294967296L).as("p"),
+        col("l_extendedprice").as("v"))
+      .groupBy("l_returnflag")
+      .agg(call_function("bottom_k_sample", col("v"), col("p"), lit(64))
+        .as("s"))
+    sampled.select(col("l_returnflag"),
+      sort_array(transform(col("s"), e => e("v"))).as("vs"),
+      size(col("s")).as("k"))
+      .select(col("l_returnflag"),
+        element_at(col("vs"), 16).as("p25"),
+        element_at(col("vs"), 32).as("p50"),
+        element_at(col("vs"), 48).as("p75"),
+        col("k"))
+      .orderBy("l_returnflag")
+  }
+
   /** Per-key frequencies from a Count-Min sketch — Spark's built-in
     * mergeable `count_min_sketch` aggregate (O(depth·width) partial
     * state, no per-key shuffle) probed in-plan by the native
@@ -991,5 +1043,5 @@ object AggregateQueries {
     qHistogram, qApproxProfile, qCorrelations, qHeavyHitters, qCmsCounts,
     qHllDistinct, qSketchRollup, qMetricsRollup, qAnomalies, qFkOrphans,
     qAnomaliesMad, qHllOverlap, qBenford, qFdViolations, qKthSmallest,
-    qGini, qKAnonymity, qAbcClasses, qDiscountEffect)
+    qGini, qKAnonymity, qAbcClasses, qDiscountEffect, qQuantileSample)
 }

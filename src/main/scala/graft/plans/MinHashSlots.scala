@@ -158,6 +158,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           "usage: space_saving_topk(col, <int literal k>)")
       }))
     ext.injectFunction((
+      new FunctionIdentifier("bottom_k_sample"),
+      new ExpressionInfo(classOf[BottomKSample].getName, "bottom_k_sample"),
+      (children: Seq[Expression]) => children match {
+        case Seq(v, p, Literal(kv: Int, IntegerType)) => BottomKSample(v, p, kv)
+        case _ => throw new IllegalArgumentException(
+          "usage: bottom_k_sample(value, priority, <int literal k>)")
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("cms_query"),
       new ExpressionInfo(classOf[CmsQuery].getName, "cms_query"),
       (children: Seq[Expression]) => children match {
