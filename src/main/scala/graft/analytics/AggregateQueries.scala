@@ -404,7 +404,8 @@ object AggregateQueries {
     "q_quantile_sample",
     """WITH pri AS (
       |  SELECT l_returnflag,
-      |    ((l_orderkey*8 + l_linenumber) * 2654435761) % 4294967296 AS p,
+      |    (((l_orderkey*8 + l_linenumber) % 2147483648) * 2654435761)
+      |      % 4294967296 AS p,
       |    l_extendedprice AS v
       |  FROM lineitem),
       |keep AS (
@@ -422,7 +423,10 @@ object AggregateQueries {
       |  CAST(count(*) AS INTEGER) AS k
       |FROM ranked GROUP BY 1 ORDER BY 1""".stripMargin,
     doc = "bottom-k (KMV) mergeable quantile sample, exact-oracled order statistics") { (s, dir) =>
-    val rowid = col("l_orderkey") * 8 + col("l_linenumber")
+    // rowid is bounded to 2^31 BEFORE the Knuth multiply so the
+    // product stays under 2^63 at any replica scale (ANSI mode throws
+    // on long overflow); both engines compute the identical priority
+    val rowid = (col("l_orderkey") * 8 + col("l_linenumber")) % 2147483648L
     val sampled = t(s, dir, "lineitem")
       .select(col("l_returnflag"),
         ((rowid * 2654435761L) % 4294967296L).as("p"),
