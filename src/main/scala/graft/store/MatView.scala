@@ -16,17 +16,25 @@ import org.apache.spark.sql.functions._
   *                       — register max is associative + commutative,
   *                       so the incremental estimate is BIT-IDENTICAL
   *                       to a one-shot build, not merely close
+  *  - `bottomk`        → KMV quantile sample over `src` prioritized
+  *                       by `aux` ([[graft.plans.BottomKSample]];
+  *                       needs a GraftExtensions session) — min-k
+  *                       under union is a set op, so the incremental
+  *                       sample is bit-identical to one-shot too
   */
-final case class MvMeasure(kind: String, src: String = "") {
+final case class MvMeasure(kind: String, src: String = "",
+    aux: String = "") {
   require(MvMeasure.kinds(kind), s"unknown measure kind: $kind")
   require(kind == "count" || src.nonEmpty, s"$kind needs a source column")
+  require(kind != "bottomk" || aux.nonEmpty,
+    "bottomk needs aux = priority column")
 
   /** Output / state column tag, e.g. `sum_l_quantity`. */
   def tag: String = if (kind == "count") "cnt" else s"${kind}_$src"
 }
 
 object MvMeasure {
-  val kinds = Set("count", "sum", "min", "max", "avg", "hll")
+  val kinds = Set("count", "sum", "min", "max", "avg", "hll", "bottomk")
 }
 
 /** A keyed aggregate view definition: `GROUP BY keys` + measures. */
@@ -130,6 +138,11 @@ object MatView {
   private val SumType = "decimal(38,6)"
   private val HllLgK = 12
 
+  /** Sample width for `bottomk` measures — quantile estimates from the
+    * finalized sample carry O(1/√k) rank error.
+    */
+  val BottomK = 64
+
   private def partialAggs(mv: MatViewDef): Seq[Column] =
     mv.measures.flatMap { m =>
       m.kind match {
@@ -142,6 +155,9 @@ object MatView {
           count(col(m.src)).as(s"${m.tag}__cnt"))
         case "hll"   => Seq(
           call_function("hll_sketch_agg", col(m.src), lit(HllLgK)).as(m.tag))
+        case "bottomk" => Seq(
+          call_function("bottom_k_sample", col(m.src), col(m.aux),
+            lit(BottomK)).as(m.tag))
       }
     }
 
@@ -157,6 +173,12 @@ object MatView {
           sum(col(s"${m.tag}__cnt")).as(s"${m.tag}__cnt"))
         case "hll"   => Seq(
           call_function("hll_union_agg", col(m.tag), lit(true)).as(m.tag))
+        // min-k under union is a set op: flatten the (few) per-key
+        // state arrays, sort by (priority, value), keep k — the same
+        // selection BottomKSample itself makes, in any merge order
+        case "bottomk" => Seq(
+          slice(array_sort(flatten(collect_list(col(m.tag)))), 1, BottomK)
+            .as(m.tag))
       }
     }
 
@@ -165,6 +187,9 @@ object MatView {
       (col(s"${m.tag}__sum").cast("double") / col(s"${m.tag}__cnt")).as(m.tag)
     case "hll" =>
       call_function("hll_sketch_estimate", col(m.tag)).as(m.tag)
+    // sorted sample VALUES — order statistics read by element_at
+    case "bottomk" =>
+      array_sort(transform(col(m.tag), e => e("v"))).as(m.tag)
     case _ => col(m.tag)
   }
 }

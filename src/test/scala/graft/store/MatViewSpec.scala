@@ -73,6 +73,23 @@ class MatViewSpec extends SparkSpec {
     assert(wh.read(mv.stateTable).count() === 10)
   }
 
+  test("bottomk measure: incremental quantile sample is BIT-identical to one-shot") {
+    // priority from the id's Knuth multiply — the deterministic KMV form
+    val d = data.withColumn("p",
+      (col("id") * 2654435761L) % 4294967296L)
+    val mvQ = MatViewDef("q", Seq("k"), Seq(
+      MvMeasure("count"), MvMeasure("bottomk", "v", aux = "p")))
+    def batchQ(i: Int) = d.filter(pmod(col("id"), lit(3)) === i)
+    val inc = (0 to 2).map(i => MatView.partial(batchQ(i), mvQ))
+      .reduce(MatView.mergeStates(_, _, mvQ))
+    val incRows = rows(MatView.finalizeView(inc, mvQ))
+    assert(incRows === rows(MatView.finalizeView(MatView.partial(d, mvQ), mvQ)))
+    // the sample is k wide (100 rows per key >> k=64)
+    val widths = MatView.finalizeView(inc, mvQ)
+      .select(size(col("bottomk_v"))).collect().map(_.getInt(0)).toSet
+    assert(widths === Set(MatView.BottomK))
+  }
+
   test("null-heavy avg: count(col) excludes nulls like the one-shot") {
     val mvW = MatViewDef("w", Seq("k"), Seq(MvMeasure("avg", "w")))
     val inc = MatView.mergeStates(
