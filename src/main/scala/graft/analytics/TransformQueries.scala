@@ -372,8 +372,46 @@ object TransformQueries {
       .orderBy("o_orderkey")
   }
 
+  /** Incremental JOIN-view maintenance ([[graft.store.JoinView]]):
+    * orders and lineitem each arrive in three append-only batches and
+    * the view grows by the delta-join algebra
+    * ΔL⋈R_old ∪ (L_old ∪ ΔL)⋈ΔR — every batch pair joined exactly
+    * once, refresh cost O(Δ⋈archive), never a history re-join. The
+    * folded view must equal the oracle's one-shot join. Disk-backed
+    * replay idempotence is proven in JoinViewSpec.
+    */
+  val qMatviewJoin: QueryDef = QueryDef.sql(
+    "q_matview_join",
+    """SELECT o.o_orderkey, l.l_linenumber, o.o_custkey, l.l_quantity
+      |FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+      |WHERE o.o_orderkey < 3000
+      |ORDER BY o_orderkey, l_linenumber, l_quantity""".stripMargin,
+    doc = "incremental join-view: 3x3 delta-join fold == one-shot join") { (s, dir) =>
+    val ords = t(s, dir, "orders")
+      .filter(col("o_orderkey") < 3000)
+      .select("o_orderkey", "o_custkey")
+    val li = t(s, dir, "lineitem")
+      .filter(col("l_orderkey") < 3000)
+      .select(col("l_orderkey").as("o_orderkey"), col("l_linenumber"),
+        col("l_quantity"))
+    def dL(i: Int) = ords.filter(pmod(col("o_orderkey"), lit(3)) === i)
+    def dR(i: Int) = li.filter(pmod(col("l_linenumber"), lit(3)) === i)
+    // in-plan fold of the JoinView delta algebra across 3 batch pairs
+    var aL = ords.limit(0); var aR = li.limit(0)
+    var view = ords.join(li.limit(0), Seq("o_orderkey"))
+    (0 to 2).foreach { i =>
+      val nl = dL(i); val nr = dR(i)
+      view = view.unionByName(nl.join(aR, Seq("o_orderkey")))
+        .unionByName(aL.unionByName(nl).join(nr, Seq("o_orderkey")))
+      aL = aL.unionByName(nl); aR = aR.unionByName(nr)
+    }
+    view.select("o_orderkey", "l_linenumber", "o_custkey", "l_quantity")
+      .orderBy("o_orderkey", "l_linenumber", "l_quantity")
+  }
+
   val all: Seq[QueryDef] = Seq(
     qMelt, qNormalizeGlobal, qNormalizeGroup, qSampleSystematic,
     qSampleStratified, qSampleRandom, qMixtureSample, qMergeUpsert,
-    qZorderValue, qSampleWeighted, qMatviewRollup, qSnapshotDiff)
+    qZorderValue, qSampleWeighted, qMatviewRollup, qSnapshotDiff,
+    qMatviewJoin)
 }

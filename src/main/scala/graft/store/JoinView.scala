@@ -1,0 +1,103 @@
+package graft.store
+
+import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.functions._
+
+/** Incremental maintenance of a materialized EQUI-JOIN view over
+  * APPEND-ONLY inputs — the delta-join algebra: when batches
+  * (ΔL, ΔR) arrive, the view grows by exactly
+  *
+  *   ΔL ⋈ R_archive  ∪  (L_archive ∪ ΔL) ⋈ ΔR
+  *
+  * so every (left-batch i, right-batch j) pair is joined exactly once
+  * (i > j via the first term, i ≤ j via the second), and refresh cost
+  * is O(Δ ⋈ archive) keyed joins — never a re-join of the full
+  * history. This is the join half of incremental view maintenance
+  * ([[MatView]] is the aggregate half); append-only inputs mean no
+  * retractions, which is what keeps the delta algebra this small.
+  *
+  * Scale shape: both delta joins are keyed equi-joins — the archive
+  * side arrives hash-partitioned on the join key from its own layout,
+  * the delta side is batch-sized, so at a 100 TB archive the planner
+  * broadcasts the delta (or shuffles only the delta under AQE).
+  * Storage is three tables: the view plus both archives, all
+  * batch-id partitioned by [[refreshOnce]] so a replayed micro-batch
+  * OVERWRITES its own partition directories instead of appending
+  * duplicates — idempotent without any marker.
+  */
+object JoinView {
+
+  def viewTable(name: String) = s"_jv_$name"
+  def leftTable(name: String) = s"_jv_${name}_left"
+  def rightTable(name: String) = s"_jv_${name}_right"
+
+  /** Fold one (ΔL, ΔR) pair into the view — plain-append form for
+    * driver-sequenced batch loads. Value column names must be
+    * disjoint across the two sides (join output holds both).
+    */
+  def refresh(wh: Warehouse, name: String, keys: Seq[String],
+      dLeft: DataFrame, dRight: DataFrame): Unit = {
+    val delta = viewDelta(wh, name, keys, dLeft, dRight)
+    appendTo(wh, viewTable(name), delta)
+    appendTo(wh, leftTable(name), dLeft)
+    appendTo(wh, rightTable(name), dRight)
+  }
+
+  /** Replay-idempotent fold for streaming delivery: every write lands
+    * in `batch_id=<id>` partition directories with dynamic overwrite,
+    * so a re-delivered batch replaces its own files. Crash between
+    * the three writes replays to the identical final state.
+    */
+  def refreshOnce(wh: Warehouse, name: String, keys: Seq[String],
+      dLeft: DataFrame, dRight: DataFrame, batchId: Long): Unit = {
+    // archives must exclude THIS batch id when computing the delta —
+    // a replayed batch would otherwise join against its own rows
+    val delta = viewDelta(wh, name, keys,
+      dLeft, dRight, excludeBatch = Some(batchId))
+    overwriteBatch(wh, viewTable(name), delta, batchId)
+    overwriteBatch(wh, leftTable(name), dLeft, batchId)
+    overwriteBatch(wh, rightTable(name), dRight, batchId)
+  }
+
+  /** The maintained view (batch bookkeeping column dropped). */
+  def read(wh: Warehouse, name: String): DataFrame = {
+    val v = wh.read(viewTable(name))
+    if (v.columns.contains("batch_id")) v.drop("batch_id") else v
+  }
+
+  private def viewDelta(wh: Warehouse, name: String, keys: Seq[String],
+      dLeft: DataFrame, dRight: DataFrame,
+      excludeBatch: Option[Long] = None): DataFrame = {
+    val aR = archive(wh, rightTable(name), dRight, excludeBatch)
+    val aL = archive(wh, leftTable(name), dLeft, excludeBatch)
+    dLeft.join(aR, keys)
+      .unionByName(aL.unionByName(dLeft).join(dRight, keys))
+  }
+
+  private def archive(wh: Warehouse, table: String, like: DataFrame,
+      excludeBatch: Option[Long]): DataFrame =
+    if (!wh.tableExists(table))
+      like.limit(0)
+    else {
+      val a = wh.read(table)
+      val pruned = excludeBatch match {
+        case Some(id) if a.columns.contains("batch_id") =>
+          a.filter(col("batch_id") =!= id)
+        case _ => a
+      }
+      pruned.select(like.columns.map(col).toSeq: _*)
+    }
+
+  private def appendTo(wh: Warehouse, table: String, df: DataFrame): Unit = {
+    if (!wh.tableExists(table)) wh.createTable(table, df.schema)
+    wh.append(table, df)
+  }
+
+  private def overwriteBatch(wh: Warehouse, table: String, df: DataFrame,
+      batchId: Long): Unit =
+    df.withColumn("batch_id", lit(batchId))
+      .write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id")
+      .parquet(s"${wh.location}/$table")
+}

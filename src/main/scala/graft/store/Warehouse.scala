@@ -20,7 +20,7 @@ import org.apache.spark.sql.types.StructType
   * (staging-merge dedup, `data_loader.py:681-728`). Single-driver
   * engine: concurrent writers are out of scope (SURVEY §7.4.4).
   */
-final class Warehouse(spark: SparkSession, location: String) {
+final class Warehouse(spark: SparkSession, val location: String) {
 
   private def path(table: String) = s"$location/$table"
 
