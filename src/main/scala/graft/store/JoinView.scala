@@ -95,9 +95,13 @@ object JoinView {
 
   private def overwriteBatch(wh: Warehouse, table: String, df: DataFrame,
       batchId: Long): Unit =
-    df.withColumn("batch_id", lit(batchId))
-      .write.mode(SaveMode.Overwrite)
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("batch_id")
-      .parquet(s"${wh.location}/$table")
+    // an all-empty first write would leave a dataless directory that
+    // breaks schema inference on the next archive read; an empty batch
+    // also has nothing to overwrite, so skipping preserves idempotence
+    if (!df.isEmpty)
+      df.withColumn("batch_id", lit(batchId))
+        .write.mode(SaveMode.Overwrite)
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(s"${wh.location}/$table")
 }
