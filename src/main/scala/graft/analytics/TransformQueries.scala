@@ -409,9 +409,41 @@ object TransformQueries {
       .orderBy("o_orderkey", "l_linenumber", "l_quantity")
   }
 
+  /** Incremental CUBE maintenance ([[graft.store.MatView.partialCube]]):
+    * every grouping set of the cube folds batch-by-batch through the
+    * same mergeable-partial algebra (cube-of-union = merge-of-cubes),
+    * keyed by grouping id — Spark's `grouping_id()` and DuckDB's
+    * GROUPING_ID share the bit convention (first key most
+    * significant), so the oracle checks all 4 grouping sets exactly.
+    */
+  val qMatviewCube: QueryDef = QueryDef.sql(
+    "q_matview_cube",
+    """SELECT GROUPING_ID(l_returnflag, l_linestatus) AS gid,
+      |  l_returnflag, l_linestatus, count(*) AS cnt,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE)
+      |    AS sum_l_quantity
+      |FROM lineitem
+      |GROUP BY CUBE(l_returnflag, l_linestatus)
+      |ORDER BY gid, l_returnflag, l_linestatus""".stripMargin,
+    doc = "incremental cube: 3-batch grouping-set fold == one-shot GROUP BY CUBE") { (s, dir) =>
+    import graft.store.{MatView, MatViewDef, MvMeasure}
+    val mv = MatViewDef("cube", Seq("l_returnflag", "l_linestatus"),
+      Seq(MvMeasure("count"), MvMeasure("sum", "l_quantity")))
+    val li = t(s, dir, "lineitem")
+    val state = (0 to 2)
+      .map(i => MatView.partialCube(
+        li.filter(pmod(col("l_orderkey"), lit(3)) === i), mv))
+      .reduce(MatView.mergeCubes(_, _, mv))
+    MatView.finalizeCube(state, mv)
+      .select(col("__gid").as("gid"), col("l_returnflag"),
+        col("l_linestatus"), col("cnt"),
+        col("sum_l_quantity").cast("double").as("sum_l_quantity"))
+      .orderBy("gid", "l_returnflag", "l_linestatus")
+  }
+
   val all: Seq[QueryDef] = Seq(
     qMelt, qNormalizeGlobal, qNormalizeGroup, qSampleSystematic,
     qSampleStratified, qSampleRandom, qMixtureSample, qMergeUpsert,
     qZorderValue, qSampleWeighted, qMatviewRollup, qSnapshotDiff,
-    qMatviewJoin)
+    qMatviewJoin, qMatviewCube)
 }

@@ -108,6 +108,31 @@ object MatView {
   def readView(wh: Warehouse, mv: MatViewDef): DataFrame =
     finalizeView(wh.read(mv.stateTable), mv)
 
+  /** CUBE variant of [[partial]]: one state row per (grouping set ×
+    * key combination), keyed by `__gid` (Spark's `grouping_id()`, bit
+    * per key column, first key most significant — the same convention
+    * DuckDB's GROUPING_ID uses, which is what lets q_matview_cube
+    * oracle the incremental cube exactly). Because every grouping set
+    * aggregates independently, cube-of-union equals merge-of-cubes
+    * and the whole [[mergeStates]]/[[finalizeView]] algebra applies
+    * unchanged with `__gid` prepended to the keys. The `__gid` column
+    * also disambiguates a rolled-up NULL from a genuine null key
+    * value.
+    */
+  def partialCube(df: DataFrame, mv: MatViewDef): DataFrame =
+    df.cube(mv.keys.map(col): _*)
+      .agg(grouping_id().as("__gid"), partialAggs(mv): _*)
+
+  /** Merge two cube states — [[mergeStates]] keyed by gid + keys. */
+  def mergeCubes(a: DataFrame, b: DataFrame, mv: MatViewDef): DataFrame =
+    a.unionByName(b).groupBy((col("__gid") +: mv.keys.map(col)): _*)
+      .agg(mergeAggs(mv).head, mergeAggs(mv).tail: _*)
+
+  /** Finalize a cube state, gid retained for grouping-set selection. */
+  def finalizeCube(state: DataFrame, mv: MatViewDef): DataFrame =
+    state.select(
+      (col("__gid") +: mv.keys.map(col)) ++ mv.measures.map(finalCol): _*)
+
   private val AppliedMarker = "_mv_applied_batch"
 
   /** Exactly-once fold for REPLAYABLE delivery (Structured Streaming's

@@ -90,6 +90,22 @@ class MatViewSpec extends SparkSpec {
     assert(widths === Set(MatView.BottomK))
   }
 
+  test("cube state: 3-batch incremental cube == one-shot cube, all grouping sets") {
+    val mvC = MatViewDef("c", Seq("k"), Seq(
+      MvMeasure("count"), MvMeasure("sum", "v"), MvMeasure("avg", "w")))
+    def rowsC(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("__gid", "k").collect().map(_.toString).toSeq
+    val inc = (0 to 2).map(i => MatView.partialCube(batch(i), mvC))
+      .reduce(MatView.mergeCubes(_, _, mvC))
+    assert(rowsC(MatView.finalizeCube(inc, mvC)) ===
+      rowsC(MatView.finalizeCube(MatView.partialCube(data, mvC), mvC)))
+    // both grouping sets present: per-key rows (gid 0) and the total (gid 1)
+    val gids = inc.select("__gid").distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(gids === Set(0L, 1L))
+    assert(inc.filter(col("__gid") === 1).count() === 1)
+  }
+
   test("null-heavy avg: count(col) excludes nulls like the one-shot") {
     val mvW = MatViewDef("w", Seq("k"), Seq(MvMeasure("avg", "w")))
     val inc = MatView.mergeStates(
