@@ -61,6 +61,47 @@ object SnapshotDiff {
       col("b___fp") =!= col("a___fp"))
   }
 
+  /** [[diff]] carrying the AFTER-side payload — a complete change
+    * feed: `keys ++ value columns (null on delete) ++ change`.
+    * [[applyChanges]] of this feed transforms `before` into `after`
+    * exactly (the round-trip contract pinned in SnapshotDiffSpec and
+    * IvmPropertiesSpec) — the produce-ship-apply cycle that
+    * replicates a 100 TB table with one keyed join per side instead
+    * of re-shipping the snapshot.
+    */
+  def changes(before: DataFrame, after: DataFrame,
+      keys: Seq[String]): DataFrame = {
+    require(keys.nonEmpty, "changes needs key columns")
+    val vals = before.columns.filterNot(keys.contains).toSeq
+    val b = prefixed(before, "b_", keys)
+    val a = prefixed(after, "a_", keys)
+    val joined = b.join(a, keys.map(k =>
+      b(s"b_$k") <=> a(s"a_$k")).reduce(_ && _), "full_outer")
+    val changed = vals.map(v => !(col(s"b_$v") <=> col(s"a_$v")))
+      .reduceOption(_ || _).getOrElse(lit(false))
+    joined.select(
+      keys.map(k => coalesce(col(s"b_$k"), col(s"a_$k")).as(k)) ++
+        vals.map(v => col(s"a_$v").as(v)) :+
+        when(col(s"b_${keys.head}").isNull, lit("insert"))
+          .when(col(s"a_${keys.head}").isNull, lit("delete"))
+          .when(changed, lit("update")).as("change"): _*)
+      .filter(col("change").isNotNull)
+  }
+
+  /** Apply a [[changes]] feed: deleted/updated keys leave `before`
+    * by one anti join, inserted/updated rows enter with their new
+    * payload — two keyed passes at any scale, no snapshot re-ship.
+    */
+  def applyChanges(before: DataFrame, feed: DataFrame,
+      keys: Seq[String]): DataFrame = {
+    val vals = before.columns.filterNot(keys.contains).toSeq
+    val gone = feed.filter(col("change").isin("delete", "update"))
+      .select(keys.map(col): _*)
+    val incoming = feed.filter(col("change").isin("insert", "update"))
+      .select((keys ++ vals).map(col): _*)
+    before.join(gone, keys, "left_anti").unionByName(incoming)
+  }
+
   private def prefixed(df: DataFrame, p: String,
       keys: Seq[String]): DataFrame =
     df.select(df.columns.map(c => col(c).as(s"$p$c")).toSeq: _*)

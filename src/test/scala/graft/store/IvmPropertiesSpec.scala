@@ -64,14 +64,18 @@ class IvmPropertiesSpec extends SparkSpec {
       val after = before.filterNot(r => deletes(r._1))
         .map { case (k, v) => if (updates(k)) (k, v + 100) else (k, v) } ++
         inserts
-      val got = SnapshotDiff.diff(
-        before.toDF("k", "v"), after.toDF("k", "v"), Seq("k"))
+      val bDf = before.toDF("k", "v"); val aDf = after.toDF("k", "v")
+      val got = SnapshotDiff.diff(bDf, aDf, Seq("k"))
         .as[(Long, String)].collect().toMap
       val expected =
         deletes.map(_ -> "delete").toMap ++
           updates.map(_ -> "update").toMap ++
           inserts.map(_._1 -> "insert").toMap
-      got == expected
+      // and the payload feed applied to `before` rebuilds `after`
+      val rebuilt = SnapshotDiff.applyChanges(bDf,
+        SnapshotDiff.changes(bDf, aDf, Seq("k")), Seq("k"))
+        .as[(Long, Double)].collect().toSeq.sorted
+      got == expected && rebuilt == after.sorted
     }, n = 12)
   }
 

@@ -51,6 +51,19 @@ class SnapshotDiffSpec extends SparkSpec {
       s"value columns shipped through the join:\n$plan")
   }
 
+  test("changes feed carries the after payload; applyChanges round-trips") {
+    val feed = SnapshotDiff.changes(before, after, Seq("id"))
+    // delete rows ship null payload; insert/update ship the new values
+    val byId = feed.collect().map(r => r.getLong(0) ->
+      (r.getString(3), Option(r.getString(1)))).toMap
+    assert(byId(4L)._1 === "delete" && byId(4L)._2.isEmpty)
+    assert(byId(2L) === (("update", Some("B"))))
+    assert(byId(6L) === (("insert", Some("f"))))
+    val rebuilt = SnapshotDiff.applyChanges(before, feed, Seq("id"))
+    assert(rebuilt.orderBy("id").collect().toSeq ===
+      after.orderBy("id").collect().toSeq)
+  }
+
   test("compound keys and a realistic mutation batch round-trip") {
     val b = spark.range(500).select(
       (col("id") / 10).cast("long").as("k1"), pmod(col("id"), lit(10)).as("k2"),
