@@ -102,6 +102,15 @@ object SnapshotDiff {
     before.join(gone, keys, "left_anti").unionByName(incoming)
   }
 
+  /** Disk form of [[applyChanges]]: fold a change feed into a
+    * warehouse table through the crash-safe replace — the subscriber
+    * half of snapshot replication (the publisher ships [[changes]]
+    * feeds, which are delta-sized; the table never re-ships).
+    */
+  def applyChangesTable(wh: Warehouse, table: String, feed: DataFrame,
+      keys: Seq[String]): Unit =
+    wh.replaceTable(table, applyChanges(wh.read(table), feed, keys))
+
   private def prefixed(df: DataFrame, p: String,
       keys: Seq[String]): DataFrame =
     df.select(df.columns.map(c => col(c).as(s"$p$c")).toSeq: _*)

@@ -62,6 +62,14 @@ class SnapshotDiffSpec extends SparkSpec {
     val rebuilt = SnapshotDiff.applyChanges(before, feed, Seq("id"))
     assert(rebuilt.orderBy("id").collect().toSeq ===
       after.orderBy("id").collect().toSeq)
+    // disk form: replicate a warehouse table by feed application
+    val wh = new Warehouse(spark,
+      java.nio.file.Files.createTempDirectory("sd_wh").toString)
+    wh.createTable("t", before.schema)
+    wh.append("t", before)
+    SnapshotDiff.applyChangesTable(wh, "t", feed, Seq("id"))
+    assert(wh.read("t").orderBy("id").collect().toSeq ===
+      after.orderBy("id").collect().toSeq)
   }
 
   test("compound keys and a realistic mutation batch round-trip") {
