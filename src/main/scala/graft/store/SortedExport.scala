@@ -26,6 +26,10 @@ object SortedExport {
   /** Write `df` totally ordered by `sortCols` into `nFiles` range
     * files under `path`; returns the manifest (also persisted at
     * `<path>__pages` for [[page]] calls in later sessions).
+    * Pages are deterministic when `sortCols` has a unique prefix
+    * (include a row id as the last sort column otherwise) — with
+    * ties, rows are totally ordered only up to the tie, the same
+    * contract as any ORDER BY/OFFSET pagination.
     */
   def writeSorted(df: DataFrame, path: String, sortCols: Seq[String],
       nFiles: Int): DataFrame = {
