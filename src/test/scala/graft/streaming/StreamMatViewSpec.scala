@@ -58,6 +58,42 @@ class StreamMatViewSpec extends SparkSpec {
     assert(factDf.select("batch_id").distinct().count() >= 2)
   }
 
+  test("streaming quantile monitor: live bottomk sample == one-shot, per key") {
+    val in = Files.createTempDirectory("smvq_in").toString
+    val fact = Files.createTempDirectory("smvq_fact").toString + "/fact"
+    val ckpt = Files.createTempDirectory("smvq_ckpt").toString
+    val wh = new Warehouse(spark, Files.createTempDirectory("smvq_wh").toString)
+    val mvQ = MatViewDef("q", Seq("k"), Seq(
+      MvMeasure("bottomk", "v", aux = "p")))
+
+    def mkBatch(ids: Range): Unit =
+      ids.map(i => (i.toLong, i.toLong % 3,
+        i * 1.0, (i * 2654435761L) % 4294967296L))
+        .toDF("id", "k", "v", "p")
+        .coalesce(1).write.mode("append").parquet(in)
+
+    mkBatch(0 until 300)
+    val schema = spark.read.parquet(in).schema
+    StreamMatView.maintainedAppend(
+      StreamIngest.readFileStream(spark, in, schema),
+      fact, wh, mvQ, ckpt).awaitTermination()
+    mkBatch(300 until 600)
+    StreamMatView.maintainedAppend(
+      StreamIngest.readFileStream(spark, in, schema),
+      fact, wh, mvQ, ckpt).awaitTermination()
+
+    val all = (0 until 600).map(i => (i.toLong, i.toLong % 3,
+      i * 1.0, (i * 2654435761L) % 4294967296L))
+      .toDF("id", "k", "v", "p")
+    def med(df: org.apache.spark.sql.DataFrame): Map[Long, Double] =
+      df.select(col("k"),
+        element_at(col("bottomk_v"), MatView.BottomK / 2).as("p50"))
+        .as[(Long, Double)].collect().toMap
+    val live = med(MatView.readView(wh, mvQ))
+    val oneShot = med(MatView.finalizeView(MatView.partial(all, mvQ), mvQ))
+    assert(live === oneShot)   // bit-identical, not approximately equal
+  }
+
   test("replayed batch id is a no-op for the state (exactly-once fold)") {
     val wh = new Warehouse(spark, Files.createTempDirectory("smv_wh2").toString)
     val b0 = Seq((1L, 0L, 1.0), (2L, 1L, 2.0)).toDF("id", "k", "v")
