@@ -147,7 +147,8 @@ final class Loader(spark: SparkSession, warehouse: Warehouse) {
       incoming: DataFrame,
       table: String,
       keys: Seq[String],
-      timeCol: Option[String] = None): LoadStats = {
+      timeCol: Option[String] = None,
+      onAppended: DataFrame => Unit = _ => ()): LoadStats = {
     val t0 = System.currentTimeMillis()
     val incomingCount = incoming.count()
     val deduped = incoming.dropDuplicates(keys)
@@ -179,6 +180,10 @@ final class Loader(spark: SparkSession, warehouse: Warehouse) {
         uniqueKeys = keys,
         partitionSource = timeCol.filter(incoming.columns.contains))
     warehouse.append(table, fresh)
+    // downstream maintenance (e.g. MatView refresh) folds the EXACT
+    // appended delta — not the raw batch — so derived state stays
+    // consistent with the table under duplicate-carrying re-ingests
+    onAppended(fresh)
     val dedupedCount = deduped.count()
     LoadStats(
       table = table,
@@ -199,9 +204,11 @@ final class Loader(spark: SparkSession, warehouse: Warehouse) {
       keys: Seq[String],
       timeCol: String,
       entityCol: String,
-      skipOnOverlap: Boolean = false): (OverlapReport, Option[LoadStats]) = {
+      skipOnOverlap: Boolean = false,
+      onAppended: DataFrame => Unit = _ => ()): (OverlapReport, Option[LoadStats]) = {
     val report = checkOverlap(incoming, table, timeCol, entityCol)
     if (report.hasOverlap && skipOnOverlap) (report, None)
-    else (report, Some(dedupAppend(incoming, table, keys, Some(timeCol))))
+    else (report,
+      Some(dedupAppend(incoming, table, keys, Some(timeCol), onAppended)))
   }
 }

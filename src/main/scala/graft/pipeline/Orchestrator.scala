@@ -218,11 +218,35 @@ final class Orchestrator(spark: SparkSession, config: EngineConfig) {
     val (report, stats) =
       if (hasTime)
         loader.load(df, table, keys, config.timeColumn, entityCol,
-          skipOnOverlap)
+          skipOnOverlap, onAppended = refreshViews(table))
       else (OverlapReport(hasOverlap = false, 0, None, None, Nil),
-        Some(loader.dedupAppend(df, table, keys)))
+        Some(loader.dedupAppend(df, table, keys,
+          onAppended = refreshViews(table))))
     LoadResult(table, ddl, report, stats)
   }
+
+  // ------------------------------------------------- view maintenance
+
+  private val registeredViews =
+    scala.collection.mutable.Map.empty[String, Seq[graft.store.MatViewDef]]
+      .withDefaultValue(Nil)
+
+  /** Register a [[graft.store.MatView]] over `table`: every later
+    * load folds its EXACT appended delta (post-dedup) into the view
+    * state, so the rollup stays consistent with the table at
+    * O(delta + state) per load — including duplicate-carrying
+    * re-ingests, where the delta (and therefore the fold) is empty.
+    */
+  def registerView(table: String, mv: graft.store.MatViewDef): Unit =
+    registeredViews(table) = registeredViews(table) :+ mv
+
+  /** The current finalized state of a registered view. */
+  def readView(mv: graft.store.MatViewDef): DataFrame =
+    graft.store.MatView.readView(warehouse, mv)
+
+  private def refreshViews(table: String)(fresh: DataFrame): Unit =
+    registeredViews(table).foreach(mv =>
+      graft.store.MatView.refresh(warehouse, mv, fresh))
 
   /** Ad-hoc SQL over the warehouse (`orchestrator.py:60-88` →
     * `spark.sql`): registers every warehouse table as a temp view

@@ -195,4 +195,42 @@ class OrchestratorSpec extends SparkSpec {
     assert(out(1) === (None, Some(2L)))
     assert(out(2) === (Some(250L), Some(3L)))
   }
+  test("registered MatViews stay table-consistent across dedup-append loads") {
+    import graft.store.{MatView, MatViewDef, MvMeasure}
+    import org.apache.spark.sql.functions.{col => c}
+    val root = Files.createTempDirectory("orch_mv").toString
+    val orch = new Orchestrator(spark, EngineConfig(warehouseDir = s"$root/wh"))
+    val mv = MatViewDef("per_key", Seq("k"), Seq(
+      MvMeasure("count"), MvMeasure("sum", "v")))
+    orch.registerView("facts", mv)
+
+    def stage(name: String, rows: Seq[(Long, Long, Double)]): String = {
+      val dir = s"$root/$name"
+      rows.toDF("id", "k", "v").coalesce(1)
+        .write.mode("overwrite").parquet(dir)
+      dir
+    }
+    // batch 1, then a batch that REPEATS two keys (dedup drops them):
+    // the view must fold only the genuinely appended delta
+    orch.loadFile(stage("b1", Seq((1L, 0L, 1.0), (2L, 1L, 2.0))),
+      Some("facts"))
+    orch.loadFile(stage("b2",
+      Seq((1L, 0L, 99.0), (2L, 1L, 99.0), (3L, 0L, 3.0))), Some("facts"))
+
+    val view = orch.readView(mv)
+      .select(c("k"), c("cnt"), c("sum_v").cast("double"))
+      .as[(Long, Long, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    val table = orch.warehouse.read("facts")
+      .groupBy("k").agg(
+        org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("cnt"),
+        org.apache.spark.sql.functions.sum(c("v")).as("s"))
+      .select(c("k"), c("cnt"), c("s").cast("double"))
+      .as[(Long, Long, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(view === table)
+    assert(view(0L) === ((2L, 4.0))) // dup rows never double-folded
+  }
+
 }
