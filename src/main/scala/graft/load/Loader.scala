@@ -182,7 +182,11 @@ final class Loader(spark: SparkSession, warehouse: Warehouse) {
     warehouse.append(table, fresh)
     // downstream maintenance (e.g. MatView refresh) folds the EXACT
     // appended delta — not the raw batch — so derived state stays
-    // consistent with the table under duplicate-carrying re-ingests
+    // consistent with the table under duplicate-carrying re-ingests.
+    // Safe to re-evaluate `fresh` here even though the table just
+    // grew: its existing-side relation resolved (and listed files)
+    // when it was constructed ABOVE, before the append — the
+    // anti-join keeps comparing against the pre-append snapshot.
     onAppended(fresh)
     val dedupedCount = deduped.count()
     LoadStats(

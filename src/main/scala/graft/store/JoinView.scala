@@ -34,6 +34,9 @@ object JoinView {
   /** Fold one (ΔL, ΔR) pair into the view — plain-append form for
     * driver-sequenced batch loads. Value column names must be
     * disjoint across the two sides (join output holds both).
+    * Pick ONE mode per view name: this unpartitioned append and
+    * [[refreshOnce]]'s batch-partitioned layout must not interleave
+    * in the same directories.
     */
   def refresh(wh: Warehouse, name: String, keys: Seq[String],
       dLeft: DataFrame, dRight: DataFrame): Unit = {
