@@ -45,6 +45,15 @@ object SnapshotDiff {
     * instead of the columns themselves — the wide-table form. A hash
     * collision (~2⁻⁶⁴ per key) would misreport an update as unchanged;
     * use [[diff]] when that cannot be tolerated.
+    *
+    * Null positions are part of the fingerprint: xxhash64 skips a null
+    * child WITHOUT advancing its fold state, so hashing the bare
+    * columns would fingerprint (a=5, b=null) and (a=null, b=5)
+    * identically — a SYSTEMATIC miss for any value migrating between
+    * same-typed columns, not a random collision. Interleaving each
+    * column with its null indicator makes the folded sequence differ
+    * whenever a null moves (the indicator is never null, so it always
+    * advances the state at its column's position).
     */
   def diffHashed(before: DataFrame, after: DataFrame,
       keys: Seq[String]): DataFrame = {
@@ -52,7 +61,8 @@ object SnapshotDiff {
     val vals = before.columns.filterNot(keys.contains).sorted
     def slim(df: DataFrame, p: String) = prefixed(
       df.select(keys.map(col) ++
-        Seq(xxhash64(vals.map(col): _*).as("__fp")): _*), p, keys)
+        Seq(xxhash64(vals.flatMap(c =>
+          Seq(col(c), col(c).isNull)): _*).as("__fp")): _*), p, keys)
     val b = slim(before, "b_")
     val a = slim(after, "a_")
     val joined = b.join(a, keys.map(k =>

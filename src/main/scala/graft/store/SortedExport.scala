@@ -78,9 +78,30 @@ object SortedExport {
     if (hit.isEmpty)
       return spark.read.parquet(path).limit(0)
     val localSkip = offset - hit.head._2
-    spark.read.parquet(hit.map(_._1).toSeq: _*)
+    val base = spark.read.parquet(hit.map(_._1).toSeq: _*)
       .orderBy(sortCols.map(col): _*)
-      .offset(localSkip.toInt)
-      .limit(limit)
+    offsetLong(base, localSkip).limit(limit)
+  }
+
+  /** `Dataset.offset` takes an Int; a page landing more than 2³¹ rows
+    * into ONE range file (a >2B-row file, or a monster limit) would
+    * silently truncate. Chain Int-sized Offset nodes instead — Spark
+    * composes `Offset(Offset(p, a), b)` as a skip of a + b.
+    */
+  private[store] def offsetLong(df: DataFrame, skip: Long,
+      chunk: Int = Int.MaxValue): DataFrame =
+    offsetChunks(skip, chunk).foldLeft(df)((d, c) => d.offset(c))
+
+  /** Decompose a Long skip into `chunk`-sized Int pieces summing to
+    * `skip` (chunk parameterized so the chained-offset equivalence is
+    * testable without materializing 2³¹ rows).
+    */
+  private[store] def offsetChunks(skip: Long,
+      chunk: Int = Int.MaxValue): Seq[Int] = {
+    require(skip >= 0, s"negative skip: $skip")
+    require(chunk > 0)
+    val full = Seq.fill((skip / chunk).toInt)(chunk)
+    val rest = (skip % chunk).toInt
+    if (rest > 0 || full.isEmpty) full :+ rest else full
   }
 }

@@ -27,6 +27,19 @@ import org.apache.spark.sql.functions._
   */
 object ZoneMaps {
 
+  /** Canonical form for file-identity comparison: `file:///p`,
+    * `file:/p` and `/p` all normalize to `/p` (a scheme-qualified
+    * remote URI passes through unchanged — what matters is that BOTH
+    * sides of every comparison go through the same normalizer, so
+    * identical files always compare equal regardless of which API
+    * produced the URI string).
+    */
+  def normFile(u: String): String = u.replaceFirst("^file:/+", "/")
+
+  /** [[normFile]] as a codegen column expression. */
+  def normFileCol(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    regexp_replace(c, "^file:/+", "/")
+
   /** One manifest row per parquet file under `path`: row count plus
     * min/max/null-count for each of `cols`.
     */
@@ -83,17 +96,26 @@ object ZoneMaps {
         .as(s"${c}_bloom"), count(lit(1)).as("n_rows"))
   }
 
-  /** Files whose Bloom filter might contain `value` (string key).
-    * Probing runs driver-side over the manifest — O(files), the same
-    * scale as the listing itself. No false negatives by construction.
+  /** Files whose Bloom filter might contain `value`. Probing runs
+    * driver-side over the manifest — O(files), the same scale as the
+    * listing itself. No false negatives by construction: the probe
+    * dispatches on the key's runtime type exactly the way
+    * [[graft.plans.BloomAggregate.update]] dispatched at build time
+    * (strings hash their UTF-8 bytes, integral keys hash as longs) —
+    * probing an integral-keyed manifest with the string form would
+    * return a false NO for every file, silently emptying the scan.
     */
   def pruneFilesMightContain(manifest: DataFrame, c: String,
-      value: String): Seq[String] = {
+      value: Any): Seq[String] = {
     import org.apache.spark.util.sketch.BloomFilter
     manifest.select("file", s"${c}_bloom").collect().filter { r =>
-      BloomFilter.readFrom(
+      val bf = BloomFilter.readFrom(
         new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](1)))
-        .mightContainString(value)
+      value match {
+        case s: String => bf.mightContainString(s)
+        case n: Number => bf.mightContainLong(n.longValue())
+        case other => bf.mightContainBinary(other.toString.getBytes("UTF-8"))
+      }
     }.map(_.getString(0)).toSeq
   }
 
@@ -101,7 +123,7 @@ object ZoneMaps {
     * — always equal to the full scan-plus-filter (NOs are exact).
     */
   def prunedScanEq(spark: SparkSession, path: String, manifest: DataFrame,
-      c: String, value: String): DataFrame = {
+      c: String, value: Any): DataFrame = {
     val keep = pruneFilesMightContain(manifest, c, value)
     val base =
       if (keep.isEmpty)
@@ -135,17 +157,17 @@ object ZoneMaps {
       if (f.isFile && f.getPath.getName.endsWith(".parquet"))
         onDisk += f.getPath.toUri.toString
     }
-    // input_file_name() URIs may differ in scheme prefix from the
-    // listing; compare on the scheme-stripped form
-    def strip(u: String): String = u.stripPrefix("file:")
+    // input_file_name() URIs and FileSystem listing URIs differ in
+    // form (file:///p vs file:/p); compare on the normalized form —
+    // a mismatch here would silently re-stat the whole archive
     val knownStripped = existing.select("file").as[String].collect()
-      .map(strip).toSet
-    val fresh = onDisk.toSeq.filterNot(f => knownStripped(strip(f)))
+      .map(normFile).toSet
+    val fresh = onDisk.toSeq.filterNot(f => knownStripped(normFile(f)))
     // dead manifest entries drop via a distributed semi-join — never a
     // million-term IN literal
-    val onDiskDf = onDisk.toSeq.map(strip).toDF("__f")
+    val onDiskDf = onDisk.toSeq.map(normFile).toDF("__f")
     val kept = existing.join(onDiskDf,
-      regexp_replace(col("file"), "^file:", "") === col("__f"), "left_semi")
+      normFileCol(col("file")) === col("__f"), "left_semi")
     if (fresh.isEmpty) kept
     else {
       val aggs = cols.flatMap { c =>

@@ -41,18 +41,27 @@ object StreamZoneMaps {
         val spark = batch.sparkSession
         batch.write.mode("append").parquet(dataPath)
         val mPath = manifestPath(dataPath)
+        val fsPath = new org.apache.hadoop.fs.Path(mPath)
+        val fs = fsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
         val fresh =
-          if (new java.io.File(mPath).exists())
+          if (fs.exists(fsPath))
             ZoneMaps.refreshManifest(spark, dataPath,
               spark.read.parquet(mPath), cols)
           else ZoneMaps.buildManifest(spark, dataPath, cols)
-        // write-then-swap so a reader never sees a half-written manifest
-        val tmp = mPath + "__tmp"
-        fresh.coalesce(1).write.mode("overwrite").parquet(tmp)
-        val fsPath = new org.apache.hadoop.fs.Path(mPath)
-        val fs = fsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        fs.delete(fsPath, true)
-        fs.rename(new org.apache.hadoop.fs.Path(tmp), fsPath)
+        // write-then-swap: the new manifest materializes fully in a tmp
+        // dir, the live dir renames ASIDE (not deleted), tmp renames
+        // into the live name, only then does the old copy go — a rename
+        // is atomic on HDFS/local FS, so at every instant the live name
+        // either holds a complete manifest or (for the instant between
+        // the two renames) is absent, which prunedScanLive treats as
+        // "read every file" — conservative, never wrong
+        val tmp = new org.apache.hadoop.fs.Path(mPath + "__tmp")
+        val old = new org.apache.hadoop.fs.Path(mPath + "__old")
+        fresh.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        if (fs.exists(old)) fs.delete(old, true)
+        if (fs.exists(fsPath)) fs.rename(fsPath, old)
+        fs.rename(tmp, fsPath)
+        fs.delete(old, true)
         ()
       }
       .start()
@@ -64,18 +73,25 @@ object StreamZoneMaps {
     */
   def prunedScanLive(spark: org.apache.spark.sql.SparkSession,
       dataPath: String, c: String, lo: Any, hi: Any): DataFrame = {
-    val manifest = spark.read.parquet(manifestPath(dataPath))
-    val inManifest = manifest.select("file").collect().map(_.getString(0))
-      .map(_.stripPrefix("file:")).toSet
-    val keep = ZoneMaps.pruneFiles(manifest, c, lo, hi)
-      .map(_.stripPrefix("file:"))
     val hPath = new org.apache.hadoop.fs.Path(dataPath)
     val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val mPath = new org.apache.hadoop.fs.Path(manifestPath(dataPath))
+    // a missing manifest (maintainer not yet run, or the instant
+    // between the swap's two renames) degrades to "every file is
+    // unmanifested" → full scan — conservative, never an error
+    val (inManifest, keep) =
+      if (!fs.exists(mPath)) (Set.empty[String], Seq.empty[String])
+      else {
+        val manifest = spark.read.parquet(mPath.toString)
+        (manifest.select("file").collect().map(_.getString(0))
+          .map(ZoneMaps.normFile).toSet,
+          ZoneMaps.pruneFiles(manifest, c, lo, hi).map(ZoneMaps.normFile))
+      }
     val it = fs.listFiles(hPath, true)
     val unmanifested = scala.collection.mutable.Buffer.empty[String]
     while (it.hasNext) {
       val f = it.next()
-      val p = f.getPath.toUri.toString.stripPrefix("file:")
+      val p = ZoneMaps.normFile(f.getPath.toUri.toString)
       if (f.isFile && p.endsWith(".parquet") && !inManifest(p))
         unmanifested += p
     }

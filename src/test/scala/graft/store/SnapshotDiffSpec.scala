@@ -72,6 +72,24 @@ class SnapshotDiffSpec extends SparkSpec {
       after.orderBy("id").collect().toSeq)
   }
 
+  test("a value migrating between same-typed columns is an update in BOTH forms") {
+    // xxhash64 skips null children without advancing its state, so a
+    // bare-column fingerprint would hash (a=5, b=null) and (a=null,
+    // b=5) identically — the null-indicator interleave makes this a
+    // detected update, same verdict as the column-wise compare
+    val b = Seq((1L, Some(5L), Option.empty[Long]),
+      (2L, Some(7L), Some(8L))).toDF("id", "a", "b")
+    val a = Seq((1L, Option.empty[Long], Some(5L)),
+      (2L, Some(7L), Some(8L))).toDF("id", "a", "b")
+    val exact = SnapshotDiff.diff(b, a, Seq("id"))
+      .as[(Long, String)].collect().toSet
+    val hashed = SnapshotDiff.diffHashed(b, a, Seq("id"))
+      .as[(Long, String)].collect().toSet
+    assert(exact === Set((1L, "update")))
+    assert(hashed === exact,
+      "fingerprint form missed a null-position shift")
+  }
+
   test("compound keys and a realistic mutation batch round-trip") {
     val b = spark.range(500).select(
       (col("id") / 10).cast("long").as("k1"), pmod(col("id"), lit(10)).as("k2"),

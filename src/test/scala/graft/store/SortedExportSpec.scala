@@ -48,6 +48,23 @@ class SortedExportSpec extends SparkSpec {
       s"page read ${page.inputFiles.length} of 8 files")
   }
 
+  test("within-span skips beyond 2³¹ decompose exactly (no Int truncation)") {
+    // pure decomposition: the chunks must sum to the skip
+    assert(SortedExport.offsetChunks(0L) === Seq(0))
+    assert(SortedExport.offsetChunks(5L) === Seq(5))
+    assert(SortedExport.offsetChunks(Int.MaxValue.toLong) ===
+      Seq(Int.MaxValue))
+    val big = 5000000000L // > 2³¹: the old .toInt path corrupted this
+    val chunks = SortedExport.offsetChunks(big)
+    assert(chunks.map(_.toLong).sum === big)
+    assert(chunks === Seq(Int.MaxValue, Int.MaxValue, 705032706))
+    // chained Offset nodes equal one big offset on real ordered data
+    val df = spark.range(100).toDF("id").orderBy("id")
+    val chained = SortedExport.offsetLong(df, 37L, chunk = 10)
+      .limit(5).as[Long].collect().toSeq
+    assert(chained === (37L until 42L).toSeq)
+  }
+
   test("past-the-end page is empty; schema preserved") {
     full
     val empty = SortedExport.page(spark, dir, Seq("k"), 5000L, 10)

@@ -114,6 +114,46 @@ class ZoneMapsSpec extends SparkSpec {
     assert(none.count() === 0)
   }
 
+  test("bloom manifest on an INTEGRAL key probes by long — no false negatives") {
+    // BloomAggregate hashes numeric keys via putLong; the probe must
+    // dispatch to mightContainLong or every file answers NO and the
+    // pruned scan silently returns empty
+    val dir = Files.createTempDirectory("zmbl").toString + "/t"
+    val rows = for (f <- 0 until 8; i <- 0 until 1000)
+      yield (f.toLong * 1000 + i, s"v-$f-$i")
+    rows.toDF("key", "v").repartitionByRange(8, col("key"))
+      .write.parquet(dir)
+    val m = ZoneMaps.buildBloomManifest(spark, dir, "key", 2000L)
+      .localCheckpoint(eager = true)
+    Seq(5L, 3999L, 7000L).foreach { k =>
+      val full = spark.read.parquet(dir).filter(col("key") === k)
+        .select("v").as[String].collect().toSet
+      assert(full.size === 1, s"premise: $k present once")
+      val kept = ZoneMaps.pruneFilesMightContain(m, "key", k)
+      assert(kept.nonEmpty, s"false negative for integral key $k")
+      assert(kept.size <= 3, s"$k kept ${kept.size} of 8 files")
+      val pruned = ZoneMaps.prunedScanEq(spark, dir, m, "key", k)
+        .select("v").as[String].collect().toSet
+      assert(pruned === full, s"key $k")
+    }
+    assert(ZoneMaps.prunedScanEq(spark, dir, m, "key", 999999L).count() === 0)
+  }
+
+  test("file-identity normalization: file:///p, file:/p and /p compare equal") {
+    Seq("file:///tmp/x/part-0.parquet", "file:/tmp/x/part-0.parquet",
+      "/tmp/x/part-0.parquet").foreach { u =>
+      assert(ZoneMaps.normFile(u) === "/tmp/x/part-0.parquet", u)
+    }
+    // remote URIs pass through unchanged (both sides use the same form)
+    assert(ZoneMaps.normFile("hdfs://nn:8020/p/f.parquet") ===
+      "hdfs://nn:8020/p/f.parquet")
+    // the codegen column form agrees with the driver form
+    val got = Seq("file:///a/b.parquet", "file:/a/b.parquet", "/a/b.parquet")
+      .toDF("u").select(ZoneMaps.normFileCol(col("u"))).as[String]
+      .collect()
+    assert(got.toSet === Set("/a/b.parquet"))
+  }
+
   test("boundary values on file edges are never lost") {
     // every distinct value of a, queried as a point interval, matches
     // the full filter — overlap pruning must be conservative at edges

@@ -64,5 +64,22 @@ class StreamZoneMapsSpec extends SparkSpec {
     val live = StreamZoneMaps.prunedScanLive(spark, data, "a", 999L, 999L)
       .select("id").as[Long].collect().toSet
     assert(live === (100L until 200L).toSet)
+    // ROW COUNTS, not sets: a manifested file also treated as
+    // unmanifested (URI-form mismatch) would be read twice and
+    // duplicate rows — a Set compare cannot see that
+    val all = StreamZoneMaps.prunedScanLive(spark, data, "a",
+      Long.MinValue, Long.MaxValue)
+    assert(all.count() === 200L, "a file was read twice or dropped")
+  }
+
+  test("a missing manifest degrades to a full scan, not an error") {
+    // covers both "maintainer never ran" and the instant between the
+    // swap's rename-aside and rename-in
+    val data = Files.createTempDirectory("szm3").toString + "/t"
+    (0 until 50).map(i => (i.toLong, (i % 5).toLong)).toDF("id", "a")
+      .coalesce(1).write.parquet(data)
+    val got = StreamZoneMaps.prunedScanLive(spark, data, "a", 2L, 2L)
+      .select("id").as[Long].collect().toSet
+    assert(got === (0L until 50L).filter(_ % 5 == 2).toSet)
   }
 }
