@@ -22,11 +22,19 @@ import org.apache.spark.sql.functions._
   * and must match row for row (recall proof, same contract idiom as
   * Dedup.setSimJoinPrefix).
   *
-  * At scale the exchanges carry (gram → id) postings, never string
-  * pairs that fail the length filter; the frequent-gram skew a plain
-  * token join suffers is bounded because padded grams are positional
-  * only in count, and hot grams can be capped the same way the LSH
-  * band buckets are.
+  * Scale shape: the gram exchanges carry (gram, id, length) POSTINGS
+  * — never the strings themselves. Each string gets a stable surrogate
+  * id (monotonically_increasing_id pinned by an eager localCheckpoint,
+  * vocabulary-sized — the same stabilization Dedup's clustering uses),
+  * candidates form as id pairs under the length + count filters, and
+  * the strings re-enter ONLY at the final id-keyed lookup that feeds
+  * the levenshtein verifier. A hot gram therefore costs id-pair
+  * traffic, not string-pair traffic, and the exchange volume is
+  * O(postings), independent of string length —
+  * EditDistJoinSpec pins that no gram exchange ships a payload
+  * string. Frequent-gram skew is bounded the same way the LSH band
+  * buckets are (the gram alphabet is position-padded, and hot grams
+  * can be capped if a corpus demands it).
   */
 object EditDistJoin {
 
@@ -35,32 +43,52 @@ object EditDistJoin {
     */
   def join(strs: DataFrame, strCol: String, d: Int, q: Int): DataFrame = {
     require(d >= 1 && q >= 2, s"need d >= 1, q >= 2; got d=$d q=$q")
-    val w = strs.select(col(strCol).as("w")).filter(length(col("w")) > 0)
-      .distinct()
+    // stable ids: the id column must evaluate identically in every
+    // branch that reuses this frame (candidate generation AND the
+    // final string lookup) — localCheckpoint materializes the
+    // assignment so recomputation can never renumber
+    val ids = strs.select(col(strCol).as("w"))
+      .filter(length(col("w")) > 0).distinct()
+      .select(monotonically_increasing_id().as("id"), col("w"),
+        length(col("w")).as("len"))
+      .localCheckpoint(eager = true)
     val shortMax = d * q - q + 1 // below this, zero shared grams possible
-    // padded positional q-grams: (q-1) '#' prefix + s + (q-1) '$' suffix
-    val grams = w
-      .select(col("w"), explode(expr(
+    // padded positional q-grams: (q-1) '#' prefix + s + (q-1) '$'
+    // suffix; postings project (id, len, g) — the string never leaves
+    // this projection
+    val grams = ids
+      .select(col("id"), col("len"), explode(expr(
         s"transform(sequence(1, length(w) + ${q - 1}), " +
           s"i -> substring(concat('${"#" * (q - 1)}', w, '${"$" * (q - 1)}'), i, $q))"))
         .as("g"))
-    val left = grams.select(col("w").as("wa"), col("g"))
-    val right = grams.select(col("w").as("wb"), col("g"))
+    val left = grams.select(col("id").as("ia"), col("len").as("la"), col("g"))
+    val right = grams.select(col("id").as("ib"), col("len").as("lb"), col("g"))
     val indexed = left.join(right, "g")
-      .filter(col("wa") < col("wb") &&
-        abs(length(col("wa")) - length(col("wb"))) <= d)
-      .groupBy("wa", "wb")
+      .filter(col("ia") < col("ib") &&
+        abs(col("la") - col("lb")) <= d)
+      .groupBy("ia", "ib", "la", "lb")
       .agg(count(lit(1)).as("shared"))
       .filter(col("shared") >=
-        greatest(length(col("wa")), length(col("wb"))) + (q - 1) - d * q)
-      .select(col("wa"), col("wb"))
-    val shorts = w.filter(length(col("w")) <= shortMax)
-    val shortPairs = broadcast(shorts.select(col("w").as("wa")))
-      .crossJoin(broadcast(shorts.select(col("w").as("wb"))))
-      .filter(col("wa") < col("wb") &&
-        abs(length(col("wa")) - length(col("wb"))) <= d)
-    indexed.unionByName(shortPairs).distinct()
-      .withColumn("dist", levenshtein(col("wa"), col("wb")))
+        greatest(col("la"), col("lb")) + (q - 1) - d * q)
+      .select(col("ia"), col("ib"))
+    val shortIds = ids.filter(col("len") <= shortMax)
+      .select(col("id"), col("len"))
+    val shortPairs = broadcast(shortIds.select(col("id").as("ia"),
+        col("len").as("la")))
+      .crossJoin(broadcast(shortIds.select(col("id").as("ib"),
+        col("len").as("lb"))))
+      .filter(col("ia") < col("ib") &&
+        abs(col("la") - col("lb")) <= d)
+      .select(col("ia"), col("ib"))
+    // strings re-enter here, id-keyed, ONLY for the candidate pairs
+    val cand = indexed.unionByName(shortPairs).distinct()
+      .join(ids.select(col("id").as("ia"), col("w").as("sa")), "ia")
+      .join(ids.select(col("id").as("ib"), col("w").as("sb")), "ib")
+      .withColumn("dist", levenshtein(col("sa"), col("sb")))
       .filter(col("dist") <= d)
+    // present pairs in string order (ids are assignment order, not
+    // lexical): distinct strings, so least/greatest never tie
+    cand.select(least(col("sa"), col("sb")).as("wa"),
+      greatest(col("sa"), col("sb")).as("wb"), col("dist"))
   }
 }

@@ -66,4 +66,31 @@ class EditDistJoinSpec extends SparkSpec {
       .map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSet
     assert(got === Set(("bat", "cat", 1)))
   }
+
+  test("gram exchanges ship (g, id, len) postings — never payload strings") {
+    // the scale contract: a hot gram costs id-pair traffic, not
+    // string-pair traffic. Pin that every shuffle carrying the gram
+    // column has NO other string-typed attribute in its output (the
+    // strings re-enter only at the final id-keyed lookup).
+    // at spec scale the planner may broadcast the gram join instead of
+    // shuffling — the payload contract applies to EITHER exchange kind
+    import org.apache.spark.sql.execution.exchange.Exchange
+    import org.apache.spark.sql.types.StringType
+    val key = "spark.sql.adaptive.enabled"
+    val prev = spark.conf.get(key, "true")
+    spark.conf.set(key, "false")
+    try {
+      val df = EditDistJoin.join(words.toDF("w"), "w", d = 2, q = 2)
+      val exchanges = df.queryExecution.executedPlan.collect {
+        case e: Exchange => e
+      }
+      val gramEx = exchanges.filter(_.output.exists(_.name == "g"))
+      assert(gramEx.nonEmpty, "expected gram-keyed exchanges in the plan")
+      gramEx.foreach { e =>
+        val strings = e.output.filter(_.dataType == StringType).map(_.name)
+        assert(strings === Seq("g"),
+          s"gram exchange ships string payload: $strings")
+      }
+    } finally spark.conf.set(key, prev)
+  }
 }
