@@ -441,9 +441,109 @@ object TransformQueries {
       .orderBy("gid", "l_returnflag", "l_linestatus")
   }
 
+  /** Retraction IVM, rescan path ([[graft.store.MatView.mutateState]]):
+    * a mutation batch (keyed deletes, value updates, inserts) folds
+    * into a view holding NON-invertible measures (min/max) — groups
+    * touched by a removal are rebuilt from the post-mutation base
+    * restricted by semi-join to the affected keys (O(Δkeys · group),
+    * never a full rescan), groups only appended-to fold
+    * incrementally. The oracle recomputes the view ONE-SHOT over the
+    * mutated table — the drift this closes: an append-only fold over
+    * a merged/CDC-maintained base silently diverges.
+    */
+  val qMatviewDelete: QueryDef = QueryDef.sql(
+    "q_matview_delete",
+    """WITH a AS (
+      |  SELECT o_orderkey, o_orderstatus,
+      |    CASE WHEN o_orderkey % 13 = 0 THEN o_totalprice + 100
+      |         ELSE o_totalprice END AS o_totalprice
+      |  FROM orders WHERE o_orderkey % 97 <> 0
+      |  UNION ALL
+      |  SELECT o_orderkey + 1000000, 'N', o_totalprice
+      |  FROM orders WHERE o_orderkey < 50)
+      |SELECT o_orderstatus, count(*) AS cnt,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE)
+      |    AS sum_o_totalprice,
+      |  min(o_totalprice) AS min_o_totalprice,
+      |  max(o_totalprice) AS max_o_totalprice
+      |FROM a GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    doc = "retraction IVM (rescan path): delete/update/insert batch folds == one-shot over mutated base") { (s, dir) =>
+    import graft.store.{MatView, MatViewDef, MvMeasure}
+    val mv = MatViewDef("ret_delete", Seq("o_orderstatus"), Seq(
+      MvMeasure("count"), MvMeasure("sum", "o_totalprice"),
+      MvMeasure("min", "o_totalprice"), MvMeasure("max", "o_totalprice")))
+    val before = t(s, dir, "orders")
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    val deletes = before.filter(col("o_orderkey") % 97 === 0)
+    val updPre = before.filter(col("o_orderkey") % 97 =!= 0 &&
+      col("o_orderkey") % 13 === 0)
+    val updPost = updPre.withColumn("o_totalprice", col("o_totalprice") + 100)
+    val inserts = before.filter(col("o_orderkey") < 50)
+      .select((col("o_orderkey") + 1000000L).as("o_orderkey"),
+        lit("N").as("o_orderstatus"), col("o_totalprice"))
+    val after = before.filter(col("o_orderkey") % 97 =!= 0)
+      .withColumn("o_totalprice",
+        when(col("o_orderkey") % 13 === 0, col("o_totalprice") + 100)
+          .otherwise(col("o_totalprice")))
+      .unionByName(inserts)
+    val state0 = MatView.partial(before, mv)
+    val state1 = MatView.mutateState(state0,
+      deletes.unionByName(updPre), updPost.unionByName(inserts), after, mv)
+    MatView.finalizeView(state1, mv)
+      .withColumn("sum_o_totalprice", col("sum_o_totalprice").cast("double"))
+      .orderBy("o_orderstatus")
+  }
+
+  /** Retraction IVM, signed path: when EVERY measure is invertible
+    * (count/sum/avg form a group under +row/−row), the same mutation
+    * batch folds as one signed partial merged into state — the base
+    * table is NEVER read (`baseAfter` here is a poison pill that
+    * throws on evaluation, so this oracle entry also proves the
+    * zero-base-I/O contract at the gate). O(|delta| + |state|) per
+    * mutation at any base scale.
+    */
+  val qMatviewRetractSigned: QueryDef = QueryDef.sql(
+    "q_matview_retract_signed",
+    """WITH a AS (
+      |  SELECT o_orderkey, o_orderstatus,
+      |    CASE WHEN o_orderkey % 13 = 0 THEN o_totalprice + 100
+      |         ELSE o_totalprice END AS o_totalprice
+      |  FROM orders WHERE o_orderkey % 97 <> 0
+      |  UNION ALL
+      |  SELECT o_orderkey + 1000000, 'N', o_totalprice
+      |  FROM orders WHERE o_orderkey < 50)
+      |SELECT o_orderstatus, count(*) AS cnt,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE)
+      |    AS sum_o_totalprice,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE)
+      |    / count(o_totalprice) AS avg_o_totalprice
+      |FROM a GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    doc = "retraction IVM (signed path): invertible measures retract with zero base reads") { (s, dir) =>
+    import graft.store.{MatView, MatViewDef, MvMeasure}
+    val mv = MatViewDef("ret_signed", Seq("o_orderstatus"), Seq(
+      MvMeasure("count"), MvMeasure("sum", "o_totalprice"),
+      MvMeasure("avg", "o_totalprice")))
+    val before = t(s, dir, "orders")
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    val deletes = before.filter(col("o_orderkey") % 97 === 0)
+    val updPre = before.filter(col("o_orderkey") % 97 =!= 0 &&
+      col("o_orderkey") % 13 === 0)
+    val updPost = updPre.withColumn("o_totalprice", col("o_totalprice") + 100)
+    val inserts = before.filter(col("o_orderkey") < 50)
+      .select((col("o_orderkey") + 1000000L).as("o_orderkey"),
+        lit("N").as("o_orderstatus"), col("o_totalprice"))
+    val state0 = MatView.partial(before, mv)
+    val state1 = MatView.mutateState(state0,
+      deletes.unionByName(updPre), updPost.unionByName(inserts),
+      sys.error("signed retraction must not read the base"), mv)
+    MatView.finalizeView(state1, mv)
+      .withColumn("sum_o_totalprice", col("sum_o_totalprice").cast("double"))
+      .orderBy("o_orderstatus")
+  }
+
   val all: Seq[QueryDef] = Seq(
     qMelt, qNormalizeGlobal, qNormalizeGroup, qSampleSystematic,
     qSampleStratified, qSampleRandom, qMixtureSample, qMergeUpsert,
     qZorderValue, qSampleWeighted, qMatviewRollup, qSnapshotDiff,
-    qMatviewJoin, qMatviewCube)
+    qMatviewJoin, qMatviewCube, qMatviewDelete, qMatviewRetractSigned)
 }

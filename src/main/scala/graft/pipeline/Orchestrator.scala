@@ -244,9 +244,33 @@ final class Orchestrator(spark: SparkSession, config: EngineConfig) {
   def readView(mv: graft.store.MatViewDef): DataFrame =
     graft.store.MatView.readView(warehouse, mv)
 
-  private def refreshViews(table: String)(fresh: DataFrame): Unit =
+  /** Crash-consistency sweep: a process that died between a
+    * successful table append and the view fold leaves the state
+    * permanently short — and the advertised idempotent re-load cannot
+    * replay the fold, because re-ingesting the same rows produces an
+    * EMPTY post-dedup delta. Detection is exact for the append-only
+    * load path: every fold adds exactly its delta's row count to the
+    * state's hidden `__n` total, so state-rows-covered ≠ table rows
+    * IFF some delta appended without folding. The check costs a
+    * parquet footer-metadata count plus an O(state) sum; the rebuild
+    * is O(table), paid only on actual divergence. Runs after every
+    * load's folds; callable directly after out-of-band maintenance.
+    */
+  def syncViews(table: String): Seq[String] =
+    registeredViews(table).flatMap { mv =>
+      val covered = graft.store.MatView.rowsCovered(warehouse, mv)
+      val actual = warehouse.read(table).count()
+      if (covered != actual) {
+        graft.store.MatView.rebuild(warehouse, mv, warehouse.read(table))
+        Some(mv.name)
+      } else None
+    }
+
+  private def refreshViews(table: String)(fresh: DataFrame): Unit = {
     registeredViews(table).foreach(mv =>
       graft.store.MatView.refresh(warehouse, mv, fresh))
+    syncViews(table)
+  }
 
   /** Ad-hoc SQL over the warehouse (`orchestrator.py:60-88` →
     * `spark.sql`): registers every warehouse table as a temp view

@@ -72,8 +72,20 @@ final case class MatViewDef(name: String, keys: Seq[String],
   */
 object MatView {
 
+  /** Measure kinds whose partial state is a GROUP — invertible under
+    * retraction by signed partials (+row/−row). The others (extrema,
+    * HLL registers, bottom-k samples) are semilattice joins: folding
+    * in is free, folding OUT needs a per-affected-group rescan.
+    */
+  val InvertibleKinds = Set("count", "sum", "avg")
+
   /** Partial-state aggregation of one batch: one map-side-combined
     * exchange over the batch, output is one row per key present in it.
+    * State always carries a hidden `__n` per-group row count — it
+    * drops groups that retract to empty ([[mutateState]]) and gives
+    * O(state) divergence detection against the base table (sum(__n)
+    * must equal the table's row count when every delta folded exactly
+    * once — the crash-recovery check the load pipeline runs).
     */
   def partial(df: DataFrame, mv: MatViewDef): DataFrame =
     df.groupBy(mv.keys.map(col): _*).agg(partialAggs(mv).head,
@@ -107,6 +119,110 @@ object MatView {
   /** The finalized view from durable state. */
   def readView(wh: Warehouse, mv: MatViewDef): DataFrame =
     finalizeView(wh.read(mv.stateTable), mv)
+
+  // ------------------------------------------------------ retraction
+
+  /** Fold a MUTATION batch — rows leaving the base table (`removed`,
+    * with their full old payload) and rows entering (`added`) — into
+    * the state; an update is one removed row plus one added row.
+    * Pure-frame form of [[refreshMutation]]; this is what lets a view
+    * stay exact over a base maintained by [[Warehouse.merge]] /
+    * [[SnapshotDiff.applyChanges]], where an append-only fold silently
+    * drifts.
+    *
+    * Cost shape, per the two halves of the measure algebra:
+    *  - ALL measures invertible (count/sum/avg): one signed partial
+    *    over the delta merged into state — `baseAfter` is NEVER
+    *    evaluated (it is by-name precisely so the spec can prove
+    *    that), so retraction costs O(|delta| + |state|), zero base
+    *    I/O at any base scale.
+    *  - Any non-invertible measure (min/max/hll/bottomk — semilattice
+    *    joins with no inverse): groups untouched by removals still
+    *    fold `added` incrementally; groups with a removal are rebuilt
+    *    from `baseAfter` restricted BY SEMI-JOIN to the removed keys —
+    *    O(Δkeys · group size), never a full rescan (partition-prunable
+    *    when the base is laid out by a key prefix).
+    *
+    * Groups whose membership retracts to empty leave the state (the
+    * hidden `__n` reaches 0 / the rebuild emits no row) — exactly the
+    * groups a one-shot aggregation would not produce.
+    */
+  def mutateState(state: DataFrame, removed: DataFrame, added: DataFrame,
+      baseAfter: => DataFrame, mv: MatViewDef): DataFrame = {
+    if (mv.measures.forall(m => InvertibleKinds(m.kind)))
+      mergeStates(state, partialSigned(removed, added, mv), mv)
+        .filter(col(RowCount) > 0)
+    else {
+      val affected = removed.select(mv.keys.map(col): _*).distinct()
+      val stateKept = state.join(affected, mv.keys, "left_anti")
+      val addedKept = added.join(affected, mv.keys, "left_anti")
+      val rebuilt = partial(
+        baseAfter.join(affected, mv.keys, "left_semi"), mv)
+      mergeStates(stateKept, partial(addedKept, mv), mv)
+        .unionByName(rebuilt)
+    }
+  }
+
+  /** Disk form of [[mutateState]]: crash-safe state replace, with the
+    * no-op guard for an empty mutation. `baseAfter` should be the
+    * POST-mutation base table (only read on the non-invertible path).
+    */
+  def refreshMutation(wh: Warehouse, mv: MatViewDef, removed: DataFrame,
+      added: DataFrame, baseAfter: => DataFrame): Unit = {
+    if (!wh.tableExists(mv.stateTable)) {
+      val p = partial(added, mv)
+      wh.createTable(mv.stateTable, p.schema)
+      wh.append(mv.stateTable, p)
+    } else
+      wh.replaceTable(mv.stateTable,
+        mutateState(wh.read(mv.stateTable), removed, added, baseAfter, mv))
+  }
+
+  /** Fold a [[SnapshotDiff.changes]] feed (table keys + after-payload
+    * + change tag) into the state. The feed carries only the AFTER
+    * image of updates, so the retracted pre-image rows are recovered
+    * from `before` — the PRE-mutation base — by one delta-keyed
+    * semi-join. `tableKeys` are the BASE table's unique keys (the keys
+    * the feed was diffed on — usually different from the view's group
+    * keys). Run with `before` reading the pre-image, i.e. before
+    * [[SnapshotDiff.applyChangesTable]] rewrites the table, or against
+    * a captured pre-image snapshot.
+    */
+  def refreshChanges(wh: Warehouse, mv: MatViewDef, feed: DataFrame,
+      tableKeys: Seq[String], before: DataFrame,
+      baseAfter: => DataFrame): Unit = {
+    val goneKeys = feed.filter(col("change").isin("delete", "update"))
+      .select(tableKeys.map(col): _*)
+    val removed = before.join(goneKeys, tableKeys, "left_semi")
+    val added = feed.filter(col("change").isin("insert", "update"))
+      .select(before.columns.map(col).toSeq: _*)
+    refreshMutation(wh, mv, removed, added, baseAfter)
+  }
+
+  /** Sum of the hidden per-group row counts — equals the base table's
+    * row count exactly when every appended delta folded exactly once
+    * (append path) / every mutation folded exactly once (mutation
+    * path). O(state) to compute; the base side is a parquet
+    * footer-metadata count. The load pipeline uses the comparison as
+    * its crash-recovery divergence check.
+    */
+  def rowsCovered(wh: Warehouse, mv: MatViewDef): Long =
+    if (!wh.tableExists(mv.stateTable)) 0L
+    else wh.read(mv.stateTable)
+      .agg(coalesce(sum(col(RowCount)), lit(0L))).head.getLong(0)
+
+  /** Full rebuild from the base — the recovery action when
+    * [[rowsCovered]] disagrees with the base (a crash landed a delta
+    * in the table but died before the fold). O(base), paid only on
+    * actual divergence.
+    */
+  def rebuild(wh: Warehouse, mv: MatViewDef, base: DataFrame): Unit = {
+    val p = partial(base, mv)
+    if (!wh.tableExists(mv.stateTable)) {
+      wh.createTable(mv.stateTable, p.schema)
+      wh.append(mv.stateTable, p)
+    } else wh.replaceTable(mv.stateTable, p)
+  }
 
   /** CUBE variant of [[partial]]: one state row per (grouping set ×
     * key combination), keyed by `__gid` (Spark's `grouping_id()`, bit
@@ -163,6 +279,9 @@ object MatView {
   private val SumType = "decimal(38,6)"
   private val HllLgK = 12
 
+  /** Hidden per-group row count carried by every state row. */
+  private[store] val RowCount = "__n"
+
   /** Sample width for `bottomk` measures — quantile estimates from the
     * finalized sample carry O(1/√k) rank error.
     */
@@ -184,7 +303,34 @@ object MatView {
           call_function("bottom_k_sample", col(m.src), col(m.aux),
             lit(BottomK)).as(m.tag))
       }
-    }
+    } :+ count(lit(1)).as(RowCount)
+
+  /** Signed partial-state of a mutation delta — the retraction half of
+    * the fold algebra, defined only for invertible measures: removed
+    * rows enter with sign −1, added rows with +1, so merging the
+    * result into the state subtracts exactly what the removed rows
+    * once contributed. Same column names and types as [[partial]], so
+    * [[mergeStates]] applies unchanged.
+    */
+  private def partialSigned(removed: DataFrame, added: DataFrame,
+      mv: MatViewDef): DataFrame = {
+    val cols = removed.columns.toSeq
+    val signed = removed.select(cols.map(col) :+ lit(-1L).as("__sign"): _*)
+      .unionByName(added.select(cols.map(col) :+ lit(1L).as("__sign"): _*))
+    val aggs = mv.measures.flatMap { m =>
+      m.kind match {
+        case "count" => Seq(sum(col("__sign")).as(m.tag))
+        case "sum" => Seq(
+          sum((col(m.src) * col("__sign")).cast(SumType)).as(m.tag))
+        case "avg" => Seq(
+          sum((col(m.src) * col("__sign")).cast(SumType)).as(s"${m.tag}__sum"),
+          sum(when(col(m.src).isNotNull, col("__sign")).otherwise(0L))
+            .as(s"${m.tag}__cnt"))
+        case other => sys.error(s"partialSigned on non-invertible: $other")
+      }
+    } :+ sum(col("__sign")).as(RowCount)
+    signed.groupBy(mv.keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
 
   private def mergeAggs(mv: MatViewDef): Seq[Column] =
     mv.measures.flatMap { m =>
@@ -205,7 +351,7 @@ object MatView {
           slice(array_sort(flatten(collect_list(col(m.tag)))), 1, BottomK)
             .as(m.tag))
       }
-    }
+    } :+ sum(col(RowCount)).as(RowCount)
 
   private def finalCol(m: MvMeasure): Column = m.kind match {
     case "avg" =>
