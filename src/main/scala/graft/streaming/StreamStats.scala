@@ -17,16 +17,23 @@ import graft.store.Warehouse
   * computation; the final slope/intercept division happens in double
   * on those exact sums, so stream ≡ batch parity is exact.
   *
-  * Replay safety is per batch under a surviving checkpoint, the
-  * [[StreamSimilarity]] sink idiom: a re-delivered batch first
-  * deletes its own batch_id partition (directory-pruned no-op on the
-  * normal path) then appends, so a crash between delete and append —
-  * or a retried foreachBatch — never double-counts partials. (Unlike
-  * the top-k candidates sink, additive state cannot survive
-  * checkpoint LOSS: a re-batched replay would land old data under new
-  * batch ids. That asymmetry is inherent to additive folds; the
-  * checkpoint is the source of batch identity.) State is O(groups)
-  * rows per batch in the warehouse — no streaming state store.
+  * Replay safety — per batch AND across checkpoint loss — rides one
+  * invariant: every delivered batch first deletes all partitions with
+  * `batch_id >=` ITS OWN id, then appends its partials.
+  *  - Surviving checkpoint: a re-delivered batch N deletes only its
+  *    own partition (nothing above N can exist — the sink is at most
+  *    one batch ahead of the checkpoint), so a crash between delete
+  *    and append, or a retried foreachBatch, never double-counts.
+  *  - Checkpoint LOSS: the restarted query re-reads the retained
+  *    source from scratch with ids restarting at 0 — batch 0's
+  *    `>= 0` delete clears the whole sink, and the re-delivery
+  *    rebuilds the partials exactly; decimal additivity makes the
+  *    recovered model BIT-match the batch computation (proven in
+  *    StreamStatsSpec). Recovery is a replay of retained input, not a
+  *    redesign — parity with the StreamSample/StreamTopK durable
+  *    sinks.
+  * State is O(groups) rows per batch in the warehouse — no streaming
+  * state store.
   */
 object StreamStats {
 
@@ -56,7 +63,7 @@ object StreamStats {
         if (!wh.tableExists(sink))
           wh.createTable(sink, part.schema, ifExists = "skip",
             partitionBy = Seq("batch_id"))
-        wh.deleteWhere(sink, col("batch_id") === batchId)
+        wh.deleteWhere(sink, col("batch_id") >= batchId)
         wh.append(sink, part)
         ()
       }
@@ -108,7 +115,7 @@ object StreamStats {
         if (!wh.tableExists(sink))
           wh.createTable(sink, part.schema, ifExists = "skip",
             partitionBy = Seq("batch_id"))
-        wh.deleteWhere(sink, col("batch_id") === batchId)
+        wh.deleteWhere(sink, col("batch_id") >= batchId)
         wh.append(sink, part)
         ()
       }
@@ -161,7 +168,7 @@ object StreamStats {
         if (!wh.tableExists(sink))
           wh.createTable(sink, part.schema, ifExists = "skip",
             partitionBy = Seq("batch_id"))
-        wh.deleteWhere(sink, col("batch_id") === batchId)
+        wh.deleteWhere(sink, col("batch_id") >= batchId)
         wh.append(sink, part)
         ()
       }

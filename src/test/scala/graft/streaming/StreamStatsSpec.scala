@@ -62,6 +62,38 @@ class StreamStatsSpec extends SparkSpec {
     assert(wh.read(StreamStats.statsTable("trend")).count() === 4)
   }
 
+  test("checkpoint LOSS mid-stream: restarted query rebuilds the model bit-exact") {
+    val wh = new Warehouse(spark, Files.createTempDirectory("sl_wh").toString)
+    val in = Files.createTempDirectory("sl_in").toString
+    val ckptA = Files.createTempDirectory("sl_ckptA").toString
+    val ckptB = Files.createTempDirectory("sl_ckptB").toString
+
+    def drain(ckpt: String): Unit = {
+      val schema = spark.read.parquet(in).schema
+      val stream = StreamIngest.readFileStream(spark, in, schema)
+      StreamStats.olsStream(wh, "trend", stream, "g", "x", "y",
+        checkpoint = ckpt).awaitTermination()
+    }
+    val (w1, rest) = rows.partition(_._2 < 15)
+    val (w2, w3) = rest.partition(_._2 < 35)
+    w1.toDF("g", "x", "y").coalesce(1).write.mode("append").parquet(in)
+    drain(ckptA)
+    w2.toDF("g", "x", "y").coalesce(1).write.mode("append").parquet(in)
+    drain(ckptA)
+    assert(wh.read(StreamStats.statsTable("trend")).count() === 4)
+    // checkpoint dies (fresh dir = lost): the restarted query re-reads
+    // the retained source from scratch with batch ids back at 0 —
+    // batch 0's `>= 0` delete clears the stale partials, so the
+    // re-delivery cannot double-count them
+    w3.toDF("g", "x", "y").coalesce(1).write.mode("append").parquet(in)
+    drain(ckptB)
+    val got = StreamStats.currentModel(wh, "trend")
+      .as[(String, Long, Double, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got === batchModel(rows), "recovered model diverged from batch")
+    assert(got("a")._1 === 50L) // every row counted exactly once
+  }
+
   test("streamed seasonal means ≡ batch per-group means, updated across waves") {
     val wh = new Warehouse(spark, Files.createTempDirectory("sm_wh").toString)
     val in = Files.createTempDirectory("sm_in").toString
