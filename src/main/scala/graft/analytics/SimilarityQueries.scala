@@ -497,7 +497,42 @@ object SimilarityQueries {
     }
   }
 
+  /** IVF × PQ composed serving path
+    * ([[ProductQuantization.ivfPqTopK]]) — the production three-tier
+    * funnel: coarse cells prune the corpus to nProbe/kCoarse of its
+    * rows, ADC scans only those cells' compressed codes, exact cosine
+    * re-ranks the bounded shortlist. Contract: recall@10 ≥ 0.9 per
+    * query vs the in-plan brute-force truth (the verdict-prescribed
+    * bar), emitted as the hash-checked boolean like
+    * [[qSimLsh]]/[[qSimIvf]]/[[qSimPq]].
+    */
+  val qSimIvfPq: QueryDef = QueryDef.sql(
+    "q_sim_ivfpq",
+    """SELECT vec_id AS query_id, 10 AS k, true AS recall_ok
+      |FROM embeddings WHERE vec_id IN (0, 1, 2)
+      |ORDER BY query_id""".stripMargin,
+    doc = "IVF-prune -> PQ-scan -> exact re-rank ANN w/ recall@10 >= 0.9 contract (similarity scale path)") { (s, dir) =>
+    val emb = t(s, dir, "embeddings")
+    val queries = emb.filter(col("vec_id").isin(0, 1, 2))
+    val got = ProductQuantization.ivfPqTopK(emb, queries,
+      "vec_id", "embedding", k = 10, kCoarse = 8, nProbe = 4,
+      m = 16, ksub = 16, iters = 3, rerank = 200)
+    val exact = Similarity.bruteForceTopK(
+      corpus = emb, queries = queries,
+      idCol = "vec_id", vecCol = "embedding", k = 10)
+    val overlap = got.select(col("query_id"), col("corpus_id"))
+      .join(exact.select(col("query_id"), col("corpus_id")),
+        Seq("query_id", "corpus_id"))
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_hit"))
+    queries.select(col("vec_id").as("query_id"))
+      .join(overlap, Seq("query_id"), "left")
+      .select(col("query_id"), lit(10).as("k"),
+        (coalesce(col("n_hit"), lit(0L)) >= 9).as("recall_ok"))
+      .orderBy("query_id")
+  }
+
   val all: Seq[QueryDef] = Seq(qSimTopK, qSimLsh, qSimIvf, qQuantize,
     qSimQuantized, qEmbedCentroid, qHybridRrf, qRetrievalEval,
-    qEmbedCovariance, qSimPq, qPcaPower)
+    qEmbedCovariance, qSimPq, qPcaPower, qSimIvfPq)
 }

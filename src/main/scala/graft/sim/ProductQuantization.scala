@@ -107,6 +107,85 @@ object ProductQuantization {
       .filter(col("rank") <= k)
   }
 
+  /** IVF × PQ composed serving path — the 100 TB ANN shape: the IVF
+    * coarse quantizer prunes the corpus to each query's `nProbe`
+    * nearest cells, the ADC scan runs over ONLY those cells' PQ codes
+    * (compressed — m small ints per vector), and the exact-cosine
+    * re-rank touches just the bounded shortlist. Cell pruning cuts
+    * compute by ~nProbe/kCoarse, PQ cuts the scanned bytes ~32×, and
+    * the full-precision vectors are read for `rerank` rows per query
+    * — the three-tier funnel (prune → compressed scan → exact) every
+    * production vector store serves from.
+    *
+    * Codes encode the RAW unit-normalized vectors, not IVF residuals
+    * (Jégou et al. §IV residual encoding buys ADC accuracy the exact
+    * re-rank here already provides; raw codes let one code table
+    * serve any probe set). Per-query cell restriction is a broadcast
+    * join of the (query, cell) probe pairs — |queries| × nProbe rows
+    * — against the cell-tagged code table; at rest the same
+    * restriction is the `centroid_id` partition prune
+    * [[IvfIndex.search]] performs. Recall is contract-gated vs exact
+    * top-k in q_sim_ivfpq.
+    */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, kCoarse: Int = 8, nProbe: Int = 3,
+      m: Int = 4, ksub: Int = 16, iters: Int = 3,
+      rerank: Int = 50): DataFrame = {
+    val cents = Similarity.trainCentroids(corpus, idCol, vecCol,
+      kCoarse, iters)
+    val cellOf = Similarity.ivfAssign(corpus, idCol, vecCol,
+        cents, "centroid_id", "centroid_vec")
+      .select(col(idCol).as("id"), col("centroid_id"))
+    val comp = components(corpus, idCol, vecCol, m).cache()
+    try {
+      val books = train(comp, ksub, iters)
+      val codes = assignCodes(comp, books).join(cellOf, Seq("id"))
+      // each query's nProbe nearest cells — |queries| × nProbe pairs
+      val probeW = Window.partitionBy(col("query_id"))
+        .orderBy(col("__psim").desc, col("centroid_id"))
+      val probes = queries
+        .select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
+        .crossJoin(broadcast(cents))
+        .withColumn("__psim",
+          Similarity.cosine(col("__qv"), col("centroid_vec")))
+        .withColumn("__pr", row_number().over(probeW))
+        .filter(col("__pr") <= nProbe)
+        .select(col("query_id"), col("centroid_id"))
+      // per-query ADC lookup table (m · ksub dots), broadcast
+      val dt = components(queries, idCol, vecCol, m)
+        .select(col("id").as("query_id"), col("sub"), col("q"), col("x"))
+        .join(books, Seq("sub", "q"))
+        .select(col("query_id"), col("sub"), col("cid"),
+          (col("x") * col("c")).as("__p"))
+        .groupBy(col("query_id"), col("sub"), col("cid"))
+        .agg(sum(col("__p").cast("decimal(27,12)")).as("__dot"))
+      val wS = Window.partitionBy(col("query_id"))
+        .orderBy(col("score").desc, col("corpus_id"))
+      val shortlist = codes
+        .join(broadcast(probes), Seq("centroid_id"))
+        .join(broadcast(dt), Seq("query_id", "sub", "cid"))
+        .groupBy(col("query_id"), col("id"))
+        .agg(sum(col("__dot")).cast("double").as("score"))
+        .select(col("query_id"), col("id").as("corpus_id"), col("score"))
+        .filter(col("corpus_id") =!= col("query_id"))
+        .withColumn("__rn", row_number().over(wS))
+        .filter(col("__rn") <= math.max(k, rerank))
+        .select(col("query_id"), col("corpus_id"))
+      val q = queries.select(col(idCol).as("query_id"),
+        col(vecCol).as("__qv"))
+      val c = corpus.select(col(idCol).as("corpus_id"),
+        col(vecCol).as("__cv"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("cosine").desc, col("corpus_id"))
+      shortlist.join(c, Seq("corpus_id"))
+        .join(broadcast(q), Seq("query_id"))
+        .select(col("query_id"), col("corpus_id"),
+          Similarity.cosine(col("__cv"), col("__qv")).as("cosine"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= k)
+    } finally comp.unpersist()
+  }
+
   /** Full PQ lifecycle: train codebooks on the corpus, encode it,
     * ADC-shortlist `rerank` candidates per query, then EXACT-cosine
     * re-rank the shortlist — the production PQ serving shape (ADC is

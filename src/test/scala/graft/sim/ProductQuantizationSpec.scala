@@ -61,6 +61,30 @@ class ProductQuantizationSpec extends SparkSpec {
     assert(got(100L).forall(_ >= 100L), s"cross-cluster hits: ${got(100L)}")
   }
 
+  test("ivfPqTopK composed funnel retrieves same-cluster neighbors") {
+    // prune (2 coarse cells) -> compressed scan -> exact re-rank: the
+    // planted clusters land in separate cells, so each query's results
+    // must come from its own cluster even with nProbe = 1
+    val queries = clustered.filter(col("vec_id").isin(0, 100))
+    val got = ProductQuantization.ivfPqTopK(clustered, queries, "vec_id",
+        "embedding", k = 3, kCoarse = 2, nProbe = 1, m = 2, ksub = 4,
+        iters = 3, rerank = 6)
+      .select("query_id", "corpus_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(got(0L).size === 3 && got(0L).forall(_ < 100L),
+      s"cluster-0 results: ${got(0L)}")
+    assert(got(100L).size === 3 && got(100L).forall(_ >= 100L),
+      s"cluster-1 results: ${got(100L)}")
+    // ranks are exact-cosine ordered (the re-rank tier is authoritative)
+    val ranked = ProductQuantization.ivfPqTopK(clustered, queries,
+        "vec_id", "embedding", k = 3, kCoarse = 2, nProbe = 2, m = 2,
+        ksub = 4, iters = 3, rerank = 20)
+      .filter(col("query_id") === 0L).orderBy("rank")
+      .select("corpus_id", "cosine").as[(Long, Double)].collect()
+    assert(ranked.map(_._2).sliding(2).forall(p => p(0) >= p(1)),
+      s"re-rank order broken: ${ranked.toSeq}")
+  }
+
   test("codebooks and codes are layout-independent (decimal-exact means)") {
     def run(parts: Int) = {
       val comp = ProductQuantization.components(
