@@ -90,6 +90,62 @@ object EnergyAnalytics {
       .drop("__mean", "__std")
   }
 
+  /** Daily heating/cooling degree days per site (ASHRAE / UK Met
+    * Office daily-mean method): HDD = max(0, base − T̄_day),
+    * CDD = max(0, T̄_day − base) from hourly observations. One
+    * (site, day) aggregation shuffle; output is days × sites rows —
+    * dimension-sized however dense the observations.
+    */
+  def degreeDays(weather: DataFrame, base: Double = 18.0): DataFrame =
+    weather.groupBy(col("site_id"), to_date(col("timestamp")).as("day"))
+      .agg(avg(col("air_temperature")).as("t_avg"))
+      .select(col("site_id"), col("day"), col("t_avg"),
+        greatest(lit(0.0), lit(base) - col("t_avg")).as("hdd"),
+        greatest(lit(0.0), col("t_avg") - lit(base)).as("cdd"))
+
+  /** Weather-normalized consumption model per building: OLS of DAILY
+    * consumption on heating degree days via the engine's
+    * sufficient-statistics idiom (decimal-exact Σx Σy Σxx Σxy, closed
+    * form in double) — the regression that separates weather-driven
+    * load (slope × HDD) from baseload (intercept), the standard
+    * normalization behind energy benchmarking. Plan shape: one
+    * (building, day) rollup of the readings, a broadcast join to the
+    * dimension-sized degree-day table, one per-building aggregation —
+    * no window, no cross join; the readings shuffle once.
+    * Buildings with under 2 days or constant HDD (slope undefined)
+    * are omitted. Output: (building_id, n_days, hdd_total, cdd_total,
+    * slope, intercept).
+    */
+  def weatherNormalizedModel(raw: DataFrame, metadata: DataFrame,
+      weather: DataFrame, base: Double = 18.0): DataFrame = {
+    val dd = degreeDays(weather, base)
+    val daily = raw
+      .join(broadcast(metadata.select(col("building_id"), col("site_id"))),
+        Seq("building_id"))
+      .groupBy(col("building_id"), col("site_id"),
+        to_date(col("timestamp")).as("day"))
+      .agg(sum(col("meter_reading").cast("decimal(20,4)"))
+        .cast("double").as("y"))
+    val xy = daily.join(broadcast(dd.select(col("site_id"), col("day"),
+      col("hdd"), col("cdd"))), Seq("site_id", "day"))
+    val stats = xy.groupBy(col("building_id")).agg(
+      count(lit(1)).as("n"),
+      sum(col("hdd").cast("decimal(20,6)")).cast("double").as("sx"),
+      sum(col("y").cast("decimal(24,6)")).cast("double").as("sy"),
+      sum((col("hdd") * col("hdd")).cast("decimal(24,6)"))
+        .cast("double").as("sxx"),
+      sum((col("hdd") * col("y")).cast("decimal(30,6)"))
+        .cast("double").as("sxy"),
+      sum(col("cdd").cast("decimal(20,6)")).cast("double").as("cdd_total"))
+    val den = col("n") * col("sxx") - col("sx") * col("sx")
+    val slope = (col("n") * col("sxy") - col("sx") * col("sy")) / den
+    stats.filter(col("n") >= 2 && den =!= 0)
+      .select(col("building_id"), col("n").as("n_days"),
+        col("sx").as("hdd_total"), col("cdd_total"),
+        slope.as("slope"),
+        ((col("sy") - slope * col("sx")) / col("n")).as("intercept"))
+  }
+
   /** Data-completeness report per building+meter: observed vs expected
     * reading count for a regular `intervalMinutes` cadence over the
     * table's own [min, max] time range.

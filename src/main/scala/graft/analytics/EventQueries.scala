@@ -1544,6 +1544,73 @@ object EventQueries {
       .orderBy("event_type", "week")
   }
 
+  /** Degree-day energy analytics
+    * ([[EnergyAnalytics.degreeDays]]/[[EnergyAnalytics.weatherNormalizedModel]])
+    * — the domain face the reference's empty `src/analytics/` package
+    * implies: daily HDD/CDD from (synthetic, deterministic) site
+    * weather joined to per-building daily consumption, then the
+    * weather-normalization OLS (consumption ~ HDD) that separates
+    * heating-driven load from baseload. Events stand in as meter
+    * readings (user → building); daily mean temperature is the
+    * engine-and-oracle-shared function 5 + epochDay % 30, spanning
+    * both heating (T < 18) and cooling (T > 18) regimes. Sufficient
+    * stats are decimal-exact in both engines, so slope/intercept
+    * match to the rounding digit.
+    */
+  val qEnergyDegreeDays: QueryDef = QueryDef.sql(
+    "q_energy_degree_days",
+    """WITH daily AS (
+      |  SELECT user_id AS building_id, CAST(ts AS DATE) AS day,
+      |    CAST(sum(CAST(value AS DECIMAL(20,4))) AS DOUBLE) AS y
+      |  FROM events GROUP BY 1, 2),
+      |dd AS (
+      |  SELECT day,
+      |    greatest(0.0, 18.0 - t) AS hdd, greatest(0.0, t - 18.0) AS cdd
+      |  FROM (SELECT day, 5.0 + datediff('day', DATE '1970-01-01', day) % 30 AS t
+      |        FROM (SELECT DISTINCT CAST(ts AS DATE) AS day FROM events))),
+      |xy AS (
+      |  SELECT d.building_id, d.y, w.hdd, w.cdd
+      |  FROM daily d JOIN dd w USING (day)),
+      |st AS (
+      |  SELECT building_id, count(*) AS n,
+      |    CAST(sum(CAST(hdd AS DECIMAL(20,6))) AS DOUBLE) AS sx,
+      |    CAST(sum(CAST(y AS DECIMAL(24,6))) AS DOUBLE) AS sy,
+      |    CAST(sum(CAST(hdd * hdd AS DECIMAL(24,6))) AS DOUBLE) AS sxx,
+      |    CAST(sum(CAST(hdd * y AS DECIMAL(30,6))) AS DOUBLE) AS sxy,
+      |    CAST(sum(CAST(cdd AS DECIMAL(20,6))) AS DOUBLE) AS cdd_total
+      |  FROM xy GROUP BY 1)
+      |SELECT building_id, n AS n_days,
+      |  CAST(round(sx, 6) AS DOUBLE) AS hdd_total,
+      |  CAST(round(cdd_total, 6) AS DOUBLE) AS cdd_total,
+      |  CAST(round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS DOUBLE)
+      |    AS slope,
+      |  CAST(round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx)
+      |    / n, 6) AS DOUBLE) AS intercept
+      |FROM st WHERE n >= 2 AND n * sxx - sx * sx <> 0
+      |ORDER BY building_id""".stripMargin,
+    doc = "degree-day analytics: daily HDD/CDD + weather-normalized consumption OLS per building") { (s, dir) =>
+    val ev = t(s, dir, "events")
+    val raw = ev.select(col("ts").as("timestamp"),
+      col("user_id").as("building_id"), col("value").as("meter_reading"))
+    val metadata = raw.select("building_id").distinct()
+      .withColumn("site_id", lit(0L))
+    // deterministic synthetic site weather: one daily observation,
+    // T = 5 + epochDay % 30 (same function the oracle states)
+    val weather = ev.select(to_date(col("ts")).as("d")).distinct()
+      .select(col("d").cast("timestamp").as("timestamp"),
+        lit(0L).as("site_id"),
+        (lit(5.0) + pmod(datediff(col("d"),
+          to_date(lit("1970-01-01"))), lit(30))).as("air_temperature"))
+    EnergyAnalytics.weatherNormalizedModel(raw, metadata, weather,
+        base = 18.0)
+      .select(col("building_id"), col("n_days"),
+        round(col("hdd_total"), 6).cast("double").as("hdd_total"),
+        round(col("cdd_total"), 6).cast("double").as("cdd_total"),
+        round(col("slope"), 6).cast("double").as("slope"),
+        round(col("intercept"), 6).cast("double").as("intercept"))
+      .orderBy("building_id")
+  }
+
   val all: Seq[QueryDef] = Seq(
     qTimeWindow, qLagGaps, qOverlapSemi, qScalarFuncs, qJsonBuild, qSessionize,
     qMapFuncs, qAsofJoin, qAsofTolerance, qAsofForward, qAsofNearest,
@@ -1551,5 +1618,5 @@ object EventQueries {
     qGapFill, qInterpolate, qLoadProfile, qSlidingWindow, qForecastBaseline,
     qTrendOls, qAnomaliesSeasonal, qEwma, qEventPaths, qAcf, qCusum, qCcf,
     qTwa, qAttribution, qWindowDist, qMarkovTransitions, qAssocRules, qRfm,
-    qBurstiness, qDauMau, qWowGrowth)
+    qBurstiness, qDauMau, qWowGrowth, qEnergyDegreeDays)
 }

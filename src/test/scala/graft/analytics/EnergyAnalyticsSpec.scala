@@ -76,6 +76,59 @@ class EnergyAnalyticsSpec extends SparkSpec {
     assert(flagged.toSeq === Seq(("b3", 1000.0)))
   }
 
+  test("degree days: daily-mean HDD/CDD, heating and cooling regimes") {
+    val obs = Seq(
+      // day 1: mean T = 10 → HDD 8, CDD 0
+      (ts("2016-01-01 01:00:00"), "s1", 8.0),
+      (ts("2016-01-01 13:00:00"), "s1", 12.0),
+      // day 2: mean T = 25 → HDD 0, CDD 7
+      (ts("2016-01-02 01:00:00"), "s1", 20.0),
+      (ts("2016-01-02 13:00:00"), "s1", 30.0),
+      // day 3: exactly base → both zero
+      (ts("2016-01-03 12:00:00"), "s1", 18.0)
+    ).toDF("timestamp", "site_id", "air_temperature")
+    val dd = EnergyAnalytics.degreeDays(obs, base = 18.0)
+      .collect().map(r => r.getDate(1).toString ->
+        ((r.getDouble(3), r.getDouble(4)))).toMap
+    assert(dd("2016-01-01") === ((8.0, 0.0)))
+    assert(dd("2016-01-02") === ((0.0, 7.0)))
+    assert(dd("2016-01-03") === ((0.0, 0.0)))
+  }
+
+  test("weather-normalized model recovers a planted consumption ~ HDD line") {
+    // building bl consumes exactly 100 + 10·HDD per day; the OLS must
+    // return slope 10, intercept 100 with zero residual
+    val temps = Seq(16.0, 12.0, 8.0, 14.0) // HDD = 2, 6, 10, 4
+    val days = temps.indices.map(i => f"2016-01-${i + 1}%02d")
+    val obs = temps.zip(days).map { case (t, d) =>
+      (ts(s"$d 12:00:00"), "s1", t) }
+      .toDF("timestamp", "site_id", "air_temperature")
+    val readings = temps.zip(days).flatMap { case (t, d) =>
+      val total = 100.0 + 10.0 * (18.0 - t)
+      // split the day's consumption over two readings
+      Seq((ts(s"$d 01:00:00"), "bl", total / 4),
+        (ts(s"$d 13:00:00"), "bl", 3 * total / 4))
+    }.toDF("timestamp", "building_id", "meter_reading")
+    val meta = Seq(("bl", "s1")).toDF("building_id", "site_id")
+    val m = EnergyAnalytics.weatherNormalizedModel(readings, meta, obs)
+      .collect()
+    assert(m.length === 1)
+    val r = m.head
+    assert(r.getString(0) === "bl")
+    assert(r.getLong(r.fieldIndex("n_days")) === 4L)
+    assert(r.getDouble(r.fieldIndex("hdd_total")) === 22.0)
+    assert(r.getDouble(r.fieldIndex("cdd_total")) === 0.0)
+    assert(math.abs(r.getDouble(r.fieldIndex("slope")) - 10.0) < 1e-9)
+    assert(math.abs(r.getDouble(r.fieldIndex("intercept")) - 100.0) < 1e-9)
+    // a building with constant HDD (undefined slope) is omitted
+    val flat = Seq((ts("2016-01-01 01:00:00"), "bf", 5.0),
+      (ts("2016-01-01 13:00:00"), "bf", 5.0))
+      .toDF("timestamp", "building_id", "meter_reading")
+    val metaF = Seq(("bf", "s1")).toDF("building_id", "site_id")
+    assert(EnergyAnalytics.weatherNormalizedModel(flat, metaF, obs)
+      .collect().isEmpty)
+  }
+
   test("completeness compares observed to expected cadence") {
     val c = EnergyAnalytics.completeness(raw, intervalMinutes = 60)
       .collect().map(r => ((r.getString(0), r.getString(1)),
