@@ -12,19 +12,35 @@ import org.apache.spark.sql.catalyst.rules.Rule
   * broadcast-able LEFT SEMI join against a LocalRelation of the
   * values.
   *
-  * Rationale: Spark evaluates big IN lists fine per-row (InSet hash
-  * above `spark.sql.optimizer.inSetConversionThreshold`), but a
-  * thousands-long literal list bloats the plan/codegen and cannot
-  * participate in join-side optimizations (dynamic pruning, semi-join
-  * pushdown on sources that support it). As a relation, the value set
-  * goes through the normal join machinery.
+  * Rationale: Spark evaluates big IN lists per-row through InSet (a
+  * boxed hash set above `spark.sql.optimizer.inSetConversionThreshold`)
+  * — fine at hundreds of values, but the per-row probe cost grows
+  * with set size while a broadcast semi join's unsafe-row hash build
+  * stays flat, and the relation form participates in join-side
+  * optimizations (dynamic pruning, semi pushdown) a filter cannot.
   *
-  * Opt-in (`spark.graft.rewriteLargeIn=true`) — the built-in InSet
-  * path is already good, so this ships as a demonstration of the
-  * `injectOptimizerRule` escalation path with a correctness spec, not
-  * as a default. Null semantics: IN with a NULL probe yields NULL
-  * (row filtered); LEFT SEMI on an equi-condition also drops NULL
-  * probes — equivalent under Filter.
+  * DEFAULT-ON above 8192 values, decided by measurement
+  * (`graft.InProbe`, ScaleUp 10×/100× lineitem, min of 5 reps):
+  *
+  *   n_values   InSet    rewrite   hand semi join
+  *      500     0.15 s   0.19 s    0.19 s
+  *    2 000     0.18 s   0.24 s    0.21 s
+  *   10 000     0.35 s   0.31 s    0.22 s
+  *   50 000     1.31 s   1.00 s    0.31 s   (100×: 3.58 / 2.69 / 1.87)
+  *
+  * Below the crossover (≈2k-10k) InSet wins — no exchange, no build —
+  * so the 8192 threshold keeps small lists untouched; above it the
+  * semi join wins and keeps winning as the list grows (the residual
+  * gap to the hand-written join is the driver-side cost of ANALYZING
+  * a 50k-literal In expression, which the rewrite cannot recover —
+  * callers who own the value list should join a values frame
+  * directly; this rule is the safety net for generated SQL).
+  * Kill switch: `spark.graft.rewriteLargeIn=false`; threshold:
+  * `spark.graft.rewriteLargeIn.threshold`.
+  *
+  * Null semantics: IN with a NULL probe yields NULL (row filtered);
+  * LEFT SEMI on an equi-condition also drops NULL probes —
+  * equivalent under Filter.
   */
 case class LargeInToSemiJoin(spark: SparkSession) extends Rule[LogicalPlan] {
 
@@ -32,9 +48,9 @@ case class LargeInToSemiJoin(spark: SparkSession) extends Rule[LogicalPlan] {
   val ThresholdKey = "spark.graft.rewriteLargeIn.threshold"
 
   private def enabled: Boolean =
-    spark.conf.getOption(EnableKey).contains("true")
+    !spark.conf.getOption(EnableKey).contains("false")
   private def threshold: Int =
-    spark.conf.getOption(ThresholdKey).map(_.toInt).getOrElse(64)
+    spark.conf.getOption(ThresholdKey).map(_.toInt).getOrElse(8192)
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
     if (!enabled) plan

@@ -3,40 +3,56 @@ package graft.plans
 import graft.SparkSpec
 import org.apache.spark.sql.functions._
 
+/** [[LargeInToSemiJoin]] ships DEFAULT-ON above its 8192-value
+  * threshold (InProbe measurement: InSet's boxed hash probe loses to
+  * a broadcast semi join past the ≈2k-10k crossover and keeps losing
+  * as the list grows). These pins hold the shipped behavior: big
+  * lists rewrite with identical results, sub-threshold lists and the
+  * kill switch leave Spark's native InSet path untouched.
+  */
 class LargeInToSemiJoinSpec extends SparkSpec {
   import spark.implicits._
 
-  private def withRule[T](f: => T): T = {
-    spark.conf.set("spark.graft.rewriteLargeIn", "true")
-    try f finally spark.conf.set("spark.graft.rewriteLargeIn", "false")
+  // file-backed: a LocalRelation source constant-folds the whole query
+  private lazy val fileDf = {
+    val dir = java.nio.file.Files.createTempDirectory("lin").toString
+    (1L to 40000L).map(i => (i, s"p$i")).toDF("id", "payload")
+      .write.parquet(s"$dir/t")
+    spark.read.parquet(s"$dir/t")
   }
 
-  test("large IN list rewrites to LEFT SEMI join with identical results") {
-    // file-backed: a LocalRelation source constant-folds the whole query
-    val dir = java.nio.file.Files.createTempDirectory("lin").toString
-    (1L to 2000L).map(i => (i, s"p$i")).toDF("id", "payload")
-      .write.parquet(s"$dir/t")
-    val df = spark.read.parquet(s"$dir/t")
-    val bigSet: Seq[Long] = (1L to 500L).map(_ * 3)
+  test("above-threshold IN rewrites to LEFT SEMI by default, same results") {
+    val df = fileDf
+    val bigSet: Seq[Long] = (1L to 9000L).map(_ * 3)
     def q = df.filter(col("id").isin(bigSet: _*))
 
-    val plain = q.collect().map(_.getLong(0)).sorted
-    val (rewritten, plan) = withRule {
-      (q.collect().map(_.getLong(0)).sorted,
-        q.queryExecution.optimizedPlan.toString)
-    }
+    val plan = q.queryExecution.optimizedPlan.toString
     assert(plan.contains("LeftSemi"), plan.take(500))
+    val rewritten = q.collect().map(_.getLong(0)).sorted
+    val plain = {
+      spark.conf.set("spark.graft.rewriteLargeIn", "false")
+      try q.collect().map(_.getLong(0)).sorted
+      finally spark.conf.unset("spark.graft.rewriteLargeIn")
+    }
     assert(rewritten === plain)
+    assert(rewritten.length === 9000)
   }
 
-  test("small IN lists and disabled flag stay as filters") {
-    val df = (1L to 100L).map(i => (i, i * 2)).toDF("id", "v")
-    def small = df.filter(col("id").isin(1L, 2L, 3L))
-    withRule {
-      assert(!small.queryExecution.optimizedPlan.toString.contains("LeftSemi"))
-    }
-    // disabled (default): large list stays a filter
-    val big = df.filter(col("id").isin((1L to 200L): _*))
-    assert(!big.queryExecution.optimizedPlan.toString.contains("LeftSemi"))
+  test("sub-threshold lists stay as filters (InSet wins below crossover)") {
+    def small = fileDf.filter(col("id").isin((1L to 500L): _*))
+    assert(!small.queryExecution.optimizedPlan.toString.contains("LeftSemi"))
+  }
+
+  test("kill switch restores the native path; threshold is tunable") {
+    def big = fileDf.filter(col("id").isin((1L to 9000L): _*))
+    spark.conf.set("spark.graft.rewriteLargeIn", "false")
+    try assert(!big.queryExecution.optimizedPlan.toString.contains("LeftSemi"))
+    finally spark.conf.unset("spark.graft.rewriteLargeIn")
+    // lowered threshold pulls smaller lists into the rewrite
+    spark.conf.set("spark.graft.rewriteLargeIn.threshold", "64")
+    try {
+      def mid = fileDf.filter(col("id").isin((1L to 200L): _*))
+      assert(mid.queryExecution.optimizedPlan.toString.contains("LeftSemi"))
+    } finally spark.conf.unset("spark.graft.rewriteLargeIn.threshold")
   }
 }
