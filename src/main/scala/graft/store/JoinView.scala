@@ -13,8 +13,10 @@ import org.apache.spark.sql.functions._
   * (i > j via the first term, i ≤ j via the second), and refresh cost
   * is O(Δ ⋈ archive) keyed joins — never a re-join of the full
   * history. This is the join half of incremental view maintenance
-  * ([[MatView]] is the aggregate half); append-only inputs mean no
-  * retractions, which is what keeps the delta algebra this small.
+  * ([[MatView]] is the aggregate half). Inputs maintained by
+  * delete/update (merge, CDC apply) fold through [[mutateView]] /
+  * [[refreshMutation]] — removals leave by id-keyed anti joins, so
+  * the delta algebra stays Δ-sized under retraction too.
   *
   * Scale shape: both delta joins are keyed equi-joins — the archive
   * side arrives hash-partitioned on the join key from its own layout,
@@ -66,6 +68,79 @@ object JoinView {
   def read(wh: Warehouse, name: String): DataFrame = {
     val v = wh.read(viewTable(name))
     if (v.columns.contains("batch_id")) v.drop("batch_id") else v
+  }
+
+  // ------------------------------------------------------ retraction
+
+  /** Fold a MUTATION pair into a join view — the retraction half of
+    * the delta-join algebra ([[graft.store.MatView.mutateState]] is
+    * the aggregate twin): each side's mutation arrives as (removed,
+    * added) row sets identified by that side's UNIQUE row key
+    * (`leftId`/`rightId` — present in the view output, which is what
+    * lets dead view rows be found WITHOUT re-joining), and
+    * `leftAfter`/`rightAfter` are the POST-mutation inputs.
+    *
+    *   V' =  V ∖ (rows joining a removed row on either side)
+    *       ∪  L⁺ ⋈ R'  ∪  (L' ∖ L⁺) ⋈ R⁺
+    *
+    * — every pair involving an added row enters exactly once (pairs
+    * of two added rows ride the first term), every pair involving a
+    * removed row leaves, surviving history is never re-joined. Cost
+    * shape: two id-keyed anti joins of the view against the
+    * delta-sized removal keys (broadcast), plus two Δ ⋈ archive keyed
+    * joins — O(Δ ⋈ archive), the same contract as the append fold;
+    * nothing rescans V ⋈ history.
+    *
+    * An update is one removed row + one added row on its side. Value
+    * columns must be disjoint across sides (the standing [[refresh]]
+    * contract).
+    */
+  def mutateView(view: DataFrame, keys: Seq[String],
+      leftAfter: DataFrame, rightAfter: DataFrame,
+      leftId: Seq[String], rightId: Seq[String],
+      lRemoved: DataFrame, lAdded: DataFrame,
+      rRemoved: DataFrame, rAdded: DataFrame): DataFrame = {
+    require(leftId.nonEmpty && rightId.nonEmpty,
+      "mutateView needs per-side unique row keys")
+    val kept = view
+      .join(lRemoved.select(leftId.map(col): _*), leftId, "left_anti")
+      .join(rRemoved.select(rightId.map(col): _*), rightId, "left_anti")
+    val cols = view.columns.map(col).toSeq
+    val fromL = lAdded.join(rightAfter, keys)
+    val fromR = leftAfter
+      .join(lAdded.select(leftId.map(col): _*), leftId, "left_anti")
+      .join(rAdded, keys)
+    kept.unionByName(fromL.select(cols: _*))
+      .unionByName(fromR.select(cols: _*))
+  }
+
+  /** Disk form of [[mutateView]] for the plain-append layout: the view
+    * AND both archives fold the mutation through crash-safe replaces.
+    * At warehouse scale the archives are the base tables themselves —
+    * maintain them with [[Warehouse.merge]]/partition-pruned rewrites
+    * and pass the post-mutation reads here; this helper rewrites the
+    * stored side tables wholesale and is sized for view-layer state,
+    * not 100 TB bases.
+    */
+  def refreshMutation(wh: Warehouse, name: String, keys: Seq[String],
+      leftId: Seq[String], rightId: Seq[String],
+      lRemoved: DataFrame, lAdded: DataFrame,
+      rRemoved: DataFrame, rAdded: DataFrame): Unit = {
+    def applySide(table: String, ids: Seq[String], removed: DataFrame,
+        added: DataFrame): DataFrame =
+      wh.read(table)
+        .join(removed.select(ids.map(col): _*), ids, "left_anti")
+        .unionByName(added)
+    val lAfter = applySide(leftTable(name), leftId, lRemoved, lAdded)
+      .localCheckpoint(eager = true)
+    val rAfter = applySide(rightTable(name), rightId, rRemoved, rAdded)
+      .localCheckpoint(eager = true)
+    val v = mutateView(wh.read(viewTable(name)), keys, lAfter, rAfter,
+      leftId, rightId, lRemoved, lAdded, rRemoved, rAdded)
+      .localCheckpoint(eager = true)
+    wh.replaceTable(viewTable(name), v)
+    wh.replaceTable(leftTable(name), lAfter)
+    wh.replaceTable(rightTable(name), rAfter)
   }
 
   private def viewDelta(wh: Warehouse, name: String, keys: Seq[String],

@@ -58,4 +58,55 @@ class JoinViewSpec extends SparkSpec {
     assert(got.length === got.toSet.size)
     assert(got.toSet === full)
   }
+
+  test("mutateView: deletes/updates/inserts on both sides track the one-shot join") {
+    // frame-level algebra under a deterministic mutation: delete some
+    // left rows, update some right rows (remove old + add new), insert
+    // fresh rows on both sides — the folded view must equal the
+    // one-shot join of the mutated inputs, no duplicates
+    val view0 = left.join(right, Seq("k"))
+    val lRem = left.filter(col("lid") % 7 === 0)
+    val lAdd = spark.range(300, 320).select(
+      pmod(col("id"), lit(60)).as("k"), col("id").as("lid"))
+    val rRemUpd = right.filter(col("rid") % 30 === 0) // update pre-images
+    val rAddUpd = rRemUpd.withColumn("rid", col("rid") + 1000000L)
+    val lAfter = left.join(lRem.select("lid"), Seq("lid"), "left_anti")
+      .unionByName(lAdd).select("k", "lid")
+    val rAfter = right.join(rRemUpd.select("rid"), Seq("rid"), "left_anti")
+      .unionByName(rAddUpd).select("k", "rid")
+    val got = JoinView.mutateView(view0, Seq("k"), lAfter, rAfter,
+        Seq("lid"), Seq("rid"), lRem, lAdd, rRemUpd, rAddUpd)
+      .select("k", "lid", "rid").as[(Long, Long, Long)].collect()
+    val oneShot = lAfter.join(rAfter, Seq("k"))
+      .select("k", "lid", "rid").as[(Long, Long, Long)].collect().toSet
+    assert(got.length === got.toSet.size, "mutation fold duplicated rows")
+    assert(got.toSet === oneShot)
+  }
+
+  test("refreshMutation: disk round-trip keeps view and archives in lockstep") {
+    val wh = new Warehouse(spark, Files.createTempDirectory("jv4").toString)
+    JoinView.refresh(wh, "v", Seq("k"), left, right)
+    val lRem = left.filter(col("lid") < 30)
+    val lAdd = spark.range(500, 520).select(
+      pmod(col("id"), lit(60)).as("k"), col("id").as("lid"))
+    val rRem = right.filter(col("rid") >= 1800)
+    JoinView.refreshMutation(wh, "v", Seq("k"), Seq("lid"), Seq("rid"),
+      lRem, lAdd, rRem, rRem.limit(0))
+    val lAfter = left.filter(col("lid") >= 30).unionByName(lAdd)
+    val rAfter = right.filter(col("rid") < 1800)
+    val got = JoinView.read(wh, "v").select("k", "lid", "rid")
+      .as[(Long, Long, Long)].collect()
+    assert(got.length === got.toSet.size)
+    assert(got.toSet === lAfter.join(rAfter, Seq("k"))
+      .select("k", "lid", "rid").as[(Long, Long, Long)].collect().toSet)
+    // archives mutated too: a later APPEND batch joins the mutated state
+    val lNext = spark.range(600, 605).select(
+      pmod(col("id"), lit(60)).as("k"), col("id").as("lid"))
+    JoinView.refresh(wh, "v", Seq("k"), lNext, rAfter.limit(0))
+    val got2 = JoinView.read(wh, "v").select("k", "lid", "rid")
+      .as[(Long, Long, Long)].collect()
+    assert(got2.length === got2.toSet.size)
+    assert(got2.toSet === lAfter.unionByName(lNext).join(rAfter, Seq("k"))
+      .select("k", "lid", "rid").as[(Long, Long, Long)].collect().toSet)
+  }
 }
