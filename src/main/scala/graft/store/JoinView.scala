@@ -52,9 +52,20 @@ object JoinView {
     * in `batch_id=<id>` partition directories with dynamic overwrite,
     * so a re-delivered batch replaces its own files. Crash between
     * the three writes replays to the identical final state.
+    *
+    * Checkpoint LOSS: ids restart at 0 and the source re-delivers
+    * everything re-batched — batch 0 arriving over existing state
+    * therefore drops all three tables first (the >= replay idiom at
+    * its degenerate point), so the re-delivery rebuilds the view
+    * instead of delta-joining re-batched history against stale
+    * archives. A live-checkpoint replay of batch 0 rebuilds the same
+    * single-batch state it replaces — idempotent either way.
     */
   def refreshOnce(wh: Warehouse, name: String, keys: Seq[String],
       dLeft: DataFrame, dRight: DataFrame, batchId: Long): Unit = {
+    if (batchId == 0L)
+      Seq(viewTable(name), leftTable(name), rightTable(name))
+        .filter(wh.tableExists).foreach(wh.dropTable)
     // archives must exclude THIS batch id when computing the delta —
     // a replayed batch would otherwise join against its own rows
     val delta = viewDelta(wh, name, keys,

@@ -259,16 +259,29 @@ object MatView {
     * never a double-count. Returns whether the fold was applied.
     * Batch ids must be monotonically increasing (Structured
     * Streaming's contract for foreachBatch).
+    *
+    * CHECKPOINT LOSS: a restarted query re-delivers the retained
+    * source from scratch with ids back at 0 — under the plain marker
+    * rule every re-batched fold would be skipped as "already applied"
+    * and the view would silently miss all data re-batched under ids ≤
+    * the stale marker. Batch 0 arriving when a marker already exists
+    * therefore REBUILDS: the state becomes exactly batch 0's partials
+    * (marker 0) and the re-delivery folds forward. A live-checkpoint
+    * replay of batch 0 hits the same path and produces the identical
+    * state it already had (the state WAS exactly batch 0's fold) —
+    * idempotent in both interpretations.
     */
   def refreshOnce(wh: Warehouse, mv: MatViewDef, delta: DataFrame,
       batchId: Long): Boolean = {
     val applied = wh.readTableFile(mv.stateTable, AppliedMarker)
       .map(_.trim.toLong)
-    if (applied.exists(_ >= batchId)) false
+    val restart = batchId == 0L && applied.isDefined
+    if (!restart && applied.exists(_ >= batchId)) false
     else {
       val p = partial(delta, mv)
       val next =
-        if (wh.tableExists(mv.stateTable)) mergeStates(wh.read(mv.stateTable), p, mv)
+        if (!restart && wh.tableExists(mv.stateTable))
+          mergeStates(wh.read(mv.stateTable), p, mv)
         else p
       wh.replaceTable(mv.stateTable, next,
         Map(AppliedMarker -> batchId.toString))

@@ -15,9 +15,12 @@ import graft.store.Warehouse
   * the batch's rows into ≤ bins+1 counters, so the monitor's cost is
   * O(batch) with O(1) state however long the stream runs.
   *
-  * Sink rows land under the batch_id replay idiom (delete-then-append
-  * per batch id), so a retried micro-batch recomputes its identical
-  * PSI row and the table never double-counts.
+  * Sink rows land under the `batch_id >=` replay idiom (each batch
+  * deletes partitions at-or-above its own id, then appends): a
+  * retried micro-batch recomputes its identical PSI row, and a
+  * restart after CHECKPOINT LOSS (ids back at 0) clears the stale
+  * history so the re-delivered stream rebuilds a consistent one —
+  * the [[StreamStats]] recovery invariant.
   */
 object StreamDrift {
 
@@ -86,7 +89,7 @@ object StreamDrift {
         if (!wh.tableExists(sink))
           wh.createTable(sink, row.schema, ifExists = "skip",
             partitionBy = Seq("batch_id"))
-        wh.deleteWhere(sink, col("batch_id") === batchId)
+        wh.deleteWhere(sink, col("batch_id") >= batchId)
         wh.append(sink, row)
         ()
       }

@@ -20,6 +20,13 @@ import graft.store.{MatView, MatViewDef, Warehouse}
   *    replayed fold is a no-op.
   * Crash between the two effects: data is new, state is old, and the
   * replay re-overwrites the data dir then applies the fold once.
+  *
+  * Checkpoint LOSS recovers too: the restarted query re-delivers from
+  * scratch at id 0 — the fact layout drops its stale at-or-above
+  * batch dirs per batch (everything, at id 0), and
+  * [[MatView.refreshOnce]]'s batch-0 restart rule rebuilds the state
+  * from the first re-delivered fold instead of skipping re-batched
+  * data against the stale marker.
   */
 object StreamMatView {
 
@@ -36,6 +43,22 @@ object StreamMatView {
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         import org.apache.spark.sql.functions.lit
+        val spark = batch.sparkSession
+        // >= replay idiom for the fact layout: a restart after
+        // checkpoint loss re-delivers everything re-batched from id 0;
+        // stale batch_id dirs above the delivered id would otherwise
+        // keep their (now duplicate) rows forever. Normal path: no
+        // dir is at-or-above the live id → no-op listing.
+        val root = new org.apache.hadoop.fs.Path(factPath)
+        val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (fs.exists(root))
+          fs.listStatus(root).foreach { st =>
+            val n = st.getPath.getName
+            if (n.startsWith("batch_id=") &&
+              scala.util.Try(n.stripPrefix("batch_id=").toLong)
+                .toOption.exists(_ >= batchId))
+              fs.delete(st.getPath, true)
+          }
         batch.withColumn("batch_id", lit(batchId))
           .write.mode("overwrite")
           .option("partitionOverwriteMode", "dynamic")

@@ -42,11 +42,13 @@ object StreamSimilarity {
   /** Continuously serve ANN queries: each micro-batch of query
     * vectors probes the index and its top-k results land in
     * `sinkTable`, partitioned by `batch_id`. Replay is exactly-once
-    * per BATCH, not per key: the batch first deletes its own
-    * partition (a directory-pruned no-op on the normal path), then
-    * appends — so a crash mid-write never leaves a query's results
-    * mixed across two index states; the replayed batch's results
-    * reflect the index as of the replay, atomically per batch.
+    * per BATCH, not per key: the batch first deletes partitions
+    * at-or-above its own id (its own partition on the normal path — a
+    * directory-pruned no-op; EVERYTHING on batch 0 of a restart after
+    * checkpoint loss, so the re-delivered queries rebuild the results
+    * table instead of duplicating under new ids), then appends — a
+    * crash mid-write never leaves a query's results mixed across two
+    * index states.
     */
   def ivfSearchStream(wh: Warehouse, indexName: String, queries: DataFrame,
       idCol: String, vecCol: String, k: Int, nProbe: Int,
@@ -62,7 +64,7 @@ object StreamSimilarity {
         if (!wh.tableExists(sinkTable))
           wh.createTable(sinkTable, res.schema, ifExists = "skip",
             partitionBy = Seq("batch_id"))
-        wh.deleteWhere(sinkTable, col("batch_id") === batchId)
+        wh.deleteWhere(sinkTable, col("batch_id") >= batchId)
         wh.append(sinkTable, res)
         ()
       }

@@ -58,15 +58,22 @@ object StreamTopK {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
         val exists = wh.tableExists(sink)
+        // the fold base is the newest snapshot strictly BELOW this
+        // batch id: under a live checkpoint that is simply the
+        // previous batch (ids are monotonic); after checkpoint LOSS
+        // the restarted query's batch 0 finds nothing below it and
+        // rebuilds from scratch — stale snapshots must not seed the
+        // re-delivered fold or every pre-loss row double-counts
         val prevId: Option[Long] =
           if (!exists) None
-          else wh.read(sink).filter(col("batch_id") =!= batchId)
+          else wh.read(sink).filter(col("batch_id") < batchId)
             .agg(max(col("batch_id"))).head() match {
               case r if r.isNullAt(0) => None
               case r => Some(r.getLong(0))
             }
-        // clear a crashed/retried attempt's own partial snapshot first
-        if (exists) wh.deleteWhere(sink, col("batch_id") === batchId)
+        // clear this attempt's partial snapshot AND any stale
+        // at-or-above history (the >= replay idiom)
+        if (exists) wh.deleteWhere(sink, col("batch_id") >= batchId)
 
         val prev: DataFrame = prevId match {
           case Some(id) => wh.read(sink)

@@ -94,16 +94,54 @@ class StreamMatViewSpec extends SparkSpec {
     assert(live === oneShot)   // bit-identical, not approximately equal
   }
 
+  test("checkpoint LOSS: fact layout and state rebuild from the re-delivery") {
+    val in = Files.createTempDirectory("smvl_in").toString
+    val fact = Files.createTempDirectory("smvl_fact").toString + "/fact"
+    val ckptA = Files.createTempDirectory("smvl_ckptA").toString
+    val ckptB = Files.createTempDirectory("smvl_ckptB").toString
+    val wh = new Warehouse(spark, Files.createTempDirectory("smvl_wh").toString)
+    def mkBatch(ids: Range): Unit =
+      ids.map(i => (i.toLong, i.toLong % 5, i * 1.0))
+        .toDF("id", "k", "v")
+        .coalesce(1).write.mode("append").parquet(in)
+    def drain(ckpt: String): Unit = {
+      val schema = spark.read.parquet(in).schema
+      StreamMatView.maintainedAppend(
+        StreamIngest.readFileStream(spark, in, schema),
+        fact, wh, mv, ckpt).awaitTermination()
+    }
+    mkBatch(0 until 40); drain(ckptA)
+    mkBatch(40 until 70); drain(ckptA)
+    // checkpoint dies: a fresh query re-reads everything at id 0 —
+    // the stale marker must not suppress the re-batched folds, and
+    // the stale fact dirs must not keep duplicate rows
+    mkBatch(70 until 100); drain(ckptB)
+    val all = (0 until 100).map(i => (i.toLong, i.toLong % 5, i * 1.0))
+      .toDF("id", "k", "v")
+    val oneShot = MatView.finalizeView(MatView.partial(all, mv), mv)
+      .select(col("k"), col("cnt"), col("sum_v").cast("double"))
+      .as[(Long, Long, Double)].collect()
+      .map { case (k, c, s) => k -> (c, s) }.toMap
+    assert(viewRows(wh) === oneShot, "state diverged after checkpoint loss")
+    assert(spark.read.parquet(fact).count() === 100,
+      "fact layout kept stale duplicate rows")
+  }
+
   test("replayed batch id is a no-op for the state (exactly-once fold)") {
     val wh = new Warehouse(spark, Files.createTempDirectory("smv_wh2").toString)
     val b0 = Seq((1L, 0L, 1.0), (2L, 1L, 2.0)).toDF("id", "k", "v")
     assert(MatView.refreshOnce(wh, mv, b0, batchId = 0))
     val afterFirst = viewRows(wh)
-    // crash-recovery replay of batch 0: must not double-count
-    assert(!MatView.refreshOnce(wh, mv, b0, batchId = 0))
+    // crash-recovery replay of batch 0: the restart rule REBUILDS the
+    // state from the replayed delta (true), but the state it builds is
+    // the state it had — never a double-count
+    assert(MatView.refreshOnce(wh, mv, b0, batchId = 0))
     assert(viewRows(wh) === afterFirst)
-    // the next batch id still applies
+    // the next batch id applies; a replay of it is the no-op path
     assert(MatView.refreshOnce(wh, mv,
+      Seq((3L, 0L, 5.0)).toDF("id", "k", "v"), batchId = 1))
+    assert(viewRows(wh)(0L) === ((2L, 6.0)))
+    assert(!MatView.refreshOnce(wh, mv,
       Seq((3L, 0L, 5.0)).toDF("id", "k", "v"), batchId = 1))
     assert(viewRows(wh)(0L) === ((2L, 6.0)))
   }

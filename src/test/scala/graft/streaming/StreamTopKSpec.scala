@@ -92,6 +92,31 @@ class StreamTopKSpec extends SparkSpec {
     assert(got.find(_._1 == "h2").get._2 === 150L)
   }
 
+  test("checkpoint LOSS: restarted stream rebuilds the summary, no double-count") {
+    val wh = new Warehouse(spark, Files.createTempDirectory("tkl_wh").toString)
+    val in = Files.createTempDirectory("tkl_in").toString
+    val ckptA = Files.createTempDirectory("tkl_ckptA").toString
+    val ckptB = Files.createTempDirectory("tkl_ckptB").toString
+    def drain(ckpt: String): Unit = {
+      val schema = spark.read.parquet(in).schema
+      StreamTopK.topkStream(wh, "hh", StreamIngest.readFileStream(spark, in, schema),
+        "key", 10, checkpoint = ckpt).awaitTermination()
+    }
+    def push(wave: Seq[String]): Unit =
+      wave.toDF("key").coalesce(1).write.mode("append").parquet(in)
+    push(Seq("a", "a", "b")); drain(ckptA)
+    push(Seq("a", "b", "c")); drain(ckptA)
+    // checkpoint dies: re-delivery at id 0 must not fold into the
+    // stale newest snapshot (every pre-loss row would double-count)
+    push(Seq("c", "d")); drain(ckptB)
+    // capacity > distinct keys -> exact counts
+    val got = StreamTopK.currentTopK(wh, "hh", 10)
+      .as[(String, Long, Long)].collect()
+      .map { case (k, est, _) => k -> est }.toMap
+    assert(got === Map("a" -> 3L, "b" -> 2L, "c" -> 2L, "d" -> 1L),
+      s"double-counted after loss: $got")
+  }
+
   test("re-drain with nothing new is a no-op; state stays bounded") {
     val cap = 5
     val (wh, drain, push) = harness(cap)
