@@ -103,7 +103,12 @@ object SpanDedup {
       .select(col("__id"), col("__ntk"),
         posexplode(wordGramsFromTokens(col("__tk"), n)).as(Seq("__p0", "__g")))
       .withColumn("__pos", col("__p0") + 1)
-      .withColumn("__key", col("__id") * lit(1000000L) + col("__pos"))
+      // canonical occurrence = lexicographic min of (id, pos) — a
+      // STRUCT, not a packed long: id * 10^6 + pos overflows for ids
+      // past ~9.2e12 (ScaleUp's disjoint-copy shifts live at 2^40),
+      // and min/inequality on a two-field struct is the same codegen
+      // comparison without any arithmetic to overflow
+      .withColumn("__key", struct(col("__id"), col("__pos")))
     val gstats = occ.groupBy(col("__g"))
       .agg(count(lit(1)).as("__nocc"), min(col("__key")).as("__canon"))
     val removed = occ.join(gstats, Seq("__g"))
