@@ -7,9 +7,13 @@ import org.apache.spark.sql.SparkSession
   * line of per-query seconds — the evidence harness behind the
   * BASELINE.md scale tables.
   *
-  * Usage: `runMain graft.QueryBench <sfDir> <q1,q2,...>`; each query
-  * gets one warm pass (JIT/codegen/IO cache) and one timed pass, same
-  * protocol as the steady-state rows in BASELINE.md.
+  * Usage: `runMain graft.QueryBench <sfDir> <q1,q2,...|all>`; each
+  * query gets one warm pass (JIT/codegen/IO cache) and one timed
+  * pass, same protocol as the steady-state rows in BASELINE.md.
+  * `all` sweeps the entire catalog; a query that throws records -1
+  * (and its error on stderr) instead of killing the sweep — the
+  * full-catalog scale sweep must report every red, not stop at the
+  * first.
   */
 object QueryBench {
   def main(args: Array[String]): Unit = {
@@ -21,14 +25,23 @@ object QueryBench {
     val spark = graft.core.SparkEnv.session(appName = "graft-qbench",
       cores = cpus)
     spark.sparkContext.setLogLevel("WARN")
-    val results = names.split(",").map(_.trim).filter(_.nonEmpty).map { q =>
-      val run = analytics.Catalog.byName(q).run(spark, sfDir)
-      run.write.format("noop").mode("overwrite").save() // warm
-      val t0 = System.nanoTime()
-      analytics.Catalog.byName(q).run(spark, sfDir)
-        .write.format("noop").mode("overwrite").save()
-      val sec = (System.nanoTime() - t0) / 1e9
-      q -> sec
+    val selected =
+      if (names == "all") analytics.Catalog.all.map(_.name)
+      else names.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+    val results = selected.map { q =>
+      try {
+        val run = analytics.Catalog.byName(q).run(spark, sfDir)
+        run.write.format("noop").mode("overwrite").save() // warm
+        val t0 = System.nanoTime()
+        analytics.Catalog.byName(q).run(spark, sfDir)
+          .write.format("noop").mode("overwrite").save()
+        val sec = (System.nanoTime() - t0) / 1e9
+        q -> sec
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"[qbench] $q FAILED: ${e.getMessage}")
+          q -> -1.0
+      }
     }
     val json = results
       .map { case (q, s) => s""""$q":${math.rint(s * 1000) / 1000}""" }
