@@ -28,7 +28,7 @@ object QueryBench {
     val selected =
       if (names == "all") analytics.Catalog.all.map(_.name)
       else names.split(",").map(_.trim).filter(_.nonEmpty).toSeq
-    val results = selected.map { q =>
+    val results = selected.zipWithIndex.map { case (q, i) =>
       try {
         val run = analytics.Catalog.byName(q).run(spark, sfDir)
         run.write.format("noop").mode("overwrite").save() // warm
@@ -36,6 +36,9 @@ object QueryBench {
         analytics.Catalog.byName(q).run(spark, sfDir)
           .write.format("noop").mode("overwrite").save()
         val sec = (System.nanoTime() - t0) / 1e9
+        // live progress so a long sweep is monitorable mid-flight
+        System.err.println(
+          f"[qbench] ${i + 1}/${selected.size} $q ${sec}%.2f s")
         q -> sec
       } catch {
         case e: Throwable =>
