@@ -33,6 +33,41 @@ object RelationalQueries {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.table(s, dir, name)
 
+  /** Shared co-occurrence graph for the graph-analytics family: users
+    * sharing an (event_type, `unit`-truncated time) activity bucket,
+    * with a deterministic HOT-BUCKET CAP — only the `cap` lowest
+    * user ids of each bucket form edges (row_number window; the rank
+    * filter runs as a WindowGroupLimit partial top-k, never a full
+    * per-bucket sort). The cap is load-bearing at scale: pair count
+    * per bucket is quadratic in bucket size, so a replicated/hot
+    * bucket (ScaleUp packs n× users into the same minutes; a 100 TB
+    * event log has hour-bucket hubs) explodes the edge list without
+    * it — the 100× sweep measured q_triangles exhausting 77 GB of
+    * shuffle before this cap. With it, edges ≤ buckets · cap²/2
+    * forever, the same bounded-candidates move as the LSH band caps,
+    * and the ORACLE applies the identical capped definition, so the
+    * contract stays exact at every scale factor (gate-SF buckets are
+    * all under the cap — results there are unchanged).
+    */
+  private def coOccurEdges(s: SparkSession, dir: String, unit: String,
+      cap: Int = 40): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val b0 = t(s, dir, "events")
+      .select(col("user_id"), col("event_type"),
+        date_trunc(unit, col("ts")).as("h"))
+      .distinct()
+    val w = Window.partitionBy(col("event_type"), col("h"))
+      .orderBy(col("user_id"))
+    val buckets = b0.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= cap).drop("__rn")
+    buckets.as("x").join(buckets.as("y"),
+        col("x.event_type") === col("y.event_type") &&
+          col("x.h") === col("y.h") &&
+          col("x.user_id") < col("y.user_id"))
+      .select(col("x.user_id").as("u"), col("y.user_id").as("v"))
+      .distinct()
+  }
+
   // ---------------------------------------------------------------- aggs
 
   /** A13/A14-style grouped multi-aggregate — the flagship pricing
@@ -850,8 +885,13 @@ object RelationalQueries {
   val qTriangles: QueryDef = QueryDef.sql(
     "q_triangles",
     """WITH buckets AS (
-      |  SELECT DISTINCT user_id, event_type, date_trunc('minute', ts) AS h
-      |  FROM events),
+      |  SELECT user_id, event_type, h FROM (
+      |    SELECT user_id, event_type, h,
+      |      row_number() OVER (PARTITION BY event_type, h
+      |        ORDER BY user_id) AS rn
+      |    FROM (SELECT DISTINCT user_id, event_type,
+      |            date_trunc('minute', ts) AS h FROM events))
+      |  WHERE rn <= 40),
       |edges AS (
       |  SELECT DISTINCT x.user_id AS u, y.user_id AS v
       |  FROM buckets x JOIN buckets y
@@ -863,16 +903,7 @@ object RelationalQueries {
       |JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v
       |ORDER BY a, b, c""".stripMargin,
     doc = "triangle enumeration, degree-oriented wedge join (graph analytics)") { (s, dir) =>
-    val buckets = t(s, dir, "events")
-      .select(col("user_id"), col("event_type"),
-        date_trunc("minute", col("ts")).as("h"))
-      .distinct()
-    val edges = buckets.as("x").join(buckets.as("y"),
-        col("x.event_type") === col("y.event_type") &&
-          col("x.h") === col("y.h") &&
-          col("x.user_id") < col("y.user_id"))
-      .select(col("x.user_id").as("u"), col("y.user_id").as("v"))
-      .distinct()
+    val edges = coOccurEdges(s, dir, "minute")
     Iterate.triangles(edges, "u", "v").orderBy("a", "b", "c")
   }
 
@@ -887,8 +918,13 @@ object RelationalQueries {
   val qClusteringCoeff: QueryDef = QueryDef.sql(
     "q_clustering_coeff",
     """WITH buckets AS (
-      |  SELECT DISTINCT user_id, event_type, date_trunc('minute', ts) AS h
-      |  FROM events),
+      |  SELECT user_id, event_type, h FROM (
+      |    SELECT user_id, event_type, h,
+      |      row_number() OVER (PARTITION BY event_type, h
+      |        ORDER BY user_id) AS rn
+      |    FROM (SELECT DISTINCT user_id, event_type,
+      |            date_trunc('minute', ts) AS h FROM events))
+      |  WHERE rn <= 40),
       |edges AS (
       |  SELECT DISTINCT x.user_id AS u, y.user_id AS v
       |  FROM buckets x JOIN buckets y
@@ -916,16 +952,7 @@ object RelationalQueries {
       |FROM deg LEFT JOIN tcnt ON tcnt.n = deg.n
       |ORDER BY user_id""".stripMargin,
     doc = "local clustering coefficient per node, bounded output (graph analytics)") { (s, dir) =>
-    val buckets = t(s, dir, "events")
-      .select(col("user_id"), col("event_type"),
-        date_trunc("minute", col("ts")).as("h"))
-      .distinct()
-    val edges = buckets.as("x").join(buckets.as("y"),
-        col("x.event_type") === col("y.event_type") &&
-          col("x.h") === col("y.h") &&
-          col("x.user_id") < col("y.user_id"))
-      .select(col("x.user_id").as("u"), col("y.user_id").as("v"))
-      .distinct()
+    val edges = coOccurEdges(s, dir, "minute")
     val tri = Iterate.triangles(edges, "u", "v")
     val tcnt = tri.select(explode(array(col("a"), col("b"), col("c")))
         .as("n"))
@@ -954,8 +981,13 @@ object RelationalQueries {
   val qConnectedComponents: QueryDef = QueryDef.sql(
     "q_connected_components",
     """WITH RECURSIVE buckets AS (
-      |  SELECT DISTINCT user_id, event_type, date_trunc('minute', ts) AS h
-      |  FROM events),
+      |  SELECT user_id, event_type, h FROM (
+      |    SELECT user_id, event_type, h,
+      |      row_number() OVER (PARTITION BY event_type, h
+      |        ORDER BY user_id) AS rn
+      |    FROM (SELECT DISTINCT user_id, event_type,
+      |            date_trunc('minute', ts) AS h FROM events))
+      |  WHERE rn <= 40),
       |edges AS (
       |  SELECT DISTINCT x.user_id AS u, y.user_id AS v
       |  FROM buckets x JOIN buckets y
@@ -970,16 +1002,7 @@ object RelationalQueries {
       |FROM reach GROUP BY a
       |ORDER BY user_id""".stripMargin,
     doc = "connected components via min-label propagation vs reachability-closure oracle (graph analytics)") { (s, dir) =>
-    val buckets = t(s, dir, "events")
-      .select(col("user_id"), col("event_type"),
-        date_trunc("minute", col("ts")).as("h"))
-      .distinct()
-    val edges = buckets.as("x").join(buckets.as("y"),
-        col("x.event_type") === col("y.event_type") &&
-          col("x.h") === col("y.h") &&
-          col("x.user_id") < col("y.user_id"))
-      .select(col("x.user_id").as("u"), col("y.user_id").as("v"))
-      .distinct()
+    val edges = coOccurEdges(s, dir, "minute")
     graft.dedup.Dedup.nearDupClusters(edges, "u", "v")
       .select(col("id").as("user_id"), col("label").as("component"))
       .orderBy("user_id")
@@ -1034,8 +1057,13 @@ object RelationalQueries {
   val qLinkPrediction: QueryDef = QueryDef.sql(
     "q_link_prediction",
     """WITH buckets AS (
-      |  SELECT DISTINCT user_id, event_type, date_trunc('minute', ts) AS h
-      |  FROM events),
+      |  SELECT user_id, event_type, h FROM (
+      |    SELECT user_id, event_type, h,
+      |      row_number() OVER (PARTITION BY event_type, h
+      |        ORDER BY user_id) AS rn
+      |    FROM (SELECT DISTINCT user_id, event_type,
+      |            date_trunc('minute', ts) AS h FROM events))
+      |  WHERE rn <= 40),
       |edges AS (
       |  SELECT DISTINCT x.user_id AS u, y.user_id AS v
       |  FROM buckets x JOIN buckets y
@@ -1061,16 +1089,7 @@ object RelationalQueries {
       |JOIN deg dv ON dv.n = n.v
       |ORDER BY n.common DESC, n.u, n.v LIMIT 20""".stripMargin,
     doc = "common-neighbor link prediction, top-20 non-adjacent pairs (graph analytics)") { (s, dir) =>
-    val buckets = t(s, dir, "events")
-      .select(col("user_id"), col("event_type"),
-        date_trunc("minute", col("ts")).as("h"))
-      .distinct()
-    val edges = buckets.as("x").join(buckets.as("y"),
-        col("x.event_type") === col("y.event_type") &&
-          col("x.h") === col("y.h") &&
-          col("x.user_id") < col("y.user_id"))
-      .select(col("x.user_id").as("u"), col("y.user_id").as("v"))
-      .distinct()
+    val edges = coOccurEdges(s, dir, "minute")
     Iterate.linkPrediction(edges, "u", "v")
       .select(col("u"), col("v"), col("common"),
         round(col("jaccard"), 6).cast("double").as("jaccard"))
@@ -1359,8 +1378,13 @@ object RelationalQueries {
   val qDegreePowerlaw: QueryDef = QueryDef.sql(
     "q_degree_powerlaw",
     """WITH buckets AS (
-      |  SELECT DISTINCT user_id, event_type, date_trunc('hour', ts) AS h
-      |  FROM events),
+      |  SELECT user_id, event_type, h FROM (
+      |    SELECT user_id, event_type, h,
+      |      row_number() OVER (PARTITION BY event_type, h
+      |        ORDER BY user_id) AS rn
+      |    FROM (SELECT DISTINCT user_id, event_type,
+      |            date_trunc('hour', ts) AS h FROM events))
+      |  WHERE rn <= 40),
       |edges AS (
       |  SELECT DISTINCT x.user_id AS u, y.user_id AS v
       |  FROM buckets x JOIN buckets y
@@ -1379,16 +1403,7 @@ object RelationalQueries {
       |    AS DECIMAL(28,12))) AS DOUBLE), 6) AS alpha
       |FROM tail""".stripMargin,
     doc = "degree distribution Hill power-law exponent (graph shape profile)") { (s, dir) =>
-    val buckets = t(s, dir, "events")
-      .select(col("user_id"), col("event_type"),
-        date_trunc("hour", col("ts")).as("h"))
-      .distinct()
-    val edges = buckets.as("x").join(buckets.as("y"),
-        col("x.event_type") === col("y.event_type") &&
-          col("x.h") === col("y.h") &&
-          col("x.user_id") < col("y.user_id"))
-      .select(col("x.user_id").as("u"), col("y.user_id").as("v"))
-      .distinct()
+    val edges = coOccurEdges(s, dir, "hour")
     val deg = edges.select(explode(array(col("u"), col("v"))).as("node"))
       .groupBy("node").agg(count(lit(1)).as("d"))
     val nNodes = deg.agg(count(lit(1)).as("n_nodes"))
