@@ -1073,9 +1073,12 @@ object RelationalQueries {
       |  SELECT u AS n, v AS nbr FROM edges
       |  UNION ALL SELECT v AS n, u AS nbr FROM edges),
       |deg AS (SELECT n, count(*) AS d FROM adj GROUP BY n),
+      |centers AS (
+      |  SELECT a.n, a.nbr FROM adj a
+      |  JOIN deg dn ON dn.n = a.nbr WHERE dn.d <= 64),
       |cand AS (
       |  SELECT x.n AS u, y.n AS v, count(*) AS common
-      |  FROM adj x JOIN adj y ON x.nbr = y.nbr AND x.n < y.n
+      |  FROM centers x JOIN centers y ON x.nbr = y.nbr AND x.n < y.n
       |  GROUP BY x.n, y.n),
       |nonadj AS (
       |  SELECT c.u, c.v, c.common FROM cand c
@@ -1088,9 +1091,9 @@ object RelationalQueries {
       |JOIN deg du ON du.n = n.u
       |JOIN deg dv ON dv.n = n.v
       |ORDER BY n.common DESC, n.u, n.v LIMIT 20""".stripMargin,
-    doc = "common-neighbor link prediction, top-20 non-adjacent pairs (graph analytics)") { (s, dir) =>
+    doc = "common-neighbor link prediction, hub-capped wedges, top-20 non-adjacent pairs (graph analytics)") { (s, dir) =>
     val edges = coOccurEdges(s, dir, "minute")
-    Iterate.linkPrediction(edges, "u", "v")
+    Iterate.linkPrediction(edges, "u", "v", maxHubDegree = 64)
       .select(col("u"), col("v"), col("common"),
         round(col("jaccard"), 6).cast("double").as("jaccard"))
       .orderBy(col("common").desc, col("u"), col("v"))
