@@ -272,6 +272,32 @@ final class Orchestrator(spark: SparkSession, config: EngineConfig) {
     syncViews(table)
   }
 
+  /** SCD1 upsert THROUGH the view layer: registered views fold the
+    * exact mutation (retracted pre-images + new rows) instead of
+    * silently drifting the way a merge behind the pipeline's back
+    * would. The pre-image rows being replaced are pinned (eager
+    * checkpoint) BEFORE the merge rewrites the table — a lazy frame
+    * would re-read the post-merge state and retract the wrong
+    * payloads. Fold cost per view follows [[graft.store.MatView.mutateState]]:
+    * signed partials with zero base reads when all measures are
+    * invertible, delta-keyed group rescan otherwise. Note the
+    * count-based [[syncViews]] detector is exact for the append path
+    * but blind to count-preserving pure updates — which is exactly
+    * why merges must route through here rather than relying on the
+    * sweep to heal.
+    */
+  def merge(table: String, updates: DataFrame, keys: Seq[String]): Unit = {
+    val views = registeredViews(table)
+    val removed =
+      if (views.isEmpty) updates.limit(0)
+      else warehouse.read(table)
+        .join(updates.select(keys.map(col): _*), keys, "left_semi")
+        .localCheckpoint(true)
+    warehouse.merge(table, updates, keys)
+    views.foreach(mv => graft.store.MatView.refreshMutation(
+      warehouse, mv, removed, updates, warehouse.read(table)))
+  }
+
   /** Ad-hoc SQL over the warehouse (`orchestrator.py:60-88` →
     * `spark.sql`): registers every warehouse table as a temp view
     * first.

@@ -129,6 +129,39 @@ class MatViewRetractionSpec extends SparkSpec {
     assert(MatView.rowsCovered(wh, mv) === wh.read("facts").count())
   }
 
+  test("orchestrator merge folds views exactly — even count-preserving updates") {
+    // a pure update keeps the table's row count, so the count-based
+    // divergence sweep CANNOT see it — only the mutation fold keeps
+    // the view honest; this is the drift case the retraction layer
+    // exists for
+    import graft.pipeline.{EngineConfig, Orchestrator}
+    val root = Files.createTempDirectory("ret_merge").toString
+    val orch = new Orchestrator(spark, EngineConfig(warehouseDir = s"$root/wh"))
+    val mv = MatViewDef("merged", Seq("k"), Seq(
+      MvMeasure("count"), MvMeasure("sum", "v"), MvMeasure("max", "v")))
+    orch.registerView("facts", mv)
+    val dir = s"$root/b1"
+    rows(Seq((1L, 0L, 1.0), (2L, 0L, 2.0), (3L, 1L, 3.0)))
+      .coalesce(1).write.parquet(dir)
+    orch.loadFile(dir, Some("facts"))
+    // count-preserving update: id=2's value changes, nothing else
+    orch.merge("facts", rows(Seq((2L, 0L, 20.0))), Seq("id"))
+    val view = orch.readView(mv).orderBy("k")
+      .select(col("k"), col("cnt"), col("sum_v").cast("double"),
+        col("max_v"))
+      .as[(Long, Long, Double, Double)].collect().toSeq
+    assert(view === Seq((0L, 2L, 21.0, 20.0), (1L, 1L, 3.0, 3.0)))
+    // and a mixed merge (insert + update) stays exact too
+    orch.merge("facts", rows(Seq((2L, 0L, 5.0), (4L, 1L, 7.0))), Seq("id"))
+    val v2 = orch.readView(mv).orderBy("k")
+      .select(col("k"), col("cnt"), col("sum_v").cast("double"),
+        col("max_v"))
+      .as[(Long, Long, Double, Double)].collect().toSeq
+    assert(v2 === Seq((0L, 2L, 6.0, 5.0), (1L, 2L, 10.0, 7.0)))
+    assert(MatView.rowsCovered(orch.warehouse, mv) ===
+      orch.warehouse.read("facts").count())
+  }
+
   test("pipeline self-heals a crash that appended without folding") {
     import graft.pipeline.{EngineConfig, Orchestrator}
     val root = Files.createTempDirectory("ret_orch").toString
