@@ -61,6 +61,42 @@ class StreamDriftSpec extends SparkSpec {
     assert(math.abs(psi2 - psiOf(wave2, ref)) < 1e-6)
   }
 
+  test("checkpoint LOSS: restarted monitor rebuilds a consistent history") {
+    val wh = new Warehouse(spark, Files.createTempDirectory("sdl_wh").toString)
+    val in = Files.createTempDirectory("sdl_in").toString
+    val ckptA = Files.createTempDirectory("sdl_ckptA").toString
+    val ckptB = Files.createTempDirectory("sdl_ckptB").toString
+    val rnd = new scala.util.Random(7)
+    val train = Seq.fill(2000)(rnd.nextDouble() * 50)
+    val refDf = StreamDrift.referenceShares(train.toDF("value"), "value", cuts)
+      .localCheckpoint(eager = true)
+    def drain(ckpt: String): Unit = {
+      val schema = spark.read.parquet(in).schema
+      StreamDrift.psiStream(wh, "ml", StreamIngest.readFileStream(spark, in, schema),
+        "value", cuts, refDf, ckpt).awaitTermination()
+    }
+    Seq.fill(500)(rnd.nextDouble() * 50).toDF("value")
+      .coalesce(1).write.mode("append").parquet(in)
+    drain(ckptA)
+    Seq.fill(500)(rnd.nextDouble() * 50).toDF("value")
+      .coalesce(1).write.mode("append").parquet(in)
+    drain(ckptA)
+    assert(wh.read(StreamDrift.psiTable("ml")).count() === 2)
+    // checkpoint dies: re-delivery re-batches the whole retained input
+    // at id 0 — stale rows describing the OLD batching must clear, or
+    // the history holds rows for batches that no longer exist
+    Seq.fill(500)(40.0 + rnd.nextDouble() * 10).toDF("value")
+      .coalesce(1).write.mode("append").parquet(in)
+    drain(ckptB)
+    val got = wh.read(StreamDrift.psiTable("ml")).orderBy("batch_id")
+      .select(col("batch_id"), col("n_rows")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // one consistent history under the NEW batching: every retained
+    // row re-delivered exactly once
+    assert(got.map(_._2).sum === 1500L,
+      s"stale rows linger or rows lost: $got")
+  }
+
   test("replay with no new files adds nothing") {
     val wh = new Warehouse(spark, Files.createTempDirectory("sd_wh2").toString)
     val in = Files.createTempDirectory("sd_in2").toString

@@ -68,6 +68,37 @@ class StreamSimilaritySpec extends SparkSpec {
     assert(cells(wh) === before)
   }
 
+  test("checkpoint LOSS: re-streamed search results never duplicate") {
+    val wh = new Warehouse(spark, Files.createTempDirectory("ssim_wh3").toString)
+    val in = Files.createTempDirectory("ssim_in3").toString
+    val ckptA = Files.createTempDirectory("ssim_ckpt4").toString
+    val ckptB = Files.createTempDirectory("ssim_ckpt5").toString
+    IvfIndex.build(wh, "ann", emb, "vec_id", "embedding", k = 8, iters = 3)
+    def drain(ckpt: String): Unit = {
+      val schema = spark.read.parquet(in).schema
+      StreamSimilarity.ivfSearchStream(wh, "ann",
+        StreamIngest.readFileStream(spark, in, schema),
+        "vec_id", "embedding", k = 5, nProbe = 2,
+        sinkTable = "annl_results", checkpoint = ckpt).awaitTermination()
+    }
+    emb.filter(col("vec_id") < 2).coalesce(1).write.mode("append").parquet(in)
+    drain(ckptA)
+    emb.filter(col("vec_id") >= 2 && col("vec_id") < 4)
+      .coalesce(1).write.mode("append").parquet(in)
+    drain(ckptA)
+    // checkpoint dies: the restarted query re-serves everything at
+    // id 0 — stale result partitions under the old batching must
+    // clear or every pre-loss query's results duplicate
+    emb.filter(col("vec_id") >= 4 && col("vec_id") < 5)
+      .coalesce(1).write.mode("append").parquet(in)
+    drain(ckptB)
+    val res = wh.read("annl_results").select("query_id", "rank")
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSeq
+    assert(res.length === res.distinct.length,
+      "duplicate results after checkpoint loss")
+    assert(res.map(_._1).distinct.sorted === Seq(0L, 1L, 2L, 3L, 4L))
+  }
+
   test("streamed search lands per-batch results ≡ direct IvfIndex.search") {
     val wh = new Warehouse(spark, Files.createTempDirectory("ssim_wh2").toString)
     val in = Files.createTempDirectory("ssim_in2").toString
