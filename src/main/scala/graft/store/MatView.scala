@@ -199,6 +199,30 @@ object MatView {
     refreshMutation(wh, mv, removed, added, baseAfter)
   }
 
+  /** Cube retraction — the grouping-set twin of the invertible
+    * [[mutateState]] path: the mutation's signed partials are CUBED
+    * (every grouping set sees the delta independently, keyed by the
+    * shared grouping id) and merged into the cube state; groups
+    * retracting to empty leave every grouping set they occupied.
+    * INVERTIBLE measures only, by construction: a semilattice measure
+    * (min/max/hll/bottomk) would need a per-affected-group rescan,
+    * and the all-rollup row (every key rolled up) is "affected" by
+    * ANY removal — its rescan is the whole base, which defeats
+    * incremental maintenance. Views mixing extrema with cubes should
+    * rebuild via [[partialCube]] on mutation.
+    */
+  def mutateCube(state: DataFrame, removed: DataFrame, added: DataFrame,
+      mv: MatViewDef): DataFrame = {
+    require(mv.measures.forall(m => InvertibleKinds(m.kind)),
+      "cube retraction requires invertible measures (count/sum/avg); " +
+        "semilattice measures would rescan the whole base at the " +
+        "all-rollup grouping set")
+    val p = signedUnion(removed, added)
+      .cube(mv.keys.map(col): _*)
+      .agg(grouping_id().as("__gid"), signedAggs(mv): _*)
+    mergeCubes(state, p, mv).filter(col(RowCount) > 0)
+  }
+
   /** Sum of the hidden per-group row counts — equals the base table's
     * row count exactly when every appended delta folded exactly once
     * (append path) / every mutation folded exactly once (mutation
@@ -325,12 +349,14 @@ object MatView {
     * once contributed. Same column names and types as [[partial]], so
     * [[mergeStates]] applies unchanged.
     */
-  private def partialSigned(removed: DataFrame, added: DataFrame,
-      mv: MatViewDef): DataFrame = {
+  private def signedUnion(removed: DataFrame, added: DataFrame): DataFrame = {
     val cols = removed.columns.toSeq
-    val signed = removed.select(cols.map(col) :+ lit(-1L).as("__sign"): _*)
+    removed.select(cols.map(col) :+ lit(-1L).as("__sign"): _*)
       .unionByName(added.select(cols.map(col) :+ lit(1L).as("__sign"): _*))
-    val aggs = mv.measures.flatMap { m =>
+  }
+
+  private def signedAggs(mv: MatViewDef): Seq[Column] =
+    mv.measures.flatMap { m =>
       m.kind match {
         case "count" => Seq(sum(col("__sign")).as(m.tag))
         case "sum" => Seq(
@@ -339,10 +365,15 @@ object MatView {
           sum((col(m.src) * col("__sign")).cast(SumType)).as(s"${m.tag}__sum"),
           sum(when(col(m.src).isNotNull, col("__sign")).otherwise(0L))
             .as(s"${m.tag}__cnt"))
-        case other => sys.error(s"partialSigned on non-invertible: $other")
+        case other => sys.error(s"signed partial on non-invertible: $other")
       }
     } :+ sum(col("__sign")).as(RowCount)
-    signed.groupBy(mv.keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
+
+  private def partialSigned(removed: DataFrame, added: DataFrame,
+      mv: MatViewDef): DataFrame = {
+    val aggs = signedAggs(mv)
+    signedUnion(removed, added)
+      .groupBy(mv.keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
   }
 
   private def mergeAggs(mv: MatViewDef): Seq[Column] =

@@ -106,6 +106,36 @@ class MatViewRetractionSpec extends SparkSpec {
     }
   }
 
+  test("cube retraction: signed grouping-set fold == one-shot cube") {
+    val mv = MatViewDef("ret_cube", Seq("k", "k2"), Seq(
+      MvMeasure("count"), MvMeasure("sum", "v"), MvMeasure("avg", "v")))
+    def cubeRows(xs: Seq[(Long, Long, Long, Double)]) =
+      xs.toDF("id", "k", "k2", "v")
+    val base = cubeRows(Seq((1L, 0L, 0L, 1.0), (2L, 0L, 1L, 2.0),
+      (3L, 1L, 0L, 3.0), (4L, 1L, 1L, 4.0), (5L, 1L, 1L, 5.0)))
+    val state0 = MatView.partialCube(base, mv)
+    // delete id=2 (group (0,1) empties), update id=4, insert id=6
+    val removed = cubeRows(Seq((2L, 0L, 1L, 2.0), (4L, 1L, 1L, 4.0)))
+    val added = cubeRows(Seq((4L, 1L, 1L, 40.0), (6L, 2L, 0L, 6.0)))
+    val after = cubeRows(Seq((1L, 0L, 0L, 1.0), (3L, 1L, 0L, 3.0),
+      (4L, 1L, 1L, 40.0), (5L, 1L, 1L, 5.0), (6L, 2L, 0L, 6.0)))
+    val state1 = MatView.mutateCube(state0, removed, added, mv)
+    def fin(st: DataFrame) = MatView.finalizeCube(st, mv)
+      .orderBy("__gid", "k", "k2").collect().toSeq
+    assert(fin(state1) === fin(MatView.partialCube(after, mv)))
+    // the emptied (0,1) leaf left the state; its rollups retracted
+    val leaf = state1.filter(col("__gid") === 0 &&
+      col("k") === 0L && col("k2") === 1L)
+    assert(leaf.isEmpty)
+    // semilattice cube measures refuse the signed path loudly
+    val bad = MatViewDef("ret_cube_bad", Seq("k"),
+      Seq(MvMeasure("max", "v")))
+    intercept[RuntimeException] {
+      MatView.mutateCube(MatView.partialCube(base, bad),
+        removed, added, bad)
+    }
+  }
+
   test("disk round-trip: a SnapshotDiff feed drives the view through a merge") {
     val wh = new Warehouse(spark,
       Files.createTempDirectory("ret_wh").toString)
