@@ -541,9 +541,59 @@ object TransformQueries {
       .orderBy("o_orderstatus")
   }
 
+  /** Cube retraction ([[graft.store.MatView.mutateCube]]): the same
+    * delete/update/insert batch as q_matview_retract_signed folds
+    * into a CUBE state — every grouping set retracts independently
+    * through the signed partials under the shared grouping id, and
+    * the oracle recomputes GROUP BY CUBE one-shot over the mutated
+    * table. Invertible measures only (the all-rollup grouping set
+    * makes semilattice rescans base-sized — mutateCube refuses them).
+    */
+  val qMatviewCubeRetract: QueryDef = QueryDef.sql(
+    "q_matview_cube_retract",
+    """WITH a AS (
+      |  SELECT o_orderkey, o_orderstatus, o_orderpriority,
+      |    CASE WHEN o_orderkey % 13 = 0 THEN o_totalprice + 100
+      |         ELSE o_totalprice END AS o_totalprice
+      |  FROM orders WHERE o_orderkey % 97 <> 0
+      |  UNION ALL
+      |  SELECT o_orderkey + 1000000, 'N', '0-NEW', o_totalprice
+      |  FROM orders WHERE o_orderkey < 50)
+      |SELECT GROUPING_ID(o_orderstatus, o_orderpriority) AS gid,
+      |  o_orderstatus, o_orderpriority, count(*) AS cnt,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE)
+      |    AS sum_o_totalprice
+      |FROM a GROUP BY CUBE(o_orderstatus, o_orderpriority)
+      |ORDER BY gid, o_orderstatus, o_orderpriority""".stripMargin,
+    doc = "cube retraction: signed grouping-set fold == one-shot GROUP BY CUBE over mutated base") { (s, dir) =>
+    import graft.store.{MatView, MatViewDef, MvMeasure}
+    val mv = MatViewDef("ret_cube", Seq("o_orderstatus", "o_orderpriority"),
+      Seq(MvMeasure("count"), MvMeasure("sum", "o_totalprice")))
+    val before = t(s, dir, "orders")
+      .select("o_orderkey", "o_orderstatus", "o_orderpriority",
+        "o_totalprice")
+    val deletes = before.filter(col("o_orderkey") % 97 === 0)
+    val updPre = before.filter(col("o_orderkey") % 97 =!= 0 &&
+      col("o_orderkey") % 13 === 0)
+    val updPost = updPre.withColumn("o_totalprice", col("o_totalprice") + 100)
+    val inserts = before.filter(col("o_orderkey") < 50)
+      .select((col("o_orderkey") + 1000000L).as("o_orderkey"),
+        lit("N").as("o_orderstatus"), lit("0-NEW").as("o_orderpriority"),
+        col("o_totalprice"))
+    val state0 = MatView.partialCube(before, mv)
+    val state1 = MatView.mutateCube(state0,
+      deletes.unionByName(updPre), updPost.unionByName(inserts), mv)
+    MatView.finalizeCube(state1, mv)
+      .select(col("__gid").as("gid"), col("o_orderstatus"),
+        col("o_orderpriority"), col("cnt"),
+        col("sum_o_totalprice").cast("double").as("sum_o_totalprice"))
+      .orderBy("gid", "o_orderstatus", "o_orderpriority")
+  }
+
   val all: Seq[QueryDef] = Seq(
     qMelt, qNormalizeGlobal, qNormalizeGroup, qSampleSystematic,
     qSampleStratified, qSampleRandom, qMixtureSample, qMergeUpsert,
     qZorderValue, qSampleWeighted, qMatviewRollup, qSnapshotDiff,
-    qMatviewJoin, qMatviewCube, qMatviewDelete, qMatviewRetractSigned)
+    qMatviewJoin, qMatviewCube, qMatviewDelete, qMatviewRetractSigned,
+    qMatviewCubeRetract)
 }
