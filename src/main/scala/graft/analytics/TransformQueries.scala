@@ -590,10 +590,64 @@ object TransformQueries {
       .orderBy("gid", "o_orderstatus", "o_orderpriority")
   }
 
+  /** Join-view retraction ([[graft.store.JoinView.mutateView]]): the
+    * maintained orders⋈lineitem view absorbs a mutation on BOTH sides
+    * — order deletions, lineitem quantity updates (remove pre-image +
+    * add post-image), fresh lineitem inserts — through id-keyed anti
+    * joins plus the one-sided delta additions, and must equal the
+    * oracle's one-shot join over the mutated inputs. The append-only
+    * fold (q_matview_join) and this mutation fold together cover the
+    * full JoinView algebra at the gate.
+    */
+  val qJoinviewMutate: QueryDef = QueryDef.sql(
+    "q_joinview_mutate",
+    """WITH o AS (
+      |  SELECT o_orderkey, o_custkey FROM orders
+      |  WHERE o_orderkey < 3000 AND o_orderkey % 19 <> 0),
+      |l AS (
+      |  SELECT l_orderkey, l_linenumber,
+      |    CASE WHEN l_linenumber = 1 THEN l_quantity + 100
+      |         ELSE l_quantity END AS l_quantity
+      |  FROM lineitem WHERE l_orderkey < 3000
+      |  UNION ALL
+      |  SELECT l_orderkey, 900 + l_linenumber, l_quantity
+      |  FROM lineitem WHERE l_orderkey < 100)
+      |SELECT o.o_orderkey, l.l_linenumber, o.o_custkey, l.l_quantity
+      |FROM o JOIN l ON o.o_orderkey = l.l_orderkey
+      |ORDER BY o_orderkey, l_linenumber, l_quantity""".stripMargin,
+    doc = "join-view retraction: two-sided delete/update/insert fold == one-shot join of mutated inputs") { (s, dir) =>
+    import graft.store.JoinView
+    val ords = t(s, dir, "orders")
+      .filter(col("o_orderkey") < 3000)
+      .select("o_orderkey", "o_custkey")
+    val li = t(s, dir, "lineitem")
+      .filter(col("l_orderkey") < 3000)
+      .select(col("l_orderkey").as("o_orderkey"), col("l_linenumber"),
+        col("l_quantity"))
+    val view0 = ords.join(li, Seq("o_orderkey"))
+    // left: delete every 19th order; right: update line 1's quantity
+    // (+100) and insert shifted copies for low orderkeys
+    val lRem = ords.filter(col("o_orderkey") % 19 === 0)
+    val rUpdPre = li.filter(col("l_linenumber") === 1)
+    val rUpdPost = rUpdPre.withColumn("l_quantity", col("l_quantity") + 100)
+    val rIns = li.filter(col("o_orderkey") < 100)
+      .withColumn("l_linenumber", col("l_linenumber") + 900)
+    val lAfter = ords.filter(col("o_orderkey") % 19 =!= 0)
+    val rAfter = li.filter(col("l_linenumber") =!= 1)
+      .unionByName(rUpdPost).unionByName(rIns)
+    JoinView.mutateView(view0, Seq("o_orderkey"), lAfter, rAfter,
+        leftId = Seq("o_orderkey"),
+        rightId = Seq("o_orderkey", "l_linenumber", "l_quantity"),
+        lRemoved = lRem, lAdded = lAfter.limit(0),
+        rRemoved = rUpdPre, rAdded = rUpdPost.unionByName(rIns))
+      .select("o_orderkey", "l_linenumber", "o_custkey", "l_quantity")
+      .orderBy("o_orderkey", "l_linenumber", "l_quantity")
+  }
+
   val all: Seq[QueryDef] = Seq(
     qMelt, qNormalizeGlobal, qNormalizeGroup, qSampleSystematic,
     qSampleStratified, qSampleRandom, qMixtureSample, qMergeUpsert,
     qZorderValue, qSampleWeighted, qMatviewRollup, qSnapshotDiff,
     qMatviewJoin, qMatviewCube, qMatviewDelete, qMatviewRetractSigned,
-    qMatviewCubeRetract)
+    qMatviewCubeRetract, qJoinviewMutate)
 }
