@@ -1,0 +1,118 @@
+package graft.sim
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.store.Warehouse
+
+/** Persistent IVF × PQ index — the AT-REST form of
+  * [[ProductQuantization.ivfPqTopK]]'s three-tier funnel, built once
+  * and served many times (the [[IvfIndex]] lifecycle extended with a
+  * compressed code tier):
+  *
+  *  - `<name>__centroids` — coarse quantizer, k rows;
+  *  - `<name>__books`    — PQ codebooks, m · ksub component rows;
+  *  - `<name>__codes`    — (id, sub, cid, centroid_id), PARTITIONED
+  *    BY `centroid_id`: a probe of nProbe cells is a directory-pruned
+  *    read of the COMPRESSED representation only (m small ints per
+  *    vector — the tier that makes a 100 TB corpus scannable);
+  *  - `<name>__cells`    — the full vectors, also centroid-partitioned
+  *    (via [[IvfIndex]]'s layout), read ONLY for the re-rank
+  *    shortlist (id-keyed semi-join, `rerank` rows per query).
+  *
+  * Search never touches an unprobed cell in either tier, and the
+  * full-precision tier is touched only shortlist-deep — exactly the
+  * I/O shape a disaggregated vector store serves from. Codes encode
+  * raw unit-normalized vectors (not residuals): one code table serves
+  * any probe set, and the exact re-rank supplies the accuracy
+  * residual encoding would buy.
+  */
+object IvfPqIndex {
+
+  private def booksTable(name: String) = s"${name}__books"
+  private def codesTable(name: String) = s"${name}__codes"
+
+  /** Build all four tables. Returns (#cells, #codes). */
+  def build(wh: Warehouse, name: String, corpus: DataFrame,
+      idCol: String, vecCol: String, kCoarse: Int, m: Int,
+      ksub: Int = 16, iters: Int = 3): (Long, Long) = {
+    val nCells = IvfIndex.build(wh, name, corpus, idCol, vecCol,
+      kCoarse, iters)
+    val comp = ProductQuantization.components(corpus, idCol, vecCol, m)
+      .cache()
+    try {
+      val books = ProductQuantization.train(comp, ksub, iters)
+      wh.createTable(booksTable(name), books.schema, ifExists = "replace")
+      wh.append(booksTable(name), books)
+      val cellOf = wh.read(s"${name}__cells")
+        .select(col(idCol).as("id"), col("centroid_id"))
+      val codes = ProductQuantization.assignCodes(comp, books)
+        .join(cellOf, Seq("id"))
+      wh.createTable(codesTable(name), codes.schema,
+        ifExists = "replace", partitionBy = Seq("centroid_id"))
+      wh.append(codesTable(name), codes)
+      (nCells, wh.read(codesTable(name)).select("id").distinct().count())
+    } finally comp.unpersist()
+  }
+
+  /** Probe-pruned ADC search + exact re-rank against the persisted
+    * index. The probed cell ids (|queries| × nProbe, driver-bounded
+    * like [[IvfIndex.search]]) become an `isin` partition prune on
+    * the CODES table; the ADC lookup tables broadcast; the full
+    * vectors enter only for the shortlist.
+    */
+  def search(wh: Warehouse, name: String, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int, nProbe: Int = 2,
+      m: Int = 4, rerank: Int = 50): DataFrame = {
+    val cents = wh.read(s"${name}__centroids")
+    val books = wh.read(booksTable(name))
+    val probeW = Window.partitionBy(col("query_id"))
+      .orderBy(col("__psim").desc, col("centroid_id"))
+    val probes = queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
+      .crossJoin(broadcast(cents))
+      .withColumn("__psim",
+        Similarity.cosine(col("__qv"), col("centroid_vec")))
+      .withColumn("__pr", row_number().over(probeW))
+      .filter(col("__pr") <= nProbe)
+      .select(col("query_id"), col("centroid_id"))
+      .localCheckpoint(eager = true)
+    val probedCells = probes.select("centroid_id").distinct()
+      .collect().map(_.getLong(0)).toSeq
+    // directory-pruned compressed scan: only probed centroid_id=
+    // partitions of the codes table are ever listed or read
+    val codes = wh.read(codesTable(name))
+      .filter(col("centroid_id").isin(probedCells: _*))
+    val dt = ProductQuantization.components(queries, idCol, vecCol, m)
+      .select(col("id").as("query_id"), col("sub"), col("q"), col("x"))
+      .join(books, Seq("sub", "q"))
+      .select(col("query_id"), col("sub"), col("cid"),
+        (col("x") * col("c")).as("__p"))
+      .groupBy(col("query_id"), col("sub"), col("cid"))
+      .agg(sum(col("__p").cast("decimal(27,12)")).as("__dot"))
+    val wS = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("corpus_id"))
+    val shortlist = codes
+      .join(broadcast(probes), Seq("centroid_id"))
+      .join(broadcast(dt), Seq("query_id", "sub", "cid"))
+      .groupBy(col("query_id"), col("id"))
+      .agg(sum(col("__dot")).cast("double").as("score"))
+      .select(col("query_id"), col("id").as("corpus_id"), col("score"))
+      .filter(col("corpus_id") =!= col("query_id"))
+      .withColumn("__rn", row_number().over(wS))
+      .filter(col("__rn") <= math.max(k, rerank))
+      .select(col("query_id"), col("corpus_id"))
+    val full = wh.read(s"${name}__cells")
+      .select(col(idCol).as("corpus_id"), col(vecCol).as("__cv"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("corpus_id"))
+    shortlist.join(full, Seq("corpus_id"))
+      .join(broadcast(q), Seq("query_id"))
+      .select(col("query_id"), col("corpus_id"),
+        Similarity.cosine(col("__cv"), col("__qv")).as("cosine"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+}
