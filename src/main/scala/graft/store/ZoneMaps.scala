@@ -96,28 +96,55 @@ object ZoneMaps {
         .as(s"${c}_bloom"), count(lit(1)).as("n_rows"))
   }
 
-  /** Files whose Bloom filter might contain `value`. Probing runs
-    * driver-side over the manifest — O(files), the same scale as the
-    * listing itself. No false negatives by construction: the probe
-    * dispatches on the key's runtime type exactly the way
+  /** Manifest rows whose Bloom filter might contain `value`,
+    * projected to the `file` column ONLY — the probe itself
+    * ([[graft.plans.BloomMightContain]]) evaluates on EXECUTORS, so
+    * the serialized filters (the heavy part of the manifest: ~1.2 MB
+    * each at 1M keys / 3% fpp — a terabyte of driver traffic at
+    * 100 TB file counts) never leave their partitions; only matching
+    * file NAMES flow back. No false negatives by construction: the
+    * probe key is typed exactly the way
     * [[graft.plans.BloomAggregate.update]] dispatched at build time
     * (strings hash their UTF-8 bytes, integral keys hash as longs) —
     * probing an integral-keyed manifest with the string form would
     * return a false NO for every file, silently emptying the scan.
     */
-  def pruneFilesMightContain(manifest: DataFrame, c: String,
-      value: Any): Seq[String] = {
-    import org.apache.spark.util.sketch.BloomFilter
-    manifest.select("file", s"${c}_bloom").collect().filter { r =>
-      val bf = BloomFilter.readFrom(
-        new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](1)))
-      value match {
-        case s: String => bf.mightContainString(s)
-        case n: Number => bf.mightContainLong(n.longValue())
-        case other => bf.mightContainBinary(other.toString.getBytes("UTF-8"))
-      }
-    }.map(_.getString(0)).toSeq
+  def pruneFilesMightContainDf(manifest: DataFrame, c: String,
+      value: Any): DataFrame = {
+    val probeKey = value match {
+      case s: String => lit(s)
+      case n: Number => lit(n.longValue())
+      case other => lit(other.toString)
+    }
+    manifest
+      .filter(call_function("bloom_might_contain", col(s"${c}_bloom"), probeKey))
+      .select("file")
   }
+
+  /** Files whose Bloom filter might contain `value` — the collected
+    * (file-name-sized) form of [[pruneFilesMightContainDf]]. Needs a
+    * GraftExtensions session (`bloom_might_contain`) for the
+    * distributed probe; a plain session falls back to the driver-side
+    * probe (acceptable only at test-scale manifests — building a
+    * bloom manifest already required the extension).
+    */
+  def pruneFilesMightContain(manifest: DataFrame, c: String,
+      value: Any): Seq[String] =
+    if (manifest.sparkSession.catalog.functionExists("bloom_might_contain"))
+      pruneFilesMightContainDf(manifest, c, value)
+        .collect().map(_.getString(0)).toSeq
+    else {
+      import org.apache.spark.util.sketch.BloomFilter
+      manifest.select("file", s"${c}_bloom").collect().filter { r =>
+        val bf = BloomFilter.readFrom(
+          new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](1)))
+        value match {
+          case s: String => bf.mightContainString(s)
+          case n: Number => bf.mightContainLong(n.longValue())
+          case other => bf.mightContainBinary(other.toString.getBytes("UTF-8"))
+        }
+      }.map(_.getString(0)).toSeq
+    }
 
   /** Equality scan through the Bloom manifest + exact residual filter
     * — always equal to the full scan-plus-filter (NOs are exact).

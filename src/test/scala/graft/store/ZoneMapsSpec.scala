@@ -139,6 +139,41 @@ class ZoneMapsSpec extends SparkSpec {
     assert(ZoneMaps.prunedScanEq(spark, dir, m, "key", 999999L).count() === 0)
   }
 
+  test("bloom probe is distributed: collected payload is file-name-sized") {
+    val dir = Files.createTempDirectory("zmd").toString + "/t"
+    val rows = for (f <- 0 until 4; i <- 0 until 500)
+      yield (s"k-$f-$i", f.toLong * 500 + i)
+    rows.toDF("key", "v").repartitionByRange(4, col("v")).write.parquet(dir)
+    val m = ZoneMaps.buildBloomManifest(spark, dir, "key", 1000L)
+      .localCheckpoint(eager = true)
+    // the probe frame projects ONLY the file column — the serialized
+    // filters stay on executors; nothing filter-sized crosses to the
+    // driver (this is the 100-TB posture: file names, not megabyte
+    // bloom payloads)
+    assert(spark.catalog.functionExists("bloom_might_contain"),
+      "premise: spec session has GraftExtensions")
+    val probeDf = ZoneMaps.pruneFilesMightContainDf(m, "key", "k-2-7")
+    assert(probeDf.columns.toSeq === Seq("file"))
+    assert(probeDf.schema.head.dataType ===
+      org.apache.spark.sql.types.StringType)
+    // distributed probe ≡ driver-side reference probe, string + long keys
+    def driverProbe(value: Any): Set[String] = {
+      import org.apache.spark.util.sketch.BloomFilter
+      m.select("file", "key_bloom").collect().filter { r =>
+        val bf = BloomFilter.readFrom(
+          new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](1)))
+        value match {
+          case s: String => bf.mightContainString(s)
+          case n: Number => bf.mightContainLong(n.longValue())
+        }
+      }.map(_.getString(0)).toSet
+    }
+    Seq("k-0-0", "k-2-7", "k-3-499", "absent").foreach { k =>
+      assert(ZoneMaps.pruneFilesMightContain(m, "key", k).toSet ===
+        driverProbe(k), s"key $k")
+    }
+  }
+
   test("file-identity normalization: file:///p, file:/p and /p compare equal") {
     Seq("file:///tmp/x/part-0.parquet", "file:/tmp/x/part-0.parquet",
       "/tmp/x/part-0.parquet").foreach { u =>
