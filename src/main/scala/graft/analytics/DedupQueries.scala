@@ -400,18 +400,25 @@ object DedupQueries {
       .orderBy("id_a", "id_b")
   }
 
-  /** SemDeDup over the embeddings table: assign to the 8 deterministic
-    * centroids (vec_id < 8), drop any vector with a smaller-id
-    * cell-mate at cosine ≥ 0.3. The oracle independently re-derives
-    * the argmax cell assignment (row_number over cosine desc, cid
-    * tie-break — both engines accumulate the same doubles
-    * left-to-right, the q_sim_topk/q_embed_neardup parity) and the
+  /** SemDeDup over the embeddings table with CORPUS-SCALED centroids —
+    * k = max(8, N/256) per SemDeDup's own recipe (Abbas et al. 2023),
+    * deterministic init (the k lowest vec_ids), so the gate exercises
+    * the production parameterization: within-cell pairing is Σ|cell|²,
+    * and a fixed k pins that at N²/k (the round-7 sweep measured 319 s
+    * at 100× that way vs 33 s scaled — SemanticProbe). At sf0.01
+    * (N=500) k stays 8, so the oracle rows are unchanged; at replica
+    * scale k grows with N and the quadratic stays cell-bounded. Drop
+    * rule: a vector drops iff a smaller-id cell-mate has cosine ≥ 0.3.
+    * The oracle re-derives the same k, the argmax cell assignment
+    * (row_number over cosine desc, cid tie-break — both engines
+    * accumulate the same doubles left-to-right) and the
     * EXISTS-a-smaller-near-dup drop rule.
     */
   val qSemanticDedup: QueryDef = QueryDef.sql(
     "q_semantic_dedup",
     """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-      |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+      |c AS (SELECT vec_id AS cid, v AS cv FROM e
+      |      WHERE vec_id < (SELECT greatest(8, count(*) // 256) FROM e)),
       |asg AS (
       |  SELECT vec_id, v, cell FROM (
       |    SELECT e.vec_id, e.v, c.cid AS cell,
@@ -430,10 +437,11 @@ object DedupQueries {
       |SELECT a.vec_id, a.cell, (d.vec_id IS NULL) AS keep
       |FROM asg a LEFT JOIN dropped d ON a.vec_id = d.vec_id
       |ORDER BY a.vec_id""".stripMargin,
-    doc = "SemDeDup semantic dedup verdicts: centroid cells + within-cell cosine (dedup ops)") { (s, dir) =>
+    doc = "SemDeDup semantic dedup verdicts: corpus-scaled centroid cells + within-cell cosine (dedup ops)") { (s, dir) =>
     val emb = t(s, dir, "embeddings")
+    val k = math.max(8L, emb.count() / 256L)
     graft.sim.SemanticDedup.verdicts(emb, "vec_id", "embedding",
-        emb.filter(col("vec_id") < 8), "vec_id", "embedding",
+        emb.filter(col("vec_id") < k), "vec_id", "embedding",
         threshold = 0.3)
       .orderBy("vec_id")
   }
@@ -530,6 +538,48 @@ object DedupQueries {
       .orderBy("id_a", "id_b")
   }
 
+  /** Bounded-output face of the prefix-filter join
+    * ([[Dedup.setSimTopKPrefix]]): top-3 most-similar peers per doc at
+    * J ≥ 0.3 — same candidates, same verification, N·k output rows
+    * however replica-heavy the corpus (the 100×-sweepable production
+    * terminal; the exact pair dump above is quadratic per clone group
+    * by construction). Oracle is the naive symmetric all-pairs join
+    * ranked per doc — identical rows prove both the prefix filter's
+    * recall and the rank/tie-break parity.
+    */
+  val qSetsimTopK: QueryDef = QueryDef.sql(
+    "q_setsim_topk",
+    """WITH sh AS (
+      |  SELECT doc_id,
+      |    list_distinct([array_to_string(tk[i:i+1], ' ')
+      |                   FOR i IN range(1, greatest(len(tk), 2))]) AS sh
+      |  FROM (SELECT doc_id,
+      |          string_split_regex(lower(trim(text)), '[\s[:punct:]]+') AS tk
+      |        FROM documents)),
+      |p AS (
+      |  SELECT a.doc_id, b.doc_id AS peer,
+      |    len(list_intersect(a.sh, b.sh)) /
+      |      (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
+      |      AS jaccard
+      |  FROM sh a CROSS JOIN sh b
+      |  WHERE a.doc_id <> b.doc_id),
+      |r AS (
+      |  SELECT doc_id, peer, jaccard,
+      |    row_number() OVER (PARTITION BY doc_id
+      |      ORDER BY jaccard DESC, peer) AS rank
+      |  FROM p WHERE jaccard >= 0.3)
+      |SELECT doc_id, peer,
+      |  CAST(round(jaccard, 6) AS DOUBLE) AS jaccard, rank
+      |FROM r WHERE rank <= 3
+      |ORDER BY doc_id, rank""".stripMargin,
+    doc = "top-3 similar peers per doc via prefix-filtered exact Jaccard (dedup ops)") { (s, dir) =>
+    Dedup.setSimTopKPrefix(t(s, dir, "documents"), "doc_id", "text",
+        shingleSize = 2, minJaccard = 0.3, k = 3)
+      .select(col("doc_id"), col("peer"),
+        round(col("jaccard"), 6).cast("double").as("jaccard"), col("rank"))
+      .orderBy("doc_id", "rank")
+  }
+
   /** Sorted-neighborhood dedup over the whole corpus — the third
     * blocking family (SNM: Hernández & Stolfo, SIGMOD'95) next to
     * MinHash-LSH and prefix filtering. Window w = 4 over the normalized
@@ -572,5 +622,5 @@ object DedupQueries {
     qDedupExact, qNgramJaccard, qEmbedNearDup, qDedupMinhash,
     qDedupMinhashPlanted, qDedupSimhash, qDedupSimhashPlanted,
     qDedupClusters, qDedupPipeline, qDedupIncremental, qSemanticDedup,
-    qDedupScale10x, qSetsimPrefix, qDedupSortedNbhd)
+    qDedupScale10x, qSetsimPrefix, qSetsimTopK, qDedupSortedNbhd)
 }

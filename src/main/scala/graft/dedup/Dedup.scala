@@ -325,6 +325,30 @@ object Dedup {
     out
   }
 
+  /** Bounded-output face of [[setSimJoinPrefix]] — top-`k`
+    * most-similar peers per document at J ≥ τ. The candidate
+    * generation and verification are EXACTLY the prefix-filter join's
+    * (same recall proof), but the terminal is per-doc ranked and
+    * capped, so the OUTPUT is N·k rows regardless of how duplicate-
+    * heavy the corpus is — the production face for replica-heavy data
+    * where the exact pair dump is quadratic per clone group by
+    * construction. The rank filter compiles to WindowGroupLimit
+    * (per-partition top-k, no full sort of a doc's pair list).
+    */
+  def setSimTopKPrefix(df: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int, minJaccard: Double, k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val pairs = setSimJoinPrefix(df, idCol, textCol, shingleSize, minJaccard)
+    val sym = pairs
+      .select(col("id_a").as(idCol), col("id_b").as("peer"), col("jaccard"))
+      .unionByName(pairs
+        .select(col("id_b").as(idCol), col("id_a").as("peer"), col("jaccard")))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("jaccard").desc, col("peer"))
+    sym.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
   // ---------------------------------------------------------- SimHash
 
   /** 64-bit SimHash as BIGINT: bit i is set iff the sum over tokens of
