@@ -590,6 +590,52 @@ object TransformQueries {
       .orderBy("gid", "o_orderstatus", "o_orderpriority")
   }
 
+  /** Exact COUNT(DISTINCT) retraction
+    * ([[graft.store.MatView.distinctDef]]): the same
+    * delete/update/insert schedule folds into the keyed SUB-STATE —
+    * one row per (status, custkey) multiplicity, invertible, so the
+    * whole mutation rides the signed path with a poison-pill base
+    * (zero base reads, proven at the gate like
+    * q_matview_retract_signed) — and finalizes as the count of
+    * surviving sub-rows. The oracle recomputes COUNT(DISTINCT)
+    * one-shot over the mutated table; the schedule exercises both
+    * hazards: a deleted row whose value survives elsewhere (the
+    * multiplicity must NOT hit zero) and updates that move a value
+    * out of its group entirely.
+    */
+  val qMatviewDistinctRetract: QueryDef = QueryDef.sql(
+    "q_matview_distinct_retract",
+    """WITH a AS (
+      |  SELECT o_orderkey, o_orderstatus,
+      |    CASE WHEN o_orderkey % 13 = 0 THEN o_custkey + 500000
+      |         ELSE o_custkey END AS o_custkey
+      |  FROM orders WHERE o_orderkey % 97 <> 0
+      |  UNION ALL
+      |  SELECT o_orderkey + 1000000, 'N', o_custkey
+      |  FROM orders WHERE o_orderkey < 50)
+      |SELECT o_orderstatus, count(DISTINCT o_custkey) AS distinct_o_custkey
+      |FROM a GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    doc = "COUNT(DISTINCT) retraction via keyed sub-state: delete/update/insert fold == one-shot distinct over mutated base") { (s, dir) =>
+    import graft.store.MatView
+    val dd = MatView.distinctDef("ret_distinct", Seq("o_orderstatus"),
+      "o_custkey")
+    val before = t(s, dir, "orders")
+      .select("o_orderkey", "o_orderstatus", "o_custkey")
+    val deletes = before.filter(col("o_orderkey") % 97 === 0)
+    val updPre = before.filter(col("o_orderkey") % 97 =!= 0 &&
+      col("o_orderkey") % 13 === 0)
+    val updPost = updPre.withColumn("o_custkey", col("o_custkey") + 500000L)
+    val inserts = before.filter(col("o_orderkey") < 50)
+      .select((col("o_orderkey") + 1000000L).as("o_orderkey"),
+        lit("N").as("o_orderstatus"), col("o_custkey"))
+    val state0 = MatView.partial(before, dd)
+    val state1 = MatView.mutateState(state0,
+      deletes.unionByName(updPre), updPost.unionByName(inserts),
+      sys.error("distinct retraction must not read the base"), dd)
+    MatView.finalizeDistinct(state1, Seq("o_orderstatus"), "o_custkey")
+      .orderBy("o_orderstatus")
+  }
+
   /** Join-view retraction ([[graft.store.JoinView.mutateView]]): the
     * maintained orders⋈lineitem view absorbs a mutation on BOTH sides
     * — order deletions, lineitem quantity updates (remove pre-image +
@@ -649,5 +695,5 @@ object TransformQueries {
     qSampleStratified, qSampleRandom, qMixtureSample, qMergeUpsert,
     qZorderValue, qSampleWeighted, qMatviewRollup, qSnapshotDiff,
     qMatviewJoin, qMatviewCube, qMatviewDelete, qMatviewRetractSigned,
-    qMatviewCubeRetract, qJoinviewMutate)
+    qMatviewCubeRetract, qMatviewDistinctRetract, qJoinviewMutate)
 }

@@ -63,9 +63,19 @@ object JoinView {
     */
   def refreshOnce(wh: Warehouse, name: String, keys: Seq[String],
       dLeft: DataFrame, dRight: DataFrame, batchId: Long): Unit = {
-    if (batchId == 0L)
+    if (batchId == 0L) {
+      val existing = Seq(leftTable(name), rightTable(name))
+        .filter(wh.tableExists)
+      if (existing.nonEmpty)
+        // destroying archives on a batch-0 signal is only right when
+        // the source actually re-delivers them — guard the wipe
+        RebuildGuard.checkStateRebuild(dLeft.sparkSession,
+          s"JoinView($name).refreshOnce",
+          existing.map(wh.read(_).count()).sum,
+          dLeft.count() + dRight.count())
       Seq(viewTable(name), leftTable(name), rightTable(name))
         .filter(wh.tableExists).foreach(wh.dropTable)
+    }
     // archives must exclude THIS batch id when computing the delta —
     // a replayed batch would otherwise join against its own rows
     val delta = viewDelta(wh, name, keys,
@@ -137,6 +147,17 @@ object JoinView {
       leftId: Seq[String], rightId: Seq[String],
       lRemoved: DataFrame, lAdded: DataFrame,
       rRemoved: DataFrame, rAdded: DataFrame): Unit = {
+    // one maintenance mode per view name: this plain-append fold is
+    // undefined over refreshOnce's batch-partitioned layout (the
+    // batch_id column would surface mid-fold as an unionByName
+    // AnalysisException far from the actual contract violation)
+    Seq(viewTable(name), leftTable(name), rightTable(name))
+      .filter(wh.tableExists).foreach { tbl =>
+        require(!wh.read(tbl).columns.contains("batch_id"),
+          s"JoinView($name): '$tbl' carries batch_id — it is maintained " +
+            "by refreshOnce (streaming layout); refreshMutation only " +
+            "folds plain-append views. Use one mode per view name.")
+      }
     def applySide(table: String, ids: Seq[String], removed: DataFrame,
         added: DataFrame): DataFrame =
       wh.read(table)

@@ -199,6 +199,46 @@ object MatView {
     refreshMutation(wh, mv, removed, added, baseAfter)
   }
 
+  // ------------------------------- exact COUNT(DISTINCT) retraction
+
+  /** Sub-state definition for an exactly-retractable
+    * COUNT(DISTINCT `src`) view. COUNT(DISTINCT) fits NEITHER half of
+    * the measure algebra: it is not invertible (removing a value's row
+    * says nothing about whether other rows still carry the value) and
+    * not a semilattice (HLL registers can't retract), so the standard
+    * construction is a KEYED SUB-STATE one level down — one state row
+    * per (group, value) holding the value's multiplicity. The
+    * multiplicity is a plain `count`, which IS invertible, so the
+    * whole mutation algebra ([[mutateState]] signed partials,
+    * zero-multiplicity rows leaving the state) applies unchanged to
+    * the sub-state: retraction costs O(|delta| + |substate|), never a
+    * base rescan, and a value's sub-row vanishes exactly when its
+    * last occurrence retracts. Sub-state size is Σ per-group distinct
+    * values — the same footprint an exact one-shot COUNT(DISTINCT)
+    * shuffles anyway. Use the existing [[refresh]]/[[refreshMutation]]
+    * lifecycle with this definition, then [[finalizeDistinct]] to
+    * read the view.
+    */
+  def distinctDef(name: String, keys: Seq[String], src: String): MatViewDef =
+    MatViewDef(name, keys :+ src, Seq(MvMeasure("count")))
+
+  /** Finalize a [[distinctDef]] sub-state into
+    * `(keys, distinct_src)` — the distinct count is the number of
+    * sub-rows whose value is non-null (surviving sub-rows all have
+    * multiplicity > 0 by the state algebra; NULL values are counted
+    * as a sub-row but excluded here, matching COUNT(DISTINCT)'s null
+    * semantics while keeping all-null groups present with 0).
+    */
+  def finalizeDistinct(subState: DataFrame, keys: Seq[String],
+      src: String): DataFrame =
+    subState.groupBy(keys.map(col): _*)
+      .agg(count(when(col(src).isNotNull, 1)).as(s"distinct_$src"))
+
+  /** The finalized distinct view from durable sub-state. */
+  def readDistinct(wh: Warehouse, dd: MatViewDef): DataFrame =
+    finalizeDistinct(wh.read(dd.stateTable), dd.keys.dropRight(1),
+      dd.keys.last)
+
   /** Cube retraction — the grouping-set twin of the invertible
     * [[mutateState]] path: the mutation's signed partials are CUBED
     * (every grouping set sees the delta independently, keyed by the
@@ -300,6 +340,14 @@ object MatView {
     val applied = wh.readTableFile(mv.stateTable, AppliedMarker)
       .map(_.trim.toLong)
     val restart = batchId == 0L && applied.isDefined
+    if (restart)
+      // the restart rule replaces accumulated state with batch 0's
+      // partials — only right when the source re-delivers everything;
+      // rowsCovered (source rows folded) vs the batch's rows are
+      // directly comparable units
+      RebuildGuard.checkStateRebuild(delta.sparkSession,
+        s"MatView(${mv.name}).refreshOnce",
+        rowsCovered(wh, mv), delta.count())
     if (!restart && applied.exists(_ >= batchId)) false
     else {
       val p = partial(delta, mv)

@@ -89,6 +89,8 @@ object StreamDrift {
         if (!wh.tableExists(sink))
           wh.createTable(sink, row.schema, ifExists = "skip",
             partitionBy = Seq("batch_id"))
+        graft.store.RebuildGuard.checkSinkWipe(batch.sparkSession, wh,
+          sink, batchId, "StreamDrift")
         wh.deleteWhere(sink, col("batch_id") >= batchId)
         wh.append(sink, row)
         ()

@@ -63,6 +63,8 @@ object StreamStats {
         if (!wh.tableExists(sink))
           wh.createTable(sink, part.schema, ifExists = "skip",
             partitionBy = Seq("batch_id"))
+        graft.store.RebuildGuard.checkSinkWipe(batch.sparkSession, wh,
+          sink, batchId, "StreamStats")
         wh.deleteWhere(sink, col("batch_id") >= batchId)
         wh.append(sink, part)
         ()
@@ -115,6 +117,8 @@ object StreamStats {
         if (!wh.tableExists(sink))
           wh.createTable(sink, part.schema, ifExists = "skip",
             partitionBy = Seq("batch_id"))
+        graft.store.RebuildGuard.checkSinkWipe(batch.sparkSession, wh,
+          sink, batchId, "StreamStats")
         wh.deleteWhere(sink, col("batch_id") >= batchId)
         wh.append(sink, part)
         ()
@@ -168,6 +172,8 @@ object StreamStats {
         if (!wh.tableExists(sink))
           wh.createTable(sink, part.schema, ifExists = "skip",
             partitionBy = Seq("batch_id"))
+        graft.store.RebuildGuard.checkSinkWipe(batch.sparkSession, wh,
+          sink, batchId, "StreamStats")
         wh.deleteWhere(sink, col("batch_id") >= batchId)
         wh.append(sink, part)
         ()

@@ -73,7 +73,11 @@ object StreamTopK {
             }
         // clear this attempt's partial snapshot AND any stale
         // at-or-above history (the >= replay idiom)
-        if (exists) wh.deleteWhere(sink, col("batch_id") >= batchId)
+        if (exists) {
+          graft.store.RebuildGuard.checkSinkWipe(batch.sparkSession, wh,
+            sink, batchId, "StreamTopK")
+          wh.deleteWhere(sink, col("batch_id") >= batchId)
+        }
 
         val prev: DataFrame = prevId match {
           case Some(id) => wh.read(sink)

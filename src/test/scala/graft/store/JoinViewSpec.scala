@@ -59,6 +59,35 @@ class JoinViewSpec extends SparkSpec {
     assert(got.toSet === full)
   }
 
+  test("refreshMutation refuses a refreshOnce-maintained (batch-keyed) view") {
+    val wh = new Warehouse(spark, Files.createTempDirectory("jv5").toString)
+    JoinView.refreshOnce(wh, "v", Seq("k"), left, right, batchId = 0)
+    val e = intercept[IllegalArgumentException] {
+      JoinView.refreshMutation(wh, "v", Seq("k"), Seq("lid"), Seq("rid"),
+        left.limit(1), left.limit(0), right.limit(0), right.limit(0))
+    }
+    assert(e.getMessage.contains("batch_id") &&
+      e.getMessage.contains("one mode per view"))
+  }
+
+  test("refreshOnce guards the checkpoint-loss wipe (refuse mode)") {
+    val wh = new Warehouse(spark, Files.createTempDirectory("jv6").toString)
+    JoinView.refreshOnce(wh, "v", Seq("k"), left, right, batchId = 0)
+    JoinView.refreshOnce(wh, "v", Seq("k"), left.limit(0),
+      right.limit(0), batchId = 1)
+    spark.conf.set(RebuildGuard.ModeKey, "refuse")
+    try {
+      intercept[IllegalStateException] {
+        JoinView.refreshOnce(wh, "v", Seq("k"), left.limit(1),
+          right.limit(0), batchId = 0)
+      }
+      ()
+    } finally spark.conf.unset(RebuildGuard.ModeKey)
+    // state untouched by the refused wipe
+    assert(JoinView.read(wh, "v").as[(Long, Long, Long)].collect().toSet
+      === full)
+  }
+
   test("mutateView: deletes/updates/inserts on both sides track the one-shot join") {
     // frame-level algebra under a deterministic mutation: delete some
     // left rows, update some right rows (remove old + add new), insert

@@ -59,6 +59,50 @@ class MatViewRetractionSpec extends SparkSpec {
     assert(finalized(state1, mixedMv) === oneShot(after, mixedMv))
   }
 
+  test("COUNT(DISTINCT) retracts exactly via keyed sub-state") {
+    val dd = MatView.distinctDef("ret_dist", Seq("k"), "v")
+    def distinctView(state: DataFrame): Map[Long, Long] =
+      MatView.finalizeDistinct(state, Seq("k"), "v")
+        .as[(Long, Long)].collect().toMap
+    // group 0 holds v=1.0 TWICE (multiplicity 2) and v=2.0 once
+    val base = rows(Seq((1L, 0L, 1.0), (2L, 0L, 1.0), (3L, 0L, 2.0),
+      (4L, 1L, 3.0)))
+    val state0 = MatView.partial(base, dd)
+    assert(distinctView(state0) === Map(0L -> 2L, 1L -> 1L))
+    // delete ONE of the two v=1.0 rows: the value survives, the
+    // distinct count must NOT drop (the HLL-can't-do-this case)
+    val s1 = MatView.mutateState(state0, rows(Seq((1L, 0L, 1.0))),
+      rows(Seq()), sys.error("distinct retraction read the base"), dd)
+    assert(distinctView(s1) === Map(0L -> 2L, 1L -> 1L))
+    // delete the LAST v=1.0 row: now the value leaves
+    val s2 = MatView.mutateState(s1, rows(Seq((2L, 0L, 1.0))),
+      rows(Seq()), sys.error("distinct retraction read the base"), dd)
+    assert(distinctView(s2) === Map(0L -> 1L, 1L -> 1L))
+    // update moves group 1's only value to a value group 0 already
+    // has: group 1 empties out of the state entirely
+    val s3 = MatView.mutateState(s2, rows(Seq((4L, 1L, 3.0))),
+      rows(Seq((4L, 0L, 2.0))), sys.error("base read"), dd)
+    assert(distinctView(s3) === Map(0L -> 1L))
+    // ≡ one-shot COUNT(DISTINCT) over the mutated base
+    val after = rows(Seq((3L, 0L, 2.0), (4L, 0L, 2.0)))
+    val oneShotDistinct = after.groupBy("k")
+      .agg(countDistinct(col("v")).as("d"))
+      .as[(Long, Long)].collect().toMap
+    assert(distinctView(s3) === oneShotDistinct)
+  }
+
+  test("COUNT(DISTINCT) sub-state round-trips the warehouse lifecycle") {
+    val wh = new Warehouse(spark, Files.createTempDirectory("mvd").toString)
+    val dd = MatView.distinctDef("wh_dist", Seq("k"), "v")
+    MatView.refresh(wh, dd, rows(Seq((1L, 0L, 1.0), (2L, 0L, 1.0),
+      (3L, 0L, 2.0), (4L, 1L, 3.0))))
+    MatView.refreshMutation(wh, dd, rows(Seq((1L, 0L, 1.0))),
+      rows(Seq((5L, 1L, 9.0))), sys.error("base read"))
+    val got = MatView.readDistinct(wh, dd)
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(0L -> 2L, 1L -> 2L))
+  }
+
   test("a group retracting to empty leaves the state entirely") {
     val base = rows(Seq((1L, 0L, 1.0), (2L, 1L, 2.0), (3L, 1L, 3.0)))
     // invertible path: delete the whole of group 0
