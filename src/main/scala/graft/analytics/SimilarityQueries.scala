@@ -3,7 +3,7 @@ package graft.analytics
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.io.Tables
-import graft.sim.{Pca, ProductQuantization, Similarity}
+import graft.sim.{IvfPqIndex, Pca, ProductQuantization, Similarity}
 
 /** Similarity search over the embeddings table. The exact brute-force
   * path is oracle-verified (DuckDB list_dot_product on double-cast
@@ -537,7 +537,51 @@ object SimilarityQueries {
       .orderBy("query_id")
   }
 
+  /** The PERSISTED IVF × PQ index lifecycle as a gate contract:
+    * build on the head of the corpus, incrementally append the tail
+    * ([[graft.sim.IvfPqIndex.append]] — frozen centroids + codebooks,
+    * two partitioned appends, idempotent per id per tier), then
+    * search the servable four-table index. Truth is brute-force
+    * top-10 over the FULL corpus, so the appended vectors must be
+    * reachable through both tiers for recall@10 ≥ 0.9 to hold; a
+    * replayed append must add nothing or the code tier double-counts
+    * ADC terms and ranks drift.
+    */
+  val qSimIvfPqIndex: QueryDef = QueryDef.sql(
+    "q_sim_ivfpq_index",
+    """SELECT vec_id AS query_id, 10 AS k, true AS recall_ok
+      |FROM embeddings WHERE vec_id IN (0, 1, 2)
+      |ORDER BY query_id""".stripMargin,
+    doc = "persisted IVF x PQ index: build -> incremental append -> search w/ recall@10 >= 0.9 (similarity scale path)") { (s, dir) =>
+    val emb = t(s, dir, "embeddings")
+    val n = emb.count()
+    val base = emb.filter(col("vec_id") < n - 20)
+    val tail = emb.filter(col("vec_id") >= n - 20)
+    val wh = new graft.store.Warehouse(s,
+      java.nio.file.Files.createTempDirectory("ivfpq_gate").toString)
+    IvfPqIndex.build(wh, "ann", base, "vec_id", "embedding",
+      kCoarse = 8, m = 16, ksub = 16, iters = 3)
+    IvfPqIndex.append(wh, "ann", tail, "vec_id", "embedding")
+    IvfPqIndex.append(wh, "ann", tail, "vec_id", "embedding") // replay: no-op
+    val queries = emb.filter(col("vec_id").isin(0, 1, 2))
+    val got = IvfPqIndex.search(wh, "ann", queries, "vec_id", "embedding",
+      k = 10, nProbe = 4, rerank = 200)
+    val exact = Similarity.bruteForceTopK(
+      corpus = emb, queries = queries,
+      idCol = "vec_id", vecCol = "embedding", k = 10)
+    val overlap = got.select(col("query_id"), col("corpus_id"))
+      .join(exact.select(col("query_id"), col("corpus_id")),
+        Seq("query_id", "corpus_id"))
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_hit"))
+    queries.select(col("vec_id").as("query_id"))
+      .join(overlap, Seq("query_id"), "left")
+      .select(col("query_id"), lit(10).as("k"),
+        (coalesce(col("n_hit"), lit(0L)) >= 9).as("recall_ok"))
+      .orderBy("query_id")
+  }
+
   val all: Seq[QueryDef] = Seq(qSimTopK, qSimLsh, qSimIvf, qQuantize,
     qSimQuantized, qEmbedCentroid, qHybridRrf, qRetrievalEval,
-    qEmbedCovariance, qSimPq, qPcaPower, qSimIvfPq)
+    qEmbedCovariance, qSimPq, qPcaPower, qSimIvfPq, qSimIvfPqIndex)
 }

@@ -33,6 +33,16 @@ object IvfPqIndex {
   private def booksTable(name: String) = s"${name}__books"
   private def codesTable(name: String) = s"${name}__codes"
 
+  /** The build-time subvector count, derived from the persisted
+    * codebooks (`max(sub) + 1`) — never caller-supplied: an `m` that
+    * disagreed with the stored layout would mis-split the query
+    * vectors, so the (sub, q)→books join would silently produce
+    * wrong or missing ADC entries and a degraded shortlist with no
+    * error (the exact re-rank masks it while recall quietly decays).
+    */
+  private def builtM(books: DataFrame): Int =
+    books.agg(max(col("sub"))).head.getInt(0) + 1
+
   /** Build all four tables. Returns (#cells, #codes). */
   def build(wh: Warehouse, name: String, corpus: DataFrame,
       idCol: String, vecCol: String, kCoarse: Int, m: Int,
@@ -56,17 +66,61 @@ object IvfPqIndex {
     } finally comp.unpersist()
   }
 
+  /** Fold new vectors into the persisted index incrementally: assign
+    * each to its nearest EXISTING centroid, encode with the EXISTING
+    * codebooks, and append to the centroid-partitioned codes and
+    * cells tables — the archive is never re-read and nothing
+    * retrains, so an update costs O(batch × (kCoarse + m·ksub))
+    * assignment plus two partitioned appends (the [[IvfIndex.append]]
+    * contract extended to the compressed tier; a new vector no longer
+    * forces a full rebuild).
+    *
+    * Idempotent per id PER TIER: the codes append dedups against the
+    * codes table's ids and the cells append against the cells
+    * table's (both via batch-sized bloom-pruned anti-joins), so a
+    * crash between the two appends replays into exactly the missing
+    * tier — and because centroid assignment and code assignment are
+    * deterministic given the frozen centroids/books, the repaired
+    * rows agree with what the surviving tier already holds. Returns
+    * the number of vectors appended to the cells tier.
+    */
+  def append(wh: Warehouse, name: String, newVecs: DataFrame,
+      idCol: String, vecCol: String): Long = {
+    import graft.store.ScaleJoins
+    val cents = wh.read(s"${name}__centroids")
+    val books = wh.read(booksTable(name))
+    val m = builtM(books)
+    val freshC = ScaleJoins.bloomPrunedAntiJoin(
+        newVecs.select(col(idCol)),
+        wh.read(codesTable(name)).select(col("id").as(idCol)),
+        Seq(idCol), expectedItems = 1000000L)
+      .join(newVecs, Seq(idCol))
+    val cellOf = Similarity.ivfAssign(freshC, idCol, vecCol,
+        cents, "centroid_id", "centroid_vec")
+      .select(col(idCol).as("id"), col("centroid_id"))
+    val codes = ProductQuantization
+      .assignCodes(
+        ProductQuantization.components(freshC, idCol, vecCol, m), books)
+      .join(cellOf, Seq("id"))
+      .localCheckpoint()
+    if (codes.count() > 0L) wh.append(codesTable(name), codes)
+    IvfIndex.append(wh, name, newVecs, idCol, vecCol)
+  }
+
   /** Probe-pruned ADC search + exact re-rank against the persisted
     * index. The probed cell ids (|queries| × nProbe, driver-bounded
     * like [[IvfIndex.search]]) become an `isin` partition prune on
     * the CODES table; the ADC lookup tables broadcast; the full
-    * vectors enter only for the shortlist.
+    * vectors enter only for the shortlist. The subvector split is
+    * derived from the persisted codebooks ([[builtM]]), so a query
+    * can never be split differently from the stored codes.
     */
   def search(wh: Warehouse, name: String, queries: DataFrame,
       idCol: String, vecCol: String, k: Int, nProbe: Int = 2,
-      m: Int = 4, rerank: Int = 50): DataFrame = {
+      rerank: Int = 50): DataFrame = {
     val cents = wh.read(s"${name}__centroids")
     val books = wh.read(booksTable(name))
+    val m = builtM(books)
     val probeW = Window.partitionBy(col("query_id"))
       .orderBy(col("__psim").desc, col("centroid_id"))
     val probes = queries

@@ -39,6 +39,26 @@ object StreamSimilarity {
       }
       .start()
 
+  /** Continuously fold a stream of vectors into a persisted IVF × PQ
+    * index — the compressed tier's streaming face. Per micro-batch:
+    * assign to frozen centroids, encode with frozen codebooks, two
+    * partitioned appends ([[graft.sim.IvfPqIndex.append]]).
+    * Exactly-once per id per tier: a replayed batch repairs exactly
+    * whichever tier a crash left behind and appends nothing twice.
+    */
+  def ivfPqIngestStream(wh: Warehouse, indexName: String, vecs: DataFrame,
+      idCol: String, vecCol: String, checkpoint: String,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    vecs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.sim.IvfPqIndex.append(wh, indexName, batch, idCol, vecCol)
+        ()
+      }
+      .start()
+
   /** Continuously serve ANN queries: each micro-batch of query
     * vectors probes the index and its top-k results land in
     * `sinkTable`, partitioned by `batch_id`. Replay is exactly-once
@@ -64,6 +84,8 @@ object StreamSimilarity {
         if (!wh.tableExists(sinkTable))
           wh.createTable(sinkTable, res.schema, ifExists = "skip",
             partitionBy = Seq("batch_id"))
+        graft.store.RebuildGuard.checkSinkWipe(batch.sparkSession, wh,
+          sinkTable, batchId, "StreamSimilarity.ivfSearchStream")
         wh.deleteWhere(sinkTable, col("batch_id") >= batchId)
         wh.append(sinkTable, res)
         ()
