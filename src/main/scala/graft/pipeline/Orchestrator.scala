@@ -257,7 +257,11 @@ final class Orchestrator(spark: SparkSession, config: EngineConfig) {
     * load's folds; callable directly after out-of-band maintenance.
     */
   def syncViews(table: String): Seq[String] =
-    registeredViews(table).flatMap { mv =>
+    // a pending-mutation journal is crash evidence the row-count
+    // detector below cannot see (count-preserving updates) — recover
+    // it first; recovery rebuilds every registered view
+    if (recoverPendingMutation(table)) registeredViews(table).map(_.name)
+    else registeredViews(table).flatMap { mv =>
       val covered = graft.store.MatView.rowsCovered(warehouse, mv)
       val actual = warehouse.read(table).count()
       if (covered != actual) {
@@ -272,30 +276,68 @@ final class Orchestrator(spark: SparkSession, config: EngineConfig) {
     syncViews(table)
   }
 
+  private def mutJournal(table: String) = s"_pending_mut_$table"
+
+  /** Crash recovery for [[merge]]'s fold window: a merge journals its
+    * pinned (removed, updates) mutation to durable side tables BEFORE
+    * rewriting the base, and drops the journal only after every
+    * registered view folded. A journal found here therefore means a
+    * process died mid-merge — the views may hold any prefix of the
+    * folds (and for count-preserving updates [[syncViews]]'s row-count
+    * detector is blind by design) — so the recovery action is a
+    * rebuild of every registered view from the CURRENT table state,
+    * which is correct whether the crash hit before the base rewrite,
+    * between rewrite and folds, or between two folds. O(table), paid
+    * only on actual crash evidence. Returns whether a recovery ran.
+    */
+  def recoverPendingMutation(table: String): Boolean = {
+    val j = mutJournal(table)
+    val parts = Seq(s"${j}_removed", s"${j}_updates")
+    if (!parts.exists(warehouse.tableExists)) false
+    else {
+      registeredViews(table).foreach(mv =>
+        graft.store.MatView.rebuild(warehouse, mv, warehouse.read(table)))
+      parts.filter(warehouse.tableExists).foreach(warehouse.dropTable)
+      true
+    }
+  }
+
   /** SCD1 upsert THROUGH the view layer: registered views fold the
     * exact mutation (retracted pre-images + new rows) instead of
     * silently drifting the way a merge behind the pipeline's back
-    * would. The pre-image rows being replaced are pinned (eager
-    * checkpoint) BEFORE the merge rewrites the table — a lazy frame
-    * would re-read the post-merge state and retract the wrong
-    * payloads. Fold cost per view follows [[graft.store.MatView.mutateState]]:
-    * signed partials with zero base reads when all measures are
-    * invertible, delta-keyed group rescan otherwise. Note the
-    * count-based [[syncViews]] detector is exact for the append path
-    * but blind to count-preserving pure updates — which is exactly
-    * why merges must route through here rather than relying on the
-    * sweep to heal.
+    * would. The pre-image rows being replaced are pinned TO DISK as a
+    * journal BEFORE the merge rewrites the table — a lazy frame would
+    * re-read the post-merge state and retract the wrong payloads, and
+    * an in-memory pin would leave the advertised crash window between
+    * the base rewrite and the folds ([[recoverPendingMutation]] closes
+    * it: journal → rewrite → folds → journal drop, every crash point
+    * recoverable). Fold cost per view follows
+    * [[graft.store.MatView.mutateState]]: signed partials with zero
+    * base reads when all measures are invertible, delta-keyed group
+    * rescan otherwise. Note the count-based [[syncViews]] detector is
+    * exact for the append path but blind to count-preserving pure
+    * updates — which is exactly why merges must route through here
+    * rather than relying on the sweep to heal.
     */
   def merge(table: String, updates: DataFrame, keys: Seq[String]): Unit = {
+    recoverPendingMutation(table)
     val views = registeredViews(table)
-    val removed =
-      if (views.isEmpty) updates.limit(0)
-      else warehouse.read(table)
-        .join(updates.select(keys.map(col): _*), keys, "left_semi")
-        .localCheckpoint(true)
+    if (views.isEmpty) { warehouse.merge(table, updates, keys); return }
+    val j = mutJournal(table)
+    val removedPre = warehouse.read(table)
+      .join(updates.select(keys.map(col): _*), keys, "left_semi")
+    warehouse.createTable(s"${j}_removed", removedPre.schema,
+      ifExists = "replace")
+    warehouse.append(s"${j}_removed", removedPre)
+    warehouse.createTable(s"${j}_updates", updates.schema,
+      ifExists = "replace")
+    warehouse.append(s"${j}_updates", updates)
+    val removed = warehouse.read(s"${j}_removed")
+    val updatesJ = warehouse.read(s"${j}_updates")
     warehouse.merge(table, updates, keys)
     views.foreach(mv => graft.store.MatView.refreshMutation(
-      warehouse, mv, removed, updates, warehouse.read(table)))
+      warehouse, mv, removed, updatesJ, warehouse.read(table)))
+    Seq(s"${j}_removed", s"${j}_updates").foreach(warehouse.dropTable)
   }
 
   /** Ad-hoc SQL over the warehouse (`orchestrator.py:60-88` →
