@@ -1,0 +1,35 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** BPE training-scale probe: [[graft.text.Vocab.bpeTrain]] launches
+  * one full pair-scoring Spark job per merge (32k merges = 32k jobs —
+  * spec-sized only); [[graft.text.Vocab.bpeTrainFast]] pays ONE
+  * corpus aggregation and then trains driver-side over the
+  * vocabulary-sized word-frequency table. This probe times
+  * bpeTrainFast at real merge counts on a replica corpus — the
+  * evidence behind BASELINE.md's BPE row.
+  *
+  * Usage: `runMain graft.BpeProbe <dir> [nMerges]`.
+  */
+object BpeProbe {
+
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/tmp/scale10")
+    val nMerges = args.lift(1).map(_.toInt).getOrElse(1000)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val spark = graft.core.SparkEnv.session(appName = "graft-bpeprobe",
+      cores = cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+    val docs = graft.io.Tables.readParquet(spark, s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val nDocs = docs.count()
+    val t0 = System.nanoTime()
+    val rules = graft.text.Vocab.bpeTrainFast(docs, "text", nMerges)
+    val sec = (System.nanoTime() - t0) / 1e9
+    println(s"""{"probe":"bpe_fast","n_docs":$nDocs,""" +
+      s""""n_merges":${rules.length},""" +
+      s""""sec":${math.rint(sec * 1000) / 1000}}""")
+    spark.stop()
+  }
+}

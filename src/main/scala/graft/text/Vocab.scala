@@ -124,7 +124,11 @@ object Vocab {
     var rank = 1
     var exhausted = false
     while (rank <= nMerges && !exhausted) {
+      // fully-merged words (one symbol left) contribute no pairs; the
+      // filter also dodges sequence(1, 0)'s DESCENDING-sequence trap,
+      // which would index syms[1] out of bounds under ANSI mode
       val top = words
+        .filter(size(col("syms")) >= 2)
         .select(col("f"), explode(expr(
           "transform(sequence(1, size(syms) - 1), " +
             "i -> struct(syms[i - 1] AS l, syms[i] AS r))")).as("p"))
@@ -140,6 +144,135 @@ object Vocab {
           .select(mergeOnce(col("syms"), l, r).as("syms"), col("f"))
           .localCheckpoint(eager = true)
         rank += 1
+      }
+    }
+    rules.toSeq
+  }
+
+  /** BPE training at real vocabulary scale: ONE corpus-sized Spark
+    * job aggregates the distinct-word frequency table, then the
+    * Sennrich merge loop runs DRIVER-SIDE over that bounded table
+    * with an incremental pair index — [[bpeTrain]] launches a full
+    * pair-scoring job per merge (32k merges = 32k Spark jobs,
+    * impractical beyond spec toys), while here 32k merges are a
+    * driver loop over a vocabulary-sized structure (the same
+    * architecture as Sennrich's reference trainer, which operates on
+    * the word-frequency dict, never the corpus).
+    *
+    * EXACT parity with [[bpeTrain]] (spec-verified): same word split,
+    * same per-occurrence adjacent-pair counting, same argmax
+    * tie-break (count desc, then (l, r) ascending), same greedy
+    * left-to-right non-overlapping fuse. Per merge only the words
+    * containing the fused pair are re-counted (pair → word-ids
+    * index), and the argmax comes from a lazy-deletion max-heap —
+    * O(affected words + log-heap) per merge, not O(vocab).
+    *
+    * `maxWords` is an explicit driver-memory guard: training REQUIRES
+    * the distinct-word table to fit (it is vocabulary-sized —
+    * millions, not corpus-sized), and refuses loudly rather than
+    * silently truncating, because a truncated table changes the
+    * trained merges.
+    */
+  def bpeTrainFast(docs: DataFrame, textCol: String, nMerges: Int,
+      maxWords: Int = 1 << 22): Seq[(Int, String, String)] = {
+    require(nMerges > 0)
+    val wfDf = docs
+      .select(explode(split(lower(trim(col(textCol))),
+        "[\\s\\p{Punct}]+")).as("w"))
+      .filter(length(col("w")) >= 2)
+      .groupBy("w").agg(count(lit(1)).as("f"))
+    val nWords = wfDf.count()
+    require(nWords <= maxWords,
+      s"bpeTrainFast: $nWords distinct words exceed maxWords=$maxWords " +
+        "— raise the guard (driver memory permitting)")
+    val rows = wfDf.collect()
+    val words = new Array[Array[String]](rows.length)
+    val freqs = new Array[Long](rows.length)
+    var i = 0
+    while (i < rows.length) {
+      words(i) = rows(i).getString(0).split("").filter(_.nonEmpty)
+      freqs(i) = rows(i).getLong(1)
+      i += 1
+    }
+
+    import scala.collection.mutable
+    val pairCounts = mutable.Map.empty[(String, String), Long]
+    val pairWords = mutable.Map.empty[(String, String), mutable.Set[Int]]
+    // max-heap: count desc, then (l, r) ASC — matches bpeTrain's
+    // `orderBy(n desc, l, r)`; entries go stale when counts move and
+    // are discarded lazily at pop time
+    implicit val ord: Ordering[(Long, String, String)] =
+      new Ordering[(Long, String, String)] {
+        def compare(a: (Long, String, String),
+            b: (Long, String, String)): Int = {
+          val c = java.lang.Long.compare(a._1, b._1)
+          if (c != 0) c
+          else {
+            val cl = b._2.compareTo(a._2)
+            if (cl != 0) cl else b._3.compareTo(a._3)
+          }
+        }
+      }
+    val heap = mutable.PriorityQueue.empty[(Long, String, String)]
+
+    def touch(p: (String, String), delta: Long, wordId: Int,
+        adding: Boolean): Unit = {
+      val n = pairCounts.getOrElse(p, 0L) + delta
+      if (n <= 0L) pairCounts.remove(p) else pairCounts(p) = n
+      val set = pairWords.getOrElseUpdate(p, mutable.Set.empty)
+      if (adding) set += wordId
+      if (n > 0L) heap.enqueue((n, p._1, p._2))
+    }
+    def countWord(id: Int, sign: Long): Unit = {
+      val s = words(id)
+      var j = 0
+      while (j < s.length - 1) {
+        touch((s(j), s(j + 1)), sign * freqs(id), id, sign > 0)
+        j += 1
+      }
+    }
+    i = 0
+    while (i < words.length) { countWord(i, 1L); i += 1 }
+
+    // greedy left-to-right non-overlapping fuse — the driver twin of
+    // the mergeOnce column fold
+    def fuse(s: Array[String], l: String, r: String): Array[String] = {
+      val out = mutable.ArrayBuffer.empty[String]
+      var j = 0
+      while (j < s.length) {
+        if (out.nonEmpty && out.last == l && s(j) == r)
+          out(out.length - 1) = l + r
+        else out += s(j)
+        j += 1
+      }
+      out.toArray
+    }
+
+    val rules = mutable.ArrayBuffer.empty[(Int, String, String)]
+    var rank = 1
+    var exhausted = false
+    while (rank <= nMerges && !exhausted) {
+      // pop until the top entry's count is current
+      var top: Option[(String, String)] = None
+      while (top.isEmpty && heap.nonEmpty) {
+        val (n, l, r) = heap.dequeue()
+        if (pairCounts.getOrElse((l, r), 0L) == n) top = Some((l, r))
+      }
+      top match {
+        case None => exhausted = true
+        case Some((l, r)) =>
+          rules += ((rank, l, r))
+          val affected = pairWords.getOrElse((l, r), mutable.Set.empty)
+            .toArray
+          affected.foreach { id =>
+            countWord(id, -1L)
+            words(id) = fuse(words(id), l, r)
+            countWord(id, 1L)
+          }
+          // the fused pair is gone from every word that held it
+          pairCounts.remove((l, r))
+          pairWords.remove((l, r))
+          rank += 1
       }
     }
     rules.toSeq

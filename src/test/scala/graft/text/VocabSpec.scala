@@ -70,6 +70,42 @@ class VocabSpec extends SparkSpec {
     assert(seg === Seq("low", "est", "low"))
   }
 
+  test("bpeTrainFast reproduces the textbook merge sequence") {
+    val corpus = (Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest")).mkString(" ")
+    val docs = Seq((1L, corpus)).toDF("id", "text")
+    val rules = Vocab.bpeTrainFast(docs, "text", nMerges = 4)
+    assert(rules === Seq((1, "e", "s"), (2, "es", "t"), (3, "l", "o"),
+      (4, "lo", "w")))
+  }
+
+  test("bpeTrainFast ≡ sequential bpeTrain on a real corpus slice") {
+    // the driver-side trainer must produce the IDENTICAL merge
+    // sequence as the per-merge-job trainer: same pair counting (per
+    // occurrence, not per word), same argmax tie-break (count desc,
+    // (l, r) asc), same greedy fuse — over real text with ties,
+    // repeats, punctuation
+    val docs = graft.io.Tables.table(spark, "/root/testdata/sf0.001",
+      "documents")
+      .filter(org.apache.spark.sql.functions.col("doc_id") < 30)
+      .select("doc_id", "text")
+    val slow = Vocab.bpeTrain(docs, "text", nMerges = 25)
+    val fast = Vocab.bpeTrainFast(docs, "text", nMerges = 25)
+    assert(fast === slow)
+    // exhaustion parity: ask for more merges than the corpus holds
+    val tiny = Seq((1L, "ab ab")).toDF("id", "text")
+    assert(Vocab.bpeTrainFast(tiny, "text", nMerges = 10) ===
+      Vocab.bpeTrain(tiny, "text", nMerges = 10))
+  }
+
+  test("bpeTrainFast refuses a word table above the driver-memory guard") {
+    val docs = Seq((1L, "aa bb cc dd")).toDF("id", "text")
+    val e = intercept[IllegalArgumentException] {
+      Vocab.bpeTrainFast(docs, "text", nMerges = 2, maxWords = 2)
+    }
+    assert(e.getMessage.contains("maxWords"))
+  }
+
   test("property: bpeApply's column fold ≡ reference greedy merge on adversarial repeats") {
     // reference greedy left-to-right non-overlapping merge
     def refMerge(syms: List[String], l: String, r: String): List[String] = {
