@@ -47,8 +47,14 @@ case class LargeInToSemiJoin(spark: SparkSession) extends Rule[LogicalPlan] {
   val EnableKey = "spark.graft.rewriteLargeIn"
   val ThresholdKey = "spark.graft.rewriteLargeIn.threshold"
 
+  // kill-switch parsing accepts the common spellings of "off" — a
+  // default-ON rule whose disable key only matched the exact string
+  // "false" would silently stay enabled under =off/=False/=0
   private def enabled: Boolean =
-    !spark.conf.getOption(EnableKey).contains("false")
+    spark.conf.getOption(EnableKey).map(_.trim.toLowerCase) match {
+      case Some("false") | Some("off") | Some("no") | Some("0") => false
+      case _ => true
+    }
   private def threshold: Int =
     spark.conf.getOption(ThresholdKey).map(_.toInt).getOrElse(8192)
 
