@@ -273,18 +273,29 @@ object Dedup {
     * spec-proven identical.
     */
   def setSimJoinPrefix(df: DataFrame, idCol: String, textCol: String,
-      shingleSize: Int, minJaccard: Double): DataFrame = {
+      shingleSize: Int, minJaccard: Double): DataFrame =
+    setSimPairsOnSets(
+      df.select(col(idCol).as("id"),
+        shingleHashes(df.sparkSession, col(textCol), shingleSize).as("sh")),
+      minJaccard)
+
+  /** [[setSimJoinPrefix]]'s core over precomputed shingle-hash sets
+    * `(id, sh)` — also the class-level engine under
+    * [[setSimTopKPrefix]], where `id` is a class representative and
+    * the row count is the DISTINCT-set count, not the corpus.
+    */
+  private[graft] def setSimPairsOnSets(sets: DataFrame,
+      minJaccard: Double): DataFrame = {
     require(minJaccard > 0 && minJaccard <= 1,
       s"minJaccard must be in (0,1], got $minJaccard")
-    val spark = df.sparkSession
+    val spark = sets.sparkSession
     // All threshold filters run in EXACT long arithmetic against the
     // rational p/q ≤ τ (q = 1e6): conservative by at most the
     // rationalization, so no float-boundary ceil can ever drop a true
     // pair — only the final verification compares against τ itself.
     val q = 1000000L
     val p = math.floor(minJaccard * q).toLong
-    val sh = df.select(col(idCol).as("id"),
-        shingleHashes(spark, col(textCol), shingleSize).as("sh"))
+    val sh = sets.select(col("id"), col("sh"))
       .withColumn("len", size(col("sh")))
       .filter(col("len") > 0)
       .cache()
@@ -326,27 +337,70 @@ object Dedup {
   }
 
   /** Bounded-output face of [[setSimJoinPrefix]] — top-`k`
-    * most-similar peers per document at J ≥ τ. The candidate
-    * generation and verification are EXACTLY the prefix-filter join's
-    * (same recall proof), but the terminal is per-doc ranked and
-    * capped, so the OUTPUT is N·k rows regardless of how duplicate-
-    * heavy the corpus is — the production face for replica-heavy data
-    * where the exact pair dump is quadratic per clone group by
-    * construction. The rank filter compiles to WindowGroupLimit
-    * (per-partition top-k, no full sort of a doc's pair list).
+    * most-similar peers per document at J ≥ τ, EXACT (identical rows
+    * to ranking the naive all-pairs join), with candidate volume
+    * independent of replication:
+    *
+    *  1. Documents collapse into EQUIVALENCE CLASSES by their exact
+    *     shingle-hash set (ngram_hashes is sorted-distinct, so set
+    *     equality is array equality). Same class ⇔ pairwise J = 1;
+    *     cross-class J < 1 and depends only on the two sets. On a
+    *     100-copy replica corpus the class table is base-corpus-sized
+    *     — the clone-group quadratic that makes the exact pair dump
+    *     unsweepable never forms.
+    *  2. The prefix-filter join ([[setSimPairsOnSets]]) runs over one
+    *     representative per class — same recall proof, |classes|²
+    *     worst case instead of |docs|².
+    *  3. Per-doc top-k reconstructs exactly: own-class peers enter at
+    *     J = 1 (each class carries its k+1 smallest member ids — for
+    *     any member, its k smallest OTHER members are within those);
+    *     candidate classes keep `rank() ≤ k` over J desc WITH ties
+    *     (a class with k strictly-better classes can never reach any
+    *     member's top-k, since every class is non-empty), and
+    *     contribute their k smallest ids; the final per-doc
+    *     row_number over (J desc, peer asc) trims to k via
+    *     WindowGroupLimit.
     */
   def setSimTopKPrefix(df: DataFrame, idCol: String, textCol: String,
       shingleSize: Int, minJaccard: Double, k: Int): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
-    val pairs = setSimJoinPrefix(df, idCol, textCol, shingleSize, minJaccard)
-    val sym = pairs
-      .select(col("id_a").as(idCol), col("id_b").as("peer"), col("jaccard"))
-      .unionByName(pairs
-        .select(col("id_b").as(idCol), col("id_a").as("peer"), col("jaccard")))
-    val w = Window.partitionBy(col(idCol))
+    val spark = df.sparkSession
+    val sh = df.select(col(idCol).as("id"),
+        shingleHashes(spark, col(textCol), shingleSize).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val classes = sh.groupBy(col("sh")).agg(
+        min(col("id")).as("cid"),
+        slice(sort_array(collect_list(col("id"))), 1, k + 1).as("top_ids"))
+      .localCheckpoint(eager = true)
+    val classPairs = setSimPairsOnSets(
+      classes.select(col("cid").as("id"), col("sh")), minJaccard)
+    val symC = classPairs
+      .select(col("id_a").as("cid"), col("id_b").as("peer_cid"),
+        col("jaccard"))
+      .unionByName(classPairs
+        .select(col("id_b").as("cid"), col("id_a").as("peer_cid"),
+          col("jaccard")))
+    val wc = Window.partitionBy(col("cid")).orderBy(col("jaccard").desc)
+    val topC = symC.withColumn("__rk", rank().over(wc))
+      .filter(col("__rk") <= k).drop("__rk")
+    val docs = sh.join(classes, Seq("sh"))
+      .select(col("id"), col("cid"), col("top_ids"))
+    val own = docs
+      .select(col("id"), explode(col("top_ids")).as("peer"),
+        lit(1.0).as("jaccard"))
+      .filter(col("peer") =!= col("id"))
+    val cross = docs.select(col("id"), col("cid"))
+      .join(topC, Seq("cid"))
+      .join(classes.select(col("cid").as("peer_cid"),
+        col("top_ids").as("__peer_ids")), Seq("peer_cid"))
+      .select(col("id"), explode(col("__peer_ids")).as("peer"),
+        col("jaccard"))
+    val w = Window.partitionBy(col("id"))
       .orderBy(col("jaccard").desc, col("peer"))
-    sym.withColumn("rank", row_number().over(w))
+    own.unionByName(cross)
+      .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
+      .withColumnRenamed("id", idCol)
   }
 
   // ---------------------------------------------------------- SimHash

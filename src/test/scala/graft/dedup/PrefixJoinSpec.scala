@@ -56,6 +56,50 @@ class PrefixJoinSpec extends SparkSpec {
     }
   }
 
+  private def naiveTopK(df: org.apache.spark.sql.DataFrame, n: Int,
+      tau: Double, k: Int): Set[(Long, Long, Double, Int)] = {
+    import org.apache.spark.sql.expressions.Window
+    val p = Dedup.ngramJaccardPairs(df, "id", "text", n, tau)
+    val sym = p.select($"id_a".as("id"), $"id_b".as("peer"), $"jaccard")
+      .unionByName(p.select($"id_b".as("id"), $"id_a".as("peer"), $"jaccard"))
+    sym.withColumn("rank", row_number().over(
+        Window.partitionBy($"id").orderBy($"jaccard".desc, $"peer")))
+      .filter($"rank" <= k)
+      .select($"id", $"peer", round($"jaccard", 9), $"rank")
+      .as[(Long, Long, Double, Int)].collect().toSet
+  }
+
+  test("class-collapsed top-k ≡ naive ranked all-pairs — incl. clone-heavy replicas") {
+    // 6 clones of doc A, 4 of doc B (near-dup of A), singletons:
+    // within-class ranking, cross-class tie-breaks, and classes at
+    // rank boundaries all exercised
+    val base = Seq(
+      "the quick brown fox jumps over the lazy dog",
+      "the quick brown fox jumps over the lazy cat",
+      "an entirely different sentence about spark engines",
+      "yet another unrelated piece of text entirely")
+    val docs = (Seq.tabulate(6)(i => (10L + i) -> base(0)) ++
+      Seq.tabulate(4)(i => (30L + i) -> base(1)) ++
+      Seq(50L -> base(2), 60L -> base(3), 70L -> base(2)))
+    val df = docs.toDF("id", "text")
+    for (k <- Seq(1, 3, 5); tau <- Seq(0.2, 0.5)) {
+      val got = Dedup.setSimTopKPrefix(df, "id", "text", 2, tau, k)
+        .select($"id", $"peer", round($"jaccard", 9), $"rank")
+        .as[(Long, Long, Double, Int)].collect().toSet
+      assert(got === naiveTopK(df, 2, tau, k), s"k=$k tau=$tau")
+    }
+  }
+
+  test("class-collapsed top-k ≡ naive on real smoke docs") {
+    val df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"doc_id".as("id"), $"text")
+    val got = Dedup.setSimTopKPrefix(df, "id", "text", 2, 0.3, 3)
+      .select($"id", $"peer", round($"jaccard", 9), $"rank")
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(got === naiveTopK(df, 2, 0.3, 3))
+    assert(got.nonEmpty)
+  }
+
   test("tau = 1.0 keeps only identical shingle sets") {
     val docs = Seq(
       1L -> "alpha beta gamma", 2L -> "alpha beta gamma",

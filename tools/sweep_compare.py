@@ -1,11 +1,22 @@
 #!/usr/bin/env python3
 """Compare two QueryBench sweep JSON lines (e.g. 10x vs 100x).
 
-Usage: sweep_compare.py <sweepA.log> <sweepB.log> [ratio_threshold]
+Usage:
+  sweep_compare.py <sweepA.log> <sweepB.log> [ratio_threshold]
+  sweep_compare.py <sweepA.log> <sweepB.log> --budget tools/sweep_budget.json --gate
 
-Reads the last {"sf":...} line of each log, prints every query whose
-B/A wall ratio exceeds the threshold (default 3.0), plus failures and
-totals — the analysis behind BASELINE.md's full-catalog scale tables.
+Reads the last {"sf":...} line of each log. Plain mode prints every
+query whose B/A wall ratio exceeds the threshold (default 3.0), plus
+failures and totals — the analysis behind BASELINE.md's full-catalog
+scale tables.
+
+GATE mode (--budget + --gate): every query is checked against its
+per-query ratio budget (default_ratio unless overridden in the budget
+file's "budgets"; "exclude"d queries are the documented
+output-pathological ones and are skipped with their reason printed).
+Any budget violation or B-side failure exits 1 — the regression gate
+that makes a new super-linear scaler fail LOUDLY instead of hiding in
+a 210-row table.
 """
 import json
 import re
@@ -24,8 +35,18 @@ def load(path):
 
 
 def main():
-    a, b = load(sys.argv[1]), load(sys.argv[2])
-    thresh = float(sys.argv[3]) if len(sys.argv) > 3 else 3.0
+    args = sys.argv[1:]
+    budget = None
+    gate = "--gate" in args
+    if gate:
+        args.remove("--gate")
+    if "--budget" in args:
+        i = args.index("--budget")
+        with open(args[i + 1]) as f:
+            budget = json.load(f)
+        del args[i:i + 2]
+    a, b = load(args[0]), load(args[1])
+    thresh = float(args[2]) if len(args) > 2 else 3.0
     qa, qb = a["queries"], b["queries"]
     fails = sorted(k for k, v in qb.items() if v < 0)
     print(f"A={a['sf']} total={sum(v for v in qa.values() if v > 0):.1f}s "
@@ -33,6 +54,40 @@ def main():
     print(f"B={b['sf']} total={sum(v for v in qb.values() if v > 0):.1f}s "
           f"({len(qb)} queries)")
     print(f"B failures: {fails or 'none'}")
+
+    if budget is not None:
+        default = budget.get("default_ratio", 12.0)
+        budgets = budget.get("budgets", {})
+        exclude = budget.get("exclude", {})
+        violations = []
+        for k, vb in sorted(qb.items()):
+            if k in exclude:
+                print(f"  EXCLUDED {k}: {exclude[k][:70]}...")
+                continue
+            va = qa.get(k)
+            if va is None or va <= 0 or vb <= 0:
+                continue
+            allowed = budgets.get(k, default)
+            r = vb / va
+            if r > allowed:
+                violations.append((r, allowed, k, va, vb))
+        violations.sort(reverse=True)
+        print(f"\nbudget check (default {default}x, "
+              f"{len(budgets)} overrides, {len(exclude)} exclusions):")
+        if not violations:
+            print("  all queries within budget")
+        for r, allowed, k, va, vb in violations:
+            print(f"  OVER BUDGET {k:28s} {va:8.2f}s -> {vb:8.2f}s "
+                  f"({r:.1f}x, budget {allowed}x)")
+        missing = sorted(set(qa) - set(qb) - set(exclude))
+        if missing:
+            print(f"  missing from B (not excluded): {missing}")
+        if gate:
+            ok = not violations and not fails and not missing
+            print(f"\nGATE: {'PASS' if ok else 'FAIL'}")
+            sys.exit(0 if ok else 1)
+        return
+
     rows = []
     for k, vb in qb.items():
         va = qa.get(k)
