@@ -21,13 +21,27 @@ object BpeProbe {
     val spark = graft.core.SparkEnv.session(appName = "graft-bpeprobe",
       cores = cpus)
     spark.sparkContext.setLogLevel("ERROR")
-    val docs = graft.io.Tables.readParquet(spark, s"$dir/documents.parquet")
-      .select(col("doc_id"), col("text"))
+    val docs =
+      if (dir.startsWith("synth:")) {
+        // the testdata corpus has ~30 distinct words — it exhausts
+        // after ~100 merges, which says nothing about vocab-scale
+        // cost. synth:V builds a deterministic V-word corpus (md5-hex
+        // words, 6–13 chars, Zipf-ish 1–7 repeats) so the merge loop
+        // runs at real vocabulary sizes.
+        val v = dir.stripPrefix("synth:").toLong
+        spark.range(v).select(col("id").as("doc_id"),
+          concat_ws(" ", array_repeat(
+            substring(md5(col("id").cast("string")), lit(1),
+              (lit(6) + pmod(col("id"), lit(8))).cast("int")),
+            (lit(1) + pmod(col("id"), lit(7))).cast("int"))).as("text"))
+      } else graft.io.Tables.readParquet(spark, s"$dir/documents.parquet")
+        .select(col("doc_id"), col("text"))
     val nDocs = docs.count()
     val t0 = System.nanoTime()
-    val rules = graft.text.Vocab.bpeTrainFast(docs, "text", nMerges)
+    val rules = graft.text.Vocab.bpeTrainFast(docs, "text", nMerges,
+      maxWords = 1 << 23)
     val sec = (System.nanoTime() - t0) / 1e9
-    println(s"""{"probe":"bpe_fast","n_docs":$nDocs,""" +
+    println(s"""{"probe":"bpe_fast","corpus":"$dir","n_docs":$nDocs,""" +
       s""""n_merges":${rules.length},""" +
       s""""sec":${math.rint(sec * 1000) / 1000}}""")
     spark.stop()

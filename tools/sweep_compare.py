@@ -83,7 +83,10 @@ def main():
         if missing:
             print(f"  missing from B (not excluded): {missing}")
         if gate:
-            ok = not violations and not fails and not missing
+            # a failure or absence of an EXCLUDED query doesn't gate —
+            # exclusion documents that this corpus shape isn't its job
+            hard_fails = [k for k in fails if k not in exclude]
+            ok = not violations and not hard_fails and not missing
             print(f"\nGATE: {'PASS' if ok else 'FAIL'}")
             sys.exit(0 if ok else 1)
         return
