@@ -81,6 +81,16 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("q_setsim_topk: per-doc trim is a WindowGroupLimit; no cartesian product") {
+    // the class-collapsed exact top-k face must trim each doc's
+    // candidate list with a group limit (k rows per doc before the
+    // sort), and candidate generation must stay an equi-join on
+    // prefix tokens — a cartesian anywhere means the collapse broke
+    val p = plan("q_setsim_topk")
+    assert(p.contains("WindowGroupLimit"), p.take(1500))
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+  }
+
   test("q_asof_join: one exchange total — the union shuffles once on the key") {
     val s = EngineOps.planSummaryNoAqe(spark,
       Catalog.byName("q_asof_join").run(spark, dir))
