@@ -48,18 +48,33 @@ object ProductQuantization {
     * then `iters` rounds of assign (argmin L2², cid tie-break) +
     * decimal-exact mean update. A code that loses all members drops
     * out (standard Lloyd's; [[Similarity.trainCentroids]] precedent).
+    *
+    * Training runs on at most `trainCap` vectors (the trainCap lowest
+    * ids — deterministic, and a no-op below the cap, so gate-SF
+    * results are bit-identical to uncapped training): codebooks are
+    * k-means cells in tiny d/m-dim subspaces that converge on a
+    * bounded sample (FAISS trains on ~[30, 256]·k points per
+    * codebook), while full-corpus fitting made codebook training the
+    * dominant cost of the entire IVF×PQ funnel at replica scale —
+    * O(iters · N · ksub) for zero recall gain. Encoding
+    * ([[assignCodes]]) still covers every vector.
     */
-  def train(comp: DataFrame, ksub: Int, iters: Int): DataFrame = {
+  def train(comp: DataFrame, ksub: Int, iters: Int,
+      trainCap: Int = 1 << 15): DataFrame = {
+    val ids = comp.select(col("id")).distinct()
+      .orderBy(col("id")).limit(trainCap)
+    val tcomp = comp.join(broadcast(ids), Seq("id"))
+      .localCheckpoint(eager = true)
     // lowest-ksub ids, then a ksub-row ranking window (never corpus-wide)
-    val seeds = comp.select(col("id")).distinct()
+    val seeds = tcomp.select(col("id")).distinct()
       .orderBy(col("id")).limit(ksub)
       .withColumn("cid", row_number().over(Window.orderBy(col("id"))) - 1)
-    var cents = comp.join(broadcast(seeds), Seq("id"))
+    var cents = tcomp.join(broadcast(seeds), Seq("id"))
       .select(col("sub"), col("cid"), col("q"), col("x").as("c"))
       .localCheckpoint()
     (0 until iters).foreach { _ =>
-      val assign = assignCodes(comp, cents)
-      cents = comp.join(assign, Seq("id", "sub"))
+      val assign = assignCodes(tcomp, cents)
+      cents = tcomp.join(assign, Seq("id", "sub"))
         .groupBy(col("sub"), col("cid"), col("q"))
         .agg((sum(col("x").cast("decimal(27,10)")).cast("double") /
           count(lit(1)).cast("double")).as("c"))
