@@ -289,6 +289,12 @@ final class Orchestrator(spark: SparkSession, config: EngineConfig) {
     * which is correct whether the crash hit before the base rewrite,
     * between rewrite and folds, or between two folds. O(table), paid
     * only on actual crash evidence. Returns whether a recovery ran.
+    *
+    * Scope: rebuilds the views registered ON THIS INSTANCE at recovery
+    * time — register views before merging/recovering (the standard
+    * startup order; view registration is in-memory). A view first
+    * registered after a recovery starts from its own initial
+    * refresh/rebuild, so it cannot inherit the crash's drift.
     */
   def recoverPendingMutation(table: String): Boolean = {
     val j = mutJournal(table)
