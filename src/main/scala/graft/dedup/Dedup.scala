@@ -309,6 +309,32 @@ object Dedup {
       .filter(col("rn") <= col("len") -
         floor((lit(p) * col("len") + lit(q - 1)) / lit(q)).cast("long") + 1)
       .select(col("id"), col("len"), col("tk"), col("rn"))
+      .localCheckpoint(eager = true)
+    // PRE-FLIGHT: the candidate join emits Σ_tk prefdf(tk)² rows, and
+    // on a corpus of mutually-similar clone GROUPS (every group member
+    // shares every prefix token) that is Ω(groupsize²) per group — an
+    // exact join there doesn't run slow, it dies by disk (a 100-copy
+    // salted-replica corpus spilled ~76 GB before this guard). The
+    // estimate is one cheap aggregation over the prefix table; above
+    // the cap the join REFUSES with the diagnosis and the remedies
+    // instead of exhausting the cluster's scratch space.
+    val est = prefix.groupBy("tk").agg(count(lit(1)).as("n"))
+      .agg(coalesce(sum(col("n") * col("n")), lit(0L))).head.getLong(0)
+    val maxCand = spark.conf.getOption("spark.graft.setsim.maxCandidates")
+      .map(_.toLong).getOrElse(1000000000L)
+    if (est > maxCand) {
+      sh.unpersist()
+      throw new IllegalStateException(
+        s"setSim prefix join refused: ~$est candidate rows " +
+          s"(Σ prefix-token df², cap $maxCand) — the corpus is " +
+          "dominated by large groups of mutually-similar documents, " +
+          "where EXACT set-similarity is inherently quadratic per " +
+          "group. Exact-duplicate replication collapses via " +
+          "setSimTopKPrefix's class collapse; near-dup-heavy corpora " +
+          "should route to the capped LSH family " +
+          "(minHashNearDupPairs). Raise " +
+          "spark.graft.setsim.maxCandidates to force the exact join.")
+    }
     // candidates: shared prefix token + size filter |B|·q ≥ p·|A| +
     // PPJoin positional filter — a match at full-order positions
     // (i, j) caps the overlap at min(la−i, lb−j)+1, which must reach

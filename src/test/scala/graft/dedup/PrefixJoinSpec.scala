@@ -100,6 +100,36 @@ class PrefixJoinSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("candidate-volume pre-flight refuses a clone-group-quadratic corpus fast") {
+    // 40 near-identical variants (distinct sets — the salted-replica
+    // shape): Σ prefdf² ≈ prefixlen · 40² per group. With the cap
+    // lowered the join must REFUSE with the diagnosis instead of
+    // materializing the quadratic candidate set; raising the cap (or
+    // the default) lets the exact join proceed.
+    val docs = (0L until 40L).map(i =>
+      i -> s"the quick brown fox jumps over the lazy dog variant$i")
+    val df = docs.toDF("id", "text")
+    spark.conf.set("spark.graft.setsim.maxCandidates", "100")
+    try {
+      val e = intercept[IllegalStateException] {
+        Dedup.setSimJoinPrefix(df, "id", "text", 2, 0.3).count()
+      }
+      assert(e.getMessage.contains("maxCandidates") &&
+        e.getMessage.contains("LSH"))
+      ()
+    } finally spark.conf.unset("spark.graft.setsim.maxCandidates")
+    // default cap: same corpus is far below a billion candidates
+    assert(Dedup.setSimJoinPrefix(df, "id", "text", 2, 0.3).count() > 0)
+    // EXACT-copy clones never trip it through the top-k face: the
+    // class collapse removes them before the prefix join
+    val clones = (0L until 40L).map(i => i -> "all copies identical text here")
+    spark.conf.set("spark.graft.setsim.maxCandidates", "100")
+    try
+      assert(Dedup.setSimTopKPrefix(clones.toDF("id", "text"),
+        "id", "text", 2, 0.3, 3).count() === 40 * 3)
+    finally spark.conf.unset("spark.graft.setsim.maxCandidates")
+  }
+
   test("tau = 1.0 keeps only identical shingle sets") {
     val docs = Seq(
       1L -> "alpha beta gamma", 2L -> "alpha beta gamma",
