@@ -10,13 +10,19 @@ import org.apache.spark.sql.functions._
   * bpeTrainFast at real merge counts on a replica corpus — the
   * evidence behind BASELINE.md's BPE row.
   *
-  * Usage: `runMain graft.BpeProbe <dir> [nMerges]`.
+  * Usage: `runMain graft.BpeProbe <dir> [nMerges] [minFreq]`.
+  * `synth:20000000 200 7` exercises the OPEN-VOCABULARY path: 20M raw
+  * distinct words refuse the driver guard outright; minFreq pruning
+  * (standard Sennrich practice) brings the frequency table under it
+  * and training proceeds — the 100-TB-crawl recourse documented on
+  * [[graft.text.Vocab.bpeTrainFast]].
   */
 object BpeProbe {
 
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/tmp/scale10")
     val nMerges = args.lift(1).map(_.toInt).getOrElse(1000)
+    val minFreq = args.lift(2).map(_.toLong).getOrElse(1L)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val spark = graft.core.SparkEnv.session(appName = "graft-bpeprobe",
       cores = cpus)
@@ -39,10 +45,10 @@ object BpeProbe {
     val nDocs = docs.count()
     val t0 = System.nanoTime()
     val rules = graft.text.Vocab.bpeTrainFast(docs, "text", nMerges,
-      maxWords = 1 << 23)
+      maxWords = 1 << 23, minFreq = minFreq)
     val sec = (System.nanoTime() - t0) / 1e9
     println(s"""{"probe":"bpe_fast","corpus":"$dir","n_docs":$nDocs,""" +
-      s""""n_merges":${rules.length},""" +
+      s""""n_merges":${rules.length},"min_freq":$minFreq,""" +
       s""""sec":${math.rint(sec * 1000) / 1000}}""")
     spark.stop()
   }

@@ -557,28 +557,40 @@ object SimilarityQueries {
     val n = emb.count()
     val base = emb.filter(col("vec_id") < n - 20)
     val tail = emb.filter(col("vec_id") >= n - 20)
-    val wh = new graft.store.Warehouse(s,
-      java.nio.file.Files.createTempDirectory("ivfpq_gate").toString)
-    IvfPqIndex.build(wh, "ann", base, "vec_id", "embedding",
-      kCoarse = 8, m = 16, ksub = 16, iters = 3)
-    IvfPqIndex.append(wh, "ann", tail, "vec_id", "embedding")
-    IvfPqIndex.append(wh, "ann", tail, "vec_id", "embedding") // replay: no-op
-    val queries = emb.filter(col("vec_id").isin(0, 1, 2))
-    val got = IvfPqIndex.search(wh, "ann", queries, "vec_id", "embedding",
-      k = 10, nProbe = 4, rerank = 200)
-    val exact = Similarity.bruteForceTopK(
-      corpus = emb, queries = queries,
-      idCol = "vec_id", vecCol = "embedding", k = 10)
-    val overlap = got.select(col("query_id"), col("corpus_id"))
-      .join(exact.select(col("query_id"), col("corpus_id")),
-        Seq("query_id", "corpus_id"))
-      .groupBy(col("query_id"))
-      .agg(count(lit(1)).as("n_hit"))
-    queries.select(col("vec_id").as("query_id"))
-      .join(overlap, Seq("query_id"), "left")
-      .select(col("query_id"), lit(10).as("k"),
-        (coalesce(col("n_hit"), lit(0L)) >= 9).as("recall_ok"))
-      .orderBy("query_id")
+    val whDir = java.nio.file.Files.createTempDirectory("ivfpq_gate")
+    val wh = new graft.store.Warehouse(s, whDir.toString)
+    try {
+      IvfPqIndex.build(wh, "ann", base, "vec_id", "embedding",
+        kCoarse = 8, m = 16, ksub = 16, iters = 3)
+      IvfPqIndex.append(wh, "ann", tail, "vec_id", "embedding")
+      IvfPqIndex.append(wh, "ann", tail, "vec_id", "embedding") // replay: no-op
+      val queries = emb.filter(col("vec_id").isin(0, 1, 2))
+      val got = IvfPqIndex.search(wh, "ann", queries, "vec_id", "embedding",
+        k = 10, nProbe = 4, rerank = 200)
+      val exact = Similarity.bruteForceTopK(
+        corpus = emb, queries = queries,
+        idCol = "vec_id", vecCol = "embedding", k = 10)
+      val overlap = got.select(col("query_id"), col("corpus_id"))
+        .join(exact.select(col("query_id"), col("corpus_id")),
+          Seq("query_id", "corpus_id"))
+        .groupBy(col("query_id"))
+        .agg(count(lit(1)).as("n_hit"))
+      queries.select(col("vec_id").as("query_id"))
+        .join(overlap, Seq("query_id"), "left")
+        .select(col("query_id"), lit(10).as("k"),
+          (coalesce(col("n_hit"), lit(0L)) >= 9).as("recall_ok"))
+        .orderBy("query_id")
+        // pin the (3-row) verdict in block storage so the temp
+        // warehouse can be deleted before the lazy result escapes —
+        // without this every gate/sweep run leaked a populated
+        // four-table index directory into /tmp
+        .localCheckpoint(eager = true)
+    } finally {
+      import java.nio.file.{Files, Path}
+      import java.util.Comparator
+      Files.walk(whDir).sorted(Comparator.reverseOrder[Path]())
+        .forEach(p => Files.deleteIfExists(p))
+    }
   }
 
   val all: Seq[QueryDef] = Seq(qSimTopK, qSimLsh, qSimIvf, qQuantize,

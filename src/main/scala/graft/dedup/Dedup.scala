@@ -318,15 +318,21 @@ object Dedup {
     // estimate is one cheap aggregation over the prefix table; above
     // the cap the join REFUSES with the diagnosis and the remedies
     // instead of exhausting the cluster's scratch space.
+    // Σ n·(n−1)/2 counts exactly the unordered id_a<id_b pairs the
+    // join can emit per token (df² would double-count and refuse
+    // corpora within ~2× of the cap that actually fit); it is still
+    // an upper bound — the length/positional filters only shrink it
     val est = prefix.groupBy("tk").agg(count(lit(1)).as("n"))
-      .agg(coalesce(sum(col("n") * col("n")), lit(0L))).head.getLong(0)
+      .agg(coalesce(sum(col("n") * (col("n") - 1) / 2), lit(0L))
+        .cast("long")).head.getLong(0)
     val maxCand = spark.conf.getOption("spark.graft.setsim.maxCandidates")
       .map(_.toLong).getOrElse(1000000000L)
     if (est > maxCand) {
       sh.unpersist()
       throw new IllegalStateException(
         s"setSim prefix join refused: ~$est candidate rows " +
-          s"(Σ prefix-token df², cap $maxCand) — the corpus is " +
+          s"(Σ prefix-token df·(df−1)/2, an upper bound before the " +
+          s"length/positional filters; cap $maxCand) — the corpus is " +
           "dominated by large groups of mutually-similar documents, " +
           "where EXACT set-similarity is inherently quadratic per " +
           "group. Exact-duplicate replication collapses via " +

@@ -330,17 +330,24 @@ final class Orchestrator(spark: SparkSession, config: EngineConfig) {
     val views = registeredViews(table)
     if (views.isEmpty) { warehouse.merge(table, updates, keys); return }
     val j = mutJournal(table)
-    val removedPre = warehouse.read(table)
-      .join(updates.select(keys.map(col): _*), keys, "left_semi")
-    warehouse.createTable(s"${j}_removed", removedPre.schema,
-      ifExists = "replace")
-    warehouse.append(s"${j}_removed", removedPre)
+    // Journal the updates FIRST and derive everything downstream — the
+    // removed pre-images, the base rewrite, and the view folds — from
+    // the journaled snapshot. A nondeterministic `updates` frame (e.g.
+    // latest-per-key picked by row_number over a tied timestamp) would
+    // otherwise re-evaluate differently between the journal write and
+    // the base merge, and the base could merge different rows than the
+    // views fold — silent count-preserving drift syncViews cannot see.
     warehouse.createTable(s"${j}_updates", updates.schema,
       ifExists = "replace")
     warehouse.append(s"${j}_updates", updates)
-    val removed = warehouse.read(s"${j}_removed")
     val updatesJ = warehouse.read(s"${j}_updates")
-    warehouse.merge(table, updates, keys)
+    val removedPre = warehouse.read(table)
+      .join(updatesJ.select(keys.map(col): _*), keys, "left_semi")
+    warehouse.createTable(s"${j}_removed", removedPre.schema,
+      ifExists = "replace")
+    warehouse.append(s"${j}_removed", removedPre)
+    val removed = warehouse.read(s"${j}_removed")
+    warehouse.merge(table, updatesJ, keys)
     views.foreach(mv => graft.store.MatView.refreshMutation(
       warehouse, mv, removed, updatesJ, warehouse.read(table)))
     Seq(s"${j}_removed", s"${j}_updates").foreach(warehouse.dropTable)

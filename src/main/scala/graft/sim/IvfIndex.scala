@@ -60,11 +60,15 @@ object IvfIndex {
   def append(warehouse: Warehouse, name: String, newVecs: DataFrame,
       idCol: String, vecCol: String): Long = {
     val cents = warehouse.read(centroidsTable(name))
+    // the anti-join dedups across CALLS but not within a batch —
+    // in-batch duplicate ids would land twice and double-count at
+    // search time, so collapse them here to honor per-id idempotence
+    val uniqVecs = newVecs.dropDuplicates(idCol)
     val fresh = ScaleJoins.bloomPrunedAntiJoin(
-      newVecs.select(col(idCol)),
+      uniqVecs.select(col(idCol)),
       warehouse.read(cellsTable(name)).select(col(idCol)),
       Seq(idCol), expectedItems = 1000000L)
-      .join(newVecs, Seq(idCol))
+      .join(uniqVecs, Seq(idCol))
     val assigned = Similarity.ivfAssign(fresh, idCol, vecCol,
       cents, "centroid_id", "centroid_vec")
       // one computation feeds both the count and the append

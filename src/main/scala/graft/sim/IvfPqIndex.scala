@@ -90,11 +90,16 @@ object IvfPqIndex {
     val cents = wh.read(s"${name}__centroids")
     val books = wh.read(booksTable(name))
     val m = builtM(books)
+    // per-id idempotence holds across calls via the anti-join below,
+    // but duplicate ids INSIDE one batch would pass it and land twice
+    // in both tiers, double-counting ADC terms at search time —
+    // collapse them first (streaming micro-batches can carry dups)
+    val uniqVecs = newVecs.dropDuplicates(idCol)
     val freshC = ScaleJoins.bloomPrunedAntiJoin(
-        newVecs.select(col(idCol)),
+        uniqVecs.select(col(idCol)),
         wh.read(codesTable(name)).select(col("id").as(idCol)),
         Seq(idCol), expectedItems = 1000000L)
-      .join(newVecs, Seq(idCol))
+      .join(uniqVecs, Seq(idCol))
     val cellOf = Similarity.ivfAssign(freshC, idCol, vecCol,
         cents, "centroid_id", "centroid_vec")
       .select(col(idCol).as("id"), col("centroid_id"))
@@ -104,7 +109,7 @@ object IvfPqIndex {
       .join(cellOf, Seq("id"))
       .localCheckpoint()
     if (codes.count() > 0L) wh.append(codesTable(name), codes)
-    IvfIndex.append(wh, name, newVecs, idCol, vecCol)
+    IvfIndex.append(wh, name, uniqVecs, idCol, vecCol)
   }
 
   /** Probe-pruned ADC search + exact re-rank against the persisted

@@ -172,19 +172,41 @@ object Vocab {
     * millions, not corpus-sized), and refuses loudly rather than
     * silently truncating, because a truncated table changes the
     * trained merges.
+    *
+    * `minFreq` is the open-vocabulary scale path (standard Sennrich
+    * practice): words rarer than `minFreq` are dropped from the
+    * frequency table BEFORE the driver collect, bounding it by the
+    * corpus's frequent-word vocabulary instead of its raw distinct
+    * count (an open-web crawl has tens of millions of distinct
+    * "words" — URLs, typos, code — almost all hapax). Pruning is a
+    * DOCUMENTED approximation, not silent truncation: every pair
+    * count is computed without the pruned words' (negligible,
+    * ≤ minFreq−1 each) occurrence mass, so the trained sequence
+    * matches the unpruned sequence exactly until the first merge
+    * where that missing mass would have changed the argmax — on
+    * Zipfian corpora the head merges (the ones that matter) are
+    * identical (BpeMinFreqSpec). minFreq=1 is bit-exact parity with
+    * the unpruned table.
     */
   def bpeTrainFast(docs: DataFrame, textCol: String, nMerges: Int,
-      maxWords: Int = 1 << 22): Seq[(Int, String, String)] = {
+      maxWords: Int = 1 << 22,
+      minFreq: Long = 1L): Seq[(Int, String, String)] = {
     require(nMerges > 0)
-    val wfDf = docs
+    require(minFreq >= 1L, s"bpeTrainFast: minFreq=$minFreq must be >= 1")
+    val wfAll = docs
       .select(explode(split(lower(trim(col(textCol))),
         "[\\s\\p{Punct}]+")).as("w"))
       .filter(length(col("w")) >= 2)
       .groupBy("w").agg(count(lit(1)).as("f"))
+    val wfDf =
+      if (minFreq > 1L) wfAll.filter(col("f") >= minFreq) else wfAll
     val nWords = wfDf.count()
     require(nWords <= maxWords,
-      s"bpeTrainFast: $nWords distinct words exceed maxWords=$maxWords " +
-        "— raise the guard (driver memory permitting)")
+      s"bpeTrainFast: $nWords distinct words exceed maxWords=$maxWords" +
+        (if (minFreq > 1L) s" (after minFreq=$minFreq pruning)" else "") +
+        " — raise minFreq to prune rare words (the standard practice " +
+        "for open-web vocabularies; see the minFreq contract above) " +
+        "or raise the guard (driver memory permitting)")
     val rows = wfDf.collect()
     val words = new Array[Array[String]](rows.length)
     val freqs = new Array[Long](rows.length)
@@ -219,8 +241,17 @@ object Vocab {
         adding: Boolean): Unit = {
       val n = pairCounts.getOrElse(p, 0L) + delta
       if (n <= 0L) pairCounts.remove(p) else pairCounts(p) = n
-      val set = pairWords.getOrElseUpdate(p, mutable.Set.empty)
-      if (adding) set += wordId
+      // keep the pair→word index EXACT both ways: a word being
+      // re-counted negatively is about to be rewritten, so drop its
+      // id now — pairs that survive the fuse re-add it on the +1
+      // pass. Without this, stale ids accumulate across 32k merges
+      // and every one still pays countWord/fuse on each later merge
+      // of that pair.
+      if (adding) pairWords.getOrElseUpdate(p, mutable.Set.empty) += wordId
+      else pairWords.get(p).foreach { set =>
+        set -= wordId
+        if (set.isEmpty) pairWords.remove(p)
+      }
       if (n > 0L) heap.enqueue((n, p._1, p._2))
     }
     def countWord(id: Int, sign: Long): Unit = {
@@ -252,6 +283,14 @@ object Vocab {
     var rank = 1
     var exhausted = false
     while (rank <= nMerges && !exhausted) {
+      // lazy-deletion hygiene: every count change enqueues one entry,
+      // so adversarial churn can grow the heap far past the live pair
+      // set — when stale entries dominate (4×), rebuild from
+      // pairCounts (O(live), amortized across the merges that grew it)
+      if (heap.size > 1024 && heap.size > 4 * pairCounts.size) {
+        heap.clear()
+        pairCounts.foreach { case ((l, r), n) => heap.enqueue((n, l, r)) }
+      }
       // pop until the top entry's count is current
       var top: Option[(String, String)] = None
       while (top.isEmpty && heap.nonEmpty) {

@@ -93,6 +93,28 @@ class IvfPqIndexSpec extends SparkSpec {
       assert(hits.getOrElse(q, 0L) >= 9L, s"query $q recall ${hits.get(q)}")
   }
 
+  test("in-batch duplicate ids collapse: append stays idempotent per id WITHIN a batch") {
+    // the anti-join dedups across calls, but a single micro-batch
+    // carrying the same id twice would land twice in both tiers and
+    // double-count ADC terms at search time — append must collapse
+    // them (IvfIndex.append shares the contract)
+    val wh = new Warehouse(spark, Files.createTempDirectory("ivfpqd").toString)
+    val base = emb.filter(col("vec_id") < 80)
+    val tail = emb.filter(col("vec_id") >= 80)
+    val nTail = tail.count()
+    IvfPqIndex.build(wh, "ann", base, "vec_id", "embedding",
+      kCoarse = 8, m = 16, ksub = 16, iters = 3)
+    val dupBatch = tail.union(tail) // every id twice in ONE batch
+    assert(IvfPqIndex.append(wh, "ann", dupBatch, "vec_id", "embedding")
+      === nTail)
+    val n = emb.count()
+    assert(wh.read("ann__cells").count() === n, "cells tier double-counted")
+    assert(wh.read("ann__codes").count() === n * 16,
+      "codes tier double-counted")
+    assert(wh.read("ann__codes").select("id", "sub").distinct().count()
+      === n * 16, "duplicate (id, sub) code rows")
+  }
+
   test("streamed ingest ≡ batch append on both tiers") {
     import graft.streaming.{StreamIngest, StreamSimilarity}
     val wh = new Warehouse(spark, Files.createTempDirectory("ivfpqs").toString)

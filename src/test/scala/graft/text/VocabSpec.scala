@@ -104,6 +104,63 @@ class VocabSpec extends SparkSpec {
       Vocab.bpeTrainFast(docs, "text", nMerges = 2, maxWords = 2)
     }
     assert(e.getMessage.contains("maxWords"))
+    // the refusal names the open-vocabulary recourse
+    assert(e.getMessage.contains("minFreq"))
+  }
+
+  test("bpeTrainFast minFreq=1 is bit-exact parity with the unpruned table") {
+    val docs = graft.io.Tables.table(spark, "/root/testdata/sf0.001",
+      "documents")
+      .filter(org.apache.spark.sql.functions.col("doc_id") < 30)
+      .select("doc_id", "text")
+    assert(Vocab.bpeTrainFast(docs, "text", nMerges = 25, minFreq = 1L) ===
+      Vocab.bpeTrainFast(docs, "text", nMerges = 25))
+  }
+
+  test("bpeTrainFast minFreq ≡ training on the rare-word-filtered corpus; head merges match unpruned") {
+    // minFreq's exact semantics: drop words with corpus frequency
+    // < minFreq from the frequency table, train on what remains. So
+    // the pruned run must be IDENTICAL to unpruned training on a
+    // corpus from which those words were removed by hand…
+    val frequent = Seq.fill(20)("low") ++ Seq.fill(10)("lower") ++
+      Seq.fill(30)("newest") ++ Seq.fill(15)("widest")
+    val hapax = Seq("qz", "qx", "qv", "qw", "qy") // freq 1 each
+    val full = Seq((1L, (frequent ++ hapax).mkString(" "))).toDF("id", "text")
+    val filtered = Seq((1L, frequent.mkString(" "))).toDF("id", "text")
+    val pruned = Vocab.bpeTrainFast(full, "text", nMerges = 8, minFreq = 2L)
+    assert(pruned ===
+      Vocab.bpeTrainFast(filtered, "text", nMerges = 8))
+    // …and because the pruned words' pair mass (≤ minFreq−1 per word)
+    // cannot reach the head pair counts, the head merges agree with
+    // the UNPRUNED sequence — the sequences diverge only once a
+    // pruned pair would have won the argmax (here: never, within 8
+    // merges, since every hapax pair has count 1 vs head counts ≥ 10)
+    val unpruned = Vocab.bpeTrainFast(full, "text", nMerges = 8)
+    assert(pruned === unpruned)
+    // pruning can only shorten the trainable tail: with merges
+    // exhausted, the pruned rule list is a prefix-or-equal subset
+    val allPruned = Vocab.bpeTrainFast(full, "text", nMerges = 500,
+      minFreq = 2L)
+    val allUnpruned = Vocab.bpeTrainFast(full, "text", nMerges = 500)
+    assert(allPruned.length <= allUnpruned.length)
+  }
+
+  test("bpeTrainFast minFreq pruning admits a vocabulary the guard refuses") {
+    // open-vocabulary path: raw distinct words exceed maxWords, but
+    // hapax pruning brings the table under the guard and training
+    // proceeds — the recourse the refusal message advertises
+    val docs = Seq((1L,
+      "low low low low lower lower hapax1 hapax2 hapax3 hapax4 hapax5"))
+      .toDF("id", "text")
+    intercept[IllegalArgumentException] {
+      Vocab.bpeTrainFast(docs, "text", nMerges = 2, maxWords = 4)
+    }
+    val rules = Vocab.bpeTrainFast(docs, "text", nMerges = 2,
+      maxWords = 4, minFreq = 2L)
+    assert(rules.nonEmpty)
+    assert(rules === Vocab.bpeTrainFast(
+      Seq((1L, "low low low low lower lower")).toDF("id", "text"),
+      "text", nMerges = 2))
   }
 
   test("property: bpeApply's column fold ≡ reference greedy merge on adversarial repeats") {
