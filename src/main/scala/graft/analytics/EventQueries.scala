@@ -1158,7 +1158,15 @@ object EventQueries {
     * integral ∫v dt / (t_n − t_0)): one per-type window lag for
     * (prev value, prev ts), each trapezoid (v_i + v_{i−1})/2 · Δt_µs
     * decimal-cast before the exact sum, one division at the end.
-    * Same chunkable-window scale shape as [[qEwma]].
+    *
+    * The lag rides [[graft.transform.ChunkedWindows.lag1]], NOT a
+    * per-type window: five event types hash-partitioned would sort
+    * 1/5 of the corpus on each of five tasks (the round-8 sweep's
+    * 9.6×–14× run-to-run band at 100× was those 2M-row sorts
+    * breathing with spill/GC pressure), while range-balanced chunks
+    * sort N/P rows per task at full parallelism with identical
+    * lagged values — so the aggregate below, and the oracle, are
+    * untouched.
     */
   val qTwa: QueryDef = QueryDef.sql(
     "q_twa",
@@ -1179,13 +1187,13 @@ object EventQueries {
       |  CAST(round(area / span_us, 6) AS DOUBLE) AS twa
       |FROM a WHERE span_us > 0 ORDER BY event_type""".stripMargin,
     doc = "trapezoidal time-weighted average per type (irregular-series mean)") { (s, dir) =>
-    // epoch-µs order ≡ ts order, so the window can sort on the
+    // epoch-µs order ≡ ts order, so the lag can sort on the
     // projected long (one fewer carried column)
-    val w = Window.partitionBy("event_type").orderBy(col("t"), col("event_id"))
-    val l = t(s, dir, "events").select(col("event_type"), col("event_id"),
-        col("value"), epochUs(col("ts")).as("t"))
-      .withColumn("pv", lag(col("value"), 1).over(w))
-      .withColumn("pt", lag(col("t"), 1).over(w))
+    val l = graft.transform.ChunkedWindows.lag1(
+      t(s, dir, "events").select(col("event_type"), col("event_id"),
+        col("value"), epochUs(col("ts")).as("t")),
+      keyCols = Seq("event_type"), orderCols = Seq("t", "event_id"),
+      lagCols = Map("value" -> "pv", "t" -> "pt"))
     l.groupBy("event_type")
       .agg(
         sum(((col("value") + col("pv")) / 2 * (col("t") - col("pt")))

@@ -137,13 +137,53 @@ object Similarity {
     */
   def ivfAssign(df: DataFrame, idCol: String, vecCol: String,
       centroids: DataFrame, centIdCol: String, centVecCol: String): DataFrame = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    val spark = df.sparkSession
+    // bounded by the centroid table — the same boundedness the old
+    // `broadcast(cents)` cross join already required of this argument
+    val rows = centroids
+      .select(col(centIdCol).cast("long"), col(centVecCol))
+      .collect()
+    if (rows.isEmpty)
+      // windowed-form parity: crossJoin with an empty side is empty
+      return df.filter(lit(false))
+        .withColumn("centroid_id", lit(0L))
+        .withColumn("centroid_sim", lit(0.0))
+    val sorted = rows.map { r =>
+      val v = r.getSeq[Any](1).map {
+        case f: java.lang.Float => f.toDouble
+        case d: java.lang.Double => d.doubleValue
+        case n: java.lang.Number => n.doubleValue
+      }.toArray
+      (r.getLong(0), v)
+    }.sortBy(_._1)
+    val kernel = new graft.plans.CentroidKernel(
+      sorted.map(_._1), sorted.map(_._2))
+    val bcast = spark.sparkContext.broadcast(kernel)
+    // ONE pure projection: per row the kernel scans the broadcast
+    // centroids with exact triangle-inequality pruning and returns the
+    // bit-identical (argmax cell, cosine) the old plan derived from an
+    // N×k cross join + window — see NearestCentroid for why the
+    // windowed form is the scale bug (N×k rows through an exchange;
+    // N²/256 under corpus-scaled SemDeDup centroids).
+    df.withColumn("__nc", ColumnBridge.column(graft.plans.NearestCentroid(
+        ColumnBridge.expression(col(vecCol)), bcast)))
+      .withColumn("centroid_id", col("__nc.centroid_id"))
+      .withColumn("centroid_sim", col("__nc.centroid_sim"))
+      .drop("__nc")
+  }
+
+  /** The pre-round-9 windowed assignment (N×k cross join + per-id
+    * argmax window) — retained as the independent reference
+    * implementation the NearestCentroid exactness specs diff against.
+    */
+  private[graft] def ivfAssignWindowed(df: DataFrame, idCol: String,
+      vecCol: String, centroids: DataFrame, centIdCol: String,
+      centVecCol: String): DataFrame = {
     val cents = centroids.select(col(centIdCol).as("__cid"),
       col(centVecCol).as("__cvec"))
     val joined = df.crossJoin(broadcast(cents))
       .withColumn("__sim", cosine(col(vecCol), col("__cvec")))
-    // Per-row argmax keyed on the row id — a window keyed on every data
-    // column would hash whole vectors as the shuffle key. |centroids|
-    // rows per key: small, balanced partitions.
     val w = Window.partitionBy(col(idCol))
       .orderBy(col("__sim").desc, col("__cid"))
     joined.withColumn("__rn", row_number().over(w))
