@@ -48,14 +48,32 @@ object Bench {
     queries.foreach { case (_, fn) =>
       try fn(spark, sfDir).count() catch { case _: Throwable => () }
     }
-    val results = queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val ok = try { fn(spark, sfDir).count(); true }
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] $name FAILED: ${e.getClass.getName}: ${e.getMessage}")
-        false
+    // steady-state protocol, MECHANIZED: three timed in-process passes
+    // per query, report the median — a single post-warmup run still
+    // carries several hundred ms of first-pass residue per query
+    // (lazily-JIT'd codegen paths, shuffle-file cache), which made
+    // round-over-round totals incomparable without prose adjudication
+    val runs = sys.env.get("SPARK_GRAFT_BENCH_RUNS").map(_.toInt).getOrElse(3)
+    val timed = (1 to runs).map { _ =>
+      queries.map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        val ok = try { fn(spark, sfDir).count(); true }
+        catch { case e: Throwable =>
+          System.err.println(
+            s"[bench] $name FAILED: ${e.getClass.getName}: ${e.getMessage}")
+          false
+        }
+        (name, (System.nanoTime() - t0) / 1e9, ok)
       }
-      (name, (System.nanoTime() - t0) / 1e9, ok)
+    }
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      s(s.length / 2)
+    }
+    val results = queries.map { case (name, _) =>
+      val per = timed.map(_.find(_._1 == name).get)
+      val ok = per.forall(_._3)
+      (name, if (ok) median(per.map(_._2)) else -1.0, ok)
     }
     // a broken query must not masquerade as a fast pass: value -1 + errors list
     val qs = results.map { case (k, v, ok) =>
@@ -64,7 +82,9 @@ object Bench {
     val errors = results.collect { case (k, _, false) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.filter(_._3).map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errors,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec",""" +
+      s""""runs":$runs,"stat":"median","queries":$qs,""" +
+      s""""errors":$errors,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -20,9 +20,14 @@ object IvfIndex {
 
   private def centroidsTable(name: String) = s"${name}__centroids"
   private def cellsTable(name: String) = s"${name}__cells"
+  private[sim] def statsTable(name: String) = s"${name}__stats"
+  private[sim] def retrainSrcTable(name: String) = s"${name}__retrain_src"
 
   /** Train coarse centroids and land both index tables. Returns the
-    * number of (non-empty) cells.
+    * number of (non-empty) cells. Also stamps a 1-row `__stats` table
+    * with the BUILD-TIME corpus size, mean coarse quantization
+    * distortion (mean 1 − centroid_sim) and max cell fraction — the
+    * baseline [[staleness]] compares the drifting index against.
     */
   def build(warehouse: Warehouse, name: String, corpus: DataFrame,
       idCol: String, vecCol: String, k: Int, iters: Int = 5): Long = {
@@ -35,8 +40,89 @@ object IvfIndex {
     warehouse.createTable(cellsTable(name), assigned.schema,
       ifExists = "replace", partitionBy = Seq("centroid_id"))
     warehouse.append(cellsTable(name), assigned)
+    val stats = currentStats(warehouse, name)
+      .select(col("n").as("built_n"),
+        col("mean_dist").as("built_mean_dist"),
+        col("max_cell_frac").as("built_max_cell_frac"))
+    warehouse.createTable(statsTable(name), stats.schema,
+      ifExists = "replace")
+    warehouse.append(statsTable(name), stats)
     warehouse.read(centroidsTable(name)).count()
   }
+
+  /** (n, mean 1 − centroid_sim, max cell fraction) over the CURRENT
+    * cells tier — one aggregation over the stored assignments; the
+    * full vectors are never re-scored.
+    */
+  private def currentStats(warehouse: Warehouse, name: String): DataFrame = {
+    val cells = warehouse.read(cellsTable(name))
+    val perCell = cells.groupBy(col("centroid_id"))
+      .agg(count(lit(1)).as("__cn"),
+        sum(lit(1.0) - col("centroid_sim")).as("__cd"))
+    perCell.agg(
+      sum(col("__cn")).as("n"),
+      (sum(col("__cd")) / sum(col("__cn"))).as("mean_dist"),
+      (max(col("__cn")).cast("double") / sum(col("__cn"))).as("max_cell_frac"))
+  }
+
+  /** Drift report for a frozen-centroid index: one row comparing the
+    * build-time baseline with the current cells tier. `append` assigns
+    * new vectors to STALE structure — as the ingested distribution
+    * drifts, vectors crowd into few badly-fitting cells, which shows
+    * up as (a) mean coarse distortion rising above the build-time mean
+    * and (b) cell-size skew — and probe-pruned recall decays with no
+    * error anywhere. `stale` = distortion ratio > 1.5 OR max-cell
+    * fraction ratio > 3; thresholds are deliberately coarse (drift is
+    * a trend, not an edge) and both raw ratios are in the row for
+    * callers with their own policy. The remedy is [[retrain]].
+    */
+  def staleness(warehouse: Warehouse, name: String): DataFrame = {
+    require(warehouse.tableExists(statsTable(name)),
+      s"$name has no __stats baseline — (re)build the index to stamp one")
+    val built = warehouse.read(statsTable(name))
+    currentStats(warehouse, name).crossJoin(broadcast(built))
+      .select(
+        col("built_n"), col("n").as("current_n"),
+        col("built_mean_dist"), col("mean_dist").as("current_mean_dist"),
+        (col("mean_dist") / col("built_mean_dist")).as("dist_ratio"),
+        col("built_max_cell_frac"),
+        col("max_cell_frac").as("current_max_cell_frac"),
+        (col("max_cell_frac") / col("built_max_cell_frac")).as("skew_ratio"))
+      .withColumn("stale",
+        col("dist_ratio") > 1.5 || col("skew_ratio") > 3.0)
+  }
+
+  /** Re-fit the index from its own cells tier: snapshot the full
+    * vectors, re-run [[build]] (same deterministic lowest-id k-means
+    * seeds), drop the snapshot. Crash-safe by SNAPSHOT-FIRST ordering:
+    * the vector set is pinned to `__retrain_src` before any index
+    * table is dropped, so a crash at any later point loses nothing —
+    * rerunning retrain resumes from the pinned snapshot (it is the
+    * recovery procedure; [[search]]/[[append]] refuse while the marker
+    * exists rather than serve a half-swapped index). Returns the new
+    * cell count.
+    */
+  def retrain(warehouse: Warehouse, name: String, idCol: String,
+      vecCol: String, k: Int, iters: Int = 5): Long = {
+    val src = retrainSrcTable(name)
+    if (!warehouse.tableExists(src)) {
+      val full = warehouse.read(cellsTable(name))
+        .select(col(idCol), col(vecCol))
+      warehouse.createTable(src, full.schema, ifExists = "replace")
+      warehouse.append(src, full)
+    } // else: resuming a crashed retrain from its pinned snapshot
+    val n = build(warehouse, name, warehouse.read(src), idCol, vecCol,
+      k, iters)
+    warehouse.dropTable(src)
+    n
+  }
+
+  private[sim] def requireNoPendingRetrain(warehouse: Warehouse,
+      name: String): Unit =
+    require(!warehouse.tableExists(retrainSrcTable(name)),
+      s"index $name has an unfinished retrain (marker " +
+        s"${retrainSrcTable(name)} exists) — rerun retrain(...) to " +
+        "recover before serving or appending")
 
   /** Fold new vectors into the index incrementally: assign each to
     * its nearest EXISTING centroid and append to the cells table —
@@ -59,6 +145,7 @@ object IvfIndex {
     */
   def append(warehouse: Warehouse, name: String, newVecs: DataFrame,
       idCol: String, vecCol: String): Long = {
+    requireNoPendingRetrain(warehouse, name)
     val cents = warehouse.read(centroidsTable(name))
     // the anti-join dedups across CALLS but not within a batch —
     // in-batch duplicate ids would land twice and double-count at
@@ -89,6 +176,7 @@ object IvfIndex {
   def search(warehouse: Warehouse, name: String, queries: DataFrame,
       idCol: String, vecCol: String, k: Int, nProbe: Int = 2): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    requireNoPendingRetrain(warehouse, name)
     val cents = warehouse.read(centroidsTable(name))
     val cells = warehouse.read(cellsTable(name))
     val probeW = Window.partitionBy(col(idCol))

@@ -66,6 +66,41 @@ object IvfPqIndex {
     } finally comp.unpersist()
   }
 
+  /** Drift report for the compressed index — the coarse tier IS the
+    * recall-relevant drift surface (probing picks cells by the frozen
+    * centroids; the exact re-rank already absorbs fine-tier
+    * quantization error), so this delegates to [[IvfIndex.staleness]]
+    * over the shared cells tier.
+    */
+  def staleness(wh: Warehouse, name: String): DataFrame =
+    IvfIndex.staleness(wh, name)
+
+  /** Re-fit ALL FOUR tables (centroids, books, codes, cells) from the
+    * index's own full-vector tier — the remedy once [[staleness]]
+    * reports drift. Same snapshot-first crash contract as
+    * [[IvfIndex.retrain]]: the vector set is pinned to
+    * `__retrain_src` before anything is dropped, a crash at any later
+    * point is recovered by rerunning retrain, and [[search]]/
+    * [[append]] refuse while the marker exists. Training params are
+    * re-specified by the caller (they are also re-derivable: kCoarse
+    * from the centroid count, m/ksub from the persisted books).
+    * Returns (#cells, #codes).
+    */
+  def retrain(wh: Warehouse, name: String, idCol: String, vecCol: String,
+      kCoarse: Int, m: Int, ksub: Int = 16,
+      iters: Int = 3): (Long, Long) = {
+    val src = IvfIndex.retrainSrcTable(name)
+    if (!wh.tableExists(src)) {
+      val full = wh.read(s"${name}__cells").select(col(idCol), col(vecCol))
+      wh.createTable(src, full.schema, ifExists = "replace")
+      wh.append(src, full)
+    } // else: resuming a crashed retrain from its pinned snapshot
+    val out = build(wh, name, wh.read(src), idCol, vecCol,
+      kCoarse, m, ksub, iters)
+    wh.dropTable(src)
+    out
+  }
+
   /** Fold new vectors into the persisted index incrementally: assign
     * each to its nearest EXISTING centroid, encode with the EXISTING
     * codebooks, and append to the centroid-partitioned codes and
@@ -87,6 +122,7 @@ object IvfPqIndex {
   def append(wh: Warehouse, name: String, newVecs: DataFrame,
       idCol: String, vecCol: String): Long = {
     import graft.store.ScaleJoins
+    IvfIndex.requireNoPendingRetrain(wh, name)
     val cents = wh.read(s"${name}__centroids")
     val books = wh.read(booksTable(name))
     val m = builtM(books)
@@ -123,6 +159,7 @@ object IvfPqIndex {
   def search(wh: Warehouse, name: String, queries: DataFrame,
       idCol: String, vecCol: String, k: Int, nProbe: Int = 2,
       rerank: Int = 50): DataFrame = {
+    IvfIndex.requireNoPendingRetrain(wh, name)
     val cents = wh.read(s"${name}__centroids")
     val books = wh.read(booksTable(name))
     val m = builtM(books)

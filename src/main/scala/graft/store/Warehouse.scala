@@ -27,6 +27,100 @@ final class Warehouse(spark: SparkSession, val location: String) {
   private def fs: FileSystem =
     new Path(location).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+  // ---------------------------------------------------------------
+  // Single-writer lease: the single-driver contract (SURVEY §7.4.4)
+  // ENFORCED, not just documented — two processes interleaving one
+  // table's swap dance would corrupt it unpredictably; with a lease
+  // the second writer refuses LOUDLY, naming the holder. Lease files
+  // live under `_locks/` (outside every table dir, which swaps
+  // rename), are created atomically (create w/o overwrite), and go
+  // stale after `spark.graft.lease.staleMs` (default 1 h) so a
+  // crashed holder can't wedge the table forever — the next writer
+  // takes the stale lease over and proceeds. Reentrant per instance:
+  // a merge that internally replaceTables the same table re-enters
+  // its own lease (depth-counted), matching the one-writer model.
+  // ---------------------------------------------------------------
+  private val heldLeases = scala.collection.mutable.Map.empty[String, Int]
+
+  private def leasePath(table: String) =
+    new Path(location, s"_locks/$table.lease")
+
+  private def staleMs: Long = spark.conf
+    .getOption("spark.graft.lease.staleMs").map(_.toLong)
+    .getOrElse(3600000L)
+
+  private def tryCreateLease(p: Path, op: String): Boolean =
+    try {
+      val out = fs.create(p, false)
+      try out.write(
+        (s"op=$op pid=${ProcessHandle.current.pid} " +
+          s"host=${java.net.InetAddress.getLocalHost.getHostName} " +
+          s"at=${System.currentTimeMillis}").getBytes("UTF-8"))
+      finally out.close()
+      true
+    } catch { case _: java.io.IOException => false }
+
+  private def acquireLease(table: String, op: String): Unit = synchronized {
+    heldLeases.get(table) match {
+      case Some(depth) => heldLeases(table) = depth + 1
+      case None =>
+        val p = leasePath(table)
+        fs.mkdirs(p.getParent)
+        if (!tryCreateLease(p, op)) {
+          val st =
+            try Some(fs.getFileStatus(p))
+            catch { case _: java.io.FileNotFoundException => None }
+          val age = st.map(s =>
+            System.currentTimeMillis - s.getModificationTime)
+          val recovered = age match {
+            case Some(a) if a > staleMs =>
+              // stale takeover: the holder died mid-mutation; every
+              // mutation here is crash-safe (tmp + rename), so taking
+              // the lease and proceeding is exactly crash recovery
+              fs.delete(p, false)
+              tryCreateLease(p, op)
+            case None =>
+              tryCreateLease(p, op) // releaser raced us — retry once
+            case _ => false
+          }
+          if (!recovered) {
+            val holder = try {
+              val in = fs.open(p)
+              try new String(
+                org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
+              finally in.close()
+            } catch { case _: Exception => "<unreadable>" }
+            throw new IllegalStateException(
+              s"table '$table' is being mutated by another writer " +
+                s"[$holder] (lease age ${age.getOrElse(-1L)} ms, " +
+                s"stale after $staleMs ms) — concurrent Warehouse " +
+                "mutations are unsupported (SURVEY §7.4.4); if the " +
+                "holder crashed, retry after the lease goes stale or " +
+                "lower spark.graft.lease.staleMs")
+          } else heldLeases(table) = 1
+        } else heldLeases(table) = 1
+    }
+  }
+
+  private def releaseLease(table: String): Unit = synchronized {
+    heldLeases.get(table) match {
+      case Some(1) =>
+        heldLeases.remove(table)
+        try fs.delete(leasePath(table), false)
+        catch { case _: java.io.IOException => () }
+      case Some(depth) => heldLeases(table) = depth - 1
+      case None => () // defensive: release without acquire is a no-op
+    }
+  }
+
+  /** Run `body` holding `table`'s writer lease (acquire → mutate →
+    * release; reentrant within this instance).
+    */
+  private def withTableLease[T](table: String, op: String)(body: => T): T = {
+    acquireLease(table, op)
+    try body finally releaseLease(table)
+  }
+
   /** `postgres_manager.py:431-441`. */
   def tableExists(table: String): Boolean =
     fs.exists(new Path(path(table)))
@@ -248,7 +342,8 @@ final class Warehouse(spark: SparkSession, val location: String) {
     * At cluster scale this is a per-partition rewrite sized by
     * `maxPartitionBytes`, not a global repartition.
     */
-  def compact(table: String, targetFiles: Int): Unit = {
+  def compact(table: String, targetFiles: Int): Unit =
+      withTableLease(table, "compact") {
     if (dataFiles(table).isEmpty) return // nothing to rewrite
     val parts = readMeta(table).map(_.partitionBy).getOrElse(Nil)
     val tmp = new Path(path(table) + "__compact")
@@ -282,7 +377,8 @@ final class Warehouse(spark: SparkSession, val location: String) {
     * with the same crash-safe rename dance as [[compact]].
     */
   def compactPartitions(table: String, predicate: org.apache.spark.sql.Column,
-      targetFilesPerPartition: Int = 1): Unit = {
+      targetFilesPerPartition: Int = 1): Unit =
+      withTableLease(table, "compactPartitions") {
     val parts = readMeta(table).map(_.partitionBy).getOrElse(Nil)
     require(parts.nonEmpty, s"compactPartitions: table $table is not partitioned")
     val slice = readRaw(table).filter(predicate)
@@ -345,7 +441,8 @@ final class Warehouse(spark: SparkSession, val location: String) {
     * survivors write produces no dir for it, so it is removed rather
     * than left stale. Returns the number of rows deleted.
     */
-  def deleteWhere(table: String, predicate: org.apache.spark.sql.Column): Long = {
+  def deleteWhere(table: String, predicate: org.apache.spark.sql.Column): Long =
+      withTableLease(table, "deleteWhere") {
     import org.apache.spark.sql.functions.{coalesce, col, lit}
     val parts = readMeta(table).map(_.partitionBy).getOrElse(Nil)
     val raw = readRaw(table)
@@ -444,7 +541,8 @@ final class Warehouse(spark: SparkSession, val location: String) {
     * input path.
     */
   def replaceTable(table: String, df: DataFrame,
-      extraFiles: Map[String, String] = Map.empty): Unit = {
+      extraFiles: Map[String, String] = Map.empty): Unit =
+      withTableLease(table, "replaceTable") {
     val tmp = new Path(path(table) + "__replace")
     df.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
     // Underscore-named sidecars ride the same atomic rename as the
@@ -503,7 +601,8 @@ final class Warehouse(spark: SparkSession, val location: String) {
     * partition value changed would leave its old version in the old
     * partition. Unpartitioned tables merge fully through a tmp + swap.
     */
-  def merge(table: String, updates: DataFrame, keys: Seq[String]): Unit = {
+  def merge(table: String, updates: DataFrame, keys: Seq[String]): Unit =
+      withTableLease(table, "merge") {
     require(keys.nonEmpty, "merge needs at least one key column")
     val meta = readMeta(table)
     val parts = meta.map(_.partitionBy).getOrElse(Nil)
@@ -556,6 +655,7 @@ final class Warehouse(spark: SparkSession, val location: String) {
     if (!fs.exists(root)) Nil
     else fs.listStatus(root).filter(_.isDirectory).map(_.getPath.getName)
       .filterNot(n => Warehouse.TransientSuffixes.exists(n.endsWith))
+      .filterNot(_ == "_locks") // writer-lease admin dir, not a table
       .toSeq.sorted
   }
 

@@ -62,7 +62,10 @@ object StreamCuration {
       else scored
     val clean = cfg.evalSet match {
       case Some(ev) => deduped.filter(
-        !Decontaminate.contaminationPredicate(ev, cfg.textCol, cfg.decontaminateN))
+        // size-routed: exact broadcast set for benchmark-suite-sized
+        // eval corpora, bloom (no-false-negative) above 10M grams
+        !Decontaminate.contaminationPredicateAuto(ev, cfg.textCol,
+          cfg.decontaminateN))
       case None => deduped
     }
     clean.select(col(cfg.idCol), col(cfg.langCol), col(cfg.textCol),

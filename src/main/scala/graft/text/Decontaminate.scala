@@ -136,6 +136,29 @@ object Decontaminate {
     hit(TextAnalysis.wordShingles(col(textCol), n))
   }
 
+  /** Size-routed front door: the exact broadcast-set predicate while
+    * the eval corpus's distinct gram count fits `maxExactGrams`
+    * (default 10M — a few hundred MB of driver set, the practical
+    * broadcast ceiling), the bloom form above it. The exact form is
+    * benchmark-suite-sized hygiene with zero false positives; the
+    * bloom form is the unbounded-eval scale path and is one-sided in
+    * the SAFE direction (no false negatives — contamination is never
+    * missed, a bounded `fpp` of clean rows is over-removed). Costs
+    * one distinct-count aggregation over the (bounded) eval corpus to
+    * decide, and that count seeds the filter's expectedGrams so the
+    * fpp bound actually holds at the measured cardinality.
+    */
+  def contaminationPredicateAuto(eval: DataFrame, textCol: String, n: Int,
+      maxExactGrams: Long = 10000000L, fpp: Double = 0.001): Column = {
+    require(n > 0, s"n-gram size must be positive, got $n")
+    val nGrams = eval
+      .select(explode(TextAnalysis.wordShingles(col(textCol), n)).as("gram"))
+      .distinct().count()
+    if (nGrams <= maxExactGrams) contaminationPredicate(eval, textCol, n)
+    else contaminationPredicateBloom(eval, textCol, n,
+      expectedGrams = nGrams, fpp = fpp)
+  }
+
   /** Bloom form of [[contaminationPredicate]] — the scale path when
     * the eval-gram set outgrows an exact broadcast set (multi-
     * benchmark suites at large n): grams fold to a bloom filter (a

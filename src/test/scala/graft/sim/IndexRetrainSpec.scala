@@ -1,0 +1,149 @@
+package graft.sim
+
+import graft.SparkSpec
+import graft.store.Warehouse
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** The ANN retrain/drift lifecycle: frozen centroids degrade recall
+  * as the ingested distribution drifts, [[IvfIndex.staleness]] makes
+  * that measurable BEFORE users notice, and [[IvfIndex.retrain]] /
+  * [[IvfPqIndex.retrain]] restore recall through a crash-safe
+  * snapshot-first rebuild.
+  */
+class IndexRetrainSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val dim = 8
+
+  /** id-deterministic cluster member: center ± small seeded noise. */
+  private def member(rnd: scala.util.Random,
+      center: Array[Double]): Seq[Double] =
+    center.map(x => x + 0.05 * rnd.nextGaussian()).toSeq
+
+  // build-time world: 4 tight clusters along +e0..+e3
+  private def baseCorpus = {
+    val rnd = new scala.util.Random(20260815L)
+    val centers = (0 until 4).map { a =>
+      val c = new Array[Double](dim); c(a) = 1.0; c
+    }
+    (0 until 240).map(i => (i.toLong, member(rnd, centers(i % 4))))
+  }
+
+  // drifted world: 2 clusters in the OPPOSITE half-space (−e0, −e1):
+  // near-orthogonal to every stale centroid, so members scatter
+  // across cells on noise alone — the classic recall-killing drift
+  private def driftCorpus = {
+    val rnd = new scala.util.Random(99L)
+    val centers = (0 until 2).map { a =>
+      val c = new Array[Double](dim); c(a) = -1.0; c
+    }
+    (0 until 120).map(i => (1000L + i, member(rnd, centers(i % 2))))
+  }
+
+  private def recallAt10(wh: Warehouse, name: String,
+      corpus: org.apache.spark.sql.DataFrame,
+      queries: org.apache.spark.sql.DataFrame, nProbe: Int): Double = {
+    val got = IvfIndex.search(wh, name, queries, "id", "v",
+      k = 10, nProbe = nProbe)
+    val exact = Similarity.bruteForceTopK(corpus, queries, "id", "v", k = 10)
+    val hits = got.select("query_id", "corpus_id")
+      .join(exact.select(col("query_id"), col("corpus_id")),
+        Seq("query_id", "corpus_id")).count()
+    hits.toDouble / exact.count()
+  }
+
+  test("drifted appends degrade recall and trip staleness; retrain restores both") {
+    val wh = new Warehouse(spark, Files.createTempDirectory("drift").toString)
+    val base = baseCorpus.toDF("id", "v")
+    val drift = driftCorpus.toDF("id", "v")
+    val full = base.union(drift)
+    IvfIndex.build(wh, "ann", base, "id", "v", k = 4, iters = 4)
+
+    val fresh = IvfIndex.staleness(wh, "ann").head()
+    assert(!fresh.getAs[Boolean]("stale"),
+      s"index stale straight after build: $fresh")
+
+    IvfIndex.append(wh, "ann", drift, "id", "v")
+    val queries = drift.filter(col("id") < 1006)
+
+    val before = recallAt10(wh, "ann", full, queries, nProbe = 2)
+    val report = IvfIndex.staleness(wh, "ann").head()
+    assert(report.getAs[Boolean]("stale"),
+      s"drifted append did not trip staleness: $report")
+    assert(report.getAs[Double]("dist_ratio") > 1.5,
+      s"coarse distortion should have risen: $report")
+
+    // retrain re-fits from the index's own vectors; k grows to cover
+    // the drifted clusters the frozen structure never had cells for
+    IvfIndex.retrain(wh, "ann", "id", "v", k = 6, iters = 4)
+    val after = recallAt10(wh, "ann", full, queries, nProbe = 2)
+    val healed = IvfIndex.staleness(wh, "ann").head()
+    assert(!healed.getAs[Boolean]("stale"),
+      s"retrain left the index stale: $healed")
+    assert(after >= 0.9, s"post-retrain recall $after < 0.9 (was $before)")
+    assert(after > before,
+      s"retrain did not improve recall: $before -> $after")
+    // all vectors survived the rebuild
+    assert(wh.read("ann__cells").count() === full.count())
+  }
+
+  test("crashed retrain: marker refuses serving, rerun recovers, nothing lost") {
+    val wh = new Warehouse(spark, Files.createTempDirectory("driftc").toString)
+    val base = baseCorpus.toDF("id", "v")
+    IvfIndex.build(wh, "ann", base, "id", "v", k = 4, iters = 4)
+
+    // simulate a crash mid-retrain: snapshot pinned, index half-gone
+    val src = base.select(col("id"), col("v"))
+    wh.createTable("ann__retrain_src", src.schema, ifExists = "replace")
+    wh.append("ann__retrain_src", src)
+    wh.dropTable("ann__centroids") // worst case: coarse tier destroyed
+
+    val q = base.limit(3)
+    val e1 = intercept[IllegalArgumentException] {
+      IvfIndex.search(wh, "ann", q, "id", "v", k = 5)
+    }
+    assert(e1.getMessage.contains("retrain"))
+    val e2 = intercept[IllegalArgumentException] {
+      IvfIndex.append(wh, "ann", base.limit(1), "id", "v")
+    }
+    assert(e2.getMessage.contains("retrain"))
+
+    // recovery IS rerunning retrain: rebuilds from the pinned snapshot
+    IvfIndex.retrain(wh, "ann", "id", "v", k = 4, iters = 4)
+    assert(!wh.tableExists("ann__retrain_src"))
+    assert(wh.read("ann__cells").count() === base.count())
+    assert(recallAt10(wh, "ann", base, q, nProbe = 4) >= 0.9)
+  }
+
+  test("IVF×PQ retrain refits all four tables and restores recall") {
+    val wh = new Warehouse(spark, Files.createTempDirectory("driftpq").toString)
+    val base = baseCorpus.toDF("id", "v")
+    val drift = driftCorpus.toDF("id", "v")
+    val full = base.union(drift)
+    IvfPqIndex.build(wh, "ann", base, "id", "v",
+      kCoarse = 4, m = 4, ksub = 16, iters = 4)
+    IvfPqIndex.append(wh, "ann", drift, "id", "v")
+    assert(IvfPqIndex.staleness(wh, "ann").head().getAs[Boolean]("stale"))
+
+    val oldBooks = wh.read("ann__books").collect().toSet
+    IvfPqIndex.retrain(wh, "ann", "id", "v",
+      kCoarse = 6, m = 4, ksub = 16, iters = 4)
+    assert(!IvfPqIndex.staleness(wh, "ann").head().getAs[Boolean]("stale"))
+    // books were re-fit on the drift-inclusive corpus, not carried over
+    assert(wh.read("ann__books").collect().toSet !== oldBooks)
+    // both tiers cover every vector exactly once
+    assert(wh.read("ann__cells").count() === full.count())
+    assert(wh.read("ann__codes").select("id").distinct().count()
+      === full.count())
+
+    val queries = drift.filter(col("id") < 1006)
+    val got = IvfPqIndex.search(wh, "ann", queries, "id", "v",
+      k = 10, nProbe = 3, rerank = 100)
+    val exact = Similarity.bruteForceTopK(full, queries, "id", "v", k = 10)
+    val hits = got.select("query_id", "corpus_id")
+      .join(exact.select(col("query_id"), col("corpus_id")),
+        Seq("query_id", "corpus_id")).count()
+    assert(hits.toDouble / exact.count() >= 0.9)
+  }
+}
