@@ -902,11 +902,15 @@ object EventQueries {
         |  WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id))
         |ORDER BY event_type, event_id""".stripMargin,
       doc = "K-truncated adjusted EWMA smoothing, exact-decimal weights (time series)") { (s, dir) =>
-      val w = Window.partitionBy("event_type")
-        .orderBy(col("ts"), col("event_id"))
-      val base = t(s, dir, "events").select(col("event_id"),
+      val base0 = t(s, dir, "events").select(col("event_id"),
         col("event_type"), col("ts"), col("value").cast("decimal(18,6)").as("x"))
-      val lagK = (k: Int) => if (k == 0) col("x") else lag(col("x"), k).over(w)
+      // K−1 lags on range-balanced chunks — the truncation that makes
+      // EWMA distributable (scaladoc above), now actually realized:
+      // the per-type window would sort 1/|types| of the corpus per task
+      val base = graft.transform.ChunkedWindows.lagsUpTo(
+        base0, Seq("event_type"), Seq("ts", "event_id"), "x",
+        kMax - 1, "__xl")
+      val lagK = (k: Int) => if (k == 0) col("x") else col(s"__xl$k")
       val zero = lit(BigDecimal(0)).cast("decimal(16,14)")
       val num = (0 until kMax).map { k =>
         coalesce(lagK(k) * lit(weights(k)).cast("decimal(16,14)"), lit(0))
@@ -1002,13 +1006,17 @@ object EventQueries {
       val m = broadcast(ev.groupBy("event_type").agg(
         count(lit(1)).as("n"),
         sum(col("value").cast("decimal(30,6)")).cast("double").as("sv")))
-      val w = Window.partitionBy("event_type").orderBy(col("ts"), col("event_id"))
       val x = ev.join(m, "event_type")
         .select(col("event_type"), col("ts"), col("event_id"),
           (col("value") - col("sv") / col("n")).as("xc"))
-      val withLags = x.select(
-        col("event_type") +: col("xc") +:
-          (1 to kMax).map(k => lag(col("xc"), k).over(w).as(s"xl$k")): _*)
+      // six lags on range-balanced chunks (ChunkedWindows), not a
+      // per-type window — five types would gather 1/5 of the corpus
+      // per task; lag values are carried verbatim so the decimal
+      // product sums below are untouched
+      val withLags = graft.transform.ChunkedWindows.lagsUpTo(
+          x, Seq("event_type"), Seq("ts", "event_id"), "xc", kMax, "xl")
+        .select(col("event_type") +: col("xc") +:
+          (1 to kMax).map(k => col(s"xl$k")): _*)
       val agg = withLags.groupBy("event_type").agg(
         sum((col("xc") * col("xc")).cast("decimal(30,10)")).cast("double")
           .as("den"),
@@ -1071,10 +1079,14 @@ object EventQueries {
     val d = ev.join(m, "event_type")
       .select(col("event_id"), col("event_type"), col("ts"), col("n"),
         (col("value") - col("sv") / col("n")).cast("decimal(24,10)").as("dev"))
-    val cumW = Window.partitionBy("event_type").orderBy(col("ts"), col("event_id"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val c = d.select(col("event_id"), col("event_type"), col("ts"), col("n"),
-      sum(col("dev")).over(cumW).as("s"))
+    // the balancedShards prefix-sum idiom the scaladoc promised, now
+    // realized: chunk-local decimal cumsums + P×|types| offsets are
+    // bit-identical to the sequential per-type window (decimal
+    // addition associates), without gathering a type per task
+    val c = graft.transform.ChunkedWindows.runningSum(
+        d, Seq("event_type"), Seq("ts", "event_id"), "dev", "s")
+      .select(col("event_id"), col("event_type"), col("ts"), col("n"),
+        col("s"))
     val rankW = Window.partitionBy("event_type")
       .orderBy(abs(col("s")).desc, col("ts"), col("event_id"))
     c.withColumn("rn", row_number().over(rankW))

@@ -325,8 +325,16 @@ object Dedup {
     val est = prefix.groupBy("tk").agg(count(lit(1)).as("n"))
       .agg(coalesce(sum(col("n") * (col("n") - 1) / 2), lit(0L))
         .cast("long")).head.getLong(0)
+    // default cap: 5e9 estimated pairs. Calibrated against measurement,
+    // not vibes — a 2.4e9-estimate corpus (10× salted replicas) runs
+    // the exact join in ~95 s on one 32-core node (the pre-filter
+    // estimate is a loose upper bound; the length/positional filters
+    // cut most of it), while the 100× shape estimates ~2.4e11 and
+    // died by 76 GB of spill. The cap sits ~2× above the measured-
+    // feasible regime and ~50× below the death zone; cluster
+    // deployments size it to their scratch space.
     val maxCand = spark.conf.getOption("spark.graft.setsim.maxCandidates")
-      .map(_.toLong).getOrElse(1000000000L)
+      .map(_.toLong).getOrElse(5000000000L)
     if (est > maxCand) {
       sh.unpersist()
       throw new IllegalStateException(

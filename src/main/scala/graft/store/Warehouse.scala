@@ -41,6 +41,10 @@ final class Warehouse(spark: SparkSession, val location: String) {
   // its own lease (depth-counted), matching the one-writer model.
   // ---------------------------------------------------------------
   private val heldLeases = scala.collection.mutable.Map.empty[String, Int]
+  // one mkdirs per instance, not per mutation — micro-merge-heavy
+  // workloads (IVM retraction folds) pay the lease as pure fs-op
+  // overhead, so every avoidable RPC counts
+  @volatile private var locksDirReady = false
 
   private def leasePath(table: String) =
     new Path(location, s"_locks/$table.lease")
@@ -65,7 +69,7 @@ final class Warehouse(spark: SparkSession, val location: String) {
       case Some(depth) => heldLeases(table) = depth + 1
       case None =>
         val p = leasePath(table)
-        fs.mkdirs(p.getParent)
+        if (!locksDirReady) { fs.mkdirs(p.getParent); locksDirReady = true }
         if (!tryCreateLease(p, op)) {
           val st =
             try Some(fs.getFileStatus(p))

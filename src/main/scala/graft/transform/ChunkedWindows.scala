@@ -83,4 +83,106 @@ object ChunkedWindows {
     }.drop(("__pid" :: "__rn1" ::
       lagCols.keys.toList.flatMap(s => List(s"__br_$s", s"__ll_$s"))): _*)
   }
+
+  /** Per-key GLOBAL row number without per-key gathering: local
+    * row_number inside range-balanced chunks + per-(chunk, key) counts
+    * rolled into exclusive offsets (a P×|keys|-row window) — the
+    * [[graft.text.SequencePacking.balancedShards]] idiom, exposed.
+    * `dst` is 1-based and equals `row_number() over (partition by
+    * keyCols order by orderCols)` exactly (order columns must totally
+    * order rows within a key).
+    */
+  def globalRowNumber(df: DataFrame, keyCols: Seq[String],
+      orderCols: Seq[String], dst: String): DataFrame = {
+    val spark = df.sparkSession
+    val p = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val ranged = df.repartitionByRange(p, (keyCols ++ orderCols).map(col): _*)
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint(eager = true)
+    val w = Window.partitionBy(("__pid" +: keyCols).map(col): _*)
+      .orderBy(orderCols.map(col): _*)
+    val local = ranged.withColumn("__lrn", row_number().over(w))
+    val offW = Window.partitionBy(keyCols.map(col): _*).orderBy(col("__pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = ranged.groupBy(("__pid" +: keyCols).map(col): _*)
+      .agg(count(lit(1)).as("__pc"))
+      .withColumn("__off", coalesce(sum(col("__pc")).over(offW), lit(0L)))
+      .select((keyCols :+ "__pid").map(col) :+ col("__off"): _*)
+    local.join(broadcast(offsets), keyCols :+ "__pid")
+      .withColumn(dst, col("__lrn").cast("long") + col("__off"))
+      .drop("__pid", "__lrn", "__off")
+  }
+
+  /** `lag(src, k)` for EVERY k in 1..maxLag over (key, order), as
+    * columns `{dstPrefix}1..{dstPrefix}maxLag` — the K-truncated-
+    * recursion shape (EWMA smoothing, ACF lag products) without the
+    * per-key window gather. Route: [[globalRowNumber]] pins each
+    * row's per-key position; every row then PROVIDES its value to its
+    * next `maxLag` positions (one explode → K·N slim rows), collapsed
+    * by (key, target position) — each (target, k) slot has exactly
+    * one provider, so `max(when(k))` is identity — and equi-joined
+    * back on the position. Every exchange hashes on (key, position):
+    * balanced at any key cardinality. Values are the identical
+    * column values a window lag would carry; no arithmetic happens
+    * here, so downstream math is untouched.
+    */
+  def lagsUpTo(df: DataFrame, keyCols: Seq[String], orderCols: Seq[String],
+      srcCol: String, maxLag: Int, dstPrefix: String): DataFrame = {
+    require(maxLag >= 1, s"maxLag must be >= 1, got $maxLag")
+    val rn = globalRowNumber(df, keyCols, orderCols, "__grn")
+    val prov = rn
+      .select(keyCols.map(col) ++ Seq(col("__grn"), col(srcCol)): _*)
+      .select(keyCols.map(col) ++ Seq(
+        explode(sequence(col("__grn") + 1, col("__grn") + maxLag))
+          .as("__tgt"),
+        col("__grn"), col(srcCol)): _*)
+      .withColumn("__k", (col("__tgt") - col("__grn")).cast("int"))
+    val lagTab = prov
+      .groupBy((keyCols :+ "__tgt").map(col): _*)
+      .agg(
+        max(when(col("__k") === 1, col(srcCol))).as(s"${dstPrefix}1"),
+        (2 to maxLag).map(k =>
+          max(when(col("__k") === k, col(srcCol))).as(s"$dstPrefix$k")): _*)
+      .withColumnRenamed("__tgt", "__grn")
+    rn.join(lagTab, keyCols :+ "__grn", "left").drop("__grn")
+  }
+
+  /** Exact running sum of a DECIMAL column per key (`sum(src) over
+    * (partition by key order by orderCols rows unbounded preceding)`)
+    * on range-balanced chunks: local cumsum per chunk + per-(chunk,
+    * key) totals rolled into exclusive offsets (P×|keys| rows,
+    * broadcast back). Decimal addition is associative, so chunked
+    * accumulation is bit-identical to the sequential window — which
+    * is exactly why callers must feed DECIMAL, not IEEE doubles
+    * (enforced). `dst` is cast back to the plain window-sum type so
+    * the helper is a drop-in replacement.
+    */
+  def runningSum(df: DataFrame, keyCols: Seq[String],
+      orderCols: Seq[String], srcCol: String, dst: String): DataFrame = {
+    require(df.schema(srcCol).dataType
+      .isInstanceOf[org.apache.spark.sql.types.DecimalType],
+      s"runningSum needs an exact DECIMAL source column; " +
+        s"'$srcCol' is ${df.schema(srcCol).dataType.simpleString} " +
+        "(an IEEE double cumsum is association-order-dependent)")
+    val spark = df.sparkSession
+    val p = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val ranged = df.repartitionByRange(p, (keyCols ++ orderCols).map(col): _*)
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint(eager = true)
+    val w = Window.partitionBy(("__pid" +: keyCols).map(col): _*)
+      .orderBy(orderCols.map(col): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = ranged.withColumn("__lcum", sum(col(srcCol)).over(w))
+    val sumType = local.schema("__lcum").dataType.simpleString
+    val offW = Window.partitionBy(keyCols.map(col): _*).orderBy(col("__pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = ranged.groupBy(("__pid" +: keyCols).map(col): _*)
+      .agg(sum(col(srcCol)).as("__pt"))
+      .withColumn("__boff", sum(col("__pt")).over(offW))
+      .select((keyCols :+ "__pid").map(col) :+ col("__boff"): _*)
+    local.join(broadcast(offsets), keyCols :+ "__pid")
+      .withColumn(dst,
+        (col("__lcum") + coalesce(col("__boff"), lit(0))).cast(sumType))
+      .drop("__pid", "__lcum", "__boff")
+  }
 }

@@ -54,6 +54,70 @@ class ChunkedWindowsSpec extends SparkSpec {
     assert(got(4L) === None)
   }
 
+  test("globalRowNumber ≡ per-key window row_number") {
+    val rnd = new scala.util.Random(42L)
+    val df = (0 until 5000).map { i =>
+      (i.toLong, s"k${i % 3}", rnd.nextInt(1000000).toLong, rnd.nextDouble())
+    }.toDF("id", "k", "o", "v")
+    val got = ChunkedWindows.globalRowNumber(df, Seq("k"), Seq("o", "id"),
+      "grn").select("id", "grn")
+    val w = Window.partitionBy("k").orderBy(col("o"), col("id"))
+    val want = df.withColumn("grn", row_number().over(w).cast("long"))
+      .select("id", "grn")
+    assert(got.as("g").join(want.as("w"), Seq("id"))
+      .filter(col("g.grn") =!= col("w.grn")).count() === 0L)
+  }
+
+  test("lagsUpTo ≡ per-key window lag(k) for k = 1..7, thin keys included") {
+    val rnd = new scala.util.Random(7L)
+    // k0/k1 span many chunks; k2 has FEWER rows than maxLag (3 rows,
+    // 7 lags) — the thin-key shape a naive chunk-carry would corrupt
+    val rows = (0 until 4000).map { i =>
+      (i.toLong, s"k${i % 2}", rnd.nextInt(100000).toLong,
+        BigDecimal(rnd.nextInt(1000)) / 100)
+    } ++ Seq(
+      (9001L, "k2", 5L, BigDecimal(1)),
+      (9002L, "k2", 9L, BigDecimal(2)),
+      (9003L, "k2", 2L, BigDecimal(3)))
+    val df = rows.toDF("id", "k", "o", "x")
+      .withColumn("x", col("x").cast("decimal(18,6)"))
+    val got = ChunkedWindows.lagsUpTo(df, Seq("k"), Seq("o", "id"),
+      "x", maxLag = 7, "xl")
+    val w = Window.partitionBy("k").orderBy(col("o"), col("id"))
+    val want = (1 to 7).foldLeft(df) { (d, j) =>
+      d.withColumn(s"xl$j", lag(col("x"), j).over(w))
+    }
+    val cmp = got.as("g").join(want.as("w"), Seq("id"))
+    assert(cmp.count() === df.count())
+    val bad = (1 to 7).map(j =>
+      not(col(s"g.xl$j") <=> col(s"w.xl$j"))).reduce(_ || _)
+    assert(cmp.filter(bad).count() === 0L,
+      "lagsUpTo diverged from the window form")
+  }
+
+  test("runningSum ≡ per-key decimal window cumsum; rejects doubles") {
+    val rnd = new scala.util.Random(11L)
+    val df = (0 until 5000).map { i =>
+      (i.toLong, s"k${i % 3}", rnd.nextInt(1000000).toLong,
+        BigDecimal(rnd.nextInt(20000) - 10000) / 100)
+    }.toDF("id", "k", "o", "dev")
+      .withColumn("dev", col("dev").cast("decimal(24,10)"))
+    val got = ChunkedWindows.runningSum(df, Seq("k"), Seq("o", "id"),
+      "dev", "s").select("id", "s")
+    val w = Window.partitionBy("k").orderBy(col("o"), col("id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val want = df.withColumn("s", sum(col("dev")).over(w)).select("id", "s")
+    // bit-identical decimals, and the same widened sum type
+    assert(got.schema("s").dataType === want.schema("s").dataType)
+    assert(got.as("g").join(want.as("w"), Seq("id"))
+      .filter(not(col("g.s") <=> col("w.s"))).count() === 0L)
+    val dbl = df.withColumn("dev", col("dev").cast("double"))
+    val e = intercept[IllegalArgumentException] {
+      ChunkedWindows.runningSum(dbl, Seq("k"), Seq("o", "id"), "dev", "s")
+    }
+    assert(e.getMessage.contains("DECIMAL"))
+  }
+
   test("plan is balanced: window exchange hashes on the chunk id, not the raw key") {
     val df = (0 until 1000).map(i =>
       (i.toLong, s"k${i % 2}", i.toLong, i.toDouble)).toDF("id", "k", "o", "v")
