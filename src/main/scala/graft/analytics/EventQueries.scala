@@ -1087,9 +1087,16 @@ object EventQueries {
         d, Seq("event_type"), Seq("ts", "event_id"), "dev", "s")
       .select(col("event_id"), col("event_type"), col("ts"), col("n"),
         col("s"))
+    // argmax WITHOUT ranking the corpus per type (a 5-partition full
+    // sort just to keep one row each): one max aggregate, an exact
+    // decimal equality filter down to the (rare) peak rows, then the
+    // (ts, id) tie-break ranks only those
+    val mx = c.groupBy("event_type").agg(max(abs(col("s"))).as("__mx"))
+    val peak = c.join(broadcast(mx), "event_type")
+      .filter(abs(col("s")) === col("__mx"))
     val rankW = Window.partitionBy("event_type")
-      .orderBy(abs(col("s")).desc, col("ts"), col("event_id"))
-    c.withColumn("rn", row_number().over(rankW))
+      .orderBy(col("ts"), col("event_id"))
+    peak.withColumn("rn", row_number().over(rankW))
       .filter(col("rn") === 1)
       .select(col("event_type"), col("n").as("n_points"),
         date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("cp_ts"),

@@ -325,16 +325,17 @@ object Dedup {
     val est = prefix.groupBy("tk").agg(count(lit(1)).as("n"))
       .agg(coalesce(sum(col("n") * (col("n") - 1) / 2), lit(0L))
         .cast("long")).head.getLong(0)
-    // default cap: 5e9 estimated pairs. Calibrated against measurement,
-    // not vibes — a 2.4e9-estimate corpus (10× salted replicas) runs
-    // the exact join in ~95 s on one 32-core node (the pre-filter
-    // estimate is a loose upper bound; the length/positional filters
-    // cut most of it), while the 100× shape estimates ~2.4e11 and
-    // died by 76 GB of spill. The cap sits ~2× above the measured-
-    // feasible regime and ~50× below the death zone; cluster
-    // deployments size it to their scratch space.
+    // default cap: 1e9 estimated UNORDERED pairs, calibrated by
+    // measurement: forcing the join on a 2.4e9-estimate corpus (the
+    // 10× salted replicas) consumed ~70 GB of sort/shuffle scratch —
+    // it completes in ~95 s when that fits and dies by disk when it
+    // doesn't (this box's usable scratch is ~90 GB; the 100× shape
+    // estimates ~2.4e11 and is hopeless anywhere). Scratch demand
+    // scales with the estimate (~30 GB per 1e9 pairs), so the default
+    // refuses anything that would monopolize a typical node's disk;
+    // deployments with real scratch raise it deliberately.
     val maxCand = spark.conf.getOption("spark.graft.setsim.maxCandidates")
-      .map(_.toLong).getOrElse(5000000000L)
+      .map(_.toLong).getOrElse(1000000000L)
     if (est > maxCand) {
       sh.unpersist()
       throw new IllegalStateException(
