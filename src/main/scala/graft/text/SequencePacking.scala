@@ -64,11 +64,14 @@ object SequencePacking {
     * dataloader-sharding step, where hash splits give equal COUNTS but
     * weight (tokens, bytes) is what bounds a training step.
     *
-    * The exclusive prefix sum is computed DISTRIBUTED: range-partition
-    * by id (range buckets are ordered by partition id), one
-    * partition-local window, then per-partition totals — a P-row
-    * table — roll into broadcast offsets. No global single-partition
-    * window anywhere, so the shape holds at 100 TB. All arithmetic is
+    * The exclusive prefix sum is computed DISTRIBUTED: chunk by id
+    * range ([[graft.transform.RangeChunks.withChunkId]] — bounds
+    * sampled once, compiled into a deterministic projection, so the
+    * cumsum branch and the offsets branch agree on chunk membership
+    * with NO whole-corpus materialization and lineage intact), one
+    * chunk-local window, then per-chunk totals — a P-row table — roll
+    * into broadcast offsets. No global single-partition window
+    * anywhere, so the shape holds at 100 TB. All arithmetic is
     * integral (`DIV`), exact at any corpus size.
     *
     * Output: input columns + `shard` in [0, nShards).
@@ -80,24 +83,18 @@ object SequencePacking {
     val p =
       if (numPartitions > 0) numPartitions
       else spark.conf.get("spark.sql.shuffle.partitions").toInt
-    // materialize the range exchange ONCE: the offsets branch and the
-    // cumsum branch must observe identical partition boundaries, and
-    // two independent evaluations of repartitionByRange can sample
-    // different ranges (per-RDD seed) — spark_partition_id is only
-    // meaningful relative to one concrete partitioning
-    val ranged = df
-      .repartitionByRange(p, col(idCol))
-      .withColumn("__pid", spark_partition_id())
-      .localCheckpoint(eager = true)
+    val ranged = graft.transform.RangeChunks
+      .withChunkId(df, Seq(idCol), p, "__pid")
     val local = Window.partitionBy(col("__pid")).orderBy(col(idCol))
     val withCum = ranged.withColumn("__cum",
       sum(col(weightCol).cast("long")).over(local))
-    // P rows: partition totals → exclusive offsets (the only
-    // single-partition window runs over P rows, not the corpus)
+    // P rows: chunk totals → exclusive offsets (the only
+    // single-partition window runs over P rows, not the corpus);
+    // map-side-combined sum, not a second corpus window
     val offW = Window.orderBy(col("__pid"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = withCum.groupBy(col("__pid"))
-      .agg(max(col("__cum")).as("__psum"))
+    val offsets = ranged.groupBy(col("__pid"))
+      .agg(sum(col(weightCol).cast("long")).as("__psum"))
       .withColumn("__off", coalesce(sum(col("__psum")).over(offW), lit(0L)))
       .select(col("__pid"), col("__off"))
     val total = df.agg(

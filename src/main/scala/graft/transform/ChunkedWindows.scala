@@ -14,16 +14,26 @@ import org.apache.spark.sql.functions._
   * measured q_twa swinging 9.6×–14× run to run at 100× for exactly
   * this reason; at 100 TB a single key would be one executor thread
   * sorting terabytes). Adjacency, however, never needed per-key
-  * gathering: range-partition the corpus by (key, order) so each
-  * chunk holds a CONTIGUOUS ordered run, take the local lag inside
-  * every chunk, and stitch the P×|keys| chunk boundaries with one
-  * tiny window — the [[graft.text.SequencePacking.balancedShards]]
+  * gathering: cut the corpus into range chunks over (key, order) so
+  * each chunk holds a CONTIGUOUS ordered run, take the local lag
+  * inside every chunk, and stitch the P×|keys| chunk boundaries with
+  * one tiny window — the [[graft.text.SequencePacking.balancedShards]]
   * distributed-prefix-sum shape, applied to lag.
   *
-  * Exactness: a key's rows occupy a contiguous partition interval
-  * under range partitioning, so "previous chunk (in pid order) that
-  * contains the key" IS the chunk holding the predecessor row; any
-  * placement of the (sampled, run-varying) range boundaries yields
+  * Chunk ids come from [[RangeChunks.withChunkId]]: bounds sampled
+  * ONCE (a small driver job over just the sort columns) and compiled
+  * into a deterministic projection — every plan branch and every task
+  * retry computes the identical id, so nothing is materialized. The
+  * round-9 form pinned `spark_partition_id` with an eager
+  * whole-corpus `localCheckpoint`; at 100 TB that was a full
+  * fact-table copy into block storage per query and a lineage
+  * truncation (one lost executor = failed job). Now: no checkpoint,
+  * no extra exchange, lineage intact.
+  *
+  * Exactness: a key's rows occupy a contiguous chunk-id interval
+  * (chunk ids are monotone in (key, order)), so "previous chunk (in
+  * id order) that contains the key" IS the chunk holding the
+  * predecessor row; any placement of the sampled range bounds yields
   * the identical lagged values because splitting a totally ordered
   * sequence never changes who precedes whom. Order columns must
   * totally order rows within a key (pass a unique tiebreaker);
@@ -32,36 +42,36 @@ import org.apache.spark.sql.functions._
   */
 object ChunkedWindows {
 
+  private def chunkCount(df: DataFrame): Int =
+    df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+
   /** `df` + one lagged column per (src → dst) in `lagCols`, equal to
     * `lag(src, 1) over (partition by keyCols order by orderCols)`.
-    * One range exchange + balanced local sorts; the only cross-chunk
-    * work is a P×|keys|-row boundary table rolled with a small window
-    * and broadcast back.
+    * One (chunk, key)-hashed window exchange over the corpus; the
+    * only cross-chunk work is a P×|keys|-row boundary table built by
+    * a map-side-combined `max_by` aggregation, rolled with a small
+    * window and broadcast back.
     */
   def lag1(df: DataFrame, keyCols: Seq[String], orderCols: Seq[String],
       lagCols: Map[String, String]): DataFrame = {
     require(lagCols.nonEmpty, "no lag columns requested")
-    val spark = df.sparkSession
-    val p = spark.conf.get("spark.sql.shuffle.partitions").toInt
-    val rangeExprs = (keyCols ++ orderCols).map(col)
-    // pin ONE concrete partitioning: spark_partition_id is only
-    // meaningful relative to a single materialized exchange (two
-    // evaluations of repartitionByRange may sample different bounds)
-    val ranged = df.repartitionByRange(p, rangeExprs: _*)
-      .withColumn("__pid", spark_partition_id())
-      .localCheckpoint(eager = true)
+    val chunked = RangeChunks.withChunkId(df, keyCols ++ orderCols,
+      chunkCount(df), "__pid")
     val w = Window.partitionBy(("__pid" +: keyCols).map(col): _*)
       .orderBy(orderCols.map(col): _*)
 
     // last row of every (chunk, key): the value the NEXT chunk of the
     // same key needs for its first row. P×|keys| rows — broadcastable.
-    val lastW = Window.partitionBy(("__pid" +: keyCols).map(col): _*)
-      .orderBy(orderCols.map(c => col(c).desc): _*)
-    val lasts = ranged
-      .withColumn("__lrn", row_number().over(lastW))
-      .filter(col("__lrn") === 1)
+    // max_by over the order tuple is a hash aggregate with map-side
+    // partial combine: only P×|keys| rows per mapper reach the wire
+    // (the round-9 form ran a second corpus-wide window here).
+    val ordStruct = struct(orderCols.map(col): _*)
+    val valStruct = struct(lagCols.keys.toSeq.map(col): _*)
+    val lasts = chunked
+      .groupBy((("__pid" +: keyCols)).map(col): _*)
+      .agg(max_by(valStruct, ordStruct).as("__lv"))
       .select((keyCols :+ "__pid").map(col) ++
-        lagCols.keys.toSeq.map(s => col(s).as(s"__last_$s")): _*)
+        lagCols.keys.toSeq.map(s => col(s"__lv.$s").as(s"__last_$s")): _*)
     val bw = Window.partitionBy(keyCols.map(col): _*).orderBy(col("__pid"))
     val bridge = lasts.select(
       (keyCols :+ "__pid").map(col) ++ lagCols.keys.toSeq.map(s =>
@@ -71,7 +81,7 @@ object ChunkedWindows {
     // (__pid, key)-hashed exchange; hashing on __pid keeps the groups
     // chunk-sized no matter how few keys exist
     val withLocal = lagCols.foldLeft(
-        ranged.withColumn("__rn1", row_number().over(w))) {
+        chunked.withColumn("__rn1", row_number().over(w))) {
       case (d, (src, _)) =>
         d.withColumn(s"__ll_$src", lag(col(src), 1).over(w))
     }
@@ -94,17 +104,14 @@ object ChunkedWindows {
     */
   def globalRowNumber(df: DataFrame, keyCols: Seq[String],
       orderCols: Seq[String], dst: String): DataFrame = {
-    val spark = df.sparkSession
-    val p = spark.conf.get("spark.sql.shuffle.partitions").toInt
-    val ranged = df.repartitionByRange(p, (keyCols ++ orderCols).map(col): _*)
-      .withColumn("__pid", spark_partition_id())
-      .localCheckpoint(eager = true)
+    val chunked = RangeChunks.withChunkId(df, keyCols ++ orderCols,
+      chunkCount(df), "__pid")
     val w = Window.partitionBy(("__pid" +: keyCols).map(col): _*)
       .orderBy(orderCols.map(col): _*)
-    val local = ranged.withColumn("__lrn", row_number().over(w))
+    val local = chunked.withColumn("__lrn", row_number().over(w))
     val offW = Window.partitionBy(keyCols.map(col): _*).orderBy(col("__pid"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = ranged.groupBy(("__pid" +: keyCols).map(col): _*)
+    val offsets = chunked.groupBy(("__pid" +: keyCols).map(col): _*)
       .agg(count(lit(1)).as("__pc"))
       .withColumn("__off", coalesce(sum(col("__pc")).over(offW), lit(0L)))
       .select((keyCols :+ "__pid").map(col) :+ col("__off"): _*)
@@ -164,19 +171,16 @@ object ChunkedWindows {
       s"runningSum needs an exact DECIMAL source column; " +
         s"'$srcCol' is ${df.schema(srcCol).dataType.simpleString} " +
         "(an IEEE double cumsum is association-order-dependent)")
-    val spark = df.sparkSession
-    val p = spark.conf.get("spark.sql.shuffle.partitions").toInt
-    val ranged = df.repartitionByRange(p, (keyCols ++ orderCols).map(col): _*)
-      .withColumn("__pid", spark_partition_id())
-      .localCheckpoint(eager = true)
+    val chunked = RangeChunks.withChunkId(df, keyCols ++ orderCols,
+      chunkCount(df), "__pid")
     val w = Window.partitionBy(("__pid" +: keyCols).map(col): _*)
       .orderBy(orderCols.map(col): _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val local = ranged.withColumn("__lcum", sum(col(srcCol)).over(w))
+    val local = chunked.withColumn("__lcum", sum(col(srcCol)).over(w))
     val sumType = local.schema("__lcum").dataType.simpleString
     val offW = Window.partitionBy(keyCols.map(col): _*).orderBy(col("__pid"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = ranged.groupBy(("__pid" +: keyCols).map(col): _*)
+    val offsets = chunked.groupBy(("__pid" +: keyCols).map(col): _*)
       .agg(sum(col(srcCol)).as("__pt"))
       .withColumn("__boff", sum(col("__pt")).over(offW))
       .select((keyCols :+ "__pid").map(col) :+ col("__boff"): _*)

@@ -138,4 +138,23 @@ class ChunkedWindowsSpec extends SparkSpec {
       s"corpus window exchange missing __pid chunk key: $hashKeys\n" +
         plan.take(2000))
   }
+
+  test("no whole-corpus materialization: lag1 plan has no checkpointed scan") {
+    // round-9 pinned chunk ids via eager localCheckpoint — a full
+    // fact-table copy into block storage per time-series query at
+    // 100 TB, and a lineage truncation. The bounds-broadcast chunk id
+    // must keep the parquet/LocalRelation scan visible in the plan.
+    val df = (0 until 1000).map(i =>
+      (i.toLong, s"k${i % 2}", i.toLong, i.toDouble)).toDF("id", "k", "o", "v")
+    for (d <- Seq(
+        ChunkedWindows.lag1(df, Seq("k"), Seq("o", "id"), Map("v" -> "pv")),
+        ChunkedWindows.globalRowNumber(df, Seq("k"), Seq("o", "id"), "rn"),
+        ChunkedWindows.runningSum(
+          df.withColumn("x", col("v").cast("decimal(18,6)")),
+          Seq("k"), Seq("o", "id"), "x", "s"))) {
+      val plan = graft.ops.EngineOps.explain(d, "formatted")
+      assert(!plan.contains("ExistingRDD"),
+        s"chunked window still materializes the corpus:\n${plan.take(1500)}")
+    }
+  }
 }
