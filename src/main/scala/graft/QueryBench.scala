@@ -41,13 +41,22 @@ object QueryBench {
           f"[qbench] ${i + 1}/${selected.size} $q ${sec}%.2f s")
         q -> sec
       } catch {
+        case r: graft.core.PreflightRefusal =>
+          // an INTENDED pre-flight refusal, not a crash — recorded as
+          // a distinct value so the gate can pass-with-note while a
+          // genuine crash in the same query stays red
+          System.err.println(s"[qbench] $q REFUSED: ${r.getMessage}")
+          q -> Double.NaN
         case e: Throwable =>
           System.err.println(s"[qbench] $q FAILED: ${e.getMessage}")
           q -> -1.0
       }
     }
     val json = results
-      .map { case (q, s) => s""""$q":${math.rint(s * 1000) / 1000}""" }
+      .map { case (q, s) =>
+        if (s.isNaN) s""""$q":"refused""""
+        else s""""$q":${math.rint(s * 1000) / 1000}"""
+      }
       .mkString("{\"sf\":\"" + sfDir + "\",\"queries\":{", ",", "}}")
     println(json)
     spark.stop()

@@ -40,11 +40,19 @@ object Verify {
         fn(spark, sfDir).coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")
         Files.deleteIfExists(Paths.get(s"$outDir/$name._FAILED")) // stale marker
-      } catch { case e: Throwable =>
-        failed ::= name
-        System.err.println(s"[verify] $name FAILED: ${e.getMessage}")
-        Files.writeString(Paths.get(s"$outDir/$name._FAILED"),
-          s"${e.getClass.getName}: ${e.getMessage}\n")
+        Files.deleteIfExists(Paths.get(s"$outDir/$name._REFUSED"))
+      } catch {
+        case r: graft.core.PreflightRefusal =>
+          // intended refusal ≠ crash: its own marker so tools/check.py
+          // reports pass-with-note instead of a red row
+          System.err.println(s"[verify] $name REFUSED: ${r.getMessage}")
+          Files.writeString(Paths.get(s"$outDir/$name._REFUSED"),
+            s"${r.getMessage}\n")
+        case e: Throwable =>
+          failed ::= name
+          System.err.println(s"[verify] $name FAILED: ${e.getMessage}")
+          Files.writeString(Paths.get(s"$outDir/$name._FAILED"),
+            s"${e.getClass.getName}: ${e.getMessage}\n")
       }
     }
     if (failed.nonEmpty)

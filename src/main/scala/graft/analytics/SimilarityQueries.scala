@@ -588,8 +588,10 @@ object SimilarityQueries {
     } finally {
       import java.nio.file.{Files, Path}
       import java.util.Comparator
-      Files.walk(whDir).sorted(Comparator.reverseOrder[Path]())
+      val walk = Files.walk(whDir)
+      try walk.sorted(Comparator.reverseOrder[Path]())
         .forEach(p => Files.deleteIfExists(p))
+      finally walk.close() // Files.walk holds a directory-stream handle
     }
   }
 

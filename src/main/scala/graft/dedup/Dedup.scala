@@ -338,7 +338,7 @@ object Dedup {
       .map(_.toLong).getOrElse(1000000000L)
     if (est > maxCand) {
       sh.unpersist()
-      throw new IllegalStateException(
+      throw new graft.core.PreflightRefusal(
         s"setSim prefix join refused: ~$est candidate rows " +
           s"(Σ prefix-token df·(df−1)/2, an upper bound before the " +
           s"length/positional filters; cap $maxCand) — the corpus is " +

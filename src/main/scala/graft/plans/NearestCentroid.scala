@@ -235,6 +235,110 @@ final class CentroidKernel(
     }
     new GenericInternalRow(Array[Any](bestCid, bestSim))
   }
+
+  /** The `p` nearest centroid ids, best-first (sim desc, cid asc on
+    * ties) — the meta-probe step of the two-level assignment route
+    * ([[graft.sim.Similarity.ivfAssign]]'s corpus-scaled-k guard).
+    * Same exact-scoring / triangle-pruning scan as [[assign]], with
+    * the pruning radius keyed to the CURRENT p-th best instead of the
+    * best (valid for the same reason: nothing outside worstD + ε can
+    * enter the top p). Probing all leaders when p ≥ k degrades to the
+    * full exact ranking.
+    */
+  def assignTop(x: ArrayData, isFloat: Boolean, p: Int): ArrayData = {
+    val n = x.numElements()
+    val xd = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      xd(i) = if (isFloat) x.getFloat(i).toDouble else x.getDouble(i)
+      i += 1
+    }
+    val cap = math.min(p, k)
+    val topSim = Array.fill(cap)(Double.NegativeInfinity)
+    val topCid = Array.fill(cap)(Long.MaxValue)
+    var filled = 0
+
+    def worstD: Double =
+      if (filled < cap) Double.PositiveInfinity else chord(topSim(cap - 1))
+
+    def consider(ci: Int, sim: Double): Unit = {
+      val cid = cids(ci)
+      // insert position by (sim desc, cid asc)
+      var pos = filled
+      while (pos > 0 &&
+          (sim > topSim(pos - 1) ||
+            (sim == topSim(pos - 1) && cid < topCid(pos - 1)))) pos -= 1
+      if (pos < cap) {
+        val last = math.min(filled, cap - 1)
+        var j = last
+        while (j > pos) {
+          topSim(j) = topSim(j - 1); topCid(j) = topCid(j - 1); j -= 1
+        }
+        topSim(pos) = sim; topCid(pos) = cid
+        if (filled < cap) filled += 1
+      }
+    }
+
+    if (!uniformDim || n != dim) {
+      var ci = 0
+      while (ci < k) {
+        val v = vecs(ci)
+        val m = math.min(n, v.length)
+        var dot = 0.0; var nx = 0.0; var ny = 0.0
+        var j = 0
+        while (j < m) {
+          dot += xd(j) * v(j); nx += xd(j) * xd(j); ny += v(j) * v(j)
+          j += 1
+        }
+        val den = math.sqrt(nx) * math.sqrt(ny)
+        consider(ci, if (den == 0.0) 0.0 else dot / den)
+        ci += 1
+      }
+    } else {
+      var xNormSq = 0.0
+      i = 0
+      while (i < n) { xNormSq += xd(i) * xd(i); i += 1 }
+      val sxn = math.sqrt(xNormSq)
+      if (sxn == 0.0) {
+        // cosine 0.0 everywhere: the smallest cap ids win the tiebreak
+        return new org.apache.spark.sql.catalyst.util.GenericArrayData(
+          cids.take(cap))
+      }
+      i = 0
+      while (i < zeroIdx.length) { consider(zeroIdx(i), 0.0); i += 1 }
+      val nGroups = leaderUnits.length
+      val dxl = new Array[Double](nGroups)
+      var g = 0
+      while (g < nGroups) {
+        dxl(g) = chord(dotPrefix(xd, leaderUnits(g)) / sxn)
+        g += 1
+      }
+      val order = Array.range(0, nGroups).sortBy(dxl)
+      var oi = 0
+      while (oi < nGroups) {
+        val gi = order(oi)
+        if (dxl(gi) - radius(gi) <= worstD + EPS) {
+          val members = groupMembers(gi)
+          var mi = 0
+          while (mi < members.length) {
+            val ci = members(mi)
+            if (math.abs(dxl(gi) - memberChord(ci)) <= worstD + EPS) {
+              val v = vecs(ci)
+              var dot = 0.0
+              var j = 0
+              while (j < n) { dot += xd(j) * v(j); j += 1 }
+              val den = sxn * cNorm(ci)
+              consider(ci, if (den == 0.0) 0.0 else dot / den)
+            }
+            mi += 1
+          }
+        }
+        oi += 1
+      }
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      topCid.take(filled))
+  }
 }
 
 /** `nearest_centroid(vec)` against a broadcast [[CentroidKernel]]:
@@ -276,4 +380,46 @@ case class NearestCentroid(child: Expression,
 
   override protected def withNewChildInternal(
       newChild: Expression): NearestCentroid = copy(child = newChild)
+}
+
+/** `nearest_centroids(vec, p)` against a broadcast [[CentroidKernel]]:
+  * the `p` nearest centroid ids best-first, as `array<bigint>` — the
+  * meta-probe projection of the two-level assignment route. Same
+  * broadcast/codegen posture as [[NearestCentroid]].
+  */
+case class NearestCentroidsTopP(child: Expression,
+    kernel: Broadcast[CentroidKernel], p: Int) extends UnaryExpression {
+
+  require(p >= 1, s"top-p needs p >= 1, got $p")
+
+  override def dataType: DataType =
+    ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "nearest_centroids"
+
+  private lazy val isFloat = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"nearest_centroids needs array<float|double>, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(a: Any): Any =
+    kernel.value.assignTop(a.asInstanceOf[ArrayData], isFloat, p)
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, x => {
+      val ref = ctx.addReferenceObj("nearestCentroidsKernel", kernel,
+        classOf[Broadcast[_]].getName)
+      s"""${ev.value} = ((graft.plans.CentroidKernel) $ref.value())
+         |  .assignTop($x, $isFloat, $p);""".stripMargin
+    })
+
+  override protected def withNewChildInternal(
+      newChild: Expression): NearestCentroidsTopP = copy(child = newChild)
 }

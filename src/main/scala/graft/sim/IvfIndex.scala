@@ -22,6 +22,10 @@ object IvfIndex {
   private def cellsTable(name: String) = s"${name}__cells"
   private[sim] def statsTable(name: String) = s"${name}__stats"
   private[sim] def retrainSrcTable(name: String) = s"${name}__retrain_src"
+  private[sim] def nextName(name: String) = s"${name}__next"
+  private[sim] val CommittedMark = "_committed"
+  private[sim] val SwapReadyMark = "_swap_ready"
+  private[sim] val IvfTiers = Seq("__centroids", "__cells", "__stats")
 
   /** Train coarse centroids and land both index tables. Returns the
     * number of (non-empty) cells. Also stamps a 1-row `__stats` table
@@ -92,37 +96,110 @@ object IvfIndex {
         col("dist_ratio") > 1.5 || col("skew_ratio") > 3.0)
   }
 
-  /** Re-fit the index from its own cells tier: snapshot the full
-    * vectors, re-run [[build]] (same deterministic lowest-id k-means
-    * seeds), drop the snapshot. Crash-safe by SNAPSHOT-FIRST ordering:
-    * the vector set is pinned to `__retrain_src` before any index
-    * table is dropped, so a crash at any later point loses nothing —
-    * rerunning retrain resumes from the pinned snapshot (it is the
-    * recovery procedure; [[search]]/[[append]] refuse while the marker
-    * exists rather than serve a half-swapped index). Returns the new
+  /** Re-fit the index from its own cells tier WITHOUT a serving
+    * outage: snapshot the vectors, build the new generation ASIDE
+    * (`<name>__next__*` — the live tables never stop answering
+    * [[search]] during the minutes-to-hours of training), then swap
+    * each tier in with the crash-safe rename dance. Phases and their
+    * crash contracts:
+    *
+    *  1. SNAPSHOT — the vector set lands in `__retrain_src`
+    *     ATOMICALLY ([[Warehouse.replaceTable]] + a `_committed`
+    *     sidecar riding the same rename): the snapshot either exists
+    *     complete or not at all; a legacy/partial snapshot without
+    *     the sidecar is re-taken from the still-intact cells tier.
+    *  2. BUILD ASIDE — [[build]] into `<name>__next`; a crash leaves
+    *     the old index untouched and serving, and a rerun rebuilds
+    *     the aside tables from the pinned snapshot.
+    *  3. SWAP — a `_swap_ready` sidecar (listing the tiers) is
+    *     stamped on the snapshot, then each tier promotes via
+    *     [[Warehouse.promoteTable]] (renames, milliseconds). ONLY
+    *     in this window do [[search]]/[[append]] refuse (mixed
+    *     generations are possible after a mid-swap crash); rerunning
+    *     retrain finishes the remaining renames — already-promoted
+    *     tiers are skipped — and drops the snapshot+marker.
+    *
+    * [[append]] additionally refuses for the whole retrain (any
+    * snapshot present): vectors appended after the snapshot was
+    * taken would be silently dropped by the swap. Returns the new
     * cell count.
     */
   def retrain(warehouse: Warehouse, name: String, idCol: String,
       vecCol: String, k: Int, iters: Int = 5): Long = {
-    val src = retrainSrcTable(name)
-    if (!warehouse.tableExists(src)) {
-      val full = warehouse.read(cellsTable(name))
-        .select(col(idCol), col(vecCol))
-      warehouse.createTable(src, full.schema, ifExists = "replace")
-      warehouse.append(src, full)
-    } // else: resuming a crashed retrain from its pinned snapshot
-    val n = build(warehouse, name, warehouse.read(src), idCol, vecCol,
-      k, iters)
-    warehouse.dropTable(src)
-    n
+    retrainLifecycle(warehouse, name, idCol, vecCol, IvfTiers) { src =>
+      build(warehouse, nextName(name), warehouse.read(src), idCol,
+        vecCol, k, iters)
+      ()
+    }
+    warehouse.read(centroidsTable(name)).count()
   }
 
+  /** The shared snapshot → build-aside → swap driver (see [[retrain]];
+    * [[IvfPqIndex.retrain]] reuses it with two extra tiers). Rerunning
+    * IS the recovery procedure for every phase.
+    */
+  private[sim] def retrainLifecycle(warehouse: Warehouse, name: String,
+      idCol: String, vecCol: String, tiers: Seq[String])(
+      buildAside: String => Unit): Unit = {
+    val src = retrainSrcTable(name)
+    if (!swapPending(warehouse, name)) {
+      if (!warehouse.tableExists(src) ||
+          warehouse.readTableFile(src, CommittedMark).isEmpty) {
+        // no committed snapshot: (re)take one atomically from the
+        // cells tier, which nothing before the swap ever touches
+        val full = warehouse.read(cellsTable(name))
+          .select(col(idCol), col(vecCol))
+        warehouse.replaceTable(src, full,
+          Map(CommittedMark -> s"at=${System.currentTimeMillis}"))
+      }
+      buildAside(src)
+      warehouse.writeTableFile(src, SwapReadyMark, tiers.mkString(","))
+    }
+    finishSwap(warehouse, name)
+  }
+
+  /** Promote every still-staged tier named in the swap marker, then
+    * drop the snapshot (taking the marker with it). Idempotent: a
+    * tier whose `__next` table is gone was promoted by a previous
+    * (crashed) attempt.
+    */
+  private def finishSwap(warehouse: Warehouse, name: String): Unit = {
+    val src = retrainSrcTable(name)
+    val tiers = warehouse.readTableFile(src, SwapReadyMark)
+      .map(_.split(",").toSeq).getOrElse(sys.error(
+        s"finishSwap: no $SwapReadyMark marker on $src"))
+    tiers.foreach { t =>
+      val staged = nextName(name) + t
+      if (warehouse.tableExists(staged))
+        warehouse.promoteTable(staged, name + t)
+    }
+    warehouse.dropTable(src)
+  }
+
+  private[sim] def swapPending(warehouse: Warehouse, name: String): Boolean =
+    warehouse.tableExists(retrainSrcTable(name)) &&
+      warehouse.readTableFile(retrainSrcTable(name), SwapReadyMark).isDefined
+
+  /** Serving guard: refuse only while a retrain SWAP is in flight —
+    * after a mid-swap crash the live tiers may span two generations.
+    * During snapshot/build-aside the old index is intact and serves.
+    */
+  private[sim] def requireNoPendingSwap(warehouse: Warehouse,
+      name: String): Unit =
+    require(!swapPending(warehouse, name),
+      s"index $name crashed mid-retrain-swap (marker $SwapReadyMark on " +
+        s"${retrainSrcTable(name)}) — rerun retrain(...) to finish the " +
+        "swap before serving")
+
+  /** Append guard: refuse for the WHOLE retrain — vectors appended
+    * after the snapshot was pinned would be dropped by the swap.
+    */
   private[sim] def requireNoPendingRetrain(warehouse: Warehouse,
       name: String): Unit =
     require(!warehouse.tableExists(retrainSrcTable(name)),
-      s"index $name has an unfinished retrain (marker " +
-        s"${retrainSrcTable(name)} exists) — rerun retrain(...) to " +
-        "recover before serving or appending")
+      s"index $name has a retrain in flight (marker " +
+        s"${retrainSrcTable(name)} exists) — appends after the snapshot " +
+        "would be lost in the swap; finish (rerun) retrain(...) first")
 
   /** Fold new vectors into the index incrementally: assign each to
     * its nearest EXISTING centroid and append to the cells table —
@@ -176,7 +253,7 @@ object IvfIndex {
   def search(warehouse: Warehouse, name: String, queries: DataFrame,
       idCol: String, vecCol: String, k: Int, nProbe: Int = 2): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    requireNoPendingRetrain(warehouse, name)
+    requireNoPendingSwap(warehouse, name)
     val cents = warehouse.read(centroidsTable(name))
     val cells = warehouse.read(cellsTable(name))
     val probeW = Window.partitionBy(col(idCol))

@@ -77,28 +77,28 @@ object IvfPqIndex {
 
   /** Re-fit ALL FOUR tables (centroids, books, codes, cells) from the
     * index's own full-vector tier — the remedy once [[staleness]]
-    * reports drift. Same snapshot-first crash contract as
-    * [[IvfIndex.retrain]]: the vector set is pinned to
-    * `__retrain_src` before anything is dropped, a crash at any later
-    * point is recovered by rerunning retrain, and [[search]]/
-    * [[append]] refuse while the marker exists. Training params are
-    * re-specified by the caller (they are also re-derivable: kCoarse
-    * from the centroid count, m/ksub from the persisted books).
-    * Returns (#cells, #codes).
+    * reports drift. Rides [[IvfIndex.retrainLifecycle]] (atomic
+    * snapshot → build the new generation ASIDE under `<name>__next` →
+    * rename-swap all five tiers): [[search]] keeps answering from the
+    * old generation for the whole training and refuses only in the
+    * milliseconds-long swap window after a mid-swap crash; [[append]]
+    * refuses for the whole retrain (post-snapshot appends would be
+    * dropped by the swap); rerunning retrain recovers any phase.
+    * Training params are re-specified by the caller (they are also
+    * re-derivable: kCoarse from the centroid count, m/ksub from the
+    * persisted books). Returns (#cells, #codes).
     */
   def retrain(wh: Warehouse, name: String, idCol: String, vecCol: String,
       kCoarse: Int, m: Int, ksub: Int = 16,
       iters: Int = 3): (Long, Long) = {
-    val src = IvfIndex.retrainSrcTable(name)
-    if (!wh.tableExists(src)) {
-      val full = wh.read(s"${name}__cells").select(col(idCol), col(vecCol))
-      wh.createTable(src, full.schema, ifExists = "replace")
-      wh.append(src, full)
-    } // else: resuming a crashed retrain from its pinned snapshot
-    val out = build(wh, name, wh.read(src), idCol, vecCol,
-      kCoarse, m, ksub, iters)
-    wh.dropTable(src)
-    out
+    IvfIndex.retrainLifecycle(wh, name, idCol, vecCol,
+      IvfIndex.IvfTiers ++ Seq("__books", "__codes")) { src =>
+      build(wh, IvfIndex.nextName(name), wh.read(src), idCol, vecCol,
+        kCoarse, m, ksub, iters)
+      ()
+    }
+    (wh.read(s"${name}__centroids").count(),
+      wh.read(codesTable(name)).select("id").distinct().count())
   }
 
   /** Fold new vectors into the persisted index incrementally: assign
@@ -159,7 +159,7 @@ object IvfPqIndex {
   def search(wh: Warehouse, name: String, queries: DataFrame,
       idCol: String, vecCol: String, k: Int, nProbe: Int = 2,
       rerank: Int = 50): DataFrame = {
-    IvfIndex.requireNoPendingRetrain(wh, name)
+    IvfIndex.requireNoPendingSwap(wh, name)
     val cents = wh.read(s"${name}__centroids")
     val books = wh.read(booksTable(name))
     val m = builtM(books)

@@ -139,27 +139,29 @@ object Similarity {
       centroids: DataFrame, centIdCol: String, centVecCol: String): DataFrame = {
     import org.apache.spark.sql.graft.ColumnBridge
     val spark = df.sparkSession
-    // bounded by the centroid table — the same boundedness the old
-    // `broadcast(cents)` cross join already required of this argument
+    // The driver-side kernel is O(k^1.5·d) flops and O(k·d) broadcast
+    // bytes — seconds and MBs at k = 10⁵, but SemDeDup's own
+    // k = N/256 makes k MILLIONS on a 10⁹-doc corpus (multi-GB
+    // broadcast, hours of driver flops). Above the threshold,
+    // assignment routes through the two-level distributed path
+    // instead; the limit-probe below never collects more than
+    // threshold+1 rows either way.
+    val maxKernel = spark.conf
+      .getOption("spark.graft.ivfAssign.maxKernelCentroids")
+      .map(_.toInt).getOrElse(32768)
     val rows = centroids
       .select(col(centIdCol).cast("long"), col(centVecCol))
+      .limit(maxKernel + 1)
       .collect()
     if (rows.isEmpty)
       // windowed-form parity: crossJoin with an empty side is empty
       return df.filter(lit(false))
         .withColumn("centroid_id", lit(0L))
         .withColumn("centroid_sim", lit(0.0))
-    val sorted = rows.map { r =>
-      val v = r.getSeq[Any](1).map {
-        case f: java.lang.Float => f.toDouble
-        case d: java.lang.Double => d.doubleValue
-        case n: java.lang.Number => n.doubleValue
-      }.toArray
-      (r.getLong(0), v)
-    }.sortBy(_._1)
-    val kernel = new graft.plans.CentroidKernel(
-      sorted.map(_._1), sorted.map(_._2))
-    val bcast = spark.sparkContext.broadcast(kernel)
+    if (rows.length > maxKernel)
+      return ivfAssignTwoLevel(df, idCol, vecCol,
+        centroids, centIdCol, centVecCol)
+    val bcast = buildKernel(spark, rows)
     // ONE pure projection: per row the kernel scans the broadcast
     // centroids with exact triangle-inequality pruning and returns the
     // bit-identical (argmax cell, cosine) the old plan derived from an
@@ -171,6 +173,125 @@ object Similarity {
       .withColumn("centroid_id", col("__nc.centroid_id"))
       .withColumn("centroid_sim", col("__nc.centroid_sim"))
       .drop("__nc")
+  }
+
+  /** Validate collected centroid rows and broadcast the kernel. A null
+    * id/vector/element or a duplicate id would otherwise surface as an
+    * opaque NPE/MatchError or the kernel's strictly-ascending require,
+    * none of which name the actual problem (a malformed centroid
+    * table).
+    */
+  private def buildKernel(spark: org.apache.spark.sql.SparkSession,
+      rows: Array[org.apache.spark.sql.Row])
+      : org.apache.spark.broadcast.Broadcast[graft.plans.CentroidKernel] = {
+    val sorted = rows.map { r =>
+      require(!r.isNullAt(0),
+        "ivfAssign: centroid table has a row with a NULL centroid id")
+      val id = r.getLong(0)
+      require(!r.isNullAt(1),
+        s"ivfAssign: centroid $id has a NULL vector in the centroid table")
+      val v = r.getSeq[Any](1).map {
+        case null => throw new IllegalArgumentException(
+          s"ivfAssign: centroid $id's vector contains a NULL element")
+        case f: java.lang.Float => f.toDouble
+        case d: java.lang.Double => d.doubleValue
+        case n: java.lang.Number => n.doubleValue
+      }.toArray
+      (id, v)
+    }.sortBy(_._1)
+    sorted.iterator.map(_._1).sliding(2).withPartial(false).foreach { w =>
+      require(w.head != w.last,
+        s"ivfAssign: duplicate centroid id ${w.head} in the centroid table")
+    }
+    spark.sparkContext.broadcast(new graft.plans.CentroidKernel(
+      sorted.map(_._1), sorted.map(_._2)))
+  }
+
+  /** The corpus-scaled-k assignment route: when the centroid table
+    * exceeds `spark.graft.ivfAssign.maxKernelCentroids` (default
+    * 32768 — see BASELINE.md for the derivation), nearest-centroid
+    * assignment runs as an IVF over the CENTROIDS themselves:
+    *
+    *  1. ⌈√k⌉ meta-centroids are trained over the centroid table
+    *     (bounded: √k ≤ threshold for k ≤ threshold², and capped);
+    *  2. each centroid kernel-assigns to its meta-cell (k rows
+    *     through the exact top-1 kernel);
+    *  3. each data row kernel-probes its `spark.graft.ivfAssign
+    *     .metaProbes` (default 8) nearest meta-cells — a pure
+    *     projection ([[graft.plans.NearestCentroidsTopP]]), no N×k
+    *     rows anywhere — then joins the centroids of ONLY those
+    *     cells (shuffle hash join keyed by meta-cell) and keeps the
+    *     per-row argmax via a map-side-combined `max_by` (ties to
+    *     the smallest centroid id, the kernel's tiebreak).
+    *
+    * Exactness: exact WITHIN the probed meta-cells; a row whose true
+    * nearest centroid lies in an unprobed cell mis-assigns (the
+    * standard IVF recall trade). Probing every meta-cell
+    * (metaProbes ≥ ⌈√k⌉) makes the route exhaustive, hence exact —
+    * the equivalence the spec pins. Rows with NULL vectors keep the
+    * kernel path's null assignment. `idCol` must uniquely identify
+    * rows (it keys the argmax aggregate) — true everywhere ivfAssign
+    * is used (corpus/doc/vector ids).
+    */
+  private[graft] def ivfAssignTwoLevel(df: DataFrame, idCol: String,
+      vecCol: String, centroids: DataFrame, centIdCol: String,
+      centVecCol: String): DataFrame = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    val spark = df.sparkSession
+    val maxKernel = spark.conf
+      .getOption("spark.graft.ivfAssign.maxKernelCentroids")
+      .map(_.toInt).getOrElse(32768)
+    val nProbe = spark.conf
+      .getOption("spark.graft.ivfAssign.metaProbes")
+      .map(_.toInt).getOrElse(8)
+    val c0 = centroids.select(col(centIdCol).cast("long").as("__cid"),
+      col(centVecCol).as("__cvec"))
+    val k = c0.count()
+    val metaK = math.min(maxKernel.toLong,
+      math.max(16L, math.ceil(math.sqrt(k.toDouble)).toLong)).toInt
+    val meta = trainCentroids(c0, "__cid", "__cvec", metaK, iters = 3)
+      .select(col("centroid_id").as("__meta_id"),
+        col("centroid_vec").as("__meta_vec"))
+    // centroid → meta-cell: metaK ≤ threshold, so this recursion
+    // bottoms out on the kernel path
+    val centMeta = ivfAssign(c0, "__cid", "__cvec",
+        meta, "__meta_id", "__meta_vec")
+      .select(col("__cid"), col("__cvec"),
+        col("centroid_id").as("__meta_id"))
+    // probe only meta-cells that actually hold centroids: a nearest
+    // EMPTY cell would waste a probe (and could starve a row of
+    // candidates entirely)
+    val liveMeta = meta
+      .join(centMeta.select(col("__meta_id")).distinct(), Seq("__meta_id"))
+      .select(col("__meta_id"), col("__meta_vec"))
+    val metaKernel = buildKernel(spark, liveMeta.collect())
+    val withVec = df.filter(col(vecCol).isNotNull)
+    val probed = withVec
+      .withColumn("__meta_id", explode(ColumnBridge.column(
+        graft.plans.NearestCentroidsTopP(
+          ColumnBridge.expression(col(vecCol)), metaKernel, nProbe))))
+    val cand = probed.join(centMeta, Seq("__meta_id"))
+      .withColumn("__sim", cosine(col(vecCol), col("__cvec")))
+    // per-row argmax carrying every original column through ONE
+    // map-side-combined aggregate (no second corpus join); the
+    // candidate blowup (nProbe × cell size per row) lives inside the
+    // join→partial-agg pipeline, never in an exchange
+    val others = df.columns.filterNot(_ == idCol).toSeq
+    val payload = struct((others.map(col) :+
+      col("__cid") :+ col("__sim")): _*)
+    val ord = struct(col("__sim"), -col("__cid"))
+    val best = cand.groupBy(col(idCol))
+      .agg(max_by(payload, ord).as("__best"))
+      .select((col(idCol) +: others.map(c => col(s"__best.$c").as(c)) :+
+        col("__best.__cid").as("centroid_id") :+
+        col("__best.__sim").as("centroid_sim")): _*)
+    val nulls = df.filter(col(vecCol).isNull)
+      .withColumn("centroid_id", lit(null).cast("long"))
+      .withColumn("centroid_sim", lit(null).cast("double"))
+    // kernel-path column order: original columns, then the assignment
+    best.unionByName(nulls)
+      .select((df.columns.map(col).toSeq :+
+        col("centroid_id") :+ col("centroid_sim")): _*)
   }
 
   /** The pre-round-9 windowed assignment (N×k cross join + per-id
@@ -232,6 +353,11 @@ object Similarity {
   def trainCentroids(df: DataFrame, idCol: String, vecCol: String,
       k: Int, iters: Int = 5): DataFrame = {
     val spark = df.sparkSession
+    val maxKernel = spark.conf
+      .getOption("spark.graft.ivfAssign.maxKernelCentroids")
+      .map(_.toInt).getOrElse(32768)
+    if (k > maxKernel) return trainCentroidsLargeK(df, idCol, vecCol,
+      k, iters, maxKernel)
     var cents = df.orderBy(col(idCol)).limit(k)
       .select(col(idCol).cast("long").as("centroid_id"),
         col(vecCol).as("centroid_vec"))
@@ -246,6 +372,44 @@ object Similarity {
       // k rows: materialize per round so each iteration's lineage is a
       // small local relation, not an ever-deepening recursive plan
       cents = spark.createDataFrame(cents.collect().toList.asJava, cents.schema)
+      i += 1
+    }
+    cents
+  }
+
+  /** Lloyd's loop for CORPUS-SCALED k (> maxKernelCentroids, e.g.
+    * SemDeDup's k = N/256): the small-k loop's two driver round-trips
+    * — `orderBy.limit(k)` seeding (TakeOrdered ships k vectors to the
+    * driver) and the per-iteration `collect()` re-materialization —
+    * become multi-GB driver transfers at k in the millions. Here the
+    * centroid frame NEVER visits the driver: seeds are the k lowest
+    * ids via a distributed rank ([[graft.transform.ChunkedWindows
+    * .globalRowNumber]], the prefix-sum shape), per-round pinning is
+    * an executor-side `localCheckpoint` (k slim rows spread across
+    * the cluster), and assignment rides [[ivfAssignTwoLevel]] by
+    * construction. Same seeds, same mean step; the only semantic
+    * delta is the two-level route's probe-bounded assignment
+    * (exhaustive probes ⇒ identical — spec-pinned).
+    */
+  private def trainCentroidsLargeK(df: DataFrame, idCol: String,
+      vecCol: String, k: Int, iters: Int, maxKernel: Int): DataFrame = {
+    val ranked = graft.transform.ChunkedWindows.globalRowNumber(
+      df.select(col(idCol), col(vecCol)), Seq.empty, Seq(idCol), "__rank")
+    var cents = ranked.filter(col("__rank") <= k)
+      .select(col(idCol).cast("long").as("centroid_id"),
+        col(vecCol).as("centroid_vec"))
+      .localCheckpoint(eager = true)
+    var i = 0
+    while (i < iters) {
+      val assigned = ivfAssign(df, idCol, vecCol,
+        cents, "centroid_id", "centroid_vec")
+      val next = meanVectors(assigned, "centroid_id", vecCol)
+        .withColumnRenamed("centroid_id", "__k")
+        .select(col("__k").cast("long").as("centroid_id"),
+          col("centroid_vec"))
+        .localCheckpoint(eager = true)
+      graft.core.Caching.freeLocalCheckpoint(cents)
+      cents = next
       i += 1
     }
     cents

@@ -36,9 +36,22 @@ final class Warehouse(spark: SparkSession, val location: String) {
   // rename), are created atomically (create w/o overwrite), and go
   // stale after `spark.graft.lease.staleMs` (default 1 h) so a
   // crashed holder can't wedge the table forever — the next writer
-  // takes the stale lease over and proceeds. Reentrant per instance:
-  // a merge that internally replaceTables the same table re-enters
-  // its own lease (depth-counted), matching the one-writer model.
+  // takes the stale lease over (via an atomic RENAME to a unique
+  // tombstone, so exactly one contender wins even when several spot
+  // the stale lease simultaneously) and proceeds. Reentrant per
+  // instance: a merge that internally replaceTables the same table
+  // re-enters its own lease (depth-counted), matching the one-writer
+  // model.
+  //
+  // CONTRACT: the lease is only as exclusive as the filesystem's
+  // create-no-overwrite and rename. Both are atomic on file://,
+  // hdfs:// and viewfs://; on object stores (s3a://) create is
+  // check-then-act and rename is copy+delete, so two writers can
+  // both "acquire" — the lease CANNOT protect such a warehouse.
+  // Mutations on a non-atomic scheme therefore REFUSE unless
+  // `spark.graft.lease.acceptNonAtomicScheme=true` (accepting that
+  // exclusion is then advisory; appropriate when a single driver is
+  // guaranteed by the orchestration layer instead).
   // ---------------------------------------------------------------
   private val heldLeases = scala.collection.mutable.Map.empty[String, Int]
   // one mkdirs per instance, not per mutation — micro-merge-heavy
@@ -52,6 +65,25 @@ final class Warehouse(spark: SparkSession, val location: String) {
   private def staleMs: Long = spark.conf
     .getOption("spark.graft.lease.staleMs").map(_.toLong)
     .getOrElse(3600000L)
+
+  // computed once per instance: the scheme never changes under a
+  // location, and acquire runs on every mutation
+  private lazy val leaseSchemeOk: Boolean = {
+    val scheme = Option(fs.getUri.getScheme).getOrElse("file")
+    Warehouse.AtomicCreateSchemes.contains(scheme) ||
+      spark.conf.getOption("spark.graft.lease.acceptNonAtomicScheme")
+        .exists(_.toBoolean)
+  }
+
+  private def requireAtomicLeaseScheme(): Unit =
+    if (!leaseSchemeOk) throw new IllegalStateException(
+      s"warehouse scheme '${fs.getUri.getScheme}' has no atomic " +
+        "create-exclusive/rename, so the single-writer lease cannot " +
+        "exclude a concurrent writer (object-store create is " +
+        "check-then-act) — point the warehouse at file/hdfs/viewfs, " +
+        "or set spark.graft.lease.acceptNonAtomicScheme=true to " +
+        "proceed with ADVISORY leases under an external single-driver " +
+        "guarantee")
 
   private def tryCreateLease(p: Path, op: String): Boolean =
     try {
@@ -68,6 +100,7 @@ final class Warehouse(spark: SparkSession, val location: String) {
     heldLeases.get(table) match {
       case Some(depth) => heldLeases(table) = depth + 1
       case None =>
+        requireAtomicLeaseScheme()
         val p = leasePath(table)
         if (!locksDirReady) { fs.mkdirs(p.getParent); locksDirReady = true }
         if (!tryCreateLease(p, op)) {
@@ -80,8 +113,20 @@ final class Warehouse(spark: SparkSession, val location: String) {
             case Some(a) if a > staleMs =>
               // stale takeover: the holder died mid-mutation; every
               // mutation here is crash-safe (tmp + rename), so taking
-              // the lease and proceeding is exactly crash recovery
-              fs.delete(p, false)
+              // the lease and proceeding is exactly crash recovery.
+              // Takeover is CAS-like: rename the stale lease to a
+              // unique tombstone — exactly ONE of several contenders
+              // wins the rename; the losers fall through to
+              // tryCreateLease and refuse against the winner's fresh
+              // lease (a delete-then-create takeover would let a
+              // second contender delete the first's FRESH lease)
+              val tomb = new Path(p.getParent,
+                s"${p.getName}.stale.${ProcessHandle.current.pid}." +
+                  s"${System.nanoTime}")
+              val won =
+                try fs.rename(p, tomb)
+                catch { case _: java.io.IOException => false }
+              if (won) fs.delete(tomb, false)
               tryCreateLease(p, op)
             case None =>
               tryCreateLease(p, op) // releaser raced us — retry once
@@ -146,7 +191,8 @@ final class Warehouse(spark: SparkSession, val location: String) {
       ifExists: String = "fail",
       partitionBy: Seq[String] = Nil,
       uniqueKeys: Seq[String] = Nil,
-      partitionSource: Option[String] = None): Unit = {
+      partitionSource: Option[String] = None): Unit =
+      withTableLease(table, "createTable") {
     if (tableExists(table)) ifExists match {
       case "fail" => sys.error(s"Table $table already exists")
       case "skip" => return
@@ -191,7 +237,7 @@ final class Warehouse(spark: SparkSession, val location: String) {
       case _ => df
     }
 
-  def dropTable(table: String): Unit = {
+  def dropTable(table: String): Unit = withTableLease(table, "dropTable") {
     val p = new Path(path(table))
     if (fs.exists(p)) fs.delete(p, true)
     Seq(new Path(metaPath(table)), new Path(schemaPath(table)),
@@ -267,7 +313,8 @@ final class Warehouse(spark: SparkSession, val location: String) {
     append(table, filled.select(evolved.fieldNames.map(col).toSeq: _*))
   }
 
-  def append(table: String, df: DataFrame): Unit = {
+  def append(table: String, df: DataFrame): Unit =
+      withTableLease(table, "append") {
     val meta = readMeta(table)
     val parts = meta.map(_.partitionBy).getOrElse(Nil)
     val out = withDerived(df, meta.flatMap(_.partitionSource))
@@ -282,7 +329,8 @@ final class Warehouse(spark: SparkSession, val location: String) {
     * partitioned and unpartitioned files.
     */
   def overwrite(table: String, df: DataFrame,
-      partitionBy: Seq[String] = Nil): Unit = {
+      partitionBy: Seq[String] = Nil): Unit =
+      withTableLease(table, "overwrite") {
     val meta = readMeta(table)
     val src = meta.flatMap(_.partitionSource)
     val out = withDerived(df, src)
@@ -560,8 +608,46 @@ final class Warehouse(spark: SparkSession, val location: String) {
     swapTableDir(table, tmp, "replace")
   }
 
+  /** Stamp (or overwrite) a `_`-prefixed sidecar file into an EXISTING
+    * table dir — the post-hoc twin of [[replaceTable]]'s `extraFiles`
+    * (which rides the atomic swap; use that when the marker must never
+    * disagree with the data). A single-file create is the right tool
+    * for lifecycle markers whose only content is their existence,
+    * e.g. the ANN retrain swap-ready flag.
+    */
+  def writeTableFile(table: String, name: String, content: String): Unit = {
+    require(name.startsWith("_"), s"sidecar must be _-prefixed: $name")
+    require(tableExists(table), s"writeTableFile: no table $table")
+    val out = fs.create(new Path(path(table), name), true)
+    try out.write(content.getBytes("UTF-8")) finally out.close()
+  }
+
+  /** Promote a staged table over the live name: the staged dir renames
+    * into place with the crash-safe dance ([[swapTableDir]] — the live
+    * name always holds either the old or the new copy, never neither),
+    * and the schema/meta/ddl sidecars follow. Built for
+    * build-aside-then-swap flows (ANN retrain): staged and live are
+    * two generations of the SAME layout, which is what makes the
+    * sidecar-copy-then-dir-swap window benign (the sidecars that could
+    * briefly describe the other generation are identical in shape).
+    * The staged name ceases to exist.
+    */
+  def promoteTable(staged: String, live: String): Unit =
+      withTableLease(live, "promote") {
+    require(tableExists(staged), s"promoteTable: staged table $staged missing")
+    readSchema(staged).foreach(writeSchema(live, _))
+    readMeta(staged).foreach(m =>
+      writeMeta(live, m.partitionBy, m.uniqueKeys, m.partitionSource))
+    readDdl(staged).foreach(writeDdl(live, _))
+    swapTableDir(live, new Path(path(staged)), "promote")
+    Seq(new Path(metaPath(staged)), new Path(schemaPath(staged)),
+      new Path(ddlPath(staged))).foreach { s =>
+      if (fs.exists(s)) fs.delete(s, false)
+    }
+  }
+
   /** Read a `_`-prefixed sidecar file previously stamped into the
-    * table dir by [[replaceTable]].
+    * table dir by [[replaceTable]] or [[writeTableFile]].
     */
   def readTableFile(table: String, name: String): Option[String] = {
     val p = new Path(path(table), name)
@@ -831,6 +917,13 @@ final class Warehouse(spark: SparkSession, val location: String) {
 }
 
 object Warehouse {
+  /** Schemes whose `create(path, overwrite=false)` and `rename` are
+    * atomic — the set the single-writer lease is sound on (see the
+    * lease contract comment in [[Warehouse]]). Object stores (s3a)
+    * implement create as check-then-act and are deliberately absent.
+    */
+  val AtomicCreateSchemes: Set[String] = Set("file", "hdfs", "viewfs")
+
   /** Name of the derived date-partition column (see createTable). */
   val DerivedDateCol = "p_date"
 

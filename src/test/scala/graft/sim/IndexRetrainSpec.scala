@@ -88,18 +88,61 @@ class IndexRetrainSpec extends SparkSpec {
     assert(wh.read("ann__cells").count() === full.count())
   }
 
-  test("crashed retrain: marker refuses serving, rerun recovers, nothing lost") {
+  test("search serves the OLD index mid-retrain; append refuses; rerun resumes") {
     val wh = new Warehouse(spark, Files.createTempDirectory("driftc").toString)
     val base = baseCorpus.toDF("id", "v")
     IvfIndex.build(wh, "ann", base, "id", "v", k = 4, iters = 4)
-
-    // simulate a crash mid-retrain: snapshot pinned, index half-gone
-    val src = base.select(col("id"), col("v"))
-    wh.createTable("ann__retrain_src", src.schema, ifExists = "replace")
-    wh.append("ann__retrain_src", src)
-    wh.dropTable("ann__centroids") // worst case: coarse tier destroyed
-
     val q = base.limit(3)
+
+    // simulate a crash mid-BUILD-ASIDE: committed snapshot pinned,
+    // a partial next generation on disk, old index fully intact
+    val src = base.select(col("id"), col("v"))
+    wh.replaceTable("ann__retrain_src", src,
+      Map(IvfIndex.CommittedMark -> "test"))
+    val partial = base.limit(7)
+    wh.createTable("ann__next__centroids", partial.schema,
+      ifExists = "replace")
+    wh.append("ann__next__centroids", partial)
+
+    // serve-during-retrain: search answers from the OLD generation
+    // with no error for the whole build phase
+    assert(recallAt10(wh, "ann", base, q, nProbe = 4) >= 0.9)
+    // append refuses for the whole retrain: post-snapshot vectors
+    // would be silently dropped by the swap
+    val e = intercept[IllegalArgumentException] {
+      IvfIndex.append(wh, "ann", base.limit(1), "id", "v")
+    }
+    assert(e.getMessage.contains("retrain"))
+
+    // recovery IS rerunning retrain: rebuilds aside from the pinned
+    // snapshot (discarding the partial next generation), then swaps
+    IvfIndex.retrain(wh, "ann", "id", "v", k = 6, iters = 4)
+    assert(!wh.tableExists("ann__retrain_src"))
+    assert(!wh.tableExists("ann__next__centroids"))
+    assert(wh.read("ann__centroids").count() === 6L) // NEW generation
+    assert(wh.read("ann__cells").count() === base.count())
+    assert(recallAt10(wh, "ann", base, q, nProbe = 4) >= 0.9)
+  }
+
+  test("crash mid-SWAP: mixed generations refuse serving; rerun finishes the swap") {
+    val wh = new Warehouse(spark, Files.createTempDirectory("drifts").toString)
+    val base = baseCorpus.toDF("id", "v")
+    IvfIndex.build(wh, "ann", base, "id", "v", k = 4, iters = 4)
+    val q = base.limit(3)
+
+    // a complete next generation, swap marker stamped, ONE tier
+    // already promoted — exactly the state a crash between renames
+    // leaves behind
+    val src = base.select(col("id"), col("v"))
+    wh.replaceTable("ann__retrain_src", src,
+      Map(IvfIndex.CommittedMark -> "test"))
+    IvfIndex.build(wh, "ann__next", base, "id", "v", k = 6, iters = 4)
+    wh.writeTableFile("ann__retrain_src", IvfIndex.SwapReadyMark,
+      IvfIndex.IvfTiers.mkString(","))
+    wh.promoteTable("ann__next__centroids", "ann__centroids")
+
+    // live tiers span two generations (6 centroids, 4-cell cells
+    // tier) — serving must refuse loudly
     val e1 = intercept[IllegalArgumentException] {
       IvfIndex.search(wh, "ann", q, "id", "v", k = 5)
     }
@@ -109,11 +152,31 @@ class IndexRetrainSpec extends SparkSpec {
     }
     assert(e2.getMessage.contains("retrain"))
 
-    // recovery IS rerunning retrain: rebuilds from the pinned snapshot
-    IvfIndex.retrain(wh, "ann", "id", "v", k = 4, iters = 4)
+    // rerun skips the build (swap already pending) and finishes the
+    // remaining renames idempotently
+    IvfIndex.retrain(wh, "ann", "id", "v", k = 6, iters = 4)
     assert(!wh.tableExists("ann__retrain_src"))
+    assert(wh.read("ann__centroids").count() === 6L)
+    assert(wh.read("ann__cells").select("centroid_id").distinct().count() <= 6L)
     assert(wh.read("ann__cells").count() === base.count())
-    assert(recallAt10(wh, "ann", base, q, nProbe = 4) >= 0.9)
+    assert(recallAt10(wh, "ann", base, q, nProbe = 6) >= 0.9)
+  }
+
+  test("uncommitted (partial) snapshot is re-taken from cells, not trusted") {
+    val wh = new Warehouse(spark, Files.createTempDirectory("driftu").toString)
+    val base = baseCorpus.toDF("id", "v")
+    IvfIndex.build(wh, "ann", base, "id", "v", k = 4, iters = 4)
+
+    // legacy-style snapshot that crashed mid-append: 5 of 240 rows,
+    // NO _committed sidecar — trusting it would silently shrink the
+    // index to 5 vectors
+    val partial = base.limit(5).select(col("id"), col("v"))
+    wh.createTable("ann__retrain_src", partial.schema, ifExists = "replace")
+    wh.append("ann__retrain_src", partial)
+
+    IvfIndex.retrain(wh, "ann", "id", "v", k = 4, iters = 4)
+    assert(wh.read("ann__cells").count() === base.count(),
+      "retrain trusted a partial snapshot and lost vectors")
   }
 
   test("IVF×PQ retrain refits all four tables and restores recall") {

@@ -50,11 +50,22 @@ def main():
         msg = open(marker).read().strip().splitlines()
         print(f"CRASHED  {name}: {msg[0] if msg else '(no message)'}")
         n_fail += 1
+    # An INTENDED pre-flight refusal (graft.core.PreflightRefusal) is a
+    # distinct marker and a pass-with-note, never a red row — but only
+    # the refusal path writes it, so a genuine crash in the same query
+    # still lands above as CRASHED.
+    for marker in sorted(glob.glob(os.path.join(out_dir, "*._REFUSED"))):
+        name = os.path.basename(marker)[: -len("._REFUSED")]
+        msg = open(marker).read().strip().splitlines()
+        print(f"REFUSED  {name}: {msg[0][:70] if msg else ''} (pre-flight; "
+              f"pass-with-note)")
+        n_pass += 1
     # An oracle entry with neither a dump dir nor a marker means Verify
     # itself died mid-run — also loud.
     for name in sorted(oracle):
         if not os.path.isdir(os.path.join(out_dir, name)) and \
-                not os.path.exists(os.path.join(out_dir, f"{name}._FAILED")):
+                not os.path.exists(os.path.join(out_dir, f"{name}._FAILED")) and \
+                not os.path.exists(os.path.join(out_dir, f"{name}._REFUSED")):
             print(f"NODUMP   {name}: oracle entry but no output at all")
             n_fail += 1
     for name in sorted(os.listdir(out_dir)):

@@ -1,20 +1,29 @@
 #!/usr/bin/env python3
-"""Derive per-query sweep budgets from a checked-in baseline sweep pair.
+"""Derive per-query sweep budgets from ALL checked-in baseline sweep pairs.
 
 Usage:
-  derive_budgets.py <baseA.log> <baseB.log> --template tools/sweep_budget.json \
-      [--out tools/sweep_budget.json]
+  derive_budgets.py <A1.log> <B1.log> [<A2.log> <B2.log> ...] \
+      --template tools/sweep_budget.json [--out tools/sweep_budget.json]
 
 The round-8 gate ran almost every query against one default 12x budget
 while the measured 10x->100x median was 2.23x — ~5x of silent headroom,
 so a query regressing 2x -> 9x still passed. This derives each query's
-budget from what it ACTUALLY measured on the checked-in baselines:
+budget from what it ACTUALLY measured — and, against the round-9
+self-referential trap (budgets re-derived from only the LATEST sweep
+re-grant 3x headroom over whatever last round measured, so a slow
+1.5x-per-round creep never trips and the same-round gate passes
+vacuously), the ratio is the per-query MINIMUM across EVERY checked-in
+sweep pair:
 
-    budget(q) = max(BUDGET_MULT * measured_ratio, BUDGET_FLOOR)
+    budget(q) = max(BUDGET_MULT * min_over_pairs(measured_ratio),
+                    BUDGET_FLOOR)
 
 (BUDGET_MULT = 3, BUDGET_FLOOR = 4.0, rounded up to one decimal) — a
-genuine regression of ~3x over baseline fails loudly while run-to-run
-noise rides free. The template file contributes:
+genuine regression of ~3x over the BEST the query ever measured fails
+loudly while run-to-run noise rides free, and budgets are monotonically
+non-increasing across regenerations as long as old sweeps stay checked
+in. Crash (-1) and "refused" rows never contribute ratios. The template
+file contributes:
 
   * "exclude"        — carried verbatim (documented output-pathological
                        queries, each naming its sweepable face);
@@ -44,18 +53,28 @@ def load(path):
     return json.loads(re.search(r"\{.*\}", line).group(0))
 
 
-def derive(qa, qb, template):
+def derive(pairs, template):
+    """pairs: list of (qa, qb) dicts; ratio per query = MIN across pairs."""
     hand = template.get("hand_overrides", {})
     exclude = template.get("exclude", {})
+
+    def num(v):
+        return isinstance(v, (int, float))
+
+    ratios = {}
+    for qa, qb in pairs:
+        for k, vb in qb.items():
+            va = qa.get(k)
+            if k in exclude or k in hand:
+                continue
+            if not num(va) or not num(vb) or va <= 0 or vb <= 0:
+                continue
+            r = vb / va
+            if k not in ratios or r < ratios[k]:
+                ratios[k] = r
     budgets = dict(hand)
     derived_from = {}
-    for k, vb in sorted(qb.items()):
-        va = qa.get(k)
-        if k in exclude or k in hand:
-            continue
-        if va is None or va <= 0 or vb <= 0:
-            continue
-        ratio = vb / va
+    for k, ratio in sorted(ratios.items()):
         budgets[k] = math.ceil(max(BUDGET_MULT * ratio, BUDGET_FLOOR) * 10) / 10
         derived_from[k] = round(ratio, 2)
     return budgets, derived_from
@@ -72,13 +91,17 @@ def main():
     with open(args[ti + 1]) as f:
         template = json.load(f)
     del args[ti:ti + 2]
-    a, b = load(args[0]), load(args[1])
-    budgets, derived_from = derive(a["queries"], b["queries"], template)
+    if len(args) < 2 or len(args) % 2 != 0:
+        sys.exit("need an even number of sweep logs (A1 B1 [A2 B2 ...])")
+    pairs = [(load(args[i])["queries"], load(args[i + 1])["queries"])
+             for i in range(0, len(args), 2)]
+    budgets, derived_from = derive(pairs, template)
     out = {
         "_comment": template.get("_comment", []),
         "_derived": {
-            "from": [args[0], args[1]],
-            "rule": f"max({BUDGET_MULT} * measured_ratio, {BUDGET_FLOOR})",
+            "from": args,
+            "rule": f"max({BUDGET_MULT} * min_over_pairs(measured_ratio), "
+                    f"{BUDGET_FLOOR})",
             "measured_ratios": derived_from,
         },
         "default_ratio": template.get("default_ratio", 12.0),

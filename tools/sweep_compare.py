@@ -10,6 +10,12 @@ query whose B/A wall ratio exceeds the threshold (default 3.0), plus
 failures and totals — the analysis behind BASELINE.md's full-catalog
 scale tables.
 
+Query values are seconds, -1.0 for a CRASH, or the string "refused"
+for an intended pre-flight refusal (graft.core.PreflightRefusal via
+QueryBench). Refusals are pass-with-note everywhere; crashes gate RED
+even in excluded queries — exclusion documents an output-pathological
+corpus shape, not a license to crash.
+
 GATE mode (--budget + --gate): every query is checked against its
 per-query ratio budget (default_ratio unless overridden in the budget
 file's "budgets"; "exclude"d queries are the documented
@@ -48,12 +54,19 @@ def main():
     a, b = load(args[0]), load(args[1])
     thresh = float(args[2]) if len(args) > 2 else 3.0
     qa, qb = a["queries"], b["queries"]
-    fails = sorted(k for k, v in qb.items() if v < 0)
-    print(f"A={a['sf']} total={sum(v for v in qa.values() if v > 0):.1f}s "
+
+    def num(v):
+        return isinstance(v, (int, float))
+
+    fails = sorted(k for k, v in qb.items() if num(v) and v < 0)
+    refused = sorted(k for k, v in qb.items() if v == "refused")
+    print(f"A={a['sf']} total={sum(v for v in qa.values() if num(v) and v > 0):.1f}s "
           f"({len(qa)} queries)")
-    print(f"B={b['sf']} total={sum(v for v in qb.values() if v > 0):.1f}s "
+    print(f"B={b['sf']} total={sum(v for v in qb.values() if num(v) and v > 0):.1f}s "
           f"({len(qb)} queries)")
     print(f"B failures: {fails or 'none'}")
+    if refused:
+        print(f"B refusals (pre-flight, pass-with-note): {refused}")
 
     if budget is not None:
         default = budget.get("default_ratio", 12.0)
@@ -65,7 +78,7 @@ def main():
                 print(f"  EXCLUDED {k}: {exclude[k][:70]}...")
                 continue
             va = qa.get(k)
-            if va is None or va <= 0 or vb <= 0:
+            if not num(va) or not num(vb) or va <= 0 or vb <= 0:
                 continue
             allowed = budgets.get(k, default)
             r = vb / va
@@ -83,10 +96,14 @@ def main():
         if missing:
             print(f"  missing from B (not excluded): {missing}")
         if gate:
-            # a failure or absence of an EXCLUDED query doesn't gate —
-            # exclusion documents that this corpus shape isn't its job
-            hard_fails = [k for k in fails if k not in exclude]
-            ok = not violations and not hard_fails and not missing
+            # CRASHES gate red even in excluded queries (exclusion
+            # covers output-pathological growth, not breakage); only
+            # the distinct "refused" value passes-with-note there
+            for k in fails:
+                if k in exclude:
+                    print(f"  CRASH in excluded query {k}: exclusion does "
+                          f"not cover crashes")
+            ok = not violations and not fails and not missing
             print(f"\nGATE: {'PASS' if ok else 'FAIL'}")
             sys.exit(0 if ok else 1)
         return

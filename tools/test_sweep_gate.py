@@ -77,6 +77,49 @@ def main():
         r = run([os.path.join(HERE, "sweep_compare.py"), base10, new100,
                  "--budget", budget, "--gate"])
         assert r.returncode == 0, f"new query under default failed:\n{r.stdout}"
+
+        # --- budget ratchet: a two-round creep must fail ---
+        # round 2 measures q_lin at ratio 5 (within the 6.0 budget, so
+        # its sweep passed and was checked in). Re-deriving from BOTH
+        # pairs must keep the budget at 6.0 (min ratio 2), NOT re-grant
+        # 3x over the crept 5 (=15) — so round 3's continued creep to
+        # ratio 7 still fails the gate.
+        r2_10 = os.path.join(d, "r2_10.log")
+        r2_100 = os.path.join(d, "r2_100.log")
+        write_log(r2_10, "10x", {"q_lin": 1.0, "q_heavy": 2.0, "q_x": 1.0})
+        write_log(r2_100, "100x", {"q_lin": 5.0, "q_heavy": 18.0, "q_x": 50.0})
+        budget2 = os.path.join(d, "budget2.json")
+        r = run([os.path.join(HERE, "derive_budgets.py"),
+                 base10, base100, r2_10, r2_100,
+                 "--template", template, "--out", budget2])
+        assert r.returncode == 0, r.stderr
+        b2 = json.load(open(budget2))
+        assert b2["budgets"]["q_lin"] == 6.0, \
+            f"ratchet re-granted headroom over the creep: {b2['budgets']}"
+        r3_100 = os.path.join(d, "r3_100.log")
+        write_log(r3_100, "100x", {"q_lin": 7.0, "q_heavy": 18.0, "q_x": 50.0})
+        r = run([os.path.join(HERE, "sweep_compare.py"), base10, r3_100,
+                 "--budget", budget2, "--gate"])
+        assert r.returncode == 1, \
+            f"two-round creep passed the ratcheted gate:\n{r.stdout}"
+
+        # --- crash vs refusal in an EXCLUDED query ---
+        # an intended pre-flight refusal ("refused") passes with a note;
+        # a crash (-1.0) in the same excluded query gates RED
+        ref100 = os.path.join(d, "ref100.log")
+        write_log(ref100, "100x", {"q_lin": 2.2, "q_heavy": 19.0,
+                                   "q_x": "refused", "q_new": 5.0})
+        r = run([os.path.join(HERE, "sweep_compare.py"), base10, ref100,
+                 "--budget", budget, "--gate"])
+        assert r.returncode == 0, f"refusal in excluded query gated:\n{r.stdout}"
+        assert "refus" in r.stdout.lower(), f"refusal not noted:\n{r.stdout}"
+        crash100 = os.path.join(d, "crash100.log")
+        write_log(crash100, "100x", {"q_lin": 2.2, "q_heavy": 19.0,
+                                     "q_x": -1.0, "q_new": 5.0})
+        r = run([os.path.join(HERE, "sweep_compare.py"), base10, crash100,
+                 "--budget", budget, "--gate"])
+        assert r.returncode == 1, \
+            f"crash in excluded query hid behind the exclusion:\n{r.stdout}"
     print("sweep gate self-test: PASS")
 
 
