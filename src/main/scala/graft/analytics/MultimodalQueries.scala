@@ -355,7 +355,48 @@ object MultimodalQueries {
       .orderBy("id_a", "id_b")
   }
 
+  /** H.264 frame-range indexing ([[graft.multimodal.H264AnnexB]]): a
+    * synthetic Annex-B stream of 5 frames (IDR at 0 and 3, each frame
+    * = one first_mb==0 slice + one continuation slice that must NOT
+    * split the frame) sampled at stride 2 → exact byte spans: frame 0
+    * owns the stream head (SPS 8 B + PPS 7 B + two 7 B slices = 29),
+    * every later frame is two slices (14 B). Junk bytes flag the
+    * single `indexed = false` fallback row. A start-code, exp-Golomb,
+    * or AU-grouping regression hash-fails.
+    */
+  val qMultimodalH264Index: QueryDef = QueryDef.sql(
+    "q_multimodal_h264_index",
+    """SELECT * FROM (VALUES
+      |  (1, 0, CAST(0 AS BIGINT), CAST(29 AS BIGINT), true, true),
+      |  (1, 2, CAST(43 AS BIGINT), CAST(14 AS BIGINT), false, true),
+      |  (1, 4, CAST(71 AS BIGINT), CAST(14 AS BIGINT), false, true),
+      |  (2, -1, NULL, NULL, NULL, false))
+      |  AS t(asset_id, frame_idx, byte_start, byte_len, is_idr, indexed)
+      |ORDER BY asset_id, frame_idx""".stripMargin,
+    doc = "H.264 Annex-B access-unit byte-range index + stride sampling " +
+      "(multimodal ops; decode is the documented external-seam stub)") {
+    (s, dir) =>
+    import s.implicits._
+    import graft.multimodal.H264AnnexB
+    val stream = H264AnnexB.encodeSynthetic(
+      Seq(true, false, false, true, false), extraSlices = 1)
+    val assets = Seq(
+      (1L, "mem://clip.h264", stream),
+      (2L, "mem://junk.h264", Array[Byte](9, 9, 9, 9))
+    ).toDF("id", "uri", "bytes")
+    Multimodal.sampleH264Frames(
+        Multimodal.toMediaAssets(assets, "id", "uri", "bytes")(s),
+        stride = 2, maxFrames = 5)(s)
+      .select(col("asset_id"), col("frame_idx"),
+        when(col("indexed"), col("byte_start")).as("byte_start"),
+        when(col("indexed"), col("byte_len")).as("byte_len"),
+        when(col("indexed"), col("is_idr")).as("is_idr"),
+        col("indexed"))
+      .orderBy("asset_id", "frame_idx")
+  }
+
   val all: Seq[QueryDef] = Seq(
     qMultimodalDecode, qMultimodalAudio, qMultimodalResize, qMultimodalVideo,
-    qMultimodalPhash, qMultimodalAudioNeardup, qMultimodalVideoNeardup)
+    qMultimodalPhash, qMultimodalAudioNeardup, qMultimodalVideoNeardup,
+    qMultimodalH264Index)
 }

@@ -56,7 +56,8 @@ object Multimodal {
       col(idCol).cast("long").as("asset_id"),
       when(lower(col(uriCol)).rlike("\\.(png|jpe?g|gif|bmp|webp)$"), "image")
         .when(lower(col(uriCol)).rlike("\\.(wav|mp3|flac|ogg)$"), "audio")
-        .when(lower(col(uriCol)).rlike("\\.(mp4|avi|mkv|webm)$"), "video")
+        .when(lower(col(uriCol)).rlike("\\.(mp4|avi|mkv|webm|h264|264)$"),
+          "video")
         .otherwise("unknown").as("kind"),
       col(uriCol).as("uri"),
       col(bytesCol).as("content"),
@@ -469,6 +470,53 @@ object Multimodal {
           case None =>
             Iterator.single(VideoFrame(a.asset_id, -1, 0, 0, 0.0,
               decoded = false))
+        }
+      }
+    }
+  }
+
+  /** A sampled H.264 frame BYTE RANGE (no decode — see
+    * [[sampleH264Frames]]); `indexed = false` flags the single
+    * fallback row for bytes that aren't an Annex-B stream. */
+  final case class H264Frame(
+      asset_id: Long,
+      frame_idx: Int,
+      byte_start: Long,
+      byte_len: Long,
+      is_idr: Boolean,
+      indexed: Boolean)
+
+  /** H.264 frame-range sampling ([[H264AnnexB]]): index the Annex-B
+    * access units in one linear scan, then emit every `stride`-th
+    * frame's BYTE RANGE (up to `maxFrames`; `keyframesOnly` restricts
+    * to IDR frames — the seekable ones). This is the MJPEG sampler's
+    * access pattern applied to the codec the JVM cannot decode: at
+    * 100 TB the win is fetching only the sampled ranges and handing
+    * them to an external decoder behind a UDF seam — the decode step
+    * itself is deliberately absent here (no JDK H.264 decoder; the
+    * range + IDR flag is everything the seam needs). Non-Annex-B
+    * bytes emit one flagged `indexed = false` row, keeping the
+    * pipeline total.
+    */
+  def sampleH264Frames(assets: Dataset[MediaAsset], stride: Int,
+      maxFrames: Int, keyframesOnly: Boolean = false)(
+      implicit spark: SparkSession): Dataset[H264Frame] = {
+    import spark.implicits._
+    require(stride > 0 && maxFrames > 0, "stride and maxFrames must be positive")
+    assets.filter(col("kind") === "video").mapPartitions { it =>
+      it.flatMap { a =>
+        H264AnnexB.frameIndex(a.content) match {
+          case Some(spans) =>
+            val pool = if (keyframesOnly) spans.filter(_.isIdr) else spans
+            (0 until pool.size by stride).take(maxFrames).iterator.map { i =>
+              val s = pool(i)
+              H264Frame(a.asset_id, s.frameIdx, s.byteStart.toLong,
+                s.byteLen.toLong, s.isIdr, indexed = true)
+            }
+          case None =>
+            Iterator.single(
+              H264Frame(a.asset_id, -1, 0L, 0L, is_idr = false,
+                indexed = false))
         }
       }
     }

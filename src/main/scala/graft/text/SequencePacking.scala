@@ -86,20 +86,25 @@ object SequencePacking {
     val ranged = graft.transform.RangeChunks
       .withChunkId(df, Seq(idCol), p, "__pid")
     val local = Window.partitionBy(col("__pid")).orderBy(col(idCol))
-    val withCum = ranged.withColumn("__cum",
-      sum(col(weightCol).cast("long")).over(local))
-    // P rows: chunk totals → exclusive offsets (the only
-    // single-partition window runs over P rows, not the corpus);
-    // map-side-combined sum, not a second corpus window
+    // chunk totals ride the SAME sorted pass (full-frame twin); the
+    // offsets branch is a filter of this frame, so exchange reuse
+    // serves both branches from one scan + one shuffle
+    val wFull = local.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    val withCum = ranged
+      .withColumn("__cum", sum(col(weightCol).cast("long")).over(local))
+      .withColumn("__rn1", row_number().over(local))
+      .withColumn("__psum", sum(col(weightCol).cast("long")).over(wFull))
+    // P rows after the filter: the only single-partition window runs
+    // over P rows, not the corpus
     val offW = Window.orderBy(col("__pid"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = ranged.groupBy(col("__pid"))
-      .agg(sum(col(weightCol).cast("long")).as("__psum"))
+    val offsets = withCum.filter(col("__rn1") === 1)
       .withColumn("__off", coalesce(sum(col("__psum")).over(offW), lit(0L)))
       .select(col("__pid"), col("__off"))
     val total = df.agg(
       sum(col(weightCol).cast("long")).as("__total"))
-    withCum.join(broadcast(offsets), Seq("__pid"))
+    withCum.drop("__rn1", "__psum").join(broadcast(offsets), Seq("__pid"))
       .crossJoin(broadcast(total))
       .withColumn("shard",
         least(expr(s"((__off + __cum - $weightCol) * $nShards) DIV __total"),

@@ -59,33 +59,34 @@ object ChunkedWindows {
       chunkCount(df), "__pid")
     val w = Window.partitionBy(("__pid" +: keyCols).map(col): _*)
       .orderBy(orderCols.map(col): _*)
+    // full-frame twin of `w`: per-group LAST values, computed in the
+    // SAME sorted pass
+    val wFull = w.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
 
-    // last row of every (chunk, key): the value the NEXT chunk of the
-    // same key needs for its first row. P×|keys| rows — broadcastable.
-    // max_by over the order tuple is a hash aggregate with map-side
-    // partial combine: only P×|keys| rows per mapper reach the wire
-    // (the round-9 form ran a second corpus-wide window here).
-    val ordStruct = struct(orderCols.map(col): _*)
-    val valStruct = struct(lagCols.keys.toSeq.map(col): _*)
-    val lasts = chunked
-      .groupBy((("__pid" +: keyCols)).map(col): _*)
-      .agg(max_by(valStruct, ordStruct).as("__lv"))
-      .select((keyCols :+ "__pid").map(col) ++
-        lagCols.keys.toSeq.map(s => col(s"__lv.$s").as(s"__last_$s")): _*)
-    val bw = Window.partitionBy(keyCols.map(col): _*).orderBy(col("__pid"))
-    val bridge = lasts.select(
-      (keyCols :+ "__pid").map(col) ++ lagCols.keys.toSeq.map(s =>
-        lag(col(s"__last_$s"), 1).over(bw).as(s"__br_$s")): _*)
-
-    // all window expressions share one spec → ONE Window node over the
-    // (__pid, key)-hashed exchange; hashing on __pid keeps the groups
-    // chunk-sized no matter how few keys exist
-    val withLocal = lagCols.foldLeft(
+    // ONE windowed frame carries everything: the local lags, the
+    // row_number, and each group's LAST source values (the value the
+    // NEXT chunk of the same key needs). The boundary branch below is
+    // a FILTER of this same frame, so its exchange is canonically
+    // identical to the streamed side's and Spark's exchange reuse
+    // serves both from one scan + one shuffle — the round-9 eager
+    // checkpoint gave branch sharing by materialization; this gives
+    // it by plan identity, with lineage intact.
+    val withLocal = lagCols.keys.foldLeft(
         chunked.withColumn("__rn1", row_number().over(w))) {
-      case (d, (src, _)) =>
+      case (d, src) =>
         d.withColumn(s"__ll_$src", lag(col(src), 1).over(w))
+          .withColumn(s"__last_$src", last(col(src)).over(wFull))
     }
-    val joined = withLocal.join(broadcast(bridge), keyCols :+ "__pid", "left")
+    // P×|keys| rows after the filter — broadcastable; rolled with one
+    // tiny per-key window into "previous chunk's last value"
+    val bw = Window.partitionBy(keyCols.map(col): _*).orderBy(col("__pid"))
+    val bridge = withLocal.filter(col("__rn1") === 1)
+      .select((keyCols :+ "__pid").map(col) ++ lagCols.keys.toSeq.map(s =>
+        lag(col(s"__last_$s"), 1).over(bw).as(s"__br_$s")): _*)
+    val joined = withLocal
+      .drop(lagCols.keys.toSeq.map(s => s"__last_$s"): _*)
+      .join(broadcast(bridge), keyCols :+ "__pid", "left")
     lagCols.foldLeft(joined) { case (d, (src, dst)) =>
       d.withColumn(dst,
         when(col("__rn1") === 1, col(s"__br_$src"))
@@ -108,14 +109,20 @@ object ChunkedWindows {
       chunkCount(df), "__pid")
     val w = Window.partitionBy(("__pid" +: keyCols).map(col): _*)
       .orderBy(orderCols.map(col): _*)
-    val local = chunked.withColumn("__lrn", row_number().over(w))
+    // per-group count rides the SAME sorted pass (full-frame twin of
+    // `w`); the offsets branch filters this frame, so exchange reuse
+    // serves both branches from one scan + one shuffle
+    val wFull = w.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    val local = chunked
+      .withColumn("__lrn", row_number().over(w))
+      .withColumn("__pc", count(lit(1)).over(wFull))
     val offW = Window.partitionBy(keyCols.map(col): _*).orderBy(col("__pid"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = chunked.groupBy(("__pid" +: keyCols).map(col): _*)
-      .agg(count(lit(1)).as("__pc"))
+    val offsets = local.filter(col("__lrn") === 1)
       .withColumn("__off", coalesce(sum(col("__pc")).over(offW), lit(0L)))
       .select((keyCols :+ "__pid").map(col) :+ col("__off"): _*)
-    local.join(broadcast(offsets), keyCols :+ "__pid")
+    local.drop("__pc").join(broadcast(offsets), keyCols :+ "__pid")
       .withColumn(dst, col("__lrn").cast("long") + col("__off"))
       .drop("__pid", "__lrn", "__off")
   }
@@ -173,18 +180,26 @@ object ChunkedWindows {
         "(an IEEE double cumsum is association-order-dependent)")
     val chunked = RangeChunks.withChunkId(df, keyCols ++ orderCols,
       chunkCount(df), "__pid")
-    val w = Window.partitionBy(("__pid" +: keyCols).map(col): _*)
+    val wBase = Window.partitionBy(("__pid" +: keyCols).map(col): _*)
       .orderBy(orderCols.map(col): _*)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val local = chunked.withColumn("__lcum", sum(col(srcCol)).over(w))
+    val w = wBase.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // group totals ride the SAME sorted pass (full-frame twin); the
+    // offsets branch filters this frame → exchange reuse, one scan.
+    // Decimal addition is associative, so the full-frame sum is
+    // bit-identical to the last row's running sum.
+    val wFull = wBase.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    val local = chunked
+      .withColumn("__lcum", sum(col(srcCol)).over(w))
+      .withColumn("__rn1", row_number().over(wBase))
+      .withColumn("__pt", sum(col(srcCol)).over(wFull))
     val sumType = local.schema("__lcum").dataType.simpleString
     val offW = Window.partitionBy(keyCols.map(col): _*).orderBy(col("__pid"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = chunked.groupBy(("__pid" +: keyCols).map(col): _*)
-      .agg(sum(col(srcCol)).as("__pt"))
+    val offsets = local.filter(col("__rn1") === 1)
       .withColumn("__boff", sum(col("__pt")).over(offW))
       .select((keyCols :+ "__pid").map(col) :+ col("__boff"): _*)
-    local.join(broadcast(offsets), keyCols :+ "__pid")
+    local.drop("__rn1", "__pt").join(broadcast(offsets), keyCols :+ "__pid")
       .withColumn(dst,
         (col("__lcum") + coalesce(col("__boff"), lit(0))).cast(sumType))
       .drop("__pid", "__lcum", "__boff")

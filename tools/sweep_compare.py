@@ -111,7 +111,8 @@ def main():
     rows = []
     for k, vb in qb.items():
         va = qa.get(k)
-        if va and va > 0 and vb > 0 and vb / va > thresh:
+        if num(va) and num(vb) and va and va > 0 and vb > 0 \
+                and vb / va > thresh:
             rows.append((vb / va, k, va, vb))
     rows.sort(reverse=True)
     print(f"\nqueries with B/A > {thresh}x ({len(rows)}):")
