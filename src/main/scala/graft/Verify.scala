@@ -28,6 +28,17 @@ object Verify {
     // shrinks the gate (round-5 postmortem: 6 crashed queries read as a
     // clean 114/114 sheet because nothing recorded them).
     var failed = List.empty[String]
+    // recursive stale-dump removal: a refusal/crash must not leave the
+    // PREVIOUS run's parquet dump alongside its marker
+    def deleteDump(dir: String): Unit = {
+      val p = Paths.get(dir)
+      if (Files.exists(p)) {
+        val walk = Files.walk(p)
+        try walk.sorted(java.util.Comparator.reverseOrder())
+          .forEach(f => Files.deleteIfExists(f))
+        finally walk.close()
+      }
+    }
     // SPARK_GRAFT_ONLY=q_a,q_b reruns a subset during local iteration;
     // unset (the driver path) dumps the whole catalog.
     val only = sys.env.get("SPARK_GRAFT_ONLY")
@@ -44,13 +55,20 @@ object Verify {
       } catch {
         case r: graft.core.PreflightRefusal =>
           // intended refusal ≠ crash: its own marker so tools/check.py
-          // reports pass-with-note instead of a red row
+          // reports pass-with-note instead of a red row. A query that
+          // TRANSITIONED crash→refusal (or success→refusal) must also
+          // shed the stale _FAILED marker / parquet dump of the prior
+          // run, or check.py keeps reporting the old state forever.
           System.err.println(s"[verify] $name REFUSED: ${r.getMessage}")
+          Files.deleteIfExists(Paths.get(s"$outDir/$name._FAILED"))
+          deleteDump(s"$outDir/$name")
           Files.writeString(Paths.get(s"$outDir/$name._REFUSED"),
             s"${r.getMessage}\n")
         case e: Throwable =>
           failed ::= name
           System.err.println(s"[verify] $name FAILED: ${e.getMessage}")
+          Files.deleteIfExists(Paths.get(s"$outDir/$name._REFUSED"))
+          deleteDump(s"$outDir/$name")
           Files.writeString(Paths.get(s"$outDir/$name._FAILED"),
             s"${e.getClass.getName}: ${e.getMessage}\n")
       }

@@ -155,19 +155,24 @@ object IvfIndex {
       buildAside(src)
       warehouse.writeTableFile(src, SwapReadyMark, tiers.mkString(","))
     }
-    finishSwap(warehouse, name)
+    finishSwap(warehouse, name, tiers)
   }
 
-  /** Promote every still-staged tier named in the swap marker, then
-    * drop the snapshot (taking the marker with it). Idempotent: a
-    * tier whose `__next` table is gone was promoted by a previous
-    * (crashed) attempt.
+  /** Promote every still-staged tier, then drop the snapshot (taking
+    * the marker with it). Idempotent: a tier whose `__next` table is
+    * gone was promoted by a previous (crashed) attempt. The tier list
+    * is the STATIC per-index-type constant passed by the caller — the
+    * `_swap_ready` marker is existence-only (its content is written
+    * for debuggability but never parsed: `writeTableFile` is a plain
+    * non-atomic create, and a crash mid-write must not leave a
+    * truncated list that would promote a SUBSET of tiers and serve a
+    * mixed-generation index with all guards cleared).
     */
-  private def finishSwap(warehouse: Warehouse, name: String): Unit = {
+  private def finishSwap(warehouse: Warehouse, name: String,
+      tiers: Seq[String]): Unit = {
     val src = retrainSrcTable(name)
-    val tiers = warehouse.readTableFile(src, SwapReadyMark)
-      .map(_.split(",").toSeq).getOrElse(sys.error(
-        s"finishSwap: no $SwapReadyMark marker on $src"))
+    require(warehouse.readTableFile(src, SwapReadyMark).isDefined,
+      s"finishSwap: no $SwapReadyMark marker on $src")
     tiers.foreach { t =>
       val staged = nextName(name) + t
       if (warehouse.tableExists(staged))
@@ -249,6 +254,17 @@ object IvfIndex {
     * prunes the `centroid_id=` directories before any data is read.
     * The collect is bounded by |queries| × nProbe cell ids — the same
     * broadcast-size contract ivfTopK already places on the query side.
+    *
+    * Serve-during-retrain caveat: [[requireNoPendingSwap]] runs at
+    * CONSTRUCTION time, but the returned DataFrame is lazy. A search
+    * built during the build-aside phase serves the OLD generation —
+    * by design — but must finish EXECUTING before the retrain's swap
+    * phase fires: the tier renames delete the old generation's files,
+    * and a scan still in flight across the swap fails with
+    * FileNotFoundException (or, worse, a retried stage could read
+    * across generations). Operationally: drain in-flight searches
+    * before (re)running [[retrain]]; a search that raced the swap
+    * fails loudly and is safe to re-run against the new generation.
     */
   def search(warehouse: Warehouse, name: String, queries: DataFrame,
       idCol: String, vecCol: String, k: Int, nProbe: Int = 2): DataFrame = {

@@ -249,6 +249,13 @@ object Similarity {
     val k = c0.count()
     val metaK = math.min(maxKernel.toLong,
       math.max(16L, math.ceil(math.sqrt(k.toDouble)).toLong)).toInt
+    // the semantics silently change from exact to probe-bounded here —
+    // make the route switch diagnosable from run output, not only from
+    // the scaladoc (downstream SemDeDup/IvfIndex callers inherit it)
+    System.err.println(s"[graft] ivfAssign: centroid count $k exceeds " +
+      s"spark.graft.ivfAssign.maxKernelCentroids=$maxKernel — using the " +
+      s"two-level APPROXIMATE route (metaK=$metaK, metaProbes=$nProbe); " +
+      "assignment is exact only within the probed meta-cells")
     val meta = trainCentroids(c0, "__cid", "__cvec", metaK, iters = 3)
       .select(col("centroid_id").as("__meta_id"),
         col("centroid_vec").as("__meta_vec"))

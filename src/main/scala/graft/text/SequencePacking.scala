@@ -86,26 +86,26 @@ object SequencePacking {
     val ranged = graft.transform.RangeChunks
       .withChunkId(df, Seq(idCol), p, "__pid")
     val local = Window.partitionBy(col("__pid")).orderBy(col(idCol))
-    // chunk totals ride the SAME sorted pass (full-frame twin); the
-    // offsets branch is a filter of this frame, so exchange reuse
-    // serves both branches from one scan + one shuffle
-    val wFull = local.rowsBetween(Window.unboundedPreceding,
-      Window.unboundedFollowing)
-    val withCum = ranged
-      .withColumn("__cum", sum(col(weightCol).cast("long")).over(local))
-      .withColumn("__rn1", row_number().over(local))
-      .withColumn("__psum", sum(col(weightCol).cast("long")).over(wFull))
-    // P rows after the filter: the only single-partition window runs
-    // over P rows, not the corpus
+    val withCum = ranged.withColumn("__cum",
+      sum(col(weightCol).cast("long")).over(local))
+    // chunk totals come from a map-side-combined AGGREGATE of the
+    // chunked input, not a filter of the windowed frame (a filtered
+    // bridge looks shareable, but column pruning de-canonicalizes the
+    // branches and the corpus gets shuffled + window-sorted twice —
+    // the round-10 regression). P rows; the only single-partition
+    // window runs over P rows, not the corpus; the grand total is the
+    // sum of the SAME P chunk totals, not a third corpus pass.
     val offW = Window.orderBy(col("__pid"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = withCum.filter(col("__rn1") === 1)
+    val chunkTotals = ranged.groupBy(col("__pid"))
+      .agg(sum(col(weightCol).cast("long")).as("__psum"))
+    val offsets = chunkTotals
       .withColumn("__off", coalesce(sum(col("__psum")).over(offW), lit(0L)))
-      .select(col("__pid"), col("__off"))
-    val total = df.agg(
-      sum(col(weightCol).cast("long")).as("__total"))
-    withCum.drop("__rn1", "__psum").join(broadcast(offsets), Seq("__pid"))
-      .crossJoin(broadcast(total))
+      .select(col("__pid"), col("__off"),
+        sum(col("__psum")).over(Window.rowsBetween(
+          Window.unboundedPreceding, Window.unboundedFollowing))
+          .as("__total"))
+    withCum.join(broadcast(offsets), Seq("__pid"))
       .withColumn("shard",
         least(expr(s"((__off + __cum - $weightCol) * $nShards) DIV __total"),
           lit(nShards - 1L)).cast("long"))

@@ -1,6 +1,6 @@
 package graft.transform
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -20,15 +20,20 @@ import org.apache.spark.sql.functions._
   * one tiny window — the [[graft.text.SequencePacking.balancedShards]]
   * distributed-prefix-sum shape, applied to lag.
   *
-  * Chunk ids come from [[RangeChunks.withChunkId]]: bounds sampled
-  * ONCE (a small driver job over just the sort columns) and compiled
-  * into a deterministic projection — every plan branch and every task
-  * retry computes the identical id, so nothing is materialized. The
-  * round-9 form pinned `spark_partition_id` with an eager
-  * whole-corpus `localCheckpoint`; at 100 TB that was a full
-  * fact-table copy into block storage per query and a lineage
-  * truncation (one lost executor = failed job). Now: no checkpoint,
-  * no extra exchange, lineage intact.
+  * Chunk ids come from [[RangeChunks]]: bounds sampled ONCE (a small
+  * driver job over just the sort columns) and compiled into a
+  * deterministic O(log P) binary-search projection
+  * ([[graft.plans.RangeChunkId]]) — every plan branch and every task
+  * retry computes the identical id, so nothing is materialized: no
+  * checkpoint, lineage intact. The cross-chunk boundary tables are
+  * map-side-combined AGGREGATES of the chunked input (`max_by` /
+  * `count` / `sum` per (chunk, key)), NOT filters of the windowed
+  * frame: a filtered-window bridge looks shareable but column pruning
+  * de-canonicalizes the branches and Spark plans TWO corpus window
+  * exchanges (the round-10 regression, measured 2–3.6× at 10×). With
+  * aggregate bridges the corpus is shuffled and window-sorted exactly
+  * once; the bridge pays one extra SCAN whose partial aggregation
+  * ships only P×|keys| rows per mapper.
   *
   * Exactness: a key's rows occupy a contiguous chunk-id interval
   * (chunk ids are monotone in (key, order)), so "previous chunk (in
@@ -39,54 +44,113 @@ import org.apache.spark.sql.functions._
   * totally order rows within a key (pass a unique tiebreaker);
   * lagged source columns may be null (first-row detection uses
   * row_number, not null-ness).
+  *
+  * Cardinality contract: the bridge/offset tables are P×|keys| rows,
+  * collected to the driver for broadcast — these helpers exist for
+  * LOW-cardinality keys (event types, sensor classes; ≲ thousands).
+  * [[chunkBounds]] enforces it loudly: if the bound sketch alone
+  * observes more than `spark.graft.chunkedWindows.maxSampledKeys`
+  * (default 4096) distinct key tuples, the call fails with guidance
+  * instead of silently OOMing the driver. High-cardinality keys don't
+  * need these helpers at all — a plain per-key window is already
+  * balanced there.
   */
 object ChunkedWindows {
 
   private def chunkCount(df: DataFrame): Int =
     df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
 
+  /** Sample the range-chunk bounds for (keyCols ++ orderCols) ONCE —
+    * reusable across every helper in one query build (each helper
+    * otherwise pays its own driver sketch job) — and enforce the
+    * low-cardinality key contract: more than
+    * `spark.graft.chunkedWindows.maxSampledKeys` (default 4096)
+    * distinct key tuples OBSERVED IN THE SKETCH is a loud failure,
+    * because the P×|keys| boundary broadcast would grow past what the
+    * driver should hold. The check is sound (sampled keys ⊆ real
+    * keys) and free — it reuses the sketch rows the bounds need
+    * anyway.
+    */
+  def chunkBounds(df: DataFrame, keyCols: Seq[String],
+      orderCols: Seq[String], p: Int = 0,
+      seed: Long = 0x5eedL): Seq[Row] = {
+    val pp = if (p > 0) p else chunkCount(df)
+    val sketch = RangeChunks.sampleSketch(df, keyCols ++ orderCols, seed)
+    val maxKeys = df.sparkSession.conf
+      .getOption("spark.graft.chunkedWindows.maxSampledKeys")
+      .map(_.toInt).getOrElse(4096)
+    if (keyCols.nonEmpty) {
+      val k = keyCols.length
+      val seen = scala.collection.mutable.HashSet.empty[Seq[Any]]
+      val it = sketch.iterator.flatMap(_._2)
+      var over = false
+      while (it.hasNext && !over) {
+        seen += Seq.tabulate(k)(it.next().get)
+        if (seen.size > maxKeys) over = true
+      }
+      if (over) throw new IllegalStateException(
+        s"ChunkedWindows: the bound sketch alone observed > $maxKeys " +
+          s"distinct key tuples over (${keyCols.mkString(", ")}) — the " +
+          "P×|keys| boundary broadcast would not be driver-safe. These " +
+          "helpers are for LOW-cardinality keys (a plain per-key window " +
+          "is already balanced at high cardinality); raise " +
+          "spark.graft.chunkedWindows.maxSampledKeys only if the " +
+          "driver can hold shufflePartitions × keys boundary rows.")
+    }
+    RangeChunks.boundsFromSketch(sketch, pp)
+  }
+
+  private def withChunk(df: DataFrame, keyCols: Seq[String],
+      orderCols: Seq[String], bounds: Option[Seq[Row]]): DataFrame = {
+    val bs = bounds.getOrElse(chunkBounds(df, keyCols, orderCols))
+    df.withColumn("__pid",
+      RangeChunks.chunkIdExpr((keyCols ++ orderCols).map(col), bs))
+  }
+
   /** `df` + one lagged column per (src → dst) in `lagCols`, equal to
     * `lag(src, 1) over (partition by keyCols order by orderCols)`.
     * One (chunk, key)-hashed window exchange over the corpus; the
     * only cross-chunk work is a P×|keys|-row boundary table built by
     * a map-side-combined `max_by` aggregation, rolled with a small
-    * window and broadcast back.
+    * window and broadcast back. Pass pre-sampled `bounds` (from
+    * [[chunkBounds]]) to share one sketch job across chained helpers.
     */
   def lag1(df: DataFrame, keyCols: Seq[String], orderCols: Seq[String],
-      lagCols: Map[String, String]): DataFrame = {
+      lagCols: Map[String, String],
+      bounds: Option[Seq[Row]] = None): DataFrame = {
     require(lagCols.nonEmpty, "no lag columns requested")
-    val chunked = RangeChunks.withChunkId(df, keyCols ++ orderCols,
-      chunkCount(df), "__pid")
+    val chunked = withChunk(df, keyCols, orderCols, bounds)
     val w = Window.partitionBy(("__pid" +: keyCols).map(col): _*)
       .orderBy(orderCols.map(col): _*)
-    // full-frame twin of `w`: per-group LAST values, computed in the
-    // SAME sorted pass
-    val wFull = w.rowsBetween(Window.unboundedPreceding,
-      Window.unboundedFollowing)
 
-    // ONE windowed frame carries everything: the local lags, the
-    // row_number, and each group's LAST source values (the value the
-    // NEXT chunk of the same key needs). The boundary branch below is
-    // a FILTER of this same frame, so its exchange is canonically
-    // identical to the streamed side's and Spark's exchange reuse
-    // serves both from one scan + one shuffle — the round-9 eager
-    // checkpoint gave branch sharing by materialization; this gives
-    // it by plan identity, with lineage intact.
+    // last row of every (chunk, key): the value the NEXT chunk of the
+    // same key needs for its first row. P×|keys| rows — broadcastable.
+    // max_by over the order tuple is a hash aggregate with map-side
+    // partial combine: only P×|keys| rows per mapper reach the wire
+    // (a second corpus-wide window here was the round-9 form; a
+    // filter of the windowed frame was the round-10 regression).
+    val ordStruct = struct(orderCols.map(col): _*)
+    val valStruct = struct(lagCols.keys.toSeq.map(col): _*)
+    val lasts = chunked
+      .groupBy(("__pid" +: keyCols).map(col): _*)
+      .agg(max_by(valStruct, ordStruct).as("__lv"))
+      .select((keyCols :+ "__pid").map(col) ++
+        lagCols.keys.toSeq.map(s =>
+          col("__lv").getField(s).as(s"__last_$s")): _*)
+    val bw = Window.partitionBy(keyCols.map(col): _*).orderBy(col("__pid"))
+    val bridge = lasts.select(
+      (keyCols :+ "__pid").map(col) ++ lagCols.keys.toSeq.map(s =>
+        lag(col(s"__last_$s"), 1).over(bw).as(s"__br_$s")): _*)
+
+    // all window expressions share one spec → ONE Window node over the
+    // (__pid, key)-hashed exchange; hashing on __pid keeps the groups
+    // chunk-sized no matter how few keys exist
     val withLocal = lagCols.keys.foldLeft(
         chunked.withColumn("__rn1", row_number().over(w))) {
       case (d, src) =>
         d.withColumn(s"__ll_$src", lag(col(src), 1).over(w))
-          .withColumn(s"__last_$src", last(col(src)).over(wFull))
     }
-    // P×|keys| rows after the filter — broadcastable; rolled with one
-    // tiny per-key window into "previous chunk's last value"
-    val bw = Window.partitionBy(keyCols.map(col): _*).orderBy(col("__pid"))
-    val bridge = withLocal.filter(col("__rn1") === 1)
-      .select((keyCols :+ "__pid").map(col) ++ lagCols.keys.toSeq.map(s =>
-        lag(col(s"__last_$s"), 1).over(bw).as(s"__br_$s")): _*)
-    val joined = withLocal
-      .drop(lagCols.keys.toSeq.map(s => s"__last_$s"): _*)
-      .join(broadcast(bridge), keyCols :+ "__pid", "left")
+    val joined = withLocal.join(broadcast(bridge), keyCols :+ "__pid", "left")
     lagCols.foldLeft(joined) { case (d, (src, dst)) =>
       d.withColumn(dst,
         when(col("__rn1") === 1, col(s"__br_$src"))
@@ -104,25 +168,21 @@ object ChunkedWindows {
     * order rows within a key).
     */
   def globalRowNumber(df: DataFrame, keyCols: Seq[String],
-      orderCols: Seq[String], dst: String): DataFrame = {
-    val chunked = RangeChunks.withChunkId(df, keyCols ++ orderCols,
-      chunkCount(df), "__pid")
+      orderCols: Seq[String], dst: String,
+      bounds: Option[Seq[Row]] = None): DataFrame = {
+    val chunked = withChunk(df, keyCols, orderCols, bounds)
     val w = Window.partitionBy(("__pid" +: keyCols).map(col): _*)
       .orderBy(orderCols.map(col): _*)
-    // per-group count rides the SAME sorted pass (full-frame twin of
-    // `w`); the offsets branch filters this frame, so exchange reuse
-    // serves both branches from one scan + one shuffle
-    val wFull = w.rowsBetween(Window.unboundedPreceding,
-      Window.unboundedFollowing)
-    val local = chunked
-      .withColumn("__lrn", row_number().over(w))
-      .withColumn("__pc", count(lit(1)).over(wFull))
+    val local = chunked.withColumn("__lrn", row_number().over(w))
     val offW = Window.partitionBy(keyCols.map(col): _*).orderBy(col("__pid"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = local.filter(col("__lrn") === 1)
+    // map-side-combined count per (chunk, key) — the corpus is
+    // shuffled once (the window above); this branch only scans
+    val offsets = chunked.groupBy(("__pid" +: keyCols).map(col): _*)
+      .agg(count(lit(1)).as("__pc"))
       .withColumn("__off", coalesce(sum(col("__pc")).over(offW), lit(0L)))
       .select((keyCols :+ "__pid").map(col) :+ col("__off"): _*)
-    local.drop("__pc").join(broadcast(offsets), keyCols :+ "__pid")
+    local.join(broadcast(offsets), keyCols :+ "__pid")
       .withColumn(dst, col("__lrn").cast("long") + col("__off"))
       .drop("__pid", "__lrn", "__off")
   }
@@ -141,9 +201,11 @@ object ChunkedWindows {
     * here, so downstream math is untouched.
     */
   def lagsUpTo(df: DataFrame, keyCols: Seq[String], orderCols: Seq[String],
-      srcCol: String, maxLag: Int, dstPrefix: String): DataFrame = {
+      srcCol: String, maxLag: Int, dstPrefix: String,
+      bounds: Option[Seq[Row]] = None): DataFrame = {
     require(maxLag >= 1, s"maxLag must be >= 1, got $maxLag")
-    val rn = globalRowNumber(df, keyCols, orderCols, "__grn")
+    val bs = bounds.getOrElse(chunkBounds(df, keyCols, orderCols))
+    val rn = globalRowNumber(df, keyCols, orderCols, "__grn", Some(bs))
     val prov = rn
       .select(keyCols.map(col) ++ Seq(col("__grn"), col(srcCol)): _*)
       .select(keyCols.map(col) ++ Seq(
@@ -172,34 +234,28 @@ object ChunkedWindows {
     * the helper is a drop-in replacement.
     */
   def runningSum(df: DataFrame, keyCols: Seq[String],
-      orderCols: Seq[String], srcCol: String, dst: String): DataFrame = {
+      orderCols: Seq[String], srcCol: String, dst: String,
+      bounds: Option[Seq[Row]] = None): DataFrame = {
     require(df.schema(srcCol).dataType
       .isInstanceOf[org.apache.spark.sql.types.DecimalType],
       s"runningSum needs an exact DECIMAL source column; " +
         s"'$srcCol' is ${df.schema(srcCol).dataType.simpleString} " +
         "(an IEEE double cumsum is association-order-dependent)")
-    val chunked = RangeChunks.withChunkId(df, keyCols ++ orderCols,
-      chunkCount(df), "__pid")
-    val wBase = Window.partitionBy(("__pid" +: keyCols).map(col): _*)
+    val chunked = withChunk(df, keyCols, orderCols, bounds)
+    val w = Window.partitionBy(("__pid" +: keyCols).map(col): _*)
       .orderBy(orderCols.map(col): _*)
-    val w = wBase.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    // group totals ride the SAME sorted pass (full-frame twin); the
-    // offsets branch filters this frame → exchange reuse, one scan.
-    // Decimal addition is associative, so the full-frame sum is
-    // bit-identical to the last row's running sum.
-    val wFull = wBase.rowsBetween(Window.unboundedPreceding,
-      Window.unboundedFollowing)
-    val local = chunked
-      .withColumn("__lcum", sum(col(srcCol)).over(w))
-      .withColumn("__rn1", row_number().over(wBase))
-      .withColumn("__pt", sum(col(srcCol)).over(wFull))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = chunked.withColumn("__lcum", sum(col(srcCol)).over(w))
     val sumType = local.schema("__lcum").dataType.simpleString
     val offW = Window.partitionBy(keyCols.map(col): _*).orderBy(col("__pid"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = local.filter(col("__rn1") === 1)
+    // map-side-combined decimal totals per (chunk, key); decimal
+    // addition associates, so the aggregate total equals the window's
+    val offsets = chunked.groupBy(("__pid" +: keyCols).map(col): _*)
+      .agg(sum(col(srcCol)).as("__pt"))
       .withColumn("__boff", sum(col("__pt")).over(offW))
       .select((keyCols :+ "__pid").map(col) :+ col("__boff"): _*)
-    local.drop("__rn1", "__pt").join(broadcast(offsets), keyCols :+ "__pid")
+    local.join(broadcast(offsets), keyCols :+ "__pid")
       .withColumn(dst,
         (col("__lcum") + coalesce(col("__boff"), lit(0))).cast(sumType))
       .drop("__pid", "__lcum", "__boff")

@@ -2,6 +2,8 @@ package graft.transform
 
 import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.ColumnBridge
+import graft.plans.{ChunkBoundsKernel, RangeChunkId}
 
 /** Deterministic range-chunk ids WITHOUT materializing the corpus.
   *
@@ -19,17 +21,20 @@ import org.apache.spark.sql.functions._
   * internally — ONE small sampling job over just the sort columns
   * (weighted per-partition reservoirs, the RangePartitioner sketch
   * shape) — then picks the P−1 range bounds on the driver and
-  * compiles them into a pure, deterministic lexicographic-comparison
-  * expression: `chunk = #bounds strictly below the row's sort tuple`.
-  * Every evaluation of the resulting column, in any branch, on any
-  * retry, yields the identical id, so nothing needs pinning: no
-  * exchange, no checkpoint, lineage intact. Bound quality only
-  * affects BALANCE, never correctness — splitting a totally ordered
-  * sequence never changes who precedes whom (the [[ChunkedWindows]]
-  * exactness argument).
+  * compiles them into [[graft.plans.RangeChunkId]], a pure
+  * deterministic projection that BINARY-SEARCHES the sorted bounds:
+  * `chunk = #bounds strictly below the row's sort tuple`, O(log P)
+  * tuple comparisons per row (the round-10 form summed P−1
+  * comparison chains per row — O(P), measured 3.3× the bare window
+  * cost at 10× scale). Every evaluation of the resulting column, in
+  * any branch, on any retry, yields the identical id, so nothing
+  * needs pinning: no exchange, no checkpoint, lineage intact. Bound
+  * quality only affects BALANCE, never correctness — splitting a
+  * totally ordered sequence never changes who precedes whom (the
+  * [[ChunkedWindows]] exactness argument).
   *
   * Ordering semantics match Spark's ascending sort: nulls first, NaN
-  * last, struct-lexicographic across the column list.
+  * last, `-0.0 == 0.0`, struct-lexicographic across the column list.
   */
 object RangeChunks {
 
@@ -46,58 +51,47 @@ object RangeChunks {
     df.withColumn(dst, chunkIdExpr(sortCols.map(col), bounds))
   }
 
-  /** The chunk-id expression for pre-sampled bounds: count of bound
-    * tuples strictly below the row's tuple. Pure projection — p−1
-    * codegen'd comparison chains, no exchange.
+  /** The chunk-id expression for pre-sampled bounds: a
+    * [[graft.plans.RangeChunkId]] binary search over the sorted bound
+    * tuples. Pure projection, O(log P) per row, no exchange.
     */
   def chunkIdExpr(cols: Seq[Column], bounds: Seq[Row]): Column =
     if (bounds.isEmpty) lit(0)
-    else bounds.map(b => when(tupleGt(cols, b), 1).otherwise(0))
-      .reduce(_ + _)
+    else ColumnBridge.column(
+      RangeChunkId(cols.map(ColumnBridge.expression), bounds))
 
-  /** Lexicographic `cols > bound`, null-first / NaN-last per Spark's
-    * ascending sort. A row with a null where the bound is non-null is
-    * NOT greater (nulls sort first); a non-null row beats a null
-    * bound value.
+  /** One sampling pass over the projected sort columns: per-partition
+    * reservoirs of `perPart` rows plus the partition's true row
+    * count — the RangePartitioner sketch, over Rows. Collects
+    * O(partitions × perPart) rows of just the sort columns.
     */
-  private def tupleGt(cols: Seq[Column], bound: Row): Column = {
-    def gtCol(c: Column, v: Any): Column =
-      if (v == null) c.isNotNull else c > lit(v)
-    def eqCol(c: Column, v: Any): Column =
-      if (v == null) c.isNull else c <=> lit(v)
-    cols.indices.map { i =>
-      (0 until i).map(j => eqCol(cols(j), bound.get(j)))
-        .foldLeft(gtCol(cols(i), bound.get(i)))(_ && _)
-    }.reduce(_ || _)
+  def sampleSketch(df: DataFrame, sortCols: Seq[String],
+      seed: Long, perPart: Int = 200): Array[(Long, Array[Row])] = {
+    val proj = df.select(sortCols.map(col): _*)
+    proj.rdd.mapPartitionsWithIndex { (idx, it) =>
+      val rng = new java.util.Random(seed ^ (idx * 0x9E3779B97F4A7C15L))
+      val buf = new Array[Row](perPart)
+      var n = 0L
+      while (it.hasNext) {
+        val r = it.next()
+        if (n < perPart) buf(n.toInt) = r
+        else {
+          val j = (rng.nextDouble() * (n + 1)).toLong
+          if (j < perPart) buf(j.toInt) = r
+        }
+        n += 1
+      }
+      Iterator.single((n, buf.take(math.min(n, perPart.toLong).toInt)))
+    }.collect()
   }
 
-  /** Up to p−1 strictly-increasing bound tuples from one pass over
-    * the projected sort columns: per-partition reservoirs (200 rows)
-    * weighted by partition size, merged into weighted quantiles on
-    * the driver — the RangePartitioner sketch, over Rows. Collects
-    * O(partitions × 200) rows of just the sort columns.
+  /** Up to p−1 strictly-increasing bound tuples from a
+    * [[sampleSketch]]: reservoir rows weighted by partition size,
+    * merged into weighted quantiles on the driver.
     */
-  def sampleBounds(df: DataFrame, sortCols: Seq[String], p: Int,
-      seed: Long): Seq[Row] = {
+  def boundsFromSketch(sketch: Array[(Long, Array[Row])],
+      p: Int): Seq[Row] = {
     if (p <= 1) return Nil
-    val perPart = 200
-    val proj = df.select(sortCols.map(col): _*)
-    val sketch: Array[(Long, Array[Row])] =
-      proj.rdd.mapPartitionsWithIndex { (idx, it) =>
-        val rng = new java.util.Random(seed ^ (idx * 0x9E3779B97F4A7C15L))
-        val buf = new Array[Row](perPart)
-        var n = 0L
-        while (it.hasNext) {
-          val r = it.next()
-          if (n < perPart) buf(n.toInt) = r
-          else {
-            val j = (rng.nextDouble() * (n + 1)).toLong
-            if (j < perPart) buf(j.toInt) = r
-          }
-          n += 1
-        }
-        Iterator.single((n, buf.take(math.min(n, perPart.toLong).toInt)))
-      }.collect()
     val weighted = sketch.flatMap { case (n, rows) =>
       if (rows.isEmpty) Array.empty[(Row, Double)]
       else rows.map(r => (r, n.toDouble / rows.length))
@@ -120,31 +114,28 @@ object RangeChunks {
     out.toSeq
   }
 
-  /** Driver-side row ordering matching Spark ascending sort: nulls
-    * first; `Comparable` otherwise (Double/Float compareTo puts NaN
-    * last, like Spark).
+  /** [[sampleSketch]] + [[boundsFromSketch]] in one call — the
+    * single driver job behind [[withChunkId]].
+    */
+  def sampleBounds(df: DataFrame, sortCols: Seq[String], p: Int,
+      seed: Long): Seq[Row] =
+    if (p <= 1) Nil
+    else boundsFromSketch(sampleSketch(df, sortCols, seed), p)
+
+  /** Driver-side row ordering matching Spark ascending sort — the
+    * same null-first / NaN-last / `-0.0 == 0.0` comparison
+    * [[graft.plans.ChunkBoundsKernel]] applies per row, so the bound
+    * dedup here and the binary search there agree exactly.
     */
   private val rowOrdering: Ordering[Row] = new Ordering[Row] {
     def compare(x: Row, y: Row): Int = {
       var i = 0
       while (i < x.length) {
-        val c = cmpAny(x.get(i), y.get(i))
+        val c = ChunkBoundsKernel.cmpAny(x.get(i), y.get(i))
         if (c != 0) return c
         i += 1
       }
       0
     }
   }
-
-  private def cmpAny(a: Any, b: Any): Int =
-    if (a == null && b == null) 0
-    else if (a == null) -1
-    else if (b == null) 1
-    else a match {
-      case x: java.lang.Comparable[_] =>
-        x.asInstanceOf[java.lang.Comparable[Any]].compareTo(b)
-      case _ => throw new IllegalArgumentException(
-        s"range-chunk sort column holds non-orderable value " +
-          s"class ${a.getClass.getName}; use atomic orderable columns")
-    }
 }

@@ -162,6 +162,35 @@ class IndexRetrainSpec extends SparkSpec {
     assert(recallAt10(wh, "ann", base, q, nProbe = 6) >= 0.9)
   }
 
+  test("truncated swap marker cannot promote a tier subset: rerun swaps ALL tiers") {
+    // writeTableFile is a plain (non-atomic) create — a crash mid-write
+    // leaves a TRUNCATED tier list. If finishSwap parsed the marker
+    // content, a rerun would promote only the listed subset, drop the
+    // snapshot+marker, and serve a mixed-generation index with every
+    // guard cleared. The tier list is static per index type, so the
+    // marker must be existence-only.
+    val wh = new Warehouse(spark, Files.createTempDirectory("drifttm").toString)
+    val base = baseCorpus.toDF("id", "v")
+    IvfIndex.build(wh, "ann", base, "id", "v", k = 4, iters = 4)
+    val src = base.select(col("id"), col("v"))
+    wh.replaceTable("ann__retrain_src", src,
+      Map(IvfIndex.CommittedMark -> "test"))
+    IvfIndex.build(wh, "ann__next", base, "id", "v", k = 6, iters = 4)
+    // crash mid-marker-write: only a PREFIX of the tier list landed
+    wh.writeTableFile("ann__retrain_src", IvfIndex.SwapReadyMark,
+      IvfIndex.IvfTiers.mkString(",").take(12))
+    IvfIndex.retrain(wh, "ann", "id", "v", k = 6, iters = 4)
+    // EVERY tier is the new generation, no staged leftovers
+    assert(!wh.tableExists("ann__retrain_src"))
+    assert(wh.read("ann__centroids").count() === 6L)
+    IvfIndex.IvfTiers.foreach { t =>
+      assert(!wh.tableExists("ann__next" + t),
+        s"staged tier ann__next$t survived the rerun")
+    }
+    val q = base.limit(3)
+    assert(recallAt10(wh, "ann", base, q, nProbe = 6) >= 0.9)
+  }
+
   test("uncommitted (partial) snapshot is re-taken from cells, not trusted") {
     val wh = new Warehouse(spark, Files.createTempDirectory("driftu").toString)
     val base = baseCorpus.toDF("id", "v")

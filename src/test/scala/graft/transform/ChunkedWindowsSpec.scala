@@ -139,6 +139,59 @@ class ChunkedWindowsSpec extends SparkSpec {
         plan.take(2000))
   }
 
+  test("bridges are aggregates: the corpus is window-sorted exactly once") {
+    // round 10 built the boundary branch as a FILTER of the windowed
+    // frame; column pruning de-canonicalized the branches and Spark
+    // planned TWO corpus window exchanges (2–3.6× at 10×). With
+    // aggregate bridges each helper plans exactly two Window nodes:
+    // the corpus-chunk window + the tiny P×|keys| boundary roll.
+    val df = (0 until 1000).map(i =>
+      (i.toLong, s"k${i % 2}", i.toLong, i.toDouble)).toDF("id", "k", "o", "v")
+    val plans = Seq(
+      "lag1" -> ChunkedWindows.lag1(
+        df, Seq("k"), Seq("o", "id"), Map("v" -> "pv")),
+      "globalRowNumber" -> ChunkedWindows.globalRowNumber(
+        df, Seq("k"), Seq("o", "id"), "rn"),
+      "runningSum" -> ChunkedWindows.runningSum(
+        df.withColumn("x", col("v").cast("decimal(18,6)")),
+        Seq("k"), Seq("o", "id"), "x", "s"))
+    for ((name, d) <- plans) {
+      val plan = graft.ops.EngineOps.explain(d, "formatted")
+      val nWindows = raw"\(\d+\) Window".r.findAllIn(plan).length
+      assert(nWindows === 2,
+        s"$name: expected corpus window + boundary roll (2 Window " +
+          s"nodes), got $nWindows:\n${plan.take(2500)}")
+    }
+  }
+
+  test("high-cardinality keys fail loudly instead of OOMing the driver") {
+    val df = (0 until 6000).map(i =>
+      (i.toLong, s"user$i", i.toLong, i.toDouble)).toDF("id", "k", "o", "v")
+    spark.conf.set("spark.graft.chunkedWindows.maxSampledKeys", "100")
+    try {
+      val e = intercept[IllegalStateException] {
+        ChunkedWindows.lag1(df, Seq("k"), Seq("o", "id"), Map("v" -> "pv"))
+      }
+      assert(e.getMessage.contains("maxSampledKeys"), e.getMessage)
+      // low-cardinality keys stay untouched under the same cap
+      val ok = (0 until 1000).map(i =>
+        (i.toLong, s"k${i % 3}", i.toLong, i.toDouble)).toDF("id", "k", "o", "v")
+      ChunkedWindows.lag1(ok, Seq("k"), Seq("o", "id"), Map("v" -> "pv"))
+    } finally spark.conf.unset("spark.graft.chunkedWindows.maxSampledKeys")
+  }
+
+  test("pre-sampled bounds are honored: one sketch serves chained helpers") {
+    val df = (0 until 3000).map(i =>
+      (i.toLong, s"k${i % 3}", i.toLong, i.toDouble)).toDF("id", "k", "o", "v")
+    val bounds = ChunkedWindows.chunkBounds(df, Seq("k"), Seq("o", "id"))
+    val viaBounds = ChunkedWindows.lag1(df, Seq("k"), Seq("o", "id"),
+      Map("v" -> "pv"), bounds = Some(bounds)).select("id", "pv")
+    val fresh = ChunkedWindows.lag1(df, Seq("k"), Seq("o", "id"),
+      Map("v" -> "pv")).select("id", "pv")
+    assert(viaBounds.as("g").join(fresh.as("w"), Seq("id"))
+      .filter(not(col("g.pv") <=> col("w.pv"))).count() === 0L)
+  }
+
   test("no whole-corpus materialization: lag1 plan has no checkpointed scan") {
     // round-9 pinned chunk ids via eager localCheckpoint — a full
     // fact-table copy into block storage per time-series query at
