@@ -395,8 +395,60 @@ object MultimodalQueries {
       .orderBy("asset_id", "frame_idx")
   }
 
+  /** AVCC (length-prefixed, MP4/MKV-framing) H.264 indexing
+    * ([[graft.multimodal.H264Avcc]]) beside Annex-B in ONE sampling
+    * pass — the container real corpora actually carry. Byte-exact
+    * oracle: the 4-byte-length clip's avcC record is 18 B (1+3+1+1 +
+    * 2+4 SPS + 1 + 2+3 PPS), each frame = primary + continuation
+    * slice at 7 B apiece (4 B length + 1 B header + 2 B payload), and
+    * spans cover SAMPLE bytes only (parameter sets are out-of-band in
+    * the record, unlike Annex-B where frame 0 carries them inline —
+    * asset 2 pins that contrast in the same result). The 2-byte-length
+    * clip (asset 4, 5 B per slice NAL) pins lengthSizeMinusOne
+    * handling; junk pins the flagged fallback. A length-walk,
+    * config-parse, or sniff-order regression hash-fails.
+    */
+  val qMultimodalAvccIndex: QueryDef = QueryDef.sql(
+    "q_multimodal_avcc_index",
+    """SELECT * FROM (VALUES
+      |  (1, 0, CAST(18 AS BIGINT), CAST(14 AS BIGINT), true, true),
+      |  (1, 2, CAST(46 AS BIGINT), CAST(14 AS BIGINT), false, true),
+      |  (1, 4, CAST(74 AS BIGINT), CAST(14 AS BIGINT), false, true),
+      |  (2, 0, CAST(0 AS BIGINT), CAST(29 AS BIGINT), true, true),
+      |  (2, 2, CAST(43 AS BIGINT), CAST(14 AS BIGINT), false, true),
+      |  (2, 4, CAST(71 AS BIGINT), CAST(14 AS BIGINT), false, true),
+      |  (3, -1, NULL, NULL, NULL, false),
+      |  (4, 0, CAST(18 AS BIGINT), CAST(5 AS BIGINT), true, true))
+      |  AS t(asset_id, frame_idx, byte_start, byte_len, is_idr, indexed)
+      |ORDER BY asset_id, frame_idx""".stripMargin,
+    doc = "H.264 AVCC (length-prefixed) frame index beside Annex-B in one " +
+      "pass (multimodal ops; decode is the documented external-seam stub)") {
+    (s, dir) =>
+    import s.implicits._
+    import graft.multimodal.{H264AnnexB, H264Avcc}
+    val idrs = Seq(true, false, false, true, false)
+    val assets = Seq(
+      (1L, "mem://clip.mp4",
+        H264Avcc.encodeSynthetic(idrs, extraSlices = 1)),
+      (2L, "mem://clip.h264",
+        H264AnnexB.encodeSynthetic(idrs, extraSlices = 1)),
+      (3L, "mem://junk.mp4", Array[Byte](9, 9, 9, 9)),
+      (4L, "mem://short.mkv",
+        H264Avcc.encodeSynthetic(Seq(true, false), lengthSize = 2))
+    ).toDF("id", "uri", "bytes")
+    Multimodal.sampleH264Frames(
+        Multimodal.toMediaAssets(assets, "id", "uri", "bytes")(s),
+        stride = 2, maxFrames = 5)(s)
+      .select(col("asset_id"), col("frame_idx"),
+        when(col("indexed"), col("byte_start")).as("byte_start"),
+        when(col("indexed"), col("byte_len")).as("byte_len"),
+        when(col("indexed"), col("is_idr")).as("is_idr"),
+        col("indexed"))
+      .orderBy("asset_id", "frame_idx")
+  }
+
   val all: Seq[QueryDef] = Seq(
     qMultimodalDecode, qMultimodalAudio, qMultimodalResize, qMultimodalVideo,
     qMultimodalPhash, qMultimodalAudioNeardup, qMultimodalVideoNeardup,
-    qMultimodalH264Index)
+    qMultimodalH264Index, qMultimodalAvccIndex)
 }

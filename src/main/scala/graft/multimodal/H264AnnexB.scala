@@ -118,45 +118,55 @@ object H264AnnexB {
     */
   def frameIndex(bytes: Array[Byte]): Option[IndexedSeq[FrameSpan]] =
     nalUnits(bytes).flatMap { nals =>
-      // pass 1: the NAL index at which each access unit begins. A
-      // first_mb_in_slice==0 slice starts an AU; non-VCL NALs
-      // (SPS/PPS/SEI/AUD) seen after the previous AU's slices are its
-      // PREFIX — the parameter sets a decoder starting here needs.
-      val auStarts = scala.collection.mutable.ArrayBuffer.empty[Int]
-      var seenSlice = false
-      var prefixStart = -1 // first non-VCL NAL after the last slice
-      var i = 0
-      while (i < nals.length) {
-        val nal = nals(i)
-        if (inSlice(nal)) {
-          if (firstUe(bytes, nal).contains(0)) {
-            auStarts += (if (!seenSlice) 0 // 1st AU owns the stream head
-              else if (prefixStart >= 0) prefixStart
-              else i)
-            seenSlice = true
-          }
-          prefixStart = -1 // continuation slice: interior, not prefix
-        } else if (seenSlice && prefixStart < 0) prefixStart = i
-        i += 1
-      }
-      if (auStarts.isEmpty) return None
       def startCodeOf(ni: Int): Int = {
         var s = nals(ni).offset - 3
         if (s > 0 && bytes(s - 1) == 0) s -= 1
         math.max(0, s)
       }
-      // pass 2: spans partition the byte stream at the AU starts
-      Some(auStarts.toIndexedSeq.zipWithIndex.map { case (startNal, fi) =>
-        val s = if (fi == 0) 0 else startCodeOf(startNal)
-        val e = if (fi + 1 < auStarts.length) startCodeOf(auStarts(fi + 1))
-          else bytes.length
-        val endNal = if (fi + 1 < auStarts.length) auStarts(fi + 1)
-          else nals.length
-        val isIdr = (startNal until endNal)
-          .exists(j => nals(j).nalType == SliceIdr)
-        FrameSpan(fi, s, e - s, isIdr)
-      })
+      accessUnitSpans(bytes, nals, startCodeOf, spanStart = 0,
+        spanEnd = bytes.length)
     }
+
+  /** Container-independent access-unit grouping (§7.4.1.2.4's primary
+    * rule — shared by the Annex-B and AVCC walks): a slice NAL with
+    * `first_mb_in_slice == 0` starts an AU; non-VCL NALs (SPS/PPS/
+    * SEI/AUD) seen after the previous AU's slices are the NEXT AU's
+    * prefix. `boundaryOf(ni)` maps a NAL index to the byte offset
+    * where its container framing begins (start code / length prefix);
+    * spans partition [spanStart, spanEnd) at the AU starts.
+    */
+  private[multimodal] def accessUnitSpans(bytes: Array[Byte],
+      nals: IndexedSeq[Nal], boundaryOf: Int => Int, spanStart: Int,
+      spanEnd: Int): Option[IndexedSeq[FrameSpan]] = {
+    val auStarts = scala.collection.mutable.ArrayBuffer.empty[Int]
+    var seenSlice = false
+    var prefixStart = -1 // first non-VCL NAL after the last slice
+    var i = 0
+    while (i < nals.length) {
+      val nal = nals(i)
+      if (inSlice(nal)) {
+        if (firstUe(bytes, nal).contains(0)) {
+          auStarts += (if (!seenSlice) -1 // 1st AU owns the stream head
+            else if (prefixStart >= 0) prefixStart
+            else i)
+          seenSlice = true
+        }
+        prefixStart = -1 // continuation slice: interior, not prefix
+      } else if (seenSlice && prefixStart < 0) prefixStart = i
+      i += 1
+    }
+    if (auStarts.isEmpty) return None
+    Some(auStarts.toIndexedSeq.zipWithIndex.map { case (startNal, fi) =>
+      val s = if (fi == 0) spanStart else boundaryOf(startNal)
+      val e = if (fi + 1 < auStarts.length) boundaryOf(auStarts(fi + 1))
+        else spanEnd
+      val endNal = if (fi + 1 < auStarts.length) auStarts(fi + 1)
+        else nals.length
+      val isIdr = (math.max(0, startNal) until endNal)
+        .exists(j => nals(j).nalType == SliceIdr)
+      FrameSpan(fi, s, e - s, isIdr)
+    })
+  }
 
   private def inSlice(nal: Nal): Boolean =
     nal.nalType == SliceNonIdr || nal.nalType == SliceIdr

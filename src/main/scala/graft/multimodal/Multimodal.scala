@@ -486,17 +486,24 @@ object Multimodal {
       is_idr: Boolean,
       indexed: Boolean)
 
-  /** H.264 frame-range sampling ([[H264AnnexB]]): index the Annex-B
-    * access units in one linear scan, then emit every `stride`-th
-    * frame's BYTE RANGE (up to `maxFrames`; `keyframesOnly` restricts
-    * to IDR frames — the seekable ones). This is the MJPEG sampler's
-    * access pattern applied to the codec the JVM cannot decode: at
-    * 100 TB the win is fetching only the sampled ranges and handing
-    * them to an external decoder behind a UDF seam — the decode step
-    * itself is deliberately absent here (no JDK H.264 decoder; the
-    * range + IDR flag is everything the seam needs). Non-Annex-B
-    * bytes emit one flagged `indexed = false` row, keeping the
-    * pipeline total.
+  /** H.264 frame-range sampling ([[H264AnnexB]] / [[H264Avcc]]):
+    * index the access units in one linear scan, then emit every
+    * `stride`-th frame's BYTE RANGE (up to `maxFrames`;
+    * `keyframesOnly` restricts to IDR frames — the seekable ones).
+    * This is the MJPEG sampler's access pattern applied to the codec
+    * the JVM cannot decode: at 100 TB the win is fetching only the
+    * sampled ranges and handing them to an external decoder behind a
+    * UDF seam — the decode step itself is deliberately absent here
+    * (no JDK H.264 decoder; the range + IDR flag is everything the
+    * seam needs). Both mainstream framings are accepted per asset:
+    * the strict AVCC sniff (avcC record + length-prefixed NALs, the
+    * MP4/MKV shape — tried FIRST because a 4-byte length prefix can
+    * impersonate an Annex-B start code, never the reverse) and the
+    * Annex-B start-code walk; for AVCC assets the decoder seam
+    * re-reads the out-of-band parameter sets from the asset head
+    * ([[H264Avcc.Config.headerLen]]), while Annex-B frame 0 carries
+    * them inline. Bytes matching neither framing emit one flagged
+    * `indexed = false` row, keeping the pipeline total.
     */
   def sampleH264Frames(assets: Dataset[MediaAsset], stride: Int,
       maxFrames: Int, keyframesOnly: Boolean = false)(
@@ -505,7 +512,8 @@ object Multimodal {
     require(stride > 0 && maxFrames > 0, "stride and maxFrames must be positive")
     assets.filter(col("kind") === "video").mapPartitions { it =>
       it.flatMap { a =>
-        H264AnnexB.frameIndex(a.content) match {
+        H264Avcc.frameIndex(a.content)
+          .orElse(H264AnnexB.frameIndex(a.content)) match {
           case Some(spans) =>
             val pool = if (keyframesOnly) spans.filter(_.isIdr) else spans
             (0 until pool.size by stride).take(maxFrames).iterator.map { i =>
