@@ -447,8 +447,54 @@ object MultimodalQueries {
       .orderBy("asset_id", "frame_idx")
   }
 
+  /** Real-container MP4 indexing ([[graft.multimodal.Mp4Index]]): the
+    * `stbl` sample table IS the frame index — no codec parsing at
+    * all. Byte-exact oracle derived from the box layout: `ftyp` is
+    * 16 B, `mdat` payload starts at 24; samples of sizes
+    * (7,14,3,21,9) packed 2-per-chunk sit at offsets
+    * 24/31 · 45/48 · 69 (chunk offsets from `stco`, intra-chunk
+    * packing from `stsz` prefix sums, sample→chunk mapping from the
+    * `stsc` run); `stss` = {1,4} flags the sync samples. Stride-2
+    * sampling keeps frames 0/2/4; junk pins the flagged fallback. A
+    * box-walk, stsc-expansion, or offset-arithmetic regression
+    * hash-fails.
+    */
+  val qMultimodalMp4Index: QueryDef = QueryDef.sql(
+    "q_multimodal_mp4_index",
+    """SELECT * FROM (VALUES
+      |  (1, 0, CAST(24 AS BIGINT), CAST(7 AS BIGINT), true, true),
+      |  (1, 2, CAST(45 AS BIGINT), CAST(3 AS BIGINT), false, true),
+      |  (1, 4, CAST(69 AS BIGINT), CAST(9 AS BIGINT), false, true),
+      |  (2, -1, NULL, NULL, NULL, false))
+      |  AS t(asset_id, frame_idx, byte_start, byte_len, is_idr, indexed)
+      |ORDER BY asset_id, frame_idx""".stripMargin,
+    doc = "MP4 stbl sample-table frame index + stride sampling " +
+      "(multimodal ops; decode is the documented external-seam stub)") {
+    (s, dir) =>
+    import s.implicits._
+    import graft.multimodal.Mp4Index
+    val sampleBytes = Seq(7, 14, 3, 21, 9).zipWithIndex.map { case (n, i) =>
+      Array.tabulate[Byte](n)(j => ((i * 31 + j) & 0x7f).toByte)
+    }
+    val assets = Seq(
+      (1L, "mem://real.mp4",
+        Mp4Index.encodeSynthetic(sampleBytes, syncSamples = Seq(1, 4),
+          samplesPerChunk = 2)),
+      (2L, "mem://junk.mp4", Array[Byte](9, 9, 9, 9))
+    ).toDF("id", "uri", "bytes")
+    Multimodal.sampleH264Frames(
+        Multimodal.toMediaAssets(assets, "id", "uri", "bytes")(s),
+        stride = 2, maxFrames = 5)(s)
+      .select(col("asset_id"), col("frame_idx"),
+        when(col("indexed"), col("byte_start")).as("byte_start"),
+        when(col("indexed"), col("byte_len")).as("byte_len"),
+        when(col("indexed"), col("is_idr")).as("is_idr"),
+        col("indexed"))
+      .orderBy("asset_id", "frame_idx")
+  }
+
   val all: Seq[QueryDef] = Seq(
     qMultimodalDecode, qMultimodalAudio, qMultimodalResize, qMultimodalVideo,
     qMultimodalPhash, qMultimodalAudioNeardup, qMultimodalVideoNeardup,
-    qMultimodalH264Index, qMultimodalAvccIndex)
+    qMultimodalH264Index, qMultimodalAvccIndex, qMultimodalMp4Index)
 }

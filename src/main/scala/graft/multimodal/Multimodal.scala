@@ -495,15 +495,19 @@ object Multimodal {
     * sampled ranges and handing them to an external decoder behind a
     * UDF seam — the decode step itself is deliberately absent here
     * (no JDK H.264 decoder; the range + IDR flag is everything the
-    * seam needs). Both mainstream framings are accepted per asset:
-    * the strict AVCC sniff (avcC record + length-prefixed NALs, the
-    * MP4/MKV shape — tried FIRST because a 4-byte length prefix can
-    * impersonate an Annex-B start code, never the reverse) and the
-    * Annex-B start-code walk; for AVCC assets the decoder seam
-    * re-reads the out-of-band parameter sets from the asset head
-    * ([[H264Avcc.Config.headerLen]]), while Annex-B frame 0 carries
-    * them inline. Bytes matching neither framing emit one flagged
-    * `indexed = false` row, keeping the pipeline total.
+    * seam needs). All three mainstream framings are accepted per
+    * asset, strictest sniff first: real MP4 files ([[Mp4Index]] —
+    * the `stbl` sample table IS the frame index, no codec parsing;
+    * a leading `ftyp` cannot be impersonated by the other two), raw
+    * AVCC (avcC record + length-prefixed NALs — before Annex-B
+    * because a 4-byte length prefix can impersonate a start code,
+    * never the reverse), then the Annex-B start-code walk.
+    * Out-of-band parameter sets (the avcC record at the asset head
+    * for raw AVCC, inside `stsd`/avc1 for MP4 —
+    * [[Mp4Index.SampleTable]]) are the decoder seam's to re-read;
+    * Annex-B frame 0 carries them inline. Bytes matching no framing
+    * emit one flagged `indexed = false` row, keeping the pipeline
+    * total.
     */
   def sampleH264Frames(assets: Dataset[MediaAsset], stride: Int,
       maxFrames: Int, keyframesOnly: Boolean = false)(
@@ -512,7 +516,8 @@ object Multimodal {
     require(stride > 0 && maxFrames > 0, "stride and maxFrames must be positive")
     assets.filter(col("kind") === "video").mapPartitions { it =>
       it.flatMap { a =>
-        H264Avcc.frameIndex(a.content)
+        Mp4Index.frameIndex(a.content)
+          .orElse(H264Avcc.frameIndex(a.content))
           .orElse(H264AnnexB.frameIndex(a.content)) match {
           case Some(spans) =>
             val pool = if (keyframesOnly) spans.filter(_.isIdr) else spans
