@@ -493,8 +493,55 @@ object MultimodalQueries {
       .orderBy("asset_id", "frame_idx")
   }
 
+  /** Fragmented-MP4 (CMAF/DASH segment shape) indexing
+    * ([[graft.multimodal.Mp4Index.fragmentIndex]]): samples addressed
+    * by `tfhd` defaults + `trun` runs across `[moof][mdat]` pairs, no
+    * global sample table. Byte-exact oracle from the box arithmetic:
+    * ftyp 16 + moov(mvex) 16 = 32; fragment 1's moof
+    * (mfhd 16 + traf(tfhd 20 + trun 32) + hdr) is 84 B so its two
+    * samples (5, 9 B) sit at 124/129; fragment 2's moof is 80 B so
+    * its sample (7 B) sits at 226. First sample per fragment is sync
+    * via first_sample_flags, continuations non-sync via the tfhd
+    * default — the keyframe-per-segment CMAF contract; frame indexes
+    * continue across fragments. A tfhd-field, trun-row-stride, or
+    * base-addressing regression hash-fails.
+    */
+  val qMultimodalFmp4Index: QueryDef = QueryDef.sql(
+    "q_multimodal_fmp4_index",
+    """SELECT * FROM (VALUES
+      |  (1, 0, CAST(124 AS BIGINT), CAST(5 AS BIGINT), true, true),
+      |  (1, 1, CAST(129 AS BIGINT), CAST(9 AS BIGINT), false, true),
+      |  (1, 2, CAST(226 AS BIGINT), CAST(7 AS BIGINT), true, true),
+      |  (2, -1, NULL, NULL, NULL, false))
+      |  AS t(asset_id, frame_idx, byte_start, byte_len, is_idr, indexed)
+      |ORDER BY asset_id, frame_idx""".stripMargin,
+    doc = "fragmented-MP4 (moof/trun) frame index + sampling " +
+      "(multimodal ops; decode is the documented external-seam stub)") {
+    (s, dir) =>
+    import s.implicits._
+    import graft.multimodal.Mp4Index
+    def sample(n: Int, i: Int): Array[Byte] =
+      Array.tabulate[Byte](n)(j => ((i * 31 + j) & 0x7f).toByte)
+    val assets = Seq(
+      (1L, "mem://segment.mp4",
+        Mp4Index.encodeSyntheticFragmented(Seq(
+          Seq(sample(5, 0), sample(9, 1)), Seq(sample(7, 2))))),
+      (2L, "mem://junk.mp4", Array[Byte](9, 9, 9, 9))
+    ).toDF("id", "uri", "bytes")
+    Multimodal.sampleH264Frames(
+        Multimodal.toMediaAssets(assets, "id", "uri", "bytes")(s),
+        stride = 1, maxFrames = 5)(s)
+      .select(col("asset_id"), col("frame_idx"),
+        when(col("indexed"), col("byte_start")).as("byte_start"),
+        when(col("indexed"), col("byte_len")).as("byte_len"),
+        when(col("indexed"), col("is_idr")).as("is_idr"),
+        col("indexed"))
+      .orderBy("asset_id", "frame_idx")
+  }
+
   val all: Seq[QueryDef] = Seq(
     qMultimodalDecode, qMultimodalAudio, qMultimodalResize, qMultimodalVideo,
     qMultimodalPhash, qMultimodalAudioNeardup, qMultimodalVideoNeardup,
-    qMultimodalH264Index, qMultimodalAvccIndex, qMultimodalMp4Index)
+    qMultimodalH264Index, qMultimodalAvccIndex, qMultimodalMp4Index,
+    qMultimodalFmp4Index)
 }

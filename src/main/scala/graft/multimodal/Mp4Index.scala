@@ -29,8 +29,13 @@ import H264AnnexB.FrameSpan
   */
 object Mp4Index {
 
-  /** One parsed box: payload range (header excluded) + fourcc type. */
-  final case class Box(fourcc: String, payloadStart: Int, payloadEnd: Int)
+  /** One parsed box: payload range (header excluded), fourcc type,
+    * and the box's own first byte (`hdrStart` — fragment runs address
+    * samples relative to the enclosing `moof`'s first byte under
+    * default-base-is-moof).
+    */
+  final case class Box(fourcc: String, payloadStart: Int, payloadEnd: Int,
+      hdrStart: Int)
 
   private val Containers =
     Set("moov", "trak", "mdia", "minf", "stbl")
@@ -60,7 +65,7 @@ object Mp4Index {
         size = u64(b, i + 8); hdr = 16
       } else if (size == 0) size = (end - i).toLong // last box: to end
       if (size < hdr || i + size > end) return None
-      out += Box(fourcc(b, i + 4), i + hdr, (i + size).toInt)
+      out += Box(fourcc(b, i + 4), i + hdr, (i + size).toInt, i)
       i += size.toInt
     }
     Some(out.toIndexedSeq)
@@ -196,16 +201,118 @@ object Mp4Index {
     Some(SampleTable(offsets, sizes, sync, codec, avcC))
   }
 
+  /** Fragmented-MP4 (fMP4 / CMAF — the DASH/HLS capture shape,
+    * §8.8): samples live in `[moof][mdat]` pairs, addressed by each
+    * `traf`'s `tfhd` defaults + `trun` runs instead of a global
+    * `stbl`. Per fragment: base = `tfhd` base-data-offset when
+    * present, else the `moof`'s first byte (the spec's
+    * default-base-is-moof flag AND its first-track legacy default
+    * coincide there); each `trun` must carry an explicit data_offset
+    * (strictness — implicit continuation across runs is refused, not
+    * guessed); sample sizes come per-sample from the `trun` or from
+    * the `tfhd` default; sync = the `sample_is_non_sync_sample` bit
+    * (0x10000) CLEAR, sourced first_sample_flags → per-sample flags →
+    * `tfhd` default → sync. Frame indexes continue across fragments.
+    * Only the first `traf` per fragment is read (one frame stream per
+    * asset, like [[sampleTable]]).
+    */
+  def fragmentIndex(bytes: Array[Byte]): Option[IndexedSeq[FrameSpan]] = {
+    val topOpt = boxes(bytes, 0, bytes.length)
+    if (topOpt.isEmpty) return None
+    val top = topOpt.get
+    if (top.isEmpty || top.head.fourcc != "ftyp") return None
+    val moofs = top.filter(_.fourcc == "moof")
+    if (moofs.isEmpty) return None
+    val spans = scala.collection.mutable.ArrayBuffer.empty[FrameSpan]
+    var mi = 0
+    while (mi < moofs.length) {
+      val moof = moofs(mi)
+      mi += 1
+      val kidsOpt = boxes(bytes, moof.payloadStart, moof.payloadEnd)
+      if (kidsOpt.isEmpty) return None
+      val trafOpt = kidsOpt.get.find(_.fourcc == "traf")
+      if (trafOpt.isEmpty) return None
+      val tkidsOpt = boxes(bytes, trafOpt.get.payloadStart,
+        trafOpt.get.payloadEnd)
+      if (tkidsOpt.isEmpty) return None
+      val tkids = tkidsOpt.get
+      val tfhdOpt = tkids.find(_.fourcc == "tfhd")
+      if (tfhdOpt.isEmpty) return None
+      val tfhd = tfhdOpt.get
+      // tfhd: vf(4) track_ID(4) [base-data-offset(8)][sdi(4)]
+      //       [def-duration(4)][def-size(4)][def-flags(4)]
+      val tf = u32(bytes, tfhd.payloadStart) & 0xffffff
+      var o = tfhd.payloadStart + 8
+      val baseDataOffset: Option[Long] =
+        if ((tf & 0x01) != 0) { val v = u64(bytes, o); o += 8; Some(v) }
+        else None
+      if ((tf & 0x02) != 0) o += 4
+      if ((tf & 0x08) != 0) o += 4
+      val defaultSize: Option[Long] =
+        if ((tf & 0x10) != 0) { val v = u32(bytes, o); o += 4; Some(v) }
+        else None
+      val defaultFlags: Option[Long] =
+        if ((tf & 0x20) != 0) { val v = u32(bytes, o); o += 4; Some(v) }
+        else None
+      if (o > tfhd.payloadEnd) return None
+      val base = baseDataOffset.getOrElse(moof.hdrStart.toLong)
+      val truns = tkids.filter(_.fourcc == "trun")
+      var ti = 0
+      while (ti < truns.length) {
+        val trun = truns(ti)
+        ti += 1
+        val flags = u32(bytes, trun.payloadStart) & 0xffffff
+        val n = u32(bytes, trun.payloadStart + 4).toInt
+        if (n < 0) return None
+        var p = trun.payloadStart + 8
+        if ((flags & 0x01) == 0) return None // data_offset required
+        val dataOffset = u32(bytes, p).toInt // signed, but ≥0 here
+        p += 4
+        val firstFlags: Option[Long] =
+          if ((flags & 0x04) != 0) { val v = u32(bytes, p); p += 4; Some(v) }
+          else None
+        val perDur = (flags & 0x100) != 0
+        val perSize = (flags & 0x200) != 0
+        val perFlags = (flags & 0x400) != 0
+        val perCto = (flags & 0x800) != 0
+        val rowBytes =
+          4 * Seq(perDur, perSize, perFlags, perCto).count(identity)
+        if (p + n.toLong * rowBytes > trun.payloadEnd) return None
+        if (!perSize && defaultSize.isEmpty) return None
+        var off = base + dataOffset
+        var i = 0
+        while (i < n) {
+          var q = p + i * rowBytes
+          if (perDur) q += 4
+          val size: Long =
+            if (perSize) { val v = u32(bytes, q); q += 4; v }
+            else defaultSize.get
+          val sFlags: Long =
+            if (i == 0 && firstFlags.isDefined) firstFlags.get
+            else if (perFlags) u32(bytes, q)
+            else defaultFlags.getOrElse(0L)
+          if (size <= 0 || off < 0 || off + size > bytes.length) return None
+          spans += FrameSpan(spans.length, off.toInt, size.toInt,
+            (sFlags & 0x10000L) == 0L)
+          off += size
+          i += 1
+        }
+      }
+    }
+    if (spans.isEmpty) None else Some(spans.toIndexedSeq)
+  }
+
   /** Frame spans straight from the sample table — every sample is an
     * AU by container contract; `isIdr` = listed in `stss` (or all,
-    * when absent).
+    * when absent). Fragmented files (empty/absent `stbl`, samples in
+    * `moof`/`mdat` pairs) fall through to [[fragmentIndex]].
     */
   def frameIndex(bytes: Array[Byte]): Option[IndexedSeq[FrameSpan]] =
     sampleTable(bytes).map { t =>
       t.offsets.indices.map(i =>
         FrameSpan(i, t.offsets(i).toInt, t.sizes(i).toInt,
           t.sync.contains(i + 1)))
-    }
+    }.orElse(fragmentIndex(bytes))
 
   /** Minimal-but-valid synthetic MP4 for specs: `ftyp` + `mdat`
     * holding the given samples (laid out in `chunks` groups) +
@@ -258,5 +365,75 @@ object Mp4Index {
     val stbl = box("stbl", stsd ++ stsz ++ stsc ++ stco ++ stss)
     val moov = box("moov", box("trak", box("mdia", box("minf", stbl))))
     ftyp ++ mdat ++ moov
+  }
+
+  /** Minimal synthetic FRAGMENTED MP4 for specs: `ftyp` +
+    * `moov(mvex)` (no sample table — the fragmented signature) + one
+    * `[moof][mdat]` pair per fragment. Each fragment's first sample
+    * is sync (first_sample_flags = 0), the rest non-sync via the
+    * `tfhd` default (0x10000) — the CMAF keyframe-per-segment shape.
+    * `perSampleSizes` exercises trun-carried sizes vs the `tfhd`
+    * default-sample-size (the latter requires uniform samples);
+    * `explicitBase` exercises tfhd base-data-offset vs
+    * default-base-is-moof addressing.
+    */
+  def encodeSyntheticFragmented(fragments: Seq[Seq[Array[Byte]]],
+      perSampleSizes: Boolean = true,
+      explicitBase: Boolean = false): Array[Byte] = {
+    require(fragments.nonEmpty && fragments.forall(_.nonEmpty))
+    def box(name: String, payload: Array[Byte]): Array[Byte] = {
+      val out = java.nio.ByteBuffer.allocate(8 + payload.length)
+      out.putInt(8 + payload.length).put(name.getBytes("ISO-8859-1"))
+        .put(payload)
+      out.array()
+    }
+    def u32a(vs: Seq[Long]): Array[Byte] = {
+      val out = java.nio.ByteBuffer.allocate(4 * vs.length)
+      vs.foreach(v => out.putInt(v.toInt))
+      out.array()
+    }
+    def u64a(v: Long): Array[Byte] =
+      java.nio.ByteBuffer.allocate(8).putLong(v).array()
+    val ftyp = box("ftyp", "cmfc".getBytes("ISO-8859-1") ++
+      Array[Byte](0, 0, 0, 0))
+    val moov = box("moov", box("mvex", Array.empty[Byte]))
+    var pos = ftyp.length + moov.length
+    val parts = scala.collection.mutable.ArrayBuffer[Array[Byte]](ftyp, moov)
+    fragments.zipWithIndex.foreach { case (samples, fi) =>
+      if (!perSampleSizes)
+        require(samples.map(_.length).distinct.size == 1,
+          "default-sample-size needs uniform samples")
+      val n = samples.length
+      val tfhdFlags = (if (explicitBase) 0x01L else 0x20000L) |
+        (if (perSampleSizes) 0L else 0x10L) | 0x20L
+      val trunFlags = 0x01L | 0x04L | (if (perSampleSizes) 0x200L else 0L)
+      val tfhdLen = 8 + 8 + (if (explicitBase) 8 else 0) +
+        (if (perSampleSizes) 0 else 4) + 4
+      val trunLen = 8 + 8 + 8 + (if (perSampleSizes) 4 * n else 0)
+      val moofSize = 8 + 16 + 8 + tfhdLen + trunLen
+      val mdatPayloadAt = pos + moofSize + 8
+      val tfhd = box("tfhd",
+        u32a(Seq(tfhdFlags, 1L)) ++
+          (if (explicitBase) u64a(mdatPayloadAt.toLong)
+           else Array.empty[Byte]) ++
+          (if (perSampleSizes) Array.empty[Byte]
+           else u32a(Seq(samples.head.length.toLong))) ++
+          u32a(Seq(0x10000L))) // default flags: non-sync
+      val trun = box("trun",
+        u32a(Seq(trunFlags, n.toLong,
+          if (explicitBase) 0L else (moofSize + 8).toLong,
+          0L)) ++ // first_sample_flags: sync
+          (if (perSampleSizes) u32a(samples.map(_.length.toLong))
+           else Array.empty[Byte]))
+      val mfhd = box("mfhd", u32a(Seq(0L, (fi + 1).toLong)))
+      val moof = box("moof", mfhd ++ box("traf", tfhd ++ trun))
+      require(moof.length == moofSize,
+        s"moof size arithmetic drifted: ${moof.length} != $moofSize")
+      val mdat = box("mdat", samples.flatten.toArray)
+      parts += moof
+      parts += mdat
+      pos += moof.length + mdat.length
+    }
+    parts.toArray.flatten
   }
 }
