@@ -36,26 +36,37 @@ object H264Avcc {
 
   /** Parsed AVCDecoderConfigurationRecord header: NAL length-prefix
     * size in bytes (1/2/4) and the record's total length (= offset of
-    * the first length-prefixed NAL).
+    * the first length-prefixed NAL). `altHeaderLen` is the OTHER
+    * plausible record end when the profile makes the High-profile
+    * extension ambiguous: the spec appends chroma/bit-depth/SPS-ext
+    * fields for profile_idc 100/110/122/144, but real muxers
+    * sometimes omit them — [[frameIndex]] tries `headerLen` first and
+    * falls back, letting the exact-walk termination disambiguate.
     */
-  final case class Config(lengthSize: Int, headerLen: Int)
+  final case class Config(lengthSize: Int, headerLen: Int,
+      altHeaderLen: Option[Int] = None)
+
+  private val HighProfiles = Set(100, 110, 122, 144)
 
   /** Strict avcC parse (§5.2.4.1): configurationVersion == 1,
     * lengthSizeMinusOne from the low 2 bits of byte 4, then the SPS
-    * and PPS lists (5-bit count + 16-bit-length-prefixed sets). None
-    * on any malformed/out-of-bounds structure.
+    * and PPS lists (5-bit count + 16-bit-length-prefixed sets), then
+    * — for High-family profile_idc — the chroma_format/bit-depth/
+    * SPS-ext extension (reserved bits validated). None on any
+    * malformed/out-of-bounds structure.
     */
   def parseConfig(bytes: Array[Byte]): Option[Config] = {
     if (bytes.length < 7 || bytes(0) != 1) return None
+    val profile = bytes(1) & 0xff
     val lengthSize = (bytes(4) & 0x03) + 1
     if (lengthSize == 3) return None // lengthSizeMinusOne == 2 is reserved
     var off = 5
-    def takeSets(count: Int): Boolean = {
+    def takeSets(count: Int, lenBytes: Int = 2): Boolean = {
       var c = count
       while (c > 0) {
-        if (off + 2 > bytes.length) return false
+        if (off + lenBytes > bytes.length) return false
         val l = ((bytes(off) & 0xff) << 8) | (bytes(off + 1) & 0xff)
-        off += 2 + l
+        off += lenBytes + l
         if (off > bytes.length || l == 0) return false
         c -= 1
       }
@@ -68,7 +79,27 @@ object H264Avcc {
     val numPps = bytes(off) & 0xff
     off += 1
     if (numPps == 0 || !takeSets(numPps)) return None
-    Some(Config(lengthSize, off))
+    val afterPps = off
+    if (!HighProfiles(profile)) return Some(Config(lengthSize, afterPps))
+    // High-family: the spec appends reserved('111111')+chroma_format,
+    // reserved('11111')+bit_depth_luma, reserved('11111')+
+    // bit_depth_chroma, numOfSequenceParameterSetExt + ext sets.
+    // Parse strictly; when absent (lenient muxers), the extension-less
+    // end is the primary and no alternative exists.
+    val ext: Option[Int] =
+      if (afterPps + 4 <= bytes.length &&
+          (bytes(afterPps) & 0xfc) == 0xfc &&
+          (bytes(afterPps + 1) & 0xf8) == 0xf8 &&
+          (bytes(afterPps + 2) & 0xf8) == 0xf8) {
+        off = afterPps + 3
+        val numExt = bytes(off) & 0xff
+        off += 1
+        if (numExt == 0 || takeSets(numExt)) Some(off) else None
+      } else None
+    ext match {
+      case Some(e) => Some(Config(lengthSize, e, Some(afterPps)))
+      case None => Some(Config(lengthSize, afterPps))
+    }
   }
 
   /** Length-prefixed NAL walk from `start`: each unit is a
@@ -104,13 +135,16 @@ object H264Avcc {
     * frame-starting slice.
     */
   def frameIndex(bytes: Array[Byte]): Option[IndexedSeq[FrameSpan]] =
-    for {
-      cfg <- parseConfig(bytes)
-      nals <- nalUnits(bytes, cfg.headerLen, cfg.lengthSize)
-      spans <- H264AnnexB.accessUnitSpans(bytes, nals,
-        ni => nals(ni).offset - cfg.lengthSize,
-        spanStart = cfg.headerLen, spanEnd = bytes.length)
-    } yield spans
+    parseConfig(bytes).flatMap { cfg =>
+      def walk(headerLen: Int): Option[IndexedSeq[FrameSpan]] =
+        nalUnits(bytes, headerLen, cfg.lengthSize).flatMap { nals =>
+          H264AnnexB.accessUnitSpans(bytes, nals,
+            ni => nals(ni).offset - cfg.lengthSize,
+            spanStart = headerLen, spanEnd = bytes.length)
+        }
+      walk(cfg.headerLen)
+        .orElse(cfg.altHeaderLen.flatMap(walk))
+    }
 
   /** Synthetic avcC + length-prefixed stream for specs — the same
     * frame structure [[H264AnnexB.encodeSynthetic]] emits (SPS/PPS in
@@ -118,19 +152,28 @@ object H264Avcc {
     * indexes are directly comparable in tests.
     */
   def encodeSynthetic(isIdrPerFrame: Seq[Boolean], extraSlices: Int = 0,
-      lengthSize: Int = 4): Array[Byte] = {
+      lengthSize: Int = 4, profile: Int = 0x42): Array[Byte] = {
     require(Set(1, 2, 4)(lengthSize), s"bad lengthSize $lengthSize")
     val out = new java.io.ByteArrayOutputStream()
     val sps = Array[Byte](0x67, 0x42, 0x00, 0x1e)
     val pps = Array[Byte](0x68, 0x3c, 0x70)
     // AVCDecoderConfigurationRecord
     out.write(1)                       // configurationVersion
-    out.write(0x42); out.write(0x00); out.write(0x1e) // profile/compat/level
+    out.write(profile); out.write(0x00); out.write(0x1e) // profile/compat/lvl
     out.write(0xfc | (lengthSize - 1)) // reserved ++ lengthSizeMinusOne
     out.write(0xe0 | 1)                // reserved ++ numOfSPS
     out.write(sps.length >> 8); out.write(sps.length & 0xff); out.write(sps)
     out.write(1)                       // numOfPPS
     out.write(pps.length >> 8); out.write(pps.length & 0xff); out.write(pps)
+    if (HighProfiles(profile)) {
+      // High-family extension: chroma 4:2:0, 8-bit depths, one SPS-ext
+      out.write(0xfc | 1)              // reserved ++ chroma_format_idc
+      out.write(0xf8 | 0)              // reserved ++ bit_depth_luma - 8
+      out.write(0xf8 | 0)              // reserved ++ bit_depth_chroma - 8
+      out.write(1)                     // numOfSequenceParameterSetExt
+      out.write(0); out.write(2)       // ext length 2
+      out.write(0x6d); out.write(0x33) // SPS-ext NAL (type 13) + junk
+    }
     def nal(header: Int, payload: Array[Byte]): Unit = {
       val len = 1 + payload.length
       var j = lengthSize - 1

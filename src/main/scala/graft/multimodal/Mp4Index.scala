@@ -109,11 +109,18 @@ object Mp4Index {
     val stco = child(b, stbl, "stco")
     val co64 = child(b, stbl, "co64")
 
+    // Every count field below comes from attacker-controllable bytes:
+    // read it as Long, REJECT negatives/overflows/short payloads, and
+    // never size an allocation from it before the payload length has
+    // vouched for it — a corrupt asset must yield None (one flagged
+    // row downstream), never an exception that kills the Spark task.
     // stsz: vf(4) sample_size(4) count(4) [sizes]
     if (stsz.payloadEnd - stsz.payloadStart < 12) return None
     val uniform = u32(b, stsz.payloadStart + 4)
-    val nSamples = u32(b, stsz.payloadStart + 8).toInt
-    if (nSamples <= 0) return None
+    val nSamplesL = u32(b, stsz.payloadStart + 8)
+    // more samples than bytes in the asset is inconsistent by itself
+    if (nSamplesL <= 0 || nSamplesL > b.length) return None
+    val nSamples = nSamplesL.toInt
     val sizes: Array[Long] =
       if (uniform != 0) Array.fill(nSamples)(uniform)
       else {
@@ -125,22 +132,28 @@ object Mp4Index {
     // chunk offsets: stco (u32) or co64 (u64)
     val chunkOffsets: Array[Long] = (stco, co64) match {
       case (Some(c), _) =>
-        val n = u32(b, c.payloadStart + 4).toInt
-        if (c.payloadEnd - (c.payloadStart + 8) < 4L * n) return None
-        Array.tabulate(n)(i => u32(b, c.payloadStart + 8 + 4 * i))
+        if (c.payloadEnd - c.payloadStart < 8) return None
+        val n = u32(b, c.payloadStart + 4)
+        if (n < 0 || n > b.length ||
+            c.payloadEnd - (c.payloadStart + 8) < 4L * n) return None
+        Array.tabulate(n.toInt)(i => u32(b, c.payloadStart + 8 + 4 * i))
       case (None, Some(c)) =>
-        val n = u32(b, c.payloadStart + 4).toInt
-        if (c.payloadEnd - (c.payloadStart + 8) < 8L * n) return None
-        Array.tabulate(n)(i => u64(b, c.payloadStart + 8 + 8 * i))
+        if (c.payloadEnd - c.payloadStart < 8) return None
+        val n = u32(b, c.payloadStart + 4)
+        if (n < 0 || n > b.length ||
+            c.payloadEnd - (c.payloadStart + 8) < 8L * n) return None
+        Array.tabulate(n.toInt)(i => u64(b, c.payloadStart + 8 + 8 * i))
       case _ => return None
     }
     if (chunkOffsets.isEmpty) return None
 
     // stsc runs: (first_chunk, samples_per_chunk, sdi) — expand to a
     // per-chunk samples count, then per-sample (offset, size)
-    val nRuns = u32(b, stsc.payloadStart + 4).toInt
-    if (nRuns <= 0 ||
-        stsc.payloadEnd - (stsc.payloadStart + 8) < 12L * nRuns) return None
+    if (stsc.payloadEnd - stsc.payloadStart < 8) return None
+    val nRunsL = u32(b, stsc.payloadStart + 4)
+    if (nRunsL <= 0 || nRunsL > b.length ||
+        stsc.payloadEnd - (stsc.payloadStart + 8) < 12L * nRunsL) return None
+    val nRuns = nRunsL.toInt
     val runs = Array.tabulate(nRuns) { i =>
       val o = stsc.payloadStart + 8 + 12 * i
       (u32(b, o).toInt, u32(b, o + 4).toInt) // (first_chunk 1-based, spc)
@@ -174,9 +187,12 @@ object Mp4Index {
     // stss sync numbers (1-based); absent = every sample is sync
     val sync: Set[Int] = child(b, stbl, "stss") match {
       case Some(c) =>
-        val n = u32(b, c.payloadStart + 4).toInt
-        if (c.payloadEnd - (c.payloadStart + 8) < 4L * n) return None
-        (0 until n).map(i => u32(b, c.payloadStart + 8 + 4 * i).toInt).toSet
+        if (c.payloadEnd - c.payloadStart < 8) return None
+        val n = u32(b, c.payloadStart + 4)
+        if (n < 0 || n > b.length ||
+            c.payloadEnd - (c.payloadStart + 8) < 4L * n) return None
+        (0 until n.toInt)
+          .map(i => u32(b, c.payloadStart + 8 + 4 * i).toInt).toSet
       case None => (1 to nSamples).toSet
     }
 
@@ -240,8 +256,16 @@ object Mp4Index {
       if (tfhdOpt.isEmpty) return None
       val tfhd = tfhdOpt.get
       // tfhd: vf(4) track_ID(4) [base-data-offset(8)][sdi(4)]
-      //       [def-duration(4)][def-size(4)][def-flags(4)]
+      //       [def-duration(4)][def-size(4)][def-flags(4)] — validate
+      // the flag-implied length BEFORE any field read (corrupt bytes
+      // must yield None, not an out-of-bounds read)
+      if (tfhd.payloadEnd - tfhd.payloadStart < 8) return None
       val tf = u32(bytes, tfhd.payloadStart) & 0xffffff
+      val tfhdNeed = 8 +
+        (if ((tf & 0x01) != 0) 8 else 0) + (if ((tf & 0x02) != 0) 4 else 0) +
+        (if ((tf & 0x08) != 0) 4 else 0) + (if ((tf & 0x10) != 0) 4 else 0) +
+        (if ((tf & 0x20) != 0) 4 else 0)
+      if (tfhd.payloadEnd - tfhd.payloadStart < tfhdNeed) return None
       var o = tfhd.payloadStart + 8
       val baseDataOffset: Option[Long] =
         if ((tf & 0x01) != 0) { val v = u64(bytes, o); o += 8; Some(v) }
@@ -254,18 +278,21 @@ object Mp4Index {
       val defaultFlags: Option[Long] =
         if ((tf & 0x20) != 0) { val v = u32(bytes, o); o += 4; Some(v) }
         else None
-      if (o > tfhd.payloadEnd) return None
       val base = baseDataOffset.getOrElse(moof.hdrStart.toLong)
       val truns = tkids.filter(_.fourcc == "trun")
       var ti = 0
       while (ti < truns.length) {
         val trun = truns(ti)
         ti += 1
+        if (trun.payloadEnd - trun.payloadStart < 8) return None
         val flags = u32(bytes, trun.payloadStart) & 0xffffff
-        val n = u32(bytes, trun.payloadStart + 4).toInt
-        if (n < 0) return None
-        var p = trun.payloadStart + 8
+        val nL = u32(bytes, trun.payloadStart + 4)
+        if (nL < 0 || nL > bytes.length) return None // count > bytes: bogus
+        val n = nL.toInt
         if ((flags & 0x01) == 0) return None // data_offset required
+        val headNeed = 8 + 4 + (if ((flags & 0x04) != 0) 4 else 0)
+        if (trun.payloadEnd - trun.payloadStart < headNeed) return None
+        var p = trun.payloadStart + 8
         val dataOffset = u32(bytes, p).toInt // signed, but ≥0 here
         p += 4
         val firstFlags: Option[Long] =
@@ -321,23 +348,29 @@ object Mp4Index {
     * stco, stss. Offsets are absolute, so `mdat` precedes `moov`
     * like real muxers emit.
     */
+  // ---- synthetic-encoder byte builders (shared by both encoders so
+  // the fixtures' framing can never drift apart) ----
+  private def box(name: String, payload: Array[Byte]): Array[Byte] = {
+    val out = java.nio.ByteBuffer.allocate(8 + payload.length)
+    out.putInt(8 + payload.length).put(name.getBytes("ISO-8859-1"))
+      .put(payload)
+    out.array()
+  }
+  private def full(name: String, payload: Array[Byte]): Array[Byte] =
+    box(name, Array[Byte](0, 0, 0, 0) ++ payload)
+  private def u32a(vs: Seq[Long]): Array[Byte] = {
+    val out = java.nio.ByteBuffer.allocate(4 * vs.length)
+    vs.foreach(v => out.putInt(v.toInt))
+    out.array()
+  }
+  private def u64a(v: Long): Array[Byte] =
+    java.nio.ByteBuffer.allocate(8).putLong(v).array()
+
   def encodeSynthetic(samples: Seq[Array[Byte]], syncSamples: Seq[Int],
       samplesPerChunk: Int = 2): Array[Byte] = {
     require(samples.nonEmpty && samplesPerChunk > 0)
-    def box(name: String, payload: Array[Byte]): Array[Byte] = {
-      val out = java.nio.ByteBuffer.allocate(8 + payload.length)
-      out.putInt(8 + payload.length).put(name.getBytes("ISO-8859-1"))
-        .put(payload)
-      out.array()
-    }
-    def full(name: String, payload: Array[Byte]): Array[Byte] =
-      box(name, Array[Byte](0, 0, 0, 0) ++ payload)
-    def u32a(vs: Seq[Long]): Array[Byte] = {
-      val out = java.nio.ByteBuffer.allocate(4 * vs.length)
-      vs.foreach(v => out.putInt(v.toInt))
-      out.array()
-    }
-    val ftyp = box("ftyp", "isom".getBytes ++ Array[Byte](0, 0, 0, 0))
+    val ftyp = box("ftyp",
+      "isom".getBytes("ISO-8859-1") ++ Array[Byte](0, 0, 0, 0))
     val mdat = box("mdat", samples.flatten.toArray)
     val mdatPayloadAt = ftyp.length + 8
     val chunks = samples.indices.grouped(samplesPerChunk).toSeq
@@ -381,19 +414,6 @@ object Mp4Index {
       perSampleSizes: Boolean = true,
       explicitBase: Boolean = false): Array[Byte] = {
     require(fragments.nonEmpty && fragments.forall(_.nonEmpty))
-    def box(name: String, payload: Array[Byte]): Array[Byte] = {
-      val out = java.nio.ByteBuffer.allocate(8 + payload.length)
-      out.putInt(8 + payload.length).put(name.getBytes("ISO-8859-1"))
-        .put(payload)
-      out.array()
-    }
-    def u32a(vs: Seq[Long]): Array[Byte] = {
-      val out = java.nio.ByteBuffer.allocate(4 * vs.length)
-      vs.foreach(v => out.putInt(v.toInt))
-      out.array()
-    }
-    def u64a(v: Long): Array[Byte] =
-      java.nio.ByteBuffer.allocate(8).putLong(v).array()
     val ftyp = box("ftyp", "cmfc".getBytes("ISO-8859-1") ++
       Array[Byte](0, 0, 0, 0))
     val moov = box("moov", box("mvex", Array.empty[Byte]))

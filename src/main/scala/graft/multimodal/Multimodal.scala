@@ -516,9 +516,16 @@ object Multimodal {
     require(stride > 0 && maxFrames > 0, "stride and maxFrames must be positive")
     assets.filter(col("kind") === "video").mapPartitions { it =>
       it.flatMap { a =>
-        Mp4Index.frameIndex(a.content)
-          .orElse(H264Avcc.frameIndex(a.content))
-          .orElse(H264AnnexB.frameIndex(a.content)) match {
+        // backstop for the contract the walkers already aim at with
+        // explicit bounds checks: ONE corrupt/adversarial asset in a
+        // scraped corpus degrades to its flagged fallback row — it
+        // must never escape as an exception that kills the task
+        val indexed =
+          try Mp4Index.frameIndex(a.content)
+            .orElse(H264Avcc.frameIndex(a.content))
+            .orElse(H264AnnexB.frameIndex(a.content))
+          catch { case scala.util.control.NonFatal(_) => None }
+        indexed match {
           case Some(spans) =>
             val pool = if (keyframesOnly) spans.filter(_.isIdr) else spans
             (0 until pool.size by stride).take(maxFrames).iterator.map { i =>

@@ -28,6 +28,19 @@ import org.apache.spark.sql.types._
 final class ChunkBoundsKernel(val bounds: Array[Array[Any]])
     extends Serializable {
 
+  // The binary search REQUIRES bounds strictly increasing under THIS
+  // kernel's comparison. The driver samples and pre-sorts bounds with
+  // java.lang.String (UTF-16 code-unit) ordering, which diverges from
+  // UTF8String's UTF-8 byte (code-point) ordering for supplementary
+  // characters vs high-BMP characters — so the kernel must never
+  // trust the incoming order: [[ChunkBoundsKernel.build]] re-sorts
+  // and re-dedupes in kernel order at construction, and this check
+  // makes any other construction path fail loudly instead of
+  // returning wrong (non-monotone) chunk ids.
+  require((1 until bounds.length).forall(i =>
+    ChunkBoundsKernel.cmpTuple(bounds(i - 1), bounds(i)) < 0),
+    "range-chunk bounds are not strictly increasing in kernel order")
+
   /** Chunk id of one tuple of Catalyst-internal values (nulls are
     * values, not missing): the count of bound tuples strictly below
     * it, found by binary search (first bound >= tuple).
@@ -37,19 +50,10 @@ final class ChunkBoundsKernel(val bounds: Array[Array[Any]])
     var hi = bounds.length
     while (lo < hi) {
       val mid = (lo + hi) >>> 1
-      if (cmpTuple(bounds(mid), tuple) < 0) lo = mid + 1 else hi = mid
+      if (ChunkBoundsKernel.cmpTuple(bounds(mid), tuple) < 0) lo = mid + 1
+      else hi = mid
     }
     lo
-  }
-
-  private def cmpTuple(a: Array[Any], b: Array[Any]): Int = {
-    var i = 0
-    while (i < a.length) {
-      val c = ChunkBoundsKernel.cmpAny(a(i), b(i))
-      if (c != 0) return c
-      i += 1
-    }
-    0
   }
 }
 
@@ -77,19 +81,43 @@ object ChunkBoundsKernel {
           s"class ${a.getClass.getName}; use atomic orderable columns")
     }
 
+  private[plans] def cmpTuple(a: Array[Any], b: Array[Any]): Int = {
+    var i = 0
+    while (i < a.length) {
+      val c = cmpAny(a(i), b(i))
+      if (c != 0) return c
+      i += 1
+    }
+    0
+  }
+
   /** Kernel from EXTERNAL bound rows (as collected by
     * [[graft.transform.RangeChunks.sampleBounds]]) + the resolved
     * column types: every bound value is converted ONCE to its
     * Catalyst internal form so row-side comparisons are
     * internal-vs-internal (UTF8String vs UTF8String, micros-long vs
-    * micros-long, Decimal vs Decimal).
+    * micros-long, Decimal vs Decimal) — then RE-SORTED AND RE-DEDUPED
+    * in that internal order. The driver's bound selection sorts
+    * external values (java.lang.String UTF-16 order), which diverges
+    * from UTF8String's UTF-8 byte order on supplementary characters;
+    * the divergence may only influence WHICH bounds were picked
+    * (balance), never the binary search's sortedness invariant
+    * (correctness), because order is re-established here.
     */
   def build(types: Seq[DataType], rows: Seq[Row]): ChunkBoundsKernel = {
     val convs = types.map(CatalystTypeConverters.createToCatalystConverter)
       .toArray
-    new ChunkBoundsKernel(rows.map { r =>
+    val internal = rows.map { r =>
       Array.tabulate(types.length)(i => convs(i)(r.get(i)))
-    }.toArray)
+    }.toArray
+    java.util.Arrays.sort(internal,
+      ((a: Array[Any], b: Array[Any]) => cmpTuple(a, b)):
+        java.util.Comparator[Array[Any]])
+    val deduped = scala.collection.mutable.ArrayBuffer.empty[Array[Any]]
+    internal.foreach { t =>
+      if (deduped.isEmpty || cmpTuple(deduped.last, t) != 0) deduped += t
+    }
+    new ChunkBoundsKernel(deduped.toArray)
   }
 }
 

@@ -158,22 +158,44 @@ object IvfIndex {
     finishSwap(warehouse, name, tiers)
   }
 
-  /** Promote every still-staged tier, then drop the snapshot (taking
-    * the marker with it). Idempotent: a tier whose `__next` table is
-    * gone was promoted by a previous (crashed) attempt. The tier list
-    * is the STATIC per-index-type constant passed by the caller — the
-    * `_swap_ready` marker is existence-only (its content is written
-    * for debuggability but never parsed: `writeTableFile` is a plain
-    * non-atomic create, and a crash mid-write must not leave a
-    * truncated list that would promote a SUBSET of tiers and serve a
-    * mixed-generation index with all guards cleared).
+  /** Every tier name any index type in this module stages — the
+    * vocabulary [[finishSwap]] validates recorded markers against.
+    */
+  private[sim] val KnownTiers: Set[String] =
+    Set("__centroids", "__cells", "__stats", "__books", "__codes")
+
+  /** Promote every still-staged tier RECORDED IN THE MARKER, then
+    * drop the snapshot (taking the marker with it). Idempotent: a
+    * tier whose `__next` table is gone was promoted by a previous
+    * (crashed) attempt.
+    *
+    * The marker content is trustworthy (`writeTableFile` lands it
+    * atomically — complete or absent, never truncated) and is the
+    * AUTHORITY on what to promote: an operator finishing a crashed
+    * IvfPqIndex swap via `IvfIndex.retrain` must still promote all
+    * FIVE recorded tiers, not the caller's three — promoting a
+    * caller-static subset would drop the marker and serve a
+    * mixed-generation index with every guard cleared. Two refusals
+    * keep that impossible: the recorded list must cover the caller's
+    * tiers (else the marker belongs to something else entirely) and
+    * must draw only from [[KnownTiers]] (a legacy pre-atomic
+    * truncated marker like `__centroids,__ce` refuses loudly instead
+    * of half-promoting).
     */
   private def finishSwap(warehouse: Warehouse, name: String,
       tiers: Seq[String]): Unit = {
     val src = retrainSrcTable(name)
-    require(warehouse.readTableFile(src, SwapReadyMark).isDefined,
-      s"finishSwap: no $SwapReadyMark marker on $src")
-    tiers.foreach { t =>
+    val recorded = warehouse.readTableFile(src, SwapReadyMark)
+      .getOrElse(sys.error(s"finishSwap: no $SwapReadyMark marker on $src"))
+      .split(",").toSeq.filter(_.nonEmpty)
+    require(recorded.nonEmpty && recorded.forall(KnownTiers.contains) &&
+        tiers.forall(recorded.contains),
+      s"finishSwap: swap marker on $src records tiers " +
+        s"[${recorded.mkString(",")}] which do not cover this index's " +
+        s"[${tiers.mkString(",")}] within the known tier vocabulary — " +
+        "corrupt or foreign marker; refusing to finish a partial swap. " +
+        "Inspect the staged __next tables before clearing the marker.")
+    recorded.foreach { t =>
       val staged = nextName(name) + t
       if (warehouse.tableExists(staged))
         warehouse.promoteTable(staged, name + t)

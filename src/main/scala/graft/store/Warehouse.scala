@@ -611,15 +611,25 @@ final class Warehouse(spark: SparkSession, val location: String) {
   /** Stamp (or overwrite) a `_`-prefixed sidecar file into an EXISTING
     * table dir — the post-hoc twin of [[replaceTable]]'s `extraFiles`
     * (which rides the atomic swap; use that when the marker must never
-    * disagree with the data). A single-file create is the right tool
-    * for lifecycle markers whose only content is their existence,
-    * e.g. the ANN retrain swap-ready flag.
+    * disagree with the data). The content lands ATOMICALLY (written
+    * to a `__tmp` sibling, then renamed over the destination), so a
+    * reader either sees the complete content or no sidecar at all —
+    * never a truncated prefix. A crash mid-write leaves only the tmp
+    * file, which [[readTableFile]] ignores; the brief delete-then-
+    * rename window reads as "absent", the safe side for lifecycle
+    * markers (e.g. the ANN retrain swap-ready flag: absent = not
+    * swap-ready).
     */
   def writeTableFile(table: String, name: String, content: String): Unit = {
     require(name.startsWith("_"), s"sidecar must be _-prefixed: $name")
     require(tableExists(table), s"writeTableFile: no table $table")
-    val out = fs.create(new Path(path(table), name), true)
+    val dst = new Path(path(table), name)
+    val tmp = new Path(path(table), name + "__tmp")
+    val out = fs.create(tmp, true)
     try out.write(content.getBytes("UTF-8")) finally out.close()
+    if (fs.exists(dst)) fs.delete(dst, false)
+    if (!fs.rename(tmp, dst))
+      sys.error(s"writeTableFile: rename $tmp -> $dst failed")
   }
 
   /** Promote a staged table over the live name: the staged dir renames

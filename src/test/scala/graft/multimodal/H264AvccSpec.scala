@@ -56,6 +56,27 @@ class H264AvccSpec extends AnyFunSuite {
     }
   }
 
+  test("High-profile avcC: extension bytes consumed; lenient omission still indexes") {
+    // ISO 14496-15 appends chroma/bit-depth/SPS-ext fields for
+    // profile_idc 100/110/122/144 — the most common real-world H.264
+    // profile. Treating the extension as NAL bytes would fail the
+    // exact walk and silently drop exactly the corpora this feature
+    // targets.
+    val withExt = H264Avcc.encodeSynthetic(Seq(true, false), profile = 100)
+    val cfg = H264Avcc.parseConfig(withExt).get
+    assert(cfg.altHeaderLen.isDefined &&
+      cfg.headerLen > cfg.altHeaderLen.get,
+      "High-profile record must consume the extension as primary")
+    val spans = H264Avcc.frameIndex(withExt).get
+    assert(spans.map(_.isIdr) === Seq(true, false))
+    // lenient muxers omit the extension even for High profiles: the
+    // record must still parse (extension-less end as primary)
+    val lenient = H264Avcc.encodeSynthetic(Seq(true, false)).clone()
+    lenient(1) = 100.toByte
+    assert(H264Avcc.frameIndex(lenient).get.map(_.isIdr)
+      === Seq(true, false))
+  }
+
   test("a length prefix that impersonates a start code stays AVCC-parsed") {
     // 4-byte length 0x000001XX is byte-identical to an Annex-B start
     // code — the reason the sampler sniffs AVCC FIRST. Build a clip

@@ -66,6 +66,27 @@ class Mp4IndexSpec extends AnyFunSuite {
     assert(Mp4Index.frameIndex(bad).isEmpty)
   }
 
+  test("adversarial counts refuse with None, never an exception") {
+    // counts are attacker-controllable: a bit-31 entry_count must not
+    // become a negative array size or out-of-bounds read that kills a
+    // Spark task — the contract is None (one flagged row downstream)
+    val good = Mp4Index.encodeSynthetic(samples(5, 5), Seq(1))
+    def patched(four: String, rel: Int, v: Byte): Array[Byte] = {
+      val idx = new String(good, "ISO-8859-1").indexOf(four)
+      assert(idx > 0, four)
+      val b = good.clone(); b(idx + rel) = v; b
+    }
+    // entry_count / sample_count high bit set → negative .toInt
+    for (four <- Seq("stco", "stss", "stsc")) {
+      assert(Mp4Index.frameIndex(
+        patched(four, 8, 0x80.toByte)).isEmpty, four)
+    }
+    // stsz sample_count (at vf+sample_size = +12 from fourcc)
+    assert(Mp4Index.frameIndex(patched("stsz", 12, 0x80.toByte)).isEmpty)
+    // absurd-but-positive counts (more entries than bytes) also refuse
+    assert(Mp4Index.frameIndex(patched("stco", 9, 0x7f.toByte)).isEmpty)
+  }
+
   test("fragmented MP4: trun-addressed spans tile each mdat; sync per fragment head") {
     val frags = Seq(samples(5, 9), samples(7))
     val f = Mp4Index.encodeSyntheticFragmented(frags)

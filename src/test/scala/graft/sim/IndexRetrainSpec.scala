@@ -162,13 +162,13 @@ class IndexRetrainSpec extends SparkSpec {
     assert(recallAt10(wh, "ann", base, q, nProbe = 6) >= 0.9)
   }
 
-  test("truncated swap marker cannot promote a tier subset: rerun swaps ALL tiers") {
-    // writeTableFile is a plain (non-atomic) create — a crash mid-write
-    // leaves a TRUNCATED tier list. If finishSwap parsed the marker
-    // content, a rerun would promote only the listed subset, drop the
-    // snapshot+marker, and serve a mixed-generation index with every
-    // guard cleared. The tier list is static per index type, so the
-    // marker must be existence-only.
+  test("truncated swap marker cannot promote a tier subset: refuse, then recover") {
+    // The marker lands atomically now (writeTableFile is tmp+rename),
+    // but a LEGACY pre-atomic crash artifact — a truncated tier list —
+    // must still never promote a subset, drop the snapshot+marker, and
+    // serve a mixed-generation index with every guard cleared. The
+    // contract: refuse loudly; rewriting the complete marker (what a
+    // rerun of the correct retrain stamps) recovers.
     val wh = new Warehouse(spark, Files.createTempDirectory("drifttm").toString)
     val base = baseCorpus.toDF("id", "v")
     IvfIndex.build(wh, "ann", base, "id", "v", k = 4, iters = 4)
@@ -176,11 +176,22 @@ class IndexRetrainSpec extends SparkSpec {
     wh.replaceTable("ann__retrain_src", src,
       Map(IvfIndex.CommittedMark -> "test"))
     IvfIndex.build(wh, "ann__next", base, "id", "v", k = 6, iters = 4)
-    // crash mid-marker-write: only a PREFIX of the tier list landed
+    // legacy crash artifact: only a PREFIX of the tier list landed
     wh.writeTableFile("ann__retrain_src", IvfIndex.SwapReadyMark,
       IvfIndex.IvfTiers.mkString(",").take(12))
+    val e = intercept[IllegalArgumentException] {
+      IvfIndex.retrain(wh, "ann", "id", "v", k = 6, iters = 4)
+    }
+    assert(e.getMessage.contains("refusing to finish a partial swap"),
+      e.getMessage)
+    // guards stay up: nothing was promoted, nothing dropped
+    assert(wh.tableExists("ann__retrain_src"))
+    assert(wh.tableExists("ann__next__centroids"))
+    assert(wh.read("ann__centroids").count() === 4L)
+    // a complete marker (what the correct retrain stamps) recovers
+    wh.writeTableFile("ann__retrain_src", IvfIndex.SwapReadyMark,
+      IvfIndex.IvfTiers.mkString(","))
     IvfIndex.retrain(wh, "ann", "id", "v", k = 6, iters = 4)
-    // EVERY tier is the new generation, no staged leftovers
     assert(!wh.tableExists("ann__retrain_src"))
     assert(wh.read("ann__centroids").count() === 6L)
     IvfIndex.IvfTiers.foreach { t =>
@@ -189,6 +200,36 @@ class IndexRetrainSpec extends SparkSpec {
     }
     val q = base.limit(3)
     assert(recallAt10(wh, "ann", base, q, nProbe = 6) >= 0.9)
+  }
+
+  test("crashed IVF×PQ swap finished via IvfIndex.retrain promotes all FIVE recorded tiers") {
+    // The marker is the authority on WHAT to promote: an operator who
+    // follows the guard message with the base-type retrain must not
+    // leave __books/__codes on the old generation.
+    val wh = new Warehouse(spark, Files.createTempDirectory("driftxt").toString)
+    val base = baseCorpus.toDF("id", "v")
+    IvfPqIndex.build(wh, "ann", base, "id", "v",
+      kCoarse = 4, m = 4, ksub = 16, iters = 4)
+    // a complete next PQ generation with the swap marker stamped — the
+    // state a crash right before the renames leaves behind
+    val src = base.select(col("id"), col("v"))
+    wh.replaceTable("ann__retrain_src", src,
+      Map(IvfIndex.CommittedMark -> "test"))
+    IvfPqIndex.build(wh, "ann__next", base, "id", "v",
+      kCoarse = 6, m = 4, ksub = 16, iters = 4)
+    val pqTiers = IvfIndex.IvfTiers ++ Seq("__books", "__codes")
+    wh.writeTableFile("ann__retrain_src", IvfIndex.SwapReadyMark,
+      pqTiers.mkString(","))
+    // finish via the BASE type's retrain: recorded tiers win
+    IvfIndex.retrain(wh, "ann", "id", "v", k = 6, iters = 4)
+    assert(!wh.tableExists("ann__retrain_src"))
+    assert(wh.read("ann__centroids").count() === 6L)
+    // the PQ tiers crossed generations too (staged gone ⇔ promoted):
+    // no mixed index
+    pqTiers.foreach { t =>
+      assert(!wh.tableExists("ann__next" + t),
+        s"staged tier ann__next$t survived the cross-type rerun")
+    }
   }
 
   test("uncommitted (partial) snapshot is re-taken from cells, not trusted") {

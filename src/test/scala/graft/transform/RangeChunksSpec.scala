@@ -52,6 +52,24 @@ class RangeChunksSpec extends SparkSpec {
     assert(seq.zip(seq.tail).forall { case (x, y) => x <= y })
   }
 
+  test("supplementary-plane strings keep chunk ids monotone (UTF-16 vs UTF-8 order)") {
+    // java.lang.String sorts by UTF-16 code units (surrogates ≈
+    // 0xD800 < 0xFFFD) while UTF8String sorts by UTF-8 bytes (4-byte
+    // emoji > 3-byte U+FFFD) — the driver's bound selection and the
+    // kernel's binary search MUST NOT disagree on order, or chunk ids
+    // go non-monotone and every chunked-window result is silently
+    // wrong. The kernel re-sorts bounds in ITS order at build; this
+    // pins the property end to end.
+    val base = Seq("a\uFFFD", "a\uD83D\uDE00", "a!", "a\uFFFDz", "ab")
+    val df = (0 until 4000).map { i =>
+      (i.toLong, base(i % base.size) * (1 + i % 3))
+    }.toDF("id", "s")
+    val chunked = RangeChunks.withChunkId(df, Seq("s", "id"), 64, "c")
+    val ordered = chunked.orderBy("s", "id").select("c").as[Int].collect()
+    assert(ordered.zip(ordered.tail).forall { case (x, y) => x <= y },
+      "chunk id decreased along the UTF8 sort order")
+  }
+
   test("empty input and p=1 degrade to a constant chunk") {
     val empty = Seq.empty[(Long, Long)].toDF("id", "o")
     assert(RangeChunks.withChunkId(empty, Seq("o"), 32, "c").count() === 0L)
