@@ -539,9 +539,55 @@ object MultimodalQueries {
       .orderBy("asset_id", "frame_idx")
   }
 
+  /** MP3 (Layer III) frame indexing ([[graft.multimodal.Mp3Frames]]):
+    * the audio face of the byte-range decoder seam. Byte-exact oracle
+    * from the header arithmetic at 32 kHz MPEG-1 (chosen because
+    * 144·kbps·1000/32000 is integral): an ID3v2 tag of content size
+    * 20 puts frame 0 at byte 30; bitrate indices 9/5/14 give
+    * 128/64/320 kbps → frame lengths 576/288/1440 at offsets
+    * 30/606/894, each decoding 1152 PCM samples — so duration and
+    * VBR profile are pure arithmetic over the emitted columns. A
+    * trailing ID3v1 block must terminate (not break) the walk; junk
+    * pins the flagged fallback. A header-table, padding, or tag-skip
+    * regression hash-fails.
+    */
+  val qMultimodalMp3Index: QueryDef = QueryDef.sql(
+    "q_multimodal_mp3_index",
+    """SELECT * FROM (VALUES
+      |  (1, 0, CAST(30 AS BIGINT), CAST(576 AS BIGINT), 128, 32000, 1152, true),
+      |  (1, 1, CAST(606 AS BIGINT), CAST(288 AS BIGINT), 64, 32000, 1152, true),
+      |  (1, 2, CAST(894 AS BIGINT), CAST(1440 AS BIGINT), 320, 32000, 1152, true),
+      |  (2, -1, NULL, NULL, NULL, NULL, NULL, false))
+      |  AS t(asset_id, frame_idx, byte_start, byte_len, bitrate_kbps,
+      |       sample_rate_hz, samples, indexed)
+      |ORDER BY asset_id, frame_idx""".stripMargin,
+    doc = "MP3 Layer-III frame index: byte ranges + rate facts from " +
+      "headers alone (multimodal ops; decode is the external-seam stub)") {
+    (s, dir) =>
+    import s.implicits._
+    import graft.multimodal.Mp3Frames
+    val assets = Seq(
+      (1L, "mem://talk.mp3",
+        Mp3Frames.encodeSynthetic(Seq((9, 0), (5, 0), (14, 0)),
+          srIdx = 2, mpeg1 = true, id3v2Size = 20, id3v1 = true)),
+      (2L, "mem://junk.mp3", Array[Byte](9, 9, 9, 9))
+    ).toDF("id", "uri", "bytes")
+    Multimodal.sampleMp3Frames(
+        Multimodal.toMediaAssets(assets, "id", "uri", "bytes")(s),
+        stride = 1, maxFrames = 5)(s)
+      .select(col("asset_id"), col("frame_idx"),
+        when(col("indexed"), col("byte_start")).as("byte_start"),
+        when(col("indexed"), col("byte_len")).as("byte_len"),
+        when(col("indexed"), col("bitrate_kbps")).as("bitrate_kbps"),
+        when(col("indexed"), col("sample_rate_hz")).as("sample_rate_hz"),
+        when(col("indexed"), col("samples")).as("samples"),
+        col("indexed"))
+      .orderBy("asset_id", "frame_idx")
+  }
+
   val all: Seq[QueryDef] = Seq(
     qMultimodalDecode, qMultimodalAudio, qMultimodalResize, qMultimodalVideo,
     qMultimodalPhash, qMultimodalAudioNeardup, qMultimodalVideoNeardup,
     qMultimodalH264Index, qMultimodalAvccIndex, qMultimodalMp4Index,
-    qMultimodalFmp4Index)
+    qMultimodalFmp4Index, qMultimodalMp3Index)
 }

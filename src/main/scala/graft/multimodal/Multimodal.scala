@@ -475,6 +475,58 @@ object Multimodal {
     }
   }
 
+  /** A sampled MP3 (Layer III) frame BYTE RANGE plus the header
+    * facts that need no decode (rate profile, PCM sample count —
+    * duration/bitrate analytics come straight from these);
+    * `indexed = false` flags the fallback row for bytes that are not
+    * a Layer-III stream. */
+  final case class Mp3Frame(
+      asset_id: Long,
+      frame_idx: Int,
+      byte_start: Long,
+      byte_len: Long,
+      bitrate_kbps: Int,
+      sample_rate_hz: Int,
+      samples: Int,
+      indexed: Boolean)
+
+  /** MP3 frame-range sampling ([[Mp3Frames]]): the audio face of the
+    * external-decoder seam — index the Layer-III frames in one linear
+    * header walk (ID3v2/ID3v1 tags skipped), then emit every
+    * `stride`-th frame's byte range with its bitrate/sample-rate/
+    * sample-count header facts (up to `maxFrames`). No in-JVM decode;
+    * duration and VBR profiles are pure arithmetic over the emitted
+    * columns. Bit-reservoir caveat documented on [[Mp3Frames]]: a
+    * seeking decoder should also fetch a couple of PRECEDING ranges.
+    * Non-Layer-III bytes emit one flagged `indexed = false` row,
+    * keeping the pipeline total.
+    */
+  def sampleMp3Frames(assets: Dataset[MediaAsset], stride: Int,
+      maxFrames: Int)(
+      implicit spark: SparkSession): Dataset[Mp3Frame] = {
+    import spark.implicits._
+    require(stride > 0 && maxFrames > 0, "stride and maxFrames must be positive")
+    assets.filter(col("kind") === "audio").mapPartitions { it =>
+      it.flatMap { a =>
+        val indexed =
+          try Mp3Frames.frameIndex(a.content)
+          catch { case scala.util.control.NonFatal(_) => None }
+        indexed match {
+          case Some(spans) =>
+            (0 until spans.size by stride).take(maxFrames).iterator.map { i =>
+              val s = spans(i)
+              Mp3Frame(a.asset_id, s.frameIdx, s.byteStart.toLong,
+                s.byteLen.toLong, s.bitrateKbps, s.sampleRateHz,
+                s.samples, indexed = true)
+            }
+          case None =>
+            Iterator.single(Mp3Frame(a.asset_id, -1, 0L, 0L, 0, 0, 0,
+              indexed = false))
+        }
+      }
+    }
+  }
+
   /** A sampled H.264 frame BYTE RANGE (no decode — see
     * [[sampleH264Frames]]); `indexed = false` flags the single
     * fallback row for bytes that aren't an Annex-B stream. */
