@@ -61,12 +61,12 @@ object H264Avcc {
     val lengthSize = (bytes(4) & 0x03) + 1
     if (lengthSize == 3) return None // lengthSizeMinusOne == 2 is reserved
     var off = 5
-    def takeSets(count: Int, lenBytes: Int = 2): Boolean = {
+    def takeSets(count: Int): Boolean = {
       var c = count
       while (c > 0) {
-        if (off + lenBytes > bytes.length) return false
+        if (off + 2 > bytes.length) return false
         val l = ((bytes(off) & 0xff) << 8) | (bytes(off + 1) & 0xff)
-        off += lenBytes + l
+        off += 2 + l
         if (off > bytes.length || l == 0) return false
         c -= 1
       }

@@ -97,29 +97,34 @@ object Mp3Frames {
 
   /** The frame index: byte spans of every Layer-III frame. None
     * unless ≥2 frames tile the post-ID3v2 stream exactly (to its end
-    * or a trailing ID3v1 "TAG" block).
+    * or a trailing ID3v1 "TAG" block). The full-end tiling is tried
+    * FIRST and the trailer excluded only as a retry: compressed audio
+    * bytes spell "TAG" at exactly length−128 by coincidence often
+    * enough in a 100 TB corpus (~2⁻²⁴ per file) that sniffing the
+    * trailer eagerly would refuse well-formed tag-less files.
     */
   def frameIndex(bytes: Array[Byte]): Option[IndexedSeq[Mp3Span]] = {
     val start = skipId3v2(bytes).getOrElse(return None)
-    // a trailing ID3v1 tag is a fixed 128-byte block
-    val end =
-      if (bytes.length - start >= 128 &&
-          bytes(bytes.length - 128) == 'T' &&
-          bytes(bytes.length - 127) == 'A' &&
-          bytes(bytes.length - 126) == 'G') bytes.length - 128
-      else bytes.length
-    val out = scala.collection.mutable.ArrayBuffer.empty[Mp3Span]
-    var i = start
-    while (i < end) {
-      header(bytes, i) match {
-        case Some((len, kbps, sr, samples)) =>
-          if (i + len > end) return None // frame must not cross the end
-          out += Mp3Span(out.length, i, len, kbps, sr, samples)
-          i += len
-        case None => return None
+    def walk(end: Int): Option[IndexedSeq[Mp3Span]] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[Mp3Span]
+      var i = start
+      while (i < end) {
+        header(bytes, i) match {
+          case Some((len, kbps, sr, samples)) =>
+            if (i + len > end) return None // frame must not cross the end
+            out += Mp3Span(out.length, i, len, kbps, sr, samples)
+            i += len
+          case None => return None
+        }
       }
+      if (out.length >= 2) Some(out.toIndexedSeq) else None
     }
-    if (out.length >= 2) Some(out.toIndexedSeq) else None
+    val hasTrailer = bytes.length - start >= 128 &&
+      bytes(bytes.length - 128) == 'T' &&
+      bytes(bytes.length - 127) == 'A' &&
+      bytes(bytes.length - 126) == 'G'
+    walk(bytes.length).orElse(
+      if (hasTrailer) walk(bytes.length - 128) else None)
   }
 
   /** Synthetic Layer-III stream for specs: valid headers + junk

@@ -177,8 +177,12 @@ object Mp4Index {
       var j = 0
       while (j < spc && s < nSamples) {
         offsets(s) = off
+        // overflow-proof span check: compare against length - size
+        // (an adversarial co64 offset near Long.MaxValue would wrap
+        // `off + size` negative and slip past a sum-side check)
+        if (offsets(s) < 0 || sizes(s) < 0 || sizes(s) > b.length ||
+            offsets(s) > b.length - sizes(s)) return None
         off += sizes(s)
-        if (off > b.length || offsets(s) < 0) return None
         s += 1; j += 1
       }
       chunk += 1
@@ -318,7 +322,10 @@ object Mp4Index {
             if (i == 0 && firstFlags.isDefined) firstFlags.get
             else if (perFlags) u32(bytes, q)
             else defaultFlags.getOrElse(0L)
-          if (size <= 0 || off < 0 || off + size > bytes.length) return None
+          // overflow-proof (see parseStbl): an adversarial u64
+          // base-data-offset near Long.MaxValue wraps `off + size`
+          if (size <= 0 || size > bytes.length || off < 0 ||
+              off > bytes.length - size) return None
           spans += FrameSpan(spans.length, off.toInt, size.toInt,
             (sFlags & 0x10000L) == 0L)
           off += size

@@ -146,12 +146,27 @@ object IvfIndex {
       if (!warehouse.tableExists(src) ||
           warehouse.readTableFile(src, CommittedMark).isEmpty) {
         // no committed snapshot: (re)take one atomically from the
-        // cells tier, which nothing before the swap ever touches
+        // cells tier, which nothing before the swap ever touches. The
+        // snapshot RECORDS this retrain's tier set — the phase-1 twin
+        // of the swap marker's authority below: a build-aside crash
+        // of a five-tier IVF×PQ retrain resumed via the base type's
+        // retrain would otherwise silently rebuild and swap only
+        // three tiers over a five-tier index.
         val full = warehouse.read(cellsTable(name))
           .select(col(idCol), col(vecCol))
         warehouse.replaceTable(src, full,
-          Map(CommittedMark -> s"at=${System.currentTimeMillis}"))
+          Map(CommittedMark ->
+            s"at=${System.currentTimeMillis};tiers=${tiers.mkString(",")}"))
       }
+      val committed = warehouse.readTableFile(src, CommittedMark)
+        .getOrElse("")
+      val snapTiers = committed.split(";").find(_.startsWith("tiers="))
+        .map(_.stripPrefix("tiers=").split(",").toSeq.filter(_.nonEmpty))
+      require(snapTiers.forall(_ == tiers),
+        s"retrain of $name is in flight for tier set " +
+          s"[${snapTiers.get.mkString(",")}] but this retrain would " +
+          s"build [${tiers.mkString(",")}] — rerun the index type that " +
+          "started it (its snapshot and staged tables are intact)")
       buildAside(src)
       warehouse.writeTableFile(src, SwapReadyMark, tiers.mkString(","))
     }
@@ -195,6 +210,18 @@ object IvfIndex {
         s"[${tiers.mkString(",")}] within the known tier vocabulary — " +
         "corrupt or foreign marker; refusing to finish a partial swap. " +
         "Inspect the staged __next tables before clearing the marker.")
+    // a legacy truncation that happened to cut AT a comma boundary
+    // passes the vocabulary check — but it cannot hide the staged
+    // tables it dropped from the list: any staged KnownTier NOT in
+    // the recorded list is proof the marker under-records the swap
+    val unrecorded = (KnownTiers -- recorded.toSet)
+      .filter(t => warehouse.tableExists(nextName(name) + t))
+    require(unrecorded.isEmpty,
+      s"finishSwap: staged tables exist for tiers " +
+        s"[${unrecorded.toSeq.sorted.mkString(",")}] that the swap " +
+        s"marker on $src does not record — truncated marker; refusing " +
+        "to promote a subset. Stamp the complete tier list (rerun the " +
+        "owning index type's retrain) before finishing the swap.")
     recorded.foreach { t =>
       val staged = nextName(name) + t
       if (warehouse.tableExists(staged))

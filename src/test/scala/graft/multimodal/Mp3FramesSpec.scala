@@ -41,6 +41,20 @@ class Mp3FramesSpec extends AnyFunSuite {
     assert(spans.last.byteStart + spans.last.byteLen === b.length - 128)
   }
 
+  test("coincidental 'TAG' bytes in audio payload do not break a tag-less file") {
+    // compressed audio spells T,A,G at exactly length-128 by chance
+    // (~2^-24 per file — expected hits in a 100 TB corpus); the full
+    // tiling must win and only fall back to trailer exclusion when
+    // the full walk fails (a REAL trailer)
+    val b = Mp3Frames.encodeSynthetic(Seq((9, 0), (9, 0))) // 2×576 B
+    assert(b.length === 1152)
+    b(1024) = 'T'; b(1025) = 'A'; b(1026) = 'G' // inside frame 2's body
+    val spans = Mp3Frames.frameIndex(b).get
+    assert(spans.length === 2)
+    assert(spans.last.byteStart + spans.last.byteLen === b.length,
+      "full-end tiling must win over the coincidental trailer sniff")
+  }
+
   test("strict sniff: junk, single frame, truncation, free bitrate all refuse") {
     assert(Mp3Frames.frameIndex(Array[Byte](9, 9, 9, 9)).isEmpty)
     assert(Mp3Frames.frameIndex(Array.empty[Byte]).isEmpty)

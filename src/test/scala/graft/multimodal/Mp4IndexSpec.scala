@@ -87,6 +87,29 @@ class Mp4IndexSpec extends AnyFunSuite {
     assert(Mp4Index.frameIndex(patched("stco", 9, 0x7f.toByte)).isEmpty)
   }
 
+  test("Long-overflow offsets refuse: huge co64 / base-data-offset cannot wrap past the bounds check") {
+    // co64 offset near Long.MaxValue: `off + size` wraps negative and
+    // would slip a sum-side check, emitting a garbage span
+    val good = Mp4Index.encodeSynthetic(samples(5, 5), Seq(1))
+    val s = new String(good, "ISO-8859-1")
+    val stcoIdx = s.indexOf("stco")
+    // rewrite the stco box into a co64-shaped attack is complex; patch
+    // the FIRST stco offset to a huge u32 instead (beyond asset end)
+    val bad1 = good.clone()
+    bad1(stcoIdx + 12) = 0x7f.toByte // first chunk offset ≈ 2.1 GB
+    assert(Mp4Index.frameIndex(bad1).isEmpty)
+    // fragmented: tfhd base-data-offset near Long.MaxValue
+    val frag = Mp4Index.encodeSyntheticFragmented(
+      Seq(samples(5, 5)), explicitBase = true)
+    val fs = new String(frag, "ISO-8859-1")
+    val tfhdIdx = fs.indexOf("tfhd")
+    // base-data-offset u64 starts at tfhd fourcc + 4 (vf) + 4 (track)
+    val bad2 = frag.clone()
+    bad2(tfhdIdx + 12) = 0x7f.toByte
+    java.util.Arrays.fill(bad2, tfhdIdx + 13, tfhdIdx + 20, 0xff.toByte)
+    assert(Mp4Index.frameIndex(bad2).isEmpty)
+  }
+
   test("fragmented MP4: trun-addressed spans tile each mdat; sync per fragment head") {
     val frags = Seq(samples(5, 9), samples(7))
     val f = Mp4Index.encodeSyntheticFragmented(frags)

@@ -232,6 +232,64 @@ class IndexRetrainSpec extends SparkSpec {
     }
   }
 
+  test("comma-boundary truncated PQ marker refuses: staged tiers outvote the list") {
+    // a legacy truncation that cut EXACTLY at a comma produces a
+    // vocabulary-valid list that covers the base type's tiers — the
+    // staged-but-unrecorded __next tables are the remaining evidence
+    // and must refuse the promotion
+    val wh = new Warehouse(spark, Files.createTempDirectory("driftcb").toString)
+    val base = baseCorpus.toDF("id", "v")
+    IvfPqIndex.build(wh, "ann", base, "id", "v",
+      kCoarse = 4, m = 4, ksub = 16, iters = 4)
+    val src = base.select(col("id"), col("v"))
+    wh.replaceTable("ann__retrain_src", src,
+      Map(IvfIndex.CommittedMark -> "test"))
+    IvfPqIndex.build(wh, "ann__next", base, "id", "v",
+      kCoarse = 6, m = 4, ksub = 16, iters = 4)
+    // truncated at the comma right after the base tiers
+    wh.writeTableFile("ann__retrain_src", IvfIndex.SwapReadyMark,
+      IvfIndex.IvfTiers.mkString(","))
+    val e = intercept[IllegalArgumentException] {
+      IvfIndex.retrain(wh, "ann", "id", "v", k = 6, iters = 4)
+    }
+    assert(e.getMessage.contains("does not record"), e.getMessage)
+    // nothing promoted, guards up
+    assert(wh.read("ann__centroids").count() === 4L)
+    assert(wh.tableExists("ann__next__books"))
+    // the complete marker recovers, promoting all five
+    val pqTiers = IvfIndex.IvfTiers ++ Seq("__books", "__codes")
+    wh.writeTableFile("ann__retrain_src", IvfIndex.SwapReadyMark,
+      pqTiers.mkString(","))
+    IvfIndex.retrain(wh, "ann", "id", "v", k = 6, iters = 4)
+    pqTiers.foreach(t => assert(!wh.tableExists("ann__next" + t)))
+    assert(wh.read("ann__centroids").count() === 6L)
+  }
+
+  test("pre-marker crash: snapshot records the tier set; wrong-type resume refuses") {
+    // an IVF×PQ retrain that crashes during BUILD ASIDE (snapshot
+    // committed, no swap marker) resumed via IvfIndex.retrain would
+    // build and swap only three tiers over a five-tier index — the
+    // snapshot's recorded tier set must refuse the mismatched resume
+    val wh = new Warehouse(spark, Files.createTempDirectory("driftpm").toString)
+    val base = baseCorpus.toDF("id", "v")
+    IvfPqIndex.build(wh, "ann", base, "id", "v",
+      kCoarse = 4, m = 4, ksub = 16, iters = 4)
+    val pqTiers = IvfIndex.IvfTiers ++ Seq("__books", "__codes")
+    val src = base.select(col("id"), col("v"))
+    wh.replaceTable("ann__retrain_src", src,
+      Map(IvfIndex.CommittedMark ->
+        s"at=0;tiers=${pqTiers.mkString(",")}"))
+    val e = intercept[IllegalArgumentException] {
+      IvfIndex.retrain(wh, "ann", "id", "v", k = 6, iters = 4)
+    }
+    assert(e.getMessage.contains("rerun the index type"), e.getMessage)
+    // the matching type's retrain completes the lifecycle
+    IvfPqIndex.retrain(wh, "ann", "id", "v",
+      kCoarse = 6, m = 4, ksub = 16, iters = 4)
+    assert(!wh.tableExists("ann__retrain_src"))
+    assert(wh.read("ann__centroids").count() === 6L)
+  }
+
   test("uncommitted (partial) snapshot is re-taken from cells, not trusted") {
     val wh = new Warehouse(spark, Files.createTempDirectory("driftu").toString)
     val base = baseCorpus.toDF("id", "v")
