@@ -51,9 +51,14 @@ object Mp4Index {
     new String(Array(b(i), b(i + 1), b(i + 2), b(i + 3)), "ISO-8859-1")
 
   /** Walk one container level [start, end). None on any size that
-    * does not tile the container exactly.
+    * does not tile the container exactly. `size == 0` ("extends to the
+    * end of the file", §4.2) is only legal for the LAST TOP-LEVEL box —
+    * honoring it inside moov/stbl would let a malformed child swallow
+    * its siblings, so nested levels refuse it (`topLevel = false`, the
+    * default).
     */
-  def boxes(b: Array[Byte], start: Int, end: Int): Option[IndexedSeq[Box]] = {
+  def boxes(b: Array[Byte], start: Int, end: Int,
+      topLevel: Boolean = false): Option[IndexedSeq[Box]] = {
     val out = scala.collection.mutable.ArrayBuffer.empty[Box]
     var i = start
     while (i < end) {
@@ -63,7 +68,10 @@ object Mp4Index {
       if (size == 1) {
         if (i + 16 > end) return None
         size = u64(b, i + 8); hdr = 16
-      } else if (size == 0) size = (end - i).toLong // last box: to end
+      } else if (size == 0) {
+        if (!topLevel) return None // only the last top-level box may
+        size = (end - i).toLong    // extend to the end
+      }
       if (size < hdr || i + size > end) return None
       out += Box(fourcc(b, i + 4), i + hdr, (i + size).toInt, i)
       i += size.toInt
@@ -76,34 +84,84 @@ object Mp4Index {
     boxes(b, box.payloadStart, box.payloadEnd)
       .flatMap(_.find(_.fourcc == name))
 
-  /** The parsed sample table of the first track that has a complete
-    * one: per-sample absolute byte ranges + 1-based sync numbers +
-    * the stsd first-entry fourcc (codec) + the avcC payload range if
-    * the entry is avc1 (the out-of-band extradata the decoder seam
-    * needs).
+  /** The parsed sample table of the first VIDEO track that has a
+    * complete one: per-sample absolute byte ranges + 1-based sync
+    * numbers + the stsd first-entry fourcc (codec) + the codec-config
+    * record payload range (`avcC` for avc1/avc3/avc4, `hvcC` for
+    * hev1/hvc1 — the out-of-band extradata the decoder seam needs).
     */
   final case class SampleTable(offsets: Array[Long], sizes: Array[Long],
       sync: Set[Int], codec: String, avcC: Option[(Int, Int)])
 
-  def sampleTable(b: Array[Byte]): Option[SampleTable] = {
-    val topOpt = boxes(b, 0, b.length)
-    if (topOpt.isEmpty) return None
-    val top = topOpt.get
-    if (top.isEmpty || top.head.fourcc != "ftyp") return None
-    val stbls = top.filter(_.fourcc == "moov").flatMap { moov =>
+  /** Sample-entry fourccs that denote a VIDEO codec (ISO 14496-15
+    * AVC/HEVC families + the MP4/WebM registry's common entries) —
+    * the fallback track filter when a trak carries no `hdlr` box.
+    */
+  private val VideoFourccs = Set(
+    "avc1", "avc3", "avc4", "hev1", "hvc1", "mp4v", "encv",
+    "vp08", "vp09", "av01", "mjpg")
+  /** AVC sample entries that carry an `avcC` record (avc3/avc4 are the
+    * in-band-parameter-set variants — the record is still present, its
+    * SPS/PPS lists just may be empty, §5.4.2.1.2). */
+  private val AvcFourccs = Set("avc1", "avc3", "avc4")
+  /** HEVC sample entries; extradata lives in an `hvcC` record. */
+  private val HevcFourccs = Set("hev1", "hvc1")
+
+  /** A trak's declared handler_type (`mdia/hdlr` byte 8-11, §8.4.3) —
+    * None when the box is absent or too short. */
+  private def handlerType(b: Array[Byte], mdia: Box): Option[String] =
+    child(b, mdia, "hdlr").collect {
+      case h if h.payloadEnd - h.payloadStart >= 12 =>
+        fourcc(b, h.payloadStart + 8)
+    }
+
+  def sampleTable(b: Array[Byte]): Option[SampleTable] =
+    sampleTable(b, b.length.toLong)
+
+  /** As [[sampleTable]] with the containing FILE length decoupled from
+    * the parsed array: the seekable path loads only `moov` into memory
+    * while sample offsets address the whole (possibly >2 GiB) file, so
+    * span bounds validate against `boundLen`, not `b.length`.
+    *
+    * Track selection: only traks whose `mdia/hdlr` handler_type is
+    * `vide` are eligible — a real MP4 with the audio trak FIRST must
+    * not emit audio sample ranges as frames. When `hdlr` is absent
+    * (minimal muxes) the stsd sample-entry fourcc must be a known
+    * video format instead; a trak that declares a non-video handler is
+    * skipped outright.
+    */
+  private def sampleTableIn(b: Array[Byte], top: IndexedSeq[Box],
+      boundLen: Long): Option[SampleTable] = {
+    val candidates = top.filter(_.fourcc == "moov").flatMap { moov =>
       boxes(b, moov.payloadStart, moov.payloadEnd).toSeq.flatten
         .filter(_.fourcc == "trak")
         .flatMap { trak =>
-          child(b, trak, "mdia")
-            .flatMap(mdia => child(b, mdia, "minf"))
-            .flatMap(minf => child(b, minf, "stbl"))
-            .toSeq
+          child(b, trak, "mdia").toSeq.flatMap { mdia =>
+            val handler = handlerType(b, mdia)
+            if (handler.exists(_ != "vide")) Seq.empty
+            else child(b, mdia, "minf")
+              .flatMap(minf => child(b, minf, "stbl"))
+              .map(stbl => (stbl, handler.isDefined))
+              .toSeq
+          }
         }
     }
-    stbls.iterator.flatMap(parseStbl(b, _)).nextOption()
+    candidates.iterator.flatMap { case (stbl, declaredVideo) =>
+      parseStbl(b, stbl, boundLen)
+        .filter(t => declaredVideo || VideoFourccs(t.codec))
+    }.nextOption()
   }
 
-  private def parseStbl(b: Array[Byte], stbl: Box): Option[SampleTable] = {
+  def sampleTable(b: Array[Byte], boundLen: Long): Option[SampleTable] = {
+    val topOpt = boxes(b, 0, b.length, topLevel = true)
+    if (topOpt.isEmpty) return None
+    val top = topOpt.get
+    if (top.isEmpty || top.head.fourcc != "ftyp") return None
+    sampleTableIn(b, top, boundLen)
+  }
+
+  private def parseStbl(b: Array[Byte], stbl: Box,
+      boundLen: Long): Option[SampleTable] = {
     val stsz = child(b, stbl, "stsz").getOrElse(return None)
     val stsc = child(b, stbl, "stsc").getOrElse(return None)
     val stco = child(b, stbl, "stco")
@@ -119,7 +177,7 @@ object Mp4Index {
     val uniform = u32(b, stsz.payloadStart + 4)
     val nSamplesL = u32(b, stsz.payloadStart + 8)
     // more samples than bytes in the asset is inconsistent by itself
-    if (nSamplesL <= 0 || nSamplesL > b.length) return None
+    if (nSamplesL <= 0 || nSamplesL > boundLen) return None
     val nSamples = nSamplesL.toInt
     val sizes: Array[Long] =
       if (uniform != 0) Array.fill(nSamples)(uniform)
@@ -134,13 +192,13 @@ object Mp4Index {
       case (Some(c), _) =>
         if (c.payloadEnd - c.payloadStart < 8) return None
         val n = u32(b, c.payloadStart + 4)
-        if (n < 0 || n > b.length ||
+        if (n < 0 || n > boundLen ||
             c.payloadEnd - (c.payloadStart + 8) < 4L * n) return None
         Array.tabulate(n.toInt)(i => u32(b, c.payloadStart + 8 + 4 * i))
       case (None, Some(c)) =>
         if (c.payloadEnd - c.payloadStart < 8) return None
         val n = u32(b, c.payloadStart + 4)
-        if (n < 0 || n > b.length ||
+        if (n < 0 || n > boundLen ||
             c.payloadEnd - (c.payloadStart + 8) < 8L * n) return None
         Array.tabulate(n.toInt)(i => u64(b, c.payloadStart + 8 + 8 * i))
       case _ => return None
@@ -151,7 +209,7 @@ object Mp4Index {
     // per-chunk samples count, then per-sample (offset, size)
     if (stsc.payloadEnd - stsc.payloadStart < 8) return None
     val nRunsL = u32(b, stsc.payloadStart + 4)
-    if (nRunsL <= 0 || nRunsL > b.length ||
+    if (nRunsL <= 0 || nRunsL > boundLen ||
         stsc.payloadEnd - (stsc.payloadStart + 8) < 12L * nRunsL) return None
     val nRuns = nRunsL.toInt
     val runs = Array.tabulate(nRuns) { i =>
@@ -180,8 +238,8 @@ object Mp4Index {
         // overflow-proof span check: compare against length - size
         // (an adversarial co64 offset near Long.MaxValue would wrap
         // `off + size` negative and slip past a sum-side check)
-        if (offsets(s) < 0 || sizes(s) < 0 || sizes(s) > b.length ||
-            offsets(s) > b.length - sizes(s)) return None
+        if (offsets(s) < 0 || sizes(s) < 0 || sizes(s) > boundLen ||
+            offsets(s) > boundLen - sizes(s)) return None
         off += sizes(s)
         s += 1; j += 1
       }
@@ -193,7 +251,7 @@ object Mp4Index {
       case Some(c) =>
         if (c.payloadEnd - c.payloadStart < 8) return None
         val n = u32(b, c.payloadStart + 4)
-        if (n < 0 || n > b.length ||
+        if (n < 0 || n > boundLen ||
             c.payloadEnd - (c.payloadStart + 8) < 4L * n) return None
         (0 until n.toInt)
           .map(i => u32(b, c.payloadStart + 8 + 4 * i).toInt).toSet
@@ -201,20 +259,27 @@ object Mp4Index {
     }
 
     // stsd first entry: vf(4) entry_count(4) then sample entries
-    // (size(4) format(4) ...); avc1 carries avcC at a fixed 78-byte
-    // offset into the entry (VisualSampleEntry layout, §12.1.3)
+    // (size(4) format(4) ...); the AVC family (avc1/avc3/avc4) carries
+    // avcC — and the HEVC family (hev1/hvc1) hvcC — at a fixed 78-byte
+    // offset into the entry (VisualSampleEntry layout, §12.1.3). For
+    // avc3/avc4 (in-band parameter sets) the record is still present,
+    // its SPS/PPS lists just may be empty.
     val (codec, avcC) = child(b, stbl, "stsd") match {
       case Some(c) if c.payloadEnd - c.payloadStart >= 16 =>
         val fmt = fourcc(b, c.payloadStart + 12)
         val entryStart = c.payloadStart + 8
         val entryEnd = math.min(
           entryStart + u32(b, entryStart).toInt, c.payloadEnd)
-        val cfg =
-          if (fmt == "avc1" && entryStart + 86 <= entryEnd)
-            boxes(b, entryStart + 86, entryEnd).toSeq.flatten
-              .find(_.fourcc == "avcC")
-              .map(x => (x.payloadStart, x.payloadEnd))
+        val cfgName =
+          if (AvcFourccs(fmt)) Some("avcC")
+          else if (HevcFourccs(fmt)) Some("hvcC")
           else None
+        val cfg = cfgName.filter(_ => entryStart + 86 <= entryEnd)
+          .flatMap { name =>
+            boxes(b, entryStart + 86, entryEnd).toSeq.flatten
+              .find(_.fourcc == name)
+              .map(x => (x.payloadStart, x.payloadEnd))
+          }
         (fmt, cfg)
       case _ => ("", None)
     }
@@ -236,13 +301,51 @@ object Mp4Index {
     * Only the first `traf` per fragment is read (one frame stream per
     * asset, like [[sampleTable]]).
     */
+  /** The track IDs the init segment's `moov` declares, with their
+    * video-ness (`trak` → `tkhd` track_ID + `mdia/hdlr` == 'vide';
+    * tkhd v1 shifts track_ID by the 64-bit timestamps, §8.3.2).
+    * Empty when the moov carries no trak metadata (bare `mvex` init
+    * shells) — fragment addressing then falls back to first-traf.
+    */
+  private def declaredTracks(b: Array[Byte],
+      top: IndexedSeq[Box]): Seq[(Long, Boolean)] =
+    top.filter(_.fourcc == "moov").flatMap { moov =>
+      boxes(b, moov.payloadStart, moov.payloadEnd).toSeq.flatten
+        .filter(_.fourcc == "trak")
+        .flatMap { trak =>
+          for {
+            tkhd <- child(b, trak, "tkhd")
+            if tkhd.payloadEnd - tkhd.payloadStart >= 24
+            idAt = tkhd.payloadStart +
+              (if ((b(tkhd.payloadStart) & 0xff) == 1) 20 else 12)
+            if idAt + 4 <= tkhd.payloadEnd
+            mdia <- child(b, trak, "mdia")
+          } yield (u32(b, idAt), handlerType(b, mdia).contains("vide"))
+        }
+    }
+
   def fragmentIndex(bytes: Array[Byte]): Option[IndexedSeq[FrameSpan]] = {
-    val topOpt = boxes(bytes, 0, bytes.length)
+    val topOpt = boxes(bytes, 0, bytes.length, topLevel = true)
     if (topOpt.isEmpty) return None
     val top = topOpt.get
     if (top.isEmpty || top.head.fourcc != "ftyp") return None
     val moofs = top.filter(_.fourcc == "moof")
     if (moofs.isEmpty) return None
+    // when the init segment declares tracks, only the VIDEO track's
+    // trafs are read (an audio-track-first fragment must not emit
+    // audio ranges as frames); an init segment that declares tracks
+    // but no video one has no frame stream at all. Bare init shells
+    // (no trak metadata, e.g. the synthetic fixtures) keep the legacy
+    // first-traf addressing.
+    val declared = declaredTracks(bytes, top)
+    val videoIds = declared.collect { case (id, true) => id }.toSet
+    if (declared.nonEmpty && videoIds.isEmpty) return None
+    def trafTrackId(tr: Box): Option[Long] =
+      boxes(bytes, tr.payloadStart, tr.payloadEnd).toSeq.flatten
+        .find(_.fourcc == "tfhd")
+        .collect { case tf if tf.payloadEnd - tf.payloadStart >= 8 =>
+          u32(bytes, tf.payloadStart + 4)
+        }
     val spans = scala.collection.mutable.ArrayBuffer.empty[FrameSpan]
     var mi = 0
     while (mi < moofs.length) {
@@ -250,8 +353,12 @@ object Mp4Index {
       mi += 1
       val kidsOpt = boxes(bytes, moof.payloadStart, moof.payloadEnd)
       if (kidsOpt.isEmpty) return None
-      val trafOpt = kidsOpt.get.find(_.fourcc == "traf")
-      if (trafOpt.isEmpty) return None
+      val trafs = kidsOpt.get.filter(_.fourcc == "traf")
+      val trafOpt =
+        if (videoIds.isEmpty) trafs.headOption
+        else trafs.find(tr => trafTrackId(tr).exists(videoIds.contains))
+      if (trafOpt.isEmpty && videoIds.isEmpty) return None
+      if (trafOpt.isDefined) {
       val tkidsOpt = boxes(bytes, trafOpt.get.payloadStart,
         trafOpt.get.payloadEnd)
       if (tkidsOpt.isEmpty) return None
@@ -297,7 +404,12 @@ object Mp4Index {
         val headNeed = 8 + 4 + (if ((flags & 0x04) != 0) 4 else 0)
         if (trun.payloadEnd - trun.payloadStart < headNeed) return None
         var p = trun.payloadStart + 8
-        val dataOffset = u32(bytes, p).toInt // signed, but ≥0 here
+        // data_offset is SIGNED per §8.8.8 but a negative one would
+        // address sample bytes before the base (moof start / explicit
+        // base-data-offset) — no real muxer emits that; reject at
+        // parse time rather than relying on the later span check
+        val dataOffset = u32(bytes, p).toInt
+        if (dataOffset < 0) return None
         p += 4
         val firstFlags: Option[Long] =
           if ((flags & 0x04) != 0) { val v = u32(bytes, p); p += 4; Some(v) }
@@ -332,6 +444,7 @@ object Mp4Index {
           i += 1
         }
       }
+      } // trafOpt.isDefined — a moof without the video traf is skipped
     }
     if (spans.isEmpty) None else Some(spans.toIndexedSeq)
   }
@@ -357,24 +470,30 @@ object Mp4Index {
     */
   // ---- synthetic-encoder byte builders (shared by both encoders so
   // the fixtures' framing can never drift apart) ----
-  private def box(name: String, payload: Array[Byte]): Array[Byte] = {
+  private[multimodal] def box(name: String, payload: Array[Byte]): Array[Byte] = {
     val out = java.nio.ByteBuffer.allocate(8 + payload.length)
     out.putInt(8 + payload.length).put(name.getBytes("ISO-8859-1"))
       .put(payload)
     out.array()
   }
-  private def full(name: String, payload: Array[Byte]): Array[Byte] =
+  private[multimodal] def full(name: String, payload: Array[Byte]): Array[Byte] =
     box(name, Array[Byte](0, 0, 0, 0) ++ payload)
-  private def u32a(vs: Seq[Long]): Array[Byte] = {
+  private[multimodal] def u32a(vs: Seq[Long]): Array[Byte] = {
     val out = java.nio.ByteBuffer.allocate(4 * vs.length)
     vs.foreach(v => out.putInt(v.toInt))
     out.array()
   }
-  private def u64a(v: Long): Array[Byte] =
+  private[multimodal] def u64a(v: Long): Array[Byte] =
     java.nio.ByteBuffer.allocate(8).putLong(v).array()
 
+  /** hdlr box declaring `handler_type` (§8.4.3): vf + pre_defined +
+    * type + 12 reserved + empty name. */
+  private def hdlrBox(handler: String): Array[Byte] =
+    full("hdlr", u32a(Seq(0L)) ++ handler.getBytes("ISO-8859-1") ++
+      new Array[Byte](13))
+
   def encodeSynthetic(samples: Seq[Array[Byte]], syncSamples: Seq[Int],
-      samplesPerChunk: Int = 2): Array[Byte] = {
+      samplesPerChunk: Int = 2, audioTrakFirst: Boolean = false): Array[Byte] = {
     require(samples.nonEmpty && samplesPerChunk > 0)
     val ftyp = box("ftyp",
       "isom".getBytes("ISO-8859-1") ++ Array[Byte](0, 0, 0, 0))
@@ -403,7 +522,21 @@ object Mp4Index {
       u32a(Seq(syncSamples.length.toLong)) ++
         u32a(syncSamples.map(_.toLong)))
     val stbl = box("stbl", stsd ++ stsz ++ stsc ++ stco ++ stss)
-    val moov = box("moov", box("trak", box("mdia", box("minf", stbl))))
+    val videoTrak = box("trak",
+      box("mdia", hdlrBox("vide") ++ box("minf", stbl)))
+    // an optional LEADING audio trak with its own complete (1-sample)
+    // sample table — the layout real muxers emit when audio is track 1;
+    // an indexer without the hdlr filter would emit ITS ranges as frames
+    val audioTrak = if (!audioTrakFirst) Array.empty[Byte] else {
+      val mp4a = box("mp4a", new Array[Byte](28))
+      val aStbl = box("stbl",
+        full("stsd", u32a(Seq(1L)) ++ mp4a) ++
+          full("stsz", u32a(Seq(0L, 1L, samples.head.length.toLong))) ++
+          full("stsc", u32a(Seq(1L, 1L, 1L, 1L))) ++
+          full("stco", u32a(Seq(1L, mdatPayloadAt.toLong))))
+      box("trak", box("mdia", hdlrBox("soun") ++ box("minf", aStbl)))
+    }
+    val moov = box("moov", audioTrak ++ videoTrak)
     ftyp ++ mdat ++ moov
   }
 
@@ -419,11 +552,25 @@ object Mp4Index {
     */
   def encodeSyntheticFragmented(fragments: Seq[Seq[Array[Byte]]],
       perSampleSizes: Boolean = true,
-      explicitBase: Boolean = false): Array[Byte] = {
+      explicitBase: Boolean = false,
+      audioTrackFirst: Boolean = false): Array[Byte] = {
     require(fragments.nonEmpty && fragments.forall(_.nonEmpty))
     val ftyp = box("ftyp", "cmfc".getBytes("ISO-8859-1") ++
       Array[Byte](0, 0, 0, 0))
-    val moov = box("moov", box("mvex", Array.empty[Byte]))
+    // `audioTrackFirst`: the init segment DECLARES tracks (tkhd +
+    // hdlr) with audio as track 2 listed first, and every fragment
+    // leads with the audio traf + a 4-byte audio sample at the mdat
+    // head — the real muxed-media layout an indexer without traf
+    // track-ID selection would misread as video frames
+    def trakShell(id: Long, handler: String): Array[Byte] =
+      box("trak",
+        full("tkhd", u32a(Seq(0L, 0L, id, 0L, 0L))) ++
+          box("mdia", hdlrBox(handler)))
+    val audioLen = if (audioTrackFirst) 4 else 0
+    val moov = box("moov",
+      (if (audioTrackFirst)
+        trakShell(2L, "soun") ++ trakShell(1L, "vide")
+      else Array.empty[Byte]) ++ box("mvex", Array.empty[Byte]))
     var pos = ftyp.length + moov.length
     val parts = scala.collection.mutable.ArrayBuffer[Array[Byte]](ftyp, moov)
     fragments.zipWithIndex.foreach { case (samples, fi) =>
@@ -437,26 +584,36 @@ object Mp4Index {
       val tfhdLen = 8 + 8 + (if (explicitBase) 8 else 0) +
         (if (perSampleSizes) 0 else 4) + 4
       val trunLen = 8 + 8 + 8 + (if (perSampleSizes) 4 * n else 0)
-      val moofSize = 8 + 16 + 8 + tfhdLen + trunLen
+      // audio traf: tfhd(default-base-is-moof, default size+flags) 24
+      // + trun(data_offset only) 20 + traf hdr 8
+      val trafAudioLen = if (audioTrackFirst) 8 + 24 + 20 else 0
+      val moofSize = 8 + 16 + trafAudioLen + 8 + tfhdLen + trunLen
       val mdatPayloadAt = pos + moofSize + 8
+      val trafAudio = if (!audioTrackFirst) Array.empty[Byte] else
+        box("traf",
+          box("tfhd", u32a(Seq(0x20000L | 0x10L | 0x20L, 2L,
+            audioLen.toLong, 0x10000L))) ++
+            box("trun", u32a(Seq(0x01L, 1L, (moofSize + 8).toLong))))
       val tfhd = box("tfhd",
         u32a(Seq(tfhdFlags, 1L)) ++
-          (if (explicitBase) u64a(mdatPayloadAt.toLong)
+          (if (explicitBase) u64a((mdatPayloadAt + audioLen).toLong)
            else Array.empty[Byte]) ++
           (if (perSampleSizes) Array.empty[Byte]
            else u32a(Seq(samples.head.length.toLong))) ++
           u32a(Seq(0x10000L))) // default flags: non-sync
       val trun = box("trun",
         u32a(Seq(trunFlags, n.toLong,
-          if (explicitBase) 0L else (moofSize + 8).toLong,
+          if (explicitBase) 0L else (moofSize + 8 + audioLen).toLong,
           0L)) ++ // first_sample_flags: sync
           (if (perSampleSizes) u32a(samples.map(_.length.toLong))
            else Array.empty[Byte]))
       val mfhd = box("mfhd", u32a(Seq(0L, (fi + 1).toLong)))
-      val moof = box("moof", mfhd ++ box("traf", tfhd ++ trun))
+      val moof = box("moof",
+        mfhd ++ trafAudio ++ box("traf", tfhd ++ trun))
       require(moof.length == moofSize,
         s"moof size arithmetic drifted: ${moof.length} != $moofSize")
-      val mdat = box("mdat", samples.flatten.toArray)
+      val audioSample = Array.tabulate[Byte](audioLen)(j => (0x60 + j).toByte)
+      val mdat = box("mdat", audioSample ++ samples.flatten.toArray)
       parts += moof
       parts += mdat
       pos += moof.length + mdat.length

@@ -162,11 +162,24 @@ object IvfIndex {
         .getOrElse("")
       val snapTiers = committed.split(";").find(_.startsWith("tiers="))
         .map(_.stripPrefix("tiers=").split(",").toSeq.filter(_.nonEmpty))
-      require(snapTiers.forall(_ == tiers),
+      // compare as SETS: the tier list is a vocabulary, not an order —
+      // two index types staging the same tiers in a different order
+      // are the same retrain, not a conflict
+      require(snapTiers.forall(_.toSet == tiers.toSet),
         s"retrain of $name is in flight for tier set " +
           s"[${snapTiers.get.mkString(",")}] but this retrain would " +
           s"build [${tiers.mkString(",")}] — rerun the index type that " +
           "started it (its snapshot and staged tables are intact)")
+      if (snapTiers.isEmpty)
+        // legacy snapshot from before tier recording: it cannot vouch
+        // for WHICH index type started the retrain — proceed (the
+        // finishSwap marker checks still refuse a subset promotion)
+        // but say so, loudly, instead of silently resuming
+        System.err.println(
+          s"[graft] retrain of $name resumes a snapshot that predates " +
+            s"tier recording — cannot verify it was taken for " +
+            s"[${tiers.mkString(",")}]; the swap-marker staged-table " +
+            "cross-check remains the backstop")
       buildAside(src)
       warehouse.writeTableFile(src, SwapReadyMark, tiers.mkString(","))
     }

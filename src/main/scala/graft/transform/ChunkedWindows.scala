@@ -114,6 +114,15 @@ object ChunkedWindows {
     * a map-side-combined `max_by` aggregation, rolled with a small
     * window and broadcast back. Pass pre-sampled `bounds` (from
     * [[chunkBounds]]) to share one sketch job across chained helpers.
+    *
+    * REQUIREMENT (shared by every helper here, stated once): the
+    * order columns must be NON-NULL and totally order rows within a
+    * key. The bridge's `max_by` over the order tuple must agree with
+    * the window sort about which row is "last in the chunk" — a NULL
+    * order value (which the window sorts first but `max_by`'s struct
+    * ordering also ranks lowest only field-by-field) or an order tie
+    * (both pick arbitrarily, possibly differently) can hand the next
+    * chunk a different bridge value than a plain window would.
     */
   def lag1(df: DataFrame, keyCols: Seq[String], orderCols: Seq[String],
       lagCols: Map[String, String],

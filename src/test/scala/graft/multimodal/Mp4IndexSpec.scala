@@ -156,6 +156,89 @@ class Mp4IndexSpec extends AnyFunSuite {
     assert(Mp4Index.frameIndex(plain).isDefined)
   }
 
+  test("audio trak first: the VIDEO trak is indexed, not track 1's audio table") {
+    val ss = samples(7, 14, 3, 21, 9)
+    val mp4 = Mp4Index.encodeSynthetic(ss, syncSamples = Seq(1, 4),
+      samplesPerChunk = 2, audioTrakFirst = true)
+    // the leading audio trak has a complete 1-sample table — an
+    // indexer without the hdlr filter returns THAT (1 bogus "frame")
+    val spans = Mp4Index.frameIndex(mp4).get
+    assert(spans.length === 5)
+    assert(spans.map(_.byteLen) === Seq(7, 14, 3, 21, 9))
+    spans.zip(ss).foreach { case (sp, s) =>
+      assert(mp4.slice(sp.byteStart, sp.byteStart + sp.byteLen)
+        .sameElements(s), s"frame ${sp.frameIdx}")
+    }
+    assert(Mp4Index.sampleTable(mp4).get.codec === "avc1")
+  }
+
+  test("hdlr governs trak eligibility; stsd fourcc is the fallback when absent") {
+    val mp4 = Mp4Index.encodeSynthetic(samples(4, 4), Seq(1))
+    def renamed(from: String, to: String): Array[Byte] = {
+      val idx = new String(mp4, "ISO-8859-1").indexOf(from)
+      assert(idx > 0, from)
+      val b = mp4.clone()
+      to.getBytes("ISO-8859-1").zipWithIndex.foreach { case (c, i) =>
+        b(idx + i) = c
+      }
+      b
+    }
+    // no hdlr box at all (legacy minimal mux): the avc1 stsd fourcc
+    // vouches for video-ness
+    assert(Mp4Index.frameIndex(renamed("hdlr", "zzzz")).isDefined)
+    // a declared NON-video handler excludes the trak outright
+    assert(Mp4Index.frameIndex(renamed("vide", "soun")).isEmpty)
+    // avc3 (in-band parameter sets) is still a video fourcc and still
+    // exposes its config record
+    val avc3 = Mp4Index.sampleTable(renamed("avc1", "avc3")).get
+    assert(avc3.codec === "avc3" && avc3.avcC.isDefined)
+  }
+
+  test("size==0 is last-top-level-box only: legal on moov, refused nested") {
+    val mp4 = Mp4Index.encodeSynthetic(samples(4, 4), Seq(1))
+    val s = new String(mp4, "ISO-8859-1")
+    def zeroSize(fourccIdx: Int): Array[Byte] = {
+      val b = mp4.clone()
+      java.util.Arrays.fill(b, fourccIdx - 4, fourccIdx, 0.toByte)
+      b
+    }
+    // moov is the last top-level box: size 0 = "to end of file", legal
+    assert(Mp4Index.frameIndex(zeroSize(s.lastIndexOf("moov"))).isDefined)
+    // the same trick on a NESTED box (stsz inside stbl) must refuse —
+    // it would swallow its siblings
+    assert(Mp4Index.frameIndex(zeroSize(s.indexOf("stsz"))).isEmpty)
+  }
+
+  test("fragmented: declared tracks route trafs — audio traf first is skipped") {
+    val frags = Seq(samples(5, 9), samples(7))
+    val f = Mp4Index.encodeSyntheticFragmented(frags, audioTrackFirst = true)
+    val spans = Mp4Index.frameIndex(f).get
+    assert(spans.length === 3)
+    assert(spans.map(_.byteLen) === Seq(5, 9, 7))
+    spans.zip(frags.flatten).foreach { case (sp, s) =>
+      assert(f.slice(sp.byteStart, sp.byteStart + sp.byteLen)
+        .sameElements(s), s"frame ${sp.frameIdx}")
+    }
+    assert(spans.map(_.isIdr) === Seq(true, false, true))
+    // an init segment that declares tracks but no VIDEO one has no
+    // frame stream: flip the vide handler to soun
+    val idx = new String(f, "ISO-8859-1").indexOf("vide")
+    val noVideo = f.clone()
+    "soun".getBytes("ISO-8859-1").zipWithIndex.foreach { case (c, i) =>
+      noVideo(idx + i) = c
+    }
+    assert(Mp4Index.frameIndex(noVideo).isEmpty)
+  }
+
+  test("fragmented: negative trun data_offset refuses at parse time") {
+    val f = Mp4Index.encodeSyntheticFragmented(Seq(samples(5, 5)))
+    val idx = new String(f, "ISO-8859-1").indexOf("trun")
+    // data_offset u32 sits at trun fourcc + 4 (vf) + 4 (count)
+    val bad = f.clone()
+    bad(idx + 12) = 0xff.toByte
+    assert(Mp4Index.frameIndex(bad).isEmpty)
+  }
+
   test("sampler integration: MP4 sniffs first and indexes via the table") {
     val mp4 = Mp4Index.encodeSynthetic(samples(6, 6, 6, 6), Seq(1, 3))
     val spans = Mp4Index.frameIndex(mp4).get
