@@ -585,9 +585,59 @@ object MultimodalQueries {
       .orderBy("asset_id", "frame_idx")
   }
 
+  /** HEVC (H.265) frame indexing ([[graft.multimodal.H265]]) over
+    * BOTH framings in one sampling pass. Byte-exact oracle from the
+    * NAL arithmetic: Annex-B frame 0 owns the stream head
+    * (VPS+SPS+PPS at 8 B each + primary + continuation slice at 8 B
+    * = 40), later frames are two 8 B slices (16); the hvcC clip's
+    * record is exactly 50 B (23 fixed + 3 parameter-set arrays of 9)
+    * and spans cover SAMPLE bytes only — the same out-of-band
+    * contrast the AVCC gate pins for H.264. Asset 4 (lengthSize 2,
+    * 6 B frames) pins lengthSizeMinusOne handling; junk pins the
+    * flagged fallback. A header-check, AU-grouping, or sniff-order
+    * regression (H.264 claiming HEVC bytes or vice versa) hash-fails.
+    */
+  val qMultimodalHevcIndex: QueryDef = QueryDef.sql(
+    "q_multimodal_hevc_index",
+    """SELECT * FROM (VALUES
+      |  (1, 0, CAST(0 AS BIGINT), CAST(40 AS BIGINT), true, true),
+      |  (1, 2, CAST(56 AS BIGINT), CAST(16 AS BIGINT), false, true),
+      |  (1, 4, CAST(88 AS BIGINT), CAST(16 AS BIGINT), false, true),
+      |  (2, 0, CAST(50 AS BIGINT), CAST(16 AS BIGINT), true, true),
+      |  (2, 2, CAST(82 AS BIGINT), CAST(16 AS BIGINT), false, true),
+      |  (2, 4, CAST(114 AS BIGINT), CAST(16 AS BIGINT), false, true),
+      |  (3, -1, NULL, NULL, NULL, false),
+      |  (4, 0, CAST(50 AS BIGINT), CAST(6 AS BIGINT), true, true))
+      |  AS t(asset_id, frame_idx, byte_start, byte_len, is_idr, indexed)
+      |ORDER BY asset_id, frame_idx""".stripMargin,
+    doc = "HEVC (H.265) frame index over Annex-B and hvcC framings " +
+      "(multimodal ops; decode is the documented external-seam stub)") {
+    (s, dir) =>
+    import s.implicits._
+    import graft.multimodal.H265
+    val idrs = Seq(true, false, false, true, false)
+    val assets = Seq(
+      (1L, "mem://clip.h265", H265.encodeSynthetic(idrs, extraSlices = 1)),
+      (2L, "mem://clip.hevc",
+        H265.encodeSyntheticHvcc(idrs, extraSlices = 1)),
+      (3L, "mem://junk.hevc", Array[Byte](9, 9, 9, 9)),
+      (4L, "mem://short.265",
+        H265.encodeSyntheticHvcc(Seq(true, false), lengthSize = 2))
+    ).toDF("id", "uri", "bytes")
+    Multimodal.sampleH264Frames(
+        Multimodal.toMediaAssets(assets, "id", "uri", "bytes")(s),
+        stride = 2, maxFrames = 5)(s)
+      .select(col("asset_id"), col("frame_idx"),
+        when(col("indexed"), col("byte_start")).as("byte_start"),
+        when(col("indexed"), col("byte_len")).as("byte_len"),
+        when(col("indexed"), col("is_idr")).as("is_idr"),
+        col("indexed"))
+      .orderBy("asset_id", "frame_idx")
+  }
+
   val all: Seq[QueryDef] = Seq(
     qMultimodalDecode, qMultimodalAudio, qMultimodalResize, qMultimodalVideo,
     qMultimodalPhash, qMultimodalAudioNeardup, qMultimodalVideoNeardup,
     qMultimodalH264Index, qMultimodalAvccIndex, qMultimodalMp4Index,
-    qMultimodalFmp4Index, qMultimodalMp3Index)
+    qMultimodalFmp4Index, qMultimodalMp3Index, qMultimodalHevcIndex)
 }

@@ -56,7 +56,8 @@ object Multimodal {
       col(idCol).cast("long").as("asset_id"),
       when(lower(col(uriCol)).rlike("\\.(png|jpe?g|gif|bmp|webp)$"), "image")
         .when(lower(col(uriCol)).rlike("\\.(wav|mp3|flac|ogg)$"), "audio")
-        .when(lower(col(uriCol)).rlike("\\.(mp4|avi|mkv|webm|h264|264)$"),
+        .when(lower(col(uriCol))
+          .rlike("\\.(mp4|mov|avi|mkv|webm|h264|264|h265|hevc|265)$"),
           "video")
         .otherwise("unknown").as("kind"),
       col(uriCol).as("uri"),
@@ -538,28 +539,38 @@ object Multimodal {
       is_idr: Boolean,
       indexed: Boolean)
 
-  /** H.264 frame-range sampling ([[H264AnnexB]] / [[H264Avcc]]):
-    * index the access units in one linear scan, then emit every
-    * `stride`-th frame's BYTE RANGE (up to `maxFrames`;
-    * `keyframesOnly` restricts to IDR frames — the seekable ones).
-    * This is the MJPEG sampler's access pattern applied to the codec
-    * the JVM cannot decode: at 100 TB the win is fetching only the
-    * sampled ranges and handing them to an external decoder behind a
-    * UDF seam — the decode step itself is deliberately absent here
-    * (no JDK H.264 decoder; the range + IDR flag is everything the
-    * seam needs). All three mainstream framings are accepted per
-    * asset, strictest sniff first: real MP4 files ([[Mp4Index]] —
-    * the `stbl` sample table IS the frame index, no codec parsing;
-    * a leading `ftyp` cannot be impersonated by the other two), raw
-    * AVCC (avcC record + length-prefixed NALs — before Annex-B
-    * because a 4-byte length prefix can impersonate a start code,
-    * never the reverse), then the Annex-B start-code walk.
-    * Out-of-band parameter sets (the avcC record at the asset head
-    * for raw AVCC, inside `stsd`/avc1 for MP4 —
-    * [[Mp4Index.SampleTable]]) are the decoder seam's to re-read;
-    * Annex-B frame 0 carries them inline. Bytes matching no framing
-    * emit one flagged `indexed = false` row, keeping the pipeline
-    * total.
+  /** Coded-video frame-range sampling across the H.264 AND HEVC
+    * (H.265) families ([[H264AnnexB]] / [[H264Avcc]] / [[H265]] /
+    * [[Mp4Index]]): index the access units in one linear scan, then
+    * emit every `stride`-th frame's BYTE RANGE (up to `maxFrames`;
+    * `keyframesOnly` restricts to IDR/IRAP frames — the seekable
+    * ones). This is the MJPEG sampler's access pattern applied to the
+    * codecs the JVM cannot decode: at 100 TB the win is fetching only
+    * the sampled ranges and handing them to an external decoder
+    * behind a UDF seam — the decode step itself is deliberately
+    * absent here (the range + keyframe flag is everything the seam
+    * needs). Framings are sniffed strictest-first per asset:
+    *  1. real MP4 ([[Mp4Index]] — the `stbl`/`moof` tables ARE the
+    *     frame index, codec-agnostic; a leading `ftyp` cannot be
+    *     impersonated by the others),
+    *  2. raw AVCC (avcC record + length-prefixed NALs — before any
+    *     start-code walk because a 4-byte length prefix can
+    *     impersonate a start code, never the reverse),
+    *  3. raw hvcC + length-prefixed HEVC ([[H265.frameIndexHvcc]] —
+    *     its six reserved-bit checks and exact tiling cannot pass an
+    *     avcC record, and vice versa),
+    *  4. H.264 Annex-B (start codes, parameter sets inline),
+    *  5. HEVC Annex-B ([[H265.frameIndexAnnexB]] — AFTER H.264
+    *     because an H.264 slice payload's leading 0x80 reads as
+    *     temporal_id_plus1 == 0 and fails HEVC's whole-stream header
+    *     check, while H.265 NAL types never alias H.264 slice types
+    *     at nuh_layer_id 0; trying H.264 first makes the order
+    *     independent of payload luck).
+    * Out-of-band parameter sets (avcC/hvcC at the asset head for raw
+    * streams, inside `stsd` for MP4 — [[Mp4Index.SampleTable]]) are
+    * the decoder seam's to re-read; Annex-B frame 0 carries them
+    * inline. Bytes matching no framing emit one flagged
+    * `indexed = false` row, keeping the pipeline total.
     */
   def sampleH264Frames(assets: Dataset[MediaAsset], stride: Int,
       maxFrames: Int, keyframesOnly: Boolean = false)(
@@ -575,7 +586,9 @@ object Multimodal {
         val indexed =
           try Mp4Index.frameIndex(a.content)
             .orElse(H264Avcc.frameIndex(a.content))
+            .orElse(H265.frameIndexHvcc(a.content))
             .orElse(H264AnnexB.frameIndex(a.content))
+            .orElse(H265.frameIndexAnnexB(a.content))
           catch { case scala.util.control.NonFatal(_) => None }
         indexed match {
           case Some(spans) =>
