@@ -131,21 +131,30 @@ object Mp4Index {
     * skipped outright.
     */
   private def sampleTableIn(b: Array[Byte], top: IndexedSeq[Box],
-      boundLen: Long): Option[SampleTable] = {
-    val candidates = top.filter(_.fourcc == "moov").flatMap { moov =>
-      boxes(b, moov.payloadStart, moov.payloadEnd).toSeq.flatten
-        .filter(_.fourcc == "trak")
-        .flatMap { trak =>
-          child(b, trak, "mdia").toSeq.flatMap { mdia =>
-            val handler = handlerType(b, mdia)
-            if (handler.exists(_ != "vide")) Seq.empty
-            else child(b, mdia, "minf")
-              .flatMap(minf => child(b, minf, "stbl"))
-              .map(stbl => (stbl, handler.isDefined))
-              .toSeq
-          }
+      boundLen: Long): Option[SampleTable] =
+    top.filter(_.fourcc == "moov").iterator
+      .flatMap(m => sampleTableInMoov(b, m.payloadStart, m.payloadEnd,
+        boundLen))
+      .nextOption()
+
+  /** The video sample table inside ONE moov payload range — shared by
+    * the in-memory walk and the seekable path (which hands in the
+    * moov payload as its own array with `boundLen` = the file size).
+    */
+  private[multimodal] def sampleTableInMoov(b: Array[Byte], start: Int,
+      end: Int, boundLen: Long): Option[SampleTable] = {
+    val candidates = boxes(b, start, end).toSeq.flatten
+      .filter(_.fourcc == "trak")
+      .flatMap { trak =>
+        child(b, trak, "mdia").toSeq.flatMap { mdia =>
+          val handler = handlerType(b, mdia)
+          if (handler.exists(_ != "vide")) Seq.empty
+          else child(b, mdia, "minf")
+            .flatMap(minf => child(b, minf, "stbl"))
+            .map(stbl => (stbl, handler.isDefined))
+            .toSeq
         }
-    }
+      }
     candidates.iterator.flatMap { case (stbl, declaredVideo) =>
       parseStbl(b, stbl, boundLen)
         .filter(t => declaredVideo || VideoFourccs(t.codec))
@@ -461,6 +470,90 @@ object Mp4Index {
           t.sync.contains(i + 1)))
     }.orElse(fragmentIndex(bytes))
 
+  // ---- seekable (>2 GiB) indexing: the stbl path never needs mdat
+  // bytes, so a movie-length file indexes from its box headers + the
+  // moov alone — the in-row Array[Byte] walkers cap at the JVM's
+  // 2 GiB array limit; this path has no such ceiling ----
+
+  /** Seekable byte source: the seam between the header-only walk and
+    * storage (local file, HDFS stream, object-store ranged GET). */
+  trait RangeReader extends java.io.Closeable {
+    def length: Long
+    /** Exactly `len` bytes at absolute offset `at`. */
+    def readFully(at: Long, len: Int): Array[Byte]
+  }
+
+  /** Local-file RangeReader (java.io.RandomAccessFile). */
+  final class FileRangeReader(path: String) extends RangeReader {
+    private val raf = new java.io.RandomAccessFile(path, "r")
+    def length: Long = raf.length()
+    def readFully(at: Long, len: Int): Array[Byte] = {
+      val out = new Array[Byte](len)
+      raf.seek(at)
+      raf.readFully(out)
+      out
+    }
+    def close(): Unit = raf.close()
+  }
+
+  /** A frame span with 64-bit byte addressing — the seekable path's
+    * twin of [[H264AnnexB.FrameSpan]]. */
+  final case class LongSpan(frameIdx: Int, byteStart: Long, byteLen: Long,
+      isIdr: Boolean)
+
+  /** The video sample table of a seekable MP4, reading ONLY the
+    * top-level box headers (8–16 bytes each) and the `moov` payload —
+    * never `mdat`. Same strictness as [[sampleTable]]: ftyp first,
+    * exact top-level tiling (size==0 honored as extends-to-end — this
+    * IS the top level), table-internal consistency with sample spans
+    * bounds-checked against the FILE length. `maxMoovBytes` caps the
+    * one in-memory read (a real movie's moov is MBs; a "moov" clause
+    * claiming gigabytes is corrupt or adversarial → None).
+    */
+  def sampleTableSeekable(r: RangeReader,
+      maxMoovBytes: Int = 1 << 28): Option[SampleTable] = {
+    val len = r.length
+    var pos = 0L
+    var first = true
+    var moov: Option[Array[Byte]] = None
+    while (pos < len) {
+      if (pos + 8 > len) return None
+      val hdr = r.readFully(pos, if (pos + 16 <= len) 16 else 8)
+      var size = u32(hdr, 0)
+      var hl = 8
+      if (size == 1) {
+        if (hdr.length < 16) return None
+        size = u64(hdr, 8); hl = 16
+      } else if (size == 0) size = len - pos // last box: to end
+      if (size < hl || size > len - pos) return None
+      val fc = fourcc(hdr, 4)
+      if (first && fc != "ftyp") return None
+      first = false
+      if (fc == "moov" && moov.isEmpty) {
+        val payloadLen = size - hl
+        if (payloadLen > maxMoovBytes) return None
+        moov = Some(r.readFully(pos + hl, payloadLen.toInt))
+      }
+      pos += size
+    }
+    if (first) return None // empty file
+    moov.flatMap(b => sampleTableInMoov(b, 0, b.length, boundLen = len))
+  }
+
+  /** 64-bit frame spans of a seekable MP4 — see
+    * [[sampleTableSeekable]]. Fragmented seekable files are not
+    * handled here (their moofs are scattered through the file; the
+    * in-memory [[fragmentIndex]] covers fragmented assets that fit in
+    * a row, which DASH/CMAF segments — the shape fragments actually
+    * arrive in — always do).
+    */
+  def frameIndexSeekable(r: RangeReader,
+      maxMoovBytes: Int = 1 << 28): Option[IndexedSeq[LongSpan]] =
+    sampleTableSeekable(r, maxMoovBytes).map { t =>
+      t.offsets.indices.map(i =>
+        LongSpan(i, t.offsets(i), t.sizes(i), t.sync.contains(i + 1)))
+    }
+
   /** Minimal-but-valid synthetic MP4 for specs: `ftyp` + `mdat`
     * holding the given samples (laid out in `chunks` groups) +
     * `moov/trak/mdia/minf/stbl` with stsd(avc1+avcC from
@@ -485,6 +578,31 @@ object Mp4Index {
   }
   private[multimodal] def u64a(v: Long): Array[Byte] =
     java.nio.ByteBuffer.allocate(8).putLong(v).array()
+
+  /** moov bytes for a sample table addressing FILE-absolute 64-bit
+    * offsets (`co64`, one sample per chunk) — the fixture builder for
+    * seekable >2 GiB specs, where chunk offsets exceed any Int.
+    */
+  def encodeMoovCo64(offsets: Seq[Long], sizes: Seq[Long],
+      syncSamples: Seq[Int]): Array[Byte] = {
+    require(offsets.nonEmpty && offsets.length == sizes.length)
+    val avccStream = H264Avcc.encodeSynthetic(Seq(true))
+    val avccRecord = avccStream.take(
+      H264Avcc.parseConfig(avccStream).get.headerLen)
+    val avc1 = box("avc1", new Array[Byte](78) ++ box("avcC", avccRecord))
+    val stsd = full("stsd", u32a(Seq(1L)) ++ avc1)
+    val stsz = full("stsz",
+      u32a(Seq(0L, sizes.length.toLong)) ++ u32a(sizes))
+    val stsc = full("stsc", u32a(Seq(1L, 1L, 1L, 1L)))
+    val co64 = full("co64", u32a(Seq(offsets.length.toLong)) ++
+      offsets.toArray.flatMap(u64a))
+    val stss = full("stss",
+      u32a(Seq(syncSamples.length.toLong)) ++
+        u32a(syncSamples.map(_.toLong)))
+    val stbl = box("stbl", stsd ++ stsz ++ stsc ++ co64 ++ stss)
+    box("moov",
+      box("trak", box("mdia", hdlrBox("vide") ++ box("minf", stbl))))
+  }
 
   /** hdlr box declaring `handler_type` (§8.4.3): vf + pre_defined +
     * type + 12 reserved + empty name. */

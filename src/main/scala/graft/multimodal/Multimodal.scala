@@ -610,6 +610,51 @@ object Multimodal {
     }
   }
 
+  /** Frame-range sampling for MP4 assets addressed BY PATH instead of
+    * by an in-row byte column — the >2 GiB route: the JVM's array cap
+    * means a movie-length MP4 cannot even be REPRESENTED as a binary
+    * column, and at 100 TB shipping whole assets through a shuffle to
+    * read 16-byte box headers is absurd anyway. Each task opens the
+    * file and indexes via [[Mp4Index.frameIndexSeekable]] — only the
+    * top-level box headers and the `moov` are ever read (the stbl
+    * path never needs `mdat` bytes), so indexing a 50 GB file costs
+    * KILOBYTES of I/O. Paths are local-filesystem here
+    * ([[Mp4Index.FileRangeReader]]); a distributed-FS reader is one
+    * [[Mp4Index.RangeReader]] implementation away. Unindexable paths
+    * (missing file, non-MP4, fragmented) emit the flagged
+    * `indexed = false` row, keeping the pipeline total.
+    */
+  def sampleMp4FramesByPath(df: DataFrame, idCol: String, pathCol: String,
+      stride: Int, maxFrames: Int, keyframesOnly: Boolean = false)(
+      implicit spark: SparkSession): Dataset[H264Frame] = {
+    import spark.implicits._
+    require(stride > 0 && maxFrames > 0, "stride and maxFrames must be positive")
+    df.select(col(idCol).cast("long"), col(pathCol).cast("string"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        it.flatMap { case (id, path) =>
+          val indexed =
+            try {
+              val r = new Mp4Index.FileRangeReader(path)
+              try Mp4Index.frameIndexSeekable(r)
+              finally r.close()
+            } catch { case scala.util.control.NonFatal(_) => None }
+          indexed match {
+            case Some(spans) =>
+              val pool = if (keyframesOnly) spans.filter(_.isIdr) else spans
+              (0 until pool.size by stride).take(maxFrames).iterator.map { i =>
+                val s = pool(i)
+                H264Frame(id, s.frameIdx, s.byteStart, s.byteLen, s.isIdr,
+                  indexed = true)
+              }
+            case None =>
+              Iterator.single(
+                H264Frame(id, -1, 0L, 0L, is_idr = false, indexed = false))
+          }
+        }
+      }
+  }
+
   /** A video clip's majority-bit perceptual signature over sampled
     * frame aHashes; `decoded = false` marks clips whose container was
     * rejected or produced no decodable sampled frame. */

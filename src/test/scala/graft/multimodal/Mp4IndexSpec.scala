@@ -239,6 +239,71 @@ class Mp4IndexSpec extends AnyFunSuite {
     assert(Mp4Index.frameIndex(bad).isEmpty)
   }
 
+  test("seekable: a sparse >2GiB MP4 indexes from headers alone, reading kilobytes") {
+    val f = java.io.File.createTempFile("graft-big", ".mp4")
+    try {
+      val ftyp = Mp4Index.box("ftyp",
+        "isom".getBytes("ISO-8859-1") ++ Array[Byte](0, 0, 0, 0))
+      val mdatPayload = 2400000000L // 2.4 GB, sparse
+      val raf = new java.io.RandomAccessFile(f, "rw")
+      raf.write(ftyp)
+      // mdat with the 64-bit size escape (size field == 1)
+      raf.write(Array[Byte](0, 0, 0, 1))
+      raf.write("mdat".getBytes("ISO-8859-1"))
+      raf.write(Mp4Index.u64a(16 + mdatPayload))
+      val s1 = Array.tabulate[Byte](5)(i => (10 + i).toByte)
+      val s2 = Array.tabulate[Byte](7)(i => (40 + i).toByte)
+      val off1 = 16L + 16L + 2200000123L // > Int.MaxValue: needs co64
+      val off2 = off1 + 100000019L
+      raf.seek(off1); raf.write(s1)
+      raf.seek(off2); raf.write(s2)
+      raf.seek(16L + 16L + mdatPayload)
+      raf.write(Mp4Index.encodeMoovCo64(Seq(off1, off2), Seq(5L, 7L),
+        syncSamples = Seq(1)))
+      raf.close()
+      assert(f.length > Int.MaxValue.toLong)
+      var bytesRead = 0L
+      val inner = new Mp4Index.FileRangeReader(f.getPath)
+      val counting = new Mp4Index.RangeReader {
+        def length: Long = inner.length
+        def readFully(at: Long, len: Int): Array[Byte] = {
+          bytesRead += len; inner.readFully(at, len)
+        }
+        def close(): Unit = inner.close()
+      }
+      val spans = try Mp4Index.frameIndexSeekable(counting).get
+        finally counting.close()
+      assert(spans.map(s => (s.byteStart, s.byteLen, s.isIdr)) ===
+        Seq((off1, 5L, true), (off2, 7L, false)))
+      // header-only contract: box headers + moov, never mdat
+      assert(bytesRead < 10000L, s"read $bytesRead bytes")
+      val r2 = new Mp4Index.FileRangeReader(f.getPath)
+      try {
+        assert(r2.readFully(off1, 5).sameElements(s1))
+        assert(r2.readFully(off2, 7).sameElements(s2))
+      } finally r2.close()
+    } finally f.delete()
+  }
+
+  test("seekable agrees with the in-memory walk on ordinary files and refuses junk") {
+    val ss = samples(7, 14, 3, 21, 9)
+    val mp4 = Mp4Index.encodeSynthetic(ss, syncSamples = Seq(1, 4))
+    val f = java.io.File.createTempFile("graft-small", ".mp4")
+    try {
+      java.nio.file.Files.write(f.toPath, mp4)
+      val r = new Mp4Index.FileRangeReader(f.getPath)
+      val seek = try Mp4Index.frameIndexSeekable(r).get finally r.close()
+      val mem = Mp4Index.frameIndex(mp4).get
+      assert(seek.map(s => (s.byteStart, s.byteLen, s.isIdr)) ===
+        mem.map(s => (s.byteStart.toLong, s.byteLen.toLong, s.isIdr)))
+      // junk file refuses
+      java.nio.file.Files.write(f.toPath, Array[Byte](9, 9, 9, 9))
+      val rj = new Mp4Index.FileRangeReader(f.getPath)
+      try assert(Mp4Index.frameIndexSeekable(rj).isEmpty)
+      finally rj.close()
+    } finally f.delete()
+  }
+
   test("sampler integration: MP4 sniffs first and indexes via the table") {
     val mp4 = Mp4Index.encodeSynthetic(samples(6, 6, 6, 6), Seq(1, 3))
     val spans = Mp4Index.frameIndex(mp4).get

@@ -228,4 +228,24 @@ class MultimodalSpec extends SparkSpec {
     assert(java.lang.Long.bitCount(got(1).vhash ^ got(3).vhash) === 64)
     assert(!got(4).decoded && got(4).n_frames_hashed === 0)
   }
+
+  test("sampleMp4FramesByPath indexes by path with the flagged fallback for bad paths") {
+    import spark.implicits._
+    val ss = Seq(7, 14, 3).map(n => Array.tabulate[Byte](n)(_.toByte))
+    val mp4 = Mp4Index.encodeSynthetic(ss, syncSamples = Seq(1, 3))
+    val f = java.io.File.createTempFile("graft-path", ".mp4")
+    try {
+      java.nio.file.Files.write(f.toPath, mp4)
+      val df = Seq((1L, f.getPath), (2L, "/nonexistent/clip.mp4"))
+        .toDF("id", "path")
+      val rows = Multimodal.sampleMp4FramesByPath(df, "id", "path",
+        stride = 2, maxFrames = 5).collect().sortBy(r => (r.asset_id, r.frame_idx))
+      val good = rows.filter(_.asset_id == 1L)
+      assert(good.map(_.frame_idx).toSeq === Seq(0, 2))
+      assert(good.map(_.byte_len).toSeq === Seq(7L, 3L))
+      assert(good.forall(_.indexed))
+      val bad = rows.filter(_.asset_id == 2L)
+      assert(bad.length === 1 && !bad.head.indexed && bad.head.frame_idx === -1)
+    } finally f.delete()
+  }
 }
