@@ -1,6 +1,6 @@
 package graft.multimodal
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Multimodal column handling for a training-data pipeline: media as
@@ -45,9 +45,49 @@ object Multimodal {
       mean_luma: Double,
       decoded: Boolean)
 
+  /** Leading-bytes kind sniff for assets whose uri carries no known
+    * extension — extension-only routing silently drops a misnamed
+    * `.bin` MP4 from every kind-filtered pipeline. Pure codegen'd
+    * binary `substring` comparisons against the container magics the
+    * strict indexers themselves arbitrate on: PNG/JPEG/GIF/BMP
+    * (image); RIFF+WAVE, ID3, or an MPEG-1/2 Layer-III frame sync
+    * (audio); ftyp at byte 4 (MP4), EBML 0x1A45DFA3 (Matroska/WebM),
+    * RIFF+AVI, or a 4-byte Annex-B start code (video). A sniffed kind
+    * only ROUTES the asset into a pipeline — the strict parsers still
+    * refuse non-conforming bytes with the flagged fallback row, so a
+    * magic-colliding junk blob costs one flagged row, never a wrong
+    * result.
+    */
+  def sniffKind(bytes: Column): Column = {
+    def magic(at: Int, m: Array[Byte]): Column =
+      substring(bytes, at, m.length) === lit(m)
+    def ascii(at: Int, s: String): Column =
+      magic(at, s.getBytes("ISO-8859-1"))
+    val image =
+      magic(1, Array(0x89.toByte, 0x50, 0x4e, 0x47)) || // PNG
+        magic(1, Array(0xff.toByte, 0xd8.toByte, 0xff.toByte)) || // JPEG
+        ascii(1, "GIF8") || ascii(1, "BM")
+    val audio =
+      (ascii(1, "RIFF") && ascii(9, "WAVE")) ||
+        ascii(1, "ID3") ||
+        // bare MP3 frame sync: FF + (MPEG-1/2, Layer III) second byte
+        (magic(1, Array(0xff.toByte)) &&
+          Seq(0xfb, 0xfa, 0xf3, 0xf2, 0xe3, 0xe2)
+            .map(b => magic(2, Array(b.toByte))).reduce(_ || _))
+    val video =
+      ascii(5, "ftyp") || // ISO-BMFF: size(4) then the ftyp fourcc
+        magic(1, Array(0x1a, 0x45, 0xdf.toByte, 0xa3.toByte)) || // EBML
+        (ascii(1, "RIFF") && ascii(9, "AVI ")) ||
+        magic(1, Array(0, 0, 0, 1)) // Annex-B start code (H.264/HEVC)
+    when(image, "image").when(audio, "audio").when(video, "video")
+      .otherwise("unknown")
+  }
+
   /** Wrap a DataFrame of (id, uri, bytes) into the canonical media
-    * schema, deriving kind from the uri suffix and length from the
-    * bytes — the multimodal twin of schema inference.
+    * schema, deriving kind from the uri suffix — falling back to the
+    * content sniff ([[sniffKind]]) when the extension is unknown —
+    * and length from the bytes: the multimodal twin of schema
+    * inference.
     */
   def toMediaAssets(df: DataFrame, idCol: String, uriCol: String,
       bytesCol: String)(implicit spark: SparkSession): Dataset[MediaAsset] = {
@@ -59,7 +99,7 @@ object Multimodal {
         .when(lower(col(uriCol))
           .rlike("\\.(mp4|mov|avi|mkv|webm|h264|264|h265|hevc|265)$"),
           "video")
-        .otherwise("unknown").as("kind"),
+        .otherwise(sniffKind(col(bytesCol))).as("kind"),
       col(uriCol).as("uri"),
       col(bytesCol).as("content"),
       length(col(bytesCol)).cast("long").as("content_length"))

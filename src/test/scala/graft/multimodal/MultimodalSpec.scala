@@ -248,4 +248,34 @@ class MultimodalSpec extends SparkSpec {
       assert(bad.length === 1 && !bad.head.indexed && bad.head.frame_idx === -1)
     } finally f.delete()
   }
+
+  test("content sniff routes extensionless/misnamed assets; extension keeps priority") {
+    import spark.implicits._
+    val mp4 = Mp4Index.encodeSynthetic(
+      Seq(4, 4).map(n => Array.tabulate[Byte](n)(_.toByte)), Seq(1))
+    val webm = MkvIndex.encodeSynthetic(
+      Seq((Array.tabulate[Byte](5)(_.toByte), true)))
+    val pngB = pngBytes(3, 2, 0xFFFFFF)
+    val annexB = H264AnnexB.encodeSynthetic(Seq(true))
+    val id3 = Array[Byte]('I', 'D', '3', 4, 0, 0, 0, 0, 0, 0)
+    val df = Seq(
+      (1L, "blob-no-extension", mp4),           // sniff: ftyp -> video
+      (2L, "data.bin", webm),                   // sniff: EBML -> video
+      (3L, "asset", pngB),                      // sniff: PNG -> image
+      (4L, "raw-stream", annexB),               // sniff: start code -> video
+      (5L, "tagged", id3),                      // sniff: ID3 -> audio
+      (6L, "noise.bin", Array[Byte](9, 9, 9)),  // junk stays unknown
+      (7L, "named.png", mp4)                    // extension wins over bytes
+    ).toDF("id", "uri", "bytes")
+    val kinds = Multimodal.toMediaAssets(df, "id", "uri", "bytes")
+      .collect().map(a => a.asset_id -> a.kind).toMap
+    assert(kinds === Map(1L -> "video", 2L -> "video", 3L -> "image",
+      4L -> "video", 5L -> "audio", 6L -> "unknown", 7L -> "image"))
+    // end-to-end: the extensionless MP4 lands in the video pipeline
+    // and indexes via the sample table
+    val spans = Multimodal.sampleH264Frames(
+      Multimodal.toMediaAssets(df.filter($"id" === 1L), "id", "uri",
+        "bytes"), stride = 1, maxFrames = 5).collect()
+    assert(spans.length === 2 && spans.forall(_.indexed))
+  }
 }
