@@ -418,7 +418,9 @@ object MultimodalQueries {
       |  (2, 2, CAST(43 AS BIGINT), CAST(14 AS BIGINT), false, true),
       |  (2, 4, CAST(71 AS BIGINT), CAST(14 AS BIGINT), false, true),
       |  (3, -1, NULL, NULL, NULL, false),
-      |  (4, 0, CAST(18 AS BIGINT), CAST(5 AS BIGINT), true, true))
+      |  (4, 0, CAST(18 AS BIGINT), CAST(5 AS BIGINT), true, true),
+      |  (5, 0, CAST(47 AS BIGINT), CAST(25 AS BIGINT), true, true),
+      |  (5, 2, CAST(89 AS BIGINT), CAST(17 AS BIGINT), false, true))
       |  AS t(asset_id, frame_idx, byte_start, byte_len, is_idr, indexed)
       |ORDER BY asset_id, frame_idx""".stripMargin,
     doc = "H.264 AVCC (length-prefixed) frame index beside Annex-B in one " +
@@ -434,7 +436,11 @@ object MultimodalQueries {
         H264AnnexB.encodeSynthetic(idrs, extraSlices = 1)),
       (3L, "mem://junk.mp4", Array[Byte](9, 9, 9, 9)),
       (4L, "mem://short.mkv",
-        H264Avcc.encodeSynthetic(Seq(true, false), lengthSize = 2))
+        H264Avcc.encodeSynthetic(Seq(true, false), lengthSize = 2)),
+      // real-layout fixture (x264-shaped High-profile record incl.
+      // the chroma/bit-depth extension): 47 B header, frames at
+      // 47/72/89 of 25/17/17 B — NOT produced by the repo's encoder
+      (5L, "mem://x264.mp4", graft.multimodal.ExternalFixtures.avccHighStream)
     ).toDF("id", "uri", "bytes")
     Multimodal.sampleH264Frames(
         Multimodal.toMediaAssets(assets, "id", "uri", "bytes")(s),
@@ -465,7 +471,9 @@ object MultimodalQueries {
       |  (1, 0, CAST(24 AS BIGINT), CAST(7 AS BIGINT), true, true),
       |  (1, 2, CAST(45 AS BIGINT), CAST(3 AS BIGINT), false, true),
       |  (1, 4, CAST(69 AS BIGINT), CAST(9 AS BIGINT), false, true),
-      |  (2, -1, NULL, NULL, NULL, false))
+      |  (2, -1, NULL, NULL, NULL, false),
+      |  (3, 0, CAST(48 AS BIGINT), CAST(9 AS BIGINT), true, true),
+      |  (3, 2, CAST(70 AS BIGINT), CAST(11 AS BIGINT), false, true))
       |  AS t(asset_id, frame_idx, byte_start, byte_len, is_idr, indexed)
       |ORDER BY asset_id, frame_idx""".stripMargin,
     doc = "MP4 stbl sample-table frame index + stride sampling " +
@@ -480,7 +488,11 @@ object MultimodalQueries {
       (1L, "mem://real.mp4",
         Mp4Index.encodeSynthetic(sampleBytes, syncSamples = Seq(1, 4),
           samplesPerChunk = 2)),
-      (2L, "mem://junk.mp4", Array[Byte](9, 9, 9, 9))
+      (2L, "mem://junk.mp4", Array[Byte](9, 9, 9, 9)),
+      // real-layout fixture: ffmpeg box order (ftyp+compat brands,
+      // free, mdat BEFORE a full moov with mvhd/tkhd/edts/mdhd/hdlr/
+      // vmhd/dinf/stts/ctts) — samples (9,13,11) at 48/57/70, stss={1}
+      (3L, "mem://lavf.mp4", graft.multimodal.ExternalFixtures.ffmpegStyleMp4)
     ).toDF("id", "uri", "bytes")
     Multimodal.sampleH264Frames(
         Multimodal.toMediaAssets(assets, "id", "uri", "bytes")(s),
@@ -512,7 +524,10 @@ object MultimodalQueries {
       |  (1, 0, CAST(124 AS BIGINT), CAST(5 AS BIGINT), true, true),
       |  (1, 1, CAST(129 AS BIGINT), CAST(9 AS BIGINT), false, true),
       |  (1, 2, CAST(226 AS BIGINT), CAST(7 AS BIGINT), true, true),
-      |  (2, -1, NULL, NULL, NULL, false))
+      |  (2, -1, NULL, NULL, NULL, false),
+      |  (3, 0, CAST(794 AS BIGINT), CAST(6 AS BIGINT), true, true),
+      |  (3, 1, CAST(800 AS BIGINT), CAST(8 AS BIGINT), false, true),
+      |  (3, 2, CAST(808 AS BIGINT), CAST(7 AS BIGINT), false, true))
       |  AS t(asset_id, frame_idx, byte_start, byte_len, is_idr, indexed)
       |ORDER BY asset_id, frame_idx""".stripMargin,
     doc = "fragmented-MP4 (moof/trun) frame index + sampling " +
@@ -526,7 +541,12 @@ object MultimodalQueries {
       (1L, "mem://segment.mp4",
         Mp4Index.encodeSyntheticFragmented(Seq(
           Seq(sample(5, 0), sample(9, 1)), Seq(sample(7, 2))))),
-      (2L, "mem://junk.mp4", Array[Byte](9, 9, 9, 9))
+      (2L, "mem://junk.mp4", Array[Byte](9, 9, 9, 9)),
+      // real-layout fixture: ffmpeg frag_keyframe shape (full init
+      // moov with mvex/trex + declared video trak, tfdt in the traf,
+      // per-sample duration/size/flags trun) — samples (6,8,7) at
+      // 794/800/808, first sync
+      (3L, "mem://dash.m4s", graft.multimodal.ExternalFixtures.ffmpegStyleFmp4)
     ).toDF("id", "uri", "bytes")
     Multimodal.sampleH264Frames(
         Multimodal.toMediaAssets(assets, "id", "uri", "bytes")(s),
@@ -557,7 +577,10 @@ object MultimodalQueries {
       |  (1, 0, CAST(30 AS BIGINT), CAST(576 AS BIGINT), 128, 32000, 1152, true),
       |  (1, 1, CAST(606 AS BIGINT), CAST(288 AS BIGINT), 64, 32000, 1152, true),
       |  (1, 2, CAST(894 AS BIGINT), CAST(1440 AS BIGINT), 320, 32000, 1152, true),
-      |  (2, -1, NULL, NULL, NULL, NULL, NULL, false))
+      |  (2, -1, NULL, NULL, NULL, NULL, NULL, false),
+      |  (3, 0, CAST(34 AS BIGINT), CAST(288 AS BIGINT), 64, 32000, 1152, true),
+      |  (3, 1, CAST(322 AS BIGINT), CAST(576 AS BIGINT), 128, 32000, 1152, true),
+      |  (3, 2, CAST(898 AS BIGINT), CAST(577 AS BIGINT), 128, 32000, 1152, true))
       |  AS t(asset_id, frame_idx, byte_start, byte_len, bitrate_kbps,
       |       sample_rate_hz, samples, indexed)
       |ORDER BY asset_id, frame_idx""".stripMargin,
@@ -570,7 +593,12 @@ object MultimodalQueries {
       (1L, "mem://talk.mp3",
         Mp3Frames.encodeSynthetic(Seq((9, 0), (5, 0), (14, 0)),
           srIdx = 2, mpeg1 = true, id3v2Size = 20, id3v1 = true)),
-      (2L, "mem://junk.mp3", Array[Byte](9, 9, 9, 9))
+      (2L, "mem://junk.mp3", Array[Byte](9, 9, 9, 9)),
+      // real-layout fixture: lame/ffmpeg shape — ID3v2.3 with a TSSE
+      // frame (34 B tag), a Xing/"Info" FIRST frame (valid 64 kbps
+      // header, 288 B), 128 kbps music frames (second padded: 577),
+      // ID3v1 trailer — frames at 34/322/898
+      (3L, "mem://lame.mp3", graft.multimodal.ExternalFixtures.lameStyleMp3)
     ).toDF("id", "uri", "bytes")
     Multimodal.sampleMp3Frames(
         Multimodal.toMediaAssets(assets, "id", "uri", "bytes")(s),
@@ -659,7 +687,10 @@ object MultimodalQueries {
       |  (2, 0, CAST(100 AS BIGINT), CAST(5 AS BIGINT), true, true),
       |  (2, 1, CAST(121 AS BIGINT), CAST(7 AS BIGINT), false, true),
       |  (2, 2, CAST(147 AS BIGINT), CAST(6 AS BIGINT), true, true),
-      |  (3, -1, NULL, NULL, NULL, false))
+      |  (3, -1, NULL, NULL, NULL, false),
+      |  (4, 0, CAST(201 AS BIGINT), CAST(6 AS BIGINT), true, true),
+      |  (4, 1, CAST(213 AS BIGINT), CAST(9 AS BIGINT), false, true),
+      |  (4, 2, CAST(228 AS BIGINT), CAST(5 AS BIGINT), true, true))
       |  AS t(asset_id, frame_idx, byte_start, byte_len, is_idr, indexed)
       |ORDER BY asset_id, frame_idx""".stripMargin,
     doc = "Matroska/WebM EBML block-walk frame index " +
@@ -675,7 +706,12 @@ object MultimodalQueries {
       (1L, "mem://clip.webm", MkvIndex.encodeSynthetic(fs.zip(keys))),
       (2L, "mem://muxed.mkv", MkvIndex.encodeSynthetic(fs.zip(keys),
         audioTrackFirst = true, useBlockGroups = true)),
-      (3L, "mem://junk.webm", Array[Byte](9, 9, 9, 9))
+      (3L, "mem://junk.webm", Array[Byte](9, 9, 9, 9)),
+      // real-layout fixture: ffmpeg shape — full 7-element EBML
+      // header, UNKNOWN-size Segment, Void patch space, Info with
+      // MuxingApp/WritingApp/Duration, full TrackEntry — frames
+      // (6,9,5) at 201/213/228, keys T/F/T
+      (4L, "mem://lavf.webm", graft.multimodal.ExternalFixtures.ffmpegStyleWebm)
     ).toDF("id", "uri", "bytes")
     Multimodal.sampleH264Frames(
         Multimodal.toMediaAssets(assets, "id", "uri", "bytes")(s),
