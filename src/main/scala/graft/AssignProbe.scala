@@ -47,9 +47,26 @@ object AssignProbe {
       ((System.nanoTime() - t0) / 1e9, out)
     }
 
-    val (tKernel, aKernel) = assignAll(threshold = k + 1) // exact route
-    val (tTwo, aTwo) = assignAll(threshold = 32768)       // default route
+    val (tKernel, aKernel) = assignAll(threshold = k + 1) // forced kernel
+    val (tTwo, aTwo) = assignAll(threshold = 32768)       // forced two-level
     val agree = aKernel.as("a").join(aTwo.as("b"), Seq("vec_id"))
+      .filter(col("a.centroid_id") === col("b.centroid_id")).count()
+    // the DEFAULT (no override) route: dimension-aware estimate caps
+    // decide — at this corpus's d the kernel serves far past 32768,
+    // which is the round-12 cliff fix under measurement here
+    spark.conf.unset("spark.graft.ivfAssign.maxKernelCentroids")
+    val dim = emb.select(col("embedding")).limit(1).collect()
+      .head.getSeq[Any](0).length
+    val cap = graft.sim.Similarity.kernelCap(spark, dim)
+    val defaultRoute = if (k <= cap) "kernel" else "twolevel"
+    def passDefault() = graft.sim.Similarity.ivfAssign(emb, "vec_id",
+        "embedding", cents, "centroid_id", "centroid_vec")
+      .select(col("vec_id"), col("centroid_id"))
+    passDefault().write.format("noop").mode("overwrite").save() // warm
+    val t0d = System.nanoTime()
+    val aDef = passDefault().localCheckpoint()
+    val tDef = (System.nanoTime() - t0d) / 1e9
+    val agreeDef = aKernel.as("a").join(aDef.as("b"), Seq("vec_id"))
       .filter(col("a.centroid_id") === col("b.centroid_id")).count()
 
     def survivors(threshold: Int): Long = {
@@ -63,9 +80,12 @@ object AssignProbe {
     val keptKernel = survivors(k + 1)
     val keptTwo = survivors(32768)
 
-    println(s"""{"probe":"assign_twolevel","n":$n,"k":$k,""" +
+    println(s"""{"probe":"assign_twolevel","n":$n,"k":$k,"dim":$dim,""" +
       s""""kernel_sec":${f"$tKernel%.3f"},"twolevel_sec":${f"$tTwo%.3f"},""" +
       s""""agreement":${f"${agree.toDouble / n}%.5f"},""" +
+      s""""default_route":"$defaultRoute","default_cap":$cap,""" +
+      s""""default_sec":${f"$tDef%.3f"},""" +
+      s""""default_agreement":${f"${agreeDef.toDouble / n}%.5f"},""" +
       s""""kept_kernel":$keptKernel,"kept_twolevel":$keptTwo,""" +
       s""""kept_drift":${keptKernel - keptTwo}}""")
     spark.stop()

@@ -135,6 +135,42 @@ object Similarity {
     * upstream clustering (e.g. sampled k-means); this operator is the
     * partition-pruned search side.
     */
+  /** The kernel-vs-two-level routing cap, BY ESTIMATE rather than a
+    * fixed count: the kernel's true limits are the O(k·d·8) broadcast
+    * bytes and the O(k^1.5·d) driver build flops, so the count
+    * ceiling depends on the DIMENSION — at d = 768 the caps land at
+    * ~35k centroids (the old fixed 32768, derived in BASELINE.md),
+    * but at d = 64 (common embedding sizes) the kernel comfortably
+    * serves ~180k, where the fixed threshold forced a measured 6.5×
+    * SLOWER two-level detour (AssignProbe, round 11). An explicitly
+    * set `spark.graft.ivfAssign.maxKernelCentroids` still wins
+    * outright (the spec/probe route-forcing knob); the estimate caps
+    * are `maxKernelBytes` (default 256 MB) and `maxKernelFlops`
+    * (default 5e9), floored at the old 32768 and ceilinged at 2²⁰.
+    */
+  private[graft] def kernelCap(spark: org.apache.spark.sql.SparkSession,
+      d: Int): Int =
+    spark.conf.getOption("spark.graft.ivfAssign.maxKernelCentroids")
+      .map(_.toInt).getOrElse {
+        val maxBytes = spark.conf
+          .getOption("spark.graft.ivfAssign.maxKernelBytes")
+          .map(_.toLong).getOrElse(256L << 20)
+        val maxFlops = spark.conf
+          .getOption("spark.graft.ivfAssign.maxKernelFlops")
+          .map(_.toDouble).getOrElse(5e9)
+        val dim = math.max(1, d)
+        val byBytes = maxBytes / (8L * dim)
+        val byFlops = math.pow(maxFlops / dim, 2.0 / 3.0).toLong
+        math.min(1L << 20,
+          math.max(32768L, math.min(byBytes, byFlops))).toInt
+      }
+
+  /** First non-null vector's length, or None on an empty/all-null
+    * table — one tiny driver round-trip that prices the kernel. */
+  private def vecDim(df: DataFrame, vecCol: String): Option[Int] =
+    df.select(col(vecCol)).filter(col(vecCol).isNotNull).limit(1)
+      .collect().headOption.map(_.getSeq[Any](0).length)
+
   def ivfAssign(df: DataFrame, idCol: String, vecCol: String,
       centroids: DataFrame, centIdCol: String, centVecCol: String): DataFrame = {
     import org.apache.spark.sql.graft.ColumnBridge
@@ -142,13 +178,12 @@ object Similarity {
     // The driver-side kernel is O(k^1.5·d) flops and O(k·d) broadcast
     // bytes — seconds and MBs at k = 10⁵, but SemDeDup's own
     // k = N/256 makes k MILLIONS on a 10⁹-doc corpus (multi-GB
-    // broadcast, hours of driver flops). Above the threshold,
-    // assignment routes through the two-level distributed path
-    // instead; the limit-probe below never collects more than
-    // threshold+1 rows either way.
-    val maxKernel = spark.conf
-      .getOption("spark.graft.ivfAssign.maxKernelCentroids")
-      .map(_.toInt).getOrElse(32768)
+    // broadcast, hours of driver flops). Above the dimension-aware
+    // cap ([[kernelCap]]), assignment routes through the two-level
+    // distributed path instead; the limit-probe below never collects
+    // more than cap+1 rows either way.
+    val maxKernel = kernelCap(spark,
+      vecDim(centroids, centVecCol).getOrElse(1))
     val rows = centroids
       .select(col(centIdCol).cast("long"), col(centVecCol))
       .limit(maxKernel + 1)
@@ -238,14 +273,12 @@ object Similarity {
       centVecCol: String): DataFrame = {
     import org.apache.spark.sql.graft.ColumnBridge
     val spark = df.sparkSession
-    val maxKernel = spark.conf
-      .getOption("spark.graft.ivfAssign.maxKernelCentroids")
-      .map(_.toInt).getOrElse(32768)
     val nProbe = spark.conf
       .getOption("spark.graft.ivfAssign.metaProbes")
       .map(_.toInt).getOrElse(8)
     val c0 = centroids.select(col(centIdCol).cast("long").as("__cid"),
       col(centVecCol).as("__cvec"))
+    val maxKernel = kernelCap(spark, vecDim(c0, "__cvec").getOrElse(1))
     val k = c0.count()
     val metaK = math.min(maxKernel.toLong,
       math.max(16L, math.ceil(math.sqrt(k.toDouble)).toLong)).toInt
@@ -253,7 +286,8 @@ object Similarity {
     // make the route switch diagnosable from run output, not only from
     // the scaladoc (downstream SemDeDup/IvfIndex callers inherit it)
     System.err.println(s"[graft] ivfAssign: centroid count $k exceeds " +
-      s"spark.graft.ivfAssign.maxKernelCentroids=$maxKernel — using the " +
+      s"the kernel cap $maxKernel (dimension-aware; override with " +
+      "spark.graft.ivfAssign.maxKernelCentroids) — using the " +
       s"two-level APPROXIMATE route (metaK=$metaK, metaProbes=$nProbe); " +
       "assignment is exact only within the probed meta-cells")
     val meta = trainCentroids(c0, "__cid", "__cvec", metaK, iters = 3)
@@ -360,9 +394,7 @@ object Similarity {
   def trainCentroids(df: DataFrame, idCol: String, vecCol: String,
       k: Int, iters: Int = 5): DataFrame = {
     val spark = df.sparkSession
-    val maxKernel = spark.conf
-      .getOption("spark.graft.ivfAssign.maxKernelCentroids")
-      .map(_.toInt).getOrElse(32768)
+    val maxKernel = kernelCap(spark, vecDim(df, vecCol).getOrElse(1))
     if (k > maxKernel) return trainCentroidsLargeK(df, idCol, vecCol,
       k, iters, maxKernel)
     var cents = df.orderBy(col(idCol)).limit(k)

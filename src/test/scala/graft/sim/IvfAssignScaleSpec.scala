@@ -126,4 +126,24 @@ class IvfAssignScaleSpec extends SparkSpec {
     val kernel = Similarity.ivfAssign(pts, "id", "v", cents, "cid", "cv")
     assert(twoLevel.columns.toSeq === kernel.columns.toSeq)
   }
+
+  test("kernelCap routes by dimension-aware estimate; explicit override wins") {
+    // at d=768 the caps land essentially AT the old fixed 32768
+    // (BASELINE's derivation); at d=64 the kernel serves ~180k
+    val cap768 = Similarity.kernelCap(spark, 768)
+    assert(cap768 >= 32768 && cap768 <= 40000, s"cap768=$cap768")
+    val cap64 = Similarity.kernelCap(spark, 64)
+    assert(cap64 > 100000, s"cap64=$cap64")
+    // the floor preserves every previously-kernel route at huge d
+    assert(Similarity.kernelCap(spark, 100000) === 32768)
+    // an explicit maxKernelCentroids still wins outright
+    spark.conf.set("spark.graft.ivfAssign.maxKernelCentroids", "7")
+    try assert(Similarity.kernelCap(spark, 64) === 7)
+    finally spark.conf.unset("spark.graft.ivfAssign.maxKernelCentroids")
+    // and the caps themselves are tunable
+    spark.conf.set("spark.graft.ivfAssign.maxKernelBytes",
+      (1024L * 1024 * 1024).toString)
+    try assert(Similarity.kernelCap(spark, 64) >= cap64)
+    finally spark.conf.unset("spark.graft.ivfAssign.maxKernelBytes")
+  }
 }
