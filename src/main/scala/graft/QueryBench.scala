@@ -18,15 +18,23 @@ import org.apache.spark.sql.SparkSession
   * Noise adjudication: one-shot sweep rows feed the DERIVED budget
   * gate, so a single load spike must not be able to loosen a budget
   * silently (a round-10 spike recorded q_range_join at 4.6× its real
-  * wall). Two defenses: (a) a timed pass that reads ≥1.5× its own
+  * wall). Three defenses: (a) a timed pass that reads ≥1.5× its own
   * warm pass (and ≥0.3 s absolute) is re-timed once and the MINIMUM
   * is recorded — the warm pass is the row's own noise baseline, no
-  * checked-in reference needed; (b) every row carries telemetry
-  * (warm-pass wall, every timed pass, 1-min load average before/
-  * after, GC ms during the passes) in a sibling `telemetry` object,
-  * so a residual outlier is adjudicable from the JSON alone.
-  * `queries` values stay plain scalars — existing sweep tooling
-  * parses unchanged.
+  * checked-in reference needed; (b) a pass ≥1.5× the CHECKED-IN
+  * historical minimum for the same query and scale (files ending
+  * _10x.json / _100x.json under tools/sweeps, matched from the data
+  * dir name) is re-timed up
+  * to twice more — the round-11 escape was a row whose warm AND
+  * timed passes were BOTH mid-sweep-elevated, which the warm-only
+  * criterion cannot see; a row still above the historical bar after
+  * the retries ships with `hist_flag: true` in its telemetry and a
+  * stderr warning naming the standalone re-time it needs; (c) every
+  * row carries telemetry (warm-pass wall, every timed pass, the
+  * historical minimum, 1-min load average before/after, GC ms) in a
+  * sibling `telemetry` object, so a residual outlier is adjudicable
+  * from the JSON alone. `queries` values stay plain scalars —
+  * existing sweep tooling parses unchanged.
   */
 object QueryBench {
 
@@ -37,6 +45,42 @@ object QueryBench {
     import scala.jdk.CollectionConverters._
     java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
       .asScala.map(_.getCollectionTime).sum
+  }
+
+  /** Per-query historical MINIMUM walls from every checked-in sweep
+    * of the same scale (files ending _10x.json under tools/sweeps for
+    * a scale10 dir, _100x.json for scale100) — the noise baseline the
+    * round-11 q_join_inner escape needed. Refusals/crashes (≤0) are
+    * excluded; an absent directory or unmatched scale returns empty
+    * (the warm-pass criterion still applies).
+    */
+  private[graft] def historyMins(sfDir: String,
+      sweepsDir: String = "tools/sweeps"): Map[String, Double] = {
+    val base = new java.io.File(sfDir).getName
+    val suffix =
+      if (base.contains("scale100") || base.contains("100x")) "_100x.json"
+      else if (base.contains("scale10") || base.contains("10x")) "_10x.json"
+      else return Map.empty
+    val dir = new java.io.File(sweepsDir)
+    val files = Option(dir.listFiles())
+      .getOrElse(Array.empty[java.io.File])
+      .filter(_.getName.endsWith(suffix))
+    val rx = """"([A-Za-z0-9_]+)":(-?\d+(?:\.\d+)?)""".r
+    files.toSeq.flatMap { f =>
+      val txt = {
+        val src = scala.io.Source.fromFile(f, "UTF-8")
+        try src.mkString finally src.close()
+      }
+      val qStart = txt.indexOf("\"queries\":{")
+      val qEnd = if (qStart < 0) -1 else txt.indexOf("}", qStart)
+      if (qEnd < 0) Seq.empty
+      else rx.findAllMatchIn(txt.substring(qStart, qEnd))
+        .map(m => m.group(1) -> m.group(2).toDouble).toSeq
+    }.groupBy(_._1)
+      .flatMap { case (q, vs) =>
+        val pos = vs.map(_._2).filter(_ > 0)
+        if (pos.isEmpty) None else Some(q -> pos.min)
+      }
   }
 
   def main(args: Array[String]): Unit = {
@@ -54,6 +98,7 @@ object QueryBench {
     val telemetry = scala.collection.mutable.LinkedHashMap
       .empty[String, String]
     def fmt(d: Double): String = (math.rint(d * 1000) / 1000).toString
+    val hist = historyMins(sfDir)
     val results = selected.zipWithIndex.map { case (q, i) =>
       try {
         val load0 = loadAvg
@@ -66,16 +111,33 @@ object QueryBench {
         val gc0 = gcMs
         val warm = pass()
         val first = pass()
-        // self-adjudicating outlier retry: the warm pass (which also
-        // paid codegen/JIT) bounds what a clean timed pass can cost
-        val passes =
-          if (first >= warm * 1.5 && first - warm >= 0.3)
-            Seq(first, pass())
-          else Seq(first)
+        val histMin = hist.get(q)
+        // self-adjudicating outlier retries: the warm pass (which also
+        // paid codegen/JIT) bounds what a clean timed pass can cost,
+        // and the checked-in historical minimum catches the case the
+        // warm criterion cannot — BOTH passes elevated mid-sweep
+        def warmHot(v: Double) = v >= warm * 1.5 && v - warm >= 0.3
+        def histHot(v: Double) =
+          histMin.exists(h => v >= h * 1.5 && v - h >= 0.3)
+        var passes = List(first)
+        if (warmHot(first) || histHot(first)) passes :+= pass()
+        var extra = 0
+        while (histHot(passes.min) && extra < 2) {
+          passes :+= pass()
+          extra += 1
+        }
         val sec = passes.min
+        val histFlag = histHot(sec)
         telemetry += q -> (s"""{"warm":${fmt(warm)},"passes":[${
           passes.map(fmt).mkString(",")}],"load0":${fmt(load0)},""" +
-          s""""load1":${fmt(loadAvg)},"gc_ms":${gcMs - gc0}}""")
+          s""""load1":${fmt(loadAvg)},"gc_ms":${gcMs - gc0}""" +
+          histMin.map(h => s""","hist_min":${fmt(h)}""").getOrElse("") +
+          (if (histFlag) s""","hist_flag":true""" else "") + "}")
+        if (histFlag) System.err.println(
+          f"[qbench] WARNING $q settled at ${sec}%.2f s, still ≥1.5× its " +
+            f"checked-in minimum ${histMin.get}%.2f s after retries — " +
+            "re-time standalone on an idle box and adjudicate before " +
+            "shipping this row")
         // live progress so a long sweep is monitorable mid-flight
         System.err.println(
           f"[qbench] ${i + 1}/${selected.size} $q ${sec}%.2f s" +
