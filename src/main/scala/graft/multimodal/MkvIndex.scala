@@ -175,7 +175,10 @@ object MkvIndex {
     if (tn != track) return Some(Seq.empty)
     val lacing = (flags >> 1) & 0x03
     val end = el.payloadEnd
-    if (lacing == 0) return Some(Seq((i, end - i)))
+    // a block with no frame data is malformed — refuse like the laced
+    // paths do (their per-frame sizes(f) <= 0 check), never emit a
+    // zero-length span to the decoder seam
+    if (lacing == 0) return if (end > i) Some(Seq((i, end - i))) else None
     // laced: 1 byte (frame count - 1), then per-mode sizes for all
     // but the LAST frame, which takes the remainder
     if (i >= end) return None
@@ -201,19 +204,29 @@ object MkvIndex {
         val rem = end - i
         if (rem < 0 || rem % n != 0) return None
         java.util.Arrays.fill(sizes, rem / n)
-      case 3 => // EBML: first size a VINT, then signed-VINT deltas
-        val (s0, w0) = readVint(b, i, 8, keepMarker = false)
-          .getOrElse(return None)
-        i += w0
-        sizes(0) = s0.toInt
-        var f = 1
-        while (f < n - 1) {
-          val (d, wd) = readVint(b, i, 8, keepMarker = false)
+      case 3 => // EBML: first size a VINT, then signed-VINT deltas —
+        // sizes are stored for all frames EXCEPT the last, so a
+        // 1-frame "laced" block carries NO size bytes at all
+        if (n >= 2) {
+          val (s0, w0) = readVint(b, i, 8, keepMarker = false)
             .getOrElse(return None)
-          i += wd
-          val delta = d - ((1L << (7 * wd - 1)) - 1) // signed per spec
-          sizes(f) = (sizes(f - 1) + delta).toInt
-          f += 1
+          i += w0
+          // validate as Long BEFORE narrowing: a >2^31 declared size
+          // truncated to a plausible Int is a silent-wrong span, not
+          // a refusal
+          if (s0 <= 0 || s0 > end - i) return None
+          sizes(0) = s0.toInt
+          var f = 1
+          while (f < n - 1) {
+            val (d, wd) = readVint(b, i, 8, keepMarker = false)
+              .getOrElse(return None)
+            i += wd
+            val delta = d - ((1L << (7 * wd - 1)) - 1) // signed per spec
+            val next = sizes(f - 1).toLong + delta
+            if (next <= 0 || next > end - i) return None
+            sizes(f) = next.toInt
+            f += 1
+          }
         }
       case _ => return None
     }
@@ -352,7 +365,7 @@ object MkvIndex {
     * in the same minimal Segment shell as [[encodeSynthetic]]. */
   def encodeSyntheticLaced(frames: Seq[Array[Byte]], mode: String,
       key: Boolean = true): Array[Byte] = {
-    require(frames.size >= 2, "lacing needs >= 2 frames")
+    require(frames.nonEmpty)
     val laceFlag = mode match {
       case "xiph" => 1 << 1
       case "fixed" => 2 << 1
@@ -371,16 +384,20 @@ object MkvIndex {
         }
       case "ebml" =>
         // 1-byte VINTs: first size 0x80|len (len < 127); deltas as
-        // signed 1-byte VINTs biased by 2^6 - 1 = 63
-        val first = frames.head.length
-        require(first < 127, "spec encoder keeps sizes 1-byte")
-        val deltas = frames.init.toSeq.sliding(2).collect {
-          case Seq(a, b) =>
-            val d = b.length - a.length
-            require(d >= -63 && d <= 63, "delta out of 1-byte range")
-            (0x80 | (d + 63)).toByte
-        }.toArray
-        Array((0x80 | first).toByte) ++ deltas
+        // signed 1-byte VINTs biased by 2^6 - 1 = 63. Sizes cover all
+        // frames EXCEPT the last — a 1-frame block carries none.
+        if (frames.size == 1) Array.empty[Byte]
+        else {
+          val first = frames.head.length
+          require(first < 127, "spec encoder keeps sizes 1-byte")
+          val deltas = frames.init.toSeq.sliding(2).collect {
+            case Seq(a, b) =>
+              val d = b.length - a.length
+              require(d >= -63 && d <= 63, "delta out of 1-byte range")
+              (0x80 | (d + 63)).toByte
+          }.toArray
+          Array((0x80 | first).toByte) ++ deltas
+        }
     }
     val payload =
       Array(0x81.toByte, 0.toByte, 0.toByte,

@@ -185,8 +185,19 @@ object Mp4Index {
     if (stsz.payloadEnd - stsz.payloadStart < 12) return None
     val uniform = u32(b, stsz.payloadStart + 4)
     val nSamplesL = u32(b, stsz.payloadStart + 8)
-    // more samples than bytes in the asset is inconsistent by itself
-    if (nSamplesL <= 0 || nSamplesL > boundLen) return None
+    // more samples than bytes in the asset is inconsistent by itself.
+    // boundLen can exceed Int.MaxValue on the seekable path, so the
+    // count must ALSO be capped before `.toInt` and before any
+    // count-sized allocation: 2^26 matches the non-uniform branch's
+    // implicit bound (4 bytes/sample in an stsz payload capped by the
+    // 256 MB max moov read) and is ~31 days of 25 fps video — a
+    // claimed count above it is corrupt or adversarial, and a
+    // driver-killing OOM from a few-KB moov must be impossible
+    if (nSamplesL <= 0 || nSamplesL > boundLen ||
+        nSamplesL > (1L << 26)) return None
+    // uniform-size tables get no payload-length vouch; the total byte
+    // claim must at least fit the file
+    if (uniform != 0 && uniform * nSamplesL > boundLen) return None
     val nSamples = nSamplesL.toInt
     val sizes: Array[Long] =
       if (uniform != 0) Array.fill(nSamples)(uniform)
@@ -515,7 +526,10 @@ object Mp4Index {
     val len = r.length
     var pos = 0L
     var first = true
-    var moov: Option[Array[Byte]] = None
+    // ALL moov payloads, in order — the in-memory walk takes the
+    // first moov that yields a video table, and the seekable path
+    // must agree on multi-moov files
+    val moovs = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
     while (pos < len) {
       if (pos + 8 > len) return None
       val hdr = r.readFully(pos, if (pos + 16 <= len) 16 else 8)
@@ -529,15 +543,17 @@ object Mp4Index {
       val fc = fourcc(hdr, 4)
       if (first && fc != "ftyp") return None
       first = false
-      if (fc == "moov" && moov.isEmpty) {
+      if (fc == "moov") {
         val payloadLen = size - hl
         if (payloadLen > maxMoovBytes) return None
-        moov = Some(r.readFully(pos + hl, payloadLen.toInt))
+        moovs += r.readFully(pos + hl, payloadLen.toInt)
       }
       pos += size
     }
     if (first) return None // empty file
-    moov.flatMap(b => sampleTableInMoov(b, 0, b.length, boundLen = len))
+    moovs.iterator
+      .flatMap(b => sampleTableInMoov(b, 0, b.length, boundLen = len))
+      .nextOption()
   }
 
   /** 64-bit frame spans of a seekable MP4 — see

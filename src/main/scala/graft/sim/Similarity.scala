@@ -149,7 +149,11 @@ object Similarity {
     * (default 5e9), floored at the old 32768 and ceilinged at 2²⁰.
     */
   private[graft] def kernelCap(spark: org.apache.spark.sql.SparkSession,
-      d: Int): Int =
+      d: => Int): Int =
+    // `d` by-name: pricing the kernel costs one tiny collect job, and
+    // an explicit maxKernelCentroids override (the spec/probe route
+    // forcing knob, set on every forced-route timed pass) must not
+    // pay it — the dimension is irrelevant there
     spark.conf.getOption("spark.graft.ivfAssign.maxKernelCentroids")
       .map(_.toInt).getOrElse {
         val maxBytes = spark.conf

@@ -15,6 +15,14 @@ class MkvIndexSpec extends AnyFunSuite {
       Array.tabulate[Byte](n)(j => ((i * 37 + j) & 0x7f).toByte)
     }
 
+  /** Index of the Cluster element's first (ID) byte. */
+  private def clusterIdx(b: Array[Byte]): Int = {
+    val s = b.map(_ & 0xff)
+    (0 until b.length - 4).find(i =>
+      s(i) == 0x1f && s(i + 1) == 0x43 && s(i + 2) == 0xb6 &&
+        s(i + 3) == 0x75).get
+  }
+
   private def check(webm: Array[Byte], fs: Seq[Array[Byte]],
       keys: Seq[Boolean]): Unit = {
     val spans = MkvIndex.frameIndex(webm).get
@@ -64,6 +72,52 @@ class MkvIndexSpec extends AnyFunSuite {
     // a Xiph size run crossing 255 still lands exactly
     val big = frames(300, 4)
     check(MkvIndex.encodeSyntheticLaced(big, "xiph"), big, Seq(true, true))
+  }
+
+  test("review-pinned edge cases: 1-frame lace, truncated sizes, empty blocks") {
+    // EBML/Xiph lacing with n=1 carries NO size bytes — the frame's
+    // own leading byte must not be consumed as lacing metadata
+    for (mode <- Seq("ebml", "xiph", "fixed")) {
+      val fs = frames(5)
+      check(MkvIndex.encodeSyntheticLaced(fs, mode), fs, Seq(true))
+    }
+    // a >2^31 declared EBML lace size must refuse, not truncate into
+    // a plausible Int: patch the 1-byte first-size VINT to an 8-byte
+    // VINT claiming 2^32+5 (same total block length — pad frame out)
+    val good = MkvIndex.encodeSyntheticLaced(frames(5, 9, 3), "ebml")
+    // the naive 0xA3 scan would hit the EBML magic's last byte
+    // (1A 45 DF A3) — locate the Cluster first, block = hdr(5) + ts(3)
+    val blockIdx = clusterIdx(good) + 5 + 3
+    // payload: track(1) ts(2) flags(1) count(1) then first size 0x85
+    assert((good(blockIdx + 2 + 5) & 0xff) === 0x85)
+    val bad = good.clone()
+    bad(blockIdx + 2 + 5) = 0x01 // 8-byte VINT: swallows 7 more bytes
+    assert(MkvIndex.frameIndex(bad).isEmpty)
+  }
+
+  test("an unlaced SimpleBlock with no frame data refuses the asset") {
+    // rebuild the synthetic file but strip the frame bytes from its
+    // one SimpleBlock: element sizes re-tile, so the only defense is
+    // blockFrames' empty-data refusal
+    val good = MkvIndex.encodeSynthetic(frames(5).map((_, true)))
+    val s = good.map(_ & 0xff)
+    val bi = clusterIdx(good) + 5 + 3
+    assert(s(bi) === 0xa3)
+    assert(s(bi + 1) === (0x80 | 9)) // size = 4 hdr + 5 data
+    val stripped = good.take(bi) ++
+      Array(0xa3.toByte, (0x80 | 4).toByte) ++
+      good.slice(bi + 2, bi + 2 + 4)
+    // shrink every enclosing size (cluster + segment) by 5
+    val out = stripped.clone()
+    def shrinkSizeAt(fourByteId: Seq[Int]): Unit = {
+      val t = out.map(_ & 0xff)
+      val i = (0 until out.length - 4).find(j =>
+        fourByteId.indices.forall(k => t(j + k) == fourByteId(k))).get
+      out(i + 4) = ((out(i + 4) & 0xff) - 5).toByte
+    }
+    shrinkSizeAt(Seq(0x18, 0x53, 0x80, 0x67)) // Segment
+    shrinkSizeAt(Seq(0x1f, 0x43, 0xb6, 0x75)) // Cluster
+    assert(MkvIndex.frameIndex(out).isEmpty)
   }
 
   test("CodecPrivate extradata is exposed by range") {

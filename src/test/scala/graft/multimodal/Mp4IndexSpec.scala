@@ -285,6 +285,76 @@ class Mp4IndexSpec extends AnyFunSuite {
     } finally f.delete()
   }
 
+  test("seekable: adversarial stsz counts refuse with None, never an alloc crash") {
+    // boundLen exceeds Int.MaxValue on this path, so a corrupt count
+    // must be caught BEFORE .toInt and before any count-sized
+    // allocation: a few-KB moov claiming 2^26+ uniform samples would
+    // otherwise OOM the task from a tiny input
+    val moov = Mp4Index.encodeMoovCo64(Seq(48L), Seq(5L), Seq(1))
+    val idx = new String(moov, "ISO-8859-1").indexOf("stsz")
+    def patched(sampleSize: Long, count: Long): Array[Byte] = {
+      val m = moov.clone()
+      def put(at: Int, v: Long): Unit = (0 until 4).foreach { j =>
+        m(at + j) = ((v >> (8 * (3 - j))) & 0xff).toByte
+      }
+      put(idx + 8, sampleSize) // after fourcc + vf
+      put(idx + 12, count)
+      m
+    }
+    val f = java.io.File.createTempFile("graft-adv", ".mp4")
+    try {
+      for ((ss, n) <- Seq((1L, (1L << 26) + 1), // over the count cap
+                          (1L, 0x80000000L),    // would wrap .toInt
+                          (0x10000L, 1L << 26)  // total exceeds file
+                         )) {
+        val raf = new java.io.RandomAccessFile(f, "rw")
+        raf.setLength(0)
+        raf.write(Mp4Index.box("ftyp",
+          "isom".getBytes("ISO-8859-1") ++ Array[Byte](0, 0, 0, 0)))
+        // sparse mdat so the file is big enough that boundLen alone
+        // cannot refuse the count
+        raf.write(Array[Byte](0, 0, 0, 1))
+        raf.write("mdat".getBytes("ISO-8859-1"))
+        raf.write(Mp4Index.u64a(16 + 2200000000L))
+        raf.seek(16L + 16L + 2200000000L)
+        raf.write(patched(ss, n))
+        raf.close()
+        val r = new Mp4Index.FileRangeReader(f.getPath)
+        try assert(Mp4Index.frameIndexSeekable(r).isEmpty, s"ss=$ss n=$n")
+        finally r.close()
+      }
+    } finally f.delete()
+  }
+
+  test("seekable agrees with the in-memory walk on multi-moov files") {
+    val ss = samples(5, 7)
+    val mp4 = Mp4Index.encodeSynthetic(ss, syncSamples = Seq(1))
+    // first moov declares a NON-video handler (no usable video table),
+    // the second is the real one — both walks must take the second
+    val s = new String(mp4, "ISO-8859-1")
+    val moovAt = s.lastIndexOf("moov") - 4
+    val moovBytes = mp4.drop(moovAt)
+    val audioMoov = {
+      val m = moovBytes.clone()
+      val vi = new String(m, "ISO-8859-1").indexOf("vide")
+      "soun".getBytes("ISO-8859-1").zipWithIndex.foreach { case (c, j) =>
+        m(vi + j) = c
+      }
+      m
+    }
+    val multi = mp4.take(moovAt) ++ audioMoov ++ moovBytes
+    val mem = Mp4Index.frameIndex(multi)
+    assert(mem.isDefined && mem.get.map(_.byteLen) === Seq(5, 7))
+    val f = java.io.File.createTempFile("graft-multi", ".mp4")
+    try {
+      java.nio.file.Files.write(f.toPath, multi)
+      val r = new Mp4Index.FileRangeReader(f.getPath)
+      val seek = try Mp4Index.frameIndexSeekable(r).get finally r.close()
+      assert(seek.map(s => (s.byteStart, s.byteLen, s.isIdr)) ===
+        mem.get.map(s => (s.byteStart.toLong, s.byteLen.toLong, s.isIdr)))
+    } finally f.delete()
+  }
+
   test("seekable agrees with the in-memory walk on ordinary files and refuses junk") {
     val ss = samples(7, 14, 3, 21, 9)
     val mp4 = Mp4Index.encodeSynthetic(ss, syncSamples = Seq(1, 4))
