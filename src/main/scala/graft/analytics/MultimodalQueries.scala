@@ -724,10 +724,107 @@ object MultimodalQueries {
       .orderBy("asset_id", "frame_idx")
   }
 
+  /** IVF/DKIF (raw VP8/VP9/AV1) frame indexing
+    * ([[graft.multimodal.DkifIndex]]): byte-exact oracle from the
+    * fixed layout — 32-byte file header + 12-byte frame headers, so
+    * VP9 frames of 5/7/6 B sit at 44/61/80; the AV1 clip's payloads
+    * grow by its 5 lead OBU bytes (9/11 B at 44/65). Keyframes come
+    * from each codec's own public signal (VP9 uncompressed-header
+    * frame_type bit; AV1 sequence-header OBU presence); junk pins
+    * the flagged fallback. A header-walk, keyframe-bit, or
+    * count-consistency regression hash-fails.
+    */
+  val qMultimodalDkifIndex: QueryDef = QueryDef.sql(
+    "q_multimodal_dkif_index",
+    """SELECT * FROM (VALUES
+      |  (1, 0, CAST(44 AS BIGINT), CAST(5 AS BIGINT), true, true),
+      |  (1, 1, CAST(61 AS BIGINT), CAST(7 AS BIGINT), false, true),
+      |  (1, 2, CAST(80 AS BIGINT), CAST(6 AS BIGINT), true, true),
+      |  (2, 0, CAST(44 AS BIGINT), CAST(9 AS BIGINT), true, true),
+      |  (2, 1, CAST(65 AS BIGINT), CAST(11 AS BIGINT), false, true),
+      |  (3, -1, NULL, NULL, NULL, false))
+      |  AS t(asset_id, frame_idx, byte_start, byte_len, is_idr, indexed)
+      |ORDER BY asset_id, frame_idx""".stripMargin,
+    doc = "IVF/DKIF raw VP9/AV1 frame index with codec keyframe bits " +
+      "(multimodal ops; decode is the documented external-seam stub)") {
+    (s, dir) =>
+    import s.implicits._
+    import graft.multimodal.DkifIndex
+    def fb(n: Int, i: Int): Array[Byte] =
+      Array.tabulate[Byte](n)(j => ((i * 37 + j + 1) & 0x7f).toByte)
+    val assets = Seq(
+      (1L, "mem://clip.ivf", DkifIndex.encodeSynthetic("VP90",
+        Seq((fb(5, 0), true), (fb(7, 1), false), (fb(6, 2), true)))),
+      (2L, "mem://clip_av1.ivf", DkifIndex.encodeSynthetic("AV01",
+        Seq((fb(5, 0), true), (fb(7, 1), false)))),
+      (3L, "mem://junk.ivf", Array[Byte](9, 9, 9, 9))
+    ).toDF("id", "uri", "bytes")
+    Multimodal.sampleH264Frames(
+        Multimodal.toMediaAssets(assets, "id", "uri", "bytes")(s),
+        stride = 1, maxFrames = 5)(s)
+      .select(col("asset_id"), col("frame_idx"),
+        when(col("indexed"), col("byte_start")).as("byte_start"),
+        when(col("indexed"), col("byte_len")).as("byte_len"),
+        when(col("indexed"), col("is_idr")).as("is_idr"),
+        col("indexed"))
+      .orderBy("asset_id", "frame_idx")
+  }
+
+  /** Ogg page indexing ([[graft.multimodal.OggIndex]]): the second
+    * audio face of the decoder seam. Byte-exact oracle from the page
+    * arithmetic: page length = 27 + segments + data, so a BOS page
+    * with one 19 B packet is 47 B at 0; a page with packets of 10
+    * and 300 B laces 300 as 255+45 (3 segments, 340 B at 47); the
+    * 5 B EOS page is 33 B at 387. Granules/packet counts ride the
+    * header; every page CRC-32 validates (RFC 3533 §6) — junk pins
+    * the flagged fallback. A lacing, CRC, or flag regression
+    * hash-fails.
+    */
+  val qMultimodalOggIndex: QueryDef = QueryDef.sql(
+    "q_multimodal_ogg_index",
+    """SELECT * FROM (VALUES
+      |  (1, 0, CAST(0 AS BIGINT), CAST(47 AS BIGINT),
+      |   CAST(0 AS BIGINT), 1, true, false, true),
+      |  (1, 1, CAST(47 AS BIGINT), CAST(340 AS BIGINT),
+      |   CAST(960 AS BIGINT), 2, false, false, true),
+      |  (1, 2, CAST(387 AS BIGINT), CAST(33 AS BIGINT),
+      |   CAST(1920 AS BIGINT), 1, false, true, true),
+      |  (2, -1, NULL, NULL, NULL, NULL, NULL, NULL, false))
+      |  AS t(asset_id, page_idx, byte_start, byte_len, granule,
+      |       n_packets, is_bos, is_eos, indexed)
+      |ORDER BY asset_id, page_idx""".stripMargin,
+    doc = "Ogg page index: CRC-validated byte ranges + granule facts " +
+      "(multimodal ops; decode is the documented external-seam stub)") {
+    (s, dir) =>
+    import s.implicits._
+    import graft.multimodal.OggIndex
+    def fb(n: Int, i: Int): Array[Byte] =
+      Array.tabulate[Byte](n)(j => ((i * 37 + j + 1) & 0x7f).toByte)
+    val assets = Seq(
+      (1L, "mem://talk.opus", OggIndex.encodeSynthetic(Seq(
+        (Seq(fb(19, 0)), 0L, true, false),
+        (Seq(fb(10, 1), fb(300, 2)), 960L, false, false),
+        (Seq(fb(5, 3)), 1920L, false, true)))),
+      (2L, "mem://junk.ogg", Array[Byte](9, 9, 9, 9))
+    ).toDF("id", "uri", "bytes")
+    Multimodal.sampleOggPages(
+        Multimodal.toMediaAssets(assets, "id", "uri", "bytes")(s),
+        stride = 1, maxPages = 5)(s)
+      .select(col("asset_id"), col("page_idx"),
+        when(col("indexed"), col("byte_start")).as("byte_start"),
+        when(col("indexed"), col("byte_len")).as("byte_len"),
+        when(col("indexed"), col("granule")).as("granule"),
+        when(col("indexed"), col("n_packets")).as("n_packets"),
+        when(col("indexed"), col("is_bos")).as("is_bos"),
+        when(col("indexed"), col("is_eos")).as("is_eos"),
+        col("indexed"))
+      .orderBy("asset_id", "page_idx")
+  }
+
   val all: Seq[QueryDef] = Seq(
     qMultimodalDecode, qMultimodalAudio, qMultimodalResize, qMultimodalVideo,
     qMultimodalPhash, qMultimodalAudioNeardup, qMultimodalVideoNeardup,
     qMultimodalH264Index, qMultimodalAvccIndex, qMultimodalMp4Index,
     qMultimodalFmp4Index, qMultimodalMp3Index, qMultimodalHevcIndex,
-    qMultimodalMkvIndex)
+    qMultimodalMkvIndex, qMultimodalDkifIndex, qMultimodalOggIndex)
 }

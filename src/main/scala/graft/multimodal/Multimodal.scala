@@ -69,7 +69,7 @@ object Multimodal {
         ascii(1, "GIF8") || ascii(1, "BM")
     val audio =
       (ascii(1, "RIFF") && ascii(9, "WAVE")) ||
-        ascii(1, "ID3") ||
+        ascii(1, "ID3") || ascii(1, "OggS") ||
         // bare MP3 frame sync: FF + (MPEG-1/2, Layer III) second byte
         (magic(1, Array(0xff.toByte)) &&
           Seq(0xfb, 0xfa, 0xf3, 0xf2, 0xe3, 0xe2)
@@ -77,6 +77,7 @@ object Multimodal {
     val video =
       ascii(5, "ftyp") || // ISO-BMFF: size(4) then the ftyp fourcc
         magic(1, Array(0x1a, 0x45, 0xdf.toByte, 0xa3.toByte)) || // EBML
+        ascii(1, "DKIF") || // raw VP8/VP9/AV1 IVF capture
         (ascii(1, "RIFF") && ascii(9, "AVI ")) ||
         magic(1, Array(0, 0, 0, 1)) // Annex-B start code (H.264/HEVC)
     when(image, "image").when(audio, "audio").when(video, "video")
@@ -95,9 +96,9 @@ object Multimodal {
     df.select(
       col(idCol).cast("long").as("asset_id"),
       when(lower(col(uriCol)).rlike("\\.(png|jpe?g|gif|bmp|webp)$"), "image")
-        .when(lower(col(uriCol)).rlike("\\.(wav|mp3|flac|ogg)$"), "audio")
+        .when(lower(col(uriCol)).rlike("\\.(wav|mp3|flac|ogg|opus)$"), "audio")
         .when(lower(col(uriCol))
-          .rlike("\\.(mp4|mov|avi|mkv|webm|h264|264|h265|hevc|265)$"),
+          .rlike("\\.(mp4|mov|avi|mkv|webm|h264|264|h265|hevc|265|ivf)$"),
           "video")
         .otherwise(sniffKind(col(bytesCol))).as("kind"),
       col(uriCol).as("uri"),
@@ -568,6 +569,57 @@ object Multimodal {
     }
   }
 
+  /** A sampled Ogg PAGE byte range plus the header facts that need
+    * no decode (granule position — for Opus the 48 kHz PCM sample
+    * count, so duration analytics are pure arithmetic — serial,
+    * completed-packet count, stream flags); `indexed = false` flags
+    * the fallback row for bytes that are not a CRC-valid Ogg
+    * stream. */
+  final case class OggPageRow(
+      asset_id: Long,
+      page_idx: Int,
+      byte_start: Long,
+      byte_len: Long,
+      granule: Long,
+      n_packets: Int,
+      is_bos: Boolean,
+      is_eos: Boolean,
+      indexed: Boolean)
+
+  /** Ogg page-range sampling ([[OggIndex]]): the second audio face of
+    * the external-decoder seam beside [[sampleMp3Frames]] — index the
+    * pages in one linear walk (every CRC validated), then emit every
+    * `stride`-th page's byte range with its granule/packet facts (up
+    * to `maxPages`). The page is Ogg's own seek unit, so the spans
+    * are exactly what a seam decoder fetches. Non-Ogg bytes emit one
+    * flagged `indexed = false` row, keeping the pipeline total.
+    */
+  def sampleOggPages(assets: Dataset[MediaAsset], stride: Int,
+      maxPages: Int)(
+      implicit spark: SparkSession): Dataset[OggPageRow] = {
+    import spark.implicits._
+    require(stride > 0 && maxPages > 0, "stride and maxPages must be positive")
+    assets.filter(col("kind") === "audio").mapPartitions { it =>
+      it.flatMap { a =>
+        val indexed =
+          try OggIndex.pageIndex(a.content)
+          catch { case scala.util.control.NonFatal(_) => None }
+        indexed match {
+          case Some(pages) =>
+            (0 until pages.size by stride).take(maxPages).iterator.map { i =>
+              val p = pages(i)
+              OggPageRow(a.asset_id, p.pageIdx, p.byteStart.toLong,
+                p.byteLen.toLong, p.granule, p.packetsCompleted,
+                p.isBos, p.isEos, indexed = true)
+            }
+          case None =>
+            Iterator.single(OggPageRow(a.asset_id, -1, 0L, 0L, 0L, 0,
+              is_bos = false, is_eos = false, indexed = false))
+        }
+      }
+    }
+  }
+
   /** A sampled H.264 frame BYTE RANGE (no decode — see
     * [[sampleH264Frames]]); `indexed = false` flags the single
     * fallback row for bytes that aren't an Annex-B stream. */
@@ -628,6 +680,7 @@ object Multimodal {
         val indexed =
           try Mp4Index.frameIndex(a.content)
             .orElse(MkvIndex.frameIndex(a.content))
+            .orElse(DkifIndex.frameIndex(a.content))
             .orElse(H264Avcc.frameIndex(a.content))
             .orElse(H265.frameIndexHvcc(a.content))
             .orElse(H264AnnexB.frameIndex(a.content))

@@ -1,0 +1,99 @@
+package graft.multimodal
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** [[DkifIndex]] + [[OggIndex]]: the IVF frame walk and the Ogg page
+  * walk must emit exact byte ranges, read each codec's keyframe
+  * signal per its public spec, validate CRCs, and refuse junk and the
+  * other containers in both directions.
+  */
+class DkifOggSpec extends AnyFunSuite {
+
+  private def fr(n: Int, i: Int): Array[Byte] =
+    Array.tabulate[Byte](n)(j => ((i * 37 + j + 1) & 0x7f).toByte)
+
+  test("DKIF: per-codec keyframe flags and exact spans") {
+    val frames = Seq((fr(5, 0), true), (fr(7, 1), false), (fr(6, 2), true))
+    for (codec <- Seq("VP80", "VP90", "AV01")) {
+      val b = DkifIndex.encodeSynthetic(codec, frames)
+      val got = DkifIndex.frameIndex(b).get
+      assert(got.length === 3, codec)
+      assert(got.map(_.isIdr) === Seq(true, false, true), codec)
+      // spans tile [32, end) exactly with 12-byte headers between
+      assert(got.head.byteStart === 44, codec)
+      assert(got.map(_.byteLen).sum + 32 + 3 * 12 === b.length, codec)
+      got.foreach { sp =>
+        assert(sp.byteStart + sp.byteLen <= b.length, codec)
+      }
+    }
+  }
+
+  test("DKIF strictness: counts, truncations, junk, cross-container") {
+    val frames = Seq((fr(5, 0), true), (fr(7, 1), false))
+    val good = DkifIndex.encodeSynthetic("VP90", frames)
+    // stale declared count 0 tolerated; a wrong nonzero count refuses
+    assert(DkifIndex.frameIndex(
+      DkifIndex.encodeSynthetic("VP90", frames, declaredCount = 0)).isDefined)
+    assert(DkifIndex.frameIndex(
+      DkifIndex.encodeSynthetic("VP90", frames, declaredCount = 5)).isEmpty)
+    for (cut <- Seq(10, 33, good.length - 1, good.length - 6)) {
+      assert(DkifIndex.frameIndex(good.take(cut)).isEmpty, s"cut=$cut")
+    }
+    assert(DkifIndex.frameIndex(Array[Byte](9, 9, 9, 9)).isEmpty)
+    assert(DkifIndex.frameIndex(
+      Mp4Index.encodeSynthetic(Seq(fr(4, 0)), Seq(1))).isEmpty)
+    assert(DkifIndex.frameIndex(
+      MkvIndex.encodeSynthetic(Seq((fr(4, 0), true)))).isEmpty)
+    // and DKIF bytes are not claimed by the other walkers
+    assert(Mp4Index.frameIndex(good).isEmpty)
+    assert(MkvIndex.frameIndex(good).isEmpty)
+    assert(H264Avcc.frameIndex(good).isEmpty)
+  }
+
+  test("Ogg: page spans, granules, packet counts, 255-multiple lacing") {
+    val pages = Seq(
+      (Seq(fr(19, 0)), 0L, true, false),          // BOS (OpusHead shape)
+      (Seq(fr(10, 1), fr(300, 2)), 960L, false, false),
+      (Seq(fr(5, 3)), 1920L, false, true))        // EOS
+    val b = OggIndex.encodeSynthetic(pages)
+    val got = OggIndex.pageIndex(b).get
+    assert(got.length === 3)
+    // page lengths: 27+1+19=47; 27+3+310=340 (300 laces as 255+45);
+    // 27+1+5=33
+    assert(got.map(p => (p.byteStart, p.byteLen)) ===
+      Seq((0, 47), (47, 340), (387, 33)))
+    assert(got.map(_.granule) === Seq(0L, 960L, 1920L))
+    assert(got.map(_.packetsCompleted) === Seq(1, 2, 1))
+    assert(got.map(_.isBos) === Seq(true, false, false))
+    assert(got.map(_.isEos) === Seq(false, false, true))
+    // a packet of EXACTLY 255 bytes laces as [255, 0]: still 1 packet
+    val exact = OggIndex.encodeSynthetic(
+      Seq((Seq(fr(255, 0)), 0L, true, true)))
+    val g2 = OggIndex.pageIndex(exact).get
+    assert(g2.head.packetsCompleted === 1)
+    assert(g2.head.byteLen === 27 + 2 + 255)
+  }
+
+  test("Ogg strictness: CRC damage, non-BOS start, truncation, junk all refuse") {
+    val good = OggIndex.encodeSynthetic(
+      Seq((Seq(fr(19, 0)), 0L, true, false), (Seq(fr(8, 1)), 960L, false, true)))
+    assert(OggIndex.pageIndex(good).isDefined)
+    // flip one data byte: the page CRC must catch it
+    val bad = good.clone()
+    bad(40) = (bad(40) ^ 0x01).toByte
+    assert(OggIndex.pageIndex(bad).isEmpty)
+    // a stream not starting with a BOS page refuses
+    val noBos = OggIndex.encodeSynthetic(
+      Seq((Seq(fr(19, 0)), 0L, false, false)))
+    assert(OggIndex.pageIndex(noBos).isEmpty)
+    for (cut <- Seq(4, 26, good.length - 1)) {
+      assert(OggIndex.pageIndex(good.take(cut)).isEmpty, s"cut=$cut")
+    }
+    assert(OggIndex.pageIndex(Array[Byte](9, 9, 9)).isEmpty)
+    assert(OggIndex.pageIndex(
+      Mp3Frames.encodeSynthetic(Seq((9, 0), (9, 0)))).isEmpty)
+    // duplicate page sequence numbers refuse (per-serial ordering):
+    // two concatenated copies repeat seq 0 for the same serial
+    assert(OggIndex.pageIndex(good ++ good).isEmpty)
+  }
+}
