@@ -329,20 +329,25 @@ object Mp4Index {
     */
   private def declaredTracks(b: Array[Byte],
       top: IndexedSeq[Box]): Seq[(Long, Boolean)] =
-    top.filter(_.fourcc == "moov").flatMap { moov =>
-      boxes(b, moov.payloadStart, moov.payloadEnd).toSeq.flatten
-        .filter(_.fourcc == "trak")
-        .flatMap { trak =>
-          for {
-            tkhd <- child(b, trak, "tkhd")
-            if tkhd.payloadEnd - tkhd.payloadStart >= 24
-            idAt = tkhd.payloadStart +
-              (if ((b(tkhd.payloadStart) & 0xff) == 1) 20 else 12)
-            if idAt + 4 <= tkhd.payloadEnd
-            mdia <- child(b, trak, "mdia")
-          } yield (u32(b, idAt), handlerType(b, mdia).contains("vide"))
-        }
-    }
+    top.filter(_.fourcc == "moov").flatMap(moov =>
+      declaredTracksInMoov(b, moov.payloadStart, moov.payloadEnd))
+
+  /** The declared tracks inside ONE moov payload range — shared with
+    * the seekable path, which hands in the moov payload detached. */
+  private def declaredTracksInMoov(b: Array[Byte], start: Int,
+      end: Int): Seq[(Long, Boolean)] =
+    boxes(b, start, end).toSeq.flatten
+      .filter(_.fourcc == "trak")
+      .flatMap { trak =>
+        for {
+          tkhd <- child(b, trak, "tkhd")
+          if tkhd.payloadEnd - tkhd.payloadStart >= 24
+          idAt = tkhd.payloadStart +
+            (if ((b(tkhd.payloadStart) & 0xff) == 1) 20 else 12)
+          if idAt + 4 <= tkhd.payloadEnd
+          mdia <- child(b, trak, "mdia")
+        } yield (u32(b, idAt), handlerType(b, mdia).contains("vide"))
+      }
 
   def fragmentIndex(bytes: Array[Byte]): Option[IndexedSeq[FrameSpan]] = {
     val topOpt = boxes(bytes, 0, bytes.length, topLevel = true)
@@ -360,113 +365,140 @@ object Mp4Index {
     val declared = declaredTracks(bytes, top)
     val videoIds = declared.collect { case (id, true) => id }.toSet
     if (declared.nonEmpty && videoIds.isEmpty) return None
-    def trafTrackId(tr: Box): Option[Long] =
-      boxes(bytes, tr.payloadStart, tr.payloadEnd).toSeq.flatten
-        .find(_.fourcc == "tfhd")
-        .collect { case tf if tf.payloadEnd - tf.payloadStart >= 8 =>
-          u32(bytes, tf.payloadStart + 4)
-        }
     val spans = scala.collection.mutable.ArrayBuffer.empty[FrameSpan]
     var mi = 0
     while (mi < moofs.length) {
       val moof = moofs(mi)
       mi += 1
-      val kidsOpt = boxes(bytes, moof.payloadStart, moof.payloadEnd)
-      if (kidsOpt.isEmpty) return None
-      val trafs = kidsOpt.get.filter(_.fourcc == "traf")
-      val trafOpt =
-        if (videoIds.isEmpty) trafs.headOption
-        else trafs.find(tr => trafTrackId(tr).exists(videoIds.contains))
-      if (trafOpt.isEmpty && videoIds.isEmpty) return None
-      if (trafOpt.isDefined) {
-      val tkidsOpt = boxes(bytes, trafOpt.get.payloadStart,
-        trafOpt.get.payloadEnd)
-      if (tkidsOpt.isEmpty) return None
-      val tkids = tkidsOpt.get
-      val tfhdOpt = tkids.find(_.fourcc == "tfhd")
-      if (tfhdOpt.isEmpty) return None
-      val tfhd = tfhdOpt.get
-      // tfhd: vf(4) track_ID(4) [base-data-offset(8)][sdi(4)]
-      //       [def-duration(4)][def-size(4)][def-flags(4)] — validate
-      // the flag-implied length BEFORE any field read (corrupt bytes
-      // must yield None, not an out-of-bounds read)
-      if (tfhd.payloadEnd - tfhd.payloadStart < 8) return None
-      val tf = u32(bytes, tfhd.payloadStart) & 0xffffff
-      val tfhdNeed = 8 +
-        (if ((tf & 0x01) != 0) 8 else 0) + (if ((tf & 0x02) != 0) 4 else 0) +
-        (if ((tf & 0x08) != 0) 4 else 0) + (if ((tf & 0x10) != 0) 4 else 0) +
-        (if ((tf & 0x20) != 0) 4 else 0)
-      if (tfhd.payloadEnd - tfhd.payloadStart < tfhdNeed) return None
-      var o = tfhd.payloadStart + 8
-      val baseDataOffset: Option[Long] =
-        if ((tf & 0x01) != 0) { val v = u64(bytes, o); o += 8; Some(v) }
-        else None
-      if ((tf & 0x02) != 0) o += 4
-      if ((tf & 0x08) != 0) o += 4
-      val defaultSize: Option[Long] =
-        if ((tf & 0x10) != 0) { val v = u32(bytes, o); o += 4; Some(v) }
-        else None
-      val defaultFlags: Option[Long] =
-        if ((tf & 0x20) != 0) { val v = u32(bytes, o); o += 4; Some(v) }
-        else None
-      val base = baseDataOffset.getOrElse(moof.hdrStart.toLong)
-      val truns = tkids.filter(_.fourcc == "trun")
-      var ti = 0
-      while (ti < truns.length) {
-        val trun = truns(ti)
-        ti += 1
-        if (trun.payloadEnd - trun.payloadStart < 8) return None
-        val flags = u32(bytes, trun.payloadStart) & 0xffffff
-        val nL = u32(bytes, trun.payloadStart + 4)
-        if (nL < 0 || nL > bytes.length) return None // count > bytes: bogus
-        val n = nL.toInt
-        if ((flags & 0x01) == 0) return None // data_offset required
-        val headNeed = 8 + 4 + (if ((flags & 0x04) != 0) 4 else 0)
-        if (trun.payloadEnd - trun.payloadStart < headNeed) return None
-        var p = trun.payloadStart + 8
-        // data_offset is SIGNED per §8.8.8 but a negative one would
-        // address sample bytes before the base (moof start / explicit
-        // base-data-offset) — no real muxer emits that; reject at
-        // parse time rather than relying on the later span check
-        val dataOffset = u32(bytes, p).toInt
-        if (dataOffset < 0) return None
-        p += 4
-        val firstFlags: Option[Long] =
-          if ((flags & 0x04) != 0) { val v = u32(bytes, p); p += 4; Some(v) }
-          else None
-        val perDur = (flags & 0x100) != 0
-        val perSize = (flags & 0x200) != 0
-        val perFlags = (flags & 0x400) != 0
-        val perCto = (flags & 0x800) != 0
-        val rowBytes =
-          4 * Seq(perDur, perSize, perFlags, perCto).count(identity)
-        if (p + n.toLong * rowBytes > trun.payloadEnd) return None
-        if (!perSize && defaultSize.isEmpty) return None
-        var off = base + dataOffset
-        var i = 0
-        while (i < n) {
-          var q = p + i * rowBytes
-          if (perDur) q += 4
-          val size: Long =
-            if (perSize) { val v = u32(bytes, q); q += 4; v }
-            else defaultSize.get
-          val sFlags: Long =
-            if (i == 0 && firstFlags.isDefined) firstFlags.get
-            else if (perFlags) u32(bytes, q)
-            else defaultFlags.getOrElse(0L)
-          // overflow-proof (see parseStbl): an adversarial u64
-          // base-data-offset near Long.MaxValue wraps `off + size`
-          if (size <= 0 || size > bytes.length || off < 0 ||
-              off > bytes.length - size) return None
-          spans += FrameSpan(spans.length, off.toInt, size.toInt,
-            (sFlags & 0x10000L) == 0L)
-          off += size
-          i += 1
-        }
+      moofVideoSpans(bytes, moof.payloadStart, moof.payloadEnd,
+        moof.hdrStart.toLong, videoIds, bytes.length.toLong,
+        spans.length) match {
+        case None => return None
+        case Some(ss) => ss.foreach(ls =>
+          spans += FrameSpan(ls.frameIdx, ls.byteStart.toInt,
+            ls.byteLen.toInt, ls.isIdr))
       }
-      } // trafOpt.isDefined — a moof without the video traf is skipped
     }
     if (spans.isEmpty) None else Some(spans.toIndexedSeq)
+  }
+
+  /** Spans of ONE moof's video traf, FILE-absolute: `b` holds (at
+    * least) the moof payload at [payloadStart, payloadEnd);
+    * `absMoofStart` is the moof's first byte's absolute offset (the
+    * default-base-is-moof base), `boundLen` the addressable file
+    * length. None = malformed (refuse the stream); an empty result =
+    * this moof has no video traf (skipped). Shared by the in-memory
+    * and seekable fragment walks.
+    */
+  private def moofVideoSpans(b: Array[Byte], payloadStart: Int,
+      payloadEnd: Int, absMoofStart: Long, videoIds: Set[Long],
+      boundLen: Long, startIdx: Int): Option[Seq[LongSpan]] = {
+    val kidsOpt = boxes(b, payloadStart, payloadEnd)
+    if (kidsOpt.isEmpty) return None
+    def trafTrackId(tr: Box): Option[Long] =
+      boxes(b, tr.payloadStart, tr.payloadEnd).toSeq.flatten
+        .find(_.fourcc == "tfhd")
+        .collect { case tf if tf.payloadEnd - tf.payloadStart >= 8 =>
+          u32(b, tf.payloadStart + 4)
+        }
+    val trafs = kidsOpt.get.filter(_.fourcc == "traf")
+    val trafOpt =
+      if (videoIds.isEmpty) trafs.headOption
+      else trafs.find(tr => trafTrackId(tr).exists(videoIds.contains))
+    if (trafOpt.isEmpty && videoIds.isEmpty) return None
+    if (trafOpt.isEmpty) return Some(Seq.empty) // no video traf: skip
+    val spans = scala.collection.mutable.ArrayBuffer.empty[LongSpan]
+    val tkidsOpt = boxes(b, trafOpt.get.payloadStart,
+      trafOpt.get.payloadEnd)
+    if (tkidsOpt.isEmpty) return None
+    val tkids = tkidsOpt.get
+    val tfhdOpt = tkids.find(_.fourcc == "tfhd")
+    if (tfhdOpt.isEmpty) return None
+    val tfhd = tfhdOpt.get
+    // tfhd: vf(4) track_ID(4) [base-data-offset(8)][sdi(4)]
+    //       [def-duration(4)][def-size(4)][def-flags(4)] — validate
+    // the flag-implied length BEFORE any field read (corrupt bytes
+    // must yield None, not an out-of-bounds read)
+    if (tfhd.payloadEnd - tfhd.payloadStart < 8) return None
+    val tf = u32(b, tfhd.payloadStart) & 0xffffff
+    val tfhdNeed = 8 +
+      (if ((tf & 0x01) != 0) 8 else 0) + (if ((tf & 0x02) != 0) 4 else 0) +
+      (if ((tf & 0x08) != 0) 4 else 0) + (if ((tf & 0x10) != 0) 4 else 0) +
+      (if ((tf & 0x20) != 0) 4 else 0)
+    if (tfhd.payloadEnd - tfhd.payloadStart < tfhdNeed) return None
+    var o = tfhd.payloadStart + 8
+    val baseDataOffset: Option[Long] =
+      if ((tf & 0x01) != 0) { val v = u64(b, o); o += 8; Some(v) }
+      else None
+    if ((tf & 0x02) != 0) o += 4
+    if ((tf & 0x08) != 0) o += 4
+    val defaultSize: Option[Long] =
+      if ((tf & 0x10) != 0) { val v = u32(b, o); o += 4; Some(v) }
+      else None
+    val defaultFlags: Option[Long] =
+      if ((tf & 0x20) != 0) { val v = u32(b, o); o += 4; Some(v) }
+      else None
+    val base = baseDataOffset.getOrElse(absMoofStart)
+    val truns = tkids.filter(_.fourcc == "trun")
+    var ti = 0
+    while (ti < truns.length) {
+      val trun = truns(ti)
+      ti += 1
+      if (trun.payloadEnd - trun.payloadStart < 8) return None
+      val flags = u32(b, trun.payloadStart) & 0xffffff
+      val nL = u32(b, trun.payloadStart + 4)
+      // count > bytes is bogus outright; the 2^26 cap mirrors the
+      // stsz rule — with zero per-sample row bytes (all-default
+      // truns) the count alone drives the span loop, and a corrupt
+      // one must not be able to allocate its way to an OOM on the
+      // seekable path where boundLen exceeds any sane frame count
+      if (nL < 0 || nL > boundLen || nL > (1L << 26)) return None
+      val n = nL.toInt
+      if ((flags & 0x01) == 0) return None // data_offset required
+      val headNeed = 8 + 4 + (if ((flags & 0x04) != 0) 4 else 0)
+      if (trun.payloadEnd - trun.payloadStart < headNeed) return None
+      var p = trun.payloadStart + 8
+      // data_offset is SIGNED per §8.8.8 but a negative one would
+      // address sample bytes before the base (moof start / explicit
+      // base-data-offset) — no real muxer emits that; reject at
+      // parse time rather than relying on the later span check
+      val dataOffset = u32(b, p).toInt
+      if (dataOffset < 0) return None
+      p += 4
+      val firstFlags: Option[Long] =
+        if ((flags & 0x04) != 0) { val v = u32(b, p); p += 4; Some(v) }
+        else None
+      val perDur = (flags & 0x100) != 0
+      val perSize = (flags & 0x200) != 0
+      val perFlags = (flags & 0x400) != 0
+      val perCto = (flags & 0x800) != 0
+      val rowBytes =
+        4 * Seq(perDur, perSize, perFlags, perCto).count(identity)
+      if (p + n.toLong * rowBytes > trun.payloadEnd) return None
+      if (!perSize && defaultSize.isEmpty) return None
+      var off = base + dataOffset
+      var i = 0
+      while (i < n) {
+        var q = p + i * rowBytes
+        if (perDur) q += 4
+        val size: Long =
+          if (perSize) { val v = u32(b, q); q += 4; v }
+          else defaultSize.get
+        val sFlags: Long =
+          if (i == 0 && firstFlags.isDefined) firstFlags.get
+          else if (perFlags) u32(b, q)
+          else defaultFlags.getOrElse(0L)
+        // overflow-proof (see parseStbl): an adversarial u64
+        // base-data-offset near Long.MaxValue wraps `off + size`
+        if (size <= 0 || size > boundLen || off < 0 ||
+            off > boundLen - size) return None
+        spans += LongSpan(startIdx + spans.length, off, size,
+          (sFlags & 0x10000L) == 0L)
+        off += size
+        i += 1
+      }
+    }
+    Some(spans.toSeq)
   }
 
   /** Frame spans straight from the sample table — every sample is an
@@ -556,19 +588,69 @@ object Mp4Index {
       .nextOption()
   }
 
-  /** 64-bit frame spans of a seekable MP4 — see
-    * [[sampleTableSeekable]]. Fragmented seekable files are not
-    * handled here (their moofs are scattered through the file; the
-    * in-memory [[fragmentIndex]] covers fragmented assets that fit in
-    * a row, which DASH/CMAF segments — the shape fragments actually
-    * arrive in — always do).
+  /** Seekable FRAGMENTED walk — the DASH-merged full-movie shape
+    * (one init + thousands of `[moof][mdat]` pairs, easily >2 GiB):
+    * reads the moov payload(s) for track metadata and each moof
+    * payload (KBs apiece) — never a byte of any mdat — and emits
+    * file-absolute 64-bit spans via the same per-moof parser as the
+    * in-memory walk. Same strictness; same video-traf routing.
+    */
+  def fragmentIndexSeekable(r: RangeReader,
+      maxBoxBytes: Int = 1 << 28): Option[IndexedSeq[LongSpan]] = {
+    val len = r.length
+    var pos = 0L
+    var first = true
+    val moovs = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+    val moofs =
+      scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Byte])]
+    while (pos < len) {
+      if (pos + 8 > len) return None
+      val hdr = r.readFully(pos, if (pos + 16 <= len) 16 else 8)
+      var size = u32(hdr, 0)
+      var hl = 8
+      if (size == 1) {
+        if (hdr.length < 16) return None
+        size = u64(hdr, 8); hl = 16
+      } else if (size == 0) size = len - pos
+      if (size < hl || size > len - pos) return None
+      val fc = fourcc(hdr, 4)
+      if (first && fc != "ftyp") return None
+      first = false
+      if (fc == "moov" || fc == "moof") {
+        val payloadLen = size - hl
+        if (payloadLen > maxBoxBytes) return None
+        val payload = r.readFully(pos + hl, payloadLen.toInt)
+        if (fc == "moov") moovs += payload
+        else moofs += ((pos, payload))
+      }
+      pos += size
+    }
+    if (first || moofs.isEmpty) return None
+    val declared =
+      moovs.toSeq.flatMap(b => declaredTracksInMoov(b, 0, b.length))
+    val videoIds = declared.collect { case (id, true) => id }.toSet
+    if (declared.nonEmpty && videoIds.isEmpty) return None
+    val spans = scala.collection.mutable.ArrayBuffer.empty[LongSpan]
+    moofs.foreach { case (absStart, payload) =>
+      moofVideoSpans(payload, 0, payload.length, absStart, videoIds,
+        len, spans.length) match {
+        case None => return None
+        case Some(ss) => spans ++= ss
+      }
+    }
+    if (spans.isEmpty) None else Some(spans.toIndexedSeq)
+  }
+
+  /** 64-bit frame spans of a seekable MP4 — the sample-table walk
+    * ([[sampleTableSeekable]]) with fragmented files falling through
+    * to [[fragmentIndexSeekable]], mirroring [[frameIndex]].
     */
   def frameIndexSeekable(r: RangeReader,
       maxMoovBytes: Int = 1 << 28): Option[IndexedSeq[LongSpan]] =
     sampleTableSeekable(r, maxMoovBytes).map { t =>
       t.offsets.indices.map(i =>
         LongSpan(i, t.offsets(i), t.sizes(i), t.sync.contains(i + 1)))
-    }
+    }.orElse(fragmentIndexSeekable(r, maxMoovBytes))
 
   /** Minimal-but-valid synthetic MP4 for specs: `ftyp` + `mdat`
     * holding the given samples (laid out in `chunks` groups) +

@@ -355,6 +355,72 @@ class Mp4IndexSpec extends AnyFunSuite {
     } finally f.delete()
   }
 
+  test("seekable fragmented: a >2GiB DASH-merged shape indexes from moof headers alone") {
+    // take the synthetic fragmented layout (explicit base addressing),
+    // patch fragment 2's tfhd base-data-offset past 2^31, park its
+    // sample bytes there under a trailing sparse mdat, and index
+    // without touching either mdat's payload
+    val frags = Seq(samples(5, 9), samples(7))
+    val b = Mp4Index.encodeSyntheticFragmented(frags, explicitBase = true)
+    val s = new String(b, "ISO-8859-1")
+    val tfhd2 = s.indexOf("tfhd", s.indexOf("tfhd") + 1)
+    val big = 2300000007L
+    val patched = b.clone()
+    (0 until 8).foreach { j =>
+      patched(tfhd2 + 12 + j) = ((big >> (8 * (7 - j))) & 0xff).toByte
+    }
+    val f = java.io.File.createTempFile("graft-bigfrag", ".mp4")
+    try {
+      val fileLen = big + 7 // ends exactly at fragment 2's sample end
+      val raf = new java.io.RandomAccessFile(f, "rw")
+      raf.write(patched)
+      // trailing sparse mdat covering [patched.length, fileLen)
+      raf.write(Array[Byte](0, 0, 0, 1))
+      raf.write("mdat".getBytes("ISO-8859-1"))
+      raf.write(Mp4Index.u64a(fileLen - patched.length))
+      raf.seek(big)
+      raf.write(frags(1).head)
+      raf.close()
+      assert(f.length === fileLen && fileLen > Int.MaxValue.toLong)
+      var bytesRead = 0L
+      val inner = new Mp4Index.FileRangeReader(f.getPath)
+      val counting = new Mp4Index.RangeReader {
+        def length: Long = inner.length
+        def readFully(at: Long, len: Int): Array[Byte] = {
+          bytesRead += len; inner.readFully(at, len)
+        }
+        def close(): Unit = inner.close()
+      }
+      val spans = try Mp4Index.frameIndexSeekable(counting).get
+        finally counting.close()
+      assert(spans.length === 3)
+      assert(spans.map(_.byteLen) === Seq(5L, 9L, 7L))
+      assert(spans(2).byteStart === big && spans(2).isIdr)
+      assert(bytesRead < 10000L, s"read $bytesRead bytes")
+      val r2 = new Mp4Index.FileRangeReader(f.getPath)
+      try assert(r2.readFully(big, 7).sameElements(frags(1).head))
+      finally r2.close()
+    } finally f.delete()
+  }
+
+  test("seekable fragmented agrees with the in-memory walk, incl. track routing") {
+    for (audioFirst <- Seq(false, true)) {
+      val frags = Seq(samples(5, 9), samples(7))
+      val b = Mp4Index.encodeSyntheticFragmented(frags,
+        audioTrackFirst = audioFirst)
+      val mem = Mp4Index.frameIndex(b).get
+      val f = java.io.File.createTempFile("graft-frag", ".mp4")
+      try {
+        java.nio.file.Files.write(f.toPath, b)
+        val r = new Mp4Index.FileRangeReader(f.getPath)
+        val seek = try Mp4Index.frameIndexSeekable(r).get finally r.close()
+        assert(seek.map(s => (s.byteStart, s.byteLen, s.isIdr)) ===
+          mem.map(s => (s.byteStart.toLong, s.byteLen.toLong, s.isIdr)),
+          s"audioFirst=$audioFirst")
+      } finally f.delete()
+    }
+  }
+
   test("seekable agrees with the in-memory walk on ordinary files and refuses junk") {
     val ss = samples(7, 14, 3, 21, 9)
     val mp4 = Mp4Index.encodeSynthetic(ss, syncSamples = Seq(1, 4))
