@@ -79,7 +79,10 @@ object DkifIndex {
       val obuType = (h >> 3) & 0x0f
       val hasExt = (h & 0x04) != 0
       val hasSize = (h & 0x02) != 0
-      if (!hasSize) return sawSeq // size-to-end: last OBU, stop clean
+      // size-to-end (§5.2 allows it for the LAST OBU): classify it
+      // before stopping — an unsized trailing sequence header still
+      // marks the keyframe
+      if (!hasSize) return sawSeq || obuType == 1
       i += 1 + (if (hasExt) 1 else 0)
       // leb128 (§4.10.5): up to 8 bytes
       var size = 0L

@@ -560,8 +560,11 @@ object Mp4Index {
     var first = true
     // ALL moov payloads, in order — the in-memory walk takes the
     // first moov that yields a video table, and the seekable path
-    // must agree on multi-moov files
+    // must agree on multi-moov files. The cap is CUMULATIVE: a
+    // hostile file of many near-cap "moov" boxes must not allocate
+    // its way to an OOM either.
     val moovs = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+    var moovBytes = 0L
     while (pos < len) {
       if (pos + 8 > len) return None
       val hdr = r.readFully(pos, if (pos + 16 <= len) 16 else 8)
@@ -577,7 +580,8 @@ object Mp4Index {
       first = false
       if (fc == "moov") {
         val payloadLen = size - hl
-        if (payloadLen > maxMoovBytes) return None
+        moovBytes += payloadLen
+        if (moovBytes > maxMoovBytes) return None
         moovs += r.readFully(pos + hl, payloadLen.toInt)
       }
       pos += size
@@ -600,9 +604,18 @@ object Mp4Index {
     val len = r.length
     var pos = 0L
     var first = true
+    // moov(s) must PRECEDE the first moof (§8.8.4: movie fragments
+    // extend the presentation the Movie Box declared) — which lets
+    // each moof parse AND DROP as it streams by instead of buffering
+    // all of them (a hostile file of back-to-back near-cap "moof"
+    // boxes would otherwise accumulate gigabytes before parsing).
+    // Cumulative moov bytes share one cap for the same reason.
     val moovs = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
-    val moofs =
-      scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Byte])]
+    var moovBytes = 0L
+    var videoIds: Set[Long] = Set.empty
+    var declaredAny = false
+    var sawMoof = false
+    val spans = scala.collection.mutable.ArrayBuffer.empty[LongSpan]
     while (pos < len) {
       if (pos + 8 > len) return None
       val hdr = r.readFully(pos, if (pos + 16 <= len) 16 else 8)
@@ -616,27 +629,32 @@ object Mp4Index {
       val fc = fourcc(hdr, 4)
       if (first && fc != "ftyp") return None
       first = false
-      if (fc == "moov" || fc == "moof") {
+      if (fc == "moov") {
+        if (sawMoof) return None // moofs shall follow the Movie Box
+        val payloadLen = size - hl
+        moovBytes += payloadLen
+        if (moovBytes > maxBoxBytes) return None
+        moovs += r.readFully(pos + hl, payloadLen.toInt)
+      } else if (fc == "moof") {
+        if (!sawMoof) {
+          sawMoof = true
+          val declared =
+            moovs.toSeq.flatMap(b => declaredTracksInMoov(b, 0, b.length))
+          declaredAny = declared.nonEmpty
+          videoIds = declared.collect { case (id, true) => id }.toSet
+          if (declaredAny && videoIds.isEmpty) return None
+          moovs.clear() // parsed; never needed again
+        }
         val payloadLen = size - hl
         if (payloadLen > maxBoxBytes) return None
         val payload = r.readFully(pos + hl, payloadLen.toInt)
-        if (fc == "moov") moovs += payload
-        else moofs += ((pos, payload))
+        moofVideoSpans(payload, 0, payload.length, pos, videoIds,
+          len, spans.length) match {
+          case None => return None
+          case Some(ss) => spans ++= ss
+        }
       }
       pos += size
-    }
-    if (first || moofs.isEmpty) return None
-    val declared =
-      moovs.toSeq.flatMap(b => declaredTracksInMoov(b, 0, b.length))
-    val videoIds = declared.collect { case (id, true) => id }.toSet
-    if (declared.nonEmpty && videoIds.isEmpty) return None
-    val spans = scala.collection.mutable.ArrayBuffer.empty[LongSpan]
-    moofs.foreach { case (absStart, payload) =>
-      moofVideoSpans(payload, 0, payload.length, absStart, videoIds,
-        len, spans.length) match {
-        case None => return None
-        case Some(ss) => spans ++= ss
-      }
     }
     if (spans.isEmpty) None else Some(spans.toIndexedSeq)
   }

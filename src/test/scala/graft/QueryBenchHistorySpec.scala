@@ -43,6 +43,17 @@ class QueryBenchHistorySpec extends AnyFunSuite {
     }
   }
 
+  test("pretty-printed (spaced) sweep files parse identically") {
+    // half the checked-in sweeps serialize as '"queries": {' with
+    // spaces — a space-blind parser silently reads a stale subset
+    val spaced = """{"sf": "/tmp/scale100", "queries": {"q_x": 4.5,
+      | "q_y": 2.25}, "telemetry": {}}""".stripMargin
+    withSweeps(Map("r9_100x.json" -> spaced)) { dir =>
+      val mins = QueryBench.historyMins("/tmp/scale100", dir.getPath)
+      assert(mins === Map("q_x" -> 4.5, "q_y" -> 2.25))
+    }
+  }
+
   test("unmatched scale or missing directory returns empty, never throws") {
     assert(QueryBench.historyMins("/root/testdata/sf0.1",
       "tools/sweeps").isEmpty)

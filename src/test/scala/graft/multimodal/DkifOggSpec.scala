@@ -50,6 +50,30 @@ class DkifOggSpec extends AnyFunSuite {
     assert(H264Avcc.frameIndex(good).isEmpty)
   }
 
+  test("AV1: an UNSIZED trailing sequence-header OBU still flags the keyframe") {
+    // spec 5.2 allows obu_has_size_field=0 for the last OBU; a
+    // keyframe laid out [sized OBU_FRAME][unsized OBU_SEQUENCE_HEADER]
+    // must not be misflagged non-key
+    val payload = Array[Byte](
+      0x32, 0x02, 0x7f, 0x33, // sized OBU_FRAME (type 6), len 2
+      0x08, 0x55, 0x66)       // UNSIZED OBU_SEQUENCE_HEADER (type 1)
+    val b = {
+      // hand-wrap in the IVF shell: reuse encodeSynthetic's header by
+      // encoding a placeholder frame, then substituting the payload
+      val shell = DkifIndex.encodeSynthetic("AV01", Seq((fr(7, 0), false)))
+      // placeholder AV1 payload is 7+4=11 B; ours is 7 B — rebuild
+      // the frame header (12 B at offset 32) + payload by hand
+      val out = new java.io.ByteArrayOutputStream()
+      out.write(shell, 0, 32)
+      out.write(Array[Byte](7, 0, 0, 0)) // u32LE size
+      out.write(new Array[Byte](8))      // pts
+      out.write(payload)
+      out.toByteArray
+    }
+    val got = DkifIndex.frameIndex(b).get
+    assert(got.length === 1 && got.head.isIdr)
+  }
+
   test("Ogg: page spans, granules, packet counts, 255-multiple lacing") {
     val pages = Seq(
       (Seq(fr(19, 0)), 0L, true, false),          // BOS (OpusHead shape)

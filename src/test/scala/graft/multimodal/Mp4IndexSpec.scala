@@ -403,6 +403,21 @@ class Mp4IndexSpec extends AnyFunSuite {
     } finally f.delete()
   }
 
+  test("seekable fragmented: a moov AFTER the first moof refuses (8.8.4 ordering)") {
+    val b = Mp4Index.encodeSyntheticFragmented(Seq(samples(5, 5)))
+    // append a copy of the leading moov (16 B shell) after the stream
+    val s = new String(b, "ISO-8859-1")
+    val moovAt = s.indexOf("moov") - 4
+    val appended = b ++ b.slice(moovAt, moovAt + 16)
+    val f = java.io.File.createTempFile("graft-late-moov", ".mp4")
+    try {
+      java.nio.file.Files.write(f.toPath, appended)
+      val r = new Mp4Index.FileRangeReader(f.getPath)
+      try assert(Mp4Index.frameIndexSeekable(r).isEmpty)
+      finally r.close()
+    } finally f.delete()
+  }
+
   test("seekable fragmented agrees with the in-memory walk, incl. track routing") {
     for (audioFirst <- Seq(false, true)) {
       val frags = Seq(samples(5, 9), samples(7))
