@@ -138,25 +138,32 @@ object MkvIndex {
     * frames). */
   def videoTrack(b: Array[Byte]): Option[VideoTrack] =
     segmentKids(b).flatMap { kids =>
-      kids.filter(_.id == Tracks).iterator.flatMap { tracks =>
-        elements(b, tracks.payloadStart, tracks.payloadEnd).toSeq.flatten
-          .filter(_.id == TrackEntry)
-          .flatMap { entry =>
-            val fields = elements(b, entry.payloadStart, entry.payloadEnd)
-              .getOrElse(return None)
-            val isVideo = fields.find(_.id == TrackType)
-              .exists(uint(b, _) == 1L)
-            val num = fields.find(_.id == TrackNumber).map(uint(b, _))
-            if (!isVideo || num.isEmpty) None
-            else Some(VideoTrack(num.get,
-              fields.find(_.id == CodecId)
-                .map(e => new String(b, e.payloadStart,
-                  e.payloadEnd - e.payloadStart, "UTF-8")).getOrElse(""),
-              fields.find(_.id == CodecPrivate)
-                .map(e => (e.payloadStart, e.payloadEnd))))
-          }
-      }.nextOption()
+      kids.filter(_.id == Tracks).iterator
+        .flatMap(t => videoTrackInTracks(b, t.payloadStart, t.payloadEnd))
+        .nextOption()
     }
+
+  /** The video track inside ONE `Tracks` payload range — shared with
+    * the seekable walk, which hands the payload in detached (its
+    * codecPrivate range is then relative to that detached array). */
+  private def videoTrackInTracks(b: Array[Byte], start: Int,
+      end: Int): Option[VideoTrack] =
+    elements(b, start, end).toSeq.flatten
+      .filter(_.id == TrackEntry)
+      .flatMap { entry =>
+        val fields = elements(b, entry.payloadStart, entry.payloadEnd)
+          .getOrElse(return None)
+        val isVideo = fields.find(_.id == TrackType)
+          .exists(uint(b, _) == 1L)
+        val num = fields.find(_.id == TrackNumber).map(uint(b, _))
+        if (!isVideo || num.isEmpty) None
+        else Some(VideoTrack(num.get,
+          fields.find(_.id == CodecId)
+            .map(e => new String(b, e.payloadStart,
+              e.payloadEnd - e.payloadStart, "UTF-8")).getOrElse(""),
+          fields.find(_.id == CodecPrivate)
+            .map(e => (e.payloadStart, e.payloadEnd))))
+      }.headOption
 
   /** Block-payload parse: track-number VINT + 2-byte timestamp +
     * flags, then the (possibly laced) frame data — one (start, len)
@@ -165,34 +172,58 @@ object MkvIndex {
     * track are signalled by an EMPTY result (skip, not refuse).
     */
   private def blockFrames(b: Array[Byte], el: El,
-      track: Long): Option[Seq[(Int, Int)]] = {
-    val (tn, tw) = readVint(b, el.payloadStart, 8, keepMarker = false)
+      track: Long): Option[Seq[(Int, Int)]] =
+    blockFramesRel(b, el.payloadStart, el.payloadEnd,
+      (el.payloadEnd - el.payloadStart).toLong, track)
+      .map(_.map { case (rel, len) =>
+        (el.payloadStart + rel.toInt, len.toInt) // in-memory: < 2 GiB
+      })
+
+  /** [[blockFrames]] over a HEADER PREFIX: `b[start, availEnd)` holds
+    * at least the block header (track VINT + timestamp + flags +
+    * lacing table); `payloadLen` is the block payload's TOTAL length
+    * (the trailing frame takes the remainder without the bytes being
+    * present). Frame offsets are relative to `start`. None when the
+    * header is malformed OR extends past `availEnd` — a seekable
+    * caller retries with a larger prefix before judging. Shared by
+    * the in-memory and seekable walks so they cannot drift.
+    */
+  private def blockFramesRel(b: Array[Byte], start: Int, availEnd: Int,
+      payloadLen: Long, track: Long): Option[Seq[(Long, Long)]] = {
+    val (tn, tw) = readVint2(b, start, availEnd, 8, keepMarker = false)
       .getOrElse(return None)
-    var i = el.payloadStart + tw
-    if (i + 3 > el.payloadEnd) return None
+    var i = start + tw
+    if (i + 3 > availEnd) return None
     val flags = b(i + 2) & 0xff
     i += 3
     if (tn != track) return Some(Seq.empty)
     val lacing = (flags >> 1) & 0x03
-    val end = el.payloadEnd
+    // all span arithmetic is LONG: a seekable block's payload (and
+    // its trailing frame) may exceed 2 GiB even though the header
+    // prefix in `b` is small
+    val end = start.toLong + payloadLen // logical payload end
     // a block with no frame data is malformed — refuse like the laced
     // paths do (their per-frame sizes(f) <= 0 check), never emit a
     // zero-length span to the decoder seam
-    if (lacing == 0) return if (end > i) Some(Seq((i, end - i))) else None
+    if (lacing == 0)
+      return if (end > i) Some(Seq(((i - start).toLong, end - i)))
+      else None
     // laced: 1 byte (frame count - 1), then per-mode sizes for all
-    // but the LAST frame, which takes the remainder
-    if (i >= end) return None
+    // but the LAST frame, which takes the remainder. Header reads must
+    // stay inside the AVAILABLE prefix — hdrEnd caps them.
+    val hdrEnd = math.min(end, availEnd.toLong).toInt
+    if (i >= hdrEnd) return None
     val n = (b(i) & 0xff) + 1
     i += 1
-    val sizes = new Array[Int](n)
+    val sizes = new Array[Long](n)
     lacing match {
       case 1 => // Xiph: 255-run + terminator byte per frame
         var f = 0
         while (f < n - 1) {
-          var sz = 0
+          var sz = 0L
           var more = true
           while (more) {
-            if (i >= end) return None
+            if (i >= hdrEnd) return None
             val v = b(i) & 0xff
             sz += v; i += 1
             more = v == 255
@@ -208,45 +239,49 @@ object MkvIndex {
         // sizes are stored for all frames EXCEPT the last, so a
         // 1-frame "laced" block carries NO size bytes at all
         if (n >= 2) {
-          val (s0, w0) = readVint(b, i, 8, keepMarker = false)
+          val (s0, w0) = readVint2(b, i, hdrEnd, 8, keepMarker = false)
             .getOrElse(return None)
           i += w0
-          // validate as Long BEFORE narrowing: a >2^31 declared size
-          // truncated to a plausible Int is a silent-wrong span, not
-          // a refusal
+          // validate BEFORE use: a declared size past the payload is
+          // a refusal, never a silent-wrong span
           if (s0 <= 0 || s0 > end - i) return None
-          sizes(0) = s0.toInt
+          sizes(0) = s0
           var f = 1
           while (f < n - 1) {
-            val (d, wd) = readVint(b, i, 8, keepMarker = false)
+            val (d, wd) = readVint2(b, i, hdrEnd, 8, keepMarker = false)
               .getOrElse(return None)
             i += wd
             val delta = d - ((1L << (7 * wd - 1)) - 1) // signed per spec
-            val next = sizes(f - 1).toLong + delta
+            val next = sizes(f - 1) + delta
             if (next <= 0 || next > end - i) return None
-            sizes(f) = next.toInt
+            sizes(f) = next
             f += 1
           }
         }
       case _ => return None
     }
     if (lacing != 2) {
-      val head = sizes.take(n - 1).map(_.toLong).sum
+      val head = sizes.take(n - 1).sum
       if (sizes.take(n - 1).exists(_ < 0) || head > end - i) return None
-      sizes(n - 1) = (end - i - head).toInt
+      sizes(n - 1) = end - i - head
     }
-    val out = new Array[(Int, Int)](n)
+    val out = new Array[(Long, Long)](n)
     var f = 0
-    var p = i
+    var p = i.toLong
     while (f < n) {
       if (sizes(f) <= 0 || p + sizes(f) > end) return None
-      out(f) = (p, sizes(f))
+      out(f) = (p - start, sizes(f))
       p += sizes(f)
       f += 1
     }
     if (p != end) return None // frames must tile the block exactly
     Some(scala.collection.immutable.ArraySeq.unsafeWrapArray(out))
   }
+
+  /** [[readVint]] bounded by an explicit end instead of b.length. */
+  private def readVint2(b: Array[Byte], i: Int, end: Int, maxW: Int,
+      keepMarker: Boolean): Option[(Long, Int)] =
+    readVint(b, i, maxW, keepMarker).filter { case (_, w) => i + w <= end }
 
   /** The frame index: every video-track block's frame byte ranges, in
     * cluster/block order, keyframe-flagged. None when the bytes are
@@ -284,6 +319,146 @@ object MkvIndex {
           }
         }
       }
+    }
+    if (spans.isEmpty) None else Some(spans.toIndexedSeq)
+  }
+
+  // ---- seekable (>2 GiB) indexing: element headers + block-header
+  // PREFIXES only — frame data is never read. Matroska puts the frame
+  // bytes INSIDE cluster elements (unlike MP4's out-of-line mdat), so
+  // the trick here is skipping block payloads by seek: per block the
+  // walk reads its header prefix (track VINT + timestamp + flags +
+  // lacing table) and computes the frame spans from arithmetic, via
+  // the same [[blockFramesRel]] the in-memory walk uses ----
+
+  /** Seekable frame index over a [[Mp4Index.RangeReader]]: the same
+    * spans/flags as [[frameIndex]] with 64-bit addressing and I/O
+    * proportional to the BLOCK COUNT (tens of bytes per block), not
+    * the file size. Contracts beyond the in-memory walk's: `Tracks`
+    * must precede the first `Cluster` (every real muxer's layout —
+    * this is a single forward pass), and a laced block whose lacing
+    * table exceeds 1 MiB refuses (a Xiph table that large implies
+    * >250 MB of laced frames in ONE block). `maxMetaBytes` caps the
+    * cumulative EBML-header + Tracks reads.
+    */
+  def frameIndexSeekable(r: Mp4Index.RangeReader,
+      maxMetaBytes: Int = 1 << 26): Option[IndexedSeq[Mp4Index.LongSpan]] = {
+    val len = r.length
+    def readAt(at: Long, want: Int): Array[Byte] = {
+      val n = math.min(want.toLong, len - at).toInt
+      if (n <= 0) Array.empty[Byte] else r.readFully(at, n)
+    }
+    // one element header at absolute `at`: (id, payloadAbs, payloadLen
+    // — -1 for unknown-size)
+    def header(at: Long): Option[(Long, Long, Long)] = {
+      val b = readAt(at, 12)
+      val (id, idW) = readVint(b, 0, 4, keepMarker = true)
+        .getOrElse(return None)
+      val (size, szW) = readVint(b, idW, 8, keepMarker = false)
+        .getOrElse(return None)
+      val payloadAbs = at + idW + szW
+      if (isUnknownSize(size, szW)) Some((id, payloadAbs, -1L))
+      else if (size > len - payloadAbs) None
+      else Some((id, payloadAbs, size))
+    }
+    var metaBytes = 0L
+    def readMeta(at: Long, n: Long): Option[Array[Byte]] = {
+      metaBytes += n
+      if (metaBytes > maxMetaBytes) None else Some(readAt(at, n.toInt))
+    }
+    // EBML header, then Segment (unknown size = to EOF, must be last)
+    val h0 = header(0).getOrElse(return None)
+    if (h0._1 != EbmlHeader || h0._3 < 0) return None
+    val ebml = readMeta(h0._2, h0._3).getOrElse(return None)
+    if (elements(ebml, 0, ebml.length).isEmpty) return None
+    val segAt = h0._2 + h0._3
+    if (segAt >= len) return None
+    val hs = header(segAt).getOrElse(return None)
+    if (hs._1 != Segment) return None
+    val segEnd = if (hs._3 < 0) len else hs._2 + hs._3
+    if (hs._3 >= 0) {
+      // a sized Segment may have top-level successors: their headers
+      // must still tile the file exactly (the in-memory contract)
+      var p = segEnd
+      while (p < len) {
+        val h = header(p).getOrElse(return None)
+        if (h._3 < 0) return None
+        p = h._2 + h._3
+      }
+    }
+    var videoNum = -1L
+    val spans =
+      scala.collection.mutable.ArrayBuffer.empty[Mp4Index.LongSpan]
+    // block emission: header prefix first (4 KiB covers every sane
+    // lacing table), one 1 MiB retry, then refuse — blockFramesRel
+    // cannot distinguish "malformed" from "prefix too small", so the
+    // retry must make the prefix decisive
+    def emitBlock(payloadAbs: Long, payloadLen: Long,
+        keyOfFlags: Option[Int => Boolean]): Boolean = {
+      def attempt(n: Int): Option[(Seq[(Long, Long)], Int)] = {
+        val pb = readAt(payloadAbs, math.min(n.toLong, payloadLen).toInt)
+        val tw = readVint(pb, 0, 8, keepMarker = false).map(_._2)
+          .getOrElse(return None)
+        if (tw + 3 > pb.length) return None
+        blockFramesRel(pb, 0, pb.length, payloadLen, videoNum)
+          .map(fs => (fs, pb(tw + 2) & 0xff))
+      }
+      val got = attempt(4096).orElse(
+        if (payloadLen > 4096) attempt(1 << 20) else None)
+      got match {
+        case None => false
+        case Some((frames, flags)) =>
+          val key = keyOfFlags.map(f => f(flags)).getOrElse(false)
+          frames.foreach { case (rel, flen) =>
+            spans += Mp4Index.LongSpan(spans.length, payloadAbs + rel,
+              flen, key)
+          }
+          true
+      }
+    }
+    var pos = hs._2
+    while (pos < segEnd) {
+      val (id, pAbs, pLen) = header(pos).getOrElse(return None)
+      if (pLen < 0 || pAbs + pLen > segEnd) return None
+      if (id == Tracks) {
+        if (videoNum < 0) {
+          val tb = readMeta(pAbs, pLen).getOrElse(return None)
+          videoNum = videoTrackInTracks(tb, 0, tb.length)
+            .map(_.trackNumber).getOrElse(return None)
+        }
+      } else if (id == Cluster) {
+        if (videoNum < 0) return None // Tracks must precede clusters
+        var cp = pAbs
+        val cEnd = pAbs + pLen
+        while (cp < cEnd) {
+          val (cid, cpa, cpl) = header(cp).getOrElse(return None)
+          if (cpl < 0 || cpa + cpl > cEnd) return None
+          if (cid == SimpleBlock) {
+            if (!emitBlock(cpa, cpl,
+                Some(flags => (flags & 0x80) != 0))) return None
+          } else if (cid == BlockGroup) {
+            // group children by header: Blocks + ReferenceBlock flag
+            var gp = cpa
+            val gEnd = cpa + cpl
+            var hasRef = false
+            val blocks =
+              scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+            while (gp < gEnd) {
+              val (gid, gpa, gpl) = header(gp).getOrElse(return None)
+              if (gpl < 0 || gpa + gpl > gEnd) return None
+              if (gid == Block) blocks += ((gpa, gpl))
+              else if (gid == ReferenceBlock) hasRef = true
+              gp = gpa + gpl
+            }
+            val key = !hasRef
+            blocks.foreach { case (bpa, bpl) =>
+              if (!emitBlock(bpa, bpl, Some(_ => key))) return None
+            }
+          }
+          cp = cpa + cpl
+        }
+      }
+      pos = pAbs + pLen
     }
     if (spans.isEmpty) None else Some(spans.toIndexedSeq)
   }

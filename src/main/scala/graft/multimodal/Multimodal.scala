@@ -703,21 +703,22 @@ object Multimodal {
     }
   }
 
-  /** Frame-range sampling for MP4 assets addressed BY PATH instead of
-    * by an in-row byte column — the >2 GiB route: the JVM's array cap
-    * means a movie-length MP4 cannot even be REPRESENTED as a binary
-    * column, and at 100 TB shipping whole assets through a shuffle to
-    * read 16-byte box headers is absurd anyway. Each task opens the
-    * file and indexes via [[Mp4Index.frameIndexSeekable]] — only the
-    * top-level box headers and the `moov` are ever read (the stbl
-    * path never needs `mdat` bytes), so indexing a 50 GB file costs
-    * KILOBYTES of I/O. Paths are local-filesystem here
-    * ([[Mp4Index.FileRangeReader]]); a distributed-FS reader is one
-    * [[Mp4Index.RangeReader]] implementation away. Unindexable paths
-    * (missing file, non-MP4, fragmented) emit the flagged
+  /** Frame-range sampling for container assets addressed BY PATH
+    * instead of by an in-row byte column — the >2 GiB route: the
+    * JVM's array cap means a movie-length MP4/WebM cannot even be
+    * REPRESENTED as a binary column, and at 100 TB shipping whole
+    * assets through a shuffle to read box/element headers is absurd
+    * anyway. Each task opens the file and indexes via
+    * [[Mp4Index.frameIndexSeekable]] (plain + fragmented MP4) falling
+    * through to [[MkvIndex.frameIndexSeekable]] (Matroska/WebM) —
+    * only headers and sample/track tables are ever read, so indexing
+    * a 50 GB file costs KILOBYTES of I/O. Paths are local-filesystem
+    * here ([[Mp4Index.FileRangeReader]]); a distributed-FS reader is
+    * one [[Mp4Index.RangeReader]] implementation away. Unindexable
+    * paths (missing file, unknown container) emit the flagged
     * `indexed = false` row, keeping the pipeline total.
     */
-  def sampleMp4FramesByPath(df: DataFrame, idCol: String, pathCol: String,
+  def sampleVideoFramesByPath(df: DataFrame, idCol: String, pathCol: String,
       stride: Int, maxFrames: Int, keyframesOnly: Boolean = false)(
       implicit spark: SparkSession): Dataset[H264Frame] = {
     import spark.implicits._
@@ -730,6 +731,7 @@ object Multimodal {
             try {
               val r = new Mp4Index.FileRangeReader(path)
               try Mp4Index.frameIndexSeekable(r)
+                .orElse(MkvIndex.frameIndexSeekable(r))
               finally r.close()
             } catch { case scala.util.control.NonFatal(_) => None }
           indexed match {

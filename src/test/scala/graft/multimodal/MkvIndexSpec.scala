@@ -175,4 +175,82 @@ class MkvIndexSpec extends AnyFunSuite {
     badNested(idx + 4) = 0xff.toByte
     assert(MkvIndex.frameIndex(badNested).isEmpty)
   }
+
+  test("seekable agrees with the in-memory walk across block shapes") {
+    val fs = frames(5, 7, 6)
+    val keys = Seq(true, false, true)
+    val variants = Seq(
+      MkvIndex.encodeSynthetic(fs.zip(keys)),
+      MkvIndex.encodeSynthetic(fs.zip(keys), useBlockGroups = true),
+      MkvIndex.encodeSynthetic(fs.zip(keys), audioTrackFirst = true),
+      MkvIndex.encodeSyntheticLaced(frames(5, 9, 3, 7), "xiph"),
+      MkvIndex.encodeSyntheticLaced(frames(5, 9, 3, 7), "ebml"),
+      MkvIndex.encodeSyntheticLaced(frames(6, 6, 6), "fixed"))
+    val f = java.io.File.createTempFile("graft-mkv", ".webm")
+    try {
+      variants.zipWithIndex.foreach { case (webm, vi) =>
+        java.nio.file.Files.write(f.toPath, webm)
+        val mem = MkvIndex.frameIndex(webm).get
+        val r = new Mp4Index.FileRangeReader(f.getPath)
+        val seek = try MkvIndex.frameIndexSeekable(r).get finally r.close()
+        assert(seek.map(s => (s.byteStart, s.byteLen, s.isIdr)) ===
+          mem.map(s => (s.byteStart.toLong, s.byteLen.toLong, s.isIdr)),
+          s"variant $vi")
+      }
+      // junk refuses through the reader too
+      java.nio.file.Files.write(f.toPath, Array[Byte](9, 9, 9, 9))
+      val rj = new Mp4Index.FileRangeReader(f.getPath)
+      try assert(MkvIndex.frameIndexSeekable(rj).isEmpty)
+      finally rj.close()
+    } finally f.delete()
+  }
+
+  test("seekable: a sparse >2GiB single-block WebM indexes from headers alone") {
+    // reuse a small synthetic file's EBML+Info+Tracks prefix, switch
+    // the Segment to unknown-size (to EOF), and append one Cluster
+    // holding a single SimpleBlock whose 2.2 GB frame data is a
+    // sparse hole — the walk must never read it
+    val small = MkvIndex.encodeSynthetic(frames(5).map((_, true)))
+    val clusterAt = clusterIdx(small)
+    val prefix = small.take(clusterAt)
+    assert((prefix(16) & 0xff) >= 0x80) // the 1-byte Segment size
+    prefix(16) = 0xff.toByte            // -> unknown size (to EOF)
+    val bigLen = 2300000000L
+    def sizeVint8(n: Long): Array[Byte] =
+      Array(0x01.toByte) ++ Array.tabulate[Byte](7)(j =>
+        ((n >> (8 * (6 - j))) & 0xff).toByte)
+    val blockPayloadLen = 4 + bigLen
+    val blockHdr = Array(0xa3.toByte) ++ sizeVint8(blockPayloadLen) ++
+      Array(0x81.toByte, 0.toByte, 0.toByte, 0x80.toByte)
+    val ts = Array(0xe7.toByte, 0x81.toByte, 0.toByte)
+    val clusterContent = ts.length.toLong + blockHdr.length + bigLen
+    val clusterHdr = Array(0x1f.toByte, 0x43.toByte, 0xb6.toByte,
+      0x75.toByte) ++ sizeVint8(clusterContent)
+    val f = java.io.File.createTempFile("graft-bigmkv", ".webm")
+    try {
+      val raf = new java.io.RandomAccessFile(f, "rw")
+      raf.write(prefix)
+      raf.write(clusterHdr)
+      raf.write(ts)
+      raf.write(blockHdr)
+      val dataAbs = raf.getFilePointer
+      raf.setLength(dataAbs + bigLen) // sparse frame data
+      raf.close()
+      assert(f.length > Int.MaxValue.toLong)
+      var bytesRead = 0L
+      val inner = new Mp4Index.FileRangeReader(f.getPath)
+      val counting = new Mp4Index.RangeReader {
+        def length: Long = inner.length
+        def readFully(at: Long, len: Int): Array[Byte] = {
+          bytesRead += len; inner.readFully(at, len)
+        }
+        def close(): Unit = inner.close()
+      }
+      val spans = try MkvIndex.frameIndexSeekable(counting).get
+        finally counting.close()
+      assert(spans.map(s => (s.byteStart, s.byteLen, s.isIdr)) ===
+        Seq((dataAbs, bigLen, true)))
+      assert(bytesRead < 10000L, s"read $bytesRead bytes")
+    } finally f.delete()
+  }
 }

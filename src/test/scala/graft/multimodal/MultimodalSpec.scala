@@ -229,7 +229,7 @@ class MultimodalSpec extends SparkSpec {
     assert(!got(4).decoded && got(4).n_frames_hashed === 0)
   }
 
-  test("sampleMp4FramesByPath indexes by path with the flagged fallback for bad paths") {
+  test("sampleVideoFramesByPath indexes by path with the flagged fallback for bad paths") {
     import spark.implicits._
     val ss = Seq(7, 14, 3).map(n => Array.tabulate[Byte](n)(_.toByte))
     val mp4 = Mp4Index.encodeSynthetic(ss, syncSamples = Seq(1, 3))
@@ -238,7 +238,7 @@ class MultimodalSpec extends SparkSpec {
       java.nio.file.Files.write(f.toPath, mp4)
       val df = Seq((1L, f.getPath), (2L, "/nonexistent/clip.mp4"))
         .toDF("id", "path")
-      val rows = Multimodal.sampleMp4FramesByPath(df, "id", "path",
+      val rows = Multimodal.sampleVideoFramesByPath(df, "id", "path",
         stride = 2, maxFrames = 5).collect().sortBy(r => (r.asset_id, r.frame_idx))
       val good = rows.filter(_.asset_id == 1L)
       assert(good.map(_.frame_idx).toSeq === Seq(0, 2))
@@ -246,6 +246,17 @@ class MultimodalSpec extends SparkSpec {
       assert(good.forall(_.indexed))
       val bad = rows.filter(_.asset_id == 2L)
       assert(bad.length === 1 && !bad.head.indexed && bad.head.frame_idx === -1)
+      // the same path route serves Matroska/WebM via the seekable
+      // EBML walk
+      val webm = MkvIndex.encodeSynthetic(Seq(
+        (Array.tabulate[Byte](5)(_.toByte), true),
+        (Array.tabulate[Byte](7)(_.toByte), false)))
+      java.nio.file.Files.write(f.toPath, webm)
+      val wrows = Multimodal.sampleVideoFramesByPath(
+        Seq((3L, f.getPath)).toDF("id", "path"), "id", "path",
+        stride = 1, maxFrames = 5).collect().sortBy(_.frame_idx)
+      assert(wrows.map(_.byte_len).toSeq === Seq(5L, 7L))
+      assert(wrows.map(_.is_idr).toSeq === Seq(true, false))
     } finally f.delete()
   }
 
