@@ -613,6 +613,179 @@ object MultimodalQueries {
       .orderBy("asset_id", "frame_idx")
   }
 
+  /** ADTS AAC frame indexing ([[graft.multimodal.AdtsAac]]): the
+    * third audio face of the decoder seam. Byte-exact oracle from
+    * the in-header length field: payloads 100/250/37 B under 7-byte
+    * headers give frames 107/257/44 at 0/107/364 (48 kHz 5.1, LC);
+    * the CRC clip's 9-byte headers give 73/73 at 0/73 with TWO raw
+    * data blocks each (2048 samples — the rdb field, not a constant);
+    * the real-layout ffmpeg fixture pins the bit-for-bit header shape
+    * an external muxer writes (30/38/24 at 0/30/68). Junk pins the
+    * flagged fallback. A length-field, CRC-size, sample-rate-table,
+    * or rdb regression hash-fails.
+    */
+  val qMultimodalAacIndex: QueryDef = QueryDef.sql(
+    "q_multimodal_aac_index",
+    """SELECT * FROM (VALUES
+      |  (1, 0, CAST(0 AS BIGINT), CAST(107 AS BIGINT), 1, 48000, 6, 1024, true),
+      |  (1, 1, CAST(107 AS BIGINT), CAST(257 AS BIGINT), 1, 48000, 6, 1024, true),
+      |  (1, 2, CAST(364 AS BIGINT), CAST(44 AS BIGINT), 1, 48000, 6, 1024, true),
+      |  (2, -1, NULL, NULL, NULL, NULL, NULL, NULL, false),
+      |  (3, 0, CAST(0 AS BIGINT), CAST(30 AS BIGINT), 1, 48000, 2, 1024, true),
+      |  (3, 1, CAST(30 AS BIGINT), CAST(38 AS BIGINT), 1, 48000, 2, 1024, true),
+      |  (3, 2, CAST(68 AS BIGINT), CAST(24 AS BIGINT), 1, 48000, 2, 1024, true),
+      |  (4, 0, CAST(0 AS BIGINT), CAST(73 AS BIGINT), 1, 44100, 2, 2048, true),
+      |  (4, 1, CAST(73 AS BIGINT), CAST(73 AS BIGINT), 1, 44100, 2, 2048, true))
+      |  AS t(asset_id, frame_idx, byte_start, byte_len, profile,
+      |       sample_rate_hz, channels, samples, indexed)
+      |ORDER BY asset_id, frame_idx""".stripMargin,
+    doc = "ADTS AAC frame index: byte ranges + rate facts from " +
+      "headers alone (multimodal ops; decode is the external-seam stub)") {
+    (s, dir) =>
+    import s.implicits._
+    import graft.multimodal.AdtsAac
+    val assets = Seq(
+      (1L, "mem://talk.aac",
+        AdtsAac.encodeSynthetic(Seq(100, 250, 37), srIdx = 3, chanCfg = 6)),
+      (2L, "mem://junk.aac", Array[Byte](9, 9, 9, 9)),
+      // real-layout fixture: ffmpeg -f adts shape — MPEG-4 ID bit,
+      // buffer fullness 0x7FF, LC 48 kHz stereo — frames 30/38/24
+      (3L, "mem://lavf.aac", graft.multimodal.ExternalFixtures.ffmpegStyleAdts),
+      (4L, "mem://crc.adts",
+        AdtsAac.encodeSynthetic(Seq(64, 64), crc = true, rdbMinus1 = 1))
+    ).toDF("id", "uri", "bytes")
+    Multimodal.sampleAacFrames(
+        Multimodal.toMediaAssets(assets, "id", "uri", "bytes")(s),
+        stride = 1, maxFrames = 5)(s)
+      .select(col("asset_id"), col("frame_idx"),
+        when(col("indexed"), col("byte_start")).as("byte_start"),
+        when(col("indexed"), col("byte_len")).as("byte_len"),
+        when(col("indexed"), col("profile")).as("profile"),
+        when(col("indexed"), col("sample_rate_hz")).as("sample_rate_hz"),
+        when(col("indexed"), col("channels")).as("channels"),
+        when(col("indexed"), col("samples")).as("samples"),
+        col("indexed"))
+      .orderBy("asset_id", "frame_idx")
+  }
+
+  /** MPEG-TS PES-unit indexing ([[graft.multimodal.MpegTs]]): the
+    * streaming-capture face of the decoder seam (HLS segments).
+    * Byte-exact oracle from the packet arithmetic: PAT pkt 0, PMT
+    * pkt 1; a 414 B video PES fills pkts 2-4, audio pkt 5, a 314 B
+    * video PES pkts 6-7 — spans run to the next PUSI on the same
+    * PID (video-0's includes the interleaved audio packet; audio's
+    * runs to stream end), PTS rides the marker-bit PES encoding,
+    * random-access the adaptation field. Asset 3 pins the
+    * ffmpeg-style SDT-before-PAT layout (skipped, shifting units by
+    * one packet). Junk pins the flagged fallback. A PAT/PMT-CRC,
+    * PTS-marker, continuity, or span regression hash-fails.
+    */
+  val qMultimodalTsIndex: QueryDef = QueryDef.sql(
+    "q_multimodal_ts_index",
+    """SELECT * FROM (VALUES
+      |  (1, 0, CAST(376 AS BIGINT), CAST(752 AS BIGINT), 256, 27, 3,
+      |   CAST(90000 AS BIGINT), true, true, true),
+      |  (1, 1, CAST(940 AS BIGINT), CAST(564 AS BIGINT), 257, 15, 1,
+      |   CAST(91000 AS BIGINT), false, false, true),
+      |  (1, 2, CAST(1128 AS BIGINT), CAST(376 AS BIGINT), 256, 27, 2,
+      |   CAST(93003 AS BIGINT), false, true, true),
+      |  (2, -1, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL, false),
+      |  (3, 0, CAST(564 AS BIGINT), CAST(188 AS BIGINT), 256, 27, 1,
+      |   CAST(0 AS BIGINT), true, true, true),
+      |  (3, 1, CAST(752 AS BIGINT), CAST(188 AS BIGINT), 256, 27, 1,
+      |   CAST(3003 AS BIGINT), false, true, true))
+      |  AS t(asset_id, unit_idx, byte_start, byte_len, pid, stream_type,
+      |       n_packets, pts, is_random_access, is_video, indexed)
+      |ORDER BY asset_id, unit_idx""".stripMargin,
+    doc = "MPEG-TS PES-unit index: PAT/PMT walk + PTS/random-access " +
+      "facts (multimodal ops; decode is the documented external-seam stub)") {
+    (s, dir) =>
+    import s.implicits._
+    import graft.multimodal.MpegTs
+    import graft.multimodal.MpegTs.SynthUnit
+    def pl(n: Int, i: Int): Array[Byte] =
+      Array.tabulate[Byte](n)(j => ((i * 31 + j + 1) & 0x7f).toByte)
+    val assets = Seq(
+      (1L, "mem://seg0.ts", MpegTs.encodeSynthetic(Seq(
+        SynthUnit(0x100, pl(400, 0), pts = 90000L, randomAccess = true),
+        SynthUnit(0x101, pl(50, 1), pts = 91000L, randomAccess = false),
+        SynthUnit(0x100, pl(300, 2), pts = 93003L, randomAccess = false)))),
+      (2L, "mem://junk.ts", Array[Byte](9, 9, 9, 9)),
+      // real-layout variant: ffmpeg writes an SDT before the PAT
+      (3L, "mem://lavf.ts", MpegTs.encodeSynthetic(Seq(
+        SynthUnit(0x100, pl(100, 0), pts = 0L, randomAccess = true),
+        SynthUnit(0x100, pl(100, 1), pts = 3003L, randomAccess = false)),
+        sdtFirst = true))
+    ).toDF("id", "uri", "bytes")
+    Multimodal.sampleTsUnits(
+        Multimodal.toMediaAssets(assets, "id", "uri", "bytes")(s),
+        stride = 1, maxUnits = 5)(s)
+      .select(col("asset_id"), col("unit_idx"),
+        when(col("indexed"), col("byte_start")).as("byte_start"),
+        when(col("indexed"), col("byte_len")).as("byte_len"),
+        when(col("indexed"), col("pid")).as("pid"),
+        when(col("indexed"), col("stream_type")).as("stream_type"),
+        when(col("indexed"), col("n_packets")).as("n_packets"),
+        when(col("indexed"), col("pts")).as("pts"),
+        when(col("indexed"), col("is_random_access")).as("is_random_access"),
+        when(col("indexed"), col("is_video")).as("is_video"),
+        col("indexed"))
+      .orderBy("asset_id", "unit_idx")
+  }
+
+  /** FLAC frame indexing ([[graft.multimodal.FlacIndex]]): the
+    * lossless face of the decoder seam, and the family's hard case —
+    * no in-header frame length, so boundaries come from the format's
+    * own CRC-8/CRC-16 integrity chain. Byte-exact oracle from the
+    * header arithmetic: frames carrying 8/16-bit uncommon block
+    * sizes are 7/8 header bytes + payload + 2, so payloads 100/250/37
+    * under 16-bit sizes (4096 samples) give 110/260/47 B with the
+    * third (1000 samples) also 16-bit-coded — at 42/152/412 after
+    * the 42 B magic+STREAMINFO head. The real-layout libFLAC fixture
+    * pins the COMMON block-size code path (12 → 4096) + vorbis-
+    * comment/padding metadata walk (33/39 B at 110/143). Junk pins
+    * the flagged fallback. A CRC-table, boundary-scan, code-table, or
+    * metadata-walk regression hash-fails.
+    */
+  val qMultimodalFlacIndex: QueryDef = QueryDef.sql(
+    "q_multimodal_flac_index",
+    """SELECT * FROM (VALUES
+      |  (1, 0, CAST(42 AS BIGINT), CAST(110 AS BIGINT), 4096, 44100, 2, 16, true),
+      |  (1, 1, CAST(152 AS BIGINT), CAST(260 AS BIGINT), 4096, 44100, 2, 16, true),
+      |  (1, 2, CAST(412 AS BIGINT), CAST(47 AS BIGINT), 1000, 44100, 2, 16, true),
+      |  (2, -1, NULL, NULL, NULL, NULL, NULL, NULL, false),
+      |  (3, 0, CAST(110 AS BIGINT), CAST(33 AS BIGINT), 4096, 44100, 2, 16, true),
+      |  (3, 1, CAST(143 AS BIGINT), CAST(39 AS BIGINT), 4096, 44100, 2, 16, true))
+      |  AS t(asset_id, frame_idx, byte_start, byte_len, block_samples,
+      |       sample_rate_hz, channels, bits_per_sample, indexed)
+      |ORDER BY asset_id, frame_idx""".stripMargin,
+    doc = "FLAC frame index: CRC-chain boundary walk + PCM facts " +
+      "(multimodal ops; decode is the documented external-seam stub)") {
+    (s, dir) =>
+    import s.implicits._
+    import graft.multimodal.FlacIndex
+    val assets = Seq(
+      (1L, "mem://song.flac", FlacIndex.encodeSynthetic(
+        Seq((4096, 100), (4096, 250), (1000, 37)))),
+      (2L, "mem://junk.flac", Array[Byte](9, 9, 9, 9)),
+      // real-layout fixture: libFLAC shape — vorbis comment with the
+      // reference vendor string, padding block, common-code frames
+      (3L, "mem://ref.flac", graft.multimodal.ExternalFixtures.libflacStyleFlac)
+    ).toDF("id", "uri", "bytes")
+    Multimodal.sampleFlacFrames(
+        Multimodal.toMediaAssets(assets, "id", "uri", "bytes")(s),
+        stride = 1, maxFrames = 5)(s)
+      .select(col("asset_id"), col("frame_idx"),
+        when(col("indexed"), col("byte_start")).as("byte_start"),
+        when(col("indexed"), col("byte_len")).as("byte_len"),
+        when(col("indexed"), col("block_samples")).as("block_samples"),
+        when(col("indexed"), col("sample_rate_hz")).as("sample_rate_hz"),
+        when(col("indexed"), col("channels")).as("channels"),
+        when(col("indexed"), col("bits_per_sample")).as("bits_per_sample"),
+        col("indexed"))
+      .orderBy("asset_id", "frame_idx")
+  }
+
   /** HEVC (H.265) frame indexing ([[graft.multimodal.H265]]) over
     * BOTH framings in one sampling pass. Byte-exact oracle from the
     * NAL arithmetic: Annex-B frame 0 owns the stream head
@@ -825,6 +998,7 @@ object MultimodalQueries {
     qMultimodalDecode, qMultimodalAudio, qMultimodalResize, qMultimodalVideo,
     qMultimodalPhash, qMultimodalAudioNeardup, qMultimodalVideoNeardup,
     qMultimodalH264Index, qMultimodalAvccIndex, qMultimodalMp4Index,
-    qMultimodalFmp4Index, qMultimodalMp3Index, qMultimodalHevcIndex,
+    qMultimodalFmp4Index, qMultimodalMp3Index, qMultimodalAacIndex,
+    qMultimodalFlacIndex, qMultimodalTsIndex, qMultimodalHevcIndex,
     qMultimodalMkvIndex, qMultimodalDkifIndex, qMultimodalOggIndex)
 }

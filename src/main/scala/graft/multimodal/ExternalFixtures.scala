@@ -201,6 +201,93 @@ object ExternalFixtures {
     out.toByteArray
   }
 
+  /** ffmpeg `-f adts`-style AAC: MPEG-4 ID bit, protection absent
+    * (7-byte headers), LC profile, 48 kHz stereo, buffer fullness
+    * pinned at 0x7FF (the constant ffmpeg writes for VBR), no tags —
+    * three frames of 30/38/24 B at 0/30/68. Headers are assembled
+    * bit-by-bit here, independent of [[AdtsAac.encodeSynthetic]]. */
+  val ffmpegStyleAdts: Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def frame(len: Int, i: Int): Unit = {
+      out.write(0xff); out.write(0xf1)          // sync + MPEG-4 + layer 00
+      out.write((1 << 6) | (3 << 2))            // LC, srIdx 3, chan high 0
+      out.write((2 << 6) | ((len >> 11) & 0x03)) // stereo + len high bits
+      out.write((len >> 3) & 0xff)
+      out.write(((len & 0x07) << 5) | 0x1f)     // fullness 0x7FF high 5
+      out.write(0xfc)                           // fullness low 6 + rdb 0
+      out.write(sample(len - 7, i))
+    }
+    frame(30, 0); frame(38, 1); frame(24, 2)
+    out.toByteArray
+  }
+
+  /** libFLAC-style FLAC: STREAMINFO (not-last), a VORBIS_COMMENT
+    * with the reference vendor string (the block every `flac` CLI
+    * file carries), a last-flagged PADDING block, then two FIXED
+    * 4096-sample frames using the COMMON block-size code 12 and
+    * in-header rate code 9 (44.1 kHz) — the path
+    * [[FlacIndex.encodeSynthetic]] never takes (it codes sizes via
+    * the uncommon 8/16-bit form and rates via streaminfo). CRC-8 and
+    * CRC-16 are computed bit-by-bit HERE, independent of the
+    * parser's tables. Frames of 33/39 B at 110/143. */
+  val libflacStyleFlac: Array[Byte] = {
+    def crc8bit(bs: Array[Byte]): Int = {
+      var c = 0
+      bs.foreach { x =>
+        c ^= (x & 0xff)
+        (0 until 8).foreach { _ =>
+          c = if ((c & 0x80) != 0) ((c << 1) ^ 0x07) & 0xff else (c << 1) & 0xff
+        }
+      }
+      c
+    }
+    def crc16bit(bs: Array[Byte]): Int = {
+      var c = 0
+      bs.foreach { x =>
+        c ^= (x & 0xff) << 8
+        (0 until 8).foreach { _ =>
+          c = if ((c & 0x8000) != 0) ((c << 1) ^ 0x8005) & 0xffff
+              else (c << 1) & 0xffff
+        }
+      }
+      c
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(ascii("fLaC"))
+    // STREAMINFO, not last: 44.1 kHz stereo 16-bit
+    out.write(0x00); out.write(0); out.write(0); out.write(34)
+    val si = new Array[Byte](34)
+    si(0) = 0x10; si(2) = 0x10 // min/max block size 4096
+    si(10) = ((44100 >> 12) & 0xff).toByte
+    si(11) = ((44100 >> 4) & 0xff).toByte
+    si(12) = (((44100 & 0x0f) << 4) | (1 << 1) | 0).toByte // 2ch, bps hi
+    si(13) = (0x0f << 4).toByte // bps-1 = 15 low nibble
+    out.write(si)
+    // VORBIS_COMMENT, not last: LE vendor length + vendor + 0 comments
+    val vendor = ascii("reference libFLAC 1.3.2 20190804")
+    out.write(0x04); out.write(0); out.write(0); out.write(vendor.length + 8)
+    out.write(vendor.length & 0xff); out.write(0); out.write(0); out.write(0)
+    out.write(vendor)
+    out.write(0); out.write(0); out.write(0); out.write(0)
+    // PADDING, last
+    out.write(0x81); out.write(0); out.write(0); out.write(20)
+    out.write(new Array[Byte](20))
+    // two frames: block-size code 12 (4096), rate code 9 (44100),
+    // stereo (channel code 1), bps code 4 (16-bit), fixed strategy
+    def frame(fi: Int, payloadLen: Int): Unit = {
+      val head = Array[Byte](0xff.toByte, 0xf8.toByte, 0xc9.toByte,
+        0x18.toByte, fi.toByte)
+      val withCrc8 = head :+ crc8bit(head).toByte
+      val body = sample(payloadLen, fi)
+      val noCrc16 = withCrc8 ++ body
+      val c16 = crc16bit(noCrc16)
+      out.write(noCrc16)
+      out.write((c16 >> 8) & 0xff); out.write(c16 & 0xff)
+    }
+    frame(0, 25); frame(1, 31)
+    out.toByteArray
+  }
+
   /** ffmpeg-style WebM: full 7-element EBML header (36 B), an
     * UNKNOWN-SIZE Segment (8-byte all-ones VINT — the as-muxed
     * shape), a 27 B Void patch space, Info with

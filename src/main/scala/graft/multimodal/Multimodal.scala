@@ -49,10 +49,14 @@ object Multimodal {
     * extension — extension-only routing silently drops a misnamed
     * `.bin` MP4 from every kind-filtered pipeline. Pure codegen'd
     * binary `substring` comparisons against the container magics the
-    * strict indexers themselves arbitrate on: PNG/JPEG/GIF/BMP
-    * (image); RIFF+WAVE, ID3, or an MPEG-1/2 Layer-III frame sync
+    * strict indexers themselves arbitrate on: PNG/JPEG/GIF/BMP/
+    * RIFF+WEBP (image); RIFF+WAVE, ID3, OggS, fLaC, an MPEG-1/2
+    * Layer-III frame sync, or an ADTS AAC sync (layer bits 00 — the
+    * field that separates ADTS from every MPEG-audio layer)
     * (audio); ftyp at byte 4 (MP4), EBML 0x1A45DFA3 (Matroska/WebM),
-    * RIFF+AVI, or a 4-byte Annex-B start code (video). A sniffed kind
+    * RIFF+AVI, a 4-byte Annex-B start code, or 0x47 sync bytes on
+    * three consecutive 188-byte MPEG-TS packet boundaries (video). A
+    * sniffed kind
     * only ROUTES the asset into a pipeline — the strict parsers still
     * refuse non-conforming bytes with the flagged fallback row, so a
     * magic-colliding junk blob costs one flagged row, never a wrong
@@ -66,20 +70,26 @@ object Multimodal {
     val image =
       magic(1, Array(0x89.toByte, 0x50, 0x4e, 0x47)) || // PNG
         magic(1, Array(0xff.toByte, 0xd8.toByte, 0xff.toByte)) || // JPEG
-        ascii(1, "GIF8") || ascii(1, "BM")
+        ascii(1, "GIF8") || ascii(1, "BM") ||
+        (ascii(1, "RIFF") && ascii(9, "WEBP"))
     val audio =
       (ascii(1, "RIFF") && ascii(9, "WAVE")) ||
-        ascii(1, "ID3") || ascii(1, "OggS") ||
+        ascii(1, "ID3") || ascii(1, "OggS") || ascii(1, "fLaC") ||
         // bare MP3 frame sync: FF + (MPEG-1/2, Layer III) second byte
         (magic(1, Array(0xff.toByte)) &&
-          Seq(0xfb, 0xfa, 0xf3, 0xf2, 0xe3, 0xe2)
+          Seq(0xfb, 0xfa, 0xf3, 0xf2, 0xe3, 0xe2,
+              // ADTS AAC: 12-bit sync + layer 00 (either ID/CRC bit)
+              0xf0, 0xf1, 0xf8, 0xf9)
             .map(b => magic(2, Array(b.toByte))).reduce(_ || _))
     val video =
       ascii(5, "ftyp") || // ISO-BMFF: size(4) then the ftyp fourcc
         magic(1, Array(0x1a, 0x45, 0xdf.toByte, 0xa3.toByte)) || // EBML
         ascii(1, "DKIF") || // raw VP8/VP9/AV1 IVF capture
         (ascii(1, "RIFF") && ascii(9, "AVI ")) ||
-        magic(1, Array(0, 0, 0, 1)) // Annex-B start code (H.264/HEVC)
+        magic(1, Array(0, 0, 0, 1)) || // Annex-B start code (H.264/HEVC)
+        // MPEG-TS: 0x47 sync on three consecutive 188-byte packets
+        (magic(1, Array(0x47)) && magic(189, Array(0x47)) &&
+          magic(377, Array(0x47)))
     when(image, "image").when(audio, "audio").when(video, "video")
       .otherwise("unknown")
   }
@@ -96,9 +106,10 @@ object Multimodal {
     df.select(
       col(idCol).cast("long").as("asset_id"),
       when(lower(col(uriCol)).rlike("\\.(png|jpe?g|gif|bmp|webp)$"), "image")
-        .when(lower(col(uriCol)).rlike("\\.(wav|mp3|flac|ogg|opus)$"), "audio")
         .when(lower(col(uriCol))
-          .rlike("\\.(mp4|mov|avi|mkv|webm|h264|264|h265|hevc|265|ivf)$"),
+          .rlike("\\.(wav|mp3|flac|ogg|opus|aac|adts)$"), "audio")
+        .when(lower(col(uriCol))
+          .rlike("\\.(mp4|mov|avi|mkv|webm|h264|264|h265|hevc|265|ivf|ts|m2ts)$"),
           "video")
         .otherwise(sniffKind(col(bytesCol))).as("kind"),
       col(uriCol).as("uri"),
@@ -569,6 +580,108 @@ object Multimodal {
     }
   }
 
+  /** A sampled ADTS AAC frame BYTE RANGE plus the header facts that
+    * need no decode (audio-object profile, rate, channels, PCM sample
+    * count); `indexed = false` flags the fallback row for bytes that
+    * are not an ADTS stream. */
+  final case class AacFrame(
+      asset_id: Long,
+      frame_idx: Int,
+      byte_start: Long,
+      byte_len: Long,
+      profile: Int,
+      sample_rate_hz: Int,
+      channels: Int,
+      samples: Int,
+      indexed: Boolean)
+
+  /** ADTS AAC frame-range sampling ([[AdtsAac]]): the third audio
+    * face of the external-decoder seam — the frame length rides
+    * LITERALLY in each 7/9-byte header, so the index is one linear
+    * field-extraction walk; every `stride`-th frame's byte range is
+    * emitted with its profile/rate/channel/sample-count facts (up to
+    * `maxFrames`). No in-JVM decode; duration and bitrate profiles
+    * are pure arithmetic over the emitted columns. Non-ADTS bytes
+    * emit one flagged `indexed = false` row, keeping the pipeline
+    * total.
+    */
+  def sampleAacFrames(assets: Dataset[MediaAsset], stride: Int,
+      maxFrames: Int)(
+      implicit spark: SparkSession): Dataset[AacFrame] = {
+    import spark.implicits._
+    require(stride > 0 && maxFrames > 0, "stride and maxFrames must be positive")
+    assets.filter(col("kind") === "audio").mapPartitions { it =>
+      it.flatMap { a =>
+        val indexed =
+          try AdtsAac.frameIndex(a.content)
+          catch { case scala.util.control.NonFatal(_) => None }
+        indexed match {
+          case Some(spans) =>
+            (0 until spans.size by stride).take(maxFrames).iterator.map { i =>
+              val s = spans(i)
+              AacFrame(a.asset_id, s.frameIdx, s.byteStart.toLong,
+                s.byteLen.toLong, s.profile, s.sampleRateHz, s.channels,
+                s.samples, indexed = true)
+            }
+          case None =>
+            Iterator.single(AacFrame(a.asset_id, -1, 0L, 0L, 0, 0, 0, 0,
+              indexed = false))
+        }
+      }
+    }
+  }
+
+  /** A sampled FLAC frame BYTE RANGE plus the PCM facts that need no
+    * decode (block sample count, rate, channels, bit depth);
+    * `indexed = false` flags the fallback row for bytes that are not
+    * a FLAC stream. */
+  final case class FlacFrame(
+      asset_id: Long,
+      frame_idx: Int,
+      byte_start: Long,
+      byte_len: Long,
+      block_samples: Int,
+      sample_rate_hz: Int,
+      channels: Int,
+      bits_per_sample: Int,
+      indexed: Boolean)
+
+  /** FLAC frame-range sampling ([[FlacIndex]]): the lossless face of
+    * the external-decoder seam. FLAC headers carry no frame length —
+    * the walk places boundaries with the format's own CRC-8/CRC-16
+    * integrity chain (details on [[FlacIndex]]) — so the index costs
+    * one linear pass, and every `stride`-th frame's byte range is
+    * emitted with its PCM facts (up to `maxFrames`). Duration
+    * analytics are pure arithmetic (`block_samples / sample_rate`).
+    * Non-FLAC bytes emit one flagged `indexed = false` row, keeping
+    * the pipeline total.
+    */
+  def sampleFlacFrames(assets: Dataset[MediaAsset], stride: Int,
+      maxFrames: Int)(
+      implicit spark: SparkSession): Dataset[FlacFrame] = {
+    import spark.implicits._
+    require(stride > 0 && maxFrames > 0, "stride and maxFrames must be positive")
+    assets.filter(col("kind") === "audio").mapPartitions { it =>
+      it.flatMap { a =>
+        val indexed =
+          try FlacIndex.frameIndex(a.content)
+          catch { case scala.util.control.NonFatal(_) => None }
+        indexed match {
+          case Some(spans) =>
+            (0 until spans.size by stride).take(maxFrames).iterator.map { i =>
+              val s = spans(i)
+              FlacFrame(a.asset_id, s.frameIdx, s.byteStart.toLong,
+                s.byteLen.toLong, s.blockSamples, s.sampleRateHz,
+                s.channels, s.bitsPerSample, indexed = true)
+            }
+          case None =>
+            Iterator.single(FlacFrame(a.asset_id, -1, 0L, 0L, 0, 0, 0, 0,
+              indexed = false))
+        }
+      }
+    }
+  }
+
   /** A sampled Ogg PAGE byte range plus the header facts that need
     * no decode (granule position — for Opus the 48 kHz PCM sample
     * count, so duration analytics are pure arithmetic — serial,
@@ -615,6 +728,60 @@ object Multimodal {
           case None =>
             Iterator.single(OggPageRow(a.asset_id, -1, 0L, 0L, 0L, 0,
               is_bos = false, is_eos = false, indexed = false))
+        }
+      }
+    }
+  }
+
+  /** A sampled MPEG-TS PES-unit byte range plus the routing/timeline
+    * facts that need no decode (PID, stream type, this PID's packet
+    * count, 90 kHz PTS, random-access flag); `indexed = false` flags
+    * the fallback row for bytes that are not a CRC-valid transport
+    * stream. */
+  final case class TsUnitRow(
+      asset_id: Long,
+      unit_idx: Int,
+      byte_start: Long,
+      byte_len: Long,
+      pid: Int,
+      stream_type: Int,
+      n_packets: Int,
+      pts: Long,
+      is_random_access: Boolean,
+      is_video: Boolean,
+      indexed: Boolean)
+
+  /** MPEG-TS PES-unit sampling ([[MpegTs]]): the streaming-capture
+    * face of the decoder seam (HLS segments, broadcast captures).
+    * One linear 188-byte-packet walk validates PAT/PMT CRCs, groups
+    * elementary packets into PES units and emits every `stride`-th
+    * unit's byte range with PID/stream-type/PTS/random-access facts
+    * (up to `maxUnits`). Ranges are contiguous as muxed — an
+    * external demuxer filters by PID inside the fetched slice.
+    * Non-TS bytes emit one flagged `indexed = false` row, keeping
+    * the pipeline total.
+    */
+  def sampleTsUnits(assets: Dataset[MediaAsset], stride: Int,
+      maxUnits: Int)(
+      implicit spark: SparkSession): Dataset[TsUnitRow] = {
+    import spark.implicits._
+    require(stride > 0 && maxUnits > 0, "stride and maxUnits must be positive")
+    assets.filter(col("kind") === "video").mapPartitions { it =>
+      it.flatMap { a =>
+        val indexed =
+          try MpegTs.unitIndex(a.content)
+          catch { case scala.util.control.NonFatal(_) => None }
+        indexed match {
+          case Some(units) =>
+            (0 until units.size by stride).take(maxUnits).iterator.map { i =>
+              val u = units(i)
+              TsUnitRow(a.asset_id, u.unitIdx, u.byteStart.toLong,
+                u.byteLen.toLong, u.pid, u.streamType, u.nPackets,
+                u.ptsTicks, u.isRandomAccess, u.isVideo, indexed = true)
+            }
+          case None =>
+            Iterator.single(TsUnitRow(a.asset_id, -1, 0L, 0L, 0, 0, 0, -1L,
+              is_random_access = false, is_video = false, indexed = false))
         }
       }
     }
@@ -710,9 +877,10 @@ object Multimodal {
     * assets through a shuffle to read box/element headers is absurd
     * anyway. Each task opens the file and indexes via
     * [[Mp4Index.frameIndexSeekable]] (plain + fragmented MP4) falling
-    * through to [[MkvIndex.frameIndexSeekable]] (Matroska/WebM) —
-    * only headers and sample/track tables are ever read, so indexing
-    * a 50 GB file costs KILOBYTES of I/O. Paths are local-filesystem
+    * through to [[MkvIndex.frameIndexSeekable]] (Matroska/WebM) and
+    * [[DkifIndex.frameIndexSeekable]] (raw IVF captures) — only
+    * headers, sample/track tables and short keyframe probes are ever
+    * read, so indexing a 50 GB file costs KILOBYTES of I/O. Paths are local-filesystem
     * here ([[Mp4Index.FileRangeReader]]); a distributed-FS reader is
     * one [[Mp4Index.RangeReader]] implementation away. Unindexable
     * paths (missing file, unknown container) emit the flagged
@@ -732,6 +900,7 @@ object Multimodal {
               val r = new Mp4Index.FileRangeReader(path)
               try Mp4Index.frameIndexSeekable(r)
                 .orElse(MkvIndex.frameIndexSeekable(r))
+                .orElse(DkifIndex.frameIndexSeekable(r))
               finally r.close()
             } catch { case scala.util.control.NonFatal(_) => None }
           indexed match {

@@ -73,6 +73,39 @@ class ExternalFixturesSpec extends AnyFunSuite {
     assert(vt.trackNumber === 1L && vt.codecId === "V_VP9")
   }
 
+  test("ffmpeg-style ADTS: 0x7FF-fullness 7-byte headers index at 0/30/68") {
+    val b = ExternalFixtures.ffmpegStyleAdts
+    val got = AdtsAac.frameIndex(b).get
+    assert(got.map(s => (s.byteStart, s.byteLen)) ===
+      Seq((0, 30), (30, 38), (68, 24)))
+    assert(got.forall(s => s.sampleRateHz == 48000 && s.channels == 2 &&
+      s.profile == 1 && s.samples == 1024 && !s.crcPresent))
+    got.zipWithIndex.foreach { case (sp, i) =>
+      assert(b.slice(sp.byteStart + 7, sp.byteStart + sp.byteLen)
+        .sameElements(ExternalFixtures.sample(sp.byteLen - 7, i)), s"frame $i")
+    }
+    // an MP3 walk must refuse it (layer bits 00 are not Layer III)
+    assert(Mp3Frames.frameIndex(b).isEmpty)
+  }
+
+  test("libFLAC-style FLAC: vorbis-comment+padding metadata, common-code frames at 110/143") {
+    val b = ExternalFixtures.libflacStyleFlac
+    val si = FlacIndex.streamInfo(b).get
+    assert(si.sampleRateHz === 44100 && si.channels === 2 &&
+      si.bitsPerSample === 16 && si.framesStart === 110)
+    val got = FlacIndex.frameIndex(b).get
+    assert(got.map(s => (s.byteStart, s.byteLen)) === Seq((110, 33), (143, 39)))
+    assert(got.forall(s => s.blockSamples == 4096 &&
+      s.sampleRateHz == 44100 && s.channels == 2 && s.bitsPerSample == 16))
+    got.zipWithIndex.foreach { case (sp, i) =>
+      assert(b.slice(sp.byteStart + 6, sp.byteStart + sp.byteLen - 2)
+        .sameElements(ExternalFixtures.sample(sp.byteLen - 8, i)), s"frame $i")
+    }
+    // the vendor string rides inside the VORBIS_COMMENT block
+    assert(new String(b.slice(50, 82), "ISO-8859-1")
+      .startsWith("reference libFLAC"))
+  }
+
   test("fixtures route through the sniff chain to their own walker") {
     assert(Mp4Index.frameIndex(ExternalFixtures.ffmpegStyleMp4).isDefined)
     assert(MkvIndex.frameIndex(ExternalFixtures.ffmpegStyleMp4).isEmpty)

@@ -1,0 +1,84 @@
+package graft.multimodal
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** [[MpegTs]]: the PAT→PMT→PES walk must place every unit boundary
+  * at its PUSI packet, carry PTS/random-access facts out of the
+  * headers, and refuse everything that is not a CRC-valid
+  * single-program transport stream.
+  */
+class MpegTsSpec extends AnyFunSuite {
+  import MpegTs.SynthUnit
+
+  private def payload(n: Int, i: Int): Array[Byte] =
+    Array.tabulate[Byte](n)(j => ((i * 31 + j + 1) & 0x7f).toByte)
+
+  test("PES units index at their PUSI packets with PTS and RA flags") {
+    val b = MpegTs.encodeSynthetic(Seq(
+      SynthUnit(0x100, payload(400, 0), pts = 90000L, randomAccess = true),
+      SynthUnit(0x101, payload(50, 1), pts = 91000L, randomAccess = false),
+      SynthUnit(0x100, payload(300, 2), pts = 93003L, randomAccess = false)))
+    val got = MpegTs.unitIndex(b).get
+    assert(got.length === 3)
+    // packets: 0 PAT, 1 PMT, video unit 0 at pkts 2-4 (414 B PES →
+    // 3 pkts), audio at pkt 5, video unit 1 at pkts 6-7 (314 B → 2).
+    // Spans run to the next PUSI on the SAME pid, so the video-0
+    // range includes the interleaved audio packet, and the audio
+    // range runs to the stream end through video-1's packets.
+    assert(got.map(_.byteStart) === Seq(2 * 188, 5 * 188, 6 * 188))
+    assert(got.map(_.byteLen) === Seq(4 * 188, 3 * 188, 2 * 188))
+    assert(got.map(_.nPackets) === Seq(3, 1, 2))
+    assert(got.map(_.ptsTicks) === Seq(90000L, 91000L, 93003L))
+    assert(got.map(_.isRandomAccess) === Seq(true, false, false))
+    assert(got.map(_.pid) === Seq(0x100, 0x101, 0x100))
+    assert(got.map(_.streamType) === Seq(0x1b, 0x0f, 0x1b))
+    assert(got.map(_.isVideo) === Seq(true, false, true))
+    assert(got.last.byteStart + got.last.byteLen === b.length)
+    assert(b.length === 8 * 188)
+  }
+
+  test("an ffmpeg-style SDT packet before the PAT is skipped") {
+    val b = MpegTs.encodeSynthetic(Seq(
+      SynthUnit(0x100, payload(100, 0), pts = 0L, randomAccess = true),
+      SynthUnit(0x100, payload(100, 1), pts = 3003L, randomAccess = false)),
+      sdtFirst = true)
+    val got = MpegTs.unitIndex(b).get
+    assert(got.map(_.byteStart) === Seq(3 * 188, 4 * 188))
+    assert(got.map(_.ptsTicks) === Seq(0L, 3003L))
+  }
+
+  test("a 33-bit PTS round-trips through the marker-bit encoding") {
+    val big = (1L << 32) | 12345L
+    val b = MpegTs.encodeSynthetic(Seq(
+      SynthUnit(0x100, payload(10, 0), pts = big, randomAccess = true),
+      SynthUnit(0x100, payload(10, 1), pts = big + 3003L,
+        randomAccess = false)))
+    assert(MpegTs.unitIndex(b).get.map(_.ptsTicks) ===
+      Seq(big, big + 3003L))
+  }
+
+  test("strict sniff: junk, bad tiling, corrupt CRC/CC/sync refuse") {
+    assert(MpegTs.unitIndex(Array[Byte](9, 9, 9)).isEmpty)
+    assert(MpegTs.unitIndex(Array.empty[Byte]).isEmpty)
+    val b = MpegTs.encodeSynthetic(Seq(
+      SynthUnit(0x100, payload(400, 0), pts = 0L, randomAccess = true),
+      SynthUnit(0x100, payload(300, 1), pts = 3003L, randomAccess = false)))
+    // truncation off the 188 grid
+    assert(MpegTs.unitIndex(b.dropRight(1)).isEmpty)
+    // a flipped sync byte
+    val c = b.clone; c(2 * 188) = 0x48
+    assert(MpegTs.unitIndex(c).isEmpty)
+    // a corrupted PAT CRC (the section sits at the END of packet 0,
+    // after the stuffing adaptation field: 17 payload bytes)
+    val d = b.clone; d(180) = (d(180) ^ 0x01).toByte
+    assert(MpegTs.unitIndex(d).isEmpty)
+    // a continuity break: drop one mid-unit continuation packet
+    val e = b.take(3 * 188) ++ b.drop(4 * 188)
+    assert(MpegTs.unitIndex(e).isEmpty)
+    // transport_error_indicator set
+    val f = b.clone; f(2 * 188 + 1) = (f(2 * 188 + 1) | 0x80).toByte
+    assert(MpegTs.unitIndex(f).isEmpty)
+    // fewer than 3 packets refuses even if well-formed
+    assert(MpegTs.unitIndex(b.take(2 * 188)).isEmpty)
+  }
+}
