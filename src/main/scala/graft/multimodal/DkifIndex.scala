@@ -67,9 +67,15 @@ object DkifIndex {
   }
 
   /** AV1 keyframe signal: the frame's OBU walk (header + leb128
-    * size, §5.3) contains an OBU_SEQUENCE_HEADER. The walk must tile
-    * the payload exactly; otherwise no flag. */
-  private def av1Key(b: Array[Byte], off: Int, len: Int): Boolean = {
+    * size, §5.3) contains an OBU_SEQUENCE_HEADER. With `exact` the
+    * walk must tile the payload exactly or no flag; prefix mode
+    * (the seekable path, which reads only the frame's leading bytes)
+    * accepts an OBU running past the prefix and answers from what it
+    * saw — sound because muxers put the sequence header FIRST in a
+    * keyframe temporal unit, and the exact path is used whenever the
+    * whole payload fits the probe. */
+  private def av1Key(b: Array[Byte], off: Int, len: Int,
+      exact: Boolean = true): Boolean = {
     var i = off
     val end = off + len
     var sawSeq = false
@@ -89,14 +95,16 @@ object DkifIndex {
       var shift = 0
       var more = true
       while (more) {
-        if (i >= end || shift > 56) return false
+        if (shift > 56) return false // >8-byte leb128: illegal anywhere
+        if (i >= end) return if (exact) false else sawSeq
         val v = b(i) & 0xff
         size |= (v & 0x7fL) << shift
         shift += 7
         i += 1
         more = (v & 0x80) != 0
       }
-      if (size < 0 || size > end - i) return false
+      if (size < 0 || size > end - i)
+        return if (exact) false else sawSeq || obuType == 1
       if (obuType == 1) sawSeq = true
       i += size.toInt
     }
@@ -133,6 +141,54 @@ object DkifIndex {
     if (spans.isEmpty) return None
     // a stale count of 0 is common in real muxes; a NONZERO declared
     // count must match the walk (strict-sniff consistency)
+    if (declared != 0 && declared != spans.length) return None
+    Some(spans.toIndexedSeq)
+  }
+
+  /** Seekable IVF/DKIF indexing for >2 GiB raw captures: the 12-byte
+    * frame headers are read by seek and payloads are SKIPPED, except
+    * for each frame's short keyframe probe — 1 byte for VP8/VP9
+    * (their signals live in the first byte) and up to `av1ProbeBytes`
+    * for AV1 (the OBU walk runs exactly when the payload fits the
+    * probe, else the prefix-tolerant walk answers from the leading
+    * OBUs — real muxers put the sequence header first). Same
+    * strictness as [[frameIndex]]: magic/version/codec checks, exact
+    * tiling to the file end, nonzero declared counts must match.
+    * Spans carry 64-bit offsets ([[Mp4Index.LongSpan]]).
+    */
+  def frameIndexSeekable(r: Mp4Index.RangeReader,
+      av1ProbeBytes: Int = 1 << 16): Option[IndexedSeq[Mp4Index.LongSpan]] = {
+    val total = r.length
+    if (total < 32 + 12 + 1) return None
+    val h = r.readFully(0L, 32)
+    if (!(h(0) == 'D' && h(1) == 'K' && h(2) == 'I' && h(3) == 'F'))
+      return None
+    if (u16(h, 4) != 0 || u16(h, 6) != 32) return None
+    val codec = new String(h, 8, 4, "ISO-8859-1")
+    if (!Codecs(codec)) return None
+    val declared = u32(h, 24)
+    val spans = scala.collection.mutable.ArrayBuffer.empty[Mp4Index.LongSpan]
+    var i = 32L
+    while (i < total) {
+      if (i + 12 > total) return None
+      val fh = r.readFully(i, 12)
+      val size = u32(fh, 0)
+      if (size <= 0 || size > total - (i + 12)) return None
+      val off = i + 12
+      val probeLen = codec match {
+        case "VP80" | "VP90" => 1
+        case _ => math.min(size, av1ProbeBytes.toLong).toInt
+      }
+      val probe = r.readFully(off, probeLen)
+      val key = codec match {
+        case "VP80" => vp8Key(probe, 0, probeLen)
+        case "VP90" => vp9Key(probe, 0, probeLen)
+        case _ => av1Key(probe, 0, probeLen, exact = probeLen == size)
+      }
+      spans += Mp4Index.LongSpan(spans.length, off, size, key)
+      i = off + size
+    }
+    if (spans.isEmpty) return None
     if (declared != 0 && declared != spans.length) return None
     Some(spans.toIndexedSeq)
   }

@@ -113,6 +113,75 @@ object OggIndex {
     if (out.isEmpty) None else Some(out.toIndexedSeq)
   }
 
+  /** One indexed page with 64-bit byte addressing — the seekable
+    * path's twin of [[OggPage]] for >2 GiB streams. */
+  final case class OggPageLong(pageIdx: Int, byteStart: Long, byteLen: Long,
+      granule: Long, serial: Long, packetsCompleted: Int,
+      isBos: Boolean, isEos: Boolean, isContinued: Boolean)
+
+  /** Seekable Ogg page indexing for >2 GiB audio (long Opus/Vorbis
+    * captures): page headers + lacing tables (27 + ≤255 bytes) are
+    * read by seek. With `validateCrc` (the default — the same
+    * contract as [[pageIndex]]) each page's payload is ALSO read, in
+    * one bounded ≤65 KB chunk, because Ogg's CRC covers the whole
+    * page; the stream is never materialized whole. `validateCrc =
+    * false` skips payloads entirely (header-only I/O — the trusted-
+    * corpus fast path; the structural checks below still hold).
+    * Strictness otherwise identical to [[pageIndex]]: BOS first,
+    * version 0, reserved flag bits clear, exact tiling to the file
+    * end, per-serial sequence numbers increasing.
+    */
+  def pageIndexSeekable(r: Mp4Index.RangeReader,
+      validateCrc: Boolean = true): Option[IndexedSeq[OggPageLong]] = {
+    val total = r.length
+    val out = scala.collection.mutable.ArrayBuffer.empty[OggPageLong]
+    val lastSeq = scala.collection.mutable.Map.empty[Long, Long]
+    var i = 0L
+    while (i < total) {
+      if (i + 27 > total) return None
+      val h = r.readFully(i, 27)
+      if (!(h(0) == 'O' && h(1) == 'g' && h(2) == 'g' && h(3) == 'S'))
+        return None
+      if (h(4) != 0) return None
+      val flags = h(5) & 0xff
+      if ((flags & 0xf8) != 0) return None
+      val granule = u64le(h, 6)
+      val serial = u32le(h, 14)
+      val seq = u32le(h, 18)
+      val nSegs = h(26) & 0xff
+      if (i + 27 + nSegs > total) return None
+      val lacing = if (nSegs > 0) r.readFully(i + 27, nSegs)
+        else Array.empty[Byte]
+      var dataLen = 0
+      var completed = 0
+      var s = 0
+      while (s < nSegs) {
+        val v = lacing(s) & 0xff
+        dataLen += v
+        if (v < 255) completed += 1
+        s += 1
+      }
+      val pageLen = 27 + nSegs + dataLen
+      if (i + pageLen > total) return None
+      if (validateCrc) {
+        val page = r.readFully(i, pageLen)
+        if (pageCrc(page, 0, pageLen, crcAt = 22) != u32le(page, 22).toInt)
+          return None
+      }
+      val isBos = (flags & 0x02) != 0
+      if (out.isEmpty && !isBos) return None
+      lastSeq.get(serial) match {
+        case Some(prev) if seq <= prev => return None
+        case _ =>
+      }
+      lastSeq(serial) = seq
+      out += OggPageLong(out.length, i, pageLen, granule, serial,
+        completed, isBos, (flags & 0x04) != 0, (flags & 0x01) != 0)
+      i += pageLen
+    }
+    if (out.isEmpty) None else Some(out.toIndexedSeq)
+  }
+
   /** Synthetic Ogg stream for specs/oracles: one page per entry of
     * `pages` = (packets, granule, bos, eos); packets lace as 255-runs
     * + terminator (a packet of an exact 255 multiple gets its 0

@@ -120,4 +120,140 @@ class DkifOggSpec extends AnyFunSuite {
     // two concatenated copies repeat seq 0 for the same serial
     assert(OggIndex.pageIndex(good ++ good).isEmpty)
   }
+
+  private def withTempFile[A](bytes: Array[Byte])(
+      f: Mp4Index.RangeReader => A): A = {
+    val t = java.io.File.createTempFile("graft-seek", ".bin")
+    try {
+      java.nio.file.Files.write(t.toPath, bytes)
+      val r = new Mp4Index.FileRangeReader(t.getPath)
+      try f(r) finally r.close()
+    } finally t.delete()
+  }
+
+  test("seekable DKIF agrees with the in-memory walk across codecs") {
+    for (codec <- Seq("VP80", "VP90", "AV01")) {
+      val b = DkifIndex.encodeSynthetic(codec,
+        Seq((fr(50, 0), true), (fr(70, 1), false), (fr(60, 2), true)))
+      val mem = DkifIndex.frameIndex(b).get
+      val seek = withTempFile(b)(DkifIndex.frameIndexSeekable(_)).get
+      assert(seek.map(s => (s.byteStart, s.byteLen, s.isIdr)) ===
+        mem.map(s => (s.byteStart.toLong, s.byteLen.toLong, s.isIdr)),
+        codec)
+    }
+    // junk refuses through the reader too
+    assert(withTempFile(Array[Byte](9, 9, 9, 9))(
+      DkifIndex.frameIndexSeekable(_)).isEmpty)
+  }
+
+  test("seekable DKIF: a sparse >2GiB VP9 capture indexes from headers + 1-byte probes") {
+    val small = DkifIndex.encodeSynthetic("VP90", Seq((fr(50, 0), true)))
+    val hdr = small.take(32)
+    hdr(24) = 2 // declared frame count = 2
+    val bigLen = 2300000000L
+    val f = java.io.File.createTempFile("graft-bigivf", ".ivf")
+    try {
+      val raf = new java.io.RandomAccessFile(f, "rw")
+      raf.write(hdr)
+      // frame 0: u32LE size = bigLen, u64LE pts, then 1 signal byte +
+      // a sparse hole
+      (0 until 4).foreach(j => raf.write(((bigLen >> (8 * j)) & 0xff).toInt))
+      raf.write(new Array[Byte](8))
+      val data0 = raf.getFilePointer
+      raf.write(0x82) // VP9 keyframe signal byte
+      raf.setLength(data0 + bigLen) // sparse payload
+      // frame 1: a small non-key frame after the hole
+      raf.seek(data0 + bigLen)
+      (0 until 4).foreach(j => raf.write((40L >> (8 * j) & 0xff).toInt))
+      raf.write(new Array[Byte](8))
+      val data1 = raf.getFilePointer
+      raf.write(0x86) // non-key
+      raf.write(new Array[Byte](39))
+      raf.close()
+      assert(f.length > Int.MaxValue.toLong)
+      var bytesRead = 0L
+      val inner = new Mp4Index.FileRangeReader(f.getPath)
+      val counting = new Mp4Index.RangeReader {
+        def length: Long = inner.length
+        def readFully(at: Long, len: Int): Array[Byte] = {
+          bytesRead += len; inner.readFully(at, len)
+        }
+        def close(): Unit = inner.close()
+      }
+      val spans = try DkifIndex.frameIndexSeekable(counting).get
+        finally counting.close()
+      assert(spans.map(s => (s.byteStart, s.byteLen, s.isIdr)) ===
+        Seq((data0, bigLen, true), (data1, 40L, false)))
+      assert(bytesRead < 100L, s"read $bytesRead bytes")
+    } finally f.delete()
+  }
+
+  test("seekable Ogg agrees with the in-memory walk; CRC damage caught when validating") {
+    val b = OggIndex.encodeSynthetic(Seq(
+      (Seq(fr(19, 0)), 0L, true, false),
+      (Seq(fr(10, 1), fr(300, 2)), 960L, false, false),
+      (Seq(fr(5, 3)), 1920L, false, true)))
+    val mem = OggIndex.pageIndex(b).get
+    for (crc <- Seq(true, false)) {
+      val seek = withTempFile(b)(OggIndex.pageIndexSeekable(_, crc)).get
+      assert(seek.map(p => (p.byteStart, p.byteLen, p.granule,
+          p.packetsCompleted, p.isBos, p.isEos)) ===
+        mem.map(p => (p.byteStart.toLong, p.byteLen.toLong, p.granule,
+          p.packetsCompleted, p.isBos, p.isEos)), s"crc=$crc")
+    }
+    val bad = b.clone(); bad(40) = (bad(40) ^ 0x01).toByte
+    assert(withTempFile(bad)(OggIndex.pageIndexSeekable(_)).isEmpty)
+    // structural checks still hold without CRC: the flip is in DATA,
+    // so the no-CRC walk accepts it (documented trusted-corpus path)
+    assert(withTempFile(bad)(
+      OggIndex.pageIndexSeekable(_, validateCrc = false)).isDefined)
+    assert(withTempFile(Array[Byte](9, 9, 9))(
+      OggIndex.pageIndexSeekable(_)).isEmpty)
+  }
+
+  test("seekable Ogg: a sparse >2GiB capture indexes header-only when not validating") {
+    // max-size pages: 255 lacing entries of 255 → 65307 B per page
+    val pageLen = 27 + 255 + 255 * 255
+    val nPages = (Int.MaxValue.toLong + 1) / pageLen + 2
+    val f = java.io.File.createTempFile("graft-bigogg", ".opus")
+    try {
+      val raf = new java.io.RandomAccessFile(f, "rw")
+      raf.setLength(nPages * pageLen) // holes for all payloads
+      val hdr = new Array[Byte](27 + 255)
+      "OggS".getBytes("ISO-8859-1").copyToArray(hdr, 0)
+      java.util.Arrays.fill(hdr, 27, 27 + 255, 0xff.toByte)
+      hdr(26) = 0xff.toByte
+      var p = 0
+      while (p < nPages) {
+        hdr(5) = (if (p == 0) 0x02 else if (p == nPages - 1) 0x04
+          else 0x01).toByte
+        (0 until 8).foreach(j =>
+          hdr(6 + j) = (((p * 960L) >> (8 * j)) & 0xff).toByte)
+        hdr(14) = 0x34; hdr(15) = 0x12 // serial
+        (0 until 4).foreach(j => hdr(18 + j) = ((p >> (8 * j)) & 0xff).toByte)
+        raf.seek(p.toLong * pageLen)
+        raf.write(hdr)
+        p += 1
+      }
+      raf.close()
+      assert(f.length > Int.MaxValue.toLong)
+      var bytesRead = 0L
+      val inner = new Mp4Index.FileRangeReader(f.getPath)
+      val counting = new Mp4Index.RangeReader {
+        def length: Long = inner.length
+        def readFully(at: Long, len: Int): Array[Byte] = {
+          bytesRead += len; inner.readFully(at, len)
+        }
+        def close(): Unit = inner.close()
+      }
+      val pages = try OggIndex.pageIndexSeekable(counting,
+        validateCrc = false).get finally counting.close()
+      assert(pages.length === nPages)
+      assert(pages.head.isBos && pages.last.isEos)
+      assert(pages.last.byteStart + pages.last.byteLen === f.length)
+      assert(pages(1).isContinued && pages(1).packetsCompleted === 0)
+      // header+lacing only: 282 B per page, zero payload bytes
+      assert(bytesRead === nPages * 282L, s"read $bytesRead bytes")
+    } finally f.delete()
+  }
 }
