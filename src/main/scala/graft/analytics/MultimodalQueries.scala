@@ -786,6 +786,66 @@ object MultimodalQueries {
       .orderBy("asset_id", "frame_idx")
   }
 
+  /** Audio duration/bitrate profiling PURELY from the container
+    * indexes — the point of the byte-range seam: no decode anywhere,
+    * duration is `Σ samples / rate` and bitrate `Σ bytes · 8 /
+    * duration` over the emitted index columns, one hash-aggregate
+    * per codec. The oracle COMPUTES the same formulas from the
+    * planted per-asset facts (3456 samples @32 kHz in 2304 B MP3;
+    * 3072 @48 kHz in 408 B AAC; 9192 @44.1 kHz in 417 B FLAC), so a
+    * frame-count, sample-count, or byte-span regression in ANY of
+    * the three indexers hash-fails here too.
+    */
+  val qMultimodalAudioProfile: QueryDef = QueryDef.sql(
+    "q_multimodal_audio_profile",
+    """SELECT asset_id, codec, n_frames,
+      |  round(samples / CAST(rate AS DOUBLE), 6) AS duration_s,
+      |  round(bytes * 8.0 / (samples / CAST(rate AS DOUBLE)) / 1000, 6)
+      |    AS mean_kbps
+      |FROM (VALUES
+      |  (1, 'mp3', 3, 3456, 32000, 2304),
+      |  (2, 'aac', 3, 3072, 48000, 408),
+      |  (3, 'flac', 3, 9192, 44100, 417))
+      |  AS t(asset_id, codec, n_frames, samples, rate, bytes)
+      |ORDER BY asset_id""".stripMargin,
+    doc = "per-asset audio duration + bitrate from index arithmetic " +
+      "alone (multimodal ops; no decode touches any byte)") {
+    (s, dir) =>
+    import s.implicits._
+    import graft.multimodal.{AdtsAac, FlacIndex, Mp3Frames}
+    val assets = Multimodal.toMediaAssets(Seq(
+      (1L, "mem://a.mp3", Mp3Frames.encodeSynthetic(
+        Seq((9, 0), (5, 0), (14, 0)), srIdx = 2)),
+      (2L, "mem://b.aac", AdtsAac.encodeSynthetic(
+        Seq(100, 250, 37), srIdx = 3, chanCfg = 6)),
+      (3L, "mem://c.flac", FlacIndex.encodeSynthetic(
+        Seq((4096, 100), (4096, 250), (1000, 37))))
+    ).toDF("id", "uri", "bytes"), "id", "uri", "bytes")(s)
+    def profile(df: org.apache.spark.sql.DataFrame, codec: String,
+        samplesCol: String, rateCol: String) =
+      df.filter(col("indexed"))
+        .groupBy(col("asset_id"))
+        .agg(count(lit(1)).as("n_frames"),
+          sum(col(samplesCol)).as("samples"),
+          max(col(rateCol)).as("rate"),
+          sum(col("byte_len")).as("bytes"))
+        .withColumn("codec", lit(codec))
+    val mp3 = profile(Multimodal.sampleMp3Frames(assets, 1, 1000)(s).toDF,
+      "mp3", "samples", "sample_rate_hz")
+    val aac = profile(Multimodal.sampleAacFrames(assets, 1, 1000)(s).toDF,
+      "aac", "samples", "sample_rate_hz")
+    val flac = profile(Multimodal.sampleFlacFrames(assets, 1, 1000)(s).toDF,
+      "flac", "block_samples", "sample_rate_hz")
+    mp3.unionByName(aac).unionByName(flac)
+      .select(col("asset_id"), col("codec"), col("n_frames"),
+        round(col("samples") / col("rate").cast("double"), 6)
+          .as("duration_s"),
+        round(col("bytes") * lit(8.0)
+          / (col("samples") / col("rate").cast("double")) / lit(1000), 6)
+          .as("mean_kbps"))
+      .orderBy("asset_id")
+  }
+
   /** HEVC (H.265) frame indexing ([[graft.multimodal.H265]]) over
     * BOTH framings in one sampling pass. Byte-exact oracle from the
     * NAL arithmetic: Annex-B frame 0 owns the stream head
@@ -999,6 +1059,7 @@ object MultimodalQueries {
     qMultimodalPhash, qMultimodalAudioNeardup, qMultimodalVideoNeardup,
     qMultimodalH264Index, qMultimodalAvccIndex, qMultimodalMp4Index,
     qMultimodalFmp4Index, qMultimodalMp3Index, qMultimodalAacIndex,
-    qMultimodalFlacIndex, qMultimodalTsIndex, qMultimodalHevcIndex,
-    qMultimodalMkvIndex, qMultimodalDkifIndex, qMultimodalOggIndex)
+    qMultimodalFlacIndex, qMultimodalTsIndex, qMultimodalAudioProfile,
+    qMultimodalHevcIndex, qMultimodalMkvIndex, qMultimodalDkifIndex,
+    qMultimodalOggIndex)
 }

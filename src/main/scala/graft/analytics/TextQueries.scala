@@ -1713,7 +1713,64 @@ object TextQueries {
         .as("zipf_slope"))
   }
 
+  /** Subtitle cue extraction ([[graft.text.Subtitles]]): the text
+    * sidecar of a video corpus as rows. Exact oracle over the time
+    * arithmetic and whole texts: SRT cues at 1500-4000 /
+    * 4200-6900 (two-line text) / 3723004-3725006 ms (the skipped
+    * counter pins monotone-not-sequential handling); VTT cues at
+    * 1500-4000 (identifier + settings dropped) / 130250-132000 ms
+    * (short-form times), with the NOTE block skipped; junk pins the
+    * flagged fallback. A time-parse, block-split, or format-sniff
+    * regression hash-fails.
+    */
+  val qSubtitleCues: QueryDef = QueryDef.sql(
+    "q_subtitle_cues",
+    """SELECT * FROM (VALUES
+      |  (1, 0, CAST(1500 AS BIGINT), CAST(4000 AS BIGINT),
+      |   CAST(2500 AS BIGINT), 'srt', 'Hello there.', true),
+      |  (1, 1, CAST(4200 AS BIGINT), CAST(6900 AS BIGINT),
+      |   CAST(2700 AS BIGINT), 'srt', 'Two lines' || chr(10) || 'of text.', true),
+      |  (1, 2, CAST(3723004 AS BIGINT), CAST(3725006 AS BIGINT),
+      |   CAST(2002 AS BIGINT), 'srt', 'Counter skipped.', true),
+      |  (2, 0, CAST(1500 AS BIGINT), CAST(4000 AS BIGINT),
+      |   CAST(2500 AS BIGINT), 'vtt', 'Hello again.', true),
+      |  (2, 1, CAST(130250 AS BIGINT), CAST(132000 AS BIGINT),
+      |   CAST(1750 AS BIGINT), 'vtt', 'Short-form times.', true),
+      |  (3, -1, NULL, NULL, NULL, NULL, NULL, false))
+      |  AS t(asset_id, cue_idx, start_ms, end_ms, duration_ms, format,
+      |       text, parsed)
+      |ORDER BY asset_id, cue_idx""".stripMargin,
+    doc = "SRT/WebVTT subtitle cue extraction: timed transcript rows " +
+      "(training-data text ops; the video corpus's text sidecar)") {
+    (s, dir) =>
+    import graft.text.Subtitles
+    import s.implicits._
+    val srtDoc = Seq(
+      "1", "00:00:01,500 --> 00:00:04,000", "Hello there.", "",
+      "2", "00:00:04,200 --> 00:00:06,900", "Two lines", "of text.", "",
+      "4", "01:02:03,004 --> 01:02:05,006", "Counter skipped.", ""
+    ).mkString("\n")
+    val vttDoc = Seq(
+      "WEBVTT - sidecar", "",
+      "NOTE", "a comment block", "",
+      "intro", "00:00:01.500 --> 00:00:04.000 align:start", "Hello again.",
+      "", "02:10.250 --> 02:12.000", "Short-form times.", ""
+    ).mkString("\n")
+    val docs = Seq((1L, srtDoc), (2L, vttDoc), (3L, "just prose"))
+      .toDF("id", "doc")
+    Subtitles.extractCues(docs, "id", "doc")(s)
+      .select(col("asset_id"), col("cue_idx"),
+        when(col("parsed"), col("start_ms")).as("start_ms"),
+        when(col("parsed"), col("end_ms")).as("end_ms"),
+        when(col("parsed"), col("duration_ms")).as("duration_ms"),
+        when(col("parsed"), col("format")).as("format"),
+        when(col("parsed"), col("text")).as("text"),
+        col("parsed"))
+      .orderBy("asset_id", "cue_idx")
+  }
+
   val all: Seq[QueryDef] = Seq(
+    qSubtitleCues,
     qTextTokens, qTextQuality, qTextLangId, qTextFingerprint, qTokenFreq,
     qSelectPipeline, qPackSequences, qTextRedact, qCuratePipeline,
     qDecontaminate, qDecontaminateFuzzy, qTfidf, qQualityRules, qUrlDedup,

@@ -526,6 +526,19 @@ object Mp4Index {
     def readFully(at: Long, len: Int): Array[Byte]
   }
 
+  /** In-memory RangeReader over a byte array — lets the seekable
+    * walkers serve as the single implementation for byte-column
+    * assets too (one code path, no Int/Long twin drift). */
+  final class BytesRangeReader(b: Array[Byte]) extends RangeReader {
+    def length: Long = b.length.toLong
+    def readFully(at: Long, len: Int): Array[Byte] = {
+      require(at >= 0 && len >= 0 && at + len <= b.length,
+        s"range [$at, ${at + len}) outside 0..${b.length}")
+      java.util.Arrays.copyOfRange(b, at.toInt, at.toInt + len)
+    }
+    def close(): Unit = ()
+  }
+
   /** Local-file RangeReader (java.io.RandomAccessFile). */
   final class FileRangeReader(path: String) extends RangeReader {
     private val raf = new java.io.RandomAccessFile(path, "r")

@@ -114,132 +114,145 @@ object MpegTs {
     Some((tableId, s + 3, secLen))
   }
 
-  /** The PES-unit index. None unless the bytes are a well-formed
-    * single-program transport stream (contract in the object doc). */
-  def unitIndex(b: Array[Byte]): Option[IndexedSeq[TsUnit]] = {
-    if (b.length < 3 * 188 || b.length % 188 != 0) return None
-    val n = b.length / 188
-    var k = 0
-    while (k < n) {
-      if (b(k * 188) != 0x47) return None
-      if ((b(k * 188 + 1) & 0x80) != 0) return None // error indicator
-      k += 1
-    }
-    def pidOf(p: Int): Int = ((b(p + 1) & 0x1f) << 8) | (b(p + 2) & 0xff)
+  /** [[TsUnit]] with 64-bit byte addressing — long broadcast/HLS
+    * captures routinely exceed the JVM's 2 GiB array cap. */
+  final case class TsUnitLong(unitIdx: Int, byteStart: Long, byteLen: Long,
+      pid: Int, streamType: Int, nPackets: Int, ptsTicks: Long,
+      isRandomAccess: Boolean, isVideo: Boolean)
 
-    // PAT: first PUSI packet on PID 0
+  /** The PES-unit index over a seekable source — THE implementation
+    * ([[unitIndex]] wraps byte columns in a [[Mp4Index.BytesRangeReader]]
+    * so both paths share one walk). A single forward pass reads
+    * `chunkPackets`-packet chunks (bounded memory for >2 GiB
+    * captures; packets never straddle chunks because both sizes are
+    * 188-multiples). One pass implies one ordering contract beyond
+    * the object doc: the PAT must precede the PMT, which must
+    * precede the first elementary PES unit — the layout every real
+    * mux emits (a decoder joining the stream needs the tables before
+    * the media).
+    */
+  def unitIndexSeekable(r: Mp4Index.RangeReader,
+      chunkPackets: Int = 5000): Option[IndexedSeq[TsUnitLong]] = {
+    require(chunkPackets > 0)
+    val total = r.length
+    if (total < 3 * 188 || total % 188 != 0) return None
+    val n = total / 188
+
     var pmtPid = -1
-    k = 0
-    while (pmtPid < 0 && k < n) {
-      val p = k * 188
-      if (pidOf(p) == 0 && (b(p + 1) & 0x40) != 0) {
-        val (tid, body, secLen) = psiSection(b, p).getOrElse(return None)
-        if (tid != 0x00) return None
-        // body: tsid(2) ver(1) sec(1) last(1) then 4-byte program rows
-        var q = body + 5
-        val end = body + secLen - 4
-        while (pmtPid < 0 && q + 4 <= end) {
-          val prog = ((b(q) & 0xff) << 8) | (b(q + 1) & 0xff)
-          val pid = ((b(q + 2) & 0x1f) << 8) | (b(q + 3) & 0xff)
-          if (prog != 0) pmtPid = pid // 0 = network PID, skip
-          q += 4
-        }
-        if (pmtPid < 0) return None
-      }
-      k += 1
-    }
-    if (pmtPid < 0) return None
-
-    // PMT: stream_type → elementary PID table
     val esTypes = scala.collection.mutable.Map.empty[Int, Int]
-    k = 0
-    var sawPmt = false
-    while (!sawPmt && k < n) {
-      val p = k * 188
-      if (pidOf(p) == pmtPid && (b(p + 1) & 0x40) != 0) {
-        val (tid, body, secLen) = psiSection(b, p).getOrElse(return None)
-        if (tid != 0x02) return None
-        // body: prog(2) ver(1) sec(1) last(1) pcrPid(2) pinfoLen(2)
-        val pinfoLen = ((b(body + 7) & 0x0f) << 8) | (b(body + 8) & 0xff)
-        var q = body + 9 + pinfoLen
-        val end = body + secLen - 4
-        while (q + 5 <= end) {
-          val st = b(q) & 0xff
-          val pid = ((b(q + 1) & 0x1f) << 8) | (b(q + 2) & 0xff)
-          val esLen = ((b(q + 3) & 0x0f) << 8) | (b(q + 4) & 0xff)
-          if (isVideoType(st) || isAudioType(st)) esTypes(pid) = st
-          q += 5 + esLen
-        }
-        sawPmt = true
-      }
-      k += 1
-    }
-    if (esTypes.isEmpty) return None
-
-    // group elementary packets into PES units per PID
-    final case class Open(startPkt: Int, pts: Long, ra: Boolean,
+    final case class Open(startPkt: Long, pts: Long, ra: Boolean,
         var nPkts: Int)
     val open = scala.collection.mutable.Map.empty[Int, Open]
     val lastCc = scala.collection.mutable.Map.empty[Int, Int]
     val rows = scala.collection.mutable.ArrayBuffer
-      .empty[(Int, Int, Long, Boolean, Int)] // (startPkt, pid, pts, ra, n)
-    val endPkt = scala.collection.mutable.Map.empty[Int, Int] // rowIdx → end
-    def close(pid: Int, atPkt: Int): Unit = open.remove(pid).foreach { o =>
+      .empty[(Long, Int, Long, Boolean, Int)] // (startPkt, pid, pts, ra, n)
+    val endPkt = scala.collection.mutable.Map.empty[Int, Long] // row → end
+    def close(pid: Int, atPkt: Long): Unit = open.remove(pid).foreach { o =>
       rows += ((o.startPkt, pid, o.pts, o.ra, o.nPkts))
       endPkt(rows.length - 1) = atPkt
     }
-    k = 0
+
+    var k = 0L
     while (k < n) {
-      val p = k * 188
-      val pid = pidOf(p)
-      if (esTypes.contains(pid)) {
-        val (pl, ra) = payloadStart(b, p)
-        if (pl >= 0) {
-          val cc = b(p + 3) & 0x0f
-          lastCc.get(pid) match {
-            case Some(prev) if ((prev + 1) & 0x0f) != cc => return None
-            case _ =>
+      val chunkLen = math.min(chunkPackets.toLong, n - k).toInt * 188
+      val b = r.readFully(k * 188, chunkLen)
+      var p = 0
+      while (p < chunkLen) {
+        if (b(p) != 0x47) return None
+        if ((b(p + 1) & 0x80) != 0) return None // error indicator
+        val pid = ((b(p + 1) & 0x1f) << 8) | (b(p + 2) & 0xff)
+        val pusi = (b(p + 1) & 0x40) != 0
+        if (pid == 0 && pusi && pmtPid < 0) {
+          // PAT (§2.4.4.3): first PUSI packet on PID 0
+          val (tid, body, secLen) = psiSection(b, p).getOrElse(return None)
+          if (tid != 0x00) return None
+          // body: tsid(2) ver(1) sec(1) last(1) then 4-byte rows
+          var q = body + 5
+          val end = body + secLen - 4
+          while (pmtPid < 0 && q + 4 <= end) {
+            val prog = ((b(q) & 0xff) << 8) | (b(q + 1) & 0xff)
+            val mp = ((b(q + 2) & 0x1f) << 8) | (b(q + 3) & 0xff)
+            if (prog != 0) pmtPid = mp // 0 = network PID, skip
+            q += 4
           }
-          lastCc(pid) = cc
-          open.get(pid).foreach { o =>
-            if ((b(p + 1) & 0x40) == 0) o.nPkts += 1
+          if (pmtPid < 0) return None
+        } else if (pid == pmtPid && pusi && esTypes.isEmpty) {
+          // PMT (§2.4.4.8): stream_type → elementary PID table
+          val (tid, body, secLen) = psiSection(b, p).getOrElse(return None)
+          if (tid != 0x02) return None
+          // body: prog(2) ver(1) sec(1) last(1) pcr(2) pinfoLen(2)
+          val pinfoLen = ((b(body + 7) & 0x0f) << 8) | (b(body + 8) & 0xff)
+          var q = body + 9 + pinfoLen
+          val end = body + secLen - 4
+          while (q + 5 <= end) {
+            val st = b(q) & 0xff
+            val epid = ((b(q + 1) & 0x1f) << 8) | (b(q + 2) & 0xff)
+            val esLen = ((b(q + 3) & 0x0f) << 8) | (b(q + 4) & 0xff)
+            if (isVideoType(st) || isAudioType(st)) esTypes(epid) = st
+            q += 5 + esLen
           }
-          if ((b(p + 1) & 0x40) != 0) { // PUSI: a new PES unit
-            close(pid, k)
-            // PES start code 00 00 01 + stream_id
-            if (pl + 6 > p + 188) return None
-            if (b(pl) != 0 || b(pl + 1) != 0 || b(pl + 2) != 1) return None
-            var pts = -1L
-            // §2.4.3.7: audio/video stream-ids carry the flags+PTS form
-            if (pl + 9 <= p + 188 && (b(pl + 6) & 0xc0) == 0x80) {
-              val ptsDts = (b(pl + 7) >> 6) & 0x03
-              if ((ptsDts & 0x02) != 0 && pl + 14 <= p + 188) {
-                val q = pl + 9
-                // marker bits: 0010/0011 + three 1-markers (§2.4.3.7)
-                if ((b(q) & 0xf0) != ((if (ptsDts == 3) 3 else 2) << 4) ||
-                    (b(q) & 0x01) != 1 || (b(q + 2) & 0x01) != 1 ||
-                    (b(q + 4) & 0x01) != 1) return None
-                pts = ((b(q) & 0x0eL) << 29) | ((b(q + 1) & 0xffL) << 22) |
-                  ((b(q + 2) & 0xfeL) << 14) | ((b(q + 3) & 0xffL) << 7) |
-                  ((b(q + 4) & 0xffL) >> 1)
-              }
+          if (esTypes.isEmpty) return None
+        } else if (esTypes.contains(pid)) {
+          val (pl, ra) = payloadStart(b, p)
+          if (pl >= 0) {
+            val cc = b(p + 3) & 0x0f
+            lastCc.get(pid) match {
+              case Some(prev) if ((prev + 1) & 0x0f) != cc => return None
+              case _ =>
             }
-            open(pid) = Open(k, pts, ra, nPkts = 1)
+            lastCc(pid) = cc
+            open.get(pid).foreach { o => if (!pusi) o.nPkts += 1 }
+            if (pusi) { // a new PES unit
+              val pktIdx = k + p / 188
+              close(pid, pktIdx)
+              // PES start code 00 00 01 + stream_id
+              if (pl + 6 > p + 188) return None
+              if (b(pl) != 0 || b(pl + 1) != 0 || b(pl + 2) != 1)
+                return None
+              var pts = -1L
+              // §2.4.3.7: A/V stream-ids carry the flags+PTS form
+              if (pl + 9 <= p + 188 && (b(pl + 6) & 0xc0) == 0x80) {
+                val ptsDts = (b(pl + 7) >> 6) & 0x03
+                if ((ptsDts & 0x02) != 0 && pl + 14 <= p + 188) {
+                  val q = pl + 9
+                  // marker bits: 0010/0011 + three 1-markers
+                  if ((b(q) & 0xf0) != ((if (ptsDts == 3) 3 else 2) << 4) ||
+                      (b(q) & 0x01) != 1 || (b(q + 2) & 0x01) != 1 ||
+                      (b(q + 4) & 0x01) != 1) return None
+                  pts = ((b(q) & 0x0eL) << 29) |
+                    ((b(q + 1) & 0xffL) << 22) |
+                    ((b(q + 2) & 0xfeL) << 14) |
+                    ((b(q + 3) & 0xffL) << 7) | ((b(q + 4) & 0xffL) >> 1)
+                }
+              }
+              open(pid) = Open(pktIdx, pts, ra, nPkts = 1)
+            }
           }
         }
+        p += 188
       }
-      k += 1
+      k += chunkLen / 188
     }
+    if (pmtPid < 0 || esTypes.isEmpty) return None
     esTypes.keys.foreach(close(_, n))
     if (rows.isEmpty) return None
     val sorted = rows.zipWithIndex
       .sortBy { case ((startPkt, _, _, _, _), _) => startPkt }
     Some(sorted.zipWithIndex.map {
       case (((startPkt, pid, pts, ra, nPkts), origIdx), outIdx) =>
-        TsUnit(outIdx, startPkt * 188, (endPkt(origIdx) - startPkt) * 188,
-          pid, esTypes(pid), nPkts, pts, ra, isVideoType(esTypes(pid)))
+        TsUnitLong(outIdx, startPkt * 188,
+          (endPkt(origIdx) - startPkt) * 188, pid, esTypes(pid), nPkts,
+          pts, ra, isVideoType(esTypes(pid)))
     }.toIndexedSeq)
   }
+
+  /** The PES-unit index of a byte-column asset: [[unitIndexSeekable]]
+    * over an in-memory reader (one shared walk — no twin drift). */
+  def unitIndex(b: Array[Byte]): Option[IndexedSeq[TsUnit]] =
+    unitIndexSeekable(new Mp4Index.BytesRangeReader(b)).map(_.map(u =>
+      TsUnit(u.unitIdx, u.byteStart.toInt, u.byteLen.toInt, u.pid,
+        u.streamType, u.nPackets, u.ptsTicks, u.isRandomAccess,
+        u.isVideo)))
 
   // ---------------------------------------------------------------
   // synthetic encoder (specs/oracles)

@@ -919,6 +919,82 @@ object Multimodal {
       }
   }
 
+  /** Path-columned Ogg page sampling for >2 GiB audio captures: the
+    * audio twin of [[sampleVideoFramesByPath]], through
+    * [[OggIndex.pageIndexSeekable]] — headers + lacing by seek;
+    * `validateCrc` additionally reads each page (bounded ≤65 KB
+    * chunks, never the stream whole) because Ogg's CRC covers
+    * payload. Unindexable paths emit the flagged row.
+    */
+  def sampleOggPagesByPath(df: DataFrame, idCol: String, pathCol: String,
+      stride: Int, maxPages: Int, validateCrc: Boolean = true)(
+      implicit spark: SparkSession): Dataset[OggPageRow] = {
+    import spark.implicits._
+    require(stride > 0 && maxPages > 0, "stride and maxPages must be positive")
+    df.select(col(idCol).cast("long"), col(pathCol).cast("string"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        it.flatMap { case (id, path) =>
+          val indexed =
+            try {
+              val r = new Mp4Index.FileRangeReader(path)
+              try OggIndex.pageIndexSeekable(r, validateCrc)
+              finally r.close()
+            } catch { case scala.util.control.NonFatal(_) => None }
+          indexed match {
+            case Some(pages) =>
+              (0 until pages.size by stride).take(maxPages).iterator.map { i =>
+                val p = pages(i)
+                OggPageRow(id, p.pageIdx, p.byteStart, p.byteLen,
+                  p.granule, p.packetsCompleted, p.isBos, p.isEos,
+                  indexed = true)
+              }
+            case None =>
+              Iterator.single(OggPageRow(id, -1, 0L, 0L, 0L, 0,
+                is_bos = false, is_eos = false, indexed = false))
+          }
+        }
+      }
+  }
+
+  /** Path-columned MPEG-TS PES-unit sampling for >2 GiB broadcast/
+    * HLS captures, through [[MpegTs.unitIndexSeekable]] — the walk
+    * reads every packet (TS has no out-of-line payload) but holds
+    * only one bounded chunk at a time, so a 50 GB capture indexes in
+    * constant memory. Unindexable paths emit the flagged row.
+    */
+  def sampleTsUnitsByPath(df: DataFrame, idCol: String, pathCol: String,
+      stride: Int, maxUnits: Int)(
+      implicit spark: SparkSession): Dataset[TsUnitRow] = {
+    import spark.implicits._
+    require(stride > 0 && maxUnits > 0, "stride and maxUnits must be positive")
+    df.select(col(idCol).cast("long"), col(pathCol).cast("string"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        it.flatMap { case (id, path) =>
+          val indexed =
+            try {
+              val r = new Mp4Index.FileRangeReader(path)
+              try MpegTs.unitIndexSeekable(r)
+              finally r.close()
+            } catch { case scala.util.control.NonFatal(_) => None }
+          indexed match {
+            case Some(units) =>
+              (0 until units.size by stride).take(maxUnits).iterator.map { i =>
+                val u = units(i)
+                TsUnitRow(id, u.unitIdx, u.byteStart, u.byteLen, u.pid,
+                  u.streamType, u.nPackets, u.ptsTicks, u.isRandomAccess,
+                  u.isVideo, indexed = true)
+              }
+            case None =>
+              Iterator.single(TsUnitRow(id, -1, 0L, 0L, 0, 0, 0, -1L,
+                is_random_access = false, is_video = false,
+                indexed = false))
+          }
+        }
+      }
+  }
+
   /** A video clip's majority-bit perceptual signature over sampled
     * frame aHashes; `decoded = false` marks clips whose container was
     * rejected or produced no decodable sampled frame. */

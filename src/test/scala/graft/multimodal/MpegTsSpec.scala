@@ -57,6 +57,33 @@ class MpegTsSpec extends AnyFunSuite {
       Seq(big, big + 3003L))
   }
 
+  test("seekable chunked walk agrees with the byte-column walk at every chunk size") {
+    val b = MpegTs.encodeSynthetic(Seq(
+      SynthUnit(0x100, payload(400, 0), pts = 90000L, randomAccess = true),
+      SynthUnit(0x101, payload(50, 1), pts = 91000L, randomAccess = false),
+      SynthUnit(0x100, payload(300, 2), pts = 93003L, randomAccess = false)))
+    val whole = MpegTs.unitIndex(b).get
+    // chunk sizes that split PES units, PSI packets, and the tail
+    for (cp <- Seq(1, 2, 3, 5, 7, 100)) {
+      var reads = 0
+      val r = new Mp4Index.RangeReader {
+        private val inner = new Mp4Index.BytesRangeReader(b)
+        def length: Long = inner.length
+        def readFully(at: Long, len: Int): Array[Byte] = {
+          reads += 1; inner.readFully(at, len)
+        }
+        def close(): Unit = ()
+      }
+      val got = MpegTs.unitIndexSeekable(r, chunkPackets = cp).get
+      assert(got.map(u => (u.byteStart, u.byteLen, u.pid, u.nPackets,
+          u.ptsTicks, u.isRandomAccess)) ===
+        whole.map(u => (u.byteStart.toLong, u.byteLen.toLong, u.pid,
+          u.nPackets, u.ptsTicks, u.isRandomAccess)), s"chunkPackets=$cp")
+      val expectReads = (8 + cp - 1) / cp // 8 packets in the stream
+      assert(reads === expectReads, s"chunkPackets=$cp")
+    }
+  }
+
   test("strict sniff: junk, bad tiling, corrupt CRC/CC/sync refuse") {
     assert(MpegTs.unitIndex(Array[Byte](9, 9, 9)).isEmpty)
     assert(MpegTs.unitIndex(Array.empty[Byte]).isEmpty)

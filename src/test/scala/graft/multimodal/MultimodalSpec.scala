@@ -260,6 +260,45 @@ class MultimodalSpec extends SparkSpec {
     } finally f.delete()
   }
 
+  test("sampleOggPagesByPath and sampleTsUnitsByPath index by path with flagged fallbacks") {
+    import spark.implicits._
+    def fr(n: Int, i: Int): Array[Byte] =
+      Array.tabulate[Byte](n)(j => ((i * 37 + j + 1) & 0x7f).toByte)
+    val ogg = OggIndex.encodeSynthetic(Seq(
+      (Seq(fr(19, 0)), 0L, true, false),
+      (Seq(fr(8, 1)), 960L, false, true)))
+    val f = java.io.File.createTempFile("graft-path", ".opus")
+    try {
+      java.nio.file.Files.write(f.toPath, ogg)
+      val rows = Multimodal.sampleOggPagesByPath(
+        Seq((1L, f.getPath), (2L, "/nonexistent/a.opus")).toDF("id", "path"),
+        "id", "path", stride = 1, maxPages = 5)
+        .collect().sortBy(r => (r.asset_id, r.page_idx))
+      val good = rows.filter(_.asset_id == 1L)
+      assert(good.map(_.byte_len).toSeq === Seq(47L, 36L))
+      assert(good.map(_.granule).toSeq === Seq(0L, 960L))
+      assert(good.forall(_.indexed))
+      val bad = rows.filter(_.asset_id == 2L)
+      assert(bad.length === 1 && !bad.head.indexed)
+
+      val ts = MpegTs.encodeSynthetic(Seq(
+        MpegTs.SynthUnit(0x100, fr(100, 0), pts = 3003L,
+          randomAccess = true),
+        MpegTs.SynthUnit(0x100, fr(100, 1), pts = 6006L,
+          randomAccess = false)))
+      java.nio.file.Files.write(f.toPath, ts)
+      val trows = Multimodal.sampleTsUnitsByPath(
+        Seq((3L, f.getPath), (4L, "/nonexistent/b.ts")).toDF("id", "path"),
+        "id", "path", stride = 1, maxUnits = 5)
+        .collect().sortBy(r => (r.asset_id, r.unit_idx))
+      val tgood = trows.filter(_.asset_id == 3L)
+      assert(tgood.map(_.byte_start).toSeq === Seq(376L, 564L))
+      assert(tgood.map(_.pts).toSeq === Seq(3003L, 6006L))
+      assert(tgood.forall(_.indexed))
+      assert(trows.count(r => r.asset_id == 4L && !r.indexed) === 1)
+    } finally f.delete()
+  }
+
   test("content sniff routes extensionless/misnamed assets; extension keeps priority") {
     import spark.implicits._
     val mp4 = Mp4Index.encodeSynthetic(
