@@ -786,6 +786,174 @@ object MultimodalQueries {
       .orderBy("asset_id", "frame_idx")
   }
 
+  /** ISO-BMFF AUDIO sample indexing ([[graft.multimodal.Mp4Index
+    * .audioSampleTable]]): M4A corpora and soundtrack extraction
+    * from A/V MP4s in one call. Byte-exact oracle from the box
+    * arithmetic: a 16 B `M4A ` ftyp + 8 B mdat header put sample 0
+    * at 24, sizes 9/13/11 chunked 2+1 tile the mdat (24/33/46);
+    * rate/channels ride the AudioSampleEntry (32 kHz mono). Asset 3
+    * is an A/V mux — the SAME call returns its audio track (one
+    * 22.05 kHz stereo sample at 24) while the video walk still
+    * returns its frames (selection is by hdlr, both directions);
+    * asset 4 (video-only) and junk pin the flagged fallback. An
+    * entry-offset, trak-selection, or stbl regression hash-fails.
+    */
+  val qMultimodalM4aIndex: QueryDef = QueryDef.sql(
+    "q_multimodal_m4a_index",
+    """SELECT * FROM (VALUES
+      |  (1, 0, CAST(24 AS BIGINT), CAST(9 AS BIGINT), 'mp4a', 32000, 1, true),
+      |  (1, 1, CAST(33 AS BIGINT), CAST(13 AS BIGINT), 'mp4a', 32000, 1, true),
+      |  (1, 2, CAST(46 AS BIGINT), CAST(11 AS BIGINT), 'mp4a', 32000, 1, true),
+      |  (2, -1, NULL, NULL, NULL, NULL, NULL, false),
+      |  (3, 0, CAST(24 AS BIGINT), CAST(7 AS BIGINT), 'mp4a', 22050, 2, true),
+      |  (4, -1, NULL, NULL, NULL, NULL, NULL, false))
+      |  AS t(asset_id, sample_idx, byte_start, byte_len, codec,
+      |       sample_rate_hz, channels, indexed)
+      |ORDER BY asset_id, sample_idx""".stripMargin,
+    doc = "ISO-BMFF audio sample index: M4A + A/V soundtrack " +
+      "extraction (multimodal ops; decode is the external-seam stub)") {
+    (s, dir) =>
+    import s.implicits._
+    import graft.multimodal.Mp4Index
+    def sz(ns: Int*) = ns.map(n => Array.tabulate[Byte](n)(_.toByte))
+    val assets = Seq(
+      (1L, "mem://talk.m4a", Mp4Index.encodeSyntheticM4a(sz(9, 13, 11),
+        sampleRate = 32000, channels = 1, samplesPerChunk = 2)),
+      (2L, "mem://junk.m4a", Array[Byte](9, 9, 9, 9)),
+      (3L, "mem://movie.mp4", Mp4Index.encodeSynthetic(sz(7, 14, 3),
+        syncSamples = Seq(1), audioTrakFirst = true)),
+      (4L, "mem://silent.mp4", Mp4Index.encodeSynthetic(sz(7, 14),
+        syncSamples = Seq(1)))
+    ).toDF("id", "uri", "bytes")
+    Multimodal.sampleM4aFrames(
+        Multimodal.toMediaAssets(assets, "id", "uri", "bytes")(s),
+        stride = 1, maxFrames = 5)(s)
+      .select(col("asset_id"), col("sample_idx"),
+        when(col("indexed"), col("byte_start")).as("byte_start"),
+        when(col("indexed"), col("byte_len")).as("byte_len"),
+        when(col("indexed"), col("codec")).as("codec"),
+        when(col("indexed"), col("sample_rate_hz")).as("sample_rate_hz"),
+        when(col("indexed"), col("channels")).as("channels"),
+        col("indexed"))
+      .orderBy("asset_id", "sample_idx")
+  }
+
+  /** Media tag extraction ([[graft.multimodal.MediaTags]] +
+    * `Multimodal.extractMediaTags`): curation metadata (title/
+    * artist/language) as rows, header-only like the rest of the
+    * seam. Exact oracle over decoded strings: ID3v2.3 frames across
+    * ISO-8859-1 and UTF-16-with-BOM encodings, FLAC Vorbis comments
+    * with canonical-uppercased keys and UTF-8 values; a tag-less
+    * FLAC pins presence-without-tags (one parsed empty row); junk
+    * pins the flagged fallback. An encoding-dispatch, synchsafe, or
+    * comment-length regression hash-fails.
+    */
+  val qMultimodalTags: QueryDef = QueryDef.sql(
+    "q_multimodal_tags",
+    """SELECT * FROM (VALUES
+      |  (1, 'id3', 'TIT2', 'Night Drive', true),
+      |  (1, 'id3', 'TLAN', 'deu', true),
+      |  (1, 'id3', 'TPE1', 'Grüße — ünïcode', true),
+      |  (2, 'flac', 'ARTIST', 'Chopin', true),
+      |  (2, 'flac', 'LANGUAGE', 'pol', true),
+      |  (2, 'flac', 'TITLE', 'Nocturne Op. 9', true),
+      |  (3, NULL, NULL, NULL, false),
+      |  (4, 'flac', '', '', true))
+      |  AS t(asset_id, container, tag_key, tag_value, parsed)
+      |ORDER BY asset_id, tag_key""".stripMargin,
+    doc = "ID3v2 + FLAC Vorbis-comment tag extraction: curation " +
+      "metadata rows from headers alone (multimodal ops)") {
+    (s, dir) =>
+    import s.implicits._
+    import graft.multimodal.{FlacIndex, MediaTags}
+    val assets = Seq(
+      (1L, "mem://night.mp3", MediaTags.encodeId3(Seq(
+        ("TIT2", "Night Drive", 0),
+        ("TPE1", "Grüße — ünïcode", 1),
+        ("TLAN", "deu", 0)), padding = 17)),
+      (2L, "mem://nocturne.flac", FlacIndex.encodeSynthetic(
+        Seq((256, 30), (256, 40)),
+        comments = Seq(("title", "Nocturne Op. 9"), ("Artist", "Chopin"),
+          ("LANGUAGE", "pol")))),
+      (3L, "mem://junk.mp3", Array[Byte](9, 9, 9, 9)),
+      (4L, "mem://plain.flac", FlacIndex.encodeSynthetic(
+        Seq((256, 30), (256, 40))))
+    ).toDF("id", "uri", "bytes")
+    Multimodal.extractMediaTags(
+        Multimodal.toMediaAssets(assets, "id", "uri", "bytes")(s))(s)
+      .select(col("asset_id"),
+        when(col("parsed"), col("container")).as("container"),
+        when(col("parsed"), col("tag_key")).as("tag_key"),
+        when(col("parsed"), col("tag_value")).as("tag_value"),
+        col("parsed"))
+      .orderBy("asset_id", "tag_key")
+  }
+
+  /** Header-only image dimensions ([[graft.multimodal.ImageDims]] +
+    * `Multimodal.extractImageDims`): resolution filtering WITHOUT a
+    * pixel decode — dimensions ride the first bytes of every
+    * mainstream container. The PNG/JPEG/GIF/BMP fixtures are encoded
+    * by the JDK's OWN ImageIO writers (real external encoders, not
+    * the repo's hand), so the oracle pins agreement with genuine
+    * encoder output; WebP (no JDK writer exists) is a hand-built
+    * VP8L header; junk pins the flagged fallback. A marker-walk,
+    * endianness, or chunk-dispatch regression hash-fails.
+    */
+  val qMultimodalImageDims: QueryDef = QueryDef.sql(
+    "q_multimodal_image_dims",
+    """SELECT * FROM (VALUES
+      |  (1, 'png', 31, 17, true),
+      |  (2, 'jpeg', 63, 41, true),
+      |  (3, 'gif', 12, 7, true),
+      |  (4, 'bmp', 9, 5, true),
+      |  (5, 'webp', 100, 50, true),
+      |  (6, NULL, NULL, NULL, false))
+      |  AS t(asset_id, format, width, height, parsed)
+      |ORDER BY asset_id""".stripMargin,
+    doc = "decode-free image dimensions from container headers " +
+      "(multimodal ops; the scalable pre-filter before any decode)") {
+    (s, dir) =>
+    import s.implicits._
+    def enc(fmt: String, w: Int, h: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      (0 until w).foreach(x => (0 until h).foreach(y =>
+        img.setRGB(x, y, (x * 31 + y * 17) & 0xffffff)))
+      val out = new java.io.ByteArrayOutputStream()
+      require(javax.imageio.ImageIO.write(img, fmt, out))
+      out.toByteArray
+    }
+    val vp8l: Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      out.write("RIFF".getBytes("ISO-8859-1"))
+      val payload = 13 // VP8L sig + 4 size bytes + 8 filler
+      (0 until 4).foreach(j => out.write(((4 + 8 + payload) >> (8 * j)) & 0xff))
+      out.write("WEBPVP8L".getBytes("ISO-8859-1"))
+      (0 until 4).foreach(j => out.write((payload >> (8 * j)) & 0xff))
+      out.write(0x2f)
+      val bits = 99L | (49L << 14) // (w-1, h-1) packed 14-bit fields
+      (0 until 4).foreach(j => out.write(((bits >> (8 * j)) & 0xff).toInt))
+      out.write(new Array[Byte](8))
+      out.toByteArray
+    }
+    val assets = Seq(
+      (1L, "mem://a.png", enc("png", 31, 17)),
+      (2L, "mem://b.jpg", enc("jpg", 63, 41)),
+      (3L, "mem://c.gif", enc("gif", 12, 7)),
+      (4L, "mem://d.bmp", enc("bmp", 9, 5)),
+      (5L, "mem://e.webp", vp8l),
+      (6L, "mem://f.png", Array[Byte](9, 9, 9, 9))
+    ).toDF("id", "uri", "bytes")
+    Multimodal.extractImageDims(
+        Multimodal.toMediaAssets(assets, "id", "uri", "bytes")(s))(s)
+      .select(col("asset_id"),
+        when(col("parsed"), col("format")).as("format"),
+        when(col("parsed"), col("width")).as("width"),
+        when(col("parsed"), col("height")).as("height"),
+        col("parsed"))
+      .orderBy("asset_id")
+  }
+
   /** Audio duration/bitrate profiling PURELY from the container
     * indexes — the point of the byte-range seam: no decode anywhere,
     * duration is `Σ samples / rate` and bitrate `Σ bytes · 8 /
@@ -1059,7 +1227,8 @@ object MultimodalQueries {
     qMultimodalPhash, qMultimodalAudioNeardup, qMultimodalVideoNeardup,
     qMultimodalH264Index, qMultimodalAvccIndex, qMultimodalMp4Index,
     qMultimodalFmp4Index, qMultimodalMp3Index, qMultimodalAacIndex,
-    qMultimodalFlacIndex, qMultimodalTsIndex, qMultimodalAudioProfile,
+    qMultimodalFlacIndex, qMultimodalTsIndex, qMultimodalM4aIndex,
+    qMultimodalAudioProfile, qMultimodalImageDims, qMultimodalTags,
     qMultimodalHevcIndex, qMultimodalMkvIndex, qMultimodalDkifIndex,
     qMultimodalOggIndex)
 }

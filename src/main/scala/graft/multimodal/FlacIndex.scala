@@ -226,11 +226,12 @@ object FlacIndex {
     * boundary.
     */
   def encodeSynthetic(frames: Seq[(Int, Int)], sampleRate: Int = 44100,
-      channels: Int = 2, bps: Int = 16, paddingLen: Int = -1): Array[Byte] = {
+      channels: Int = 2, bps: Int = 16, paddingLen: Int = -1,
+      comments: Seq[(String, String)] = Nil): Array[Byte] = {
     require(frames.nonEmpty && frames.size <= 128)
     val out = new java.io.ByteArrayOutputStream()
     out.write("fLaC".getBytes("ISO-8859-1"))
-    val lastHead = if (paddingLen >= 0) 0x00 else 0x80
+    val lastHead = if (paddingLen >= 0 || comments.nonEmpty) 0x00 else 0x80
     out.write(lastHead); out.write(0); out.write(0); out.write(34)
     val siBody = new Array[Byte](34)
     siBody(0) = 0x10; siBody(1) = 0 // min block size 4096
@@ -241,6 +242,23 @@ object FlacIndex {
       ((bps - 1) >> 4)).toByte
     siBody(13) = (((bps - 1) & 0x0f) << 4).toByte
     out.write(siBody)
+    if (comments.nonEmpty) {
+      val cb = new java.io.ByteArrayOutputStream()
+      val vendor = "graft synthetic".getBytes("UTF-8")
+      def le32(v: Int): Unit =
+        (0 until 4).foreach(j => cb.write((v >> (8 * j)) & 0xff))
+      le32(vendor.length); cb.write(vendor)
+      le32(comments.size)
+      comments.foreach { case (k, v) =>
+        val kv = s"$k=$v".getBytes("UTF-8")
+        le32(kv.length); cb.write(kv)
+      }
+      val body = cb.toByteArray
+      out.write(if (paddingLen >= 0) 0x04 else 0x84)
+      out.write((body.length >> 16) & 0xff)
+      out.write((body.length >> 8) & 0xff); out.write(body.length & 0xff)
+      out.write(body)
+    }
     if (paddingLen >= 0) {
       out.write(0x81); out.write((paddingLen >> 16) & 0xff)
       out.write((paddingLen >> 8) & 0xff); out.write(paddingLen & 0xff)

@@ -1,0 +1,153 @@
+package graft.multimodal
+
+/** HEADER-ONLY IMAGE DIMENSIONS (PNG/JPEG/GIF/BMP/WebP, public
+  * formats) — the decode-free image metadata path: filtering a
+  * 100 TB image corpus by resolution/aspect must not pay a full
+  * pixel decode per asset (ImageIO inflates the whole bitmap), and
+  * must work for images larger than memory. Every mainstream format
+  * states its dimensions in the first few hundred bytes:
+  *
+  *  - PNG: the IHDR chunk is REQUIRED first (PNG spec §11.2.1) —
+  *    width/height are big-endian u32 at bytes 16/20.
+  *  - JPEG: marker walk to any SOFn (baseline/progressive/etc.,
+  *    excluding DHT/DAC/JPG which share the 0xC class) — height and
+  *    width ride the frame header (ITU T.81 §B.2.2). Standalone
+  *    markers (RSTn/TEM) and fill bytes are stepped correctly.
+  *  - GIF: the logical screen descriptor directly follows the
+  *    6-byte version magic — little-endian u16 pair.
+  *  - BMP: BITMAPINFOHEADER (≥40 B: s32 pair, height sign =
+  *    orientation) and the legacy BITMAPCOREHEADER (12 B: u16 pair).
+  *  - WebP: RIFF/WEBP with the first chunk dispatching lossy
+  *    (`VP8 `: the keyframe sync 9D 012A then 14-bit LE pair),
+  *    lossless (`VP8L`: 0x2F then packed 14-bit minus-one pair) or
+  *    extended (`VP8X`: 24-bit LE canvas minus-one pair).
+  *
+  * Strictness: magic + structural checks per format (a JPEG without
+  * a SOF, a PNG whose first chunk is not IHDR, zero dimensions —
+  * all None, never an exception). Pixel data is never touched; a
+  * task-sized batch of 100-megapixel scans costs the same as
+  * thumbnails.
+  */
+object ImageDims {
+
+  /** Decode-free dimensions + the sniffed container. */
+  final case class Dims(format: String, width: Int, height: Int)
+
+  private def u16be(b: Array[Byte], i: Int): Int =
+    ((b(i) & 0xff) << 8) | (b(i + 1) & 0xff)
+  private def u16le(b: Array[Byte], i: Int): Int =
+    (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
+  private def u32be(b: Array[Byte], i: Int): Long =
+    ((b(i) & 0xffL) << 24) | ((b(i + 1) & 0xffL) << 16) |
+      ((b(i + 2) & 0xffL) << 8) | (b(i + 3) & 0xffL)
+  private def s32le(b: Array[Byte], i: Int): Int =
+    (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8) |
+      ((b(i + 2) & 0xff) << 16) | ((b(i + 3) & 0xff) << 24)
+
+  private def png(b: Array[Byte]): Option[Dims] = {
+    if (b.length < 24) return None
+    val magic = Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)
+    if (!magic.zipWithIndex.forall { case (m, i) => (b(i) & 0xff) == m })
+      return None
+    // first chunk must be IHDR (§11.2.1)
+    if (!(b(12) == 'I' && b(13) == 'H' && b(14) == 'D' && b(15) == 'R'))
+      return None
+    val w = u32be(b, 16); val h = u32be(b, 20)
+    if (w <= 0 || h <= 0 || w > Int.MaxValue || h > Int.MaxValue) None
+    else Some(Dims("png", w.toInt, h.toInt))
+  }
+
+  private def jpeg(b: Array[Byte]): Option[Dims] = {
+    if (b.length < 4 || (b(0) & 0xff) != 0xff || (b(1) & 0xff) != 0xd8)
+      return None
+    var i = 2
+    while (i + 4 <= b.length) {
+      if ((b(i) & 0xff) != 0xff) return None // marker alignment lost
+      var m = b(i + 1) & 0xff
+      // fill bytes: any number of 0xFF before the marker code
+      while (m == 0xff && i + 2 < b.length) { i += 1; m = b(i + 1) & 0xff }
+      if (m == 0xd8 || m == 0x01 || (m >= 0xd0 && m <= 0xd7)) {
+        i += 2 // standalone markers carry no length
+      } else if (m == 0xd9 || m == 0xda) {
+        return None // EOI / start-of-scan before any SOF
+      } else {
+        val segLen = u16be(b, i + 2)
+        if (segLen < 2 || i + 2 + segLen > b.length) return None
+        val isSof = m >= 0xc0 && m <= 0xcf &&
+          m != 0xc4 && m != 0xc8 && m != 0xcc
+        if (isSof) {
+          if (segLen < 7) return None
+          val h = u16be(b, i + 5); val w = u16be(b, i + 7)
+          return if (w > 0 && h > 0) Some(Dims("jpeg", w, h)) else None
+        }
+        i += 2 + segLen
+      }
+    }
+    None
+  }
+
+  private def gif(b: Array[Byte]): Option[Dims] = {
+    if (b.length < 10) return None
+    val v = new String(b, 0, 6, "ISO-8859-1")
+    if (v != "GIF87a" && v != "GIF89a") return None
+    val w = u16le(b, 6); val h = u16le(b, 8)
+    if (w > 0 && h > 0) Some(Dims("gif", w, h)) else None
+  }
+
+  private def bmp(b: Array[Byte]): Option[Dims] = {
+    if (b.length < 26 || b(0) != 'B' || b(1) != 'M') return None
+    val dib = s32le(b, 14)
+    if (dib >= 40) {
+      val w = s32le(b, 18); val h = s32le(b, 22)
+      // negative height = top-down rows (the magnitude is the size)
+      if (w > 0 && h != 0 && h != Int.MinValue)
+        Some(Dims("bmp", w, math.abs(h)))
+      else None
+    } else if (dib == 12) { // BITMAPCOREHEADER: u16 pair
+      val w = u16le(b, 18); val h = u16le(b, 20)
+      if (w > 0 && h > 0) Some(Dims("bmp", w, h)) else None
+    } else None
+  }
+
+  private def webp(b: Array[Byte]): Option[Dims] = {
+    if (b.length < 30) return None
+    if (!(b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
+        b(8) == 'W' && b(9) == 'E' && b(10) == 'B' && b(11) == 'P'))
+      return None
+    val chunk = new String(b, 12, 4, "ISO-8859-1")
+    chunk match {
+      case "VP8 " =>
+        // lossy keyframe: 3-byte frame tag, sync 9D 01 2A, 14-bit pair
+        val p = 20
+        if ((b(p + 3) & 0xff) != 0x9d || (b(p + 4) & 0xff) != 0x01 ||
+            (b(p + 5) & 0xff) != 0x2a) return None
+        val w = u16le(b, p + 6) & 0x3fff
+        val h = u16le(b, p + 8) & 0x3fff
+        if (w > 0 && h > 0) Some(Dims("webp", w, h)) else None
+      case "VP8L" =>
+        val p = 20
+        if ((b(p) & 0xff) != 0x2f) return None
+        val bits = (b(p + 1) & 0xffL) | ((b(p + 2) & 0xffL) << 8) |
+          ((b(p + 3) & 0xffL) << 16) | ((b(p + 4) & 0xffL) << 24)
+        val w = (bits & 0x3fff).toInt + 1
+        val h = ((bits >> 14) & 0x3fff).toInt + 1
+        Some(Dims("webp", w, h))
+      case "VP8X" =>
+        val p = 20
+        if (b.length < p + 10) return None
+        val w = ((b(p + 4) & 0xff) | ((b(p + 5) & 0xff) << 8) |
+          ((b(p + 6) & 0xff) << 16)) + 1
+        val h = ((b(p + 7) & 0xff) | ((b(p + 8) & 0xff) << 8) |
+          ((b(p + 9) & 0xff) << 16)) + 1
+        Some(Dims("webp", w, h))
+      case _ => None
+    }
+  }
+
+  /** The dimensions, trying each container's strict parse in turn.
+    * None when no format's magic + structure matches. */
+  def dims(b: Array[Byte]): Option[Dims] =
+    if (b == null || b.length < 10) None
+    else png(b).orElse(jpeg(b)).orElse(gif(b)).orElse(bmp(b))
+      .orElse(webp(b))
+}

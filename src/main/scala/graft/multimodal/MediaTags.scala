@@ -1,0 +1,193 @@
+package graft.multimodal
+
+/** MEDIA TAG EXTRACTION (ID3v2.3/2.4 text frames and Vorbis comments
+  * in FLAC — both public formats: id3.org informal standard, RFC
+  * 9639 §8.6 / the Xiph VorbisComment spec) — the curation-metadata
+  * face of an audio corpus: title/artist/album/language tags drive
+  * dedup keys, source attribution and split stratification, and they
+  * ride the first kilobytes of the file, so extraction is
+  * header-only like the rest of the seam.
+  *
+  *  - ID3v2: "ID3" + version + synchsafe tag size, then frames of
+  *    [id(4), size(4 — PLAIN u32 in v2.3, synchsafe in v2.4),
+  *    flags(2), payload]. Text frames (id `T...`) carry an encoding
+  *    byte — 0 ISO-8859-1, 1 UTF-16 with BOM, 2 UTF-16BE, 3 UTF-8 —
+  *    then the value (TXXX: description NUL value). Padding (a zero
+  *    id byte) ends the walk.
+  *  - FLAC VORBIS_COMMENT (block type 4): LE u32 vendor length +
+  *    vendor, LE u32 count, then per comment LE u32 length +
+  *    `KEY=value` (key case-insensitive ASCII — uppercased here for
+  *    a canonical join key; value UTF-8).
+  *
+  * Strictness: headers validated, every length bounds-checked before
+  * any allocation, malformed frames/comments refuse the whole tag
+  * (None — a flagged row, not a half-parse); unsupported frame
+  * flags (compression/encryption) skip the frame, not the tag.
+  */
+object MediaTags {
+
+  /** One tag: canonical key (frame id or uppercased comment key) and
+    * decoded text value. */
+  final case class Tag(key: String, value: String)
+
+  private def synchsafe(b: Array[Byte], i: Int): Int =
+    ((b(i) & 0x7f) << 21) | ((b(i + 1) & 0x7f) << 14) |
+      ((b(i + 2) & 0x7f) << 7) | (b(i + 3) & 0x7f)
+  private def u32be(b: Array[Byte], i: Int): Long =
+    ((b(i) & 0xffL) << 24) | ((b(i + 1) & 0xffL) << 16) |
+      ((b(i + 2) & 0xffL) << 8) | (b(i + 3) & 0xffL)
+  private def u32le(b: Array[Byte], i: Int): Long =
+    (b(i) & 0xffL) | ((b(i + 1) & 0xffL) << 8) |
+      ((b(i + 2) & 0xffL) << 16) | ((b(i + 3) & 0xffL) << 24)
+
+  /** Decode an ID3v2 text payload: encoding byte + text, NUL
+    * terminators preserved (TXXX splits on one; plain text frames
+    * strip them at the call site). None for an unknown encoding. */
+  private def decodeText(b: Array[Byte], off: Int, len: Int)
+      : Option[String] = {
+    if (len < 1) return Some("")
+    val enc = b(off) & 0xff
+    val cs = enc match {
+      case 0 => "ISO-8859-1"
+      case 1 => "UTF-16"   // BOM-led per the spec
+      case 2 => "UTF-16BE"
+      case 3 => "UTF-8"
+      case _ => return None
+    }
+    Some(new String(b, off + 1, len - 1, cs))
+  }
+
+  /** The ID3v2 text frames of an MP3/AAC asset. None when no valid
+    * ID3v2 header opens the bytes or a frame is malformed. */
+  def id3v2Tags(b: Array[Byte]): Option[IndexedSeq[Tag]] = {
+    if (b.length < 10 || b(0) != 'I' || b(1) != 'D' || b(2) != '3')
+      return None
+    val ver = b(3) & 0xff
+    if (ver != 3 && ver != 4) return None // 2.2 (3-byte ids) unsupported
+    if (((b(6) | b(7) | b(8) | b(9)) & 0x80) != 0) return None
+    val tagEnd = math.min(10L + synchsafe(b, 6), b.length.toLong).toInt
+    val out = scala.collection.mutable.ArrayBuffer.empty[Tag]
+    var i = 10
+    var done = false
+    while (!done && i + 10 <= tagEnd) {
+      if (b(i) == 0) done = true // padding
+      else {
+        val id = new String(b, i, 4, "ISO-8859-1")
+        if (!id.forall(c => c.isUpper || c.isDigit)) return None
+        val size = (if (ver == 4) synchsafe(b, i + 4).toLong
+          else u32be(b, i + 4))
+        if (size < 0 || size > tagEnd - (i + 10)) return None
+        val flags2 = b(i + 9) & 0xff
+        // compression/encryption/unsynchronised payloads: skip frame
+        val skip = (flags2 & 0x0e) != 0 || (ver == 3 && (flags2 & 0xc0) != 0)
+        if (!skip && id.startsWith("T") && size >= 1) {
+          val raw = decodeText(b, i + 10, size.toInt)
+            .getOrElse(return None)
+          if (id == "TXXX") {
+            // encoding + description NUL value → key TXXX:description
+            val cut = raw.indexOf('\u0000')
+            if (cut < 0) return None
+            out += Tag("TXXX:" + raw.substring(0, cut),
+              raw.substring(cut + 1).replace("\u0000", ""))
+          } else {
+            out += Tag(id, raw.replace("\u0000", ""))
+          }
+        }
+        i += 10 + size.toInt
+      }
+    }
+    Some(out.toIndexedSeq)
+  }
+
+  /** The Vorbis comments of a FLAC asset (block type 4). None when
+    * the stream head is not FLAC ([[FlacIndex.streamInfo]] contract)
+    * or the comment block is malformed; a FLAC without the block
+    * yields an empty list. */
+  def flacTags(b: Array[Byte]): Option[IndexedSeq[Tag]] = {
+    if (FlacIndex.streamInfo(b).isEmpty) return None
+    val out = scala.collection.mutable.ArrayBuffer.empty[Tag]
+    // re-walk metadata blocks for type 4 (streamInfo validated tiling)
+    var i = 4
+    var last = false
+    while (!last && i + 4 <= b.length) {
+      val h = b(i) & 0xff
+      last = (h & 0x80) != 0
+      val len = ((b(i + 1) & 0xff) << 16) | ((b(i + 2) & 0xff) << 8) |
+        (b(i + 3) & 0xff)
+      if ((h & 0x7f) == 4) {
+        val e = i + 4 + len
+        var p = i + 4
+        if (p + 4 > e) return None
+        val vlen = u32le(b, p)
+        if (vlen < 0 || vlen > e - (p + 4)) return None
+        p += 4 + vlen.toInt
+        if (p + 4 > e) return None
+        val n = u32le(b, p)
+        p += 4
+        var k = 0L
+        while (k < n) {
+          if (p + 4 > e) return None
+          val clen = u32le(b, p)
+          if (clen < 0 || clen > e - (p + 4)) return None
+          val s = new String(b, p + 4, clen.toInt, "UTF-8")
+          val eq = s.indexOf('=')
+          if (eq <= 0) return None
+          out += Tag(s.substring(0, eq).toUpperCase(java.util.Locale.ROOT),
+            s.substring(eq + 1))
+          p += 4 + clen.toInt
+          k += 1
+        }
+      }
+      i += 4 + len
+    }
+    Some(out.toIndexedSeq)
+  }
+
+  /** Tags of an audio asset, dispatching by container: ID3v2 for
+    * MP3/ADTS shapes, Vorbis comments for FLAC. None when neither
+    * parser accepts the bytes. */
+  def tags(b: Array[Byte]): Option[(String, IndexedSeq[Tag])] =
+    id3v2Tags(b).map(("id3", _))
+      .orElse(flacTags(b).map(("flac", _)))
+
+  /** Synthetic ID3v2 tag + minimal MP3 body for specs/oracles:
+    * `frames` gives (id, value, encodingByte); v2.3 or v2.4 sizing.
+    */
+  def encodeId3(frames: Seq[(String, String, Int)], v4: Boolean = false,
+      padding: Int = 0): Array[Byte] = {
+    val body = new java.io.ByteArrayOutputStream()
+    frames.foreach { case (id, value, enc) =>
+      require(id.length == 4)
+      val cs = enc match {
+        case 0 => "ISO-8859-1"
+        case 1 => "UTF-16"
+        case 2 => "UTF-16BE"
+        case _ => "UTF-8"
+      }
+      val vb = value.getBytes(cs)
+      body.write(id.getBytes("ISO-8859-1"))
+      val size = vb.length + 1
+      if (v4) {
+        body.write((size >> 21) & 0x7f); body.write((size >> 14) & 0x7f)
+        body.write((size >> 7) & 0x7f); body.write(size & 0x7f)
+      } else {
+        body.write((size >> 24) & 0xff); body.write((size >> 16) & 0xff)
+        body.write((size >> 8) & 0xff); body.write(size & 0xff)
+      }
+      body.write(0); body.write(0)
+      body.write(enc)
+      body.write(vb)
+    }
+    body.write(new Array[Byte](padding))
+    val bb = body.toByteArray
+    val out = new java.io.ByteArrayOutputStream()
+    out.write('I'); out.write('D'); out.write('3')
+    out.write(if (v4) 4 else 3); out.write(0); out.write(0)
+    out.write((bb.length >> 21) & 0x7f); out.write((bb.length >> 14) & 0x7f)
+    out.write((bb.length >> 7) & 0x7f); out.write(bb.length & 0x7f)
+    out.write(bb)
+    // a real Layer-III body after the tag so container walks also work
+    out.write(Mp3Frames.encodeSynthetic(Seq((9, 0), (9, 0))))
+    out.toByteArray
+  }
+}

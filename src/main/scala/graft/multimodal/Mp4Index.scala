@@ -169,6 +169,76 @@ object Mp4Index {
     sampleTableIn(b, top, boundLen)
   }
 
+  // ---- audio track (M4A / the audio side of an A/V MP4) ----
+
+  /** The audio sample table of an ISO-BMFF asset: per-sample byte
+    * spans plus the AudioSampleEntry facts a pipeline needs without
+    * decode (codec fourcc, channel count, sample rate — §12.2.3). */
+  final case class AudioTable(offsets: Array[Long], sizes: Array[Long],
+      codec: String, sampleRateHz: Int, channels: Int)
+
+  private val AudioFourccs = Set("mp4a", "Opus", "fLaC", "alac",
+    "ac-3", "ec-3", ".mp3", "sowt", "twos")
+
+  private def u16(b: Array[Byte], i: Int): Int =
+    ((b(i) & 0xff) << 8) | (b(i + 1) & 0xff)
+
+  /** The audio twin of [[sampleTableInMoov]]: trak eligibility by
+    * `mdia/hdlr` == 'soun' (a known audio stsd fourcc as the no-hdlr
+    * fallback — the same posture as the video path), sample spans
+    * through the SAME strict [[parseStbl]] arithmetic, then the
+    * AudioSampleEntry fields: channelcount at entry+24, samplerate as
+    * 16.16 fixed at entry+32 (§12.2.3). A zero/absurd rate or channel
+    * count refuses (corrupt entry). */
+  private[multimodal] def audioTableInMoov(b: Array[Byte], start: Int,
+      end: Int, boundLen: Long): Option[AudioTable] = {
+    val candidates = boxes(b, start, end).toSeq.flatten
+      .filter(_.fourcc == "trak")
+      .flatMap { trak =>
+        child(b, trak, "mdia").toSeq.flatMap { mdia =>
+          val handler = handlerType(b, mdia)
+          if (handler.exists(_ != "soun")) Seq.empty
+          else child(b, mdia, "minf")
+            .flatMap(minf => child(b, minf, "stbl"))
+            .map(stbl => (stbl, handler.isDefined))
+            .toSeq
+        }
+      }
+    candidates.iterator.flatMap { case (stbl, declaredAudio) =>
+      parseStbl(b, stbl, boundLen)
+        .filter(t => declaredAudio || AudioFourccs(t.codec))
+        .flatMap { t =>
+          child(b, stbl, "stsd").flatMap { c =>
+            val entryStart = c.payloadStart + 8
+            // AudioSampleEntry: 8 hdr + 8 SampleEntry + 8 reserved +
+            // channelcount(2) samplesize(2) pre_defined(2) rsvd(2) +
+            // samplerate(4, 16.16) → needs 36 bytes
+            if (entryStart + 36 > c.payloadEnd) None
+            else {
+              val channels = u16(b, entryStart + 24)
+              val rate = u16(b, entryStart + 32) // 16.16 integer part
+              if (channels < 1 || channels > 64 || rate < 1) None
+              else Some(AudioTable(t.offsets, t.sizes, t.codec, rate,
+                channels))
+            }
+          }
+        }
+    }.nextOption()
+  }
+
+  /** The audio sample table of a byte-column asset ([[AudioTable]]).
+    * Same top-level strictness as [[sampleTable]]. */
+  def audioSampleTable(b: Array[Byte]): Option[AudioTable] = {
+    val topOpt = boxes(b, 0, b.length, topLevel = true)
+    if (topOpt.isEmpty) return None
+    val top = topOpt.get
+    if (top.isEmpty || top.head.fourcc != "ftyp") return None
+    top.filter(_.fourcc == "moov").iterator
+      .flatMap(m => audioTableInMoov(b, m.payloadStart, m.payloadEnd,
+        b.length.toLong))
+      .nextOption()
+  }
+
   private def parseStbl(b: Array[Byte], stbl: Box,
       boundLen: Long): Option[SampleTable] = {
     val stsz = child(b, stbl, "stsz").getOrElse(return None)
@@ -739,6 +809,47 @@ object Mp4Index {
     full("hdlr", u32a(Seq(0L)) ++ handler.getBytes("ISO-8859-1") ++
       new Array[Byte](13))
 
+  /** AudioSampleEntry payload (§12.2.3): 6 reserved + dri(2) +
+    * 8 reserved, then channelcount(2) samplesize(2) pre_defined(2)
+    * reserved(2) samplerate(4, 16.16 fixed) — 28 bytes. */
+  private def audioEntryPayload(rate: Int, channels: Int): Array[Byte] =
+    new Array[Byte](16) ++
+      Array(((channels >> 8) & 0xff).toByte, (channels & 0xff).toByte,
+        0, 16, 0, 0, 0, 0,
+        ((rate >> 8) & 0xff).toByte, (rate & 0xff).toByte, 0, 0)
+        .map(_.toByte)
+
+  /** Synthetic M4A (audio-only ISO-BMFF) for specs/oracles: `M4A `
+    * ftyp + mdat + a single 'soun' trak whose stbl carries the given
+    * sample sizes (chunked per `samplesPerChunk`) and an mp4a
+    * AudioSampleEntry with real rate/channel fields. */
+  def encodeSyntheticM4a(samples: Seq[Array[Byte]], sampleRate: Int = 44100,
+      channels: Int = 2, samplesPerChunk: Int = 2): Array[Byte] = {
+    require(samples.nonEmpty && samplesPerChunk > 0)
+    val ftyp = box("ftyp",
+      "M4A ".getBytes("ISO-8859-1") ++ Array[Byte](0, 0, 0, 0))
+    val mdat = box("mdat", samples.flatten.toArray)
+    val mdatPayloadAt = ftyp.length + 8
+    val chunks = samples.indices.grouped(samplesPerChunk).toSeq
+    val chunkOffsets = {
+      var off = mdatPayloadAt.toLong
+      chunks.map { c =>
+        val o = off; off += c.map(samples(_).length.toLong).sum; o
+      }
+    }
+    val mp4a = box("mp4a", audioEntryPayload(sampleRate, channels))
+    val stbl = box("stbl",
+      full("stsd", u32a(Seq(1L)) ++ mp4a) ++
+        full("stsz", u32a(Seq(0L, samples.length.toLong)) ++
+          u32a(samples.map(_.length.toLong))) ++
+        full("stsc", u32a(Seq(1L, 1L, samplesPerChunk.toLong, 1L))) ++
+        full("stco", u32a(Seq(chunkOffsets.length.toLong)) ++
+          u32a(chunkOffsets)))
+    val moov = box("moov",
+      box("trak", box("mdia", hdlrBox("soun") ++ box("minf", stbl))))
+    ftyp ++ mdat ++ moov
+  }
+
   def encodeSynthetic(samples: Seq[Array[Byte]], syncSamples: Seq[Int],
       samplesPerChunk: Int = 2, audioTrakFirst: Boolean = false): Array[Byte] = {
     require(samples.nonEmpty && samplesPerChunk > 0)
@@ -775,7 +886,7 @@ object Mp4Index {
     // sample table — the layout real muxers emit when audio is track 1;
     // an indexer without the hdlr filter would emit ITS ranges as frames
     val audioTrak = if (!audioTrakFirst) Array.empty[Byte] else {
-      val mp4a = box("mp4a", new Array[Byte](28))
+      val mp4a = box("mp4a", audioEntryPayload(22050, 2))
       val aStbl = box("stbl",
         full("stsd", u32a(Seq(1L)) ++ mp4a) ++
           full("stsz", u32a(Seq(0L, 1L, samples.head.length.toLong))) ++

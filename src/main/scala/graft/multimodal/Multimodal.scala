@@ -107,7 +107,7 @@ object Multimodal {
       col(idCol).cast("long").as("asset_id"),
       when(lower(col(uriCol)).rlike("\\.(png|jpe?g|gif|bmp|webp)$"), "image")
         .when(lower(col(uriCol))
-          .rlike("\\.(wav|mp3|flac|ogg|opus|aac|adts)$"), "audio")
+          .rlike("\\.(wav|mp3|flac|ogg|opus|aac|adts|m4a|m4b)$"), "audio")
         .when(lower(col(uriCol))
           .rlike("\\.(mp4|mov|avi|mkv|webm|h264|264|h265|hevc|265|ivf|ts|m2ts)$"),
           "video")
@@ -240,6 +240,36 @@ object Multimodal {
 
   /** An image's perceptual hash; `decoded = false` marks undecodable
     * bytes (stub hash from the byte content, deterministic). */
+  /** Decode-free image dimensions; `parsed = false` flags bytes no
+    * header parser accepts. */
+  final case class ImageDimsRow(asset_id: Long, format: String,
+      width: Int, height: Int, parsed: Boolean)
+
+  /** Header-only dimension extraction ([[ImageDims]]): resolution /
+    * aspect filtering of an image corpus WITHOUT paying a pixel
+    * decode per asset — dimensions ride the first few hundred bytes
+    * of every mainstream container (details on [[ImageDims]]), so a
+    * batch of 100-megapixel scans costs the same as thumbnails. The
+    * scalable pre-filter in front of [[extractImageFeatures]] (which
+    * decodes); unparseable bytes emit one flagged row.
+    */
+  def extractImageDims(assets: Dataset[MediaAsset])(
+      implicit spark: SparkSession): Dataset[ImageDimsRow] = {
+    import spark.implicits._
+    assets.filter(col("kind") === "image").mapPartitions { it =>
+      it.map { a =>
+        val d =
+          try ImageDims.dims(a.content)
+          catch { case scala.util.control.NonFatal(_) => None }
+        d match {
+          case Some(x) => ImageDimsRow(a.asset_id, x.format, x.width,
+            x.height, parsed = true)
+          case None => ImageDimsRow(a.asset_id, "", 0, 0, parsed = false)
+        }
+      }
+    }
+  }
+
   final case class ImageHash(asset_id: Long, phash: Long, decoded: Boolean)
 
   /** Batch perceptual hashing — same mapPartitions shape as
@@ -728,6 +758,90 @@ object Multimodal {
           case None =>
             Iterator.single(OggPageRow(a.asset_id, -1, 0L, 0L, 0L, 0,
               is_bos = false, is_eos = false, indexed = false))
+        }
+      }
+    }
+  }
+
+  /** One extracted media tag; `parsed = false` flags assets neither
+    * tag parser accepts. */
+  final case class MediaTagRow(asset_id: Long, container: String,
+      tag_key: String, tag_value: String, parsed: Boolean)
+
+  /** Curation-metadata extraction ([[MediaTags]]): ID3v2 text frames
+    * (MP3/ADTS) and FLAC Vorbis comments as rows — title/artist/
+    * language tags drive dedup keys, attribution and split
+    * stratification, and they ride the first kilobytes, so this is
+    * header-only like the rest of the seam. Assets neither parser
+    * accepts emit one flagged row; a tagged-but-empty asset emits
+    * one parsed row with empty key/value (presence is a fact too).
+    */
+  def extractMediaTags(assets: Dataset[MediaAsset])(
+      implicit spark: SparkSession): Dataset[MediaTagRow] = {
+    import spark.implicits._
+    assets.filter(col("kind") === "audio").mapPartitions { it =>
+      it.flatMap { a =>
+        val parsed =
+          try MediaTags.tags(a.content)
+          catch { case scala.util.control.NonFatal(_) => None }
+        parsed match {
+          case Some((container, tags)) if tags.nonEmpty =>
+            tags.iterator.map(t =>
+              MediaTagRow(a.asset_id, container, t.key, t.value,
+                parsed = true))
+          case Some((container, _)) =>
+            Iterator.single(MediaTagRow(a.asset_id, container, "", "",
+              parsed = true))
+          case None =>
+            Iterator.single(MediaTagRow(a.asset_id, "", "", "",
+              parsed = false))
+        }
+      }
+    }
+  }
+
+  /** A sampled ISO-BMFF audio sample byte range plus the
+    * AudioSampleEntry facts (codec fourcc, rate, channels);
+    * `indexed = false` flags assets with no parseable audio track. */
+  final case class M4aFrame(
+      asset_id: Long,
+      sample_idx: Int,
+      byte_start: Long,
+      byte_len: Long,
+      codec: String,
+      sample_rate_hz: Int,
+      channels: Int,
+      indexed: Boolean)
+
+  /** ISO-BMFF AUDIO sample sampling ([[Mp4Index.audioSampleTable]]):
+    * M4A files and the audio track OF an A/V MP4 — so the filter
+    * admits both kinds, and extracting the soundtrack from a video
+    * corpus is the same call. Sample spans come from the stbl through
+    * the same strict arithmetic as the video path (trak selection by
+    * hdlr == 'soun'); rate/channels ride the AudioSampleEntry. No
+    * decode; assets without a parseable audio track emit one flagged
+    * row, keeping the pipeline total.
+    */
+  def sampleM4aFrames(assets: Dataset[MediaAsset], stride: Int,
+      maxFrames: Int)(
+      implicit spark: SparkSession): Dataset[M4aFrame] = {
+    import spark.implicits._
+    require(stride > 0 && maxFrames > 0, "stride and maxFrames must be positive")
+    assets.filter(col("kind").isin("audio", "video")).mapPartitions { it =>
+      it.flatMap { a =>
+        val indexed =
+          try Mp4Index.audioSampleTable(a.content)
+          catch { case scala.util.control.NonFatal(_) => None }
+        indexed match {
+          case Some(t) =>
+            (0 until t.offsets.length by stride).take(maxFrames)
+              .iterator.map { i =>
+                M4aFrame(a.asset_id, i, t.offsets(i), t.sizes(i), t.codec,
+                  t.sampleRateHz, t.channels, indexed = true)
+              }
+          case None =>
+            Iterator.single(M4aFrame(a.asset_id, -1, 0L, 0L, "", 0, 0,
+              indexed = false))
         }
       }
     }

@@ -1,0 +1,78 @@
+package graft.multimodal
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** [[ImageDims]]: header-only dimensions must agree with the real
+  * encoders (the JDK's ImageIO writes genuine PNG/JPEG/GIF/BMP — an
+  * external-encoder check, not a self-referential fixture) and
+  * refuse structurally broken bytes.
+  */
+class ImageDimsSpec extends AnyFunSuite {
+
+  private def encode(fmt: String, w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    (0 until w).foreach(x => (0 until h).foreach(y =>
+      img.setRGB(x, y, (x * 31 + y * 17) & 0xffffff)))
+    val out = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, fmt, out), fmt)
+    out.toByteArray
+  }
+
+  test("PNG/JPEG/GIF/BMP dims agree with ImageIO-encoded images") {
+    for ((fmt, w, h) <- Seq(("png", 31, 17), ("jpg", 63, 41),
+        ("gif", 12, 7), ("bmp", 9, 5))) {
+      val d = ImageDims.dims(encode(fmt, w, h)).get
+      assert((d.width, d.height) === (w, h), fmt)
+      assert(d.format === (if (fmt == "jpg") "jpeg" else fmt))
+    }
+    // progressive-ish: a JPEG with leading APP segments still finds
+    // its SOF (ImageIO writes JFIF APP0 already — covered above)
+  }
+
+  test("WebP lossy/lossless/extended headers parse by hand-built bytes") {
+    def riff(chunk: String, payload: Array[Byte]): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      out.write("RIFF".getBytes("ISO-8859-1"))
+      val total = 4 + 8 + payload.length
+      (0 until 4).foreach(j => out.write((total >> (8 * j)) & 0xff))
+      out.write("WEBP".getBytes("ISO-8859-1"))
+      out.write(chunk.getBytes("ISO-8859-1"))
+      (0 until 4).foreach(j => out.write((payload.length >> (8 * j)) & 0xff))
+      out.write(payload)
+      out.toByteArray
+    }
+    // VP8 lossy keyframe: 3-byte tag + 9D 01 2A + LE14 pair
+    val lossy = riff("VP8 ", Array[Byte](0, 0, 0, 0x9d.toByte, 0x01,
+      0x2a, 64, 0, 48, 0) ++ new Array[Byte](8))
+    assert(ImageDims.dims(lossy).get === ImageDims.Dims("webp", 64, 48))
+    // VP8L: 0x2F + packed (w-1, h-1) 14-bit fields: 99 and 49
+    val bits = 99L | (49L << 14)
+    val lossless = riff("VP8L", Array[Byte](0x2f,
+      (bits & 0xff).toByte, ((bits >> 8) & 0xff).toByte,
+      ((bits >> 16) & 0xff).toByte, ((bits >> 24) & 0xff).toByte) ++
+      new Array[Byte](8))
+    assert(ImageDims.dims(lossless).get === ImageDims.Dims("webp", 100, 50))
+    // VP8X: 24-bit LE (canvas-1) pair: 299 × 199
+    val ext = riff("VP8X", Array[Byte](0, 0, 0, 0,
+      (299 & 0xff).toByte, ((299 >> 8) & 0xff).toByte, 0,
+      (199 & 0xff).toByte, ((199 >> 8) & 0xff).toByte, 0))
+    assert(ImageDims.dims(ext).get === ImageDims.Dims("webp", 300, 200))
+  }
+
+  test("strictness: junk, truncation, wrong-first-chunk PNG, SOF-less JPEG refuse") {
+    assert(ImageDims.dims(Array[Byte](9, 9, 9, 9)).isEmpty)
+    assert(ImageDims.dims(Array.empty[Byte]).isEmpty)
+    assert(ImageDims.dims(null).isEmpty)
+    val png = encode("png", 8, 8)
+    // corrupt the IHDR tag: PNG refuses (and no other parser claims it)
+    val bad = png.clone(); bad(12) = 'X'
+    assert(ImageDims.dims(bad).isEmpty)
+    // truncate a JPEG before its SOF
+    val jpg = encode("jpg", 8, 8)
+    assert(ImageDims.dims(jpg.take(12)).isEmpty)
+    // media containers are not images
+    assert(ImageDims.dims(
+      Mp4Index.encodeSyntheticM4a(Seq(Array[Byte](1, 2)))).isEmpty)
+  }
+}

@@ -239,6 +239,31 @@ class Mp4IndexSpec extends AnyFunSuite {
     assert(Mp4Index.frameIndex(bad).isEmpty)
   }
 
+  test("audio sample table: M4A spans + entry facts; the audio side of an A/V MP4") {
+    def sz(ns: Int*) = ns.map(n => Array.tabulate[Byte](n)(_.toByte))
+    val m4a = Mp4Index.encodeSyntheticM4a(sz(9, 13, 11),
+      sampleRate = 32000, channels = 1, samplesPerChunk = 2)
+    val t = Mp4Index.audioSampleTable(m4a).get
+    assert(t.offsets.toSeq === Seq(24L, 33L, 46L))
+    assert(t.sizes.toSeq === Seq(9L, 13L, 11L))
+    assert(t.codec === "mp4a" && t.sampleRateHz === 32000 &&
+      t.channels === 1)
+    // the audio trak of an A/V mux is reachable by the same call —
+    // and the VIDEO walk still picks the video trak (selection is by
+    // handler, both directions)
+    val av = Mp4Index.encodeSynthetic(sz(7, 14, 3), syncSamples = Seq(1),
+      audioTrakFirst = true)
+    val at = Mp4Index.audioSampleTable(av).get
+    assert(at.offsets.toSeq === Seq(24L) && at.sizes.toSeq === Seq(7L))
+    assert(at.codec === "mp4a" && at.sampleRateHz === 22050 &&
+      at.channels === 2)
+    assert(Mp4Index.frameIndex(av).get.map(_.byteLen) === Seq(7, 14, 3))
+    // a video-only MP4 has no audio table; junk refuses
+    val vOnly = Mp4Index.encodeSynthetic(sz(7, 14), syncSamples = Seq(1))
+    assert(Mp4Index.audioSampleTable(vOnly).isEmpty)
+    assert(Mp4Index.audioSampleTable(Array[Byte](9, 9, 9, 9)).isEmpty)
+  }
+
   test("seekable: a sparse >2GiB MP4 indexes from headers alone, reading kilobytes") {
     val f = java.io.File.createTempFile("graft-big", ".mp4")
     try {
