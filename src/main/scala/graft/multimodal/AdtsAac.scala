@@ -71,14 +71,16 @@ object AdtsAac {
   }
 
   /** The frame index: byte spans of every ADTS frame. None unless
-    * ≥2 frames tile the stream exactly with a constant sampling index
-    * and channel configuration.
+    * ≥2 frames tile the stream exactly (after an optional leading
+    * ID3v2 tag — taggers prepend the same tag to .aac files, and
+    * [[Mp3Frames.skipId3v2]] is shared for it) with a constant
+    * sampling index and channel configuration.
     */
   def frameIndex(bytes: Array[Byte]): Option[IndexedSeq[AacSpan]] = {
     val out = scala.collection.mutable.ArrayBuffer.empty[AacSpan]
     var srIdx0 = -1
     var chan0 = -1
-    var i = 0
+    var i = Mp3Frames.skipId3v2(bytes).getOrElse(return None)
     while (i < bytes.length) {
       header(bytes, i) match {
         case Some((len, profile, srIdx, chanCfg, rdb, crc)) =>

@@ -96,7 +96,10 @@ object DkifIndex {
       var more = true
       while (more) {
         if (shift > 56) return false // >8-byte leb128: illegal anywhere
-        if (i >= end) return if (exact) false else sawSeq
+        // size bytes truncated at the probe end: the OBU's TYPE is
+        // already known — credit a sequence header exactly like the
+        // body-overrun branch below does
+        if (i >= end) return if (exact) false else sawSeq || obuType == 1
         val v = b(i) & 0xff
         size |= (v & 0x7fL) << shift
         shift += 7

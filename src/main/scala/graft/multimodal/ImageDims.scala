@@ -71,6 +71,8 @@ object ImageDims {
       } else if (m == 0xd9 || m == 0xda) {
         return None // EOI / start-of-scan before any SOF
       } else {
+        // the fill-byte loop advanced i: re-check before the length read
+        if (i + 4 > b.length) return None
         val segLen = u16be(b, i + 2)
         if (segLen < 2 || i + 2 + segLen > b.length) return None
         val isSof = m >= 0xc0 && m <= 0xcf &&

@@ -64,10 +64,24 @@ object MediaTags {
       return None
     val ver = b(3) & 0xff
     if (ver != 3 && ver != 4) return None // 2.2 (3-byte ids) unsupported
+    val hdrFlags = b(5) & 0xff
+    // tag-level unsynchronisation re-writes every frame size — a walk
+    // ignoring it would misalign silently; refuse to a flagged row
+    if ((hdrFlags & 0x80) != 0) return None
     if (((b(6) | b(7) | b(8) | b(9)) & 0x80) != 0) return None
     val tagEnd = math.min(10L + synchsafe(b, 6), b.length.toLong).toInt
     val out = scala.collection.mutable.ArrayBuffer.empty[Tag]
     var i = 10
+    if ((hdrFlags & 0x40) != 0) {
+      // extended header: v2.3 size EXCLUDES its own 4 size bytes
+      // (plain u32); v2.4 size INCLUDES itself (synchsafe, ≥ 6)
+      if (i + 4 > tagEnd) return None
+      val ext =
+        if (ver == 4) synchsafe(b, i).toLong else 4L + u32be(b, i)
+      if (ver == 4 && ext < 6) return None
+      if (ext < 0 || ext > tagEnd - i) return None
+      i += ext.toInt
+    }
     var done = false
     while (!done && i + 10 <= tagEnd) {
       if (b(i) == 0) done = true // padding

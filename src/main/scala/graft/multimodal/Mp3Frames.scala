@@ -80,9 +80,10 @@ object Mp3Frames {
 
   /** Skip a leading ID3v2 tag: "ID3" + version(2) + flags(1) +
     * synchsafe size(4) [+ footer 10 when flag 0x10]. Returns the
-    * first post-tag offset, or None on a malformed tag.
+    * first post-tag offset, or None on a malformed tag. Shared with
+    * [[AdtsAac]] — taggers prepend the same tag to .aac files.
     */
-  private def skipId3v2(b: Array[Byte]): Option[Int] = {
+  private[multimodal] def skipId3v2(b: Array[Byte]): Option[Int] = {
     if (b.length < 3 || b(0) != 'I' || b(1) != 'D' || b(2) != '3')
       return Some(0)
     if (b.length < 10) return None

@@ -45,25 +45,13 @@ object MpegTs {
       pid: Int, streamType: Int, nPackets: Int, ptsTicks: Long,
       isRandomAccess: Boolean, isVideo: Boolean)
 
-  private val CrcTable: Array[Int] = {
-    val t = new Array[Int](256)
-    var i = 0
-    while (i < 256) {
-      var r = i << 24
-      var j = 0
-      while (j < 8) {
-        r = if ((r & 0x80000000) != 0) (r << 1) ^ 0x04c11db7 else r << 1
-        j += 1
-      }
-      t(i) = r; i += 1
-    }
-    t
-  }
+  /** MPEG-PSI CRC-32 (Annex A): [[OggIndex.CrcTable]]'s unreflected
+    * 0x04C11DB7 table with init 0xFFFFFFFF (Ogg inits at 0). */
   private[multimodal] def crc32(b: Array[Byte], off: Int, len: Int): Int = {
     var c = 0xffffffff
     var i = off
     while (i < off + len) {
-      c = (c << 8) ^ CrcTable(((c >>> 24) ^ (b(i) & 0xff)) & 0xff)
+      c = (c << 8) ^ OggIndex.CrcTable(((c >>> 24) ^ (b(i) & 0xff)) & 0xff)
       i += 1
     }
     c
@@ -180,7 +168,10 @@ object MpegTs {
           // PMT (§2.4.4.8): stream_type → elementary PID table
           val (tid, body, secLen) = psiSection(b, p).getOrElse(return None)
           if (tid != 0x02) return None
-          // body: prog(2) ver(1) sec(1) last(1) pcr(2) pinfoLen(2)
+          // body: prog(2) ver(1) sec(1) last(1) pcr(2) pinfoLen(2) —
+          // a CRC-valid but SHORT section (secLen < fixed part + CRC)
+          // must refuse, not read past the section/packet
+          if (secLen < 13) return None
           val pinfoLen = ((b(body + 7) & 0x0f) << 8) | (b(body + 8) & 0xff)
           var q = body + 9 + pinfoLen
           val end = body + secLen - 4

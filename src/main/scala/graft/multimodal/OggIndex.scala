@@ -29,7 +29,10 @@ object OggIndex {
       granule: Long, serial: Long, packetsCompleted: Int,
       isBos: Boolean, isEos: Boolean, isContinued: Boolean)
 
-  private val CrcTable: Array[Int] = {
+  /** Unreflected CRC-32 table, poly 0x04C11DB7 — shared with
+    * [[MpegTs]] (the MPEG-PSI CRC uses the same table; only the
+    * register init differs, which lives in each crc routine). */
+  private[multimodal] val CrcTable: Array[Int] = {
     val t = new Array[Int](256)
     var i = 0
     while (i < 256) {
@@ -164,7 +167,12 @@ object OggIndex {
       val pageLen = 27 + nSegs + dataLen
       if (i + pageLen > total) return None
       if (validateCrc) {
-        val page = r.readFully(i, pageLen)
+        // only the payload tail is a NEW read — the header and lacing
+        // bytes are already in hand (a remote RangeReader should not
+        // pay a second request for ranges it just fetched)
+        val tail = if (dataLen > 0) r.readFully(i + 27 + nSegs, dataLen)
+          else Array.empty[Byte]
+        val page = h ++ lacing ++ tail
         if (pageCrc(page, 0, pageLen, crcAt = 22) != u32le(page, 22).toInt)
           return None
       }

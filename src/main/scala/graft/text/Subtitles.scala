@@ -109,9 +109,13 @@ object Subtitles {
       val head = b(0).trim
       if (bi == 0 && head.startsWith("WEBVTT")) {
         // the header block; any extra header lines are metadata
-      } else if (head.startsWith("NOTE") || head == "STYLE" ||
-          head.startsWith("REGION")) {
-        // comment/style/region blocks carry no cues
+      } else if (head == "NOTE" || head.startsWith("NOTE ") ||
+          head.startsWith("NOTE\t") || head == "STYLE" ||
+          head == "REGION") {
+        // comment/style/region blocks carry no cues — per spec the
+        // keyword stands alone or (NOTE) is followed by whitespace;
+        // a cue IDENTIFIER may legally start with these letters
+        // ("NOTES-1") and must not be swallowed
       } else {
         // cue block: optional identifier line, then the time line
         val tIdx = if (b(0).contains("-->")) 0 else 1

@@ -53,6 +53,23 @@ class AdtsAacSpec extends AnyFunSuite {
     assert(AdtsAac.frameIndex(r).isEmpty)
   }
 
+  test("a leading ID3v2 tag is skipped, like the MP3 walk does") {
+    val stream = AdtsAac.encodeSynthetic(Seq(50, 60))
+    val id3 = {
+      val out = new java.io.ByteArrayOutputStream()
+      out.write("ID3".getBytes("ISO-8859-1"))
+      out.write(4); out.write(0); out.write(0)
+      out.write(0); out.write(0); out.write(0); out.write(20)
+      out.write(new Array[Byte](20))
+      out.toByteArray
+    }
+    val spans = AdtsAac.frameIndex(id3 ++ stream).get
+    assert(spans.map(s => (s.byteStart, s.byteLen)) ===
+      Seq((30, 57), (87, 67)))
+    // a malformed tag (truncated) refuses rather than mis-syncing
+    assert(AdtsAac.frameIndex(id3.take(12) ++ stream).isEmpty)
+  }
+
   test("mid-stream rate or channel switches refuse (no real encoder emits them)") {
     val a = AdtsAac.encodeSynthetic(Seq(50), srIdx = 3)
     val b = AdtsAac.encodeSynthetic(Seq(50), srIdx = 4)

@@ -188,6 +188,19 @@ class DkifOggSpec extends AnyFunSuite {
     } finally f.delete()
   }
 
+  test("seekable AV1: a probe ending inside the seq-header OBU still flags the keyframe") {
+    // keyframes lead with a SIZED OBU_SEQUENCE_HEADER (0x0a); with a
+    // 1-byte probe the leb128 size byte lies past the prefix — the
+    // OBU type is already known and must keep its keyframe credit
+    val b = DkifIndex.encodeSynthetic("AV01",
+      Seq((fr(50, 0), true), (fr(50, 1), false)))
+    for (probe <- Seq(1, 2, 4, 1 << 16)) {
+      val got = withTempFile(b)(
+        DkifIndex.frameIndexSeekable(_, av1ProbeBytes = probe)).get
+      assert(got.map(_.isIdr) === Seq(true, false), s"probe=$probe")
+    }
+  }
+
   test("seekable Ogg agrees with the in-memory walk; CRC damage caught when validating") {
     val b = OggIndex.encodeSynthetic(Seq(
       (Seq(fr(19, 0)), 0L, true, false),

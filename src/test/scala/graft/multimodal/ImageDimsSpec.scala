@@ -74,5 +74,11 @@ class ImageDimsSpec extends AnyFunSuite {
     // media containers are not images
     assert(ImageDims.dims(
       Mp4Index.encodeSyntheticM4a(Seq(Array[Byte](1, 2)))).isEmpty)
+    // a JPEG truncated INSIDE a fill-byte run: the fill loop advances
+    // i past the loop-top bounds check — must refuse, never throw
+    assert(ImageDims.dims(Array(0xff, 0xd8, 0xff, 0xff, 0xff, 0xc0)
+      .map(_.toByte)).isEmpty)
+    assert(ImageDims.dims(Array(0xff, 0xd8, 0xff, 0xff, 0xff, 0xff,
+      0xff, 0xc0, 0x00).map(_.toByte)).isEmpty)
   }
 }

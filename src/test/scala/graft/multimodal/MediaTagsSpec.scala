@@ -64,6 +64,42 @@ class MediaTagsSpec extends AnyFunSuite {
     assert(MediaTags.flacTags(plain).get.isEmpty)
   }
 
+  test("extended headers are skipped (v2.3 and v2.4); unsynchronised tags refuse") {
+    def tagWith(ver: Int, flags: Int, ext: Array[Byte],
+        frame: Array[Byte]): Array[Byte] = {
+      val body = ext ++ frame
+      val out = new java.io.ByteArrayOutputStream()
+      out.write("ID3".getBytes("ISO-8859-1"))
+      out.write(ver); out.write(0); out.write(flags)
+      out.write((body.length >> 21) & 0x7f)
+      out.write((body.length >> 14) & 0x7f)
+      out.write((body.length >> 7) & 0x7f); out.write(body.length & 0x7f)
+      out.write(body)
+      out.toByteArray
+    }
+    def tit2(v23: Boolean): Array[Byte] = {
+      val vb = "x".getBytes("ISO-8859-1")
+      val size = vb.length + 1
+      val out = new java.io.ByteArrayOutputStream()
+      out.write("TIT2".getBytes("ISO-8859-1"))
+      if (v23) { out.write(0); out.write(0); out.write(0); out.write(size) }
+      else { out.write(0); out.write(0); out.write(0); out.write(size) }
+      out.write(0); out.write(0); out.write(0); out.write(vb)
+      out.toByteArray
+    }
+    // v2.3 ext header: 4-byte size (EXCLUDES itself) = 6, then 6 bytes
+    val ext23 = Array[Byte](0, 0, 0, 6, 0, 0, 0, 0, 0, 0)
+    val t23 = MediaTags.id3v2Tags(tagWith(3, 0x40, ext23, tit2(true))).get
+    assert(t23 === Seq(MediaTags.Tag("TIT2", "x")))
+    // v2.4 ext header: synchsafe size INCLUDES itself (min 6)
+    val ext24 = Array[Byte](0, 0, 0, 6, 1, 0)
+    val t24 = MediaTags.id3v2Tags(tagWith(4, 0x40, ext24, tit2(false))).get
+    assert(t24 === Seq(MediaTags.Tag("TIT2", "x")))
+    // tag-level unsynchronisation rewrites frame sizes: refuse whole
+    assert(MediaTags.id3v2Tags(
+      tagWith(3, 0x80, Array.empty, tit2(true))).isEmpty)
+  }
+
   test("strictness: junk, bad frame ids, truncated comments refuse") {
     assert(MediaTags.tags(Array[Byte](9, 9, 9, 9)).isEmpty)
     assert(MediaTags.tags(Array.empty[Byte]).isEmpty)

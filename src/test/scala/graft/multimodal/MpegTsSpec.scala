@@ -108,4 +108,30 @@ class MpegTsSpec extends AnyFunSuite {
     // fewer than 3 packets refuses even if well-formed
     assert(MpegTs.unitIndex(b.take(2 * 188)).isEmpty)
   }
+
+  test("a CRC-valid but SHORT PMT section refuses, never reads past the packet") {
+    // packet 0: a real PAT (pmtPid 0x1000); packet 1: a null packet
+    // (PID 0x1FFF); packet 2 (the LAST — any out-of-bounds read would
+    // run off the array): a PMT whose pointer_field pushes a minimal
+    // 7-byte section (3-byte header + CRC over it, secLen=4) to the
+    // exact packet end — psiSection accepts it, the PMT fixed part
+    // does not fit, and the walk must refuse cleanly
+    val real = MpegTs.encodeSynthetic(Seq(
+      MpegTs.SynthUnit(0x100, payload(10, 0), pts = 0L,
+        randomAccess = true),
+      MpegTs.SynthUnit(0x100, payload(10, 1), pts = 1L,
+        randomAccess = false)))
+    val pat = real.take(188)
+    val nul = new Array[Byte](188)
+    nul(0) = 0x47; nul(1) = 0x1f; nul(2) = 0xff.toByte; nul(3) = 0x10
+    java.util.Arrays.fill(nul, 4, 188, 0xff.toByte)
+    val pmt = new Array[Byte](188)
+    pmt(0) = 0x47; pmt(1) = 0x50; pmt(2) = 0x00; pmt(3) = 0x10
+    pmt(4) = 176.toByte // pointer_field → section at offset 181
+    java.util.Arrays.fill(pmt, 5, 181, 0xff.toByte)
+    pmt(181) = 0x02; pmt(182) = 0xb0.toByte; pmt(183) = 0x04
+    val crc = MpegTs.crc32(pmt, 181, 3)
+    (0 until 4).foreach(j => pmt(184 + j) = ((crc >> (24 - 8 * j)) & 0xff).toByte)
+    assert(MpegTs.unitIndex(pat ++ nul ++ pmt).isEmpty)
+  }
 }

@@ -57,6 +57,17 @@ class SubtitlesSpec extends AnyFunSuite {
     assert(Subtitles.parse("﻿" + vtt).get._2.length === 2)
   }
 
+  test("cue identifiers merely STARTING with NOTE/REGION are cues, not comments") {
+    val doc = Seq(
+      "WEBVTT", "",
+      "NOTES-1", "00:00:01.000 --> 00:00:02.000", "first", "",
+      "REGIONAL", "00:00:03.000 --> 00:00:04.000", "second", "",
+      "NOTE a real comment", "skipped", "",
+      "NOTE", "also a real comment").mkString("\n")
+    val cues = Subtitles.parseVtt(doc).get
+    assert(cues.map(_.text) === Seq("first", "second"))
+  }
+
   test("strictness: malformed docs refuse whole") {
     // decreasing counters
     assert(Subtitles.parseSrt(srt.replace("\n4\n", "\n2\n")).isEmpty)
