@@ -838,15 +838,73 @@ object MultimodalQueries {
       .orderBy("asset_id", "sample_idx")
   }
 
+  /** Header-only WAV profiling ([[graft.multimodal.WavIndex]] +
+    * `Multimodal.extractWavInfo`): speech corpora ship as PCM WAV —
+    * format/duration facts and the data span without touching a
+    * sample byte. The fixtures are written by the JDK's OWN
+    * javax.sound WAV writer (a real external encoder), whose
+    * canonical 44-byte header puts data at 44; frames = dataLen /
+    * blockAlign exactly, so duration analytics are arithmetic. Junk
+    * pins the flagged fallback. A chunk-walk, endianness, or
+    * align-consistency regression hash-fails.
+    */
+  val qMultimodalWavInfo: QueryDef = QueryDef.sql(
+    "q_multimodal_wav_info",
+    """SELECT * FROM (VALUES
+      |  (1, 1, 1, 16000, 16, CAST(44 AS BIGINT), CAST(2468 AS BIGINT),
+      |   CAST(1234 AS BIGINT), true),
+      |  (2, 1, 2, 44100, 16, CAST(44 AS BIGINT), CAST(2000 AS BIGINT),
+      |   CAST(500 AS BIGINT), true),
+      |  (3, NULL, NULL, NULL, NULL, NULL, NULL, NULL, false))
+      |  AS t(asset_id, format_code, channels, sample_rate_hz,
+      |       bits_per_sample, data_start, data_len, frames, parsed)
+      |ORDER BY asset_id""".stripMargin,
+    doc = "WAV header facts + data span from the RIFF walk alone " +
+      "(multimodal ops; the uncompressed face of the audio seam)") {
+    (s, dir) =>
+    import s.implicits._
+    def wav(rate: Float, channels: Int, nFrames: Int): Array[Byte] = {
+      val fmt = new javax.sound.sampled.AudioFormat(rate, 16, channels,
+        true, false)
+      val pcm = new Array[Byte](nFrames * channels * 2)
+      pcm.indices.foreach(i => pcm(i) = ((i * 37) & 0x7f).toByte)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, nFrames.toLong)
+      val out = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+      out.toByteArray
+    }
+    val assets = Seq(
+      (1L, "mem://speech.wav", wav(16000f, 1, 1234)),
+      (2L, "mem://music.wav", wav(44100f, 2, 500)),
+      (3L, "mem://junk.wav", Array[Byte](9, 9, 9, 9))
+    ).toDF("id", "uri", "bytes")
+    Multimodal.extractWavInfo(
+        Multimodal.toMediaAssets(assets, "id", "uri", "bytes")(s))(s)
+      .select(col("asset_id"),
+        when(col("parsed"), col("format_code")).as("format_code"),
+        when(col("parsed"), col("channels")).as("channels"),
+        when(col("parsed"), col("sample_rate_hz")).as("sample_rate_hz"),
+        when(col("parsed"), col("bits_per_sample")).as("bits_per_sample"),
+        when(col("parsed"), col("data_start")).as("data_start"),
+        when(col("parsed"), col("data_len")).as("data_len"),
+        when(col("parsed"), col("frames")).as("frames"),
+        col("parsed"))
+      .orderBy("asset_id")
+  }
+
   /** Media tag extraction ([[graft.multimodal.MediaTags]] +
     * `Multimodal.extractMediaTags`): curation metadata (title/
     * artist/language) as rows, header-only like the rest of the
     * seam. Exact oracle over decoded strings: ID3v2.3 frames across
     * ISO-8859-1 and UTF-16-with-BOM encodings, FLAC Vorbis comments
-    * with canonical-uppercased keys and UTF-8 values; a tag-less
-    * FLAC pins presence-without-tags (one parsed empty row); junk
-    * pins the flagged fallback. An encoding-dispatch, synchsafe, or
-    * comment-length regression hash-fails.
+    * with canonical-uppercased keys and UTF-8 values; Ogg OpusTags
+    * comments assembled from page lacing (the same Vorbis-comment
+    * structure, RFC 7845 §5.2); a tag-less FLAC pins
+    * presence-without-tags (one parsed empty row); junk pins the
+    * flagged fallback. An encoding-dispatch, synchsafe,
+    * packet-assembly, or comment-length regression hash-fails.
     */
   val qMultimodalTags: QueryDef = QueryDef.sql(
     "q_multimodal_tags",
@@ -858,7 +916,9 @@ object MultimodalQueries {
       |  (2, 'flac', 'LANGUAGE', 'pol', true),
       |  (2, 'flac', 'TITLE', 'Nocturne Op. 9', true),
       |  (3, NULL, NULL, NULL, false),
-      |  (4, 'flac', '', '', true))
+      |  (4, 'flac', '', '', true),
+      |  (5, 'ogg', 'ARTIST', 'Sea', true),
+      |  (5, 'ogg', 'TITLE', 'Waves', true))
       |  AS t(asset_id, container, tag_key, tag_value, parsed)
       |ORDER BY asset_id, tag_key""".stripMargin,
     doc = "ID3v2 + FLAC Vorbis-comment tag extraction: curation " +
@@ -877,7 +937,26 @@ object MultimodalQueries {
           ("LANGUAGE", "pol")))),
       (3L, "mem://junk.mp3", Array[Byte](9, 9, 9, 9)),
       (4L, "mem://plain.flac", FlacIndex.encodeSynthetic(
-        Seq((256, 30), (256, 40))))
+        Seq((256, 30), (256, 40)))),
+      (5L, "mem://waves.opus", {
+        val head = "OpusHead".getBytes("ISO-8859-1") ++
+          Array[Byte](1, 2, 0x38, 1, 0x80.toByte, 0xbb.toByte,
+            0, 0, 0, 0, 0)
+        val tagsOut = new java.io.ByteArrayOutputStream()
+        tagsOut.write("OpusTags".getBytes("ISO-8859-1"))
+        def le32(v: Int): Unit =
+          (0 until 4).foreach(j => tagsOut.write((v >> (8 * j)) & 0xff))
+        val vb = "libopus 1.3".getBytes("UTF-8")
+        le32(vb.length); tagsOut.write(vb)
+        le32(2)
+        Seq("title=Waves", "ARTIST=Sea").foreach { kv =>
+          val k = kv.getBytes("UTF-8"); le32(k.length); tagsOut.write(k)
+        }
+        graft.multimodal.OggIndex.encodeSynthetic(Seq(
+          (Seq(head), 0L, true, false),
+          (Seq(tagsOut.toByteArray), 0L, false, false),
+          (Seq(Array.fill[Byte](20)(0x11)), 960L, false, true)))
+      })
     ).toDF("id", "uri", "bytes")
     Multimodal.extractMediaTags(
         Multimodal.toMediaAssets(assets, "id", "uri", "bytes")(s))(s)
@@ -896,8 +975,12 @@ object MultimodalQueries {
     * by the JDK's OWN ImageIO writers (real external encoders, not
     * the repo's hand), so the oracle pins agreement with genuine
     * encoder output; WebP (no JDK writer exists) is a hand-built
-    * VP8L header; junk pins the flagged fallback. A marker-walk,
-    * endianness, or chunk-dispatch regression hash-fails.
+    * VP8L header; AVIF is a libavif-layout fixture whose THUMBNAIL
+    * ispe precedes the primary item's in ipco — pinning the
+    * pitm+ipma primary-item resolution (a first-ispe heuristic
+    * returns 160×90 and hash-fails); junk pins the flagged fallback.
+    * A marker-walk, endianness, or chunk-dispatch regression
+    * hash-fails.
     */
   val qMultimodalImageDims: QueryDef = QueryDef.sql(
     "q_multimodal_image_dims",
@@ -907,7 +990,8 @@ object MultimodalQueries {
       |  (3, 'gif', 12, 7, true),
       |  (4, 'bmp', 9, 5, true),
       |  (5, 'webp', 100, 50, true),
-      |  (6, NULL, NULL, NULL, false))
+      |  (6, NULL, NULL, NULL, false),
+      |  (7, 'avif', 1280, 720, true))
       |  AS t(asset_id, format, width, height, parsed)
       |ORDER BY asset_id""".stripMargin,
     doc = "decode-free image dimensions from container headers " +
@@ -936,13 +1020,38 @@ object MultimodalQueries {
       out.write(new Array[Byte](8))
       out.toByteArray
     }
+    // libavif-layout AVIF: thumbnail ispe FIRST in ipco; pitm names
+    // item 2, whose ipma association points at the 1280×720 ispe
+    val avif: Array[Byte] = {
+      def be32(v: Int) = Array((v >> 24).toByte, (v >> 16).toByte,
+        (v >> 8).toByte, v.toByte)
+      def bx(fc: String, parts: Array[Byte]*): Array[Byte] = {
+        val payload = parts.flatten.toArray
+        be32(8 + payload.length) ++ fc.getBytes("ISO-8859-1") ++ payload
+      }
+      def ispe(w: Int, h: Int) = bx("ispe", new Array[Byte](4),
+        be32(w), be32(h))
+      val ipco = bx("ipco", ispe(160, 90), ispe(1280, 720),
+        bx("av1C", Array[Byte](0x81.toByte, 0, 0, 0)))
+      val ipma = bx("ipma", new Array[Byte](4), be32(2),
+        Array[Byte](0, 1, 1, 1), Array[Byte](0, 2, 2, 2, 0x83.toByte))
+      bx("ftyp", "avif".getBytes("ISO-8859-1"), be32(0),
+        "avifmif1miaf".getBytes("ISO-8859-1")) ++
+        bx("meta", new Array[Byte](4),
+          bx("hdlr", new Array[Byte](8), "pict".getBytes("ISO-8859-1"),
+            new Array[Byte](13)),
+          bx("pitm", new Array[Byte](4), Array[Byte](0, 2)),
+          bx("iprp", ipco, ipma)) ++
+        bx("mdat", Array[Byte](1, 2, 3))
+    }
     val assets = Seq(
       (1L, "mem://a.png", enc("png", 31, 17)),
       (2L, "mem://b.jpg", enc("jpg", 63, 41)),
       (3L, "mem://c.gif", enc("gif", 12, 7)),
       (4L, "mem://d.bmp", enc("bmp", 9, 5)),
       (5L, "mem://e.webp", vp8l),
-      (6L, "mem://f.png", Array[Byte](9, 9, 9, 9))
+      (6L, "mem://f.png", Array[Byte](9, 9, 9, 9)),
+      (7L, "mem://g.avif", avif)
     ).toDF("id", "uri", "bytes")
     Multimodal.extractImageDims(
         Multimodal.toMediaAssets(assets, "id", "uri", "bytes")(s))(s)
@@ -1229,6 +1338,6 @@ object MultimodalQueries {
     qMultimodalFmp4Index, qMultimodalMp3Index, qMultimodalAacIndex,
     qMultimodalFlacIndex, qMultimodalTsIndex, qMultimodalM4aIndex,
     qMultimodalAudioProfile, qMultimodalImageDims, qMultimodalTags,
-    qMultimodalHevcIndex, qMultimodalMkvIndex, qMultimodalDkifIndex,
-    qMultimodalOggIndex)
+    qMultimodalWavInfo, qMultimodalHevcIndex, qMultimodalMkvIndex,
+    qMultimodalDkifIndex, qMultimodalOggIndex)
 }

@@ -146,10 +146,112 @@ object ImageDims {
     }
   }
 
+  /** ISO-BMFF image brands (HEIF §10 / AVIF spec): the `ftyp` major
+    * brands that mean "image item file", not "movie". */
+  private val HeifBrands = Set("avif", "avis", "heic", "heix", "mif1",
+    "msf1", "heif")
+
+  private def avif(b: Array[Byte]): Option[Dims] = {
+    val top = Mp4Index.boxes(b, 0, b.length, topLevel = true)
+      .getOrElse(return None)
+    if (top.isEmpty || top.head.fourcc != "ftyp") return None
+    val ft = top.head
+    if (ft.payloadEnd - ft.payloadStart < 4) return None
+    val brand = new String(b, ft.payloadStart, 4, "ISO-8859-1")
+    if (!HeifBrands(brand)) return None
+    val fmt = if (brand.startsWith("av")) "avif" else "heif"
+    val meta = top.find(_.fourcc == "meta").getOrElse(return None)
+    // meta is a FullBox: 4 version/flags bytes before its children
+    if (meta.payloadEnd - meta.payloadStart < 4) return None
+    val kids = Mp4Index.boxes(b, meta.payloadStart + 4, meta.payloadEnd)
+      .getOrElse(return None)
+    val iprp = kids.find(_.fourcc == "iprp").getOrElse(return None)
+    val iprpKids = Mp4Index.boxes(b, iprp.payloadStart, iprp.payloadEnd)
+      .getOrElse(return None)
+    val ipco = iprpKids.find(_.fourcc == "ipco").getOrElse(return None)
+    val props = Mp4Index.boxes(b, ipco.payloadStart, ipco.payloadEnd)
+      .getOrElse(return None)
+    def ispeDims(p: Mp4Index.Box): Option[Dims] = {
+      if (p.payloadEnd - p.payloadStart < 12) return None
+      val w = u32be(b, p.payloadStart + 4)
+      val h = u32be(b, p.payloadStart + 8)
+      if (w <= 0 || h <= 0 || w > Int.MaxValue || h > Int.MaxValue) None
+      else Some(Dims(fmt, w.toInt, h.toInt))
+    }
+    // resolve the PRIMARY item's ispe via pitm + ipma (a HEIF file
+    // carries thumbnail/alpha ispe properties too — "first ispe"
+    // would return the wrong canvas on real encoder output)
+    val primary: Option[Dims] = {
+      val viaPitm = kids.find(_.fourcc == "pitm").flatMap { pitm =>
+        val len = pitm.payloadEnd - pitm.payloadStart
+        if (len < 6) None
+        else {
+          val pv = b(pitm.payloadStart) & 0xff
+          val itemId: Option[Long] =
+            if (pv == 0) Some(((b(pitm.payloadStart + 4) & 0xffL) << 8) |
+              (b(pitm.payloadStart + 5) & 0xffL))
+            else if (len >= 8) Some(u32be(b, pitm.payloadStart + 4))
+            else None
+          for {
+            id <- itemId
+            ipma <- iprpKids.find(_.fourcc == "ipma")
+            d <- ipmaLookup(b, ipma, id, props, ispeDims)
+          } yield d
+        }
+      }
+      viaPitm
+    }
+    primary.orElse(
+      // no pitm/ipma (minimal muxes): the first ispe property
+      props.find(_.fourcc == "ispe").flatMap(ispeDims))
+  }
+
+  /** Walk ipma (§9.3.2 of 23008-12): find `itemId`'s association
+    * list and return the first associated property that yields
+    * dimensions. None on malformed entries. */
+  private def ipmaLookup(b: Array[Byte], ipma: Mp4Index.Box,
+      itemId: Long, props: IndexedSeq[Mp4Index.Box],
+      ispeDims: Mp4Index.Box => Option[Dims]): Option[Dims] = {
+    val s = ipma.payloadStart
+    if (ipma.payloadEnd - s < 8) return None
+    val version = b(s) & 0xff
+    val wideIdx = (b(s + 3) & 0x01) != 0 // flags bit 0: 15-bit indices
+    val n = u32be(b, s + 4)
+    var p = s + 8
+    var e = 0L
+    while (e < n) {
+      val idBytes = if (version < 1) 2 else 4
+      if (p + idBytes + 1 > ipma.payloadEnd) return None
+      val id = if (version < 1)
+        ((b(p) & 0xffL) << 8) | (b(p + 1) & 0xffL)
+      else u32be(b, p)
+      p += idBytes
+      val cnt = b(p) & 0xff
+      p += 1
+      var a = 0
+      var found: Option[Dims] = None
+      while (a < cnt) {
+        val aBytes = if (wideIdx) 2 else 1
+        if (p + aBytes > ipma.payloadEnd) return None
+        val idx = if (wideIdx)
+          (((b(p) & 0x7f) << 8) | (b(p + 1) & 0xff))
+        else b(p) & 0x7f
+        p += aBytes
+        if (id == itemId && found.isEmpty && idx >= 1 &&
+            idx <= props.length && props(idx - 1).fourcc == "ispe")
+          found = ispeDims(props(idx - 1))
+        a += 1
+      }
+      if (id == itemId) return found
+      e += 1
+    }
+    None
+  }
+
   /** The dimensions, trying each container's strict parse in turn.
     * None when no format's magic + structure matches. */
   def dims(b: Array[Byte]): Option[Dims] =
     if (b == null || b.length < 10) None
     else png(b).orElse(jpeg(b)).orElse(gif(b)).orElse(bmp(b))
-      .orElse(webp(b))
+      .orElse(webp(b)).orElse(avif(b))
 }

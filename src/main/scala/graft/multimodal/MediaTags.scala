@@ -113,6 +113,38 @@ object MediaTags {
     Some(out.toIndexedSeq)
   }
 
+  /** The shared Vorbis-comment structure (Xiph spec, used verbatim
+    * by FLAC blocks and Ogg Opus/Vorbis comment headers): LE vendor
+    * length + vendor, LE count, per comment LE length + `KEY=value`.
+    * Parses [off, end); trailing bytes after the last comment are
+    * the caller's business (Vorbis appends a framing bit). */
+  private def vorbisComments(b: Array[Byte], off: Int, end: Int)
+      : Option[IndexedSeq[Tag]] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[Tag]
+    var p = off
+    if (p + 4 > end) return None
+    val vlen = u32le(b, p)
+    if (vlen < 0 || vlen > end - (p + 4)) return None
+    p += 4 + vlen.toInt
+    if (p + 4 > end) return None
+    val n = u32le(b, p)
+    p += 4
+    var k = 0L
+    while (k < n) {
+      if (p + 4 > end) return None
+      val clen = u32le(b, p)
+      if (clen < 0 || clen > end - (p + 4)) return None
+      val s = new String(b, p + 4, clen.toInt, "UTF-8")
+      val eq = s.indexOf('=')
+      if (eq <= 0) return None
+      out += Tag(s.substring(0, eq).toUpperCase(java.util.Locale.ROOT),
+        s.substring(eq + 1))
+      p += 4 + clen.toInt
+      k += 1
+    }
+    Some(out.toIndexedSeq)
+  }
+
   /** The Vorbis comments of a FLAC asset (block type 4). None when
     * the stream head is not FLAC ([[FlacIndex.streamInfo]] contract)
     * or the comment block is malformed; a FLAC without the block
@@ -128,41 +160,50 @@ object MediaTags {
       last = (h & 0x80) != 0
       val len = ((b(i + 1) & 0xff) << 16) | ((b(i + 2) & 0xff) << 8) |
         (b(i + 3) & 0xff)
-      if ((h & 0x7f) == 4) {
-        val e = i + 4 + len
-        var p = i + 4
-        if (p + 4 > e) return None
-        val vlen = u32le(b, p)
-        if (vlen < 0 || vlen > e - (p + 4)) return None
-        p += 4 + vlen.toInt
-        if (p + 4 > e) return None
-        val n = u32le(b, p)
-        p += 4
-        var k = 0L
-        while (k < n) {
-          if (p + 4 > e) return None
-          val clen = u32le(b, p)
-          if (clen < 0 || clen > e - (p + 4)) return None
-          val s = new String(b, p + 4, clen.toInt, "UTF-8")
-          val eq = s.indexOf('=')
-          if (eq <= 0) return None
-          out += Tag(s.substring(0, eq).toUpperCase(java.util.Locale.ROOT),
-            s.substring(eq + 1))
-          p += 4 + clen.toInt
-          k += 1
-        }
-      }
+      if ((h & 0x7f) == 4)
+        out ++= vorbisComments(b, i + 4, i + 4 + len)
+          .getOrElse(return None)
       i += 4 + len
     }
     Some(out.toIndexedSeq)
   }
 
+  /** The comment tags of an Ogg Opus/Vorbis stream: packet 2 of the
+    * first logical stream is `OpusTags` (RFC 7845 §5.2) or
+    * `\x03vorbis` (Vorbis I §5), both wrapping the same
+    * Vorbis-comment structure. None when the bytes are not a
+    * CRC-valid Ogg stream ([[OggIndex.pageIndex]] contract) or the
+    * comment header is malformed; an Ogg whose second packet is no
+    * known comment header yields an empty list (data streams exist).
+    */
+  def oggTags(b: Array[Byte]): Option[IndexedSeq[Tag]] = {
+    val packets = OggIndex.firstPackets(b, 2).getOrElse(return None)
+    if (packets.size < 2) return Some(Vector.empty)
+    val p2 = packets(1)
+    def lead(m: String): Boolean =
+      p2.length >= m.length &&
+        m.getBytes("ISO-8859-1").zipWithIndex.forall {
+          case (c, i) => p2(i) == c
+        }
+    if (lead("OpusTags"))
+      vorbisComments(p2, 8, p2.length)
+    else if (p2.length >= 7 && (p2(0) & 0xff) == 0x03 && lead2(p2))
+      // \x03vorbis …comments… + framing bit (ignored as trailing)
+      vorbisComments(p2, 7, p2.length)
+    else Some(Vector.empty)
+  }
+  private def lead2(p2: Array[Byte]): Boolean =
+    "vorbis".getBytes("ISO-8859-1").zipWithIndex.forall {
+      case (c, i) => p2(i + 1) == c
+    }
+
   /** Tags of an audio asset, dispatching by container: ID3v2 for
-    * MP3/ADTS shapes, Vorbis comments for FLAC. None when neither
-    * parser accepts the bytes. */
+    * MP3/ADTS shapes, Vorbis comments for FLAC, Opus/Vorbis comment
+    * headers for Ogg. None when no parser accepts the bytes. */
   def tags(b: Array[Byte]): Option[(String, IndexedSeq[Tag])] =
     id3v2Tags(b).map(("id3", _))
       .orElse(flacTags(b).map(("flac", _)))
+      .orElse(oggTags(b).map(("ogg", _)))
 
   /** Synthetic ID3v2 tag + minimal MP3 body for specs/oracles:
     * `frames` gives (id, value, encodingByte); v2.3 or v2.4 sizing.

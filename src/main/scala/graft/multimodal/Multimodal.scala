@@ -71,7 +71,12 @@ object Multimodal {
       magic(1, Array(0x89.toByte, 0x50, 0x4e, 0x47)) || // PNG
         magic(1, Array(0xff.toByte, 0xd8.toByte, 0xff.toByte)) || // JPEG
         ascii(1, "GIF8") || ascii(1, "BM") ||
-        (ascii(1, "RIFF") && ascii(9, "WEBP"))
+        (ascii(1, "RIFF") && ascii(9, "WEBP")) ||
+        // ISO-BMFF IMAGE brands (AVIF/HEIC) — checked BEFORE the
+        // video ftyp clause below, so brand decides image vs movie
+        (ascii(5, "ftyp") &&
+          Seq("avif", "avis", "heic", "heix", "mif1", "msf1", "heif")
+            .map(ascii(9, _)).reduce(_ || _))
     val audio =
       (ascii(1, "RIFF") && ascii(9, "WAVE")) ||
         ascii(1, "ID3") || ascii(1, "OggS") || ascii(1, "fLaC") ||
@@ -105,7 +110,8 @@ object Multimodal {
     import spark.implicits._
     df.select(
       col(idCol).cast("long").as("asset_id"),
-      when(lower(col(uriCol)).rlike("\\.(png|jpe?g|gif|bmp|webp)$"), "image")
+      when(lower(col(uriCol))
+        .rlike("\\.(png|jpe?g|gif|bmp|webp|avif|hei[cf])$"), "image")
         .when(lower(col(uriCol))
           .rlike("\\.(wav|mp3|flac|ogg|opus|aac|adts|m4a|m4b)$"), "audio")
         .when(lower(col(uriCol))
@@ -758,6 +764,38 @@ object Multimodal {
           case None =>
             Iterator.single(OggPageRow(a.asset_id, -1, 0L, 0L, 0L, 0,
               is_bos = false, is_eos = false, indexed = false))
+        }
+      }
+    }
+  }
+
+  /** WAV header facts + the data span; `parsed = false` flags bytes
+    * that are not a well-formed RIFF/WAVE. */
+  final case class WavInfoRow(asset_id: Long, format_code: Int,
+      channels: Int, sample_rate_hz: Int, bits_per_sample: Int,
+      data_start: Long, data_len: Long, frames: Long, parsed: Boolean)
+
+  /** Header-only WAV profiling ([[WavIndex]]): the uncompressed face
+    * of the audio seam — speech corpora ship as PCM WAV, and
+    * duration/format profiling must not decode sample bytes
+    * ([[decodeAudio]] is the decoding twin). `duration_s = frames /
+    * rate` exactly; a slicing pipeline fetches PCM ranges straight
+    * from the data span. Non-WAV bytes emit one flagged row.
+    */
+  def extractWavInfo(assets: Dataset[MediaAsset])(
+      implicit spark: SparkSession): Dataset[WavInfoRow] = {
+    import spark.implicits._
+    assets.filter(col("kind") === "audio").mapPartitions { it =>
+      it.map { a =>
+        val parsed =
+          try WavIndex.info(a.content)
+          catch { case scala.util.control.NonFatal(_) => None }
+        parsed match {
+          case Some(w) => WavInfoRow(a.asset_id, w.formatCode, w.channels,
+            w.sampleRateHz, w.bitsPerSample, w.dataStart.toLong,
+            w.dataLen.toLong, w.frames, parsed = true)
+          case None => WavInfoRow(a.asset_id, 0, 0, 0, 0, 0L, 0L, 0L,
+            parsed = false)
         }
       }
     }

@@ -116,6 +116,38 @@ object OggIndex {
     if (out.isEmpty) None else Some(out.toIndexedSeq)
   }
 
+  /** The first `maxPackets` assembled PACKETS of the first logical
+    * stream (the BOS page's serial): lacing values concatenate
+    * segments, a value < 255 completes a packet, continuation runs
+    * across pages (RFC 3533 §5). The stream must pass [[pageIndex]]
+    * whole first — this is a header-packet reader (codec id +
+    * comment headers live in packets 1-2), not a media demuxer.
+    */
+  def firstPackets(b: Array[Byte], maxPackets: Int)
+      : Option[IndexedSeq[Array[Byte]]] = {
+    val pages = pageIndex(b).getOrElse(return None)
+    val serial = pages.head.serial
+    val out = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+    val cur = new java.io.ByteArrayOutputStream()
+    pages.iterator.filter(_.serial == serial).foreach { p =>
+      val nSegs = b(p.byteStart + 26) & 0xff
+      var dataOff = p.byteStart + 27 + nSegs
+      var s = 0
+      while (s < nSegs) {
+        val v = b(p.byteStart + 27 + s) & 0xff
+        cur.write(b, dataOff, v)
+        dataOff += v
+        if (v < 255) {
+          out += cur.toByteArray
+          cur.reset()
+          if (out.size >= maxPackets) return Some(out.toIndexedSeq)
+        }
+        s += 1
+      }
+    }
+    Some(out.toIndexedSeq)
+  }
+
   /** One indexed page with 64-bit byte addressing — the seekable
     * path's twin of [[OggPage]] for >2 GiB streams. */
   final case class OggPageLong(pageIdx: Int, byteStart: Long, byteLen: Long,

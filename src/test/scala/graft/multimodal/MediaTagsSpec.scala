@@ -100,6 +100,56 @@ class MediaTagsSpec extends AnyFunSuite {
       tagWith(3, 0x80, Array.empty, tit2(true))).isEmpty)
   }
 
+  private def opusStream(comments: Seq[(String, String)],
+      vendor: String = "libopus 1.3"): Array[Byte] = {
+    val head = "OpusHead".getBytes("ISO-8859-1") ++
+      Array[Byte](1, 2, 0x38, 1) ++ // ver 1, 2ch, pre-skip 312
+      Array[Byte](0x80.toByte, 0xbb.toByte, 0, 0, 0, 0, 0) // 48k,gain,map
+    val tags = {
+      val out = new java.io.ByteArrayOutputStream()
+      out.write("OpusTags".getBytes("ISO-8859-1"))
+      def le32(v: Int): Unit =
+        (0 until 4).foreach(j => out.write((v >> (8 * j)) & 0xff))
+      val vb = vendor.getBytes("UTF-8")
+      le32(vb.length); out.write(vb)
+      le32(comments.size)
+      comments.foreach { case (k, v) =>
+        val kv = s"$k=$v".getBytes("UTF-8")
+        le32(kv.length); out.write(kv)
+      }
+      out.toByteArray
+    }
+    OggIndex.encodeSynthetic(Seq(
+      (Seq(head), 0L, true, false),
+      (Seq(tags), 0L, false, false),
+      (Seq(Array.fill[Byte](20)(0x11)), 960L, false, true)))
+  }
+
+  test("Ogg OpusTags comments assemble from pages and parse like FLAC's") {
+    val b = opusStream(Seq(("title", "Waves"), ("ARTIST", "Sea")))
+    assert(MediaTags.oggTags(b).get.map(t => (t.key, t.value)) ===
+      Seq(("TITLE", "Waves"), ("ARTIST", "Sea")))
+    assert(MediaTags.tags(b).get._1 === "ogg")
+    // a comment SPLIT ACROSS PAGES (255-lacing continuation) still
+    // assembles: make the tags packet 300 bytes so it laces 255+45
+    val big = opusStream(Seq(("comment", "x" * 240)))
+    assert(MediaTags.oggTags(big).get.head.value === "x" * 240)
+    // a non-comment second packet is presence, not refusal
+    val plain = OggIndex.encodeSynthetic(Seq(
+      (Seq(Array.fill[Byte](19)(0x22)), 0L, true, false),
+      (Seq(Array.fill[Byte](8)(0x33)), 960L, false, true)))
+    assert(MediaTags.oggTags(plain).get.isEmpty)
+    // corrupt a comment length: refuses whole
+    val bad = opusStream(Seq(("k", "v")))
+    val pages = OggIndex.pageIndex(bad).get
+    val tagPage = pages(1)
+    // the kv length field sits after magic(8)+vlen(4)+vendor(11)+cnt(4)
+    val at = tagPage.byteStart + 27 + 1 + 8 + 4 + 11 + 4
+    bad(at) = 100
+    // the page CRC now fails -> whole-stream refusal (strict contract)
+    assert(MediaTags.oggTags(bad).isEmpty)
+  }
+
   test("strictness: junk, bad frame ids, truncated comments refuse") {
     assert(MediaTags.tags(Array[Byte](9, 9, 9, 9)).isEmpty)
     assert(MediaTags.tags(Array.empty[Byte]).isEmpty)
