@@ -1769,8 +1769,151 @@ object TextQueries {
       .orderBy("asset_id", "cue_idx")
   }
 
+  private def warcFixture: (Array[Byte], Array[Byte]) = {
+    import graft.io.Warc
+    val body1 = ("<html><head><title>A &amp; B</title></head><body>" +
+      "<p>Hello crawl.</p><p>Second para.</p></body></html>")
+      .getBytes("UTF-8")
+    val body2 = "<html><body><div>Other page</div></body></html>"
+      .getBytes("UTF-8")
+    val plain = Warc.encodeSynthetic(Seq(
+      ("warcinfo", "", "application/warc-fields",
+        "software: graft\r\n".getBytes("ISO-8859-1")),
+      ("request", "http://a.example/",
+        "application/http; msgtype=request",
+        "GET / HTTP/1.1\r\nHost: a.example\r\n\r\n".getBytes("ISO-8859-1")),
+      ("response", "http://a.example/",
+        "application/http; msgtype=response",
+        Warc.httpResponse(200, "OK",
+          Seq(("Content-Type", "text/html; charset=utf-8")), body1)),
+      ("response", "http://b.example/x",
+        "application/http; msgtype=response",
+        Warc.httpResponse(404, "Not Found",
+          Seq(("Content-Type", "text/html")),
+          "<html><body>gone</body></html>".getBytes("UTF-8"))),
+      ("response", "http://c.example/",
+        "application/http; msgtype=response",
+        Warc.httpResponse(200, "OK",
+          Seq(("Content-Type", "text/html")), body2))))
+    // the Common Crawl shape: one gzip member per record
+    val records = Warc.recordIndex(plain).get.map(r =>
+      java.util.Arrays.copyOfRange(plain, r.byteStart.toInt,
+        (r.byteStart + r.byteLen).toInt))
+    (plain, Warc.gzipPerRecord(records))
+  }
+
+  /** WARC record indexing ([[graft.io.Warc]]): the Common Crawl
+    * container. Byte-exact oracle hand-derived from the header
+    * arithmetic (CRLF framing, Content-Length content, HTTP head →
+    * body split): five records at 0/147/357/695/954, response
+    * bodies at 590/920/1171. Asset 2 is the SAME archive as
+    * member-per-record gzip — spans address the uncompressed stream,
+    * so its rows are identical (the documented contract); junk pins
+    * the flagged fallback. A framing, header-parse, gzip, or
+    * HTTP-split regression hash-fails.
+    */
+  val qWarcRecords: QueryDef = QueryDef.sql(
+    "q_warc_records",
+    """SELECT * FROM (VALUES
+      |  (1, 0, CAST(0 AS BIGINT), CAST(147 AS BIGINT), 'warcinfo', '',
+      |   CAST(17 AS BIGINT), -1, CAST(-1 AS BIGINT), CAST(-1 AS BIGINT), true),
+      |  (1, 1, CAST(147 AS BIGINT), CAST(210 AS BIGINT), 'request',
+      |   'http://a.example/',
+      |   CAST(35 AS BIGINT), -1, CAST(353 AS BIGINT), CAST(0 AS BIGINT), true),
+      |  (1, 2, CAST(357 AS BIGINT), CAST(338 AS BIGINT), 'response',
+      |   'http://a.example/',
+      |   CAST(160 AS BIGINT), 200, CAST(590 AS BIGINT), CAST(101 AS BIGINT), true),
+      |  (1, 3, CAST(695 AS BIGINT), CAST(259 AS BIGINT), 'response',
+      |   'http://b.example/x',
+      |   CAST(81 AS BIGINT), 404, CAST(920 AS BIGINT), CAST(30 AS BIGINT), true),
+      |  (1, 4, CAST(954 AS BIGINT), CAST(268 AS BIGINT), 'response',
+      |   'http://c.example/',
+      |   CAST(91 AS BIGINT), 200, CAST(1171 AS BIGINT), CAST(47 AS BIGINT), true),
+      |  (2, 0, CAST(0 AS BIGINT), CAST(147 AS BIGINT), 'warcinfo', '',
+      |   CAST(17 AS BIGINT), -1, CAST(-1 AS BIGINT), CAST(-1 AS BIGINT), true),
+      |  (2, 1, CAST(147 AS BIGINT), CAST(210 AS BIGINT), 'request',
+      |   'http://a.example/',
+      |   CAST(35 AS BIGINT), -1, CAST(353 AS BIGINT), CAST(0 AS BIGINT), true),
+      |  (2, 2, CAST(357 AS BIGINT), CAST(338 AS BIGINT), 'response',
+      |   'http://a.example/',
+      |   CAST(160 AS BIGINT), 200, CAST(590 AS BIGINT), CAST(101 AS BIGINT), true),
+      |  (2, 3, CAST(695 AS BIGINT), CAST(259 AS BIGINT), 'response',
+      |   'http://b.example/x',
+      |   CAST(81 AS BIGINT), 404, CAST(920 AS BIGINT), CAST(30 AS BIGINT), true),
+      |  (2, 4, CAST(954 AS BIGINT), CAST(268 AS BIGINT), 'response',
+      |   'http://c.example/',
+      |   CAST(91 AS BIGINT), 200, CAST(1171 AS BIGINT), CAST(47 AS BIGINT), true),
+      |  (3, -1, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL, false))
+      |  AS t(asset_id, record_idx, byte_start, byte_len, warc_type,
+      |       target_uri, content_len, http_status, body_start, body_len,
+      |       indexed)
+      |ORDER BY asset_id, record_idx""".stripMargin,
+    doc = "WARC record index: byte spans + routing headers + HTTP " +
+      "body splits, gzip-transparent (the Common Crawl front door)") {
+    (s, dir) =>
+    import s.implicits._
+    import graft.io.Warc
+    val (plain, gz) = warcFixture
+    val assets = Seq((1L, plain), (2L, gz), (3L, Array[Byte](9, 9, 9)))
+      .toDF("id", "bytes")
+    Warc.extractRecords(assets, "id", "bytes")(s)
+      .select(col("asset_id"), col("record_idx"),
+        when(col("indexed"), col("byte_start")).as("byte_start"),
+        when(col("indexed"), col("byte_len")).as("byte_len"),
+        when(col("indexed"), col("warc_type")).as("warc_type"),
+        when(col("indexed"), col("target_uri")).as("target_uri"),
+        when(col("indexed"), col("content_len")).as("content_len"),
+        when(col("indexed"), col("http_status")).as("http_status"),
+        when(col("indexed"), col("body_start")).as("body_start"),
+        when(col("indexed"), col("body_len")).as("body_len"),
+        col("indexed"))
+      .orderBy("asset_id", "record_idx")
+  }
+
+  /** The crawl-to-training-text composition ([[graft.io.Warc
+    * .extractHtmlPages]] + [[graft.text.HtmlText]]): gunzip → record
+    * index → 2xx HTML responses → body slice → tag/entity/whitespace
+    * extraction, in one call. Exact oracle over the extracted
+    * strings: the title drops from body text and decodes its entity
+    * (`A &amp; B`), block tags become line breaks, the 404 record is
+    * excluded, and the gzipped asset yields the identical pages.
+    * Junk pins the flagged fallback. Any regression in the WARC
+    * walk, HTTP split, or an extraction rule hash-fails.
+    */
+  val qWarcHtmlText: QueryDef = QueryDef.sql(
+    "q_warc_html_text",
+    """SELECT * FROM (VALUES
+      |  (1, 2, 'http://a.example/', 200, 'A & B',
+      |   'Hello crawl.' || chr(10) || 'Second para.', 25, true),
+      |  (1, 4, 'http://c.example/', 200, '', 'Other page', 10, true),
+      |  (2, 2, 'http://a.example/', 200, 'A & B',
+      |   'Hello crawl.' || chr(10) || 'Second para.', 25, true),
+      |  (2, 4, 'http://c.example/', 200, '', 'Other page', 10, true),
+      |  (3, -1, NULL, NULL, NULL, NULL, NULL, false))
+      |  AS t(asset_id, record_idx, target_uri, http_status, title,
+      |       text, n_chars, extracted)
+      |ORDER BY asset_id, record_idx""".stripMargin,
+    doc = "WARC -> HTML -> training text in one composed call " +
+      "(the Common-Crawl-to-corpus path; feeds quality/dedup/langid)") {
+    (s, dir) =>
+    import s.implicits._
+    import graft.io.Warc
+    val (plain, gz) = warcFixture
+    val assets = Seq((1L, plain), (2L, gz), (3L, Array[Byte](9, 9, 9)))
+      .toDF("id", "bytes")
+    Warc.extractHtmlPages(assets, "id", "bytes")(s)
+      .select(col("asset_id"), col("record_idx"),
+        when(col("extracted"), col("target_uri")).as("target_uri"),
+        when(col("extracted"), col("http_status")).as("http_status"),
+        when(col("extracted"), col("title")).as("title"),
+        when(col("extracted"), col("text")).as("text"),
+        when(col("extracted"), col("n_chars")).as("n_chars"),
+        col("extracted"))
+      .orderBy("asset_id", "record_idx")
+  }
+
   val all: Seq[QueryDef] = Seq(
-    qSubtitleCues,
+    qSubtitleCues, qWarcRecords, qWarcHtmlText,
     qTextTokens, qTextQuality, qTextLangId, qTextFingerprint, qTokenFreq,
     qSelectPipeline, qPackSequences, qTextRedact, qCuratePipeline,
     qDecontaminate, qDecontaminateFuzzy, qTfidf, qQualityRules, qUrlDedup,

@@ -1,0 +1,98 @@
+package graft.text
+
+/** HTML TEXT EXTRACTION (tag/entity handling per the WHATWG HTML
+  * syntax, public) — the step between a crawled response body and
+  * the text pipeline: strip markup, drop script/style/comment
+  * content whole, decode entities, and normalize whitespace into
+  * newline-separated text lines the quality/dedup/language operators
+  * consume. Deliberately a LEXICAL extractor (regex state over the
+  * markup, not a DOM): deterministic, allocation-light, and exactly
+  * reproducible by the oracle — the boilerplate-classifier step that
+  * needs real parsing sits downstream of it.
+  *
+  * Rules, in order:
+  *  1. `<!-- … -->` comments and `<script>/<style>/<noscript>/
+  *     <title>` ELEMENTS (tags + content) are removed whole — the
+  *     title renders in the chrome, not the page; [[title]] exposes
+  *     it separately.
+  *  2. Block-level tags (p/div/br/li/tr/td/th/h1-6/ul/ol/table/
+  *     thead/tbody/section/article/header/footer/blockquote/pre)
+  *     become a newline; every other tag becomes a space.
+  *  3. Entities decode AFTER tag removal (an `&lt;script&gt;` in
+  *     text must not be treated as markup): named amp/lt/gt/quot/
+  *     apos/nbsp + numeric decimal/hex references.
+  *  4. Whitespace normalizes per line (runs collapse to one space,
+  *     lines trim, empties drop), lines join with `\n`.
+  *
+  * Caveat (documented, inherent to lexical extraction): a literal
+  * `>` inside a quoted attribute value ends the tag early — rare in
+  * real markup and harmless for corpus statistics.
+  */
+object HtmlText {
+
+  private val Comment = "(?s)<!--.*?-->".r
+  // title is dropped from body text too — it renders in the chrome,
+  // not the page, and [[title]] exposes it separately
+  private val Container =
+    "(?is)<(script|style|noscript|title)\\b[^>]*>.*?</\\1\\s*>".r
+  private val BlockTag =
+    ("(?i)</?(p|div|br|li|tr|td|th|h[1-6]|ul|ol|table|thead|tbody|" +
+      "section|article|header|footer|blockquote|pre)\\b[^>]*/?>").r
+  private val AnyTag = "(?s)<[^>]+>".r
+  private val DecEnt = "&#(\\d{1,8});".r
+  private val HexEnt = "&#[xX]([0-9a-fA-F]{1,6});".r
+  private val NamedEnt = "&(amp|lt|gt|quot|apos|nbsp);".r
+  private val TitleRe = "(?is)<title[^>]*>(.*?)</title>".r
+
+  private def decodeEntities(s: String): String = {
+    val d1 = DecEnt.replaceAllIn(s, m => {
+      val cp = m.group(1).toLong
+      if (cp > 0 && cp <= Character.MAX_CODE_POINT)
+        java.util.regex.Matcher.quoteReplacement(
+          new String(Character.toChars(cp.toInt)))
+      else m.matched
+    })
+    val d2 = HexEnt.replaceAllIn(d1, m => {
+      val cp = java.lang.Long.parseLong(m.group(1), 16)
+      if (cp > 0 && cp <= Character.MAX_CODE_POINT)
+        java.util.regex.Matcher.quoteReplacement(
+          new String(Character.toChars(cp.toInt)))
+      else m.matched
+    })
+    NamedEnt.replaceAllIn(d2, _.group(1) match {
+      case "amp" => "&"
+      case "lt" => "<"
+      case "gt" => ">"
+      case "quot" => "\""
+      case "apos" => "'"
+      case _ => " " // nbsp
+    })
+  }
+
+  // \s does NOT match U+00A0, but web text is full of literal
+  // non-breaking spaces (and the &nbsp; decode above emits plain
+  // spaces) — fold them into the collapse
+  private def normalize(s: String): String =
+    s.split('\n').iterator
+      .map(_.replaceAll("(\\s|\\u00A0)+", " ").trim)
+      .filter(_.nonEmpty)
+      .mkString("\n")
+
+  /** The extracted text (rules in the object doc). */
+  def extract(html: String): String = {
+    if (html == null) return ""
+    val noComment = Comment.replaceAllIn(html, " ")
+    val noContainers = Container.replaceAllIn(noComment, " ")
+    val blocks = BlockTag.replaceAllIn(noContainers, "\n")
+    val noTags = AnyTag.replaceAllIn(blocks, " ")
+    normalize(decodeEntities(noTags))
+  }
+
+  /** The first `<title>` content, extracted and normalized; None
+    * when the document has none. */
+  def title(html: String): Option[String] =
+    if (html == null) None
+    else TitleRe.findFirstMatchIn(html)
+      .map(m => normalize(decodeEntities(m.group(1))))
+      .filter(_.nonEmpty)
+}

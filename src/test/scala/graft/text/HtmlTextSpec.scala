@@ -1,0 +1,44 @@
+package graft.text
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** [[HtmlText]]: the lexical extraction rules must hold exactly —
+  * they are what the WARC gate query's oracle hand-derives.
+  */
+class HtmlTextSpec extends AnyFunSuite {
+
+  test("scripts/styles/comments/title drop whole; blocks become lines") {
+    val html =
+      """<!doctype html><html><head>
+        |<title>Page &amp; Title</title>
+        |<style>p { color: red }</style>
+        |<script type="text/javascript">if (a < b) alert("<p>hi</p>");
+        |</script></head>
+        |<body><h1>Header</h1>
+        |<p>First para.</p><p>Second <b>bold</b> para.</p>
+        |<!-- a comment with <p>markup</p> inside -->
+        |<div>Block<br>break</div>
+        |<ul><li>one</li><li>two</li></ul>
+        |</body></html>""".stripMargin
+    val text = HtmlText.extract(html)
+    assert(text ===
+      "Header\nFirst para.\nSecond bold para.\nBlock\nbreak\none\ntwo")
+    assert(HtmlText.title(html) === Some("Page & Title"))
+  }
+
+  test("entities decode AFTER tag removal; numeric refs round-trip") {
+    assert(HtmlText.extract("<p>a &lt;script&gt; tag &amp; more</p>") ===
+      "a <script> tag & more")
+    assert(HtmlText.extract("x &#233; &#xE9; y&nbsp;z") === "x é é y z")
+    // an out-of-range numeric ref stays literal
+    assert(HtmlText.extract("&#99999999;") === "&#99999999;")
+  }
+
+  test("inline tags become spaces; whitespace collapses per line") {
+    assert(HtmlText.extract("a<span>b</span>c") === "a b c")
+    assert(HtmlText.extract("  lots \t of  space  ") === "lots of space")
+    assert(HtmlText.extract("") === "")
+    assert(HtmlText.extract(null) === "")
+    assert(HtmlText.title("<html><body>no title</body></html>") === None)
+  }
+}
