@@ -88,42 +88,30 @@ object Warc {
           }) return None
       val blank = findBlankLine(b, i, hdrCap)
       if (blank < 0) return None
-      val head = new String(b, i, blank - i, "ISO-8859-1")
-      val lines = head.split("\r\n", 2)
-      if (lines.length < 2) return None
-      val hs = headerMap(lines(1)).getOrElse(return None)
-      val len = hs.get("content-length").flatMap(s =>
-        try Some(s.toLong) catch { case _: NumberFormatException => None })
-        .getOrElse(return None)
-      val warcType = hs.getOrElse("warc-type", return None)
+      val (len, warcType, uri, contentType) =
+        parseHead(new String(b, i, blank - i, "ISO-8859-1"))
+          .getOrElse(return None)
       val contentStart = blank + 4
-      if (len < 0 || len > b.length - contentStart) return None
+      if (len > b.length - contentStart) return None
       val contentEnd = contentStart + len.toInt
       // the record block ends with CRLFCRLF (spec §4)
       if (contentEnd + 4 > b.length ||
           b(contentEnd) != '\r' || b(contentEnd + 1) != '\n' ||
           b(contentEnd + 2) != '\r' || b(contentEnd + 3) != '\n')
         return None
-      val contentType = hs.getOrElse("content-type", "")
-      val uri = hs.getOrElse("warc-target-uri", "")
       // HTTP response content: status + body span
       var status = -1
       var bodyStart = -1L
       var bodyLen = -1L
-      if (contentType.startsWith("application/http")) {
-        val hb = findBlankLine(b, contentStart,
-          math.min(contentEnd, contentStart + MaxHeaderBytes))
-        if (hb >= 0) {
-          val statusLine = new String(b, contentStart,
-            math.min(hb - contentStart, 256), "ISO-8859-1")
-            .split("\r\n")(0)
-          val parts = statusLine.split(" ")
-          if (parts.length >= 2 && parts(0).startsWith("HTTP/"))
-            status = try parts(1).toInt catch {
-              case _: NumberFormatException => -1
-            }
-          bodyStart = (hb + 4).toLong
-          bodyLen = (contentEnd - (hb + 4)).toLong
+      if (contentType.startsWith("application/http") && len > 0) {
+        val probeLen = math.min(len, MaxHeaderBytes.toLong).toInt
+        val (st, bo) = parseHttpHead(
+          java.util.Arrays.copyOfRange(b, contentStart,
+            contentStart + probeLen))
+        if (bo >= 0) {
+          status = st
+          bodyStart = (contentStart + bo).toLong
+          bodyLen = (contentEnd - (contentStart + bo)).toLong
         }
       }
       out += WarcRecord(out.length, i.toLong, (contentEnd + 4 - i).toLong,
@@ -164,6 +152,213 @@ object Warc {
       gunzipAll(b).flatMap(recordIndex)
     else recordIndex(b)
 
+  /** Parse one record's header block given its bytes (everything
+    * before the CRLFCRLF, version line included) — the shared core
+    * of the in-memory, seekable and streaming walks. Returns
+    * (contentLength, warcType, targetUri, contentType). */
+  private def parseHead(head: String)
+      : Option[(Long, String, String, String)] = {
+    val lines = head.split("\r\n", 2)
+    if (lines.length < 2) return None
+    if (!lines(0).startsWith("WARC/1.")) return None
+    val hs = headerMap(lines(1)).getOrElse(return None)
+    val len = hs.get("content-length").flatMap(s =>
+      try Some(s.toLong) catch { case _: NumberFormatException => None })
+      .getOrElse(return None)
+    if (len < 0) return None
+    val t = hs.getOrElse("warc-type", return None)
+    Some((len, t, hs.getOrElse("warc-target-uri", ""),
+      hs.getOrElse("content-type", "")))
+  }
+
+  /** Parse the HTTP head out of `httpHead` (the first bytes of an
+    * `application/http` content block): (status, bodyOffsetInContent)
+    * or (-1, -1) when no CRLFCRLF head is present in the probe. */
+  private def parseHttpHead(httpHead: Array[Byte])
+      : (Int, Int) = {
+    val hb = findBlankLine(httpHead, 0, httpHead.length)
+    if (hb < 0) return (-1, -1)
+    val statusLine = new String(httpHead, 0,
+      math.min(hb, 256), "ISO-8859-1").split("\r\n")(0)
+    val parts = statusLine.split(" ")
+    val status =
+      if (parts.length >= 2 && parts(0).startsWith("HTTP/"))
+        try parts(1).toInt catch { case _: NumberFormatException => -1 }
+      else -1
+    (status, hb + 4)
+  }
+
+  /** Seekable record indexing for >2 GiB UNCOMPRESSED archives: per
+    * record, read the ≤64 KiB header block (+ a bounded HTTP-head
+    * probe for response records) and SEEK past the content — a 50 GB
+    * archive indexes in header-sized I/O, the same posture as the
+    * media containers' seekable walks. Strictness identical to
+    * [[recordIndex]].
+    */
+  def recordIndexSeekable(r: graft.multimodal.Mp4Index.RangeReader)
+      : Option[IndexedSeq[WarcRecord]] = {
+    val total = r.length
+    val out = scala.collection.mutable.ArrayBuffer.empty[WarcRecord]
+    var i = 0L
+    while (i < total) {
+      if (total - i <= 8) {
+        val tailBytes = r.readFully(i, (total - i).toInt)
+        return if (tailBytes.forall(c => c == '\r' || c == '\n') &&
+          out.nonEmpty) Some(out.toIndexedSeq) else None
+      }
+      val probeLen = math.min(MaxHeaderBytes.toLong, total - i).toInt
+      val probe = r.readFully(i, probeLen)
+      val blank = findBlankLine(probe, 0, probeLen)
+      if (blank < 0) return None
+      val head = new String(probe, 0, blank, "ISO-8859-1")
+      val (len, warcType, uri, contentType) =
+        parseHead(head).getOrElse(return None)
+      val contentStart = i + blank + 4
+      if (len > total - contentStart) return None
+      val contentEnd = contentStart + len
+      if (contentEnd + 4 > total) return None
+      // record terminator: CRLFCRLF after the content
+      val term = r.readFully(contentEnd, 4)
+      if (!(term(0) == '\r' && term(1) == '\n' && term(2) == '\r' &&
+        term(3) == '\n')) return None
+      var status = -1
+      var bodyStart = -1L
+      var bodyLen = -1L
+      if (contentType.startsWith("application/http") && len > 0) {
+        val httpProbeLen = math.min(len,
+          math.min(MaxHeaderBytes.toLong,
+            probeLen.toLong - (blank + 4))).toInt
+        val httpHead =
+          if (httpProbeLen > 0)
+            java.util.Arrays.copyOfRange(probe, blank + 4,
+              blank + 4 + httpProbeLen)
+          else r.readFully(contentStart,
+            math.min(len, MaxHeaderBytes.toLong).toInt)
+        val (st, bo) = parseHttpHead(httpHead)
+        if (bo >= 0) {
+          status = st
+          bodyStart = contentStart + bo
+          bodyLen = len - bo
+        }
+      }
+      out += WarcRecord(out.length, i, contentEnd + 4 - i, warcType, uri,
+        contentType, contentStart, len, status, bodyStart, bodyLen)
+      i = contentEnd + 4
+    }
+    if (out.isEmpty) None else Some(out.toIndexedSeq)
+  }
+
+  /** Streaming record indexing over a (possibly multi-member gzip)
+    * InputStream: one forward pass in O(header) memory — the
+    * `.warc.gz` twin of [[recordIndexSeekable]] (gzip has no random
+    * access, so content bytes are DISCARDED by streaming rather than
+    * skipped by seek; offsets address the uncompressed stream, the
+    * same contract as [[recordIndexAuto]]). The caller owns the
+    * stream's lifecycle.
+    */
+  def recordIndexStreaming(in: java.io.InputStream)
+      : Option[IndexedSeq[WarcRecord]] = {
+    val bin = new java.io.BufferedInputStream(in, 64 * 1024)
+    val out = scala.collection.mutable.ArrayBuffer.empty[WarcRecord]
+    var pos = 0L
+    def skipFully(n: Long): Boolean = {
+      var left = n
+      while (left > 0) {
+        val k = bin.skip(left)
+        if (k > 0) left -= k
+        else if (bin.read() < 0) return false // EOF mid-content
+        else left -= 1
+      }
+      true
+    }
+    // read until CRLFCRLF into a capped buffer; null at clean EOF
+    def readHead(): Option[Array[Byte]] = {
+      val buf = new java.io.ByteArrayOutputStream()
+      var state = 0
+      while (state < 4) {
+        val c = bin.read()
+        if (c < 0) return None
+        buf.write(c)
+        if (buf.size > MaxHeaderBytes) return None
+        state = (state, c) match {
+          case (0, '\r') => 1
+          case (1, '\n') => 2
+          case (2, '\r') => 3
+          case (3, '\n') => 4
+          case (_, '\r') => 1
+          case _ => 0
+        }
+      }
+      Some(buf.toByteArray)
+    }
+    try {
+      var done = false
+      while (!done) {
+        bin.mark(16)
+        val first = bin.read()
+        if (first < 0) done = true // clean EOF
+        else if (first == '\r' || first == '\n') {
+          // trailing padding: ONLY legal as ≤8 CR/LF bytes before
+          // EOF (mirrors recordIndex exactly — padding between
+          // records would hide framing corruption)
+          var n = 1
+          var c = bin.read()
+          while (c == '\r' || c == '\n') {
+            n += 1
+            if (n > 8) return None
+            c = bin.read()
+          }
+          if (c >= 0) return None
+          done = true
+        } else {
+          bin.reset()
+          val headBytes = readHead().getOrElse(return None)
+          val head = new String(headBytes, 0, headBytes.length - 4,
+            "ISO-8859-1")
+          val (len, warcType, uri, contentType) =
+            parseHead(head).getOrElse(return None)
+          val contentStart = pos + headBytes.length
+          var status = -1
+          var bodyStart = -1L
+          var bodyLen = -1L
+          var consumed = 0L
+          if (contentType.startsWith("application/http") && len > 0) {
+            val probeLen = math.min(len, MaxHeaderBytes.toLong).toInt
+            val probe = new Array[Byte](probeLen)
+            var got = 0
+            while (got < probeLen) {
+              val k = bin.read(probe, got, probeLen - got)
+              if (k < 0) return None
+              got += k
+            }
+            consumed = probeLen.toLong
+            val (st, bo) = parseHttpHead(probe)
+            if (bo >= 0) {
+              status = st
+              bodyStart = contentStart + bo
+              bodyLen = len - bo
+            }
+          }
+          if (!skipFully(len - consumed)) return None
+          val term = new Array[Byte](4)
+          var g = 0
+          while (g < 4) {
+            val k = bin.read(term, g, 4 - g)
+            if (k < 0) return None
+            g += k
+          }
+          if (!(term(0) == '\r' && term(1) == '\n' && term(2) == '\r' &&
+            term(3) == '\n')) return None
+          out += WarcRecord(out.length, pos,
+            headBytes.length + len + 4, warcType, uri, contentType,
+            contentStart, len, status, bodyStart, bodyLen)
+          pos = contentStart + len + 4
+        }
+      }
+      if (out.isEmpty) None else Some(out.toIndexedSeq)
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
   /** One indexed record as a row; `indexed = false` flags assets
     * that are not a well-formed (possibly gzipped) WARC. */
   final case class WarcRow(asset_id: Long, record_idx: Int,
@@ -190,6 +385,54 @@ object Warc {
           val indexed =
             try Option(bytes).flatMap(recordIndexAuto)
             catch { case scala.util.control.NonFatal(_) => None }
+          indexed match {
+            case Some(rs) => rs.iterator.map(r =>
+              WarcRow(id, r.recordIdx, r.byteStart, r.byteLen, r.warcType,
+                r.targetUri, r.contentType, r.contentStart, r.contentLen,
+                r.httpStatus, r.bodyStart, r.bodyLen, indexed = true))
+            case None =>
+              Iterator.single(WarcRow(id, -1, 0L, 0L, "", "", "", 0L, 0L,
+                -1, -1L, -1L, indexed = false))
+          }
+        }
+      }
+  }
+
+  /** Path-columned WARC indexing for >2 GiB archives (a real Common
+    * Crawl file is ~5 GB uncompressed): plain archives walk
+    * seekable (header reads + seeks — KBs of I/O for GBs of
+    * records); `.warc.gz` walks the gzip STREAM in O(header) memory
+    * (gzip has no random access — content is discarded, not
+    * materialized). Unreadable/ill-formed paths emit the flagged
+    * row.
+    */
+  def extractRecordsByPath(df: org.apache.spark.sql.DataFrame,
+      idCol: String, pathCol: String)(
+      implicit spark: org.apache.spark.sql.SparkSession)
+      : org.apache.spark.sql.Dataset[WarcRow] = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    df.select(col(idCol).cast("long"), col(pathCol).cast("string"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        it.flatMap { case (id, path) =>
+          val indexed =
+            try {
+              val f = new java.io.File(path)
+              val head = {
+                val in = new java.io.FileInputStream(f)
+                try { val h = new Array[Byte](2); in.read(h); h }
+                finally in.close()
+              }
+              if ((head(0) & 0xff) == 0x1f && (head(1) & 0xff) == 0x8b) {
+                val in = new java.util.zip.GZIPInputStream(
+                  new java.io.FileInputStream(f))
+                try recordIndexStreaming(in) finally in.close()
+              } else {
+                val r = new graft.multimodal.Mp4Index.FileRangeReader(path)
+                try recordIndexSeekable(r) finally r.close()
+              }
+            } catch { case scala.util.control.NonFatal(_) => None }
           indexed match {
             case Some(rs) => rs.iterator.map(r =>
               WarcRow(id, r.recordIdx, r.byteStart, r.byteLen, r.warcType,

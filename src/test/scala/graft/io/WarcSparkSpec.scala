@@ -1,0 +1,57 @@
+package graft.io
+
+import graft.SparkSpec
+
+/** The Spark seams over [[Warc]]: row extraction, the composed
+  * HTML-page path, and by-path routing (plain → seekable, gzip →
+  * streaming) with flagged fallbacks.
+  */
+class WarcSparkSpec extends SparkSpec {
+  implicit private def s = spark
+  import spark.implicits._
+
+  private def sample: Array[Byte] = Warc.encodeSynthetic(Seq(
+    ("warcinfo", "", "application/warc-fields",
+      "software: graft\r\n".getBytes("ISO-8859-1")),
+    ("response", "http://a.example/", "application/http; msgtype=response",
+      Warc.httpResponse(200, "OK", Seq(("Content-Type", "text/html")),
+        "<html><body><p>Hi there</p></body></html>".getBytes("UTF-8")))))
+
+  test("extractRecords and extractHtmlPages over byte columns") {
+    val df = Seq((1L, sample), (2L, Array[Byte](9, 9, 9)))
+      .toDF("id", "bytes")
+    val rows = Warc.extractRecords(df, "id", "bytes").collect()
+      .sortBy(r => (r.asset_id, r.record_idx))
+    assert(rows.count(_.indexed) === 2)
+    assert(rows.count(r => !r.indexed && r.asset_id == 2L) === 1)
+    val pages = Warc.extractHtmlPages(df, "id", "bytes").collect()
+      .sortBy(p => (p.asset_id, p.record_idx))
+    assert(pages.length === 2)
+    assert(pages.head.text === "Hi there" && pages.head.extracted)
+    assert(!pages(1).extracted)
+  }
+
+  test("extractRecordsByPath routes plain files seekable and .gz streaming") {
+    val plain = sample
+    val mem = Warc.recordIndex(plain).get
+    val members = mem.map(r => java.util.Arrays.copyOfRange(plain,
+      r.byteStart.toInt, (r.byteStart + r.byteLen).toInt))
+    val fp = java.io.File.createTempFile("graft-warc", ".warc")
+    val fg = java.io.File.createTempFile("graft-warc", ".warc.gz")
+    try {
+      java.nio.file.Files.write(fp.toPath, plain)
+      java.nio.file.Files.write(fg.toPath, Warc.gzipPerRecord(members))
+      val df = Seq((1L, fp.getPath), (2L, fg.getPath),
+        (3L, "/nonexistent/x.warc")).toDF("id", "path")
+      val rows = Warc.extractRecordsByPath(df, "id", "path").collect()
+        .sortBy(r => (r.asset_id, r.record_idx))
+      for (id <- Seq(1L, 2L)) {
+        val rs = rows.filter(_.asset_id == id)
+        assert(rs.map(r => (r.record_idx, r.byte_start, r.warc_type)).toSeq
+          === mem.map(r => (r.recordIdx, r.byteStart, r.warcType)),
+          s"asset $id")
+      }
+      assert(rows.count(r => r.asset_id == 3L && !r.indexed) === 1)
+    } finally { fp.delete(); fg.delete() }
+  }
+}

@@ -59,6 +59,93 @@ class WarcSpec extends AnyFunSuite {
     assert(Warc.recordIndexAuto(plain).get.length === 3)
   }
 
+  test("seekable and streaming walks agree with the in-memory walk exactly") {
+    val plain = sample
+    val mem = Warc.recordIndex(plain).get
+    def key(r: Warc.WarcRecord) = (r.byteStart, r.byteLen, r.warcType,
+      r.targetUri, r.contentStart, r.contentLen, r.httpStatus,
+      r.bodyStart, r.bodyLen)
+    // seekable over a temp file
+    val f = java.io.File.createTempFile("graft-warc", ".warc")
+    try {
+      java.nio.file.Files.write(f.toPath, plain)
+      val r = new graft.multimodal.Mp4Index.FileRangeReader(f.getPath)
+      val seek = try Warc.recordIndexSeekable(r).get finally r.close()
+      assert(seek.map(key) === mem.map(key))
+      // streaming over the plain bytes
+      val stream = Warc.recordIndexStreaming(
+        new java.io.ByteArrayInputStream(plain)).get
+      assert(stream.map(key) === mem.map(key))
+      // streaming over the gzipped form (offsets = uncompressed)
+      val members = mem.map(x => java.util.Arrays.copyOfRange(plain,
+        x.byteStart.toInt, (x.byteStart + x.byteLen).toInt))
+      val gzIn = new java.util.zip.GZIPInputStream(
+        new java.io.ByteArrayInputStream(Warc.gzipPerRecord(members)))
+      assert(Warc.recordIndexStreaming(gzIn).get.map(key) === mem.map(key))
+      // trailing CRLFs tolerate; mid-stream padding refuses in both
+      assert(Warc.recordIndexStreaming(new java.io.ByteArrayInputStream(
+        plain ++ "\r\n\r\n".getBytes)).get.length === 3)
+      val padded = {
+        val first = mem.head
+        java.util.Arrays.copyOfRange(plain, 0,
+          (first.byteStart + first.byteLen).toInt) ++
+          "\r\n".getBytes ++
+          java.util.Arrays.copyOfRange(plain,
+            (first.byteStart + first.byteLen).toInt, plain.length)
+      }
+      assert(Warc.recordIndex(padded).isEmpty)
+      assert(Warc.recordIndexStreaming(
+        new java.io.ByteArrayInputStream(padded)).isEmpty)
+    } finally f.delete()
+  }
+
+  test("seekable: a sparse >2GiB record archive indexes in header-sized I/O") {
+    // one response record whose 2.3 GB content is a sparse hole, then
+    // a small trailing record — only header blocks are ever read
+    val bigLen = 2300000000L
+    val httpHead = Warc.httpResponse(200, "OK",
+      Seq(("Content-Type", "application/octet-stream")), Array.empty)
+    val head1 = ("WARC/1.0\r\nWARC-Type: response\r\n" +
+      "WARC-Target-URI: http://big.example/blob\r\n" +
+      "Content-Type: application/http; msgtype=response\r\n" +
+      s"Content-Length: ${httpHead.length + bigLen}\r\n\r\n")
+      .getBytes("ISO-8859-1")
+    val rec2 = Warc.encodeSynthetic(Seq(("metadata", "", "text/plain",
+      "done".getBytes("ISO-8859-1"))))
+    val f = java.io.File.createTempFile("graft-bigwarc", ".warc")
+    try {
+      val raf = new java.io.RandomAccessFile(f, "rw")
+      raf.write(head1)
+      raf.write(httpHead)
+      val holeStart = raf.getFilePointer
+      raf.setLength(holeStart + bigLen) // sparse content
+      raf.seek(holeStart + bigLen)
+      raf.write("\r\n\r\n".getBytes("ISO-8859-1"))
+      raf.write(rec2)
+      raf.close()
+      assert(f.length > Int.MaxValue.toLong)
+      var bytesRead = 0L
+      val inner = new graft.multimodal.Mp4Index.FileRangeReader(f.getPath)
+      val counting = new graft.multimodal.Mp4Index.RangeReader {
+        def length: Long = inner.length
+        def readFully(at: Long, len: Int): Array[Byte] = {
+          bytesRead += len; inner.readFully(at, len)
+        }
+        def close(): Unit = inner.close()
+      }
+      val rs = try Warc.recordIndexSeekable(counting).get
+        finally counting.close()
+      assert(rs.length === 2)
+      assert(rs.head.warcType === "response" &&
+        rs.head.httpStatus === 200 &&
+        rs.head.bodyLen === bigLen &&
+        rs.head.bodyStart === holeStart)
+      assert(rs(1).warcType === "metadata")
+      assert(rs(1).byteStart + rs(1).byteLen === f.length)
+      assert(bytesRead < 200000L, s"read $bytesRead bytes")
+    } finally f.delete()
+  }
+
   test("strictness: junk, truncation, bad lengths, missing framing refuse") {
     assert(Warc.recordIndex(Array[Byte](9, 9, 9)).isEmpty)
     assert(Warc.recordIndex(Array.empty[Byte]).isEmpty)
