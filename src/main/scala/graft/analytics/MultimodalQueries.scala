@@ -938,25 +938,8 @@ object MultimodalQueries {
       (3L, "mem://junk.mp3", Array[Byte](9, 9, 9, 9)),
       (4L, "mem://plain.flac", FlacIndex.encodeSynthetic(
         Seq((256, 30), (256, 40)))),
-      (5L, "mem://waves.opus", {
-        val head = "OpusHead".getBytes("ISO-8859-1") ++
-          Array[Byte](1, 2, 0x38, 1, 0x80.toByte, 0xbb.toByte,
-            0, 0, 0, 0, 0)
-        val tagsOut = new java.io.ByteArrayOutputStream()
-        tagsOut.write("OpusTags".getBytes("ISO-8859-1"))
-        def le32(v: Int): Unit =
-          (0 until 4).foreach(j => tagsOut.write((v >> (8 * j)) & 0xff))
-        val vb = "libopus 1.3".getBytes("UTF-8")
-        le32(vb.length); tagsOut.write(vb)
-        le32(2)
-        Seq("title=Waves", "ARTIST=Sea").foreach { kv =>
-          val k = kv.getBytes("UTF-8"); le32(k.length); tagsOut.write(k)
-        }
-        graft.multimodal.OggIndex.encodeSynthetic(Seq(
-          (Seq(head), 0L, true, false),
-          (Seq(tagsOut.toByteArray), 0L, false, false),
-          (Seq(Array.fill[Byte](20)(0x11)), 960L, false, true)))
-      })
+      (5L, "mem://waves.opus", graft.multimodal.MediaTags
+        .encodeOpusStream(Seq(("title", "Waves"), ("ARTIST", "Sea"))))
     ).toDF("id", "uri", "bytes")
     Multimodal.extractMediaTags(
         Multimodal.toMediaAssets(assets, "id", "uri", "bytes")(s))(s)
@@ -1022,28 +1005,7 @@ object MultimodalQueries {
     }
     // libavif-layout AVIF: thumbnail ispe FIRST in ipco; pitm names
     // item 2, whose ipma association points at the 1280×720 ispe
-    val avif: Array[Byte] = {
-      def be32(v: Int) = Array((v >> 24).toByte, (v >> 16).toByte,
-        (v >> 8).toByte, v.toByte)
-      def bx(fc: String, parts: Array[Byte]*): Array[Byte] = {
-        val payload = parts.flatten.toArray
-        be32(8 + payload.length) ++ fc.getBytes("ISO-8859-1") ++ payload
-      }
-      def ispe(w: Int, h: Int) = bx("ispe", new Array[Byte](4),
-        be32(w), be32(h))
-      val ipco = bx("ipco", ispe(160, 90), ispe(1280, 720),
-        bx("av1C", Array[Byte](0x81.toByte, 0, 0, 0)))
-      val ipma = bx("ipma", new Array[Byte](4), be32(2),
-        Array[Byte](0, 1, 1, 1), Array[Byte](0, 2, 2, 2, 0x83.toByte))
-      bx("ftyp", "avif".getBytes("ISO-8859-1"), be32(0),
-        "avifmif1miaf".getBytes("ISO-8859-1")) ++
-        bx("meta", new Array[Byte](4),
-          bx("hdlr", new Array[Byte](8), "pict".getBytes("ISO-8859-1"),
-            new Array[Byte](13)),
-          bx("pitm", new Array[Byte](4), Array[Byte](0, 2)),
-          bx("iprp", ipco, ipma)) ++
-        bx("mdat", Array[Byte](1, 2, 3))
-    }
+    val avif = graft.multimodal.ExternalFixtures.libavifStyleAvif()
     val assets = Seq(
       (1L, "mem://a.png", enc("png", 31, 17)),
       (2L, "mem://b.jpg", enc("jpg", 63, 41)),

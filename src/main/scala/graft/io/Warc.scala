@@ -125,7 +125,7 @@ object Warc {
   /** Inflate a (possibly multi-member — the Common Crawl shape) gzip
     * stream whole; None when the bytes are not gzip or inflate fails.
     * `maxBytes` caps the output before the allocation can run away. */
-  def gunzipAll(b: Array[Byte], maxBytes: Long = 1L << 31)
+  def gunzipAll(b: Array[Byte], maxBytes: Long = Int.MaxValue - 16L)
       : Option[Array[Byte]] = {
     if (b.length < 2 || (b(0) & 0xff) != 0x1f || (b(1) & 0xff) != 0x8b)
       return None
@@ -134,10 +134,12 @@ object Warc {
         new java.io.ByteArrayInputStream(b))
       val out = new java.io.ByteArrayOutputStream()
       val buf = new Array[Byte](64 * 1024)
-      var n = in.read(buf)
-      while (n >= 0) {
+      var total = 0L // counted in Long BEFORE the write: out.size()
+      var n = in.read(buf) // is an Int and can never exceed the cap,
+      while (n >= 0) {     // and the array cap must refuse, not OOM
+        total += n
+        if (total > maxBytes) return None
         out.write(buf, 0, n)
-        if (out.size() > maxBytes) return None
         n = in.read(buf)
       }
       Some(out.toByteArray)
@@ -225,16 +227,24 @@ object Warc {
       var bodyStart = -1L
       var bodyLen = -1L
       if (contentType.startsWith("application/http") && len > 0) {
-        val httpProbeLen = math.min(len,
-          math.min(MaxHeaderBytes.toLong,
-            probeLen.toLong - (blank + 4))).toInt
-        val httpHead =
-          if (httpProbeLen > 0)
+        val fullProbe = math.min(len, MaxHeaderBytes.toLong).toInt
+        val leftover = math.min(fullProbe.toLong,
+          probeLen.toLong - (blank + 4)).toInt
+        var httpHead =
+          if (leftover > 0)
             java.util.Arrays.copyOfRange(probe, blank + 4,
-              blank + 4 + httpProbeLen)
-          else r.readFully(contentStart,
-            math.min(len, MaxHeaderBytes.toLong).toInt)
-        val (st, bo) = parseHttpHead(httpHead)
+              blank + 4 + leftover)
+          else Array.empty[Byte]
+        var (st, bo) = parseHttpHead(httpHead)
+        // the leftover slice may be TOO SHORT to hold the HTTP head
+        // (a record-header block near the 64 KiB cap): re-probe from
+        // contentStart at the same width the in-memory walk uses, so
+        // the two walks index identical bytes identically
+        if (bo < 0 && leftover < fullProbe) {
+          httpHead = r.readFully(contentStart, fullProbe)
+          val again = parseHttpHead(httpHead)
+          st = again._1; bo = again._2
+        }
         if (bo >= 0) {
           status = st
           bodyStart = contentStart + bo
@@ -419,12 +429,13 @@ object Warc {
           val indexed =
             try {
               val f = new java.io.File(path)
-              val head = {
+              // read() may return fewer than 2 bytes — sniff with
+              // per-byte reads so a short first read cannot misroute
+              val (h0, h1) = {
                 val in = new java.io.FileInputStream(f)
-                try { val h = new Array[Byte](2); in.read(h); h }
-                finally in.close()
+                try (in.read(), in.read()) finally in.close()
               }
-              if ((head(0) & 0xff) == 0x1f && (head(1) & 0xff) == 0x8b) {
+              if (h0 == 0x1f && h1 == 0x8b) {
                 val in = new java.util.zip.GZIPInputStream(
                   new java.io.FileInputStream(f))
                 try recordIndexStreaming(in) finally in.close()
@@ -487,19 +498,25 @@ object Warc {
                   r.httpStatus >= 200 && r.httpStatus < 300 &&
                   r.bodyStart >= 0)
                 .flatMap { r =>
-                  val html = new String(bytes, r.bodyStart.toInt,
-                    r.bodyLen.toInt, java.nio.charset.StandardCharsets.UTF_8)
                   // only keep HTML bodies (the HTTP Content-Type rides
                   // inside the body head; a cheap sniff on the markup
-                  // keeps binaries out without re-parsing HTTP headers)
+                  // keeps binaries out without re-parsing HTTP
+                  // headers) — sniff a 512-BYTE prefix BEFORE any
+                  // full-body decode: a partition of 2xx image/PDF
+                  // responses must not pay a multi-MB String per row
                   val looksHtml = {
-                    val head = html.take(512)
+                    val probe = math.min(512L, r.bodyLen).toInt
+                    val head = new String(bytes, r.bodyStart.toInt,
+                      probe, java.nio.charset.StandardCharsets.UTF_8)
                       .toLowerCase(java.util.Locale.ROOT)
                     head.contains("<html") || head.contains("<!doctype") ||
                       head.contains("<head") || head.contains("<body")
                   }
                   if (!looksHtml) Iterator.empty
                   else {
+                    val html = new String(bytes, r.bodyStart.toInt,
+                      r.bodyLen.toInt,
+                      java.nio.charset.StandardCharsets.UTF_8)
                     val text = graft.text.HtmlText.extract(html)
                     Iterator.single(WarcPage(id, r.recordIdx, r.targetUri,
                       r.httpStatus,
@@ -553,7 +570,8 @@ object Warc {
     val out = new java.io.ByteArrayOutputStream()
     records.foreach { r =>
       val gz = new java.util.zip.GZIPOutputStream(out)
-      gz.write(r); gz.finish()
+      gz.write(r)
+      gz.close() // releases the native Deflater; BAOS.close is a no-op
     }
     out.toByteArray
   }

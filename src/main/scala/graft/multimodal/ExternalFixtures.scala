@@ -288,6 +288,34 @@ object ExternalFixtures {
     out.toByteArray
   }
 
+  /** libavif-style AVIF: ftyp(avif) + meta(hdlr pict, pitm → item 2,
+    * iprp(ipco(ispe 160×90 THUMBNAIL first, ispe 1280×720 primary,
+    * av1C), ipma: item 1 → prop 1, item 2 → props 2+3)) + mdat —
+    * the thumbnail ispe leads ipco, so a first-ispe heuristic
+    * returns the wrong canvas and primary-item (pitm+ipma)
+    * resolution must win. `wideIdx` switches ipma to the 15-bit
+    * property-index form (flags bit 0). */
+  def libavifStyleAvif(wideIdx: Boolean = false): Array[Byte] = {
+    def ispe(w: Int, h: Int) = bx("ispe", new Array[Byte](4),
+      be32(w.toLong), be32(h.toLong))
+    val ipco = bx("ipco", ispe(160, 90), ispe(1280, 720),
+      bx("av1C", Array[Byte](0x81.toByte, 0, 0, 0)))
+    val ipma =
+      if (!wideIdx) bx("ipma", new Array[Byte](4), be32(2L),
+        Array[Byte](0, 1, 1, 1),               // item 1 → prop 1
+        Array[Byte](0, 2, 2, 2, 0x83.toByte))  // item 2 → props 2, 3
+      else bx("ipma", Array[Byte](0, 0, 0, 1), be32(2L),
+        Array[Byte](0, 1, 1, 0, 1),
+        Array[Byte](0, 2, 2, 0, 2, 0x80.toByte, 3))
+    bx("ftyp", ascii("avif"), be32(0L), ascii("avifmif1miaf")) ++
+      bx("meta", new Array[Byte](4),
+        bx("hdlr", new Array[Byte](8), ascii("pict"),
+          new Array[Byte](13)),
+        bx("pitm", new Array[Byte](4), Array[Byte](0, 2)),
+        bx("iprp", ipco, ipma)) ++
+      bx("mdat", Array[Byte](1, 2, 3))
+  }
+
   /** ffmpeg-style WebM: full 7-element EBML header (36 B), an
     * UNKNOWN-SIZE Segment (8-byte all-ones VINT — the as-muxed
     * shape), a 27 B Void patch space, Info with

@@ -35,6 +35,12 @@ object HtmlText {
   // not the page, and [[title]] exposes it separately
   private val Container =
     "(?is)<(script|style|noscript|title)\\b[^>]*>.*?</\\1\\s*>".r
+  // an UNCLOSED opener (a length-truncated crawl body ending
+  // mid-script — routine in real WARCs) swallows the rest of the
+  // document, exactly as a browser tokenizer would: without this,
+  // raw JS/CSS source leaks into the training text
+  private val UnclosedContainer =
+    "(?is)<(script|style|noscript|title)\\b[^>]*>.*$".r
   private val BlockTag =
     ("(?i)</?(p|div|br|li|tr|td|th|h[1-6]|ul|ol|table|thead|tbody|" +
       "section|article|header|footer|blockquote|pre)\\b[^>]*/?>").r
@@ -44,21 +50,23 @@ object HtmlText {
   private val NamedEnt = "&(amp|lt|gt|quot|apos|nbsp);".r
   private val TitleRe = "(?is)<title[^>]*>(.*?)</title>".r
 
+  /** One decoded numeric reference: surrogate-range code points
+    * become U+FFFD per the HTML spec (an unpaired surrogate in the
+    * output would UTF-8-encode inconsistently across JVMs and break
+    * the byte-exact dedup/fingerprint operators downstream);
+    * out-of-range stays literal. */
+  private def numericRef(cp: Long, matched: String): String =
+    if (cp >= 0xd800 && cp <= 0xdfff) "\uFFFD"
+    else if (cp > 0 && cp <= Character.MAX_CODE_POINT)
+      java.util.regex.Matcher.quoteReplacement(
+        new String(Character.toChars(cp.toInt)))
+    else matched
+
   private def decodeEntities(s: String): String = {
-    val d1 = DecEnt.replaceAllIn(s, m => {
-      val cp = m.group(1).toLong
-      if (cp > 0 && cp <= Character.MAX_CODE_POINT)
-        java.util.regex.Matcher.quoteReplacement(
-          new String(Character.toChars(cp.toInt)))
-      else m.matched
-    })
-    val d2 = HexEnt.replaceAllIn(d1, m => {
-      val cp = java.lang.Long.parseLong(m.group(1), 16)
-      if (cp > 0 && cp <= Character.MAX_CODE_POINT)
-        java.util.regex.Matcher.quoteReplacement(
-          new String(Character.toChars(cp.toInt)))
-      else m.matched
-    })
+    val d1 = DecEnt.replaceAllIn(s, m =>
+      numericRef(m.group(1).toLong, m.matched))
+    val d2 = HexEnt.replaceAllIn(d1, m =>
+      numericRef(java.lang.Long.parseLong(m.group(1), 16), m.matched))
     NamedEnt.replaceAllIn(d2, _.group(1) match {
       case "amp" => "&"
       case "lt" => "<"
@@ -82,7 +90,8 @@ object HtmlText {
   def extract(html: String): String = {
     if (html == null) return ""
     val noComment = Comment.replaceAllIn(html, " ")
-    val noContainers = Container.replaceAllIn(noComment, " ")
+    val noContainers = UnclosedContainer.replaceAllIn(
+      Container.replaceAllIn(noComment, " "), " ")
     val blocks = BlockTag.replaceAllIn(noContainers, "\n")
     val noTags = AnyTag.replaceAllIn(blocks, " ")
     normalize(decodeEntities(noTags))

@@ -146,6 +146,40 @@ class WarcSpec extends AnyFunSuite {
     } finally f.delete()
   }
 
+  test("seekable re-probes the HTTP head when the record header nearly fills the probe") {
+    // WARC headers ~63 KiB (a long X-Pad header), then an HTTP head
+    // whose CRLFCRLF lies beyond the leftover of the 64 KiB record
+    // probe — the walk must re-read from contentStart, matching the
+    // in-memory result exactly
+    val pad = "x" * (63 * 1024)
+    val http = Warc.httpResponse(200, "OK",
+      Seq(("Content-Type", "text/html"), ("X-Fill", "y" * 2048)),
+      "<html><body>deep</body></html>".getBytes("UTF-8"))
+    val head = ("WARC/1.0\r\nWARC-Type: response\r\n" +
+      s"X-Pad: $pad\r\n" +
+      "WARC-Target-URI: http://deep.example/\r\n" +
+      "Content-Type: application/http; msgtype=response\r\n" +
+      s"Content-Length: ${http.length}\r\n\r\n").getBytes("ISO-8859-1")
+    val b = head ++ http ++ "\r\n\r\n".getBytes("ISO-8859-1")
+    val mem = Warc.recordIndex(b).get
+    assert(mem.head.httpStatus === 200 && mem.head.bodyLen === 30)
+    val f = java.io.File.createTempFile("graft-warc", ".warc")
+    try {
+      java.nio.file.Files.write(f.toPath, b)
+      val r = new graft.multimodal.Mp4Index.FileRangeReader(f.getPath)
+      val seek = try Warc.recordIndexSeekable(r).get finally r.close()
+      assert(seek.head.httpStatus === 200)
+      assert(seek.head.bodyStart === mem.head.bodyStart)
+      assert(seek.head.bodyLen === mem.head.bodyLen)
+    } finally f.delete()
+  }
+
+  test("gunzipAll's output cap refuses instead of allocating") {
+    val big = Warc.gzipPerRecord(Seq(new Array[Byte](100000)))
+    assert(Warc.gunzipAll(big).isDefined)
+    assert(Warc.gunzipAll(big, maxBytes = 50000L).isEmpty)
+  }
+
   test("strictness: junk, truncation, bad lengths, missing framing refuse") {
     assert(Warc.recordIndex(Array[Byte](9, 9, 9)).isEmpty)
     assert(Warc.recordIndex(Array.empty[Byte]).isEmpty)

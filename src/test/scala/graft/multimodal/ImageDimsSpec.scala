@@ -67,36 +67,9 @@ class ImageDimsSpec extends AnyFunSuite {
     be32(8 + payload.length) ++ fourcc.getBytes("ISO-8859-1") ++ payload
   }
 
-  /** libavif-style AVIF: ftyp(avif) + meta(hdlr pict, pitm → item 2,
-    * iprp(ipco(ispe 160×90 THUMB, ispe 1280×720 primary, av1C),
-    * ipma: item 1 → prop 1, item 2 → props 2,3)) + mdat. The
-    * thumbnail ispe comes FIRST in ipco, so a first-ispe heuristic
-    * returns the wrong canvas — primary-item resolution must win. */
-  private def avifFixture(wideIdx: Boolean = false): Array[Byte] = {
-    val ftyp = bx("ftyp", "avif".getBytes("ISO-8859-1"), be32(0),
-      "avifmif1miaf".getBytes("ISO-8859-1"))
-    val hdlr = bx("hdlr", new Array[Byte](8),
-      "pict".getBytes("ISO-8859-1"), new Array[Byte](13))
-    val pitm = bx("pitm", new Array[Byte](4), Array[Byte](0, 2))
-    def ispe(w: Int, h: Int) = bx("ispe", new Array[Byte](4),
-      be32(w), be32(h))
-    val av1c = bx("av1C", Array[Byte](0x81.toByte, 0, 0, 0))
-    val ipco = bx("ipco", ispe(160, 90), ispe(1280, 720), av1c)
-    val ipma =
-      if (!wideIdx) bx("ipma", new Array[Byte](4), be32(2),
-        Array[Byte](0, 1, 1, 1),          // item 1 → prop 1 (thumb)
-        Array[Byte](0, 2, 2, 2, 0x83.toByte)) // item 2 → props 2, 3
-      else bx("ipma", Array[Byte](0, 0, 0, 1), be32(2),
-        Array[Byte](0, 1, 1, 0, 1),
-        Array[Byte](0, 2, 2, 0, 2, 0x80.toByte, 3))
-    val iprp = bx("iprp", ipco, ipma)
-    val meta = bx("meta", new Array[Byte](4), hdlr, pitm, iprp)
-    ftyp ++ meta ++ bx("mdat", Array[Byte](1, 2, 3))
-  }
-
   test("AVIF/HEIC: the PRIMARY item's ispe wins over a leading thumbnail property") {
     for (wide <- Seq(false, true)) {
-      val d = ImageDims.dims(avifFixture(wide)).get
+      val d = ImageDims.dims(ExternalFixtures.libavifStyleAvif(wide)).get
       assert(d === ImageDims.Dims("avif", 1280, 720), s"wideIdx=$wide")
     }
     // no pitm/ipma: minimal muxes fall back to the first ispe

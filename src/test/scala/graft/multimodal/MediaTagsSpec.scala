@@ -100,30 +100,8 @@ class MediaTagsSpec extends AnyFunSuite {
       tagWith(3, 0x80, Array.empty, tit2(true))).isEmpty)
   }
 
-  private def opusStream(comments: Seq[(String, String)],
-      vendor: String = "libopus 1.3"): Array[Byte] = {
-    val head = "OpusHead".getBytes("ISO-8859-1") ++
-      Array[Byte](1, 2, 0x38, 1) ++ // ver 1, 2ch, pre-skip 312
-      Array[Byte](0x80.toByte, 0xbb.toByte, 0, 0, 0, 0, 0) // 48k,gain,map
-    val tags = {
-      val out = new java.io.ByteArrayOutputStream()
-      out.write("OpusTags".getBytes("ISO-8859-1"))
-      def le32(v: Int): Unit =
-        (0 until 4).foreach(j => out.write((v >> (8 * j)) & 0xff))
-      val vb = vendor.getBytes("UTF-8")
-      le32(vb.length); out.write(vb)
-      le32(comments.size)
-      comments.foreach { case (k, v) =>
-        val kv = s"$k=$v".getBytes("UTF-8")
-        le32(kv.length); out.write(kv)
-      }
-      out.toByteArray
-    }
-    OggIndex.encodeSynthetic(Seq(
-      (Seq(head), 0L, true, false),
-      (Seq(tags), 0L, false, false),
-      (Seq(Array.fill[Byte](20)(0x11)), 960L, false, true)))
-  }
+  private def opusStream(comments: Seq[(String, String)]): Array[Byte] =
+    MediaTags.encodeOpusStream(comments)
 
   test("Ogg OpusTags comments assemble from pages and parse like FLAC's") {
     val b = opusStream(Seq(("title", "Waves"), ("ARTIST", "Sea")))

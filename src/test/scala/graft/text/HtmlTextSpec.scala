@@ -34,6 +34,21 @@ class HtmlTextSpec extends AnyFunSuite {
     assert(HtmlText.extract("&#99999999;") === "&#99999999;")
   }
 
+  test("an UNCLOSED script (truncated crawl body) swallows the tail, not leaks it") {
+    assert(HtmlText.extract(
+      "<html><body><p>Hi</p><script>var x=1; trackUser();") === "Hi")
+    assert(HtmlText.extract("<p>ok</p><style>.a{color:red}") === "ok")
+    // a CLOSED script followed by real text keeps the text
+    assert(HtmlText.extract(
+      "<p>a</p><script>x()</script><p>b</p>") === "a\nb")
+  }
+
+  test("surrogate-range numeric refs become U+FFFD, never unpaired surrogates") {
+    val t = HtmlText.extract("x &#xD800; y &#55296; z")
+    assert(t === "x � y � z")
+    assert(!t.exists(Character.isSurrogate))
+  }
+
   test("inline tags become spaces; whitespace collapses per line") {
     assert(HtmlText.extract("a<span>b</span>c") === "a b c")
     assert(HtmlText.extract("  lots \t of  space  ") === "lots of space")
