@@ -1912,8 +1912,98 @@ object TextQueries {
       .orderBy("asset_id", "record_idx")
   }
 
+  private def wdsShard: Array[Byte] = graft.io.Tar.encodeSynthetic(Seq(
+    ("0001.jpg", Array.fill[Byte](700)(0x11), 1700000000L),
+    ("0001.txt", Array.fill[Byte](40)(0x22), 1700000000L),
+    ("0001.json", Array.fill[Byte](25)(0x33), 1700000000L),
+    ("0002.jpg", Array.fill[Byte](512)(0x44), 1700000001L),
+    ("0002.txt", Array.fill[Byte](30)(0x55), 1700000001L)))
+
+  /** TAR member indexing ([[graft.io.Tar]]): the WebDataset
+    * training-shard container. Byte-exact oracle from the 512-block
+    * arithmetic: member data at 512/2048/3072/4096/5120 (700 B pads
+    * to 1024, the exact-512 member pads zero); the key/ext split
+    * (`0001` + `jpg`) is the WebDataset grouping rule. Asset 2 pins
+    * the GNU long-name entry ('L' header+data precede the member,
+    * shifting it to 1536 with the FULL >100-char name carried);
+    * junk pins the flagged fallback. A checksum, octal-size,
+    * padding, or long-name regression hash-fails.
+    */
+  val qTarIndex: QueryDef = QueryDef.sql(
+    "q_tar_index",
+    """SELECT * FROM (VALUES
+      |  (1, 0, '0001.jpg', '0001', 'jpg', CAST(512 AS BIGINT),
+      |   CAST(700 AS BIGINT), true),
+      |  (1, 1, '0001.txt', '0001', 'txt', CAST(2048 AS BIGINT),
+      |   CAST(40 AS BIGINT), true),
+      |  (1, 2, '0001.json', '0001', 'json', CAST(3072 AS BIGINT),
+      |   CAST(25 AS BIGINT), true),
+      |  (1, 3, '0002.jpg', '0002', 'jpg', CAST(4096 AS BIGINT),
+      |   CAST(512 AS BIGINT), true),
+      |  (1, 4, '0002.txt', '0002', 'txt', CAST(5120 AS BIGINT),
+      |   CAST(30 AS BIGINT), true),
+      |  (2, 0, 'shards/' || repeat('x', 110) || '/42.jpg',
+      |   'shards/' || repeat('x', 110) || '/42', 'jpg',
+      |   CAST(1536 AS BIGINT), CAST(20 AS BIGINT), true),
+      |  (3, -1, NULL, NULL, NULL, NULL, NULL, false))
+      |  AS t(asset_id, entry_idx, name, sample_key, ext, data_start,
+      |       data_len, indexed)
+      |ORDER BY asset_id, entry_idx""".stripMargin,
+    doc = "TAR member index with the WebDataset key/ext split " +
+      "(training-shard container; spans are the member fetch ranges)") {
+    (s, dir) =>
+    import s.implicits._
+    import graft.io.Tar
+    val longName = "shards/" + ("x" * 110) + "/42.jpg"
+    val assets = Seq(
+      (1L, wdsShard),
+      (2L, Tar.encodeSynthetic(Seq(
+        (longName, Array.fill[Byte](20)(0x66), 1700000002L)))),
+      (3L, Array[Byte](9, 9, 9))
+    ).toDF("id", "bytes")
+    Tar.extractEntries(assets, "id", "bytes")(s)
+      .select(col("asset_id"), col("entry_idx"),
+        when(col("indexed"), col("name")).as("name"),
+        when(col("indexed"), col("sample_key")).as("sample_key"),
+        when(col("indexed"), col("ext")).as("ext"),
+        when(col("indexed"), col("data_start")).as("data_start"),
+        when(col("indexed"), col("data_len")).as("data_len"),
+        col("indexed"))
+      .orderBy("asset_id", "entry_idx")
+  }
+
+  /** WebDataset sample assembly: `groupBy(sample_key)` over the TAR
+    * index IS the convention's pairing rule — one row per training
+    * sample with its member count, total bytes and sorted extension
+    * list. Exact oracle over the grouped facts (sample 0001 = jpg+
+    * json+txt, 765 B; 0002 = jpg+txt, 542 B). A key-split or
+    * grouping regression hash-fails.
+    */
+  val qWebdatasetSamples: QueryDef = QueryDef.sql(
+    "q_webdataset_samples",
+    """SELECT * FROM (VALUES
+      |  (1, '0001', 3, CAST(765 AS BIGINT), 'jpg,json,txt'),
+      |  (1, '0002', 2, CAST(542 AS BIGINT), 'jpg,txt'))
+      |  AS t(asset_id, sample_key, n_members, total_bytes, exts)
+      |ORDER BY asset_id, sample_key""".stripMargin,
+    doc = "WebDataset sample pairing over the TAR index: one row per " +
+      "image-text training sample (multimodal training-shard ops)") {
+    (s, dir) =>
+    import s.implicits._
+    import graft.io.Tar
+    val assets = Seq((1L, wdsShard)).toDF("id", "bytes")
+    Tar.extractEntries(assets, "id", "bytes")(s)
+      .filter(col("indexed") && col("typeflag") === "0")
+      .groupBy(col("asset_id"), col("sample_key"))
+      .agg(count(lit(1)).cast("int").as("n_members"),
+        sum(col("data_len")).as("total_bytes"),
+        concat_ws(",", sort_array(collect_list(col("ext")))).as("exts"))
+      .orderBy("asset_id", "sample_key")
+  }
+
   val all: Seq[QueryDef] = Seq(
-    qSubtitleCues, qWarcRecords, qWarcHtmlText,
+    qSubtitleCues, qWarcRecords, qWarcHtmlText, qTarIndex,
+    qWebdatasetSamples,
     qTextTokens, qTextQuality, qTextLangId, qTextFingerprint, qTokenFreq,
     qSelectPipeline, qPackSequences, qTextRedact, qCuratePipeline,
     qDecontaminate, qDecontaminateFuzzy, qTfidf, qQualityRules, qUrlDedup,

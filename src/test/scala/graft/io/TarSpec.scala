@@ -1,0 +1,69 @@
+package graft.io
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** [[Tar]]: member spans must tile the 512-byte block grid with
+  * validated checksums across plain/GNU-longname/PAX shapes, and the
+  * strict walk must refuse malformed archives.
+  */
+class TarSpec extends AnyFunSuite {
+
+  private def m(name: String, n: Int, mtime: Long = 1700000000L) =
+    (name, Array.tabulate[Byte](n)(i => ((i * 37 + 1) & 0x7f).toByte),
+      mtime)
+
+  test("ustar members index at 512-block offsets with real checksums") {
+    val b = Tar.encodeSynthetic(Seq(
+      m("0001.jpg", 700), m("0001.txt", 40), m("0002.jpg", 512)))
+    val es = Tar.entryIndex(b).get
+    assert(es.map(_.name) === Seq("0001.jpg", "0001.txt", "0002.jpg"))
+    // 700 B pads to 1024: entries at 512, 512+1024+512=2048, …
+    assert(es.map(_.dataStart) === Seq(512L, 2048L, 3072L))
+    assert(es.map(_.dataLen) === Seq(700L, 40L, 512L))
+    assert(es.map(_.mtime).forall(_ == 1700000000L))
+    assert(es.map(_.typeflag).forall(_ == '0'))
+    // total: third member's data (3072..3584) + 2 zero blocks
+    assert(b.length === 4608)
+  }
+
+  test("GNU long names and PAX path/size overrides apply to the NEXT member") {
+    val long = "deep/" + ("d" * 120) + "/sample.jpg"
+    val b = Tar.encodeSynthetic(Seq(
+      m(long, 30), m("plain.txt", 10)))
+    val es = Tar.entryIndex(b).get
+    assert(es.map(_.name) === Seq(long, "plain.txt"))
+    assert(es.head.dataLen === 30L)
+    // PAX: the same long name via an 'x' header
+    val p = Tar.encodeSynthetic(Seq(m(long, 30), m("plain.txt", 10)),
+      paxFor = Set(long))
+    val ps = Tar.entryIndex(p).get
+    assert(ps.map(_.name) === Seq(long, "plain.txt"))
+    assert(ps.head.dataLen === 30L)
+  }
+
+  test("the WebDataset key/ext split groups shard members") {
+    assert(Tar.splitKey("00012.jpg") === ("00012", "jpg"))
+    assert(Tar.splitKey("a/b/00012.seg.json") === ("a/b/00012", "seg.json"))
+    assert(Tar.splitKey("a.dir/README") === ("a.dir/README", ""))
+  }
+
+  test("strictness: junk, bad checksum, truncation, partial terminator refuse") {
+    assert(Tar.entryIndex(Array[Byte](9, 9, 9)).isEmpty)
+    assert(Tar.entryIndex(new Array[Byte](511)).isEmpty)
+    val b = Tar.encodeSynthetic(Seq(m("x.bin", 100)))
+    assert(Tar.entryIndex(b).isDefined)
+    // flip a header byte: the checksum catches it
+    val c = b.clone(); c(10) = 'z'
+    assert(Tar.entryIndex(c).isEmpty)
+    // truncate inside the terminator
+    assert(Tar.entryIndex(b.dropRight(700)).isEmpty)
+    // a PARTIAL block after the terminator refuses
+    assert(Tar.entryIndex(b ++ new Array[Byte](511)).isEmpty)
+    // …but whole zero blocks after it are fine (block-padded tars)
+    assert(Tar.entryIndex(b ++ new Array[Byte](1024)).get.length === 1)
+    // a terminator-less archive whose entries tile EXACTLY to EOF is
+    // accepted (streamed tars are often cut that way); one that ends
+    // mid-grid refuses above
+    assert(Tar.entryIndex(b.dropRight(1024)).get.length === 1)
+  }
+}
