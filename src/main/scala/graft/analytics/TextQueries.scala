@@ -1889,7 +1889,8 @@ object TextQueries {
       |  (2, 2, 'http://a.example/', 200, 'A & B',
       |   'Hello crawl.' || chr(10) || 'Second para.', 25, true),
       |  (2, 4, 'http://c.example/', 200, '', 'Other page', 10, true),
-      |  (3, -1, NULL, NULL, NULL, NULL, NULL, false))
+      |  (3, -1, NULL, NULL, NULL, NULL, NULL, false),
+      |  (4, 0, 'http://l.example/', 200, '', 'café prêt', 9, true))
       |  AS t(asset_id, record_idx, target_uri, http_status, title,
       |       text, n_chars, extracted)
       |ORDER BY asset_id, record_idx""".stripMargin,
@@ -1899,8 +1900,17 @@ object TextQueries {
     import s.implicits._
     import graft.io.Warc
     val (plain, gz) = warcFixture
-    val assets = Seq((1L, plain), (2L, gz), (3L, Array[Byte](9, 9, 9)))
-      .toDF("id", "bytes")
+    // a NON-UTF-8 page: the HTTP charset parameter must drive the
+    // decode (as UTF-8 these bytes would become U+FFFD)
+    val latin = Warc.encodeSynthetic(Seq(
+      ("response", "http://l.example/",
+        "application/http; msgtype=response",
+        Warc.httpResponse(200, "OK",
+          Seq(("Content-Type", "text/html; charset=ISO-8859-1")),
+          "<html><body><p>café prêt</p></body></html>"
+            .getBytes("ISO-8859-1")))))
+    val assets = Seq((1L, plain), (2L, gz), (3L, Array[Byte](9, 9, 9)),
+      (4L, latin)).toDF("id", "bytes")
     Warc.extractHtmlPages(assets, "id", "bytes")(s)
       .select(col("asset_id"), col("record_idx"),
         when(col("extracted"), col("target_uri")).as("target_uri"),
@@ -1918,6 +1928,42 @@ object TextQueries {
     ("0001.json", Array.fill[Byte](25)(0x33), 1700000000L),
     ("0002.jpg", Array.fill[Byte](512)(0x44), 1700000001L),
     ("0002.txt", Array.fill[Byte](30)(0x55), 1700000001L)))
+
+  /** Gzip member indexing ([[graft.io.GzipMembers]]): the
+    * parallel-split key for `.warc.gz`-shaped archives — compressed
+    * member spans are the ranged-fetch units a fan-out hands to
+    * workers. The oracle pins the DETERMINISTIC columns (member
+    * count, uncompressed lengths, trailing-CRC validity); the
+    * compressed offsets are deflate-encoder output (JDK-dependent)
+    * and are round-trip-verified in GzipMembersSpec instead — each
+    * span must slice back to an independently inflatable member.
+    */
+  val qGzipMembers: QueryDef = QueryDef.sql(
+    "q_gzip_members",
+    """SELECT * FROM (VALUES
+      |  (1, 0, CAST(147 AS BIGINT), true),
+      |  (1, 1, CAST(210 AS BIGINT), true),
+      |  (1, 2, CAST(338 AS BIGINT), true),
+      |  (1, 3, CAST(259 AS BIGINT), true),
+      |  (1, 4, CAST(268 AS BIGINT), true),
+      |  (2, -1, NULL, false))
+      |  AS t(asset_id, member_idx, uncomp_len, indexed)
+      |ORDER BY asset_id, member_idx""".stripMargin,
+    doc = "gzip member index: uncompressed lengths + tiling from the " +
+      "member walk (the .warc.gz parallel-split key; comp offsets " +
+      "are spec-verified round-trip)") {
+    (s, dir) =>
+    import s.implicits._
+    import graft.io.GzipMembers
+    val (_, gz) = warcFixture
+    val assets = Seq((1L, gz), (2L, Array[Byte](9, 9, 9)))
+      .toDF("id", "bytes")
+    GzipMembers.extractMembers(assets, "id", "bytes")(s)
+      .select(col("asset_id"), col("member_idx"),
+        when(col("indexed"), col("uncomp_len")).as("uncomp_len"),
+        col("indexed"))
+      .orderBy("asset_id", "member_idx")
+  }
 
   /** TAR member indexing ([[graft.io.Tar]]): the WebDataset
     * training-shard container. Byte-exact oracle from the 512-block
@@ -2003,7 +2049,7 @@ object TextQueries {
 
   val all: Seq[QueryDef] = Seq(
     qSubtitleCues, qWarcRecords, qWarcHtmlText, qTarIndex,
-    qWebdatasetSamples,
+    qWebdatasetSamples, qGzipMembers,
     qTextTokens, qTextQuality, qTextLangId, qTextFingerprint, qTokenFreq,
     qSelectPipeline, qPackSequences, qTextRedact, qCuratePipeline,
     qDecontaminate, qDecontaminateFuzzy, qTfidf, qQualityRules, qUrlDedup,

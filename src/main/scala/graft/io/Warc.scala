@@ -457,6 +457,40 @@ object Warc {
       }
   }
 
+  /** The charset a page declares — the HTTP head's `charset=`
+    * parameter first, else a `<meta charset=…>` /
+    * `<meta http-equiv … content="…charset=…">` in the body prefix —
+    * resolved to a JVM Charset; None when absent or unknown. A
+    * crawl corpus is NOT all UTF-8 (ISO-8859-1 and windows-1251/2
+    * pages remain common); decoding them as UTF-8 turns every
+    * non-ASCII character into U+FFFD. */
+  private[io] def declaredCharset(bytes: Array[Byte], headFrom: Long,
+      headUntil: Long, bodyFrom: Long, bodyLen: Long)
+      : Option[java.nio.charset.Charset] = {
+    def find(s: String): Option[String] = {
+      val at = s.indexOf("charset=")
+      if (at < 0) None
+      else {
+        val v = s.substring(at + 8).takeWhile(c =>
+          c.isLetterOrDigit || c == '-' || c == '_')
+        if (v.isEmpty) None else Some(v)
+      }
+    }
+    val head = new String(bytes, headFrom.toInt,
+      (headUntil - headFrom).toInt, "ISO-8859-1")
+      .toLowerCase(java.util.Locale.ROOT)
+    val name = find(head).orElse {
+      val probe = math.min(1024L, bodyLen).toInt
+      val bodyHead = new String(bytes, bodyFrom.toInt, probe,
+        "ISO-8859-1").toLowerCase(java.util.Locale.ROOT)
+      find(bodyHead.replace("\"", "").replace("'", ""))
+    }
+    name.flatMap { n =>
+      try Some(java.nio.charset.Charset.forName(n))
+      catch { case scala.util.control.NonFatal(_) => None }
+    }
+  }
+
   /** One extracted page: the HTML → text step of the crawl pipeline;
     * `extracted = false` flags non-WARC assets. */
   final case class WarcPage(asset_id: Long, record_idx: Int,
@@ -468,9 +502,10 @@ object Warc {
     * content type → slice the body span → [[graft.text.HtmlText]]
     * extraction (title + normalized text). The output rows feed the
     * text operators (quality, dedup, language ID) directly — exactly
-    * the Common-Crawl-to-training-text path. Body bytes decode as
-    * UTF-8 with replacement (charset sniffing is a downstream
-    * refinement; replacement keeps the pipeline total).
+    * the Common-Crawl-to-training-text path. Bodies decode with the
+    * page's DECLARED charset (HTTP `charset=` param, else a meta tag
+    * in the body prefix — [[declaredCharset]]); UTF-8 with
+    * replacement is the fallback, keeping the pipeline total.
     */
   def extractHtmlPages(df: org.apache.spark.sql.DataFrame, idCol: String,
       bytesCol: String)(implicit spark: org.apache.spark.sql.SparkSession)
@@ -514,9 +549,11 @@ object Warc {
                   }
                   if (!looksHtml) Iterator.empty
                   else {
+                    val cs = declaredCharset(bytes, r.contentStart,
+                      r.bodyStart, r.bodyStart, r.bodyLen)
+                      .getOrElse(java.nio.charset.StandardCharsets.UTF_8)
                     val html = new String(bytes, r.bodyStart.toInt,
-                      r.bodyLen.toInt,
-                      java.nio.charset.StandardCharsets.UTF_8)
+                      r.bodyLen.toInt, cs)
                     val text = graft.text.HtmlText.extract(html)
                     Iterator.single(WarcPage(id, r.recordIdx, r.targetUri,
                       r.httpStatus,

@@ -31,6 +31,26 @@ class WarcSparkSpec extends SparkSpec {
     assert(!pages(1).extracted)
   }
 
+  test("declared charsets decode: ISO-8859-1 via HTTP header, meta tag in body") {
+    val latin = "<html><body><p>café prêt</p></body></html>"
+      .getBytes("ISO-8859-1")
+    val metaCp = ("<html><head><meta charset=windows-1252></head>" +
+      "<body><p>déjà</p></body></html>")
+      .getBytes("windows-1252")
+    val b = Warc.encodeSynthetic(Seq(
+      ("response", "http://l.example/", "application/http; msgtype=response",
+        Warc.httpResponse(200, "OK",
+          Seq(("Content-Type", "text/html; charset=ISO-8859-1")), latin)),
+      ("response", "http://m.example/", "application/http; msgtype=response",
+        Warc.httpResponse(200, "OK",
+          Seq(("Content-Type", "text/html")), metaCp))))
+    val pages = Warc.extractHtmlPages(
+      Seq((1L, b)).toDF("id", "bytes"), "id", "bytes")
+      .collect().sortBy(_.record_idx)
+    assert(pages(0).text === "café prêt")
+    assert(pages(1).text === "déjà")
+  }
+
   test("extractRecordsByPath routes plain files seekable and .gz streaming") {
     val plain = sample
     val mem = Warc.recordIndex(plain).get
