@@ -39,7 +39,14 @@ object Tar {
     if ((b(i) & 0x80) != 0) {
       var v = (b(i) & 0x7fL)
       i += 1
-      while (i < end) { v = (v << 8) | (b(i) & 0xffL); i += 1 }
+      while (i < end) {
+        // a 12-byte field can encode 95 bits; overflow that WRAPS to
+        // a non-negative Long would pass a sign check and index a
+        // wrong size — refuse before the shift loses bits
+        if ((v & 0xff00000000000000L) != 0) return None
+        v = (v << 8) | (b(i) & 0xffL)
+        i += 1
+      }
       return if (v >= 0) Some(v) else None
     }
     while (i < end && (b(i) == ' ')) i += 1
@@ -155,7 +162,12 @@ object Tar {
             ()
           case _ =>
             val base = {
-              val prefix = cstr(h, 345, 155)
+              // bytes 345..500 are the POSIX prefix field ONLY under
+              // the "ustar\0" magic; GNU format ("ustar ") keeps
+              // atime/ctime/sparse data there — prepending it would
+              // corrupt every name in a --format=gnu shard
+              val prefix =
+                if (h(262) == 0) cstr(h, 345, 155) else ""
               val nm = cstr(h, 0, 100)
               if (prefix.nonEmpty) s"$prefix/$nm" else nm
             }
@@ -219,6 +231,20 @@ object Tar {
     * key/ext split included — `groupBy(sample_key)` then IS the
     * WebDataset sample assembly, and the byte spans are the fetch
     * ranges. mapPartitions, flagged fallback. */
+  /** Rows for one asset's index result — the single materialization
+    * both seam functions share (no fallback-row twin drift). */
+  private def toRows(id: Long, indexed: Option[IndexedSeq[TarEntry]])
+      : Iterator[TarRow] = indexed match {
+    case Some(es) => es.iterator.map { e =>
+      val (key, ext) = splitKey(e.name)
+      TarRow(id, e.entryIdx, e.name, key, ext, e.typeflag.toString,
+        e.dataStart, e.dataLen, e.mtime, indexed = true)
+    }
+    case None =>
+      Iterator.single(TarRow(id, -1, "", "", "", "", 0L, 0L, 0L,
+        indexed = false))
+  }
+
   def extractEntries(df: org.apache.spark.sql.DataFrame, idCol: String,
       bytesCol: String)(implicit spark: org.apache.spark.sql.SparkSession)
       : org.apache.spark.sql.Dataset[TarRow] = {
@@ -228,20 +254,9 @@ object Tar {
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         it.flatMap { case (id, bytes) =>
-          val indexed =
+          toRows(id,
             try Option(bytes).flatMap(entryIndex)
-            catch { case scala.util.control.NonFatal(_) => None }
-          indexed match {
-            case Some(es) => es.iterator.map { e =>
-              val (key, ext) = splitKey(e.name)
-              TarRow(id, e.entryIdx, e.name, key, ext,
-                e.typeflag.toString, e.dataStart, e.dataLen, e.mtime,
-                indexed = true)
-            }
-            case None =>
-              Iterator.single(TarRow(id, -1, "", "", "", "", 0L, 0L, 0L,
-                indexed = false))
-          }
+            catch { case scala.util.control.NonFatal(_) => None })
         }
       }
   }
@@ -259,22 +274,11 @@ object Tar {
       .as[(Long, String)]
       .mapPartitions { it =>
         it.flatMap { case (id, path) =>
-          val indexed =
+          toRows(id,
             try {
               val r = new graft.multimodal.Mp4Index.FileRangeReader(path)
               try entryIndexSeekable(r) finally r.close()
-            } catch { case scala.util.control.NonFatal(_) => None }
-          indexed match {
-            case Some(es) => es.iterator.map { e =>
-              val (key, ext) = splitKey(e.name)
-              TarRow(id, e.entryIdx, e.name, key, ext,
-                e.typeflag.toString, e.dataStart, e.dataLen, e.mtime,
-                indexed = true)
-            }
-            case None =>
-              Iterator.single(TarRow(id, -1, "", "", "", "", 0L, 0L, 0L,
-                indexed = false))
-          }
+            } catch { case scala.util.control.NonFatal(_) => None })
         }
       }
   }

@@ -464,27 +464,29 @@ object Warc {
     * crawl corpus is NOT all UTF-8 (ISO-8859-1 and windows-1251/2
     * pages remain common); decoding them as UTF-8 turns every
     * non-ASCII character into U+FFFD. */
+  // charset= restricted to where it is MEANINGFUL: the Content-Type
+  // header line (RFC 9110 — an unrelated Link:/Refresh: header
+  // mentioning charset= must not hijack the decode) and <meta> tags
+  // in the body prefix; the value may be quoted (charset="iso-8859-1"
+  // is a legal quoted-string)
+  private val HeadCharsetRe =
+    "(?m)^content-type:[^\\r\\n]*?charset=\"?'?([a-z0-9_\\-]+)".r
+  private val MetaCharsetRe =
+    "(?s)<meta[^>]*charset\\s*=\\s*\"?'?([a-z0-9_\\-]+)".r
+
   private[io] def declaredCharset(bytes: Array[Byte], headFrom: Long,
       headUntil: Long, bodyFrom: Long, bodyLen: Long)
       : Option[java.nio.charset.Charset] = {
-    def find(s: String): Option[String] = {
-      val at = s.indexOf("charset=")
-      if (at < 0) None
-      else {
-        val v = s.substring(at + 8).takeWhile(c =>
-          c.isLetterOrDigit || c == '-' || c == '_')
-        if (v.isEmpty) None else Some(v)
-      }
-    }
     val head = new String(bytes, headFrom.toInt,
       (headUntil - headFrom).toInt, "ISO-8859-1")
       .toLowerCase(java.util.Locale.ROOT)
-    val name = find(head).orElse {
-      val probe = math.min(1024L, bodyLen).toInt
-      val bodyHead = new String(bytes, bodyFrom.toInt, probe,
-        "ISO-8859-1").toLowerCase(java.util.Locale.ROOT)
-      find(bodyHead.replace("\"", "").replace("'", ""))
-    }
+    val name = HeadCharsetRe.findFirstMatchIn(head).map(_.group(1))
+      .orElse {
+        val probe = math.min(1024L, bodyLen).toInt
+        val bodyHead = new String(bytes, bodyFrom.toInt, probe,
+          "ISO-8859-1").toLowerCase(java.util.Locale.ROOT)
+        MetaCharsetRe.findFirstMatchIn(bodyHead).map(_.group(1))
+      }
     name.flatMap { n =>
       try Some(java.nio.charset.Charset.forName(n))
       catch { case scala.util.control.NonFatal(_) => None }

@@ -47,6 +47,38 @@ class TarSpec extends AnyFunSuite {
     assert(Tar.splitKey("a.dir/README") === ("a.dir/README", ""))
   }
 
+  test("GNU magic ('ustar ') never reads the POSIX prefix field (atime lives there)") {
+    val b = Tar.encodeSynthetic(Seq(m("clip.jpg", 64)))
+    // rewrite the first header to oldgnu: magic "ustar  \0" and an
+    // octal atime where POSIX keeps the prefix, then re-checksum
+    val h = java.util.Arrays.copyOfRange(b, 0, 512)
+    h(262) = ' '; h(263) = ' '; h(264) = 0
+    "13261351760 ".getBytes("ISO-8859-1").copyToArray(h, 345)
+    java.util.Arrays.fill(h, 148, 156, ' '.toByte)
+    var sum = 0L; h.foreach(x => sum += (x & 0xff))
+    val cs = java.lang.Long.toOctalString(sum)
+    (("0" * (6 - cs.length)) + cs).getBytes("ISO-8859-1").copyToArray(h, 148)
+    h(154) = 0; h(155) = ' '
+    val g = h ++ java.util.Arrays.copyOfRange(b, 512, b.length)
+    val es = Tar.entryIndex(g).get
+    assert(es.head.name === "clip.jpg",
+      "the atime field must not be prepended as a bogus prefix")
+  }
+
+  test("base-256 sizes that wrap past Long refuse instead of mis-indexing") {
+    val b = Tar.encodeSynthetic(Seq(m("x.bin", 100)))
+    val h = java.util.Arrays.copyOfRange(b, 0, 512)
+    h(124) = 0x81.toByte // base-256 marker, 2^88: wraps to 0 in a Long
+    java.util.Arrays.fill(h, 125, 136, 0.toByte)
+    java.util.Arrays.fill(h, 148, 156, ' '.toByte)
+    var sum = 0L; h.foreach(x => sum += (x & 0xff))
+    val cs = java.lang.Long.toOctalString(sum)
+    (("0" * (6 - cs.length)) + cs).getBytes("ISO-8859-1").copyToArray(h, 148)
+    h(154) = 0; h(155) = ' '
+    assert(Tar.entryIndex(
+      h ++ java.util.Arrays.copyOfRange(b, 512, b.length)).isEmpty)
+  }
+
   test("strictness: junk, bad checksum, truncation, partial terminator refuse") {
     assert(Tar.entryIndex(Array[Byte](9, 9, 9)).isEmpty)
     assert(Tar.entryIndex(new Array[Byte](511)).isEmpty)

@@ -49,6 +49,18 @@ class WarcSparkSpec extends SparkSpec {
       .collect().sortBy(_.record_idx)
     assert(pages(0).text === "café prêt")
     assert(pages(1).text === "déjà")
+    // charset= in an UNRELATED header or URL must not hijack the
+    // decode; a QUOTED Content-Type charset must still parse
+    val tricky = Warc.encodeSynthetic(Seq(
+      ("response", "http://t.example/", "application/http; msgtype=response",
+        Warc.httpResponse(200, "OK", Seq(
+          ("Link", "</alt?charset=gbk>; rel=alternate"),
+          ("Content-Type", "text/html; charset=\"iso-8859-1\"")),
+          "<html><body><p>naïve</p></body></html>"
+            .getBytes("ISO-8859-1")))))
+    val tp = Warc.extractHtmlPages(
+      Seq((1L, tricky)).toDF("id", "bytes"), "id", "bytes").collect()
+    assert(tp.head.text === "naïve")
   }
 
   test("extractRecordsByPath routes plain files seekable and .gz streaming") {
