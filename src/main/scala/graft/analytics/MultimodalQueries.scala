@@ -961,21 +961,24 @@ object MultimodalQueries {
     * VP8L header; AVIF is a libavif-layout fixture whose THUMBNAIL
     * ispe precedes the primary item's in ipco — pinning the
     * pitm+ipma primary-item resolution (a first-ispe heuristic
-    * returns 160×90 and hash-fails); junk pins the flagged fallback.
-    * A marker-walk, endianness, or chunk-dispatch regression
-    * hash-fails.
+    * returns 160×90 and hash-fails); asset 8 pins EXIF orientation
+    * (a phone-style APP1 with tag 0x0112 = 6 — perceptual hashing
+    * of rotated captures depends on it); junk pins the flagged
+    * fallback. A marker-walk, endianness, chunk-dispatch, or
+    * TIFF-IFD regression hash-fails.
     */
   val qMultimodalImageDims: QueryDef = QueryDef.sql(
     "q_multimodal_image_dims",
     """SELECT * FROM (VALUES
-      |  (1, 'png', 31, 17, true),
-      |  (2, 'jpeg', 63, 41, true),
-      |  (3, 'gif', 12, 7, true),
-      |  (4, 'bmp', 9, 5, true),
-      |  (5, 'webp', 100, 50, true),
-      |  (6, NULL, NULL, NULL, false),
-      |  (7, 'avif', 1280, 720, true))
-      |  AS t(asset_id, format, width, height, parsed)
+      |  (1, 'png', 31, 17, 1, true),
+      |  (2, 'jpeg', 63, 41, 1, true),
+      |  (3, 'gif', 12, 7, 1, true),
+      |  (4, 'bmp', 9, 5, 1, true),
+      |  (5, 'webp', 100, 50, 1, true),
+      |  (6, NULL, NULL, NULL, NULL, false),
+      |  (7, 'avif', 1280, 720, 1, true),
+      |  (8, 'jpeg', 63, 41, 6, true))
+      |  AS t(asset_id, format, width, height, orientation, parsed)
       |ORDER BY asset_id""".stripMargin,
     doc = "decode-free image dimensions from container headers " +
       "(multimodal ops; the scalable pre-filter before any decode)") {
@@ -1013,7 +1016,22 @@ object MultimodalQueries {
       (4L, "mem://d.bmp", enc("bmp", 9, 5)),
       (5L, "mem://e.webp", vp8l),
       (6L, "mem://f.png", Array[Byte](9, 9, 9, 9)),
-      (7L, "mem://g.avif", avif)
+      (7L, "mem://g.avif", avif),
+      // a phone-style rotated JPEG: EXIF APP1 with orientation 6
+      // spliced ahead of a real ImageIO JPEG's segments
+      (8L, "mem://h.jpg", {
+        val real = enc("jpg", 63, 41)
+        val tiff = Array[Byte]('I', 'I', 42, 0, 8, 0, 0, 0, // LE, IFD0@8
+          1, 0,                                   // 1 entry
+          0x12, 0x01, 3, 0, 1, 0, 0, 0, 6, 0, 0, 0, // tag 0x0112 = 6
+          0, 0, 0, 0)                             // next-IFD = none
+        val exif = "Exif".getBytes("ISO-8859-1") ++
+          Array[Byte](0, 0) ++ tiff
+        val segLen = 2 + exif.length
+        Array[Byte](0xff.toByte, 0xd8.toByte, 0xff.toByte, 0xe1.toByte,
+          ((segLen >> 8) & 0xff).toByte, (segLen & 0xff).toByte) ++
+          exif ++ real.drop(2)
+      })
     ).toDF("id", "uri", "bytes")
     Multimodal.extractImageDims(
         Multimodal.toMediaAssets(assets, "id", "uri", "bytes")(s))(s)
@@ -1021,6 +1039,7 @@ object MultimodalQueries {
         when(col("parsed"), col("format")).as("format"),
         when(col("parsed"), col("width")).as("width"),
         when(col("parsed"), col("height")).as("height"),
+        when(col("parsed"), col("orientation")).as("orientation"),
         col("parsed"))
       .orderBy("asset_id")
   }

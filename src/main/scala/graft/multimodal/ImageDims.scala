@@ -254,4 +254,66 @@ object ImageDims {
     if (b == null || b.length < 10) None
     else png(b).orElse(jpeg(b)).orElse(gif(b)).orElse(bmp(b))
       .orElse(webp(b)).orElse(avif(b))
+
+  /** The EXIF orientation (1–8, TIFF tag 0x0112) of a JPEG — 1
+    * ("upright") when absent or unparseable. Orientation matters to
+    * the perceptual pipeline: aHash/resize of a camera JPEG stored
+    * rotated (orientations 3/6/8 are ubiquitous phone output)
+    * fingerprints a sideways image unless the pipeline knows to
+    * rotate first. Walk: the APP1 `Exif\0\0` segment → TIFF header
+    * (II/MM byte order, magic 42) → IFD0 entries → tag 0x0112's
+    * SHORT value. Every offset bounds-checked against the segment.
+    */
+  def jpegOrientation(b: Array[Byte]): Int = {
+    if (b == null || b.length < 4 || (b(0) & 0xff) != 0xff ||
+        (b(1) & 0xff) != 0xd8) return 1
+    var i = 2
+    while (i + 4 <= b.length) {
+      if ((b(i) & 0xff) != 0xff) return 1
+      var m = b(i + 1) & 0xff
+      while (m == 0xff && i + 2 < b.length) { i += 1; m = b(i + 1) & 0xff }
+      if (m == 0xd8 || m == 0x01 || (m >= 0xd0 && m <= 0xd7)) i += 2
+      else if (m == 0xd9 || m == 0xda) return 1 // scan starts: no EXIF
+      else {
+        if (i + 4 > b.length) return 1
+        val segLen = u16be(b, i + 2)
+        if (segLen < 2 || i + 2 + segLen > b.length) return 1
+        if (m == 0xe1 && segLen >= 16 &&
+            b(i + 4) == 'E' && b(i + 5) == 'x' && b(i + 6) == 'i' &&
+            b(i + 7) == 'f' && b(i + 8) == 0 && b(i + 9) == 0) {
+          val t = i + 10 // the TIFF header
+          val end = i + 2 + segLen
+          val le = b(t) == 'I' && b(t + 1) == 'I'
+          val be = b(t) == 'M' && b(t + 1) == 'M'
+          if (!le && !be) return 1
+          def rd16(o: Int): Int =
+            if (le) (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+            else ((b(o) & 0xff) << 8) | (b(o + 1) & 0xff)
+          def rd32(o: Int): Long =
+            if (le) (b(o) & 0xffL) | ((b(o + 1) & 0xffL) << 8) |
+              ((b(o + 2) & 0xffL) << 16) | ((b(o + 3) & 0xffL) << 24)
+            else ((b(o) & 0xffL) << 24) | ((b(o + 1) & 0xffL) << 16) |
+              ((b(o + 2) & 0xffL) << 8) | (b(o + 3) & 0xffL)
+          if (t + 8 > end || rd16(t + 2) != 42) return 1
+          val ifd0 = rd32(t + 4)
+          if (ifd0 < 8 || t + ifd0 + 2 > end) return 1
+          val e0 = (t + ifd0).toInt
+          val n = rd16(e0)
+          var k = 0
+          while (k < n) {
+            val eo = e0 + 2 + 12 * k
+            if (eo + 12 > end) return 1
+            if (rd16(eo) == 0x0112 && rd16(eo + 2) == 3) {
+              val v = rd16(eo + 8) // SHORT rides the value field head
+              return if (v >= 1 && v <= 8) v else 1
+            }
+            k += 1
+          }
+          return 1 // IFD0 carries no orientation
+        }
+        i += 2 + segLen
+      }
+    }
+    1
+  }
 }

@@ -246,10 +246,11 @@ object Multimodal {
 
   /** An image's perceptual hash; `decoded = false` marks undecodable
     * bytes (stub hash from the byte content, deterministic). */
-  /** Decode-free image dimensions; `parsed = false` flags bytes no
-    * header parser accepts. */
+  /** Decode-free image dimensions + EXIF orientation (1–8; 1 for
+    * formats without one); `parsed = false` flags bytes no header
+    * parser accepts. */
   final case class ImageDimsRow(asset_id: Long, format: String,
-      width: Int, height: Int, parsed: Boolean)
+      width: Int, height: Int, orientation: Int, parsed: Boolean)
 
   /** Header-only dimension extraction ([[ImageDims]]): resolution /
     * aspect filtering of an image corpus WITHOUT paying a pixel
@@ -268,9 +269,14 @@ object Multimodal {
           try ImageDims.dims(a.content)
           catch { case scala.util.control.NonFatal(_) => None }
         d match {
-          case Some(x) => ImageDimsRow(a.asset_id, x.format, x.width,
-            x.height, parsed = true)
-          case None => ImageDimsRow(a.asset_id, "", 0, 0, parsed = false)
+          case Some(x) =>
+            val orient =
+              if (x.format == "jpeg") ImageDims.jpegOrientation(a.content)
+              else 1
+            ImageDimsRow(a.asset_id, x.format, x.width, x.height, orient,
+              parsed = true)
+          case None => ImageDimsRow(a.asset_id, "", 0, 0, 0,
+            parsed = false)
         }
       }
     }

@@ -85,6 +85,36 @@ class ImageDimsSpec extends AnyFunSuite {
       Seq(Array[Byte](1, 2, 3, 4)), syncSamples = Seq(1))).isEmpty)
   }
 
+  private def exifJpeg(tiff: Array[Byte]): Array[Byte] = {
+    val real = encode("jpg", 63, 41)
+    val exif = "Exif".getBytes("ISO-8859-1") ++ Array[Byte](0, 0) ++ tiff
+    val segLen = 2 + exif.length
+    Array[Byte](0xff.toByte, 0xd8.toByte, 0xff.toByte, 0xe1.toByte,
+      ((segLen >> 8) & 0xff).toByte, (segLen & 0xff).toByte) ++
+      exif ++ real.drop(2)
+  }
+
+  test("EXIF orientation parses in both byte orders; absent = 1") {
+    // ImageIO writes no EXIF: upright
+    assert(ImageDims.jpegOrientation(encode("jpg", 8, 8)) === 1)
+    assert(ImageDims.jpegOrientation(encode("png", 8, 8)) === 1)
+    assert(ImageDims.jpegOrientation(Array[Byte](9, 9)) === 1)
+    // little-endian TIFF, orientation 6 (phone portrait)
+    val le = exifJpeg(Array[Byte]('I', 'I', 42, 0, 8, 0, 0, 0,
+      1, 0, 0x12, 0x01, 3, 0, 1, 0, 0, 0, 6, 0, 0, 0, 0, 0, 0, 0))
+    assert(ImageDims.jpegOrientation(le) === 6)
+    // big-endian TIFF, orientation 3
+    val be = exifJpeg(Array[Byte]('M', 'M', 0, 42, 0, 0, 0, 8,
+      0, 1, 0x01, 0x12, 0, 3, 0, 0, 0, 1, 0, 3, 0, 0, 0, 0, 0, 0))
+    assert(ImageDims.jpegOrientation(be) === 3)
+    // the dims walk still reads the spliced JPEG (APP1 skipped)
+    assert(ImageDims.dims(le).get === ImageDims.Dims("jpeg", 63, 41))
+    // an out-of-range value falls back to 1
+    val bad = exifJpeg(Array[Byte]('I', 'I', 42, 0, 8, 0, 0, 0,
+      1, 0, 0x12, 0x01, 3, 0, 1, 0, 0, 0, 9, 0, 0, 0, 0, 0, 0, 0))
+    assert(ImageDims.jpegOrientation(bad) === 1)
+  }
+
   test("strictness: junk, truncation, wrong-first-chunk PNG, SOF-less JPEG refuse") {
     assert(ImageDims.dims(Array[Byte](9, 9, 9, 9)).isEmpty)
     assert(ImageDims.dims(Array.empty[Byte]).isEmpty)
