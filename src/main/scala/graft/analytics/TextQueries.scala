@@ -2047,9 +2047,51 @@ object TextQueries {
       .orderBy("asset_id", "sample_key")
   }
 
+  /** The END-TO-END crawl curation composition: WARC bytes →
+    * [[graft.io.Warc.extractHtmlPages]] → the text operators
+    * (token counting + language ID) in ONE plan — a user goes from a
+    * Common Crawl shard to language-routed, token-counted training
+    * rows without leaving the engine. Exact oracle: the extracted
+    * sentences' whitespace token counts (13/12), char counts
+    * (57/59), and the stopword language votes (en 7-0, de 0-7),
+    * hand-derived independently. Any regression across the WARC
+    * walk, HTML extraction, tokenizer, or langid lexicons
+    * hash-fails in one place.
+    */
+  val qWarcCurate: QueryDef = QueryDef.sql(
+    "q_warc_curate",
+    """SELECT * FROM (VALUES
+      |  (0, 'http://en.example/', 13, 57, 'en'),
+      |  (1, 'http://de.example/', 12, 59, 'de'))
+      |  AS t(record_idx, target_uri, n_tokens, n_chars, lang_pred)
+      |ORDER BY record_idx""".stripMargin,
+    doc = "WARC -> HTML -> tokens + language ID in one composed plan " +
+      "(the crawl-shard-to-curated-rows path)") {
+    (s, dir) =>
+    import s.implicits._
+    import graft.io.Warc
+    def page(uri: String, sentence: String): (String, String, String,
+        Array[Byte]) =
+      ("response", uri, "application/http; msgtype=response",
+        Warc.httpResponse(200, "OK", Seq(("Content-Type", "text/html")),
+          s"<html><body><p>$sentence</p></body></html>".getBytes("UTF-8")))
+    val shard = Warc.encodeSynthetic(Seq(
+      page("http://en.example/",
+        "The cat and the dog run with the ball. It is that simple."),
+      page("http://de.example/",
+        "Der Hund und die Katze sind nicht ein Problem mit der Zeit.")))
+    val assets = Seq((1L, shard)).toDF("id", "bytes")
+    Warc.extractHtmlPages(assets, "id", "bytes")(s).toDF
+      .select(col("record_idx"), col("target_uri"),
+        TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+        length(col("text")).as("n_chars"),
+        TextAnalysis.languageId(col("text")).as("lang_pred"))
+      .orderBy("record_idx")
+  }
+
   val all: Seq[QueryDef] = Seq(
     qSubtitleCues, qWarcRecords, qWarcHtmlText, qTarIndex,
-    qWebdatasetSamples, qGzipMembers,
+    qWebdatasetSamples, qGzipMembers, qWarcCurate,
     qTextTokens, qTextQuality, qTextLangId, qTextFingerprint, qTokenFreq,
     qSelectPipeline, qPackSequences, qTextRedact, qCuratePipeline,
     qDecontaminate, qDecontaminateFuzzy, qTfidf, qQualityRules, qUrlDedup,
