@@ -2047,6 +2047,44 @@ object TextQueries {
       .orderBy("asset_id", "sample_key")
   }
 
+  /** TFRecord indexing ([[graft.io.TfRecord]]): the other dominant
+    * training-shard format beside WebDataset tars. Byte-exact oracle
+    * from the framing arithmetic (12-byte head + payload + 4-byte
+    * CRC): payloads 100/3/250 sit at 12/128/147; both masked
+    * CRC32Cs validate per record (the strict walk's contract — a
+    * corrupt length cannot send the walk into payload bytes). Junk
+    * pins the flagged fallback. A framing, CRC-mask, or tiling
+    * regression hash-fails.
+    */
+  val qTfrecordIndex: QueryDef = QueryDef.sql(
+    "q_tfrecord_index",
+    """SELECT * FROM (VALUES
+      |  (1, 0, CAST(12 AS BIGINT), CAST(100 AS BIGINT), true),
+      |  (1, 1, CAST(128 AS BIGINT), CAST(3 AS BIGINT), true),
+      |  (1, 2, CAST(147 AS BIGINT), CAST(250 AS BIGINT), true),
+      |  (2, -1, NULL, NULL, false))
+      |  AS t(asset_id, record_idx, data_start, data_len, indexed)
+      |ORDER BY asset_id, record_idx""".stripMargin,
+    doc = "TFRecord framing index: payload spans + masked-CRC32C " +
+      "validation (training-shard container)") {
+    (s, dir) =>
+    import s.implicits._
+    import graft.io.TfRecord
+    val assets = Seq(
+      (1L, TfRecord.encodeSynthetic(Seq(
+        Array.tabulate[Byte](100)(i => ((i * 7) & 0x7f).toByte),
+        Array.tabulate[Byte](3)(i => i.toByte),
+        Array.tabulate[Byte](250)(i => ((i * 31) & 0x7f).toByte)))),
+      (2L, Array[Byte](9, 9, 9))
+    ).toDF("id", "bytes")
+    TfRecord.extractRecords(assets, "id", "bytes")(s)
+      .select(col("asset_id"), col("record_idx"),
+        when(col("indexed"), col("data_start")).as("data_start"),
+        when(col("indexed"), col("data_len")).as("data_len"),
+        col("indexed"))
+      .orderBy("asset_id", "record_idx")
+  }
+
   /** The END-TO-END crawl curation composition: WARC bytes →
     * [[graft.io.Warc.extractHtmlPages]] → the text operators
     * (token counting + language ID) in ONE plan — a user goes from a
@@ -2091,7 +2129,7 @@ object TextQueries {
 
   val all: Seq[QueryDef] = Seq(
     qSubtitleCues, qWarcRecords, qWarcHtmlText, qTarIndex,
-    qWebdatasetSamples, qGzipMembers, qWarcCurate,
+    qWebdatasetSamples, qGzipMembers, qWarcCurate, qTfrecordIndex,
     qTextTokens, qTextQuality, qTextLangId, qTextFingerprint, qTokenFreq,
     qSelectPipeline, qPackSequences, qTextRedact, qCuratePipeline,
     qDecontaminate, qDecontaminateFuzzy, qTfidf, qQualityRules, qUrlDedup,
