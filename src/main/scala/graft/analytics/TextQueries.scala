@@ -2085,6 +2085,60 @@ object TextQueries {
       .orderBy("asset_id", "record_idx")
   }
 
+  /** ZIP central-directory indexing ([[graft.io.ZipIndex]]):
+    * document corpora (and DOCX/EPUB) are zips, and the
+    * end-of-file central directory makes ZIP the family's most
+    * seek-friendly container. The fixture is written by the JDK's
+    * OWN ZipOutputStream (a real external encoder); the oracle pins
+    * the encoder-independent columns (names, methods, sizes) and
+    * ZipIndexSpec round-trips every span back to exact/inflatable
+    * content (data offsets are writer-layout details, not oracle
+    * constants). Junk pins the flagged fallback.
+    */
+  val qZipIndex: QueryDef = QueryDef.sql(
+    "q_zip_index",
+    """SELECT * FROM (VALUES
+      |  (1, 0, '0001.txt', 0, CAST(100 AS BIGINT), CAST(100 AS BIGINT), true),
+      |  (1, 1, 'sub/0002.bin', 0, CAST(3 AS BIGINT), CAST(3 AS BIGINT), true),
+      |  (1, 2, '0003.dat', 0, CAST(250 AS BIGINT), CAST(250 AS BIGINT), true),
+      |  (2, -1, NULL, NULL, NULL, NULL, false))
+      |  AS t(asset_id, entry_idx, name, method, comp_len, uncomp_len,
+      |       indexed)
+      |ORDER BY asset_id, entry_idx""".stripMargin,
+    doc = "ZIP central-directory member index (document/shard " +
+      "container; spans are spec-verified round-trip)") {
+    (s, dir) =>
+    import s.implicits._
+    import graft.io.ZipIndex
+    val zipBytes = {
+      val out = new java.io.ByteArrayOutputStream()
+      val z = new java.util.zip.ZipOutputStream(out)
+      Seq(("0001.txt", 100), ("sub/0002.bin", 3), ("0003.dat", 250))
+        .foreach { case (name, n) =>
+          val data = Array.tabulate[Byte](n)(i => ((i * 7) & 0x7f).toByte)
+          val e = new java.util.zip.ZipEntry(name)
+          e.setTime(1700000000000L)
+          e.setMethod(java.util.zip.ZipEntry.STORED)
+          e.setSize(n.toLong); e.setCompressedSize(n.toLong)
+          val c = new java.util.zip.CRC32(); c.update(data)
+          e.setCrc(c.getValue)
+          z.putNextEntry(e); z.write(data); z.closeEntry()
+        }
+      z.close()
+      out.toByteArray
+    }
+    val assets = Seq((1L, zipBytes), (2L, Array[Byte](9, 9, 9)))
+      .toDF("id", "bytes")
+    ZipIndex.extractEntries(assets, "id", "bytes")(s)
+      .select(col("asset_id"), col("entry_idx"),
+        when(col("indexed"), col("name")).as("name"),
+        when(col("indexed"), col("method")).as("method"),
+        when(col("indexed"), col("comp_len")).as("comp_len"),
+        when(col("indexed"), col("uncomp_len")).as("uncomp_len"),
+        col("indexed"))
+      .orderBy("asset_id", "entry_idx")
+  }
+
   /** The END-TO-END crawl curation composition: WARC bytes →
     * [[graft.io.Warc.extractHtmlPages]] → the text operators
     * (token counting + language ID) in ONE plan — a user goes from a
@@ -2130,6 +2184,7 @@ object TextQueries {
   val all: Seq[QueryDef] = Seq(
     qSubtitleCues, qWarcRecords, qWarcHtmlText, qTarIndex,
     qWebdatasetSamples, qGzipMembers, qWarcCurate, qTfrecordIndex,
+    qZipIndex,
     qTextTokens, qTextQuality, qTextLangId, qTextFingerprint, qTokenFreq,
     qSelectPipeline, qPackSequences, qTextRedact, qCuratePipeline,
     qDecontaminate, qDecontaminateFuzzy, qTfidf, qQualityRules, qUrlDedup,
