@@ -35,6 +35,12 @@ object ZipIndex {
   private def u64(b: Array[Byte], i: Int): Long =
     u32(b, i) | (u32(b, i + 4) << 32)
 
+  private val Utf8Cs = java.nio.charset.StandardCharsets.UTF_8
+  private val Cp437: java.nio.charset.Charset =
+    try java.nio.charset.Charset.forName("IBM437")
+    catch { case scala.util.control.NonFatal(_) =>
+      java.nio.charset.StandardCharsets.ISO_8859_1 }
+
   /** The member index over a seekable source — THE implementation
     * (byte columns wrap [[graft.multimodal.Mp4Index.BytesRangeReader]]).
     */
@@ -62,22 +68,30 @@ object ZipIndex {
     val eocdAbs = total - tailLen + e
     if (nEntries == 0xffffL || cdSize == 0xffffffffL ||
         cdOff == 0xffffffffL) {
-      // ZIP64: the locator sits directly before the EOCD
-      if (eocdAbs < 20) return None
-      val loc = r.readFully(eocdAbs - 20, 20)
-      if (!(loc(0) == 'P' && loc(1) == 'K' && loc(2) == 6 &&
-        loc(3) == 7)) return None
-      val e64At = u64(loc, 8)
-      if (e64At < 0 || e64At + 56 > total) return None
-      val e64 = r.readFully(e64At, 56)
-      if (!(e64(0) == 'P' && e64(1) == 'K' && e64(2) == 6 &&
-        e64(3) == 6)) return None
-      nEntries = u64(e64, 32)
-      cdSize = u64(e64, 40)
-      cdOff = u64(e64, 48)
+      // ZIP64: the locator sits directly before the EOCD. A
+      // saturated field WITHOUT a locator is also legal (an archive
+      // of exactly 65535 members stores the count literally) — fall
+      // back to the EOCD values then, like java.util.zip does.
+      val loc = if (eocdAbs >= 20) r.readFully(eocdAbs - 20, 20)
+        else Array.empty[Byte]
+      if (loc.length == 20 && loc(0) == 'P' && loc(1) == 'K' &&
+          loc(2) == 6 && loc(3) == 7) {
+        val e64At = u64(loc, 8)
+        // subtraction-form bounds: additions can wrap a crafted
+        // 0x7fff… offset negative and slip past a sum-side check
+        if (e64At < 0 || e64At > total - 56) return None
+        val e64 = r.readFully(e64At, 56)
+        if (!(e64(0) == 'P' && e64(1) == 'K' && e64(2) == 6 &&
+          e64(3) == 6)) return None
+        nEntries = u64(e64, 32)
+        cdSize = u64(e64, 40)
+        cdOff = u64(e64, 48)
+      } else if (cdSize == 0xffffffffL || cdOff == 0xffffffffL) {
+        return None // directory truly unaddressable without ZIP64
+      }
     }
     if (cdSize < 0 || cdSize > maxCdBytes || cdOff < 0 ||
-        cdOff + cdSize > total || nEntries < 0 ||
+        cdOff > total - cdSize || nEntries < 0 ||
         nEntries > cdSize / 46 + 1) return None
     val cd = r.readFully(cdOff, cdSize.toInt)
     val out = scala.collection.mutable.ArrayBuffer.empty[ZipEntry]
@@ -87,6 +101,7 @@ object ZipIndex {
       if (p + 46 > cd.length) return None
       if (!(cd(p) == 'P' && cd(p + 1) == 'K' && cd(p + 2) == 1 &&
         cd(p + 3) == 2)) return None
+      val flags = u16(cd, p + 8)
       val method = u16(cd, p + 10)
       val crc = u32(cd, p + 16)
       var compLen = u32(cd, p + 20)
@@ -97,7 +112,11 @@ object ZipIndex {
       var localOff = u32(cd, p + 42)
       if (p + 46 + nameLen + extraLen + commentLen > cd.length)
         return None
-      val name = new String(cd, p + 46, nameLen, "UTF-8")
+      // general-purpose bit 11 (EFS) = UTF-8 names; without it the
+      // APPNOTE says IBM CP437 — decoding a legacy archive's
+      // high-byte name as UTF-8 would mangle it to U+FFFD
+      val name = new String(cd, p + 46, nameLen,
+        if ((flags & 0x0800) != 0) Utf8Cs else Cp437)
       // ZIP64 extra field 0x0001: values replace saturated fields in
       // spec order (uncomp, comp, localOff)
       var x = p + 46 + nameLen
@@ -123,12 +142,13 @@ object ZipIndex {
         }
         x += 4 + sz
       }
-      if (localOff < 0 || localOff + 30 > total) return None
+      if (localOff < 0 || localOff > total - 30) return None
       val lh = r.readFully(localOff, 30)
       if (!(lh(0) == 'P' && lh(1) == 'K' && lh(2) == 3 && lh(3) == 4))
         return None
       val dataStart = localOff + 30 + u16(lh, 26) + u16(lh, 28)
-      if (compLen < 0 || dataStart + compLen > total) return None
+      if (compLen < 0 || dataStart > total ||
+          compLen > total - dataStart) return None
       out += ZipEntry(out.length, name, method, dataStart, compLen,
         uncompLen, crc)
       p += 46 + nameLen + extraLen + commentLen

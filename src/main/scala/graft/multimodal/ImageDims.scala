@@ -57,9 +57,17 @@ object ImageDims {
     else Some(Dims("png", w.toInt, h.toInt))
   }
 
-  private def jpeg(b: Array[Byte]): Option[Dims] = {
+  /** The SHARED JPEG marker walk (fill bytes, standalone markers,
+    * length-bounds checks — subtle enough that [[jpeg]] and
+    * [[jpegOrientation]] must not each carry a drifting copy):
+    * segments as (marker, payloadStart, payloadLen), collected up to
+    * the first SOS/EOI. None on structural breaks (lost alignment,
+    * a length overrunning the stream). */
+  private def jpegSegs(b: Array[Byte])
+      : Option[IndexedSeq[(Int, Int, Int)]] = {
     if (b.length < 4 || (b(0) & 0xff) != 0xff || (b(1) & 0xff) != 0xd8)
       return None
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Int)]
     var i = 2
     while (i + 4 <= b.length) {
       if ((b(i) & 0xff) != 0xff) return None // marker alignment lost
@@ -69,24 +77,32 @@ object ImageDims {
       if (m == 0xd8 || m == 0x01 || (m >= 0xd0 && m <= 0xd7)) {
         i += 2 // standalone markers carry no length
       } else if (m == 0xd9 || m == 0xda) {
-        return None // EOI / start-of-scan before any SOF
+        return Some(out.toIndexedSeq) // scan data follows — stop here
       } else {
         // the fill-byte loop advanced i: re-check before the length read
         if (i + 4 > b.length) return None
         val segLen = u16be(b, i + 2)
         if (segLen < 2 || i + 2 + segLen > b.length) return None
-        val isSof = m >= 0xc0 && m <= 0xcf &&
-          m != 0xc4 && m != 0xc8 && m != 0xcc
-        if (isSof) {
-          if (segLen < 7) return None
-          val h = u16be(b, i + 5); val w = u16be(b, i + 7)
-          return if (w > 0 && h > 0) Some(Dims("jpeg", w, h)) else None
-        }
+        out += ((m, i + 4, segLen - 2))
         i += 2 + segLen
       }
     }
-    None
+    Some(out.toIndexedSeq)
   }
+
+  private def isSofMarker(m: Int): Boolean =
+    m >= 0xc0 && m <= 0xcf && m != 0xc4 && m != 0xc8 && m != 0xcc
+
+  private def jpeg(b: Array[Byte]): Option[Dims] =
+    jpegSegs(b).flatMap { segs =>
+      segs.find(s => isSofMarker(s._1)).flatMap { case (_, off, len) =>
+        if (len < 5) None
+        else {
+          val h = u16be(b, off + 1); val w = u16be(b, off + 3)
+          if (w > 0 && h > 0) Some(Dims("jpeg", w, h)) else None
+        }
+      }
+    }
 
   private def gif(b: Array[Byte]): Option[Dims] = {
     if (b.length < 10) return None
@@ -265,55 +281,44 @@ object ImageDims {
     * SHORT value. Every offset bounds-checked against the segment.
     */
   def jpegOrientation(b: Array[Byte]): Int = {
-    if (b == null || b.length < 4 || (b(0) & 0xff) != 0xff ||
-        (b(1) & 0xff) != 0xd8) return 1
-    var i = 2
-    while (i + 4 <= b.length) {
-      if ((b(i) & 0xff) != 0xff) return 1
-      var m = b(i + 1) & 0xff
-      while (m == 0xff && i + 2 < b.length) { i += 1; m = b(i + 1) & 0xff }
-      if (m == 0xd8 || m == 0x01 || (m >= 0xd0 && m <= 0xd7)) i += 2
-      else if (m == 0xd9 || m == 0xda) return 1 // scan starts: no EXIF
-      else {
-        if (i + 4 > b.length) return 1
-        val segLen = u16be(b, i + 2)
-        if (segLen < 2 || i + 2 + segLen > b.length) return 1
-        if (m == 0xe1 && segLen >= 16 &&
-            b(i + 4) == 'E' && b(i + 5) == 'x' && b(i + 6) == 'i' &&
-            b(i + 7) == 'f' && b(i + 8) == 0 && b(i + 9) == 0) {
-          val t = i + 10 // the TIFF header
-          val end = i + 2 + segLen
-          val le = b(t) == 'I' && b(t + 1) == 'I'
-          val be = b(t) == 'M' && b(t + 1) == 'M'
-          if (!le && !be) return 1
-          def rd16(o: Int): Int =
-            if (le) (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
-            else ((b(o) & 0xff) << 8) | (b(o + 1) & 0xff)
-          def rd32(o: Int): Long =
-            if (le) (b(o) & 0xffL) | ((b(o + 1) & 0xffL) << 8) |
-              ((b(o + 2) & 0xffL) << 16) | ((b(o + 3) & 0xffL) << 24)
-            else ((b(o) & 0xffL) << 24) | ((b(o + 1) & 0xffL) << 16) |
-              ((b(o + 2) & 0xffL) << 8) | (b(o + 3) & 0xffL)
-          if (t + 8 > end || rd16(t + 2) != 42) return 1
-          val ifd0 = rd32(t + 4)
-          if (ifd0 < 8 || t + ifd0 + 2 > end) return 1
-          val e0 = (t + ifd0).toInt
-          val n = rd16(e0)
-          var k = 0
-          while (k < n) {
-            val eo = e0 + 2 + 12 * k
-            if (eo + 12 > end) return 1
-            if (rd16(eo) == 0x0112 && rd16(eo + 2) == 3) {
-              val v = rd16(eo + 8) // SHORT rides the value field head
-              return if (v >= 1 && v <= 8) v else 1
-            }
-            k += 1
-          }
-          return 1 // IFD0 carries no orientation
-        }
-        i += 2 + segLen
-      }
+    if (b == null) return 1
+    val app1 = jpegSegs(b).toSeq.flatten.find { case (m, off, len) =>
+      m == 0xe1 && len >= 14 &&
+        b(off) == 'E' && b(off + 1) == 'x' && b(off + 2) == 'i' &&
+        b(off + 3) == 'f' && b(off + 4) == 0 && b(off + 5) == 0
     }
-    1
+    app1 match {
+      case None => 1
+      case Some((_, off, len)) =>
+        val t = off + 6 // the TIFF header
+        val end = off + len
+        val le = b(t) == 'I' && b(t + 1) == 'I'
+        val be = b(t) == 'M' && b(t + 1) == 'M'
+        if (!le && !be) return 1
+        def rd16(o: Int): Int =
+          if (le) (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+          else ((b(o) & 0xff) << 8) | (b(o + 1) & 0xff)
+        def rd32(o: Int): Long =
+          if (le) (b(o) & 0xffL) | ((b(o + 1) & 0xffL) << 8) |
+            ((b(o + 2) & 0xffL) << 16) | ((b(o + 3) & 0xffL) << 24)
+          else ((b(o) & 0xffL) << 24) | ((b(o + 1) & 0xffL) << 16) |
+            ((b(o + 2) & 0xffL) << 8) | (b(o + 3) & 0xffL)
+        if (t + 8 > end || rd16(t + 2) != 42) return 1
+        val ifd0 = rd32(t + 4)
+        if (ifd0 < 8 || t + ifd0 + 2 > end) return 1
+        val e0 = (t + ifd0).toInt
+        val n = rd16(e0)
+        var k = 0
+        while (k < n) {
+          val eo = e0 + 2 + 12 * k
+          if (eo + 12 > end) return 1
+          if (rd16(eo) == 0x0112 && rd16(eo + 2) == 3) {
+            val v = rd16(eo + 8) // SHORT rides the value field head
+            return if (v >= 1 && v <= 8) v else 1
+          }
+          k += 1
+        }
+        1 // IFD0 carries no orientation
+    }
   }
 }

@@ -602,8 +602,10 @@ object Mp4Index {
   final class BytesRangeReader(b: Array[Byte]) extends RangeReader {
     def length: Long = b.length.toLong
     def readFully(at: Long, len: Int): Array[Byte] = {
-      require(at >= 0 && len >= 0 && at + len <= b.length,
-        s"range [$at, ${at + len}) outside 0..${b.length}")
+      // subtraction form: `at + len` wraps negative for a crafted
+      // at near Long.MaxValue and would slip past a sum-side check
+      require(at >= 0 && len >= 0 && at <= b.length - len,
+        s"range [$at +$len) outside 0..${b.length}")
       java.util.Arrays.copyOfRange(b, at.toInt, at.toInt + len)
     }
     def close(): Unit = ()

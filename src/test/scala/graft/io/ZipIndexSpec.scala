@@ -75,9 +75,13 @@ class ZipIndexSpec extends AnyFunSuite {
     assert(ZipIndex.entryIndex(Array[Byte](9, 9, 9)).isEmpty)
     assert(ZipIndex.entryIndex(Array.empty[Byte]).isEmpty)
     val b = zip(stored = true, members = members)
-    // corrupt the central-directory signature of entry 0
-    val es = ZipIndex.entryIndex(b).get
-    assert(es.nonEmpty)
+    // corrupt the central-directory signature of entry 0: the CD
+    // starts after the last member's data — find the first PK\1\2
+    val cdAt = b.indices.find(i => i + 4 <= b.length &&
+      b(i) == 'P' && b(i + 1) == 'K' && b(i + 2) == 1 &&
+      b(i + 3) == 2).get
+    val sigBad = b.clone(); sigBad(cdAt + 3) = 9
+    assert(ZipIndex.entryIndex(sigBad).isEmpty)
     // truncating the tail kills the EOCD
     assert(ZipIndex.entryIndex(b.dropRight(3)).isEmpty)
     // a local-header signature flip refuses
