@@ -1,0 +1,122 @@
+package graft.multimodal
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.rng.{Seed => _}
+
+/** The no-throw contract, enforced mechanically: EVERY container
+  * walker documents "corrupt bytes yield None, never an exception".
+  * This spec drives each walker with (a) deterministic pseudo-random
+  * byte blobs, (b) valid fixtures with every single byte flipped in
+  * turn (truncation-free corruption), and (c) random truncations of
+  * valid fixtures — and asserts no call ever throws. The Spark seams
+  * mask walker exceptions behind NonFatal catches; this pins the
+  * stronger direct-caller contract the docs promise.
+  */
+class WalkerFuzzSpec extends AnyFunSuite {
+
+  // every byte-column walker in the engine, by name
+  private val walkers: Seq[(String, Array[Byte] => Any)] = Seq(
+    ("Mp3Frames", Mp3Frames.frameIndex _),
+    ("AdtsAac", AdtsAac.frameIndex _),
+    ("FlacIndex", FlacIndex.frameIndex _),
+    ("OggIndex", OggIndex.pageIndex _),
+    ("MpegTs", MpegTs.unitIndex _),
+    ("Mp4Index.frameIndex", Mp4Index.frameIndex _),
+    ("Mp4Index.audio", Mp4Index.audioSampleTable(_: Array[Byte])),
+    ("MkvIndex", MkvIndex.frameIndex _),
+    ("DkifIndex", DkifIndex.frameIndex _),
+    ("H264AnnexB", H264AnnexB.frameIndex _),
+    ("H264Avcc", H264Avcc.frameIndex _),
+    ("H265.annexb", (b: Array[Byte]) => H265.frameIndexAnnexB(b)),
+    ("H265.hvcc", (b: Array[Byte]) => H265.frameIndexHvcc(b)),
+    ("Mp4Index.frag", Mp4Index.fragmentIndex _),
+    ("AviMjpeg", AviMjpeg.frameChunks _),
+    ("WavIndex", WavIndex.info _),
+    ("ImageDims", ImageDims.dims _),
+    ("ImageDims.orient", (b: Array[Byte]) => ImageDims.jpegOrientation(b)),
+    ("MediaTags", MediaTags.tags _),
+    ("Warc", graft.io.Warc.recordIndex _),
+    ("Tar", graft.io.Tar.entryIndex _),
+    ("ZipIndex", graft.io.ZipIndex.entryIndex _),
+    ("GzipMembers", graft.io.GzipMembers.memberIndex _),
+    ("TfRecord", graft.io.TfRecord.recordIndex _))
+
+  // small valid fixtures, one per family, as corruption bases
+  private def fixtures: Seq[Array[Byte]] = Seq(
+    Mp3Frames.encodeSynthetic(Seq((9, 0), (9, 1))),
+    AdtsAac.encodeSynthetic(Seq(40, 50)),
+    FlacIndex.encodeSynthetic(Seq((256, 30), (256, 40)),
+      comments = Seq(("k", "v"))),
+    OggIndex.encodeSynthetic(Seq((Seq(Array.fill[Byte](19)(3)), 0L,
+      true, true))),
+    MpegTs.encodeSynthetic(Seq(MpegTs.SynthUnit(0x100,
+      Array.fill[Byte](50)(7), 0L, randomAccess = true),
+      MpegTs.SynthUnit(0x100, Array.fill[Byte](50)(8), 1L,
+        randomAccess = false))),
+    Mp4Index.encodeSynthetic(Seq(Array.fill[Byte](9)(1),
+      Array.fill[Byte](7)(2)), syncSamples = Seq(1)),
+    MkvIndex.encodeSynthetic(Seq((Array.fill[Byte](5)(1), true))),
+    DkifIndex.encodeSynthetic("VP90", Seq((Array.fill[Byte](8)(2), true))),
+    graft.io.Warc.encodeSynthetic(Seq(("warcinfo", "", "text/plain",
+      "x\r\n".getBytes("ISO-8859-1")))),
+    graft.io.Tar.encodeSynthetic(Seq(("a.txt", Array.fill[Byte](40)(5),
+      0L))),
+    graft.io.TfRecord.encodeSynthetic(Seq(Array.fill[Byte](30)(6))),
+    graft.io.Warc.gzipPerRecord(Seq(Array.fill[Byte](64)(9))),
+    ExternalFixtures.libavifStyleAvif(),
+    ExternalFixtures.ffmpegStyleAdts)
+
+  private def rnd(seed: Int, n: Int): Array[Byte] = {
+    val r = new java.util.Random(seed)
+    val b = new Array[Byte](n)
+    r.nextBytes(b)
+    b
+  }
+
+  test("random blobs never throw in any walker") {
+    for (seed <- 0 until 40; n <- Seq(0, 1, 7, 64, 513, 4096)) {
+      val blob = rnd(seed * 31 + n, n)
+      walkers.foreach { case (name, w) =>
+        try w(blob)
+        catch { case e: Throwable =>
+          fail(s"$name threw ${e.getClass.getSimpleName} on " +
+            s"seed=$seed n=$n: ${e.getMessage}")
+        }
+      }
+    }
+  }
+
+  test("every single-byte corruption of valid fixtures never throws") {
+    fixtures.foreach { fx =>
+      var i = 0
+      while (i < fx.length) {
+        val c = fx.clone(); c(i) = (c(i) ^ 0xff).toByte
+        walkers.foreach { case (name, w) =>
+          try w(c)
+          catch { case e: Throwable =>
+            fail(s"$name threw ${e.getClass.getSimpleName} flipping " +
+              s"byte $i of a ${fx.length}-byte fixture: ${e.getMessage}")
+          }
+        }
+        i += 1
+      }
+    }
+  }
+
+  test("random truncations of valid fixtures never throw") {
+    val r = new java.util.Random(42)
+    fixtures.foreach { fx =>
+      (0 until 25).foreach { _ =>
+        val cut = r.nextInt(fx.length + 1)
+        val c = java.util.Arrays.copyOfRange(fx, 0, cut)
+        walkers.foreach { case (name, w) =>
+          try w(c)
+          catch { case e: Throwable =>
+            fail(s"$name threw ${e.getClass.getSimpleName} on a " +
+              s"$cut-byte truncation: ${e.getMessage}")
+          }
+        }
+      }
+    }
+  }
+}
