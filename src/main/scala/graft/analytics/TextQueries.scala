@@ -2139,6 +2139,75 @@ object TextQueries {
       .orderBy("asset_id", "entry_idx")
   }
 
+  /** The BOOK-corpus composition ([[graft.io.ZipIndex
+    * .extractHtmlMembers]]): an EPUB is a zip of XHTML — zip index →
+    * HTML members → inflate → HtmlText, in one call, the books twin
+    * of q_warc_html_text. The fixture is an epub-shaped zip written
+    * by the JDK's OWN ZipOutputStream (mimetype + container.xml
+    * skipped as non-HTML; two DEFLATED chapters extracted). Exact
+    * oracle over titles and texts; junk pins the flagged fallback.
+    */
+  val qEpubText: QueryDef = QueryDef.sql(
+    "q_epub_text",
+    """SELECT * FROM (VALUES
+      |  (1, 3, 'OEBPS/ch1.xhtml', 'Chapter One',
+      |   'It began at sea.' || chr(10) || 'The wind held.', 31, true),
+      |  (1, 4, 'OEBPS/ch2.xhtml', 'Chapter Two', 'Land came slowly.',
+      |   17, true),
+      |  (2, -1, NULL, NULL, NULL, NULL, false))
+      |  AS t(asset_id, entry_idx, name, title, text, n_chars,
+      |       extracted)
+      |ORDER BY asset_id, entry_idx""".stripMargin,
+    doc = "EPUB/zip-of-HTML -> training text in one composed call " +
+      "(the book-corpus path; feeds quality/dedup/langid)") {
+    (s, dir) =>
+    import s.implicits._
+    import graft.io.ZipIndex
+    def ch(title: String, paras: Seq[String]): String =
+      s"<html><head><title>$title</title></head><body>" +
+        paras.map(p => s"<p>$p</p>").mkString + "</body></html>"
+    val epub = {
+      val out = new java.io.ByteArrayOutputStream()
+      val z = new java.util.zip.ZipOutputStream(out)
+      def put(name: String, data: Array[Byte], stored: Boolean): Unit = {
+        val e = new java.util.zip.ZipEntry(name)
+        e.setTime(1700000000000L)
+        if (stored) {
+          e.setMethod(java.util.zip.ZipEntry.STORED)
+          e.setSize(data.length.toLong)
+          e.setCompressedSize(data.length.toLong)
+          val c = new java.util.zip.CRC32(); c.update(data)
+          e.setCrc(c.getValue)
+        }
+        z.putNextEntry(e); z.write(data); z.closeEntry()
+      }
+      // the real EPUB shape: STORED mimetype first, then metadata
+      put("mimetype", "application/epub+zip".getBytes("UTF-8"),
+        stored = true)
+      put("META-INF/container.xml",
+        "<container version=\"1.0\"/>".getBytes("UTF-8"), stored = false)
+      put("OEBPS/style.css", "p { margin: 0 }".getBytes("UTF-8"),
+        stored = false)
+      put("OEBPS/ch1.xhtml", ch("Chapter One",
+        Seq("It began at sea.", "The wind held.")).getBytes("UTF-8"),
+        stored = false)
+      put("OEBPS/ch2.xhtml", ch("Chapter Two",
+        Seq("Land came slowly.")).getBytes("UTF-8"), stored = false)
+      z.close()
+      out.toByteArray
+    }
+    val assets = Seq((1L, epub), (2L, Array[Byte](9, 9, 9)))
+      .toDF("id", "bytes")
+    ZipIndex.extractHtmlMembers(assets, "id", "bytes")(s)
+      .select(col("asset_id"), col("entry_idx"),
+        when(col("extracted"), col("name")).as("name"),
+        when(col("extracted"), col("title")).as("title"),
+        when(col("extracted"), col("text")).as("text"),
+        when(col("extracted"), col("n_chars")).as("n_chars"),
+        col("extracted"))
+      .orderBy("asset_id", "entry_idx")
+  }
+
   /** The END-TO-END crawl curation composition: WARC bytes →
     * [[graft.io.Warc.extractHtmlPages]] → the text operators
     * (token counting + language ID) in ONE plan — a user goes from a
@@ -2184,7 +2253,7 @@ object TextQueries {
   val all: Seq[QueryDef] = Seq(
     qSubtitleCues, qWarcRecords, qWarcHtmlText, qTarIndex,
     qWebdatasetSamples, qGzipMembers, qWarcCurate, qTfrecordIndex,
-    qZipIndex,
+    qZipIndex, qEpubText,
     qTextTokens, qTextQuality, qTextLangId, qTextFingerprint, qTokenFreq,
     qSelectPipeline, qPackSequences, qTextRedact, qCuratePipeline,
     qDecontaminate, qDecontaminateFuzzy, qTfidf, qQualityRules, qUrlDedup,

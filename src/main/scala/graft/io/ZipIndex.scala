@@ -161,6 +161,86 @@ object ZipIndex {
   def entryIndex(b: Array[Byte]): Option[IndexedSeq[ZipEntry]] =
     entryIndexSeekable(new graft.multimodal.Mp4Index.BytesRangeReader(b))
 
+  /** Inflate one member's data span (method 8 raw-deflate, method 0
+    * verbatim); None on other methods, inflate failure, or output
+    * past `maxBytes`. */
+  private[io] def inflateMember(b: Array[Byte], z: ZipEntry,
+      maxBytes: Int): Option[Array[Byte]] = z.method match {
+    case 0 =>
+      if (z.compLen > maxBytes) None
+      else Some(java.util.Arrays.copyOfRange(b, z.dataStart.toInt,
+        (z.dataStart + z.compLen).toInt))
+    case 8 =>
+      if (z.uncompLen > maxBytes) return None
+      val inf = new java.util.zip.Inflater(true)
+      try {
+        inf.setInput(b, z.dataStart.toInt, z.compLen.toInt)
+        val out = new Array[Byte](z.uncompLen.toInt)
+        var got = 0
+        while (got < out.length && !inf.finished()) {
+          val n = inf.inflate(out, got, out.length - got)
+          if (n == 0 && (inf.needsInput() || inf.needsDictionary()))
+            return None
+          got += n
+        }
+        if (got == out.length) Some(out) else None
+      } catch { case scala.util.control.NonFatal(_) => None }
+      finally inf.end()
+    case _ => None
+  }
+
+  /** One extracted document member: the books/documents twin of
+    * [[Warc.extractHtmlPages]] — EPUBs ARE zips of XHTML, so
+    * zip → HTML members → [[graft.text.HtmlText]] is the
+    * book-corpus-to-training-text path. `extracted = false` flags
+    * non-ZIP assets. */
+  final case class ZipDoc(asset_id: Long, entry_idx: Int, name: String,
+      title: String, text: String, n_chars: Int, extracted: Boolean)
+
+  /** The zip-of-documents front door: index → members whose names
+    * end `.xhtml/.html/.htm` → inflate (bounded per member) →
+    * [[graft.text.HtmlText]] title+text extraction. One call takes
+    * an EPUB (or any HTML-carrying archive) to text rows the
+    * quality/dedup/langid operators consume. */
+  def extractHtmlMembers(df: org.apache.spark.sql.DataFrame,
+      idCol: String, bytesCol: String, maxMemberBytes: Int = 1 << 26)(
+      implicit spark: org.apache.spark.sql.SparkSession)
+      : org.apache.spark.sql.Dataset[ZipDoc] = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    df.select(col(idCol).cast("long"), col(bytesCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, bytes) =>
+          val indexed =
+            try Option(bytes).flatMap(entryIndex)
+            catch { case scala.util.control.NonFatal(_) => None }
+          indexed match {
+            case Some(es) =>
+              es.iterator
+                .filter { z =>
+                  val n = z.name.toLowerCase(java.util.Locale.ROOT)
+                  n.endsWith(".xhtml") || n.endsWith(".html") ||
+                    n.endsWith(".htm")
+                }
+                .flatMap { z =>
+                  inflateMember(bytes, z, maxMemberBytes).map { data =>
+                    val html = new String(data,
+                      java.nio.charset.StandardCharsets.UTF_8)
+                    val text = graft.text.HtmlText.extract(html)
+                    ZipDoc(id, z.entryIdx, z.name,
+                      graft.text.HtmlText.title(html).getOrElse(""),
+                      text, text.length, extracted = true)
+                  }
+                }
+            case None =>
+              Iterator.single(ZipDoc(id, -1, "", "", "", 0,
+                extracted = false))
+          }
+        }
+      }
+  }
+
   /** One member row; `indexed = false` flags non-ZIP assets. */
   final case class ZipRow(asset_id: Long, entry_idx: Int, name: String,
       method: Int, data_start: Long, comp_len: Long, uncomp_len: Long,

@@ -63,6 +63,29 @@ class WarcSparkSpec extends SparkSpec {
     assert(tp.head.text === "naïve")
   }
 
+  test("zip HTML members extract to text; non-HTML and junk are skipped/flagged") {
+    val out = new java.io.ByteArrayOutputStream()
+    val z = new java.util.zip.ZipOutputStream(out)
+    def put(name: String, body: String): Unit = {
+      val e = new java.util.zip.ZipEntry(name)
+      z.putNextEntry(e); z.write(body.getBytes("UTF-8")); z.closeEntry()
+    }
+    put("a/one.html",
+      "<html><head><title>T1</title></head><body><p>Alpha beta.</p></body></html>")
+    put("notes.txt", "not html")
+    put("two.XHTML", "<html><body><div>Gamma</div></body></html>")
+    z.close()
+    val zipBytes = out.toByteArray
+    val rows = ZipIndex.extractHtmlMembers(
+      Seq((1L, zipBytes), (2L, Array[Byte](9, 9))).toDF("id", "bytes"),
+      "id", "bytes").collect().sortBy(r => (r.asset_id, r.entry_idx))
+    val good = rows.filter(_.asset_id == 1L)
+    assert(good.map(_.name).toSeq === Seq("a/one.html", "two.XHTML"))
+    assert(good.map(_.text).toSeq === Seq("Alpha beta.", "Gamma"))
+    assert(good.map(_.title).toSeq === Seq("T1", ""))
+    assert(rows.count(r => r.asset_id == 2L && !r.extracted) === 1)
+  }
+
   test("extractRecordsByPath routes plain files seekable and .gz streaming") {
     val plain = sample
     val mem = Warc.recordIndex(plain).get
