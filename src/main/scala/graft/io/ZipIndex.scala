@@ -147,7 +147,7 @@ object ZipIndex {
       if (!(lh(0) == 'P' && lh(1) == 'K' && lh(2) == 3 && lh(3) == 4))
         return None
       val dataStart = localOff + 30 + u16(lh, 26) + u16(lh, 28)
-      if (compLen < 0 || dataStart > total ||
+      if (compLen < 0 || uncompLen < 0 || dataStart > total ||
           compLen > total - dataStart) return None
       out += ZipEntry(out.length, name, method, dataStart, compLen,
         uncompLen, crc)
@@ -171,7 +171,10 @@ object ZipIndex {
       else Some(java.util.Arrays.copyOfRange(b, z.dataStart.toInt,
         (z.dataStart + z.compLen).toInt))
     case 8 =>
-      if (z.uncompLen > maxBytes) return None
+      // a ZIP64-overridden uncompLen can be any u64 bit pattern — a
+      // NEGATIVE Long would sail past a (> maxBytes) check and size
+      // an array from its truncated low bits (or OOM fatally)
+      if (z.uncompLen < 0 || z.uncompLen > maxBytes) return None
       val inf = new java.util.zip.Inflater(true)
       try {
         inf.setInput(b, z.dataStart.toInt, z.compLen.toInt)

@@ -1,7 +1,6 @@
 package graft.multimodal
 
 import org.scalatest.funsuite.AnyFunSuite
-import org.scalacheck.rng.{Seed => _}
 
 /** The no-throw contract, enforced mechanically: EVERY container
   * walker documents "corrupt bytes yield None, never an exception".
@@ -64,7 +63,28 @@ class WalkerFuzzSpec extends AnyFunSuite {
     graft.io.TfRecord.encodeSynthetic(Seq(Array.fill[Byte](30)(6))),
     graft.io.Warc.gzipPerRecord(Seq(Array.fill[Byte](64)(9))),
     ExternalFixtures.libavifStyleAvif(),
-    ExternalFixtures.ffmpegStyleAdts)
+    ExternalFixtures.ffmpegStyleAdts,
+    // near-valid bases for the walkers the list would otherwise only
+    // feed foreign-format noise (which dies at the first signature)
+    {
+      val out = new java.io.ByteArrayOutputStream()
+      val z = new java.util.zip.ZipOutputStream(out)
+      val e = new java.util.zip.ZipEntry("a/x.html")
+      z.putNextEntry(e)
+      z.write("<html><body><p>hi</p></body></html>".getBytes("UTF-8"))
+      z.closeEntry(); z.close()
+      out.toByteArray
+    },
+    H264AnnexB.encodeSynthetic(Seq(true, false)),
+    ExternalFixtures.avccHighStream,
+    H265.encodeSynthetic(Seq(true, false)),
+    H265.encodeSyntheticHvcc(Seq(true, false)),
+    Mp4Index.encodeSyntheticFragmented(
+      Seq(Seq(Array.fill[Byte](6)(1), Array.fill[Byte](7)(2)))),
+    Mp4Index.encodeSyntheticM4a(Seq(Array.fill[Byte](9)(3))),
+    ExternalFixtures.ffmpegStyleWebm,
+    ExternalFixtures.lameStyleMp3,
+    ExternalFixtures.libflacStyleFlac)
 
   private def rnd(seed: Int, n: Int): Array[Byte] = {
     val r = new java.util.Random(seed)
