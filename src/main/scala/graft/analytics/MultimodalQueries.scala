@@ -1044,6 +1044,46 @@ object MultimodalQueries {
       .orderBy("asset_id")
   }
 
+  /** Header-only VIDEO profiling ([[graft.multimodal.Mp4Index
+    * .movieDuration]] + the stbl walk): frame/keyframe counts and
+    * the mvhd duration (timescale 600, duration 1500 → 2.5 s in the
+    * real-layout fixture) with no sample byte touched — the video
+    * twin of q_multimodal_audio_profile. The minimal synthetic mux
+    * declares no mvhd → NULL duration with counts intact; junk pins
+    * the flagged fallback.
+    */
+  val qMultimodalVideoProfile: QueryDef = QueryDef.sql(
+    "q_multimodal_video_profile",
+    """SELECT * FROM (VALUES
+      |  (1, 3, 1, CAST(2.5 AS DOUBLE), true),
+      |  (2, 3, 2, CAST(NULL AS DOUBLE), true),
+      |  (3, NULL, NULL, NULL, false))
+      |  AS t(asset_id, n_frames, n_sync, duration_s, indexed)
+      |ORDER BY asset_id""".stripMargin,
+    doc = "per-asset video duration + frame/keyframe counts from " +
+      "container headers alone (multimodal ops; no decode)") {
+    (s, dir) =>
+    import s.implicits._
+    import graft.multimodal.Mp4Index
+    val assets = Seq(
+      (1L, "mem://movie.mp4",
+        graft.multimodal.ExternalFixtures.ffmpegStyleMp4),
+      (2L, "mem://clip.mp4", Mp4Index.encodeSynthetic(
+        Seq(Array.fill[Byte](9)(1), Array.fill[Byte](7)(2),
+          Array.fill[Byte](5)(3)), syncSamples = Seq(1, 3))),
+      (3L, "mem://junk.mp4", Array[Byte](9, 9, 9))
+    ).toDF("id", "uri", "bytes")
+    Multimodal.extractVideoInfo(
+        Multimodal.toMediaAssets(assets, "id", "uri", "bytes")(s))(s)
+      .select(col("asset_id"),
+        when(col("indexed"), col("n_frames")).as("n_frames"),
+        when(col("indexed"), col("n_sync")).as("n_sync"),
+        when(col("indexed") && col("duration_s") >= 0,
+          col("duration_s")).as("duration_s"),
+        col("indexed"))
+      .orderBy("asset_id")
+  }
+
   /** Audio duration/bitrate profiling PURELY from the container
     * indexes — the point of the byte-range seam: no decode anywhere,
     * duration is `Σ samples / rate` and bitrate `Σ bytes · 8 /
@@ -1318,7 +1358,8 @@ object MultimodalQueries {
     qMultimodalH264Index, qMultimodalAvccIndex, qMultimodalMp4Index,
     qMultimodalFmp4Index, qMultimodalMp3Index, qMultimodalAacIndex,
     qMultimodalFlacIndex, qMultimodalTsIndex, qMultimodalM4aIndex,
-    qMultimodalAudioProfile, qMultimodalImageDims, qMultimodalTags,
-    qMultimodalWavInfo, qMultimodalHevcIndex, qMultimodalMkvIndex,
-    qMultimodalDkifIndex, qMultimodalOggIndex)
+    qMultimodalVideoProfile, qMultimodalAudioProfile,
+    qMultimodalImageDims, qMultimodalTags, qMultimodalWavInfo,
+    qMultimodalHevcIndex, qMultimodalMkvIndex, qMultimodalDkifIndex,
+    qMultimodalOggIndex)
 }

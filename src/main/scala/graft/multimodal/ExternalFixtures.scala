@@ -89,7 +89,14 @@ object ExternalFixtures {
     val free = bx("free") // 8 B
     val samples = Seq(sample(9, 0), sample(13, 1), sample(11, 2))
     val mdat = bx("mdat", samples.flatten.toArray) // payload at 48
-    val mvhd = bx("mvhd", new Array[Byte](4 + 96)) // v0 standard 108 B
+    // v0 mvhd, standard 108 B: timescale 600, duration 1500 (2.5 s)
+    // at payload offsets 12/16 — same length as the old zeroed field
+    val mvhd = bx("mvhd", {
+      val p = new Array[Byte](4 + 96)
+      be32(600L).copyToArray(p, 12)
+      be32(1500L).copyToArray(p, 16)
+      p
+    })
     val tkhd = bx("tkhd", new Array[Byte](4),
       be32(0), be32(0), be32(1), new Array[Byte](68)) // track_ID 1, 92 B
     val edts = bx("edts", bx("elst", new Array[Byte](4), be32(1),

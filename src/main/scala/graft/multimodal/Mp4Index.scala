@@ -169,6 +169,35 @@ object Mp4Index {
     sampleTableIn(b, top, boundLen)
   }
 
+  /** The movie timescale + duration from `moov/mvhd` (§8.2.2, v0
+    * u32 fields / v1 u64) — duration analytics for a video corpus
+    * without touching a sample: `duration / timescale` seconds.
+    * None when mvhd is absent/short or the timescale is zero. */
+  def movieDuration(b: Array[Byte]): Option[(Long, Long)] = {
+    val topOpt = boxes(b, 0, b.length, topLevel = true)
+    if (topOpt.isEmpty) return None
+    val top = topOpt.get
+    if (top.isEmpty || top.head.fourcc != "ftyp") return None
+    top.filter(_.fourcc == "moov").iterator.flatMap { m =>
+      child(b, m, "mvhd").flatMap { h =>
+        val len = h.payloadEnd - h.payloadStart
+        if (len < 4) None
+        else {
+          val v = b(h.payloadStart) & 0xff
+          if (v == 0 && len >= 24) {
+            val ts = u32(b, h.payloadStart + 12)
+            val dur = u32(b, h.payloadStart + 16)
+            if (ts > 0) Some((ts, dur)) else None
+          } else if (v == 1 && len >= 32) {
+            val ts = u32(b, h.payloadStart + 20)
+            val dur = u64(b, h.payloadStart + 24)
+            if (ts > 0 && dur >= 0) Some((ts, dur)) else None
+          } else None
+        }
+      }
+    }.nextOption()
+  }
+
   // ---- audio track (M4A / the audio side of an A/V MP4) ----
 
   /** The audio sample table of an ISO-BMFF asset: per-sample byte

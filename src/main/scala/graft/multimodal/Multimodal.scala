@@ -1153,6 +1153,41 @@ object Multimodal {
       }
   }
 
+  /** Header-only video facts: frame/keyframe counts from the sample
+    * table and the mvhd duration; `duration_s` is −1 when the moov
+    * declares none (header-less synthetic muxes). `indexed = false`
+    * flags assets no container walk accepts. */
+  final case class VideoInfoRow(asset_id: Long, n_frames: Int,
+      n_sync: Int, duration_s: Double, indexed: Boolean)
+
+  /** Header-only video profiling for ISO-BMFF assets: the video twin
+    * of the audio-profile arithmetic — frame + keyframe counts from
+    * the stbl/moof walk and duration from `mvhd` (timescale ÷
+    * duration, [[Mp4Index.movieDuration]]), no sample byte touched.
+    */
+  def extractVideoInfo(assets: Dataset[MediaAsset])(
+      implicit spark: SparkSession): Dataset[VideoInfoRow] = {
+    import spark.implicits._
+    assets.filter(col("kind") === "video").mapPartitions { it =>
+      it.map { a =>
+        val frames =
+          try Mp4Index.frameIndex(a.content)
+          catch { case scala.util.control.NonFatal(_) => None }
+        frames match {
+          case Some(fs) =>
+            val dur =
+              try Mp4Index.movieDuration(a.content)
+                .map { case (ts, d) => d.toDouble / ts }.getOrElse(-1.0)
+              catch { case scala.util.control.NonFatal(_) => -1.0 }
+            VideoInfoRow(a.asset_id, fs.length, fs.count(_.isIdr), dur,
+              indexed = true)
+          case None =>
+            VideoInfoRow(a.asset_id, 0, 0, -1.0, indexed = false)
+        }
+      }
+    }
+  }
+
   /** A video clip's majority-bit perceptual signature over sampled
     * frame aHashes; `decoded = false` marks clips whose container was
     * rejected or produced no decodable sampled frame. */

@@ -264,6 +264,34 @@ class Mp4IndexSpec extends AnyFunSuite {
     assert(Mp4Index.audioSampleTable(Array[Byte](9, 9, 9, 9)).isEmpty)
   }
 
+  test("mvhd movie duration: v0 fixture, v1 hand-built, absent, zero timescale") {
+    // the real-layout fixture declares timescale 600, duration 1500
+    assert(Mp4Index.movieDuration(ExternalFixtures.ffmpegStyleMp4)
+      === Some((600L, 1500L)))
+    // the minimal synthetic mux has no mvhd at all
+    assert(Mp4Index.movieDuration(Mp4Index.encodeSynthetic(
+      Seq(Array[Byte](1, 2)), syncSamples = Seq(1))).isEmpty)
+    // v1: 64-bit duration at payload +24, timescale at +20
+    val v1 = {
+      val p = new Array[Byte](4 + 108)
+      p(0) = 1
+      Mp4Index.u32a(Seq(90000L)).copyToArray(p, 20)
+      Mp4Index.u64a(3L << 32).copyToArray(p, 24)
+      Mp4Index.box("ftyp", "isom".getBytes("ISO-8859-1") ++
+        new Array[Byte](4)) ++
+        Mp4Index.box("moov", Mp4Index.box("mvhd", p))
+    }
+    assert(Mp4Index.movieDuration(v1) === Some((90000L, 3L << 32)))
+    // a zero timescale refuses (division is the caller's next step)
+    val z = ExternalFixtures.ffmpegStyleMp4.clone()
+    // timescale bytes sit inside moov: find mvhd and zero them
+    val at = {
+      val s = new String(z, "ISO-8859-1"); s.indexOf("mvhd")
+    }
+    java.util.Arrays.fill(z, at + 4 + 12, at + 4 + 16, 0.toByte)
+    assert(Mp4Index.movieDuration(z).isEmpty)
+  }
+
   test("seekable: a sparse >2GiB MP4 indexes from headers alone, reading kilobytes") {
     val f = java.io.File.createTempFile("graft-big", ".mp4")
     try {
