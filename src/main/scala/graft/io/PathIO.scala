@@ -1,0 +1,90 @@
+package graft.io
+
+import java.io.InputStream
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.spark.SerializableWritable
+import org.apache.spark.broadcast.Broadcast
+import org.apache.spark.sql.SparkSession
+
+import graft.multimodal.Mp4Index
+
+/** Storage routing for the path-columned container/WARC walkers.
+  *
+  * The seekable / streaming walks are the >2 GiB story for video and
+  * crawl corpora (reference ingests whole files via pandas —
+  * `data_extraction.py` reads everything into memory; at 100 TB the
+  * header-only walk is the only tenable shape), but a real corpus
+  * lives on `s3a://` / `hdfs://`, not a task-local disk. This object
+  * is the seam between the walkers and storage:
+  *
+  *   - a scheme-qualified path (`hdfs://…`, `s3a://…`, `file:///…`)
+  *     opens through `org.apache.hadoop.fs.FileSystem`;
+  *     [[HadoopRangeReader]] maps [[Mp4Index.RangeReader.readFully]]
+  *     onto `FSDataInputStream`'s positioned read — on HDFS a pread,
+  *     on S3A a ranged GET — so indexing a 50 GB object still costs
+  *     kilobytes of I/O;
+  *   - a plain path stays on `java.io` ([[Mp4Index.FileRangeReader]]
+  *     / `FileInputStream`) — no filesystem cache init, no Hadoop
+  *     classloading on the hot local path.
+  *
+  * Tasks need the session's Hadoop configuration (credentials,
+  * endpoints arrive as `spark.hadoop.*`); [[confBroadcast]] ships it
+  * once per job via the public `SerializableWritable` wrapper
+  * (`Configuration` is a Hadoop `Writable`). The broadcast copies the
+  * conf first — serializing the live session conf races concurrent
+  * `set()`s.
+  *
+  * `FileSystem.get` instances are JVM-cached and shared; readers
+  * close only their stream, never the filesystem.
+  */
+object PathIO {
+
+  /** `true` when `path` is a URI with an explicit scheme — the only
+    * shape routed through Hadoop. (`java.net.URI` rejects spaces and
+    * other raw-path bytes, so match textually.) */
+  def hasScheme(path: String): Boolean =
+    SchemeRe.findPrefixOf(path).isDefined
+
+  private val SchemeRe = "^[A-Za-z][A-Za-z0-9+.-]*://".r
+
+  /** Hadoop-FS RangeReader: positioned reads over `FSDataInputStream`
+    * — thread-safe preads that never disturb the stream position, the
+    * exact contract [[Mp4Index.RangeReader.readFully]] asks for. */
+  final class HadoopRangeReader(path: String, conf: Configuration)
+      extends Mp4Index.RangeReader {
+    private val p = new Path(path)
+    private val fs = p.getFileSystem(conf)
+    private val len = fs.getFileStatus(p).getLen
+    private val in = fs.open(p)
+    def length: Long = len
+    def readFully(at: Long, len: Int): Array[Byte] = {
+      val out = new Array[Byte](len)
+      in.readFully(at, out, 0, len)
+      out
+    }
+    def close(): Unit = in.close()
+  }
+
+  /** A RangeReader for `path`: Hadoop when scheme-qualified, local
+    * `RandomAccessFile` otherwise. */
+  def openRange(path: String, conf: Configuration): Mp4Index.RangeReader =
+    if (hasScheme(path)) new HadoopRangeReader(path, conf)
+    else new Mp4Index.FileRangeReader(path)
+
+  /** A plain forward InputStream over `path` from offset 0 — the
+    * streaming (gzip) walks, which cannot seek anyway. */
+  def openStream(path: String, conf: Configuration): InputStream =
+    if (hasScheme(path)) {
+      val p = new Path(path)
+      p.getFileSystem(conf).open(p)
+    } else new java.io.FileInputStream(path)
+
+  /** The session's Hadoop conf, copied and broadcast for task-side
+    * [[openRange]]/[[openStream]] calls. */
+  def confBroadcast(spark: SparkSession)
+      : Broadcast[SerializableWritable[Configuration]] =
+    spark.sparkContext.broadcast(new SerializableWritable(
+      new Configuration(spark.sparkContext.hadoopConfiguration)))
+}

@@ -35,19 +35,26 @@ object Tar {
     var i = off
     val end = off + len
     // leading spaces/NULs tolerated; GNU base-256 (top bit set) for
-    // >8 GiB sizes
+    // >8 GiB sizes. The field is two's complement UNDER the 0x80
+    // flag — bit 6 of the flag byte is the sign (GNU tar list.c
+    // from_header) — so a negative encoding (leading 0xFF, e.g. a
+    // pre-1970 mtime) decodes negative like real tar readers, not
+    // as a huge positive; size fields reject negatives at the call
+    // sites
     if ((b(i) & 0x80) != 0) {
-      var v = (b(i) & 0x7fL)
+      var v = (b(i) & 0x3fL) - (b(i) & 0x40L)
       i += 1
       while (i < end) {
-        // a 12-byte field can encode 95 bits; overflow that WRAPS to
-        // a non-negative Long would pass a sign check and index a
-        // wrong size — refuse before the shift loses bits
-        if ((v & 0xff00000000000000L) != 0) return None
+        // a 12-byte field can encode 95 bits; overflow that WRAPS
+        // past Long would pass downstream sign checks and index a
+        // wrong size — refuse before the shift loses bits (shift-in
+        // is exact iff the top 9 bits are all sign)
+        val top = v >> 55
+        if (top != 0L && top != -1L) return None
         v = (v << 8) | (b(i) & 0xffL)
         i += 1
       }
-      return if (v >= 0) Some(v) else None
+      return Some(v)
     }
     while (i < end && (b(i) == ' ')) i += 1
     var v = 0L
@@ -262,21 +269,24 @@ object Tar {
   }
 
   /** Path-columned TAR indexing for >2 GiB shards: the seekable walk
-    * reads header blocks only. Unreadable/ill-formed paths emit the
-    * flagged row. */
+    * reads header blocks only. Paths route through [[PathIO]]
+    * (Hadoop FS for scheme-qualified URIs, `java.io` otherwise).
+    * Unreadable/ill-formed paths emit the flagged row. */
   def extractEntriesByPath(df: org.apache.spark.sql.DataFrame,
       idCol: String, pathCol: String)(
       implicit spark: org.apache.spark.sql.SparkSession)
       : org.apache.spark.sql.Dataset[TarRow] = {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
+    val confBc = PathIO.confBroadcast(spark)
     df.select(col(idCol).cast("long"), col(pathCol).cast("string"))
       .as[(Long, String)]
       .mapPartitions { it =>
+        val conf = confBc.value.value
         it.flatMap { case (id, path) =>
           toRows(id,
             try {
-              val r = new graft.multimodal.Mp4Index.FileRangeReader(path)
+              val r = PathIO.openRange(path, conf)
               try entryIndexSeekable(r) finally r.close()
             } catch { case scala.util.control.NonFatal(_) => None })
         }

@@ -413,8 +413,11 @@ object Warc {
     * seekable (header reads + seeks — KBs of I/O for GBs of
     * records); `.warc.gz` walks the gzip STREAM in O(header) memory
     * (gzip has no random access — content is discarded, not
-    * materialized). Unreadable/ill-formed paths emit the flagged
-    * row.
+    * materialized). Paths route through [[PathIO]]: scheme-qualified
+    * URIs (`s3a://…`, `hdfs://…`, `file:///…`) open via Hadoop
+    * FileSystem — positioned reads on the seekable walk, a plain
+    * forward stream on the gzip walk — plain paths stay on
+    * `java.io`. Unreadable/ill-formed paths emit the flagged row.
     */
   def extractRecordsByPath(df: org.apache.spark.sql.DataFrame,
       idCol: String, pathCol: String)(
@@ -422,25 +425,26 @@ object Warc {
       : org.apache.spark.sql.Dataset[WarcRow] = {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
+    val confBc = PathIO.confBroadcast(spark)
     df.select(col(idCol).cast("long"), col(pathCol).cast("string"))
       .as[(Long, String)]
       .mapPartitions { it =>
+        val conf = confBc.value.value
         it.flatMap { case (id, path) =>
           val indexed =
             try {
-              val f = new java.io.File(path)
               // read() may return fewer than 2 bytes — sniff with
               // per-byte reads so a short first read cannot misroute
               val (h0, h1) = {
-                val in = new java.io.FileInputStream(f)
+                val in = PathIO.openStream(path, conf)
                 try (in.read(), in.read()) finally in.close()
               }
               if (h0 == 0x1f && h1 == 0x8b) {
                 val in = new java.util.zip.GZIPInputStream(
-                  new java.io.FileInputStream(f))
+                  PathIO.openStream(path, conf))
                 try recordIndexStreaming(in) finally in.close()
               } else {
-                val r = new graft.multimodal.Mp4Index.FileRangeReader(path)
+                val r = PathIO.openRange(path, conf)
                 try recordIndexSeekable(r) finally r.close()
               }
             } catch { case scala.util.control.NonFatal(_) => None }

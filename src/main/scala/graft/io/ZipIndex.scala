@@ -200,11 +200,36 @@ object ZipIndex {
   final case class ZipDoc(asset_id: Long, entry_idx: Int, name: String,
       title: String, text: String, n_chars: Int, extracted: Boolean)
 
+  // the Warc.declaredCharset body-prefix posture for zip members: a
+  // legacy-encoded (e.g. windows-1251) EPUB chapter decoded as UTF-8
+  // unconditionally turns every non-ASCII character into U+FFFD.
+  // Members have no HTTP head, so the declarations that exist are the
+  // <meta charset=…> tag and the XML prolog's encoding=… (the usual
+  // EPUB XHTML shape); probe the first KB for either.
+  private val MemberCharsetRe =
+    ("(?s)<meta[^>]*charset\\s*=\\s*\"?'?([a-z0-9_\\-]+)" +
+      "|<\\?xml[^>]*encoding\\s*=\\s*[\"']?([a-z0-9_\\-]+)").r
+
+  private[io] def memberCharset(data: Array[Byte])
+      : java.nio.charset.Charset = {
+    val probe = new String(data, 0, math.min(1024, data.length),
+      "ISO-8859-1").toLowerCase(java.util.Locale.ROOT)
+    MemberCharsetRe.findFirstMatchIn(probe)
+      .map(m => if (m.group(1) != null) m.group(1) else m.group(2))
+      .flatMap { n =>
+        try Some(java.nio.charset.Charset.forName(n))
+        catch { case scala.util.control.NonFatal(_) => None }
+      }
+      .getOrElse(java.nio.charset.StandardCharsets.UTF_8)
+  }
+
   /** The zip-of-documents front door: index → members whose names
     * end `.xhtml/.html/.htm` → inflate (bounded per member) →
     * [[graft.text.HtmlText]] title+text extraction. One call takes
     * an EPUB (or any HTML-carrying archive) to text rows the
-    * quality/dedup/langid operators consume. */
+    * quality/dedup/langid operators consume. Members decode with
+    * their DECLARED charset ([[memberCharset]]: meta tag or XML
+    * prolog in the first KB), falling back to UTF-8. */
   def extractHtmlMembers(df: org.apache.spark.sql.DataFrame,
       idCol: String, bytesCol: String, maxMemberBytes: Int = 1 << 26)(
       implicit spark: org.apache.spark.sql.SparkSession)
@@ -228,8 +253,7 @@ object ZipIndex {
                 }
                 .flatMap { z =>
                   inflateMember(bytes, z, maxMemberBytes).map { data =>
-                    val html = new String(data,
-                      java.nio.charset.StandardCharsets.UTF_8)
+                    val html = new String(data, memberCharset(data))
                     val text = graft.text.HtmlText.extract(html)
                     ZipDoc(id, z.entryIdx, z.name,
                       graft.text.HtmlText.title(html).getOrElse(""),

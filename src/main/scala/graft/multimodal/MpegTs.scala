@@ -204,7 +204,15 @@ object MpegTs {
               // §2.4.3.7: A/V stream-ids carry the flags+PTS form
               if (pl + 9 <= p + 188 && (b(pl + 6) & 0xc0) == 0x80) {
                 val ptsDts = (b(pl + 7) >> 6) & 0x03
-                if ((ptsDts & 0x02) != 0 && pl + 14 <= p + 188) {
+                if ((ptsDts & 0x02) != 0) {
+                  // declared PTS must FIT this packet: a large
+                  // adaptation field could push the 5-byte PTS into
+                  // the continuation packet, and recording -1 for a
+                  // unit that declared a timestamp would be a silent
+                  // anomaly — refuse, matching the walker's strict
+                  // None-on-anomaly posture (real muxers never split
+                  // the PES header across TS packets)
+                  if (pl + 14 > p + 188) return None
                   val q = pl + 9
                   // marker bits: 0010/0011 + three 1-markers
                   if ((b(q) & 0xf0) != ((if (ptsDts == 3) 3 else 2) << 4) ||

@@ -1038,9 +1038,11 @@ object Multimodal {
     * through to [[MkvIndex.frameIndexSeekable]] (Matroska/WebM) and
     * [[DkifIndex.frameIndexSeekable]] (raw IVF captures) — only
     * headers, sample/track tables and short keyframe probes are ever
-    * read, so indexing a 50 GB file costs KILOBYTES of I/O. Paths are local-filesystem
-    * here ([[Mp4Index.FileRangeReader]]); a distributed-FS reader is
-    * one [[Mp4Index.RangeReader]] implementation away. Unindexable
+    * read, so indexing a 50 GB file costs KILOBYTES of I/O. Paths
+    * route through [[graft.io.PathIO]]: scheme-qualified URIs
+    * (`s3a://…`, `hdfs://…`, `file:///…`) open via Hadoop FileSystem
+    * with positioned reads (an S3A ranged GET per header read),
+    * plain paths stay on `java.io.RandomAccessFile`. Unindexable
     * paths (missing file, unknown container) emit the flagged
     * `indexed = false` row, keeping the pipeline total.
     */
@@ -1049,13 +1051,15 @@ object Multimodal {
       implicit spark: SparkSession): Dataset[H264Frame] = {
     import spark.implicits._
     require(stride > 0 && maxFrames > 0, "stride and maxFrames must be positive")
+    val confBc = graft.io.PathIO.confBroadcast(spark)
     df.select(col(idCol).cast("long"), col(pathCol).cast("string"))
       .as[(Long, String)]
       .mapPartitions { it =>
+        val conf = confBc.value.value
         it.flatMap { case (id, path) =>
           val indexed =
             try {
-              val r = new Mp4Index.FileRangeReader(path)
+              val r = graft.io.PathIO.openRange(path, conf)
               try Mp4Index.frameIndexSeekable(r)
                 .orElse(MkvIndex.frameIndexSeekable(r))
                 .orElse(DkifIndex.frameIndexSeekable(r))
@@ -1089,13 +1093,15 @@ object Multimodal {
       implicit spark: SparkSession): Dataset[OggPageRow] = {
     import spark.implicits._
     require(stride > 0 && maxPages > 0, "stride and maxPages must be positive")
+    val confBc = graft.io.PathIO.confBroadcast(spark)
     df.select(col(idCol).cast("long"), col(pathCol).cast("string"))
       .as[(Long, String)]
       .mapPartitions { it =>
+        val conf = confBc.value.value
         it.flatMap { case (id, path) =>
           val indexed =
             try {
-              val r = new Mp4Index.FileRangeReader(path)
+              val r = graft.io.PathIO.openRange(path, conf)
               try OggIndex.pageIndexSeekable(r, validateCrc)
               finally r.close()
             } catch { case scala.util.control.NonFatal(_) => None }
@@ -1126,13 +1132,15 @@ object Multimodal {
       implicit spark: SparkSession): Dataset[TsUnitRow] = {
     import spark.implicits._
     require(stride > 0 && maxUnits > 0, "stride and maxUnits must be positive")
+    val confBc = graft.io.PathIO.confBroadcast(spark)
     df.select(col(idCol).cast("long"), col(pathCol).cast("string"))
       .as[(Long, String)]
       .mapPartitions { it =>
+        val conf = confBc.value.value
         it.flatMap { case (id, path) =>
           val indexed =
             try {
-              val r = new Mp4Index.FileRangeReader(path)
+              val r = graft.io.PathIO.openRange(path, conf)
               try MpegTs.unitIndexSeekable(r)
               finally r.close()
             } catch { case scala.util.control.NonFatal(_) => None }

@@ -45,9 +45,13 @@ object HtmlText {
     ("(?i)</?(p|div|br|li|tr|td|th|h[1-6]|ul|ol|table|thead|tbody|" +
       "section|article|header|footer|blockquote|pre)\\b[^>]*/?>").r
   private val AnyTag = "(?s)<[^>]+>".r
-  private val DecEnt = "&#(\\d{1,8});".r
-  private val HexEnt = "&#[xX]([0-9a-fA-F]{1,6});".r
-  private val NamedEnt = "&(amp|lt|gt|quot|apos|nbsp);".r
+  // ONE combined alternation: decoding must be a single left-to-right
+  // pass (java.util.regex never rescans replacement text), so text
+  // produced by one decode is never re-decoded — sequential passes
+  // would turn the escaped-ampersand sequence '&#38;lt;' into '<'
+  // where the HTML spec renders the literal '&lt;'
+  private val Entity =
+    "&(?:#(\\d{1,8})|#[xX]([0-9a-fA-F]{1,6})|(amp|lt|gt|quot|apos|nbsp));".r
   private val TitleRe = "(?is)<title[^>]*>(.*?)</title>".r
 
   /** One decoded numeric reference: surrogate-range code points
@@ -62,20 +66,19 @@ object HtmlText {
         new String(Character.toChars(cp.toInt)))
     else matched
 
-  private def decodeEntities(s: String): String = {
-    val d1 = DecEnt.replaceAllIn(s, m =>
-      numericRef(m.group(1).toLong, m.matched))
-    val d2 = HexEnt.replaceAllIn(d1, m =>
-      numericRef(java.lang.Long.parseLong(m.group(1), 16), m.matched))
-    NamedEnt.replaceAllIn(d2, _.group(1) match {
-      case "amp" => "&"
-      case "lt" => "<"
-      case "gt" => ">"
-      case "quot" => "\""
-      case "apos" => "'"
-      case _ => " " // nbsp
-    })
-  }
+  private def decodeEntities(s: String): String =
+    Entity.replaceAllIn(s, m =>
+      if (m.group(1) != null) numericRef(m.group(1).toLong, m.matched)
+      else if (m.group(2) != null)
+        numericRef(java.lang.Long.parseLong(m.group(2), 16), m.matched)
+      else m.group(3) match {
+        case "amp" => "&"
+        case "lt" => "<"
+        case "gt" => ">"
+        case "quot" => "\""
+        case "apos" => "'"
+        case _ => " " // nbsp
+      })
 
   // \s does NOT match U+00A0, but web text is full of literal
   // non-breaking spaces (and the &nbsp; decode above emits plain

@@ -97,6 +97,29 @@ object ChunkedWindows {
           "spark.graft.chunkedWindows.maxSampledKeys only if the " +
           "driver can hold shufflePartitions × keys boundary rows.")
     }
+    // NON-NULL order contract, enforced loudly where it is free: the
+    // helpers' chunk-boundary bridge (`max_by` over the order tuple)
+    // and the window sort must agree on "last row of a chunk", and a
+    // NULL order value breaks that agreement (doc on [[lag1]]). The
+    // sketch rows already carry the order columns — a sampled NULL is
+    // proof of a real NULL, so fail with guidance instead of silently
+    // diverging. (Sound, not complete: un-sampled NULLs still pass;
+    // the documented requirement stands.)
+    {
+      val k = keyCols.length
+      val badCol = sketch.iterator.flatMap(_._2)
+        .flatMap(r => orderCols.indices.find(j => r.isNullAt(k + j)))
+        .nextOption()
+      badCol.foreach { j =>
+        throw new IllegalArgumentException(
+          s"ChunkedWindows: order column '${orderCols(j)}' contains " +
+            "NULLs (observed in the bounds sketch). These helpers " +
+            "require NON-NULL order columns that totally order rows " +
+            "within a key — a NULL order value can hand the next chunk " +
+            "a different bridge value than a plain window would. " +
+            "Filter the NULLs out or coalesce the order column first.")
+      }
+    }
     RangeChunks.boundsFromSketch(sketch, pp)
   }
 

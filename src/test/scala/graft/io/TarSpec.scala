@@ -79,6 +79,37 @@ class TarSpec extends AnyFunSuite {
       h ++ java.util.Arrays.copyOfRange(b, 512, b.length)).isEmpty)
   }
 
+  test("negative base-256 mtime (pre-1970) sign-extends like real tar readers") {
+    // GNU base-256 is two's complement under the 0x80 flag: a
+    // pre-1970 mtime encodes with leading 0xFF bytes. Decoding the
+    // lead byte as '0x80 flag + magnitude' would yield a huge
+    // positive mtime instead of the negative value.
+    val b = Tar.encodeSynthetic(Seq(m("x.bin", 100)))
+    val h = java.util.Arrays.copyOfRange(b, 0, 512)
+    // mtime field (136..147): -86400 (one day before epoch) in
+    // 12-byte big-endian two's complement
+    java.util.Arrays.fill(h, 136, 148, 0xff.toByte)
+    h(145) = 0xfe.toByte; h(146) = 0xae.toByte; h(147) = 0x80.toByte
+    java.util.Arrays.fill(h, 148, 156, ' '.toByte)
+    var sum = 0L; h.foreach(x => sum += (x & 0xff))
+    val cs = java.lang.Long.toOctalString(sum)
+    (("0" * (6 - cs.length)) + cs).getBytes("ISO-8859-1").copyToArray(h, 148)
+    h(154) = 0; h(155) = ' '
+    val es = Tar.entryIndex(
+      h ++ java.util.Arrays.copyOfRange(b, 512, b.length)).get
+    assert(es.head.mtime === -86400L)
+    // a negative base-256 SIZE is still refused at the call site
+    val h2 = java.util.Arrays.copyOfRange(b, 0, 512)
+    java.util.Arrays.fill(h2, 124, 136, 0xff.toByte) // size = -1
+    java.util.Arrays.fill(h2, 148, 156, ' '.toByte)
+    var sum2 = 0L; h2.foreach(x => sum2 += (x & 0xff))
+    val cs2 = java.lang.Long.toOctalString(sum2)
+    (("0" * (6 - cs2.length)) + cs2).getBytes("ISO-8859-1").copyToArray(h2, 148)
+    h2(154) = 0; h2(155) = ' '
+    assert(Tar.entryIndex(
+      h2 ++ java.util.Arrays.copyOfRange(b, 512, b.length)).isEmpty)
+  }
+
   test("strictness: junk, bad checksum, truncation, partial terminator refuse") {
     assert(Tar.entryIndex(Array[Byte](9, 9, 9)).isEmpty)
     assert(Tar.entryIndex(new Array[Byte](511)).isEmpty)

@@ -86,6 +86,36 @@ class WarcSparkSpec extends SparkSpec {
     assert(rows.count(r => r.asset_id == 2L && !r.extracted) === 1)
   }
 
+  test("zip members honor their declared charset (meta tag / XML prolog)") {
+    // a legacy-encoded EPUB chapter decoded as UTF-8 unconditionally
+    // turns every non-ASCII character into U+FFFD — honor the same
+    // declarations the WARC path does: <meta charset=…>, plus the
+    // XML prolog encoding= (the usual EPUB XHTML shape)
+    val out = new java.io.ByteArrayOutputStream()
+    val z = new java.util.zip.ZipOutputStream(out)
+    def put(name: String, body: Array[Byte]): Unit = {
+      z.putNextEntry(new java.util.zip.ZipEntry(name))
+      z.write(body); z.closeEntry()
+    }
+    put("meta.html",
+      ("<html><head><meta charset=windows-1251></head>" +
+        "<body><p>привет</p></body></html>")
+        .getBytes("windows-1251"))
+    put("prolog.xhtml",
+      ("<?xml version=\"1.0\" encoding=\"ISO-8859-1\"?>" +
+        "<html><body><p>café</p></body></html>")
+        .getBytes("ISO-8859-1"))
+    put("plain.html",
+      "<html><body><p>déjà</p></body></html>".getBytes("UTF-8"))
+    z.close()
+    val rows = ZipIndex.extractHtmlMembers(
+      Seq((1L, out.toByteArray)).toDF("id", "bytes"), "id", "bytes")
+      .collect().sortBy(_.entry_idx)
+    assert(rows.map(_.text).toSeq ===
+      Seq("привет", "café",
+        "déjà"))
+  }
+
   test("extractRecordsByPath routes plain files seekable and .gz streaming") {
     val plain = sample
     val mem = Warc.recordIndex(plain).get

@@ -109,6 +109,28 @@ class MpegTsSpec extends AnyFunSuite {
     assert(MpegTs.unitIndex(b.take(2 * 188)).isEmpty)
   }
 
+  test("a declared PTS that cannot fit its PUSI packet refuses, not -1") {
+    // a 172-byte adaptation field leaves room for the fixed PES
+    // header (pl+9 fits) but not the declared 5-byte PTS (pl+14
+    // straddles into the continuation packet) — recording pts=-1 for
+    // a unit that DECLARED a timestamp would be a silent anomaly;
+    // the walker's posture is None-on-anomaly
+    val b = MpegTs.encodeSynthetic(Seq(
+      SynthUnit(0x100, payload(100, 0), pts = 90000L, randomAccess = true)))
+    val pkt = new Array[Byte](188)
+    pkt(0) = 0x47
+    pkt(1) = 0x41; pkt(2) = 0x00          // PUSI, pid 0x100
+    pkt(3) = 0x30                          // af + payload, cc 0
+    pkt(4) = 172.toByte                    // payload starts at p+177
+    pkt(5) = 0x40                          // random-access flag
+    java.util.Arrays.fill(pkt, 6, 177, 0xff.toByte)
+    val pes = Array[Byte](0, 0, 1, 0xe0.toByte, 0, 8,
+      0x80.toByte, 0x80.toByte, 5, 0x21, 0x00) // flags declare PTS; 2 of 5 bytes fit
+    pes.copyToArray(pkt, 177)
+    val mutated = b.take(2 * 188) ++ pkt   // keep PAT + PMT
+    assert(MpegTs.unitIndex(mutated).isEmpty)
+  }
+
   test("a CRC-valid but SHORT PMT section refuses, never reads past the packet") {
     // packet 0: a real PAT (pmtPid 0x1000); packet 1: a null packet
     // (PID 0x1FFF); packet 2 (the LAST — any out-of-bounds read would

@@ -34,6 +34,17 @@ class HtmlTextSpec extends AnyFunSuite {
     assert(HtmlText.extract("&#99999999;") === "&#99999999;")
   }
 
+  test("escaped-ampersand sequences decode ONCE, never twice") {
+    // '&#38;lt;' is the author writing the literal text '&lt;' — the
+    // HTML spec decodes each reference exactly once; sequential
+    // passes (numeric then named) would re-decode the produced '&'
+    // against the following 'lt;' and emit '<'
+    assert(HtmlText.extract("a &#38;lt; b") === "a &lt; b")
+    assert(HtmlText.extract("&#x26;amp;") === "&amp;")
+    assert(HtmlText.extract("&amp;lt;") === "&lt;")
+    assert(HtmlText.extract("&amp;#60;") === "&#60;")
+  }
+
   test("an UNCLOSED script (truncated crawl body) swallows the tail, not leaks it") {
     assert(HtmlText.extract(
       "<html><body><p>Hi</p><script>var x=1; trackUser();") === "Hi")

@@ -180,6 +180,27 @@ class ChunkedWindowsSpec extends SparkSpec {
     } finally spark.conf.unset("spark.graft.chunkedWindows.maxSampledKeys")
   }
 
+  test("NULL order columns fail loudly instead of silently diverging") {
+    // the bridge max_by and the window sort disagree on NULL order
+    // values — the requirement was documented on lag1; the bounds
+    // sketch reads the order columns anyway, so a sampled NULL must
+    // fail with guidance, not hand the next chunk a wrong bridge row
+    val df = (0 until 500).map { i =>
+      (i.toLong, s"k${i % 3}",
+        if (i % 7 == 0) None: Option[Long] else Some(i.toLong), i.toDouble)
+    }.toDF("id", "k", "o", "v")
+    val e = intercept[IllegalArgumentException] {
+      ChunkedWindows.lag1(df, Seq("k"), Seq("o", "id"), Map("v" -> "pv"))
+    }
+    assert(e.getMessage.contains("NULL") &&
+      e.getMessage.contains("'o'"), e.getMessage)
+    // the same guard protects every helper sharing chunkBounds
+    val e2 = intercept[IllegalArgumentException] {
+      ChunkedWindows.globalRowNumber(df, Seq("k"), Seq("o", "id"), "rn")
+    }
+    assert(e2.getMessage.contains("NULL"), e2.getMessage)
+  }
+
   test("pre-sampled bounds are honored: one sketch serves chained helpers") {
     val df = (0 until 3000).map(i =>
       (i.toLong, s"k${i % 3}", i.toLong, i.toDouble)).toDF("id", "k", "o", "v")
