@@ -1352,6 +1352,125 @@ object MultimodalQueries {
       .orderBy("asset_id", "page_idx")
   }
 
+  /** Codec-config (extradata) extraction across carriages
+    * ([[graft.multimodal.CodecConfigs]]): MP4 sample entries route
+    * avcC/hvcC/av1C/vpcC and Matroska CodecPrivate carries the av1C
+    * record verbatim; profile/level/bit-depth parse from each spec's
+    * fixed fields. Oracle constants derived from the record
+    * definitions by hand: the 18-byte baseline avcC (profile 66 level
+    * 30), the 16-byte av1C (4 header + 2 OBU header + 10 payload;
+    * seq_profile/seq_level_idx/high_bitdepth in bytes 1–2), the
+    * 12-byte zero-init vpcC, the 23-byte no-array hvcC (profile byte
+    * 1 = 0x01 → idc 1, level byte 12 = 93, bit_depth_luma byte 17).
+    * Asset 6 pins in-band VP9 (kind none), 7 the flagged fallback, 8
+    * the malformed-record posture (reserved bits set → visible span,
+    * −1 fields, still indexed). A routing, field-offset, or
+    * strictness regression hash-fails.
+    */
+  val qMultimodalCodecConfig: QueryDef = QueryDef.sql(
+    "q_multimodal_codec_config",
+    """SELECT * FROM (VALUES
+      |  (1, 'mp4', 'avc1', 'avcC', 66, 30, 8, CAST(18 AS BIGINT), true),
+      |  (2, 'mp4', 'av01', 'av1C', 2, 8, 10, CAST(16 AS BIGINT), true),
+      |  (3, 'mp4', 'vp09', 'vpcC', 2, 41, 10, CAST(12 AS BIGINT), true),
+      |  (4, 'mp4', 'hev1', 'hvcC', 1, 93, 8, CAST(23 AS BIGINT), true),
+      |  (5, 'mkv', 'V_AV1', 'av1C', 0, 12, 8, CAST(16 AS BIGINT), true),
+      |  (6, 'mkv', 'V_VP9', 'none', -1, -1, -1, CAST(-1 AS BIGINT), true),
+      |  (7, '', '', '', -1, -1, -1, CAST(-1 AS BIGINT), false),
+      |  (8, 'mp4', 'av01', 'av1C', -1, -1, -1, CAST(16 AS BIGINT), true))
+      |  AS t(asset_id, container, codec, kind, profile, level,
+      |       bit_depth, config_len, indexed)
+      |ORDER BY asset_id""".stripMargin,
+    doc = "Video codec-config extraction: avcC/hvcC/av1C/vpcC over MP4 " +
+      "sample entries + Matroska CodecPrivate (multimodal ops)") {
+    (s, dir) =>
+    import s.implicits._
+    import graft.multimodal.{CodecConfigs, MkvIndex, Mp4Index, Multimodal}
+    val frames = Seq(Array.tabulate[Byte](6)(_.toByte))
+    val avcc = Array[Byte](1, 66, 0, 30, 0xff.toByte, 0xe1.toByte,
+      0, 4, 0x67, 0x42, 0, 30, 1, 0, 3, 0x68, 0x01, 0x02)
+    val hvcc = Array[Byte](1, 0x01, 0x60, 0, 0, 0, 0, 0, 0, 0, 0, 0, 93,
+      0xf0.toByte, 0, 0xfc.toByte, 0xfd.toByte, 0xf8.toByte,
+      0xf8.toByte, 0, 0, 0x03, 0)
+    val av1cBad = CodecConfigs.encodeAv1CRecord(2, 8, highBitdepth = true)
+    av1cBad(3) = 0x20 // reserved bits set: parse must refuse, span stays
+    def mp4(fmt: String, cfg: (String, Array[Byte])): Array[Byte] =
+      Mp4Index.encodeSynthetic(frames, syncSamples = Seq(1),
+        videoEntry = Some(Mp4Index.videoSampleEntry(fmt, Some(cfg))))
+    val assets = Seq(
+      (1L, mp4("avc1", ("avcC", avcc))),
+      (2L, mp4("av01", ("av1C",
+        CodecConfigs.encodeAv1CRecord(2, 8, highBitdepth = true)))),
+      (3L, mp4("vp09", ("vpcC", CodecConfigs.encodeVpcCRecord(2, 41, 10)))),
+      (4L, mp4("hev1", ("hvcC", hvcc))),
+      (5L, MkvIndex.encodeSynthetic(frames.map((_, true)),
+        codecPrivate = Some(CodecConfigs.encodeAv1CRecord(0, 12)),
+        codecId = "V_AV1")),
+      (6L, MkvIndex.encodeSynthetic(frames.map((_, true)),
+        codecId = "V_VP9")),
+      (7L, Array[Byte](9, 9, 9, 9)),
+      (8L, mp4("av01", ("av1C", av1cBad)))
+    ).toDF("id", "bytes")
+    Multimodal.videoCodecConfigs(assets, "id", "bytes")(s)
+      .select(col("asset_id"), col("container"), col("codec"), col("kind"),
+        col("profile"), col("level"), col("bit_depth"), col("config_len"),
+        col("indexed"))
+      .orderBy("asset_id")
+  }
+
+  /** Matroska/WebM AUDIO TrackEntry profiling
+    * ([[graft.multimodal.MkvIndex.audioTracks]]): codec, channels,
+    * sample rate, bit depth, CodecPrivate magic sniff and Segment
+    * duration from the track headers alone — no Cluster byte read.
+    * Oracle constants by construction: OpusHead is 19 bytes (RFC
+    * 7845 §5.1 fixed layout), the Xiph-laced Vorbis private is
+    * 3 + 30 + 16 + 8 = 57, duration = 2500 ticks × 10⁶ ns ÷ 10⁹ =
+    * 2.5 s; asset 2 (video-only) contributes NO rows, 3 the flagged
+    * fallback, 4 the declared-bit-depth/no-private/no-duration face.
+    * An element-ID, float-width, lacing-sniff, or default regression
+    * hash-fails.
+    */
+  val qMultimodalMkvAudio: QueryDef = QueryDef.sql(
+    "q_multimodal_mkv_audio",
+    """SELECT asset_id, track_idx, codec, channels,
+      |  CAST(sample_rate_hz AS DOUBLE) AS sample_rate_hz, bit_depth,
+      |  private_kind, private_len, CAST(duration_s AS DOUBLE)
+      |    AS duration_s, indexed
+      |FROM (VALUES
+      |  (1, 0, 'A_OPUS', 2, 48000.0, -1, 'opus', CAST(19 AS BIGINT), 2.5,
+      |   true),
+      |  (1, 1, 'A_VORBIS', 1, 44100.0, -1, 'vorbis', CAST(57 AS BIGINT),
+      |   2.5, true),
+      |  (3, -1, '', -1, -1.0, -1, '', CAST(-1 AS BIGINT), -1.0, false),
+      |  (4, 0, 'A_PCM/INT/LIT', 2, 16000.0, 16, 'none',
+      |   CAST(-1 AS BIGINT), -1.0, true))
+      |  AS t(asset_id, track_idx, codec, channels, sample_rate_hz,
+      |       bit_depth, private_kind, private_len, duration_s, indexed)
+      |ORDER BY asset_id, track_idx""".stripMargin,
+    doc = "Matroska audio TrackEntry profile: codec/channels/rate/" +
+      "depth/CodecPrivate/duration, header-only (multimodal ops)") {
+    (s, dir) =>
+    import s.implicits._
+    import graft.multimodal.{MkvIndex, Multimodal}
+    val assets = Seq(
+      (1L, MkvIndex.encodeSyntheticAudio(Seq(
+        ("A_OPUS", 2, 48000.0, Some(MkvIndex.encodeOpusHead(2, 48000))),
+        ("A_VORBIS", 1, 44100.0, Some(MkvIndex.encodeVorbisPrivate()))),
+        durationTicks = Some(2500.0))),
+      (2L, MkvIndex.encodeSynthetic(
+        Seq((Array.fill[Byte](5)(1), true)))),
+      (3L, Array[Byte](9, 9, 9, 9)),
+      (4L, MkvIndex.encodeSyntheticAudio(
+        Seq(("A_PCM/INT/LIT", 2, 16000.0, None)), bitDepth = Some(16)))
+    ).toDF("id", "bytes")
+    Multimodal.extractMkvAudioTracks(assets, "id", "bytes")(s)
+      .select(col("asset_id"), col("track_idx"), col("codec"),
+        col("channels"), col("sample_rate_hz"), col("bit_depth"),
+        col("private_kind"), col("private_len"), col("duration_s"),
+        col("indexed"))
+      .orderBy("asset_id", "track_idx")
+  }
+
   val all: Seq[QueryDef] = Seq(
     qMultimodalDecode, qMultimodalAudio, qMultimodalResize, qMultimodalVideo,
     qMultimodalPhash, qMultimodalAudioNeardup, qMultimodalVideoNeardup,
@@ -1361,5 +1480,5 @@ object MultimodalQueries {
     qMultimodalVideoProfile, qMultimodalAudioProfile,
     qMultimodalImageDims, qMultimodalTags, qMultimodalWavInfo,
     qMultimodalHevcIndex, qMultimodalMkvIndex, qMultimodalDkifIndex,
-    qMultimodalOggIndex)
+    qMultimodalOggIndex, qMultimodalCodecConfig, qMultimodalMkvAudio)
 }

@@ -42,12 +42,17 @@ import graft.multimodal.Mp4Index
 object PathIO {
 
   /** `true` when `path` is a URI with an explicit scheme — the only
-    * shape routed through Hadoop. (`java.net.URI` rejects spaces and
-    * other raw-path bytes, so match textually.) */
+    * shape routed through Hadoop. Both `scheme://host/…` and the
+    * normalized no-authority `scheme:/…` form count (Hadoop and the
+    * Spark file stream source print local URIs as `file:/tmp/…`).
+    * The scheme must be ≥ 2 chars: a single letter + colon is a
+    * Windows drive, not a scheme — Hadoop's own Path rule.
+    * (`java.net.URI` rejects spaces and other raw-path bytes, so
+    * match textually.) */
   def hasScheme(path: String): Boolean =
     SchemeRe.findPrefixOf(path).isDefined
 
-  private val SchemeRe = "^[A-Za-z][A-Za-z0-9+.-]*://".r
+  private val SchemeRe = "^[A-Za-z][A-Za-z0-9+.-]+:/".r
 
   /** Hadoop-FS RangeReader: positioned reads over `FSDataInputStream`
     * — thread-safe preads that never disturb the stream position, the

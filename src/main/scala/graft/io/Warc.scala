@@ -267,9 +267,21 @@ object Warc {
     * stream's lifecycle.
     */
   def recordIndexStreaming(in: java.io.InputStream)
-      : Option[IndexedSeq[WarcRecord]] = {
+      : Option[IndexedSeq[WarcRecord]] =
+    streamWalk(in, captureMax = -1L).map(_.map(_._1))
+
+  /** The streaming walk's ONE implementation: records in order, each
+    * optionally paired with its captured CONTENT bytes. Content is
+    * captured only when `captureMax >= 0` and the record is an
+    * `application/http` response no longer than the cap (bigger
+    * responses are binaries/outliers the HTML path skips anyway; the
+    * cap keeps memory O(record)). `captureMax < 0` captures nothing —
+    * the [[recordIndexStreaming]] contract, byte-for-byte. */
+  private def streamWalk(in: java.io.InputStream, captureMax: Long)
+      : Option[IndexedSeq[(WarcRecord, Option[Array[Byte]])]] = {
     val bin = new java.io.BufferedInputStream(in, 64 * 1024)
-    val out = scala.collection.mutable.ArrayBuffer.empty[WarcRecord]
+    val out = scala.collection.mutable.ArrayBuffer
+      .empty[(WarcRecord, Option[Array[Byte]])]
     var pos = 0L
     def skipFully(n: Long): Boolean = {
       var left = n
@@ -332,6 +344,7 @@ object Warc {
           var bodyStart = -1L
           var bodyLen = -1L
           var consumed = 0L
+          var captured: Option[Array[Byte]] = None
           if (contentType.startsWith("application/http") && len > 0) {
             val probeLen = math.min(len, MaxHeaderBytes.toLong).toInt
             val probe = new Array[Byte](probeLen)
@@ -348,6 +361,19 @@ object Warc {
               bodyStart = contentStart + bo
               bodyLen = len - bo
             }
+            if (captureMax >= 0 && warcType == "response" &&
+                len <= captureMax) {
+              val content = new Array[Byte](len.toInt)
+              System.arraycopy(probe, 0, content, 0, probeLen)
+              var got2 = probeLen
+              while (got2 < len.toInt) {
+                val k = bin.read(content, got2, len.toInt - got2)
+                if (k < 0) return None
+                got2 += k
+              }
+              consumed = len
+              captured = Some(content)
+            }
           }
           if (!skipFully(len - consumed)) return None
           val term = new Array[Byte](4)
@@ -359,9 +385,9 @@ object Warc {
           }
           if (!(term(0) == '\r' && term(1) == '\n' && term(2) == '\r' &&
             term(3) == '\n')) return None
-          out += WarcRecord(out.length, pos,
+          out += ((WarcRecord(out.length, pos,
             headBytes.length + len + 4, warcType, uri, contentType,
-            contentStart, len, status, bodyStart, bodyLen)
+            contentStart, len, status, bodyStart, bodyLen), captured))
           pos = contentStart + len + 4
         }
       }
@@ -461,6 +487,84 @@ object Warc {
       }
   }
 
+  /** HTML pages of ONE path-addressed archive — the per-file walk
+    * behind the batch AND streaming page seams (one implementation):
+    * plain archives walk record heads by seek
+    * ([[recordIndexSeekable]]) and fetch ONLY qualifying 2xx
+    * response contents by ranged read; `.warc.gz` streams once
+    * ([[streamWalk]]), capturing response contents as they pass.
+    * Response records with content over `maxContentBytes` are
+    * SKIPPED, not truncated (real HTML pages are KBs; multi-MB
+    * responses are the binaries the markup sniff drops anyway) —
+    * memory stays O(record) either way. Paths route through
+    * [[PathIO]] (Hadoop FS for scheme-qualified URIs). None when
+    * the path is unreadable or not a well-formed WARC. */
+  def pagesFromPath(path: String,
+      conf: org.apache.hadoop.conf.Configuration,
+      maxContentBytes: Long = 1L << 22)
+      : Option[Seq[(WarcRecord, String, String)]] =
+    try {
+      val (h0, h1) = {
+        val in = PathIO.openStream(path, conf)
+        try (in.read(), in.read()) finally in.close()
+      }
+      def qualifies(r: WarcRecord): Boolean =
+        r.warcType == "response" && r.httpStatus >= 200 &&
+          r.httpStatus < 300 && r.bodyStart >= 0
+      if (h0 == 0x1f && h1 == 0x8b) {
+        val in = new java.util.zip.GZIPInputStream(
+          PathIO.openStream(path, conf))
+        try streamWalk(in, maxContentBytes).map { rs =>
+          rs.flatMap {
+            case (r, Some(content)) if qualifies(r) =>
+              htmlPageText(content, 0L, r.bodyStart - r.contentStart,
+                r.bodyLen).map { case (t, x) => (r, t, x) }
+            case _ => None
+          }
+        } finally in.close()
+      } else {
+        val rr = PathIO.openRange(path, conf)
+        try recordIndexSeekable(rr).map { rs =>
+          rs.iterator
+            .filter(r => qualifies(r) && r.contentLen <= maxContentBytes)
+            .flatMap { r =>
+              val content = rr.readFully(r.contentStart, r.contentLen.toInt)
+              htmlPageText(content, 0L, r.bodyStart - r.contentStart,
+                r.bodyLen).map { case (t, x) => (r, t, x) }
+            }.toVector
+        } finally rr.close()
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Path-columned page extraction: [[pagesFromPath]] as the batch
+    * seam — the >2 GiB / distributed-FS twin of
+    * [[extractHtmlPages]]. Unreadable/ill-formed paths emit the
+    * flagged row. */
+  def extractHtmlPagesByPath(df: org.apache.spark.sql.DataFrame,
+      idCol: String, pathCol: String, maxContentBytes: Long = 1L << 22)(
+      implicit spark: org.apache.spark.sql.SparkSession)
+      : org.apache.spark.sql.Dataset[WarcPage] = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val confBc = PathIO.confBroadcast(spark)
+    df.select(col(idCol).cast("long"), col(pathCol).cast("string"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val conf = confBc.value.value
+        it.flatMap { case (id, path) =>
+          pagesFromPath(path, conf, maxContentBytes) match {
+            case Some(ps) => ps.iterator.map { case (r, title, text) =>
+              WarcPage(id, r.recordIdx, r.targetUri, r.httpStatus,
+                title, text, text.length, extracted = true)
+            }
+            case None =>
+              Iterator.single(WarcPage(id, -1, "", -1, "", "", 0,
+                extracted = false))
+          }
+        }
+      }
+  }
+
   /** The charset a page declares — the HTTP head's `charset=`
     * parameter first, else a `<meta charset=…>` /
     * `<meta http-equiv … content="…charset=…">` in the body prefix —
@@ -494,6 +598,33 @@ object Warc {
     name.flatMap { n =>
       try Some(java.nio.charset.Charset.forName(n))
       catch { case scala.util.control.NonFatal(_) => None }
+    }
+  }
+
+  /** Title + text of one HTML response body inside `bytes` — the
+    * sniff → declared-charset → [[graft.text.HtmlText]] step shared
+    * by EVERY page walk (in-memory, seekable, streaming — one
+    * implementation, no twin drift). The markup sniff runs on a
+    * 512-byte prefix BEFORE any full-body decode: a partition of 2xx
+    * image/PDF responses must not pay a multi-MB String per row.
+    * None when the body does not look like HTML. */
+  private[io] def htmlPageText(bytes: Array[Byte], contentStart: Long,
+      bodyStart: Long, bodyLen: Long): Option[(String, String)] = {
+    val looksHtml = {
+      val probe = math.min(512L, bodyLen).toInt
+      val head = new String(bytes, bodyStart.toInt, probe,
+        java.nio.charset.StandardCharsets.UTF_8)
+        .toLowerCase(java.util.Locale.ROOT)
+      head.contains("<html") || head.contains("<!doctype") ||
+        head.contains("<head") || head.contains("<body")
+    }
+    if (!looksHtml) None
+    else {
+      val cs = declaredCharset(bytes, contentStart, bodyStart, bodyStart,
+        bodyLen).getOrElse(java.nio.charset.StandardCharsets.UTF_8)
+      val html = new String(bytes, bodyStart.toInt, bodyLen.toInt, cs)
+      val text = graft.text.HtmlText.extract(html)
+      Some((graft.text.HtmlText.title(html).getOrElse(""), text))
     }
   }
 
@@ -539,32 +670,10 @@ object Warc {
                   r.httpStatus >= 200 && r.httpStatus < 300 &&
                   r.bodyStart >= 0)
                 .flatMap { r =>
-                  // only keep HTML bodies (the HTTP Content-Type rides
-                  // inside the body head; a cheap sniff on the markup
-                  // keeps binaries out without re-parsing HTTP
-                  // headers) — sniff a 512-BYTE prefix BEFORE any
-                  // full-body decode: a partition of 2xx image/PDF
-                  // responses must not pay a multi-MB String per row
-                  val looksHtml = {
-                    val probe = math.min(512L, r.bodyLen).toInt
-                    val head = new String(bytes, r.bodyStart.toInt,
-                      probe, java.nio.charset.StandardCharsets.UTF_8)
-                      .toLowerCase(java.util.Locale.ROOT)
-                    head.contains("<html") || head.contains("<!doctype") ||
-                      head.contains("<head") || head.contains("<body")
-                  }
-                  if (!looksHtml) Iterator.empty
-                  else {
-                    val cs = declaredCharset(bytes, r.contentStart,
-                      r.bodyStart, r.bodyStart, r.bodyLen)
-                      .getOrElse(java.nio.charset.StandardCharsets.UTF_8)
-                    val html = new String(bytes, r.bodyStart.toInt,
-                      r.bodyLen.toInt, cs)
-                    val text = graft.text.HtmlText.extract(html)
-                    Iterator.single(WarcPage(id, r.recordIdx, r.targetUri,
-                      r.httpStatus,
-                      graft.text.HtmlText.title(html).getOrElse(""),
-                      text, text.length, extracted = true))
+                  htmlPageText(bytes, r.contentStart, r.bodyStart,
+                    r.bodyLen).iterator.map { case (title, text) =>
+                    WarcPage(id, r.recordIdx, r.targetUri, r.httpStatus,
+                      title, text, text.length, extracted = true)
                   }
                 }
             case None =>

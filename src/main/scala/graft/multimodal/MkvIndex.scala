@@ -52,6 +52,12 @@ object MkvIndex {
   private val BlockGroup = 0xA0L
   private val Block = 0xA1L
   private val ReferenceBlock = 0xFBL
+  private val AudioEl = 0xE1L
+  private val SamplingFrequency = 0xB5L
+  private val Channels = 0x9FL
+  private val BitDepth = 0x6264L
+  private val TimestampScale = 0x2AD7B1L
+  private val Duration = 0x4489L
 
   /** One parsed element: id (as stored), payload range, own first
     * byte. */
@@ -142,6 +148,105 @@ object MkvIndex {
         .flatMap(t => videoTrackInTracks(b, t.payloadStart, t.payloadEnd))
         .nextOption()
     }
+
+  /** An EBML float payload: 0 (→ 0.0), 4 or 8 big-endian IEEE bytes
+    * (RFC 8794 §7.3); any other width is malformed. */
+  private def floatVal(b: Array[Byte], el: El): Option[Double] = {
+    val n = el.payloadEnd - el.payloadStart
+    if (n == 0) Some(0.0)
+    else if (n == 4) Some(java.lang.Float.intBitsToFloat(
+      uint(b, el).toInt).toDouble)
+    else if (n == 8) Some(java.lang.Double.longBitsToDouble(uint(b, el)))
+    else None
+  }
+
+  /** One audio TrackEntry: block-header track number, CodecID, the
+    * `Audio` element's channels (Matroska default 1) / sampling
+    * frequency (default 8000 Hz) / bit depth (−1 when undeclared),
+    * and the CodecPrivate payload range (OpusHead for `A_OPUS`, the
+    * Xiph-laced ident+comment+setup headers for `A_VORBIS`). */
+  final case class AudioTrack(trackNumber: Long, codecId: String,
+      channels: Int, sampleRateHz: Double, bitDepth: Int,
+      codecPrivate: Option[(Int, Int)])
+
+  /** Every TrackType==2 (audio) entry in `Tracks`, in declaration
+    * order — the header-only audio profile for Matroska/WebM corpora
+    * (the MP4/FLAC/Ogg families' posture; no Cluster byte is
+    * needed). None when the bytes are not a conforming Matroska
+    * file; Some(empty) for a valid video-only file. */
+  def audioTracks(b: Array[Byte]): Option[Seq[AudioTrack]] =
+    segmentKids(b).map { kids =>
+      kids.filter(_.id == Tracks).flatMap { t =>
+        elements(b, t.payloadStart, t.payloadEnd).toSeq.flatten
+          .filter(_.id == TrackEntry)
+          .flatMap { entry =>
+            val fields = elements(b, entry.payloadStart, entry.payloadEnd)
+              .getOrElse(return None)
+            val isAudio = fields.find(_.id == TrackType)
+              .exists(uint(b, _) == 2L)
+            val num = fields.find(_.id == TrackNumber).map(uint(b, _))
+            if (!isAudio || num.isEmpty) None
+            else {
+              val audio = fields.find(_.id == AudioEl)
+                .flatMap(a => elements(b, a.payloadStart, a.payloadEnd))
+                .getOrElse(IndexedSeq.empty)
+              Some(AudioTrack(num.get,
+                fields.find(_.id == CodecId)
+                  .map(e => new String(b, e.payloadStart,
+                    e.payloadEnd - e.payloadStart, "UTF-8")).getOrElse(""),
+                audio.find(_.id == Channels).map(uint(b, _).toInt)
+                  .getOrElse(1),
+                audio.find(_.id == SamplingFrequency)
+                  .flatMap(floatVal(b, _)).getOrElse(8000.0),
+                audio.find(_.id == BitDepth).map(uint(b, _).toInt)
+                  .getOrElse(-1),
+                fields.find(_.id == CodecPrivate)
+                  .map(e => (e.payloadStart, e.payloadEnd))))
+            }
+          }
+      }
+    }
+
+  /** Segment duration in SECONDS: `Info/Duration` (float, in
+    * timestamp-scale ticks) × `Info/TimestampScale` (default 10⁶ ns)
+    * ÷ 10⁹ — None when the file is not Matroska or declares no
+    * Duration (live/streamed muxes legitimately omit it). */
+  def segmentDuration(b: Array[Byte]): Option[Double] =
+    segmentKids(b).flatMap { kids =>
+      kids.filter(_.id == Info).iterator.flatMap { info =>
+        elements(b, info.payloadStart, info.payloadEnd).flatMap { fields =>
+          val scale = fields.find(_.id == TimestampScale)
+            .map(uint(b, _)).getOrElse(1000000L)
+          fields.find(_.id == Duration).flatMap(floatVal(b, _))
+            .map(_ * scale / 1e9)
+        }
+      }.nextOption()
+    }
+
+  /** The CodecPrivate payload's kind by its own magic: `OpusHead`
+    * (RFC 7845 §5.1), Xiph-laced Vorbis headers (lace count 2,
+    * then the two lace-size sequences, then the 0x01-`vorbis`
+    * identification packet), or unknown. A cheap cross-check that
+    * the declared codec and the carried extradata agree. */
+  def audioPrivateKind(b: Array[Byte], from: Int, until: Int): String = {
+    def ascii(at: Int, s: String): Boolean =
+      at >= from && until - at >= s.length &&
+        s.indices.forall(i => (b(at + i) & 0xff) == s.charAt(i))
+    if (ascii(from, "OpusHead")) "opus"
+    else if (until - from >= 10 && (b(from) & 0xff) == 2) {
+      // skip the two Xiph lace-size sequences (255-valued bytes +
+      // terminator each); the ident packet must open 0x01 'vorbis'
+      var i = from + 1
+      var laces = 2
+      while (laces > 0 && i < until) {
+        if ((b(i) & 0xff) != 255) laces -= 1
+        i += 1
+      }
+      if (laces == 0 && i < until && b(i) == 1 && ascii(i + 1, "vorbis"))
+        "vorbis"
+      else "unknown"
+    } else "unknown"
+  }
 
   /** The video track inside ONE `Tracks` payload range — shared with
     * the seekable walk, which hands the payload in detached (its
@@ -498,14 +603,15 @@ object MkvIndex {
   def encodeSynthetic(frames: Seq[(Array[Byte], Boolean)],
       audioTrackFirst: Boolean = false,
       useBlockGroups: Boolean = false,
-      codecPrivate: Option[Array[Byte]] = None): Array[Byte] = {
+      codecPrivate: Option[Array[Byte]] = None,
+      codecId: String = "V_MPEG4/ISO/AVC"): Array[Byte] = {
     require(frames.nonEmpty)
     val videoNum = if (audioTrackFirst) 2L else 1L
     val ebml = el(EbmlHeader, el(DocType, "webm".getBytes("UTF-8")))
     val info = el(Info, uintEl(0x2AD7B1L, 1000000L))
     val videoEntry = el(TrackEntry,
       uintEl(TrackNumber, videoNum) ++ uintEl(TrackType, 1L) ++
-        el(CodecId, "V_MPEG4/ISO/AVC".getBytes("UTF-8")) ++
+        el(CodecId, codecId.getBytes("UTF-8")) ++
         codecPrivate.map(el(CodecPrivate, _)).getOrElse(Array.empty[Byte]))
     val audioEntry =
       if (!audioTrackFirst) Array.empty[Byte]
@@ -533,6 +639,70 @@ object MkvIndex {
     }.toArray
     val cluster = el(Cluster, uintEl(0xE7L, 0L) ++ blocks)
     ebml ++ el(Segment, info ++ tracks ++ cluster)
+  }
+
+  private def floatEl(id: Long, v: Double): Array[Byte] =
+    el(id, java.nio.ByteBuffer.allocate(4)
+      .putInt(java.lang.Float.floatToIntBits(v.toFloat)).array())
+
+  /** RFC 7845 §5.1 OpusHead for fixtures: magic, version 1, channel
+    * count, pre-skip (LE), input sample rate (LE), zero gain,
+    * mapping family 0. 19 bytes. */
+  def encodeOpusHead(channels: Int, inputRateHz: Int,
+      preSkip: Int = 312): Array[Byte] =
+    "OpusHead".getBytes("ISO-8859-1") ++ Array[Byte](1, channels.toByte,
+      (preSkip & 0xff).toByte, ((preSkip >> 8) & 0xff).toByte,
+      (inputRateHz & 0xff).toByte, ((inputRateHz >> 8) & 0xff).toByte,
+      ((inputRateHz >> 16) & 0xff).toByte,
+      ((inputRateHz >> 24) & 0xff).toByte, 0, 0, 0)
+
+  /** A Xiph-laced Vorbis CodecPrivate skeleton for fixtures: lace
+    * count 2, the two lace-size sequences, then the three packets —
+    * the identification packet's 0x01+"vorbis" magic is real, the
+    * bodies synthetic. */
+  def encodeVorbisPrivate(identLen: Int = 30, commentLen: Int = 16,
+      setupLen: Int = 8): Array[Byte] = {
+    require(identLen >= 7 && identLen < 255 && commentLen < 255)
+    def lace(n: Int) = Array((n & 0xff).toByte)
+    def packet(lead: Int, len: Int): Array[Byte] =
+      Array(lead.toByte) ++ "vorbis".getBytes("ISO-8859-1") ++
+        Array.tabulate[Byte](len - 7)(i => ((i * 11 + 3) & 0x7f).toByte)
+    Array[Byte](2) ++ lace(identLen) ++ lace(commentLen) ++
+      packet(1, identLen) ++ packet(3, commentLen) ++ packet(5, setupLen)
+  }
+
+  /** Synthetic Matroska with AUDIO TrackEntries — the fixture for the
+    * header-only audio profile: Info carries TimestampScale (10⁶) and
+    * optionally Duration (ticks → milliseconds at that scale); each
+    * track gets an `Audio` element (Channels + SamplingFrequency
+    * [+ BitDepth]) and optional CodecPrivate; one tiny SimpleBlock
+    * per track forms the Cluster. */
+  def encodeSyntheticAudio(
+      tracks: Seq[(String, Int, Double, Option[Array[Byte]])],
+      durationTicks: Option[Double] = None,
+      bitDepth: Option[Int] = None): Array[Byte] = {
+    require(tracks.nonEmpty)
+    val ebml = el(EbmlHeader, el(DocType, "webm".getBytes("UTF-8")))
+    val info = el(Info, uintEl(TimestampScale, 1000000L) ++
+      durationTicks.map(floatEl(Duration, _)).getOrElse(Array.empty[Byte]))
+    val entries = tracks.zipWithIndex.map {
+      case ((codecId, channels, rateHz, priv), i) =>
+        el(TrackEntry,
+          uintEl(TrackNumber, (i + 1).toLong) ++ uintEl(TrackType, 2L) ++
+            el(CodecId, codecId.getBytes("UTF-8")) ++
+            priv.map(el(CodecPrivate, _)).getOrElse(Array.empty[Byte]) ++
+            el(AudioEl, uintEl(Channels, channels.toLong) ++
+              floatEl(SamplingFrequency, rateHz) ++
+              bitDepth.map(d => uintEl(BitDepth, d.toLong))
+                .getOrElse(Array.empty[Byte])))
+    }
+    val blocks = tracks.indices.toArray.flatMap { i =>
+      el(SimpleBlock, Array((0x80 | (i + 1)).toByte, 0.toByte, 0.toByte,
+        0x80.toByte) ++ Array[Byte](0x55, 0x55))
+    }
+    val cluster = el(Cluster, uintEl(0xE7L, 0L) ++ blocks)
+    ebml ++ el(Segment,
+      info ++ el(Tracks, entries.flatten.toArray) ++ cluster)
   }
 
   /** One laced SimpleBlock holding all `frames` (mode: "xiph",
@@ -588,3 +758,4 @@ object MkvIndex {
     ebml ++ el(Segment, info ++ tracks ++ cluster)
   }
 }
+

@@ -107,6 +107,18 @@ object Mp4Index {
   /** HEVC sample entries; extradata lives in an `hvcC` record. */
   private val HevcFourccs = Set("hev1", "hvc1")
 
+  /** The codec-config box fourcc a sample-entry format carries:
+    * `avcC`/`hvcC` (ISO 14496-15), `av1C` (AV1-ISOBMFF §2.3) for
+    * `av01`, `vpcC` (VP Codec ISO binding §8) for `vp08`/`vp09` —
+    * the modern-open-video extradata the round-12 routing indexed
+    * frames WITHOUT. None for formats whose config is in-band only. */
+  private[multimodal] def configBoxFor(fmt: String): Option[String] =
+    if (AvcFourccs(fmt)) Some("avcC")
+    else if (HevcFourccs(fmt)) Some("hvcC")
+    else if (fmt == "av01") Some("av1C")
+    else if (fmt == "vp08" || fmt == "vp09") Some("vpcC")
+    else None
+
   /** A trak's declared handler_type (`mdia/hdlr` byte 8-11, §8.4.3) —
     * None when the box is absent or too short. */
   private def handlerType(b: Array[Byte], mdia: Box): Option[String] =
@@ -136,6 +148,65 @@ object Mp4Index {
       .flatMap(m => sampleTableInMoov(b, m.payloadStart, m.payloadEnd,
         boundLen))
       .nextOption()
+
+  /** stsd first entry of one stbl: vf(4) entry_count(4) then sample
+    * entries (size(4) format(4) ...); the codec-config child box
+    * ([[configBoxFor]]: avcC/hvcC/av1C/vpcC) sits after the fixed
+    * 78-byte VisualSampleEntry fields (§12.1.3). For avc3/avc4
+    * (in-band parameter sets) the record is still present, its
+    * SPS/PPS lists just may be empty. Returns (format fourcc,
+    * config payload range). */
+  private def stsdCodecConfig(b: Array[Byte], stbl: Box)
+      : (String, Option[(Int, Int)]) =
+    child(b, stbl, "stsd") match {
+      case Some(c) if c.payloadEnd - c.payloadStart >= 16 =>
+        val fmt = fourcc(b, c.payloadStart + 12)
+        val entryStart = c.payloadStart + 8
+        val entryEnd = math.min(
+          entryStart + u32(b, entryStart).toInt, c.payloadEnd)
+        val cfg = configBoxFor(fmt).filter(_ => entryStart + 86 <= entryEnd)
+          .flatMap { name =>
+            boxes(b, entryStart + 86, entryEnd).toSeq.flatten
+              .find(_.fourcc == name)
+              .map(x => (x.payloadStart, x.payloadEnd))
+          }
+        (fmt, cfg)
+      case _ => ("", None)
+    }
+
+  /** The selected video track's stsd format fourcc + codec-config
+    * payload range WITHOUT requiring a complete sample table — the
+    * stsd rides `moov` in plain AND fragmented (CMAF init-segment)
+    * files alike, so codec-config extraction must not fall over on a
+    * file whose samples live in `moof` runs. Same strictness and
+    * track selection as [[sampleTable]] (ftyp first, exact top-level
+    * tiling, hdlr=='vide' with the fourcc fallback).
+    */
+  def videoCodecInfo(b: Array[Byte]): Option[(String, Option[(Int, Int)])] = {
+    val topOpt = boxes(b, 0, b.length, topLevel = true)
+    if (topOpt.isEmpty) return None
+    val top = topOpt.get
+    if (top.isEmpty || top.head.fourcc != "ftyp") return None
+    top.filter(_.fourcc == "moov").iterator.flatMap { m =>
+      boxes(b, m.payloadStart, m.payloadEnd).toSeq.flatten
+        .filter(_.fourcc == "trak")
+        .flatMap { trak =>
+          child(b, trak, "mdia").toSeq.flatMap { mdia =>
+            val handler = handlerType(b, mdia)
+            if (handler.exists(_ != "vide")) Seq.empty
+            else child(b, mdia, "minf")
+              .flatMap(minf => child(b, minf, "stbl"))
+              .map(stbl => (stsdCodecConfig(b, stbl), handler.isDefined))
+              .toSeq
+          }
+        }
+        .collect {
+          case ((fmt, cfg), declared)
+            if fmt.nonEmpty && (declared || VideoFourccs(fmt)) =>
+            (fmt, cfg)
+        }
+    }.nextOption()
+  }
 
   /** The video sample table inside ONE moov payload range — shared by
     * the in-memory walk and the seekable path (which hands in the
@@ -377,31 +448,7 @@ object Mp4Index {
       case None => (1 to nSamples).toSet
     }
 
-    // stsd first entry: vf(4) entry_count(4) then sample entries
-    // (size(4) format(4) ...); the AVC family (avc1/avc3/avc4) carries
-    // avcC — and the HEVC family (hev1/hvc1) hvcC — at a fixed 78-byte
-    // offset into the entry (VisualSampleEntry layout, §12.1.3). For
-    // avc3/avc4 (in-band parameter sets) the record is still present,
-    // its SPS/PPS lists just may be empty.
-    val (codec, avcC) = child(b, stbl, "stsd") match {
-      case Some(c) if c.payloadEnd - c.payloadStart >= 16 =>
-        val fmt = fourcc(b, c.payloadStart + 12)
-        val entryStart = c.payloadStart + 8
-        val entryEnd = math.min(
-          entryStart + u32(b, entryStart).toInt, c.payloadEnd)
-        val cfgName =
-          if (AvcFourccs(fmt)) Some("avcC")
-          else if (HevcFourccs(fmt)) Some("hvcC")
-          else None
-        val cfg = cfgName.filter(_ => entryStart + 86 <= entryEnd)
-          .flatMap { name =>
-            boxes(b, entryStart + 86, entryEnd).toSeq.flatten
-              .find(_.fourcc == name)
-              .map(x => (x.payloadStart, x.payloadEnd))
-          }
-        (fmt, cfg)
-      case _ => ("", None)
-    }
+    val (codec, avcC) = stsdCodecConfig(b, stbl)
     Some(SampleTable(offsets, sizes, sync, codec, avcC))
   }
 
@@ -881,8 +928,17 @@ object Mp4Index {
     ftyp ++ mdat ++ moov
   }
 
+  /** A VisualSampleEntry for fixtures: `fmt` box with the 78 fixed
+    * bytes then an optional codec-config child (`avcC`/`hvcC`/
+    * `av1C`/`vpcC` + record payload). */
+  def videoSampleEntry(fmt: String,
+      config: Option[(String, Array[Byte])]): Array[Byte] =
+    box(fmt, new Array[Byte](78) ++
+      config.map { case (n, p) => box(n, p) }.getOrElse(Array.empty[Byte]))
+
   def encodeSynthetic(samples: Seq[Array[Byte]], syncSamples: Seq[Int],
-      samplesPerChunk: Int = 2, audioTrakFirst: Boolean = false): Array[Byte] = {
+      samplesPerChunk: Int = 2, audioTrakFirst: Boolean = false,
+      videoEntry: Option[Array[Byte]] = None): Array[Byte] = {
     require(samples.nonEmpty && samplesPerChunk > 0)
     val ftyp = box("ftyp",
       "isom".getBytes("ISO-8859-1") ++ Array[Byte](0, 0, 0, 0))
@@ -895,12 +951,15 @@ object Mp4Index {
         val o = off; off += c.map(samples(_).length.toLong).sum; o
       }
     }
-    // avc1 VisualSampleEntry: 8 hdr + 78 fixed fields, then avcC
-    val avccStream = H264Avcc.encodeSynthetic(Seq(true))
-    val avccRecord = avccStream.take(
-      H264Avcc.parseConfig(avccStream).get.headerLen)
-    val avc1 = box("avc1", new Array[Byte](78) ++ box("avcC", avccRecord))
-    val stsd = full("stsd", u32a(Seq(1L)) ++ avc1)
+    // avc1 VisualSampleEntry: 8 hdr + 78 fixed fields, then avcC —
+    // unless the caller supplied its own entry (av01+av1C etc.)
+    val entry = videoEntry.getOrElse {
+      val avccStream = H264Avcc.encodeSynthetic(Seq(true))
+      val avccRecord = avccStream.take(
+        H264Avcc.parseConfig(avccStream).get.headerLen)
+      videoSampleEntry("avc1", Some(("avcC", avccRecord)))
+    }
+    val stsd = full("stsd", u32a(Seq(1L)) ++ entry)
     val stsz = full("stsz",
       u32a(Seq(0L, samples.length.toLong)) ++
         u32a(samples.map(_.length.toLong)))
@@ -1010,3 +1069,4 @@ object Mp4Index {
     parts.toArray.flatten
   }
 }
+

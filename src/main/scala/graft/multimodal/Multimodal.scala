@@ -1161,6 +1161,121 @@ object Multimodal {
       }
   }
 
+  /** One asset's codec configuration: container + stsd/CodecID codec
+    * name, the config-record kind (`avcC`/`hvcC`/`av1C`/`vpcC`, or
+    * "none" when the codec keeps config in-band — VP8/VP9-in-WebM,
+    * mp4v), the record's parsed profile/level/bit-depth, and its byte
+    * span. A MALFORMED record on an otherwise-valid container keeps
+    * `indexed = true` with −1 fields and the span reported (the
+    * anomaly is visible, the asset isn't conflated with junk);
+    * `indexed = false` flags assets no container walk accepts. */
+  final case class CodecConfigRow(asset_id: Long, container: String,
+      codec: String, kind: String, profile: Int, level: Int,
+      bit_depth: Int, config_start: Long, config_len: Long,
+      indexed: Boolean)
+
+  /** Codec-config ("extradata") extraction over a video corpus: the
+    * selected video track's config record from MP4 sample entries
+    * (avcC/hvcC/av1C/vpcC — [[Mp4Index.videoCodecInfo]], which works
+    * on fragmented/CMAF init segments too since stsd rides moov) or
+    * from the Matroska CodecPrivate ([[MkvIndex.videoTrack]] +
+    * [[CodecConfigs.kindForMkvCodec]] — AV1-in-Matroska carries the
+    * av1C record verbatim), parsed to profile/level/bit-depth by
+    * [[CodecConfigs]]. Pure header walks as mapPartitions — no
+    * sample byte is touched, so a 100 TB corpus profiles its codec
+    * mix at header I/O cost.
+    */
+  def videoCodecConfigs(df: DataFrame, idCol: String, bytesCol: String)(
+      implicit spark: SparkSession): Dataset[CodecConfigRow] = {
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(bytesCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          def row(container: String, codec: String, kind: Option[String],
+              span: Option[(Int, Int)]): CodecConfigRow =
+            (kind, span) match {
+              case (Some(k), Some((s, e))) =>
+                CodecConfigs.parse(k, bytes, s, e) match {
+                  case Some(f) => CodecConfigRow(id, container, codec, k,
+                    f.profile, f.level, f.bitDepth, s.toLong,
+                    (e - s).toLong, indexed = true)
+                  case None => CodecConfigRow(id, container, codec, k,
+                    -1, -1, -1, s.toLong, (e - s).toLong, indexed = true)
+                }
+              case _ => CodecConfigRow(id, container, codec, "none",
+                -1, -1, -1, -1L, -1L, indexed = true)
+            }
+          val parsed =
+            try {
+              Option(bytes).flatMap { b =>
+                Mp4Index.videoCodecInfo(b)
+                  .map { case (fmt, cfg) =>
+                    row("mp4", fmt, Mp4Index.configBoxFor(fmt), cfg)
+                  }
+                  .orElse(MkvIndex.videoTrack(b).map { vt =>
+                    row("mkv", vt.codecId,
+                      CodecConfigs.kindForMkvCodec(vt.codecId),
+                      vt.codecPrivate)
+                  })
+              }
+            } catch { case scala.util.control.NonFatal(_) => None }
+          parsed.getOrElse(CodecConfigRow(id, "", "", "", -1, -1, -1,
+            -1L, -1L, indexed = false))
+        }
+      }
+  }
+
+  /** One Matroska audio TrackEntry: declared channels / sample rate /
+    * bit depth (−1 undeclared), the CodecPrivate's sniffed kind
+    * ("opus"/"vorbis"/"unknown" by magic, "none" when absent) and
+    * length, and the Segment duration in seconds (−1 when the mux
+    * declares none). `indexed = false` flags non-Matroska assets; a
+    * valid video-only file emits no rows. */
+  final case class MkvAudioRow(asset_id: Long, track_idx: Int,
+      codec: String, channels: Int, sample_rate_hz: Double,
+      bit_depth: Int, private_kind: String, private_len: Long,
+      duration_s: Double, indexed: Boolean)
+
+  /** Header-only audio profiling for Matroska/WebM corpora
+    * ([[MkvIndex.audioTracks]]): the TrackEntry's `Audio` element +
+    * CodecPrivate magic + `Info/Duration` give codec, channels,
+    * sample rate, bit depth and duration without touching a Cluster
+    * byte — the audio twin of [[extractVideoInfo]], completing the
+    * MP4/FLAC/Ogg/WAV audio-profile family for the one container it
+    * lacked. */
+  def extractMkvAudioTracks(df: DataFrame, idCol: String, bytesCol: String)(
+      implicit spark: SparkSession): Dataset[MkvAudioRow] = {
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(bytesCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, bytes) =>
+          val parsed =
+            try Option(bytes).flatMap(b =>
+              MkvIndex.audioTracks(b).map { ts =>
+                val dur = MkvIndex.segmentDuration(b).getOrElse(-1.0)
+                (ts, dur, b)
+              })
+            catch { case scala.util.control.NonFatal(_) => None }
+          parsed match {
+            case Some((ts, dur, b)) => ts.iterator.zipWithIndex.map {
+              case (t, i) =>
+                val (kind, len) = t.codecPrivate match {
+                  case Some((s, e)) =>
+                    (MkvIndex.audioPrivateKind(b, s, e), (e - s).toLong)
+                  case None => ("none", -1L)
+                }
+                MkvAudioRow(id, i, t.codecId, t.channels, t.sampleRateHz,
+                  t.bitDepth, kind, len, dur, indexed = true)
+            }
+            case None => Iterator.single(MkvAudioRow(id, -1, "", -1,
+              -1.0, -1, "", -1L, -1.0, indexed = false))
+          }
+        }
+      }
+  }
+
   /** Header-only video facts: frame/keyframe counts from the sample
     * table and the mvhd duration; `duration_s` is −1 when the moov
     * declares none (header-less synthetic muxes). `indexed = false`
@@ -1260,3 +1375,4 @@ object Multimodal {
     assets.repartition(parts, col("asset_id"))
   }
 }
+

@@ -1,0 +1,110 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.io.{PathIO, Warc}
+import graft.pipeline.Curation.CurationConfig
+import graft.text.TextAnalysis
+
+/** The crawl front door as a STREAMING pipeline: a WARC drop
+  * directory (the shape a running crawler produces — one
+  * `.warc`/`.warc.gz` file per fetch batch) ingests incrementally
+  * instead of re-walking the world per batch run.
+  *
+  * Shape: Spark's file stream source discovers NEW archive files
+  * (checkpoint-tracked, so each file is processed exactly once across
+  * restarts) with the `binaryFile` format pruned to `path` +
+  * `modificationTime` — file CONTENTS are never shipped through the
+  * source; each task opens its archive via [[Warc.pagesFromPath]]
+  * (seek-walk for plain, O(record)-memory stream for `.warc.gz`,
+  * Hadoop-FS routing for `s3a://`-style drop dirs) and emits page
+  * rows. Downstream, [[curated]] runs the per-row curation stages +
+  * watermark-bounded streaming dedup of [[StreamCuration]].
+  *
+  * 100 TB posture: the source state is one entry per SEEN FILE (tiny
+  * — the file registry, not the data); per-task memory is O(record);
+  * corrupt archives emit a flagged row instead of killing the query
+  * (a crawler WILL eventually drop a truncated file). Mixture
+  * sampling/packing still belong to the batch snapshot that closes a
+  * corpus ([[graft.pipeline.Curation.curate]]), as in the batch
+  * twin.
+  */
+object StreamWarc {
+
+  /** One streamed page: which archive + record it came from, its
+    * arrival time (the file's modification time — the watermark
+    * clock), and the extracted text. `extracted = false` flags a
+    * path no WARC walk accepts (corrupt/truncated drop). */
+  final case class StreamedPage(path: String,
+      arrival_ts: java.sql.Timestamp, record_idx: Int,
+      target_uri: String, http_status: Int, title: String, text: String,
+      n_chars: Int, extracted: Boolean)
+
+  /** The page stream over a drop directory. `pathGlob` keeps
+    * non-archive files (crawler logs, manifests) out of the source's
+    * file registry. */
+  def pages(spark: SparkSession, dropDir: String,
+      pathGlob: String = "*.warc*",
+      maxContentBytes: Long = 1L << 22): DataFrame = {
+    import spark.implicits._
+    val confBc = PathIO.confBroadcast(spark)
+    // the binaryFile source's fixed schema, given explicitly — a
+    // streaming source must not infer (the drop dir may be empty at
+    // start-up, and inference would race arriving files)
+    val binaryFileSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("path",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("modificationTime",
+        org.apache.spark.sql.types.TimestampType),
+      org.apache.spark.sql.types.StructField("length",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("content",
+        org.apache.spark.sql.types.BinaryType)))
+    spark.readStream
+      .format("binaryFile")
+      .schema(binaryFileSchema)
+      .option("pathGlobFilter", pathGlob)
+      .load(dropDir)
+      // column pruning reaches the source: content is never read
+      .select(col("path"), col("modificationTime"))
+      .as[(String, java.sql.Timestamp)]
+      .mapPartitions { it =>
+        val conf = confBc.value.value
+        it.flatMap { case (path, mtime) =>
+          Warc.pagesFromPath(path, conf, maxContentBytes) match {
+            case Some(ps) => ps.iterator.map { case (r, title, text) =>
+              StreamedPage(path, mtime, r.recordIdx, r.targetUri,
+                r.httpStatus, title, text, text.length, extracted = true)
+            }
+            case None => Iterator.single(StreamedPage(path, mtime, -1,
+              "", -1, "", "", 0, extracted = false))
+          }
+        }
+      }
+      .toDF()
+  }
+
+  /** Pages → curated docs: language-ID each page, then the
+    * [[StreamCuration.curateStream]] stages (redact → quality →
+    * watermarked exact dedup → decontaminate). `doc_id` is the
+    * 64-bit hash of (archive path, record index) — stable across
+    * retries, so the checkpointed sink's exactly-once holds.
+    * Flagged (corrupt-archive) rows are ROUTED OUT here — surface
+    * them from [[pages]] when monitoring a crawler's drop quality.
+    */
+  def curated(spark: SparkSession, dropDir: String,
+      cfg: CurationConfig = CurationConfig(),
+      watermarkDelay: String = "1 hour",
+      pathGlob: String = "*.warc*",
+      maxContentBytes: Long = 1L << 22): DataFrame = {
+    val docs = pages(spark, dropDir, pathGlob, maxContentBytes)
+      .filter(col("extracted") && length(col("text")) > 0)
+      .select(
+        xxhash64(col("path"), col("record_idx")).as(cfg.idCol),
+        TextAnalysis.languageId(col("text")).as(cfg.langCol),
+        col("text").as(cfg.textCol),
+        col("arrival_ts"))
+    StreamCuration.curateStream(docs, cfg, "arrival_ts", watermarkDelay)
+  }
+}

@@ -18,11 +18,16 @@ class PathIOSpec extends SparkSpec {
     assert(PathIO.hasScheme("file:///tmp/a.mp4"))
     assert(PathIO.hasScheme("s3a://bucket/key.warc.gz"))
     assert(PathIO.hasScheme("hdfs://nn:8020/crawl/a.warc"))
+    // the normalized no-authority form the Spark file stream source
+    // and Hadoop Path.toString print
+    assert(PathIO.hasScheme("file:/tmp/a.warc"))
     assert(!PathIO.hasScheme("/tmp/a.mp4"))
     assert(!PathIO.hasScheme("relative/clip.webm"))
     // a Windows-ish drive letter or a colon without slashes is a
-    // plain path, not a scheme
+    // plain path, not a scheme (the Hadoop Path rule: 1-char scheme
+    // = drive letter)
     assert(!PathIO.hasScheme("C:\\clips\\a.mp4"))
+    assert(!PathIO.hasScheme("C:/clips/a.mp4"))
     assert(!PathIO.hasScheme("host:port"))
   }
 

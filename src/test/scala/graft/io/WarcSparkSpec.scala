@@ -116,6 +116,38 @@ class WarcSparkSpec extends SparkSpec {
         "déjà"))
   }
 
+  test("extractHtmlPagesByPath matches the in-memory page walk on both routes") {
+    val plain = sample
+    val wantPages = Warc.extractHtmlPages(
+      Seq((0L, plain)).toDF("id", "bytes"), "id", "bytes")
+      .collect().map(p => (p.record_idx, p.target_uri, p.title, p.text))
+      .toSeq.sorted
+    val mem = Warc.recordIndex(plain).get
+    val members = mem.map(r => java.util.Arrays.copyOfRange(plain,
+      r.byteStart.toInt, (r.byteStart + r.byteLen).toInt))
+    val fp = java.io.File.createTempFile("graft-pages", ".warc")
+    val fg = java.io.File.createTempFile("graft-pages", ".warc.gz")
+    try {
+      java.nio.file.Files.write(fp.toPath, plain)
+      java.nio.file.Files.write(fg.toPath, Warc.gzipPerRecord(members))
+      val df = Seq((1L, fp.getPath), (2L, "file:" + fg.getPath),
+        (3L, "/nonexistent/x.warc")).toDF("id", "path")
+      val rows = Warc.extractHtmlPagesByPath(df, "id", "path").collect()
+      for (id <- Seq(1L, 2L)) {
+        val got = rows.filter(_.asset_id == id)
+          .map(p => (p.record_idx, p.target_uri, p.title, p.text))
+          .toSeq.sorted
+        assert(got === wantPages, s"asset $id")
+      }
+      assert(rows.count(r => r.asset_id == 3L && !r.extracted) === 1)
+      // the content cap SKIPS oversize responses instead of truncating
+      val capped = Warc.extractHtmlPagesByPath(
+        Seq((1L, fp.getPath)).toDF("id", "path"), "id", "path",
+        maxContentBytes = 10L).collect()
+      assert(capped.count(_.extracted) === 0)
+    } finally { fp.delete(); fg.delete() }
+  }
+
   test("extractRecordsByPath routes plain files seekable and .gz streaming") {
     val plain = sample
     val mem = Warc.recordIndex(plain).get

@@ -1,0 +1,171 @@
+package graft.multimodal
+
+import graft.SparkSpec
+
+/** Codec-config extraction ([[CodecConfigs]] + the stsd/CodecPrivate
+  * routing): AV1/VP9 records parse with the right profile/level/
+  * bit-depth, spans slice back to the exact record bytes, malformed
+  * records are visible-but-flagged, and the Spark operator unifies
+  * MP4 and Matroska carriage.
+  */
+class CodecConfigsSpec extends SparkSpec {
+  implicit private def s = spark
+  import spark.implicits._
+
+  test("av1C records parse profile/level/bit-depth; malformed refuse") {
+    val r = CodecConfigs.encodeAv1CRecord(2, 8, highBitdepth = true)
+    val f = CodecConfigs.parseAv1C(r, 0, r.length).get
+    assert(f === CodecConfigs.ConfigFields("av1C", 2, 8, 10))
+    val r12 = CodecConfigs.encodeAv1CRecord(2, 13, highBitdepth = true,
+      twelveBit = true)
+    assert(CodecConfigs.parseAv1C(r12, 0, r12.length).get.bitDepth === 12)
+    val r8 = CodecConfigs.encodeAv1CRecord(0, 0)
+    assert(CodecConfigs.parseAv1C(r8, 0, r8.length).get.bitDepth === 8)
+    // bad marker/version byte
+    val bad0 = r.clone(); bad0(0) = 0x01
+    assert(CodecConfigs.parseAv1C(bad0, 0, bad0.length).isEmpty)
+    // reserved bits in byte 3
+    val bad3 = r.clone(); bad3(3) = 0x20
+    assert(CodecConfigs.parseAv1C(bad3, 0, bad3.length).isEmpty)
+    // twelve_bit without high_bitdepth is malformed
+    val badTw = r.clone(); badTw(2) = 0x2c
+    assert(CodecConfigs.parseAv1C(badTw, 0, badTw.length).isEmpty)
+    // configOBUs must tile: truncate mid-OBU / trailing junk refuse
+    assert(CodecConfigs.parseAv1C(r, 0, r.length - 3).isEmpty)
+    assert(CodecConfigs.parseAv1C(r ++ Array[Byte](0x7f), 0,
+      r.length + 1).isEmpty)
+    // an empty configOBUs section is legal
+    assert(CodecConfigs.parseAv1C(r.take(4), 0, 4).isDefined)
+  }
+
+  test("vpcC records parse; wrong version/init-size/bit-depth refuse") {
+    val r = CodecConfigs.encodeVpcCRecord(2, 41, 10)
+    assert(CodecConfigs.parseVpcC(r, 0, r.length).get ===
+      CodecConfigs.ConfigFields("vpcC", 2, 41, 10))
+    val v0 = r.clone(); v0(0) = 0
+    assert(CodecConfigs.parseVpcC(v0, 0, v0.length).isEmpty)
+    // nonzero codecInitializationDataSize is not VP8/VP9
+    val init = r.clone(); init(11) = 2
+    assert(CodecConfigs.parseVpcC(init, 0, init.length).isEmpty)
+    // bitDepth outside {8,10,12}
+    val bd = r.clone(); bd(6) = (0x9 << 4).toByte
+    assert(CodecConfigs.parseVpcC(bd, 0, bd.length).isEmpty)
+    // record longer than 12 with zero init size does not tile
+    assert(CodecConfigs.parseVpcC(r ++ Array[Byte](0), 0,
+      r.length + 1).isEmpty)
+  }
+
+  test("avcC/hvcC field extraction matches the hand-built records") {
+    val avcc = Array[Byte](1, 66, 0, 30, 0xff.toByte, 0xe1.toByte,
+      0, 4, 0x67, 0x42, 0, 30, 1, 0, 3, 0x68, 0x01, 0x02)
+    assert(CodecConfigs.parseAvcC(avcc, 0, avcc.length).get ===
+      CodecConfigs.ConfigFields("avcC", 66, 30, 8))
+    val hvcc = hvccRecord(bitDepthLuma = 10)
+    assert(CodecConfigs.parseHvcC(hvcc, 0, hvcc.length).get ===
+      CodecConfigs.ConfigFields("hvcC", 1, 93, 10))
+  }
+
+  private def hvccRecord(bitDepthLuma: Int): Array[Byte] =
+    Array[Byte](1, 0x01, 0x60, 0, 0, 0, 0, 0, 0, 0, 0, 0, 93,
+      0xf0.toByte, 0, 0xfc.toByte, 0xfd.toByte,
+      (0xf8 | (bitDepthLuma - 8)).toByte, 0xf8.toByte, 0, 0, 0x03, 0)
+
+  test("MP4 stsd routes av01->av1C and vp09->vpcC; spans slice exactly") {
+    val ss = Seq(7, 3).map(n => Array.tabulate[Byte](n)(_.toByte))
+    val av1c = CodecConfigs.encodeAv1CRecord(0, 8, highBitdepth = true)
+    val mp4Av1 = Mp4Index.encodeSynthetic(ss, syncSamples = Seq(1),
+      videoEntry = Some(Mp4Index.videoSampleEntry("av01",
+        Some(("av1C", av1c)))))
+    val t = Mp4Index.sampleTable(mp4Av1).get
+    assert(t.codec === "av01")
+    val (s0, e0) = t.avcC.get
+    assert(java.util.Arrays.equals(
+      java.util.Arrays.copyOfRange(mp4Av1, s0, e0), av1c))
+    val vpcc = CodecConfigs.encodeVpcCRecord(2, 41, 10)
+    val mp4Vp9 = Mp4Index.encodeSynthetic(ss, syncSamples = Seq(1),
+      videoEntry = Some(Mp4Index.videoSampleEntry("vp09",
+        Some(("vpcC", vpcc)))))
+    val t2 = Mp4Index.sampleTable(mp4Vp9).get
+    assert(t2.codec === "vp09")
+    val (s1, e1) = t2.avcC.get
+    assert(java.util.Arrays.equals(
+      java.util.Arrays.copyOfRange(mp4Vp9, s1, e1), vpcc))
+    // frame indexing is unchanged by the entry swap
+    assert(Mp4Index.frameIndex(mp4Av1).get.map(_.byteLen).toSeq
+      === Seq(7L, 3L))
+  }
+
+  test("videoCodecInfo works without a sample table (CMAF init segment)") {
+    import Mp4Index.{box, full, u32a}
+    val av1c = CodecConfigs.encodeAv1CRecord(1, 5)
+    val stsd = full("stsd", u32a(Seq(1L)) ++
+      Mp4Index.videoSampleEntry("av01", Some(("av1C", av1c))))
+    val hdlr = full("hdlr", u32a(Seq(0L)) ++
+      "vide".getBytes("ISO-8859-1") ++ new Array[Byte](13))
+    val init = box("ftyp", "cmfc".getBytes("ISO-8859-1") ++
+      new Array[Byte](4)) ++
+      box("moov", box("trak", box("mdia", hdlr ++
+        box("minf", box("stbl", stsd)))))
+    val (fmt, cfg) = Mp4Index.videoCodecInfo(init).get
+    assert(fmt === "av01")
+    val (cs, ce) = cfg.get
+    assert(java.util.Arrays.equals(
+      java.util.Arrays.copyOfRange(init, cs, ce), av1c))
+    // junk and non-video-moov refuse
+    assert(Mp4Index.videoCodecInfo(Array[Byte](9, 9, 9)).isEmpty)
+  }
+
+  test("Matroska AV1 CodecPrivate is the av1C record; VP9 has none") {
+    val av1c = CodecConfigs.encodeAv1CRecord(0, 12)
+    val webm = MkvIndex.encodeSynthetic(
+      Seq((Array.tabulate[Byte](5)(_.toByte), true)),
+      codecPrivate = Some(av1c), codecId = "V_AV1")
+    val vt = MkvIndex.videoTrack(webm).get
+    assert(vt.codecId === "V_AV1")
+    val (cs, ce) = vt.codecPrivate.get
+    assert(java.util.Arrays.equals(
+      java.util.Arrays.copyOfRange(webm, cs, ce), av1c))
+    assert(CodecConfigs.kindForMkvCodec("V_AV1") === Some("av1C"))
+    assert(CodecConfigs.kindForMkvCodec("V_VP9") === None)
+    // the frame walk is codec-agnostic — same spans as AVC carriage
+    assert(MkvIndex.frameIndex(webm).get.map(_.byteLen).toSeq === Seq(5))
+  }
+
+  test("videoCodecConfigs unifies MP4 + Matroska with flagged fallbacks") {
+    val frames = Seq(Array.tabulate[Byte](6)(_.toByte))
+    val ss = Seq(frames.head)
+    val av1cGood = CodecConfigs.encodeAv1CRecord(2, 8, highBitdepth = true)
+    val av1cBad = av1cGood.clone(); av1cBad(3) = 0x20 // reserved bits
+    val assets = Seq(
+      (1L, Mp4Index.encodeSynthetic(ss, Seq(1),
+        videoEntry = Some(Mp4Index.videoSampleEntry("av01",
+          Some(("av1C", av1cGood)))))),
+      (2L, Mp4Index.encodeSynthetic(ss, Seq(1),
+        videoEntry = Some(Mp4Index.videoSampleEntry("vp09",
+          Some(("vpcC", CodecConfigs.encodeVpcCRecord(0, 21))))))),
+      (3L, MkvIndex.encodeSynthetic(frames.map((_, true)),
+        codecPrivate = Some(CodecConfigs.encodeAv1CRecord(0, 12)),
+        codecId = "V_AV1")),
+      (4L, MkvIndex.encodeSynthetic(frames.map((_, true)),
+        codecId = "V_VP9")),
+      (5L, Array[Byte](9, 9, 9, 9)),
+      (6L, Mp4Index.encodeSynthetic(ss, Seq(1),
+        videoEntry = Some(Mp4Index.videoSampleEntry("av01",
+          Some(("av1C", av1cBad))))))
+    ).toDF("id", "bytes")
+    val rows = Multimodal.videoCodecConfigs(assets, "id", "bytes")
+      .collect().sortBy(_.asset_id).toSeq
+    assert(rows.map(r => (r.asset_id, r.container, r.codec, r.kind)) === Seq(
+      (1L, "mp4", "av01", "av1C"), (2L, "mp4", "vp09", "vpcC"),
+      (3L, "mkv", "V_AV1", "av1C"), (4L, "mkv", "V_VP9", "none"),
+      (5L, "", "", ""), (6L, "mp4", "av01", "av1C")))
+    assert(rows.map(r => (r.profile, r.level, r.bit_depth)) === Seq(
+      (2, 8, 10), (0, 21, 8), (0, 12, 8), (-1, -1, -1), (-1, -1, -1),
+      (-1, -1, -1)))
+    assert(rows.map(_.indexed) ===
+      Seq(true, true, true, true, false, true))
+    // the malformed record's span is still reported (anomaly visible)
+    assert(rows(5).config_len === av1cBad.length.toLong)
+    assert(rows(3).config_len === -1L)
+  }
+}

@@ -253,4 +253,59 @@ class MkvIndexSpec extends AnyFunSuite {
       assert(bytesRead < 10000L, s"read $bytesRead bytes")
     } finally f.delete()
   }
+
+  test("audio TrackEntries profile header-only: channels/rate/depth/private") {
+    val opus = MkvIndex.encodeOpusHead(2, 48000)
+    val vorb = MkvIndex.encodeVorbisPrivate()
+    val b = MkvIndex.encodeSyntheticAudio(Seq(
+      ("A_OPUS", 2, 48000.0, Some(opus)),
+      ("A_VORBIS", 1, 44100.0, Some(vorb))),
+      durationTicks = Some(2500.0))
+    val ts = MkvIndex.audioTracks(b).get
+    assert(ts.map(t => (t.trackNumber, t.codecId, t.channels,
+      t.sampleRateHz, t.bitDepth)) ===
+      Seq((1L, "A_OPUS", 2, 48000.0, -1), (2L, "A_VORBIS", 1, 44100.0, -1)))
+    // CodecPrivate spans slice back to the exact records and sniff
+    val (s0, e0) = ts(0).codecPrivate.get
+    assert(java.util.Arrays.equals(
+      java.util.Arrays.copyOfRange(b, s0, e0), opus))
+    assert(MkvIndex.audioPrivateKind(b, s0, e0) === "opus")
+    val (s1, e1) = ts(1).codecPrivate.get
+    assert(java.util.Arrays.equals(
+      java.util.Arrays.copyOfRange(b, s1, e1), vorb))
+    assert(MkvIndex.audioPrivateKind(b, s1, e1) === "vorbis")
+    assert(MkvIndex.segmentDuration(b) === Some(2.5))
+    // bit depth + no-private + no-duration face
+    val pcm = MkvIndex.encodeSyntheticAudio(
+      Seq(("A_PCM/INT/LIT", 2, 16000.0, None)), bitDepth = Some(16))
+    val pt = MkvIndex.audioTracks(pcm).get
+    assert(pt.map(t => (t.codecId, t.channels, t.sampleRateHz,
+      t.bitDepth, t.codecPrivate)) ===
+      Seq(("A_PCM/INT/LIT", 2, 16000.0, 16, None)))
+    assert(MkvIndex.segmentDuration(pcm).isEmpty)
+    // a video-only webm has zero audio tracks but stays valid
+    assert(MkvIndex.audioTracks(MkvIndex.encodeSynthetic(
+      Seq((Array.fill[Byte](5)(1), true)))) === Some(Seq()))
+    // junk refuses
+    assert(MkvIndex.audioTracks(Array[Byte](9, 9, 9)).isEmpty)
+    // the existing audio-first video fixture exposes its A_OPUS entry
+    val muxed = MkvIndex.encodeSynthetic(
+      Seq((Array.fill[Byte](5)(1), true)), audioTrackFirst = true)
+    assert(MkvIndex.audioTracks(muxed).get.map(_.codecId) === Seq("A_OPUS"))
+  }
+
+  test("a large Xiph-laced vorbis ident (255-byte laces) still sniffs") {
+    // lace sizes of exactly 255 need a 0-terminator byte each; the
+    // sniff must walk them, not assume 1-byte laces
+    val vorb = {
+      def packet(lead: Int, len: Int): Array[Byte] =
+        Array(lead.toByte) ++ "vorbis".getBytes("ISO-8859-1") ++
+          Array.fill[Byte](len - 7)(3)
+      Array[Byte](2) ++
+        Array(255.toByte, 0.toByte) ++ // ident: 255 = 255 + 0
+        Array(10.toByte) ++
+        packet(1, 255) ++ packet(3, 10) ++ packet(5, 8)
+    }
+    assert(MkvIndex.audioPrivateKind(vorb, 0, vorb.length) === "vorbis")
+  }
 }

@@ -38,7 +38,21 @@ class WalkerFuzzSpec extends AnyFunSuite {
     ("Tar", graft.io.Tar.entryIndex _),
     ("ZipIndex", graft.io.ZipIndex.entryIndex _),
     ("GzipMembers", graft.io.GzipMembers.memberIndex _),
-    ("TfRecord", graft.io.TfRecord.recordIndex _))
+    ("TfRecord", graft.io.TfRecord.recordIndex _),
+    ("Mp4Index.codecInfo", Mp4Index.videoCodecInfo _),
+    ("MkvIndex.videoTrack", MkvIndex.videoTrack _),
+    ("MkvIndex.audioTracks", MkvIndex.audioTracks _),
+    ("MkvIndex.duration", MkvIndex.segmentDuration _),
+    ("MkvIndex.privateKind",
+      (b: Array[Byte]) => MkvIndex.audioPrivateKind(b, 0, b.length)),
+    ("CodecConfigs.av1C",
+      (b: Array[Byte]) => CodecConfigs.parseAv1C(b, 0, b.length)),
+    ("CodecConfigs.vpcC",
+      (b: Array[Byte]) => CodecConfigs.parseVpcC(b, 0, b.length)),
+    ("CodecConfigs.avcC",
+      (b: Array[Byte]) => CodecConfigs.parseAvcC(b, 0, b.length)),
+    ("CodecConfigs.hvcC",
+      (b: Array[Byte]) => CodecConfigs.parseHvcC(b, 0, b.length)))
 
   // small valid fixtures, one per family, as corruption bases
   private def fixtures: Seq[Array[Byte]] = Seq(
@@ -84,7 +98,14 @@ class WalkerFuzzSpec extends AnyFunSuite {
     Mp4Index.encodeSyntheticM4a(Seq(Array.fill[Byte](9)(3))),
     ExternalFixtures.ffmpegStyleWebm,
     ExternalFixtures.lameStyleMp3,
-    ExternalFixtures.libflacStyleFlac)
+    ExternalFixtures.libflacStyleFlac,
+    MkvIndex.encodeSyntheticAudio(Seq(
+      ("A_OPUS", 2, 48000.0, Some(MkvIndex.encodeOpusHead(2, 48000)))),
+      durationTicks = Some(1000.0)),
+    Mp4Index.encodeSynthetic(Seq(Array.fill[Byte](6)(1)),
+      syncSamples = Seq(1),
+      videoEntry = Some(Mp4Index.videoSampleEntry("av01",
+        Some(("av1C", CodecConfigs.encodeAv1CRecord(0, 8)))))))
 
   private def rnd(seed: Int, n: Int): Array[Byte] = {
     val r = new java.util.Random(seed)
