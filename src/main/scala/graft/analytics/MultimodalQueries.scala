@@ -1364,8 +1364,9 @@ object MultimodalQueries {
     * 1 = 0x01 → idc 1, level byte 12 = 93, bit_depth_luma byte 17).
     * Asset 6 pins in-band VP9 (kind none), 7 the flagged fallback, 8
     * the malformed-record posture (reserved bits set → visible span,
-    * −1 fields, still indexed). A routing, field-offset, or
-    * strictness regression hash-fails.
+    * −1 fields, still indexed), 9 the required-record-ABSENT posture
+    * (avc1 with no avcC child: declared kind, −1 span — not "none").
+    * A routing, field-offset, or strictness regression hash-fails.
     */
   val qMultimodalCodecConfig: QueryDef = QueryDef.sql(
     "q_multimodal_codec_config",
@@ -1377,7 +1378,8 @@ object MultimodalQueries {
       |  (5, 'mkv', 'V_AV1', 'av1C', 0, 12, 8, CAST(16 AS BIGINT), true),
       |  (6, 'mkv', 'V_VP9', 'none', -1, -1, -1, CAST(-1 AS BIGINT), true),
       |  (7, '', '', '', -1, -1, -1, CAST(-1 AS BIGINT), false),
-      |  (8, 'mp4', 'av01', 'av1C', -1, -1, -1, CAST(16 AS BIGINT), true))
+      |  (8, 'mp4', 'av01', 'av1C', -1, -1, -1, CAST(16 AS BIGINT), true),
+      |  (9, 'mp4', 'avc1', 'avcC', -1, -1, -1, CAST(-1 AS BIGINT), true))
       |  AS t(asset_id, container, codec, kind, profile, level,
       |       bit_depth, config_len, indexed)
       |ORDER BY asset_id""".stripMargin,
@@ -1409,7 +1411,11 @@ object MultimodalQueries {
       (6L, MkvIndex.encodeSynthetic(frames.map((_, true)),
         codecId = "V_VP9")),
       (7L, Array[Byte](9, 9, 9, 9)),
-      (8L, mp4("av01", ("av1C", av1cBad)))
+      (8L, mp4("av01", ("av1C", av1cBad))),
+      // a REQUIRED record that is absent: declared kind, -1 span —
+      // the spec-violating-mux face, distinct from in-band "none"
+      (9L, Mp4Index.encodeSynthetic(frames, syncSamples = Seq(1),
+        videoEntry = Some(Mp4Index.videoSampleEntry("avc1", None))))
     ).toDF("id", "bytes")
     Multimodal.videoCodecConfigs(assets, "id", "bytes")(s)
       .select(col("asset_id"), col("container"), col("codec"), col("kind"),

@@ -362,7 +362,7 @@ object Warc {
               bodyLen = len - bo
             }
             if (captureMax >= 0 && warcType == "response" &&
-                len <= captureMax) {
+                len <= captureMax && len <= (Int.MaxValue - 8).toLong) {
               val content = new Array[Byte](len.toInt)
               System.arraycopy(probe, 0, content, 0, probeLen)
               var got2 = probeLen
@@ -459,17 +459,19 @@ object Warc {
         it.flatMap { case (id, path) =>
           val indexed =
             try {
-              // read() may return fewer than 2 bytes — sniff with
-              // per-byte reads so a short first read cannot misroute
-              val (h0, h1) = {
-                val in = PathIO.openStream(path, conf)
-                try (in.read(), in.read()) finally in.close()
-              }
+              // sniff on ONE opened stream (per-byte reads so a short
+              // first read cannot misroute) and push the bytes back:
+              // the `.warc.gz` route costs a single open per object
+              val raw = new java.io.PushbackInputStream(
+                PathIO.openStream(path, conf), 2)
+              val h0 = raw.read()
+              val h1 = raw.read()
               if (h0 == 0x1f && h1 == 0x8b) {
-                val in = new java.util.zip.GZIPInputStream(
-                  PathIO.openStream(path, conf))
+                raw.unread(h1); raw.unread(h0)
+                val in = new java.util.zip.GZIPInputStream(raw)
                 try recordIndexStreaming(in) finally in.close()
               } else {
+                raw.close()
                 val r = PathIO.openRange(path, conf)
                 try recordIndexSeekable(r) finally r.close()
               }
@@ -504,17 +506,24 @@ object Warc {
       maxContentBytes: Long = 1L << 22)
       : Option[Seq[(WarcRecord, String, String)]] =
     try {
-      val (h0, h1) = {
-        val in = PathIO.openStream(path, conf)
-        try (in.read(), in.read()) finally in.close()
-      }
+      // the cap can never exceed what a JVM array holds — a >2 GiB
+      // caller cap must not wrap len.toInt negative and flag a valid
+      // archive as corrupt on its one oversize record
+      val cap = math.min(maxContentBytes, (Int.MaxValue - 8).toLong)
       def qualifies(r: WarcRecord): Boolean =
         r.warcType == "response" && r.httpStatus >= 200 &&
           r.httpStatus < 300 && r.bodyStart >= 0
+      // sniff on ONE opened stream and push the bytes back: the
+      // common `.warc.gz` crawl shape costs a single open per object
+      // (on S3A every open is a GET initiation)
+      val raw = new java.io.PushbackInputStream(
+        PathIO.openStream(path, conf), 2)
+      val h0 = raw.read()
+      val h1 = raw.read()
       if (h0 == 0x1f && h1 == 0x8b) {
-        val in = new java.util.zip.GZIPInputStream(
-          PathIO.openStream(path, conf))
-        try streamWalk(in, maxContentBytes).map { rs =>
+        raw.unread(h1); raw.unread(h0)
+        val in = new java.util.zip.GZIPInputStream(raw)
+        try streamWalk(in, cap).map { rs =>
           rs.flatMap {
             case (r, Some(content)) if qualifies(r) =>
               htmlPageText(content, 0L, r.bodyStart - r.contentStart,
@@ -523,10 +532,11 @@ object Warc {
           }
         } finally in.close()
       } else {
+        raw.close()
         val rr = PathIO.openRange(path, conf)
         try recordIndexSeekable(rr).map { rs =>
           rs.iterator
-            .filter(r => qualifies(r) && r.contentLen <= maxContentBytes)
+            .filter(r => qualifies(r) && r.contentLen <= cap)
             .flatMap { r =>
               val content = rr.readFully(r.contentStart, r.contentLen.toInt)
               htmlPageText(content, 0L, r.bodyStart - r.contentStart,
@@ -582,23 +592,37 @@ object Warc {
   private val MetaCharsetRe =
     "(?s)<meta[^>]*charset\\s*=\\s*\"?'?([a-z0-9_\\-]+)".r
 
+  /** A declared charset name resolved to a JVM Charset; None for
+    * unknown/illegal names — shared by every declared-charset probe
+    * in graft.io so resolution behavior cannot drift. */
+  private[io] def resolveCharset(name: String)
+      : Option[java.nio.charset.Charset] =
+    try Some(java.nio.charset.Charset.forName(name))
+    catch { case scala.util.control.NonFatal(_) => None }
+
+  /** The `<meta charset=…>` declaration in a LOWERCASED markup
+    * prefix, resolved — the body half of [[declaredCharset]], also
+    * the meta half of [[ZipIndex.memberCharset]] (one regex, one
+    * resolution — no drift between the WARC and zip-member paths). */
+  private[io] def metaCharsetIn(lowerProbe: String)
+      : Option[java.nio.charset.Charset] =
+    MetaCharsetRe.findFirstMatchIn(lowerProbe).map(_.group(1))
+      .flatMap(resolveCharset)
+
   private[io] def declaredCharset(bytes: Array[Byte], headFrom: Long,
       headUntil: Long, bodyFrom: Long, bodyLen: Long)
       : Option[java.nio.charset.Charset] = {
     val head = new String(bytes, headFrom.toInt,
       (headUntil - headFrom).toInt, "ISO-8859-1")
       .toLowerCase(java.util.Locale.ROOT)
-    val name = HeadCharsetRe.findFirstMatchIn(head).map(_.group(1))
+    HeadCharsetRe.findFirstMatchIn(head).map(_.group(1))
+      .flatMap(resolveCharset)
       .orElse {
         val probe = math.min(1024L, bodyLen).toInt
         val bodyHead = new String(bytes, bodyFrom.toInt, probe,
           "ISO-8859-1").toLowerCase(java.util.Locale.ROOT)
-        MetaCharsetRe.findFirstMatchIn(bodyHead).map(_.group(1))
+        metaCharsetIn(bodyHead)
       }
-    name.flatMap { n =>
-      try Some(java.nio.charset.Charset.forName(n))
-      catch { case scala.util.control.NonFatal(_) => None }
-    }
   }
 
   /** Title + text of one HTML response body inside `bytes` — the

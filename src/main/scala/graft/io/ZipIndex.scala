@@ -204,22 +204,19 @@ object ZipIndex {
   // legacy-encoded (e.g. windows-1251) EPUB chapter decoded as UTF-8
   // unconditionally turns every non-ASCII character into U+FFFD.
   // Members have no HTTP head, so the declarations that exist are the
-  // <meta charset=…> tag and the XML prolog's encoding=… (the usual
-  // EPUB XHTML shape); probe the first KB for either.
-  private val MemberCharsetRe =
-    ("(?s)<meta[^>]*charset\\s*=\\s*\"?'?([a-z0-9_\\-]+)" +
-      "|<\\?xml[^>]*encoding\\s*=\\s*[\"']?([a-z0-9_\\-]+)").r
+  // <meta charset=…> tag (Warc.metaCharsetIn — the SAME probe the
+  // WARC path uses, so the two cannot drift) and the XML prolog's
+  // encoding=… (the usual EPUB XHTML shape); probe the first KB.
+  private val XmlEncodingRe =
+    "(?s)<\\?xml[^>]*encoding\\s*=\\s*[\"']?([a-z0-9_\\-]+)".r
 
   private[io] def memberCharset(data: Array[Byte])
       : java.nio.charset.Charset = {
     val probe = new String(data, 0, math.min(1024, data.length),
       "ISO-8859-1").toLowerCase(java.util.Locale.ROOT)
-    MemberCharsetRe.findFirstMatchIn(probe)
-      .map(m => if (m.group(1) != null) m.group(1) else m.group(2))
-      .flatMap { n =>
-        try Some(java.nio.charset.Charset.forName(n))
-        catch { case scala.util.control.NonFatal(_) => None }
-      }
+    Warc.metaCharsetIn(probe)
+      .orElse(XmlEncodingRe.findFirstMatchIn(probe).map(_.group(1))
+        .flatMap(Warc.resolveCharset))
       .getOrElse(java.nio.charset.StandardCharsets.UTF_8)
   }
 

@@ -177,7 +177,13 @@ object MkvIndex {
   def audioTracks(b: Array[Byte]): Option[Seq[AudioTrack]] =
     segmentKids(b).map { kids =>
       kids.filter(_.id == Tracks).flatMap { t =>
-        elements(b, t.payloadStart, t.payloadEnd).toSeq.flatten
+        // a Tracks payload that fails to tile is CORRUPTION, not an
+        // audio-less file: refuse (→ the flagged row) rather than
+        // return Some(empty) — which would be indistinguishable from
+        // a valid video-only mux and silently drop the asset from
+        // the audio profile
+        elements(b, t.payloadStart, t.payloadEnd)
+          .getOrElse(return None)
           .filter(_.id == TrackEntry)
           .flatMap { entry =>
             val fields = elements(b, entry.payloadStart, entry.payloadEnd)

@@ -1165,10 +1165,14 @@ object Multimodal {
     * name, the config-record kind (`avcC`/`hvcC`/`av1C`/`vpcC`, or
     * "none" when the codec keeps config in-band — VP8/VP9-in-WebM,
     * mp4v), the record's parsed profile/level/bit-depth, and its byte
-    * span. A MALFORMED record on an otherwise-valid container keeps
-    * `indexed = true` with −1 fields and the span reported (the
-    * anomaly is visible, the asset isn't conflated with junk);
-    * `indexed = false` flags assets no container walk accepts. */
+    * span. Anomalies stay VISIBLE without conflating the asset with
+    * junk: a present-but-MALFORMED record keeps `indexed = true` with
+    * −1 fields and the span reported; a codec that REQUIRES a config
+    * record but carries none (avc1 with no avcC child, V_AV1 with no
+    * CodecPrivate) keeps its declared kind with −1 fields and a −1
+    * span — NOT kind "none", which is reserved for codecs that
+    * legitimately keep config in-band. `indexed = false` flags assets
+    * no container walk accepts. */
   final case class CodecConfigRow(asset_id: Long, container: String,
       codec: String, kind: String, profile: Int, level: Int,
       bit_depth: Int, config_start: Long, config_len: Long,
@@ -1203,8 +1207,14 @@ object Multimodal {
                   case None => CodecConfigRow(id, container, codec, k,
                     -1, -1, -1, s.toLong, (e - s).toLong, indexed = true)
                 }
-              case _ => CodecConfigRow(id, container, codec, "none",
-                -1, -1, -1, -1L, -1L, indexed = true)
+              case (Some(k), None) =>
+                // the codec REQUIRES this record and it is absent —
+                // a spec-violating mux; keep the declared kind so a
+                // corpus audit counts it as the anomaly it is
+                CodecConfigRow(id, container, codec, k,
+                  -1, -1, -1, -1L, -1L, indexed = true)
+              case (None, _) => CodecConfigRow(id, container, codec,
+                "none", -1, -1, -1, -1L, -1L, indexed = true)
             }
           val parsed =
             try {

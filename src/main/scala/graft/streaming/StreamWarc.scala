@@ -43,9 +43,12 @@ object StreamWarc {
 
   /** The page stream over a drop directory. `pathGlob` keeps
     * non-archive files (crawler logs, manifests) out of the source's
-    * file registry. */
+    * file registry; the default is SUFFIX-anchored — a crawler's
+    * write-then-rename temp (`a.warc.tmp`) must not be registered as
+    * a permanent corrupt drop (the registry pins each seen path
+    * forever, so a partial write captured once would flag forever). */
   def pages(spark: SparkSession, dropDir: String,
-      pathGlob: String = "*.warc*",
+      pathGlob: String = "*.{warc,warc.gz}",
       maxContentBytes: Long = 1L << 22): DataFrame = {
     import spark.implicits._
     val confBc = PathIO.confBroadcast(spark)
@@ -96,7 +99,7 @@ object StreamWarc {
   def curated(spark: SparkSession, dropDir: String,
       cfg: CurationConfig = CurationConfig(),
       watermarkDelay: String = "1 hour",
-      pathGlob: String = "*.warc*",
+      pathGlob: String = "*.{warc,warc.gz}",
       maxContentBytes: Long = 1L << 22): DataFrame = {
     val docs = pages(spark, dropDir, pathGlob, maxContentBytes)
       .filter(col("extracted") && length(col("text")) > 0)

@@ -145,6 +145,11 @@ class WarcSparkSpec extends SparkSpec {
         Seq((1L, fp.getPath)).toDF("id", "path"), "id", "path",
         maxContentBytes = 10L).collect()
       assert(capped.count(_.extracted) === 0)
+      // a >2 GiB caller cap is clamped, never wrapped through toInt
+      val bigCap = Warc.extractHtmlPagesByPath(
+        Seq((1L, fp.getPath)).toDF("id", "path"), "id", "path",
+        maxContentBytes = 3L << 30).collect()
+      assert(bigCap.count(_.extracted) === wantPages.length)
     } finally { fp.delete(); fg.delete() }
   }
 

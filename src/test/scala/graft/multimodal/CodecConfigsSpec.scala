@@ -115,6 +115,32 @@ class CodecConfigsSpec extends SparkSpec {
     assert(Mp4Index.videoCodecInfo(Array[Byte](9, 9, 9)).isEmpty)
   }
 
+  test("videoCodecInfo selects the VIDEO trak when audio is declared first") {
+    // the audio-first layout real muxers emit: an indexer without the
+    // hdlr filter would report the mp4a entry as the codec
+    val ss = Seq(Array.tabulate[Byte](6)(_.toByte))
+    val mp4 = Mp4Index.encodeSynthetic(ss, syncSamples = Seq(1),
+      audioTrakFirst = true)
+    val (fmt, cfg) = Mp4Index.videoCodecInfo(mp4).get
+    assert(fmt === "avc1" && cfg.isDefined)
+    val parsed = CodecConfigs.parse("avcC", mp4, cfg.get._1, cfg.get._2)
+    assert(parsed.isDefined && parsed.get.kind === "avcC")
+  }
+
+  test("codec-config fields round-trip across the encoder parameter space") {
+    for (p <- 0 to 7; lvl <- Seq(0, 9, 19, 31)) {
+      val r = CodecConfigs.encodeAv1CRecord(p, lvl)
+      assert(CodecConfigs.parseAv1C(r, 0, r.length).get ===
+        CodecConfigs.ConfigFields("av1C", p, lvl, 8), s"av1C p=$p l=$lvl")
+    }
+    for (p <- 0 to 3; lvl <- Seq(10, 41, 62); bd <- Seq(8, 10, 12)) {
+      val r = CodecConfigs.encodeVpcCRecord(p, lvl, bd)
+      assert(CodecConfigs.parseVpcC(r, 0, r.length).get ===
+        CodecConfigs.ConfigFields("vpcC", p, lvl, bd),
+        s"vpcC p=$p l=$lvl bd=$bd")
+    }
+  }
+
   test("Matroska AV1 CodecPrivate is the av1C record; VP9 has none") {
     val av1c = CodecConfigs.encodeAv1CRecord(0, 12)
     val webm = MkvIndex.encodeSynthetic(
@@ -151,21 +177,27 @@ class CodecConfigsSpec extends SparkSpec {
       (5L, Array[Byte](9, 9, 9, 9)),
       (6L, Mp4Index.encodeSynthetic(ss, Seq(1),
         videoEntry = Some(Mp4Index.videoSampleEntry("av01",
-          Some(("av1C", av1cBad))))))
+          Some(("av1C", av1cBad)))))),
+      // a codec that REQUIRES a record but carries none: declared
+      // kind with -1 span, NOT "none" (reserved for in-band codecs)
+      (7L, Mp4Index.encodeSynthetic(ss, Seq(1),
+        videoEntry = Some(Mp4Index.videoSampleEntry("avc1", None))))
     ).toDF("id", "bytes")
     val rows = Multimodal.videoCodecConfigs(assets, "id", "bytes")
       .collect().sortBy(_.asset_id).toSeq
     assert(rows.map(r => (r.asset_id, r.container, r.codec, r.kind)) === Seq(
       (1L, "mp4", "av01", "av1C"), (2L, "mp4", "vp09", "vpcC"),
       (3L, "mkv", "V_AV1", "av1C"), (4L, "mkv", "V_VP9", "none"),
-      (5L, "", "", ""), (6L, "mp4", "av01", "av1C")))
+      (5L, "", "", ""), (6L, "mp4", "av01", "av1C"),
+      (7L, "mp4", "avc1", "avcC")))
     assert(rows.map(r => (r.profile, r.level, r.bit_depth)) === Seq(
       (2, 8, 10), (0, 21, 8), (0, 12, 8), (-1, -1, -1), (-1, -1, -1),
-      (-1, -1, -1)))
+      (-1, -1, -1), (-1, -1, -1)))
     assert(rows.map(_.indexed) ===
-      Seq(true, true, true, true, false, true))
+      Seq(true, true, true, true, false, true, true))
     // the malformed record's span is still reported (anomaly visible)
     assert(rows(5).config_len === av1cBad.length.toLong)
     assert(rows(3).config_len === -1L)
+    assert(rows(6).config_len === -1L)
   }
 }

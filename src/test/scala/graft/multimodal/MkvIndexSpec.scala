@@ -294,6 +294,22 @@ class MkvIndexSpec extends AnyFunSuite {
     assert(MkvIndex.audioTracks(muxed).get.map(_.codecId) === Seq("A_OPUS"))
   }
 
+  test("a corrupt Tracks payload refuses the asset, never Some(empty)") {
+    // Segment-level tiling intact, Tracks payload garbage (0x00 is an
+    // invalid VINT lead byte): this is CORRUPTION, and Some(Seq())
+    // would be indistinguishable from a valid video-only mux — the
+    // asset would silently vanish from the audio profile instead of
+    // flagging
+    val b = MkvIndex.el(0x1A45DFA3L,
+      MkvIndex.el(0x4282L, "webm".getBytes("UTF-8"))) ++
+      MkvIndex.el(0x18538067L,
+        MkvIndex.el(0x1549A966L, Array.empty[Byte]) ++
+          MkvIndex.el(0x1654AE6BL, Array[Byte](0x00)))
+    assert(MkvIndex.audioTracks(b).isEmpty)
+    // the same corruption refuses the video-track accessor too
+    assert(MkvIndex.videoTrack(b).isEmpty)
+  }
+
   test("a large Xiph-laced vorbis ident (255-byte laces) still sniffs") {
     // lace sizes of exactly 255 need a 0-terminator byte each; the
     // sniff must walk them, not assume 1-byte laces

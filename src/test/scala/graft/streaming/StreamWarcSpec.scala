@@ -77,6 +77,10 @@ class StreamWarcSpec extends SparkSpec {
     Files.write(Paths.get(drop, "a.warc"), warcOf(prose1))
     Files.write(Paths.get(drop, "crawler.log"),
       "not an archive".getBytes("UTF-8"))
+    // an in-flight write-then-rename temp must NOT enter the file
+    // registry — once captured, its path would be pinned as a
+    // corrupt drop forever
+    Files.write(Paths.get(drop, "b.warc.tmp"), Array[Byte](1, 2))
     runToParquet(StreamWarc.pages(spark, drop), out, ckpt)
     val rows = spark.read.parquet(out).collect()
     assert(rows.length === 1 && rows.head.getAs[Boolean]("extracted"))
