@@ -1365,7 +1365,9 @@ object MultimodalQueries {
     * Asset 6 pins in-band VP9 (kind none), 7 the flagged fallback, 8
     * the malformed-record posture (reserved bits set → visible span,
     * −1 fields, still indexed), 9 the required-record-ABSENT posture
-    * (avc1 with no avcC child: declared kind, −1 span — not "none").
+    * (avc1 with no avcC child: declared kind, −1 span — not "none"),
+    * 10 VP9's OPTIONAL WebM CodecPrivate present (the `vp9cp`
+    * feature-record format: 4 id/length/value triples = 12 bytes).
     * A routing, field-offset, or strictness regression hash-fails.
     */
   val qMultimodalCodecConfig: QueryDef = QueryDef.sql(
@@ -1379,7 +1381,9 @@ object MultimodalQueries {
       |  (6, 'mkv', 'V_VP9', 'none', -1, -1, -1, CAST(-1 AS BIGINT), true),
       |  (7, '', '', '', -1, -1, -1, CAST(-1 AS BIGINT), false),
       |  (8, 'mp4', 'av01', 'av1C', -1, -1, -1, CAST(16 AS BIGINT), true),
-      |  (9, 'mp4', 'avc1', 'avcC', -1, -1, -1, CAST(-1 AS BIGINT), true))
+      |  (9, 'mp4', 'avc1', 'avcC', -1, -1, -1, CAST(-1 AS BIGINT), true),
+      |  (10, 'mkv', 'V_VP9', 'vp9cp', 2, 41, 10, CAST(12 AS BIGINT),
+      |   true))
       |  AS t(asset_id, container, codec, kind, profile, level,
       |       bit_depth, config_len, indexed)
       |ORDER BY asset_id""".stripMargin,
@@ -1415,7 +1419,12 @@ object MultimodalQueries {
       // a REQUIRED record that is absent: declared kind, -1 span —
       // the spec-violating-mux face, distinct from in-band "none"
       (9L, Mp4Index.encodeSynthetic(frames, syncSamples = Seq(1),
-        videoEntry = Some(Mp4Index.videoSampleEntry("avc1", None))))
+        videoEntry = Some(Mp4Index.videoSampleEntry("avc1", None)))),
+      // VP9's OPTIONAL WebM CodecPrivate present: the feature-record
+      // format (id/length/value triples), 12 bytes by construction
+      (10L, MkvIndex.encodeSynthetic(frames.map((_, true)),
+        codecPrivate = Some(CodecConfigs.encodeVp9Private(2, 41, 10)),
+        codecId = "V_VP9"))
     ).toDF("id", "bytes")
     Multimodal.videoCodecConfigs(assets, "id", "bytes")(s)
       .select(col("asset_id"), col("container"), col("codec"), col("kind"),

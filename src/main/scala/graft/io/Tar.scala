@@ -227,7 +227,10 @@ object Tar {
       sample_key: String, ext: String, typeflag: String,
       data_start: Long, data_len: Long, mtime: Long, indexed: Boolean)
 
-  private[io] def splitKey(name: String): (String, String) = {
+  /** The WebDataset key/extension split of a member name (public
+    * convention: everything after the LAST dot of the basename is
+    * the modality extension; the rest is the sample key). */
+  def splitKey(name: String): (String, String) = {
     val slash = name.lastIndexOf('/')
     val dot = name.indexOf('.', slash + 1)
     if (dot < 0) (name, "")

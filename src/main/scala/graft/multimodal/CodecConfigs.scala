@@ -35,13 +35,15 @@ object CodecConfigs {
   final case class ConfigFields(kind: String, profile: Int, level: Int,
       bitDepth: Int)
 
-  /** Dispatch on the config-box fourcc ([[Mp4Index.configBoxFor]]). */
+  /** Dispatch on the config-box fourcc ([[Mp4Index.configBoxFor]]) or
+    * the Matroska CodecPrivate kind ([[kindForMkvCodec]]). */
   def parse(kind: String, b: Array[Byte], from: Int, until: Int)
       : Option[ConfigFields] = kind match {
     case "avcC" => parseAvcC(b, from, until)
     case "hvcC" => parseHvcC(b, from, until)
     case "av1C" => parseAv1C(b, from, until)
     case "vpcC" => parseVpcC(b, from, until)
+    case "vp9cp" => parseVp9Private(b, from, until)
     case _ => None
   }
 
@@ -180,15 +182,69 @@ object CodecConfigs {
   /** The config-record kind a Matroska CodecID implies for its
     * CodecPrivate payload (Matroska codec mappings): AVC/HEVC carry
     * the same avcC/hvcC records as MP4; AV1 carries the av1C record
-    * verbatim (AV1-in-Matroska §CodecPrivate). VP8/VP9-in-WebM keep
-    * their config in-band (a CodecPrivate, when present, is the
-    * feature-record format — not vpcC), so no kind. */
+    * verbatim (AV1-in-Matroska §CodecPrivate); VP9's OPTIONAL
+    * CodecPrivate is the WebM feature-record format (`vp9cp`, id/
+    * length/value triples — NOT the MP4 vpcC box). VP8 keeps config
+    * in-band with no defined CodecPrivate, so no kind. */
   def kindForMkvCodec(codecId: String): Option[String] = codecId match {
     case "V_MPEG4/ISO/AVC" => Some("avcC")
     case "V_MPEGH/ISO/HEVC" => Some("hvcC")
     case "V_AV1" => Some("av1C")
+    case "V_VP9" => Some("vp9cp")
     case _ => None
   }
+
+  /** Whether a Matroska codec's mapping REQUIRES CodecPrivate: absent
+    * extradata on these is a spec-violating mux (surfaced as the
+    * declared kind with −1 fields); VP9's is optional — absence is
+    * the normal in-band shape, not an anomaly. */
+  def mkvPrivateRequired(codecId: String): Boolean = codecId match {
+    case "V_MPEG4/ISO/AVC" | "V_MPEGH/ISO/HEVC" | "V_AV1" => true
+    case _ => false
+  }
+
+  /** VP9-in-WebM CodecPrivate (WebM "VP9 Codec Private" mapping):
+    * (id: 1 byte, length: 1 byte, value) triples tiling the payload
+    * exactly — id 1 profile, 2 level, 3 bit depth, 4 chroma
+    * subsampling, each 1-byte; unknown ids are skipped
+    * (forward-compatible per spec), but a DEFINED id with the wrong
+    * length, a bit depth outside {8,10,12}, or broken tiling
+    * refuses. Absent features report −1. */
+  def parseVp9Private(b: Array[Byte], from: Int, until: Int)
+      : Option[ConfigFields] = {
+    if (until - from < 3) return None
+    var i = from
+    var profile = -1
+    var level = -1
+    var bitDepth = -1
+    while (i < until) {
+      if (i + 2 > until) return None
+      val id = b(i) & 0xff
+      val l = b(i + 1) & 0xff
+      if (i + 2 + l > until) return None
+      if (id >= 1 && id <= 4) {
+        if (l != 1) return None
+        val v = b(i + 2) & 0xff
+        id match {
+          case 1 => profile = v
+          case 2 => level = v
+          case 3 => bitDepth = v
+          case _ => () // chroma subsampling: validated, not surfaced
+        }
+      }
+      i += 2 + l
+    }
+    if (bitDepth != -1 && bitDepth != 8 && bitDepth != 10 &&
+      bitDepth != 12) return None
+    Some(ConfigFields("vp9cp", profile, level, bitDepth))
+  }
+
+  /** A WebM VP9 CodecPrivate for fixtures: profile/level/bit-depth/
+    * chroma triples (12 bytes). */
+  def encodeVp9Private(profile: Int, level: Int, bitDepth: Int = 8,
+      chroma: Int = 1): Array[Byte] =
+    Array[Byte](1, 1, profile.toByte, 2, 1, level.toByte,
+      3, 1, bitDepth.toByte, 4, 1, chroma.toByte)
 
   // ---------------------------------------------------------------
   // synthetic record builders (specs/oracles)

@@ -257,7 +257,7 @@ object MkvIndex {
   /** The video track inside ONE `Tracks` payload range — shared with
     * the seekable walk, which hands the payload in detached (its
     * codecPrivate range is then relative to that detached array). */
-  private def videoTrackInTracks(b: Array[Byte], start: Int,
+  private[multimodal] def videoTrackInTracks(b: Array[Byte], start: Int,
       end: Int): Option[VideoTrack] =
     elements(b, start, end).toSeq.flatten
       .filter(_.id == TrackEntry)
@@ -275,6 +275,60 @@ object MkvIndex {
           fields.find(_.id == CodecPrivate)
             .map(e => (e.payloadStart, e.payloadEnd))))
       }.headOption
+
+  /** The detached `Tracks` payload(s) of a SEEKABLE (>2 GiB)
+    * Matroska file — track metadata (codec, CodecPrivate, audio
+    * fields) costs kilobytes of header reads no matter the file
+    * size; Cluster payloads are never touched (their headers still
+    * tile, the family's strictness). The in-memory accessors
+    * ([[videoTrackInTracks]], the audio walk) run on the detached
+    * arrays; CodecPrivate spans are then relative to those arrays.
+    * None when the prefix is not a conforming Matroska file. */
+  def trackPayloadsSeekable(r: Mp4Index.RangeReader,
+      maxMetaBytes: Int = 1 << 26): Option[Seq[Array[Byte]]] = {
+    val len = r.length
+    def readAt(at: Long, want: Int): Array[Byte] = {
+      val n = math.min(want.toLong, len - at).toInt
+      if (n <= 0) Array.empty[Byte] else r.readFully(at, n)
+    }
+    def header(at: Long): Option[(Long, Long, Long)] = {
+      val b = readAt(at, 12)
+      val (id, idW) = readVint(b, 0, 4, keepMarker = true)
+        .getOrElse(return None)
+      val (size, szW) = readVint(b, idW, 8, keepMarker = false)
+        .getOrElse(return None)
+      val payloadAbs = at + idW + szW
+      if (isUnknownSize(size, szW)) Some((id, payloadAbs, -1L))
+      else if (size > len - payloadAbs) None
+      else Some((id, payloadAbs, size))
+    }
+    var metaBytes = 0L
+    val h0 = header(0).getOrElse(return None)
+    if (h0._1 != EbmlHeader || h0._3 < 0) return None
+    // cap EVERY metadata fetch — a hostile size must not allocate
+    metaBytes += h0._3
+    if (metaBytes > maxMetaBytes) return None
+    val ebml = readAt(h0._2, h0._3.toInt)
+    if (elements(ebml, 0, ebml.length).isEmpty) return None
+    val segAt = h0._2 + h0._3
+    if (segAt >= len) return None
+    val hs = header(segAt).getOrElse(return None)
+    if (hs._1 != Segment) return None
+    val segEnd = if (hs._3 < 0) len else hs._2 + hs._3
+    val out = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+    var pos = hs._2
+    while (pos < segEnd) {
+      val (id, pAbs, pLen) = header(pos).getOrElse(return None)
+      if (pLen < 0 || pAbs + pLen > segEnd) return None
+      if (id == Tracks) {
+        metaBytes += pLen
+        if (metaBytes > maxMetaBytes) return None
+        out += readAt(pAbs, pLen.toInt)
+      }
+      pos = pAbs + pLen
+    }
+    Some(out.toSeq)
+  }
 
   /** Block-payload parse: track-number VINT + 2-byte timestamp +
     * flags, then the (possibly laced) frame data — one (start, len)

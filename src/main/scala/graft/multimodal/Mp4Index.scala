@@ -187,25 +187,80 @@ object Mp4Index {
     if (topOpt.isEmpty) return None
     val top = topOpt.get
     if (top.isEmpty || top.head.fourcc != "ftyp") return None
-    top.filter(_.fourcc == "moov").iterator.flatMap { m =>
-      boxes(b, m.payloadStart, m.payloadEnd).toSeq.flatten
-        .filter(_.fourcc == "trak")
-        .flatMap { trak =>
-          child(b, trak, "mdia").toSeq.flatMap { mdia =>
-            val handler = handlerType(b, mdia)
-            if (handler.exists(_ != "vide")) Seq.empty
-            else child(b, mdia, "minf")
-              .flatMap(minf => child(b, minf, "stbl"))
-              .map(stbl => (stsdCodecConfig(b, stbl), handler.isDefined))
-              .toSeq
-          }
+    top.filter(_.fourcc == "moov").iterator
+      .flatMap(m => codecInfoInMoov(b, m.payloadStart, m.payloadEnd))
+      .nextOption()
+  }
+
+  /** The codec walk inside ONE moov payload range — shared by the
+    * in-memory and seekable paths (config spans are relative to `b`,
+    * which the seekable caller maps back to file offsets). */
+  private def codecInfoInMoov(b: Array[Byte], start: Int, end: Int)
+      : Option[(String, Option[(Int, Int)])] =
+    boxes(b, start, end).toSeq.flatten
+      .filter(_.fourcc == "trak")
+      .flatMap { trak =>
+        child(b, trak, "mdia").toSeq.flatMap { mdia =>
+          val handler = handlerType(b, mdia)
+          if (handler.exists(_ != "vide")) Seq.empty
+          else child(b, mdia, "minf")
+            .flatMap(minf => child(b, minf, "stbl"))
+            .map(stbl => (stsdCodecConfig(b, stbl), handler.isDefined))
+            .toSeq
         }
-        .collect {
-          case ((fmt, cfg), declared)
-            if fmt.nonEmpty && (declared || VideoFourccs(fmt)) =>
-            (fmt, cfg)
+      }
+      .collectFirst {
+        case ((fmt, cfg), declared)
+          if fmt.nonEmpty && (declared || VideoFourccs(fmt)) =>
+          (fmt, cfg)
+      }
+
+  /** [[videoCodecInfo]] for a seekable (>2 GiB) asset: top-level box
+    * headers + moov payload(s) only — the stsd rides moov whether the
+    * samples are plain or fragmented, so codec-config extraction for
+    * a movie-length file costs the same kilobytes as the frame index.
+    * Returns the config record BYTES (copied out of the detached
+    * moov) rather than spans — the caller has no array to slice.
+    */
+  def videoCodecInfoSeekable(r: RangeReader,
+      maxMoovBytes: Int = 1 << 28)
+      : Option[(String, Option[Array[Byte]])] = {
+    val len = r.length
+    var pos = 0L
+    var first = true
+    val moovs = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+    var moovBytes = 0L
+    while (pos < len) {
+      if (pos + 8 > len) return None
+      val hdr = r.readFully(pos, if (pos + 16 <= len) 16 else 8)
+      var size = u32(hdr, 0)
+      var hl = 8
+      if (size == 1) {
+        if (hdr.length < 16) return None
+        size = u64(hdr, 8); hl = 16
+      } else if (size == 0) size = len - pos
+      if (size < hl || size > len - pos) return None
+      val fc = fourcc(hdr, 4)
+      if (first && fc != "ftyp") return None
+      first = false
+      if (fc == "moov") {
+        val payloadLen = size - hl
+        moovBytes += payloadLen
+        if (moovBytes > maxMoovBytes) return None
+        moovs += r.readFully(pos + hl, payloadLen.toInt)
+      }
+      pos += size
+    }
+    if (first) return None // empty file
+    moovs.iterator
+      .flatMap { b =>
+        codecInfoInMoov(b, 0, b.length).map { case (fmt, cfg) =>
+          (fmt, cfg.map { case (s, e) =>
+            java.util.Arrays.copyOfRange(b, s, e)
+          })
         }
-    }.nextOption()
+      }
+      .nextOption()
   }
 
   /** The video sample table inside ONE moov payload range — shared by

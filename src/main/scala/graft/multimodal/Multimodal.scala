@@ -1224,9 +1224,13 @@ object Multimodal {
                     row("mp4", fmt, Mp4Index.configBoxFor(fmt), cfg)
                   }
                   .orElse(MkvIndex.videoTrack(b).map { vt =>
-                    row("mkv", vt.codecId,
-                      CodecConfigs.kindForMkvCodec(vt.codecId),
-                      vt.codecPrivate)
+                    // OPTIONAL CodecPrivate (VP9): absence is the
+                    // normal in-band shape → kind "none", not the
+                    // required-record-absent anomaly
+                    val kind = CodecConfigs.kindForMkvCodec(vt.codecId)
+                      .filter(_ => vt.codecPrivate.isDefined ||
+                        CodecConfigs.mkvPrivateRequired(vt.codecId))
+                    row("mkv", vt.codecId, kind, vt.codecPrivate)
                   })
               }
             } catch { case scala.util.control.NonFatal(_) => None }
@@ -1282,6 +1286,75 @@ object Multimodal {
             case None => Iterator.single(MkvAudioRow(id, -1, "", -1,
               -1.0, -1, "", -1L, -1.0, indexed = false))
           }
+        }
+      }
+  }
+
+  /** [[videoCodecConfigs]] for PATH-addressed (>2 GiB /
+    * distributed-FS) corpora: each task opens the file through
+    * [[graft.io.PathIO]] and reads ONLY the metadata —
+    * [[Mp4Index.videoCodecInfoSeekable]] (box headers + moov) or
+    * [[MkvIndex.trackPayloadsSeekable]] (EBML headers + the Tracks
+    * payload) — so profiling the codec mix of a movie-length corpus
+    * costs kilobytes per asset. Record bytes come back detached from
+    * the header fetch, so `config_start` is −1 here (`config_len`
+    * still reports the record size); all other row semantics match
+    * the byte-column operator, including the required-record-absent
+    * and malformed-record postures. */
+  def videoCodecConfigsByPath(df: DataFrame, idCol: String,
+      pathCol: String)(
+      implicit spark: SparkSession): Dataset[CodecConfigRow] = {
+    import spark.implicits._
+    val confBc = graft.io.PathIO.confBroadcast(spark)
+    df.select(col(idCol).cast("long"), col(pathCol).cast("string"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val conf = confBc.value.value
+        it.map { case (id, path) =>
+          def row(container: String, codec: String, kind: Option[String],
+              rec: Option[Array[Byte]]): CodecConfigRow =
+            (kind, rec) match {
+              case (Some(k), Some(bs)) =>
+                CodecConfigs.parse(k, bs, 0, bs.length) match {
+                  case Some(f) => CodecConfigRow(id, container, codec, k,
+                    f.profile, f.level, f.bitDepth, -1L, bs.length.toLong,
+                    indexed = true)
+                  case None => CodecConfigRow(id, container, codec, k,
+                    -1, -1, -1, -1L, bs.length.toLong, indexed = true)
+                }
+              case (Some(k), None) =>
+                CodecConfigRow(id, container, codec, k,
+                  -1, -1, -1, -1L, -1L, indexed = true)
+              case (None, _) => CodecConfigRow(id, container, codec,
+                "none", -1, -1, -1, -1L, -1L, indexed = true)
+            }
+          val parsed =
+            try {
+              val r = graft.io.PathIO.openRange(path, conf)
+              try {
+                Mp4Index.videoCodecInfoSeekable(r)
+                  .map { case (fmt, rec) =>
+                    row("mp4", fmt, Mp4Index.configBoxFor(fmt), rec)
+                  }
+                  .orElse {
+                    MkvIndex.trackPayloadsSeekable(r).flatMap { tbs =>
+                      tbs.iterator.flatMap(tb =>
+                        MkvIndex.videoTrackInTracks(tb, 0, tb.length)
+                          .map((_, tb))).nextOption()
+                    }.map { case (vt, tb) =>
+                      val kind = CodecConfigs.kindForMkvCodec(vt.codecId)
+                        .filter(_ => vt.codecPrivate.isDefined ||
+                          CodecConfigs.mkvPrivateRequired(vt.codecId))
+                      row("mkv", vt.codecId, kind,
+                        vt.codecPrivate.map { case (s, e) =>
+                          java.util.Arrays.copyOfRange(tb, s, e)
+                        })
+                    }
+                  }
+              } finally r.close()
+            } catch { case scala.util.control.NonFatal(_) => None }
+          parsed.getOrElse(CodecConfigRow(id, "", "", "", -1, -1, -1,
+            -1L, -1L, indexed = false))
         }
       }
   }

@@ -55,6 +55,28 @@ class CodecConfigsSpec extends SparkSpec {
       r.length + 1).isEmpty)
   }
 
+  test("VP9 WebM CodecPrivate (feature triples) parses; malformed refuses") {
+    val r = CodecConfigs.encodeVp9Private(2, 41, 10)
+    assert(CodecConfigs.parseVp9Private(r, 0, r.length).get ===
+      CodecConfigs.ConfigFields("vp9cp", 2, 41, 10))
+    // unknown ids are skipped (forward-compatible)
+    val withUnknown = r ++ Array[Byte](9, 2, 0x11, 0x22)
+    assert(CodecConfigs.parseVp9Private(withUnknown, 0,
+      withUnknown.length).get.profile === 2)
+    // absent features report -1
+    val levelOnly = Array[Byte](2, 1, 30)
+    assert(CodecConfigs.parseVp9Private(levelOnly, 0, 3).get ===
+      CodecConfigs.ConfigFields("vp9cp", -1, 30, -1))
+    // a DEFINED id with the wrong length refuses
+    val badLen = Array[Byte](1, 2, 0, 0)
+    assert(CodecConfigs.parseVp9Private(badLen, 0, 4).isEmpty)
+    // broken tiling refuses
+    assert(CodecConfigs.parseVp9Private(r, 0, r.length - 1).isEmpty)
+    // a bit depth outside {8,10,12} refuses
+    val badBd = CodecConfigs.encodeVp9Private(0, 10, 9)
+    assert(CodecConfigs.parseVp9Private(badBd, 0, badBd.length).isEmpty)
+  }
+
   test("avcC/hvcC field extraction matches the hand-built records") {
     val avcc = Array[Byte](1, 66, 0, 30, 0xff.toByte, 0xe1.toByte,
       0, 4, 0x67, 0x42, 0, 30, 1, 0, 3, 0x68, 0x01, 0x02)
@@ -152,7 +174,12 @@ class CodecConfigsSpec extends SparkSpec {
     assert(java.util.Arrays.equals(
       java.util.Arrays.copyOfRange(webm, cs, ce), av1c))
     assert(CodecConfigs.kindForMkvCodec("V_AV1") === Some("av1C"))
-    assert(CodecConfigs.kindForMkvCodec("V_VP9") === None)
+    // V_VP9's CodecPrivate kind exists but is OPTIONAL (absence is
+    // in-band config, not an anomaly); V_VP8 has none at all
+    assert(CodecConfigs.kindForMkvCodec("V_VP9") === Some("vp9cp"))
+    assert(!CodecConfigs.mkvPrivateRequired("V_VP9"))
+    assert(CodecConfigs.mkvPrivateRequired("V_AV1"))
+    assert(CodecConfigs.kindForMkvCodec("V_VP8") === None)
     // the frame walk is codec-agnostic — same spans as AVC carriage
     assert(MkvIndex.frameIndex(webm).get.map(_.byteLen).toSeq === Seq(5))
   }
@@ -199,5 +226,94 @@ class CodecConfigsSpec extends SparkSpec {
     assert(rows(5).config_len === av1cBad.length.toLong)
     assert(rows(3).config_len === -1L)
     assert(rows(6).config_len === -1L)
+    // VP9 with its OPTIONAL private present parses as vp9cp
+    val vp9 = Multimodal.videoCodecConfigs(
+      Seq((1L, MkvIndex.encodeSynthetic(frames.map((_, true)),
+        codecPrivate = Some(CodecConfigs.encodeVp9Private(2, 41, 10)),
+        codecId = "V_VP9"))).toDF("id", "bytes"),
+      "id", "bytes").collect().head
+    assert((vp9.kind, vp9.profile, vp9.level, vp9.bit_depth) ===
+      ("vp9cp", 2, 41, 10))
+  }
+
+  test("videoCodecConfigsByPath matches the byte-column operator (incl file://)") {
+    val frames = Seq(Array.tabulate[Byte](6)(_.toByte))
+    val mp4 = Mp4Index.encodeSynthetic(frames, Seq(1),
+      videoEntry = Some(Mp4Index.videoSampleEntry("av01",
+        Some(("av1C", CodecConfigs.encodeAv1CRecord(2, 8,
+          highBitdepth = true))))))
+    val webmAv1 = MkvIndex.encodeSynthetic(frames.map((_, true)),
+      codecPrivate = Some(CodecConfigs.encodeAv1CRecord(0, 12)),
+      codecId = "V_AV1")
+    val webmVp9 = MkvIndex.encodeSynthetic(frames.map((_, true)),
+      codecPrivate = Some(CodecConfigs.encodeVp9Private(0, 21)),
+      codecId = "V_VP9")
+    val f1 = java.io.File.createTempFile("graft-ccp", ".mp4")
+    val f2 = java.io.File.createTempFile("graft-ccp", ".webm")
+    val f3 = java.io.File.createTempFile("graft-ccp", ".webm")
+    try {
+      java.nio.file.Files.write(f1.toPath, mp4)
+      java.nio.file.Files.write(f2.toPath, webmAv1)
+      java.nio.file.Files.write(f3.toPath, webmVp9)
+      val byPath = Multimodal.videoCodecConfigsByPath(
+        Seq((1L, f1.getPath), (2L, "file://" + f2.getPath),
+          (3L, f3.getPath), (4L, "/nonexistent/clip.mp4"))
+          .toDF("id", "path"),
+        "id", "path").collect().sortBy(_.asset_id)
+      val byBytes = Multimodal.videoCodecConfigs(
+        Seq((1L, mp4), (2L, webmAv1), (3L, webmVp9),
+          (4L, Array[Byte](9))).toDF("id", "bytes"),
+        "id", "bytes").collect().sortBy(_.asset_id)
+      // identical rows modulo config_start (detached on the path route)
+      assert(byPath.map(r => (r.asset_id, r.container, r.codec, r.kind,
+        r.profile, r.level, r.bit_depth, r.config_len, r.indexed)).toSeq
+        === byBytes.map(r => (r.asset_id, r.container, r.codec, r.kind,
+        r.profile, r.level, r.bit_depth, r.config_len, r.indexed)).toSeq)
+      assert(byPath.forall(_.config_start === -1L))
+    } finally { f1.delete(); f2.delete(); f3.delete() }
+  }
+
+  test("seekable codec info reads headers only on a sparse >2GiB file") {
+    // ftyp + a sparse >2GiB mdat + moov(co64): videoCodecInfoSeekable
+    // must index the codec config from box headers + moov alone
+    val moov = Mp4Index.encodeMoovCo64(
+      offsets = Seq(40L, (1L << 31) + 1000L),
+      sizes = Seq(100L, 100L), syncSamples = Seq(1))
+    val ftyp = {
+      val b = java.nio.ByteBuffer.allocate(16)
+      b.putInt(16).put("ftyp".getBytes("ISO-8859-1"))
+        .put("isom".getBytes("ISO-8859-1")).putInt(0)
+      b.array()
+    }
+    val mdatLen = (1L << 31) + 4096L
+    val f = java.io.File.createTempFile("graft-bigcc", ".mp4")
+    try {
+      val raf = new java.io.RandomAccessFile(f, "rw")
+      raf.write(ftyp)
+      // mdat header with 64-bit size (size==1 + largesize)
+      val hdr = java.nio.ByteBuffer.allocate(16)
+      hdr.putInt(1).put("mdat".getBytes("ISO-8859-1")).putLong(mdatLen)
+      raf.write(hdr.array())
+      raf.setLength(16 + mdatLen) // sparse payload
+      raf.seek(16 + mdatLen)
+      raf.write(moov)
+      raf.close()
+      assert(f.length > Int.MaxValue.toLong)
+      var bytesRead = 0L
+      val inner = new Mp4Index.FileRangeReader(f.getPath)
+      val counting = new Mp4Index.RangeReader {
+        def length: Long = inner.length
+        def readFully(at: Long, len: Int): Array[Byte] = {
+          bytesRead += len; inner.readFully(at, len)
+        }
+        def close(): Unit = inner.close()
+      }
+      val (fmt, rec) =
+        try Mp4Index.videoCodecInfoSeekable(counting).get
+        finally counting.close()
+      assert(fmt === "avc1" && rec.isDefined)
+      assert(CodecConfigs.parseAvcC(rec.get, 0, rec.get.length).isDefined)
+      assert(bytesRead < 10000L, s"read $bytesRead bytes")
+    } finally f.delete()
   }
 }

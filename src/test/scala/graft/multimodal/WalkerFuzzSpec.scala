@@ -52,7 +52,13 @@ class WalkerFuzzSpec extends AnyFunSuite {
     ("CodecConfigs.avcC",
       (b: Array[Byte]) => CodecConfigs.parseAvcC(b, 0, b.length)),
     ("CodecConfigs.hvcC",
-      (b: Array[Byte]) => CodecConfigs.parseHvcC(b, 0, b.length)))
+      (b: Array[Byte]) => CodecConfigs.parseHvcC(b, 0, b.length)),
+    ("CodecConfigs.vp9cp",
+      (b: Array[Byte]) => CodecConfigs.parseVp9Private(b, 0, b.length)),
+    ("Mp4Index.codecSeek", (b: Array[Byte]) =>
+      Mp4Index.videoCodecInfoSeekable(new Mp4Index.BytesRangeReader(b))),
+    ("MkvIndex.tracksSeek", (b: Array[Byte]) =>
+      MkvIndex.trackPayloadsSeekable(new Mp4Index.BytesRangeReader(b))))
 
   // small valid fixtures, one per family, as corruption bases
   private def fixtures: Seq[Array[Byte]] = Seq(
