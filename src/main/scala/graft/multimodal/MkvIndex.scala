@@ -182,35 +182,53 @@ object MkvIndex {
         // return Some(empty) — which would be indistinguishable from
         // a valid video-only mux and silently drop the asset from
         // the audio profile
-        elements(b, t.payloadStart, t.payloadEnd)
+        audioTracksInTracks(b, t.payloadStart, t.payloadEnd)
           .getOrElse(return None)
-          .filter(_.id == TrackEntry)
-          .flatMap { entry =>
-            val fields = elements(b, entry.payloadStart, entry.payloadEnd)
-              .getOrElse(return None)
-            val isAudio = fields.find(_.id == TrackType)
-              .exists(uint(b, _) == 2L)
-            val num = fields.find(_.id == TrackNumber).map(uint(b, _))
-            if (!isAudio || num.isEmpty) None
-            else {
-              val audio = fields.find(_.id == AudioEl)
-                .flatMap(a => elements(b, a.payloadStart, a.payloadEnd))
-                .getOrElse(IndexedSeq.empty)
-              Some(AudioTrack(num.get,
-                fields.find(_.id == CodecId)
-                  .map(e => new String(b, e.payloadStart,
-                    e.payloadEnd - e.payloadStart, "UTF-8")).getOrElse(""),
-                audio.find(_.id == Channels).map(uint(b, _).toInt)
-                  .getOrElse(1),
-                audio.find(_.id == SamplingFrequency)
-                  .flatMap(floatVal(b, _)).getOrElse(8000.0),
-                audio.find(_.id == BitDepth).map(uint(b, _).toInt)
-                  .getOrElse(-1),
-                fields.find(_.id == CodecPrivate)
-                  .map(e => (e.payloadStart, e.payloadEnd))))
-            }
-          }
       }
+    }
+
+  /** The audio entries inside ONE `Tracks` payload range — shared by
+    * the in-memory and seekable walks (CodecPrivate spans are
+    * relative to `b`). None when the payload fails to tile. */
+  private[multimodal] def audioTracksInTracks(b: Array[Byte], start: Int,
+      end: Int): Option[Seq[AudioTrack]] = {
+    val entries = elements(b, start, end).getOrElse(return None)
+    Some(entries.filter(_.id == TrackEntry).flatMap { entry =>
+      val fields = elements(b, entry.payloadStart, entry.payloadEnd)
+        .getOrElse(return None)
+      val isAudio = fields.find(_.id == TrackType)
+        .exists(uint(b, _) == 2L)
+      val num = fields.find(_.id == TrackNumber).map(uint(b, _))
+      if (!isAudio || num.isEmpty) None
+      else {
+        val audio = fields.find(_.id == AudioEl)
+          .flatMap(a => elements(b, a.payloadStart, a.payloadEnd))
+          .getOrElse(IndexedSeq.empty)
+        Some(AudioTrack(num.get,
+          fields.find(_.id == CodecId)
+            .map(e => new String(b, e.payloadStart,
+              e.payloadEnd - e.payloadStart, "UTF-8")).getOrElse(""),
+          audio.find(_.id == Channels).map(uint(b, _).toInt)
+            .getOrElse(1),
+          audio.find(_.id == SamplingFrequency)
+            .flatMap(floatVal(b, _)).getOrElse(8000.0),
+          audio.find(_.id == BitDepth).map(uint(b, _).toInt)
+            .getOrElse(-1),
+          fields.find(_.id == CodecPrivate)
+            .map(e => (e.payloadStart, e.payloadEnd))))
+      }
+    })
+  }
+
+  /** The duration declared inside ONE `Info` payload range, in
+    * SECONDS — shared by the in-memory and seekable walks. */
+  private def durationInInfo(b: Array[Byte], start: Int,
+      end: Int): Option[Double] =
+    elements(b, start, end).flatMap { fields =>
+      val scale = fields.find(_.id == TimestampScale)
+        .map(uint(b, _)).getOrElse(1000000L)
+      fields.find(_.id == Duration).flatMap(floatVal(b, _))
+        .map(_ * scale / 1e9)
     }
 
   /** Segment duration in SECONDS: `Info/Duration` (float, in
@@ -219,14 +237,10 @@ object MkvIndex {
     * Duration (live/streamed muxes legitimately omit it). */
   def segmentDuration(b: Array[Byte]): Option[Double] =
     segmentKids(b).flatMap { kids =>
-      kids.filter(_.id == Info).iterator.flatMap { info =>
-        elements(b, info.payloadStart, info.payloadEnd).flatMap { fields =>
-          val scale = fields.find(_.id == TimestampScale)
-            .map(uint(b, _)).getOrElse(1000000L)
-          fields.find(_.id == Duration).flatMap(floatVal(b, _))
-            .map(_ * scale / 1e9)
-        }
-      }.nextOption()
+      kids.filter(_.id == Info).iterator
+        .flatMap(info => durationInInfo(b, info.payloadStart,
+          info.payloadEnd))
+        .nextOption()
     }
 
   /** The CodecPrivate payload's kind by its own magic: `OpusHead`
@@ -276,16 +290,27 @@ object MkvIndex {
             .map(e => (e.payloadStart, e.payloadEnd))))
       }.headOption
 
-  /** The detached `Tracks` payload(s) of a SEEKABLE (>2 GiB)
-    * Matroska file — track metadata (codec, CodecPrivate, audio
-    * fields) costs kilobytes of header reads no matter the file
-    * size; Cluster payloads are never touched (their headers still
-    * tile, the family's strictness). The in-memory accessors
-    * ([[videoTrackInTracks]], the audio walk) run on the detached
-    * arrays; CodecPrivate spans are then relative to those arrays.
-    * None when the prefix is not a conforming Matroska file. */
+  /** The metadata of a SEEKABLE (>2 GiB) Matroska file: detached
+    * `Tracks` payload(s) + the Segment duration in seconds. */
+  final case class SegmentMeta(tracks: Seq[Array[Byte]],
+      durationS: Option[Double])
+
+  /** The detached `Tracks` payload(s) of a seekable file — see
+    * [[segmentMetaSeekable]]. */
   def trackPayloadsSeekable(r: Mp4Index.RangeReader,
-      maxMetaBytes: Int = 1 << 26): Option[Seq[Array[Byte]]] = {
+      maxMetaBytes: Int = 1 << 26): Option[Seq[Array[Byte]]] =
+    segmentMetaSeekable(r, maxMetaBytes).map(_.tracks)
+
+  /** Track + Info metadata of a SEEKABLE (>2 GiB) Matroska file —
+    * codec, CodecPrivate, audio fields and duration cost kilobytes
+    * of header reads no matter the file size; Cluster payloads are
+    * never touched (their headers still tile, the family's
+    * strictness). The in-memory accessors ([[videoTrackInTracks]],
+    * [[audioTracksInTracks]]) run on the detached arrays;
+    * CodecPrivate spans are then relative to those arrays. None when
+    * the prefix is not a conforming Matroska file. */
+  def segmentMetaSeekable(r: Mp4Index.RangeReader,
+      maxMetaBytes: Int = 1 << 26): Option[SegmentMeta] = {
     val len = r.length
     def readAt(at: Long, want: Int): Array[Byte] = {
       val n = math.min(want.toLong, len - at).toInt
@@ -316,18 +341,21 @@ object MkvIndex {
     if (hs._1 != Segment) return None
     val segEnd = if (hs._3 < 0) len else hs._2 + hs._3
     val out = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+    var duration: Option[Double] = None
     var pos = hs._2
     while (pos < segEnd) {
       val (id, pAbs, pLen) = header(pos).getOrElse(return None)
       if (pLen < 0 || pAbs + pLen > segEnd) return None
-      if (id == Tracks) {
+      if (id == Tracks || (id == Info && duration.isEmpty)) {
         metaBytes += pLen
         if (metaBytes > maxMetaBytes) return None
-        out += readAt(pAbs, pLen.toInt)
+        val payload = readAt(pAbs, pLen.toInt)
+        if (id == Tracks) out += payload
+        else duration = durationInInfo(payload, 0, payload.length)
       }
       pos = pAbs + pLen
     }
-    Some(out.toSeq)
+    Some(SegmentMeta(out.toSeq, duration))
   }
 
   /** Block-payload parse: track-number VINT + 2-byte timestamp +

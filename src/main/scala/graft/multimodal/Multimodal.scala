@@ -1290,6 +1290,54 @@ object Multimodal {
       }
   }
 
+  /** [[extractMkvAudioTracks]] for PATH-addressed (>2 GiB /
+    * distributed-FS) corpora: EBML headers + the Tracks/Info
+    * payloads only ([[MkvIndex.segmentMetaSeekable]] through
+    * [[graft.io.PathIO]]) — the audio profile of a movie-length
+    * Matroska file costs kilobytes. Same row semantics as the
+    * byte-column operator. */
+  def extractMkvAudioTracksByPath(df: DataFrame, idCol: String,
+      pathCol: String)(
+      implicit spark: SparkSession): Dataset[MkvAudioRow] = {
+    import spark.implicits._
+    val confBc = graft.io.PathIO.confBroadcast(spark)
+    df.select(col(idCol).cast("long"), col(pathCol).cast("string"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val conf = confBc.value.value
+        it.flatMap { case (id, path) =>
+          val parsed =
+            try {
+              val r = graft.io.PathIO.openRange(path, conf)
+              try MkvIndex.segmentMetaSeekable(r).flatMap { meta =>
+                val tracks = meta.tracks.map { tb =>
+                  MkvIndex.audioTracksInTracks(tb, 0, tb.length)
+                    .map(_.map((_, tb)))
+                }
+                // any corrupt Tracks payload refuses the asset
+                if (tracks.exists(_.isEmpty)) None
+                else Some((tracks.flatMap(_.get),
+                  meta.durationS.getOrElse(-1.0)))
+              } finally r.close()
+            } catch { case scala.util.control.NonFatal(_) => None }
+          parsed match {
+            case Some((ts, dur)) => ts.iterator.zipWithIndex.map {
+              case ((t, tb), i) =>
+                val (kind, len) = t.codecPrivate match {
+                  case Some((s, e)) =>
+                    (MkvIndex.audioPrivateKind(tb, s, e), (e - s).toLong)
+                  case None => ("none", -1L)
+                }
+                MkvAudioRow(id, i, t.codecId, t.channels, t.sampleRateHz,
+                  t.bitDepth, kind, len, dur, indexed = true)
+            }
+            case None => Iterator.single(MkvAudioRow(id, -1, "", -1,
+              -1.0, -1, "", -1L, -1.0, indexed = false))
+          }
+        }
+      }
+  }
+
   /** [[videoCodecConfigs]] for PATH-addressed (>2 GiB /
     * distributed-FS) corpora: each task opens the file through
     * [[graft.io.PathIO]] and reads ONLY the metadata —

@@ -294,6 +294,30 @@ class MkvIndexSpec extends AnyFunSuite {
     assert(MkvIndex.audioTracks(muxed).get.map(_.codecId) === Seq("A_OPUS"))
   }
 
+  test("seekable segment metadata agrees with the in-memory accessors") {
+    val opus = MkvIndex.encodeOpusHead(2, 48000)
+    val b = MkvIndex.encodeSyntheticAudio(Seq(
+      ("A_OPUS", 2, 48000.0, Some(opus)),
+      ("A_VORBIS", 1, 44100.0, Some(MkvIndex.encodeVorbisPrivate()))),
+      durationTicks = Some(2500.0))
+    val meta = MkvIndex.segmentMetaSeekable(
+      new Mp4Index.BytesRangeReader(b)).get
+    assert(meta.durationS === Some(2.5))
+    val seekTracks = meta.tracks.flatMap(tb =>
+      MkvIndex.audioTracksInTracks(tb, 0, tb.length).get.map { t =>
+        (t.trackNumber, t.codecId, t.channels, t.sampleRateHz,
+          t.bitDepth,
+          t.codecPrivate.map { case (s, e) =>
+            java.util.Arrays.copyOfRange(tb, s, e).toSeq })
+      })
+    val memTracks = MkvIndex.audioTracks(b).get.map { t =>
+      (t.trackNumber, t.codecId, t.channels, t.sampleRateHz, t.bitDepth,
+        t.codecPrivate.map { case (s, e) =>
+          java.util.Arrays.copyOfRange(b, s, e).toSeq })
+    }
+    assert(seekTracks === memTracks)
+  }
+
   test("a corrupt Tracks payload refuses the asset, never Some(empty)") {
     // Segment-level tiling intact, Tracks payload garbage (0x00 is an
     // invalid VINT lead byte): this is CORRUPTION, and Some(Seq())

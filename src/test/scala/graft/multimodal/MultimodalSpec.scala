@@ -260,6 +260,28 @@ class MultimodalSpec extends SparkSpec {
     } finally f.delete()
   }
 
+  test("extractMkvAudioTracksByPath matches the byte-column operator") {
+    import spark.implicits._
+    val webm = MkvIndex.encodeSyntheticAudio(Seq(
+      ("A_OPUS", 2, 48000.0, Some(MkvIndex.encodeOpusHead(2, 48000)))),
+      durationTicks = Some(1500.0))
+    val f = java.io.File.createTempFile("graft-mkvaud", ".webm")
+    try {
+      java.nio.file.Files.write(f.toPath, webm)
+      val byPath = Multimodal.extractMkvAudioTracksByPath(
+        Seq((1L, "file://" + f.getPath), (2L, "/nonexistent/a.webm"))
+          .toDF("id", "path"), "id", "path")
+        .collect().sortBy(r => (r.asset_id, r.track_idx))
+      val byBytes = Multimodal.extractMkvAudioTracks(
+        Seq((1L, webm), (2L, Array[Byte](9))).toDF("id", "bytes"),
+        "id", "bytes").collect().sortBy(r => (r.asset_id, r.track_idx))
+      assert(byPath.toSeq === byBytes.toSeq)
+      assert(byPath.head.duration_s === 1.5 &&
+        byPath.head.private_kind === "opus")
+      assert(!byPath(1).indexed)
+    } finally f.delete()
+  }
+
   test("sampleOggPagesByPath and sampleTsUnitsByPath index by path with flagged fallbacks") {
     import spark.implicits._
     def fr(n: Int, i: Int): Array[Byte] =
