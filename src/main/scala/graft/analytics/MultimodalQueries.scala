@@ -1486,6 +1486,69 @@ object MultimodalQueries {
       .orderBy("asset_id", "track_idx")
   }
 
+  /** AUDIO codec-config extraction
+    * ([[graft.multimodal.Mp4Index.audioCodecInfo]] +
+    * [[graft.multimodal.CodecConfigs.parseAudio]]): the stsd entry's
+    * declared rate/channels AND the record's own declaration,
+    * separately. Oracle by construction: the minimal esds is
+    * 4 (flags) + 24 (ES→DecoderConfig→ASC with 1-byte lengths) = 28
+    * bytes, objectTypeIndication 0x40 = 64, ASC freqIdx 4 = 44100 Hz;
+    * the family-0 dOps is 11 bytes with objectType −1. Asset 3 pins
+    * the required-esds-absent posture (bare mp4a), 4 the flagged
+    * fallback, 5 a malformed record (bad FullBox version → −1
+    * fields, span reported), 6 an entry/record MISMATCH (entry says
+    * 22050/1, the ASC says 44100/2 — both visible). A descriptor-
+    * framing, ASC-bit, or routing regression hash-fails.
+    */
+  val qMultimodalAudioConfig: QueryDef = QueryDef.sql(
+    "q_multimodal_audio_config",
+    """SELECT * FROM (VALUES
+      |  (1, 'mp4a', 'esds', 44100, 2, 64, 44100, 2,
+      |   CAST(28 AS BIGINT), true),
+      |  (2, 'Opus', 'dOps', 48000, 2, -1, 48000, 2,
+      |   CAST(11 AS BIGINT), true),
+      |  (3, 'mp4a', 'esds', 22050, 2, -1, -1, -1,
+      |   CAST(-1 AS BIGINT), true),
+      |  (4, '', '', -1, -1, -1, -1, -1, CAST(-1 AS BIGINT), false),
+      |  (5, 'mp4a', 'esds', 44100, 2, -1, -1, -1,
+      |   CAST(28 AS BIGINT), true),
+      |  (6, 'mp4a', 'esds', 22050, 1, 64, 44100, 2,
+      |   CAST(28 AS BIGINT), true))
+      |  AS t(asset_id, codec, kind, entry_rate_hz, entry_channels,
+      |       object_type, config_rate_hz, config_channels, config_len,
+      |       indexed)
+      |ORDER BY asset_id""".stripMargin,
+    doc = "Audio codec-config extraction: esds (AAC) + dOps (Opus) " +
+      "over ISO-BMFF sample entries (multimodal ops)") {
+    (s, dir) =>
+    import s.implicits._
+    import graft.multimodal.{CodecConfigs, Mp4Index, Multimodal}
+    val samples = Seq(Array.tabulate[Byte](40)(_.toByte))
+    val esds = CodecConfigs.encodeEsdsRecord(freqIdx = 4, channels = 2)
+    val esdsBad = esds.clone(); esdsBad(0) = 1 // FullBox version != 0
+    def m4a(entry: Array[Byte]): Array[Byte] =
+      Mp4Index.encodeSyntheticM4a(samples, audioEntry = Some(entry))
+    val assets = Seq(
+      (1L, m4a(Mp4Index.audioSampleEntryBox("mp4a", 44100, 2,
+        Some(("esds", esds))))),
+      (2L, m4a(Mp4Index.audioSampleEntryBox("Opus", 48000, 2,
+        Some(("dOps", CodecConfigs.encodeDOpsRecord(2, 48000)))))),
+      (3L, Mp4Index.encodeSyntheticM4a(samples, sampleRate = 22050)),
+      (4L, Array[Byte](9, 9, 9, 9)),
+      (5L, m4a(Mp4Index.audioSampleEntryBox("mp4a", 44100, 2,
+        Some(("esds", esdsBad))))),
+      // entry/record mismatch: both declarations must surface
+      (6L, m4a(Mp4Index.audioSampleEntryBox("mp4a", 22050, 1,
+        Some(("esds", esds)))))
+    ).toDF("id", "bytes")
+    Multimodal.audioCodecConfigs(assets, "id", "bytes")(s)
+      .select(col("asset_id"), col("codec"), col("kind"),
+        col("entry_rate_hz"), col("entry_channels"), col("object_type"),
+        col("config_rate_hz"), col("config_channels"), col("config_len"),
+        col("indexed"))
+      .orderBy("asset_id")
+  }
+
   val all: Seq[QueryDef] = Seq(
     qMultimodalDecode, qMultimodalAudio, qMultimodalResize, qMultimodalVideo,
     qMultimodalPhash, qMultimodalAudioNeardup, qMultimodalVideoNeardup,
@@ -1495,5 +1558,6 @@ object MultimodalQueries {
     qMultimodalVideoProfile, qMultimodalAudioProfile,
     qMultimodalImageDims, qMultimodalTags, qMultimodalWavInfo,
     qMultimodalHevcIndex, qMultimodalMkvIndex, qMultimodalDkifIndex,
-    qMultimodalOggIndex, qMultimodalCodecConfig, qMultimodalMkvAudio)
+    qMultimodalOggIndex, qMultimodalCodecConfig, qMultimodalMkvAudio,
+    qMultimodalAudioConfig)
 }

@@ -247,6 +247,159 @@ object CodecConfigs {
       3, 1, bitDepth.toByte, 4, 1, chroma.toByte)
 
   // ---------------------------------------------------------------
+  // AUDIO codec config: esds (AAC-in-MP4) and dOps (Opus-in-MP4)
+  // ---------------------------------------------------------------
+
+  /** Parsed audio config: record kind, MPEG-4 objectTypeIndication
+    * (−1 where the codec has none), declared sample rate and
+    * channels. */
+  final case class AudioConfig(kind: String, objectType: Int,
+      sampleRateHz: Int, channels: Int)
+
+  /** ISO 14496-3 §1.6.3 sampling-frequency-index table. */
+  private val AscRates = Array(96000, 88200, 64000, 48000, 44100, 32000,
+    24000, 22050, 16000, 12000, 11025, 8000, 7350)
+
+  /** esds (MPEG-4 ES descriptor framing, ISO 14496-1 §7.2.6): FullBox
+    * payload → ES_Descriptor(tag 0x03, expandable length) →
+    * DecoderConfigDescriptor(0x04: objectTypeIndication first) →
+    * DecoderSpecificInfo(0x05: the AudioSpecificConfig — ISO 14496-3
+    * §1.6.2.1: audioObjectType(5) + samplingFrequencyIndex(4, 0xf =
+    * 24-bit explicit frequency) + channelConfiguration(4)). Strict:
+    * descriptor lengths must fit, reserved frequency indices (13/14)
+    * and the escaped audioObjectType (31) refuse. */
+  def parseEsds(b: Array[Byte], from: Int, until: Int)
+      : Option[AudioConfig] = {
+    if (until - from < 4 || b(from) != 0) return None // version 0
+    var i = from + 4
+    // one descriptor header: (tag, payloadStart, payloadEnd)
+    def descriptor(at: Int, end: Int): Option[(Int, Int, Int)] = {
+      if (at + 2 > end) return None
+      val tag = b(at) & 0xff
+      var j = at + 1
+      var size = 0L
+      var n = 0
+      var more = true
+      while (more) {
+        if (j >= end || n >= 4) return None
+        val v = b(j) & 0xff
+        size = (size << 7) | (v & 0x7f)
+        more = (v & 0x80) != 0
+        n += 1; j += 1
+      }
+      if (size > end - j) None else Some((tag, j, j + size.toInt))
+    }
+    val (esTag, esStart, esEnd) = descriptor(i, until).getOrElse(return None)
+    if (esTag != 0x03 || esEnd - esStart < 3) return None
+    // ES_ID(2) + flags(1): streamDependence(+2) / URL(+1+len) / OCR(+2)
+    val flags = b(esStart + 2) & 0xff
+    var p = esStart + 3
+    if ((flags & 0x80) != 0) p += 2
+    if ((flags & 0x40) != 0) {
+      if (p >= esEnd) return None
+      p += 1 + (b(p) & 0xff)
+    }
+    if ((flags & 0x20) != 0) p += 2
+    if (p > esEnd) return None
+    // sub-descriptors of the ES descriptor: find DecoderConfig (0x04)
+    var dcd: Option[(Int, Int)] = None
+    while (p < esEnd && dcd.isEmpty) {
+      val (tag, s, e) = descriptor(p, esEnd).getOrElse(return None)
+      if (tag == 0x04) dcd = Some((s, e))
+      p = e
+    }
+    val (ds, de) = dcd.getOrElse(return None)
+    if (de - ds < 13) return None
+    val oti = b(ds) & 0xff
+    // sub-descriptors of DecoderConfig: find DecoderSpecificInfo (0x05)
+    var q = ds + 13
+    var asc: Option[(Int, Int)] = None
+    while (q < de && asc.isEmpty) {
+      val (tag, s, e) = descriptor(q, de).getOrElse(return None)
+      if (tag == 0x05) asc = Some((s, e))
+      q = e
+    }
+    val (as0, ae) = asc.getOrElse(return None)
+    if (ae - as0 < 2) return None
+    val b0 = b(as0) & 0xff
+    val b1 = b(as0 + 1) & 0xff
+    val aot = (b0 >> 3) & 0x1f
+    if (aot == 0 || aot == 31) return None // reserved / escaped form
+    val freqIdx = ((b0 & 0x07) << 1) | (b1 >> 7)
+    val (rate, chanBitsAt) =
+      if (freqIdx == 0xf) {
+        // 24-bit explicit frequency follows the index
+        if (ae - as0 < 5) return None
+        val f = ((b1 & 0x7f) << 17) | ((b(as0 + 2) & 0xff) << 9) |
+          ((b(as0 + 3) & 0xff) << 1) | ((b(as0 + 4) >> 7) & 1)
+        (f, 4) // channels: bits 1..4 of byte as0+4
+      } else if (freqIdx < AscRates.length) (AscRates(freqIdx), 1)
+      else return None // 13/14 reserved
+    val channels =
+      if (chanBitsAt == 1) (b1 >> 3) & 0x0f
+      else (b(as0 + 4) >> 3) & 0x0f
+    if (rate <= 0) return None
+    Some(AudioConfig("esds", oti, rate, channels))
+  }
+
+  /** dOps (Opus-in-ISOBMFF §4.3.2 OpusSpecificBox payload —
+    * OpusHead's fields without the magic): Version(1)==0,
+    * OutputChannelCount(1), PreSkip(2 BE), InputSampleRate(4 BE),
+    * OutputGain(2), ChannelMappingFamily(1) [+ mapping table when
+    * family != 0]. */
+  def parseDOps(b: Array[Byte], from: Int, until: Int)
+      : Option[AudioConfig] = {
+    if (until - from < 11 || b(from) != 0) return None
+    val channels = b(from + 1) & 0xff
+    val rate = ((b(from + 4) & 0xffL) << 24) | ((b(from + 5) & 0xffL) << 16) |
+      ((b(from + 6) & 0xffL) << 8) | (b(from + 7) & 0xffL)
+    val family = b(from + 10) & 0xff
+    val expected = if (family == 0) 11 else 11 + 2 + channels
+    if (until - from != expected) return None
+    if (channels < 1 || rate <= 0 || rate > Int.MaxValue) return None
+    Some(AudioConfig("dOps", -1, rate.toInt, channels))
+  }
+
+  /** Dispatch on the audio config-box fourcc
+    * ([[Mp4Index.audioConfigBoxFor]]). */
+  def parseAudio(kind: String, b: Array[Byte], from: Int, until: Int)
+      : Option[AudioConfig] = kind match {
+    case "esds" => parseEsds(b, from, until)
+    case "dOps" => parseDOps(b, from, until)
+    case _ => None
+  }
+
+  /** A minimal valid esds record for fixtures: 1-byte expandable
+    * lengths, AAC-LC AudioSpecificConfig (16 bits exactly for the
+    * GA frame-length/coreCoder/extension tail). */
+  def encodeEsdsRecord(freqIdx: Int, channels: Int,
+      oti: Int = 0x40, aot: Int = 2): Array[Byte] = {
+    require(freqIdx >= 0 && freqIdx <= 12 && channels >= 1 &&
+      channels <= 15 && aot > 0 && aot < 31)
+    val asc = Array[Byte](
+      (((aot & 0x1f) << 3) | ((freqIdx >> 1) & 0x07)).toByte,
+      (((freqIdx & 1) << 7) | ((channels & 0x0f) << 3)).toByte)
+    val dsi = Array[Byte](0x05, asc.length.toByte) ++ asc
+    // fixed DecoderConfig fields: OTI + streamType/upStream +
+    // bufferSizeDB(3) + maxBitrate(4) + avgBitrate(4) = 13 bytes
+    val dcd = Array[Byte](0x04, (13 + dsi.length).toByte,
+      oti.toByte, 0x15, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0) ++ dsi
+    val es = Array[Byte](0x03, (3 + dcd.length).toByte,
+      0, 1, 0) ++ dcd
+    Array[Byte](0, 0, 0, 0) ++ es
+  }
+
+  /** A dOps record for fixtures (mapping family 0). */
+  def encodeDOpsRecord(channels: Int, inputRateHz: Int,
+      preSkip: Int = 312): Array[Byte] =
+    Array[Byte](0, channels.toByte,
+      ((preSkip >> 8) & 0xff).toByte, (preSkip & 0xff).toByte,
+      ((inputRateHz >> 24) & 0xff).toByte,
+      ((inputRateHz >> 16) & 0xff).toByte,
+      ((inputRateHz >> 8) & 0xff).toByte, (inputRateHz & 0xff).toByte,
+      0, 0, 0)
+
+  // ---------------------------------------------------------------
   // synthetic record builders (specs/oracles)
   // ---------------------------------------------------------------
 

@@ -335,6 +335,70 @@ object Mp4Index {
   private val AudioFourccs = Set("mp4a", "Opus", "fLaC", "alac",
     "ac-3", "ec-3", ".mp3", "sowt", "twos")
 
+  /** The codec-config box an AUDIO sample-entry format carries:
+    * `esds` (MPEG-4 descriptors → AudioSpecificConfig) for `mp4a`,
+    * `dOps` (OpusSpecificBox) for `Opus`; `fLaC` carries `dfLa`
+    * (FLAC STREAMINFO — not parsed here; the FLAC family owns that
+    * format). None for raw-PCM entries. */
+  def audioConfigBoxFor(fmt: String): Option[String] =
+    if (fmt == "mp4a") Some("esds")
+    else if (fmt == "Opus") Some("dOps")
+    else None
+
+  /** The selected AUDIO track's stsd format fourcc, entry-declared
+    * (rate, channels), and codec-config payload span — the audio twin
+    * of [[videoCodecInfo]]: stsd-only, so fragmented (init-segment)
+    * files work, and no sample table is required. Same track
+    * selection as [[audioSampleTable]] (hdlr=='soun' with the fourcc
+    * fallback). */
+  def audioCodecInfo(b: Array[Byte])
+      : Option[(String, Int, Int, Option[(Int, Int)])] = {
+    val topOpt = boxes(b, 0, b.length, topLevel = true)
+    if (topOpt.isEmpty) return None
+    val top = topOpt.get
+    if (top.isEmpty || top.head.fourcc != "ftyp") return None
+    top.filter(_.fourcc == "moov").iterator.flatMap { m =>
+      boxes(b, m.payloadStart, m.payloadEnd).toSeq.flatten
+        .filter(_.fourcc == "trak")
+        .flatMap { trak =>
+          child(b, trak, "mdia").toSeq.flatMap { mdia =>
+            val handler = handlerType(b, mdia)
+            if (handler.exists(_ != "soun")) Seq.empty
+            else child(b, mdia, "minf")
+              .flatMap(minf => child(b, minf, "stbl"))
+              .flatMap(stbl => child(b, stbl, "stsd"))
+              .map(c => (c, handler.isDefined))
+              .toSeq
+          }
+        }
+        .flatMap { case (c, declared) =>
+          if (c.payloadEnd - c.payloadStart < 16) None
+          else {
+            val fmt = fourcc(b, c.payloadStart + 12)
+            if (!(declared || AudioFourccs(fmt))) None
+            else {
+              val entryStart = c.payloadStart + 8
+              val entryEnd = math.min(
+                entryStart + u32(b, entryStart).toInt, c.payloadEnd)
+              // AudioSampleEntry fixed fields: channels at +24, rate
+              // 16.16 at +32, children after +36 (§12.2.3)
+              if (entryStart + 36 > entryEnd) None
+              else {
+                val channels = u16(b, entryStart + 24)
+                val rate = u16(b, entryStart + 32)
+                val cfg = audioConfigBoxFor(fmt).flatMap { name =>
+                  boxes(b, entryStart + 36, entryEnd).toSeq.flatten
+                    .find(_.fourcc == name)
+                    .map(x => (x.payloadStart, x.payloadEnd))
+                }
+                Some((fmt, rate, channels, cfg))
+              }
+            }
+          }
+        }
+    }.nextOption()
+  }
+
   private def u16(b: Array[Byte], i: Int): Int =
     ((b(i) & 0xff) << 8) | (b(i + 1) & 0xff)
 
@@ -956,8 +1020,17 @@ object Mp4Index {
     * ftyp + mdat + a single 'soun' trak whose stbl carries the given
     * sample sizes (chunked per `samplesPerChunk`) and an mp4a
     * AudioSampleEntry with real rate/channel fields. */
+  /** An AudioSampleEntry for fixtures: `fmt` box with the 28 fixed
+    * bytes (rate/channels real) then an optional codec-config child
+    * (`esds`/`dOps` + record payload). */
+  def audioSampleEntryBox(fmt: String, rate: Int, channels: Int,
+      config: Option[(String, Array[Byte])]): Array[Byte] =
+    box(fmt, audioEntryPayload(rate, channels) ++
+      config.map { case (n, p) => box(n, p) }.getOrElse(Array.empty[Byte]))
+
   def encodeSyntheticM4a(samples: Seq[Array[Byte]], sampleRate: Int = 44100,
-      channels: Int = 2, samplesPerChunk: Int = 2): Array[Byte] = {
+      channels: Int = 2, samplesPerChunk: Int = 2,
+      audioEntry: Option[Array[Byte]] = None): Array[Byte] = {
     require(samples.nonEmpty && samplesPerChunk > 0)
     val ftyp = box("ftyp",
       "M4A ".getBytes("ISO-8859-1") ++ Array[Byte](0, 0, 0, 0))
@@ -970,7 +1043,8 @@ object Mp4Index {
         val o = off; off += c.map(samples(_).length.toLong).sum; o
       }
     }
-    val mp4a = box("mp4a", audioEntryPayload(sampleRate, channels))
+    val mp4a = audioEntry.getOrElse(
+      box("mp4a", audioEntryPayload(sampleRate, channels)))
     val stbl = box("stbl",
       full("stsd", u32a(Seq(1L)) ++ mp4a) ++
         full("stsz", u32a(Seq(0L, samples.length.toLong)) ++

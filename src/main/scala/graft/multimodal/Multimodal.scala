@@ -1290,6 +1290,63 @@ object Multimodal {
       }
   }
 
+  /** One ISO-BMFF audio asset's codec configuration: the stsd entry's
+    * declared rate/channels PLUS the config record's own declaration
+    * (esds → AudioSpecificConfig for AAC, dOps for Opus-in-MP4) —
+    * reported separately so a mismatch between the container entry
+    * and the codec extradata (a real-world mux bug) is visible.
+    * Postures mirror [[CodecConfigRow]]: malformed record → declared
+    * kind, −1 config fields, span length reported; required record
+    * absent (mp4a without esds) → declared kind, −1 everywhere;
+    * `indexed = false` for non-ISO-BMFF bytes. */
+  final case class AudioConfigRow(asset_id: Long, codec: String,
+      kind: String, entry_rate_hz: Int, entry_channels: Int,
+      object_type: Int, config_rate_hz: Int, config_channels: Int,
+      config_len: Long, indexed: Boolean)
+
+  /** Audio codec-config extraction over an ISO-BMFF corpus
+    * ([[Mp4Index.audioCodecInfo]] + [[CodecConfigs.parseAudio]]) —
+    * the audio twin of [[videoCodecConfigs]], completing the
+    * extradata family: avcC/hvcC/av1C/vpcC (video), esds/dOps (MP4
+    * audio), OpusHead/Vorbis CodecPrivate (Matroska audio, via
+    * [[extractMkvAudioTracks]]). Header-only mapPartitions. */
+  def audioCodecConfigs(df: DataFrame, idCol: String, bytesCol: String)(
+      implicit spark: SparkSession): Dataset[AudioConfigRow] = {
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(bytesCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val parsed =
+            try Option(bytes).flatMap(Mp4Index.audioCodecInfo)
+            catch { case scala.util.control.NonFatal(_) => None }
+          parsed match {
+            case Some((fmt, rate, channels, cfg)) =>
+              val kind = Mp4Index.audioConfigBoxFor(fmt)
+              (kind, cfg) match {
+                case (Some(k), Some((s, e))) =>
+                  CodecConfigs.parseAudio(k, bytes, s, e) match {
+                    case Some(a) => AudioConfigRow(id, fmt, k, rate,
+                      channels, a.objectType, a.sampleRateHz,
+                      a.channels, (e - s).toLong, indexed = true)
+                    case None => AudioConfigRow(id, fmt, k, rate,
+                      channels, -1, -1, -1, (e - s).toLong,
+                      indexed = true)
+                  }
+                case (Some(k), None) =>
+                  AudioConfigRow(id, fmt, k, rate, channels,
+                    -1, -1, -1, -1L, indexed = true)
+                case (None, _) =>
+                  AudioConfigRow(id, fmt, "none", rate, channels,
+                    -1, -1, -1, -1L, indexed = true)
+              }
+            case None => AudioConfigRow(id, "", "", -1, -1, -1, -1, -1,
+              -1L, indexed = false)
+          }
+        }
+      }
+  }
+
   /** [[extractMkvAudioTracks]] for PATH-addressed (>2 GiB /
     * distributed-FS) corpora: EBML headers + the Tracks/Info
     * payloads only ([[MkvIndex.segmentMetaSeekable]] through

@@ -77,6 +77,71 @@ class CodecConfigsSpec extends SparkSpec {
     assert(CodecConfigs.parseVp9Private(badBd, 0, badBd.length).isEmpty)
   }
 
+  test("esds descriptors parse to the AudioSpecificConfig; malformed refuse") {
+    val r = CodecConfigs.encodeEsdsRecord(freqIdx = 4, channels = 2)
+    assert(CodecConfigs.parseEsds(r, 0, r.length).get ===
+      CodecConfigs.AudioConfig("esds", 0x40, 44100, 2))
+    // every table rate round-trips
+    for ((rate, idx) <- Seq((96000, 0), (48000, 3), (8000, 11))) {
+      val rr = CodecConfigs.encodeEsdsRecord(idx, 1)
+      assert(CodecConfigs.parseEsds(rr, 0, rr.length).get.sampleRateHz
+        === rate, s"idx $idx")
+    }
+    // HE-AAC object type (aot 5) carries through
+    val he = CodecConfigs.encodeEsdsRecord(7, 2, aot = 5)
+    assert(CodecConfigs.parseEsds(he, 0, he.length).get ===
+      CodecConfigs.AudioConfig("esds", 0x40, 22050, 2))
+    // multi-byte expandable lengths parse (0x80-continued)
+    val twoByte = Array[Byte](0, 0, 0, 0,
+      0x03, 0x80.toByte, 22, 0, 1, 0,
+      0x04, 17, 0x40, 0x15, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0,
+      0x05, 2, 0x12, 0x10)
+    assert(CodecConfigs.parseEsds(twoByte, 0, twoByte.length).get ===
+      CodecConfigs.AudioConfig("esds", 0x40, 44100, 2))
+    // bad version, truncation, reserved freq index, escaped AOT refuse
+    val v1 = r.clone(); v1(0) = 1
+    assert(CodecConfigs.parseEsds(v1, 0, v1.length).isEmpty)
+    assert(CodecConfigs.parseEsds(r, 0, r.length - 1).isEmpty)
+    val badFreq = r.clone()
+    // ASC bytes are the last 2: aot 2, freqIdx 13 (reserved)
+    badFreq(r.length - 2) = ((2 << 3) | (13 >> 1)).toByte
+    badFreq(r.length - 1) = (((13 & 1) << 7) | (2 << 3)).toByte
+    assert(CodecConfigs.parseEsds(badFreq, 0, badFreq.length).isEmpty)
+    val aot31 = r.clone()
+    aot31(r.length - 2) = ((31 << 3) | (4 >> 1)).toByte
+    assert(CodecConfigs.parseEsds(aot31, 0, aot31.length).isEmpty)
+    // 24-bit explicit frequency (freqIdx 0xf) parses
+    val explicit = Array[Byte](0, 0, 0, 0,
+      0x03, 25, 0, 1, 0,
+      0x04, 20, 0x40, 0x15, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0,
+      0x05, 5,
+      // aot=2(00010) freqIdx=15(1111) freq=44100(24b) chan=2(0100)
+      ((2 << 3) | (15 >> 1)).toByte,
+      (((15 & 1) << 7) | ((44100 >> 17) & 0x7f)).toByte,
+      ((44100 >> 9) & 0xff).toByte,
+      ((44100 >> 1) & 0xff).toByte,
+      (((44100 & 1) << 7) | (2 << 3)).toByte)
+    assert(CodecConfigs.parseEsds(explicit, 0, explicit.length).get ===
+      CodecConfigs.AudioConfig("esds", 0x40, 44100, 2))
+  }
+
+  test("dOps records parse; family tiling and bad version refuse") {
+    val r = CodecConfigs.encodeDOpsRecord(2, 48000)
+    assert(CodecConfigs.parseDOps(r, 0, r.length).get ===
+      CodecConfigs.AudioConfig("dOps", -1, 48000, 2))
+    val v1 = r.clone(); v1(0) = 1
+    assert(CodecConfigs.parseDOps(v1, 0, v1.length).isEmpty)
+    // family-0 record with trailing junk does not tile
+    assert(CodecConfigs.parseDOps(r ++ Array[Byte](0), 0,
+      r.length + 1).isEmpty)
+    // family 1 requires the mapping table (2 + channels bytes)
+    val fam1 = r.clone(); fam1(10) = 1
+    assert(CodecConfigs.parseDOps(fam1, 0, fam1.length).isEmpty)
+    val fam1ok = fam1 ++ Array[Byte](1, 1, 0, 1)
+    assert(CodecConfigs.parseDOps(fam1ok, 0, fam1ok.length).get
+      .channels === 2)
+  }
+
   test("avcC/hvcC field extraction matches the hand-built records") {
     val avcc = Array[Byte](1, 66, 0, 30, 0xff.toByte, 0xe1.toByte,
       0, 4, 0x67, 0x42, 0, 30, 1, 0, 3, 0x68, 0x01, 0x02)

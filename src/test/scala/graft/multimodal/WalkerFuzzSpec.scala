@@ -58,7 +58,12 @@ class WalkerFuzzSpec extends AnyFunSuite {
     ("Mp4Index.codecSeek", (b: Array[Byte]) =>
       Mp4Index.videoCodecInfoSeekable(new Mp4Index.BytesRangeReader(b))),
     ("MkvIndex.tracksSeek", (b: Array[Byte]) =>
-      MkvIndex.trackPayloadsSeekable(new Mp4Index.BytesRangeReader(b))))
+      MkvIndex.trackPayloadsSeekable(new Mp4Index.BytesRangeReader(b))),
+    ("Mp4Index.audioCodec", Mp4Index.audioCodecInfo _),
+    ("CodecConfigs.esds",
+      (b: Array[Byte]) => CodecConfigs.parseEsds(b, 0, b.length)),
+    ("CodecConfigs.dOps",
+      (b: Array[Byte]) => CodecConfigs.parseDOps(b, 0, b.length)))
 
   // small valid fixtures, one per family, as corruption bases
   private def fixtures: Seq[Array[Byte]] = Seq(
