@@ -48,6 +48,19 @@ object SpanFetch {
         // one open reader, reused while consecutive rows share a path
         var openPath: String = null
         var reader: Mp4Index.RangeReader = null
+        def closeReader(): Unit = {
+          if (reader != null) {
+            try reader.close()
+            catch { case scala.util.control.NonFatal(_) => () }
+            reader = null; openPath = null
+          }
+        }
+        // the reader is held ACROSS rows, so iterator-drain close is
+        // not enough: a limit()/take() or a downstream failure stops
+        // pulling mid-partition — the task-completion listener is the
+        // close that always runs
+        Option(org.apache.spark.TaskContext.get()).foreach(
+          _.addTaskCompletionListener[Unit](_ => closeReader()))
         def readerFor(path: String): Mp4Index.RangeReader = {
           if (openPath != path) {
             if (reader != null) {
@@ -68,11 +81,7 @@ object SpanFetch {
               case scala.util.control.NonFatal(_) =>
                 // a failed reader may be poisoned — drop it so the
                 // next row re-opens instead of failing forever
-                if (reader != null) {
-                  try reader.close()
-                  catch { case scala.util.control.NonFatal(_) => () }
-                  reader = null; openPath = null
-                }
+                closeReader()
                 None
             }
           bytes match {
@@ -82,15 +91,12 @@ object SpanFetch {
               Array.empty[Byte], fetched = false)
           }
         }
-        // close the last reader when the partition iterator drains
+        // also close on clean drain (local/test paths without a task
+        // context still release promptly)
         new Iterator[FetchedSpan] {
           def hasNext: Boolean = {
             val h = out.hasNext
-            if (!h && reader != null) {
-              try reader.close()
-              catch { case scala.util.control.NonFatal(_) => () }
-              reader = null; openPath = null
-            }
+            if (!h) closeReader()
             h
           }
           def next(): FetchedSpan = out.next()

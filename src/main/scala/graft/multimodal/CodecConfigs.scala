@@ -319,7 +319,12 @@ object CodecConfigs {
       if (tag == 0x05) asc = Some((s, e))
       q = e
     }
-    val (as0, ae) = asc.getOrElse(return None)
+    // DecoderSpecificInfo is OPTIONAL per ISO 14496-1 §7.2.6.6 —
+    // MP3-in-mp4a (OTI 0x6B) legitimately carries none: the OTI is
+    // still the routing fact, so report it with unspecified fields
+    // rather than lumping a valid record with corrupt ones
+    if (asc.isEmpty) return Some(AudioConfig("esds", oti, -1, -1))
+    val (as0, ae) = asc.get
     if (ae - as0 < 2) return None
     val b0 = b(as0) & 0xff
     val b1 = b(as0 + 1) & 0xff
@@ -356,7 +361,9 @@ object CodecConfigs {
     val family = b(from + 10) & 0xff
     val expected = if (family == 0) 11 else 11 + 2 + channels
     if (until - from != expected) return None
-    if (channels < 1 || rate <= 0 || rate > Int.MaxValue) return None
+    // InputSampleRate 0 = "unspecified" (RFC 7845 §5.1 — the field is
+    // informational); real muxers write it, so it is NOT malformed
+    if (channels < 1 || rate < 0 || rate > Int.MaxValue) return None
     Some(AudioConfig("dOps", -1, rate.toInt, channels))
   }
 

@@ -296,21 +296,27 @@ object MkvIndex {
       durationS: Option[Double])
 
   /** The detached `Tracks` payload(s) of a seekable file — see
-    * [[segmentMetaSeekable]]. */
+    * [[segmentMetaSeekable]] (Info is neither fetched nor parsed on
+    * this route: callers that discard the duration must not pay its
+    * ranged read, nor have it count against the metadata cap). */
   def trackPayloadsSeekable(r: Mp4Index.RangeReader,
       maxMetaBytes: Int = 1 << 26): Option[Seq[Array[Byte]]] =
-    segmentMetaSeekable(r, maxMetaBytes).map(_.tracks)
+    segmentMetaSeekable(r, maxMetaBytes, wantDuration = false)
+      .map(_.tracks)
 
   /** Track + Info metadata of a SEEKABLE (>2 GiB) Matroska file —
     * codec, CodecPrivate, audio fields and duration cost kilobytes
     * of header reads no matter the file size; Cluster payloads are
     * never touched (their headers still tile, the family's
-    * strictness). The in-memory accessors ([[videoTrackInTracks]],
-    * [[audioTracksInTracks]]) run on the detached arrays;
-    * CodecPrivate spans are then relative to those arrays. None when
-    * the prefix is not a conforming Matroska file. */
+    * strictness — including any top-level elements AFTER a sized
+    * Segment, matching [[frameIndexSeekable]]). The in-memory
+    * accessors ([[videoTrackInTracks]], [[audioTracksInTracks]]) run
+    * on the detached arrays; CodecPrivate spans are then relative to
+    * those arrays. None when the prefix is not a conforming Matroska
+    * file. */
   def segmentMetaSeekable(r: Mp4Index.RangeReader,
-      maxMetaBytes: Int = 1 << 26): Option[SegmentMeta] = {
+      maxMetaBytes: Int = 1 << 26,
+      wantDuration: Boolean = true): Option[SegmentMeta] = {
     val len = r.length
     def readAt(at: Long, want: Int): Array[Byte] = {
       val n = math.min(want.toLong, len - at).toInt
@@ -340,13 +346,26 @@ object MkvIndex {
     val hs = header(segAt).getOrElse(return None)
     if (hs._1 != Segment) return None
     val segEnd = if (hs._3 < 0) len else hs._2 + hs._3
+    if (hs._3 >= 0) {
+      // a sized Segment may have top-level successors: their headers
+      // must still tile the file exactly (the in-memory contract,
+      // mirrored from frameIndexSeekable — trailing junk is
+      // corruption on BOTH routes, never a byte/path divergence)
+      var p = segEnd
+      while (p < len) {
+        val h = header(p).getOrElse(return None)
+        if (h._3 < 0) return None
+        p = h._2 + h._3
+      }
+    }
     val out = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
     var duration: Option[Double] = None
     var pos = hs._2
     while (pos < segEnd) {
       val (id, pAbs, pLen) = header(pos).getOrElse(return None)
       if (pLen < 0 || pAbs + pLen > segEnd) return None
-      if (id == Tracks || (id == Info && duration.isEmpty)) {
+      if (id == Tracks ||
+          (wantDuration && id == Info && duration.isEmpty)) {
         metaBytes += pLen
         if (metaBytes > maxMetaBytes) return None
         val payload = readAt(pAbs, pLen.toInt)

@@ -381,8 +381,12 @@ object Mp4Index {
               val entryEnd = math.min(
                 entryStart + u32(b, entryStart).toInt, c.payloadEnd)
               // AudioSampleEntry fixed fields: channels at +24, rate
-              // 16.16 at +32, children after +36 (§12.2.3)
-              if (entryStart + 36 > entryEnd) None
+              // 16.16 at +32, children after +36 (§12.2.3). An entry
+              // TRUNCATED below the fixed fields still names its
+              // codec — report the fourcc with unspecified fields
+              // (the video twin's posture) instead of flagging the
+              // whole asset as non-ISO-BMFF
+              if (entryStart + 36 > entryEnd) Some((fmt, -1, -1, None))
               else {
                 val channels = u16(b, entryStart + 24)
                 val rate = u16(b, entryStart + 32)
@@ -1016,10 +1020,6 @@ object Mp4Index {
         ((rate >> 8) & 0xff).toByte, (rate & 0xff).toByte, 0, 0)
         .map(_.toByte)
 
-  /** Synthetic M4A (audio-only ISO-BMFF) for specs/oracles: `M4A `
-    * ftyp + mdat + a single 'soun' trak whose stbl carries the given
-    * sample sizes (chunked per `samplesPerChunk`) and an mp4a
-    * AudioSampleEntry with real rate/channel fields. */
   /** An AudioSampleEntry for fixtures: `fmt` box with the 28 fixed
     * bytes (rate/channels real) then an optional codec-config child
     * (`esds`/`dOps` + record payload). */
@@ -1028,6 +1028,11 @@ object Mp4Index {
     box(fmt, audioEntryPayload(rate, channels) ++
       config.map { case (n, p) => box(n, p) }.getOrElse(Array.empty[Byte]))
 
+  /** Synthetic M4A (audio-only ISO-BMFF) for specs/oracles: `M4A `
+    * ftyp + mdat + a single 'soun' trak whose stbl carries the given
+    * sample sizes (chunked per `samplesPerChunk`) and an mp4a
+    * AudioSampleEntry with real rate/channel fields (or the caller's
+    * `audioEntry`, e.g. with an esds/dOps config child). */
   def encodeSyntheticM4a(samples: Seq[Array[Byte]], sampleRate: Int = 44100,
       channels: Int = 2, samplesPerChunk: Int = 2,
       audioEntry: Option[Array[Byte]] = None): Array[Byte] = {

@@ -1352,7 +1352,10 @@ object Multimodal {
     * payloads only ([[MkvIndex.segmentMetaSeekable]] through
     * [[graft.io.PathIO]]) — the audio profile of a movie-length
     * Matroska file costs kilobytes. Same row semantics as the
-    * byte-column operator. */
+    * byte-column operator (one shared seekable-family caveat, as in
+    * [[MkvIndex.frameIndexSeekable]]: a top-level element BETWEEN the
+    * EBML header and Segment — legal but vanishingly rare — refuses
+    * on the seekable route). */
   def extractMkvAudioTracksByPath(df: DataFrame, idCol: String,
       pathCol: String)(
       implicit spark: SparkSession): Dataset[MkvAudioRow] = {

@@ -71,6 +71,11 @@ class SpanFetchSpec extends SparkSpec {
       assert(got.map(_.fetched).toSeq === Seq(true, true, false, true))
       assert(got(3).bytes.toSeq ===
         java.util.Arrays.copyOfRange(data, 200, 216).toSeq)
+      // partial consumption (limit) must not wedge on the held
+      // reader — the task-completion listener owns the close
+      val one = SpanFetch.fetchSpans(df, "id", "path", "byte_start",
+        "byte_len").limit(1).collect()
+      assert(one.length === 1 && one.head.fetched)
     } finally f.delete()
   }
 }

@@ -125,6 +125,32 @@ class CodecConfigsSpec extends SparkSpec {
       CodecConfigs.AudioConfig("esds", 0x40, 44100, 2))
   }
 
+  test("spec-valid edge shapes are not lumped with corrupt records") {
+    // DecoderSpecificInfo is OPTIONAL: MP3-in-mp4a (OTI 0x6B) carries
+    // none — the OTI must still be reported
+    val noDsi = Array[Byte](0, 0, 0, 0,
+      0x03, 18, 0, 1, 0,
+      0x04, 13, 0x6b, 0x15, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0)
+    assert(CodecConfigs.parseEsds(noDsi, 0, noDsi.length).get ===
+      CodecConfigs.AudioConfig("esds", 0x6b, -1, -1))
+    // dOps InputSampleRate 0 = "unspecified" per RFC 7845, not corrupt
+    val r0 = CodecConfigs.encodeDOpsRecord(2, 0)
+    assert(CodecConfigs.parseDOps(r0, 0, r0.length).get ===
+      CodecConfigs.AudioConfig("dOps", -1, 0, 2))
+    // an audio entry TRUNCATED below the fixed fields still names its
+    // codec (the video twin's posture), not a flagged asset
+    import Mp4Index.{box, full, u32a}
+    val shortEntry = box("mp4a", new Array[Byte](4))
+    val m4a = box("ftyp", "M4A ".getBytes("ISO-8859-1") ++
+      new Array[Byte](4)) ++
+      box("moov", box("trak", box("mdia",
+        full("hdlr", u32a(Seq(0L)) ++ "soun".getBytes("ISO-8859-1") ++
+          new Array[Byte](13)) ++
+        box("minf", box("stbl",
+          full("stsd", u32a(Seq(1L)) ++ shortEntry))))))
+    assert(Mp4Index.audioCodecInfo(m4a) === Some(("mp4a", -1, -1, None)))
+  }
+
   test("dOps records parse; family tiling and bad version refuse") {
     val r = CodecConfigs.encodeDOpsRecord(2, 48000)
     assert(CodecConfigs.parseDOps(r, 0, r.length).get ===

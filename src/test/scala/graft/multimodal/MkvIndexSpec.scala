@@ -294,6 +294,19 @@ class MkvIndexSpec extends AnyFunSuite {
     assert(MkvIndex.audioTracks(muxed).get.map(_.codecId) === Seq("A_OPUS"))
   }
 
+  test("trailing junk after a sized Segment refuses on BOTH routes") {
+    val b = MkvIndex.encodeSyntheticAudio(
+      Seq(("A_OPUS", 2, 48000.0, None)))
+    val junked = b ++ Array[Byte](9, 9, 9)
+    assert(MkvIndex.audioTracks(junked).isEmpty)
+    assert(MkvIndex.segmentMetaSeekable(
+      new Mp4Index.BytesRangeReader(junked)).isEmpty)
+    // and the clean file passes on both
+    assert(MkvIndex.audioTracks(b).get.nonEmpty)
+    assert(MkvIndex.segmentMetaSeekable(
+      new Mp4Index.BytesRangeReader(b)).get.tracks.nonEmpty)
+  }
+
   test("seekable segment metadata agrees with the in-memory accessors") {
     val opus = MkvIndex.encodeOpusHead(2, 48000)
     val b = MkvIndex.encodeSyntheticAudio(Seq(
