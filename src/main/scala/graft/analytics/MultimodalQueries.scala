@@ -1549,6 +1549,52 @@ object MultimodalQueries {
       .orderBy("asset_id")
   }
 
+  /** Matroska subtitle-cue extraction
+    * ([[graft.multimodal.MkvIndex.subtitleCues]] → text rows): the
+    * in-container sibling of the SRT/VTT family. Oracle by
+    * construction: TimestampScale 10⁶ makes ticks milliseconds, so
+    * the encoder's (start, dur) pairs ARE the oracle's ms values;
+    * asset 2 pins track routing (leading video track + interleaved
+    * video blocks must not leak into the cues) and SimpleBlock
+    * carriage (dur −1); asset 3 the flagged fallback; asset 4 a
+    * valid subtitle-less file contributing NO rows. UTF-8 text with
+    * a non-ASCII cue pins the decode. A timestamp, duration,
+    * routing, or lacing-contract regression hash-fails.
+    */
+  val qMultimodalMkvSubtitles: QueryDef = QueryDef.sql(
+    "q_multimodal_mkv_subtitles",
+    """SELECT asset_id, cue_idx, CAST(start_ms AS DOUBLE) AS start_ms,
+      |  CAST(dur_ms AS DOUBLE) AS dur_ms, text, n_chars, extracted
+      |FROM (VALUES
+      |  (1, 0, 0.0, 2000.0, 'Hello there.', 12, true),
+      |  (1, 1, 2500.0, 1500.0, CAST('Caf' || CHR(233) || ' scene'
+      |     AS VARCHAR), 10, true),
+      |  (2, 0, 100.0, -1.0, 'routed', 6, true),
+      |  (3, -1, -1.0, -1.0, '', 0, false))
+      |  AS t(asset_id, cue_idx, start_ms, dur_ms, text, n_chars,
+      |       extracted)
+      |ORDER BY asset_id, cue_idx""".stripMargin,
+    doc = "Matroska S_TEXT subtitle cues to text rows (multimodal " +
+      "ops; the SRT/VTT family's in-container sibling)") {
+    (s, dir) =>
+    import s.implicits._
+    import graft.multimodal.{MkvIndex, Multimodal}
+    val assets = Seq(
+      (1L, MkvIndex.encodeSyntheticSubtitles(Seq(
+        (0L, 2000L, "Hello there."),
+        (2500L, 1500L, "Café scene")))),
+      (2L, MkvIndex.encodeSyntheticSubtitles(Seq(
+        (100L, -1L, "routed")), videoTrackFirst = true)),
+      (3L, Array[Byte](9, 9, 9, 9)),
+      (4L, MkvIndex.encodeSynthetic(
+        Seq((Array.fill[Byte](5)(1), true))))
+    ).toDF("id", "bytes")
+    Multimodal.extractMkvSubtitles(assets, "id", "bytes")(s)
+      .select(col("asset_id"), col("cue_idx"), col("start_ms"),
+        col("dur_ms"), col("text"), col("n_chars"), col("extracted"))
+      .orderBy("asset_id", "cue_idx")
+  }
+
   val all: Seq[QueryDef] = Seq(
     qMultimodalDecode, qMultimodalAudio, qMultimodalResize, qMultimodalVideo,
     qMultimodalPhash, qMultimodalAudioNeardup, qMultimodalVideoNeardup,
@@ -1559,5 +1605,5 @@ object MultimodalQueries {
     qMultimodalImageDims, qMultimodalTags, qMultimodalWavInfo,
     qMultimodalHevcIndex, qMultimodalMkvIndex, qMultimodalDkifIndex,
     qMultimodalOggIndex, qMultimodalCodecConfig, qMultimodalMkvAudio,
-    qMultimodalAudioConfig)
+    qMultimodalAudioConfig, qMultimodalMkvSubtitles)
 }

@@ -149,6 +149,86 @@ object MkvIndex {
         .nextOption()
     }
 
+  /** One subtitle cue: 1-based track number, start/duration in
+    * TICKS of the segment's TimestampScale (scale 10⁶ ns ⇒ ticks are
+    * milliseconds — the WebM default), and the cue text's byte span
+    * (S_TEXT/UTF8 payload = the raw UTF-8 cue text). */
+  final case class SubtitleCue(trackNumber: Long, startTicks: Long,
+      durTicks: Long, byteStart: Int, byteLen: Int)
+
+  /** The subtitle cues of the FIRST TrackType==0x11 (subtitle) track:
+    * cluster Timestamp + the block's signed 16-bit relative timestamp
+    * give the start; `BlockDuration` (BlockGroup carriage — the shape
+    * muxers use for subtitles, which NEED durations) gives the
+    * length, −1 when absent (SimpleBlock carriage). Returns
+    * (timestampScale, cues); None when the bytes are not conforming
+    * Matroska, Some((_, empty)) for a valid file with no subtitle
+    * track — the [[audioTracks]] posture. Text spans are byte ranges
+    * into `b` (S_TEXT/UTF8 and S_TEXT/ASS alike carry UTF-8). */
+  def subtitleCues(b: Array[Byte])
+      : Option[(Long, Seq[SubtitleCue])] = {
+    val kids = segmentKids(b).getOrElse(return None)
+    var track = -1L
+    kids.filter(_.id == Tracks).foreach { t =>
+      val entries = elements(b, t.payloadStart, t.payloadEnd)
+        .getOrElse(return None)
+      entries.filter(_.id == TrackEntry).foreach { entry =>
+        val fields = elements(b, entry.payloadStart, entry.payloadEnd)
+          .getOrElse(return None)
+        val isSub = fields.find(_.id == TrackType)
+          .exists(uint(b, _) == 0x11L)
+        val num = fields.find(_.id == TrackNumber).map(uint(b, _))
+        if (isSub && num.isDefined && track < 0) track = num.get
+      }
+    }
+    val scale = kids.filter(_.id == Info).iterator
+      .flatMap(info => elements(b, info.payloadStart, info.payloadEnd)
+        .toSeq.flatten.find(_.id == TimestampScale).map(uint(b, _)))
+      .nextOption().getOrElse(1000000L)
+    if (track < 0) return Some((scale, Seq.empty))
+    val out = scala.collection.mutable.ArrayBuffer.empty[SubtitleCue]
+    // one UNLACED block's (relative ts, text span) for our track;
+    // None = malformed, Some(None) = other track (skip)
+    def blockCue(el: El): Option[Option[(Int, (Int, Int))]] = {
+      val (tn, tw) = readVint(b, el.payloadStart, 8, keepMarker = false)
+        .getOrElse(return None)
+      val i = el.payloadStart + tw
+      if (i + 3 > el.payloadEnd) return None
+      if (tn != track) return Some(None)
+      val rel = ((b(i) << 8) | (b(i + 1) & 0xff)).toShort.toInt
+      val flags = b(i + 2) & 0xff
+      // subtitle blocks are UNLACED text; a laced subtitle block is
+      // out of contract for this walk — refuse rather than misparse
+      if (((flags >> 1) & 0x03) != 0) return None
+      Some(Some((rel, (i + 3, el.payloadEnd - (i + 3)))))
+    }
+    kids.filter(_.id == Cluster).foreach { cl =>
+      val ckids = elements(b, cl.payloadStart, cl.payloadEnd)
+        .getOrElse(return None)
+      val clusterTs = ckids.find(_.id == 0xE7L).map(uint(b, _))
+        .getOrElse(0L)
+      ckids.foreach { el =>
+        if (el.id == SimpleBlock) {
+          blockCue(el).getOrElse(return None).foreach {
+            case (rel, (s, l)) =>
+              out += SubtitleCue(track, clusterTs + rel, -1L, s, l)
+          }
+        } else if (el.id == BlockGroup) {
+          val gk = elements(b, el.payloadStart, el.payloadEnd)
+            .getOrElse(return None)
+          val dur = gk.find(_.id == 0x9BL).map(uint(b, _)).getOrElse(-1L)
+          gk.filter(_.id == Block).foreach { blk =>
+            blockCue(blk).getOrElse(return None).foreach {
+              case (rel, (s, l)) =>
+                out += SubtitleCue(track, clusterTs + rel, dur, s, l)
+            }
+          }
+        }
+      }
+    }
+    Some((scale, out.toSeq))
+  }
+
   /** An EBML float payload: 0 (→ 0.0), 4 or 8 big-endian IEEE bytes
     * (RFC 8794 §7.3); any other width is malformed. */
   private def floatVal(b: Array[Byte], el: El): Option[Double] = {
@@ -810,6 +890,43 @@ object MkvIndex {
     val cluster = el(Cluster, uintEl(0xE7L, 0L) ++ blocks)
     ebml ++ el(Segment,
       info ++ el(Tracks, entries.flatten.toArray) ++ cluster)
+  }
+
+  /** Synthetic Matroska with one S_TEXT/UTF8 subtitle track — the
+    * fixture for [[subtitleCues]]: one Cluster PER CUE (Timestamp =
+    * the cue start, block delta 0 — the sparse-cue shape real muxers
+    * emit), each cue a BlockGroup(Block + BlockDuration); a cue with
+    * `durTicks < 0` encodes as a bare SimpleBlock (no duration).
+    * An optional leading video track + one video block pins track
+    * routing. */
+  def encodeSyntheticSubtitles(cues: Seq[(Long, Long, String)],
+      videoTrackFirst: Boolean = false): Array[Byte] = {
+    require(cues.nonEmpty)
+    val subNum = if (videoTrackFirst) 2L else 1L
+    val ebml = el(EbmlHeader, el(DocType, "webm".getBytes("UTF-8")))
+    val info = el(Info, uintEl(TimestampScale, 1000000L))
+    val videoEntry =
+      if (!videoTrackFirst) Array.empty[Byte]
+      else el(TrackEntry,
+        uintEl(TrackNumber, 1L) ++ uintEl(TrackType, 1L) ++
+          el(CodecId, "V_VP9".getBytes("UTF-8")))
+    val subEntry = el(TrackEntry,
+      uintEl(TrackNumber, subNum) ++ uintEl(TrackType, 0x11L) ++
+        el(CodecId, "S_TEXT/UTF8".getBytes("UTF-8")))
+    val tracks = el(Tracks, videoEntry ++ subEntry)
+    val clusters = cues.toArray.flatMap { case (start, dur, text) =>
+      val payload = Array((0x80 | subNum).toByte, 0.toByte, 0.toByte,
+        0.toByte) ++ text.getBytes("UTF-8")
+      val blockish =
+        if (dur < 0) el(SimpleBlock, payload)
+        else el(BlockGroup, el(Block, payload) ++ uintEl(0x9BL, dur))
+      val video =
+        if (!videoTrackFirst) Array.empty[Byte]
+        else el(SimpleBlock, Array(0x81.toByte, 0.toByte, 0.toByte,
+          0x80.toByte) ++ Array[Byte](0x55, 0x55))
+      el(Cluster, uintEl(0xE7L, start) ++ video ++ blockish)
+    }
+    ebml ++ el(Segment, info ++ tracks ++ clusters)
   }
 
   /** One laced SimpleBlock holding all `frames` (mode: "xiph",

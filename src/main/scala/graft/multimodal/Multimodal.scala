@@ -1467,6 +1467,48 @@ object Multimodal {
       }
   }
 
+  /** One extracted subtitle cue; `extracted = false` flags
+    * non-Matroska assets. A valid file without a subtitle track
+    * emits no rows. */
+  final case class MkvSubtitleRow(asset_id: Long, cue_idx: Int,
+      start_ms: Double, dur_ms: Double, text: String, n_chars: Int,
+      extracted: Boolean)
+
+  /** Subtitle-cue extraction over a Matroska corpus
+    * ([[MkvIndex.subtitleCues]]): start/duration converted to
+    * milliseconds via the segment's TimestampScale, cue text decoded
+    * UTF-8 (the S_TEXT payload contract) — subtitles are a real
+    * training-text source (the [[graft.text.Subtitles]] SRT/VTT
+    * family's in-container sibling), and the rows feed the text
+    * quality/dedup/langid operators directly. `dur_ms` is −1 for
+    * SimpleBlock carriage (no BlockDuration). */
+  def extractMkvSubtitles(df: DataFrame, idCol: String, bytesCol: String)(
+      implicit spark: SparkSession): Dataset[MkvSubtitleRow] = {
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(bytesCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, bytes) =>
+          val parsed =
+            try Option(bytes).flatMap(MkvIndex.subtitleCues)
+            catch { case scala.util.control.NonFatal(_) => None }
+          parsed match {
+            case Some((scale, cues)) => cues.iterator.zipWithIndex.map {
+              case (c, i) =>
+                val text = new String(bytes, c.byteStart, c.byteLen,
+                  java.nio.charset.StandardCharsets.UTF_8)
+                MkvSubtitleRow(id, i,
+                  c.startTicks * scale / 1e6,
+                  if (c.durTicks < 0) -1.0 else c.durTicks * scale / 1e6,
+                  text, text.length, extracted = true)
+            }
+            case None => Iterator.single(MkvSubtitleRow(id, -1, -1.0,
+              -1.0, "", 0, extracted = false))
+          }
+        }
+      }
+  }
+
   /** Header-only video facts: frame/keyframe counts from the sample
     * table and the mvhd duration; `duration_s` is −1 when the moov
     * declares none (header-less synthetic muxes). `indexed = false`

@@ -294,6 +294,43 @@ class MkvIndexSpec extends AnyFunSuite {
     assert(MkvIndex.audioTracks(muxed).get.map(_.codecId) === Seq("A_OPUS"))
   }
 
+  test("subtitle cues: timestamps, durations, track routing, UTF-8 spans") {
+    val b = MkvIndex.encodeSyntheticSubtitles(Seq(
+      (0L, 2000L, "Hello there."),
+      (2500L, 1500L, "Café scene"),
+      (90000L, -1L, "no duration")))
+    val (scale, cues) = MkvIndex.subtitleCues(b).get
+    assert(scale === 1000000L)
+    assert(cues.map(c => (c.startTicks, c.durTicks)) ===
+      Seq((0L, 2000L), (2500L, 1500L), (90000L, -1L)))
+    assert(cues.map(c => new String(b, c.byteStart, c.byteLen, "UTF-8"))
+      === Seq("Hello there.", "Café scene", "no duration"))
+    // a leading video track + interleaved video blocks route away
+    val muxed = MkvIndex.encodeSyntheticSubtitles(Seq(
+      (100L, -1L, "routed")), videoTrackFirst = true)
+    val (_, mc) = MkvIndex.subtitleCues(muxed).get
+    assert(mc.map(c => (c.startTicks,
+      new String(muxed, c.byteStart, c.byteLen, "UTF-8"))) ===
+      Seq((100L, "routed")))
+    // subtitle-less but valid: empty; junk: None; the video fixture's
+    // frame walk is untouched by the subtitle track
+    assert(MkvIndex.subtitleCues(MkvIndex.encodeSynthetic(
+      Seq((Array.fill[Byte](5)(1), true)))).get._2.isEmpty)
+    assert(MkvIndex.subtitleCues(Array[Byte](9, 9)).isEmpty)
+    assert(MkvIndex.frameIndex(muxed).get.map(_.byteLen) === Seq(2))
+    // a LACED subtitle block is out of contract: refuse, not misparse
+    val laced = {
+      val c = muxed.clone()
+      // find the 'routed' block payload: track VINT 0x82, ts, flags
+      val idx = (0 until c.length - 4).find(i =>
+        (c(i) & 0xff) == 0x82 && c(i + 3) == 0 &&
+          new String(c, i + 4, 6, "UTF-8") == "routed").get
+      c(idx + 3) = 0x02 // Xiph lacing flag
+      c
+    }
+    assert(MkvIndex.subtitleCues(laced).isEmpty)
+  }
+
   test("trailing junk after a sized Segment refuses on BOTH routes") {
     val b = MkvIndex.encodeSyntheticAudio(
       Seq(("A_OPUS", 2, 48000.0, None)))

@@ -60,6 +60,7 @@ class WalkerFuzzSpec extends AnyFunSuite {
     ("MkvIndex.tracksSeek", (b: Array[Byte]) =>
       MkvIndex.trackPayloadsSeekable(new Mp4Index.BytesRangeReader(b))),
     ("Mp4Index.audioCodec", Mp4Index.audioCodecInfo _),
+    ("MkvIndex.subtitles", MkvIndex.subtitleCues _),
     ("CodecConfigs.esds",
       (b: Array[Byte]) => CodecConfigs.parseEsds(b, 0, b.length)),
     ("CodecConfigs.dOps",
