@@ -55,6 +55,35 @@ class StreamShardsSpec extends SparkSpec {
     assert(spark.read.parquet(out).count() === r1.length + 1L)
   }
 
+  test("member spans feed SpanFetch: streamed WebDataset samples load end-to-end") {
+    val drop = Files.createTempDirectory("shard_drop3").toString
+    val ckpt = Files.createTempDirectory("shard_ckpt3").toString
+    Files.write(Paths.get(drop, "000001.tar"), shard(
+      ("s1.jpg", "IMAGEBYTES-1"), ("s1.txt", "a cat sat")))
+    val got = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    val q = StreamShards.members(spark, drop).writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        // the arrival batch's member spans -> ranged fetch -> bytes:
+        // exactly the shard-sample loading path, no full-shard read
+        val members = batch
+          .filter(org.apache.spark.sql.functions.col("indexed"))
+        val fetched = graft.io.SpanFetch.fetchSpans(members,
+          "entry_idx", "path", "data_start", "data_len")(
+          batch.sparkSession).collect()
+        val nameById = members.select("entry_idx", "name").collect()
+          .map(r => (r.getInt(0).toLong, r.getString(1))).toMap
+        assert(fetched.forall(_.fetched))
+        got ++= fetched.map(f =>
+          (nameById(f.id), new String(f.bytes, "UTF-8")))
+        ()
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    assert(got.toMap === Map(
+      "s1.jpg" -> "IMAGEBYTES-1", "s1.txt" -> "a cat sat"))
+  }
+
   test("incompleteSamples surfaces missing modalities per arrival") {
     val drop = Files.createTempDirectory("shard_drop2").toString
     val ckpt = Files.createTempDirectory("shard_ckpt2").toString
