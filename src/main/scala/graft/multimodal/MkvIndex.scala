@@ -177,14 +177,26 @@ object MkvIndex {
           .getOrElse(return None)
         val isSub = fields.find(_.id == TrackType)
           .exists(uint(b, _) == 0x11L)
+        // only TEXT subtitle codecs: a bitmap track (S_VOBSUB,
+        // S_HDMV/PGS) must neither decode as garbage "text" nor
+        // shadow a later genuine S_TEXT track
+        val isText = fields.find(_.id == CodecId)
+          .exists(e => new String(b, e.payloadStart,
+            e.payloadEnd - e.payloadStart, "UTF-8")
+            .startsWith("S_TEXT"))
         val num = fields.find(_.id == TrackNumber).map(uint(b, _))
-        if (isSub && num.isDefined && track < 0) track = num.get
+        if (isSub && isText && num.isDefined && track < 0)
+          track = num.get
       }
     }
-    val scale = kids.filter(_.id == Info).iterator
-      .flatMap(info => elements(b, info.payloadStart, info.payloadEnd)
-        .toSeq.flatten.find(_.id == TimestampScale).map(uint(b, _)))
-      .nextOption().getOrElse(1000000L)
+    // a corrupt Info payload must REFUSE (the family's no-half-parse
+    // rule): the default scale on a file that DECLARED one would emit
+    // silently mis-scaled timestamps
+    val scale = kids.filter(_.id == Info).iterator.map { info =>
+      elements(b, info.payloadStart, info.payloadEnd)
+        .getOrElse(return None)
+        .find(_.id == TimestampScale).map(uint(b, _))
+    }.flatten.nextOption().getOrElse(1000000L)
     if (track < 0) return Some((scale, Seq.empty))
     val out = scala.collection.mutable.ArrayBuffer.empty[SubtitleCue]
     // one UNLACED block's (relative ts, text span) for our track;

@@ -1497,9 +1497,12 @@ object Multimodal {
               case (c, i) =>
                 val text = new String(bytes, c.byteStart, c.byteLen,
                   java.nio.charset.StandardCharsets.UTF_8)
+                // Double math THROUGHOUT: Long ticks × a hostile
+                // declared scale would wrap before the division
                 MkvSubtitleRow(id, i,
-                  c.startTicks * scale / 1e6,
-                  if (c.durTicks < 0) -1.0 else c.durTicks * scale / 1e6,
+                  c.startTicks.toDouble * scale / 1e6,
+                  if (c.durTicks < 0) -1.0
+                  else c.durTicks.toDouble * scale / 1e6,
                   text, text.length, extracted = true)
             }
             case None => Iterator.single(MkvSubtitleRow(id, -1, -1.0,

@@ -331,6 +331,37 @@ class MkvIndexSpec extends AnyFunSuite {
     assert(MkvIndex.subtitleCues(laced).isEmpty)
   }
 
+  test("bitmap subtitle tracks skip; S_TEXT after PGS selects; corrupt Info refuses") {
+    import MkvIndex.el
+    val ebml = el(0x1A45DFA3L, el(0x4282L, "webm".getBytes("UTF-8")))
+    def entry(num: Int, codec: String) = el(0xAEL,
+      el(0xD7L, Array(num.toByte)) ++ el(0x83L, Array(0x11.toByte)) ++
+        el(0x86L, codec.getBytes("UTF-8")))
+    def blk(track: Int, text: String) = el(0xA3L,
+      Array((0x80 | track).toByte, 0.toByte, 0.toByte, 0.toByte) ++
+        text.getBytes("UTF-8"))
+    val tracks = el(0x1654AE6BL,
+      entry(1, "S_HDMV/PGS") ++ entry(2, "S_TEXT/UTF8"))
+    val cluster = el(0x1F43B675L, el(0xE7L, Array(0.toByte)) ++
+      blk(1, "pgsdata") ++ blk(2, "real cue"))
+    val b = ebml ++ el(0x18538067L,
+      el(0x1549A966L, Array.empty[Byte]) ++ tracks ++ cluster)
+    // the bitmap track neither decodes as "text" nor shadows S_TEXT
+    val (_, cues) = MkvIndex.subtitleCues(b).get
+    assert(cues.map(c =>
+      new String(b, c.byteStart, c.byteLen, "UTF-8")) === Seq("real cue"))
+    // a PGS-only file is valid with zero TEXT cues
+    val pgsOnly = ebml ++ el(0x18538067L,
+      el(0x1549A966L, Array.empty[Byte]) ++
+        el(0x1654AE6BL, entry(1, "S_HDMV/PGS")) ++
+        el(0x1F43B675L, el(0xE7L, Array(0.toByte)) ++ blk(1, "x")))
+    assert(MkvIndex.subtitleCues(pgsOnly).get._2.isEmpty)
+    // a corrupt Info payload refuses (no silent default scale)
+    val badInfo = ebml ++ el(0x18538067L,
+      el(0x1549A966L, Array[Byte](0)) ++ tracks ++ cluster)
+    assert(MkvIndex.subtitleCues(badInfo).isEmpty)
+  }
+
   test("trailing junk after a sized Segment refuses on BOTH routes") {
     val b = MkvIndex.encodeSyntheticAudio(
       Seq(("A_OPUS", 2, 48000.0, None)))

@@ -114,6 +114,8 @@ class WalkerFuzzSpec extends AnyFunSuite {
     MkvIndex.encodeSyntheticAudio(Seq(
       ("A_OPUS", 2, 48000.0, Some(MkvIndex.encodeOpusHead(2, 48000)))),
       durationTicks = Some(1000.0)),
+    MkvIndex.encodeSyntheticSubtitles(Seq(
+      (0L, 900L, "fuzz cue one"), (1500L, -1L, "two"))),
     Mp4Index.encodeSynthetic(Seq(Array.fill[Byte](6)(1)),
       syncSamples = Seq(1),
       videoEntry = Some(Mp4Index.videoSampleEntry("av01",
