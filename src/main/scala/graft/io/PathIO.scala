@@ -56,13 +56,29 @@ object PathIO {
 
   /** Hadoop-FS RangeReader: positioned reads over `FSDataInputStream`
     * — thread-safe preads that never disturb the stream position, the
-    * exact contract [[Mp4Index.RangeReader.readFully]] asks for. */
+    * exact contract [[Mp4Index.RangeReader.readFully]] asks for.
+    *
+    * The stream opens with DECLARED random-read intent
+    * (`fs.option.openfile.read.policy=random`, the Hadoop 3.3+
+    * openFile builder): without it, S3A's default `sequential`
+    * fadvise aborts and re-opens the HTTP connection on every
+    * backward seek — a 10k-span sample would cost 10k connection
+    * re-opens; with it, S3A issues true ranged GETs. The known file
+    * length rides along (`fs.option.openfile.length`) so S3A skips
+    * its own HEAD. Filesystems without the builder (or that reject
+    * it) fall back to plain `open` — HDFS preads are positioned
+    * either way. */
   final class HadoopRangeReader(path: String, conf: Configuration)
       extends Mp4Index.RangeReader {
     private val p = new Path(path)
     private val fs = p.getFileSystem(conf)
     private val len = fs.getFileStatus(p).getLen
-    private val in = fs.open(p)
+    private val in =
+      try fs.openFile(p)
+        .opt("fs.option.openfile.read.policy", "random")
+        .opt("fs.option.openfile.length", len.toString)
+        .build().get()
+      catch { case scala.util.control.NonFatal(_) => fs.open(p) }
     def length: Long = len
     def readFully(at: Long, len: Int): Array[Byte] = {
       val out = new Array[Byte](len)

@@ -228,8 +228,10 @@ object Tar {
       data_start: Long, data_len: Long, mtime: Long, indexed: Boolean)
 
   /** The WebDataset key/extension split of a member name (public
-    * convention: everything after the LAST dot of the basename is
-    * the modality extension; the rest is the sample key). */
+    * convention: the sample key is the path up to the FIRST dot of
+    * the basename; everything after that dot is the modality
+    * extension — so `a.seg.jpg` splits to key `a`, ext `seg.jpg`,
+    * letting multi-dot extensions group under one sample). */
   def splitKey(name: String): (String, String) = {
     val slash = name.lastIndexOf('/')
     val dot = name.indexOf('.', slash + 1)

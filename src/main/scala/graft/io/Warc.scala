@@ -173,6 +173,20 @@ object Warc {
       hs.getOrElse("content-type", "")))
   }
 
+  /** Wrap `raw` in a GZIPInputStream, CLOSING `raw` when the
+    * constructor itself throws (gzip magic present but the header
+    * malformed) — without this the caller's corrupt-drop path leaks
+    * an open stream (an open S3A/HDFS connection per corrupt drop:
+    * the outer NonFatal catch only sees the un-assigned `in`). */
+  private def gzipOrClose(raw: java.io.InputStream)
+      : java.util.zip.GZIPInputStream =
+    try new java.util.zip.GZIPInputStream(raw)
+    catch {
+      case e: Throwable =>
+        try raw.close() catch { case scala.util.control.NonFatal(_) => () }
+        throw e
+    }
+
   /** Parse the HTTP head out of `httpHead` (the first bytes of an
     * `application/http` content block): (status, bodyOffsetInContent)
     * or (-1, -1) when no CRLFCRLF head is present in the probe. */
@@ -268,20 +282,25 @@ object Warc {
     */
   def recordIndexStreaming(in: java.io.InputStream)
       : Option[IndexedSeq[WarcRecord]] =
-    streamWalk(in, captureMax = -1L).map(_.map(_._1))
+    streamWalk(in, captureMax = -1L)((r, _) => Some(r))
 
   /** The streaming walk's ONE implementation: records in order, each
-    * optionally paired with its captured CONTENT bytes. Content is
-    * captured only when `captureMax >= 0` and the record is an
-    * `application/http` response no longer than the cap (bigger
-    * responses are binaries/outliers the HTML path skips anyway; the
-    * cap keeps memory O(record)). `captureMax < 0` captures nothing —
-    * the [[recordIndexStreaming]] contract, byte-for-byte. */
-  private def streamWalk(in: java.io.InputStream, captureMax: Long)
-      : Option[IndexedSeq[(WarcRecord, Option[Array[Byte]])]] = {
+    * handed to `emit` WITH its captured CONTENT bytes the moment the
+    * record's framing validates — the content array is released as
+    * soon as `emit` returns (only the emitted values accumulate), so
+    * a whole-archive walk holds O(one record) of content no matter
+    * how many records qualify. Content is captured only when
+    * `captureMax >= 0` and the record is an `application/http`
+    * response no longer than the cap (bigger responses are
+    * binaries/outliers the HTML path skips anyway). `captureMax < 0`
+    * captures nothing — the [[recordIndexStreaming]] contract,
+    * byte-for-byte. Corrupt framing anywhere yields None regardless
+    * of what was already emitted. */
+  private def streamWalk[A](in: java.io.InputStream, captureMax: Long)(
+      emit: (WarcRecord, Option[Array[Byte]]) => Option[A])
+      : Option[IndexedSeq[A]] = {
     val bin = new java.io.BufferedInputStream(in, 64 * 1024)
-    val out = scala.collection.mutable.ArrayBuffer
-      .empty[(WarcRecord, Option[Array[Byte]])]
+    val out = scala.collection.mutable.ArrayBuffer.empty[A]
     var pos = 0L
     def skipFully(n: Long): Boolean = {
       var left = n
@@ -313,6 +332,7 @@ object Warc {
       }
       Some(buf.toByteArray)
     }
+    var nRecords = 0L
     try {
       var done = false
       while (!done) {
@@ -320,7 +340,7 @@ object Warc {
         val first = bin.read()
         if (first < 0) done = true // clean EOF
         else if (first == '\r' || first == '\n') {
-          // trailing padding: ONLY legal as ≤8 CR/LF bytes before
+          // trailing padding: ONLY legal as <=8 CR/LF bytes before
           // EOF (mirrors recordIndex exactly — padding between
           // records would hide framing corruption)
           var n = 1
@@ -332,6 +352,7 @@ object Warc {
           }
           if (c >= 0) return None
           done = true
+          if (nRecords == 0) return None // padding alone is not a WARC
         } else {
           bin.reset()
           val headBytes = readHead().getOrElse(return None)
@@ -385,13 +406,15 @@ object Warc {
           }
           if (!(term(0) == '\r' && term(1) == '\n' && term(2) == '\r' &&
             term(3) == '\n')) return None
-          out += ((WarcRecord(out.length, pos,
+          val rec = WarcRecord(nRecords.toInt, pos,
             headBytes.length + len + 4, warcType, uri, contentType,
-            contentStart, len, status, bodyStart, bodyLen), captured))
+            contentStart, len, status, bodyStart, bodyLen)
+          nRecords += 1
+          emit(rec, captured).foreach(out += _)
           pos = contentStart + len + 4
         }
       }
-      if (out.isEmpty) None else Some(out.toIndexedSeq)
+      if (nRecords == 0) None else Some(out.toIndexedSeq)
     } catch { case scala.util.control.NonFatal(_) => None }
   }
 
@@ -468,7 +491,7 @@ object Warc {
               val h1 = raw.read()
               if (h0 == 0x1f && h1 == 0x8b) {
                 raw.unread(h1); raw.unread(h0)
-                val in = new java.util.zip.GZIPInputStream(raw)
+                val in = gzipOrClose(raw)
                 try recordIndexStreaming(in) finally in.close()
               } else {
                 raw.close()
@@ -522,11 +545,14 @@ object Warc {
       val h1 = raw.read()
       if (h0 == 0x1f && h1 == 0x8b) {
         raw.unread(h1); raw.unread(h0)
-        val in = new java.util.zip.GZIPInputStream(raw)
-        try streamWalk(in, cap).map { rs =>
-          rs.flatMap {
-            case (r, Some(content)) if qualifies(r) =>
-              htmlPageText(content, 0L, r.bodyStart - r.contentStart,
+        val in = gzipOrClose(raw)
+        // per-record emit: each captured content array is released
+        // the moment its text is extracted — the walk holds O(record)
+        // memory over the whole archive, not the sum of its HTML
+        try streamWalk(in, cap) { (r, content) =>
+          content match {
+            case Some(c) if qualifies(r) =>
+              htmlPageText(c, 0L, r.bodyStart - r.contentStart,
                 r.bodyLen).map { case (t, x) => (r, t, x) }
             case _ => None
           }
@@ -667,12 +693,19 @@ object Warc {
     * page's DECLARED charset (HTTP `charset=` param, else a meta tag
     * in the body prefix — [[declaredCharset]]); UTF-8 with
     * replacement is the fallback, keeping the pipeline total.
+    * Responses with content over `maxContentBytes` are SKIPPED, not
+    * truncated — the SAME cap, same default, as
+    * [[extractHtmlPagesByPath]], so one archive yields one page set
+    * whichever seam it enters through (real HTML is KBs; multi-MB
+    * responses are the binaries the markup sniff drops anyway).
     */
   def extractHtmlPages(df: org.apache.spark.sql.DataFrame, idCol: String,
-      bytesCol: String)(implicit spark: org.apache.spark.sql.SparkSession)
+      bytesCol: String, maxContentBytes: Long = 1L << 22)(
+      implicit spark: org.apache.spark.sql.SparkSession)
       : org.apache.spark.sql.Dataset[WarcPage] = {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
+    val cap = math.min(maxContentBytes, (Int.MaxValue - 8).toLong)
     df.select(col(idCol).cast("long"), col(bytesCol))
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
@@ -692,7 +725,7 @@ object Warc {
               rs.iterator
                 .filter(r => r.warcType == "response" &&
                   r.httpStatus >= 200 && r.httpStatus < 300 &&
-                  r.bodyStart >= 0)
+                  r.bodyStart >= 0 && r.contentLen <= cap)
                 .flatMap { r =>
                   htmlPageText(bytes, r.contentStart, r.bodyStart,
                     r.bodyLen).iterator.map { case (title, text) =>

@@ -117,7 +117,12 @@ object MpegTs {
     * the object doc: the PAT must precede the PMT, which must
     * precede the first elementary PES unit — the layout every real
     * mux emits (a decoder joining the stream needs the tables before
-    * the media).
+    * the media). Deliberately STRICTER than ISO 13818-1 in one spot:
+    * a PES header whose declared PTS does not fit its first TS
+    * packet (an adaptation field stuffed past byte 174) refuses the
+    * asset — the spec permits a PES header to span packets, but real
+    * muxers never emit it, and recording pts=-1 for a unit that
+    * DECLARED a timestamp would be a silent anomaly.
     */
   def unitIndexSeekable(r: Mp4Index.RangeReader,
       chunkPackets: Int = 5000): Option[IndexedSeq[TsUnitLong]] = {
