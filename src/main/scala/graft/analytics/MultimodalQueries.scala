@@ -1559,7 +1559,12 @@ object MultimodalQueries {
     * carriage (dur −1); asset 3 the flagged fallback; asset 4 a
     * valid subtitle-less file contributing NO rows. UTF-8 text with
     * a non-ASCII cue pins the decode. A timestamp, duration,
-    * routing, or lacing-contract regression hash-fails.
+    * routing, or lacing-contract regression hash-fails. Asset 5 pins
+    * the S_TEXT/ASS carriage: the Matroska mapping stores
+    * `ReadOrder,Layer,Style,Name,MarginL,MarginR,MarginV,Effect,Text`
+    * per block — the 8 metadata fields must be STRIPPED (the Text
+    * field's own commas kept) and `\N`/`\h` escapes decoded, so the
+    * text column carries the cue text, not `0,0,Default,,0,0,0,,…`.
     */
   val qMultimodalMkvSubtitles: QueryDef = QueryDef.sql(
     "q_multimodal_mkv_subtitles",
@@ -1570,7 +1575,10 @@ object MultimodalQueries {
       |  (1, 1, 2500.0, 1500.0, CAST('Caf' || CHR(233) || ' scene'
       |     AS VARCHAR), 10, true),
       |  (2, 0, 100.0, -1.0, 'routed', 6, true),
-      |  (3, -1, -1.0, -1.0, '', 0, false))
+      |  (3, -1, -1.0, -1.0, '', 0, false),
+      |  (5, 0, 3000.0, 2000.0, CAST('Hello, comma' || CHR(10) ||
+      |     'line two' AS VARCHAR), 21, true),
+      |  (5, 1, 6000.0, -1.0, 'hard space', 10, true))
       |  AS t(asset_id, cue_idx, start_ms, dur_ms, text, n_chars,
       |       extracted)
       |ORDER BY asset_id, cue_idx""".stripMargin,
@@ -1587,12 +1595,89 @@ object MultimodalQueries {
         (100L, -1L, "routed")), videoTrackFirst = true)),
       (3L, Array[Byte](9, 9, 9, 9)),
       (4L, MkvIndex.encodeSynthetic(
-        Seq((Array.fill[Byte](5)(1), true))))
+        Seq((Array.fill[Byte](5)(1), true)))),
+      // the ASS carriage: raw block payloads carry the 8 dialogue
+      // metadata fields + escapes; the text column must not
+      (5L, MkvIndex.encodeSyntheticSubtitles(Seq(
+        (3000L, 2000L, "0,0,Default,,0,0,0,,Hello, comma\\Nline two"),
+        (6000L, -1L, "1,0,Default,,0,0,0,,hard\\hspace")),
+        codecId = "S_TEXT/ASS"))
     ).toDF("id", "bytes")
     Multimodal.extractMkvSubtitles(assets, "id", "bytes")(s)
       .select(col("asset_id"), col("cue_idx"), col("start_ms"),
         col("dur_ms"), col("text"), col("n_chars"), col("extracted"))
       .orderBy("asset_id", "cue_idx")
+  }
+
+  /** Matroska attachment extraction
+    * ([[graft.multimodal.MkvIndex.attachments]] → rows): cover art,
+    * fonts, companion files — the last common Matroska payload kind
+    * beside media tracks. Oracle by construction: the cover is the
+    * hand-built 33-byte VP8L WebP (100×50 — [[graft.multimodal
+    * .ImageDims]] decodes the dims from the data head, pinning the
+    * image-attachment feed-through); the font/notes entries pin
+    * non-image rows (no dims) and the omitted-FileUID posture
+    * (uid −1 by value). Asset 2 pins the no-half-parse rule: an
+    * AttachedFile MISSING its spec-mandatory FileMimeType refuses
+    * the whole asset (flagged row); asset 3 the non-Matroska flag;
+    * asset 4 a valid file with no attachments contributing NO rows.
+    * An element-tiling, mandatory-field, span, or dims regression
+    * hash-fails.
+    */
+  val qMultimodalMkvAttachments: QueryDef = QueryDef.sql(
+    "q_multimodal_mkv_attachments",
+    """SELECT asset_id, att_idx, file_name, mime_type,
+      |  CAST(file_uid AS BIGINT) AS file_uid,
+      |  CAST(data_len AS BIGINT) AS data_len, img_format, width,
+      |  height, indexed
+      |FROM (VALUES
+      |  (1, 0, 'cover.webp', 'image/webp', 7, 33, 'webp', 100, 50,
+      |   true),
+      |  (1, 1, 'font.ttf', 'font/ttf', 8, 20, '', -1, -1, true),
+      |  (1, 2, 'notes.txt', 'text/plain', -1, 2, '', -1, -1, true),
+      |  (2, -1, '', '', -1, -1, '', -1, -1, false),
+      |  (3, -1, '', '', -1, -1, '', -1, -1, false))
+      |  AS t(asset_id, att_idx, file_name, mime_type, file_uid,
+      |       data_len, img_format, width, height, indexed)
+      |ORDER BY asset_id, att_idx""".stripMargin,
+    doc = "Matroska AttachedFile index: name/mime/uid + data spans, " +
+      "image attachments' dims decoded from the data head " +
+      "(multimodal ops; spans are SpanFetch ranges)") {
+    (s, dir) =>
+    import s.implicits._
+    import graft.multimodal.{MkvIndex, Multimodal}
+    // the hand-built VP8L WebP: deterministic 33 bytes, 100x50
+    val webp: Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      out.write("RIFF".getBytes("ISO-8859-1"))
+      val payload = 13
+      (0 until 4).foreach(j => out.write(((4 + 8 + payload) >> (8 * j)) & 0xff))
+      out.write("WEBPVP8L".getBytes("ISO-8859-1"))
+      (0 until 4).foreach(j => out.write((payload >> (8 * j)) & 0xff))
+      out.write(0x2f)
+      val bits = 99L | (49L << 14) // (w-1, h-1) packed 14-bit fields
+      (0 until 4).foreach(j => out.write(((bits >> (8 * j)) & 0xff).toInt))
+      out.write(new Array[Byte](8))
+      out.toByteArray
+    }
+    val assets = Seq(
+      (1L, MkvIndex.encodeSyntheticAttachments(Seq(
+        ("cover.webp", "image/webp", 7L, webp),
+        ("font.ttf", "font/ttf", 8L, Array.fill[Byte](20)(0x42)),
+        ("notes.txt", "text/plain", -1L, "hi".getBytes("UTF-8"))))),
+      // spec-mandatory FileMimeType missing -> the whole asset refuses
+      (2L, MkvIndex.encodeSyntheticAttachments(Seq(
+        ("cover.webp", "image/webp", 7L, webp)),
+        omitMimeFor = Set("cover.webp"))),
+      (3L, Array[Byte](9, 9, 9, 9)),
+      (4L, MkvIndex.encodeSynthetic(
+        Seq((Array.fill[Byte](5)(1), true))))
+    ).toDF("id", "bytes")
+    Multimodal.extractMkvAttachments(assets, "id", "bytes")(s)
+      .select(col("asset_id"), col("att_idx"), col("file_name"),
+        col("mime_type"), col("file_uid"), col("data_len"),
+        col("img_format"), col("width"), col("height"), col("indexed"))
+      .orderBy("asset_id", "att_idx")
   }
 
   val all: Seq[QueryDef] = Seq(
@@ -1605,5 +1690,6 @@ object MultimodalQueries {
     qMultimodalImageDims, qMultimodalTags, qMultimodalWavInfo,
     qMultimodalHevcIndex, qMultimodalMkvIndex, qMultimodalDkifIndex,
     qMultimodalOggIndex, qMultimodalCodecConfig, qMultimodalMkvAudio,
-    qMultimodalAudioConfig, qMultimodalMkvSubtitles)
+    qMultimodalAudioConfig, qMultimodalMkvSubtitles,
+    qMultimodalMkvAttachments)
 }

@@ -2250,7 +2250,109 @@ object TextQueries {
       .orderBy("record_idx")
   }
 
+  /** End-to-end HYDRATION gate ([[graft.io.SpanFetch]] — the one
+    * operator that moves data bytes): a WebDataset shard written to
+    * DISK → [[graft.io.Tar.extractEntriesByPath]] member spans
+    * (header-only walk over the path) → [[graft.io.SpanFetch
+    * .fetchSpans]] ranged reads → decode of the FETCHED bytes
+    * ([[graft.multimodal.ImageDims]] on the image member, UTF-8 on
+    * the captions) plus a byte-exact comparison against the encoded
+    * member contents. Oracle by construction: the PNG is the JDK
+    * ImageIO encoder's own 31x17 output (dims pin the decode, not
+    * the writer's byte layout); caption texts are the literal member
+    * contents ('Caf'||CHR(233) pins multi-byte UTF-8 across the
+    * fetch boundary); `len_ok` pins that EXACTLY the span's length
+    * came back. Rows 100-102 pin the three refusal postures as
+    * flagged rows, never task kills: a span above `maxSpanBytes`
+    * (cap 1 MiB here, the corrupt-index OOM guard), an unreadable
+    * path, and a read past EOF. A span-arithmetic, reader-routing,
+    * cap, or fetch-boundary regression hash-fails.
+    */
+  val qSpanFetch: QueryDef = QueryDef.sql(
+    "q_span_fetch",
+    """SELECT * FROM (VALUES
+      |  (CAST(0 AS BIGINT), 'png', true, true, 31, 17, '', true),
+      |  (CAST(1 AS BIGINT), 'txt', true, true, -1, -1,
+      |   'hello span fetch', true),
+      |  (CAST(2 AS BIGINT), 'txt', true, true, -1, -1,
+      |   CAST('Caf' || CHR(233) || ' crawl' AS VARCHAR), true),
+      |  (CAST(100 AS BIGINT), 'oversize', false, false, -1, -1, '',
+      |   false),
+      |  (CAST(101 AS BIGINT), 'missing', false, false, -1, -1, '',
+      |   false),
+      |  (CAST(102 AS BIGINT), 'eof', false, false, -1, -1, '', false))
+      |  AS t(span_id, kind, fetched, len_ok, width, height, text,
+      |       bytes_match)
+      |ORDER BY span_id""".stripMargin,
+    doc = "End-to-end shard hydration: path-walked member spans -> " +
+      "SpanFetch ranged reads -> decoded bytes, with oversize/" +
+      "unreadable/out-of-range refusals as flagged rows") {
+    (s, dir) =>
+    import s.implicits._
+    import graft.io.{SpanFetch, Tar}
+    // the shard on DISK: the fetch must cross a real storage boundary
+    val png: Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(31, 17,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      (0 until 31).foreach(x => (0 until 17).foreach(y =>
+        img.setRGB(x, y, (x * 31 + y * 17) & 0xffffff)))
+      val out = new java.io.ByteArrayOutputStream()
+      require(javax.imageio.ImageIO.write(img, "png", out))
+      out.toByteArray
+    }
+    val txt1 = "hello span fetch".getBytes("UTF-8")
+    val txt2 = "Café crawl".getBytes("UTF-8")
+    val shard = Tar.encodeSynthetic(Seq(
+      ("0001.png", png, 1700000000L),
+      ("0001.txt", txt1, 1700000000L),
+      ("0002.txt", txt2, 1700000001L)))
+    val tmp = java.nio.file.Files.createTempDirectory("span_fetch_gate")
+    val shardPath = tmp.resolve("shard.tar")
+    java.nio.file.Files.write(shardPath, shard)
+    val path = shardPath.toString
+    // member spans from the header-only walk over the PATH
+    val memberSpans = Tar.extractEntriesByPath(
+        Seq((1L, path)).toDF("id", "path"), "id", "path")(s)
+      .filter(col("indexed") && col("typeflag") === "0")
+      .select(col("entry_idx").cast("long").as("span_id"),
+        lit(path).as("path"), col("data_start"), col("data_len"))
+    val refusals = Seq(
+      (100L, path, 0L, (1L << 20) + 1),        // above the cap
+      (101L, tmp.resolve("missing.tar").toString, 0L, 10L), // unreadable
+      (102L, path, 1L << 30, 10L))             // past EOF
+      .toDF("span_id", "path", "data_start", "data_len")
+    val fetched = SpanFetch.fetchSpans(memberSpans.unionByName(refusals),
+      "span_id", "path", "data_start", "data_len",
+      maxSpanBytes = 1L << 20)(s)
+    // decode the FETCHED bytes and pin them against the encoded
+    // members; the fixture's span_id -> (kind, expected) map is a
+    // few hundred bytes of task closure
+    val expected: Map[Long, (String, Array[Byte])] = Map(
+      0L -> ("png", png), 1L -> ("txt", txt1), 2L -> ("txt", txt2),
+      100L -> ("oversize", Array.empty[Byte]),
+      101L -> ("missing", Array.empty[Byte]),
+      102L -> ("eof", Array.empty[Byte]))
+    fetched.map { f =>
+      val (kind, exp) = expected(f.id)
+      val bytesMatch = f.fetched && exp.nonEmpty &&
+        java.util.Arrays.equals(exp, f.bytes)
+      val dims =
+        if (f.fetched) graft.multimodal.ImageDims.dims(f.bytes) else None
+      val text =
+        if (f.fetched && kind == "txt")
+          new String(f.bytes, java.nio.charset.StandardCharsets.UTF_8)
+        else ""
+      (f.id, kind, f.fetched,
+        f.fetched && f.bytes.length.toLong == f.byte_len,
+        dims.map(_.width).getOrElse(-1), dims.map(_.height).getOrElse(-1),
+        text, bytesMatch)
+    }.toDF("span_id", "kind", "fetched", "len_ok", "width", "height",
+      "text", "bytes_match")
+      .orderBy("span_id")
+  }
+
   val all: Seq[QueryDef] = Seq(
+    qSpanFetch,
     qSubtitleCues, qWarcRecords, qWarcHtmlText, qTarIndex,
     qWebdatasetSamples, qGzipMembers, qWarcCurate, qTfrecordIndex,
     qZipIndex, qEpubText,

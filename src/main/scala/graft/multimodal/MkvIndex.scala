@@ -58,6 +58,15 @@ object MkvIndex {
   private val BitDepth = 0x6264L
   private val TimestampScale = 0x2AD7B1L
   private val Duration = 0x4489L
+  private val Attachments = 0x1941A469L
+  private val AttachedFile = 0x61A7L
+  private val FileName = 0x466EL
+  private val FileMimeType = 0x4660L
+  private val FileData = 0x465CL
+  private val FileUID = 0x46AEL
+  private val FileDescription = 0x467EL
+  private val CrcEl = 0xBFL
+  private val VoidEl = 0xECL
 
   /** One parsed element: id (as stored), payload range, own first
     * byte. */
@@ -161,14 +170,18 @@ object MkvIndex {
     * give the start; `BlockDuration` (BlockGroup carriage — the shape
     * muxers use for subtitles, which NEED durations) gives the
     * length, −1 when absent (SimpleBlock carriage). Returns
-    * (timestampScale, cues); None when the bytes are not conforming
-    * Matroska, Some((_, empty)) for a valid file with no subtitle
-    * track — the [[audioTracks]] posture. Text spans are byte ranges
-    * into `b` (S_TEXT/UTF8 and S_TEXT/ASS alike carry UTF-8). */
+    * (timestampScale, codecId, cues); None when the bytes are not
+    * conforming Matroska, Some((_, "", empty)) for a valid file with
+    * no subtitle track — the [[audioTracks]] posture. Text spans are
+    * byte ranges into `b` (S_TEXT/UTF8 and S_TEXT/ASS alike carry
+    * UTF-8 bytes — but the ASS payload embeds 8 dialogue metadata
+    * fields before the text; [[assDialogueText]] is the strip the
+    * text seam applies, keyed on the returned codecId). */
   def subtitleCues(b: Array[Byte])
-      : Option[(Long, Seq[SubtitleCue])] = {
+      : Option[(Long, String, Seq[SubtitleCue])] = {
     val kids = segmentKids(b).getOrElse(return None)
     var track = -1L
+    var codec = ""
     kids.filter(_.id == Tracks).foreach { t =>
       val entries = elements(b, t.payloadStart, t.payloadEnd)
         .getOrElse(return None)
@@ -180,13 +193,15 @@ object MkvIndex {
         // only TEXT subtitle codecs: a bitmap track (S_VOBSUB,
         // S_HDMV/PGS) must neither decode as garbage "text" nor
         // shadow a later genuine S_TEXT track
-        val isText = fields.find(_.id == CodecId)
-          .exists(e => new String(b, e.payloadStart,
-            e.payloadEnd - e.payloadStart, "UTF-8")
-            .startsWith("S_TEXT"))
+        val codecId = fields.find(_.id == CodecId)
+          .map(e => new String(b, e.payloadStart,
+            e.payloadEnd - e.payloadStart, "UTF-8"))
+        val isText = codecId.exists(_.startsWith("S_TEXT"))
         val num = fields.find(_.id == TrackNumber).map(uint(b, _))
-        if (isSub && isText && num.isDefined && track < 0)
+        if (isSub && isText && num.isDefined && track < 0) {
           track = num.get
+          codec = codecId.get
+        }
       }
     }
     // a corrupt Info payload must REFUSE (the family's no-half-parse
@@ -197,7 +212,7 @@ object MkvIndex {
         .getOrElse(return None)
         .find(_.id == TimestampScale).map(uint(b, _))
     }.flatten.nextOption().getOrElse(1000000L)
-    if (track < 0) return Some((scale, Seq.empty))
+    if (track < 0) return Some((scale, "", Seq.empty))
     val out = scala.collection.mutable.ArrayBuffer.empty[SubtitleCue]
     // one UNLACED block's (relative ts, text span) for our track;
     // None = malformed, Some(None) = other track (skip)
@@ -238,7 +253,43 @@ object MkvIndex {
         }
       }
     }
-    Some((scale, out.toSeq))
+    Some((scale, codec, out.toSeq))
+  }
+
+  /** The dialogue TEXT of one S_TEXT/ASS (or SSA) block payload.
+    *
+    * The Matroska codec mapping stores each cue as the ASS
+    * `Dialogue:` line MINUS the Start/End fields, i.e.
+    * `ReadOrder,Layer,Style,Name,MarginL,MarginR,MarginV,Effect,Text`
+    * — 8 comma-delimited metadata fields before the text (which may
+    * itself contain commas, so ONLY the first 8 split). Emitting the
+    * raw payload would prefix every training-text row with
+    * `0,0,Default,,0,0,0,,`. The ASS escapes decode too: `\N` (hard
+    * line break) and `\n` (soft break) to a newline, `\h` (hard
+    * space) to a space. A payload with fewer than 8 commas is out of
+    * mapping — returned whole (escape-decoded), keeping the walk
+    * total rather than guessing at field boundaries. */
+  def assDialogueText(payload: String): String = {
+    var i = 0
+    var commas = 0
+    while (i < payload.length && commas < 8) {
+      if (payload.charAt(i) == ',') commas += 1
+      i += 1
+    }
+    val raw = if (commas == 8) payload.substring(i) else payload
+    val sb = new java.lang.StringBuilder(raw.length)
+    var j = 0
+    while (j < raw.length) {
+      val c = raw.charAt(j)
+      if (c == '\\' && j + 1 < raw.length) {
+        raw.charAt(j + 1) match {
+          case 'N' | 'n' => sb.append('\n'); j += 2
+          case 'h' => sb.append(' '); j += 2
+          case _ => sb.append(c); j += 1
+        }
+      } else { sb.append(c); j += 1 }
+    }
+    sb.toString
   }
 
   /** An EBML float payload: 0 (→ 0.0), 4 or 8 big-endian IEEE bytes
@@ -385,7 +436,28 @@ object MkvIndex {
   /** The metadata of a SEEKABLE (>2 GiB) Matroska file: detached
     * `Tracks` payload(s) + the Segment duration in seconds. */
   final case class SegmentMeta(tracks: Seq[Array[Byte]],
-      durationS: Option[Double])
+      durationS: Option[Double],
+      attachmentSpans: Seq[(Long, Long)] = Nil)
+
+  /** One element header at absolute `at` of a seekable file:
+    * (id, payloadAbs, payloadLen — −1 for unknown-size). None on
+    * malformed VINTs or a declared size past EOF. The shared header
+    * step of every seekable EBML walk in this object. */
+  private def elHeaderAt(r: Mp4Index.RangeReader, at: Long)
+      : Option[(Long, Long, Long)] = {
+    val len = r.length
+    val n = math.min(12L, len - at).toInt
+    if (n <= 0) return None
+    val b = r.readFully(at, n)
+    val (id, idW) = readVint(b, 0, 4, keepMarker = true)
+      .getOrElse(return None)
+    val (size, szW) = readVint(b, idW, 8, keepMarker = false)
+      .getOrElse(return None)
+    val payloadAbs = at + idW + szW
+    if (isUnknownSize(size, szW)) Some((id, payloadAbs, -1L))
+    else if (size > len - payloadAbs) None
+    else Some((id, payloadAbs, size))
+  }
 
   /** The detached `Tracks` payload(s) of a seekable file — see
     * [[segmentMetaSeekable]] (Info is neither fetched nor parsed on
@@ -414,17 +486,7 @@ object MkvIndex {
       val n = math.min(want.toLong, len - at).toInt
       if (n <= 0) Array.empty[Byte] else r.readFully(at, n)
     }
-    def header(at: Long): Option[(Long, Long, Long)] = {
-      val b = readAt(at, 12)
-      val (id, idW) = readVint(b, 0, 4, keepMarker = true)
-        .getOrElse(return None)
-      val (size, szW) = readVint(b, idW, 8, keepMarker = false)
-        .getOrElse(return None)
-      val payloadAbs = at + idW + szW
-      if (isUnknownSize(size, szW)) Some((id, payloadAbs, -1L))
-      else if (size > len - payloadAbs) None
-      else Some((id, payloadAbs, size))
-    }
+    def header(at: Long): Option[(Long, Long, Long)] = elHeaderAt(r, at)
     var metaBytes = 0L
     val h0 = header(0).getOrElse(return None)
     if (h0._1 != EbmlHeader || h0._3 < 0) return None
@@ -451,6 +513,7 @@ object MkvIndex {
       }
     }
     val out = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+    val attSpans = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
     var duration: Option[Double] = None
     var pos = hs._2
     while (pos < segEnd) {
@@ -463,11 +526,93 @@ object MkvIndex {
         val payload = readAt(pAbs, pLen.toInt)
         if (id == Tracks) out += payload
         else duration = durationInInfo(payload, 0, payload.length)
+      } else if (id == Attachments) {
+        // span only — FileData stays unread until a walk asks for it
+        attSpans += ((pAbs, pLen))
       }
       pos = pAbs + pLen
     }
-    Some(SegmentMeta(out.toSeq, duration))
+    Some(SegmentMeta(out.toSeq, duration, attSpans.toSeq))
   }
+
+  /** One attached file: name, MIME type, FileUID (−1 when the file
+    * omits the spec-mandatory element — tolerated, flagged by value,
+    * because name+mime+data are what consumers key on), and the
+    * FileData byte span. */
+  final case class Attachment(fileName: String, mimeType: String,
+      fileUid: Long, dataStart: Long, dataLen: Long)
+
+  /** The `\Segment\Attachments\AttachedFile` entries of a SEEKABLE
+    * Matroska file — cover art, fonts, companion files: the last
+    * common Matroska payload kind beside media tracks. Header-only:
+    * FileName/FileMimeType/FileUID payloads are read (small, capped),
+    * FileData is returned as a SPAN and never fetched — hydration is
+    * [[graft.io.SpanFetch]]'s job, the same seam as frame/member
+    * spans. Strictness (the family's no-half-parse rule): element
+    * levels must tile, an AttachedFile missing its spec-mandatory
+    * FileName/FileMimeType/FileData refuses the asset, unknown
+    * elements inside `Attachments` (beside CRC-32/Void) refuse; a
+    * valid file WITHOUT attachments yields Seq.empty. Name/mime
+    * payloads above 64 KiB refuse (RFC 8794 strings; a multi-MB
+    * "name" is corruption, not data). */
+  def attachmentsSeekable(r: Mp4Index.RangeReader,
+      maxMetaBytes: Int = 1 << 26): Option[Seq[Attachment]] = {
+    val meta = segmentMetaSeekable(r, maxMetaBytes, wantDuration = false)
+      .getOrElse(return None)
+    val out = scala.collection.mutable.ArrayBuffer.empty[Attachment]
+    var metaBytes = 0L
+    meta.attachmentSpans.foreach { case (aAbs, aLen) =>
+      var pos = aAbs
+      val end = aAbs + aLen
+      while (pos < end) {
+        val (id, pAbs, pLen) = elHeaderAt(r, pos).getOrElse(return None)
+        if (pLen < 0 || pAbs + pLen > end) return None
+        if (id == AttachedFile) {
+          var name: Option[String] = None
+          var mime: Option[String] = None
+          var uid = -1L
+          var dataStart = -1L
+          var dataLen = -1L
+          var q = pAbs
+          val fEnd = pAbs + pLen
+          while (q < fEnd) {
+            val (fid, fAbs, fLen) = elHeaderAt(r, q).getOrElse(return None)
+            if (fLen < 0 || fAbs + fLen > fEnd) return None
+            if (fid == FileData) {
+              dataStart = fAbs; dataLen = fLen
+            } else if (fid == FileName || fid == FileMimeType) {
+              if (fLen > (1 << 16)) return None
+              metaBytes += fLen
+              if (metaBytes > maxMetaBytes) return None
+              val s = new String(r.readFully(fAbs, fLen.toInt), "UTF-8")
+              if (fid == FileName) name = Some(s) else mime = Some(s)
+            } else if (fid == FileUID) {
+              if (fLen > 8) return None
+              val bs = r.readFully(fAbs, fLen.toInt)
+              var v = 0L
+              bs.foreach(x => v = (v << 8) | (x & 0xff))
+              uid = v
+            } else if (fid == FileDescription || fid == CrcEl ||
+              fid == VoidEl) {
+              // header tiles, payload skipped — nothing this index
+              // needs (unknown OTHER ids inside AttachedFile tolerate
+              // too: the spec reserves room for future children)
+            }
+            q = fAbs + fLen
+          }
+          if (name.isEmpty || mime.isEmpty || dataStart < 0) return None
+          out += Attachment(name.get, mime.get, uid, dataStart, dataLen)
+        } else if (id != CrcEl && id != VoidEl) return None
+        pos = pAbs + pLen
+      }
+    }
+    Some(out.toSeq)
+  }
+
+  /** [[attachmentsSeekable]] over a byte column (one shared walk —
+    * no twin drift). */
+  def attachments(b: Array[Byte]): Option[Seq[Attachment]] =
+    attachmentsSeekable(new Mp4Index.BytesRangeReader(b))
 
   /** Block-payload parse: track-number VINT + 2-byte timestamp +
     * flags, then the (possibly laced) frame data — one (start, len)
@@ -910,9 +1055,12 @@ object MkvIndex {
     * emit), each cue a BlockGroup(Block + BlockDuration); a cue with
     * `durTicks < 0` encodes as a bare SimpleBlock (no duration).
     * An optional leading video track + one video block pins track
-    * routing. */
+    * routing. `codecId` lets the fixture declare S_TEXT/ASS (cue
+    * strings are then RAW block payloads — dialogue fields and all,
+    * exactly what a real mux stores). */
   def encodeSyntheticSubtitles(cues: Seq[(Long, Long, String)],
-      videoTrackFirst: Boolean = false): Array[Byte] = {
+      videoTrackFirst: Boolean = false,
+      codecId: String = "S_TEXT/UTF8"): Array[Byte] = {
     require(cues.nonEmpty)
     val subNum = if (videoTrackFirst) 2L else 1L
     val ebml = el(EbmlHeader, el(DocType, "webm".getBytes("UTF-8")))
@@ -924,7 +1072,7 @@ object MkvIndex {
           el(CodecId, "V_VP9".getBytes("UTF-8")))
     val subEntry = el(TrackEntry,
       uintEl(TrackNumber, subNum) ++ uintEl(TrackType, 0x11L) ++
-        el(CodecId, "S_TEXT/UTF8".getBytes("UTF-8")))
+        el(CodecId, codecId.getBytes("UTF-8")))
     val tracks = el(Tracks, videoEntry ++ subEntry)
     val clusters = cues.toArray.flatMap { case (start, dur, text) =>
       val payload = Array((0x80 | subNum).toByte, 0.toByte, 0.toByte,
@@ -939,6 +1087,34 @@ object MkvIndex {
       el(Cluster, uintEl(0xE7L, start) ++ video ++ blockish)
     }
     ebml ++ el(Segment, info ++ tracks ++ clusters)
+  }
+
+  /** Synthetic Matroska with an `Attachments` element — the fixture
+    * for [[attachments]]: one AttachedFile per (name, mimeType, uid,
+    * data) entry, after a minimal video track (attachments ride real
+    * media files). `uid < 0` OMITS the FileUID element (the
+    * tolerated-by-value posture); an entry with `omitMime` in
+    * `broken` drops its spec-mandatory FileMimeType (the refusal
+    * fixture). */
+  def encodeSyntheticAttachments(
+      files: Seq[(String, String, Long, Array[Byte])],
+      omitMimeFor: Set[String] = Set.empty): Array[Byte] = {
+    require(files.nonEmpty)
+    val ebml = el(EbmlHeader, el(DocType, "matroska".getBytes("UTF-8")))
+    val info = el(Info, uintEl(TimestampScale, 1000000L))
+    val tracks = el(Tracks, el(TrackEntry,
+      uintEl(TrackNumber, 1L) ++ uintEl(TrackType, 1L) ++
+        el(CodecId, "V_VP9".getBytes("UTF-8"))))
+    val atts = el(Attachments, files.toArray.flatMap {
+      case (name, mime, uid, data) =>
+        el(AttachedFile,
+          el(FileName, name.getBytes("UTF-8")) ++
+            (if (omitMimeFor.contains(name)) Array.empty[Byte]
+             else el(FileMimeType, mime.getBytes("UTF-8"))) ++
+            (if (uid < 0) Array.empty[Byte] else uintEl(FileUID, uid)) ++
+            el(FileData, data))
+    })
+    ebml ++ el(Segment, info ++ tracks ++ atts)
   }
 
   /** One laced SimpleBlock holding all `frames` (mode: "xiph",

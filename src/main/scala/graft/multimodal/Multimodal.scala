@@ -1439,26 +1439,8 @@ object Multimodal {
           val parsed =
             try {
               val r = graft.io.PathIO.openRange(path, conf)
-              try {
-                Mp4Index.videoCodecInfoSeekable(r)
-                  .map { case (fmt, rec) =>
-                    row("mp4", fmt, Mp4Index.configBoxFor(fmt), rec)
-                  }
-                  .orElse {
-                    MkvIndex.trackPayloadsSeekable(r).flatMap { tbs =>
-                      tbs.iterator.flatMap(tb =>
-                        MkvIndex.videoTrackInTracks(tb, 0, tb.length)
-                          .map((_, tb))).nextOption()
-                    }.map { case (vt, tb) =>
-                      val kind = CodecConfigs.kindForMkvCodec(vt.codecId)
-                        .filter(_ => vt.codecPrivate.isDefined ||
-                          CodecConfigs.mkvPrivateRequired(vt.codecId))
-                      row("mkv", vt.codecId, kind,
-                        vt.codecPrivate.map { case (s, e) =>
-                          java.util.Arrays.copyOfRange(tb, s, e)
-                        })
-                    }
-                  }
+              try videoCodecFactsSeekable(r).map {
+                case (cont, codec, kind, rec) => row(cont, codec, kind, rec)
               } finally r.close()
             } catch { case scala.util.control.NonFatal(_) => None }
           parsed.getOrElse(CodecConfigRow(id, "", "", "", -1, -1, -1,
@@ -1466,6 +1448,35 @@ object Multimodal {
         }
       }
   }
+
+  /** Container + video-codec + config-record facts of one seekable
+    * asset — (container, codec, recordKind, recordBytes), read from
+    * metadata alone: the ISO-BMFF stsd walk or the Matroska Tracks
+    * payload. The ONE kernel behind [[videoCodecConfigsByPath]] and
+    * [[graft.streaming.StreamMedia]] (no twin drift between the
+    * batch and streaming seams). None when neither container walk
+    * accepts the bytes. */
+  private[graft] def videoCodecFactsSeekable(r: Mp4Index.RangeReader)
+      : Option[(String, String, Option[String], Option[Array[Byte]])] =
+    Mp4Index.videoCodecInfoSeekable(r)
+      .map { case (fmt, rec) =>
+        ("mp4", fmt, Mp4Index.configBoxFor(fmt), rec)
+      }
+      .orElse {
+        MkvIndex.trackPayloadsSeekable(r).flatMap { tbs =>
+          tbs.iterator.flatMap(tb =>
+            MkvIndex.videoTrackInTracks(tb, 0, tb.length)
+              .map((_, tb))).nextOption()
+        }.map { case (vt, tb) =>
+          val kind = CodecConfigs.kindForMkvCodec(vt.codecId)
+            .filter(_ => vt.codecPrivate.isDefined ||
+              CodecConfigs.mkvPrivateRequired(vt.codecId))
+          ("mkv", vt.codecId, kind,
+            vt.codecPrivate.map { case (s, e) =>
+              java.util.Arrays.copyOfRange(tb, s, e)
+            })
+        }
+      }
 
   /** One extracted subtitle cue; `extracted = false` flags
     * non-Matroska assets. A valid file without a subtitle track
@@ -1481,7 +1492,11 @@ object Multimodal {
     * training-text source (the [[graft.text.Subtitles]] SRT/VTT
     * family's in-container sibling), and the rows feed the text
     * quality/dedup/langid operators directly. `dur_ms` is −1 for
-    * SimpleBlock carriage (no BlockDuration). */
+    * SimpleBlock carriage (no BlockDuration). S_TEXT/ASS and
+    * S_TEXT/SSA payloads pass [[MkvIndex.assDialogueText]] — the 8
+    * dialogue metadata fields are stripped and `\N`/`\n`/`\h`
+    * escapes decoded, so the `text` column carries the cue TEXT for
+    * every S_TEXT flavor, not the raw ASS field tuple. */
   def extractMkvSubtitles(df: DataFrame, idCol: String, bytesCol: String)(
       implicit spark: SparkSession): Dataset[MkvSubtitleRow] = {
     import spark.implicits._
@@ -1493,10 +1508,16 @@ object Multimodal {
             try Option(bytes).flatMap(MkvIndex.subtitleCues)
             catch { case scala.util.control.NonFatal(_) => None }
           parsed match {
-            case Some((scale, cues)) => cues.iterator.zipWithIndex.map {
+            case Some((scale, codec, cues)) =>
+              val isAss = codec.startsWith("S_TEXT/ASS") ||
+                codec.startsWith("S_TEXT/SSA")
+              cues.iterator.zipWithIndex.map {
               case (c, i) =>
-                val text = new String(bytes, c.byteStart, c.byteLen,
+                val payload = new String(bytes, c.byteStart, c.byteLen,
                   java.nio.charset.StandardCharsets.UTF_8)
+                val text =
+                  if (isAss) MkvIndex.assDialogueText(payload)
+                  else payload
                 // Double math THROUGHOUT: Long ticks × a hostile
                 // declared scale would wrap before the division
                 MkvSubtitleRow(id, i,
@@ -1508,6 +1529,103 @@ object Multimodal {
             case None => Iterator.single(MkvSubtitleRow(id, -1, -1.0,
               -1.0, "", 0, extracted = false))
           }
+        }
+      }
+  }
+
+  /** One Matroska attachment row; `indexed = false` flags
+    * non-Matroska assets (and ill-formed attachment lists — the
+    * walk's no-half-parse rule). A valid file without attachments
+    * emits no rows. `img_format`/`width`/`height` are decoded from
+    * the FIRST 64 KiB of image-MIME attachments' data ([[ImageDims]] —
+    * dimensions ride container headers); "" / −1 for non-images and
+    * undecodable data. */
+  final case class MkvAttachmentRow(asset_id: Long, att_idx: Int,
+      file_name: String, mime_type: String, file_uid: Long,
+      data_start: Long, data_len: Long, img_format: String,
+      width: Int, height: Int, indexed: Boolean)
+
+  /** How many leading FileData bytes the attachment walks hand to
+    * [[ImageDims]] — both seams use the SAME bounded prefix so a
+    * byte-column and a path-column walk of one file can never
+    * disagree on dims. */
+  private val AttachmentDimsProbe = 1 << 16
+
+  private def attachmentRows(id: Long,
+      atts: Option[Seq[MkvIndex.Attachment]],
+      slice: (Long, Int) => Array[Byte]): Iterator[MkvAttachmentRow] =
+    atts match {
+      case Some(as) => as.iterator.zipWithIndex.map { case (a, i) =>
+        val dims =
+          if (a.mimeType.startsWith("image/") && a.dataLen > 0)
+            try ImageDims.dims(slice(a.dataStart,
+              math.min(a.dataLen, AttachmentDimsProbe.toLong).toInt))
+            catch { case scala.util.control.NonFatal(_) => None }
+          else None
+        MkvAttachmentRow(id, i, a.fileName, a.mimeType, a.fileUid,
+          a.dataStart, a.dataLen, dims.map(_.format).getOrElse(""),
+          dims.map(_.width).getOrElse(-1),
+          dims.map(_.height).getOrElse(-1), indexed = true)
+      }
+      case None => Iterator.single(MkvAttachmentRow(id, -1, "", "",
+        -1L, -1L, -1L, "", -1, -1, indexed = false))
+    }
+
+  /** Matroska attachment extraction over a byte-column corpus
+    * ([[MkvIndex.attachments]]): cover art, fonts, companion files
+    * as (name, mime, uid, data span) rows, image attachments' pixel
+    * dimensions decoded from the data HEAD — the span is the fetch
+    * range ([[graft.io.SpanFetch]]) if the bytes are wanted later.
+    * mapPartitions, flagged fallback, the container-family batch
+    * shape. */
+  def extractMkvAttachments(df: DataFrame, idCol: String,
+      bytesCol: String)(
+      implicit spark: SparkSession): Dataset[MkvAttachmentRow] = {
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(bytesCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, bytes) =>
+          val parsed =
+            try Option(bytes).flatMap(MkvIndex.attachments)
+            catch { case scala.util.control.NonFatal(_) => None }
+          attachmentRows(id, parsed, (at, n) =>
+            java.util.Arrays.copyOfRange(bytes, at.toInt, at.toInt + n))
+        }
+      }
+  }
+
+  /** [[extractMkvAttachments]] for PATH-addressed (>2 GiB /
+    * distributed-FS) corpora: the seekable walk reads element
+    * headers + name/mime payloads only; image dims cost one bounded
+    * 64 KiB ranged read per image attachment. Unreadable/ill-formed
+    * paths emit the flagged row. */
+  def extractMkvAttachmentsByPath(df: DataFrame, idCol: String,
+      pathCol: String)(
+      implicit spark: SparkSession): Dataset[MkvAttachmentRow] = {
+    import spark.implicits._
+    val confBc = graft.io.PathIO.confBroadcast(spark)
+    df.select(col(idCol).cast("long"), col(pathCol).cast("string"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val conf = confBc.value.value
+        it.flatMap { case (id, path) =>
+          val rows =
+            try {
+              val r = graft.io.PathIO.openRange(path, conf)
+              try {
+                val parsed = MkvIndex.attachmentsSeekable(r)
+                // rows materialize INSIDE the reader's lifetime —
+                // the dim probes read through `r`
+                attachmentRows(id, parsed,
+                  (at, n) => r.readFully(at, n)).toVector
+              } finally r.close()
+            } catch {
+              case scala.util.control.NonFatal(_) =>
+                attachmentRows(id, None, (_, _) =>
+                  Array.empty[Byte]).toVector
+            }
+          rows
         }
       }
   }

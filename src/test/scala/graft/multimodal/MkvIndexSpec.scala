@@ -299,7 +299,8 @@ class MkvIndexSpec extends AnyFunSuite {
       (0L, 2000L, "Hello there."),
       (2500L, 1500L, "Café scene"),
       (90000L, -1L, "no duration")))
-    val (scale, cues) = MkvIndex.subtitleCues(b).get
+    val (scale, codec, cues) = MkvIndex.subtitleCues(b).get
+    assert(codec === "S_TEXT/UTF8")
     assert(scale === 1000000L)
     assert(cues.map(c => (c.startTicks, c.durTicks)) ===
       Seq((0L, 2000L), (2500L, 1500L), (90000L, -1L)))
@@ -308,14 +309,14 @@ class MkvIndexSpec extends AnyFunSuite {
     // a leading video track + interleaved video blocks route away
     val muxed = MkvIndex.encodeSyntheticSubtitles(Seq(
       (100L, -1L, "routed")), videoTrackFirst = true)
-    val (_, mc) = MkvIndex.subtitleCues(muxed).get
+    val (_, _, mc) = MkvIndex.subtitleCues(muxed).get
     assert(mc.map(c => (c.startTicks,
       new String(muxed, c.byteStart, c.byteLen, "UTF-8"))) ===
       Seq((100L, "routed")))
     // subtitle-less but valid: empty; junk: None; the video fixture's
     // frame walk is untouched by the subtitle track
     assert(MkvIndex.subtitleCues(MkvIndex.encodeSynthetic(
-      Seq((Array.fill[Byte](5)(1), true)))).get._2.isEmpty)
+      Seq((Array.fill[Byte](5)(1), true)))).get._3.isEmpty)
     assert(MkvIndex.subtitleCues(Array[Byte](9, 9)).isEmpty)
     assert(MkvIndex.frameIndex(muxed).get.map(_.byteLen) === Seq(2))
     // a LACED subtitle block is out of contract: refuse, not misparse
@@ -329,6 +330,65 @@ class MkvIndexSpec extends AnyFunSuite {
       c
     }
     assert(MkvIndex.subtitleCues(laced).isEmpty)
+  }
+
+  test("attachments: spans round-trip, omitted UID, strict mandatory fields") {
+    val cover = Array.tabulate[Byte](64)(i => (i * 7).toByte)
+    val font = Array.fill[Byte](300)(0x42)
+    val b = MkvIndex.encodeSyntheticAttachments(Seq(
+      ("cover.png", "image/png", 7L, cover),
+      ("font.ttf", "font/ttf", 8L, font),
+      ("notes.txt", "text/plain", -1L, "hi".getBytes("UTF-8"))))
+    val as = MkvIndex.attachments(b).get
+    assert(as.map(a => (a.fileName, a.mimeType, a.fileUid, a.dataLen)) ===
+      Seq(("cover.png", "image/png", 7L, 64L),
+        ("font.ttf", "font/ttf", 8L, 300L),
+        ("notes.txt", "text/plain", -1L, 2L)))
+    // data spans address the EXACT attachment bytes
+    assert(java.util.Arrays.equals(java.util.Arrays.copyOfRange(b,
+      as(0).dataStart.toInt, (as(0).dataStart + as(0).dataLen).toInt),
+      cover))
+    assert(java.util.Arrays.equals(java.util.Arrays.copyOfRange(b,
+      as(1).dataStart.toInt, (as(1).dataStart + as(1).dataLen).toInt),
+      font))
+    // the seekable walk IS the in-memory walk (one implementation)
+    assert(MkvIndex.attachmentsSeekable(
+      new Mp4Index.BytesRangeReader(b)).get === as)
+    // a missing spec-mandatory FileMimeType refuses the asset
+    assert(MkvIndex.encodeSyntheticAttachments(Seq(
+      ("x.bin", "application/octet-stream", 1L, Array[Byte](1))),
+      omitMimeFor = Set("x.bin")) match {
+      case bad => MkvIndex.attachments(bad).isEmpty
+    })
+    // valid file without attachments: Some(empty); junk: None
+    assert(MkvIndex.attachments(MkvIndex.encodeSynthetic(
+      Seq((Array.fill[Byte](5)(1), true)))).get.isEmpty)
+    assert(MkvIndex.attachments(Array[Byte](9, 9)).isEmpty)
+  }
+
+  test("S_TEXT/ASS cues strip the 8 dialogue fields and decode escapes") {
+    // the Matroska ASS mapping stores `ReadOrder,Layer,Style,Name,
+    // MarginL,MarginR,MarginV,Effect,Text` per block — the Text field
+    // may itself contain commas and \N/\h escapes
+    val ass = MkvIndex.encodeSyntheticSubtitles(Seq(
+      (0L, 2000L, "0,0,Default,,0,0,0,,Hello, world\\Nsecond line"),
+      (2500L, -1L, "1,0,Default,,0,0,0,,hard\\hspace and \\\\keep")),
+      codecId = "S_TEXT/ASS")
+    val (_, codec, cues) = MkvIndex.subtitleCues(ass).get
+    assert(codec === "S_TEXT/ASS")
+    // the raw spans still carry the fields; the strip is the helper's
+    assert(cues.size === 2)
+    val texts = cues.map(c => MkvIndex.assDialogueText(
+      new String(ass, c.byteStart, c.byteLen, "UTF-8")))
+    // `\\` is NOT an ASS escape — both backslashes survive the decode
+    assert(texts === Seq("Hello, world\nsecond line",
+      "hard space and \\\\keep"))
+    // fewer than 8 commas: out of mapping — whole payload survives
+    // (escape-decoded), never a field guess
+    assert(MkvIndex.assDialogueText("just text, one comma") ===
+      "just text, one comma")
+    // a trailing lone backslash cannot read past the end
+    assert(MkvIndex.assDialogueText("0,0,s,,0,0,0,,tail\\") === "tail\\")
   }
 
   test("bitmap subtitle tracks skip; S_TEXT after PGS selects; corrupt Info refuses") {
@@ -347,7 +407,7 @@ class MkvIndexSpec extends AnyFunSuite {
     val b = ebml ++ el(0x18538067L,
       el(0x1549A966L, Array.empty[Byte]) ++ tracks ++ cluster)
     // the bitmap track neither decodes as "text" nor shadows S_TEXT
-    val (_, cues) = MkvIndex.subtitleCues(b).get
+    val (_, _, cues) = MkvIndex.subtitleCues(b).get
     assert(cues.map(c =>
       new String(b, c.byteStart, c.byteLen, "UTF-8")) === Seq("real cue"))
     // a PGS-only file is valid with zero TEXT cues
@@ -355,7 +415,7 @@ class MkvIndexSpec extends AnyFunSuite {
       el(0x1549A966L, Array.empty[Byte]) ++
         el(0x1654AE6BL, entry(1, "S_HDMV/PGS")) ++
         el(0x1F43B675L, el(0xE7L, Array(0.toByte)) ++ blk(1, "x")))
-    assert(MkvIndex.subtitleCues(pgsOnly).get._2.isEmpty)
+    assert(MkvIndex.subtitleCues(pgsOnly).get._3.isEmpty)
     // a corrupt Info payload refuses (no silent default scale)
     val badInfo = ebml ++ el(0x18538067L,
       el(0x1549A966L, Array[Byte](0)) ++ tracks ++ cluster)

@@ -282,6 +282,38 @@ class MultimodalSpec extends SparkSpec {
     } finally f.delete()
   }
 
+  test("extractMkvAttachmentsByPath matches the byte-column operator") {
+    import spark.implicits._
+    // a real ImageIO PNG as the cover: the byPath dims probe (one
+    // bounded ranged read) must agree with the byte-column slice
+    val png = {
+      val img = new java.awt.image.BufferedImage(12, 8,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val out = new java.io.ByteArrayOutputStream()
+      require(javax.imageio.ImageIO.write(img, "png", out))
+      out.toByteArray
+    }
+    val mkv = MkvIndex.encodeSyntheticAttachments(Seq(
+      ("cover.png", "image/png", 7L, png),
+      ("font.ttf", "font/ttf", -1L, Array.fill[Byte](30)(0x42))))
+    val f = java.io.File.createTempFile("graft-mkvatt", ".mkv")
+    try {
+      java.nio.file.Files.write(f.toPath, mkv)
+      val byPath = Multimodal.extractMkvAttachmentsByPath(
+        Seq((1L, "file://" + f.getPath), (2L, "/nonexistent/a.mkv"))
+          .toDF("id", "path"), "id", "path")
+        .collect().sortBy(r => (r.asset_id, r.att_idx))
+      val byBytes = Multimodal.extractMkvAttachments(
+        Seq((1L, mkv), (2L, Array[Byte](9))).toDF("id", "bytes"),
+        "id", "bytes").collect().sortBy(r => (r.asset_id, r.att_idx))
+      assert(byPath.toSeq === byBytes.toSeq)
+      assert(byPath.head.img_format === "png" &&
+        byPath.head.width === 12 && byPath.head.height === 8)
+      assert(byPath(1).img_format === "" && byPath(1).file_uid === -1L)
+      assert(!byPath(2).indexed)
+    } finally f.delete()
+  }
+
   test("sampleOggPagesByPath and sampleTsUnitsByPath index by path with flagged fallbacks") {
     import spark.implicits._
     def fr(n: Int, i: Int): Array[Byte] =

@@ -61,6 +61,7 @@ class WalkerFuzzSpec extends AnyFunSuite {
       MkvIndex.trackPayloadsSeekable(new Mp4Index.BytesRangeReader(b))),
     ("Mp4Index.audioCodec", Mp4Index.audioCodecInfo _),
     ("MkvIndex.subtitles", MkvIndex.subtitleCues _),
+    ("MkvIndex.attachments", MkvIndex.attachments _),
     ("CodecConfigs.esds",
       (b: Array[Byte]) => CodecConfigs.parseEsds(b, 0, b.length)),
     ("CodecConfigs.dOps",
@@ -116,6 +117,13 @@ class WalkerFuzzSpec extends AnyFunSuite {
       durationTicks = Some(1000.0)),
     MkvIndex.encodeSyntheticSubtitles(Seq(
       (0L, 900L, "fuzz cue one"), (1500L, -1L, "two"))),
+    // the ASS carriage: byte-flips must exercise the field-split path
+    MkvIndex.encodeSyntheticSubtitles(Seq(
+      (0L, 900L, "0,0,Default,,0,0,0,,fuzz\\Ncue"),
+      (1500L, -1L, "1,0,Default,,0,0,0,,two")), codecId = "S_TEXT/ASS"),
+    MkvIndex.encodeSyntheticAttachments(Seq(
+      ("cover.png", "image/png", 7L, Array.fill[Byte](40)(0x11)),
+      ("notes.txt", "text/plain", -1L, "fuzz".getBytes("UTF-8")))),
     Mp4Index.encodeSynthetic(Seq(Array.fill[Byte](6)(1)),
       syncSamples = Seq(1),
       videoEntry = Some(Mp4Index.videoSampleEntry("av01",
