@@ -1680,7 +1680,68 @@ object MultimodalQueries {
       .orderBy("asset_id", "att_idx")
   }
 
+  /** Matroska CHAPTERS gate ([[graft.multimodal.MkvIndex.chapters]]
+    * via `Multimodal.extractMkvChapters`): the navigation payload
+    * kind joining tracks/attachments/subtitles. Asset 1 pins two
+    * editions — edition 0 with two top-level chapters (the first
+    * carrying a nested atom at level 1, emitted parent-first; the
+    * second without ChapterTimeEnd → `end_ns = -1`) and edition 1
+    * with one display-less chapter (empty title, spec-default "eng")
+    * — all times NANOSECONDS by construction. Asset 2 pins the
+    * no-half-parse rule (ChapterAtom missing its mandatory
+    * ChapterUID refuses the asset); asset 3 the non-Matroska flag;
+    * asset 4 a valid chapter-less file contributing NO rows. A
+    * tiling, mandatory-field, nesting-order, or language-default
+    * regression hash-fails.
+    */
+  val qMultimodalMkvChapters: QueryDef = QueryDef.sql(
+    "q_multimodal_mkv_chapters",
+    """SELECT asset_id, edition_idx, chapter_idx,
+      |  CAST(chapter_uid AS BIGINT) AS chapter_uid,
+      |  CAST(start_ns AS BIGINT) AS start_ns,
+      |  CAST(end_ns AS BIGINT) AS end_ns, title, language, nest_level,
+      |  indexed
+      |FROM (VALUES
+      |  (1, 0, 0, 11, 0, 90000000000, 'Intro', 'eng', 0, true),
+      |  (1, 0, 1, 12, 5000000000, 30000000000, 'Cold open', 'und', 1,
+      |   true),
+      |  (1, 0, 2, 13, 90000000000, -1, 'Hauptteil', 'ger', 0, true),
+      |  (1, 1, 3, 21, 0, 60000000000, '', 'eng', 0, true),
+      |  (2, -1, -1, -1, -1, -1, '', '', -1, false),
+      |  (3, -1, -1, -1, -1, -1, '', '', -1, false))
+      |  AS t(asset_id, edition_idx, chapter_idx, chapter_uid, start_ns,
+      |       end_ns, title, language, nest_level, indexed)
+      |ORDER BY asset_id, chapter_idx""".stripMargin,
+    doc = "Matroska chapter marks: edition/atom tree to (uid, ns " +
+      "times, title, language, nesting) rows, mandatory-field refusal " +
+      "+ non-Matroska flag postures") {
+    (s, dir) =>
+    import s.implicits._
+    import graft.multimodal.{MkvIndex, Multimodal}
+    import MkvIndex.ChapterSpec
+    val assets = Seq(
+      (1L, MkvIndex.encodeSyntheticChapters(Seq(
+        Seq(
+          ChapterSpec(11L, 0L, 90000000000L, "Intro", "eng",
+            children = Seq(ChapterSpec(12L, 5000000000L, 30000000000L,
+              "Cold open", "und"))),
+          ChapterSpec(13L, 90000000000L, -1L, "Hauptteil", "ger")),
+        Seq(ChapterSpec(21L, 0L, 60000000000L, null, null))))),
+      // mandatory ChapterUID missing -> the whole asset refuses
+      (2L, MkvIndex.encodeSyntheticChapters(Seq(Seq(
+        ChapterSpec(0L, 0L, -1L, "x", null, omitUid = true))))),
+      (3L, Array[Byte](9, 9, 9, 9)),
+      (4L, MkvIndex.encodeSynthetic(Seq((Array.fill[Byte](5)(1), true))))
+    ).toDF("id", "bytes")
+    Multimodal.extractMkvChapters(assets, "id", "bytes")(s)
+      .select(col("asset_id"), col("edition_idx"), col("chapter_idx"),
+        col("chapter_uid"), col("start_ns"), col("end_ns"), col("title"),
+        col("language"), col("nest_level"), col("indexed"))
+      .orderBy("asset_id", "chapter_idx")
+  }
+
   val all: Seq[QueryDef] = Seq(
+    qMultimodalMkvChapters,
     qMultimodalDecode, qMultimodalAudio, qMultimodalResize, qMultimodalVideo,
     qMultimodalPhash, qMultimodalAudioNeardup, qMultimodalVideoNeardup,
     qMultimodalH264Index, qMultimodalAvccIndex, qMultimodalMp4Index,

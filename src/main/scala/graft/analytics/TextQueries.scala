@@ -2351,7 +2351,216 @@ object TextQueries {
       .orderBy("span_id")
   }
 
+  /** CDX INDEX gate ([[graft.io.WarcCdx]] — the Common Crawl access
+    * pattern's index half): a per-record `.warc.gz` AND its
+    * uncompressed twin walk to CDX rows — SURT urlkeys, 14-digit
+    * `WARC-Date` timestamps, payload mime (bare type, params off),
+    * HTTP status, base32 block digests, gzip-member/raw-record spans
+    * — and every row survives a CDXJ serialize → `parseCdxj`
+    * round-trip inside the SAME plan. Oracle: hand-derived SURT/
+    * timestamp/mime/status literals, IDENTICAL field rows for both
+    * carriages (compressed vs plain — oracle-pinned parity), a
+    * corrupt asset as the flagged row, `digest_ok` pinning the
+    * 32-char base32 digest shape (the digest VALUE is pinned
+    * end-to-end by q_warc_hydrate's fetch-and-recompute match).
+    */
+  val qWarcCdx: QueryDef = QueryDef.sql(
+    "q_warc_cdx",
+    """SELECT * FROM (VALUES
+      |  (CAST(1 AS BIGINT), 0, 'com,example)/a/b?a=1&b=2',
+      |   '20240305060708',
+      |   'http://www.Example.COM:80/A/B?b=2&a=1&utm_x=9#frag',
+      |   'text/html', 200, 'response', true, true, true, true),
+      |  (CAST(1 AS BIGINT), 1, 'com,example)/a/b', '20240305060708',
+      |   'http://www.example.com/a/b', 'application/http', -1,
+      |   'request', true, true, true, true),
+      |  (CAST(1 AS BIGINT), 2, 'org,test,sub:8443)/x', '20240305060709',
+      |   'https://sub.test.org:8443/X', 'text/plain', 200, 'response',
+      |   true, true, true, true),
+      |  (CAST(2 AS BIGINT), 0, 'com,example)/a/b?a=1&b=2',
+      |   '20240305060708',
+      |   'http://www.Example.COM:80/A/B?b=2&a=1&utm_x=9#frag',
+      |   'text/html', 200, 'response', true, true, true, true),
+      |  (CAST(2 AS BIGINT), 1, 'com,example)/a/b', '20240305060708',
+      |   'http://www.example.com/a/b', 'application/http', -1,
+      |   'request', true, true, true, true),
+      |  (CAST(2 AS BIGINT), 2, 'org,test,sub:8443)/x', '20240305060709',
+      |   'https://sub.test.org:8443/X', 'text/plain', 200, 'response',
+      |   true, true, true, true),
+      |  (CAST(3 AS BIGINT), -1, '', '', '', '', -1, '', false, false,
+      |   false, true))
+      |  AS t(asset_id, record_idx, urlkey, timestamp, url, mime,
+      |       status, warc_type, digest_ok, parsed, indexed, cdxj_ok)
+      |ORDER BY asset_id, record_idx""".stripMargin,
+    doc = "WARC -> CDX index rows (SURT urlkey, timestamp, mime, " +
+      "status, digest, member spans) on gzip + plain carriages, with " +
+      "an in-plan CDXJ round-trip") { (s, dir) =>
+    import s.implicits._
+    import graft.io.{Warc, WarcCdx}
+    def resp(uri: String, date: String, body: String, ct: String,
+        status: Int): Array[Byte] =
+      Warc.encodeSyntheticHeaders(Seq((Seq(
+        "WARC-Type" -> "response",
+        "WARC-Record-ID" -> s"<urn:uuid:$uri>",
+        "WARC-Date" -> date,
+        "WARC-Target-URI" -> uri,
+        "Content-Type" -> "application/http; msgtype=response"),
+        Warc.httpResponse(status, "OK",
+          Seq("Content-Type" -> s"$ct; charset=utf-8"),
+          body.getBytes("UTF-8")))))
+    val recs = Seq(
+      resp("http://www.Example.COM:80/A/B?b=2&a=1&utm_x=9#frag",
+        "2024-03-05T06:07:08Z", "<html><body><p>Hello</p></body></html>",
+        "text/html", 200),
+      Warc.encodeSyntheticHeaders(Seq((Seq(
+        "WARC-Type" -> "request",
+        "WARC-Record-ID" -> "<urn:uuid:req>",
+        "WARC-Date" -> "2024-03-05T06:07:08Z",
+        "WARC-Target-URI" -> "http://www.example.com/a/b",
+        "Content-Type" -> "application/http; msgtype=request"),
+        "GET /a/b HTTP/1.1\r\nHost: h\r\n\r\n".getBytes("ISO-8859-1")))),
+      resp("https://sub.test.org:8443/X", "2024-03-05T06:07:09Z",
+        "plain text here", "text/plain", 200))
+    val assets = Seq((1L, Warc.gzipPerRecord(recs)),
+      (2L, recs.reduce(_ ++ _)), (3L, Array[Byte](9, 9, 9)))
+      .toDF("id", "bytes")
+    val cdx = WarcCdx.extractCdx(assets, "id", "bytes")(s)
+    // CDXJ round-trip INSIDE the plan: serialize each row, parse the
+    // line back, compare the fields that survive the text form
+    val lines = cdx.map(r => (r.asset_id, r.record_idx,
+      WarcCdx.cdxjLine(r, "shard.warc.gz")))
+      .toDF("l_asset", "l_idx", "line")
+    val back = WarcCdx.parseCdxj(lines, "line")
+    val cdxjOk = back.select(col("l_asset"), col("l_idx"),
+      col("urlkey").as("p_urlkey"), col("timestamp").as("p_ts"),
+      col("url").as("p_url"), col("mime").as("p_mime"),
+      col("status").as("p_status"), col("digest").as("p_digest"),
+      col("offset").as("p_offset"), col("length").as("p_length"))
+    cdx.toDF.join(cdxjOk, col("asset_id") === col("l_asset") &&
+        col("record_idx") === col("l_idx"))
+      .select(col("asset_id"), col("record_idx"), col("urlkey"),
+        col("timestamp"), col("url"), col("mime"), col("status"),
+        col("warc_type"), col("digest").rlike("^[A-Z2-7]{32}$")
+          .as("digest_ok"),
+        col("parsed"), col("indexed"),
+        (col("p_urlkey") === col("urlkey") &&
+          col("p_ts") === col("timestamp") &&
+          col("p_url") === col("url") && col("p_mime") === col("mime") &&
+          col("p_status") === col("status") &&
+          col("p_digest") === col("digest") &&
+          col("p_offset") === col("offset") &&
+          col("p_length") === col("length")).as("cdxj_ok"))
+      .orderBy("asset_id", "record_idx")
+  }
+
+  /** CDX-driven HYDRATION gate (the consumption half of the Common
+    * Crawl pattern): a `.warc.gz` on DISK → [[graft.io.WarcCdx
+    * .extractCdxByPath]] (streaming index build over the path) → a
+    * FILTER ON THE INDEX (`mime = 'text/html' AND status = 200` —
+    * pruning which bytes ever move) → [[graft.io.WarcCdx
+    * .hydrateByCdx]] ranged fetches of ONLY the two matching gzip
+    * members → inflate → single-record parse → HTML title/text.
+    * Oracle: exactly the 2 selected records' rows (the 404, the GIF
+    * and the request never fetch — row count IS the pruning proof),
+    * hand-derived urlkey/title/text literals, `digest_match` pinning
+    * that the digest RECOMPUTED from fetched bytes equals the index's
+    * digest (end-to-end byte integrity across the fetch boundary),
+    * plus an out-of-range span as the flagged refusal row.
+    */
+  val qWarcHydrate: QueryDef = QueryDef.sql(
+    "q_warc_hydrate",
+    """SELECT * FROM (VALUES
+      |  (CAST(0 AS BIGINT), 'example,en)/page', 'http://en.example/page',
+      |   200, 'text/html', 'Alpha', 'The quick start.', true, true),
+      |  (CAST(4 AS BIGINT), 'example,de)/seite',
+      |   'http://de.example/seite', 200, 'text/html', 'Beta',
+      |   'Zweite Seite gut.', true, true),
+      |  (CAST(99 AS BIGINT), '', '', -1, '', '', '', false, false))
+      |  AS t(record_idx, urlkey, url, status, mime, title, text,
+      |       digest_match, hydrated)
+      |ORDER BY record_idx""".stripMargin,
+    doc = "CDX index on disk -> filter the index -> ranged-fetch ONLY " +
+      "matching gzip members -> inflate + parse + HTML text, digest-" +
+      "verified across the fetch") { (s, dir) =>
+    import s.implicits._
+    import graft.io.{Warc, WarcCdx}
+    def html(uri: String, date: String, title: String, body: String)
+        : Array[Byte] =
+      Warc.encodeSyntheticHeaders(Seq((Seq(
+        "WARC-Type" -> "response",
+        "WARC-Record-ID" -> s"<urn:uuid:$uri>",
+        "WARC-Date" -> date,
+        "WARC-Target-URI" -> uri,
+        "Content-Type" -> "application/http; msgtype=response"),
+        Warc.httpResponse(200, "OK",
+          Seq("Content-Type" -> "text/html; charset=utf-8"),
+          (s"<html><head><title>$title</title></head><body><p>$body" +
+            "</p></body></html>").getBytes("UTF-8")))))
+    val notFound = Warc.encodeSyntheticHeaders(Seq((Seq(
+      "WARC-Type" -> "response",
+      "WARC-Record-ID" -> "<urn:uuid:gone>",
+      "WARC-Date" -> "2024-03-05T06:07:10Z",
+      "WARC-Target-URI" -> "http://en.example/gone",
+      "Content-Type" -> "application/http; msgtype=response"),
+      Warc.httpResponse(404, "Not Found",
+        Seq("Content-Type" -> "text/html"),
+        "<html><body>gone</body></html>".getBytes("UTF-8")))))
+    val gif = Warc.encodeSyntheticHeaders(Seq((Seq(
+      "WARC-Type" -> "response",
+      "WARC-Record-ID" -> "<urn:uuid:gif>",
+      "WARC-Date" -> "2024-03-05T06:07:11Z",
+      "WARC-Target-URI" -> "http://en.example/logo.gif",
+      "Content-Type" -> "application/http; msgtype=response"),
+      Warc.httpResponse(200, "OK",
+        Seq("Content-Type" -> "image/gif"),
+        Array[Byte]('G', 'I', 'F', '8', '9', 'a', 1, 0, 1, 0)))))
+    val request = Warc.encodeSyntheticHeaders(Seq((Seq(
+      "WARC-Type" -> "request",
+      "WARC-Record-ID" -> "<urn:uuid:req>",
+      "WARC-Date" -> "2024-03-05T06:07:08Z",
+      "WARC-Target-URI" -> "http://en.example/page",
+      "Content-Type" -> "application/http; msgtype=request"),
+      "GET /page HTTP/1.1\r\nHost: h\r\n\r\n".getBytes("ISO-8859-1"))))
+    val gz = Warc.gzipPerRecord(Seq(
+      html("http://en.example/page", "2024-03-05T06:07:08Z", "Alpha",
+        "The quick start."),
+      request, notFound, gif,
+      html("http://de.example/seite", "2024-03-05T06:07:12Z", "Beta",
+        "Zweite Seite gut.")))
+    val tmp = java.nio.file.Files.createTempDirectory("warc_hydrate_gate")
+    val shardPath = tmp.resolve("shard.warc.gz")
+    java.nio.file.Files.write(shardPath, gz)
+    val path = shardPath.toString
+    val cdx = WarcCdx.extractCdxByPath(
+      Seq((1L, path)).toDF("id", "path"), "id", "path")(s)
+    // filter the INDEX; only matching members' bytes ever move
+    val wanted = cdx.filter(r => r.parsed && r.mime == "text/html" &&
+        r.status == 200)
+      .toDF.withColumn("fpath", lit(path))
+    val refusal = Seq((99L, path, 1L << 30, 10L))
+      .toDF("record_idx", "fpath", "offset", "length")
+    val hydrated = WarcCdx.hydrateByCdx(
+      wanted.select(col("record_idx").cast("long").as("record_idx"),
+        col("fpath"), col("offset"), col("length")).unionByName(refusal),
+      "record_idx", "fpath", "offset", "length")(s)
+    // digest integrity: the index's digest vs the digest recomputed
+    // from the FETCHED bytes (left join: the refusal row has neither)
+    val idxDigest = cdx.toDF.select(
+      col("record_idx").cast("long").as("j_idx"),
+      col("digest").as("idx_digest"), col("urlkey").as("idx_urlkey"))
+    hydrated.toDF.join(idxDigest, col("id") === col("j_idx"), "left")
+      .select(col("id").as("record_idx"),
+        coalesce(when(col("hydrated"), col("idx_urlkey")), lit(""))
+          .as("urlkey"),
+        col("url"), col("status"), col("mime"), col("title"), col("text"),
+        coalesce(col("digest") === col("idx_digest") && col("hydrated"),
+          lit(false)).as("digest_match"),
+        col("hydrated"))
+      .orderBy("record_idx")
+  }
+
   val all: Seq[QueryDef] = Seq(
+    qWarcCdx, qWarcHydrate,
     qSpanFetch,
     qSubtitleCues, qWarcRecords, qWarcHtmlText, qTarIndex,
     qWebdatasetSamples, qGzipMembers, qWarcCurate, qTfrecordIndex,

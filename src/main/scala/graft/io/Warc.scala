@@ -42,7 +42,7 @@ object Warc {
   private val MaxHeaderBytes = 64 * 1024
 
   /** Find CRLFCRLF in [from, end); -1 when absent. */
-  private def findBlankLine(b: Array[Byte], from: Int, end: Int): Int = {
+  private[io] def findBlankLine(b: Array[Byte], from: Int, end: Int): Int = {
     var i = from
     while (i + 3 < end) {
       if (b(i) == '\r' && b(i + 1) == '\n' && b(i + 2) == '\r' &&
@@ -52,7 +52,7 @@ object Warc {
     -1
   }
 
-  private def headerMap(s: String): Option[Map[String, String]] = {
+  private[io] def headerMap(s: String): Option[Map[String, String]] = {
     val out = scala.collection.mutable.Map.empty[String, String]
     s.split("\r\n").foreach { line =>
       // header continuation lines (rare) would start with space — a
@@ -190,7 +190,7 @@ object Warc {
   /** Parse the HTTP head out of `httpHead` (the first bytes of an
     * `application/http` content block): (status, bodyOffsetInContent)
     * or (-1, -1) when no CRLFCRLF head is present in the probe. */
-  private def parseHttpHead(httpHead: Array[Byte])
+  private[io] def parseHttpHead(httpHead: Array[Byte])
       : (Int, Int) = {
     val hb = findBlankLine(httpHead, 0, httpHead.length)
     if (hb < 0) return (-1, -1)
@@ -754,6 +754,30 @@ object Warc {
       sb.append(s"WARC-Record-ID: <urn:uuid:rec-$i>\r\n")
       if (uri.nonEmpty) sb.append(s"WARC-Target-URI: $uri\r\n")
       if (ct.nonEmpty) sb.append(s"Content-Type: $ct\r\n")
+      sb.append(s"Content-Length: ${content.length}\r\n")
+      sb.append("\r\n")
+      out.write(sb.toString.getBytes("ISO-8859-1"))
+      out.write(content)
+      out.write("\r\n\r\n".getBytes("ISO-8859-1"))
+    }
+    out.toByteArray
+  }
+
+  /** [[encodeSynthetic]] with caller-supplied record headers: each
+    * entry is (headers, content); headers MUST include `WARC-Type`
+    * (spec-mandatory) and may carry any other field (`WARC-Date`,
+    * `WARC-Target-URI`, …) in the given order. `Content-Length` is
+    * appended automatically. Exists so CDX fixtures can pin
+    * `WARC-Date`-derived timestamps. */
+  def encodeSyntheticHeaders(
+      records: Seq[(Seq[(String, String)], Array[Byte])]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    records.foreach { case (headers, content) =>
+      require(headers.exists(_._1.equalsIgnoreCase("WARC-Type")),
+        "WARC-Type header is mandatory")
+      val sb = new StringBuilder()
+      sb.append("WARC/1.0\r\n")
+      headers.foreach { case (k, v) => sb.append(s"$k: $v\r\n") }
       sb.append(s"Content-Length: ${content.length}\r\n")
       sb.append("\r\n")
       out.write(sb.toString.getBytes("ISO-8859-1"))

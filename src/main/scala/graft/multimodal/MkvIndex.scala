@@ -67,6 +67,15 @@ object MkvIndex {
   private val FileDescription = 0x467EL
   private val CrcEl = 0xBFL
   private val VoidEl = 0xECL
+  private val Chapters = 0x1043A770L
+  private val EditionEntry = 0x45B9L
+  private val ChapterAtom = 0xB6L
+  private val ChapterUID = 0x73C4L
+  private val ChapterTimeStart = 0x91L
+  private val ChapterTimeEnd = 0x92L
+  private val ChapterDisplay = 0x80L
+  private val ChapString = 0x85L
+  private val ChapLanguage = 0x437CL
 
   /** One parsed element: id (as stored), payload range, own first
     * byte. */
@@ -437,7 +446,8 @@ object MkvIndex {
     * `Tracks` payload(s) + the Segment duration in seconds. */
   final case class SegmentMeta(tracks: Seq[Array[Byte]],
       durationS: Option[Double],
-      attachmentSpans: Seq[(Long, Long)] = Nil)
+      attachmentSpans: Seq[(Long, Long)] = Nil,
+      chapterSpans: Seq[(Long, Long)] = Nil)
 
   /** One element header at absolute `at` of a seekable file:
     * (id, payloadAbs, payloadLen — −1 for unknown-size). None on
@@ -514,6 +524,7 @@ object MkvIndex {
     }
     val out = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
     val attSpans = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    val chapSpans = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
     var duration: Option[Double] = None
     var pos = hs._2
     while (pos < segEnd) {
@@ -529,10 +540,13 @@ object MkvIndex {
       } else if (id == Attachments) {
         // span only — FileData stays unread until a walk asks for it
         attSpans += ((pAbs, pLen))
+      } else if (id == Chapters) {
+        chapSpans += ((pAbs, pLen))
       }
       pos = pAbs + pLen
     }
-    Some(SegmentMeta(out.toSeq, duration, attSpans.toSeq))
+    Some(SegmentMeta(out.toSeq, duration, attSpans.toSeq,
+      chapSpans.toSeq))
   }
 
   /** One attached file: name, MIME type, FileUID (−1 when the file
@@ -613,6 +627,137 @@ object MkvIndex {
     * no twin drift). */
   def attachments(b: Array[Byte]): Option[Seq[Attachment]] =
     attachmentsSeekable(new Mp4Index.BytesRangeReader(b))
+
+  /** One chapter mark: edition index, ChapterUID, start/end in
+    * NANOSECONDS (Matroska chapter times are ns by spec, independent
+    * of TimestampScale; `endNs = -1` when the optional ChapterTimeEnd
+    * is absent), the FIRST ChapterDisplay's string + language
+    * (`"eng"` — the spec default — when the display omits
+    * ChapLanguage; empty title when no display exists), and the
+    * nesting level (0 = top; nested ChapterAtoms emit AFTER their
+    * parent, document order). */
+  final case class Chapter(editionIdx: Int, chapterUid: Long,
+      startNs: Long, endNs: Long, title: String, language: String,
+      nestLevel: Int)
+
+  private val MaxChapterDepth = 16
+
+  /** The `\Segment\Chapters` editions of a SEEKABLE Matroska file —
+    * the navigation payload kind joining tracks / attachments /
+    * subtitle cues. Header-only: element headers + the small scalar
+    * payloads (UID/times/display strings) are read; nothing else is
+    * touched. Strictness (the family's no-half-parse rule): levels
+    * must tile; a ChapterAtom missing its spec-mandatory ChapterUID
+    * or ChapterTimeStart refuses the asset; unknown elements directly
+    * inside `Chapters` (beside CRC-32/Void) refuse; unknown children
+    * of EditionEntry / ChapterAtom / ChapterDisplay are tolerated
+    * (the spec keeps adding optional ones); ChapString/ChapLanguage
+    * payloads above 64 KiB refuse; nesting beyond 16 levels refuses
+    * (a chapter tree deeper than that is corruption, not authoring).
+    * A valid file WITHOUT chapters yields Seq.empty. */
+  def chaptersSeekable(r: Mp4Index.RangeReader,
+      maxMetaBytes: Int = 1 << 26): Option[Seq[Chapter]] = {
+    val meta = segmentMetaSeekable(r, maxMetaBytes, wantDuration = false)
+      .getOrElse(return None)
+    val out = scala.collection.mutable.ArrayBuffer.empty[Chapter]
+    var metaBytes = 0L
+    def uintAt(at: Long, len: Long, cap: Int): Option[Long] = {
+      if (len > cap) return None
+      val bs = r.readFully(at, len.toInt)
+      var v = 0L
+      bs.foreach(x => v = (v << 8) | (x & 0xff))
+      Some(v)
+    }
+    def stringAt(at: Long, len: Long): Option[String] = {
+      if (len > (1 << 16)) return None
+      metaBytes += len
+      if (metaBytes > maxMetaBytes) return None
+      Some(new String(r.readFully(at, len.toInt), "UTF-8"))
+    }
+    // one ChapterAtom, recursively: parent row first, children after
+    def atom(aAbs: Long, aLen: Long, edition: Int, level: Int)
+        : Boolean = {
+      if (level > MaxChapterDepth) return false
+      var uid = -1L
+      var haveUid = false
+      var startNs = -1L
+      var haveStart = false
+      var endNs = -1L
+      var title: Option[String] = None
+      var lang: Option[String] = None
+      val nested = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+      var q = aAbs
+      val aEnd = aAbs + aLen
+      while (q < aEnd) {
+        val (id, pAbs, pLen) = elHeaderAt(r, q).getOrElse(return false)
+        if (pLen < 0 || pAbs + pLen > aEnd) return false
+        if (id == ChapterUID) {
+          uid = uintAt(pAbs, pLen, 8).getOrElse(return false)
+          haveUid = true
+        } else if (id == ChapterTimeStart) {
+          startNs = uintAt(pAbs, pLen, 8).getOrElse(return false)
+          haveStart = true
+        } else if (id == ChapterTimeEnd) {
+          endNs = uintAt(pAbs, pLen, 8).getOrElse(return false)
+        } else if (id == ChapterDisplay && title.isEmpty) {
+          // FIRST display wins (spec allows one per language)
+          var d = pAbs
+          val dEnd = pAbs + pLen
+          while (d < dEnd) {
+            val (did, dAbs, dLen) = elHeaderAt(r, d)
+              .getOrElse(return false)
+            if (dLen < 0 || dAbs + dLen > dEnd) return false
+            if (did == ChapString)
+              title = Some(stringAt(dAbs, dLen).getOrElse(return false))
+            else if (did == ChapLanguage)
+              lang = Some(stringAt(dAbs, dLen).getOrElse(return false))
+            d = dAbs + dLen
+          }
+          if (title.isEmpty) title = Some("")
+        } else if (id == ChapterAtom) {
+          nested += ((pAbs, pLen))
+        }
+        // other children (flags, tracks, process…) tolerate: header
+        // tiles, payload skipped
+        q = pAbs + pLen
+      }
+      if (!haveUid || !haveStart) return false
+      out += Chapter(edition, uid, startNs, endNs,
+        title.getOrElse(""), lang.getOrElse("eng"), level)
+      nested.forall { case (nAbs, nLen) =>
+        atom(nAbs, nLen, edition, level + 1)
+      }
+    }
+    var edition = 0
+    meta.chapterSpans.foreach { case (cAbs, cLen) =>
+      var pos = cAbs
+      val end = cAbs + cLen
+      while (pos < end) {
+        val (id, pAbs, pLen) = elHeaderAt(r, pos).getOrElse(return None)
+        if (pLen < 0 || pAbs + pLen > end) return None
+        if (id == EditionEntry) {
+          var q = pAbs
+          val eEnd = pAbs + pLen
+          while (q < eEnd) {
+            val (eid, eAbs, eLen) = elHeaderAt(r, q).getOrElse(return None)
+            if (eLen < 0 || eAbs + eLen > eEnd) return None
+            if (eid == ChapterAtom) {
+              if (!atom(eAbs, eLen, edition, 0)) return None
+            }
+            // EditionUID/flags/CRC/Void and future children tolerate
+            q = eAbs + eLen
+          }
+          edition += 1
+        } else if (id != CrcEl && id != VoidEl) return None
+        pos = pAbs + pLen
+      }
+    }
+    Some(out.toSeq)
+  }
+
+  /** [[chaptersSeekable]] over a byte column (one shared walk). */
+  def chapters(b: Array[Byte]): Option[Seq[Chapter]] =
+    chaptersSeekable(new Mp4Index.BytesRangeReader(b))
 
   /** Block-payload parse: track-number VINT + 2-byte timestamp +
     * flags, then the (possibly laced) frame data — one (start, len)
@@ -1115,6 +1260,47 @@ object MkvIndex {
             el(FileData, data))
     })
     ebml ++ el(Segment, info ++ tracks ++ atts)
+  }
+
+  /** Fixture chapter shape for [[encodeSyntheticChapters]]: `endNs <
+    * 0` omits ChapterTimeEnd; `title == null` omits the whole
+    * ChapterDisplay; `lang == null` omits ChapLanguage inside it;
+    * `omitUid` drops the spec-mandatory ChapterUID (the refusal
+    * fixture); `children` nest. */
+  final case class ChapterSpec(uid: Long, startNs: Long, endNs: Long,
+      title: String, lang: String, children: Seq[ChapterSpec] = Nil,
+      omitUid: Boolean = false)
+
+  /** Synthetic Matroska with a `Chapters` element — the fixture for
+    * [[chapters]]: one EditionEntry per outer Seq, ChapterAtoms (and
+    * nested atoms) per [[ChapterSpec]], after a minimal video
+    * track. */
+  def encodeSyntheticChapters(editions: Seq[Seq[ChapterSpec]])
+      : Array[Byte] = {
+    require(editions.nonEmpty && editions.forall(_.nonEmpty))
+    def atomBytes(c: ChapterSpec): Array[Byte] = {
+      val display =
+        if (c.title == null) Array.empty[Byte]
+        else el(ChapterDisplay,
+          el(ChapString, c.title.getBytes("UTF-8")) ++
+            (if (c.lang == null) Array.empty[Byte]
+             else el(ChapLanguage, c.lang.getBytes("UTF-8"))))
+      el(ChapterAtom,
+        (if (c.omitUid) Array.empty[Byte] else uintEl(ChapterUID, c.uid)) ++
+          uintEl(ChapterTimeStart, c.startNs) ++
+          (if (c.endNs < 0) Array.empty[Byte]
+           else uintEl(ChapterTimeEnd, c.endNs)) ++
+          display ++
+          c.children.toArray.flatMap(atomBytes))
+    }
+    val ebml = el(EbmlHeader, el(DocType, "matroska".getBytes("UTF-8")))
+    val info = el(Info, uintEl(TimestampScale, 1000000L))
+    val tracks = el(Tracks, el(TrackEntry,
+      uintEl(TrackNumber, 1L) ++ uintEl(TrackType, 1L) ++
+        el(CodecId, "V_VP9".getBytes("UTF-8"))))
+    val chaps = el(Chapters, editions.toArray.flatMap(ed =>
+      el(EditionEntry, ed.toArray.flatMap(atomBytes))))
+    ebml ++ el(Segment, info ++ tracks ++ chaps)
   }
 
   /** One laced SimpleBlock holding all `frames` (mode: "xiph",

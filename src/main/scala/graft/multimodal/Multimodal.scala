@@ -1630,6 +1630,69 @@ object Multimodal {
       }
   }
 
+  /** One Matroska chapter row; `indexed = false` flags non-Matroska
+    * assets and ill-formed chapter trees (missing mandatory
+    * UID/start — the walk's no-half-parse rule). A valid file
+    * without chapters emits no rows. Times are NANOSECONDS
+    * (`end_ns = -1` when the chapter declares no end); `chapter_idx`
+    * numbers rows in document order (parents before children,
+    * `nest_level` marking depth). */
+  final case class MkvChapterRow(asset_id: Long, edition_idx: Int,
+      chapter_idx: Int, chapter_uid: Long, start_ns: Long, end_ns: Long,
+      title: String, language: String, nest_level: Int, indexed: Boolean)
+
+  private def chapterRows(id: Long,
+      chs: Option[Seq[MkvIndex.Chapter]]): Iterator[MkvChapterRow] =
+    chs match {
+      case Some(cs) => cs.iterator.zipWithIndex.map { case (c, i) =>
+        MkvChapterRow(id, c.editionIdx, i, c.chapterUid, c.startNs,
+          c.endNs, c.title, c.language, c.nestLevel, indexed = true)
+      }
+      case None => Iterator.single(MkvChapterRow(id, -1, -1, -1L, -1L,
+        -1L, "", "", -1, indexed = false))
+    }
+
+  /** Matroska chapter extraction over a byte-column corpus
+    * ([[MkvIndex.chapters]]): edition/atom navigation marks as
+    * (uid, start/end ns, title, language, nesting) rows — the last
+    * Matroska payload kind beside tracks, attachments and subtitle
+    * cues. mapPartitions, flagged fallback. */
+  def extractMkvChapters(df: DataFrame, idCol: String, bytesCol: String)(
+      implicit spark: SparkSession): Dataset[MkvChapterRow] = {
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(bytesCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        val parsed =
+          try Option(bytes).flatMap(MkvIndex.chapters)
+          catch { case scala.util.control.NonFatal(_) => None }
+        chapterRows(id, parsed)
+      })
+  }
+
+  /** [[extractMkvChapters]] for PATH-addressed (>2 GiB /
+    * distributed-FS) corpora: header + scalar-payload reads only.
+    * Unreadable/ill-formed paths emit the flagged row. */
+  def extractMkvChaptersByPath(df: DataFrame, idCol: String,
+      pathCol: String)(
+      implicit spark: SparkSession): Dataset[MkvChapterRow] = {
+    import spark.implicits._
+    val confBc = graft.io.PathIO.confBroadcast(spark)
+    df.select(col(idCol).cast("long"), col(pathCol).cast("string"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val conf = confBc.value.value
+        it.flatMap { case (id, path) =>
+          val parsed =
+            try {
+              val r = graft.io.PathIO.openRange(path, conf)
+              try MkvIndex.chaptersSeekable(r) finally r.close()
+            } catch { case scala.util.control.NonFatal(_) => None }
+          chapterRows(id, parsed)
+        }
+      }
+  }
+
   /** Header-only video facts: frame/keyframe counts from the sample
     * table and the mvhd duration; `duration_s` is −1 when the moov
     * declares none (header-less synthetic muxes). `indexed = false`

@@ -1,0 +1,229 @@
+package graft.io
+
+import graft.SparkSpec
+
+/** CDX indexing + hydration ([[WarcCdx]]): SURT keys, timestamps,
+  * block digests, gzip-member spans (streaming walk vs
+  * [[GzipMembers.memberIndex]] parity), byte-column vs by-path
+  * parity on both carriages, member/asset refusal postures, CDXJ
+  * round-trip, and CDX-driven selective hydration with digest
+  * integrity across the fetch.
+  */
+class WarcCdxSpec extends SparkSpec {
+  implicit private def s = spark
+  import spark.implicits._
+
+  private def resp(uri: String, date: String, body: String,
+      ct: String = "text/html", status: Int = 200): Array[Byte] =
+    Warc.encodeSyntheticHeaders(Seq((Seq(
+      "WARC-Type" -> "response",
+      "WARC-Record-ID" -> s"<urn:uuid:$uri>",
+      "WARC-Date" -> date,
+      "WARC-Target-URI" -> uri,
+      "Content-Type" -> "application/http; msgtype=response"),
+      Warc.httpResponse(status, "OK",
+        Seq("Content-Type" -> s"$ct; charset=utf-8"),
+        body.getBytes("UTF-8")))))
+
+  private def req(uri: String, date: String): Array[Byte] =
+    Warc.encodeSyntheticHeaders(Seq((Seq(
+      "WARC-Type" -> "request",
+      "WARC-Record-ID" -> s"<urn:uuid:req-$uri>",
+      "WARC-Date" -> date,
+      "WARC-Target-URI" -> uri,
+      "Content-Type" -> "application/http; msgtype=request"),
+      s"GET / HTTP/1.1\r\nHost: h\r\n\r\n".getBytes("ISO-8859-1"))))
+
+  private val recs = Seq(
+    resp("http://www.Example.COM:80/A/B?b=2&a=1&utm_x=9#frag",
+      "2024-03-05T06:07:08Z",
+      "<html><head><title>T1</title></head><body><p>Hello CDX</p></body></html>"),
+    req("http://www.example.com/a/b", "2024-03-05T06:07:08Z"),
+    resp("https://sub.test.org:8443/X", "2024-03-05T06:07:09Z",
+      "plain text here", ct = "text/plain"))
+  private def gz: Array[Byte] = Warc.gzipPerRecord(recs)
+  private def plain: Array[Byte] = recs.reduce(_ ++ _)
+
+  test("surtKey: the documented SURT variant") {
+    assert(WarcCdx.surtKey(
+      "http://www.Example.COM:80/A/B?b=2&a=1&utm_x=9#frag") ===
+      "com,example)/a/b?a=1&b=2")
+    assert(WarcCdx.surtKey("https://sub.test.org:8443/X") ===
+      "org,test,sub:8443)/x")
+    assert(WarcCdx.surtKey("http://user:pw@WWW2.foo.bar/") === "bar,foo)/")
+    assert(WarcCdx.surtKey("http://192.168.1.10/a") === "192.168.1.10)/a")
+    assert(WarcCdx.surtKey("http://[::1]:8080/x") === "[::1]:8080)/x")
+    assert(WarcCdx.surtKey("https://example.com") === "com,example)/")
+    assert(WarcCdx.surtKey("https://example.com:443/") === "com,example)/")
+    assert(WarcCdx.surtKey("not a url") === "not a url")
+    assert(WarcCdx.timestamp14("2024-03-05T06:07:08Z") === "20240305060708")
+    assert(WarcCdx.timestamp14("nonsense") === "")
+  }
+
+  test("base32 SHA-1 matches the published empty-input vector") {
+    // SHA-1("") = da39a3ee…; its RFC 4648 base32 form is well-known
+    assert(WarcCdx.sha1Base32(Array.empty[Byte], 0, 0) ===
+      "3I42H3S6NNFQ2MSVX7XZKYAYSCX5QBYJ")
+  }
+
+  test("cdxIndex over .warc.gz: fields, spans, independent digest") {
+    val idx = WarcCdx.cdxIndex(gz).get
+    assert(idx.length === 3)
+    assert(idx.forall(_.parsed))
+    // fields of the first response
+    val e0 = idx(0)
+    assert(e0.urlkey === "com,example)/a/b?a=1&b=2")
+    assert(e0.timestamp === "20240305060708")
+    assert(e0.url === "http://www.Example.COM:80/A/B?b=2&a=1&utm_x=9#frag")
+    assert(e0.mime === "text/html")
+    assert(e0.status === 200)
+    assert(e0.warcType === "response")
+    // the request record: no status, record's own content-type
+    assert(idx(1).status === -1)
+    assert(idx(1).mime === "application/http")
+    assert(idx(2).mime === "text/plain")
+    // spans = the gzip members, tiling the archive exactly
+    val members = GzipMembers.memberIndex(gz).get
+    assert(idx.map(e => (e.offset, e.length, e.uncompLen)) ===
+      members.map(m => (m.compStart, m.compLen, m.uncompLen)))
+    assert(idx.last.offset + idx.last.length === gz.length.toLong)
+    // digest = SHA-1(content block), base32 — recomputed independently
+    val rec0 = recs(0)
+    val blank = (0 until rec0.length - 3).find(i =>
+      rec0(i) == '\r' && rec0(i + 1) == '\n' && rec0(i + 2) == '\r' &&
+        rec0(i + 3) == '\n').get
+    val contentLen = rec0.length - (blank + 4) - 4 // minus terminator
+    val md = java.security.MessageDigest.getInstance("SHA-1")
+    md.update(rec0, blank + 4, contentLen)
+    assert(e0.digest === WarcCdx.base32(md.digest()))
+    assert(idx.forall(_.digest.matches("[A-Z2-7]{32}")))
+  }
+
+  test("uncompressed archives index with raw record spans") {
+    val idx = WarcCdx.cdxIndex(plain).get
+    val gzIdx = WarcCdx.cdxIndex(gz).get
+    assert(idx.map(e => (e.urlkey, e.timestamp, e.url, e.mime, e.status,
+      e.digest, e.warcType)) ===
+      gzIdx.map(e => (e.urlkey, e.timestamp, e.url, e.mime, e.status,
+        e.digest, e.warcType)))
+    val spans = Warc.recordIndex(plain).get
+    assert(idx.map(e => (e.offset, e.length)) ===
+      spans.map(r => (r.byteStart, r.byteLen)))
+  }
+
+  test("byte-column and by-path walks agree on both carriages") {
+    val dir = java.nio.file.Files.createTempDirectory("cdx_parity")
+    val gzF = dir.resolve("a.warc.gz"); val plF = dir.resolve("b.warc")
+    java.nio.file.Files.write(gzF, gz)
+    java.nio.file.Files.write(plF, plain)
+    val mem = WarcCdx.extractCdx(
+      Seq((1L, gz), (2L, plain)).toDF("id", "bytes"), "id", "bytes")
+      .collect().sortBy(r => (r.asset_id, r.record_idx))
+    val byPath = WarcCdx.extractCdxByPath(
+      Seq((1L, gzF.toString), (2L, "file://" + plF.toString))
+        .toDF("id", "path"), "id", "path")
+      .collect().sortBy(r => (r.asset_id, r.record_idx))
+    assert(mem.toSeq === byPath.toSeq)
+    assert(mem.length === 6 && mem.forall(r => r.indexed && r.parsed))
+  }
+
+  test("a member holding two records flags that member, walk continues") {
+    val twoInOne = Warc.gzipPerRecord(Seq(recs(0) ++ recs(1), recs(2)))
+    val idx = WarcCdx.cdxIndex(twoInOne).get
+    assert(idx.length === 2)
+    assert(!idx(0).parsed && idx(0).urlkey === "")
+    assert(idx(1).parsed && idx(1).mime === "text/plain")
+    // spans stay correct even for the flagged member
+    val members = GzipMembers.memberIndex(twoInOne).get
+    assert(idx.map(e => (e.offset, e.length)) ===
+      members.map(m => (m.compStart, m.compLen)))
+  }
+
+  test("CRC corruption and trailing garbage refuse the asset") {
+    val bad = gz.clone()
+    // flip a byte inside the FIRST member's deflate stream
+    bad(20) = (bad(20) ^ 0x5a).toByte
+    assert(WarcCdx.cdxIndex(bad).isEmpty)
+    assert(WarcCdx.cdxIndex(gz ++ Array[Byte](1, 2, 3)).isEmpty)
+    assert(WarcCdx.cdxIndex(Array[Byte](9, 9)).isEmpty)
+    assert(WarcCdx.cdxIndex(Array.empty[Byte]).isEmpty)
+  }
+
+  test("members past maxRecordBytes flag but keep spans; walk continues") {
+    val idx = WarcCdx.cdxIndex(gz, maxRecordBytes = 16).get
+    assert(idx.length === 3)
+    assert(idx.forall(e => !e.parsed && e.length > 0 && e.uncompLen > 16))
+    val members = GzipMembers.memberIndex(gz).get
+    assert(idx.map(e => (e.offset, e.length)) ===
+      members.map(m => (m.compStart, m.compLen)))
+  }
+
+  test("streaming walk survives members larger than its 64 KiB buffer") {
+    // incompressible body → compressed member well past one buffer
+    val rng = new java.util.Random(7)
+    val blob = new Array[Byte](200 * 1024)
+    rng.nextBytes(blob)
+    val big = Warc.encodeSyntheticHeaders(Seq((Seq(
+      "WARC-Type" -> "resource",
+      "WARC-Target-URI" -> "http://big.example/blob",
+      "WARC-Date" -> "2024-03-05T06:07:10Z",
+      "Content-Type" -> "application/octet-stream"), blob)))
+    val shard = Warc.gzipPerRecord(Seq(big, recs(2)))
+    val idx = WarcCdx.cdxIndex(shard).get
+    assert(idx.length === 2 && idx.forall(_.parsed))
+    assert(idx(0).uncompLen === big.length.toLong)
+    assert(idx(0).length > 64 * 1024)
+    val members = GzipMembers.memberIndex(shard).get
+    assert(idx.map(e => (e.offset, e.length, e.uncompLen)) ===
+      members.map(m => (m.compStart, m.compLen, m.uncompLen)))
+    assert(idx(1).mime === "text/plain")
+  }
+
+  test("CDXJ lines round-trip through parseCdxj") {
+    val cdx = WarcCdx.extractCdx(Seq((1L, gz)).toDF("id", "bytes"),
+      "id", "bytes").collect().sortBy(_.record_idx)
+    val lines = cdx.map(WarcCdx.cdxjLine(_, "a.warc.gz")).toSeq
+    assert(lines.head.startsWith("com,example)/a/b?a=1&b=2 20240305060708 {"))
+    val parsed = WarcCdx.parseCdxj(lines.toDF("line"), "line")
+      .orderBy("offset").collect()
+    parsed.zip(cdx).foreach { case (p, e) =>
+      assert(p.getAs[String]("urlkey") === e.urlkey)
+      assert(p.getAs[String]("timestamp") === e.timestamp)
+      assert(p.getAs[String]("url") === e.url)
+      assert(p.getAs[String]("mime") === e.mime)
+      assert(p.getAs[Int]("status") === e.status)
+      assert(p.getAs[String]("digest") === e.digest)
+      assert(p.getAs[Long]("offset") === e.offset)
+      assert(p.getAs[Long]("length") === e.length)
+      assert(p.getAs[String]("filename") === "a.warc.gz")
+    }
+  }
+
+  test("hydrateByCdx: filtered fetch, digest integrity, refusal row") {
+    val dir = java.nio.file.Files.createTempDirectory("cdx_hydrate")
+    val f = dir.resolve("shard.warc.gz")
+    java.nio.file.Files.write(f, gz)
+    val cdx = WarcCdx.extractCdxByPath(
+      Seq((1L, f.toString)).toDF("id", "path"), "id", "path")
+    // the consumption pattern: filter the INDEX, fetch only matches
+    val wanted = cdx.filter(r => r.parsed && r.mime == "text/html" &&
+      r.status == 200)
+      .toDF().withColumn("path",
+        org.apache.spark.sql.functions.lit(f.toString))
+    val hydrated = WarcCdx.hydrateByCdx(wanted, "record_idx", "path",
+      "offset", "length").collect()
+    assert(hydrated.length === 1)
+    val h = hydrated.head
+    assert(h.hydrated && h.status === 200 && h.mime === "text/html")
+    assert(h.title === "T1" && h.text.contains("Hello CDX"))
+    // digest recomputed from FETCHED bytes equals the index's digest
+    val idxDigest = cdx.collect().find(_.record_idx == 0).get.digest
+    assert(h.digest === idxDigest)
+    // refusal posture: a tampered offset flags, never throws
+    val bad = Seq((9L, f.toString, 1L << 30, 10L))
+      .toDF("record_idx", "path", "offset", "length")
+    val r = WarcCdx.hydrateByCdx(bad, "record_idx", "path", "offset",
+      "length").collect()
+    assert(r.length === 1 && !r.head.hydrated)
+  }
+}

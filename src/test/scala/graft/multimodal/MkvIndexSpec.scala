@@ -366,6 +366,35 @@ class MkvIndexSpec extends AnyFunSuite {
     assert(MkvIndex.attachments(Array[Byte](9, 9)).isEmpty)
   }
 
+  test("chapters: editions, nesting order, defaults, strict mandatories") {
+    import MkvIndex.ChapterSpec
+    val b = MkvIndex.encodeSyntheticChapters(Seq(
+      Seq(
+        ChapterSpec(11L, 0L, 90000000000L, "Intro", "eng",
+          children = Seq(
+            ChapterSpec(12L, 5000000000L, 30000000000L, "Cold open",
+              "und"))),
+        ChapterSpec(13L, 90000000000L, -1L, "Main", "ger")),
+      Seq(ChapterSpec(21L, 0L, 60000000000L, null, null))))
+    val cs = MkvIndex.chapters(b).get
+    assert(cs.map(c => (c.editionIdx, c.chapterUid, c.startNs, c.endNs,
+      c.title, c.language, c.nestLevel)) === Seq(
+      (0, 11L, 0L, 90000000000L, "Intro", "eng", 0),
+      (0, 12L, 5000000000L, 30000000000L, "Cold open", "und", 1),
+      (0, 13L, 90000000000L, -1L, "Main", "ger", 0),
+      (1, 21L, 0L, 60000000000L, "", "eng", 0)))
+    // seekable twin IS the in-memory walk
+    assert(MkvIndex.chaptersSeekable(
+      new Mp4Index.BytesRangeReader(b)).get === cs)
+    // mandatory ChapterUID / ChapterTimeStart missing -> refuse
+    assert(MkvIndex.chapters(MkvIndex.encodeSyntheticChapters(Seq(Seq(
+      ChapterSpec(0L, 0L, -1L, "x", null, omitUid = true))))).isEmpty)
+    // no chapters: Some(empty); junk: None
+    assert(MkvIndex.chapters(MkvIndex.encodeSynthetic(
+      Seq((Array.fill[Byte](5)(1), true)))).get.isEmpty)
+    assert(MkvIndex.chapters(Array[Byte](9, 9)).isEmpty)
+  }
+
   test("S_TEXT/ASS cues strip the 8 dialogue fields and decode escapes") {
     // the Matroska ASS mapping stores `ReadOrder,Layer,Style,Name,
     // MarginL,MarginR,MarginV,Effect,Text` per block — the Text field

@@ -62,10 +62,12 @@ class WalkerFuzzSpec extends AnyFunSuite {
     ("Mp4Index.audioCodec", Mp4Index.audioCodecInfo _),
     ("MkvIndex.subtitles", MkvIndex.subtitleCues _),
     ("MkvIndex.attachments", MkvIndex.attachments _),
+    ("MkvIndex.chapters", MkvIndex.chapters _),
     ("CodecConfigs.esds",
       (b: Array[Byte]) => CodecConfigs.parseEsds(b, 0, b.length)),
     ("CodecConfigs.dOps",
-      (b: Array[Byte]) => CodecConfigs.parseDOps(b, 0, b.length)))
+      (b: Array[Byte]) => CodecConfigs.parseDOps(b, 0, b.length)),
+    ("WarcCdx", (b: Array[Byte]) => graft.io.WarcCdx.cdxIndex(b)))
 
   // small valid fixtures, one per family, as corruption bases
   private def fixtures: Seq[Array[Byte]] = Seq(
@@ -89,6 +91,16 @@ class WalkerFuzzSpec extends AnyFunSuite {
       0L))),
     graft.io.TfRecord.encodeSynthetic(Seq(Array.fill[Byte](30)(6))),
     graft.io.Warc.gzipPerRecord(Seq(Array.fill[Byte](64)(9))),
+    // a valid per-record .warc.gz: byte-flips exercise the CDX
+    // member walk AND the single-record parse behind it
+    graft.io.Warc.gzipPerRecord(Seq(graft.io.Warc.encodeSyntheticHeaders(
+      Seq((Seq("WARC-Type" -> "response",
+        "WARC-Date" -> "2024-03-05T06:07:08Z",
+        "WARC-Target-URI" -> "http://fuzz.example/",
+        "Content-Type" -> "application/http; msgtype=response"),
+        graft.io.Warc.httpResponse(200, "OK",
+          Seq("Content-Type" -> "text/html"),
+          "<html><body>f</body></html>".getBytes("UTF-8"))))))),
     ExternalFixtures.libavifStyleAvif(),
     ExternalFixtures.ffmpegStyleAdts,
     // near-valid bases for the walkers the list would otherwise only
@@ -124,6 +136,10 @@ class WalkerFuzzSpec extends AnyFunSuite {
     MkvIndex.encodeSyntheticAttachments(Seq(
       ("cover.png", "image/png", 7L, Array.fill[Byte](40)(0x11)),
       ("notes.txt", "text/plain", -1L, "fuzz".getBytes("UTF-8")))),
+    MkvIndex.encodeSyntheticChapters(Seq(Seq(
+      MkvIndex.ChapterSpec(1L, 0L, 9000000000L, "One", "eng",
+        children = Seq(MkvIndex.ChapterSpec(2L, 1L, -1L, "Two", null))),
+      MkvIndex.ChapterSpec(3L, 9000000000L, -1L, null, null)))),
     Mp4Index.encodeSynthetic(Seq(Array.fill[Byte](6)(1)),
       syncSamples = Seq(1),
       videoEntry = Some(Mp4Index.videoSampleEntry("av01",
