@@ -1740,8 +1740,71 @@ object MultimodalQueries {
       .orderBy("asset_id", "chapter_idx")
   }
 
+  /** Matroska TAGS gate ([[graft.multimodal.MkvIndex.mkvTags]] via
+    * `Multimodal.extractMkvTags`): TITLE/ARTIST/… SimpleTags — the
+    * Matroska sibling of the ID3/Vorbis/FLAC tag families, with
+    * per-Tag targeting. Asset 1 pins two Tag elements: one at the
+    * explicit movie level (TargetTypeValue 50) whose SimpleTags
+    * cover a nested sub-tag (parent-first) with a language override
+    * and a TagBinary (binary flag, empty value); one track-scoped
+    * (TargetTypeValue 30, TagTrackUID 7). Asset 2 pins the
+    * Targets-less defaults (50 / uid 0). Asset 3 pins the
+    * no-half-parse rule (SimpleTag missing its mandatory TagName
+    * refuses); asset 4 the non-Matroska flag; asset 5 a valid
+    * tag-less file contributing NO rows. A tiling, default,
+    * targeting, or nesting regression hash-fails.
+    */
+  val qMultimodalMkvTags: QueryDef = QueryDef.sql(
+    "q_multimodal_mkv_tags",
+    """SELECT asset_id, tag_idx, row_idx,
+      |  CAST(target_type AS BIGINT) AS target_type,
+      |  CAST(track_uid AS BIGINT) AS track_uid, name, value, language,
+      |  is_binary, nest_level, indexed
+      |FROM (VALUES
+      |  (1, 0, 0, 50, 0, 'TITLE', 'Voyage', 'und', false, 0, true),
+      |  (1, 0, 1, 50, 0, 'SORT_WITH', 'voyage', 'eng', false, 1, true),
+      |  (1, 0, 2, 50, 0, 'THUMBNAIL', '', 'und', true, 0, true),
+      |  (1, 1, 3, 30, 7, 'ARTIST', 'Ensemble', 'und', false, 0, true),
+      |  (2, 0, 0, 50, 0, 'DATE_RELEASED', '2021', 'und', false, 0,
+      |   true),
+      |  (3, -1, -1, -1, -1, '', '', '', false, -1, false),
+      |  (4, -1, -1, -1, -1, '', '', '', false, -1, false))
+      |  AS t(asset_id, tag_idx, row_idx, target_type, track_uid, name,
+      |       value, language, is_binary, nest_level, indexed)
+      |ORDER BY asset_id, row_idx""".stripMargin,
+    doc = "Matroska Tags: SimpleTag name/value/language rows with " +
+      "TargetTypeValue/TagTrackUID targeting, defaults, TagBinary " +
+      "flagging, nesting, refusal + non-Matroska postures") {
+    (s, dir) =>
+    import s.implicits._
+    import graft.multimodal.{MkvIndex, Multimodal}
+    import MkvIndex.TagSpec
+    val assets = Seq(
+      (1L, MkvIndex.encodeSyntheticTags(Seq(
+        (50L, 0L, Seq(
+          TagSpec("TITLE", "Voyage",
+            children = Seq(TagSpec("SORT_WITH", "voyage", lang = "eng"))),
+          TagSpec("THUMBNAIL", null))),
+        (30L, 7L, Seq(TagSpec("ARTIST", "Ensemble")))))),
+      // Targets omitted entirely -> spec defaults (50, uid 0)
+      (2L, MkvIndex.encodeSyntheticTags(Seq(
+        (-1L, 0L, Seq(TagSpec("DATE_RELEASED", "2021")))))),
+      // mandatory TagName missing -> the whole asset refuses
+      (3L, MkvIndex.encodeSyntheticTags(Seq(
+        (50L, 0L, Seq(TagSpec(null, "x")))))),
+      (4L, Array[Byte](9, 9, 9, 9)),
+      (5L, MkvIndex.encodeSynthetic(Seq((Array.fill[Byte](5)(1), true))))
+    ).toDF("id", "bytes")
+    Multimodal.extractMkvTags(assets, "id", "bytes")(s)
+      .select(col("asset_id"), col("tag_idx"), col("row_idx"),
+        col("target_type"), col("track_uid"), col("name"), col("value"),
+        col("language"), col("binary").as("is_binary"),
+        col("nest_level"), col("indexed"))
+      .orderBy("asset_id", "row_idx")
+  }
+
   val all: Seq[QueryDef] = Seq(
-    qMultimodalMkvChapters,
+    qMultimodalMkvChapters, qMultimodalMkvTags,
     qMultimodalDecode, qMultimodalAudio, qMultimodalResize, qMultimodalVideo,
     qMultimodalPhash, qMultimodalAudioNeardup, qMultimodalVideoNeardup,
     qMultimodalH264Index, qMultimodalAvccIndex, qMultimodalMp4Index,

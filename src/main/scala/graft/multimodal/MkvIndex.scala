@@ -76,6 +76,16 @@ object MkvIndex {
   private val ChapterDisplay = 0x80L
   private val ChapString = 0x85L
   private val ChapLanguage = 0x437CL
+  private val TagsEl = 0x1254C367L
+  private val TagEl = 0x7373L
+  private val TargetsEl = 0x63C0L
+  private val TargetTypeValue = 0x68CAL
+  private val TagTrackUID = 0x63C5L
+  private val SimpleTagEl = 0x67C8L
+  private val TagName = 0x45A3L
+  private val TagString = 0x4487L
+  private val TagBinary = 0x4485L
+  private val TagLanguage = 0x447AL
 
   /** One parsed element: id (as stored), payload range, own first
     * byte. */
@@ -447,7 +457,8 @@ object MkvIndex {
   final case class SegmentMeta(tracks: Seq[Array[Byte]],
       durationS: Option[Double],
       attachmentSpans: Seq[(Long, Long)] = Nil,
-      chapterSpans: Seq[(Long, Long)] = Nil)
+      chapterSpans: Seq[(Long, Long)] = Nil,
+      tagSpans: Seq[(Long, Long)] = Nil)
 
   /** One element header at absolute `at` of a seekable file:
     * (id, payloadAbs, payloadLen — −1 for unknown-size). None on
@@ -525,6 +536,7 @@ object MkvIndex {
     val out = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
     val attSpans = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
     val chapSpans = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    val tagSpans = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
     var duration: Option[Double] = None
     var pos = hs._2
     while (pos < segEnd) {
@@ -542,11 +554,13 @@ object MkvIndex {
         attSpans += ((pAbs, pLen))
       } else if (id == Chapters) {
         chapSpans += ((pAbs, pLen))
+      } else if (id == TagsEl) {
+        tagSpans += ((pAbs, pLen))
       }
       pos = pAbs + pLen
     }
     Some(SegmentMeta(out.toSeq, duration, attSpans.toSeq,
-      chapSpans.toSeq))
+      chapSpans.toSeq, tagSpans.toSeq))
   }
 
   /** One attached file: name, MIME type, FileUID (−1 when the file
@@ -758,6 +772,132 @@ object MkvIndex {
   /** [[chaptersSeekable]] over a byte column (one shared walk). */
   def chapters(b: Array[Byte]): Option[Seq[Chapter]] =
     chaptersSeekable(new Mp4Index.BytesRangeReader(b))
+
+  /** One Matroska tag: the parent Tag element's index and targeting
+    * (TargetTypeValue — 50, the whole-movie level, when Targets omits
+    * it; TagTrackUID — 0, "applies to everything", when absent), the
+    * SimpleTag's name/value/language ("und" — the spec default — when
+    * TagLanguage is absent), `binary = true` for TagBinary payloads
+    * (value empty — binary blobs are [[graft.io.SpanFetch]] material,
+    * not strings), and the nesting level (nested SimpleTags emit
+    * AFTER their parent, document order). */
+  final case class MkvTag(tagIdx: Int, targetTypeValue: Long,
+      trackUid: Long, name: String, value: String, language: String,
+      binary: Boolean, nestLevel: Int)
+
+  /** The `\Segment\Tags` metadata of a SEEKABLE Matroska file —
+    * TITLE/ARTIST/DATE_RELEASED etc., the Matroska sibling of ID3 /
+    * Vorbis comments / FLAC tags ([[MediaTags]]). Header-only:
+    * element headers + small scalar payloads. Strictness (the
+    * family's rule): levels tile; a SimpleTag missing its
+    * spec-mandatory TagName refuses the asset; unknown elements
+    * directly inside `Tags` (beside CRC-32/Void) refuse; unknown
+    * children of Tag / Targets / SimpleTag tolerate; name/value/
+    * language payloads above 64 KiB refuse; nesting beyond 16 levels
+    * refuses. A valid file WITHOUT tags yields Seq.empty. */
+  def mkvTagsSeekable(r: Mp4Index.RangeReader,
+      maxMetaBytes: Int = 1 << 26): Option[Seq[MkvTag]] = {
+    val meta = segmentMetaSeekable(r, maxMetaBytes, wantDuration = false)
+      .getOrElse(return None)
+    val out = scala.collection.mutable.ArrayBuffer.empty[MkvTag]
+    var metaBytes = 0L
+    def uintAt(at: Long, len: Long, cap: Int): Option[Long] = {
+      if (len > cap) return None
+      val bs = r.readFully(at, len.toInt)
+      var v = 0L
+      bs.foreach(x => v = (v << 8) | (x & 0xff))
+      Some(v)
+    }
+    def stringAt(at: Long, len: Long): Option[String] = {
+      if (len > (1 << 16)) return None
+      metaBytes += len
+      if (metaBytes > maxMetaBytes) return None
+      Some(new String(r.readFully(at, len.toInt), "UTF-8"))
+    }
+    // one SimpleTag, recursively: parent row first, children after
+    def simpleTag(sAbs: Long, sLen: Long, tagIdx: Int, ttv: Long,
+        uid: Long, level: Int): Boolean = {
+      if (level > MaxChapterDepth) return false
+      var name: Option[String] = None
+      var value = ""
+      var lang = "und"
+      var binary = false
+      val nested = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+      var q = sAbs
+      val sEnd = sAbs + sLen
+      while (q < sEnd) {
+        val (id, pAbs, pLen) = elHeaderAt(r, q).getOrElse(return false)
+        if (pLen < 0 || pAbs + pLen > sEnd) return false
+        if (id == TagName)
+          name = Some(stringAt(pAbs, pLen).getOrElse(return false))
+        else if (id == TagString)
+          value = stringAt(pAbs, pLen).getOrElse(return false)
+        else if (id == TagBinary)
+          binary = true // payload skipped — spans, not strings
+        else if (id == TagLanguage)
+          lang = stringAt(pAbs, pLen).getOrElse(return false)
+        else if (id == SimpleTagEl)
+          nested += ((pAbs, pLen))
+        // other children tolerate: header tiles, payload skipped
+        q = pAbs + pLen
+      }
+      if (name.isEmpty) return false
+      out += MkvTag(tagIdx, ttv, uid, name.get, value, lang, binary,
+        level)
+      nested.forall { case (nAbs, nLen) =>
+        simpleTag(nAbs, nLen, tagIdx, ttv, uid, level + 1)
+      }
+    }
+    var tagIdx = 0
+    meta.tagSpans.foreach { case (tAbs, tLen) =>
+      var pos = tAbs
+      val end = tAbs + tLen
+      while (pos < end) {
+        val (id, pAbs, pLen) = elHeaderAt(r, pos).getOrElse(return None)
+        if (pLen < 0 || pAbs + pLen > end) return None
+        if (id == TagEl) {
+          // first pass: targeting; second: the SimpleTags under it
+          var ttv = 50L
+          var uid = 0L
+          val stags =
+            scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+          var q = pAbs
+          val tEnd = pAbs + pLen
+          while (q < tEnd) {
+            val (eid, eAbs, eLen) = elHeaderAt(r, q).getOrElse(return None)
+            if (eLen < 0 || eAbs + eLen > tEnd) return None
+            if (eid == TargetsEl) {
+              var d = eAbs
+              val dEnd = eAbs + eLen
+              while (d < dEnd) {
+                val (did, dAbs, dLen) = elHeaderAt(r, d)
+                  .getOrElse(return None)
+                if (dLen < 0 || dAbs + dLen > dEnd) return None
+                if (did == TargetTypeValue)
+                  ttv = uintAt(dAbs, dLen, 8).getOrElse(return None)
+                else if (did == TagTrackUID)
+                  uid = uintAt(dAbs, dLen, 8).getOrElse(return None)
+                d = dAbs + dLen
+              }
+            } else if (eid == SimpleTagEl) {
+              stags += ((eAbs, eLen))
+            }
+            q = eAbs + eLen
+          }
+          if (!stags.forall { case (sAbs, sLen) =>
+            simpleTag(sAbs, sLen, tagIdx, ttv, uid, 0)
+          }) return None
+          tagIdx += 1
+        } else if (id != CrcEl && id != VoidEl) return None
+        pos = pAbs + pLen
+      }
+    }
+    Some(out.toSeq)
+  }
+
+  /** [[mkvTagsSeekable]] over a byte column (one shared walk). */
+  def mkvTags(b: Array[Byte]): Option[Seq[MkvTag]] =
+    mkvTagsSeekable(new Mp4Index.BytesRangeReader(b))
 
   /** Block-payload parse: track-number VINT + 2-byte timestamp +
     * flags, then the (possibly laced) frame data — one (start, len)
@@ -1301,6 +1441,45 @@ object MkvIndex {
     val chaps = el(Chapters, editions.toArray.flatMap(ed =>
       el(EditionEntry, ed.toArray.flatMap(atomBytes))))
     ebml ++ el(Segment, info ++ tracks ++ chaps)
+  }
+
+  /** Fixture tag shape for [[encodeSyntheticTags]]: `lang == null`
+    * omits TagLanguage; `value == null` encodes a TagBinary (8 filler
+    * bytes) instead of TagString; `name == null` omits the
+    * spec-mandatory TagName (the refusal fixture); `children`
+    * nest. */
+  final case class TagSpec(name: String, value: String,
+      lang: String = null, children: Seq[TagSpec] = Nil)
+
+  /** Synthetic Matroska with a `Tags` element — the fixture for
+    * [[mkvTags]]: one Tag per (targetTypeValue, trackUid, simpleTags)
+    * entry (`targetTypeValue < 0` omits Targets entirely — the
+    * defaults posture), after a minimal video track. */
+  def encodeSyntheticTags(
+      tags: Seq[(Long, Long, Seq[TagSpec])]): Array[Byte] = {
+    require(tags.nonEmpty)
+    def stBytes(t: TagSpec): Array[Byte] =
+      el(SimpleTagEl,
+        (if (t.name == null) Array.empty[Byte]
+         else el(TagName, t.name.getBytes("UTF-8"))) ++
+          (if (t.value == null) el(TagBinary, Array.fill[Byte](8)(0x5a))
+           else el(TagString, t.value.getBytes("UTF-8"))) ++
+          (if (t.lang == null) Array.empty[Byte]
+           else el(TagLanguage, t.lang.getBytes("UTF-8"))) ++
+          t.children.toArray.flatMap(stBytes))
+    val ebml = el(EbmlHeader, el(DocType, "matroska".getBytes("UTF-8")))
+    val info = el(Info, uintEl(TimestampScale, 1000000L))
+    val tracks = el(Tracks, el(TrackEntry,
+      uintEl(TrackNumber, 1L) ++ uintEl(TrackType, 1L) ++
+        el(CodecId, "V_VP9".getBytes("UTF-8"))))
+    val tagsEl = el(TagsEl, tags.toArray.flatMap { case (ttv, uid, sts) =>
+      val targets =
+        if (ttv < 0) Array.empty[Byte]
+        else el(TargetsEl, uintEl(TargetTypeValue, ttv) ++
+          (if (uid == 0) Array.empty[Byte] else uintEl(TagTrackUID, uid)))
+      el(TagEl, targets ++ sts.toArray.flatMap(stBytes))
+    })
+    ebml ++ el(Segment, info ++ tracks ++ tagsEl)
   }
 
   /** One laced SimpleBlock holding all `frames` (mode: "xiph",

@@ -1693,6 +1693,69 @@ object Multimodal {
       }
   }
 
+  /** One Matroska tag row; `indexed = false` flags non-Matroska
+    * assets and ill-formed tag trees (missing mandatory TagName). A
+    * valid file without tags emits no rows. `target_type` 50 and
+    * `track_uid` 0 are the spec defaults (whole movie / applies to
+    * everything); `binary = true` marks TagBinary payloads (value
+    * empty). */
+  final case class MkvTagRow(asset_id: Long, tag_idx: Int, row_idx: Int,
+      target_type: Long, track_uid: Long, name: String, value: String,
+      language: String, binary: Boolean, nest_level: Int,
+      indexed: Boolean)
+
+  private def mkvTagRows(id: Long,
+      ts: Option[Seq[MkvIndex.MkvTag]]): Iterator[MkvTagRow] =
+    ts match {
+      case Some(xs) => xs.iterator.zipWithIndex.map { case (t, i) =>
+        MkvTagRow(id, t.tagIdx, i, t.targetTypeValue, t.trackUid,
+          t.name, t.value, t.language, t.binary, t.nestLevel,
+          indexed = true)
+      }
+      case None => Iterator.single(MkvTagRow(id, -1, -1, -1L, -1L, "",
+        "", "", binary = false, -1, indexed = false))
+    }
+
+  /** Matroska tag extraction over a byte-column corpus
+    * ([[MkvIndex.mkvTags]]): TITLE/ARTIST/… SimpleTags with their
+    * targeting — the Matroska sibling of [[extractMediaTags]]'s
+    * ID3/Vorbis/FLAC families. mapPartitions, flagged fallback. */
+  def extractMkvTags(df: DataFrame, idCol: String, bytesCol: String)(
+      implicit spark: SparkSession): Dataset[MkvTagRow] = {
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(bytesCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        val parsed =
+          try Option(bytes).flatMap(MkvIndex.mkvTags)
+          catch { case scala.util.control.NonFatal(_) => None }
+        mkvTagRows(id, parsed)
+      })
+  }
+
+  /** [[extractMkvTags]] for PATH-addressed corpora: header + scalar
+    * payload reads only. Unreadable/ill-formed paths emit the
+    * flagged row. */
+  def extractMkvTagsByPath(df: DataFrame, idCol: String,
+      pathCol: String)(
+      implicit spark: SparkSession): Dataset[MkvTagRow] = {
+    import spark.implicits._
+    val confBc = graft.io.PathIO.confBroadcast(spark)
+    df.select(col(idCol).cast("long"), col(pathCol).cast("string"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val conf = confBc.value.value
+        it.flatMap { case (id, path) =>
+          val parsed =
+            try {
+              val r = graft.io.PathIO.openRange(path, conf)
+              try MkvIndex.mkvTagsSeekable(r) finally r.close()
+            } catch { case scala.util.control.NonFatal(_) => None }
+          mkvTagRows(id, parsed)
+        }
+      }
+  }
+
   /** Header-only video facts: frame/keyframe counts from the sample
     * table and the mvhd duration; `duration_s` is −1 when the moov
     * declares none (header-less synthetic muxes). `indexed = false`

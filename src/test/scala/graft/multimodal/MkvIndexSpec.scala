@@ -395,6 +395,37 @@ class MkvIndexSpec extends AnyFunSuite {
     assert(MkvIndex.chapters(Array[Byte](9, 9)).isEmpty)
   }
 
+  test("mkvTags: targeting, defaults, TagBinary, nesting, mandatories") {
+    import MkvIndex.TagSpec
+    val b = MkvIndex.encodeSyntheticTags(Seq(
+      (50L, 0L, Seq(
+        TagSpec("TITLE", "Voyage",
+          children = Seq(TagSpec("SORT_WITH", "voyage", lang = "eng"))),
+        TagSpec("THUMBNAIL", null))),
+      (30L, 7L, Seq(TagSpec("ARTIST", "Ensemble")))))
+    val ts = MkvIndex.mkvTags(b).get
+    assert(ts.map(t => (t.tagIdx, t.targetTypeValue, t.trackUid, t.name,
+      t.value, t.language, t.binary, t.nestLevel)) === Seq(
+      (0, 50L, 0L, "TITLE", "Voyage", "und", false, 0),
+      (0, 50L, 0L, "SORT_WITH", "voyage", "eng", false, 1),
+      (0, 50L, 0L, "THUMBNAIL", "", "und", true, 0),
+      (1, 30L, 7L, "ARTIST", "Ensemble", "und", false, 0)))
+    // seekable twin IS the in-memory walk
+    assert(MkvIndex.mkvTagsSeekable(
+      new Mp4Index.BytesRangeReader(b)).get === ts)
+    // Targets omitted entirely -> spec defaults (50, uid 0)
+    assert(MkvIndex.mkvTags(MkvIndex.encodeSyntheticTags(Seq(
+      (-1L, 0L, Seq(TagSpec("DATE_RELEASED", "2021")))))).get
+      .map(t => (t.targetTypeValue, t.trackUid)) === Seq((50L, 0L)))
+    // mandatory TagName missing -> refuse
+    assert(MkvIndex.mkvTags(MkvIndex.encodeSyntheticTags(Seq(
+      (50L, 0L, Seq(TagSpec(null, "x")))))).isEmpty)
+    // no tags: Some(empty); junk: None
+    assert(MkvIndex.mkvTags(MkvIndex.encodeSynthetic(
+      Seq((Array.fill[Byte](5)(1), true)))).get.isEmpty)
+    assert(MkvIndex.mkvTags(Array[Byte](9, 9)).isEmpty)
+  }
+
   test("S_TEXT/ASS cues strip the 8 dialogue fields and decode escapes") {
     // the Matroska ASS mapping stores `ReadOrder,Layer,Style,Name,
     // MarginL,MarginR,MarginV,Effect,Text` per block — the Text field

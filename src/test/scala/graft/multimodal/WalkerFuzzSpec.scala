@@ -63,6 +63,7 @@ class WalkerFuzzSpec extends AnyFunSuite {
     ("MkvIndex.subtitles", MkvIndex.subtitleCues _),
     ("MkvIndex.attachments", MkvIndex.attachments _),
     ("MkvIndex.chapters", MkvIndex.chapters _),
+    ("MkvIndex.mkvTags", MkvIndex.mkvTags _),
     ("CodecConfigs.esds",
       (b: Array[Byte]) => CodecConfigs.parseEsds(b, 0, b.length)),
     ("CodecConfigs.dOps",
@@ -140,6 +141,10 @@ class WalkerFuzzSpec extends AnyFunSuite {
       MkvIndex.ChapterSpec(1L, 0L, 9000000000L, "One", "eng",
         children = Seq(MkvIndex.ChapterSpec(2L, 1L, -1L, "Two", null))),
       MkvIndex.ChapterSpec(3L, 9000000000L, -1L, null, null)))),
+    MkvIndex.encodeSyntheticTags(Seq(
+      (50L, 0L, Seq(MkvIndex.TagSpec("TITLE", "Fuzz",
+        children = Seq(MkvIndex.TagSpec("SORT_WITH", "fuzz"))))),
+      (30L, 7L, Seq(MkvIndex.TagSpec("ARTIST", null))))),
     Mp4Index.encodeSynthetic(Seq(Array.fill[Byte](6)(1)),
       syncSamples = Seq(1),
       videoEntry = Some(Mp4Index.videoSampleEntry("av01",
