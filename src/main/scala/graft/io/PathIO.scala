@@ -78,7 +78,17 @@ object PathIO {
         .opt("fs.option.openfile.read.policy", "random")
         .opt("fs.option.openfile.length", len.toString)
         .build().get()
-      catch { case scala.util.control.NonFatal(_) => fs.open(p) }
+      catch {
+        // a pre-3.3 Hadoop without the openFile builder surfaces as
+        // NoSuchMethodError — a LinkageError, which NonFatal does NOT
+        // match; without this arm the documented fallback never
+        // engages and every task on an old cluster crashes instead
+        case _: LinkageError => fs.open(p)
+        case _: InterruptedException =>
+          // fall back but keep the interrupt visible to the task
+          Thread.currentThread().interrupt(); fs.open(p)
+        case scala.util.control.NonFatal(_) => fs.open(p)
+      }
     def length: Long = len
     def readFully(at: Long, len: Int): Array[Byte] = {
       val out = new Array[Byte](len)

@@ -386,7 +386,12 @@ object WarcCdx {
 
   private def entryFor(idx: Int, offset: Long, length: Long,
       uncompLen: Long, bytes: Option[Array[Byte]]): CdxEntry =
-    bytes.flatMap(u => parseSingleRecord(u, 0, u.length)) match {
+    entryFromFacts(idx, offset, length, uncompLen,
+      bytes.flatMap(u => parseSingleRecord(u, 0, u.length)))
+
+  private def entryFromFacts(idx: Int, offset: Long, length: Long,
+      uncompLen: Long, facts: Option[RecordFacts]): CdxEntry =
+    facts match {
       case Some(f) => CdxEntry(idx, surtKey(f.url), timestamp14(f.date),
         f.url, f.mime, f.status, f.digest, offset, length, uncompLen,
         f.warcType, parsed = true)
@@ -410,9 +415,17 @@ object WarcCdx {
       if (!ok || out.isEmpty) None else Some(out.toIndexedSeq)
     } else {
       Warc.recordIndex(b).map(_.map { r =>
-        entryFor(r.recordIdx, r.byteStart, r.byteLen, r.byteLen,
-          Some(java.util.Arrays.copyOfRange(b, r.byteStart.toInt,
-            (r.byteStart + r.byteLen).toInt)))
+        // parse IN PLACE (no per-record copy), and apply the SAME
+        // maxRecordBytes flag posture as the gzip walk and the
+        // by-path twin: a record past the cap keeps its span but
+        // flags `parsed = false` — one archive, one row set,
+        // whichever seam it enters through (and a corrupt
+        // Content-Length cannot drive a giant allocation here)
+        entryFromFacts(r.recordIdx, r.byteStart, r.byteLen, r.byteLen,
+          if (r.byteLen <= maxRecordBytes)
+            parseSingleRecord(b, r.byteStart.toInt,
+              (r.byteStart + r.byteLen).toInt)
+          else None)
       })
     }
   }
@@ -577,8 +590,15 @@ object WarcCdx {
 
   /** One CDXJ line: `urlkey timestamp {json}` — the published Common
     * Crawl index layout (numeric fields as strings, per the format's
-    * own convention). */
+    * own convention). The text form is SPACE-delimited, so a urlkey
+    * carrying spaces (dirty non-URL WARC-Target-URIs pass through
+    * [[surtKey]] totally) serializes with `%20` in their place —
+    * real canonicalized urlkeys never contain spaces, and an escaped
+    * key still round-trips as ONE token instead of silently
+    * corrupting the urlkey AND timestamp fields on parse. */
   def cdxjLine(e: CdxRow, filename: String): String = {
+    val key = if (e.urlkey.indexOf(' ') >= 0)
+      e.urlkey.replace(" ", "%20") else e.urlkey
     val j = new java.lang.StringBuilder()
     j.append("{\"url\": \"").append(jsonEscape(e.url))
       .append("\", \"mime\": \"").append(jsonEscape(e.mime))
@@ -588,7 +608,7 @@ object WarcCdx {
       .append("\", \"offset\": \"").append(e.offset)
       .append("\", \"filename\": \"").append(jsonEscape(filename))
       .append("\"}")
-    s"${e.urlkey} ${e.timestamp} ${j.toString}"
+    s"$key ${e.timestamp} ${j.toString}"
   }
 
   /** Parse CDXJ lines back to rows — the consumer side for

@@ -1082,19 +1082,10 @@ object MkvIndex {
       val n = math.min(want.toLong, len - at).toInt
       if (n <= 0) Array.empty[Byte] else r.readFully(at, n)
     }
-    // one element header at absolute `at`: (id, payloadAbs, payloadLen
-    // — -1 for unknown-size)
-    def header(at: Long): Option[(Long, Long, Long)] = {
-      val b = readAt(at, 12)
-      val (id, idW) = readVint(b, 0, 4, keepMarker = true)
-        .getOrElse(return None)
-      val (size, szW) = readVint(b, idW, 8, keepMarker = false)
-        .getOrElse(return None)
-      val payloadAbs = at + idW + szW
-      if (isUnknownSize(size, szW)) Some((id, payloadAbs, -1L))
-      else if (size > len - payloadAbs) None
-      else Some((id, payloadAbs, size))
-    }
+    // one element header at absolute `at` — the shared seekable-EBML
+    // header step (one implementation; a byte-identical private copy
+    // lived here before [[elHeaderAt]] was factored out)
+    def header(at: Long): Option[(Long, Long, Long)] = elHeaderAt(r, at)
     var metaBytes = 0L
     def readMeta(at: Long, n: Long): Option[Array[Byte]] = {
       metaBytes += n

@@ -156,6 +156,26 @@ class WarcCdxSpec extends SparkSpec {
     val members = GzipMembers.memberIndex(gz).get
     assert(idx.map(e => (e.offset, e.length)) ===
       members.map(m => (m.compStart, m.compLen)))
+    // the PLAIN carriage applies the SAME cap posture (parity with
+    // the gzip walk and the by-path twin): spans kept, parsed=false
+    val plainIdx = WarcCdx.cdxIndex(plain, maxRecordBytes = 16).get
+    assert(plainIdx.length === 3)
+    assert(plainIdx.forall(e => !e.parsed && e.length > 16))
+    assert(plainIdx.map(e => (e.offset, e.length)) ===
+      Warc.recordIndex(plain).get.map(r => (r.byteStart, r.byteLen)))
+  }
+
+  test("cdxjLine escapes space-bearing urlkeys so the line stays 3 tokens") {
+    // a dirty non-URL WARC-Target-URI passes through surtKey totally
+    val row = WarcCdx.CdxRow(1L, 0, "not a url", "20240305060708",
+      "not a url", "text/plain", 200, "X" * 32, 0L, 10L, 10L,
+      "response", parsed = true, indexed = true)
+    val line = WarcCdx.cdxjLine(row, "a.warc.gz")
+    assert(line.startsWith("not%20a%20url 20240305060708 {"))
+    val p = WarcCdx.parseCdxj(Seq(line).toDF("line"), "line").collect()(0)
+    assert(p.getAs[String]("urlkey") === "not%20a%20url")
+    assert(p.getAs[String]("timestamp") === "20240305060708")
+    assert(p.getAs[String]("url") === "not a url") // JSON field intact
   }
 
   test("streaming walk survives members larger than its 64 KiB buffer") {
