@@ -1803,8 +1803,63 @@ object MultimodalQueries {
       .orderBy("asset_id", "row_idx")
   }
 
+  /** MP4 `ilst` TAGS gate ([[graft.multimodal.Mp4Index.ilstTags]]
+    * via `Multimodal.extractMp4Tags`): the iTunes-style metadata
+    * carriage (`moov/udta/meta/ilst`) — the last tag family beside
+    * ID3/Vorbis/FLAC/Matroska. Asset 1 pins UTF-8 text items (©-
+    * prefixed fourccs through the ISO-8859-1 mapping), a type-21
+    * signed int (tmpo), the packed `trkn` track/total layout, and a
+    * binary cover-art item (type 14 → flagged, value empty). Asset 2
+    * pins a tag-less M4A contributing NO rows; asset 3 an ilst item
+    * MISSING its `data` atom (the no-half-parse refusal); asset 4
+    * the non-BMFF flag. A box-tiling, type-rendering, or packed-
+    * layout regression hash-fails.
+    */
+  val qMultimodalMp4Tags: QueryDef = QueryDef.sql(
+    "q_multimodal_mp4_tags",
+    """SELECT asset_id, item_idx, name, data_type, value, is_binary,
+      |  indexed
+      |FROM (VALUES
+      |  (1, 0, CHR(169) || 'nam', 1, 'Voyage', false, true),
+      |  (1, 1, CHR(169) || 'ART', 1, 'Ensemble', false, true),
+      |  (1, 2, 'tmpo', 21, '120', false, true),
+      |  (1, 3, 'trkn', 0, '3/12', false, true),
+      |  (1, 4, 'covr', 14, '', true, true),
+      |  (3, -1, '', -1, '', false, false),
+      |  (4, -1, '', -1, '', false, false))
+      |  AS t(asset_id, item_idx, name, data_type, value, is_binary,
+      |       indexed)
+      |ORDER BY asset_id, item_idx""".stripMargin,
+    doc = "MP4/M4A ilst tags: text/int/packed-track/binary data atoms " +
+      "to rows, tag-less + missing-data-atom + non-BMFF postures") {
+    (s, dir) =>
+    import s.implicits._
+    import graft.multimodal.{Mp4Index, Multimodal}
+    val sample = Array.fill[Byte](9)(3)
+    val tagged = Mp4Index.encodeSyntheticM4a(Seq(sample),
+      udta = Mp4Index.ilstBox(Seq(
+        ("©nam", Mp4Index.ilstData(1, "Voyage".getBytes("UTF-8"))),
+        ("©ART", Mp4Index.ilstData(1, "Ensemble".getBytes("UTF-8"))),
+        ("tmpo", Mp4Index.ilstData(21, Array[Byte](0, 120))),
+        ("trkn", Mp4Index.ilstData(0,
+          Array[Byte](0, 0, 0, 3, 0, 12, 0, 0))),
+        ("covr", Mp4Index.ilstData(14, Array.fill[Byte](24)(0x42))))))
+    val plain = Mp4Index.encodeSyntheticM4a(Seq(sample))
+    // an ilst item with NO data atom: a bare item box inside the tree
+    val missingData = Mp4Index.encodeSyntheticM4a(Seq(sample),
+      udta = graft.multimodal.Mp4Index.ilstBox(Seq(
+        ("©nam", Array.empty[Byte]))))
+    val assets = Seq((1L, tagged), (2L, plain), (3L, missingData),
+      (4L, Array[Byte](9, 9, 9, 9))).toDF("id", "bytes")
+    Multimodal.extractMp4Tags(assets, "id", "bytes")(s)
+      .select(col("asset_id"), col("item_idx"), col("name"),
+        col("data_type"), col("value"), col("binary").as("is_binary"),
+        col("indexed"))
+      .orderBy("asset_id", "item_idx")
+  }
+
   val all: Seq[QueryDef] = Seq(
-    qMultimodalMkvChapters, qMultimodalMkvTags,
+    qMultimodalMkvChapters, qMultimodalMkvTags, qMultimodalMp4Tags,
     qMultimodalDecode, qMultimodalAudio, qMultimodalResize, qMultimodalVideo,
     qMultimodalPhash, qMultimodalAudioNeardup, qMultimodalVideoNeardup,
     qMultimodalH264Index, qMultimodalAvccIndex, qMultimodalMp4Index,

@@ -1035,7 +1035,8 @@ object Mp4Index {
     * `audioEntry`, e.g. with an esds/dOps config child). */
   def encodeSyntheticM4a(samples: Seq[Array[Byte]], sampleRate: Int = 44100,
       channels: Int = 2, samplesPerChunk: Int = 2,
-      audioEntry: Option[Array[Byte]] = None): Array[Byte] = {
+      audioEntry: Option[Array[Byte]] = None,
+      udta: Array[Byte] = Array.empty): Array[Byte] = {
     require(samples.nonEmpty && samplesPerChunk > 0)
     val ftyp = box("ftyp",
       "M4A ".getBytes("ISO-8859-1") ++ Array[Byte](0, 0, 0, 0))
@@ -1058,9 +1059,85 @@ object Mp4Index {
         full("stco", u32a(Seq(chunkOffsets.length.toLong)) ++
           u32a(chunkOffsets)))
     val moov = box("moov",
-      box("trak", box("mdia", hdlrBox("soun") ++ box("minf", stbl))))
+      box("trak", box("mdia", hdlrBox("soun") ++ box("minf", stbl))) ++
+        udta)
     ftyp ++ mdat ++ moov
   }
+
+  /** One iTunes-style metadata item (`moov/udta/meta/ilst`, the M4A
+    * tag carriage): the item's fourcc (`©nam`/`©ART`/`trkn`/`covr`…,
+    * `©` per ISO-8859-1), the data atom's well-known type, the
+    * rendered value (UTF-8 text for type 1; decimal for type-21
+    * signed ints; `track/total` for `trkn`/`disk`'s packed layout),
+    * and `binary = true` for payloads that are not text (cover art
+    * etc. — value empty, the bytes are span material). */
+  final case class Mp4Tag(itemIdx: Int, name: String, dataType: Int,
+      value: String, binary: Boolean)
+
+  /** The `ilst` tags of an ISO-BMFF file — the MP4/M4A sibling of
+    * the ID3/Vorbis/FLAC/Matroska tag families. None when the bytes
+    * are not a box-tiling file with a `moov`; Some(empty) when the
+    * file carries no `udta/meta/ilst`; an ilst ITEM without a `data`
+    * atom (or a malformed one) refuses the asset — the family's
+    * no-half-parse rule. Text payloads above 64 KiB refuse (a
+    * multi-MB "title" is corruption, not data). */
+  def ilstTags(b: Array[Byte]): Option[Seq[Mp4Tag]] = {
+    val top = boxes(b, 0, b.length, topLevel = true)
+      .getOrElse(return None)
+    val moov = top.find(_.fourcc == "moov").getOrElse(return None)
+    val udta = child(b, moov, "udta").getOrElse(return Some(Nil))
+    val meta = child(b, udta, "meta").getOrElse(return Some(Nil))
+    // meta is a FULL box: 4 version/flags bytes precede its children
+    if (meta.payloadEnd - meta.payloadStart < 4) return None
+    val kids = boxes(b, meta.payloadStart + 4, meta.payloadEnd)
+      .getOrElse(return None)
+    val ilst = kids.find(_.fourcc == "ilst").getOrElse(return Some(Nil))
+    val items = boxes(b, ilst.payloadStart, ilst.payloadEnd)
+      .getOrElse(return None)
+    val out = scala.collection.mutable.ArrayBuffer.empty[Mp4Tag]
+    items.zipWithIndex.foreach { case (item, i) =>
+      val data = child(b, item, "data").getOrElse(return None)
+      val ps = data.payloadStart
+      val pe = data.payloadEnd
+      if (pe - ps < 8) return None // type indicator + locale
+      val dtype = ((b(ps + 1) & 0xff) << 16) | ((b(ps + 2) & 0xff) << 8) |
+        (b(ps + 3) & 0xff)
+      val vs = ps + 8
+      val vLen = pe - vs
+      val name = item.fourcc
+      if (dtype == 1) { // UTF-8 text
+        if (vLen > (1 << 16)) return None
+        out += Mp4Tag(i, name, dtype,
+          new String(b, vs, vLen, "UTF-8"), binary = false)
+      } else if (dtype == 21 && vLen >= 1 && vLen <= 8) { // signed BE
+        var v = if ((b(vs) & 0x80) != 0) -1L else 0L
+        (vs until (vs + vLen)).foreach(j => v = (v << 8) | (b(j) & 0xff))
+        out += Mp4Tag(i, name, dtype, v.toString, binary = false)
+      } else if ((name == "trkn" || name == "disk") && vLen >= 6) {
+        // packed layout: 2 zero, 2 index, 2 total(, 2 zero for trkn)
+        val idx = ((b(vs + 2) & 0xff) << 8) | (b(vs + 3) & 0xff)
+        val total = ((b(vs + 4) & 0xff) << 8) | (b(vs + 5) & 0xff)
+        out += Mp4Tag(i, name, dtype, s"$idx/$total", binary = false)
+      } else {
+        out += Mp4Tag(i, name, dtype, "", binary = true)
+      }
+    }
+    Some(out.toSeq)
+  }
+
+  /** A `data` atom for [[ilstBox]] fixtures: type indicator +
+    * zeroed locale + payload. */
+  def ilstData(dataType: Int, payload: Array[Byte]): Array[Byte] =
+    box("data", Array[Byte](0, ((dataType >> 16) & 0xff).toByte,
+      ((dataType >> 8) & 0xff).toByte, (dataType & 0xff).toByte,
+      0, 0, 0, 0) ++ payload)
+
+  /** A `udta(meta(hdlr+ilst))` subtree for fixtures: one item box
+    * per (fourcc, data atom bytes). Feed to [[encodeSyntheticM4a]]'s
+    * `udta` parameter. */
+  def ilstBox(items: Seq[(String, Array[Byte])]): Array[Byte] =
+    box("udta", full("meta", hdlrBox("mdir") ++
+      box("ilst", items.toArray.flatMap { case (n, d) => box(n, d) })))
 
   /** A VisualSampleEntry for fixtures: `fmt` box with the 78 fixed
     * bytes then an optional codec-config child (`avcC`/`hvcC`/

@@ -1756,6 +1756,35 @@ object Multimodal {
       }
   }
 
+  /** One MP4 ilst tag row; `indexed = false` flags non-ISO-BMFF
+    * assets and ill-formed tag lists (an item without a `data` atom).
+    * A valid file without `udta/meta/ilst` emits no rows. */
+  final case class Mp4TagRow(asset_id: Long, item_idx: Int, name: String,
+      data_type: Int, value: String, binary: Boolean, indexed: Boolean)
+
+  /** MP4/M4A metadata extraction over a byte-column corpus
+    * ([[Mp4Index.ilstTags]]): the iTunes-style `ilst` carriage —
+    * closing the tag families beside ID3/Vorbis/FLAC
+    * ([[extractMediaTags]]) and Matroska ([[extractMkvTags]]).
+    * mapPartitions, flagged fallback. */
+  def extractMp4Tags(df: DataFrame, idCol: String, bytesCol: String)(
+      implicit spark: SparkSession): Dataset[Mp4TagRow] = {
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(bytesCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        val parsed =
+          try Option(bytes).flatMap(Mp4Index.ilstTags)
+          catch { case scala.util.control.NonFatal(_) => None }
+        parsed match {
+          case Some(ts) => ts.iterator.map(t => Mp4TagRow(id, t.itemIdx,
+            t.name, t.dataType, t.value, t.binary, indexed = true))
+          case None => Iterator.single(Mp4TagRow(id, -1, "", -1, "",
+            binary = false, indexed = false))
+        }
+      })
+  }
+
   /** Header-only video facts: frame/keyframe counts from the sample
     * table and the mvhd duration; `duration_s` is −1 when the moov
     * declares none (header-less synthetic muxes). `indexed = false`

@@ -515,4 +515,35 @@ class Mp4IndexSpec extends AnyFunSuite {
     // the same bytes must NOT be claimed by the other walkers
     assert(H264Avcc.frameIndex(mp4).isEmpty)
   }
+
+  test("ilstTags: text/int/packed/binary data atoms, postures") {
+    val s9 = Seq(Array.fill[Byte](9)(3))
+    val tagged = Mp4Index.encodeSyntheticM4a(s9,
+      udta = Mp4Index.ilstBox(Seq(
+        ("©nam", Mp4Index.ilstData(1, "Café Voyage".getBytes("UTF-8"))),
+        ("tmpo", Mp4Index.ilstData(21, Array[Byte](0, 120))),
+        ("tmp2", Mp4Index.ilstData(21, Array[Byte](0xff.toByte, 0x9c.toByte))),
+        ("trkn", Mp4Index.ilstData(0,
+          Array[Byte](0, 0, 0, 3, 0, 12, 0, 0))),
+        ("disk", Mp4Index.ilstData(0, Array[Byte](0, 0, 0, 1, 0, 2))),
+        ("covr", Mp4Index.ilstData(14, Array.fill[Byte](24)(0x42))))))
+    val ts = Mp4Index.ilstTags(tagged).get
+    assert(ts.map(t => (t.name, t.dataType, t.value, t.binary)) === Seq(
+      ("©nam", 1, "Café Voyage", false),
+      ("tmpo", 21, "120", false),
+      ("tmp2", 21, "-100", false), // sign-extended negative int
+      ("trkn", 0, "3/12", false),
+      ("disk", 0, "1/2", false),
+      ("covr", 14, "", true)))
+    // no udta -> Some(empty); item without a data atom -> refuse;
+    // junk -> None
+    assert(Mp4Index.ilstTags(
+      Mp4Index.encodeSyntheticM4a(s9)).get.isEmpty)
+    assert(Mp4Index.ilstTags(Mp4Index.encodeSyntheticM4a(s9,
+      udta = Mp4Index.ilstBox(Seq(("©nam", Array.empty[Byte]))))).isEmpty)
+    assert(Mp4Index.ilstTags(Array[Byte](9, 9, 9, 9)).isEmpty)
+    // the tagged fixture still audio-indexes (udta must not disturb
+    // the sample-table walk)
+    assert(Mp4Index.audioSampleTable(tagged).nonEmpty)
+  }
 }

@@ -64,6 +64,7 @@ class WalkerFuzzSpec extends AnyFunSuite {
     ("MkvIndex.attachments", MkvIndex.attachments _),
     ("MkvIndex.chapters", MkvIndex.chapters _),
     ("MkvIndex.mkvTags", MkvIndex.mkvTags _),
+    ("Mp4Index.ilstTags", Mp4Index.ilstTags _),
     ("CodecConfigs.esds",
       (b: Array[Byte]) => CodecConfigs.parseEsds(b, 0, b.length)),
     ("CodecConfigs.dOps",
@@ -145,6 +146,11 @@ class WalkerFuzzSpec extends AnyFunSuite {
       (50L, 0L, Seq(MkvIndex.TagSpec("TITLE", "Fuzz",
         children = Seq(MkvIndex.TagSpec("SORT_WITH", "fuzz"))))),
       (30L, 7L, Seq(MkvIndex.TagSpec("ARTIST", null))))),
+    Mp4Index.encodeSyntheticM4a(Seq(Array.fill[Byte](9)(3)),
+      udta = Mp4Index.ilstBox(Seq(
+        ("©nam", Mp4Index.ilstData(1, "fuzz".getBytes("UTF-8"))),
+        ("trkn", Mp4Index.ilstData(0,
+          Array[Byte](0, 0, 0, 3, 0, 12, 0, 0)))))),
     Mp4Index.encodeSynthetic(Seq(Array.fill[Byte](6)(1)),
       syncSamples = Seq(1),
       videoEntry = Some(Mp4Index.videoSampleEntry("av01",
