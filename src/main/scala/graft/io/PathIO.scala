@@ -85,8 +85,10 @@ object PathIO {
         // engages and every task on an old cluster crashes instead
         case _: LinkageError => fs.open(p)
         case _: InterruptedException =>
-          // fall back but keep the interrupt visible to the task
-          Thread.currentThread().interrupt(); fs.open(p)
+          // fall back FIRST, then restore the flag: interrupt-aware
+          // filesystems would refuse the open with the flag set, and
+          // the task still sees the interrupt right after
+          val s = fs.open(p); Thread.currentThread().interrupt(); s
         case scala.util.control.NonFatal(_) => fs.open(p)
       }
     def length: Long = len

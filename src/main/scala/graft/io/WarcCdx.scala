@@ -595,10 +595,29 @@ object WarcCdx {
     * [[surtKey]] totally) serializes with `%20` in their place —
     * real canonicalized urlkeys never contain spaces, and an escaped
     * key still round-trips as ONE token instead of silently
-    * corrupting the urlkey AND timestamp fields on parse. */
+    * corrupting the urlkey AND timestamp fields on parse. The same
+    * treatment covers the other structural characters a dirty key
+    * could smuggle in: CR/LF/TAB (line terminators — a lone `\n`
+    * inside a header VALUE survives [[Warc.headerMap]]'s CRLF split)
+    * and `{` (which [[parseCdxj]]'s JSON-start probe keys on). */
   def cdxjLine(e: CdxRow, filename: String): String = {
-    val key = if (e.urlkey.indexOf(' ') >= 0)
-      e.urlkey.replace(" ", "%20") else e.urlkey
+    val key = {
+      val k = e.urlkey
+      if (k.forall(c => c != ' ' && c != '\r' && c != '\n' &&
+          c != '\t' && c != '{')) k
+      else {
+        val sb = new java.lang.StringBuilder(k.length + 8)
+        k.foreach {
+          case ' ' => sb.append("%20")
+          case '\r' => sb.append("%0D")
+          case '\n' => sb.append("%0A")
+          case '\t' => sb.append("%09")
+          case '{' => sb.append("%7B")
+          case c => sb.append(c)
+        }
+        sb.toString
+      }
+    }
     val j = new java.lang.StringBuilder()
     j.append("{\"url\": \"").append(jsonEscape(e.url))
       .append("\", \"mime\": \"").append(jsonEscape(e.mime))

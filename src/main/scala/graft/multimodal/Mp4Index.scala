@@ -1085,8 +1085,18 @@ object Mp4Index {
     val top = boxes(b, 0, b.length, topLevel = true)
       .getOrElse(return None)
     val moov = top.find(_.fourcc == "moov").getOrElse(return None)
-    val udta = child(b, moov, "udta").getOrElse(return Some(Nil))
-    val meta = child(b, udta, "meta").getOrElse(return Some(Nil))
+    // distinguish ABSENT (no tags — Some(Nil)) from CORRUPT (children
+    // fail to tile — None): `child`'s Option conflates the two, and a
+    // corrupt moov must flag here exactly as it does in every other
+    // extractor over the same bytes
+    val moovKids = boxes(b, moov.payloadStart, moov.payloadEnd)
+      .getOrElse(return None)
+    val udta = moovKids.find(_.fourcc == "udta")
+      .getOrElse(return Some(Nil))
+    val udtaKids = boxes(b, udta.payloadStart, udta.payloadEnd)
+      .getOrElse(return None)
+    val meta = udtaKids.find(_.fourcc == "meta")
+      .getOrElse(return Some(Nil))
     // meta is a FULL box: 4 version/flags bytes precede its children
     if (meta.payloadEnd - meta.payloadStart < 4) return None
     val kids = boxes(b, meta.payloadStart + 4, meta.payloadEnd)
@@ -1095,31 +1105,36 @@ object Mp4Index {
     val items = boxes(b, ilst.payloadStart, ilst.payloadEnd)
       .getOrElse(return None)
     val out = scala.collection.mutable.ArrayBuffer.empty[Mp4Tag]
-    items.zipWithIndex.foreach { case (item, i) =>
-      val data = child(b, item, "data").getOrElse(return None)
-      val ps = data.payloadStart
-      val pe = data.payloadEnd
-      if (pe - ps < 8) return None // type indicator + locale
-      val dtype = ((b(ps + 1) & 0xff) << 16) | ((b(ps + 2) & 0xff) << 8) |
-        (b(ps + 3) & 0xff)
-      val vs = ps + 8
-      val vLen = pe - vs
-      val name = item.fourcc
-      if (dtype == 1) { // UTF-8 text
-        if (vLen > (1 << 16)) return None
-        out += Mp4Tag(i, name, dtype,
-          new String(b, vs, vLen, "UTF-8"), binary = false)
-      } else if (dtype == 21 && vLen >= 1 && vLen <= 8) { // signed BE
-        var v = if ((b(vs) & 0x80) != 0) -1L else 0L
-        (vs until (vs + vLen)).foreach(j => v = (v << 8) | (b(j) & 0xff))
-        out += Mp4Tag(i, name, dtype, v.toString, binary = false)
-      } else if ((name == "trkn" || name == "disk") && vLen >= 6) {
-        // packed layout: 2 zero, 2 index, 2 total(, 2 zero for trkn)
-        val idx = ((b(vs + 2) & 0xff) << 8) | (b(vs + 3) & 0xff)
-        val total = ((b(vs + 4) & 0xff) << 8) | (b(vs + 5) & 0xff)
-        out += Mp4Tag(i, name, dtype, s"$idx/$total", binary = false)
-      } else {
-        out += Mp4Tag(i, name, dtype, "", binary = true)
+    items.foreach { item =>
+      // editing taggers leave `free`/`skip` padding inside ilst when
+      // tags shrink — padding is not an item, never a refusal
+      if (item.fourcc != "free" && item.fourcc != "skip") {
+        val i = out.length
+        val data = child(b, item, "data").getOrElse(return None)
+        val ps = data.payloadStart
+        val pe = data.payloadEnd
+        if (pe - ps < 8) return None // type indicator + locale
+        val dtype = ((b(ps + 1) & 0xff) << 16) |
+          ((b(ps + 2) & 0xff) << 8) | (b(ps + 3) & 0xff)
+        val vs = ps + 8
+        val vLen = pe - vs
+        val name = item.fourcc
+        if (dtype == 1) { // UTF-8 text
+          if (vLen > (1 << 16)) return None
+          out += Mp4Tag(i, name, dtype,
+            new String(b, vs, vLen, "UTF-8"), binary = false)
+        } else if (dtype == 21 && vLen >= 1 && vLen <= 8) { // signed BE
+          var v = if ((b(vs) & 0x80) != 0) -1L else 0L
+          (vs until (vs + vLen)).foreach(j => v = (v << 8) | (b(j) & 0xff))
+          out += Mp4Tag(i, name, dtype, v.toString, binary = false)
+        } else if ((name == "trkn" || name == "disk") && vLen >= 6) {
+          // packed layout: 2 zero, 2 index, 2 total(, 2 zero for trkn)
+          val idx = ((b(vs + 2) & 0xff) << 8) | (b(vs + 3) & 0xff)
+          val total = ((b(vs + 4) & 0xff) << 8) | (b(vs + 5) & 0xff)
+          out += Mp4Tag(i, name, dtype, s"$idx/$total", binary = false)
+        } else {
+          out += Mp4Tag(i, name, dtype, "", binary = true)
+        }
       }
     }
     Some(out.toSeq)

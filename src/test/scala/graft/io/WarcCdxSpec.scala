@@ -176,6 +176,16 @@ class WarcCdxSpec extends SparkSpec {
     assert(p.getAs[String]("urlkey") === "not%20a%20url")
     assert(p.getAs[String]("timestamp") === "20240305060708")
     assert(p.getAs[String]("url") === "not a url") // JSON field intact
+    // the other structural characters a dirty key can smuggle in:
+    // line terminators (a lone \n inside a header VALUE survives the
+    // CRLF header split) and '{' (parseCdxj's JSON-start probe)
+    val dirty = row.copy(urlkey = "a\nb\rc\td{e")
+    val l2 = WarcCdx.cdxjLine(dirty, "a.warc.gz")
+    assert(!l2.exists(c => c == '\n' || c == '\r' || c == '\t'))
+    assert(l2.startsWith("a%0Ab%0Dc%09d%7Be 20240305060708 {"))
+    val p2 = WarcCdx.parseCdxj(Seq(l2).toDF("line"), "line").collect()(0)
+    assert(p2.getAs[String]("urlkey") === "a%0Ab%0Dc%09d%7Be")
+    assert(p2.getAs[String]("filename") === "a.warc.gz")
   }
 
   test("streaming walk survives members larger than its 64 KiB buffer") {

@@ -542,6 +542,23 @@ class Mp4IndexSpec extends AnyFunSuite {
     assert(Mp4Index.ilstTags(Mp4Index.encodeSyntheticM4a(s9,
       udta = Mp4Index.ilstBox(Seq(("©nam", Array.empty[Byte]))))).isEmpty)
     assert(Mp4Index.ilstTags(Array[Byte](9, 9, 9, 9)).isEmpty)
+    // `free` padding inside ilst (editing taggers leave it when tags
+    // shrink) is skipped, never a refusal, and does not shift indices
+    val padded = Mp4Index.encodeSyntheticM4a(s9,
+      udta = Mp4Index.ilstBox(Seq(
+        ("©nam", Mp4Index.ilstData(1, "Keep".getBytes("UTF-8"))),
+        ("free", Array.fill[Byte](16)(0)),
+        ("©alb", Mp4Index.ilstData(1, "Also".getBytes("UTF-8"))))))
+    assert(Mp4Index.ilstTags(padded).get.map(t => (t.itemIdx, t.name,
+      t.value)) === Seq((0, "©nam", "Keep"), (1, "©alb", "Also")))
+    // a corrupt moov (child overrunning its payload) flags the asset —
+    // NOT "indexed, no tags" (absent-vs-corrupt must not conflate)
+    val base = Mp4Index.encodeSyntheticM4a(s9)
+    val moovBox = Mp4Index.boxes(base, 0, base.length, topLevel = true)
+      .get.find(_.fourcc == "moov").get
+    val bad = base.clone()
+    bad(moovBox.payloadStart) = 0x7f // trak's size high byte: huge
+    assert(Mp4Index.ilstTags(bad).isEmpty)
     // the tagged fixture still audio-indexes (udta must not disturb
     // the sample-table walk)
     assert(Mp4Index.audioSampleTable(tagged).nonEmpty)
