@@ -1140,6 +1140,41 @@ object Mp4Index {
     Some(out.toSeq)
   }
 
+  /** [[ilstTags]] for SEEKABLE (>2 GiB / distributed-FS) files: walk
+    * the TOP-LEVEL box headers by 16-byte reads (mdat is skipped by
+    * seek, never read), fetch the `moov` payload whole — kilobytes
+    * to low megabytes regardless of file size, capped by
+    * `maxMetaBytes` against hostile sizes — and run the ONE
+    * in-memory parse on that slice (a moov slice is itself a valid
+    * one-box file, so there is no twin implementation to drift).
+    * None when the headers do not tile, no moov exists, or moov
+    * exceeds the cap. */
+  def ilstTagsSeekable(r: RangeReader,
+      maxMetaBytes: Int = 1 << 26): Option[Seq[Mp4Tag]] = {
+    val len = r.length
+    var at = 0L
+    var moov: Array[Byte] = null
+    while (at < len) {
+      if (len - at < 8) return None
+      val hb = r.readFully(at, math.min(16L, len - at).toInt)
+      var size = u32(hb, 0)
+      var hdr = 8L
+      if (size == 1) {
+        if (hb.length < 16) return None
+        size = u64(hb, 8); hdr = 16
+      } else if (size == 0) {
+        size = len - at // "extends to EOF": last-top-level, §4.2
+      }
+      if (size < hdr || size > len - at) return None
+      if (fourcc(hb, 4) == "moov" && moov == null) {
+        if (size > maxMetaBytes) return None
+        moov = r.readFully(at, size.toInt)
+      }
+      at += size
+    }
+    if (moov == null) None else ilstTags(moov)
+  }
+
   /** A `data` atom for [[ilstBox]] fixtures: type indicator +
     * zeroed locale + payload. */
   def ilstData(dataType: Int, payload: Array[Byte]): Array[Byte] =

@@ -1785,6 +1785,36 @@ object Multimodal {
       })
   }
 
+  /** [[extractMp4Tags]] for PATH-addressed (>2 GiB / distributed-FS)
+    * corpora: top-level headers by seek + one bounded moov fetch
+    * ([[Mp4Index.ilstTagsSeekable]]) — mdat never read. Unreadable/
+    * ill-formed paths emit the flagged row. */
+  def extractMp4TagsByPath(df: DataFrame, idCol: String,
+      pathCol: String)(
+      implicit spark: SparkSession): Dataset[Mp4TagRow] = {
+    import spark.implicits._
+    val confBc = graft.io.PathIO.confBroadcast(spark)
+    df.select(col(idCol).cast("long"), col(pathCol).cast("string"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val conf = confBc.value.value
+        it.flatMap { case (id, path) =>
+          val parsed =
+            try {
+              val r = graft.io.PathIO.openRange(path, conf)
+              try Mp4Index.ilstTagsSeekable(r) finally r.close()
+            } catch { case scala.util.control.NonFatal(_) => None }
+          parsed match {
+            case Some(ts) => ts.iterator.map(t => Mp4TagRow(id,
+              t.itemIdx, t.name, t.dataType, t.value, t.binary,
+              indexed = true))
+            case None => Iterator.single(Mp4TagRow(id, -1, "", -1, "",
+              binary = false, indexed = false))
+          }
+        }
+      }
+  }
+
   /** Header-only video facts: frame/keyframe counts from the sample
     * table and the mvhd duration; `duration_s` is −1 when the moov
     * declares none (header-less synthetic muxes). `indexed = false`

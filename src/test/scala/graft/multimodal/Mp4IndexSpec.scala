@@ -562,5 +562,12 @@ class Mp4IndexSpec extends AnyFunSuite {
     // the tagged fixture still audio-indexes (udta must not disturb
     // the sample-table walk)
     assert(Mp4Index.audioSampleTable(tagged).nonEmpty)
+    // the seekable twin IS the in-memory walk (one implementation:
+    // the fetched moov slice), mdat skipped by seek
+    assert(Mp4Index.ilstTagsSeekable(
+      new Mp4Index.BytesRangeReader(tagged)).get === ts)
+    // a moov past the metadata cap refuses instead of allocating
+    assert(Mp4Index.ilstTagsSeekable(
+      new Mp4Index.BytesRangeReader(tagged), maxMetaBytes = 16).isEmpty)
   }
 }

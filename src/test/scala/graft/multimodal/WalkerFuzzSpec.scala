@@ -65,6 +65,8 @@ class WalkerFuzzSpec extends AnyFunSuite {
     ("MkvIndex.chapters", MkvIndex.chapters _),
     ("MkvIndex.mkvTags", MkvIndex.mkvTags _),
     ("Mp4Index.ilstTags", Mp4Index.ilstTags _),
+    ("Mp4Index.ilstSeek", (b: Array[Byte]) =>
+      Mp4Index.ilstTagsSeekable(new Mp4Index.BytesRangeReader(b))),
     ("CodecConfigs.esds",
       (b: Array[Byte]) => CodecConfigs.parseEsds(b, 0, b.length)),
     ("CodecConfigs.dOps",
