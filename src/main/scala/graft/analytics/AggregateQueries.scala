@@ -379,8 +379,11 @@ object AggregateQueries {
       call_function("space_saving_topk", col("key"), lit(16)).as("s"))
     val exact = keyed.filter(col("key") === "hot")
       .agg(count(lit(1)).as("exact_hot"))
-    val hotEntry = element_at(
-      filter(col("s"), e => e("key") === "hot"), 1)
+    // try_element_at: on a degenerate corpus where the probed key is
+    // absent the filter yields an empty array, and under ANSI a plain
+    // element_at(…, 1) would abort the job instead of yielding nulls
+    val hotEntry = try_element_at(
+      filter(col("s"), e => e("key") === "hot"), lit(1))
     summary.crossJoin(exact).select(
       col("exact_hot"),
       exists(col("s"), e => e("key") === "hot").as("in_summary"),
@@ -437,10 +440,13 @@ object AggregateQueries {
     sampled.select(col("l_returnflag"),
       sort_array(transform(col("s"), e => e("v"))).as("vs"),
       size(col("s")).as("k"))
+      // try_element_at: a group with <48 sampled rows has no such
+      // order statistic — null, matching the oracle's CASE (a plain
+      // element_at would ANSI-throw on the degenerate group)
       .select(col("l_returnflag"),
-        element_at(col("vs"), 16).as("p25"),
-        element_at(col("vs"), 32).as("p50"),
-        element_at(col("vs"), 48).as("p75"),
+        try_element_at(col("vs"), lit(16)).as("p25"),
+        try_element_at(col("vs"), lit(32)).as("p50"),
+        try_element_at(col("vs"), lit(48)).as("p75"),
         col("k"))
       .orderBy("l_returnflag")
   }

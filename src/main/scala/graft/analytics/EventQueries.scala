@@ -219,8 +219,13 @@ object EventQueries {
       .agg(map_from_entries(collect_list(struct(col("event_type"), col("n"))))
         .as("m"))
       .select(col("user_id"),
-        coalesce(element_at(col("m"), "purchase"), lit(0L)).as("n_purchase"),
-        coalesce(element_at(col("m"), "click"), lit(0L)).as("n_click"),
+        // try_element_at: under ANSI a missing map key THROWS from
+        // plain element_at (the coalesce never sees a null) — a user
+        // with no purchases must count 0, not kill the job
+        coalesce(try_element_at(col("m"), lit("purchase")), lit(0L))
+          .as("n_purchase"),
+        coalesce(try_element_at(col("m"), lit("click")), lit(0L))
+          .as("n_click"),
         array_join(sort_array(map_keys(col("m"))), ",").as("types"))
       .orderBy("user_id")
   }

@@ -33,6 +33,13 @@ object SparkEnv {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      // ANSI mode ON — deliberate, not inherited: the full query
+      // catalog is oracle-green under it, overflow/bad-cast bugs
+      // surface as errors instead of silent nulls, and coerce-style
+      // sites opt out locally via try_cast/try_element_at/try_add.
+      // Positional array/map reads that can miss must use the try_
+      // variants (see the degenerate-input specs).
+      .config("spark.sql.ansi.enabled", "true")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.parquet.filterPushdown", "true")
       // TIMESTAMP(NANOS) parquet columns surface as longs; Tables.readParquet
