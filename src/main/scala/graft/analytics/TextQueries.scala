@@ -2361,8 +2361,13 @@ object TextQueries {
     * timestamp/mime/status literals, IDENTICAL field rows for both
     * carriages (compressed vs plain — oracle-pinned parity), a
     * corrupt asset as the flagged row, `digest_ok` pinning the
-    * 32-char base32 digest shape (the digest VALUE is pinned
-    * end-to-end by q_warc_hydrate's fetch-and-recompute match).
+    * 32-char base32 BLOCK digest shape (the digest VALUE is pinned
+    * end-to-end by q_warc_hydrate's fetch-and-recompute match), and
+    * `payload_digest_ok` pinning the PAYLOAD digest semantics — the
+    * request record's empty entity body digests to the published
+    * SHA-1("") base32 vector (a hand-derivable constant), response
+    * payload digests are well-formed and differ from the block
+    * digest (the body is a strict subset of the content block).
     */
   val qWarcCdx: QueryDef = QueryDef.sql(
     "q_warc_cdx",
@@ -2370,27 +2375,28 @@ object TextQueries {
       |  (CAST(1 AS BIGINT), 0, 'com,example)/a/b?a=1&b=2',
       |   '20240305060708',
       |   'http://www.Example.COM:80/A/B?b=2&a=1&utm_x=9#frag',
-      |   'text/html', 200, 'response', true, true, true, true),
+      |   'text/html', 200, 'response', true, true, true, true, true),
       |  (CAST(1 AS BIGINT), 1, 'com,example)/a/b', '20240305060708',
       |   'http://www.example.com/a/b', 'application/http', -1,
-      |   'request', true, true, true, true),
+      |   'request', true, true, true, true, true),
       |  (CAST(1 AS BIGINT), 2, 'org,test,sub:8443)/x', '20240305060709',
       |   'https://sub.test.org:8443/X', 'text/plain', 200, 'response',
-      |   true, true, true, true),
+      |   true, true, true, true, true),
       |  (CAST(2 AS BIGINT), 0, 'com,example)/a/b?a=1&b=2',
       |   '20240305060708',
       |   'http://www.Example.COM:80/A/B?b=2&a=1&utm_x=9#frag',
-      |   'text/html', 200, 'response', true, true, true, true),
+      |   'text/html', 200, 'response', true, true, true, true, true),
       |  (CAST(2 AS BIGINT), 1, 'com,example)/a/b', '20240305060708',
       |   'http://www.example.com/a/b', 'application/http', -1,
-      |   'request', true, true, true, true),
+      |   'request', true, true, true, true, true),
       |  (CAST(2 AS BIGINT), 2, 'org,test,sub:8443)/x', '20240305060709',
       |   'https://sub.test.org:8443/X', 'text/plain', 200, 'response',
-      |   true, true, true, true),
-      |  (CAST(3 AS BIGINT), -1, '', '', '', '', -1, '', false, false,
-      |   false, true))
+      |   true, true, true, true, true),
+      |  (CAST(3 AS BIGINT), -1, '', '', '', '', -1, '', false, true,
+      |   false, false, true))
       |  AS t(asset_id, record_idx, urlkey, timestamp, url, mime,
-      |       status, warc_type, digest_ok, parsed, indexed, cdxj_ok)
+      |       status, warc_type, digest_ok, payload_digest_ok, parsed,
+      |       indexed, cdxj_ok)
       |ORDER BY asset_id, record_idx""".stripMargin,
     doc = "WARC -> CDX index rows (SURT urlkey, timestamp, mime, " +
       "status, digest, member spans) on gzip + plain carriages, with " +
@@ -2442,12 +2448,23 @@ object TextQueries {
         col("timestamp"), col("url"), col("mime"), col("status"),
         col("warc_type"), col("digest").rlike("^[A-Z2-7]{32}$")
           .as("digest_ok"),
+        // the request's empty entity body pins the payload digest
+        // VALUE (SHA-1("") in base32 — a published constant); response
+        // payloads are well-formed and differ from the block digest
+        when(col("warc_type") === "request", col("payload_digest") ===
+            "3I42H3S6NNFQ2MSVX7XZKYAYSCX5QBYJ")
+          .when(col("parsed"),
+            col("payload_digest").rlike("^[A-Z2-7]{32}$") &&
+              col("payload_digest") =!= col("digest"))
+          .otherwise(col("payload_digest") === "")
+          .as("payload_digest_ok"),
         col("parsed"), col("indexed"),
         (col("p_urlkey") === col("urlkey") &&
           col("p_ts") === col("timestamp") &&
           col("p_url") === col("url") && col("p_mime") === col("mime") &&
           col("p_status") === col("status") &&
-          col("p_digest") === col("digest") &&
+          // the CDXJ digest field is the PAYLOAD digest (CC layout)
+          col("p_digest") === col("payload_digest") &&
           col("p_offset") === col("offset") &&
           col("p_length") === col("length")).as("cdxj_ok"))
       .orderBy("asset_id", "record_idx")
@@ -2463,21 +2480,25 @@ object TextQueries {
     * Oracle: exactly the 2 selected records' rows (the 404, the GIF
     * and the request never fetch — row count IS the pruning proof),
     * hand-derived urlkey/title/text literals, `digest_match` pinning
-    * that the digest RECOMPUTED from fetched bytes equals the index's
-    * digest (end-to-end byte integrity across the fetch boundary),
-    * plus an out-of-range span as the flagged refusal row.
+    * that the BLOCK digest RECOMPUTED from fetched bytes equals the
+    * index's (end-to-end byte integrity across the fetch boundary),
+    * `payload_match` pinning the same for the PAYLOAD digest — the
+    * check that works against published Common Crawl indexes, whose
+    * rows carry the payload digest — plus an out-of-range span as
+    * the flagged refusal row.
     */
   val qWarcHydrate: QueryDef = QueryDef.sql(
     "q_warc_hydrate",
     """SELECT * FROM (VALUES
       |  (CAST(0 AS BIGINT), 'example,en)/page', 'http://en.example/page',
-      |   200, 'text/html', 'Alpha', 'The quick start.', true, true),
+      |   200, 'text/html', 'Alpha', 'The quick start.', true, true, true),
       |  (CAST(4 AS BIGINT), 'example,de)/seite',
       |   'http://de.example/seite', 200, 'text/html', 'Beta',
-      |   'Zweite Seite gut.', true, true),
-      |  (CAST(99 AS BIGINT), '', '', -1, '', '', '', false, false))
+      |   'Zweite Seite gut.', true, true, true),
+      |  (CAST(99 AS BIGINT), '', '', -1, '', '', '', false, false,
+      |   false))
       |  AS t(record_idx, urlkey, url, status, mime, title, text,
-      |       digest_match, hydrated)
+      |       digest_match, payload_match, hydrated)
       |ORDER BY record_idx""".stripMargin,
     doc = "CDX index on disk -> filter the index -> ranged-fetch ONLY " +
       "matching gzip members -> inflate + parse + HTML text, digest-" +
@@ -2547,7 +2568,9 @@ object TextQueries {
     // from the FETCHED bytes (left join: the refusal row has neither)
     val idxDigest = cdx.toDF.select(
       col("record_idx").cast("long").as("j_idx"),
-      col("digest").as("idx_digest"), col("urlkey").as("idx_urlkey"))
+      col("digest").as("idx_digest"),
+      col("payload_digest").as("idx_payload"),
+      col("urlkey").as("idx_urlkey"))
     hydrated.toDF.join(idxDigest, col("id") === col("j_idx"), "left")
       .select(col("id").as("record_idx"),
         coalesce(when(col("hydrated"), col("idx_urlkey")), lit(""))
@@ -2555,6 +2578,8 @@ object TextQueries {
         col("url"), col("status"), col("mime"), col("title"), col("text"),
         coalesce(col("digest") === col("idx_digest") && col("hydrated"),
           lit(false)).as("digest_match"),
+        coalesce(col("payload_digest") === col("idx_payload") &&
+          col("hydrated"), lit(false)).as("payload_match"),
         col("hydrated"))
       .orderBy("record_idx")
   }

@@ -44,10 +44,15 @@ import org.apache.spark.sql.functions.col
   * Content-Type otherwise; `status` is the HTTP status for
   * `response` records, -1 otherwise; `digest` is the SHA-1 of the
   * record's CONTENT BLOCK in base32 — the WARC spec's own
-  * `WARC-Block-Digest` definition (ISO 28500 §5.8; Common Crawl's
-  * CDX carries the payload digest instead — block digest is chosen
-  * because it is computable in ONE streaming pass with no HTTP-head
-  * re-buffering, and it pins strictly more bytes).
+  * `WARC-Block-Digest` definition (ISO 28500 §5.8), pinning strictly
+  * more bytes than any payload form; `payload_digest` is the SHA-1 of
+  * the PAYLOAD (the transfer-decoded HTTP entity body for
+  * `application/http` records, the content block otherwise) — the
+  * `WARC-Payload-Digest` definition and THE digest published Common
+  * Crawl indexes carry, so `hydrateByCdx` output verifies against
+  * both self-built indexes (block or payload) and published
+  * `cdx-*.gz` rows (payload). [[cdxjLine]] serializes the payload
+  * digest for the same interop reason.
   *
   * Strictness: gzip members validate like [[GzipMembers]] (header
   * flags, per-member CRC-32 + ISIZE, exact tiling) — a broken member
@@ -170,10 +175,63 @@ object WarcCdx {
   // Single-record parse
   // ------------------------------------------------------------------
 
-  /** The CDX facts of one record. */
+  /** The CDX facts of one record. `digest` is the BLOCK digest (whole
+    * content block); `payloadDigest` is the PAYLOAD digest — the
+    * HTTP entity body, transfer-decoded, for `application/http`
+    * records, and the content block itself otherwise (ISO 28500's
+    * `WARC-Payload-Digest` definition, the digest published Common
+    * Crawl indexes carry). */
   private[io] final case class RecordFacts(warcType: String, url: String,
       date: String, mime: String, status: Int, digest: String,
-      contentStart: Int, contentLen: Long, bodyStart: Long, bodyLen: Long)
+      payloadDigest: String, contentStart: Int, contentLen: Long,
+      bodyStart: Long, bodyLen: Long)
+
+  /** Decode an HTTP/1.1 `Transfer-Encoding: chunked` body
+    * `b[from, until)`: hex size line (extensions after `;` ignored),
+    * CRLF, chunk bytes, CRLF, …, terminated by a 0-size chunk
+    * (trailers ignored). None on any framing violation — the caller
+    * falls back to digesting the raw body, so a malformed chunked
+    * capture still gets a deterministic digest rather than a refusal
+    * (total, never throws). */
+  private[io] def dechunk(b: Array[Byte], from: Int, until: Int)
+      : Option[Array[Byte]] = {
+    val out = new java.io.ByteArrayOutputStream()
+    var p = from
+    while (true) {
+      // hex chunk-size line
+      var lineEnd = p
+      while (lineEnd + 1 < until &&
+        !(b(lineEnd) == '\r' && b(lineEnd + 1) == '\n')) lineEnd += 1
+      if (lineEnd + 1 >= until) return None
+      val sizeStr = new String(b, p, lineEnd - p, "ISO-8859-1")
+        .split(";")(0).trim
+      if (sizeStr.isEmpty || !sizeStr.forall(c =>
+        (c >= '0' && c <= '9') || (c >= 'a' && c <= 'f') ||
+          (c >= 'A' && c <= 'F'))) return None
+      val size =
+        try java.lang.Long.parseLong(sizeStr, 16)
+        catch { case _: NumberFormatException => return None }
+      p = lineEnd + 2
+      if (size == 0) return Some(out.toByteArray) // trailers ignored
+      if (size > until.toLong - p) return None
+      out.write(b, p, size.toInt)
+      p += size.toInt
+      // chunk-data CRLF
+      if (p + 1 >= until || b(p) != '\r' || b(p + 1) != '\n') return None
+      p += 2
+    }
+    None // unreachable
+  }
+
+  /** Whether the HTTP head declares `Transfer-Encoding: chunked`. */
+  private def isChunked(httpHead: Array[Byte], bodyOff: Int): Boolean = {
+    val headStr = new String(httpHead, 0,
+      math.min(bodyOff, httpHead.length), "ISO-8859-1")
+    headStr.split("\r\n").iterator.drop(1).exists { l =>
+      val lo = l.toLowerCase(java.util.Locale.ROOT)
+      lo.startsWith("transfer-encoding:") && lo.contains("chunked")
+    }
+  }
 
   /** Parse `b[from, until)` as EXACTLY one WARC record (the one-
     * record-per-gzip-member contract): version line, header block
@@ -206,21 +264,37 @@ object WarcCdx {
     var status = -1
     var bodyStart = -1L
     var bodyLen = -1L
+    val blockDigest = sha1Base32(b, contentStart, len.toInt)
+    // payload digest defaults to the block digest (non-http records:
+    // the payload IS the content block) and narrows to the transfer-
+    // decoded HTTP body when an http head parses
+    var payloadDigest = blockDigest
     if (recCt.startsWith("application/http") && len > 0) {
       val probeLen = math.min(len, MaxHeaderBytes.toLong).toInt
       val httpHead = java.util.Arrays.copyOfRange(b, contentStart,
         contentStart + probeLen)
       val (st, bo) = Warc.parseHttpHead(httpHead)
-      if (bo >= 0 && warcType == "response") {
-        status = st
-        bodyStart = (contentStart + bo).toLong
-        bodyLen = len - bo
-        mime = httpContentType(httpHead, bo).getOrElse("unk")
+      if (bo >= 0) {
+        val bFrom = contentStart + bo
+        val bUntil = contentStart + len.toInt
+        payloadDigest =
+          (if (isChunked(httpHead, bo)) dechunk(b, bFrom, bUntil)
+           else None) match {
+            case Some(dec) => sha1Base32(dec, 0, dec.length)
+            // identity encoding — or malformed chunking, where the
+            // raw body is the only deterministic thing to digest
+            case None => sha1Base32(b, bFrom, bUntil - bFrom)
+          }
+        if (warcType == "response") {
+          status = st
+          bodyStart = bFrom.toLong
+          bodyLen = len - bo
+          mime = httpContentType(httpHead, bo).getOrElse("unk")
+        }
       }
     }
-    Some(RecordFacts(warcType, url, date, mime, status,
-      sha1Base32(b, contentStart, len.toInt), contentStart, len,
-      bodyStart, bodyLen))
+    Some(RecordFacts(warcType, url, date, mime, status, blockDigest,
+      payloadDigest, contentStart, len, bodyStart, bodyLen))
   }
 
   /** Bare lowercased media type — parameters (`; charset=…`) off. */
@@ -381,8 +455,8 @@ object WarcCdx {
     * (or exceeded `maxRecordBytes`) — field columns empty. */
   final case class CdxEntry(recordIdx: Int, urlkey: String,
       timestamp: String, url: String, mime: String, status: Int,
-      digest: String, offset: Long, length: Long, uncompLen: Long,
-      warcType: String, parsed: Boolean)
+      digest: String, payloadDigest: String, offset: Long, length: Long,
+      uncompLen: Long, warcType: String, parsed: Boolean)
 
   private def entryFor(idx: Int, offset: Long, length: Long,
       uncompLen: Long, bytes: Option[Array[Byte]]): CdxEntry =
@@ -393,10 +467,10 @@ object WarcCdx {
       uncompLen: Long, facts: Option[RecordFacts]): CdxEntry =
     facts match {
       case Some(f) => CdxEntry(idx, surtKey(f.url), timestamp14(f.date),
-        f.url, f.mime, f.status, f.digest, offset, length, uncompLen,
-        f.warcType, parsed = true)
-      case None => CdxEntry(idx, "", "", "", "", -1, "", offset, length,
-        uncompLen, "", parsed = false)
+        f.url, f.mime, f.status, f.digest, f.payloadDigest, offset,
+        length, uncompLen, f.warcType, parsed = true)
+      case None => CdxEntry(idx, "", "", "", "", -1, "", "", offset,
+        length, uncompLen, "", parsed = false)
     }
 
   /** The CDX index over archive BYTES: `.warc.gz` walks gzip members
@@ -433,17 +507,18 @@ object WarcCdx {
   /** One CDX row; `indexed = false` flags an unwalkable asset. */
   final case class CdxRow(asset_id: Long, record_idx: Int, urlkey: String,
       timestamp: String, url: String, mime: String, status: Int,
-      digest: String, offset: Long, length: Long, uncomp_len: Long,
-      warc_type: String, parsed: Boolean, indexed: Boolean)
+      digest: String, payload_digest: String, offset: Long, length: Long,
+      uncomp_len: Long, warc_type: String, parsed: Boolean,
+      indexed: Boolean)
 
   private def rows(id: Long, entries: Option[Seq[CdxEntry]])
       : Iterator[CdxRow] = entries match {
     case Some(es) => es.iterator.map(e =>
       CdxRow(id, e.recordIdx, e.urlkey, e.timestamp, e.url, e.mime,
-        e.status, e.digest, e.offset, e.length, e.uncompLen, e.warcType,
-        e.parsed, indexed = true))
+        e.status, e.digest, e.payloadDigest, e.offset, e.length,
+        e.uncompLen, e.warcType, e.parsed, indexed = true))
     case None => Iterator.single(CdxRow(id, -1, "", "", "", "", -1, "",
-      0L, 0L, 0L, "", parsed = false, indexed = false))
+      "", 0L, 0L, 0L, "", parsed = false, indexed = false))
   }
 
   /** CDX indexing over an (id, bytes) corpus. mapPartitions, flagged
@@ -484,8 +559,15 @@ object WarcCdx {
             try {
               val raw = new java.io.PushbackInputStream(
                 PathIO.openStream(path, conf), 2)
-              val h0 = raw.read()
-              val h1 = raw.read()
+              // the probe reads can themselves fail (network stream);
+              // close before the outer catch flags the row, or the
+              // handle leaks once per failing path
+              val (h0, h1) =
+                try (raw.read(), raw.read())
+                catch {
+                  case scala.util.control.NonFatal(e) =>
+                    raw.close(); throw e
+                }
               if (h0 == 0x1f && h1 == 0x8b) {
                 raw.unread(h1); raw.unread(h0)
                 try {
@@ -522,14 +604,16 @@ object WarcCdx {
   // ------------------------------------------------------------------
 
   /** One hydrated record: the fields re-derived from the FETCHED
-    * bytes (digest included — comparing it against the index row's
-    * digest pins byte integrity across the fetch), plus HTML
-    * title/text when the body is markup. `hydrated = false` flags
-    * refusal (fetch failed, inflate failed, not exactly one
-    * record). */
+    * bytes (both digests included — comparing `digest` against a
+    * self-built index row's block digest, or `payload_digest` against
+    * a PUBLISHED Common Crawl index row's digest, pins byte integrity
+    * across the fetch), plus HTML title/text when the body is markup.
+    * `hydrated = false` flags refusal (fetch failed, inflate failed,
+    * not exactly one record). */
   final case class HydratedRecord(id: Long, warc_type: String,
       url: String, status: Int, mime: String, digest: String,
-      title: String, text: String, n_bytes: Long, hydrated: Boolean)
+      payload_digest: String, title: String, text: String,
+      n_bytes: Long, hydrated: Boolean)
 
   /** Selective record hydration from CDX rows `(id, path, offset,
     * length)`: [[SpanFetch]] moves exactly the indexed spans (ranged
@@ -564,11 +648,11 @@ object WarcCdx {
                 rf.bodyLen)
             else None
           HydratedRecord(f.id, rf.warcType, rf.url, rf.status, rf.mime,
-            rf.digest, page.map(_._1).getOrElse(""),
+            rf.digest, rf.payloadDigest, page.map(_._1).getOrElse(""),
             page.map(_._2).getOrElse(""), u.length.toLong,
             hydrated = true)
-        case None => HydratedRecord(f.id, "", "", -1, "", "", "", "", 0L,
-          hydrated = false)
+        case None => HydratedRecord(f.id, "", "", -1, "", "", "", "",
+          "", 0L, hydrated = false)
       }
     }
   }
@@ -590,7 +674,12 @@ object WarcCdx {
 
   /** One CDXJ line: `urlkey timestamp {json}` — the published Common
     * Crawl index layout (numeric fields as strings, per the format's
-    * own convention). The text form is SPACE-delimited, so a urlkey
+    * own convention). The JSON `digest` field carries the PAYLOAD
+    * digest — what published CC index rows carry, so emitted lines
+    * interoperate with CC tooling and with [[hydrateByCdx]]'s
+    * payload-digest verification; the block digest stays a column of
+    * [[CdxRow]] for self-built-index integrity checks. The text form
+    * is SPACE-delimited, so a urlkey
     * carrying spaces (dirty non-URL WARC-Target-URIs pass through
     * [[surtKey]] totally) serializes with `%20` in their place —
     * real canonicalized urlkeys never contain spaces, and an escaped
@@ -599,7 +688,14 @@ object WarcCdx {
     * treatment covers the other structural characters a dirty key
     * could smuggle in: CR/LF/TAB (line terminators — a lone `\n`
     * inside a header VALUE survives [[Warc.headerMap]]'s CRLF split)
-    * and `{` (which [[parseCdxj]]'s JSON-start probe keys on). */
+    * and `{` (which [[parseCdxj]]'s JSON-start probe keys on).
+    *
+    * The escape is ONE-WAY by design: [[parseCdxj]] does not decode
+    * it, because legitimate urlkeys carry the original URL's own
+    * percent-encoding and published-index interop requires verbatim
+    * keys (see the parse-side doc). A dirty escaped key therefore
+    * reads back escaped — the readable-and-joinable form for a key
+    * that was never a real URL to begin with. */
   def cdxjLine(e: CdxRow, filename: String): String = {
     val key = {
       val k = e.urlkey
@@ -622,7 +718,8 @@ object WarcCdx {
     j.append("{\"url\": \"").append(jsonEscape(e.url))
       .append("\", \"mime\": \"").append(jsonEscape(e.mime))
       .append("\", \"status\": \"").append(e.status)
-      .append("\", \"digest\": \"").append(jsonEscape(e.digest))
+      .append("\", \"digest\": \"").append(jsonEscape(
+        if (e.payload_digest.nonEmpty) e.payload_digest else e.digest))
       .append("\", \"length\": \"").append(e.length)
       .append("\", \"offset\": \"").append(e.offset)
       .append("\", \"filename\": \"").append(jsonEscape(filename))
@@ -634,9 +731,26 @@ object WarcCdx {
     * PUBLISHED index files (Common Crawl's `cdx-*.gz`): urlkey and
     * timestamp split off the first two spaces, the rest `from_json`
     * (codegen'd — no UDF). Unparseable lines keep their `line` with
-    * null fields, so corrupt index shards stay visible. Columns:
-    * urlkey, timestamp, url, mime, status (int), digest, length,
-    * offset (long), filename. */
+    * null fields, so corrupt index shards stay visible — and that
+    * contract holds under Spark 4's default ANSI mode: every
+    * positional read is the `try_` variant and every numeric cast is
+    * `try_cast`, so a blank line, a truncated final line, a line
+    * without spaces, or a `-` placeholder in a numeric field (common
+    * in published wayback data) yields a null-field row, never a
+    * thrown `INVALID_ARRAY_INDEX`/`CAST_INVALID_INPUT` that would
+    * kill the whole batch or [[graft.streaming.StreamCdx]] stream.
+    *
+    * The urlkey column is VERBATIM — [[cdxjLine]]'s `%20`-style
+    * escapes of dirty keys are deliberately NOT decoded here, because
+    * legitimate canonicalized urlkeys carry the original URL's own
+    * percent-encoding (`com,example)/a%20b` for `/a%20b`), and a
+    * published Common Crawl index row must join byte-for-byte against
+    * [[surtKey]] output. Decoding would corrupt every such key to
+    * make a dirty-key round-trip cosmetic; the asymmetry is the
+    * documented price of interop (see [[cdxjLine]]).
+    *
+    * Columns: urlkey, timestamp, url, mime, status (int), digest,
+    * length, offset (long), filename. */
   def parseCdxj(df: DataFrame, lineCol: String): DataFrame = {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.types._
@@ -645,19 +759,23 @@ object WarcCdx {
       StructField("status", StringType), StructField("digest", StringType),
       StructField("length", StringType), StructField("offset", StringType),
       StructField("filename", StringType)))
-    val line = col(lineCol)
-    // the JSON object begins at the first '{' — slice from there
-    val j = from_json(
-      expr(s"substring($lineCol, instr($lineCol, '{'))"), schema)
-    df.withColumn("urlkey", substring_index(line, " ", 1))
-      .withColumn("timestamp",
-        element_at(split(line, " ", 3), 2))
+    // Column API throughout (no SQL-string splice); the name is
+    // backtick-quoted so a column needing quoting (dots/spaces)
+    // resolves as ONE name instead of a nested-field path
+    val line = col("`" + lineCol.replace("`", "``") + "`")
+    val toks = split(line, " ", 3)
+    val jsonTok = try_element_at(toks, lit(3))
+    // a well-formed CDXJ line is exactly `urlkey timestamp {json}`
+    val ok = size(toks) === 3 && jsonTok.startsWith("{")
+    val j = from_json(when(ok, jsonTok), schema)
+    df.withColumn("urlkey", when(ok, try_element_at(toks, lit(1))))
+      .withColumn("timestamp", when(ok, try_element_at(toks, lit(2))))
       .withColumn("url", j("url"))
       .withColumn("mime", j("mime"))
-      .withColumn("status", j("status").cast("int"))
+      .withColumn("status", j("status").try_cast("int"))
       .withColumn("digest", j("digest"))
-      .withColumn("length", j("length").cast("long"))
-      .withColumn("offset", j("offset").cast("long"))
+      .withColumn("length", j("length").try_cast("long"))
+      .withColumn("offset", j("offset").try_cast("long"))
       .withColumn("filename", j("filename"))
   }
 }

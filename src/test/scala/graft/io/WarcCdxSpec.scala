@@ -99,6 +99,87 @@ class WarcCdxSpec extends SparkSpec {
     assert(idx.forall(_.digest.matches("[A-Z2-7]{32}")))
   }
 
+  test("payload digest: the transfer-decoded HTTP body; block unchanged") {
+    val idx = WarcCdx.cdxIndex(gz).get
+    // response: payload = the entity body, so the payload digest is
+    // SHA-1(body) — recomputed independently — and differs from the
+    // block digest (which also covers the HTTP head)
+    val body0 = ("<html><head><title>T1</title></head><body><p>Hello " +
+      "CDX</p></body></html>").getBytes("UTF-8")
+    assert(idx(0).payloadDigest ===
+      WarcCdx.sha1Base32(body0, 0, body0.length))
+    assert(idx(0).payloadDigest !== idx(0).digest)
+    // request: empty entity body — the published empty-input vector
+    assert(idx(1).payloadDigest === "3I42H3S6NNFQ2MSVX7XZKYAYSCX5QBYJ")
+    // non-http record: payload IS the content block
+    val res = Warc.encodeSyntheticHeaders(Seq((Seq(
+      "WARC-Type" -> "resource",
+      "WARC-Target-URI" -> "http://a.example/r",
+      "WARC-Date" -> "2024-03-05T06:07:08Z",
+      "Content-Type" -> "text/plain"), "raw bytes".getBytes("UTF-8"))))
+    val rIdx = WarcCdx.cdxIndex(Warc.gzipPerRecord(Seq(res))).get
+    assert(rIdx.head.payloadDigest === rIdx.head.digest)
+  }
+
+  test("chunked transfer-encoding: payload digest is of the DECODED body") {
+    val decoded = "Hello chunked payload".getBytes("UTF-8")
+    val chunked = "7\r\nHello c\r\nE\r\nhunked payload\r\n0\r\n\r\n"
+      .getBytes("ISO-8859-1")
+    val rec = Warc.encodeSyntheticHeaders(Seq((Seq(
+      "WARC-Type" -> "response",
+      "WARC-Record-ID" -> "<urn:uuid:chunked>",
+      "WARC-Date" -> "2024-03-05T06:07:08Z",
+      "WARC-Target-URI" -> "http://a.example/chunked",
+      "Content-Type" -> "application/http; msgtype=response"),
+      Warc.httpResponse(200, "OK",
+        Seq("Content-Type" -> "text/plain",
+          "Transfer-Encoding" -> "chunked"), chunked))))
+    val idx = WarcCdx.cdxIndex(Warc.gzipPerRecord(Seq(rec))).get
+    assert(idx.head.payloadDigest ===
+      WarcCdx.sha1Base32(decoded, 0, decoded.length))
+    // malformed chunking falls back to the raw-body digest (total)
+    val badChunk = "ZZ\r\nnot hex\r\n".getBytes("ISO-8859-1")
+    val bad = Warc.encodeSyntheticHeaders(Seq((Seq(
+      "WARC-Type" -> "response",
+      "WARC-Record-ID" -> "<urn:uuid:badchunk>",
+      "WARC-Date" -> "2024-03-05T06:07:08Z",
+      "WARC-Target-URI" -> "http://a.example/bad",
+      "Content-Type" -> "application/http; msgtype=response"),
+      Warc.httpResponse(200, "OK",
+        Seq("Transfer-Encoding" -> "chunked"), badChunk))))
+    val bIdx = WarcCdx.cdxIndex(Warc.gzipPerRecord(Seq(bad))).get
+    assert(bIdx.head.parsed)
+    assert(bIdx.head.payloadDigest ===
+      WarcCdx.sha1Base32(badChunk, 0, badChunk.length))
+    // dechunk itself: framing violations are None, never throws
+    assert(WarcCdx.dechunk("5\r\nab".getBytes("ISO-8859-1"), 0, 5).isEmpty)
+    assert(WarcCdx.dechunk(Array.empty[Byte], 0, 0).isEmpty)
+  }
+
+  test("hydrateByCdx verifies against a published-style payload-digest index") {
+    // the Common Crawl consumption contract end-to-end: serialize the
+    // index to CDXJ (digest field = PAYLOAD digest, the published
+    // convention), parse it back as a consumer would a cdx-*.gz row,
+    // hydrate the selected member, and match the recomputed payload
+    // digest against the INDEX row's digest
+    val dir = java.nio.file.Files.createTempDirectory("cdx_pub")
+    val f = dir.resolve("shard.warc.gz")
+    java.nio.file.Files.write(f, gz)
+    val cdx = WarcCdx.extractCdx(Seq((1L, gz)).toDF("id", "bytes"),
+      "id", "bytes").collect()
+    val lines = cdx.map(WarcCdx.cdxjLine(_, "shard.warc.gz")).toSeq
+    val parsed = WarcCdx.parseCdxj(lines.toDF("line"), "line")
+      .filter(org.apache.spark.sql.functions.col("mime") === "text/html")
+      .withColumn("path", org.apache.spark.sql.functions.lit(f.toString))
+    val hydrated = WarcCdx.hydrateByCdx(parsed, "offset", "path",
+      "offset", "length").collect()
+    assert(hydrated.length === 1 && hydrated.head.hydrated)
+    val pubDigest = parsed.select("digest").collect().head.getString(0)
+    assert(hydrated.head.payload_digest === pubDigest)
+    // and the block digest still matches the self-built index row
+    assert(hydrated.head.digest === cdx.find(_.record_idx == 0).get.digest)
+  }
+
   test("uncompressed archives index with raw record spans") {
     val idx = WarcCdx.cdxIndex(plain).get
     val gzIdx = WarcCdx.cdxIndex(gz).get
@@ -168,7 +249,7 @@ class WarcCdxSpec extends SparkSpec {
   test("cdxjLine escapes space-bearing urlkeys so the line stays 3 tokens") {
     // a dirty non-URL WARC-Target-URI passes through surtKey totally
     val row = WarcCdx.CdxRow(1L, 0, "not a url", "20240305060708",
-      "not a url", "text/plain", 200, "X" * 32, 0L, 10L, 10L,
+      "not a url", "text/plain", 200, "X" * 32, "Y" * 32, 0L, 10L, 10L,
       "response", parsed = true, indexed = true)
     val line = WarcCdx.cdxjLine(row, "a.warc.gz")
     assert(line.startsWith("not%20a%20url 20240305060708 {"))
@@ -186,6 +267,76 @@ class WarcCdxSpec extends SparkSpec {
     val p2 = WarcCdx.parseCdxj(Seq(l2).toDF("line"), "line").collect()(0)
     assert(p2.getAs[String]("urlkey") === "a%0Ab%0Dc%09d%7Be")
     assert(p2.getAs[String]("filename") === "a.warc.gz")
+  }
+
+  test("parseCdxj: corrupt lines are null-field rows, never job kills") {
+    // the never-kill contract under Spark 4's default ANSI mode: a
+    // blank line, a space-less line, a 2-token truncated line, and a
+    // 3-token line whose third token is not JSON all flag (null
+    // fields, line kept) instead of throwing INVALID_ARRAY_INDEX
+    val lines = Seq(
+      "",                               // blank line mid-shard
+      "garbage",                        // no space at all
+      "com,example)/ 20240305060708",   // truncated: no JSON token
+      "a b notjson",                    // 3 tokens, no JSON object
+      "com,example)/ 20240305060708 " +
+        """{"url": "http://example.com/", "mime": "text/html", """ +
+        """"status": "200", "digest": "D", "length": "10", """ +
+        """"offset": "0", "filename": "a.warc.gz"}""")
+    val p = WarcCdx.parseCdxj(lines.toDF("line"), "line")
+      .collect().sortBy(_.getAs[String]("line"))
+    assert(p.length === 5)
+    val good = p.filter(_.getAs[String]("filename") != null)
+    assert(good.length === 1)
+    assert(good.head.getAs[String]("urlkey") === "com,example)/")
+    assert(good.head.getAs[Int]("status") === 200)
+    p.filter(_.getAs[String]("filename") == null).foreach { r =>
+      assert(r.getAs[String]("urlkey") == null)
+      assert(r.getAs[String]("timestamp") == null)
+      assert(r.getAs[String]("line") != null) // the line stays visible
+    }
+  }
+
+  test("parseCdxj: '-' placeholders in numeric fields read as null") {
+    // published wayback/CDX data uses '-' for unknown numeric fields;
+    // under ANSI a plain cast would throw CAST_INVALID_INPUT
+    val line = "com,example)/ 20240305060708 " +
+      """{"url": "http://example.com/", "mime": "warc/revisit", """ +
+      """"status": "-", "digest": "D", "length": "-", """ +
+      """"offset": "-", "filename": "a.warc.gz"}"""
+    val p = WarcCdx.parseCdxj(Seq(line).toDF("line"), "line").collect()(0)
+    assert(p.getAs[String]("urlkey") === "com,example)/")
+    assert(p.getAs[String]("mime") === "warc/revisit")
+    assert(p.isNullAt(p.fieldIndex("status")))
+    assert(p.isNullAt(p.fieldIndex("length")))
+    assert(p.isNullAt(p.fieldIndex("offset")))
+    assert(p.getAs[String]("filename") === "a.warc.gz")
+  }
+
+  test("parseCdxj: published-style percent-encoded urlkeys pass verbatim") {
+    // a urlkey whose %20 is the ORIGINAL URL's percent-encoding (the
+    // published-index case) must NOT be decoded — it joins against
+    // surtKey output byte-for-byte
+    assert(WarcCdx.surtKey("http://example.com/a%20b") ===
+      "com,example)/a%20b")
+    val line = "com,example)/a%20b 20240305060708 " +
+      """{"url": "http://example.com/a%20b", "mime": "text/html", """ +
+      """"status": "200", "digest": "D", "length": "5", """ +
+      """"offset": "0", "filename": "a.warc.gz"}"""
+    val p = WarcCdx.parseCdxj(Seq(line).toDF("line"), "line").collect()(0)
+    assert(p.getAs[String]("urlkey") === "com,example)/a%20b")
+    assert(p.getAs[String]("urlkey") ===
+      WarcCdx.surtKey("http://example.com/a%20b"))
+  }
+
+  test("parseCdxj: line columns needing backtick quoting resolve") {
+    val df = Seq("com,example)/ 20240305060708 " +
+      """{"url": "u", "mime": "m", "status": "200", "digest": "D", """ +
+      """"length": "1", "offset": "0", "filename": "f"}""")
+      .toDF("cdx.line")
+    val p = WarcCdx.parseCdxj(df, "cdx.line").collect()(0)
+    assert(p.getAs[String]("urlkey") === "com,example)/")
+    assert(p.getAs[String]("filename") === "f")
   }
 
   test("streaming walk survives members larger than its 64 KiB buffer") {
@@ -222,7 +373,9 @@ class WarcCdxSpec extends SparkSpec {
       assert(p.getAs[String]("url") === e.url)
       assert(p.getAs[String]("mime") === e.mime)
       assert(p.getAs[Int]("status") === e.status)
-      assert(p.getAs[String]("digest") === e.digest)
+      // the CDXJ digest field is the PAYLOAD digest (the published
+      // CC convention), not the block digest
+      assert(p.getAs[String]("digest") === e.payload_digest)
       assert(p.getAs[Long]("offset") === e.offset)
       assert(p.getAs[Long]("length") === e.length)
       assert(p.getAs[String]("filename") === "a.warc.gz")

@@ -51,24 +51,30 @@ class StreamCdxSpec extends SparkSpec {
     val cdx1 = WarcCdx.cdxIndex(gz1).get
     val lines1 = cdx1.map(e => WarcCdx.cdxjLine(
       WarcCdx.CdxRow(1L, e.recordIdx, e.urlkey, e.timestamp, e.url,
-        e.mime, e.status, e.digest, e.offset, e.length, e.uncompLen,
-        e.warcType, e.parsed, indexed = true), "a.warc.gz"))
+        e.mime, e.status, e.digest, e.payloadDigest, e.offset, e.length,
+        e.uncompLen, e.warcType, e.parsed, indexed = true), "a.warc.gz"))
+    // corrupt shapes a real index shard can carry: a line with
+    // spaces, a space-less line (ANSI element_at would have thrown
+    // on this one), and a blank line — all must arrive flagged, not
+    // kill the stream
     Files.write(Paths.get(drop, "batch1.cdxj"),
-      (lines1 :+ "this is not a cdxj line").mkString("\n")
-        .getBytes("UTF-8"))
+      (lines1 ++ Seq("this is not a cdxj line", "", "garbage"))
+        .mkString("\n").getBytes("UTF-8"))
     Files.write(Paths.get(drop, "ignored.cdxj.tmp"), Array[Byte](1))
     runToParquet(StreamCdx.entries(spark, drop), out, ckpt)
     val r1 = spark.read.parquet(out).collect()
-    assert(r1.length === 3) // 2 records + the corrupt line
+    assert(r1.length === 5) // 2 records + the 3 corrupt lines
     assert(!r1.exists(_.getAs[String]("index_path").endsWith(".tmp")))
     val good = r1.filter(_.getAs[String]("urlkey") != null)
       .filter(r => r.getAs[String]("filename") != null)
     assert(good.length === 2)
     assert(good.map(_.getAs[String]("mime")).toSet ===
       Set("text/html", "image/gif"))
-    // the corrupt line keeps its text, fields null
-    val bad = r1.find(_.getAs[String]("filename") == null).get
-    assert(bad.getAs[String]("line") === "this is not a cdxj line")
+    // corrupt lines keep their text, fields null
+    val bad = r1.filter(_.getAs[String]("filename") == null)
+    assert(bad.map(_.getAs[String]("line")).toSet ===
+      Set("this is not a cdxj line", "garbage", ""))
+    assert(bad.forall(_.getAs[String]("urlkey") == null))
 
     // batch 2: a second index file; same checkpoint processes ONLY it
     val gz2 = Warc.gzipPerRecord(Seq(
@@ -79,14 +85,14 @@ class StreamCdxSpec extends SparkSpec {
     Files.write(Paths.get(drop, "batch2.cdxj"),
       cdx2.map(e => WarcCdx.cdxjLine(
         WarcCdx.CdxRow(2L, e.recordIdx, e.urlkey, e.timestamp, e.url,
-          e.mime, e.status, e.digest, e.offset, e.length, e.uncompLen,
-          e.warcType, e.parsed, indexed = true), "b.warc.gz"))
+          e.mime, e.status, e.digest, e.payloadDigest, e.offset, e.length,
+          e.uncompLen, e.warcType, e.parsed, indexed = true), "b.warc.gz"))
         .mkString("\n").getBytes("UTF-8"))
     runToParquet(StreamCdx.entries(spark, drop), out, ckpt)
-    assert(spark.read.parquet(out).count() === 4L)
+    assert(spark.read.parquet(out).count() === 6L)
     // a third run with nothing new appends nothing
     runToParquet(StreamCdx.entries(spark, drop), out, ckpt)
-    assert(spark.read.parquet(out).count() === 4L)
+    assert(spark.read.parquet(out).count() === 6L)
   }
 
   test("arrived index rows hydrate ONLY the filtered records") {
@@ -106,8 +112,8 @@ class StreamCdxSpec extends SparkSpec {
     Files.write(Paths.get(drop, "a.cdxj"),
       cdx.map(e => WarcCdx.cdxjLine(
         WarcCdx.CdxRow(1L, e.recordIdx, e.urlkey, e.timestamp, e.url,
-          e.mime, e.status, e.digest, e.offset, e.length, e.uncompLen,
-          e.warcType, e.parsed, indexed = true), "a.warc.gz"))
+          e.mime, e.status, e.digest, e.payloadDigest, e.offset, e.length,
+          e.uncompLen, e.warcType, e.parsed, indexed = true), "a.warc.gz"))
         .mkString("\n").getBytes("UTF-8"))
     val got = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     val q = StreamCdx.entries(spark, drop).writeStream
