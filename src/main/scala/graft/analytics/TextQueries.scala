@@ -511,7 +511,8 @@ object TextQueries {
 
   /** URL canonicalization + dedup ([[graft.text.UrlNormalize]]): five
     * planted variants of each page URL — verbatim, SHOUTED host, an
-    * explicit `:443` + trailing slash, `utm_*` tracking params, and
+    * explicit `:443` + trailing slash, `utm_*` tracking + a PHPSESSID
+    * session-id param (both on the IA/CC strip list), and
     * unordered real params + fragment — are canonicalized in-plan; the
     * first four collapse to one canonical form (dedup keeps the lowest
     * doc_id), the fifth keeps its sorted real query and stays distinct.
@@ -527,7 +528,7 @@ object TextQueries {
       |      WHEN 1 THEN 'HTTPS://EXAMPLE.COM/page/' || CAST(doc_id % 50 AS VARCHAR)
       |      WHEN 2 THEN 'https://example.com:443/page/' || CAST(doc_id % 50 AS VARCHAR) || '/'
       |      WHEN 3 THEN 'https://example.com/page/' || CAST(doc_id % 50 AS VARCHAR)
-      |                  || '?utm_source=feed&utm_campaign=x'
+      |                  || '?utm_source=feed&PHPSESSID=a1b2c3&utm_campaign=x'
       |      ELSE 'https://example.com/page/' || CAST(doc_id % 50 AS VARCHAR)
       |           || '?b=2&a=1#top'
       |    END AS url
@@ -547,10 +548,16 @@ object TextQueries {
       |         WHEN sch = 'http' THEN regexp_replace(hp, ':80$', '')
       |         ELSE hp END || pth ||
       |    CASE WHEN len(list_filter(string_split(q, '&'),
-      |           p -> p <> '' AND NOT starts_with(p, 'utm_'))) = 0 THEN ''
+      |           p -> p <> '' AND NOT starts_with(p, 'utm_')
+      |             AND NOT regexp_matches(p,
+      |               '(?i)^(jsessionid|phpsessid|sid|aspsessionid[a-z0-9]*)(=|$)')))
+      |         = 0 THEN ''
       |         ELSE '?' || array_to_string(list_sort(list_filter(
       |           string_split(q, '&'),
-      |           p -> p <> '' AND NOT starts_with(p, 'utm_'))), '&') END AS canon
+      |           p -> p <> '' AND NOT starts_with(p, 'utm_')
+      |             AND NOT regexp_matches(p,
+      |               '(?i)^(jsessionid|phpsessid|sid|aspsessionid[a-z0-9]*)(=|$)'))),
+      |           '&') END AS canon
       |  FROM parts)
       |SELECT doc_id, canon,
       |  row_number() OVER (PARTITION BY canon ORDER BY doc_id) = 1 AS keep
@@ -567,7 +574,7 @@ object TextQueries {
         concat(lit("https://example.com:443/page/"), page, lit("/")))
       .when(col("doc_id") % 5 === 3,
         concat(lit("https://example.com/page/"), page,
-          lit("?utm_source=feed&utm_campaign=x")))
+          lit("?utm_source=feed&PHPSESSID=a1b2c3&utm_campaign=x")))
       .otherwise(concat(lit("https://example.com/page/"), page,
         lit("?b=2&a=1#top")))
     t(s, dir, "documents")

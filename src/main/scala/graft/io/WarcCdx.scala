@@ -78,8 +78,13 @@ object WarcCdx {
     * host labels REVERSED and comma-joined (IPv4 and bracketed IPv6
     * hosts pass unreversed); scheme-default ports (`:80` http,
     * `:443` https) dropped, other ports kept; `)` then the path
-    * (root normalizes to `/`); query params with `utm_*` dropped and
-    * the rest sorted (the same param policy as
+    * (root normalizes to `/`, `;jsessionid=…` matrix segments
+    * dropped — the servlet-container session id the IA/CC
+    * canonicalizer strips from paths); query params with `utm_*` or
+    * a session-id name (`jsessionid`, `phpsessid`, `sid`,
+    * `aspsessionid*` — the IA/CC strip list, so urlkeys join against
+    * published Common Crawl indexes for session-bearing URLs) dropped
+    * and the rest sorted (the same param policy as
     * [[graft.text.UrlNormalize.sortedQuery]]); fragment dropped.
     * Non-URLs (no `scheme://`) pass through lowercased so the key is
     * total on dirty corpora.
@@ -124,16 +129,26 @@ object WarcCdx {
       if (qAt >= 0) (pathQuery.substring(0, qAt),
         pathQuery.substring(qAt + 1))
       else (pathQuery, null)
-    val path = if (p0.isEmpty) "/" else p0
+    // `;jsessionid=…` rides the PATH as a matrix segment, not a param
+    val p1 = p0.replaceAll(";jsessionid=[^;/?]*", "")
+    val path = if (p1.isEmpty) "/" else p1
     val query =
       if (q0 == null) ""
       else {
         val params = q0.split("&")
-          .filter(p => p.nonEmpty && !p.startsWith("utm_")).sorted
+          .filter(p => p.nonEmpty && !p.startsWith("utm_") &&
+            !sessionParam(p)).sorted
         if (params.isEmpty) "" else "?" + params.mkString("&")
       }
     revHost + portPart + ")" + path + query
   }
+
+  /** Whether a (already-lowercased) query param is one of the
+    * session-id names the IA/CC canonicalizer strips. Matches the
+    * NAME exactly (`sid=…`, bare `sid`) — `side=1` or `jsessionid2=x`
+    * survive. */
+  private def sessionParam(p: String): Boolean =
+    p.matches("(jsessionid|phpsessid|sid|aspsessionid[a-z0-9]*)(=.*)?")
 
   /** `WARC-Date` (ISO 8601) → the CDX 14-digit `yyyyMMddHHmmss` UTC
     * timestamp; empty string when absent/unparseable (total). */

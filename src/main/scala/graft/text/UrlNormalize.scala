@@ -13,8 +13,11 @@ import org.apache.spark.sql.functions._
   * the `q_url_dedup` DuckDB oracle.
   *
   * Steps: lowercase scheme+host · strip `:80`(http)/`:443`(https) ·
-  * drop the fragment · drop `utm_*` tracking params · sort surviving
-  * params · strip trailing path slashes.
+  * drop the fragment · drop `utm_*` tracking and session-id params
+  * (jsessionid/phpsessid/sid/aspsessionid*, the IA/CC strip list —
+  * two fetches of one page differ in session id as routinely as in
+  * tracking params) · sort surviving params · strip trailing path
+  * slashes.
   */
 object UrlNormalize {
 
@@ -40,13 +43,16 @@ object UrlNormalize {
       regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1),
       "/+$", "")
 
-  /** Query string with `utm_*` params dropped and the rest sorted;
-    * empty string when nothing survives.
+  /** Query string with `utm_*` and session-id params (`jsessionid`,
+    * `phpsessid`, `sid`, `aspsessionid*` — the IA/CC canonicalizer's
+    * strip list, matched case-insensitively on the param NAME) dropped
+    * and the rest sorted; empty string when nothing survives.
     */
   def sortedQuery(url: Column): Column = {
     val q = regexp_extract(url, "\\?([^#]*)", 1)
     val params = filter(split(q, "&"),
-      p => p =!= "" && !p.startsWith("utm_"))
+      p => p =!= "" && !p.startsWith("utm_") &&
+        !p.rlike("(?i)^(jsessionid|phpsessid|sid|aspsessionid[a-z0-9]*)(=|$)"))
     when(size(params) === 0, lit(""))
       .otherwise(concat(lit("?"), array_join(array_sort(params), "&")))
   }

@@ -60,6 +60,52 @@ class WarcCdxSpec extends SparkSpec {
     assert(WarcCdx.timestamp14("nonsense") === "")
   }
 
+  test("surtKey strips the IA/CC session-id params and path segments") {
+    // query params on the strip list — the published CC urlkeys for
+    // session-bearing URLs
+    assert(WarcCdx.surtKey(
+      "http://example.com/page?jsessionid=1A2B&a=1") ===
+      "com,example)/page?a=1")
+    assert(WarcCdx.surtKey("http://example.com/?PHPSESSID=deadbeef") ===
+      "com,example)/")
+    assert(WarcCdx.surtKey("http://example.com/x?sid=9&b=2") ===
+      "com,example)/x?b=2")
+    assert(WarcCdx.surtKey(
+      "http://example.com/x?ASPSESSIONIDQQGGGQZC=JLKOPM&b=2") ===
+      "com,example)/x?b=2")
+    // bare (no '=') session param strips too
+    assert(WarcCdx.surtKey("http://example.com/x?sid") ===
+      "com,example)/x")
+    // the servlet matrix form rides the PATH, not the query
+    assert(WarcCdx.surtKey(
+      "http://example.com/cart;jsessionid=ABC123?item=5") ===
+      "com,example)/cart?item=5")
+    assert(WarcCdx.surtKey(
+      "http://example.com/a;jsessionid=X/b") === "com,example)/a/b")
+    // names that merely share a prefix/suffix survive
+    assert(WarcCdx.surtKey("http://example.com/x?side=1") ===
+      "com,example)/x?side=1")
+    assert(WarcCdx.surtKey("http://example.com/x?jsessionid2=x") ===
+      "com,example)/x?jsessionid2=x")
+    assert(WarcCdx.surtKey("http://example.com/x?mysid=1") ===
+      "com,example)/x?mysid=1")
+  }
+
+  test("surtKey is total on fuzzed inputs") {
+    val rng = new java.util.Random(42)
+    val alphabet =
+      "abcXYZ019:/?#@&=.,;%[]{}()<>\\\"'`~!$^*+|\n\r\t é中"
+    (0 until 5000).foreach { _ =>
+      val len = rng.nextInt(40)
+      val sb = new StringBuilder()
+      (0 until len).foreach(_ =>
+        sb.append(alphabet(rng.nextInt(alphabet.length))))
+      val s = if (rng.nextBoolean()) "http://" + sb else sb.toString
+      val k = WarcCdx.surtKey(s) // must never throw
+      assert(k != null)
+    }
+  }
+
   test("base32 SHA-1 matches the published empty-input vector") {
     // SHA-1("") = da39a3ee…; its RFC 4648 base32 form is well-known
     assert(WarcCdx.sha1Base32(Array.empty[Byte], 0, 0) ===

@@ -28,6 +28,21 @@ class UrlNormalizeSpec extends SparkSpec {
       Seq("http://example.com:8080/p"))
   }
 
+  test("session-id params strip (case-insensitive), lookalikes survive") {
+    assert(canon(
+      "https://example.com/p?a=1",
+      "https://example.com/p?jsessionid=1A2B&a=1",
+      "https://example.com/p?PHPSESSID=deadbeef&a=1",
+      "https://example.com/p?a=1&sid=9",
+      "https://example.com/p?ASPSESSIONIDQQGG=JLKOPM&a=1").distinct ===
+      Seq("https://example.com/p?a=1"))
+    // prefix/suffix lookalikes are real params
+    assert(canon("https://example.com/p?side=1") ===
+      Seq("https://example.com/p?side=1"))
+    assert(canon("https://example.com/p?mysid=1") ===
+      Seq("https://example.com/p?mysid=1"))
+  }
+
   test("utm mixed with real params: only utm dropped") {
     assert(canon("https://e.com/p?utm_x=1&z=9&a=1") ===
       Seq("https://e.com/p?a=1&z=9"))
