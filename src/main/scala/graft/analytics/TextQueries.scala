@@ -2591,8 +2591,178 @@ object TextQueries {
       .orderBy("record_idx")
   }
 
+  /** WET sidecar gate ([[graft.io.WarcSidecars]] — the text-extract
+    * shard Common Crawl publishes beside every archive): a synthetic
+    * `.warc.gz` → `wetGz` → the engine's OWN CDX walk over the
+    * emitted shard (round-trip: the sidecar is a well-formed
+    * per-record-gzipped WARC) joined with the decoded record bodies.
+    * Oracle: hand-derived rows — the warcinfo's exact warc-fields
+    * body (deterministic by construction: content-addressed ids,
+    * source-derived date), one conversion per 2xx HTML page with the
+    * extracted text as its literal body, urlkeys of the ORIGINAL
+    * pages, `text/plain` mime, and `digest_ok` pinning block =
+    * payload digest (a conversion's content block IS its payload).
+    * The gif and the request produce no conversion — the row count
+    * IS the page-rule proof. */
+  val qWarcWet: QueryDef = QueryDef.sql(
+    "q_warc_wet",
+    """SELECT * FROM (VALUES
+      |  (0, 'warcinfo', 'application/warc-fields', '',
+      |   'software: graft.WarcSidecars' || CHR(13) || CHR(10) ||
+      |   'format: WARC File Format 1.0' || CHR(13) || CHR(10) ||
+      |   'extractedFrom: shard.warc.gz' || CHR(13) || CHR(10),
+      |   true, true),
+      |  (1, 'conversion', 'text/plain', 'example,en)/page',
+      |   'The quick start.', true, true),
+      |  (2, 'conversion', 'text/plain', 'example,de)/seite',
+      |   'Zweite Seite gut.', true, true))
+      |  AS t(record_idx, warc_type, mime, urlkey, text, digest_ok,
+      |       parsed)
+      |ORDER BY record_idx""".stripMargin,
+    doc = "WET sidecar generation: archive -> conversion records " +
+      "with extracted text, round-tripped through the engine's own " +
+      "CDX walk") { (s, dir) =>
+    import s.implicits._
+    import graft.io.{Warc, WarcCdx, WarcSidecars}
+    val wet = WarcSidecars.wetGz(sidecarFixture, "shard.warc.gz").get
+    val texts = Seq((1L, wet)).toDF("id", "bytes")
+      .as[(Long, Array[Byte])]
+      .flatMap { case (_, b) =>
+        val u = Warc.gunzipAll(b).getOrElse(b)
+        Warc.recordIndex(u).get.map(r => (r.recordIdx,
+          new String(u, r.contentStart.toInt, r.contentLen.toInt,
+            "UTF-8")))
+      }.toDF("t_idx", "text")
+    WarcCdx.extractCdx(Seq((1L, wet)).toDF("id", "bytes"),
+        "id", "bytes")(s)
+      .toDF.join(texts, col("record_idx") === col("t_idx"))
+      .select(col("record_idx"), col("warc_type"), col("mime"),
+        col("urlkey"), col("text"),
+        (col("digest").rlike("^[A-Z2-7]{32}$") &&
+          col("digest") === col("payload_digest")).as("digest_ok"),
+        col("parsed"))
+      .orderBy("record_idx")
+  }
+
+  /** WAT sidecar gate (the metadata-JSON shard): the same archive →
+    * `watGz` → the shard walked by the engine and every envelope
+    * parsed IN-PLAN with `from_json` (codegen'd — the emitted JSON
+    * must be machine-readable, not merely string-shaped). Oracle:
+    * one metadata record per SOURCE record with hand-derived HTTP
+    * status/mime/title (the request has no HTTP metadata, the gif no
+    * HTML metadata — nulls pin the envelope's conditional structure),
+    * the container filename, and `offset_match` pinning that each
+    * envelope's Container span equals the source CDX row's gzip-
+    * member span — the WAT points back at the ranged-fetch unit. */
+  val qWarcWat: QueryDef = QueryDef.sql(
+    "q_warc_wat",
+    """SELECT * FROM (VALUES
+      |  (0, 'warcinfo', CAST(NULL AS INT), CAST(NULL AS VARCHAR),
+      |   CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), false),
+      |  (1, 'metadata', 200, 'text/html', 'Alpha', 'shard.warc.gz',
+      |   true),
+      |  (2, 'metadata', NULL, NULL, NULL, 'shard.warc.gz', true),
+      |  (3, 'metadata', 200, 'image/gif', NULL, 'shard.warc.gz', true),
+      |  (4, 'metadata', 200, 'text/html', 'Beta', 'shard.warc.gz',
+      |   true))
+      |  AS t(record_idx, warc_type, status, mime, title, filename,
+      |       offset_match)
+      |ORDER BY record_idx""".stripMargin,
+    doc = "WAT sidecar generation: archive -> metadata records whose " +
+      "JSON envelopes parse in-plan and span back to the source's " +
+      "gzip members") { (s, dir) =>
+    import s.implicits._
+    import org.apache.spark.sql.types._
+    import graft.io.{Warc, WarcCdx, WarcSidecars}
+    val wat = WarcSidecars.watGz(sidecarFixture, "shard.warc.gz").get
+    val bodies = Seq((1L, wat)).toDF("id", "bytes")
+      .as[(Long, Array[Byte])]
+      .flatMap { case (_, b) =>
+        val u = Warc.gunzipAll(b).getOrElse(b)
+        Warc.recordIndex(u).get.map(r => (r.recordIdx, r.warcType,
+          new String(u, r.contentStart.toInt, r.contentLen.toInt,
+            "UTF-8")))
+      }.toDF("record_idx", "warc_type", "body")
+    val httpSchema = StructType(Seq(
+      StructField("Response-Message", StructType(Seq(
+        StructField("Status", StringType)))),
+      StructField("Content-Type", StringType),
+      StructField("HTML-Metadata", StructType(Seq(
+        StructField("Head", StructType(Seq(
+          StructField("Title", StringType)))))))))
+    val schema = StructType(Seq(
+      StructField("Envelope", StructType(Seq(
+        StructField("Payload-Metadata", StructType(Seq(
+          StructField("Actual-Content-Type", StringType),
+          StructField("HTTP-Response-Metadata", httpSchema))))))),
+      StructField("Container", StructType(Seq(
+        StructField("Filename", StringType),
+        StructField("Offset", StringType),
+        StructField("Length", StringType))))))
+    val j = from_json(col("body"), schema)
+    val http = j("Envelope")("Payload-Metadata")("HTTP-Response-Metadata")
+    val parsed = bodies.select(col("record_idx"), col("warc_type"),
+      http("Response-Message")("Status").try_cast("int").as("status"),
+      http("Content-Type").as("mime"),
+      http("HTML-Metadata")("Head")("Title").as("title"),
+      j("Container")("Filename").as("filename"),
+      j("Container")("Offset").try_cast("long").as("c_offset"))
+    // each envelope's container span must point at the SOURCE
+    // archive's gzip member — join against the source CDX rows
+    val src = WarcCdx.extractCdx(
+        Seq((1L, sidecarFixture)).toDF("id", "bytes"), "id", "bytes")(s)
+      .toDF.select((col("record_idx") + 1).as("s_idx"),
+        col("offset").as("s_offset"))
+    parsed.join(src, col("record_idx") === col("s_idx"), "left")
+      .select(col("record_idx"), col("warc_type"), col("status"),
+        col("mime"), col("title"), col("filename"),
+        coalesce(col("c_offset") === col("s_offset"), lit(false))
+          .as("offset_match"))
+      .orderBy("record_idx")
+  }
+
+  /** The shared WET/WAT gate fixture: two 2xx HTML pages, a request,
+    * and a 2xx GIF — per-record-gzipped (the CC shape). Built once;
+    * both gates and their oracles hand-derive from these literals. */
+  private def sidecarFixture: Array[Byte] = {
+    import graft.io.Warc
+    def html(uri: String, date: String, title: String, body: String)
+        : Array[Byte] =
+      Warc.encodeSyntheticHeaders(Seq((Seq(
+        "WARC-Type" -> "response",
+        "WARC-Record-ID" -> s"<urn:uuid:$uri>",
+        "WARC-Date" -> date,
+        "WARC-Target-URI" -> uri,
+        "Content-Type" -> "application/http; msgtype=response"),
+        Warc.httpResponse(200, "OK",
+          Seq("Content-Type" -> "text/html; charset=utf-8"),
+          (s"<html><head><title>$title</title></head><body><p>$body" +
+            "</p></body></html>").getBytes("UTF-8")))))
+    Warc.gzipPerRecord(Seq(
+      html("http://en.example/page", "2024-03-05T06:07:08Z", "Alpha",
+        "The quick start."),
+      Warc.encodeSyntheticHeaders(Seq((Seq(
+        "WARC-Type" -> "request",
+        "WARC-Record-ID" -> "<urn:uuid:req>",
+        "WARC-Date" -> "2024-03-05T06:07:08Z",
+        "WARC-Target-URI" -> "http://en.example/page",
+        "Content-Type" -> "application/http; msgtype=request"),
+        "GET /page HTTP/1.1\r\nHost: h\r\n\r\n".getBytes("ISO-8859-1")))),
+      Warc.encodeSyntheticHeaders(Seq((Seq(
+        "WARC-Type" -> "response",
+        "WARC-Record-ID" -> "<urn:uuid:gif>",
+        "WARC-Date" -> "2024-03-05T06:07:11Z",
+        "WARC-Target-URI" -> "http://en.example/logo.gif",
+        "Content-Type" -> "application/http; msgtype=response"),
+        Warc.httpResponse(200, "OK",
+          Seq("Content-Type" -> "image/gif"),
+          Array[Byte]('G', 'I', 'F', '8', '9', 'a', 1, 0, 1, 0))))),
+      html("http://de.example/seite", "2024-03-05T06:07:12Z", "Beta",
+        "Zweite Seite gut.")))
+  }
+
   val all: Seq[QueryDef] = Seq(
-    qWarcCdx, qWarcHydrate,
+    qWarcCdx, qWarcHydrate, qWarcWet, qWarcWat,
     qSpanFetch,
     qSubtitleCues, qWarcRecords, qWarcHtmlText, qTarIndex,
     qWebdatasetSamples, qGzipMembers, qWarcCurate, qTfrecordIndex,

@@ -676,7 +676,7 @@ object WarcCdx {
   // CDXJ text form
   // ------------------------------------------------------------------
 
-  private def jsonEscape(s: String): String = {
+  private[io] def jsonEscape(s: String): String = {
     val sb = new java.lang.StringBuilder(s.length + 8)
     s.foreach {
       case '"' => sb.append("\\\"")

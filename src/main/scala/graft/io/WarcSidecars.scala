@@ -1,0 +1,320 @@
+package graft.io
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions.col
+
+/** WET/WAT SIDECAR GENERATION — the text/metadata extract shards
+  * Common Crawl publishes BESIDE every archive (public convention:
+  * the `.warc.wet.gz` / `.warc.wat.gz` files of the CC layout, built
+  * on ISO 28500 record forms).
+  *
+  * Most consumers of a 100 TB crawl never read the archives: they
+  * read the WET (one `conversion` record per page, body = the
+  * extracted plain text) or the WAT (one `metadata` record per source
+  * record, body = a JSON envelope of the record's WARC headers, HTTP
+  * facts, and container span). The engine already extracts per-record
+  * text ([[Warc.extractHtmlPages]]) and metadata ([[WarcCdx]]); this
+  * module emits them in the published sidecar shard forms so a
+  * curated corpus interoperates with CC tooling — and, round-trip,
+  * the engine's own walkers index the emitted sidecars (they are
+  * per-record-gzipped WARC files like any other).
+  *
+  * Deviations from CC's own generator, chosen for DETERMINISM (two
+  * runs over one archive must emit identical bytes — that is what
+  * makes the shards dedupable, cacheable, and oracle-testable):
+  *  - `WARC-Record-ID`s are content-addressed (`<urn:sha1:…>` of the
+  *    record body) instead of random UUIDs;
+  *  - the warcinfo `WARC-Date` is caller-supplied, defaulting to the
+  *    FIRST source record's date, instead of wall-clock time;
+  *  - WAT JSON carries a fixed, documented field order.
+  *
+  * Scale posture: one forward pass per archive, O(record) transient
+  * memory beyond the asset bytes; the DataFrame seam is the standard
+  * mapPartitions walker shape with flagged fallback (corrupt assets
+  * emit `ok = false`, never a task kill). Sidecar bytes are
+  * per-record gzip members ([[Warc.gzipPerRecord]] — the CC shape),
+  * so [[WarcCdx.cdxIndex]] spans them for ranged fetch like any
+  * archive.
+  */
+object WarcSidecars {
+
+  private val MaxHeaderBytes = 64 * 1024
+
+  /** `shard.warc.gz` → `shard.warc.wet.gz` (or `.wat.`) — the CC
+    * sidecar naming convention; non-`.warc[.gz]` names just append. */
+  def sidecarName(filename: String, kind: String): String = {
+    require(kind == "wet" || kind == "wat", s"unknown sidecar: $kind")
+    if (filename.endsWith(".warc.gz"))
+      filename.stripSuffix(".warc.gz") + s".warc.$kind.gz"
+    else if (filename.endsWith(".warc"))
+      filename.stripSuffix(".warc") + s".warc.$kind.gz"
+    else filename + s".$kind.gz"
+  }
+
+  /** The record's WARC headers as ORDERED (name, value) pairs —
+    * [[Warc.headerMap]] lowercases and unorders for routing; the WAT
+    * envelope reproduces the original carriage. None on a malformed
+    * head. */
+  private def recordHeaders(u: Array[Byte], start: Int)
+      : Option[(Seq[(String, String)], Int)] = {
+    val hdrCap = math.min(u.length, start + MaxHeaderBytes)
+    val blank = Warc.findBlankLine(u, start, hdrCap)
+    if (blank < 0) return None
+    val head = new String(u, start, blank - start, "ISO-8859-1")
+    val lines = head.split("\r\n")
+    if (lines.isEmpty || !lines(0).startsWith("WARC/1.")) return None
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    lines.iterator.drop(1).foreach { l =>
+      val c = l.indexOf(':')
+      if (c <= 0) return None
+      out += ((l.substring(0, c).trim, l.substring(c + 1).trim))
+    }
+    Some((out.toSeq, blank - start))
+  }
+
+  private def headerValue(hs: Seq[(String, String)], name: String)
+      : Option[String] =
+    hs.collectFirst {
+      case (k, v) if k.equalsIgnoreCase(name) => v
+    }
+
+  private def contentAddressedId(body: Array[Byte]): String =
+    s"<urn:sha1:${WarcCdx.sha1Base32(body, 0, body.length)}>"
+
+  /** The leading `warcinfo` record both sidecars open with. */
+  private def warcinfo(filename: String, kind: String, date: String,
+      software: String): Array[Byte] = {
+    val body = (s"software: $software\r\n" +
+      "format: WARC File Format 1.0\r\n" +
+      s"extractedFrom: $filename\r\n").getBytes("ISO-8859-1")
+    Warc.encodeSyntheticHeaders(Seq((Seq(
+      "WARC-Type" -> "warcinfo",
+      "WARC-Record-ID" -> contentAddressedId(body),
+      "WARC-Date" -> date,
+      "WARC-Filename" -> sidecarName(filename, kind),
+      "Content-Type" -> "application/warc-fields"), body)))
+  }
+
+  /** The walked source: uncompressed bytes, record index, and the
+    * container span per record — gzip-member spans when the archive
+    * is the per-record-gzipped CC shape (then the span is the ranged-
+    * fetch unit), raw record spans otherwise. */
+  private def walkSource(archive: Array[Byte])
+      : Option[(Array[Byte], IndexedSeq[Warc.WarcRecord],
+        Int => (Long, Long))] = {
+    val isGz = archive.length >= 2 && (archive(0) & 0xff) == 0x1f &&
+      (archive(1) & 0xff) == 0x8b
+    val u = (if (isGz) Warc.gunzipAll(archive)
+             else Some(archive)).getOrElse(return None)
+    val recs = Warc.recordIndex(u).getOrElse(return None)
+    val spanOf: Int => (Long, Long) =
+      if (isGz) {
+        GzipMembers.memberIndex(archive) match {
+          case Some(ms) if ms.length == recs.length =>
+            i => (ms(i).compStart, ms(i).compLen)
+          case _ => i => (recs(i).byteStart, recs(i).byteLen)
+        }
+      } else i => (recs(i).byteStart, recs(i).byteLen)
+    Some((u, recs, spanOf))
+  }
+
+  private def firstDate(u: Array[Byte],
+      recs: IndexedSeq[Warc.WarcRecord]): String =
+    recs.headOption
+      .flatMap(r => recordHeaders(u, r.byteStart.toInt))
+      .flatMap { case (hs, _) => headerValue(hs, "WARC-Date") }
+      .getOrElse("")
+
+  // ------------------------------------------------------------------
+  // WET — text extraction sidecar
+  // ------------------------------------------------------------------
+
+  /** The WET sidecar records of an archive: the warcinfo, then one
+    * `conversion` record per response with a 2xx status and an HTML
+    * body under `maxContentBytes` whose text extraction succeeds —
+    * the SAME page rule as [[Warc.extractHtmlPages]], so the WET of
+    * an archive carries exactly the page set every other seam
+    * yields. Conversion records carry the original `WARC-Target-URI`
+    * and `WARC-Date`, `WARC-Refers-To` the source record's id, a
+    * `WARC-Block-Digest` of the text bytes, and `Content-Type:
+    * text/plain`. None when the bytes are not a WARC. */
+  def wetRecords(archive: Array[Byte], filename: String,
+      date: String = "", software: String = "graft.WarcSidecars",
+      maxContentBytes: Long = 1L << 22): Option[Seq[Array[Byte]]] = {
+    val (u, recs, _) = walkSource(archive).getOrElse(return None)
+    val d = if (date.nonEmpty) date else firstDate(u, recs)
+    val conversions = recs.iterator
+      .filter(r => r.warcType == "response" && r.httpStatus >= 200 &&
+        r.httpStatus < 300 && r.bodyStart >= 0 &&
+        r.contentLen <= maxContentBytes)
+      .flatMap { r =>
+        Warc.htmlPageText(u, r.contentStart, r.bodyStart, r.bodyLen)
+          .map { case (_, text) => (r, text) }
+      }
+      .map { case (r, text) =>
+        val body = text.getBytes("UTF-8")
+        val hs = recordHeaders(u, r.byteStart.toInt).map(_._1)
+          .getOrElse(Seq.empty)
+        val headers = Seq(
+          "WARC-Type" -> "conversion",
+          "WARC-Record-ID" -> contentAddressedId(body),
+          "WARC-Date" -> headerValue(hs, "WARC-Date").getOrElse(d)) ++
+          headerValue(hs, "WARC-Record-ID")
+            .map("WARC-Refers-To" -> _).toSeq ++ Seq(
+          "WARC-Target-URI" -> r.targetUri,
+          "WARC-Block-Digest" ->
+            s"sha1:${WarcCdx.sha1Base32(body, 0, body.length)}",
+          "Content-Type" -> "text/plain")
+        Warc.encodeSyntheticHeaders(Seq((headers, body)))
+      }
+      .toSeq
+    Some(warcinfo(filename, "wet", d, software) +: conversions)
+  }
+
+  /** [[wetRecords]] in the published shard form: one gzip member per
+    * record (`.warc.wet.gz`). */
+  def wetGz(archive: Array[Byte], filename: String, date: String = "",
+      software: String = "graft.WarcSidecars",
+      maxContentBytes: Long = 1L << 22): Option[Array[Byte]] =
+    wetRecords(archive, filename, date, software, maxContentBytes)
+      .map(Warc.gzipPerRecord)
+
+  // ------------------------------------------------------------------
+  // WAT — metadata sidecar
+  // ------------------------------------------------------------------
+
+  private def jsonStr(s: String): String =
+    "\"" + WarcCdx.jsonEscape(s) + "\""
+
+  private def jsonObj(fields: Seq[(String, String)]): String =
+    fields.map { case (k, v) => jsonStr(k) + ":" + v }
+      .mkString("{", ",", "}")
+
+  /** The WAT envelope JSON of one record — fixed field order
+    * (Envelope{Format, WARC-Header-Length, Actual-Content-Length,
+    * Block-Digest, Payload-Digest, WARC-Header-Metadata (original
+    * header order), Payload-Metadata{Actual-Content-Type,
+    * HTTP-Response-Metadata{Response-Message{Status}, Content-Type,
+    * HTML-Metadata{Head{Title}}}}}, Container{Filename, Offset,
+    * Length}), digests in the WARC `sha1:BASE32` label form. */
+  private def watJson(u: Array[Byte], r: Warc.WarcRecord,
+      hs: Seq[(String, String)], headerLen: Int, filename: String,
+      span: (Long, Long)): String = {
+    val facts = WarcCdx.parseSingleRecord(u, r.byteStart.toInt,
+      (r.byteStart + r.byteLen).toInt)
+    val headerMeta = jsonObj(hs.map { case (k, v) => (k, jsonStr(v)) })
+    val httpMeta: Option[(String, String)] = facts
+      .filter(f => f.status >= 0 && r.warcType == "response")
+      .map { f =>
+        val title =
+          if (r.bodyStart >= 0 && r.bodyLen > 0)
+            Warc.htmlPageText(u, r.contentStart, r.bodyStart, r.bodyLen)
+              .map(_._1).filter(_.nonEmpty)
+          else None
+        "HTTP-Response-Metadata" -> jsonObj(Seq(
+          "Response-Message" -> jsonObj(Seq(
+            "Status" -> jsonStr(f.status.toString))),
+          "Content-Type" -> jsonStr(f.mime)) ++
+          title.map(t => "HTML-Metadata" -> jsonObj(Seq(
+            "Head" -> jsonObj(Seq("Title" -> jsonStr(t)))))).toSeq)
+      }
+    val payloadMeta = jsonObj(Seq(
+      "Actual-Content-Type" -> jsonStr(r.contentType)) ++ httpMeta.toSeq)
+    val envelope = jsonObj(Seq(
+      "Format" -> jsonStr("WARC"),
+      "WARC-Header-Length" -> jsonStr(headerLen.toString),
+      "Actual-Content-Length" -> jsonStr(r.contentLen.toString)) ++
+      facts.map(f => Seq(
+        "Block-Digest" -> jsonStr(s"sha1:${f.digest}"),
+        "Payload-Digest" -> jsonStr(s"sha1:${f.payloadDigest}"))
+      ).getOrElse(Seq.empty) ++ Seq(
+      "WARC-Header-Metadata" -> headerMeta,
+      "Payload-Metadata" -> payloadMeta))
+    jsonObj(Seq(
+      "Envelope" -> envelope,
+      "Container" -> jsonObj(Seq(
+        "Filename" -> jsonStr(filename),
+        "Offset" -> jsonStr(span._1.toString),
+        "Length" -> jsonStr(span._2.toString)))))
+  }
+
+  /** The WAT sidecar records of an archive: the warcinfo, then one
+    * `metadata` record per SOURCE record (every type — request,
+    * response, metadata, warcinfo alike), body = the [[watJson]]
+    * envelope, `Content-Type: application/json`. Container spans are
+    * gzip-member spans for the per-record-gzipped CC shape (the
+    * ranged-fetch unit — the same spans [[WarcCdx.cdxIndex]] emits),
+    * raw record spans otherwise. None when the bytes are not a
+    * WARC. */
+  def watRecords(archive: Array[Byte], filename: String,
+      date: String = "", software: String = "graft.WarcSidecars")
+      : Option[Seq[Array[Byte]]] = {
+    val (u, recs, spanOf) = walkSource(archive).getOrElse(return None)
+    val d = if (date.nonEmpty) date else firstDate(u, recs)
+    val metas = recs.iterator.map { r =>
+      val (hs, headerLen) = recordHeaders(u, r.byteStart.toInt)
+        .getOrElse((Seq.empty[(String, String)], 0))
+      val body = watJson(u, r, hs, headerLen, filename,
+        spanOf(r.recordIdx)).getBytes("UTF-8")
+      val headers = Seq(
+        "WARC-Type" -> "metadata",
+        "WARC-Record-ID" -> contentAddressedId(body),
+        "WARC-Date" -> headerValue(hs, "WARC-Date").getOrElse(d)) ++
+        headerValue(hs, "WARC-Record-ID")
+          .map("WARC-Refers-To" -> _).toSeq ++
+        (if (r.targetUri.nonEmpty)
+          Seq("WARC-Target-URI" -> r.targetUri) else Seq.empty) ++ Seq(
+        "Content-Type" -> "application/json")
+      Warc.encodeSyntheticHeaders(Seq((headers, body)))
+    }.toSeq
+    Some(warcinfo(filename, "wat", d, software) +: metas)
+  }
+
+  /** [[watRecords]] in the published shard form (`.warc.wat.gz`). */
+  def watGz(archive: Array[Byte], filename: String, date: String = "",
+      software: String = "graft.WarcSidecars"): Option[Array[Byte]] =
+    watRecords(archive, filename, date, software)
+      .map(Warc.gzipPerRecord)
+
+  // ------------------------------------------------------------------
+  // DataFrame seam
+  // ------------------------------------------------------------------
+
+  /** One asset's sidecars; `ok = false` flags a non-WARC asset (both
+    * shards empty). Record counts include the warcinfo. */
+  final case class SidecarShard(asset_id: Long, filename: String,
+      wet: Array[Byte], wat: Array[Byte], wet_records: Int,
+      wat_records: Int, ok: Boolean)
+
+  /** WET+WAT generation over an (id, bytes, filename) corpus — the
+    * sidecar-build job a crawl bucket runs once per archive, emitted
+    * as per-record-gzipped shard bytes ready for a parquet/binary
+    * sink or [[graft.io.Tables]] write. mapPartitions, flagged
+    * fallback — the walker contract. */
+  def extractSidecars(df: DataFrame, idCol: String, bytesCol: String,
+      filenameCol: String, date: String = "",
+      software: String = "graft.WarcSidecars")(
+      implicit spark: SparkSession): Dataset[SidecarShard] = {
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(bytesCol),
+        col(filenameCol).cast("string"))
+      .as[(Long, Array[Byte], String)]
+      .mapPartitions(_.map { case (id, bytes, filename) =>
+        val built =
+          try {
+            for {
+              b <- Option(bytes)
+              wet <- wetRecords(b, filename, date, software)
+              wat <- watRecords(b, filename, date, software)
+            } yield (Warc.gzipPerRecord(wet), Warc.gzipPerRecord(wat),
+              wet.length, wat.length)
+          } catch { case scala.util.control.NonFatal(_) => None }
+        built match {
+          case Some((wet, wat, nWet, nWat)) =>
+            SidecarShard(id, filename, wet, wat, nWet, nWat, ok = true)
+          case None => SidecarShard(id, filename, Array.empty[Byte],
+            Array.empty[Byte], 0, 0, ok = false)
+        }
+      })
+  }
+}
