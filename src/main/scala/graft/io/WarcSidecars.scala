@@ -96,9 +96,12 @@ object WarcSidecars {
   }
 
   /** The walked source: uncompressed bytes, record index, and the
-    * container span per record — gzip-member spans when the archive
-    * is the per-record-gzipped CC shape (then the span is the ranged-
-    * fetch unit), raw record spans otherwise. */
+    * container span per record — a record alone in its gzip member
+    * (the per-record-gzipped CC shape) gets the member's COMPRESSED
+    * span (the ranged-fetch unit, the same span [[WarcCdx.cdxIndex]]
+    * emits); records sharing a member, and records of plain archives,
+    * keep raw record spans. The rule is PER MEMBER so the byte- and
+    * path-twins agree exactly. */
   private def walkSource(archive: Array[Byte])
       : Option[(Array[Byte], IndexedSeq[Warc.WarcRecord],
         Int => (Long, Long))] = {
@@ -107,14 +110,28 @@ object WarcSidecars {
     val u = (if (isGz) Warc.gunzipAll(archive)
              else Some(archive)).getOrElse(return None)
     val recs = Warc.recordIndex(u).getOrElse(return None)
+    val raw: Int => (Long, Long) =
+      i => (recs(i).byteStart, recs(i).byteLen)
     val spanOf: Int => (Long, Long) =
       if (isGz) {
         GzipMembers.memberIndex(archive) match {
-          case Some(ms) if ms.length == recs.length =>
-            i => (ms(i).compStart, ms(i).compLen)
-          case _ => i => (recs(i).byteStart, recs(i).byteLen)
+          case Some(ms) =>
+            // records → members by cumulative uncompressed offset
+            val spans = new Array[(Long, Long)](recs.length)
+            var uOff = 0L
+            var ri = 0
+            ms.foreach { m =>
+              val from = ri
+              while (ri < recs.length &&
+                recs(ri).byteStart < uOff + m.uncompLen) ri += 1
+              if (ri - from == 1)
+                spans(from) = (m.compStart, m.compLen)
+              uOff += m.uncompLen
+            }
+            i => Option(spans(i)).getOrElse(raw(i))
+          case None => raw
         }
-      } else i => (recs(i).byteStart, recs(i).byteLen)
+      } else raw
     Some((u, recs, spanOf))
   }
 
@@ -129,36 +146,26 @@ object WarcSidecars {
   // WET — text extraction sidecar
   // ------------------------------------------------------------------
 
-  /** The WET sidecar records of an archive: the warcinfo, then one
-    * `conversion` record per response with a 2xx status and an HTML
-    * body under `maxContentBytes` whose text extraction succeeds —
-    * the SAME page rule as [[Warc.extractHtmlPages]], so the WET of
-    * an archive carries exactly the page set every other seam
-    * yields. Conversion records carry the original `WARC-Target-URI`
-    * and `WARC-Date`, `WARC-Refers-To` the source record's id, a
-    * `WARC-Block-Digest` of the text bytes, and `Content-Type:
-    * text/plain`. None when the bytes are not a WARC. */
-  def wetRecords(archive: Array[Byte], filename: String,
-      date: String = "", software: String = "graft.WarcSidecars",
-      maxContentBytes: Long = 1L << 22): Option[Seq[Array[Byte]]] = {
-    val (u, recs, _) = walkSource(archive).getOrElse(return None)
-    val d = if (date.nonEmpty) date else firstDate(u, recs)
-    val conversions = recs.iterator
-      .filter(r => r.warcType == "response" && r.httpStatus >= 200 &&
-        r.httpStatus < 300 && r.bodyStart >= 0 &&
-        r.contentLen <= maxContentBytes)
-      .flatMap { r =>
-        Warc.htmlPageText(u, r.contentStart, r.bodyStart, r.bodyLen)
-          .map { case (_, text) => (r, text) }
-      }
-      .map { case (r, text) =>
+  /** The `conversion` record for one source record, or None when the
+    * record is not a 2xx HTML response under `maxContentBytes` (the
+    * [[Warc.extractHtmlPages]] page rule). `u` holds the record's
+    * bytes; `r`'s offsets address `u`. */
+  private def conversionFor(u: Array[Byte], r: Warc.WarcRecord,
+      fallbackDate: String, maxContentBytes: Long)
+      : Option[Array[Byte]] = {
+    if (!(r.warcType == "response" && r.httpStatus >= 200 &&
+      r.httpStatus < 300 && r.bodyStart >= 0 &&
+      r.contentLen <= maxContentBytes)) return None
+    Warc.htmlPageText(u, r.contentStart, r.bodyStart, r.bodyLen)
+      .map { case (_, text) =>
         val body = text.getBytes("UTF-8")
         val hs = recordHeaders(u, r.byteStart.toInt).map(_._1)
           .getOrElse(Seq.empty)
         val headers = Seq(
           "WARC-Type" -> "conversion",
           "WARC-Record-ID" -> contentAddressedId(body),
-          "WARC-Date" -> headerValue(hs, "WARC-Date").getOrElse(d)) ++
+          "WARC-Date" -> headerValue(hs, "WARC-Date")
+            .getOrElse(fallbackDate)) ++
           headerValue(hs, "WARC-Record-ID")
             .map("WARC-Refers-To" -> _).toSeq ++ Seq(
           "WARC-Target-URI" -> r.targetUri,
@@ -167,6 +174,29 @@ object WarcSidecars {
           "Content-Type" -> "text/plain")
         Warc.encodeSyntheticHeaders(Seq((headers, body)))
       }
+  }
+
+  /** The WET sidecar records of an archive: the warcinfo, then one
+    * `conversion` record per response with a 2xx status and an HTML
+    * body under `maxContentBytes` whose text extraction succeeds —
+    * the SAME page rule as [[Warc.extractHtmlPages]], so the WET of
+    * an archive carries exactly the page set every other seam
+    * yields. Conversion records carry the original `WARC-Target-URI`
+    * and `WARC-Date`, `WARC-Refers-To` the source record's id, a
+    * `WARC-Block-Digest` of the text bytes, and `Content-Type:
+    * text/plain`. Records over `maxRecordBytes` are OMITTED (the
+    * same skip the streaming path twin applies — their facts live in
+    * the CDX index; sidecars carry text/metadata). None when the
+    * bytes are not a WARC. */
+  def wetRecords(archive: Array[Byte], filename: String,
+      date: String = "", software: String = "graft.WarcSidecars",
+      maxContentBytes: Long = 1L << 22,
+      maxRecordBytes: Long = 1L << 26): Option[Seq[Array[Byte]]] = {
+    val (u, recs, _) = walkSource(archive).getOrElse(return None)
+    val d = if (date.nonEmpty) date else firstDate(u, recs)
+    val conversions = recs.iterator
+      .filter(_.byteLen <= maxRecordBytes)
+      .flatMap(r => conversionFor(u, r, d, maxContentBytes))
       .toSeq
     Some(warcinfo(filename, "wet", d, software) +: conversions)
   }
@@ -238,35 +268,47 @@ object WarcSidecars {
         "Length" -> jsonStr(span._2.toString)))))
   }
 
+  /** The `metadata` record for one source record. `u` holds the
+    * record's bytes; `r`'s offsets address `u`; `span` is the
+    * container span the envelope points at. */
+  private def metadataFor(u: Array[Byte], r: Warc.WarcRecord,
+      filename: String, span: (Long, Long), fallbackDate: String)
+      : Array[Byte] = {
+    val (hs, headerLen) = recordHeaders(u, r.byteStart.toInt)
+      .getOrElse((Seq.empty[(String, String)], 0))
+    val body = watJson(u, r, hs, headerLen, filename, span)
+      .getBytes("UTF-8")
+    val headers = Seq(
+      "WARC-Type" -> "metadata",
+      "WARC-Record-ID" -> contentAddressedId(body),
+      "WARC-Date" -> headerValue(hs, "WARC-Date")
+        .getOrElse(fallbackDate)) ++
+      headerValue(hs, "WARC-Record-ID")
+        .map("WARC-Refers-To" -> _).toSeq ++
+      (if (r.targetUri.nonEmpty)
+        Seq("WARC-Target-URI" -> r.targetUri) else Seq.empty) ++ Seq(
+      "Content-Type" -> "application/json")
+    Warc.encodeSyntheticHeaders(Seq((headers, body)))
+  }
+
   /** The WAT sidecar records of an archive: the warcinfo, then one
     * `metadata` record per SOURCE record (every type — request,
     * response, metadata, warcinfo alike), body = the [[watJson]]
     * envelope, `Content-Type: application/json`. Container spans are
     * gzip-member spans for the per-record-gzipped CC shape (the
     * ranged-fetch unit — the same spans [[WarcCdx.cdxIndex]] emits),
-    * raw record spans otherwise. None when the bytes are not a
-    * WARC. */
+    * raw record spans otherwise. Records over `maxRecordBytes` are
+    * OMITTED (path-twin parity, as in [[wetRecords]]). None when the
+    * bytes are not a WARC. */
   def watRecords(archive: Array[Byte], filename: String,
-      date: String = "", software: String = "graft.WarcSidecars")
-      : Option[Seq[Array[Byte]]] = {
+      date: String = "", software: String = "graft.WarcSidecars",
+      maxRecordBytes: Long = 1L << 26): Option[Seq[Array[Byte]]] = {
     val (u, recs, spanOf) = walkSource(archive).getOrElse(return None)
     val d = if (date.nonEmpty) date else firstDate(u, recs)
-    val metas = recs.iterator.map { r =>
-      val (hs, headerLen) = recordHeaders(u, r.byteStart.toInt)
-        .getOrElse((Seq.empty[(String, String)], 0))
-      val body = watJson(u, r, hs, headerLen, filename,
-        spanOf(r.recordIdx)).getBytes("UTF-8")
-      val headers = Seq(
-        "WARC-Type" -> "metadata",
-        "WARC-Record-ID" -> contentAddressedId(body),
-        "WARC-Date" -> headerValue(hs, "WARC-Date").getOrElse(d)) ++
-        headerValue(hs, "WARC-Record-ID")
-          .map("WARC-Refers-To" -> _).toSeq ++
-        (if (r.targetUri.nonEmpty)
-          Seq("WARC-Target-URI" -> r.targetUri) else Seq.empty) ++ Seq(
-        "Content-Type" -> "application/json")
-      Warc.encodeSyntheticHeaders(Seq((headers, body)))
-    }.toSeq
+    val metas = recs.iterator
+      .filter(_.byteLen <= maxRecordBytes)
+      .map(r => metadataFor(u, r, filename, spanOf(r.recordIdx), d))
+      .toSeq
     Some(warcinfo(filename, "wat", d, software) +: metas)
   }
 
@@ -290,7 +332,8 @@ object WarcSidecars {
     * sidecar-build job a crawl bucket runs once per archive, emitted
     * as per-record-gzipped shard bytes ready for a parquet/binary
     * sink or [[graft.io.Tables]] write. mapPartitions, flagged
-    * fallback — the walker contract. */
+    * fallback — the walker contract. For archives too large to stage
+    * as a byte column, [[extractSidecarsByPath]] streams. */
   def extractSidecars(df: DataFrame, idCol: String, bytesCol: String,
       filenameCol: String, date: String = "",
       software: String = "graft.WarcSidecars")(
@@ -316,5 +359,135 @@ object WarcSidecars {
             Array.empty[Byte], 0, 0, ok = false)
         }
       })
+  }
+
+  /** [[extractSidecars]] over an (id, path) corpus — the sidecar-
+    * build job for archives that must NOT stage in memory (a real CC
+    * archive is ~1 GB compressed): `.warc.gz` streams forward through
+    * [[PathIO]] via [[WarcCdx.memberWalkStreaming]] in O(member)
+    * transient memory; plain archives walk seekable and read each
+    * record once. Only the OUTPUT shards accumulate — WET/WAT are KBs
+    * per MB of archive, the proportionality that makes sidecars worth
+    * publishing. Byte-for-byte parity with the byte twin is
+    * spec-pinned (same page rule, same `maxRecordBytes` skip, same
+    * per-member container-span rule), with one documented corner: if
+    * the FIRST record exceeds `maxRecordBytes` the stream cannot read
+    * its date for the warcinfo fallback — supply `date` explicitly
+    * for such archives. The envelope/warcinfo filename is the path's
+    * last segment. Unreadable/ill-formed paths (or any corrupt
+    * member/record — sidecars of a corrupt archive would silently
+    * misrepresent it) emit the flagged row. */
+  def extractSidecarsByPath(df: DataFrame, idCol: String,
+      pathCol: String, date: String = "",
+      software: String = "graft.WarcSidecars",
+      maxContentBytes: Long = 1L << 22,
+      maxRecordBytes: Long = 1L << 26)(
+      implicit spark: SparkSession): Dataset[SidecarShard] = {
+    import spark.implicits._
+    val confBc = PathIO.confBroadcast(spark)
+    df.select(col(idCol).cast("long"), col(pathCol).cast("string"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val conf = confBc.value.value
+        it.map { case (id, path) =>
+          val filename = path.substring(path.lastIndexOf('/') + 1)
+          val built: Option[(Array[Byte], Array[Byte], Int, Int)] =
+            try {
+              val wets =
+                scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+              val wats =
+                scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+              var d = date
+              var dateResolved = date.nonEmpty
+              var bad = false
+              // one record's worth of sidecar records, appended in
+              // source order — m holds the record, r addresses m
+              def emitFor(m: Array[Byte], r: Warc.WarcRecord,
+                  span: (Long, Long)): Unit = {
+                if (!dateResolved) {
+                  d = recordHeaders(m, r.byteStart.toInt)
+                    .flatMap { case (hs, _) =>
+                      headerValue(hs, "WARC-Date") }
+                    .getOrElse("")
+                  dateResolved = true
+                }
+                conversionFor(m, r, d, maxContentBytes)
+                  .foreach(wets += _)
+                wats += metadataFor(m, r, filename, span, d)
+              }
+              val raw = new java.io.PushbackInputStream(
+                PathIO.openStream(path, conf), 2)
+              val (h0, h1) =
+                try (raw.read(), raw.read())
+                catch {
+                  case scala.util.control.NonFatal(e) =>
+                    raw.close(); throw e
+                }
+              val walked: Boolean =
+                if (h0 == 0x1f && h1 == 0x8b) {
+                  raw.unread(h1); raw.unread(h0)
+                  try {
+                    // global uncompressed offset, so multi-record
+                    // members fall back to the SAME raw spans the
+                    // byte twin's walkSource computes
+                    var uOff = 0L
+                    WarcCdx.memberWalkStreaming(raw, maxRecordBytes) {
+                      (start, clen, ulen, bytes) =>
+                        bytes.foreach { m =>
+                          Warc.recordIndex(m) match {
+                            case Some(rs) => rs.foreach { r =>
+                              // a record ALONE in its member gets the
+                              // member's compressed span (the walkSource
+                              // per-member rule)
+                              emitFor(m, r,
+                                if (rs.length == 1) (start, clen)
+                                else (uOff + r.byteStart, r.byteLen))
+                            }
+                            case None => bad = true
+                          }
+                        } // bytes None: member over the cap — skipped
+                        uOff += ulen
+                    }
+                  } finally raw.close()
+                } else {
+                  raw.close()
+                  val r = PathIO.openRange(path, conf)
+                  try {
+                    Warc.recordIndexSeekable(r) match {
+                      case Some(rs) =>
+                        rs.foreach { rec =>
+                          if (rec.byteLen <= maxRecordBytes) {
+                            val m = r.readFully(rec.byteStart,
+                              rec.byteLen.toInt)
+                            // re-index the slice so offsets address m
+                            Warc.recordIndex(m) match {
+                              case Some(one) => one.foreach(rr =>
+                                emitFor(m, rr,
+                                  (rec.byteStart, rec.byteLen)))
+                              case None => bad = true
+                            }
+                          }
+                        }
+                        true
+                      case None => false
+                    }
+                  } finally r.close()
+                }
+              if (!walked || bad) None
+              else Some((
+                Warc.gzipPerRecord(
+                  warcinfo(filename, "wet", d, software) +: wets.toSeq),
+                Warc.gzipPerRecord(
+                  warcinfo(filename, "wat", d, software) +: wats.toSeq),
+                wets.length + 1, wats.length + 1))
+            } catch { case scala.util.control.NonFatal(_) => None }
+          built match {
+            case Some((wet, wat, nWet, nWat)) =>
+              SidecarShard(id, filename, wet, wat, nWet, nWat, ok = true)
+            case None => SidecarShard(id, filename, Array.empty[Byte],
+              Array.empty[Byte], 0, 0, ok = false)
+          }
+        }
+      }
   }
 }

@@ -192,6 +192,66 @@ class WarcSidecarsSpec extends SparkSpec {
     assert(!bad.ok && bad.wet.isEmpty && bad.wat.isEmpty)
   }
 
+  test("byte and path twins emit byte-identical shards") {
+    val dir = java.nio.file.Files.createTempDirectory("sidecar_parity")
+    val gzF = dir.resolve("a.warc.gz")
+    java.nio.file.Files.write(gzF, gz)
+    val plain = Seq(
+      html("http://en.example/page", "2024-03-05T06:07:08Z", "Alpha",
+        "The quick start."), request).reduce(_ ++ _)
+    val plF = dir.resolve("b.warc")
+    java.nio.file.Files.write(plF, plain)
+    val mem = WarcSidecars.extractSidecars(
+      Seq((1L, gz, "a.warc.gz"), (2L, plain, "b.warc"))
+        .toDF("id", "bytes", "filename"), "id", "bytes", "filename")
+      .collect().sortBy(_.asset_id)
+    val byPath = WarcSidecars.extractSidecarsByPath(
+      Seq((1L, gzF.toString), (2L, "file://" + plF.toString))
+        .toDF("id", "path"), "id", "path")
+      .collect().sortBy(_.asset_id)
+    mem.zip(byPath).foreach { case (m, p) =>
+      assert(m.ok && p.ok)
+      assert(m.wet_records === p.wet_records)
+      assert(m.wat_records === p.wat_records)
+      assert(java.util.Arrays.equals(m.wet, p.wet))
+      assert(java.util.Arrays.equals(m.wat, p.wat))
+    }
+    // a member holding TWO records: both twins fall back to the same
+    // raw (uncompressed-global) container spans
+    val multi = Warc.gzipPerRecord(Seq(
+      html("http://en.example/page", "2024-03-05T06:07:08Z", "Alpha",
+        "The quick start.") ++ request, gif))
+    val mF = dir.resolve("m.warc.gz")
+    java.nio.file.Files.write(mF, multi)
+    val mMem = WarcSidecars.extractSidecars(
+      Seq((1L, multi, "m.warc.gz")).toDF("id", "bytes", "filename"),
+      "id", "bytes", "filename").collect().head
+    val mPath = WarcSidecars.extractSidecarsByPath(
+      Seq((1L, mF.toString)).toDF("id", "path"), "id", "path")
+      .collect().head
+    assert(mMem.ok && mPath.ok && mMem.wat_records === 4)
+    assert(java.util.Arrays.equals(mMem.wet, mPath.wet))
+    assert(java.util.Arrays.equals(mMem.wat, mPath.wat))
+    // oversize records skip identically under the same cap
+    val cap = gif.length.toLong // the html records are bigger
+    val pure = Warc.gzipPerRecord(
+      WarcSidecars.watRecords(gz, "a.warc.gz",
+        date = "2024-03-05T06:07:08Z", maxRecordBytes = cap).get)
+    val capped = WarcSidecars.extractSidecarsByPath(
+      Seq((1L, gzF.toString)).toDF("id", "path"), "id", "path",
+      date = "2024-03-05T06:07:08Z", maxRecordBytes = cap)
+      .collect().head
+    val pureCount = Warc.recordIndex(Warc.gunzipAll(pure).get).get.length
+    assert(capped.ok && pureCount < 5) // the cap really skipped some
+    assert(capped.wat_records === pureCount)
+    assert(java.util.Arrays.equals(pure, capped.wat))
+    // unreadable path: flagged, never a task kill
+    val badRow = WarcSidecars.extractSidecarsByPath(
+      Seq((9L, dir.resolve("missing.warc.gz").toString))
+        .toDF("id", "path"), "id", "path").collect().head
+    assert(!badRow.ok && badRow.wet.isEmpty)
+  }
+
   test("sidecarName follows the CC convention") {
     assert(WarcSidecars.sidecarName("a.warc.gz", "wet") === "a.warc.wet.gz")
     assert(WarcSidecars.sidecarName("a.warc", "wat") === "a.warc.wat.gz")
