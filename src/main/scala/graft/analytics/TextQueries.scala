@@ -2761,8 +2761,239 @@ object TextQueries {
         "Zweite Seite gut.")))
   }
 
+  /** The robots gate fixtures. A: a named `graftbot` group (prefix,
+    * nested allow, wildcard+anchor, catch-all allow) above a
+    * disallow-everything `*` group; B: a foreign named group above a
+    * `*` group graftbot falls back to; C: two same-agent groups that
+    * must MERGE (RFC 9309 §2.2.1). Both gates and their oracles
+    * hand-derive from these literals. */
+  private val robotsFixtureA: String =
+    """# policy for a.example
+      |User-agent: graftbot
+      |Disallow: /private/
+      |Allow: /private/ok/
+      |Disallow: /*.tmp$
+      |Allow: /
+      |
+      |User-agent: *
+      |Disallow: /
+      |""".stripMargin
+
+  private val robotsFixtureB: String =
+    """User-agent: otherbot
+      |Disallow: /
+      |
+      |USER-AGENT: *
+      |ALLOW: /pub
+      |disallow: /
+      |""".stripMargin
+
+  private val robotsFixtureC: String =
+    "User-agent: graftbot\nDisallow: /a\n\n" +
+      "User-agent: graftbot\nAllow: /a/b\n"
+
+  /** robots.txt parse + group selection gate ([[graft.text.Robots]]):
+    * three in-plan robots texts → [[graft.text.Robots.parseRules]] →
+    * the rules governing crawler token `graftbot`. Oracle: the
+    * hand-derived rule rows — A's named group beats its `*` group
+    * (which never appears), B falls back to `*` (mixed-case keys
+    * parse), C's two same-agent groups BOTH survive (merge), and each
+    * row pins the translated RE2/Java regex and the pattern-length
+    * priority the filter gate folds on. */
+  val qRobotsRules: QueryDef = QueryDef.sql(
+    "q_robots_rules",
+    """SELECT * FROM (VALUES
+      |  ('a.example', 0, 0, false, '/private/', '^/private/', 9),
+      |  ('a.example', 0, 1, true, '/private/ok/', '^/private/ok/', 12),
+      |  ('a.example', 0, 2, false, '/*.tmp$', '^/.*\.tmp$', 7),
+      |  ('a.example', 0, 3, true, '/', '^/', 1),
+      |  ('b.example', 1, 0, true, '/pub', '^/pub', 4),
+      |  ('b.example', 1, 1, false, '/', '^/', 1),
+      |  ('c.example', 0, 0, false, '/a', '^/a', 2),
+      |  ('c.example', 1, 0, true, '/a/b', '^/a/b', 4))
+      |  AS t(host, group_idx, rule_idx, allow, pattern, regex,
+      |       priority)
+      |ORDER BY host, group_idx, rule_idx""".stripMargin,
+    doc = "robots.txt parsing + RFC 9309 group selection for a " +
+      "crawler token (crawl-curation ops)") { (s, dir) =>
+    import s.implicits._
+    import graft.text.Robots
+    Robots.rulesFor(
+      Robots.parseRules(Seq(
+        ("a.example", robotsFixtureA), ("b.example", robotsFixtureB),
+        ("c.example", robotsFixtureC)).toDF("host", "txt"),
+        "host", "txt")(s),
+      "graftbot")
+      .orderBy("host", "group_idx", "rule_idx")
+  }
+
+  /** Retroactive robots filtering gate
+    * ([[graft.text.Robots.filterTargets]] — which archived URLs would
+    * the policy have excluded for `graftbot`): a URL corpus derived
+    * from `documents` (three hosts × six path shapes) against the A/B
+    * fixtures, host `d.example` carrying no robots at all. Oracle:
+    * the selected rules restated as VALUES, matched with the SAME
+    * anchored regexes, longest-pattern-then-allow precedence via a
+    * window — hosts without rules (or without matches) default to
+    * allowed with a NULL matched pattern. Pins the wildcard+`$` rule
+    * catching `.tmp` but not `.tmp.bak`, the nested allow overriding
+    * its disallow prefix, and the `*`-group fallback host. */
+  val qRobotsFilter: QueryDef = QueryDef.sql(
+    "q_robots_filter",
+    """WITH u AS (
+      |  SELECT doc_id,
+      |    CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'a.example'
+      |         WHEN 1 THEN 'b.example' ELSE 'd.example' END AS host,
+      |    CASE CAST((doc_id // 3) % 6 AS INT)
+      |      WHEN 0 THEN '/index.html'
+      |      WHEN 1 THEN '/private/doc' || CAST(doc_id AS VARCHAR)
+      |      WHEN 2 THEN '/private/ok/x'
+      |      WHEN 3 THEN '/files/a.tmp'
+      |      WHEN 4 THEN '/files/a.tmp.bak'
+      |      ELSE '/pub/data' END AS target
+      |  FROM documents WHERE doc_id < 240),
+      |r(host, allow, pattern, rx, prio) AS (VALUES
+      |  ('a.example', false, '/private/', '^/private/', 9),
+      |  ('a.example', true,  '/private/ok/', '^/private/ok/', 12),
+      |  ('a.example', false, '/*.tmp$', '^/.*\.tmp$', 7),
+      |  ('a.example', true,  '/', '^/', 1),
+      |  ('b.example', true,  '/pub', '^/pub', 4),
+      |  ('b.example', false, '/', '^/', 1)),
+      |m AS (
+      |  SELECT u.doc_id, r.allow, r.pattern,
+      |    row_number() OVER (PARTITION BY u.doc_id
+      |      ORDER BY r.prio DESC, r.allow DESC, r.pattern) AS rn
+      |  FROM u JOIN r ON u.host = r.host
+      |    AND regexp_matches(u.target, r.rx))
+      |SELECT u.doc_id, u.host, u.target,
+      |  coalesce(m.allow, true) AS allowed,
+      |  m.pattern AS matched_pattern
+      |FROM u LEFT JOIN m ON u.doc_id = m.doc_id AND m.rn = 1
+      |ORDER BY u.doc_id""".stripMargin,
+    doc = "retroactive robots.txt URL filtering: longest-match " +
+      "verdict per URL, one row per URL (crawl-curation ops)") {
+    (s, dir) =>
+    import s.implicits._
+    import graft.text.Robots
+    val rules = Robots.parseRules(Seq(
+      ("a.example", robotsFixtureA), ("b.example", robotsFixtureB))
+      .toDF("host", "txt"), "host", "txt")(s)
+    val host3 = (col("doc_id") % 3).cast("int")
+    val shape = (expr("doc_id div 3") % 6).cast("int")
+    val urls = t(s, dir, "documents").filter(col("doc_id") < 240)
+      .select(col("doc_id"),
+        when(host3 === 0, "a.example").when(host3 === 1, "b.example")
+          .otherwise("d.example").as("host"),
+        when(shape === 0, lit("/index.html"))
+          .when(shape === 1,
+            concat(lit("/private/doc"), col("doc_id").cast("string")))
+          .when(shape === 2, lit("/private/ok/x"))
+          .when(shape === 3, lit("/files/a.tmp"))
+          .when(shape === 4, lit("/files/a.tmp.bak"))
+          .otherwise(lit("/pub/data")).as("target"))
+    Robots.filterTargets(urls, "host", "target", rules, "graftbot")
+      .select(col("doc_id"), col("host"), col("target"),
+        col("allowed"), col("matched_pattern"))
+      .orderBy("doc_id")
+  }
+
+  /** The revisit gate fixture: crawl 1 holds page Alpha + page Other;
+    * crawl 2 re-captures Alpha BYTE-IDENTICALLY (same payload, later
+    * date) and adds page Beta. Per-record-gzipped, fixed dates. */
+  private def revisitFixtures: (Array[Byte], Array[Byte]) = {
+    import graft.io.Warc
+    def page(uri: String, date: String, title: String, body: String)
+        : Array[Byte] =
+      Warc.encodeSyntheticHeaders(Seq((Seq(
+        "WARC-Type" -> "response",
+        "WARC-Record-ID" -> s"<urn:uuid:$uri@$date>",
+        "WARC-Date" -> date,
+        "WARC-Target-URI" -> uri,
+        "Content-Type" -> "application/http; msgtype=response"),
+        Warc.httpResponse(200, "OK",
+          Seq("Content-Type" -> "text/html; charset=utf-8"),
+          (s"<html><head><title>$title</title></head><body><p>$body" +
+            "</p></body></html>").getBytes("UTF-8")))))
+    // Alpha's body is big and poorly compressible so the revisit's
+    // truncation beats its header growth even through gzip
+    val filler = (1 to 300)
+      .map(i => ((i * 2654435761L) % 100000).toString).mkString(" ")
+    (Warc.gzipPerRecord(Seq(
+      page("http://en.example/page", "2024-03-05T06:07:08Z", "Alpha",
+        filler),
+      page("http://en.example/other", "2024-03-05T06:07:09Z", "Other",
+        "Unrelated."))),
+      Warc.gzipPerRecord(Seq(
+        page("http://en.example/page", "2024-03-12T06:07:08Z", "Alpha",
+          filler),
+        page("http://de.example/seite", "2024-03-12T06:07:09Z", "Beta",
+          "Neue Seite."))))
+  }
+
+  /** WARC revisit dedup gate ([[graft.io.WarcRevisit]] — ISO 28500
+    * §6.7.2, the archive-side payload dedup convention): two crawls
+    * indexed in-plan → [[graft.io.WarcRevisit.revisitPlan]] →
+    * crawl 2 REWRITTEN (its re-capture of Alpha becomes a revisit
+    * record) → the rewritten archive walked by the engine's own CDX
+    * pass → [[graft.io.WarcRevisit.resolveRevisits]] joins the
+    * revisit back to crawl 1's capture. Oracle: hand-derived — the
+    * re-capture surfaces as `revisit` with the ORIGINAL payload
+    * digest declared (`payload_match` pins the revisit-aware CDX
+    * digest convention), a shorter member (`truncated`), and a
+    * resolution landing on crawl 1's member span (`offset_match`);
+    * the new page passes through byte-identical and unresolved. */
+  val qWarcRevisit: QueryDef = QueryDef.sql(
+    "q_warc_revisit",
+    """SELECT * FROM (VALUES
+      |  (0, 'revisit', 'example,en)/page', true, true, true, true),
+      |  (1, 'response', 'example,de)/seite', true, false, false,
+      |   false))
+      |  AS t(record_idx, warc_type, urlkey, payload_match, truncated,
+      |       resolved, offset_match)
+      |ORDER BY record_idx""".stripMargin,
+    doc = "WARC revisit dedup: plan -> archive rewrite -> revisit-" +
+      "aware CDX walk -> resolution to the original capture's span") {
+    (s, dir) =>
+    import s.implicits._
+    import graft.io.{WarcCdx, WarcRevisit}
+    val (a1, a2) = revisitFixtures
+    val srcCdx = WarcCdx.extractCdx(
+      Seq((1L, a1), (2L, a2)).toDF("id", "bytes"), "id", "bytes")(s)
+      .toDF
+    val plan = WarcRevisit.revisitPlan(srcCdx)
+    val rewritten = WarcRevisit.rewriteRevisits(
+      Seq((2L, a2, "b.warc.gz")).toDF("id", "bytes", "filename"),
+      "id", "bytes", "filename", plan)(s)
+    val walked = WarcCdx.extractCdx(
+      rewritten.toDF.select(col("asset_id").as("id"), col("bytes")),
+      "id", "bytes")(s).toDF
+    val res = WarcRevisit.resolveRevisits(
+      srcCdx.filter(col("asset_id") === 1).unionByName(walked))
+      .select(col("record_idx").as("r_idx"), col("resolved"),
+        col("refers_to_offset"))
+    val origA1 = srcCdx.filter(col("asset_id") === 1 &&
+      col("record_idx") === 0)
+      .select(col("offset").as("a1_offset"))
+    val origA2 = srcCdx.filter(col("asset_id") === 2)
+      .select(col("record_idx").as("o_idx"),
+        col("payload_digest").as("o_digest"),
+        col("length").as("o_length"))
+    walked.join(origA2, col("record_idx") === col("o_idx"))
+      .join(res, col("record_idx") === col("r_idx"), "left")
+      .crossJoin(broadcast(origA1))
+      .select(col("record_idx"), col("warc_type"), col("urlkey"),
+        (col("payload_digest") === col("o_digest"))
+          .as("payload_match"),
+        (col("length") < col("o_length")).as("truncated"),
+        coalesce(col("resolved"), lit(false)).as("resolved"),
+        coalesce(col("refers_to_offset") === col("a1_offset"),
+          lit(false)).as("offset_match"))
+      .orderBy("record_idx")
+  }
+
   val all: Seq[QueryDef] = Seq(
     qWarcCdx, qWarcHydrate, qWarcWet, qWarcWat,
+    qRobotsRules, qRobotsFilter, qWarcRevisit,
     qSpanFetch,
     qSubtitleCues, qWarcRecords, qWarcHtmlText, qTarIndex,
     qWebdatasetSamples, qGzipMembers, qWarcCurate, qTfrecordIndex,

@@ -213,11 +213,15 @@ object WarcCdx {
     val out = new java.io.ByteArrayOutputStream()
     var p = from
     while (true) {
-      // hex chunk-size line
+      // hex chunk-size line — capped: a real size line is tens of
+      // bytes (hex digits + extensions); a corrupt body with no CRLF
+      // must not scan (and later stringify) megabytes
+      val lineCap = math.min(until, p + 1026)
       var lineEnd = p
-      while (lineEnd + 1 < until &&
+      while (lineEnd + 1 < lineCap &&
         !(b(lineEnd) == '\r' && b(lineEnd + 1) == '\n')) lineEnd += 1
-      if (lineEnd + 1 >= until) return None
+      if (lineEnd + 1 >= lineCap ||
+        !(b(lineEnd) == '\r' && b(lineEnd + 1) == '\n')) return None
       val sizeStr = new String(b, p, lineEnd - p, "ISO-8859-1")
         .split(";")(0).trim
       if (sizeStr.isEmpty || !sizeStr.forall(c =>
@@ -306,6 +310,21 @@ object WarcCdx {
           bodyLen = len - bo
           mime = httpContentType(httpHead, bo).getOrElse("unk")
         }
+      }
+    }
+    // revisit records (ISO 28500 §6.7.2) carry a truncated content
+    // block by DESIGN — their declared `WARC-Payload-Digest` names
+    // the ORIGINAL capture's payload, and the published CDX
+    // convention keys revisit rows on it (that is how wayback joins
+    // a revisit to its capture). Recomputing over the truncated
+    // block would break every such join, so the declared digest
+    // wins for revisits; everything else keeps the recompute (the
+    // integrity posture).
+    if (warcType == "revisit") {
+      hs.get("warc-payload-digest").foreach { d =>
+        val v = d.trim
+        if (v.toLowerCase(java.util.Locale.ROOT).startsWith("sha1:"))
+          payloadDigest = v.substring(5)
       }
     }
     Some(RecordFacts(warcType, url, date, mime, status, blockDigest,

@@ -55,7 +55,7 @@ object WarcSidecars {
     * [[Warc.headerMap]] lowercases and unorders for routing; the WAT
     * envelope reproduces the original carriage. None on a malformed
     * head. */
-  private def recordHeaders(u: Array[Byte], start: Int)
+  private[io] def recordHeaders(u: Array[Byte], start: Int)
       : Option[(Seq[(String, String)], Int)] = {
     val hdrCap = math.min(u.length, start + MaxHeaderBytes)
     val blank = Warc.findBlankLine(u, start, hdrCap)
@@ -124,7 +124,12 @@ object WarcSidecars {
               val from = ri
               while (ri < recs.length &&
                 recs(ri).byteStart < uOff + m.uncompLen) ri += 1
-              if (ri - from == 1)
+              // span the member ONLY when its one record opens it and
+              // fits inside it (the streaming twin's standalone-parse
+              // shape) — a record crossing a member boundary keeps
+              // its raw span (a member-span fetch would truncate it)
+              if (ri - from == 1 && recs(from).byteStart == uOff &&
+                recs(from).byteLen <= m.uncompLen)
                 spans(from) = (m.compStart, m.compLen)
               uOff += m.uncompLen
             }
@@ -229,15 +234,19 @@ object WarcSidecars {
     * Length}), digests in the WARC `sha1:BASE32` label form. */
   private def watJson(u: Array[Byte], r: Warc.WarcRecord,
       hs: Seq[(String, String)], headerLen: Int, filename: String,
-      span: (Long, Long)): String = {
+      span: (Long, Long), maxContentBytes: Long): String = {
     val facts = WarcCdx.parseSingleRecord(u, r.byteStart.toInt,
       (r.byteStart + r.byteLen).toInt)
     val headerMeta = jsonObj(hs.map { case (k, v) => (k, jsonStr(v)) })
     val httpMeta: Option[(String, String)] = facts
       .filter(f => f.status >= 0 && r.warcType == "response")
       .map { f =>
+        // title extraction walks the whole body — capped at the WET
+        // page bound so an oversize response still gets its envelope
+        // (headers/digests/span) without an unbounded HTML parse
         val title =
-          if (r.bodyStart >= 0 && r.bodyLen > 0)
+          if (r.bodyStart >= 0 && r.bodyLen > 0 &&
+            r.contentLen <= maxContentBytes)
             Warc.htmlPageText(u, r.contentStart, r.bodyStart, r.bodyLen)
               .map(_._1).filter(_.nonEmpty)
           else None
@@ -272,11 +281,12 @@ object WarcSidecars {
     * record's bytes; `r`'s offsets address `u`; `span` is the
     * container span the envelope points at. */
   private def metadataFor(u: Array[Byte], r: Warc.WarcRecord,
-      filename: String, span: (Long, Long), fallbackDate: String)
-      : Array[Byte] = {
+      filename: String, span: (Long, Long), fallbackDate: String,
+      maxContentBytes: Long): Array[Byte] = {
     val (hs, headerLen) = recordHeaders(u, r.byteStart.toInt)
       .getOrElse((Seq.empty[(String, String)], 0))
-    val body = watJson(u, r, hs, headerLen, filename, span)
+    val body = watJson(u, r, hs, headerLen, filename, span,
+        maxContentBytes)
       .getBytes("UTF-8")
     val headers = Seq(
       "WARC-Type" -> "metadata",
@@ -298,16 +308,21 @@ object WarcSidecars {
     * gzip-member spans for the per-record-gzipped CC shape (the
     * ranged-fetch unit — the same spans [[WarcCdx.cdxIndex]] emits),
     * raw record spans otherwise. Records over `maxRecordBytes` are
-    * OMITTED (path-twin parity, as in [[wetRecords]]). None when the
-    * bytes are not a WARC. */
+    * OMITTED (path-twin parity, as in [[wetRecords]]). The envelope's
+    * optional `Head.Title` is extracted only for responses under
+    * `maxContentBytes` (the WET page bound) — an oversize response
+    * keeps its full envelope, just without the HTML walk. None when
+    * the bytes are not a WARC. */
   def watRecords(archive: Array[Byte], filename: String,
       date: String = "", software: String = "graft.WarcSidecars",
-      maxRecordBytes: Long = 1L << 26): Option[Seq[Array[Byte]]] = {
+      maxRecordBytes: Long = 1L << 26,
+      maxContentBytes: Long = 1L << 22): Option[Seq[Array[Byte]]] = {
     val (u, recs, spanOf) = walkSource(archive).getOrElse(return None)
     val d = if (date.nonEmpty) date else firstDate(u, recs)
     val metas = recs.iterator
       .filter(_.byteLen <= maxRecordBytes)
-      .map(r => metadataFor(u, r, filename, spanOf(r.recordIdx), d))
+      .map(r => metadataFor(u, r, filename, spanOf(r.recordIdx), d,
+        maxContentBytes))
       .toSeq
     Some(warcinfo(filename, "wat", d, software) +: metas)
   }
@@ -370,10 +385,13 @@ object WarcSidecars {
     * per MB of archive, the proportionality that makes sidecars worth
     * publishing. Byte-for-byte parity with the byte twin is
     * spec-pinned (same page rule, same `maxRecordBytes` skip, same
-    * per-member container-span rule), with one documented corner: if
-    * the FIRST record exceeds `maxRecordBytes` the stream cannot read
-    * its date for the warcinfo fallback — supply `date` explicitly
-    * for such archives. The envelope/warcinfo filename is the path's
+    * per-member container-span rule), with two documented corners:
+    * if the FIRST record exceeds `maxRecordBytes` the stream cannot
+    * read its date for the warcinfo fallback — supply `date`
+    * explicitly for such archives; and a record CROSSING a gzip
+    * member boundary (never the per-record-gzipped CC shape) parses
+    * in the byte twin (which inflates the whole archive) but flags
+    * here (the forward walk sees only one member at a time). The envelope/warcinfo filename is the path's
     * last segment. Unreadable/ill-formed paths (or any corrupt
     * member/record — sidecars of a corrupt archive would silently
     * misrepresent it) emit the flagged row. */
@@ -413,7 +431,8 @@ object WarcSidecars {
                 }
                 conversionFor(m, r, d, maxContentBytes)
                   .foreach(wets += _)
-                wats += metadataFor(m, r, filename, span, d)
+                wats += metadataFor(m, r, filename, span, d,
+                  maxContentBytes)
               }
               val raw = new java.io.PushbackInputStream(
                 PathIO.openStream(path, conf), 2)

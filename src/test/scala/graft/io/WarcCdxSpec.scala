@@ -200,6 +200,18 @@ class WarcCdxSpec extends SparkSpec {
     // dechunk itself: framing violations are None, never throws
     assert(WarcCdx.dechunk("5\r\nab".getBytes("ISO-8859-1"), 0, 5).isEmpty)
     assert(WarcCdx.dechunk(Array.empty[Byte], 0, 0).isEmpty)
+    // the size-line scan is capped: a corrupt body with no CRLF in
+    // its first KB refuses without stringifying the whole body
+    val noCrlf = Array.fill[Byte](1 << 20)('a')
+    assert(WarcCdx.dechunk(noCrlf, 0, noCrlf.length).isEmpty)
+    val lateCrlf = Array.fill[Byte](4096)('1')
+    lateCrlf(2000) = '\r'; lateCrlf(2001) = '\n'
+    assert(WarcCdx.dechunk(lateCrlf, 0, lateCrlf.length).isEmpty)
+    // a size line with a sub-cap extension still decodes
+    val ext = ("3;" + "x" * 100 + "\r\nabc\r\n0\r\n\r\n")
+      .getBytes("ISO-8859-1")
+    assert(WarcCdx.dechunk(ext, 0, ext.length)
+      .map(new String(_, "ISO-8859-1")) === Some("abc"))
   }
 
   test("hydrateByCdx verifies against a published-style payload-digest index") {

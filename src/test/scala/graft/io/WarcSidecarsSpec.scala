@@ -252,6 +252,62 @@ class WarcSidecarsSpec extends SparkSpec {
     assert(!badRow.ok && badRow.wet.isEmpty)
   }
 
+  test("a record crossing a gzip member boundary keeps its raw span") {
+    val one = html("http://en.example/page", "2024-03-05T06:07:08Z",
+      "Alpha", "The quick start.")
+    val all = one ++ request
+    val k = one.length / 2 // split mid-record: record 1 crosses members
+    val crossing = Warc.gzipPerRecord(Seq(
+      java.util.Arrays.copyOfRange(all, 0, k),
+      java.util.Arrays.copyOfRange(all, k, all.length)))
+    val wat = WarcSidecars.watRecords(crossing, "x.warc.gz").get
+    assert(wat.length === 3)
+    val allW = wat.reduce(_ ++ _)
+    val recs = Warc.recordIndex(allW).get
+    val bodies = recs.tail.map(r => new String(allW,
+      r.contentStart.toInt, r.contentLen.toInt, "UTF-8"))
+    // record 1 crosses members; record 2 starts mid-member — BOTH
+    // keep raw (uncompressed-global) spans; a member span on record 1
+    // would truncate it, one on record 2 would not be the CC
+    // member-is-the-record fetch-unit shape
+    assert(bodies(0).contains(""""Offset":"0""""))
+    assert(bodies(0).contains(s""""Length":"${one.length}""""))
+    assert(bodies(1).contains(s""""Offset":"${one.length}""""))
+    assert(bodies(1).contains(s""""Length":"${request.length}""""))
+    // the path twin flags this shape (documented corner: the forward
+    // walk sees one member at a time)
+    val dir = java.nio.file.Files.createTempDirectory("sidecar_cross")
+    val f = dir.resolve("x.warc.gz")
+    java.nio.file.Files.write(f, crossing)
+    val row = WarcSidecars.extractSidecarsByPath(
+      Seq((1L, f.toString)).toDF("id", "path"), "id", "path")
+      .collect().head
+    assert(!row.ok)
+  }
+
+  test("WAT: oversize responses keep their envelope, minus the HTML walk") {
+    val wat = WarcSidecars.watRecords(gz, "shard.warc.gz",
+      maxContentBytes = 10).get
+    assert(wat.length === 5) // every source record still enveloped
+    val all = wat.reduce(_ ++ _)
+    val recs = Warc.recordIndex(all).get
+    val bodies = recs.tail.map(r => new String(all,
+      r.contentStart.toInt, r.contentLen.toInt, "UTF-8"))
+    // HTTP facts and digests survive; only the title walk is skipped
+    assert(bodies(0).contains(""""Status":"200""""))
+    assert(bodies(0).contains("Block-Digest"))
+    assert(!bodies.exists(_.contains("HTML-Metadata")))
+    // the path twin applies the same cap (byte-identical shards)
+    val dir = java.nio.file.Files.createTempDirectory("sidecar_cap")
+    val f = dir.resolve("shard.warc.gz")
+    java.nio.file.Files.write(f, gz)
+    val row = WarcSidecars.extractSidecarsByPath(
+      Seq((1L, f.toString)).toDF("id", "path"), "id", "path",
+      maxContentBytes = 10).collect().head
+    assert(row.ok && row.wet_records === 1) // conversions capped away
+    assert(java.util.Arrays.equals(row.wat, Warc.gzipPerRecord(wat)))
+  }
+
   test("sidecarName follows the CC convention") {
     assert(WarcSidecars.sidecarName("a.warc.gz", "wet") === "a.warc.wet.gz")
     assert(WarcSidecars.sidecarName("a.warc", "wat") === "a.warc.wat.gz")
