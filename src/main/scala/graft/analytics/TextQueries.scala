@@ -2991,9 +2991,156 @@ object TextQueries {
       .orderBy("record_idx")
   }
 
+  /** Link-extraction gate ([[graft.io.Warc.extractHtmlLinks]] — the
+    * CC WAT `Links` list as rows): one in-plan page exercising every
+    * carriage (a `<base href>` that redirects resolution, a
+    * root-relative stylesheet link, absolute/relative/entity-bearing
+    * anchors, an `img`), plus a link-free page proving silence.
+    * Oracle: the hand-derived rows — document order, CC path labels,
+    * raw entity-decoded hrefs, and RFC 3986 resolutions against the
+    * base. */
+  val qWarcLinks: QueryDef = QueryDef.sql(
+    "q_warc_links",
+    """SELECT * FROM (VALUES
+      |  (0, 0, 'LINK@/href', '/css/site.css',
+      |   'http://base.example/css/site.css'),
+      |  (0, 1, 'A@/href', 'https://other.example/abs',
+      |   'https://other.example/abs'),
+      |  (0, 2, 'A@/href', '../up?a=1&b=2',
+      |   'http://base.example/up?a=1&b=2'),
+      |  (0, 3, 'IMG@/src', 'img/logo.png',
+      |   'http://base.example/app/img/logo.png'))
+      |  AS t(record_idx, link_idx, path, href, resolved)
+      |ORDER BY record_idx, link_idx""".stripMargin,
+    doc = "HTML outlink extraction with base-href resolution (the " +
+      "CC WAT Links convention; crawl-graph ops)") { (s, dir) =>
+    import s.implicits._
+    import graft.io.Warc
+    val html = "<html><head><base href=\"http://base.example/app/\">" +
+      "<link rel=\"stylesheet\" href=\"/css/site.css\"></head><body>" +
+      "<a href=\"https://other.example/abs\">x</a>" +
+      "<a href=\"../up?a=1&amp;b=2\">y</a>" +
+      "<img src=\"img/logo.png\"></body></html>"
+    val b = Warc.encodeSynthetic(Seq(
+      ("response", "http://en.example/dir/page",
+        "application/http; msgtype=response",
+        Warc.httpResponse(200, "OK",
+          Seq(("Content-Type", "text/html")), html.getBytes("UTF-8"))),
+      ("response", "http://en.example/bare",
+        "application/http; msgtype=response",
+        Warc.httpResponse(200, "OK",
+          Seq(("Content-Type", "text/html")),
+          "<html><body><p>no links</p></body></html>"
+            .getBytes("UTF-8")))))
+    Warc.extractHtmlLinks(Seq((1L, b)).toDF("id", "bytes"),
+        "id", "bytes")(s)
+      .toDF.filter(col("extracted"))
+      .select(col("record_idx"), col("link_idx"), col("path"),
+        col("href"), col("resolved"))
+      .orderBy("record_idx", "link_idx")
+  }
+
+  /** Host-graph gate ([[graft.io.CrawlGraph.hostEdges]] — the
+    * link-structure artifact behind domain-rank curation): a
+    * two-page crawl whose links cross hosts, stay on-host, and
+    * include a non-fetchable `mailto:` → canonical host edges with
+    * counts. Oracle: the three hand-derived edges (the SHOUTED host
+    * and explicit `:80` collapse into `en.example`, the self-loop
+    * survives, the mailto drops). */
+  val qCrawlHostgraph: QueryDef = QueryDef.sql(
+    "q_crawl_hostgraph",
+    """SELECT * FROM (VALUES
+      |  ('de.example', 'other.example', 1),
+      |  ('en.example', 'en.example', 1),
+      |  ('en.example', 'other.example', 2))
+      |  AS t(src_host, dst_host, n_links)
+      |ORDER BY src_host, dst_host""".stripMargin,
+    doc = "crawl host graph from extracted links: canonical hosts, " +
+      "edge counts (crawl-graph ops)") { (s, dir) =>
+    import s.implicits._
+    import graft.io.{CrawlGraph, Warc}
+    def page(uri: String, body: String) = Warc.encodeSynthetic(Seq(
+      ("response", uri, "application/http; msgtype=response",
+        Warc.httpResponse(200, "OK",
+          Seq(("Content-Type", "text/html")),
+          s"<html><body>$body</body></html>".getBytes("UTF-8")))))
+    val b1 = page("http://EN.example/a",
+      "<a href=\"https://other.example/x\">1</a>" +
+        "<a href=\"https://other.example/y\">2</a>" +
+        "<a href=\"/local\">3</a>" +
+        "<a href=\"mailto:a@b\">4</a>")
+    val b2 = page("http://de.example:80/s",
+      "<a href=\"https://other.example/z\">1</a>")
+    val links = Warc.extractHtmlLinks(
+      Seq((1L, b1), (2L, b2)).toDF("id", "bytes"), "id", "bytes")(s)
+      .toDF.filter(col("extracted"))
+    CrawlGraph.hostEdges(links)
+      .select(col("src_host"), col("dst_host"),
+        col("n_links").cast("int").as("n_links"))
+      .orderBy("src_host", "dst_host")
+  }
+
+  /** The crawl → policy → retro-filter loop, end to end in one plan
+    * ([[graft.io.Warc.extractRobots]] → [[graft.text.Robots]]): one
+    * archive carries a host's `/robots.txt` capture (an ordinary 2xx
+    * response record), a DECOY at `/foo/robots.txt` (just a file —
+    * RFC 9309 §2.3 wants the root), and three pages; the policy is
+    * parsed OUT OF THE CRAWL and applied back to the crawl's own
+    * pages. Oracle: hand-derived verdicts — the en.example pages
+    * split by the disallow prefix, the de.example page (no robots
+    * captured) defaults to allowed with a NULL pattern, and the
+    * decoy's disallow-everything never applies (its presence in the
+    * row set would flip q_robots_crawl's en.example rows). */
+  val qRobotsCrawl: QueryDef = QueryDef.sql(
+    "q_robots_crawl",
+    """SELECT * FROM (VALUES
+      |  ('http://de.example/open', true, CAST(NULL AS VARCHAR)),
+      |  ('http://en.example/private/doc', false, '/private/'),
+      |  ('http://en.example/pub', true, '/'))
+      |  AS t(url, allowed, matched_pattern)
+      |ORDER BY url""".stripMargin,
+    doc = "retroactive robots filtering from the crawl's own " +
+      "robots.txt captures, end to end (crawl-curation ops)") {
+    (s, dir) =>
+    import s.implicits._
+    import graft.io.Warc
+    import graft.text.Robots
+    def pg(uri: String, body: String) = Warc.encodeSynthetic(Seq(
+      ("response", uri, "application/http; msgtype=response",
+        Warc.httpResponse(200, "OK",
+          Seq(("Content-Type", "text/html")),
+          s"<html><body><p>$body</p></body></html>"
+            .getBytes("UTF-8")))))
+    def txt(uri: String, body: String) = Warc.encodeSynthetic(Seq(
+      ("response", uri, "application/http; msgtype=response",
+        Warc.httpResponse(200, "OK",
+          Seq(("Content-Type", "text/plain")),
+          body.getBytes("UTF-8")))))
+    val archive =
+      txt("http://en.example/robots.txt",
+        "User-agent: *\nDisallow: /private/\nAllow: /\n") ++
+        txt("http://en.example/foo/robots.txt",
+          "User-agent: *\nDisallow: /\n") ++
+        pg("http://en.example/private/doc", "secret") ++
+        pg("http://en.example/pub", "open") ++
+        pg("http://de.example/open", "elsewhere")
+    val df = Seq((1L, archive)).toDF("id", "bytes")
+    val rules = Robots.parseRules(
+      Warc.extractRobots(df, "id", "bytes")(s).toDF
+        .filter(col("extracted")), "host", "txt")(s)
+    Robots.filterUrls(
+      Warc.extractHtmlPages(df, "id", "bytes")(s).toDF
+        .filter(col("extracted"))
+        .select(col("target_uri").as("url")),
+      "url", rules, "graftbot")
+      .select(col("url"), col("allowed"), col("matched_pattern"))
+      .orderBy("url")
+  }
+
   val all: Seq[QueryDef] = Seq(
     qWarcCdx, qWarcHydrate, qWarcWet, qWarcWat,
     qRobotsRules, qRobotsFilter, qWarcRevisit,
+    qWarcLinks, qCrawlHostgraph, qRobotsCrawl,
     qSpanFetch,
     qSubtitleCues, qWarcRecords, qWarcHtmlText, qTarIndex,
     qWebdatasetSamples, qGzipMembers, qWarcCurate, qTfrecordIndex,

@@ -678,11 +678,53 @@ object Warc {
     }
   }
 
+  /** Outgoing links of one HTML response body — the sniff/charset
+    * steps of [[htmlPageText]], then [[graft.text.HtmlText
+    * .linksWithBase]]. Each link is (path-label, raw href,
+    * resolved-absolute-or-empty); resolution honors a `<base href>`
+    * (itself resolved against the page URI) and falls back to the
+    * page URI. None when the body does not look like HTML. */
+  private[io] def htmlPageLinks(bytes: Array[Byte], contentStart: Long,
+      bodyStart: Long, bodyLen: Long, pageUri: String)
+      : Option[Seq[(String, String, String)]] = {
+    val looksHtml = {
+      val probe = math.min(512L, bodyLen).toInt
+      val head = new String(bytes, bodyStart.toInt, probe,
+        java.nio.charset.StandardCharsets.UTF_8)
+        .toLowerCase(java.util.Locale.ROOT)
+      head.contains("<html") || head.contains("<!doctype") ||
+        head.contains("<head") || head.contains("<body")
+    }
+    if (!looksHtml) None
+    else {
+      val cs = declaredCharset(bytes, contentStart, bodyStart, bodyStart,
+        bodyLen).getOrElse(java.nio.charset.StandardCharsets.UTF_8)
+      val html = new String(bytes, bodyStart.toInt, bodyLen.toInt, cs)
+      val (baseHref, links) = graft.text.HtmlText.linksWithBase(html)
+      val effBase = baseHref
+        .flatMap(graft.text.HtmlText.resolveUrl(pageUri, _))
+        .getOrElse(pageUri)
+      Some(links.map { case (path, href) =>
+        (path, href,
+          graft.text.HtmlText.resolveUrl(effBase, href).getOrElse(""))
+      })
+    }
+  }
+
   /** One extracted page: the HTML → text step of the crawl pipeline;
     * `extracted = false` flags non-WARC assets. */
   final case class WarcPage(asset_id: Long, record_idx: Int,
       target_uri: String, http_status: Int, title: String, text: String,
       n_chars: Int, extracted: Boolean)
+
+  /** One outgoing link: `path` is the CC WAT label (`A@/href`,
+    * `LINK@/href`, `IMG@/src`, `SCRIPT@/src`), `href` the raw
+    * entity-decoded attribute value, `resolved` the RFC 3986
+    * absolute form (empty when unresolvable); `extracted = false`
+    * flags non-WARC assets. */
+  final case class WarcLink(asset_id: Long, record_idx: Int,
+      url: String, link_idx: Int, path: String, href: String,
+      resolved: String, extracted: Boolean)
 
   /** The crawl-corpus front door in one call: gunzip → record index
     * → keep `response` records with 2xx HTTP status and an HTML
@@ -735,6 +777,211 @@ object Warc {
                 }
             case None =>
               Iterator.single(WarcPage(id, -1, "", -1, "", "", 0,
+                extracted = false))
+          }
+        }
+      }
+  }
+
+  /** Outgoing-link extraction over an (id, bytes) corpus — the link
+    * half of the crawl front door (the CC WAT `Links` list as rows):
+    * the SAME page rule as [[extractHtmlPages]] (2xx responses under
+    * `maxContentBytes` whose body sniffs as HTML), one row per link
+    * in document order, resolved against the page's `<base href>` or
+    * its own URI. Pages without links emit nothing; unwalkable
+    * assets emit the flagged row. Feeds [[CrawlGraph.hostEdges]]
+    * and the existing graph operators (PageRank over the crawl's
+    * host graph). */
+  def extractHtmlLinks(df: org.apache.spark.sql.DataFrame, idCol: String,
+      bytesCol: String, maxContentBytes: Long = 1L << 22)(
+      implicit spark: org.apache.spark.sql.SparkSession)
+      : org.apache.spark.sql.Dataset[WarcLink] = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val cap = math.min(maxContentBytes, (Int.MaxValue - 8).toLong)
+    df.select(col(idCol).cast("long"), col(bytesCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, raw) =>
+          val work =
+            try {
+              Option(raw).flatMap { r =>
+                val plain =
+                  if (r.length >= 2 && (r(0) & 0xff) == 0x1f &&
+                    (r(1) & 0xff) == 0x8b) gunzipAll(r)
+                  else Some(r)
+                plain.flatMap(p => recordIndex(p).map((p, _)))
+              }
+            } catch { case scala.util.control.NonFatal(_) => None }
+          work match {
+            case Some((bytes, rs)) =>
+              rs.iterator
+                .filter(r => r.warcType == "response" &&
+                  r.httpStatus >= 200 && r.httpStatus < 300 &&
+                  r.bodyStart >= 0 && r.contentLen <= cap)
+                .flatMap { r =>
+                  htmlPageLinks(bytes, r.contentStart, r.bodyStart,
+                    r.bodyLen, r.targetUri).iterator.flatMap(
+                    _.zipWithIndex.map { case ((p, h, res), i) =>
+                      WarcLink(id, r.recordIdx, r.targetUri, i, p, h,
+                        res, extracted = true)
+                    })
+                }
+            case None =>
+              Iterator.single(WarcLink(id, -1, "", -1, "", "", "",
+                extracted = false))
+          }
+        }
+      }
+  }
+
+  /** One robots.txt capture; `extracted = false` flags non-WARC
+    * assets. */
+  final case class RobotsCapture(asset_id: Long, record_idx: Int,
+      host: String, url: String, txt: String, extracted: Boolean)
+
+  /** Lowercased host with scheme-default port stripped — the Scala
+    * twin of [[graft.text.UrlNormalize.host]] for row-level walks. */
+  private def hostOf(url: String): String = {
+    val m = "^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)".r
+      .findFirstMatchIn(url).getOrElse(return "")
+    val scheme = m.group(1).toLowerCase(java.util.Locale.ROOT)
+    val hp = m.group(2).toLowerCase(java.util.Locale.ROOT)
+    if (scheme == "http") hp.stripSuffix(":80")
+    else if (scheme == "https") hp.stripSuffix(":443")
+    else hp
+  }
+
+  /** robots.txt captures out of an (id, bytes) crawl corpus — the
+    * input [[graft.text.Robots.parseRules]] consumes, closing the
+    * crawl → policy → retro-filter loop inside the engine: a crawl
+    * archives each host's `/robots.txt` as an ordinary 2xx response
+    * record; this walker surfaces them as (host, text) rows (body
+    * decoded with the declared charset, UTF-8 fallback — robots
+    * files are ASCII in practice). The path match is exact
+    * (`/robots.txt`, query ignored), per RFC 9309 §2.3's
+    * well-known location. */
+  def extractRobots(df: org.apache.spark.sql.DataFrame, idCol: String,
+      bytesCol: String, maxContentBytes: Long = 1L << 22)(
+      implicit spark: org.apache.spark.sql.SparkSession)
+      : org.apache.spark.sql.Dataset[RobotsCapture] = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val cap = math.min(maxContentBytes, (Int.MaxValue - 8).toLong)
+    df.select(col(idCol).cast("long"), col(bytesCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, raw) =>
+          val work =
+            try {
+              Option(raw).flatMap { r =>
+                val plain =
+                  if (r.length >= 2 && (r(0) & 0xff) == 0x1f &&
+                    (r(1) & 0xff) == 0x8b) gunzipAll(r)
+                  else Some(r)
+                plain.flatMap(p => recordIndex(p).map((p, _)))
+              }
+            } catch { case scala.util.control.NonFatal(_) => None }
+          work match {
+            case Some((bytes, rs)) =>
+              rs.iterator
+                .filter { r =>
+                  r.warcType == "response" && r.httpStatus >= 200 &&
+                    r.httpStatus < 300 && r.bodyStart >= 0 &&
+                    r.contentLen <= cap &&
+                    // ROOT /robots.txt only (RFC 9309 §2.3's
+                    // well-known location) — /foo/robots.txt is just
+                    // a file
+                    r.targetUri.replaceFirst("[?#].*$", "").matches(
+                      "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*/robots\\.txt")
+                }
+                .map { r =>
+                  val cs = declaredCharset(bytes, r.contentStart,
+                    r.bodyStart, r.bodyStart, r.bodyLen)
+                    .getOrElse(java.nio.charset.StandardCharsets.UTF_8)
+                  RobotsCapture(id, r.recordIdx, hostOf(r.targetUri),
+                    r.targetUri,
+                    new String(bytes, r.bodyStart.toInt,
+                      r.bodyLen.toInt, cs),
+                    extracted = true)
+                }
+            case None =>
+              Iterator.single(RobotsCapture(id, -1, "", "", "",
+                extracted = false))
+          }
+        }
+      }
+  }
+
+  /** Links of ONE path-addressed archive — [[pagesFromPath]]'s twin
+    * for [[htmlPageLinks]]: plain archives seek + ranged-read only
+    * qualifying contents, `.warc.gz` streams once, O(record)
+    * memory. None when the path is unreadable or not a WARC. */
+  private def linksFromPath(path: String,
+      conf: org.apache.hadoop.conf.Configuration,
+      maxContentBytes: Long = 1L << 22)
+      : Option[Seq[(WarcRecord, Seq[(String, String, String)])]] =
+    try {
+      val cap = math.min(maxContentBytes, (Int.MaxValue - 8).toLong)
+      def qualifies(r: WarcRecord): Boolean =
+        r.warcType == "response" && r.httpStatus >= 200 &&
+          r.httpStatus < 300 && r.bodyStart >= 0
+      val raw = new java.io.PushbackInputStream(
+        PathIO.openStream(path, conf), 2)
+      val h0 = raw.read()
+      val h1 = raw.read()
+      if (h0 == 0x1f && h1 == 0x8b) {
+        raw.unread(h1); raw.unread(h0)
+        val in = gzipOrClose(raw)
+        try streamWalk(in, cap) { (r, content) =>
+          content match {
+            case Some(c) if qualifies(r) =>
+              htmlPageLinks(c, 0L, r.bodyStart - r.contentStart,
+                r.bodyLen, r.targetUri).map(ls => (r, ls))
+            case _ => None
+          }
+        } finally in.close()
+      } else {
+        raw.close()
+        val rr = PathIO.openRange(path, conf)
+        try recordIndexSeekable(rr).map { rs =>
+          rs.iterator
+            .filter(r => qualifies(r) && r.contentLen <= cap)
+            .flatMap { r =>
+              val content = rr.readFully(r.contentStart, r.contentLen.toInt)
+              htmlPageLinks(content, 0L, r.bodyStart - r.contentStart,
+                r.bodyLen, r.targetUri).map(ls => (r, ls))
+            }.toVector
+        } finally rr.close()
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Path-columned link extraction: [[linksFromPath]] as the batch
+    * seam — the >2 GiB / distributed-FS twin of
+    * [[extractHtmlLinks]], row-identical by construction (same page
+    * rule, same per-page link walk). Unreadable/ill-formed paths
+    * emit the flagged row. */
+  def extractHtmlLinksByPath(df: org.apache.spark.sql.DataFrame,
+      idCol: String, pathCol: String, maxContentBytes: Long = 1L << 22)(
+      implicit spark: org.apache.spark.sql.SparkSession)
+      : org.apache.spark.sql.Dataset[WarcLink] = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val confBc = PathIO.confBroadcast(spark)
+    df.select(col(idCol).cast("long"), col(pathCol).cast("string"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val conf = confBc.value.value
+        it.flatMap { case (id, path) =>
+          linksFromPath(path, conf, maxContentBytes) match {
+            case Some(ps) => ps.iterator.flatMap { case (r, ls) =>
+              ls.zipWithIndex.map { case ((p, h, res), i) =>
+                WarcLink(id, r.recordIdx, r.targetUri, i, p, h, res,
+                  extracted = true)
+              }
+            }
+            case None =>
+              Iterator.single(WarcLink(id, -1, "", -1, "", "", "",
                 extracted = false))
           }
         }

@@ -230,8 +230,9 @@ object WarcSidecars {
     * Block-Digest, Payload-Digest, WARC-Header-Metadata (original
     * header order), Payload-Metadata{Actual-Content-Type,
     * HTTP-Response-Metadata{Response-Message{Status}, Content-Type,
-    * HTML-Metadata{Head{Title}}}}}, Container{Filename, Offset,
-    * Length}), digests in the WARC `sha1:BASE32` label form. */
+    * HTML-Metadata{Head{Title}, Links[{path, url}]}}}},
+    * Container{Filename, Offset, Length}), digests in the WARC
+    * `sha1:BASE32` label form. */
   private def watJson(u: Array[Byte], r: Warc.WarcRecord,
       hs: Seq[(String, String)], headerLen: Int, filename: String,
       span: (Long, Long), maxContentBytes: Long): String = {
@@ -241,21 +242,39 @@ object WarcSidecars {
     val httpMeta: Option[(String, String)] = facts
       .filter(f => f.status >= 0 && r.warcType == "response")
       .map { f =>
-        // title extraction walks the whole body — capped at the WET
-        // page bound so an oversize response still gets its envelope
-        // (headers/digests/span) without an unbounded HTML parse
+        // title/link extraction walks the whole body — capped at the
+        // WET page bound so an oversize response still gets its
+        // envelope (headers/digests/span) without an unbounded HTML
+        // parse
+        val walkBody = r.bodyStart >= 0 && r.bodyLen > 0 &&
+          r.contentLen <= maxContentBytes
         val title =
-          if (r.bodyStart >= 0 && r.bodyLen > 0 &&
-            r.contentLen <= maxContentBytes)
+          if (walkBody)
             Warc.htmlPageText(u, r.contentStart, r.bodyStart, r.bodyLen)
               .map(_._1).filter(_.nonEmpty)
           else None
+        // the CC WAT Links list: raw entity-decoded hrefs with their
+        // path labels, document order (resolution is the consumer's
+        // step); omitted when the page has none
+        val links =
+          if (walkBody)
+            Warc.htmlPageLinks(u, r.contentStart, r.bodyStart,
+              r.bodyLen, r.targetUri).getOrElse(Seq.empty)
+          else Seq.empty
+        val htmlMeta =
+          title.map(t =>
+            "Head" -> jsonObj(Seq("Title" -> jsonStr(t)))).toSeq ++
+            (if (links.nonEmpty)
+              Seq("Links" -> links.map { case (p, h, _) =>
+                jsonObj(Seq("path" -> jsonStr(p), "url" -> jsonStr(h)))
+              }.mkString("[", ",", "]"))
+            else Seq.empty)
         "HTTP-Response-Metadata" -> jsonObj(Seq(
           "Response-Message" -> jsonObj(Seq(
             "Status" -> jsonStr(f.status.toString))),
           "Content-Type" -> jsonStr(f.mime)) ++
-          title.map(t => "HTML-Metadata" -> jsonObj(Seq(
-            "Head" -> jsonObj(Seq("Title" -> jsonStr(t)))))).toSeq)
+          (if (htmlMeta.nonEmpty)
+            Seq("HTML-Metadata" -> jsonObj(htmlMeta)) else Seq.empty))
       }
     val payloadMeta = jsonObj(Seq(
       "Actual-Content-Type" -> jsonStr(r.contentType)) ++ httpMeta.toSeq)

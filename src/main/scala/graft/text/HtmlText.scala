@@ -107,4 +107,80 @@ object HtmlText {
     else TitleRe.findFirstMatchIn(html)
       .map(m => normalize(decodeEntities(m.group(1))))
       .filter(_.nonEmpty)
+
+  // ------------------------------------------------------------------
+  // Link extraction (the CC WAT `Links` convention)
+  // ------------------------------------------------------------------
+
+  private val LinkScanTag = "(?s)<(/?)([a-zA-Z][a-zA-Z0-9]*)([^>]*)>".r
+  private def attrValue(attrs: String, name: String): Option[String] = {
+    val re = ("(?is)\\b" + name +
+      "\\s*=\\s*(?:\"([^\"]*)\"|'([^']*)'|([^\\s>]+))").r
+    re.findFirstMatchIn(attrs).map(m =>
+      decodeEntities(Option(m.group(1)).orElse(Option(m.group(2)))
+        .getOrElse(m.group(3))).trim)
+      .filter(_.nonEmpty)
+  }
+
+  /** Outgoing links in DOCUMENT ORDER, labeled with the Common Crawl
+    * WAT `path` convention (`A@/href`, `LINK@/href`, `IMG@/src`,
+    * `SCRIPT@/src`), plus the first `<base href>` (resolution state,
+    * not a link — returned separately). Values are entity-decoded
+    * but otherwise RAW, exactly as found (the WAT `url` field);
+    * resolution is the caller's step ([[resolveUrl]]). Same lexical
+    * posture as [[extract]]: one linear tag scan, comments stripped
+    * first, anchors inside `script`/`style`/`noscript` bodies
+    * ignored (a `SCRIPT@/src` is read off the opening tag itself). */
+  def linksWithBase(html: String): (Option[String], Seq[(String, String)]) = {
+    if (html == null) return (None, Seq.empty)
+    val noComment = Comment.replaceAllIn(html, " ")
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var base: Option[String] = None
+    var skipEl: String = null
+    LinkScanTag.findAllMatchIn(noComment).foreach { m =>
+      val closing = m.group(1) == "/"
+      val el = m.group(2).toLowerCase(java.util.Locale.ROOT)
+      val attrs = m.group(3)
+      if (skipEl != null) {
+        if (closing && el == skipEl) skipEl = null
+      } else if (!closing) el match {
+        case "a" =>
+          attrValue(attrs, "href").foreach(v => out += (("A@/href", v)))
+        case "link" =>
+          attrValue(attrs, "href").foreach(v =>
+            out += (("LINK@/href", v)))
+        case "img" =>
+          attrValue(attrs, "src").foreach(v => out += (("IMG@/src", v)))
+        case "script" =>
+          attrValue(attrs, "src").foreach(v =>
+            out += (("SCRIPT@/src", v)))
+          if (!attrs.trim.endsWith("/")) skipEl = "script"
+        case "style" | "noscript" =>
+          if (!attrs.trim.endsWith("/")) skipEl = el
+        case "base" =>
+          if (base.isEmpty) base = attrValue(attrs, "href")
+        case _ =>
+      }
+    }
+    (base, out.toSeq)
+  }
+
+  /** RFC 3986 relative-reference resolution (java.net.URI semantics:
+    * resolve + dot-segment normalization). None when the href is
+    * empty, syntactically unparseable (unencoded spaces and the
+    * like), or resolves to something schemeless. Absolute hrefs
+    * (including non-fetchable schemes like `mailto:`) pass through —
+    * downstream consumers filter by scheme. */
+  def resolveUrl(base: String, href: String): Option[String] =
+    try {
+      val h = href.trim
+      if (h.isEmpty) None
+      else {
+        val u = new java.net.URI(h)
+        val r =
+          if (u.isAbsolute) u.normalize
+          else new java.net.URI(base.trim).resolve(u).normalize
+        if (r.getScheme == null) None else Some(r.toString)
+      }
+    } catch { case _: Exception => None }
 }

@@ -67,4 +67,47 @@ class HtmlTextSpec extends AnyFunSuite {
     assert(HtmlText.extract(null) === "")
     assert(HtmlText.title("<html><body>no title</body></html>") === None)
   }
+
+  test("links: document order, CC path labels, comment/script bodies skipped") {
+    val html =
+      """<html><head><base href="http://base.example/app/">
+        |<link rel="stylesheet" href="/css/site.css">
+        |<script src="js/app.js">var a = "<a href='http://fake.example/'>";
+        |</script></head>
+        |<body><a href="https://other.example/abs">x</a>
+        |<a href='../up?a=1&amp;b=2'>y</a>
+        |<img src=img/logo.png alt="l">
+        |<a href="">empty skipped</a>
+        |<!-- <a href="http://comment.example/">no</a> -->
+        |</body></html>""".stripMargin
+    val (base, links) = HtmlText.linksWithBase(html)
+    assert(base === Some("http://base.example/app/"))
+    assert(links === Seq(
+      ("LINK@/href", "/css/site.css"),
+      ("SCRIPT@/src", "js/app.js"), // from the opening tag; the JS
+      // string's fake anchor inside the script body is NOT a link
+      ("A@/href", "https://other.example/abs"),
+      ("A@/href", "../up?a=1&b=2"), // entity-decoded, single quotes
+      ("IMG@/src", "img/logo.png"))) // bare (unquoted) value
+    assert(HtmlText.linksWithBase(null)._2.isEmpty)
+    assert(HtmlText.linksWithBase("plain text")._2.isEmpty)
+  }
+
+  test("resolveUrl: RFC 3986 resolution, totality on garbage") {
+    val b = "http://base.example/app/"
+    assert(HtmlText.resolveUrl(b, "/css/site.css") ===
+      Some("http://base.example/css/site.css"))
+    assert(HtmlText.resolveUrl(b, "js/app.js") ===
+      Some("http://base.example/app/js/app.js"))
+    assert(HtmlText.resolveUrl(b, "../up?a=1&b=2") ===
+      Some("http://base.example/up?a=1&b=2"))
+    assert(HtmlText.resolveUrl(b, "https://other.example/abs") ===
+      Some("https://other.example/abs"))
+    assert(HtmlText.resolveUrl(b, "//cdn.example/x") ===
+      Some("http://cdn.example/x")) // protocol-relative
+    assert(HtmlText.resolveUrl(b, "mailto:a@b") === Some("mailto:a@b"))
+    assert(HtmlText.resolveUrl(b, "") === None)
+    assert(HtmlText.resolveUrl(b, "http://bad host/ path") === None)
+    assert(HtmlText.resolveUrl("not a base", "rel/x") === None)
+  }
 }
