@@ -3137,10 +3137,109 @@ object TextQueries {
       .orderBy("url")
   }
 
+  /** The sitemap gate fixtures: a default-namespace `urlset` (full
+    * child set, an entity-bearing loc whose params the SURT key
+    * sorts, a loc-less entry that must drop) and an `sm:`-prefixed
+    * `sitemapindex`. */
+  private val sitemapUrlset: String =
+    """<?xml version="1.0" encoding="UTF-8"?>
+      |<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">
+      |  <url><loc> https://en.example/a </loc>
+      |    <lastmod>2024-03-01</lastmod><changefreq>daily</changefreq>
+      |    <priority>0.8</priority></url>
+      |  <url><loc>https://en.example/p?b=2&amp;a=1</loc></url>
+      |  <url><lastmod>2024-01-01</lastmod></url>
+      |</urlset>""".stripMargin
+
+  private val sitemapIndex: String =
+    """<sm:sitemapindex xmlns:sm="http://www.sitemaps.org/schemas/sitemap/0.9">
+      |  <sm:sitemap><sm:loc>https://en.example/sitemap1.xml.gz</sm:loc>
+      |    <sm:lastmod>2024-02-02</sm:lastmod></sm:sitemap>
+      |</sm:sitemapindex>""".stripMargin
+
+  /** Sitemap parse gate ([[graft.io.Sitemaps.entries]] — the
+    * sitemaps.org protocol robots `Sitemap:` lines point at): the
+    * urlset and the ns-prefixed index in-plan. Oracle: hand-derived
+    * rows — document order, whitespace-trimmed entity-decoded locs,
+    * the loc-less entry DROPPED, absent children as empty strings,
+    * and each loc's SURT urlkey (params sorted) — the join key the
+    * coverage gate uses. */
+  val qSitemapEntries: QueryDef = QueryDef.sql(
+    "q_sitemap_entries",
+    """SELECT * FROM (VALUES
+      |  (1, 0, 'urlset', 'https://en.example/a', 'example,en)/a',
+      |   '2024-03-01', 'daily', '0.8'),
+      |  (1, 1, 'urlset', 'https://en.example/p?b=2&a=1',
+      |   'example,en)/p?a=1&b=2', '', '', ''),
+      |  (2, 0, 'sitemapindex', 'https://en.example/sitemap1.xml.gz',
+      |   'example,en)/sitemap1.xml.gz', '2024-02-02', '', ''))
+      |  AS t(asset_id, entry_idx, kind, loc, urlkey, lastmod,
+      |       changefreq, priority)
+      |ORDER BY asset_id, entry_idx""".stripMargin,
+    doc = "sitemap urlset/sitemapindex parsing with SURT urlkeys " +
+      "(crawl-curation ops)") { (s, dir) =>
+    import s.implicits._
+    import graft.io.Sitemaps
+    Sitemaps.entries(Seq(
+      (1L, sitemapUrlset.getBytes("UTF-8")),
+      (2L, sitemapIndex.getBytes("UTF-8"))).toDF("id", "xml"),
+      "id", "xml")(s)
+      .toDF.filter(col("parsed"))
+      .select(col("asset_id").cast("int").as("asset_id"),
+        col("entry_idx"), col("kind"), col("loc"), col("urlkey"),
+        col("lastmod"), col("changefreq"), col("priority"))
+      .orderBy("asset_id", "entry_idx")
+  }
+
+  /** Coverage-audit gate ([[graft.io.Sitemaps.coverageAudit]] —
+    * "which declared pages did the crawl capture?"): the urlset's
+    * two locs against a CDX walk of an in-plan archive that captured
+    * one of them TWICE and an undeclared page. Oracle: `/a` captured
+    * with the EARLIEST 14-digit timestamp, the query-bearing loc
+    * never captured (empty timestamp), one row per declared URL. */
+  val qSitemapCoverage: QueryDef = QueryDef.sql(
+    "q_sitemap_coverage",
+    """SELECT * FROM (VALUES
+      |  ('https://en.example/a', 'example,en)/a', true,
+      |   '20240305060708'),
+      |  ('https://en.example/p?b=2&a=1', 'example,en)/p?a=1&b=2',
+      |   false, ''))
+      |  AS t(loc, urlkey, captured, first_capture)
+      |ORDER BY loc""".stripMargin,
+    doc = "sitemap declared-vs-captured audit against the crawl's " +
+      "CDX index (crawl-curation ops)") { (s, dir) =>
+    import s.implicits._
+    import graft.io.{Sitemaps, Warc, WarcCdx}
+    def page(uri: String, date: String): Array[Byte] =
+      Warc.encodeSyntheticHeaders(Seq((Seq(
+        "WARC-Type" -> "response",
+        "WARC-Record-ID" -> s"<urn:uuid:$uri@$date>",
+        "WARC-Date" -> date,
+        "WARC-Target-URI" -> uri,
+        "Content-Type" -> "application/http; msgtype=response"),
+        Warc.httpResponse(200, "OK",
+          Seq("Content-Type" -> "text/html"),
+          "<html><body><p>x</p></body></html>".getBytes("UTF-8")))))
+    val archive = Warc.gzipPerRecord(Seq(
+      page("https://en.example/a", "2024-03-05T06:07:08Z"),
+      page("https://en.example/a", "2024-03-12T06:07:08Z"),
+      page("https://en.example/other", "2024-03-05T06:07:09Z")))
+    val cdx = WarcCdx.extractCdx(
+      Seq((1L, archive)).toDF("id", "bytes"), "id", "bytes")(s).toDF
+    val declared = Sitemaps.entries(
+      Seq((1L, sitemapUrlset.getBytes("UTF-8"))).toDF("id", "xml"),
+      "id", "xml")(s).toDF
+    Sitemaps.coverageAudit(declared, cdx)
+      .select(col("loc"), col("urlkey"), col("captured"),
+        col("first_capture"))
+      .orderBy("loc")
+  }
+
   val all: Seq[QueryDef] = Seq(
     qWarcCdx, qWarcHydrate, qWarcWet, qWarcWat,
     qRobotsRules, qRobotsFilter, qWarcRevisit,
     qWarcLinks, qCrawlHostgraph, qRobotsCrawl,
+    qSitemapEntries, qSitemapCoverage,
     qSpanFetch,
     qSubtitleCues, qWarcRecords, qWarcHtmlText, qTarIndex,
     qWebdatasetSamples, qGzipMembers, qWarcCurate, qTfrecordIndex,

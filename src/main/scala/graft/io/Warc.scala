@@ -917,7 +917,7 @@ object Warc {
     * for [[htmlPageLinks]]: plain archives seek + ranged-read only
     * qualifying contents, `.warc.gz` streams once, O(record)
     * memory. None when the path is unreadable or not a WARC. */
-  private def linksFromPath(path: String,
+  private[graft] def linksFromPath(path: String,
       conf: org.apache.hadoop.conf.Configuration,
       maxContentBytes: Long = 1L << 22)
       : Option[Seq[(WarcRecord, Seq[(String, String, String)])]] =

@@ -88,6 +88,59 @@ object StreamWarc {
       .toDF()
   }
 
+  /** One streamed link — [[graft.io.Warc.WarcLink]] under the
+    * streaming identity (archive path + arrival time). */
+  final case class StreamedLink(path: String,
+      arrival_ts: java.sql.Timestamp, record_idx: Int, url: String,
+      link_idx: Int, link_path: String, href: String, resolved: String,
+      extracted: Boolean)
+
+  /** The LINK stream over the same drop directory — [[pages]]'s twin
+    * for [[graft.io.Warc.extractHtmlLinksByPath]]'s walk: each
+    * arriving archive emits its outlink rows once (same checkpointed
+    * file registry, same flagged-drop contract), feeding an
+    * incrementally-maintained host graph
+    * ([[graft.io.CrawlGraph.hostEdges]] per batch, folded into a
+    * [[graft.store.MatView]]-style running edge count downstream). */
+  def links(spark: SparkSession, dropDir: String,
+      pathGlob: String = "*.{warc,warc.gz}",
+      maxContentBytes: Long = 1L << 22): DataFrame = {
+    import spark.implicits._
+    val confBc = PathIO.confBroadcast(spark)
+    val binaryFileSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("path",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("modificationTime",
+        org.apache.spark.sql.types.TimestampType),
+      org.apache.spark.sql.types.StructField("length",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("content",
+        org.apache.spark.sql.types.BinaryType)))
+    spark.readStream
+      .format("binaryFile")
+      .schema(binaryFileSchema)
+      .option("pathGlobFilter", pathGlob)
+      .load(dropDir)
+      .select(col("path"), col("modificationTime"))
+      .as[(String, java.sql.Timestamp)]
+      .mapPartitions { it =>
+        val conf = confBc.value.value
+        it.flatMap { case (path, mtime) =>
+          Warc.linksFromPath(path, conf, maxContentBytes) match {
+            case Some(ps) => ps.iterator.flatMap { case (r, ls) =>
+              ls.zipWithIndex.map { case ((p, h, res), i) =>
+                StreamedLink(path, mtime, r.recordIdx, r.targetUri,
+                  i, p, h, res, extracted = true)
+              }
+            }
+            case None => Iterator.single(StreamedLink(path, mtime, -1,
+              "", -1, "", "", "", extracted = false))
+          }
+        }
+      }
+      .toDF()
+  }
+
   /** Pages → curated docs: language-ID each page, then the
     * [[StreamCuration.curateStream]] stages (redact → quality →
     * watermarked exact dedup → decontaminate). `doc_id` is the

@@ -108,6 +108,11 @@ object HtmlText {
       .map(m => normalize(decodeEntities(m.group(1))))
       .filter(_.nonEmpty)
 
+  /** Entity decoding alone (the [[extract]] step-3 pass, same
+    * single-left-to-right-scan guarantee) — exposed for sibling
+    * lexical parsers (sitemap XML, link hrefs). */
+  def decodeXmlEntities(s: String): String = decodeEntities(s)
+
   // ------------------------------------------------------------------
   // Link extraction (the CC WAT `Links` convention)
   // ------------------------------------------------------------------

@@ -107,4 +107,41 @@ class StreamWarcSpec extends SparkSpec {
     // doc ids are stable hashes of (path, record_idx): all distinct
     assert(rows.map(_.getAs[Long]("doc_id")).distinct.length === 3)
   }
+
+  test("links: exactly-once outlink rows; batch edges fold incrementally") {
+    val drop = Files.createTempDirectory("link_drop").toString
+    val out = Files.createTempDirectory("link_out").toString
+    val ckpt = Files.createTempDirectory("link_ckpt").toString
+    def linkPage(uri: String, hrefs: String*): Array[Byte] =
+      Warc.encodeSynthetic(Seq(
+        ("response", uri, "application/http; msgtype=response",
+          Warc.httpResponse(200, "OK",
+            Seq(("Content-Type", "text/html")),
+            ("<html><body>" + hrefs.map(h =>
+              s"""<a href="$h">x</a>""").mkString +
+              "</body></html>").getBytes("UTF-8")))))
+    Files.write(Paths.get(drop, "a.warc"),
+      linkPage("http://en.example/p1", "https://other.example/x",
+        "rel/y"))
+    runToParquet(StreamWarc.links(spark, drop), out, ckpt)
+    val r1 = spark.read.parquet(out).collect()
+    assert(r1.count(_.getAs[Boolean]("extracted")) === 2)
+    assert(r1.map(_.getAs[String]("resolved")).toSet ===
+      Set("https://other.example/x", "http://en.example/rel/y"))
+    // second arrival: only the NEW archive's links append, and the
+    // batch folds to host edges downstream
+    Files.write(Paths.get(drop, "b.warc"),
+      linkPage("http://de.example/p2", "https://other.example/z"))
+    runToParquet(StreamWarc.links(spark, drop), out, ckpt)
+    val r2 = spark.read.parquet(out)
+    assert(r2.count() === 3)
+    val edges = graft.io.CrawlGraph.hostEdges(
+      r2.filter(org.apache.spark.sql.functions.col("extracted")))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .sortBy(e => (e._1, e._2)).toSeq
+    assert(edges === Seq(
+      ("de.example", "other.example", 1L),
+      ("en.example", "en.example", 1L),
+      ("en.example", "other.example", 1L)))
+  }
 }
