@@ -152,7 +152,12 @@ object WarcRevisit {
     * become revisit records; everything else passes through
     * byte-identical (records re-member per-record for gzip sources).
     * The plan joins in by asset id — each task sees only ITS
-    * archive's duplicate list. Unwalkable assets flag, never kill. */
+    * archive's duplicate list. Unwalkable assets flag, never kill.
+    * This is the BYTE seam (one archive stages per task, like
+    * [[WarcSidecars.extractSidecars]]); a path-to-path streaming
+    * rewrite for archives too large to stage is future work —
+    * unlike the read-side twins it must also WRITE a file per
+    * asset, a different sink contract. */
   def rewriteRevisits(df: DataFrame, idCol: String, bytesCol: String,
       filenameCol: String, plan: DataFrame)(
       implicit spark: SparkSession): Dataset[RevisitRewrite] = {
