@@ -76,8 +76,11 @@ object Sitemaps {
       changefreq: String, priority: String, parsed: Boolean)
 
   /** Sitemap entries over an (id, bytes-or-text) corpus. Accepts
-    * binary or string columns; gzipped bodies inflate first. */
-  def entries(df: DataFrame, idCol: String, xmlCol: String)(
+    * binary or string columns; gzipped bodies inflate first, CAPPED
+    * at `maxBytes` (the protocol's own limit is 50 MB uncompressed —
+    * a gz bomb must flag, not OOM the task). */
+  def entries(df: DataFrame, idCol: String, xmlCol: String,
+      maxBytes: Long = 64L << 20)(
       implicit spark: SparkSession): Dataset[SitemapRow] = {
     import spark.implicits._
     df.select(col(idCol).cast("long"), col(xmlCol).cast("binary"))
@@ -89,7 +92,9 @@ object Sitemaps {
               val plain =
                 if (r.length >= 2 && (r(0) & 0xff) == 0x1f &&
                   (r(1) & 0xff) == 0x8b)
-                  Warc.gunzipAll(r).getOrElse(Array.empty[Byte])
+                  Warc.gunzipAll(r, maxBytes)
+                    .getOrElse(Array.empty[Byte])
+                else if (r.length > maxBytes) Array.empty[Byte]
                 else r
               parseSitemap(new String(plain, "UTF-8"))
             }

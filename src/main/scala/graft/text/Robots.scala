@@ -92,7 +92,18 @@ object Robots {
       rules = scala.collection.mutable.ArrayBuffer.empty[(Boolean, String)]
       groupOpen = false
     }
-    val body = if (txt.startsWith("\uFEFF")) txt.substring(1) else txt
+    val unbounded =
+      if (txt.startsWith("\uFEFF")) txt.substring(1) else txt
+    // RFC 9309 \u00A72.4: crawlers impose a parse limit (\u2265500 KiB) and
+    // may ignore content past it \u2014 truncate at the last line break
+    // under 1 MiB so a pathological capture can't balloon the task
+    // (and a half-line never fabricates a rule)
+    val body =
+      if (unbounded.length <= (1 << 20)) unbounded
+      else {
+        val cut = unbounded.lastIndexOf('\n', 1 << 20)
+        unbounded.substring(0, math.max(cut, 0))
+      }
     body.split("\r\n|\r|\n", -1).foreach { raw =>
       val hash = raw.indexOf('#')
       val line = (if (hash >= 0) raw.substring(0, hash) else raw).trim

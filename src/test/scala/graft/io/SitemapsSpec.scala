@@ -61,6 +61,18 @@ class SitemapsSpec extends SparkSpec {
     assert(good(1).urlkey === "example,en)/p?a=1&b=2") // sorted params
     assert(good.map(_.loc).distinct.length === 2) // gz ≡ plain
     assert(rows.exists(r => !r.parsed && r.asset_id == 3L))
+    // a gz bomb past the inflate cap flags instead of OOMing
+    val bomb = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val g = new java.util.zip.GZIPOutputStream(bos)
+      val chunk = new Array[Byte](1 << 20) // zeros: ~1000:1 ratio
+      (1 to 8).foreach(_ => g.write(chunk))
+      g.close(); bos.toByteArray
+    }
+    val bombRow = Sitemaps.entries(
+      Seq((9L, bomb)).toDF("id", "xml"), "id", "xml",
+      maxBytes = 1L << 20).collect().head
+    assert(!bombRow.parsed)
   }
 
   test("coverageAudit: declared vs captured over a CDX walk") {
