@@ -248,6 +248,15 @@ object Iterate {
     * node ids sorted ascending (a < b < c).
     */
   def triangles(edges: DataFrame, aCol: String, bCol: String): DataFrame = {
+    // NOT checkpointed (round-15 A/B): although `e` and `oriented` are
+    // each referenced three times, every reference shares the
+    // exchanges below it (e's distinct, withDeg's two joins), and AQE
+    // stage reuse deduplicates shared shuffle stages across the
+    // branches — an eager localCheckpoint of both frames measured
+    // SLOWER at 10× (31.8 s vs 27.2 s median: the materialization
+    // passes cost more than the post-exchange recompute they save).
+    // Contrast minHashNearDupPairs, whose three references diverge
+    // BEFORE any common exchange — there the checkpoint is an 8× win.
     val e = edges.select(col(aCol).as("a"), col(bCol).as("b"))
       .filter(col("a") =!= col("b"))
       .select(least(col("a"), col("b")).as("a"),
@@ -300,6 +309,9 @@ object Iterate {
     */
   def linkPrediction(edges: DataFrame, aCol: String, bCol: String,
       maxHubDegree: Int = 0): DataFrame = {
+    // not checkpointed — the triangles rationale: every multi-reference
+    // frame here shares the distinct()/groupBy exchanges below it, and
+    // AQE stage reuse already deduplicates those across branches
     val e = edges.select(col(aCol).as("a"), col(bCol).as("b"))
       .filter(col("a") =!= col("b"))
       .select(least(col("a"), col("b")).as("a"),

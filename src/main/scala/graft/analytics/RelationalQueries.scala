@@ -155,31 +155,50 @@ object RelationalQueries {
     val c = t(s, dir, "customer")
     val o = t(s, dir, "orders")
     val l = t(s, dir, "lineitem")
-    // pre-aggregate lineitem by its join key BEFORE the fact-fact join:
-    // the revenue sum is decomposable, so collapsing ~4 lines/order to
-    // one row cuts the orderkey shuffle ~4× — at 100 TB the
-    // orders⋈lineitem exchange is the whole query. Decimal partial
-    // sums keep the result exact; the outer sum re-aggregates them.
-    val lAgg = l.groupBy(col("l_orderkey"))
-      .agg(
-        sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
-          .cast("decimal(20,4)")).as("__rev"),
-        count(lit(1)).as("__n"))
-    // shuffle-hash, not sort-merge, for the one-shot fact-fact join:
-    // both shuffled sides are consumed once, so the two per-partition
-    // sorts SMJ needs are pure overhead; hash-building the compact
-    // pre-aggregated side ((key, decimal, long) rows) is partition-
-    // bounded. Measured at 100× (~15M rows/side): 8.0s → 7.4-7.5s —
-    // modest, because the 60M-row scan + decimal partial agg
-    // dominates this query, but free at every scale.
-    broadcast(c).join(o, c("c_custkey") === o("o_custkey"))
-      .join(lAgg.hint("shuffle_hash"),
-        o("o_orderkey") === lAgg("l_orderkey"))
-      .groupBy(col("c_mktsegment"), col("o_orderpriority"))
-      .agg(
-        sum(col("__rev")).cast("double").as("revenue"),
-        sum(col("__n")).as("n_lines"))
-      .orderBy(col("c_mktsegment"), col("o_orderpriority"))
+    // SIZE-ADAPTIVE pre-aggregation (both branches compute the same
+    // exact result; only the plan shape differs):
+    //  - big lineitem: pre-aggregate by the join key BEFORE the
+    //    fact-fact join — the revenue sum is decomposable, so
+    //    collapsing ~4 lines/order to one row cuts the orderkey
+    //    shuffle ~4× (at 100 TB that exchange is the whole query;
+    //    measured at 100×: 8.0 s → 7.4-7.5 s). Shuffle-hash, not
+    //    sort-merge: both shuffled sides are consumed once, so SMJ's
+    //    two per-partition sorts are pure overhead.
+    //  - small lineitem: the extra aggregation stage costs more than
+    //    the shuffle it saves (measured at sf0.1/32 cores: 1.87 s
+    //    pre-agg vs 1.21 s direct) — join first, aggregate once.
+    // The cutover is the scan's own size estimate vs
+    // spark.graft.join.preaggBytes (default 256 MB ≈ where a 4×
+    // shuffle cut outweighs one extra 2-phase agg pass), so replicas
+    // and production keep the pre-agg plan without any local-mode
+    // constant baked in.
+    val preaggBytes = s.conf.getOption("spark.graft.join.preaggBytes")
+      .map(_.toLong).getOrElse(256L << 20)
+    val liBytes = l.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (liBytes >= preaggBytes) {
+      val lAgg = l.groupBy(col("l_orderkey"))
+        .agg(
+          sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .cast("decimal(20,4)")).as("__rev"),
+          count(lit(1)).as("__n"))
+      broadcast(c).join(o, c("c_custkey") === o("o_custkey"))
+        .join(lAgg.hint("shuffle_hash"),
+          o("o_orderkey") === lAgg("l_orderkey"))
+        .groupBy(col("c_mktsegment"), col("o_orderpriority"))
+        .agg(
+          sum(col("__rev")).cast("double").as("revenue"),
+          sum(col("__n")).as("n_lines"))
+        .orderBy(col("c_mktsegment"), col("o_orderpriority"))
+    } else {
+      broadcast(c).join(o, c("c_custkey") === o("o_custkey"))
+        .join(l, o("o_orderkey") === l("l_orderkey"))
+        .groupBy(col("c_mktsegment"), col("o_orderpriority"))
+        .agg(
+          dsum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .as("revenue"),
+          count(lit(1)).as("n_lines"))
+        .orderBy(col("c_mktsegment"), col("o_orderpriority"))
+    }
   }
 
   /** J8: anti join (reference `NOT IN` schema diff,

@@ -28,6 +28,42 @@ object Tables {
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     readParquet(spark, s"$dir/$name.parquet")
 
+  /** Parquet METADATA cache: (schema as Spark infers it, nano-stamped
+    * column names) keyed by path + footer-file (mtime, length) + the
+    * session confs that change inference. Every `table()` call used to
+    * pay two driver-side footer opens (schema inference + the nano
+    * probe) and at many-file scale a footer-sampling job; supplying the
+    * cached schema skips both (guide §5: keep the driver out of
+    * repeated metadata work; §6: listing/inference overhead). The
+    * (mtime, length) key makes the cache self-invalidating when a file
+    * is rewritten — this caches file METADATA, never query results.
+    */
+  private val metaCache =
+    new java.util.concurrent.ConcurrentHashMap[
+      String, (org.apache.spark.sql.types.StructType, Seq[String])]()
+
+  private def parquetMeta(spark: SparkSession,
+      path: String): (org.apache.spark.sql.types.StructType, Seq[String]) = {
+    import org.apache.hadoop.fs.Path
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val st =
+      try fs.getFileStatus(p)
+      catch { case _: java.io.FileNotFoundException => null }
+    val confKey = Seq(
+      "spark.sql.legacy.parquet.nanosAsLong",
+      "spark.sql.parquet.inferTimestampNTZ.enabled",
+      "spark.sql.caseSensitive").map(k =>
+      spark.conf.getOption(k).getOrElse("")).mkString(",")
+    val key =
+      if (st == null) null
+      else s"$path|${st.getModificationTime}|${st.getLen}|$confKey"
+    if (key == null) // missing path: let the plain reader raise its error
+      (spark.read.parquet(path).schema, nanoTimestampColumns(spark, path))
+    else metaCache.computeIfAbsent(key, _ =>
+      (spark.read.parquet(path).schema, nanoTimestampColumns(spark, path)))
+  }
+
   /** Parquet read that tolerates TIMESTAMP(NANOS) columns, which the
     * vectorized reader rejects outright (SPARK-40819 made them readable
     * only as raw longs via `spark.sql.legacy.parquet.nanosAsLong`).
@@ -37,8 +73,8 @@ object Tables {
     * included) observes.
     */
   def readParquet(spark: SparkSession, path: String): DataFrame = {
-    val df = spark.read.parquet(path)
-    val nsCols = nanoTimestampColumns(spark, path)
+    val (schema, nsCols) = parquetMeta(spark, path)
+    val df = spark.read.schema(schema).parquet(path)
     val rebuilt = nsCols.foldLeft(df) { (d, c) =>
       // `div` is integral long division. `/` on longs is double division,
       // and at 2026-epoch ns magnitudes (~1.8e18, double ulp = 256 ns)

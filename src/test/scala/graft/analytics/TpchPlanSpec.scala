@@ -20,19 +20,31 @@ class TpchPlanSpec extends SparkSpec {
     assert(plan.contains("GreaterThan(l_shipdate,"), s"ship-date filter not pushed:\n$plan")
   }
 
-  test("q_join_inner: lineitem pre-aggregates on its join key BELOW the fact-fact join") {
+  test("q_join_inner: lineitem pre-aggregates on its join key BELOW the fact-fact join — size-adaptive") {
     // the 10× bench showed the orders⋈lineitem exchange dominating;
     // collapsing ~4 lines/order before the join cuts that shuffle ~4×.
-    // Pin it: an Aggregate keyed by l_orderkey must sit under the join
-    // (i.e. appear in the plan BEFORE any join operator consumes it),
-    // and the customer dim must still broadcast.
-    val df = Catalog.byName("q_join_inner").run(spark, sf)
-    val plan = df.queryExecution.optimizedPlan.toString
-    val aggIdx = plan.indexOf("Aggregate [l_orderkey")
-    assert(aggIdx >= 0, s"lineitem pre-aggregation missing:\n$plan")
-    val exec = df.queryExecution.executedPlan.toString
-    assert(exec.contains("BroadcastHashJoin"),
-      s"customer dim must broadcast:\n$exec")
+    // Round 15 made the pre-agg SIZE-ADAPTIVE (at sf0.1 the extra agg
+    // stage costs more than the shuffle it saves: 1.87 s vs 1.21 s
+    // direct): the pre-agg plan must appear once lineitem crosses
+    // spark.graft.join.preaggBytes, and the small-input default must
+    // be the direct join. Both branches broadcast the customer dim.
+    spark.conf.set("spark.graft.join.preaggBytes", "0") // force big-input branch
+    try {
+      val df = Catalog.byName("q_join_inner").run(spark, sf)
+      val plan = df.queryExecution.optimizedPlan.toString
+      val aggIdx = plan.indexOf("Aggregate [l_orderkey")
+      assert(aggIdx >= 0, s"lineitem pre-aggregation missing:\n$plan")
+      val exec = df.queryExecution.executedPlan.toString
+      assert(exec.contains("BroadcastHashJoin"),
+        s"customer dim must broadcast:\n$exec")
+    } finally spark.conf.unset("spark.graft.join.preaggBytes")
+    // default threshold (256 MB) over test-sized lineitem: direct join
+    val small = Catalog.byName("q_join_inner").run(spark, sf)
+    val smallPlan = small.queryExecution.optimizedPlan.toString
+    assert(!smallPlan.contains("Aggregate [l_orderkey"),
+      s"small-input plan must skip the pre-agg:\n$smallPlan")
+    assert(small.queryExecution.executedPlan.toString
+      .contains("BroadcastHashJoin"), "customer dim must broadcast")
   }
 
   test("Q21: two-level decorrelation reuses ONE order-key exchange; top-20 is TakeOrdered") {
