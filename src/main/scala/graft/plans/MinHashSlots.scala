@@ -110,6 +110,28 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           "usage: ngram_hashes(array<string>, <int literal n>)")
       }))
     ext.injectFunction((
+      new FunctionIdentifier("in_set_count"),
+      new ExpressionInfo(classOf[InSetCount].getName, "in_set_count"),
+      (children: Seq[Expression]) => children match {
+        // probe set must be plan-time foldable: it is evaluated HERE
+        // and baked into the expression as a sorted long[]
+        case Seq(arr, probes) if probes.foldable &&
+            probes.dataType.isInstanceOf[ArrayType] =>
+          val data = probes.eval(null).asInstanceOf[ArrayData]
+          InSetCount(arr, data.toLongArray().toSeq)
+        case _ => throw new IllegalArgumentException(
+          "usage: in_set_count(array<bigint>, <foldable array<bigint>>)")
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("ngram_hashes_pos"),
+      new ExpressionInfo(classOf[NgramHashes].getName, "ngram_hashes_pos"),
+      (children: Seq[Expression]) => children match {
+        case Seq(arr, Literal(nv: Int, IntegerType)) =>
+          NgramHashes(arr, nv, positional = true)
+        case _ => throw new IllegalArgumentException(
+          "usage: ngram_hashes_pos(array<string>, <int literal n>)")
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("simhash64"),
       new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
       (children: Seq[Expression]) => children match {

@@ -12,9 +12,10 @@ import org.apache.spark.sql.functions._
   * 100 TB shape: the eval side is a *benchmark* — thousands of
   * documents, not billions — so its distinct n-gram set is bounded and
   * rides a broadcast. The training corpus is scanned once; shingling
-  * is per-row expression work ([[TextAnalysis.wordShingles]], codegen,
-  * no explode until the join input), and the only shuffle is the
-  * per-doc count aggregation, keyed by doc id. No all-pairs step
+  * is per-row expression work ([[graft.dedup.Dedup.shingleHashes]] —
+  * grams travel as 64-bit hashes, native codegen kernel, no shingle
+  * strings, no explode until the join input), and the only shuffle is
+  * the per-doc count aggregation, keyed by doc id. No all-pairs step
   * anywhere. Beyond the reference's surface (its analytics package is
   * empty, `src/analytics/__init__.py:1`); first-class for the LLM-
   * pipeline layer this engine targets.
@@ -34,12 +35,21 @@ object Decontaminate {
       textCol: String,
       n: Int): DataFrame = {
     require(n > 0, s"n-gram size must be positive, got $n")
+    // Gram EQUALITY is all the overlap needs, so grams travel as
+    // 64-bit hashes ([[graft.dedup.Dedup.shingleHashes]] — identical
+    // tokenization and short-doc collapse as wordShingles, native
+    // codegen kernel when GraftExtensions is present): no per-window
+    // string materialization on the corpus scan, and the broadcast
+    // eval-gram set is 8 bytes/gram instead of an n-word string.
+    // Same 2⁻⁶⁴ collision posture as the MinHash family.
     val evalGrams = eval
-      .select(explode(TextAnalysis.wordShingles(col(textCol), n)).as("gram"))
+      .select(explode(graft.dedup.Dedup.shingleHashes(
+        eval.sparkSession, col(textCol), n)).as("gram"))
       .distinct()
     val trainGrams = train
-      .select(col(idCol), // wordShingles already dedups within doc
-        explode(TextAnalysis.wordShingles(col(textCol), n)).as("gram"))
+      .select(col(idCol), // shingleHashes already dedups within doc
+        explode(graft.dedup.Dedup.shingleHashes(
+          train.sparkSession, col(textCol), n)).as("gram"))
     val shared = trainGrams
       .join(broadcast(evalGrams), "gram")
       .groupBy(col(idCol))
@@ -71,13 +81,16 @@ object Decontaminate {
       n: Int,
       threshold: Double): DataFrame = {
     require(n > 0, s"n-gram size must be positive, got $n")
+    // hashed grams, as in [[contaminationReport]] — equality-only use
     val evalGrams = eval
-      .select(explode(TextAnalysis.wordShingles(col(textCol), n)).as("gram"))
+      .select(explode(graft.dedup.Dedup.shingleHashes(
+        eval.sparkSession, col(textCol), n)).as("gram"))
       .distinct()
       .withColumn("__hit", lit(1L))
     val trainGrams = train
       .select(col(idCol),
-        explode(TextAnalysis.wordShingles(col(textCol), n)).as("gram"))
+        explode(graft.dedup.Dedup.shingleHashes(
+          train.sparkSession, col(textCol), n)).as("gram"))
     val scored = trainGrams
       .join(broadcast(evalGrams), Seq("gram"), "left")
       .groupBy(col(idCol))
@@ -126,14 +139,19 @@ object Decontaminate {
     require(n > 0, s"n-gram size must be positive, got $n")
     val spark = eval.sparkSession
     import spark.implicits._
+    // hashed grams (the report functions' representation): the driver
+    // set holds 8-byte longs instead of n-word strings, the per-row
+    // probe skips shingle-string materialization, and the verdict is
+    // unchanged (gram equality ⇔ hash equality mod 2⁻⁶⁴)
     val grams = eval
-      .select(explode(TextAnalysis.wordShingles(col(textCol), n)).as("gram"))
-      .distinct().as[String].collect().toSet
+      .select(explode(graft.dedup.Dedup.shingleHashes(
+        spark, col(textCol), n)).as("gram"))
+      .distinct().as[Long].collect().toSet
     val bc = spark.sparkContext.broadcast(grams)
-    val hit = udf { shingles: Seq[String] =>
+    val hit = udf { shingles: Seq[Long] =>
       shingles != null && shingles.exists(bc.value.contains)
     }
-    hit(TextAnalysis.wordShingles(col(textCol), n))
+    hit(graft.dedup.Dedup.shingleHashes(spark, col(textCol), n))
   }
 
   /** Size-routed front door: the exact broadcast-set predicate while
@@ -152,7 +170,8 @@ object Decontaminate {
       maxExactGrams: Long = 10000000L, fpp: Double = 0.001): Column = {
     require(n > 0, s"n-gram size must be positive, got $n")
     val nGrams = eval
-      .select(explode(TextAnalysis.wordShingles(col(textCol), n)).as("gram"))
+      .select(explode(graft.dedup.Dedup.shingleHashes(
+        eval.sparkSession, col(textCol), n)).as("gram"))
       .distinct().count()
     if (nGrams <= maxExactGrams) contaminationPredicate(eval, textCol, n)
     else contaminationPredicateBloom(eval, textCol, n,
@@ -177,8 +196,8 @@ object Decontaminate {
     require(spark.catalog.functionExists("bloom_might_contain"),
       "contaminationPredicateBloom needs GraftExtensions (bloom_might_contain)")
     val grams = eval
-      .select(explode(TextAnalysis.wordShingles(col(textCol), n)).as("__s"))
-      .select(xxhash64(col("__s")).as("__g"))
+      .select(explode(graft.dedup.Dedup.shingleHashes(
+        spark, col(textCol), n)).as("__g"))
     // empty gram set: nothing can contaminate (stat.bloomFilter also
     // NPEs on zero rows — same guard as ScaleJoins.bloomPruned)
     if (grams.isEmpty) return lit(false)
@@ -186,7 +205,7 @@ object Decontaminate {
     val bos = new java.io.ByteArrayOutputStream()
     bf.writeTo(bos)
     val bytes = bos.toByteArray
-    exists(TextAnalysis.wordShingles(col(textCol), n),
-      g => call_function("bloom_might_contain", lit(bytes), xxhash64(g)))
+    exists(graft.dedup.Dedup.shingleHashes(spark, col(textCol), n),
+      h => call_function("bloom_might_contain", lit(bytes), h))
   }
 }

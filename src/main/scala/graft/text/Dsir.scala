@@ -47,7 +47,30 @@ object Dsir {
     concat(tk, bi)
   }
 
+  /** [[grams]] as 64-bit hashes via the positional NgramHashes kernel
+    * (codegen; no per-window string materialization, no interpreted
+    * zip_with) — DSIR only ever COUNTS gram occurrences, so identity
+    * modulo 2⁻⁶⁴ collisions is all the model needs, and the counts
+    * themselves (hence every weight) are unchanged. Window-count
+    * parity with [[grams]]: ngram_hashes_pos(tk, 1) emits exactly one
+    * hash per token (0 for empty), and the bigram arm keeps grams()'s
+    * empty-below-2-tokens convention (the kernel's short-doc collapse
+    * would emit 1).
+    */
+  private[text] def gramHashes(text: Column): Column = {
+    val tk = TextAnalysis.words(text)
+    val uni = call_function("ngram_hashes_pos", tk, lit(1))
+    val bi = when(size(tk) < 2, array().cast("array<long>"))
+      .otherwise(call_function("ngram_hashes_pos", tk, lit(2)))
+    concat(uni, bi)
+  }
+
   private def gramKey(nBuckets: Option[Int]): Column = nBuckets match {
+    // pmod of the gram representation (string-hashed or already a
+    // 64-bit gram hash) — bucket FAMILY differs between the two
+    // representations, but bucketing is internal: weights only depend
+    // on bucket-count distributions, spec-pinned equal to exact grams
+    // when collision-free
     case Some(m) => pmod(xxhash64(col("gram")), lit(m.toLong)).cast("string")
     case None    => col("gram")
   }
@@ -60,13 +83,26 @@ object Dsir {
   def importanceWeights(raw: DataFrame, target: DataFrame,
       idCol: String, textCol: String,
       nBuckets: Option[Int] = None, smoothing: Double = 1.0): DataFrame = {
+    val gramCol: Column => Column =
+      if (graft.plans.GraftExtensions.available(raw.sparkSession)) gramHashes
+      else grams(_)
     val rawGrams = raw.select(col(idCol),
-      explode(grams(col(textCol))).as("gram"))
+      explode(gramCol(col(textCol))).as("gram"))
       .select(col(idCol), gramKey(nBuckets).as("g"))
-    val tgtGrams = target.select(explode(grams(col(textCol))).as("gram"))
+    val tgtGrams = target.select(explode(gramCol(col(textCol))).as("gram"))
       .select(gramKey(nBuckets).as("g"))
 
-    val rawCnt = rawGrams.groupBy("g").agg(count(lit(1)).as("rc"))
+    // ONE corpus explode pass: the per-(doc, gram) counts are computed
+    // first and materialized (eager local checkpoint), and the global
+    // per-gram counts REGROUP those partial counts (Σ over docs) —
+    // previously rawGrams was referenced by rawCnt AND the scoring
+    // join under different keys, re-running the scan + explode, and
+    // `merged` fed totals AND lambda the same way (3 corpus passes
+    // total; now 1 + two small-table reads).
+    val perDocCnt = rawGrams.groupBy(col(idCol), col("g"))
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint(eager = true)
+    val rawCnt = perDocCnt.groupBy("g").agg(sum(col("c")).as("rc"))
     val tgtCnt = tgtGrams.groupBy("g").agg(count(lit(1)).as("tc"))
     // union feature space: V for smoothing, full-outer so grams seen
     // on only one side still get their α mass on the other
@@ -74,6 +110,7 @@ object Dsir {
       .select(col("g"),
         coalesce(col("rc"), lit(0L)).as("rc"),
         coalesce(col("tc"), lit(0L)).as("tc"))
+      .localCheckpoint(eager = true)
     val totals = merged.agg(
       sum(col("rc")).as("rtot"), sum(col("tc")).as("ttot"),
       count(lit(1)).as("v"))
@@ -85,8 +122,7 @@ object Dsir {
             (col("rtot").cast("double") + lit(smoothing) * col("v").cast("double"))))
           .as("lambda"))
 
-    val perDoc = rawGrams.groupBy(col(idCol), col("g"))
-      .agg(count(lit(1)).as("c"))
+    val perDoc = perDocCnt
       .join(broadcast(lambda), Seq("g"))
       .groupBy(col(idCol))
       .agg(sum(col("c")).as("n_grams"),

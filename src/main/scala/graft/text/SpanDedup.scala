@@ -47,10 +47,25 @@ object SpanDedup {
     */
   def dupSpanReport(docs: DataFrame, idCol: String, textCol: String,
       n: Int): DataFrame = {
-    val dg = docs
-      .filter(trim(col(textCol)) =!= "")
-      .select(col(idCol), explode(wordGrams(col(textCol), n)).as("__g"))
-      .distinct()
+    // Gram IDENTITY is all this needs (equality for the doc-frequency
+    // count), so with GraftExtensions the grams are 64-bit
+    // [[graft.plans.NgramHashes]] hashes, never strings: the per-doc
+    // distinct happens inside the codegen kernel (the corpus-wide
+    // (doc, gram) distinct exchange disappears — it only ever deduped
+    // within-doc repeats) and both remaining keyed exchanges carry
+    // 8-byte longs instead of n-word strings. Same 2⁻⁶⁴ collision
+    // posture as the MinHash shingle family. Fallback: the composed
+    // string form.
+    val spark = docs.sparkSession
+    val dg =
+      if (graft.plans.GraftExtensions.available(spark))
+        docs.filter(trim(col(textCol)) =!= "")
+          .select(col(idCol), explode(call_function("ngram_hashes",
+            split(trim(col(textCol)), "\\s+"), lit(n))).as("__g"))
+      else docs
+        .filter(trim(col(textCol)) =!= "")
+        .select(col(idCol), explode(wordGrams(col(textCol), n)).as("__g"))
+        .distinct()
     // doc-frequency per gram: dg is already distinct per (doc, gram),
     // so count(*) IS the distinct-doc count — no countDistinct state
     val dfreq = dg.groupBy(col("__g")).agg(count(lit(1)).as("__df"))
@@ -99,9 +114,17 @@ object SpanDedup {
       .select(col(idCol).as("__id"),
         split(trim(col(textCol)), "\\s+").as("__tk"))
       .withColumn("__ntk", size(col("__tk")))
+    // positional gram HASHES when the native kernel is available
+    // (occurrence identity only needs equality): no per-window string
+    // materialization, and the gram-keyed exchange under gstats carries
+    // longs — the dupSpanReport rationale at the occurrence level
+    val gramsCol =
+      if (graft.plans.GraftExtensions.available(docs.sparkSession))
+        call_function("ngram_hashes_pos", col("__tk"), lit(n))
+      else wordGramsFromTokens(col("__tk"), n)
     val occ = base
       .select(col("__id"), col("__ntk"),
-        posexplode(wordGramsFromTokens(col("__tk"), n)).as(Seq("__p0", "__g")))
+        posexplode(gramsCol).as(Seq("__p0", "__g")))
       .withColumn("__pos", col("__p0") + 1)
       // canonical occurrence = lexicographic min of (id, pos) — a
       // STRUCT, not a packed long: id * 10^6 + pos overflows for ids

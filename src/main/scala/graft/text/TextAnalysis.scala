@@ -71,10 +71,28 @@ object TextAnalysis {
     "the", "a", "an", "and", "or", "of", "to", "in", "is", "are", "was",
     "it", "that", "this", "for", "on", "with", "as", "at", "by")
 
+  /** Count of `toks` elements that are members of `words`, preferring
+    * the codegen path (per-token 64-bit hashes via `ngram_hashes_pos`
+    * + [[graft.plans.InSetCount]] binary search over the pre-hashed
+    * probe set) over the interpreted `filter(toks, OR-chain)` lambda —
+    * the HOF path executes the chain per element OUTSIDE codegen,
+    * which dominated the langid/quality scans at scale. Token equality
+    * becomes hash equality (the MinHash family's 2⁻⁶⁴ posture).
+    */
+  private def memberCount(toks: Column, words: Seq[String]): Column =
+    if (org.apache.spark.sql.SparkSession.getActiveSession
+        .exists(graft.plans.GraftExtensions.available)) {
+      val probes = words.map(w =>
+        lit(graft.plans.NgramHashes.tokenGramHash(w)))
+      call_function("in_set_count",
+        call_function("ngram_hashes_pos", toks, lit(1)),
+        array(probes: _*))
+    } else size(filter(toks,
+      t => words.foldLeft(lit(false))((acc, w) => acc || t === w)))
+
   def stopwordRatio(text: Column, stopwords: Seq[String] = EnglishStopwords): Column = {
     val toks = split(lower(trim(text)), "\\s+")
-    val hits = size(filter(toks,
-      t => stopwords.foldLeft(lit(false))((acc, w) => acc || t === w)))
+    val hits = memberCount(toks, stopwords)
     when(size(toks) === 0, lit(0.0))
       .otherwise(hits.cast("double") / size(toks).cast("double"))
   }
@@ -112,16 +130,30 @@ object TextAnalysis {
   def languageId(text: Column): Column = {
     val cjk = length(regexp_replace(text, "[^\\u4e00-\\u9fff]", ""))
     val toks = split(lower(trim(text)), "[\\s\\p{Punct}]+")
-    val scores = LanguageMarkers.map { case (lang, words) =>
-      lang -> size(filter(toks,
-        t => words.foldLeft(lit(false))((acc, w) => acc || t === w)))
+    // Argmax WITHOUT re-evaluating the scores: the old
+    // greatest-fold + reversed when-chain referenced every score
+    // ~5× — and codegen subexpression elimination does not count
+    // occurrences inside conditional branches, so each reference
+    // re-tokenized and re-scored the row (measured 8.3 s for a 50k-doc
+    // scan that costs 0.2 s per score pass). Here each score is
+    // computed exactly ONCE as an always-evaluated array element
+    // (struct with a rank that makes max() break ties toward the
+    // earlier marker entry — the documented tie rule), and a 4-element
+    // aggregate fold picks the winner. The fold itself is a
+    // CodegenFallback HOF, but over 4 tiny structs per row its cost is
+    // noise next to one scoring pass.
+    val n = LanguageMarkers.size
+    val entries = LanguageMarkers.zipWithIndex.map { case ((lang, words), i) =>
+      struct(memberCount(toks, words).as("s"),
+        lit(n - i).as("r"), lit(lang).as("l"))
     }
-    val best = scores.foldLeft(lit(0)) { case (acc, (_, s)) => greatest(acc, s) }
-    val pick = scores.reverse.foldLeft(lit("und")) { case (acc, (lang, s)) =>
-      when(s === best && best > 0, lit(lang)).otherwise(acc)
-    }
+    val best = aggregate(array(entries: _*),
+      struct(lit(0).as("s"), lit(n + 1).as("r"), lit("und").as("l")),
+      (acc, x) => when(x.getField("s") > acc.getField("s") ||
+          (x.getField("s") === acc.getField("s") &&
+            x.getField("r") > acc.getField("r")), x).otherwise(acc))
     when(cjk.cast("double") / greatest(length(text), lit(1)).cast("double") > 0.05,
-      lit("zh")).otherwise(pick)
+      lit("zh")).otherwise(best.getField("l"))
   }
 
   // --------------------------------------------------------- redaction

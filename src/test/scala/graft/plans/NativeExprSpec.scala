@@ -34,6 +34,59 @@ class NativeExprSpec extends SparkSpec {
     sizes.foreach { case (n, s) => assert(n === s) }
   }
 
+  test("ngram_hashes_pos: one hash per window in order; set form == sorted-distinct of it") {
+    val df = texts.toDF("t")
+      .select(split(trim($"t"), "\\s+").as("tk"))
+    val rows = df.select(
+      call_function("ngram_hashes_pos", $"tk", lit(3)).as("pos"),
+      call_function("ngram_hashes", $"tk", lit(3)).as("set"),
+      size($"tk").as("ntk"))
+      .as[(Seq[Long], Seq[Long], Int)].collect()
+    rows.foreach { case (pos, set, ntk) =>
+      // positional length = max(ntk - n + 1, 1) — the wordGrams window rule
+      assert(pos.length === math.max(ntk - 2, 1))
+      // the sorted-distinct form is exactly the set of positional hashes
+      assert(pos.distinct.sorted === set)
+    }
+    // window i hashes tokens [i, i+n): same text prefix -> same leading hashes
+    val p = Seq("a b c d e", "a b c x y").toDF("t")
+      .select(call_function("ngram_hashes_pos",
+        split($"t", "\\s+"), lit(2)).as("h"))
+      .as[Seq[Long]].collect()
+    assert(p(0)(0) === p(1)(0)) // "a b"
+    assert(p(0)(1) === p(1)(1)) // "b c"
+    assert(p(0)(2) !== p(1)(2)) // "c d" vs "c x"
+  }
+
+  test("in_set_count == interpreted filter-count; tokenGramHash == kernel 1-gram hash") {
+    // plan-time twin parity: hashing a token on the driver must equal
+    // what ngram_hashes_pos emits for it on the executor
+    val words = Seq("the", "and", "zebra", "", "éclair")
+    val kernel = words.toDF("w")
+      .select(call_function("ngram_hashes_pos", array($"w"), lit(1)).as("h"))
+      .as[Seq[Long]].collect().map(_.head)
+    words.zip(kernel).foreach { case (w, h) =>
+      assert(NgramHashes.tokenGramHash(w) === h, s"token '$w'")
+    }
+    // membership count keeps duplicates and ignores non-members —
+    // exactly size(filter(toks, t => t === w1 || ...))
+    val stop = Seq("the", "and")
+    val probes = array(stop.map(w => lit(NgramHashes.tokenGramHash(w))): _*)
+    val df = Seq(
+      "the cat and the dog and",  // the×2 and×2 -> 4
+      "no matches here",          // 0
+      "").toDF("t")
+    val got = df.select(
+      call_function("in_set_count",
+        call_function("ngram_hashes_pos", split($"t", "\\s+"), lit(1)),
+        probes).as("n"),
+      size(filter(split($"t", "\\s+"),
+        t => stop.foldLeft(lit(false))((acc, w) => acc || t === w))).as("ref"))
+      .as[(Int, Int)].collect()
+    got.foreach { case (n, ref) => assert(n === ref) }
+    assert(got.head._1 === 4)
+  }
+
   test("minhash_slots: identical inputs -> identical signature; supersets only lower minima") {
     val df = Seq(
       (1L, Seq(10L, 20L, 30L)),
@@ -70,7 +123,9 @@ class NativeExprSpec extends SparkSpec {
     try {
       val df = spark.read.parquet(s"$dir/t")
         .select(Dedup.simHashColumn(spark, $"t").as("sig"),
-          Dedup.shingleHashes(spark, $"t", 3).as("grams"))
+          Dedup.shingleHashes(spark, $"t", 3).as("grams"),
+          call_function("ngram_hashes_pos",
+            split(trim($"t"), "\\s+"), lit(3)).as("posgrams"))
       assert(df.collect().length === texts.length)
       // the full banding composition q_dedup_simhash runs
       val pairs = Dedup.simHashNearDupPairs(
