@@ -177,15 +177,31 @@ object AggregateQueries {
       |FROM lineitem GROUP BY l_returnflag
       |ORDER BY l_returnflag""".stripMargin,
     doc = "exact interpolated percentiles per group (ordered-set aggs)") { (s, dir) =>
-    t(s, dir, "lineitem")
+    // Exact percentile partials buffer every VALUE and merge them on
+    // one reducer per group (~20M doubles per l_returnflag at 100×).
+    // Collapse each measure to per-(group, value) counts first and
+    // feed the frequency form — the Percentile aggregate builds this
+    // exact value→count map internally, so the interpolated doubles
+    // are unchanged — and the per-group final sees |distinct values|
+    // rows (l_quantity: 50; replicated corpora keep price distincts
+    // flat while rows multiply). Two pruned scans replace the Expand-
+    // free single scan; both pre-aggregations are map-side combined.
+    val li = t(s, dir, "lineitem")
+    val pr = li.groupBy(col("l_returnflag"), col("l_extendedprice"))
+      .agg(count(lit(1)).as("__c"))
       .groupBy(col("l_returnflag"))
       .agg(
-        round(expr("percentile(l_extendedprice, 0.5)"), 4).cast("double")
-          .as("median_price"),
-        round(expr("percentile(l_extendedprice, 0.95)"), 4).cast("double")
-          .as("p95_price"),
-        round(expr("percentile(l_quantity, 0.25)"), 4).cast("double")
-          .as("q1_qty"))
+        round(percentile(col("l_extendedprice"), lit(0.5), col("__c")), 4)
+          .cast("double").as("median_price"),
+        round(percentile(col("l_extendedprice"), lit(0.95), col("__c")), 4)
+          .cast("double").as("p95_price"))
+    val qt = li.groupBy(col("l_returnflag"), col("l_quantity"))
+      .agg(count(lit(1)).as("__c"))
+      .groupBy(col("l_returnflag"))
+      .agg(round(percentile(col("l_quantity"), lit(0.25), col("__c")), 4)
+        .cast("double").as("q1_qty"))
+    pr.join(qt, Seq("l_returnflag"))
+      .select("l_returnflag", "median_price", "p95_price", "q1_qty")
       .orderBy("l_returnflag")
   }
 
@@ -309,18 +325,40 @@ object AggregateQueries {
     def relOk(approx: Column, exact: Column, tol: Double): Column =
       (abs(approx.cast("double") - exact.cast("double")) /
         greatest(exact.cast("double"), lit(1.0))) <= tol
-    li.agg(
-        count(lit(1)).as("n_rows"),
-        countDistinct(col("l_suppkey")).as("exact_suppkeys"),
-        countDistinct(col("l_partkey")).as("exact_partkeys"),
+    // One combined aggregate forced (a) an Expand — every row tripled
+    // for the two COUNT(DISTINCT)s — and (b) the killer: exact
+    // `percentile` partials buffer EVERY value and merge them on ONE
+    // final reducer (the whole 60M-value column crossing to a single
+    // task at 100×; 13.6 s at 10×). Restated with identical outputs:
+    // each column first collapses to (value, count) via a keyed,
+    // map-side-combined groupBy, then
+    //  - exact distincts = group counts,
+    //  - HLL twins run over the DISTINCT values (duplicates never
+    //    change HLL registers, so the estimate is bit-identical),
+    //  - exact percentiles use the frequency form over (value, count)
+    //    — the Percentile aggregate builds exactly this value→count
+    //    map internally, so the interpolated doubles are unchanged —
+    //    and the single final reducer now sees |distinct values| rows
+    //    instead of |rows|.
+    // The sketch-percentile twins keep their raw-scan pass (no
+    // frequency form) — their partials are bounded-size summaries.
+    val supp = li.groupBy(col("l_suppkey")).agg(count(lit(1)).as("__c"))
+      .agg(count(col("l_suppkey")).as("exact_suppkeys"), // nulls excluded, as COUNT(DISTINCT)
         approx_count_distinct(col("l_suppkey"), rsd = 0.02).as("hll_supp"),
-        approx_count_distinct(col("l_partkey"), rsd = 0.02).as("hll_part"),
-        percentile(col("l_extendedprice"), lit(0.5)).as("ex_p50"),
-        percentile(col("l_extendedprice"), lit(0.95)).as("ex_p95"),
-        percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000))
-          .as("ap_p50"),
-        percentile_approx(col("l_extendedprice"), lit(0.95), lit(10000))
-          .as("ap_p95"))
+        sum(col("__c")).as("n_rows")) // null group still counts rows
+    val part = li.groupBy(col("l_partkey")).agg(count(lit(1)).as("__c"))
+      .agg(count(col("l_partkey")).as("exact_partkeys"),
+        approx_count_distinct(col("l_partkey"), rsd = 0.02).as("hll_part"))
+    val price = li.groupBy(col("l_extendedprice")).agg(count(lit(1)).as("__c"))
+      .agg(
+        percentile(col("l_extendedprice"), lit(0.5), col("__c")).as("ex_p50"),
+        percentile(col("l_extendedprice"), lit(0.95), col("__c")).as("ex_p95"))
+    val sketch = li.agg(
+      percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000))
+        .as("ap_p50"),
+      percentile_approx(col("l_extendedprice"), lit(0.95), lit(10000))
+        .as("ap_p95"))
+    supp.crossJoin(part).crossJoin(price).crossJoin(sketch)
       .select(
         col("n_rows"), col("exact_suppkeys"), col("exact_partkeys"),
         relOk(col("hll_supp"), col("exact_suppkeys"), 0.05)

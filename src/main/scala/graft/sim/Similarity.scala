@@ -501,14 +501,18 @@ object Similarity {
     * cov(i,j) = E[x_i·x_j] − E[x_i]E[x_j] over all vectors, O(d²)
     * output however large the corpus.
     *
-    * Plan: one posexplode to (vec, dim, x) rows, dimension-wise sums
-    * for the means, and a vec-keyed self-equi-join (each group is one
-    * vector's d components — co-partitioned, never a cross join) for
-    * the d(d+1)/2 product sums. Products are deterministic doubles on
-    * float inputs, decimal-cast before summing so partial-aggregation
-    * order can't skew them; the final E[xy] − E[x]E[y] runs in double
-    * on exact sums. 1-based dimension indices (matches SQL
-    * generate_subscripts).
+    * Plan: one posexplode to (vec, dim, x) rows and dimension-wise
+    * sums for the means; the d(d+1)/2 product pairs are generated
+    * MAP-SIDE by a second generator over the row's own tail slice
+    * (round 15 — this was a vec-keyed self-equi-join before, which
+    * shuffled both N·d explode sides to pair components that already
+    * sat in the same row; now no pair ever crosses an exchange and
+    * the only product shuffle is the map-side-combined (i, j) partial
+    * aggregate, d(d+1)/2 groups total). Products are deterministic
+    * doubles on float inputs, decimal-cast before summing so
+    * partial-aggregation order can't skew them; the final
+    * E[xy] − E[x]E[y] runs in double on exact sums. 1-based dimension
+    * indices (matches SQL generate_subscripts).
     */
   def covarianceMatrix(df: DataFrame, idCol: String,
       vecCol: String): DataFrame = {
@@ -519,11 +523,15 @@ object Similarity {
     val n = broadcast(df.agg(count(lit(1)).as("__n")))
     val m = x.groupBy(col("i"))
       .agg(sum(col("x").cast("decimal(25,10)")).cast("double").as("sx"))
-    val a = x.select(col("__vid"), col("i"), col("x"))
-    val b = x.select(col("__vid"), col("i").as("j"), col("x").as("y"))
-    val p = a.join(b, Seq("__vid")).filter(col("i") <= col("j"))
+    val p = df.select(col(vecCol).as("__v"))
+      .select(col("__v"), posexplode(col("__v")).as(Seq("__p", "__xf")))
+      .select((col("__p") + 1).as("i"), col("__xf").cast("double").as("x"),
+        posexplode(slice(col("__v"), col("__p") + 1,
+          size(col("__v")) - col("__p"))).as(Seq("__q", "__yf")))
+      .select(col("i"), (col("i") + col("__q")).as("j"),
+        (col("x") * col("__yf").cast("double")).as("xy"))
       .groupBy(col("i"), col("j"))
-      .agg(sum((col("x") * col("y")).cast("decimal(30,12)")).cast("double")
+      .agg(sum(col("xy").cast("decimal(30,12)")).cast("double")
         .as("sxy"))
     p.join(broadcast(m.select(col("i"), col("sx").as("sxi"))), Seq("i"))
       .join(broadcast(m.select(col("i").as("j"), col("sx").as("sxj"))),
