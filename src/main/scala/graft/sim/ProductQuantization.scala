@@ -83,17 +83,22 @@ object ProductQuantization {
     cents
   }
 
-  /** Nearest-codebook assignment: (id, sub, cid) — the PQ CODES. */
+  /** Nearest-codebook assignment: (id, sub, cid) — the PQ CODES.
+    * The argmin is a `min_by` over the (distance, cid) struct — the
+    * same (__d2, cid) ordering the former row_number window used, but
+    * as a plain aggregate it partial-combines MAP-SIDE: the second
+    * exchange carries one row per (id, sub) instead of sorting all
+    * N·m·ksub distance rows through a window (this assignment runs
+    * iters+1 times per build, so the removed sort multiplies).
+    */
   def assignCodes(comp: DataFrame, cents: DataFrame): DataFrame = {
     val d2 = comp.join(broadcast(cents), Seq("sub", "q"))
       .select(col("id"), col("sub"), col("cid"),
         ((col("x") - col("c")) * (col("x") - col("c"))).as("__sq"))
       .groupBy(col("id"), col("sub"), col("cid"))
       .agg(sum(col("__sq").cast("decimal(27,12)")).as("__d2"))
-    val w = Window.partitionBy(col("id"), col("sub"))
-      .orderBy(col("__d2"), col("cid"))
-    d2.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
+    d2.groupBy(col("id"), col("sub"))
+      .agg(min_by(col("cid"), struct(col("__d2"), col("cid"))).as("cid"))
       .select(col("id"), col("sub"), col("cid"))
   }
 

@@ -109,11 +109,16 @@ object SpanDedup {
   def removeDuplicateSpans(docs: DataFrame, idCol: String, textCol: String,
       n: Int): DataFrame = {
     require(n > 0, s"n-gram size must be positive, got $n")
+    // materialized once: the tokenized corpus feeds BOTH the
+    // occurrence explode and the token explode (different generators,
+    // no shared exchange) — one scan+split pass instead of two
+    // (A/B at 10×: 3.16 → 2.81 s)
     val base = docs
       .filter(trim(col(textCol)) =!= "")
       .select(col(idCol).as("__id"),
         split(trim(col(textCol)), "\\s+").as("__tk"))
       .withColumn("__ntk", size(col("__tk")))
+      .localCheckpoint(true)
     // positional gram HASHES when the native kernel is available
     // (occurrence identity only needs equality): no per-window string
     // materialization, and the gram-keyed exchange under gstats carries
