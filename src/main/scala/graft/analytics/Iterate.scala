@@ -248,20 +248,54 @@ object Iterate {
     * node ids sorted ascending (a < b < c).
     */
   def triangles(edges: DataFrame, aCol: String, bCol: String): DataFrame = {
-    // NOT checkpointed (round-15 A/B): although `e` and `oriented` are
-    // each referenced three times, every reference shares the
-    // exchanges below it (e's distinct, withDeg's two joins), and AQE
-    // stage reuse deduplicates shared shuffle stages across the
-    // branches — an eager localCheckpoint of both frames measured
-    // SLOWER at 10× (31.8 s vs 27.2 s median: the materialization
-    // passes cost more than the post-exchange recompute they save).
-    // Contrast minHashNearDupPairs, whose three references diverge
-    // BEFORE any common exchange — there the checkpoint is an 8× win.
-    val e = edges.select(col(aCol).as("a"), col(bCol).as("b"))
+    // Wedge volume is Σ C(outdeg, 2) while only the closing wedges
+    // survive the semi join — measured at a 10× replica: 214M wedges
+    // generated, 29M triangles (86% of the semi join's left exchange
+    // was dead rows). Two round-15 measures attack exactly that:
+    //
+    //  1. `e` is eagerly materialized ONCE (localCheckpoint) and a
+    //     BLOOM FILTER over its normalized (a,b) keys drops
+    //     non-closing wedges BEFORE the exchange (guide §3.2). The
+    //     filter is LOSSLESS here: a wedge (h1,h2) with k1 < k2 closes
+    //     iff {h1,h2} is adjacent in `e` — adjacency plus the k1 < k2
+    //     orientation ordering IS membership in `oriented` — so false
+    //     positives only ride through to the exact semi join.
+    //  2. The semi join takes a SHUFFLE_HASH hint: the closing side is
+    //     per-partition small (it IS the edge set), so hashing beats
+    //     sorting the surviving wedges — and, unlike a broadcast semi,
+    //     it puts wedge generation in the MAP stage of the wedge
+    //     exchange, so a consumer that re-executes the join's child
+    //     (the q_triangles ORDER BY's range-partitioner sampling pass)
+    //     re-reads shuffle files instead of regenerating every wedge.
+    //
+    // 10× A/B (OptProbe3, median of 3, noop sink): 39.8 s plain →
+    // 13.7 s bloom → 13.1 s bloom+SHJ (a broadcast semi reads 10.5 s
+    // on the unsorted shape but loses on the sorted query: 23.8 s vs
+    // 16.2 s — the sampling pass regenerates the wedges a broadcast
+    // join leaves un-materialized). The earlier round-15 A/B that
+    // rejected checkpointing measured checkpoint WITHOUT the bloom
+    // (the materialization passes alone don't pay; the count+bloom
+    // build they enable do). The bloom sizes itself from the
+    // checkpoint-backed count — no extra upstream pass.
+    val plain = edges.select(col(aCol).as("a"), col(bCol).as("b"))
       .filter(col("a") =!= col("b"))
       .select(least(col("a"), col("b")).as("a"),
         greatest(col("a"), col("b")).as("b"))
       .distinct()
+    val stream = edges.isStreaming
+    val e = if (stream) plain else plain.localCheckpoint(eager = true)
+    val nEdges = if (stream) -1L else e.count()
+    val spark = edges.sparkSession
+    val bloomBytes: Option[Array[Byte]] =
+      if (stream || nEdges <= 0 ||
+        !spark.catalog.functionExists("bloom_might_contain")) None
+      else {
+        val bf = e.select(xxhash64(col("a"), col("b")).as("__bk"))
+          .stat.bloomFilter("__bk", nEdges, 0.01)
+        val bos = new java.io.ByteArrayOutputStream()
+        bf.writeTo(bos)
+        Some(bos.toByteArray)
+      }
     val deg = e.select(explode(array(col("a"), col("b"))).as("n"))
       .groupBy(col("n")).agg(count(lit(1)).as("deg"))
     // (deg, id) is a total order; struct comparison is lexicographic
@@ -275,15 +309,23 @@ object Iterate {
         when(col("ka") < col("kb"), col("a")).otherwise(col("b")).as("lo"),
         when(col("ka") < col("kb"), col("b")).otherwise(col("a")).as("hi"),
         when(col("ka") < col("kb"), col("kb")).otherwise(col("ka")).as("khi"))
-    val wedges = oriented.select(col("lo"), col("hi").as("h1"),
+    val wedges0 = oriented.select(col("lo"), col("hi").as("h1"),
         col("khi").as("k1"))
       .join(oriented.select(col("lo"), col("hi").as("h2"),
         col("khi").as("k2")), Seq("lo"))
       .filter(col("k1") < col("k2"))
       .select(col("lo"), col("h1"), col("h2"))
+    val wedges = bloomBytes match {
+      case Some(bytes) => wedges0.filter(call_function(
+        "bloom_might_contain", lit(bytes),
+        xxhash64(least(col("h1"), col("h2")),
+          greatest(col("h1"), col("h2")))))
+      case None => wedges0
+    }
+    val closing = oriented.select(col("lo").as("h1"), col("hi").as("h2"))
+    val right = if (stream) closing else closing.hint("SHUFFLE_HASH")
     wedges
-      .join(oriented.select(col("lo").as("h1"), col("hi").as("h2")),
-        Seq("h1", "h2"), "left_semi")
+      .join(right, Seq("h1", "h2"), "left_semi")
       .select(least(col("lo"), col("h1"), col("h2")).as("ta"),
         greatest(col("lo"), col("h1"), col("h2")).as("tc"),
         (col("lo") + col("h1") + col("h2")).as("sum3"))
