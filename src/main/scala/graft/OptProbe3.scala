@@ -171,10 +171,16 @@ object OptProbe3 {
         noop(PQ.components(emb, "vec_id", "embedding", 8)))
       val comp = PQ.components(emb, "vec_id", "embedding", 8).cache()
       comp.count()
-      timed("pq train (capped)")(noop(PQ.train(comp, 16, 3)))
-      val books = PQ.train(comp, 16, 3).localCheckpoint(eager = true)
-      timed("pq assignCodes FULL corpus")(noop(PQ.assignCodes(comp, books)))
-      val codes = PQ.assignCodes(comp, books).localCheckpoint(eager = true)
+      timed("pq train (capped, kernel assign)")(
+        noop(PQ.train(emb, "vec_id", "embedding", 8, 16, 3)))
+      val books = PQ.train(emb, "vec_id", "embedding", 8, 16, 3)
+        .localCheckpoint(eager = true)
+      timed("pq join-form assignCodes FULL corpus")(
+        noop(PQ.assignCodes(comp, books)))
+      timed("pq KERNEL encodeCodes FULL corpus")(
+        noop(PQ.encodeCodes(emb, "vec_id", "embedding", 8, books)))
+      val codes = PQ.encodeCodes(emb, "vec_id", "embedding", 8, books)
+        .localCheckpoint(eager = true)
       timed("pq adcTopK (shortlist)")(noop(PQ.adcTopK(codes, books,
         PQ.components(queries, "vec_id", "embedding", 8), 100)))
       timed("pq full pqTopK")(noop(PQ.pqTopK(emb, queries, "vec_id",

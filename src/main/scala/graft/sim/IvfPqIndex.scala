@@ -49,21 +49,19 @@ object IvfPqIndex {
       ksub: Int = 16, iters: Int = 3): (Long, Long) = {
     val nCells = IvfIndex.build(wh, name, corpus, idCol, vecCol,
       kCoarse, iters)
-    val comp = ProductQuantization.components(corpus, idCol, vecCol, m)
-      .cache()
-    try {
-      val books = ProductQuantization.train(comp, ksub, iters)
-      wh.createTable(booksTable(name), books.schema, ifExists = "replace")
-      wh.append(booksTable(name), books)
-      val cellOf = wh.read(s"${name}__cells")
-        .select(col(idCol).as("id"), col("centroid_id"))
-      val codes = ProductQuantization.assignCodes(comp, books)
-        .join(cellOf, Seq("id"))
-      wh.createTable(codesTable(name), codes.schema,
-        ifExists = "replace", partitionBy = Seq("centroid_id"))
-      wh.append(codesTable(name), codes)
-      (nCells, wh.read(codesTable(name)).select("id").distinct().count())
-    } finally comp.unpersist()
+    val books = ProductQuantization.train(corpus, idCol, vecCol, m,
+      ksub, iters)
+    wh.createTable(booksTable(name), books.schema, ifExists = "replace")
+    wh.append(booksTable(name), books)
+    val cellOf = wh.read(s"${name}__cells")
+      .select(col(idCol).as("id"), col("centroid_id"))
+    val codes = ProductQuantization
+      .encodeCodes(corpus, idCol, vecCol, m, books)
+      .join(cellOf, Seq("id"))
+    wh.createTable(codesTable(name), codes.schema,
+      ifExists = "replace", partitionBy = Seq("centroid_id"))
+    wh.append(codesTable(name), codes)
+    (nCells, wh.read(codesTable(name)).select("id").distinct().count())
   }
 
   /** Drift report for the compressed index — the coarse tier IS the
@@ -140,8 +138,7 @@ object IvfPqIndex {
         cents, "centroid_id", "centroid_vec")
       .select(col(idCol).as("id"), col("centroid_id"))
     val codes = ProductQuantization
-      .assignCodes(
-        ProductQuantization.components(freshC, idCol, vecCol, m), books)
+      .encodeCodes(freshC, idCol, vecCol, m, books)
       .join(cellOf, Seq("id"))
       .localCheckpoint()
     if (codes.count() > 0L) wh.append(codesTable(name), codes)

@@ -57,13 +57,25 @@ object ProductQuantization {
     * codebook), while full-corpus fitting made codebook training the
     * dominant cost of the entire IVF×PQ funnel at replica scale —
     * O(iters · N · ksub) for zero recall gain. Encoding
-    * ([[assignCodes]]) still covers every vector.
+    * ([[encodeCodes]]) still covers every vector.
+    *
+    * Takes the raw vector table (not component rows) so the per-round
+    * assignment runs through the [[graft.plans.PqEncode]] kernel — a
+    * pure projection — instead of the component × codebook distance
+    * join; the component form is built once, capped, for the mean
+    * update only.
     */
-  def train(comp: DataFrame, ksub: Int, iters: Int,
-      trainCap: Int = 1 << 15): DataFrame = {
-    val ids = comp.select(col("id")).distinct()
+  def train(df: DataFrame, idCol: String, vecCol: String, m: Int,
+      ksub: Int, iters: Int, trainCap: Int = 1 << 15): DataFrame = {
+    // ids with at least one component row — the join form's training
+    // population (a null/empty vector never reaches posexplode)
+    val ids = df.filter(col(vecCol).isNotNull && size(col(vecCol)) > 0)
+      .select(col(idCol).as("id")).distinct()
       .orderBy(col("id")).limit(trainCap)
-    val tcomp = comp.join(broadcast(ids), Seq("id"))
+    val capped = df.select(col(idCol).as("id"), col(vecCol).as("__v"))
+      .join(broadcast(ids), Seq("id"))
+      .localCheckpoint(eager = true)
+    val tcomp = components(capped, "id", "__v", m)
       .localCheckpoint(eager = true)
     // lowest-ksub ids, then a ksub-row ranking window (never corpus-wide)
     val seeds = tcomp.select(col("id")).distinct()
@@ -73,7 +85,7 @@ object ProductQuantization {
       .select(col("sub"), col("cid"), col("q"), col("x").as("c"))
       .localCheckpoint()
     (0 until iters).foreach { _ =>
-      val assign = assignCodes(tcomp, cents)
+      val assign = encodeCodes(capped, "id", "__v", m, cents)
       cents = tcomp.join(assign, Seq("id", "sub"))
         .groupBy(col("sub"), col("cid"), col("q"))
         .agg((sum(col("x").cast("decimal(27,10)")).cast("double") /
@@ -83,13 +95,14 @@ object ProductQuantization {
     cents
   }
 
-  /** Nearest-codebook assignment: (id, sub, cid) — the PQ CODES.
-    * The argmin is a `min_by` over the (distance, cid) struct — the
-    * same (__d2, cid) ordering the former row_number window used, but
-    * as a plain aggregate it partial-combines MAP-SIDE: the second
-    * exchange carries one row per (id, sub) instead of sorting all
-    * N·m·ksub distance rows through a window (this assignment runs
-    * iters+1 times per build, so the removed sort multiplies).
+  /** Nearest-codebook assignment, component form — the REFERENCE
+    * formulation the kernel path is spec-pinned against
+    * (ProductQuantizationSpec's parity suite): the component ×
+    * codebook (sub, q) join fans N·d·ksub distance rows through two
+    * exchanges, so production paths use [[encodeCodes]] instead. The
+    * argmin is `min_by(cid, struct(__d2, cid))` — decimal-exact
+    * per-term rounding, null-first struct ordering, cid tie-break —
+    * exactly the semantics [[graft.plans.PqKernel]] reproduces.
     */
   def assignCodes(comp: DataFrame, cents: DataFrame): DataFrame = {
     val d2 = comp.join(broadcast(cents), Seq("sub", "q"))
@@ -100,6 +113,43 @@ object ProductQuantization {
     d2.groupBy(col("id"), col("sub"))
       .agg(min_by(col("cid"), struct(col("__d2"), col("cid"))).as("cid"))
       .select(col("id"), col("sub"), col("cid"))
+  }
+
+  /** Codebook component rows a kernel can be built from, collected
+    * with a loud bound: m·ksub·(d/m) rows by construction (thousands);
+    * anything bigger was handed the wrong table.
+    */
+  private val MaxBookRows = 1 << 22
+
+  /** Nearest-codebook assignment as ONE pure projection: (id, sub,
+    * cid), bit-identical to [[assignCodes]] over
+    * `components(df, idCol, vecCol, m)` (see [[graft.plans.PqEncode]]
+    * for the decimal-parity argument; ProductQuantizationSpec pins
+    * it), but with no component explode, no N·d·ksub distance rows
+    * and no exchanges — the codebooks ride one broadcast and the
+    * codes fall out of the scan stage. Assumes unique ids, like every
+    * ANN path here (a duplicate id was degenerate in the join form
+    * too: both rows' components merged into one distance sum).
+    */
+  def encodeCodes(df: DataFrame, idCol: String, vecCol: String, m: Int,
+      cents: DataFrame): DataFrame = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    val spark = df.sparkSession
+    val rows = cents.select(col("sub").cast("int"), col("cid").cast("int"),
+        col("q").cast("int"), col("c").cast("double"))
+      .limit(MaxBookRows + 1).collect()
+    if (rows.isEmpty) // join-form parity: empty codebooks → empty codes
+      return df.filter(lit(false)).select(col(idCol).as("id"),
+        lit(0).as("sub"), lit(0).as("cid"))
+    require(rows.length <= MaxBookRows,
+      s"encodeCodes: codebook table exceeds $MaxBookRows component " +
+        "rows — this is not a books table")
+    val bcast = graft.plans.PqKernel.fromRows(spark, rows)
+    df.select(col(idCol).as("id"),
+        explode(ColumnBridge.column(graft.plans.PqEncode(
+          ColumnBridge.expression(col(vecCol)), bcast, m))).as("__sc"))
+      .select(col("id"), col("__sc.sub").as("sub"),
+        col("__sc.cid").as("cid"))
   }
 
   /** ADC top-k: per query one m·ksub dot-product lookup table
@@ -156,54 +206,52 @@ object ProductQuantization {
     val cellOf = Similarity.ivfAssign(corpus, idCol, vecCol,
         cents, "centroid_id", "centroid_vec")
       .select(col(idCol).as("id"), col("centroid_id"))
-    val comp = components(corpus, idCol, vecCol, m).cache()
-    try {
-      val books = train(comp, ksub, iters)
-      val codes = assignCodes(comp, books).join(cellOf, Seq("id"))
-      // each query's nProbe nearest cells — |queries| × nProbe pairs
-      val probeW = Window.partitionBy(col("query_id"))
-        .orderBy(col("__psim").desc, col("centroid_id"))
-      val probes = queries
-        .select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
-        .crossJoin(broadcast(cents))
-        .withColumn("__psim",
-          Similarity.cosine(col("__qv"), col("centroid_vec")))
-        .withColumn("__pr", row_number().over(probeW))
-        .filter(col("__pr") <= nProbe)
-        .select(col("query_id"), col("centroid_id"))
-      // per-query ADC lookup table (m · ksub dots), broadcast
-      val dt = components(queries, idCol, vecCol, m)
-        .select(col("id").as("query_id"), col("sub"), col("q"), col("x"))
-        .join(books, Seq("sub", "q"))
-        .select(col("query_id"), col("sub"), col("cid"),
-          (col("x") * col("c")).as("__p"))
-        .groupBy(col("query_id"), col("sub"), col("cid"))
-        .agg(sum(col("__p").cast("decimal(27,12)")).as("__dot"))
-      val wS = Window.partitionBy(col("query_id"))
-        .orderBy(col("score").desc, col("corpus_id"))
-      val shortlist = codes
-        .join(broadcast(probes), Seq("centroid_id"))
-        .join(broadcast(dt), Seq("query_id", "sub", "cid"))
-        .groupBy(col("query_id"), col("id"))
-        .agg(sum(col("__dot")).cast("double").as("score"))
-        .select(col("query_id"), col("id").as("corpus_id"), col("score"))
-        .filter(col("corpus_id") =!= col("query_id"))
-        .withColumn("__rn", row_number().over(wS))
-        .filter(col("__rn") <= math.max(k, rerank))
-        .select(col("query_id"), col("corpus_id"))
-      val q = queries.select(col(idCol).as("query_id"),
-        col(vecCol).as("__qv"))
-      val c = corpus.select(col(idCol).as("corpus_id"),
-        col(vecCol).as("__cv"))
-      val w = Window.partitionBy(col("query_id"))
-        .orderBy(col("cosine").desc, col("corpus_id"))
-      shortlist.join(c, Seq("corpus_id"))
-        .join(broadcast(q), Seq("query_id"))
-        .select(col("query_id"), col("corpus_id"),
-          Similarity.cosine(col("__cv"), col("__qv")).as("cosine"))
-        .withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= k)
-    } finally comp.unpersist()
+    val books = train(corpus, idCol, vecCol, m, ksub, iters)
+    val codes = encodeCodes(corpus, idCol, vecCol, m, books)
+      .join(cellOf, Seq("id"))
+    // each query's nProbe nearest cells — |queries| × nProbe pairs
+    val probeW = Window.partitionBy(col("query_id"))
+      .orderBy(col("__psim").desc, col("centroid_id"))
+    val probes = queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
+      .crossJoin(broadcast(cents))
+      .withColumn("__psim",
+        Similarity.cosine(col("__qv"), col("centroid_vec")))
+      .withColumn("__pr", row_number().over(probeW))
+      .filter(col("__pr") <= nProbe)
+      .select(col("query_id"), col("centroid_id"))
+    // per-query ADC lookup table (m · ksub dots), broadcast
+    val dt = components(queries, idCol, vecCol, m)
+      .select(col("id").as("query_id"), col("sub"), col("q"), col("x"))
+      .join(books, Seq("sub", "q"))
+      .select(col("query_id"), col("sub"), col("cid"),
+        (col("x") * col("c")).as("__p"))
+      .groupBy(col("query_id"), col("sub"), col("cid"))
+      .agg(sum(col("__p").cast("decimal(27,12)")).as("__dot"))
+    val wS = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("corpus_id"))
+    val shortlist = codes
+      .join(broadcast(probes), Seq("centroid_id"))
+      .join(broadcast(dt), Seq("query_id", "sub", "cid"))
+      .groupBy(col("query_id"), col("id"))
+      .agg(sum(col("__dot")).cast("double").as("score"))
+      .select(col("query_id"), col("id").as("corpus_id"), col("score"))
+      .filter(col("corpus_id") =!= col("query_id"))
+      .withColumn("__rn", row_number().over(wS))
+      .filter(col("__rn") <= math.max(k, rerank))
+      .select(col("query_id"), col("corpus_id"))
+    val q = queries.select(col(idCol).as("query_id"),
+      col(vecCol).as("__qv"))
+    val c = corpus.select(col(idCol).as("corpus_id"),
+      col(vecCol).as("__cv"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("corpus_id"))
+    shortlist.join(c, Seq("corpus_id"))
+      .join(broadcast(q), Seq("query_id"))
+      .select(col("query_id"), col("corpus_id"),
+        Similarity.cosine(col("__cv"), col("__qv")).as("cosine"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
   }
 
   /** Full PQ lifecycle: train codebooks on the corpus, encode it,
@@ -216,25 +264,22 @@ object ProductQuantization {
   def pqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, k: Int, m: Int = 4, ksub: Int = 16,
       iters: Int = 3, rerank: Int = 50): DataFrame = {
-    val comp = components(corpus, idCol, vecCol, m).cache()
-    try {
-      val cents = train(comp, ksub, iters)
-      val codes = assignCodes(comp, cents)
-      val shortlist = adcTopK(codes, cents,
-        components(queries, idCol, vecCol, m), math.max(k, rerank))
-      val q = queries.select(col(idCol).as("query_id"),
-        col(vecCol).as("__qv"))
-      val c = corpus.select(col(idCol).as("corpus_id"),
-        col(vecCol).as("__cv"))
-      val w = Window.partitionBy(col("query_id"))
-        .orderBy(col("cosine").desc, col("corpus_id"))
-      shortlist.select(col("query_id"), col("corpus_id"))
-        .join(c, Seq("corpus_id"))
-        .join(broadcast(q), Seq("query_id"))
-        .select(col("query_id"), col("corpus_id"),
-          Similarity.cosine(col("__cv"), col("__qv")).as("cosine"))
-        .withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= k)
-    } finally comp.unpersist()
+    val cents = train(corpus, idCol, vecCol, m, ksub, iters)
+    val codes = encodeCodes(corpus, idCol, vecCol, m, cents)
+    val shortlist = adcTopK(codes, cents,
+      components(queries, idCol, vecCol, m), math.max(k, rerank))
+    val q = queries.select(col(idCol).as("query_id"),
+      col(vecCol).as("__qv"))
+    val c = corpus.select(col(idCol).as("corpus_id"),
+      col(vecCol).as("__cv"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("corpus_id"))
+    shortlist.select(col("query_id"), col("corpus_id"))
+      .join(c, Seq("corpus_id"))
+      .join(broadcast(q), Seq("query_id"))
+      .select(col("query_id"), col("corpus_id"),
+        Similarity.cosine(col("__cv"), col("__qv")).as("cosine"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
   }
 }
