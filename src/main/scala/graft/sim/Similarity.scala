@@ -502,20 +502,23 @@ object Similarity {
     * output however large the corpus.
     *
     * Plan: one posexplode to (vec, dim, x) rows and dimension-wise
-    * sums for the means; the d(d+1)/2 product pairs are generated
-    * MAP-SIDE by a second generator over the row's own tail slice
-    * (round 15 — this was a vec-keyed self-equi-join before, which
-    * shuffled both N·d explode sides to pair components that already
-    * sat in the same row; now no pair ever crosses an exchange and
-    * the only product shuffle is the map-side-combined (i, j) partial
-    * aggregate, d(d+1)/2 groups total). Products are deterministic
-    * doubles on float inputs, decimal-cast before summing so
+    * sums for the means; the d(d+1)/2 product pair sums come from ONE
+    * [[graft.plans.CovPairSums]] aggregate pass over the vector rows
+    * (round 15 — the pairs were generated map-side by a tail-slice
+    * generator before, N·d(d+1)/2 rows each paying a hash-agg probe
+    * and a Decimal box; the aggregate accumulates the IDENTICAL
+    * scale-12 decimal sums in a flat long array per partition — no
+    * generated row exists at all. Vectors wider than 2048 dims keep
+    * the generator form: its working set is O(1) per row where the
+    * aggregate buffer is O(d²)). Products are deterministic doubles
+    * on float inputs, decimal-rounded before summing so
     * partial-aggregation order can't skew them; the final
     * E[xy] − E[x]E[y] runs in double on exact sums. 1-based dimension
     * indices (matches SQL generate_subscripts).
     */
   def covarianceMatrix(df: DataFrame, idCol: String,
       vecCol: String): DataFrame = {
+    import org.apache.spark.sql.graft.ColumnBridge
     val x = df.select(col(idCol).as("__vid"),
         posexplode(col(vecCol)).as(Seq("__p", "__xf")))
       .select(col("__vid"), (col("__p") + 1).as("i"),
@@ -523,7 +526,13 @@ object Similarity {
     val n = broadcast(df.agg(count(lit(1)).as("__n")))
     val m = x.groupBy(col("i"))
       .agg(sum(col("x").cast("decimal(25,10)")).cast("double").as("sx"))
-    val p = df.select(col(vecCol).as("__v"))
+    val p = if (vecDim(df, vecCol).exists(_ <= 2048))
+      df.agg(ColumnBridge.column(graft.plans.CovPairSums(
+          ColumnBridge.expression(col(vecCol)))).as("__cells"))
+        .select(explode(col("__cells")).as("__c"))
+        .select(col("__c.i").as("i"), col("__c.j").as("j"),
+          col("__c.sxy").cast("double").as("sxy"))
+    else df.select(col(vecCol).as("__v"))
       .select(col("__v"), posexplode(col("__v")).as(Seq("__p", "__xf")))
       .select((col("__p") + 1).as("i"), col("__xf").cast("double").as("x"),
         posexplode(slice(col("__v"), col("__p") + 1,
