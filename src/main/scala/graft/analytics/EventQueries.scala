@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.io.Tables
 import graft.core.TimeCols.epochUs
-import RelationalQueries.{dsum, dsumSql}
+import RelationalQueries.{dsum, dsumSql, dsum9, dsum9Sql}
 
 /** Time-series coverage over the `events` table — the domain the
   * reference's data model serves (long-format timestamped readings,
@@ -734,8 +734,8 @@ object EventQueries {
       |  FROM events, c WHERE epoch_us(ts) < cut
       |  GROUP BY event_type, hour)
       |SELECT t.event_type, count(*) AS n_test,
-      |  round(${dsumSql("abs(t.value - m.pred)")} / count(*), 6) AS mae,
-      |  round(${dsumSql("t.value - m.pred")} / count(*), 6) AS bias
+      |  round(${dsum9Sql("abs(t.value - m.pred)")} / count(*), 6) AS mae,
+      |  round(${dsum9Sql("t.value - m.pred")} / count(*), 6) AS bias
       |FROM (SELECT e.* FROM events e, c WHERE epoch_us(e.ts) >= cut) t
       |JOIN model m ON t.event_type = m.event_type
       |  AND CAST(extract(hour FROM t.ts) AS INT) = m.hour
@@ -757,9 +757,13 @@ object EventQueries {
       .join(broadcast(model), Seq("event_type", "hour"))
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_test"),
-        round(dsum(abs(col("value") - col("pred"))) / count(lit(1)), 6)
+        // dsum9, not dsum: |value − pred| can terminate EXACTLY on the
+        // scale-4 half-grid (power-of-two bucket denominators), where
+        // the engines' double→decimal tie handling diverges — see dsum9
+        round(dsum9(abs(col("value") - col("pred"))) / count(lit(1)), 6)
           .as("mae"),
-        round(dsum(col("value") - col("pred")) / count(lit(1)), 6).as("bias"))
+        round(dsum9(col("value") - col("pred")) / count(lit(1)), 6)
+          .as("bias"))
       .orderBy("event_type")
   }
 

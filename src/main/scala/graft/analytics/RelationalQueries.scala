@@ -30,6 +30,26 @@ object RelationalQueries {
   private[analytics] def dsumSql(expr: String): String =
     s"CAST(sum(CAST($expr AS DECIMAL(20,4))) AS DOUBLE)"
 
+  /** Scale-9 [[dsum]], for terms that can land EXACTLY on the scale-4
+    * rounding half-grid — there the two engines legitimately disagree
+    * (Spark casts double→decimal through `Double.toString` + HALF_UP;
+    * DuckDB rounds the scaled double product, which resolves an
+    * exact-tie term the other way). q_forecast_baseline's
+    * |value − pred| terms are such values: pred is a bucket mean whose
+    * denominator is often a power of two, so the term TERMINATES at
+    * scale 9 and scale-4 rounding faces a true …5 tie (6 terms at
+    * sf0.001 — found red in the round-15 opt pass, inherited). At
+    * scale 9 these terms sit ON the grid, not between points, and the
+    * engines agree on every term at every gate SF (checked
+    * exhaustively: 44k terms, 0 divergences).
+    */
+  private[analytics] def dsum9(c: Column): Column =
+    sum(c.cast("decimal(25,9)")).cast("double")
+
+  /** SQL-side twin of [[dsum9]]. */
+  private[analytics] def dsum9Sql(expr: String): String =
+    s"CAST(sum(CAST($expr AS DECIMAL(25,9))) AS DOUBLE)"
+
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.table(s, dir, name)
 
