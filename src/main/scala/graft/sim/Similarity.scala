@@ -74,9 +74,13 @@ object Similarity {
     (xxhash64(lit(table), lit(plane), dim).cast("double")
       / lit(Long.MaxValue.toDouble))
 
-  /** Random-hyperplane LSH signature: for each of `nPlanes` planes,
+  /** Random-hyperplane LSH signature, composed-builtin form — the
+    * REFERENCE formulation [[graft.plans.LshSignatures]] is spec-
+    * pinned against (LshSignaturesSpec): for each of `nPlanes` planes,
     * one sign bit of (v · plane); folded into a single long bucket id.
-    * Planes unroll at plan-build time; no shuffle to compute.
+    * The per-plane `aggregate(zip_with(...))` lambdas run INTERPRETED
+    * (nTables × nPlanes vector walks per row), so [[lshTopK]] bands
+    * through the native kernel instead.
     */
   def lshSignature(vec: Column, nPlanes: Int, table: Int = 0): Column =
     (0 until nPlanes).map { p =>
@@ -102,9 +106,15 @@ object Similarity {
     // per-table match is p^nPlanes: 4 planes ≈ 0.16, OR-amplified over
     // 16 tables ≈ 0.94 recall. More planes per table cuts candidates
     // but collapses recall (8 planes ≈ 0.025/table).
+    //
+    // Banding runs through the native LshSignatures kernel: ONE
+    // primitive pass per row computes all nTables × nPlanes
+    // projections, vs the composed form's interpreted per-plane
+    // aggregate/zip_with walks (bit-identical buckets — spec-pinned).
     def banded(df: DataFrame, id: String, vec: String) = {
-      val sigs = array((0 until nTables).map(t =>
-        struct(lit(t).as("t"), lshSignature(col(vec), nPlanes, t).as("b"))): _*)
+      import org.apache.spark.sql.graft.ColumnBridge
+      val sigs = ColumnBridge.column(graft.plans.LshSignatures(
+        ColumnBridge.expression(col(vec)), nPlanes, nTables))
       df.select(col(id), col(vec),
         explode(sigs).as("tb"))
         .select(col(id), col(vec),
